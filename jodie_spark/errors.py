@@ -1,0 +1,43 @@
+"""Error types for jodie_spark.
+
+Mirrors the reference's error surface (JodieValidationError:
+reference JodieValidator.scala:5-6) plus protocol-level errors for the
+native Delta-log implementation.
+"""
+
+from __future__ import annotations
+
+
+class JodieValidationError(Exception):
+    """Validation failure (missing columns, bad arguments).
+
+    Parity: reference JodieValidator.scala:5-6 (case class wrapping a
+    message + cause).
+    """
+
+
+class DeltaProtocolError(RuntimeError):
+    """The on-disk transaction log violates the Delta protocol."""
+
+
+class ConcurrentModificationException(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency conflict on the `<version>.json` atomic create)."""
+
+
+class VersionNotFoundError(ValueError):
+    """Requested version cannot be time-travelled to.
+
+    Parity: org.apache.spark.sql.delta.VersionNotFoundException —
+    carries the earliest/latest reachable versions
+    (reference ChangeDataFeedHelper.scala:207-210 catches it).
+    """
+
+    def __init__(self, requested: int, earliest: int, latest: int):
+        super().__init__(
+            f"Cannot time travel Delta table to version {requested}. "
+            f"Available versions: [{earliest}, {latest}]."
+        )
+        self.requested = requested
+        self.earliest = earliest
+        self.latest = latest

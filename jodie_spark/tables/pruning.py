@@ -1,0 +1,350 @@
+"""Data skipping: evaluate SQL predicates against the log's per-file
+metadata (partition values + min/max/null-count stats) — no data read.
+
+This rebuilds what the reference surfaces through Delta's internal
+``OptimisticTransaction.filterFiles`` / ``Snapshot.filesWithStatsForScan``
+(reference DeltaHelpers.scala:109-194): split a condition into
+conjuncts, classify each (min-max / equality / other / unresolved), and
+count/select the files that survive stats-based skipping.
+
+The evaluator is intentionally conservative: a file is pruned only when
+its stats *prove* no row can match; unsupported conjuncts (LIKE, ORs,
+functions) keep every file — identical to Delta's skipping contract.
+
+Scale note: evaluation is O(#files) driver-side over the reconstructed
+add-list. Delta itself evaluates skipping over a state DataFrame for
+multi-million-file tables; `files_df()` in distribution.py provides that
+Spark-side path for aggregation workloads.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import types as T
+
+MIN_MAX_OPS = {">", ">=", "<", "<="}
+EQUALITY_OPS = {"=", "==", "<=>"}
+
+
+# ---------------------------------------------------------------------------
+# conjunct splitting / parsing
+# ---------------------------------------------------------------------------
+
+def split_conjuncts(condition: str) -> list[str]:
+    """Split on top-level AND, respecting parentheses and quotes.
+
+    Parity: splitConjunctivePredicates (reference DeltaHelpers.scala:156-162).
+    """
+    out: list[str] = []
+    depth = 0
+    in_quote: str | None = None
+    token = []
+    i = 0
+    s = condition
+    while i < len(s):
+        ch = s[i]
+        if in_quote:
+            token.append(ch)
+            if ch == in_quote:
+                in_quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_quote = ch
+            token.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and s[i : i + 5].lower() == " and " :
+            out.append("".join(token).strip())
+            token = []
+            i += 5
+            continue
+        token.append(ch)
+        i += 1
+    tail = "".join(token).strip()
+    if tail:
+        out.append(tail)
+    return [_strip_outer_parens(c) for c in out if c]
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        balanced = True
+        for idx, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and idx != len(s) - 1:
+                    balanced = False
+                    break
+        if balanced:
+            s = s[1:-1].strip()
+        else:
+            break
+    return s
+
+
+_CMP_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s*(<=>|<=|>=|==|!=|<>|=|<|>)\s*(.+?)$", re.DOTALL
+)
+_CMP_REV_RE = re.compile(
+    r"^(.+?)\s*(<=>|<=|>=|==|!=|<>|=|<|>)\s*([A-Za-z_][\w.]*)$", re.DOTALL
+)
+_NULL_RE = re.compile(r"^([A-Za-z_][\w.]*)\s+is\s+(not\s+)?null$", re.IGNORECASE)
+_SWAP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+@dataclass
+class Conjunct:
+    raw: str
+    kind: str  # 'minmax' | 'equality' | 'other' | 'unresolved'
+    column: str | None = None
+    op: str | None = None
+    literal: Any = None  # python-typed literal when parseable
+    references: tuple[str, ...] = ()
+
+
+def _parse_literal(text: str) -> tuple[bool, Any]:
+    text = text.strip()
+    if (text.startswith("'") and text.endswith("'")) or (
+        text.startswith('"') and text.endswith('"')
+    ):
+        return True, text[1:-1]
+    low = text.lower()
+    if low in ("true", "false"):
+        return True, low == "true"
+    if low == "null":
+        return True, None
+    m = re.match(r"^(date|timestamp)\s*'(.*)'$", text, re.IGNORECASE)
+    if m:
+        return True, m.group(2)
+    try:
+        return True, int(text)
+    except ValueError:
+        pass
+    try:
+        return True, float(text)
+    except ValueError:
+        return False, None
+
+
+def _referenced_names(text: str) -> list[str]:
+    """Identifier-looking tokens (minus keywords/literals) in a conjunct."""
+    names = re.findall(r"[A-Za-z_][\w.]*", re.sub(r"'[^']*'", "", text))
+    keywords = {
+        "and", "or", "not", "is", "null", "like", "in", "true", "false",
+        "between", "rlike", "date", "timestamp", "cast", "as",
+    }
+    return [n for n in names if n.lower() not in keywords]
+
+
+def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
+    """Classify one conjunct the way the reference does
+    (DeltaHelpers.scala:149-191): references outside the table's columns
+    ⇒ unresolved; >,>=,<,<= ⇒ minmax; =,<=> ⇒ equality; rest ⇒ other.
+
+    A dotted reference (``alias.col``) never resolves against a bare
+    table plan — matching the reference's observed behavior on merge
+    conditions like ``snapshot.id = update.id``.
+    """
+    refs = _referenced_names(conjunct)
+    unresolved = [r for r in refs if "." in r or r not in columns]
+
+    m = _NULL_RE.match(conjunct)
+    if m:
+        col = m.group(1)
+        if col in unresolved:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        op = "is not null" if m.group(2) else "is null"
+        return Conjunct(conjunct, "other", column=col, op=op, references=tuple(refs))
+
+    parsed = None
+    m = _CMP_RE.match(conjunct)
+    if m:
+        col, op, rhs = m.group(1), m.group(2), m.group(3)
+        ok, lit = _parse_literal(rhs)
+        if ok:
+            parsed = (col, op, lit)
+    if parsed is None:
+        m = _CMP_REV_RE.match(conjunct)
+        if m:
+            lhs, op, col = m.group(1), m.group(2), m.group(3)
+            ok, lit = _parse_literal(lhs)
+            if ok:
+                parsed = (col, _SWAP.get(op, op), lit)
+
+    if parsed is None:
+        if unresolved:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        return Conjunct(conjunct, "other", references=tuple(refs))
+
+    col, op, lit = parsed
+    if col in unresolved or "." in col:
+        return Conjunct(conjunct, "unresolved", references=tuple(refs))
+    if op in ("=", "==", "<=>"):
+        kind = "equality"
+    elif op in MIN_MAX_OPS:
+        kind = "minmax"
+    else:
+        kind = "other"  # != / <>
+    return Conjunct(conjunct, kind, column=col, op=op, literal=lit, references=tuple(refs))
+
+
+# ---------------------------------------------------------------------------
+# typed comparison against stats strings
+# ---------------------------------------------------------------------------
+
+def _coerce(value: Any, dtype: T.DataType) -> Any:
+    if value is None:
+        return None
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(value)
+        if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return float(value)
+        if isinstance(dtype, T.BooleanType):
+            if isinstance(value, bool):
+                return value
+            return str(value).lower() == "true"
+        if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return str(value).replace(" ", "T")
+        return str(value)
+    except (ValueError, TypeError):
+        return None
+
+
+def _cmp(op: str, left: Any, right: Any) -> bool | None:
+    if left is None or right is None:
+        return None
+    try:
+        if op in ("=", "==", "<=>"):
+            return left == right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+    except TypeError:
+        return None
+    return None
+
+
+def file_may_match(
+    add: dict[str, Any],
+    conjuncts: list[Conjunct],
+    schema: T.StructType,
+    partition_columns: list[str],
+) -> bool:
+    """True unless stats prove the file contains no matching row."""
+    field_types = {f.name: f.dataType for f in schema.fields}
+    stats = None
+    raw = add.get("stats")
+    if raw:
+        try:
+            stats = json.loads(raw) if isinstance(raw, str) else raw
+        except json.JSONDecodeError:
+            stats = None
+
+    for cj in conjuncts:
+        if cj.kind in ("unresolved",):
+            continue  # can't skip on it
+        col, op = cj.column, cj.op
+        if col is None or col not in field_types:
+            continue
+        dtype = field_types[col]
+        lit = _coerce(cj.literal, dtype)
+
+        if col in partition_columns:
+            pv = (add.get("partitionValues") or {}).get(col)
+            val = _coerce(pv, dtype)
+            if op == "is null":
+                if val is not None:
+                    return False
+                continue
+            if op == "is not null":
+                if val is None:
+                    return False
+                continue
+            if op == "<=>" and cj.literal is None:
+                if val is not None:
+                    return False
+                continue
+            if val is None or lit is None:
+                # null partition value can't satisfy a non-null comparison
+                if val is None and lit is not None and op in EQUALITY_OPS | MIN_MAX_OPS:
+                    return False
+                continue
+            verdict = _cmp(op, val, lit)
+            if verdict is False:
+                return False
+            continue
+
+        if stats is None:
+            continue
+        num_records = stats.get("numRecords")
+        null_count = (stats.get("nullCount") or {}).get(col)
+        mn = _coerce((stats.get("minValues") or {}).get(col), dtype)
+        mx = _coerce((stats.get("maxValues") or {}).get(col), dtype)
+
+        if op == "is null":
+            if null_count is not None and int(null_count) == 0:
+                return False
+            continue
+        if op == "is not null":
+            if (
+                null_count is not None
+                and num_records is not None
+                and int(null_count) == int(num_records)
+            ):
+                return False
+            continue
+        if lit is None:
+            continue
+        verdict: bool | None = None
+        if op in EQUALITY_OPS:
+            if mn is not None and _cmp("<", lit, mn):
+                verdict = False
+            if mx is not None and _cmp(">", lit, mx):
+                verdict = False
+        elif op == ">":
+            if mx is not None and not _cmp(">", mx, lit):
+                verdict = False
+        elif op == ">=":
+            if mx is not None and not _cmp(">=", mx, lit):
+                verdict = False
+        elif op == "<":
+            if mn is not None and not _cmp("<", mn, lit):
+                verdict = False
+        elif op == "<=":
+            if mn is not None and not _cmp("<=", mn, lit):
+                verdict = False
+        if verdict is False:
+            return False
+    return True
+
+
+def prune_files(
+    adds: list[dict[str, Any]],
+    condition: str | None,
+    schema: T.StructType,
+    partition_columns: list[str],
+) -> list[dict[str, Any]]:
+    """Files that may contain rows matching ``condition`` (None ⇒ all)."""
+    if not condition:
+        return list(adds)
+    conjuncts = [classify_conjunct(c, [f.name for f in schema.fields]) for c in split_conjuncts(condition)]
+    return [a for a in adds if file_may_match(a, conjuncts, schema, partition_columns)]

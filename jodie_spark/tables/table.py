@@ -1,0 +1,671 @@
+"""DeltaTable: a delta-spark-compatible table handle built on the native
+log implementation (log.py) — Spark DataFrames do all data movement.
+
+API parity targets (so reference call sites translate 1:1):
+- ``DeltaTable.forPath`` / ``toDF`` / ``alias`` / ``detail`` /
+  ``history`` — used across reference DeltaHelpers.scala.
+- ``delete`` / ``update`` / ``merge`` — used by the dedup/SCD operators
+  (DeltaHelpers.scala:262-267, Type2Scd.scala:63-80).
+- ``optimize().executeCompaction()/executeZOrderBy`` — used by tests
+  (DeltaHelperSpec.scala:980, OperationMetricHelperSpec.scala:159).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import urllib.parse
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jodie_spark.errors import DeltaProtocolError, JodieValidationError
+from jodie_spark.tables.log import DeltaLog, Snapshot
+from jodie_spark.tables.pruning import classify_conjunct, prune_files, split_conjuncts
+from jodie_spark.tables.writer import write_data_files, write_metrics
+
+CDF_PROP = "delta.enableChangeDataFeed"
+CHANGE_DATA_DIR = "_change_data"
+RESERVED_WRITER_OPTIONS = {"mergeSchema", "overwriteSchema", "maxRecordsPerFile"}
+
+
+def _schema_from_string(schema_string: str) -> T.StructType:
+    return T.StructType.fromJson(json.loads(schema_string))
+
+
+def read_files_df(
+    spark: SparkSession,
+    table_path: str,
+    schema: T.StructType,
+    adds: list[dict[str, Any]],
+) -> DataFrame:
+    """Load the given add-files as one DataFrame.
+
+    The explicit file list (from the log, never a storage listing) plus
+    ``basePath`` gives Hive-style partition-column reconstruction; the
+    explicit schema pins partition-value types and fills columns missing
+    from older files (schema evolution) with nulls.
+    """
+    if not adds:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_path, urllib.parse.unquote(a["path"])) for a in adds]
+    df = (
+        spark.read.format("parquet")
+        .option("basePath", table_path)
+        .schema(schema)
+        .load(paths)
+    )
+    return df.select(*[F.col(f.name) for f in schema.fields])
+
+
+class DeltaTable:
+    def __init__(self, spark: SparkSession, path: str, alias: str | None = None):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.deltaLog = DeltaLog(self.path)
+        self._alias = alias
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        log = DeltaLog(path)
+        if not log.exists():
+            raise DeltaProtocolError(f"`{path}` is not a Delta table.")
+        return cls(spark, path)
+
+    for_path = forPath
+
+    @staticmethod
+    def isDeltaTable(spark: SparkSession, path: str) -> bool:
+        return DeltaLog(path).exists()
+
+    def alias(self, name: str) -> "DeltaTable":
+        return DeltaTable(self.spark, self.path, alias=name)
+
+    as_ = alias
+
+    # -- reading -----------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return self.deltaLog.snapshot(version)
+
+    def schema(self, snapshot: Snapshot | None = None) -> T.StructType:
+        snap = snapshot or self.snapshot()
+        return _schema_from_string(snap.schema_string)
+
+    def toDF(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        df = read_files_df(self.spark, self.path, self.schema(snap), snap.add_files())
+        if self._alias:
+            df = df.alias(self._alias)
+        return df
+
+    to_df = toDF
+
+    def detail(self) -> DataFrame:
+        snap = self.snapshot()
+        schema = T.StructType(
+            [
+                T.StructField("format", T.StringType()),
+                T.StructField("id", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("description", T.StringType()),
+                T.StructField("location", T.StringType()),
+                T.StructField("createdAt", T.TimestampType()),
+                T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                T.StructField("numFiles", T.LongType()),
+                T.StructField("sizeInBytes", T.LongType()),
+                T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        created_ms = snap.metadata.get("createdTime")
+        import datetime as _dt
+
+        row = (
+            "delta",
+            snap.metadata.get("id"),
+            snap.metadata.get("name"),
+            snap.metadata.get("description"),
+            self.path,
+            _dt.datetime.utcfromtimestamp(created_ms / 1000.0) if created_ms else None,
+            snap.partition_columns,
+            snap.num_files(),
+            snap.size_in_bytes(),
+            snap.configuration,
+        )
+        return self.spark.createDataFrame([row], schema)
+
+    def history(self, limit: int | None = None) -> DataFrame:
+        """Commit history, newest first — the public shape the reference
+        consumes via DeltaTable.history()/DeltaHistory
+        (OperationMetricHelper.scala:56-63)."""
+        rows = []
+        for v in sorted(self.deltaLog.list_commit_versions(), reverse=True):
+            ci = next(
+                (a["commitInfo"] for a in self.deltaLog.read_actions(v) if "commitInfo" in a),
+                None,
+            )
+            if ci is None:
+                continue
+            import datetime as _dt
+
+            rows.append(
+                (
+                    v,
+                    _dt.datetime.utcfromtimestamp((ci.get("timestamp") or 0) / 1000.0),
+                    ci.get("operation"),
+                    {k: str(v2) for k, v2 in (ci.get("operationParameters") or {}).items()},
+                    {k: str(v2) for k, v2 in (ci.get("operationMetrics") or {}).items()},
+                    ci.get("readVersion"),
+                )
+            )
+            if limit is not None and len(rows) >= limit:
+                break
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("timestamp", T.TimestampType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("operationParameters", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("operationMetrics", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("readVersion", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    # -- properties / CDF ----------------------------------------------------
+
+    def is_cdf_enabled(self, snapshot: Snapshot | None = None) -> bool:
+        snap = snapshot or self.snapshot()
+        return str(snap.configuration.get(CDF_PROP, "false")).lower() == "true"
+
+    def set_properties(self, properties: dict[str, str]) -> None:
+        snap = self.snapshot()
+        meta = dict(snap.metadata)
+        conf = dict(meta.get("configuration") or {})
+        conf.update({k: str(v) for k, v in properties.items()})
+        meta["configuration"] = conf
+        self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}],
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps(properties)},
+        )
+
+    # -- mutations -----------------------------------------------------------
+
+    def _write_cdf_files(self, change_df: DataFrame) -> list[dict[str, Any]]:
+        """Write change rows (with _change_type) under _change_data/ and
+        return ``cdc`` actions."""
+        adds = write_data_files(change_df, os.path.join(self.path, CHANGE_DATA_DIR), None)
+        actions = []
+        for a in adds:
+            actions.append(
+                {
+                    "cdc": {
+                        "path": f"{CHANGE_DATA_DIR}/{a['path']}",
+                        "partitionValues": a.get("partitionValues") or {},
+                        "size": a["size"],
+                        "dataChange": False,
+                    }
+                }
+            )
+        return actions
+
+    def delete(self, condition: str | None = None) -> None:
+        """Copy-on-write DELETE with stats-based file skipping: files whose
+        stats prove no match are never read or rewritten."""
+        t0 = time.time()
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        all_files = snap.add_files()
+        candidates = prune_files(all_files, condition, schema, snap.partition_columns)
+
+        removes: list[dict[str, Any]] = []
+        adds: list[dict[str, Any]] = []
+        cdc_actions: list[dict[str, Any]] = []
+        deleted_rows = 0
+        copied_rows = 0
+        scan_ms = 0
+
+        if condition is None:
+            removes = candidates
+            deleted_rows = sum(
+                int(json.loads(a["stats"]).get("numRecords") or 0)
+                for a in candidates
+                if a.get("stats")
+            )
+        elif candidates:
+            t_scan = time.time()
+            cand_df = read_files_df(self.spark, self.path, schema, candidates).withColumn(
+                "__file__", F.input_file_name()
+            )
+            touched_paths = {
+                r[0]
+                for r in cand_df.filter(F.expr(condition))
+                .select("__file__")
+                .distinct()
+                .collect()
+            }
+            scan_ms = int((time.time() - t_scan) * 1000)
+            touched = [
+                a
+                for a in candidates
+                if os.path.join(self.path, urllib.parse.unquote(a["path"])) in {
+                    _strip_scheme(p) for p in touched_paths
+                }
+            ]
+            if touched:
+                touched_df = read_files_df(self.spark, self.path, schema, touched)
+                keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
+                adds = write_data_files(keep_df, self.path, snap.partition_columns)
+                removes = touched
+                total_before = sum(
+                    int(json.loads(a["stats"]).get("numRecords") or 0)
+                    for a in touched
+                    if a.get("stats")
+                )
+                copied_rows = sum(
+                    int(json.loads(a["stats"]).get("numRecords") or 0) for a in adds
+                )
+                deleted_rows = total_before - copied_rows
+                if self.is_cdf_enabled(snap):
+                    deleted_df = touched_df.filter(F.expr(condition)).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                    cdc_actions = self._write_cdf_files(deleted_df)
+
+        actions: list[dict[str, Any]] = cdc_actions
+        actions += [{"add": a} for a in adds]
+        now_ms = int(time.time() * 1000)
+        actions += [
+            {
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": r.get("partitionValues") or {},
+                    "size": r.get("size"),
+                }
+            }
+            for r in removes
+        ]
+        metrics = {
+            "numRemovedFiles": str(len(removes)),
+            "numAddedFiles": str(len(adds)),
+            "numDeletedRows": str(deleted_rows),
+            "numCopiedRows": str(copied_rows),
+            "numAddedChangeFiles": str(len(cdc_actions)),
+            "numRemovedBytes": str(sum(int(r.get("size") or 0) for r in removes)),
+            "numAddedBytes": str(sum(int(a.get("size") or 0) for a in adds)),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+            "scanTimeMs": str(scan_ms),
+            "rewriteTimeMs": str(max(0, int((time.time() - t0) * 1000) - scan_ms)),
+        }
+        params = {"predicate": json.dumps([condition] if condition else [])}
+        self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
+
+    def update(self, condition: str | None, set: dict[str, Any]) -> None:  # noqa: A002
+        """Copy-on-write UPDATE with the same file-skipping as delete."""
+        t0 = time.time()
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        candidates = prune_files(snap.add_files(), condition, schema, snap.partition_columns)
+        cond_col = F.expr(condition) if condition else F.lit(True)
+
+        adds: list[dict[str, Any]] = []
+        removes: list[dict[str, Any]] = []
+        cdc_actions: list[dict[str, Any]] = []
+        updated_rows = 0
+
+        if candidates:
+            cand_df = read_files_df(self.spark, self.path, schema, candidates).withColumn(
+                "__file__", F.input_file_name()
+            )
+            touched_paths = {
+                _strip_scheme(r[0])
+                for r in cand_df.filter(cond_col).select("__file__").distinct().collect()
+            }
+            touched = [
+                a
+                for a in candidates
+                if os.path.join(self.path, urllib.parse.unquote(a["path"])) in touched_paths
+            ]
+            if touched:
+                touched_df = read_files_df(self.spark, self.path, schema, touched)
+                set_exprs = {
+                    k: (v if isinstance(v, Column) else F.expr(str(v))) for k, v in set.items()
+                }
+                obs = Observation()
+                observed = touched_df.observe(
+                    obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("updated")
+                )
+                new_df = observed.select(
+                    *[
+                        F.when(cond_col, set_exprs[f.name]).otherwise(F.col(f.name)).alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                adds = write_data_files(new_df, self.path, snap.partition_columns)
+                removes = touched
+                updated_rows = int(obs.get["updated"] or 0)
+                if self.is_cdf_enabled(snap):
+                    pre = touched_df.filter(cond_col).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post = (
+                        touched_df.filter(cond_col)
+                        .select(
+                            *[
+                                set_exprs[f.name].alias(f.name)
+                                if f.name in set_exprs
+                                else F.col(f.name)
+                                for f in schema.fields
+                            ]
+                        )
+                        .withColumn("_change_type", F.lit("update_postimage"))
+                    )
+                    cdc_actions = self._write_cdf_files(pre.unionByName(post))
+
+        actions: list[dict[str, Any]] = cdc_actions
+        actions += [{"add": a} for a in adds]
+        now_ms = int(time.time() * 1000)
+        actions += [
+            {
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": r.get("partitionValues") or {},
+                    "size": r.get("size"),
+                }
+            }
+            for r in removes
+        ]
+        total_touched = sum(
+            int(json.loads(a["stats"]).get("numRecords") or 0) for a in removes if a.get("stats")
+        )
+        metrics = {
+            "numRemovedFiles": str(len(removes)),
+            "numAddedFiles": str(len(adds)),
+            "numUpdatedRows": str(updated_rows),
+            "numCopiedRows": str(max(0, total_touched - updated_rows)),
+            "numAddedChangeFiles": str(len(cdc_actions)),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+            "scanTimeMs": "0",
+            "rewriteTimeMs": str(int((time.time() - t0) * 1000)),
+        }
+        params = {"predicate": condition or ""}
+        self.deltaLog.commit(snap.version, actions, "UPDATE", params, metrics)
+
+    def merge(self, source: DataFrame, condition: str) -> "DeltaMergeBuilder":
+        from jodie_spark.tables.merge import DeltaMergeBuilder
+
+        return DeltaMergeBuilder(self, source, condition)
+
+    def optimize(self) -> "OptimizeBuilder":
+        return OptimizeBuilder(self)
+
+    def vacuum(self, retention_hours: float = 168.0) -> None:
+        """Physically delete tombstoned data files and change-data files
+        older than the retention window."""
+        snap = self.snapshot()
+        cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
+        for rm in snap.tombstones.values():
+            if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms:
+                p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
+                if os.path.isfile(p):
+                    os.remove(p)
+        # change-data files referenced only by commits whose timestamp is
+        # older than the retention window
+        cdc_dir = os.path.join(self.path, CHANGE_DATA_DIR)
+        if os.path.isdir(cdc_dir):
+            for v in self.deltaLog.list_commit_versions():
+                actions = self.deltaLog.read_actions(v)
+                ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+                if int(ci.get("timestamp") or 0) > cutoff_ms:
+                    continue
+                for a in actions:
+                    if "cdc" in a:
+                        p = os.path.join(self.path, urllib.parse.unquote(a["cdc"]["path"]))
+                        if os.path.isfile(p):
+                            os.remove(p)
+
+
+class OptimizeBuilder:
+    """Compaction and clustering, committed as dataChange=false rewrites.
+
+    Parity targets: deltaTable.optimize().executeCompaction()
+    (reference OperationMetricHelperSpec.scala:159) and
+    executeZOrderBy (DeltaHelperSpec.scala:980). Z-ORDER is expressed as
+    a range-cluster on the given columns: repartitionByRange + in-file
+    sort gives the same min/max-tightening that interleaved-bit ordering
+    targets, using only Catalyst-native operators.
+    """
+
+    def __init__(self, table: DeltaTable, where: str | None = None):
+        self.table = table
+        self._where = where
+
+    def where(self, condition: str) -> "OptimizeBuilder":
+        self._where = condition
+        return self
+
+    def _rewrite(self, cluster_by: list[str] | None, target_file_size: int = 128 * 1024 * 1024):
+        t = self.table
+        snap = t.snapshot()
+        schema = t.schema(snap)
+        files = prune_files(snap.add_files(), self._where, schema, snap.partition_columns)
+        if cluster_by is None:
+            files = [f for f in files if int(f.get("size") or 0) < target_file_size]
+            if len(files) < 2:
+                return t.toDF()
+        df = read_files_df(t.spark, t.path, schema, files)
+        total_bytes = sum(int(f.get("size") or 0) for f in files)
+        n_out = max(1, -(-total_bytes // target_file_size))
+        if cluster_by:
+            df = df.repartitionByRange(int(n_out), *[F.col(c) for c in cluster_by]).sortWithinPartitions(
+                *[F.col(c) for c in cluster_by]
+            )
+        else:
+            df = df.coalesce(int(n_out))
+        adds = write_data_files(df, t.path, snap.partition_columns)
+        for a in adds:
+            a["dataChange"] = False
+        now_ms = int(time.time() * 1000)
+        actions = [{"add": a} for a in adds]
+        actions += [
+            {
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                    "partitionValues": r.get("partitionValues") or {},
+                    "size": r.get("size"),
+                }
+            }
+            for r in files
+        ]
+        metrics = {
+            "numRemovedFiles": str(len(files)),
+            "numAddedFiles": str(len(adds)),
+            "numRemovedBytes": str(total_bytes),
+            "numAddedBytes": str(sum(int(a.get("size") or 0) for a in adds)),
+        }
+        params = {"predicate": self._where or "[]"}
+        if cluster_by:
+            params["zOrderBy"] = json.dumps(cluster_by)
+        t.deltaLog.commit(snap.version, actions, "OPTIMIZE", params, metrics)
+        return t.toDF()
+
+    def executeCompaction(self) -> DataFrame:
+        return self._rewrite(None)
+
+    execute_compaction = executeCompaction
+
+    def executeZOrderBy(self, *cols: str) -> DataFrame:
+        flat: list[str] = []
+        for c in cols:
+            flat.extend(c if isinstance(c, (list, tuple)) else [c])
+        return self._rewrite(flat)
+
+    execute_z_order_by = executeZOrderBy
+
+
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    return urllib.parse.unquote(p)
+
+
+# ---------------------------------------------------------------------------
+# writer entry point
+# ---------------------------------------------------------------------------
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> DeltaTable:
+    """``df.write.format("delta").mode(m).save(path)`` equivalent.
+
+    Writer options: ``mergeSchema`` (allow-add-columns append,
+    reference DeltaHelpers.scala:375-378), ``overwriteSchema``; any
+    other option is persisted as a table property on create — matching
+    Delta's ``delta.*`` option pass-through relied on by copyTable
+    (reference DeltaHelpers.scala:409-416).
+    """
+    spark = df.sparkSession
+    path = os.path.abspath(path)
+    options = dict(options or {})
+    partition_by = list(partition_by or [])
+    log = DeltaLog(path)
+    exists = log.exists()
+
+    if exists:
+        if mode in ("error", "errorifexists"):
+            raise JodieValidationError(f"path {path} already exists.")
+        if mode == "ignore":
+            return DeltaTable(spark, path)
+
+    merge_schema = str(options.get("mergeSchema", "false")).lower() == "true"
+    overwrite_schema = str(options.get("overwriteSchema", "false")).lower() == "true"
+
+    if not exists:
+        properties = {
+            k: str(v) for k, v in options.items() if k not in RESERVED_WRITER_OPTIONS
+        }
+        adds = write_data_files(df, path, partition_by)
+        import uuid as _uuid
+
+        meta = {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": properties,
+            "createdTime": int(time.time() * 1000),
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ] + [{"add": a} for a in adds]
+        log.commit(
+            -1,
+            actions,
+            "WRITE",
+            {"mode": "ErrorIfExists", "partitionBy": json.dumps(partition_by)},
+            write_metrics(adds),
+        )
+        return DeltaTable(spark, path)
+
+    table = DeltaTable(spark, path)
+    snap = table.snapshot()
+    table_schema = table.schema(snap)
+    eff_partition = snap.partition_columns if not partition_by else partition_by
+    table_cols = [f.name for f in table_schema.fields]
+    df_cols = list(df.columns)
+
+    if mode == "append":
+        extra = [c for c in df_cols if c not in table_cols]
+        if extra and not merge_schema:
+            raise JodieValidationError(
+                f"A schema mismatch detected when writing to the Delta table: "
+                f"extra columns {extra}. Set option mergeSchema=true to allow."
+            )
+        new_schema = table_schema
+        if extra:
+            new_schema = T.StructType(
+                list(table_schema.fields) + [df.schema[c] for c in extra]
+            )
+        aligned = df.select(
+            *[
+                F.col(f.name) if f.name in df_cols else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_schema.fields
+            ]
+        )
+        adds = write_data_files(aligned, path, snap.partition_columns)
+        actions = [{"add": a} for a in adds]
+        if extra:
+            meta = dict(snap.metadata)
+            meta["schemaString"] = new_schema.json()
+            actions.insert(0, {"metaData": meta})
+        log.commit(
+            snap.version,
+            actions,
+            "WRITE",
+            {"mode": "Append", "partitionBy": json.dumps(snap.partition_columns)},
+            write_metrics(adds),
+        )
+        return table
+
+    if mode == "overwrite":
+        schema_changed = df_cols != table_cols
+        if schema_changed and not (overwrite_schema or merge_schema):
+            if set(df_cols) - set(table_cols):
+                raise JodieValidationError(
+                    "A schema mismatch detected when writing to the Delta table. "
+                    "Set option overwriteSchema=true to overwrite the schema."
+                )
+        adds = write_data_files(df, path, eff_partition)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = []
+        if schema_changed or eff_partition != snap.partition_columns:
+            meta = dict(snap.metadata)
+            meta["schemaString"] = df.schema.json()
+            meta["partitionColumns"] = eff_partition
+            actions.append({"metaData": meta})
+        actions += [{"add": a} for a in adds]
+        actions += [
+            {
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": r.get("partitionValues") or {},
+                    "size": r.get("size"),
+                }
+            }
+            for r in snap.add_files()
+        ]
+        log.commit(
+            snap.version,
+            actions,
+            "WRITE",
+            {"mode": "Overwrite", "partitionBy": json.dumps(eff_partition)},
+            write_metrics(adds),
+        )
+        return table
+
+    raise JodieValidationError(f"unknown save mode: {mode}")
