@@ -73,6 +73,8 @@ _REMOVE_T = pa.struct(
         ("path", pa.string()),
         ("deletionTimestamp", pa.int64()),
         ("dataChange", pa.bool_()),
+        ("partitionValues", _STR_MAP),
+        ("size", pa.int64()),
     ]
 )
 _METADATA_T = pa.struct(
@@ -364,7 +366,13 @@ class DeltaLog:
             return DEFAULT_CHECKPOINT_INTERVAL
 
     def _maybe_checkpoint(self, version: int) -> None:
-        if version > 0 and version % DEFAULT_CHECKPOINT_INTERVAL == 0:
+        if version <= 0:
+            return
+        try:
+            interval = self.checkpoint_interval(self.snapshot(version))
+        except Exception:
+            interval = DEFAULT_CHECKPOINT_INTERVAL
+        if interval > 0 and version % interval == 0:
             try:
                 self.write_checkpoint(version)
             except Exception:
@@ -386,6 +394,21 @@ class DeltaLog:
                         "modificationTime": int(add.get("modificationTime") or 0),
                         "dataChange": False,
                         "stats": add.get("stats"),
+                    }
+                }
+            )
+        # un-expired tombstones must survive checkpointing (Delta protocol
+        # requirement) or vacuum can never delete files removed before the
+        # latest checkpoint — a permanent storage leak
+        for rm in snap.tombstones.values():
+            rows.append(
+                {
+                    "remove": {
+                        "path": rm["path"],
+                        "deletionTimestamp": int(rm.get("deletionTimestamp") or 0),
+                        "dataChange": bool(rm.get("dataChange", True)),
+                        "partitionValues": rm.get("partitionValues") or {},
+                        "size": int(rm.get("size") or 0),
                     }
                 }
             )

@@ -1,0 +1,310 @@
+"""MERGE INTO: copy-on-write merge over the native Delta log.
+
+Parity targets (call shapes this builder must accept):
+- reference Type2Scd.scala:63-80 — ``whenMatched(cond).updateExpr(map)``
+  + ``whenNotMatched().insertExpr(map)``;
+- reference DeltaHelpers.scala:261-267, 301-319 — ``whenMatched().delete()``;
+- reference DeltaHelpers.scala:442-452 — ``whenNotMatched().insertAll()``.
+
+Execution model (the same two-pass shape Delta's MergeIntoCommand uses,
+re-expressed as DataFrame ops so Catalyst plans the joins):
+
+1. **Find touched files** — prune target files with the target-only
+   conjuncts of the merge condition (stats/partition skipping, no data
+   read), then LEFT SEMI join target→source on the condition and collect
+   the *distinct file paths* (bounded by #files, never #rows) that
+   contain at least one match.
+2. **Rewrite** — FULL OUTER join only the touched files against the
+   source; apply the first matching WHEN clause per row (Delta clause
+   order semantics); untouched files are never read or rewritten.
+
+At scale: pass 1 is a semi join (no row explosion) over the pruned file
+set; pass 2 reads only files that actually change. Both joins are
+planned by Catalyst (broadcast when the source is small, AQE otherwise).
+All row counts come from a single ``Observation`` on the rewrite pass —
+no extra count jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from jodie_spark.errors import JodieValidationError
+from jodie_spark.tables.pruning import prune_files, split_conjuncts, _referenced_names
+from jodie_spark.tables.writer import write_data_files
+
+if TYPE_CHECKING:
+    from jodie_spark.tables.table import DeltaTable
+
+
+@dataclass
+class _Clause:
+    kind: str  # 'update' | 'delete' | 'insert'
+    condition: str | None = None
+    assignments: dict[str, Any] = field(default_factory=dict)  # col -> str|Column
+    star: bool = False  # updateAll / insertAll
+
+
+class DeltaMergeBuilder:
+    """Fluent merge builder: delta-spark Python API names plus snake_case
+    aliases. Clauses apply in declaration order; the first clause whose
+    condition holds wins for a given row — Delta semantics."""
+
+    def __init__(self, table: "DeltaTable", source: DataFrame, condition: str):
+        self.table = table
+        self.source = source
+        self.condition = condition
+        self._matched: list[_Clause] = []
+        self._not_matched: list[_Clause] = []
+
+    # -- clause registration -------------------------------------------------
+
+    def whenMatchedUpdate(
+        self, condition: str | None = None, set: dict[str, Any] | None = None  # noqa: A002
+    ) -> "DeltaMergeBuilder":
+        if not set:
+            raise JodieValidationError("whenMatchedUpdate requires a non-empty set map")
+        self._matched.append(_Clause("update", condition, dict(set)))
+        return self
+
+    def whenMatchedUpdateAll(self, condition: str | None = None) -> "DeltaMergeBuilder":
+        self._matched.append(_Clause("update", condition, {}, star=True))
+        return self
+
+    def whenMatchedDelete(self, condition: str | None = None) -> "DeltaMergeBuilder":
+        self._matched.append(_Clause("delete", condition))
+        return self
+
+    def whenNotMatchedInsert(
+        self, condition: str | None = None, values: dict[str, Any] | None = None
+    ) -> "DeltaMergeBuilder":
+        if not values:
+            raise JodieValidationError("whenNotMatchedInsert requires a non-empty values map")
+        self._not_matched.append(_Clause("insert", condition, dict(values)))
+        return self
+
+    def whenNotMatchedInsertAll(self, condition: str | None = None) -> "DeltaMergeBuilder":
+        self._not_matched.append(_Clause("insert", condition, {}, star=True))
+        return self
+
+    when_matched_update = whenMatchedUpdate
+    when_matched_update_all = whenMatchedUpdateAll
+    when_matched_delete = whenMatchedDelete
+    when_not_matched_insert = whenNotMatchedInsert
+    when_not_matched_insert_all = whenNotMatchedInsertAll
+
+    # -- execution -----------------------------------------------------------
+
+    def _target_only_condition(self, talias: str, columns: list[str]) -> str | None:
+        """Conjuncts of the merge condition that reference only target
+        columns (``talias.col`` or bare col), rewritten unqualified so the
+        stats pruner can evaluate them. Enables partition-qualified merges
+        to skip files (reference README.md:575-611 motivation)."""
+        kept: list[str] = []
+        prefix = f"{talias}."
+        for conj in split_conjuncts(self.condition):
+            refs = _referenced_names(conj)
+            if not refs:
+                continue
+            ok = True
+            for r in refs:
+                if r.startswith(prefix):
+                    if r[len(prefix):] not in columns or "." in r[len(prefix):]:
+                        ok = False
+                        break
+                elif "." in r or r not in columns:
+                    ok = False
+                    break
+            if ok:
+                kept.append(conj.replace(prefix, ""))
+        return " and ".join(kept) if kept else None
+
+    def execute(self) -> None:
+        from jodie_spark.tables.table import read_files_df, _strip_scheme
+
+        t = self.table
+        spark = t.spark
+        t0 = time.time()
+        snap = t.snapshot()
+        schema = t.schema(snap)
+        talias = t._alias or "target"
+        out_cols = [f.name for f in schema.fields]
+
+        src_obs = Observation()
+        src = (
+            self.source.withColumn("__s_exists__", F.lit(True))
+            .observe(src_obs, F.count(F.lit(1)).alias("numSourceRows"))
+        )
+
+        # -- pass 1: which files contain matched rows? ----------------------
+        prune_cond = self._target_only_condition(talias, out_cols)
+        candidates = prune_files(snap.add_files(), prune_cond, schema, snap.partition_columns)
+
+        touched: list[dict[str, Any]] = []
+        if candidates and (self._matched or self._not_matched):
+            tgt_probe = (
+                read_files_df(spark, t.path, schema, candidates)
+                .withColumn("__path__", F.input_file_name())
+                .alias(talias)
+            )
+            touched_paths = {
+                _strip_scheme(r[0])
+                for r in tgt_probe.join(src, F.expr(self.condition), "left_semi")
+                .select("__path__")
+                .distinct()
+                .collect()
+            }
+            touched = [
+                a
+                for a in candidates
+                if os.path.join(t.path, urllib.parse.unquote(a["path"])) in touched_paths
+            ]
+
+        # -- pass 2: rewrite touched files + insert unmatched source rows ----
+        tgt = (
+            read_files_df(spark, t.path, schema, touched)
+            .withColumn("__t_exists__", F.lit(True))
+            .alias(talias)
+        )
+        joined = tgt.join(src, F.expr(self.condition), "full_outer")
+
+        is_t = F.col("__t_exists__").isNotNull()
+        is_s = F.col("__s_exists__").isNotNull()
+
+        def _clause_cond(cl: _Clause) -> Column:
+            return F.expr(cl.condition) if cl.condition else F.lit(True)
+
+        # first-matching-clause index per row (-1 = no clause applies)
+        def _idx_col(clauses: list[_Clause], base: Column) -> Column:
+            expr: Column = F.lit(-1)
+            for k in range(len(clauses) - 1, -1, -1):
+                expr = F.when(base & _clause_cond(clauses[k]), F.lit(k)).otherwise(expr)
+            return expr
+
+        m_idx = _idx_col(self._matched, is_t & is_s)
+        i_idx = _idx_col(self._not_matched, is_s & ~is_t)
+
+        delete_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "delete"}
+        update_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "update"}
+
+        action = (
+            F.when(is_t & is_s & m_idx.isin(list(delete_idx) or [-2]), F.lit("delete"))
+            .when(is_t & is_s & m_idx.isin(list(update_idx) or [-2]), F.lit("update"))
+            .when(is_t, F.lit("copy"))
+            .when(is_s & (i_idx >= 0), F.lit("insert"))
+            .otherwise(F.lit("drop"))
+        )
+
+        obs = Observation()
+        staged = joined.withColumn("__m_idx__", m_idx).withColumn(
+            "__i_idx__", i_idx
+        ).withColumn("__action__", action)
+        staged = staged.observe(
+            obs,
+            F.sum(F.when(F.col("__action__") == "update", 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(F.col("__action__") == "delete", 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("__action__") == "copy", 1).otherwise(0)).alias("copied"),
+            F.sum(F.when(F.col("__action__") == "insert", 1).otherwise(0)).alias("inserted"),
+        )
+
+        def _assignment(cl: _Clause, name: str, dtype) -> Column:
+            if cl.star:
+                # updateAll/insertAll: take the same-named source column.
+                return self.source[name].cast(dtype)
+            if name in cl.assignments:
+                v = cl.assignments[name]
+                col = v if isinstance(v, Column) else F.expr(str(v))
+                return col.cast(dtype)
+            if cl.kind == "update":
+                return F.col(f"{talias}.{name}")
+            return F.lit(None).cast(dtype)  # insert: unassigned columns → NULL
+
+        def _out_col(fld) -> Column:
+            expr: Column = F.col(f"{talias}.{fld.name}")
+            for k, cl in enumerate(self._matched):
+                if cl.kind == "update":
+                    expr = F.when(
+                        (F.col("__action__") == "update") & (F.col("__m_idx__") == k),
+                        _assignment(cl, fld.name, fld.dataType),
+                    ).otherwise(expr)
+            for k, cl in enumerate(self._not_matched):
+                expr = F.when(
+                    (F.col("__action__") == "insert") & (F.col("__i_idx__") == k),
+                    _assignment(cl, fld.name, fld.dataType),
+                ).otherwise(expr)
+            return expr.cast(fld.dataType).alias(fld.name)
+
+        result = staged.filter(F.col("__action__").isin("update", "copy", "insert")).select(
+            *[_out_col(f) for f in schema.fields]
+        )
+
+        adds = write_data_files(result, t.path, snap.partition_columns)
+
+        # Catalyst's empty-relation propagation can optimize an observed
+        # subtree away entirely (e.g. empty source); treat a missing
+        # observation as zero counts rather than failing the merge.
+        def _obs(ob: Observation, keys: list[str]) -> dict[str, int]:
+            try:
+                got = ob.get
+                return {k: int(got.get(k) or 0) for k in keys}
+            except Exception:
+                return {k: 0 for k in keys}
+
+        counts = _obs(obs, ["updated", "deleted", "copied", "inserted"])
+        num_source_rows = _obs(src_obs, ["numSourceRows"])["numSourceRows"]
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [{"add": a} for a in adds]
+        actions += [
+            {
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": r.get("partitionValues") or {},
+                    "size": r.get("size"),
+                }
+            }
+            for r in touched
+        ]
+        metrics = {
+            "numSourceRows": str(num_source_rows),
+            "numTargetRowsInserted": str(counts["inserted"]),
+            "numTargetRowsUpdated": str(counts["updated"]),
+            "numTargetRowsDeleted": str(counts["deleted"]),
+            "numTargetRowsCopied": str(counts["copied"]),
+            "numOutputRows": str(
+                counts["inserted"] + counts["updated"] + counts["copied"]
+            ),
+            "numTargetFilesAdded": str(len(adds)),
+            "numTargetFilesRemoved": str(len(touched)),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+        }
+        params = {
+            "predicate": self.condition,
+            "matchedPredicates": json.dumps(
+                [
+                    {"predicate": c.condition, "actionType": c.kind}
+                    if c.condition
+                    else {"actionType": c.kind}
+                    for c in self._matched
+                ]
+            ),
+            "notMatchedPredicates": json.dumps(
+                [
+                    {"predicate": c.condition, "actionType": c.kind}
+                    if c.condition
+                    else {"actionType": c.kind}
+                    for c in self._not_matched
+                ]
+            ),
+        }
+        t.deltaLog.commit(snap.version, actions, "MERGE", params, metrics)

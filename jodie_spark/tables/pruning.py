@@ -205,6 +205,39 @@ def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
 # typed comparison against stats strings
 # ---------------------------------------------------------------------------
 
+def _parse_temporal(value: Any, want_date: bool) -> Any:
+    """Parse a literal or stat string into a comparable datetime/date.
+
+    Stats store timestamps as isoformat with microsecond padding
+    ('2020-01-01T00:00:00.000000') while SQL literals arrive without it
+    ('2020-01-01 00:00:00'); comparing the raw strings lexically proves
+    false inequalities, so both sides are parsed into real objects.
+    Returns None (⇒ no pruning on this conjunct) when unparseable.
+    """
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        parsed: _dt.datetime | _dt.date = value
+    elif isinstance(value, _dt.date):
+        parsed = value
+    else:
+        text = str(value).strip().replace(" ", "T")
+        try:
+            parsed = _dt.datetime.fromisoformat(text)
+        except ValueError:
+            try:
+                parsed = _dt.date.fromisoformat(text)
+            except ValueError:
+                return None
+    if want_date:
+        return parsed.date() if isinstance(parsed, _dt.datetime) else parsed
+    if not isinstance(parsed, _dt.datetime):
+        parsed = _dt.datetime.combine(parsed, _dt.time.min)
+    if parsed.tzinfo is not None:  # normalize to naive UTC like the stats
+        parsed = parsed.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return parsed
+
+
 def _coerce(value: Any, dtype: T.DataType) -> Any:
     if value is None:
         return None
@@ -217,8 +250,10 @@ def _coerce(value: Any, dtype: T.DataType) -> Any:
             if isinstance(value, bool):
                 return value
             return str(value).lower() == "true"
-        if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-            return str(value).replace(" ", "T")
+        if isinstance(dtype, T.DateType):
+            return _parse_temporal(value, want_date=True)
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return _parse_temporal(value, want_date=False)
         return str(value)
     except (ValueError, TypeError):
         return None

@@ -66,8 +66,8 @@ def collect_file_stats(file_path: str) -> dict[str, Any]:
             if stats.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + stats.null_count
             if stats.has_min_max:
-                mn = _json_safe(stats.min)
-                mx = _json_safe(stats.max)
+                mn = _truncate_stat(_json_safe(stats.min), is_max=False)
+                mx = _truncate_stat(_json_safe(stats.max), is_max=True)
                 if mn is not None and (name not in mins or _lt(mn, mins[name])):
                     mins[name] = mn
                 if mx is not None and (name not in maxs or _lt(maxs[name], mx)):
@@ -79,6 +79,27 @@ def collect_file_stats(file_path: str) -> dict[str, Any]:
         "maxValues": maxs,
         "nullCount": nulls,
     }
+
+
+_MAX_STRING_STAT_LEN = 32
+
+
+def _truncate_stat(value: Any, is_max: bool) -> Any:
+    """Bound stored string stats. A truncated min prefix is still a valid
+    lower bound; a truncated max must be *widened* by incrementing its
+    last character (the same trick Delta uses), because parquet writers
+    may themselves truncate long string min/max and a prefix used as an
+    exact upper bound would wrongly prune files."""
+    if not isinstance(value, str) or len(value) <= _MAX_STRING_STAT_LEN:
+        return value
+    prefix = value[:_MAX_STRING_STAT_LEN]
+    if not is_max:
+        return prefix
+    for i in range(len(prefix) - 1, -1, -1):
+        ch = prefix[i]
+        if ord(ch) < 0x10FFFF:
+            return prefix[:i] + chr(ord(ch) + 1)
+    return None  # un-widenable; drop the stat rather than over-prune
 
 
 def _lt(a: Any, b: Any) -> bool:

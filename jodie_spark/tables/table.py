@@ -132,7 +132,9 @@ class DeltaTable:
             snap.metadata.get("name"),
             snap.metadata.get("description"),
             self.path,
-            _dt.datetime.utcfromtimestamp(created_ms / 1000.0) if created_ms else None,
+            _dt.datetime.fromtimestamp(created_ms / 1000.0, tz=_dt.timezone.utc)
+            if created_ms
+            else None,
             snap.partition_columns,
             snap.num_files(),
             snap.size_in_bytes(),
@@ -157,7 +159,9 @@ class DeltaTable:
             rows.append(
                 (
                     v,
-                    _dt.datetime.utcfromtimestamp((ci.get("timestamp") or 0) / 1000.0),
+                    _dt.datetime.fromtimestamp(
+                        (ci.get("timestamp") or 0) / 1000.0, tz=_dt.timezone.utc
+                    ),
                     ci.get("operation"),
                     {k: str(v2) for k, v2 in (ci.get("operationParameters") or {}).items()},
                     {k: str(v2) for k, v2 in (ci.get("operationMetrics") or {}).items()},
@@ -280,7 +284,7 @@ class DeltaTable:
                     )
                     cdc_actions = self._write_cdf_files(deleted_df)
 
-        actions: list[dict[str, Any]] = cdc_actions
+        actions: list[dict[str, Any]] = list(cdc_actions)
         actions += [{"add": a} for a in adds]
         now_ms = int(time.time() * 1000)
         actions += [
@@ -374,7 +378,7 @@ class DeltaTable:
                     )
                     cdc_actions = self._write_cdf_files(pre.unionByName(post))
 
-        actions: list[dict[str, Any]] = cdc_actions
+        actions: list[dict[str, Any]] = list(cdc_actions)
         actions += [{"add": a} for a in adds]
         now_ms = int(time.time() * 1000)
         actions += [
@@ -631,13 +635,18 @@ def write_delta(
         return table
 
     if mode == "overwrite":
-        schema_changed = df_cols != table_cols
+        # any schema difference — missing/extra/reordered columns or changed
+        # types — requires an explicit overwriteSchema, matching delta-spark's
+        # AnalysisException behavior (silent column loss otherwise)
+        schema_changed = [(f.name, f.dataType) for f in df.schema.fields] != [
+            (f.name, f.dataType) for f in table_schema.fields
+        ]  # nullability/metadata differences are not schema changes
         if schema_changed and not (overwrite_schema or merge_schema):
-            if set(df_cols) - set(table_cols):
-                raise JodieValidationError(
-                    "A schema mismatch detected when writing to the Delta table. "
-                    "Set option overwriteSchema=true to overwrite the schema."
-                )
+            raise JodieValidationError(
+                "A schema mismatch detected when writing to the Delta table. "
+                f"Table schema columns: {table_cols}; data schema columns: {df_cols}. "
+                "Set option overwriteSchema=true to overwrite the schema."
+            )
         adds = write_data_files(df, path, eff_partition)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = []
