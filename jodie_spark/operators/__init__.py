@@ -1,0 +1,38 @@
+"""User-facing operators (the reference library's public API surface)."""
+
+from jodie_spark.operators.dedup import (
+    append_without_duplicates,
+    kill_duplicate_records,
+    remove_duplicate_records,
+)
+from jodie_spark.operators.helpers import (
+    copy_table,
+    delta_file_sizes,
+    find_composite_key_candidate,
+    get_storage_location,
+    humanize_bytes,
+    is_composite_key_candidate,
+    latest_version,
+    show_delta_file_sizes,
+    validate_append,
+    with_md5_columns,
+)
+from jodie_spark.operators.scd import type2_generic_upsert, type2_upsert
+
+__all__ = [
+    "append_without_duplicates",
+    "kill_duplicate_records",
+    "remove_duplicate_records",
+    "copy_table",
+    "delta_file_sizes",
+    "find_composite_key_candidate",
+    "get_storage_location",
+    "humanize_bytes",
+    "is_composite_key_candidate",
+    "latest_version",
+    "show_delta_file_sizes",
+    "validate_append",
+    "with_md5_columns",
+    "type2_generic_upsert",
+    "type2_upsert",
+]

@@ -1,0 +1,103 @@
+"""Exact-duplicate management operators.
+
+Parity: reference DeltaHelpers.scala:243-340 (kill/remove duplicates)
+and :437-453 (appendWithoutDuplicates). Semantics quirks preserved:
+
+- ``kill_duplicate_records`` removes **every** copy of a duplicated key
+  (keeps none) — reference DeltaHelperSpec.scala:95-108.
+- ``remove_duplicate_records`` with a primary key keeps the lowest-pk
+  row per duplicate group; without one it keeps a single arbitrary
+  occurrence via a whole-table overwrite — DeltaHelpers.scala:321-340.
+
+Scale: duplicate discovery is a window aggregation (one hash shuffle on
+the dup key); the deletion itself is a merge whose source is only the
+duplicated keys, so file rewriting touches only files containing dups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jodie_spark.tables.table import DeltaTable, write_delta
+from jodie_spark.validators import validate_columns_exist_in_dataframe
+
+
+def kill_duplicate_records(delta_table: DeltaTable, duplicate_columns: Sequence[str]) -> None:
+    """Delete every row whose ``duplicate_columns`` value occurs more
+    than once (no survivor). Parity: DeltaHelpers.scala:243-268."""
+    if not duplicate_columns:
+        raise ValueError("the input parameter duplicateColumns must not be empty")
+    df = delta_table.toDF()
+    validate_columns_exist_in_dataframe(duplicate_columns, df)
+
+    dups = (
+        df.withColumn(
+            "quantity", F.count("*").over(Window.partitionBy(*[F.col(c) for c in duplicate_columns]))
+        )
+        .filter("quantity > 1")
+        .drop("quantity")
+        .select(*duplicate_columns)
+        .distinct()
+    )
+    condition = " AND ".join(f"old.{c} = new.{c}" for c in duplicate_columns)
+    delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute()
+
+
+def remove_duplicate_records(
+    delta_table: DeltaTable,
+    duplicate_columns: Sequence[str],
+    primary_key: str | None = None,
+) -> None:
+    """Remove duplicates keeping one occurrence per group.
+
+    With ``primary_key``: keeps the lowest-pk row per duplicate group
+    (row_number ordered by pk; DeltaHelpers.scala:282-319). Without:
+    ``dropDuplicates`` + whole-table overwrite (DeltaHelpers.scala:321-340).
+    """
+    if not duplicate_columns:
+        raise ValueError("the input parameter duplicateColumns must not be empty")
+    df = delta_table.toDF()
+    validate_columns_exist_in_dataframe(duplicate_columns, df)
+
+    if primary_key is None:
+        deduped = df.dropDuplicates(list(duplicate_columns))
+        write_delta(deduped, delta_table.path, mode="overwrite")
+        return
+
+    if not primary_key:
+        raise ValueError("the input parameter primaryKey must not be empty")
+
+    dups = (
+        df.withColumn(
+            "row_number",
+            F.row_number().over(
+                Window.partitionBy(*[F.col(c) for c in duplicate_columns]).orderBy(primary_key)
+            ),
+        )
+        .filter("row_number > 1")
+        .drop("row_number")
+        .select(primary_key, *duplicate_columns)
+        .distinct()
+    )
+    condition = " AND ".join(
+        f"old.{c} = new.{c}" for c in [primary_key, *duplicate_columns]
+    )
+    delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute()
+
+
+def append_without_duplicates(
+    delta_table: DeltaTable, append_data: DataFrame, composite_key: Sequence[str]
+) -> None:
+    """Insert-only merge: append rows whose composite key is not already
+    present; the incoming batch is pre-deduplicated on the key.
+    Parity: DeltaHelpers.scala:437-453."""
+    if not composite_key:
+        raise ValueError("The attribute compositeKey must not be empty")
+    condition = " AND ".join(f"old.{c} = new.{c}" for c in composite_key)
+    cleaned = append_data.dropDuplicates(list(composite_key))
+    delta_table.alias("old").merge(
+        cleaned.alias("new"), condition
+    ).whenNotMatchedInsertAll().execute()

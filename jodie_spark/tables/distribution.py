@@ -1,0 +1,380 @@
+"""Spark-side add-files DataFrame + file-distribution / shuffle-file
+analytics.
+
+Parity: reference DeltaHelpers.scala:41-140, 197-219 — rebuilt on the
+public log format instead of Delta's internal
+``Snapshot.filesWithStatsForScan`` / ``OptimisticTransaction.filterFiles``.
+
+Scale design (the reason this module exists): the log is read by
+*Spark*, not driver Python — checkpoint parquet + JSON tail via
+``spark.read``, reconciled with a window over path — so a
+million-file table's metadata is a distributed dataset, exactly how
+Delta evaluates data skipping on large tables. File skipping is a
+``filter()`` over parsed stats columns; the driver never materializes
+the file list.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jodie_spark.tables.log import (
+    DeltaLog,
+    checkpoint_file_name,
+    commit_file_name,
+)
+from jodie_spark.tables.pruning import classify_conjunct, split_conjuncts
+from jodie_spark.tables.table import DeltaTable
+
+# output column names — parity: reference delta/DeltaConstants.scala:5-31
+PERCENTILE_COL = "Percentile[10th, 25th, Median, 75th, 90th, 95th]"
+SIZE_DF_COLUMNS = [
+    "partitionValues", "num_of_parquet_files", "mean_size_of_files",
+    "stddev", "min_file_size", "max_file_size", PERCENTILE_COL,
+]
+NUM_RECORDS_DF_COLUMNS = [
+    "partitionValues", "num_of_parquet_files", "mean_num_records_in_files",
+    "stddev", "min_num_records", "max_num_records", PERCENTILE_COL,
+]
+OVERALL = "OVERALL RESOLVED CONDITION =>"
+MIN_MAX = "GREATER THAN / LESS THAN PART =>"
+EQUALS = "EQUALS/EQUALS NULL SAFE PART =>"
+LEFT_OVER = "LEFT OVER PART =>"
+UNRESOLVED = "UNRESOLVED PART =>"
+TOTAL_NUM_FILES = "TOTAL_NUM_FILES_IN_DELTA_TABLE =>"
+UNRESOLVED_COLS = "UNRESOLVED_COLUMNS =>"
+
+_ADD_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("size", T.LongType()),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+        T.StructField("stats", T.StringType()),
+    ]
+)
+_ACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("add", _ADD_SCHEMA),
+        T.StructField(
+            "remove",
+            T.StructType([T.StructField("path", T.StringType())]),
+        ),
+    ]
+)
+
+
+def files_df(spark: SparkSession, path: str) -> DataFrame:
+    """Active add-files of the latest snapshot as a Spark DataFrame:
+    ``[path, partitionValues, size, modificationTime, stats]``.
+
+    Checkpoint parquet (if any) + JSON tail are read by Spark; the
+    newest action per file path wins (adds survive, removes drop).
+    Single-part checkpoints only (all this engine writes).
+    """
+    log = DeltaLog(path)
+    latest = log.latest_version()
+    checkpoints = [c for c in log.list_checkpoint_versions() if c <= latest]
+    base = max(checkpoints) if checkpoints else None
+
+    sources: list[DataFrame] = []
+    if base is not None:
+        cp = spark.read.parquet(os.path.join(log.log_path, checkpoint_file_name(base)))
+        sources.append(
+            cp.select(
+                F.lit(base).alias("version"),
+                F.col("add").cast(_ADD_SCHEMA).alias("add"),
+                F.col("remove").cast(_ACTION_SCHEMA["remove"].dataType).alias("remove"),
+            )
+        )
+    tail = [v for v in log.list_commit_versions() if base is None or v > base]
+    if tail:
+        tail_paths = [os.path.join(log.log_path, commit_file_name(v)) for v in tail]
+        raw = spark.read.schema(_ACTION_SCHEMA).json(tail_paths)
+        sources.append(
+            raw.withColumn(
+                "version",
+                F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast("long"),
+            ).select("version", "add", "remove")
+        )
+    if not sources:
+        return spark.createDataFrame([], T.StructType(list(_ADD_SCHEMA.fields)))
+
+    actions = sources[0]
+    for s in sources[1:]:
+        actions = actions.unionByName(s)
+    actions = actions.filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+    actions = actions.select(
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("__path__"),
+        "version",
+        "add",
+    )
+    w = Window.partitionBy("__path__").orderBy(F.col("version").desc())
+    return (
+        actions.withColumn("__rn__", F.row_number().over(w))
+        .filter((F.col("__rn__") == 1) & F.col("add").isNotNull())
+        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
+    )
+
+
+def _stats_schema(table_schema: T.StructType) -> T.StructType:
+    """Typed schema for the per-file stats JSON — min/max values typed as
+    their table columns so comparisons are native, not string-ly."""
+    leaf = [f for f in table_schema.fields if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))]
+    mm = T.StructType([T.StructField(f.name, f.dataType) for f in leaf])
+    nc = T.StructType([T.StructField(f.name, T.LongType()) for f in leaf])
+    return T.StructType(
+        [
+            T.StructField("numRecords", T.LongType()),
+            T.StructField("minValues", mm),
+            T.StructField("maxValues", mm),
+            T.StructField("nullCount", nc),
+        ]
+    )
+
+
+def _file_filter_column(
+    condition: str, table_schema: T.StructType, partition_columns: list[str]
+) -> tuple[Column, list[str]]:
+    """Build a Column over the parsed files DF that keeps files which
+    *may* contain matching rows (partition pruning + min/max skipping),
+    plus the list of unresolved references. Conservative: unsupported
+    conjuncts keep every file — Delta's skipping contract."""
+    columns = [f.name for f in table_schema.fields]
+    field_types = {f.name: f.dataType for f in table_schema.fields}
+    keep = F.lit(True)
+    unresolved: list[str] = []
+    for raw in split_conjuncts(condition):
+        cj = classify_conjunct(raw, columns)
+        if cj.kind == "unresolved":
+            unresolved.extend([r for r in cj.references if "." in r or r not in columns])
+            continue
+        if cj.column is None or cj.op is None:
+            continue
+        col, op = cj.column, cj.op
+        dtype = field_types.get(col)
+        if dtype is None:
+            continue
+        lit = F.lit(cj.literal).cast(dtype) if cj.literal is not None else None
+        if col in partition_columns:
+            val = F.element_at(F.col("partitionValues"), col).cast(dtype)
+            if op == "is null":
+                cond = val.isNull()
+            elif op == "is not null":
+                cond = val.isNotNull()
+            elif lit is not None and op in ("=", "==", "<=>"):
+                cond = val == lit
+            elif lit is not None and op in (">", ">=", "<", "<="):
+                cond = {">": val > lit, ">=": val >= lit, "<": val < lit, "<=": val <= lit}[op]
+            else:
+                continue
+            keep = keep & F.coalesce(cond, F.lit(False))
+            continue
+        mn = F.col(f"parsed_stats.minValues.{col}")
+        mx = F.col(f"parsed_stats.maxValues.{col}")
+        nulls = F.col(f"parsed_stats.nullCount.{col}")
+        nrec = F.col("parsed_stats.numRecords")
+        if op == "is null":
+            cond = (nulls > 0) | nulls.isNull()
+        elif op == "is not null":
+            cond = ~((nulls.isNotNull()) & (nrec.isNotNull()) & (nulls == nrec))
+        elif lit is not None and op in ("=", "==", "<=>"):
+            cond = (mn <= lit) & (mx >= lit)
+        elif lit is not None and op == ">":
+            cond = mx > lit
+        elif lit is not None and op == ">=":
+            cond = mx >= lit
+        elif lit is not None and op == "<":
+            cond = mn < lit
+        elif lit is not None and op == "<=":
+            cond = mn <= lit
+        else:
+            continue
+        # missing stats ⇒ cannot prove non-match ⇒ keep the file
+        keep = keep & F.coalesce(cond, F.lit(True))
+    return keep, unresolved
+
+
+def delta_file_stats(
+    spark: SparkSession, path: str, condition: str | None = None
+) -> DataFrame:
+    """files_df + typed ``stats`` struct, optionally filtered to the
+    files a scan with ``condition`` would read.
+    Parity: DeltaHelpers.scala:212-219 (deltaFileStats)."""
+    table = DeltaTable.forPath(spark, path)
+    snap = table.snapshot()
+    schema = table.schema(snap)
+    fdf = files_df(spark, path).withColumn(
+        "parsed_stats", F.from_json("stats", _stats_schema(schema))
+    )
+    if condition:
+        keep, _ = _file_filter_column(condition, schema, snap.partition_columns)
+        fdf = fdf.filter(keep)
+    return fdf.select(
+        "path", "partitionValues", "size", "modificationTime",
+        F.col("parsed_stats").alias("stats"),
+    )
+
+
+def _all_partition_stats(filtered: DataFrame, agg_col: Column, names: list[str]) -> DataFrame:
+    """groupBy partition, agg count/mean/stddev/min/max/percentiles.
+    Parity: DeltaHelpers.scala:197-210 (getAllPartitionStats)."""
+    return (
+        filtered.groupBy(F.map_entries(F.col("partitionValues")))
+        .agg(
+            F.count(agg_col),
+            F.mean(agg_col),
+            F.stddev(agg_col),
+            F.min(agg_col),
+            F.max(agg_col),
+            F.percentile_approx(
+                agg_col, [0.1, 0.25, 0.50, 0.75, 0.90, 0.95], 2147483647
+            ),
+        )
+        .toDF(*names)
+    )
+
+
+def delta_file_size_distribution(
+    spark: SparkSession, path: str, condition: str | None = None
+) -> DataFrame:
+    """Per-partition file-size stats in bytes.
+    Parity: DeltaHelpers.scala:54-55."""
+    return _all_partition_stats(
+        delta_file_stats(spark, path, condition), F.col("size"), SIZE_DF_COLUMNS
+    )
+
+
+def delta_file_size_distribution_in_mb(
+    spark: SparkSession, path: str, condition: str | None = None
+) -> DataFrame:
+    """Per-partition file-size stats in MiB.
+    Parity: DeltaHelpers.scala:41-44."""
+    stats = delta_file_stats(spark, path, condition).withColumn(
+        "size_in_mb", F.col("size") / (1024 * 1024)
+    )
+    return _all_partition_stats(stats, F.col("size_in_mb"), SIZE_DF_COLUMNS)
+
+
+def delta_num_record_distribution(
+    spark: SparkSession, path: str, condition: str | None = None
+) -> DataFrame:
+    """Per-partition records-per-file stats.
+    Parity: DeltaHelpers.scala:74-75."""
+    return _all_partition_stats(
+        delta_file_stats(spark, path, condition),
+        F.col("stats.numRecords"),
+        NUM_RECORDS_DF_COLUMNS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-file estimation (reference DeltaHelpers.scala:109-140)
+# ---------------------------------------------------------------------------
+
+def _classify_condition(
+    condition: str, columns: list[str]
+) -> tuple[dict[str, list[str]], list[str]]:
+    """Split + classify conjuncts into the reference's four classes."""
+    classes: dict[str, list[str]] = {"overall": [], "minmax": [], "equality": [], "other": []}
+    unresolved_cols: list[str] = []
+    for raw in split_conjuncts(condition):
+        cj = classify_conjunct(raw, columns)
+        if cj.kind == "unresolved":
+            unresolved_cols.extend(
+                [r for r in cj.references if "." in r or r not in columns]
+            )
+            continue
+        classes["overall"].append(raw)
+        if cj.kind == "minmax":
+            classes["minmax"].append(raw)
+        elif cj.kind == "equality":
+            classes["equality"].append(raw)
+        else:
+            classes["other"].append(raw)
+    return classes, unresolved_cols
+
+
+def _fmt(parts: list[str]) -> str:
+    return " and ".join(f"({p})" for p in parts) if parts else "Empty"
+
+
+def get_num_shuffle_files(
+    spark: SparkSession, path: str, condition: str
+) -> dict[str, Any]:
+    """#files surviving data skipping for the condition, broken down by
+    predicate class. Metadata-only — never reads table data.
+    Parity: DeltaHelpers.scala:109-126 (keys match DeltaConstants)."""
+    table = DeltaTable.forPath(spark, path)
+    snap = table.snapshot()
+    schema = table.schema(snap)
+    classes, unresolved_cols = _classify_condition(
+        condition, [f.name for f in schema.fields]
+    )
+
+    fdf = files_df(spark, path).withColumn(
+        "parsed_stats", F.from_json("stats", _stats_schema(schema))
+    )
+    fdf = fdf.cache()
+    try:
+        total = fdf.count()
+
+        def count_for(parts: list[str]) -> int:
+            if not parts:
+                return total  # filterFiles(Nil) keeps every file
+            keep, _ = _file_filter_column(
+                " and ".join(parts), schema, snap.partition_columns
+            )
+            return fdf.filter(keep).count()
+
+        return {
+            f"{OVERALL} [ {_fmt(classes['overall'])} ]": count_for(classes["overall"]),
+            f"{MIN_MAX} [ {_fmt(classes['minmax'])} ]": count_for(classes["minmax"]),
+            f"{EQUALS} [ {_fmt(classes['equality'])} ]": count_for(classes["equality"]),
+            f"{LEFT_OVER} [ {_fmt(classes['other'])} ]": count_for(classes["other"]),
+            f"{UNRESOLVED} [ Empty ]": total,  # unresolved predicates can't skip
+            TOTAL_NUM_FILES: total,
+            UNRESOLVED_COLS: unresolved_cols,
+        }
+    finally:
+        fdf.unpersist()
+
+
+def get_shuffle_file_metadata(
+    spark: SparkSession, path: str, condition: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, list[str]]:
+    """Same split as :func:`get_num_shuffle_files` but returns the
+    surviving-file DataFrames per class plus the full stats DF.
+    Parity: DeltaHelpers.scala:128-140 (DataFrames instead of
+    Seq[AddFile] — same content, queryable)."""
+    table = DeltaTable.forPath(spark, path)
+    snap = table.snapshot()
+    schema = table.schema(snap)
+    classes, unresolved_cols = _classify_condition(
+        condition, [f.name for f in schema.fields]
+    )
+    fdf = files_df(spark, path).withColumn(
+        "parsed_stats", F.from_json("stats", _stats_schema(schema))
+    )
+
+    def files_for(parts: list[str]) -> DataFrame:
+        if not parts:
+            return fdf
+        keep, _ = _file_filter_column(" and ".join(parts), schema, snap.partition_columns)
+        return fdf.filter(keep)
+
+    return (
+        files_for(classes["overall"]),
+        files_for(classes["minmax"]),
+        files_for(classes["equality"]),
+        files_for(classes["other"]),
+        fdf,  # unresolved predicates keep all files
+        fdf,
+        unresolved_cols,
+    )

@@ -286,7 +286,10 @@ class DeltaMergeBuilder:
             ),
             "numTargetFilesAdded": str(len(adds)),
             "numTargetFilesRemoved": str(len(touched)),
+            "numTargetChangeFilesAdded": "0",
             "executionTimeMs": str(int((time.time() - t0) * 1000)),
+            "scanTimeMs": "0",
+            "rewriteTimeMs": str(int((time.time() - t0) * 1000)),
         }
         params = {
             "predicate": self.condition,
