@@ -1,0 +1,25 @@
+"""Column-level functions for large-scale text/embedding pipelines."""
+
+from jodie_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    with_text_stats,
+)
+from jodie_spark.functions.vectors import (
+    cosine_similarity,
+    l2_norm,
+    random_hyperplane_signature,
+)
+
+__all__ = [
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count",
+    "with_text_stats",
+    "cosine_similarity",
+    "l2_norm",
+    "random_hyperplane_signature",
+]

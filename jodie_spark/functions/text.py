@@ -1,0 +1,104 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, fingerprinting.
+
+Every function here returns a Spark ``Column`` built purely from
+``pyspark.sql.functions`` — the whole pipeline stays inside
+whole-stage codegen (no Python in the hot path), so these run at
+full scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small high-frequency word lists per language for the n-gram/stopword
+# language heuristic. Deliberately tiny: the score is the fraction of a
+# document's tokens found in each list; ties/no-hits → 'und'.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "on", "are", "this", "be", "at", "have", "not", "from"],
+    "de": ["der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein",
+           "eine", "zu", "den", "auf", "für", "im", "dem", "sich", "des", "auch", "es"],
+    "fr": ["le", "la", "les", "et", "est", "de", "des", "un", "une", "du",
+           "que", "qui", "dans", "pour", "pas", "sur", "au", "avec", "ne", "ce"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "del", "un", "una",
+           "que", "en", "no", "por", "con", "para", "se", "su", "al", "como"],
+}
+
+
+def _words(col: Column) -> Column:
+    """Lower-cased word tokens (non-letter boundaries)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}]+"), lambda w: F.length(w) > 0
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    trimmed = F.btrim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language tag: argmax of per-language stopword hit
+    ratio; 'und' when nothing matches."""
+    words = _words(col)
+    n = F.greatest(F.size(words), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in _LANG_STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0-1 quality heuristic: length band, alpha ratio,
+    terminal-punctuation presence, mean word length band. The exact
+    recipe follows public heuristic-filter practice (length/punct/
+    stopword-style signals); weights are uniform."""
+    n_chars = F.length(col)
+    words = _words(col)
+    n_words = F.size(words)
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(col, r"[^\p{L}]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    has_terminal = F.length(F.regexp_replace(col, r"[^.!?]", "")) > 0
+
+    length_ok = (n_chars >= 100) & (n_chars <= 100_000)
+    word_len_ok = (mean_word_len >= 3) & (mean_word_len <= 12)
+    return (
+        length_ok.cast("double")
+        + word_len_ok.cast("double")
+        + (alpha_ratio >= 0.6).cast("double")
+        + has_terminal.cast("double")
+    ) / 4.0
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-collapsed,
+    lower-cased text. Two documents differing only in case/whitespace
+    collide — that is the point (near-exact dedup key)."""
+    normalized = F.btrim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns in one projection (single scan)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("lang_id", language_id(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", doc_fingerprint(c))
+    )

@@ -32,6 +32,8 @@ def get_spark(app_name: str = "jodie_spark", master: str | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

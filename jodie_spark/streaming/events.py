@@ -1,0 +1,79 @@
+"""Windowed / sessionized event processing.
+
+The reference library has no streaming surface (SURVEY §2.2:
+"Streaming: none"), but a training-data pipeline ingesting events at
+100 TB needs windowed rollups and sessionization. Both operators here
+are written against the *unified* DataFrame API: the same code runs on
+a batch DataFrame or a ``readStream`` source — for streams, add
+``withWatermark`` upstream and the windowed aggregation becomes an
+incremental stateful query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count + value sum per event type.
+
+    Batch: plain hash aggregation. Streaming: pass ``watermark`` (e.g.
+    ``'10 minutes'``) and feed a ``readStream`` DataFrame — state is
+    bounded by the watermark horizon.
+    Returns (window_start, window_end, event_type, n_events, total_value).
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(type_col),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign a session id per user: a new session starts when the gap
+    since the previous event exceeds ``gap``. Batch implementation is
+    the classic lag + cumulative-sum over a per-user window (one
+    shuffle on user_id); for streams use
+    ``F.session_window(ts, gap)`` which Structured Streaming handles
+    natively.
+    Returns the input plus (session_seq, session_id).
+    """
+    gap_expr = f"INTERVAL {gap}"
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    with_prev = events.withColumn("__prev_ts__", F.lag(ts_col).over(w))
+    new_session = (
+        F.col("__prev_ts__").isNull()
+        | (F.col(ts_col) > F.col("__prev_ts__") + F.expr(gap_expr))
+    ).cast("long")
+    return (
+        with_prev.withColumn("session_seq", F.sum(new_session).over(w))
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+        )
+        .drop("__prev_ts__")
+    )
