@@ -1,38 +1,678 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship Type 2 SCD upsert on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 plus
+the LLM-pipeline extensions); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query where the operator
+is SQL-expressible; omitted for layout-dependent or LSH-based ops
+(driver records rows-only checks for those).
+
+Delta-table-mutating operators materialize a scratch Delta table under
+a tempdir from the given parquet inputs, run the mutation, and return
+the resulting table state — the oracle describes the same final state
+declaratively over the original parquet views.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _tmp(name: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"jodie_{name}_"), "t")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+
+
+def _delta_from(df: DataFrame, name: str, **kw):
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    path = _tmp(name)
+    write_delta(df, path, **kw)
+    return DeltaTable.forPath(df.sparkSession, path)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Type 2 SCD upsert end-to-end on sf0.001 customers."""
+    return _q_type2_scd_upsert(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# jodie operator queries
+# ---------------------------------------------------------------------------
+
+def _q_kill_duplicate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import kill_duplicate_records
+
+    t = _delta_from(_orders(spark, sf_dir), "kill")
+    kill_duplicate_records(t, ["o_custkey", "o_orderpriority"])
+    return t.toDF()
+
+
+def _q_remove_duplicate_records_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import remove_duplicate_records
+
+    t = _delta_from(_orders(spark, sf_dir), "rmpk")
+    remove_duplicate_records(t, ["o_custkey", "o_orderpriority"], primary_key="o_orderkey")
+    return t.toDF()
+
+
+def _q_remove_duplicate_records_nopk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import remove_duplicate_records
+
+    proj = _orders(spark, sf_dir).select("o_orderstatus", "o_orderpriority")
+    t = _delta_from(proj, "rmnopk")
+    remove_duplicate_records(t, ["o_orderstatus", "o_orderpriority"])
+    return t.toDF()
+
+
+def _q_append_without_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import append_without_duplicates
+
+    orders = _orders(spark, sf_dir)
+    t = _delta_from(orders.filter("o_orderkey % 3 = 0"), "appnd")
+    append_without_duplicates(t, orders.filter("o_orderkey % 2 = 0"), ["o_orderkey"])
+    return t.toDF()
+
+
+def _q_type2_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import type2_upsert
+    from jodie_spark.sources import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(True).alias("is_current"),
+        F.lit("2020-01-01").cast("date").alias("effective_time"),
+        F.lit(None).cast("date").alias("end_time"),
+    )
+    t = _delta_from(base, "scd")
+    updates = customer.filter("c_custkey % 10 = 0").select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("c_mktsegment"),
+        F.lit("2021-01-01").cast("date").alias("effective_time"),
+    )
+    type2_upsert(t, updates, "c_custkey", ["c_mktsegment"])
+    return t.toDF()
+
+
+def _q_validate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import validate_append
+    from jodie_spark.sources import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    t = _delta_from(nation.select("n_nationkey", "n_name"), "vapp")
+    appended = nation.select(
+        (F.col("n_nationkey") + 100).cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_name").alias("note"),
+    )
+    validate_append(t, appended, ["n_nationkey", "n_name"], ["note"])
+    from jodie_spark.tables.table import DeltaTable
+
+    return DeltaTable.forPath(spark, t.path).toDF()
+
+
+def _q_copy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import copy_table
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    t = _delta_from(load_table(spark, sf_dir, "supplier"), "copysrc")
+    dst = _tmp("copydst")
+    copy_table(t, target_path=dst)
+    return DeltaTable.forPath(spark, dst).toDF()
+
+
+def _q_with_md5_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import with_md5_columns
+    from jodie_spark.sources import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    return with_md5_columns(customer, ["c_name", "c_mktsegment"]).select(
+        "c_custkey", "_md5c_namec_mktsegment"
+    )
+
+
+def _q_find_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import find_composite_key_candidate
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(load_table(spark, sf_dir, "nation"), "fck")
+    cols = find_composite_key_candidate(t)
+    return spark.createDataFrame([(c,) for c in cols], "column_name string")
+
+
+def _q_is_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import is_composite_key_candidate
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(load_table(spark, sf_dir, "nation"), "ick")
+    rows = [
+        ("n_nationkey", is_composite_key_candidate(t, ["n_nationkey"])),
+        ("n_regionkey", is_composite_key_candidate(t, ["n_regionkey"])),
+    ]
+    return spark.createDataFrame(rows, "column_name string, is_key boolean")
+
+
+def _q_humanize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import humanize_bytes
+
+    values = [0.0, 500.0, 900.0, 1088.0, 1e6, 2.5e9, 1e12, 1e15]
+    rows = [(v, humanize_bytes(v)) for v in values]
+    return spark.createDataFrame(rows, "n double, humanized string")
+
+
+def _q_operation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.metrics import OperationMetricHelper
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(load_table(spark, sf_dir, "nation"), "met")
+    t.delete("n_regionkey = 0")
+    t.update("n_regionkey = 1", {"n_name": "n_name"})
+    return OperationMetricHelper(spark, t.path).get_count_metrics_as_df()
+
+
+def _q_operation_metrics_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.metrics import OperationMetricHelper
+
+    t = _delta_from(_orders(spark, sf_dir), "metp", partition_by=["o_orderstatus"])
+    return OperationMetricHelper(spark, t.path).get_count_metrics_as_df(
+        "o_orderstatus = 'F'"
+    )
+
+
+def _q_read_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.cdf import read_cdf
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(
+        load_table(spark, sf_dir, "nation"),
+        "cdf",
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete("n_regionkey = 0")
+    t.update("n_regionkey = 1", {"n_name": "concat(n_name, '_x')"})
+    return read_cdf(spark, t.path, 1, 2).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type",
+        F.col("_commit_version").cast("long").alias("_commit_version"),
+    )
+
+
+def _q_cdf_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(
+        load_table(spark, sf_dir, "nation"),
+        "cdfs",
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete("n_regionkey = 0")
+    t.update("n_regionkey = 1", {"n_name": "n_name"})
+    rows = ChangeDataFeedHelper(spark, t.path, 0, 2).get_all_versions_with_cdf_status()
+    return spark.createDataFrame(
+        [(int(v), bool(b)) for v, b in rows], "version long, cdf_enabled boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline queries
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import exact_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import token_count
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import doc_fingerprint
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import quality_score
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import language_id
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.similarity import brute_force_topk
+    from jodie_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    query = emb.filter("vec_id = 0").take(1)[0]["embedding"]
+    return brute_force_topk(emb, "embedding", "vec_id", query, 10).select("vec_id")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.similarity import ann_topk
+    from jodie_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    first = emb.filter("vec_id = 0").take(1)[0]["embedding"]
+    dim = len(first)
+    return ann_topk(emb, "embedding", "vec_id", first, dim, 10)
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import minhash_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import simhash_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import embedding_dedup
+    from jodie_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.take(1)[0]["embedding"])
+    return embedding_dedup(emb, "embedding", "vec_id", dim, threshold=0.99).select("vec_id")
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.multimodal import decode_images, with_media_metadata
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("data"))
+    decoded = decode_images(with_media_metadata(media))
+    return decoded.select("doc_id", "n_bytes", "content_md5", "width", "height", "n_pixels")
+
+
+def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.sources import load_table
+    from jodie_spark.streaming import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    wc = windowed_event_counts(events, "1 hour")
+    return wc.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n_events",
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.sources import load_table
+    from jodie_spark.streaming import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "30 minutes")
+    return s.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style correctness anchors
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.sources import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only (layout-dependent) queries
+# ---------------------------------------------------------------------------
+
+def _q_file_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.tables.distribution import delta_file_size_distribution
+
+    t = _delta_from(_orders(spark, sf_dir), "dist", partition_by=["o_orderstatus"])
+    df = delta_file_size_distribution(spark, t.path)
+    return df.select(
+        F.col("num_of_parquet_files"), F.col("mean_size_of_files"), F.col("min_file_size")
+    )
+
+
+def _q_num_shuffle_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.tables.distribution import get_num_shuffle_files
+
+    t = _delta_from(_orders(spark, sf_dir), "shuf", partition_by=["o_orderstatus"])
+    result = get_num_shuffle_files(
+        spark, t.path, "o_orderstatus = 'F' and o_orderkey >= 1000"
+    )
+    rows = [(k, int(v)) for k, v in result.items() if isinstance(v, int)]
+    return spark.createDataFrame(rows, "metric string, num_files long")
+
+
+def _q_delta_file_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators import delta_file_sizes, latest_version
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(load_table(spark, sf_dir, "nation"), "sizes")
+    sizes = delta_file_sizes(t)
+    v = latest_version(spark, t.path)
+    rows = [(k, int(val)) for k, val in sizes.items()] + [("latest_version", int(v))]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+def _q_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = _tmp("opt")
+    write_delta(nation.repartition(8), path)
+    t = DeltaTable.forPath(spark, path)
+    t.optimize().executeCompaction()
+    return t.toDF()
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kill_duplicate_records": _q_kill_duplicate_records,
+        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
+        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
+        "append_without_duplicates": _q_append_without_duplicates,
+        "type2_scd_upsert": _q_type2_scd_upsert,
+        "validate_append": _q_validate_append,
+        "copy_table": _q_copy_table,
+        "with_md5_columns": _q_with_md5_columns,
+        "find_composite_key_candidate": _q_find_composite_key,
+        "is_composite_key_candidate": _q_is_composite_key,
+        "humanize_bytes": _q_humanize_bytes,
+        "operation_metrics": _q_operation_metrics,
+        "operation_metrics_partition": _q_operation_metrics_partition,
+        "read_cdf": _q_read_cdf,
+        "cdf_status": _q_cdf_status,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "token_count": _q_token_count,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "text_quality": _q_text_quality,
+        "language_id": _q_language_id,
+        "similarity_topk": _q_similarity_topk,
+        "ann_topk": _q_ann_topk,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_dedup": _q_embedding_dedup,
+        "multimodal_decode": _q_multimodal_decode,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "sessionize": _q_sessionize,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "file_size_distribution": _q_file_size_distribution,
+        "num_shuffle_files": _q_num_shuffle_files,
+        "delta_file_sizes": _q_delta_file_sizes,
+        "optimize_compaction": _q_optimize_compaction,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kill_duplicate_records": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM orders
+            QUALIFY COUNT(*) OVER (PARTITION BY o_custkey, o_orderpriority) = 1
+        """,
+        "remove_duplicate_records_pk": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderpriority ORDER BY o_orderkey) = 1
+        """,
+        "remove_duplicate_records_nopk": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "append_without_duplicates": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        """,
+        "type2_scd_upsert": """
+            SELECT c_custkey, c_mktsegment, TRUE AS is_current,
+                   DATE '2020-01-01' AS effective_time, CAST(NULL AS DATE) AS end_time
+            FROM customer WHERE c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, FALSE, DATE '2020-01-01', DATE '2021-01-01'
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, c_mktsegment || '_v2', TRUE, DATE '2021-01-01', NULL
+            FROM customer WHERE c_custkey % 10 = 0
+        """,
+        "validate_append": """
+            SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS note FROM nation
+            UNION ALL
+            SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, n_name AS note FROM nation
+        """,
+        "copy_table": "SELECT * FROM supplier",
+        "with_md5_columns": """
+            SELECT c_custkey,
+                   md5(concat_ws('||', c_name, c_mktsegment)) AS _md5c_namec_mktsegment
+            FROM customer
+        """,
+        "find_composite_key_candidate": "SELECT 'n_nationkey' AS column_name",
+        "is_composite_key_candidate": """
+            SELECT * FROM (VALUES ('n_nationkey', TRUE), ('n_regionkey', FALSE))
+            AS t(column_name, is_key)
+        """,
+        "humanize_bytes": """
+            SELECT * FROM (VALUES
+                (0.0, '0 B'), (500.0, '500 B'), (900.0, '0.90 kB'), (1088.0, '1.09 kB'),
+                (1000000.0, '1.00 MB'), (2500000000.0, '2.50 GB'),
+                (1000000000000.0, '1.00 TB'), (1000000000000000.0, '1.00 PB')
+            ) AS t(n, humanized)
+        """,
+        "operation_metrics": """
+            SELECT CAST(version AS BIGINT) AS version, CAST(deleted AS BIGINT) AS deleted,
+                   CAST(inserted AS BIGINT) AS inserted, CAST(updated AS BIGINT) AS updated,
+                   CAST(source_rows AS BIGINT) AS source_rows
+            FROM (VALUES (2, 0, 0, 5, 0), (1, 5, 0, 0, 0), (0, 0, 25, 0, 25))
+            AS t(version, deleted, inserted, updated, source_rows)
+        """,
+        "operation_metrics_partition": """
+            SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS deleted,
+                   CAST(COUNT(*) AS BIGINT) AS inserted, CAST(0 AS BIGINT) AS updated,
+                   CAST(COUNT(*) AS BIGINT) AS source_rows
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "read_cdf": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+            FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', CAST(2 AS BIGINT)
+            FROM nation WHERE n_regionkey = 1
+            UNION ALL
+            SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
+            FROM nation WHERE n_regionkey = 1
+        """,
+        "cdf_status": """
+            SELECT CAST(version AS BIGINT) AS version, cdf_enabled
+            FROM (VALUES (0, TRUE), (1, TRUE), (2, TRUE)) AS t(version, cdf_enabled)
+        """,
+        "exact_dedup_documents": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) = 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "text_quality": """
+            WITH w AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                       x -> len(x) > 0)) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^.!?]', '', 'g')) > 0 AS has_term
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   ((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN n_words > 0
+                            AND (CAST(n_chars AS DOUBLE) / n_words) BETWEEN 3 AND 12
+                            THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN n_chars > 0
+                            AND (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.6
+                            THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN has_term THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+            FROM w
+        """,
+        "similarity_topk": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+            ) DESC, vec_id
+            LIMIT 10
+        """,
+        "windowed_event_counts": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL '30 minutes' THEN 1
+                            ELSE 0 END AS new_s
+                FROM (SELECT user_id, ts,
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                      FROM events) t
+            ) g GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+    }

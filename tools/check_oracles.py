@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__ query at sf0.01 and diff it against its DuckDB oracle.
+
+Comparison: row count, column-name set, and order-insensitive
+value-multiset with light normalization (dates/timestamps → isoformat
+strings, floats rounded to 9 significant digits, Decimal → float).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+import traceback
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return 0.0
+        return float(f"{v:.9g}")
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def main() -> int:
+    from jodie_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in entrymod.__dict__.get("TPCH_TABLES", None) or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sorted(sdf.columns)
+            srows = sdf.collect()
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc(limit=3)
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised: {e}")
+            failures += 1
+            continue
+        ocols = sorted(ocols_raw)
+        if scols != ocols:
+            print(f"FAIL {name}: column mismatch spark={scols} oracle={ocols}")
+            failures += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: row count spark={len(srows)} oracle={len(orows)}")
+            failures += 1
+            continue
+        s_multiset = Counter(
+            tuple(norm(row[c]) for c in scols) for row in srows
+        )
+        o_idx = {c: ocols_raw.index(c) for c in ocols}
+        o_multiset = Counter(
+            tuple(norm(row[o_idx[c]]) for c in ocols) for row in orows
+        )
+        if s_multiset != o_multiset:
+            diff_s = list((s_multiset - o_multiset).items())[:3]
+            diff_o = list((o_multiset - s_multiset).items())[:3]
+            print(f"FAIL {name}: value mismatch; spark-only={diff_s} oracle-only={diff_o}")
+            failures += 1
+            continue
+        print(f"PASS {name}: {len(srows)} rows")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
