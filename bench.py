@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set spans the engine's main paths: scan+agg, broadcast join,
+Delta write+merge (dedup, SCD), log analytics, CDF, LSH dedup,
+similarity search, and windowed events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    import __spark_entry__ as entrymod
+    from jodie_spark.session import get_spark
+
+    spark = get_spark("jodie_bench")
+
+    bench_queries = [
+        "pricing_summary",
+        "revenue_by_nation",
+        "kill_duplicate_records",
+        "remove_duplicate_records_pk",
+        "append_without_duplicates",
+        "type2_scd_upsert",
+        "operation_metrics",
+        "read_cdf",
+        "exact_dedup_documents",
+        "minhash_dedup",
+        "simhash_dedup",
+        "token_count",
+        "similarity_topk",
+        "embedding_dedup",
+        "windowed_event_counts",
+        "sessionize",
+    ]
+    registry = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in bench_queries:
+        fn = registry[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # a failed query scores as a long time, not a crash
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: FAILED after {dt:.2f}s: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "jodie_spark_bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

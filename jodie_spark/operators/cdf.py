@@ -279,8 +279,11 @@ class ChangeDataFeedHelper:
                 continue
             p = os.path.join(self.path, urllib.parse.unquote(cdc[0]["path"]))
             if os.path.isfile(p):
+                # vacuum deletes oldest-first: the first surviving CDC file
+                # guarantees all later versions' files survive too
                 version_to_query = v
-            break
+                break
+            # missing file (vacuumed) — keep scanning later versions
         if version_to_query == -1:
             return None
         return (version_to_query, self.ending_version)

@@ -1,0 +1,87 @@
+"""Ports of reference DeltaHelperSpec dedup/append tests — including
+the semantic quirks (kill removes ALL copies; pk variant keeps min-pk;
+no-pk variant keeps one occurrence via overwrite)."""
+
+import os
+
+import pytest
+
+from jodie_spark.operators import (
+    append_without_duplicates,
+    kill_duplicate_records,
+    remove_duplicate_records,
+)
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def _table(spark, tmpdir_path, rows, cols, name="t"):
+    path = os.path.join(tmpdir_path, name)
+    write_delta(spark.createDataFrame(rows, cols), path)
+    return DeltaTable.forPath(spark, path)
+
+
+def test_kill_duplicates_removes_every_copy(spark, tmpdir_path):
+    # parity: DeltaHelperSpec.scala:95-108 — no survivor from a dup group
+    t = _table(
+        spark,
+        tmpdir_path,
+        [(1, "Benito", "Jackson"), (2, "Maria", "Willis"), (3, "Benito", "Jackson"),
+         (4, "Jose", "Travolta"), (5, "Benito", "Jackson"), (6, "Jose", "Travolta")],
+        ["id", "firstname", "lastname"],
+    )
+    kill_duplicate_records(t, ["firstname", "lastname"])
+    assert sorted(r["id"] for r in t.toDF().collect()) == [2]
+
+
+def test_kill_duplicates_empty_columns_raises(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, [(1, "a", "b")], ["id", "firstname", "lastname"])
+    with pytest.raises(ValueError):
+        kill_duplicate_records(t, [])
+
+
+def test_remove_duplicates_pk_keeps_lowest_pk(spark, tmpdir_path):
+    # parity: DeltaHelperSpec.scala:160-230 (row_number ordered by pk)
+    t = _table(
+        spark,
+        tmpdir_path,
+        [(3, "Benito", "Jackson"), (1, "Benito", "Jackson"), (2, "Maria", "Willis"),
+         (5, "Jose", "Travolta"), (4, "Jose", "Travolta")],
+        ["id", "firstname", "lastname"],
+    )
+    remove_duplicate_records(t, ["firstname", "lastname"], primary_key="id")
+    assert sorted(r["id"] for r in t.toDF().collect()) == [1, 2, 4]
+
+
+def test_remove_duplicates_nopk_keeps_one(spark, tmpdir_path):
+    # parity: DeltaHelpers.scala:321-340 (dropDuplicates + overwrite)
+    t = _table(
+        spark,
+        tmpdir_path,
+        [("Benito", "Jackson"), ("Benito", "Jackson"), ("Maria", "Willis")],
+        ["firstname", "lastname"],
+    )
+    remove_duplicate_records(t, ["firstname", "lastname"])
+    got = sorted(tuple(r) for r in t.toDF().collect())
+    assert got == [("Benito", "Jackson"), ("Maria", "Willis")]
+    # implemented as overwrite, not merge — a second version exists
+    assert t.deltaLog.latest_version() == 1
+
+
+def test_append_without_duplicates(spark, tmpdir_path):
+    # parity: DeltaHelperSpec.scala:580-677 — incoming batch pre-deduped,
+    # existing keys skipped
+    t = _table(
+        spark, tmpdir_path, [(1, "a"), (2, "b")], ["id", "v"], name="app"
+    )
+    appends = spark.createDataFrame(
+        [(2, "CHANGED"), (3, "c"), (3, "c"), (4, "d")], ["id", "v"]
+    )
+    append_without_duplicates(t, appends, ["id"])
+    got = sorted((r["id"], r["v"]) for r in t.toDF().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_append_without_duplicates_empty_key_raises(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, [(1, "a")], ["id", "v"])
+    with pytest.raises(ValueError):
+        append_without_duplicates(t, t.toDF(), [])

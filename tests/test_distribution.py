@@ -1,0 +1,113 @@
+"""Distribution + shuffle-file analytics tests (ports of
+DeltaHelperSpec.scala:796-986 shapes, asserting distribution shape
+rather than byte-exact goldens which are layout-dependent)."""
+
+import os
+
+from jodie_spark.tables.distribution import (
+    NUM_RECORDS_DF_COLUMNS,
+    SIZE_DF_COLUMNS,
+    TOTAL_NUM_FILES,
+    UNRESOLVED_COLS,
+    delta_file_size_distribution,
+    delta_file_size_distribution_in_mb,
+    delta_num_record_distribution,
+    files_df,
+    get_num_shuffle_files,
+    get_shuffle_file_metadata,
+)
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+PEOPLE = [
+    (1, "Benito", "Jackson"), (2, "Maria", "Willis"), (3, "Jose", "Travolta"),
+    (4, "Benito", "Jackson"), (5, "Jose", "Travolta"), (6, "Maria", "Pitt"),
+    (7, "Jose", "Travolta"),
+]
+
+
+def _mk(spark, tmpdir_path, partition_by=None, name="t", max_records=None):
+    path = os.path.join(tmpdir_path, name)
+    if max_records:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records))
+    try:
+        write_delta(
+            spark.createDataFrame(PEOPLE, ["id", "firstname", "lastname"]),
+            path,
+            partition_by=partition_by or [],
+        )
+    finally:
+        if max_records:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    return path
+
+
+def test_files_df_matches_snapshot(spark, tmpdir_path):
+    path = _mk(spark, tmpdir_path, partition_by=["lastname"])
+    t = DeltaTable.forPath(spark, path)
+    fdf = files_df(spark, path)
+    assert fdf.count() == t.snapshot().num_files()
+    assert set(fdf.columns) == {"path", "partitionValues", "size", "modificationTime", "stats"}
+
+
+def test_files_df_reconciles_removes(spark, tmpdir_path):
+    path = _mk(spark, tmpdir_path, name="rm")
+    t = DeltaTable.forPath(spark, path)
+    t.delete("id = 1")  # rewrites the touched file
+    assert files_df(spark, path).count() == t.snapshot().num_files()
+
+
+def test_size_distribution_unpartitioned(spark, tmpdir_path):
+    # parity: DeltaHelperSpec.scala:797-809 (1 row, count==numFiles)
+    path = _mk(spark, tmpdir_path, name="dist")
+    df = delta_file_size_distribution(spark, path)
+    assert df.columns == SIZE_DF_COLUMNS
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["num_of_parquet_files"] >= 1
+    assert rows[0]["mean_size_of_files"] > 0
+
+
+def test_size_distribution_partition_condition(spark, tmpdir_path):
+    # parity: DeltaHelperSpec.scala:810-822
+    path = _mk(spark, tmpdir_path, partition_by=["lastname"], name="pdist")
+    df = delta_file_size_distribution(spark, path, "lastname='Travolta'")
+    rows = df.collect()
+    assert len(rows) == 1
+    mb = delta_file_size_distribution_in_mb(spark, path, "lastname='Travolta'").collect()
+    assert abs(mb[0]["mean_size_of_files"] - rows[0]["mean_size_of_files"] / 1024 / 1024) < 1e-9
+
+
+def test_num_record_distribution(spark, tmpdir_path):
+    path = _mk(spark, tmpdir_path, partition_by=["lastname"], name="nrec")
+    df = delta_num_record_distribution(spark, path, "lastname='Travolta'")
+    assert df.columns == NUM_RECORDS_DF_COLUMNS
+    rows = df.collect()
+    assert len(rows) == 1
+    # 3 Travolta rows total, however many files they landed in
+    assert rows[0]["num_of_parquet_files"] * rows[0]["mean_num_records_in_files"] == 3.0
+
+
+def test_get_num_shuffle_files_classes(spark, tmpdir_path):
+    # parity: DeltaHelperSpec.scala:871-986 — per-class counts; an
+    # unresolved (aliased) conjunct keeps every file
+    path = _mk(spark, tmpdir_path, partition_by=["lastname"], name="shuf")
+    result = get_num_shuffle_files(
+        spark, path, "lastname = 'Travolta' and id >= 2 and id <= 7 and snapshot.id = update.id"
+    )
+    total = result[TOTAL_NUM_FILES]
+    assert total >= 3
+    overall = next(v for k, v in result.items() if k.startswith("OVERALL"))
+    equals = next(v for k, v in result.items() if k.startswith("EQUALS"))
+    minmax = next(v for k, v in result.items() if k.startswith("GREATER"))
+    assert overall <= equals <= total
+    assert overall <= minmax <= total
+    assert sorted(result[UNRESOLVED_COLS]) == ["snapshot.id", "update.id"]
+
+
+def test_get_shuffle_file_metadata_returns_frames(spark, tmpdir_path):
+    path = _mk(spark, tmpdir_path, partition_by=["lastname"], name="meta")
+    overall, minmax, equals, other, unresolved, full, cols = get_shuffle_file_metadata(
+        spark, path, "lastname = 'Travolta'"
+    )
+    assert overall.count() <= full.count()
+    assert cols == []

@@ -1,0 +1,190 @@
+"""LLM-pipeline operator tests: text functions, fuzzy dedup,
+similarity search, multimodal plumbing, event streaming."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from jodie_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from jodie_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    sample_frames,
+    with_media_metadata,
+)
+from jodie_spark.operators.similarity import ann_topk, brute_force_topk
+from jodie_spark.operators.text_dedup import (
+    exact_dedup,
+    embedding_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+from jodie_spark.streaming import sessionize, windowed_event_counts
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("  a  b   c ",), ("",), ("   ",), ("one",)], ["text"]
+    )
+    got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert got == [2, 3, 0, 0, 1]
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it was happy",),
+            ("der Hund ist nicht mit der Katze und auch nicht",),
+            ("le chat est dans la maison et il ne sort pas",),
+            ("xyzzy qwerty zzz",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(language_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], ["text"]
+    )
+    got = [r[0] for r in df.select(doc_fingerprint(F.col("text"))).collect()]
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("A proper sentence that has reasonable length and ends well. " * 3,), ("x",)],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(quality_score(F.col("text"))).collect()]
+    assert got[0] == 1.0
+    assert got[1] < 0.5
+
+
+def _doc_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base + " tonight"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, base), (4, "completely different text about spark engines at scale")],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_doc_df(spark), "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    pairs = minhash_candidate_pairs(_doc_df(spark), "text", "doc_id")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got  # identical docs always bucket together
+    assert (1, 2) in got  # near-dup should share a band
+    deduped = minhash_dedup(_doc_df(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in deduped.collect())
+    assert 1 in ids and 4 in ids and 3 not in ids
+
+
+def test_ngram_jaccard_verification(spark):
+    pairs = ngram_jaccard_pairs(_doc_df(spark), "text", "doc_id", threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(1, 3)] == 1.0
+    assert 0.5 <= rows[(1, 2)] < 1.0
+
+
+def test_simhash_properties(spark):
+    df = _doc_df(spark).select("doc_id", simhash(F.col("text")).alias("sh"))
+    vals = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert vals[1] == vals[3]  # identical text, identical hash
+    assert vals[1] != vals[4]
+    out = simhash_dedup(_doc_df(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 3 not in ids and 4 in ids
+
+
+def _emb_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(8)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    # vec 50 = near-copy of vec 0
+    base = np.array(rows[0][1])
+    near = base + 0.01 * rng.standard_normal(8)
+    rows.append((50, (near / np.linalg.norm(near)).tolist()))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_brute_force_topk(spark):
+    df = _emb_df(spark)
+    q = df.filter("vec_id = 0").take(1)[0]["embedding"]
+    top = brute_force_topk(df, "embedding", "vec_id", q, 3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["similarity"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 50  # the near-copy ranks second
+
+
+def test_ann_topk_finds_near_copy(spark):
+    df = _emb_df(spark)
+    q = df.filter("vec_id = 0").take(1)[0]["embedding"]
+    got = ann_topk(df, "embedding", "vec_id", q, 8, 3, n_planes=8, n_tables=3).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 0 in ids and 50 in ids
+
+
+def test_embedding_dedup_drops_near_copy(spark):
+    out = embedding_dedup(_emb_df(spark), "embedding", "vec_id", 8, threshold=0.99)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert 0 in ids and 50 not in ids
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame([(1, b"imgbytes-1"), (2, b"imgbytes-2")], "id int, data binary")
+    meta = with_media_metadata(df)
+    assert meta.filter("n_bytes = 10").count() == 2
+    decoded = decode_images(meta)
+    rows = decoded.collect()
+    assert all(r["n_pixels"] == r["width"] * r["height"] for r in rows)
+    # deterministic across invocations
+    again = decode_images(meta).collect()
+    assert sorted((r["id"], r["width"]) for r in rows) == sorted(
+        (r["id"], r["width"]) for r in again
+    )
+    feats = extract_features(df, dim=4).collect()
+    assert all(len(r["features"]) == 4 for r in feats)
+    frames = sample_frames(df)
+    assert frames.count() >= 2
+    with pytest.raises(Exception):
+        decode_images(df, mode="real").collect()
+
+
+def test_windowed_event_counts_and_sessionize(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, 100, "click", 1.0),
+        (2, t0 + datetime.timedelta(minutes=10), 100, "click", 1.0),
+        (3, t0 + datetime.timedelta(minutes=90), 100, "click", 1.0),
+        (4, t0, 200, "view", 2.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    wc = windowed_event_counts(events, "1 hour")
+    got = {(r["event_type"], r["n_events"]) for r in wc.collect()}
+    assert ("click", 2) in got and ("click", 1) in got and ("view", 1) in got
+
+    s = sessionize(events, "30 minutes")
+    n = s.filter("user_id = 100").select("session_seq").agg(F.max("session_seq")).collect()[0][0]
+    assert n == 2  # 90-min gap splits user 100 into two sessions

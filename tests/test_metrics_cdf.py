@@ -1,0 +1,143 @@
+"""OperationMetricHelper + ChangeDataFeedHelper scenario tests
+(ports of OperationMetricHelperSpec / ChangeDataFeedHelperSpec shapes)."""
+
+import os
+
+import pytest
+
+from jodie_spark.operators.cdf import ChangeDataFeedHelper, read_cdf
+from jodie_spark.operators.metrics import (
+    OperationMetricHelper,
+    split_condition,
+    validate_partition_condition,
+)
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def _mk(spark, tmpdir_path, name="t", **kw):
+    path = os.path.join(tmpdir_path, name)
+    rows = [(i, "m" if i % 2 == 0 else "f", 20 + i) for i in range(10)]
+    write_delta(spark.createDataFrame(rows, "id int, gender string, age int"), path, **kw)
+    return path, DeltaTable.forPath(spark, path)
+
+
+def test_count_metrics_sequence(spark, tmpdir_path):
+    path, t = _mk(spark, tmpdir_path)
+    t.delete("gender = 'f'")       # 5 deleted
+    t.update("id = 0", {"age": "age + 1"})  # 1 updated
+    rows = OperationMetricHelper(spark, path).get_count_metrics()
+    assert rows == [(2, 0, 0, 1, 0), (1, 5, 0, 0, 0), (0, 0, 10, 0, 10)]
+
+
+def test_count_metrics_merge(spark, tmpdir_path):
+    path, t = _mk(spark, tmpdir_path, name="mg")
+    src = spark.createDataFrame([(0, "m", 99), (100, "f", 50)], "id int, gender string, age int")
+    (
+        t.alias("old").merge(src.alias("new"), "old.id = new.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    rows = OperationMetricHelper(spark, path).get_count_metrics()
+    assert rows[0] == (1, 0, 1, 1, 2)  # version 1: 1 inserted, 1 updated, 2 source
+
+
+def test_partition_predicate_normalization():
+    # parity: OperationMetricHelper.scala:129-176 — the three recorded
+    # predicate spellings
+    assert split_condition("country = 'USA' and gender = 'Female'") == {
+        "country": "USA", "gender": "Female",
+    }
+    assert split_condition("country#590 = USA") == {"country": "USA"}
+    assert split_condition("snap.country = 'IND'") == {"country": "IND"}
+    rec = '["(((country = \'USA\') AND (gender = \'Female\')) AND (id = 2))"]'
+    assert validate_partition_condition(rec, "country = 'USA'")
+    assert validate_partition_condition(rec, "country = 'USA' and gender = 'Female'")
+    assert not validate_partition_condition(rec, "country = 'IND'")
+
+
+def test_write_metric_by_partition(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "pw")
+    rows = [(i, "us" if i < 7 else "eu") for i in range(10)]
+    write_delta(
+        spark.createDataFrame(rows, "id int, country string"), path, partition_by=["country"]
+    )
+    helper = OperationMetricHelper(spark, path)
+    assert helper.get_write_metric_by_partition("country = 'us'", 0) == 7
+    got = helper.get_count_metrics("country = 'eu'")
+    assert got == [(0, 0, 3, 0, 3)]
+
+
+def _cdf_table(spark, tmpdir_path, name="cdf"):
+    path = os.path.join(tmpdir_path, name)
+    rows = [(1, "m", 25), (2, "m", 25), (3, "f", 35)]
+    write_delta(
+        spark.createDataFrame(rows, "id int, gender string, age int"),
+        path,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    return path, DeltaTable.forPath(spark, path)
+
+
+def test_read_cdf_changes(spark, tmpdir_path):
+    path, t = _cdf_table(spark, tmpdir_path)
+    t.delete("id = 1")
+    t.update("id = 2", {"age": "100"})
+    df = read_cdf(spark, path, 1, 2)
+    got = sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in df.collect())
+    assert got == [
+        (1, "delete", 1),
+        (2, "update_postimage", 2),
+        (2, "update_preimage", 2),
+    ]
+
+
+def test_cdf_missing_change_data_detected(spark, tmpdir_path):
+    # scenario: purged _change_data (ChangeDataFeedHelperSpec.scala:79-107)
+    path, t = _cdf_table(spark, tmpdir_path, name="purge")
+    t.delete("id = 1")
+    t.delete("id = 2")
+    t.delete("id = 3")
+    # purge version 1's change file (simulated vacuum)
+    import urllib.parse
+
+    actions = t.deltaLog.read_actions(1)
+    cdc_path = next(a["cdc"]["path"] for a in actions if "cdc" in a)
+    os.remove(os.path.join(path, urllib.parse.unquote(cdc_path)))
+    helper = ChangeDataFeedHelper(spark, path, 1, 3)
+    # parity shape: ChangeDataFeedHelperSpec.scala:79-92 — first version
+    # with a surviving CDC file through the end
+    assert helper.get_versions_for_available_cdc() == (2, 3)
+    with pytest.raises(FileNotFoundError):
+        read_cdf(spark, path, 1, 3)
+    recovered = helper.read_cdf_ignore_missing_cdc()
+    assert recovered.count() == 2  # versions 2 and 3's delete rows
+
+
+def test_cdf_deleted_log_detected(spark, tmpdir_path):
+    # scenario: deleted log json (ChangeDataFeedHelperSpec.scala:41-78)
+    path, t = _cdf_table(spark, tmpdir_path, name="dellog")
+    for i in range(12):
+        t.update("id = 2", {"age": str(30 + i)})
+    t.deltaLog.write_checkpoint()
+    os.remove(t.deltaLog.commit_file_path(0))
+    helper = ChangeDataFeedHelper(spark, path, 0, 12)
+    got = helper.get_versions_for_available_delta_log()
+    assert got is not None and got[0] > 0  # clamped to reachable versions
+
+
+def test_cdf_enable_disable_ranges(spark, tmpdir_path):
+    # scenario: enable-disable-re-enable (ChangeDataFeedHelperSpec.scala:108-141)
+    path, t = _cdf_table(spark, tmpdir_path, name="edr")
+    t.delete("id = 1")                                    # v1 cdc
+    t.set_properties({"delta.enableChangeDataFeed": "false"})  # v2
+    t.delete("id = 2")                                    # v3 no cdc
+    t.set_properties({"delta.enableChangeDataFeed": "true"})   # v4
+    t.delete("id = 3")                                    # v5 cdc
+    helper = ChangeDataFeedHelper(spark, path, 0, 5)
+    status = dict(helper.get_all_versions_with_cdf_status())
+    assert status[1] is True and status[3] is False and status[5] is True
+    ranges = helper.get_ranges_for_cdf_enabled_versions()
+    assert ranges is not None
+    df = helper.read_cdf_ignore_missing_ranges_for_edr()
+    assert df is not None

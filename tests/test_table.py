@@ -1,0 +1,129 @@
+"""Delta substrate tests: merge semantics, delete/update, time travel,
+checkpointing, vacuum — including regressions for the round-1 defects
+(timestamp-stat pruning, cdc metric aliasing, checkpoint tombstones,
+overwrite schema guard)."""
+
+import datetime
+import os
+
+import pytest
+
+from jodie_spark.errors import JodieValidationError
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def _mk(spark, tmpdir_path, rows, schema, name="t", **kw):
+    path = os.path.join(tmpdir_path, name)
+    write_delta(spark.createDataFrame(rows, schema), path, **kw)
+    return DeltaTable.forPath(spark, path)
+
+
+def test_merge_clause_order_and_conditions(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    src = spark.createDataFrame([(2, "B"), (3, "C"), (4, "D")], "k int, v string")
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.k = new.k")
+        .whenMatchedDelete("new.k = 3")
+        .whenMatchedUpdate(set={"v": "new.v"})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    got = sorted(tuple(r) for r in t.toDF().collect())
+    assert got == [(1, "a"), (2, "B"), (4, "D")]
+    m = t.history(1).collect()[0]["operationMetrics"]
+    assert (m["numTargetRowsDeleted"], m["numTargetRowsUpdated"], m["numTargetRowsInserted"]) == (
+        "1", "1", "1",
+    )
+
+
+def test_merge_untouched_files_not_rewritten(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "part")
+    df = spark.createDataFrame([(i, "p%d" % (i % 3)) for i in range(9)], "k int, p string")
+    write_delta(df, path, partition_by=["p"])
+    t = DeltaTable.forPath(spark, path)
+    before = {f["path"] for f in t.snapshot().add_files()}
+    src = spark.createDataFrame([(0, "p0")], "k int, p string")
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.k = new.k and old.p = new.p")
+        .whenMatchedDelete()
+        .execute()
+    )
+    after = {f["path"] for f in t.snapshot().add_files()}
+    untouched_kept = {f for f in before if "/p=p1/" in f or "/p=p2/" in f or "p=p1" in f or "p=p2" in f}
+    assert untouched_kept <= after  # other partitions' files survived as-is
+
+
+def test_timestamp_equality_predicate_regression(spark, tmpdir_path):
+    # regression: r1 pruning coerced timestamp literals lexically and
+    # proved false non-matches, silently skipping rows
+    t = _mk(
+        spark,
+        tmpdir_path,
+        [(1, datetime.datetime(2023, 1, 1)), (2, datetime.datetime(2023, 6, 1, 12, 30))],
+        "id int, ts timestamp",
+    )
+    t.delete("ts = timestamp'2023-01-01 00:00:00'")
+    assert [r["id"] for r in t.toDF().collect()] == [2]
+
+
+def test_cdc_metric_not_aliased_regression(spark, tmpdir_path):
+    # regression: r1 recorded numAddedChangeFiles = adds+removes on
+    # CDF-disabled tables via list aliasing
+    t = _mk(spark, tmpdir_path, [(1, "a"), (2, "b")], "k int, v string")
+    t.delete("k = 1")
+    m = t.history(1).collect()[0]["operationMetrics"]
+    assert m["numAddedChangeFiles"] == "0"
+
+
+def test_checkpoint_retains_tombstones_and_vacuum(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(i,) for i in range(5)], "x int", name="cp")
+    first_files = [f["path"] for f in t.snapshot().add_files()]
+    for _ in range(11):
+        t.update("x >= 0", {"x": "x"})
+    t.deltaLog.write_checkpoint()
+    snap = t.deltaLog.snapshot()
+    assert len(snap.tombstones) > 0
+    t.vacuum(retention_hours=0.0)
+    assert all(not os.path.isfile(os.path.join(t.path, f)) for f in first_files)
+    # table still reads fine after vacuum
+    assert t.toDF().count() == 5
+
+
+def test_overwrite_schema_guard(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "ow")
+    write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    with pytest.raises(JodieValidationError):
+        write_delta(
+            spark.createDataFrame([("1", "a")], "k string, v string"), path, mode="overwrite"
+        )
+    with pytest.raises(JodieValidationError):
+        write_delta(spark.createDataFrame([(1,)], "k int"), path, mode="overwrite")
+    # explicit overwriteSchema allows it
+    write_delta(
+        spark.createDataFrame([(1,)], "k int"),
+        path,
+        mode="overwrite",
+        options={"overwriteSchema": "true"},
+    )
+    assert DeltaTable.forPath(spark, path).toDF().columns == ["k"]
+
+
+def test_time_travel(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(1,), (2,)], "x int", name="tt")
+    t.delete("x = 1")
+    assert sorted(r["x"] for r in t.toDF(version=0).collect()) == [1, 2]
+    assert sorted(r["x"] for r in t.toDF().collect()) == [2]
+
+
+def test_append_schema_evolution(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "ev")
+    write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    extra = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double")
+    with pytest.raises(JodieValidationError):
+        write_delta(extra, path, mode="append")
+    write_delta(extra, path, mode="append", options={"mergeSchema": "true"})
+    t = DeltaTable.forPath(spark, path)
+    got = sorted((r["k"], r["score"]) for r in t.toDF().collect())
+    assert got == [(1, None), (2, 9.5)]
