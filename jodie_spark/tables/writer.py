@@ -53,7 +53,7 @@ def write_data_files(
         writer = writer.partitionBy(*partition_columns)
     writer.parquet(staging)
 
-    adds: list[dict[str, Any]] = []
+    moved: list[tuple[str, str, str]] = []  # (rel_path, rel_dir, dst)
     try:
         for root, _dirs, names in os.walk(staging):
             for name in names:
@@ -65,20 +65,31 @@ def write_data_files(
                 dst = os.path.join(table_path, rel_path)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
-                stats = collect_file_stats(dst)
-                if stats["numRecords"] == 0:
-                    os.remove(dst)  # Spark can emit empty part files; skip them
-                    continue
-                adds.append(
-                    {
-                        "path": rel_path,
-                        "partitionValues": _parse_partition_dirs(rel_dir),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": True,
-                        "stats": json.dumps(stats, separators=(",", ":")),
-                    }
-                )
+                moved.append((rel_path, rel_dir, dst))
+
+        # footer-stat reads are independent I/O — run them in a thread
+        # pool so a many-file commit is bounded by storage parallelism,
+        # not a sequential driver loop
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, max(4, len(moved)))) as pool:
+            stats_list = list(pool.map(lambda m: collect_file_stats(m[2]), moved))
+
+        adds: list[dict[str, Any]] = []
+        for (rel_path, rel_dir, dst), stats in zip(moved, stats_list):
+            if stats["numRecords"] == 0:
+                os.remove(dst)  # Spark can emit empty part files; skip them
+                continue
+            adds.append(
+                {
+                    "path": rel_path,
+                    "partitionValues": _parse_partition_dirs(rel_dir),
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(stats, separators=(",", ":")),
+                }
+            )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds
