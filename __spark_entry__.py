@@ -215,6 +215,35 @@ def _q_read_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdf_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dry_run + the three recovery probes on a healthy scripted table —
+    all deterministic, so fully oracle-checkable."""
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+    from jodie_spark.sources import load_table
+
+    t = _delta_from(
+        load_table(spark, sf_dir, "nation"),
+        "cdfr",
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete("n_regionkey = 0")
+    t.delete("n_regionkey = 1")
+    t.delete("n_regionkey = 2")
+    h = ChangeDataFeedHelper(spark, t.path, 1, 3)
+    ok = h.dry_run() is h
+    log_v = h.get_versions_for_available_delta_log()
+    cdc_v = h.get_versions_for_available_cdc()
+    ranges = h.get_ranges_for_cdf_enabled_versions()
+    rows = [
+        ("dry_run_ok", 1 if ok else 0),
+        ("log_start", log_v[0]), ("log_end", log_v[1]),
+        ("cdc_start", cdc_v[0]), ("cdc_end", cdc_v[1]),
+        ("n_ranges", len(ranges)),
+        ("range0_start", ranges[0][0]), ("range0_end", ranges[0][1]),
+    ]
+    return spark.createDataFrame([(k, int(v)) for k, v in rows], "check_name string, value long")
+
+
 def _q_cdf_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.cdf import ChangeDataFeedHelper
     from jodie_spark.sources import load_table
@@ -482,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "operation_metrics_partition": _q_operation_metrics_partition,
         "read_cdf": _q_read_cdf,
         "cdf_status": _q_cdf_status,
+        "cdf_recovery": _q_cdf_recovery,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -593,6 +623,13 @@ def oracle_sql() -> dict[str, str]:
         "cdf_status": """
             SELECT CAST(version AS BIGINT) AS version, cdf_enabled
             FROM (VALUES (0, TRUE), (1, TRUE), (2, TRUE)) AS t(version, cdf_enabled)
+        """,
+        "cdf_recovery": """
+            SELECT check_name, CAST(value AS BIGINT) AS value FROM (VALUES
+                ('dry_run_ok', 1), ('log_start', 1), ('log_end', 3),
+                ('cdc_start', 1), ('cdc_end', 3), ('n_ranges', 1),
+                ('range0_start', 1), ('range0_end', 3)
+            ) AS t(check_name, value)
         """,
         "exact_dedup_documents": """
             SELECT doc_id, text, lang, source, n_chars FROM documents

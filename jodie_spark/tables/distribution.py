@@ -86,11 +86,23 @@ def files_df(spark: SparkSession, path: str) -> DataFrame:
     sources: list[DataFrame] = []
     if base is not None:
         cp = spark.read.parquet(os.path.join(log.log_path, checkpoint_file_name(base)))
+        # project subfields explicitly — checkpoint structs carry extra
+        # fields (e.g. remove.partitionValues) and struct casts require
+        # matching arity
+        add_struct = F.struct(
+            F.col("add.path").alias("path"),
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").cast("long").alias("size"),
+            F.col("add.modificationTime").cast("long").alias("modificationTime"),
+            F.col("add.dataChange").alias("dataChange"),
+            F.col("add.stats").alias("stats"),
+        )
+        remove_struct = F.struct(F.col("remove.path").alias("path"))
         sources.append(
             cp.select(
                 F.lit(base).alias("version"),
-                F.col("add").cast(_ADD_SCHEMA).alias("add"),
-                F.col("remove").cast(_ACTION_SCHEMA["remove"].dataType).alias("remove"),
+                F.when(F.col("add").isNotNull(), add_struct).alias("add"),
+                F.when(F.col("remove").isNotNull(), remove_struct).alias("remove"),
             )
         )
     tail = [v for v in log.list_commit_versions() if base is None or v > base]

@@ -49,6 +49,18 @@ def test_files_df_matches_snapshot(spark, tmpdir_path):
     assert set(fdf.columns) == {"path", "partitionValues", "size", "modificationTime", "stats"}
 
 
+def test_files_df_reads_checkpointed_table(spark, tmpdir_path):
+    # regression: checkpoint remove structs carry extra fields; struct
+    # casts with mismatched arity failed analysis
+    path = os.path.join(tmpdir_path, "cpt")
+    write_delta(spark.range(10).withColumnRenamed("id", "x"), path)
+    t = DeltaTable.forPath(spark, path)
+    for _ in range(11):
+        t.update("x >= 0", {"x": "x"})
+    assert t.deltaLog.list_checkpoint_versions()  # checkpoint happened
+    assert files_df(spark, path).count() == t.snapshot().num_files()
+
+
 def test_files_df_reconciles_removes(spark, tmpdir_path):
     path = _mk(spark, tmpdir_path, name="rm")
     t = DeltaTable.forPath(spark, path)
