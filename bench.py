@@ -28,6 +28,11 @@ def main() -> None:
 
     spark = get_spark("jodie_bench")
 
+    # warm up JVM/codegen/parquet reader so the first timed query is not
+    # charged for session initialization
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
     bench_queries = [
         "pricing_summary",
         "revenue_by_nation",

@@ -143,6 +143,11 @@ class DeltaMergeBuilder:
             self.source.withColumn("__s_exists__", F.lit(True))
             .observe(src_obs, F.count(F.lit(1)).alias("numSourceRows"))
         )
+        # the source plan is consumed by both passes (find-touched semi
+        # join, then the rewrite join); staged sources like Type2Scd's
+        # union-of-joins are expensive to recompute, so persist for the
+        # duration of the merge
+        src = src.persist()
 
         # -- pass 1: which files contain matched rows? ----------------------
         prune_cond = self._target_only_condition(talias, out_cols)
@@ -246,7 +251,10 @@ class DeltaMergeBuilder:
             *[_out_col(f) for f in schema.fields]
         )
 
-        adds = write_data_files(result, t.path, snap.partition_columns)
+        try:
+            adds = write_data_files(result, t.path, snap.partition_columns)
+        finally:
+            src.unpersist()
 
         # Catalyst's empty-relation propagation can optimize an observed
         # subtree away entirely (e.g. empty source); treat a missing

@@ -1,0 +1,61 @@
+"""Structured Streaming execution of the event operators, and
+optimistic-concurrency conflict behavior of the native log."""
+
+import datetime
+import os
+
+import pytest
+
+from jodie_spark.errors import ConcurrentModificationException
+from jodie_spark.streaming import windowed_event_counts
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def test_windowed_counts_runs_as_stream(spark, tmpdir_path):
+    # the SAME operator code must run incrementally under readStream
+    src_dir = os.path.join(tmpdir_path, "stream_src")
+    os.makedirs(src_dir)
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + datetime.timedelta(minutes=5), 1, "click", 2.0),
+        (3, t0 + datetime.timedelta(hours=2), 2, "view", 3.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    windowed = windowed_event_counts(stream, "1 hour", watermark="10 minutes")
+    assert windowed.isStreaming
+
+    out = os.path.join(tmpdir_path, "stream_sink")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("wc_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["n_events"])
+            for r in spark.sql("select * from wc_test").collect()
+        }
+        assert ("click", 2) in got and ("view", 1) in got
+    finally:
+        q.stop()
+
+
+def test_concurrent_commit_conflict(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "conc")
+    write_delta(spark.createDataFrame([(1,)], "x int"), path)
+    t = DeltaTable.forPath(spark, path)
+    snap = t.snapshot()
+    # two writers race to commit version 1; the second exclusive-create loses
+    t.deltaLog.commit(snap.version, [], "DELETE", {}, {})
+    with pytest.raises(ConcurrentModificationException):
+        t.deltaLog.commit(snap.version, [], "DELETE", {}, {})
+    # a retry on a fresh snapshot succeeds
+    t.deltaLog.commit(t.snapshot().version, [], "DELETE", {}, {})
+    assert t.deltaLog.latest_version() == 2
