@@ -9,6 +9,7 @@ loops of similarity search and embedding dedup.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -47,13 +48,25 @@ def random_hyperplane_signature(
     packed into a long. Vectors with high cosine similarity agree on
     most bits, so equal signatures ⇒ strong ANN bucket key.
 
-    The hyperplanes are baked in as literals — the executor-side
-    expression is pure arithmetic, broadcast-free and UDF-free.
+    Arrow-vectorized: the whole batch's signatures are one
+    ``(n × dim) @ (dim × n_planes)`` matrix product in numpy — the
+    expression-tree alternative (n_planes interpreted ``aggregate``
+    passes per row) measures several times slower.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(vec, plane_lit)
-        sig = sig + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    planes_t = random_hyperplanes(dim, n_planes, seed).T  # (dim × planes)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf(LongType())
+    def sig(batch: pd.Series) -> pd.Series:
+        out = np.zeros(len(batch), dtype=np.uint64)
+        ok = [i for i, v in enumerate(batch) if v is not None and len(v) == planes_t.shape[0]]
+        if ok:
+            m = np.stack([np.asarray(batch.iloc[i], dtype=np.float64) for i in ok])
+            bits = (m @ planes_t) >= 0  # (n × planes)
+            out[ok] = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(out.view(np.int64))
+
+    return sig(vec)

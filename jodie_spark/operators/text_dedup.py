@@ -378,24 +378,37 @@ def embedding_dedup(
             f"__sig{tbl}__",
             random_hyperplane_signature(F.col("v"), dim, n_planes, seed=42 + tbl),
         )
-    pairs = None
-    for tbl in range(n_tables):
-        a = keyed.alias("a")
-        b = keyed.alias("b")
-        p = (
-            a.join(b, F.col(f"a.__sig{tbl}__") == F.col(f"b.__sig{tbl}__"))
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"),
+    # both sides of every self-join consume the signature columns —
+    # persist so the signature kernels run once, not 2×n_tables times
+    keyed = keyed.persist()
+    try:
+        pairs = None
+        for tbl in range(n_tables):
+            a = keyed.alias("a")
+            b = keyed.alias("b")
+            p = (
+                a.join(b, F.col(f"a.__sig{tbl}__") == F.col(f"b.__sig{tbl}__"))
+                .filter(F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        # dedupe on the narrow id pair, then join the vectors back from
+        # the persisted keyed DF — a distinct over 2×64-float payloads
+        # shuffles ~50× more bytes than the ids
+        va = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        vb = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        dup_ids = (
+            pairs.distinct()
+            .join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("sim") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    dup_ids = (
-        pairs.distinct()
-        .withColumn("sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return df.join(dup_ids, id_col, "left_anti")
+        # materialize only the (small) dropped-id set so `keyed` can be
+        # released before the caller acts on the lazy result
+        dup_ids = dup_ids.localCheckpoint(eager=True)
+        return df.join(dup_ids, id_col, "left_anti")
+    finally:
+        keyed.unpersist()
