@@ -490,6 +490,19 @@ def _q_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.toDF()
 
 
+def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (range-cluster) then verify skipping actually tightened:
+    returns the per-class shuffle-file counts after clustering."""
+    from jodie_spark.tables.distribution import get_num_shuffle_files
+    from jodie_spark.tables.table import DeltaTable
+
+    t = _delta_from(_orders(spark, sf_dir).repartition(8), "zord")
+    t.optimize().executeZOrderBy("o_orderkey")
+    result = get_num_shuffle_files(spark, t.path, "o_orderkey <= 1000")
+    rows = [(k, int(v)) for k, v in result.items() if isinstance(v, int)]
+    return spark.createDataFrame(rows, "metric string, num_files long")
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -532,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_shuffle_files": _q_num_shuffle_files,
         "delta_file_sizes": _q_delta_file_sizes,
         "optimize_compaction": _q_optimize_compaction,
+        "optimize_zorder": _q_optimize_zorder,
     }
 
 

@@ -18,6 +18,21 @@ from jodie_spark.operators.helpers import (
     with_md5_columns,
 )
 from jodie_spark.operators.scd import type2_generic_upsert, type2_upsert
+from jodie_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_similarity_join,
+    with_ann_signatures,
+)
+from jodie_spark.operators.text_dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
 
 __all__ = [
     "append_without_duplicates",
@@ -35,4 +50,15 @@ __all__ = [
     "with_md5_columns",
     "type2_generic_upsert",
     "type2_upsert",
+    "ann_topk",
+    "brute_force_topk",
+    "cosine_similarity_join",
+    "with_ann_signatures",
+    "embedding_dedup",
+    "exact_dedup",
+    "minhash_candidate_pairs",
+    "minhash_dedup",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_dedup",
 ]

@@ -81,6 +81,15 @@ def test_delta_file_sizes(spark, tmpdir_path):
     ]
 
 
+def test_show_delta_file_sizes_output(spark, tmpdir_path, capsys):
+    from jodie_spark.operators import show_delta_file_sizes
+
+    t = _people_table(spark, tmpdir_path)
+    show_delta_file_sizes(t)
+    out = capsys.readouterr().out
+    assert "The delta table contains" in out and "average file size" in out
+
+
 def test_storage_location_and_latest_version(spark, tmpdir_path):
     t = _people_table(spark, tmpdir_path)
     assert get_storage_location(t) == t.path
