@@ -425,6 +425,17 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planned as per-partition top-k + final merge
+    (TakeOrderedAndProject), never a full sort."""
+    orders = _orders(spark, sf_dir)
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
 
@@ -541,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders": _q_top_orders,
         "file_size_distribution": _q_file_size_distribution,
         "num_shuffle_files": _q_num_shuffle_files,
         "delta_file_sizes": _q_delta_file_sizes,
@@ -725,5 +737,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
     }
