@@ -251,8 +251,32 @@ class DeltaMergeBuilder:
             *[_out_col(f) for f in schema.fields]
         )
 
+        cdc_actions: list[dict[str, Any]] = []
         try:
             adds = write_data_files(result, t.path, snap.partition_columns)
+            if t.is_cdf_enabled(snap):
+                # change rows: pre-images carry the target columns,
+                # post-images the merge output columns — same shapes
+                # Delta's MergeIntoCommand records
+                pre_cols = [
+                    F.col(f"{talias}.{f.name}").cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+                out_cols = [_out_col(f) for f in schema.fields]
+                deletes = staged.filter(F.col("__action__") == "delete").select(
+                    *pre_cols
+                ).withColumn("_change_type", F.lit("delete"))
+                upd_pre = staged.filter(F.col("__action__") == "update").select(
+                    *pre_cols
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                upd_post = staged.filter(F.col("__action__") == "update").select(
+                    *out_cols
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                inserts = staged.filter(F.col("__action__") == "insert").select(
+                    *out_cols
+                ).withColumn("_change_type", F.lit("insert"))
+                change_df = deletes.unionByName(upd_pre).unionByName(upd_post).unionByName(inserts)
+                cdc_actions = t._write_cdf_files(change_df)
         finally:
             src.unpersist()
 
@@ -270,7 +294,8 @@ class DeltaMergeBuilder:
         num_source_rows = _obs(src_obs, ["numSourceRows"])["numSourceRows"]
 
         now_ms = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = [{"add": a} for a in adds]
+        actions: list[dict[str, Any]] = list(cdc_actions)
+        actions += [{"add": a} for a in adds]
         actions += [
             {
                 "remove": {
@@ -294,7 +319,7 @@ class DeltaMergeBuilder:
             ),
             "numTargetFilesAdded": str(len(adds)),
             "numTargetFilesRemoved": str(len(touched)),
-            "numTargetChangeFilesAdded": "0",
+            "numTargetChangeFilesAdded": str(len(cdc_actions)),
             "executionTimeMs": str(int((time.time() - t0) * 1000)),
             "scanTimeMs": "0",
             "rewriteTimeMs": str(int((time.time() - t0) * 1000)),

@@ -92,6 +92,30 @@ def test_read_cdf_changes(spark, tmpdir_path):
     ]
 
 
+def test_read_cdf_merge_changes(spark, tmpdir_path):
+    # merges must record change rows when CDF is on — the reference's
+    # CDF fixtures are built from merge loops
+    path, t = _cdf_table(spark, tmpdir_path, name="mcdf")
+    src = spark.createDataFrame(
+        [(1, "m", 99), (9, "f", 40)], "id int, gender string, age int"
+    )
+    (
+        t.alias("old").merge(src.alias("new"), "old.id = new.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    df = read_cdf(spark, path, 1, 1)
+    got = sorted((r["id"], r["_change_type"], r["age"]) for r in df.collect())
+    assert got == [
+        (1, "update_postimage", 99),
+        (1, "update_preimage", 25),
+        (9, "insert", 40),
+    ]
+    m = t.history(1).collect()[0]["operationMetrics"]
+    assert int(m["numTargetChangeFilesAdded"]) >= 1
+
+
 def test_cdf_missing_change_data_detected(spark, tmpdir_path):
     # scenario: purged _change_data (ChangeDataFeedHelperSpec.scala:79-107)
     path, t = _cdf_table(spark, tmpdir_path, name="purge")
