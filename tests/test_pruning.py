@@ -1,0 +1,155 @@
+"""Unit tests for stats-based file skipping — the correctness-critical
+edge cases (temporal literals, string truncation, conservative
+fallbacks) plus partition-pruned mutation behavior."""
+
+import datetime
+import json
+import os
+
+from pyspark.sql import types as T
+
+from jodie_spark.tables.pruning import (
+    Conjunct,
+    classify_conjunct,
+    file_may_match,
+    prune_files,
+    split_conjuncts,
+)
+from jodie_spark.tables.stats import _truncate_stat
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("d", T.DateType()),
+    ]
+)
+
+
+def _add(stats: dict, partition_values: dict | None = None) -> dict:
+    return {
+        "path": "f.parquet",
+        "partitionValues": partition_values or {},
+        "stats": json.dumps(stats),
+    }
+
+
+def test_split_conjuncts_respects_parens_and_quotes():
+    assert split_conjuncts("a = 1 and (b = 2 or c = 3) and name = 'x and y'") == [
+        "a = 1",
+        "b = 2 or c = 3",
+        "name = 'x and y'",
+    ]
+
+
+def test_classify_kinds():
+    cols = ["id", "name", "ts", "d"]
+    assert classify_conjunct("id >= 5", cols).kind == "minmax"
+    assert classify_conjunct("id = 5", cols).kind == "equality"
+    assert classify_conjunct("name like '%x%'", cols).kind == "other"
+    assert classify_conjunct("snapshot.id = update.id", cols).kind == "unresolved"
+    assert classify_conjunct("5 < id", cols).op == ">"  # literal-first swap
+
+
+def test_timestamp_equality_padding_mismatch_does_not_prune():
+    # stats store microsecond-padded isoformat; literal has no fraction
+    stats = {
+        "numRecords": 1,
+        "minValues": {"ts": "2023-01-01T00:00:00.000000"},
+        "maxValues": {"ts": "2023-01-01T00:00:00.000000"},
+        "nullCount": {"ts": 0},
+    }
+    cj = classify_conjunct("ts = timestamp'2023-01-01 00:00:00'", ["ts"])
+    assert file_may_match(_add(stats), [cj], SCHEMA, [])
+
+
+def test_timestamp_range_pruning_still_works():
+    stats = {
+        "numRecords": 1,
+        "minValues": {"ts": "2023-01-01T00:00:00.000000"},
+        "maxValues": {"ts": "2023-06-01T00:00:00.000000"},
+        "nullCount": {"ts": 0},
+    }
+    keep = classify_conjunct("ts >= timestamp'2023-05-01 00:00:00'", ["ts"])
+    drop = classify_conjunct("ts > timestamp'2023-07-01 00:00:00'", ["ts"])
+    assert file_may_match(_add(stats), [keep], SCHEMA, [])
+    assert not file_may_match(_add(stats), [drop], SCHEMA, [])
+
+
+def test_date_literal_pruning():
+    stats = {
+        "numRecords": 1,
+        "minValues": {"d": "2023-01-01"},
+        "maxValues": {"d": "2023-01-31"},
+        "nullCount": {"d": 0},
+    }
+    assert file_may_match(_add(stats), [classify_conjunct("d = date'2023-01-15'", ["d"])], SCHEMA, [])
+    assert not file_may_match(
+        _add(stats), [classify_conjunct("d < date'2023-01-01'", ["d"])], SCHEMA, []
+    )
+
+
+def test_unparseable_temporal_never_prunes():
+    stats = {
+        "numRecords": 1,
+        "minValues": {"ts": "garbage"},
+        "maxValues": {"ts": "garbage"},
+        "nullCount": {"ts": 0},
+    }
+    cj = classify_conjunct("ts = timestamp'2023-01-01 00:00:00'", ["ts"])
+    assert file_may_match(_add(stats), [cj], SCHEMA, [])
+
+
+def test_string_stat_truncation_widens_max():
+    long = "a" * 100
+    assert _truncate_stat(long, is_max=False) == "a" * 32  # prefix is a valid lower bound
+    widened = _truncate_stat(long, is_max=True)
+    assert len(widened) == 32 and widened > long  # widened upper bound
+    assert _truncate_stat("short", is_max=True) == "short"
+
+
+def test_null_count_pruning():
+    stats = {
+        "numRecords": 10,
+        "minValues": {"id": 1},
+        "maxValues": {"id": 5},
+        "nullCount": {"id": 0},
+    }
+    assert not file_may_match(
+        _add(stats), [classify_conjunct("id is null", ["id"])], SCHEMA, []
+    )
+    all_null = {
+        "numRecords": 10,
+        "minValues": {},
+        "maxValues": {},
+        "nullCount": {"id": 10},
+    }
+    assert not file_may_match(
+        _add(all_null), [classify_conjunct("id is not null", ["id"])], SCHEMA, []
+    )
+
+
+def test_partition_value_pruning():
+    add = _add({"numRecords": 1, "minValues": {}, "maxValues": {}, "nullCount": {}},
+               {"name": "us"})
+    keep = classify_conjunct("name = 'us'", ["name"])
+    drop = classify_conjunct("name = 'eu'", ["name"])
+    assert file_may_match(add, [keep], SCHEMA, ["name"])
+    assert not file_may_match(add, [drop], SCHEMA, ["name"])
+
+
+def test_partitioned_delete_rewrites_only_matching_partition(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "pdel")
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 3)) for i in range(9)], "k int, p string"
+    )
+    write_delta(df, path, partition_by=["p"])
+    t = DeltaTable.forPath(spark, path)
+    before = {f["path"] for f in t.snapshot().add_files() if "p=p1" in f["path"] or "p=p2" in f["path"]}
+    t.delete("p = 'p0'")
+    after = {f["path"] for f in t.snapshot().add_files()}
+    assert before <= after  # other partitions untouched
+    assert not any("p=p0" in f for f in after)
+    assert sorted(r["p"] for r in t.toDF().select("p").distinct().collect()) == ["p1", "p2"]
