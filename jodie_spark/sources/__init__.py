@@ -1,5 +1,6 @@
-"""Dataset loaders."""
+"""Dataset loaders and converters."""
 
+from jodie_spark.sources.convert import convert_to_delta
 from jodie_spark.sources.tables import TPCH_TABLES, load_events, load_table
 
-__all__ = ["TPCH_TABLES", "load_events", "load_table"]
+__all__ = ["TPCH_TABLES", "convert_to_delta", "load_events", "load_table"]

@@ -116,6 +116,21 @@ def test_get_num_shuffle_files_classes(spark, tmpdir_path):
     assert sorted(result[UNRESOLVED_COLS]) == ["snapshot.id", "update.id"]
 
 
+def test_zorder_tightens_skipping(spark, tmpdir_path):
+    # parity shape: DeltaHelperSpec.scala:968-986 — after clustering on
+    # id, a narrow id-range predicate selects fewer files
+    path = os.path.join(tmpdir_path, "zt")
+    df = spark.range(0, 400).withColumnRenamed("id", "n").repartition(8)
+    write_delta(df, path)
+    before = get_num_shuffle_files(spark, path, "n <= 10")[TOTAL_NUM_FILES]
+    t = DeltaTable.forPath(spark, path)
+    t.optimize().executeZOrderBy("n")
+    after = get_num_shuffle_files(spark, path, "n <= 10")
+    overall_after = next(v for k, v in after.items() if k.startswith("OVERALL"))
+    # random 8-way split: every file spans the range; clustered: only one
+    assert overall_after < before
+
+
 def test_get_shuffle_file_metadata_returns_frames(spark, tmpdir_path):
     path = _mk(spark, tmpdir_path, partition_by=["lastname"], name="meta")
     overall, minmax, equals, other, unresolved, full, cols = get_shuffle_file_metadata(

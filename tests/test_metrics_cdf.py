@@ -42,6 +42,14 @@ def test_count_metrics_merge(spark, tmpdir_path):
     assert rows[0] == (1, 0, 1, 1, 2)  # version 1: 1 inserted, 1 updated, 2 source
 
 
+def test_count_metrics_version_bounds(spark, tmpdir_path):
+    path, t = _mk(spark, tmpdir_path, name="vb")
+    t.delete("gender = 'f'")
+    t.update("id = 0", {"age": "age + 1"})
+    rows = OperationMetricHelper(spark, path, starting_version=1, ending_version=1).get_count_metrics()
+    assert rows == [(1, 5, 0, 0, 0)]
+
+
 def test_partition_predicate_normalization():
     # parity: OperationMetricHelper.scala:129-176 — the three recorded
     # predicate spellings
