@@ -336,6 +336,15 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, "embedding", "vec_id", first, dim, 10)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.ivf import ivf_topk
+    from jodie_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter("vec_id = 0").take(1)[0]["embedding"]
+    return ivf_topk(emb, "embedding", "vec_id", query, k=10, n_centroids=8, n_probe=3)
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.text_dedup import minhash_dedup
     from jodie_spark.sources import load_table
@@ -543,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -561,8 +571,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _language_id_oracle() -> str:
+    """Generated from the same stopword lists the Spark operator uses,
+    replicating array_max's (score, lang) struct ordering via
+    unnest+max."""
+    from jodie_spark.functions.text import _LANG_STOPWORDS
+
+    hit_cols = []
+    struct_items = []
+    for lang, words in _LANG_STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"CAST(len(list_intersect(words, [{wl}])) AS DOUBLE) AS h_{lang}"
+        )
+        struct_items.append(
+            f"{{'score': h_{lang} / n, 'lang': '{lang}'}}"
+        )
+    return f"""
+        WITH w AS (
+            SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> len(x) > 0) AS words
+            FROM documents
+        ), s AS (
+            SELECT CAST(greatest(len(words), 1) AS DOUBLE) AS n,
+                   {", ".join(hit_cols)}
+            FROM w
+        ), b AS (
+            SELECT (SELECT max(x) FROM (SELECT unnest([
+                {", ".join(struct_items)}
+            ]) AS x)) AS best
+            FROM s
+        )
+        SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM b GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "language_id": _language_id_oracle(),
         "kill_duplicate_records": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority

@@ -142,6 +142,23 @@ def test_ann_topk_finds_near_copy(spark):
     assert 0 in ids and 50 in ids
 
 
+def test_ivf_topk_finds_near_copy(spark):
+    from jodie_spark.operators.ivf import ivf_topk, train_centroids, with_ivf_assignments
+
+    df = _emb_df(spark)
+    q = df.filter("vec_id = 0").take(1)[0]["embedding"]
+    got = ivf_topk(df, "embedding", "vec_id", q, k=3, n_centroids=4, n_probe=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 0 in ids and 50 in ids  # query vector and its near-copy recalled
+    # precomputed-index path
+    cent = train_centroids(df, "embedding", n_centroids=4)
+    indexed = with_ivf_assignments(df, "embedding", cent)
+    got2 = ivf_topk(
+        indexed, "embedding", "vec_id", q, k=3, centroids=cent
+    ).collect()
+    assert [r["vec_id"] for r in got2] == ids
+
+
 def test_embedding_dedup_drops_near_copy(spark):
     out = embedding_dedup(_emb_df(spark), "embedding", "vec_id", 8, threshold=0.99)
     ids = sorted(r["vec_id"] for r in out.collect())
