@@ -384,7 +384,7 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.multimodal import decode_images, with_media_metadata
     from jodie_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(200)
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
     media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("data"))
     decoded = decode_images(with_media_metadata(media))
     return decoded.select("doc_id", "n_bytes", "content_md5", "width", "height", "n_pixels")
@@ -742,6 +742,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1.0 ELSE 0.0 END)
                     + (CASE WHEN has_term THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
             FROM w
+        """,
+        "multimodal_decode": """
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                       md5(text) AS content_md5
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id, n_bytes, content_md5,
+                   CAST(64 + CAST('0x' || substr(content_md5, 1, 2) AS INTEGER) % 192
+                        AS INTEGER) AS width,
+                   CAST(64 + CAST('0x' || substr(content_md5, 3, 2) AS INTEGER) % 192
+                        AS INTEGER) AS height,
+                   CAST((64 + CAST('0x' || substr(content_md5, 1, 2) AS INTEGER) % 192)
+                        * (64 + CAST('0x' || substr(content_md5, 3, 2) AS INTEGER) % 192)
+                        AS BIGINT) AS n_pixels
+            FROM m
         """,
         "similarity_topk": """
             SELECT vec_id FROM embeddings
