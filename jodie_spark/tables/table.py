@@ -417,6 +417,58 @@ class DeltaTable:
     def optimize(self) -> "OptimizeBuilder":
         return OptimizeBuilder(self)
 
+    def restore(self, version: int) -> None:
+        """RESTORE TABLE to an earlier version: commits the add/remove
+        delta between the current and target snapshots (no data rewrite
+        — files still on disk are re-referenced; equivalent to
+        delta-spark's restoreToVersion)."""
+        target = self.snapshot(int(version))
+        current = self.snapshot()
+        now_ms = int(time.time() * 1000)
+        current_paths = set(current.files)
+        target_paths = set(target.files)
+        actions: list[dict[str, Any]] = []
+        missing = [
+            p for p in target_paths - current_paths
+            if not os.path.isfile(os.path.join(self.path, urllib.parse.unquote(p)))
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"files have been vacuumed (e.g. {missing[0]})"
+            )
+        if target.schema_string != current.schema_string or (
+            target.partition_columns != current.partition_columns
+        ):
+            actions.append({"metaData": target.metadata})
+        for p in target_paths - current_paths:
+            add = dict(target.files[p])
+            add["dataChange"] = True
+            actions.append({"add": add})
+        for p in current_paths - target_paths:
+            rm = current.files[p]
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": rm.get("partitionValues") or {},
+                        "size": rm.get("size"),
+                    }
+                }
+            )
+        metrics = {
+            "numRestoredFiles": str(len(target_paths - current_paths)),
+            "numRemovedFiles": str(len(current_paths - target_paths)),
+            "restoredFilesSize": str(
+                sum(int(target.files[p].get("size") or 0) for p in target_paths - current_paths)
+            ),
+        }
+        self.deltaLog.commit(
+            current.version, actions, "RESTORE", {"version": str(version)}, metrics
+        )
+
     def vacuum(self, retention_hours: float = 168.0) -> None:
         """Physically delete tombstoned data files and change-data files
         older than the retention window."""

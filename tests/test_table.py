@@ -110,6 +110,19 @@ def test_overwrite_schema_guard(spark, tmpdir_path):
     assert DeltaTable.forPath(spark, path).toDF().columns == ["k"]
 
 
+def test_restore_to_version(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(1,), (2,), (3,)], "x int", name="rst")
+    t.delete("x = 1")
+    t.update("x = 2", {"x": "20"})
+    assert sorted(r["x"] for r in t.toDF().collect()) == [3, 20]
+    t.restore(0)
+    assert sorted(r["x"] for r in t.toDF().collect()) == [1, 2, 3]
+    # restore is itself a commit — time travel back to the mutated state works
+    assert sorted(r["x"] for r in t.toDF(version=2).collect()) == [3, 20]
+    h = t.history(1).collect()[0]
+    assert h["operation"] == "RESTORE"
+
+
 def test_time_travel(spark, tmpdir_path):
     t = _mk(spark, tmpdir_path, [(1,), (2,)], "x int", name="tt")
     t.delete("x = 1")
