@@ -1,0 +1,68 @@
+"""Plan-quality regression tests: the physical plans these operators
+produce are part of the contract (pushdown, broadcast, per-partition
+top-k, no cartesian stages)."""
+
+import pyspark.sql.functions as F
+
+from jodie_spark.operators.similarity import brute_force_topk
+from jodie_spark.operators.text_dedup import minhash_candidate_pairs
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, tmpdir_path):
+    import os
+
+    p = os.path.join(tmpdir_path, "scan")
+    spark.range(1000).selectExpr("id", "id * 2 as v").write.parquet(p)
+    q = spark.read.parquet(p).filter("id > 500").select("v")
+    plan = _analyzed(q)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan
+    assert "ReadSchema: struct<id:bigint,v:bigint>" in plan
+
+
+def test_small_dim_join_broadcasts(spark, tmpdir_path):
+    big = spark.range(10_000).withColumnRenamed("id", "k")
+    small = spark.createDataFrame([(i, "x") for i in range(10)], "k long, tag string")
+    q = big.join(F.broadcast(small), "k")
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_topk_uses_take_ordered(spark):
+    import numpy as np
+
+    rows = [(i, np.random.default_rng(i).standard_normal(4).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = brute_force_topk(df, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], 5)
+    assert "TakeOrderedAndProject" in _plan(q)  # per-partition top-k + merge, no global sort
+
+
+def test_minhash_pairs_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, f"some words here number {i} padded out to shingle length") for i in range(20)],
+        "doc_id int, text string",
+    )
+    plan = _plan(minhash_candidate_pairs(df, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from jodie_spark.functions.joins import salted_count, salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], "k int, name string")
+    salted = salted_join(big, small, "k", salt=8)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    counts = {r["k"]: r["count"] for r in salted_count(big, "k", salt=8).collect()}
+    assert counts == {0: 100, 1: 100, 2: 100}
