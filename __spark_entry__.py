@@ -390,6 +390,24 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "n_bytes", "content_md5", "width", "height", "n_pixels")
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.corpus import clean_corpus
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, min_quality=0.5, min_tokens=10).select(
+        "doc_id", "n_tokens", F.col("quality"), "fingerprint"
+    )
+
+
+def _q_clean_corpus_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.corpus import clean_corpus
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, min_quality=0.5, min_tokens=10, fuzzy=True).select("doc_id")
+
+
 def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import windowed_event_counts
@@ -558,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
         "multimodal_decode": _q_multimodal_decode,
+        "clean_corpus": _q_clean_corpus,
+        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
@@ -767,6 +787,35 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
             ) DESC, vec_id
             LIMIT 10
+        """,
+        "clean_corpus": """
+            WITH sig AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS n_tokens,
+                       length(text) AS n_chars,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                       x -> len(x) > 0)) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^.!?]', '', 'g')) > 0 AS has_term,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, fingerprint,
+                       ((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_words > 0
+                                AND (CAST(n_chars AS DOUBLE) / n_words) BETWEEN 3 AND 12
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_chars > 0
+                                AND (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.6
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN has_term THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+                FROM sig
+            )
+            SELECT doc_id, n_tokens, quality, fingerprint FROM scored
+            WHERE quality >= 0.5 AND n_tokens >= 10
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
         """,
         "windowed_event_counts": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
