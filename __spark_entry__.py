@@ -494,6 +494,34 @@ def _q_file_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_num_record_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic layout: repartition by the partition column before a
+    partitioned write ⇒ exactly one file per partition value, so the
+    per-partition record distribution is value-checkable."""
+    from jodie_spark.tables.distribution import delta_num_record_distribution
+
+    orders = _orders(spark, sf_dir).repartition(F.col("o_orderstatus"))
+    t = _delta_from(orders, "nrdist", partition_by=["o_orderstatus"])
+    dist = delta_num_record_distribution(spark, t.path)
+    return dist.select(
+        F.col("partitionValues")[0]["value"].alias("o_orderstatus"),
+        F.col("num_of_parquet_files").cast("long").alias("num_of_parquet_files"),
+        F.col("mean_num_records_in_files").cast("double").alias("mean_num_records_in_files"),
+    )
+
+
+def _q_shuffle_files_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same deterministic layout ⇒ the per-class skipping counts are
+    exact: 3 one-file partitions, equality on one value keeps 1 file."""
+    from jodie_spark.tables.distribution import get_num_shuffle_files
+
+    orders = _orders(spark, sf_dir).repartition(F.col("o_orderstatus"))
+    t = _delta_from(orders, "shufdet", partition_by=["o_orderstatus"])
+    result = get_num_shuffle_files(spark, t.path, "o_orderstatus = 'F'")
+    rows = [(k, int(v)) for k, v in result.items() if isinstance(v, int)]
+    return spark.createDataFrame(rows, "metric string, num_files long")
+
+
 def _q_num_shuffle_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.tables.distribution import get_num_shuffle_files
 
@@ -585,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "file_size_distribution": _q_file_size_distribution,
         "num_shuffle_files": _q_num_shuffle_files,
+        "num_record_distribution": _q_num_record_distribution,
+        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
         "delta_file_sizes": _q_delta_file_sizes,
         "optimize_compaction": _q_optimize_compaction,
         "optimize_zorder": _q_optimize_zorder,
@@ -787,6 +817,21 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
             ) DESC, vec_id
             LIMIT 10
+        """,
+        "num_record_distribution": """
+            SELECT o_orderstatus, CAST(1 AS BIGINT) AS num_of_parquet_files,
+                   CAST(COUNT(*) AS DOUBLE) AS mean_num_records_in_files
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "shuffle_files_deterministic": """
+            SELECT metric, CAST(num_files AS BIGINT) AS num_files FROM (VALUES
+                ('OVERALL RESOLVED CONDITION => [ (o_orderstatus = ''F'') ]', 1),
+                ('GREATER THAN / LESS THAN PART => [ Empty ]', 3),
+                ('EQUALS/EQUALS NULL SAFE PART => [ (o_orderstatus = ''F'') ]', 1),
+                ('LEFT OVER PART => [ Empty ]', 3),
+                ('UNRESOLVED PART => [ Empty ]', 3),
+                ('TOTAL_NUM_FILES_IN_DELTA_TABLE =>', 3)
+            ) AS t(metric, num_files)
         """,
         "clean_corpus": """
             WITH sig AS (
