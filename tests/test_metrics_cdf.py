@@ -50,6 +50,40 @@ def test_count_metrics_version_bounds(spark, tmpdir_path):
     assert rows == [(1, 5, 0, 0, 0)]
 
 
+def test_optimize_version_excluded_from_metrics(spark, tmpdir_path):
+    # parity: OperationMetricHelperSpec.scala:159 — compaction commits
+    # are not count-metric operations
+    path, t = _mk(spark, tmpdir_path, name="optm")
+    t.delete("gender = 'f'")
+    t.optimize().executeCompaction()
+    rows = OperationMetricHelper(spark, path).get_count_metrics()
+    assert [r[0] for r in rows] == [1, 0]  # versions: delete, write — no OPTIMIZE row
+
+
+def test_merge_included_by_partition_filter(spark, tmpdir_path):
+    # a merge whose condition names the partition value must appear in
+    # partition-filtered metrics (predicate-normalization path for MERGE)
+    path = os.path.join(tmpdir_path, "mgp")
+    rows = [(i, "us" if i < 6 else "eu", 20 + i) for i in range(10)]
+    write_delta(
+        spark.createDataFrame(rows, "id int, country string, age int"),
+        path,
+        partition_by=["country"],
+    )
+    t = DeltaTable.forPath(spark, path)
+    src = spark.createDataFrame([(1, "us", 99)], "id int, country string, age int")
+    (
+        t.alias("snap")
+        .merge(src.alias("source"), "snap.id = source.id and snap.country = 'us'")
+        .whenMatchedUpdateAll()
+        .execute()
+    )
+    got = OperationMetricHelper(spark, path).get_count_metrics("country = 'us'")
+    assert got[0] == (1, 0, 0, 1, 1)  # the merge row survives the filter
+    got_eu = OperationMetricHelper(spark, path).get_count_metrics("country = 'eu'")
+    assert got_eu[0][0] == 0  # only the WRITE row (merge filtered out)
+
+
 def test_partition_predicate_normalization():
     # parity: OperationMetricHelper.scala:129-176 — the three recorded
     # predicate spellings
