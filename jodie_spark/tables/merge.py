@@ -154,19 +154,26 @@ class DeltaMergeBuilder:
         candidates = prune_files(snap.add_files(), prune_cond, schema, snap.partition_columns)
 
         touched: list[dict[str, Any]] = []
+        probe = None
+        raw_touched: set[str] = set()
         if candidates and (self._matched or self._not_matched):
-            tgt_probe = (
+            # candidate files are read ONCE and cached; the rewrite pass
+            # filters the cache down to the touched subset instead of
+            # re-reading from storage
+            probe = (
                 read_files_df(spark, t.path, schema, candidates)
                 .withColumn("__path__", F.input_file_name())
-                .alias(talias)
+                .persist()
             )
-            touched_paths = {
-                _strip_scheme(r[0])
-                for r in tgt_probe.join(src, F.expr(self.condition), "left_semi")
+            raw_touched = {
+                r[0]
+                for r in probe.alias(talias)
+                .join(src, F.expr(self.condition), "left_semi")
                 .select("__path__")
                 .distinct()
                 .collect()
             }
+            touched_paths = {_strip_scheme(p) for p in raw_touched}
             touched = [
                 a
                 for a in candidates
@@ -174,11 +181,19 @@ class DeltaMergeBuilder:
             ]
 
         # -- pass 2: rewrite touched files + insert unmatched source rows ----
-        tgt = (
-            read_files_df(spark, t.path, schema, touched)
-            .withColumn("__t_exists__", F.lit(True))
-            .alias(talias)
-        )
+        if probe is not None and touched:
+            tgt = (
+                probe.filter(F.col("__path__").isin(list(raw_touched)))
+                .drop("__path__")
+                .withColumn("__t_exists__", F.lit(True))
+                .alias(talias)
+            )
+        else:
+            tgt = (
+                read_files_df(spark, t.path, schema, [])
+                .withColumn("__t_exists__", F.lit(True))
+                .alias(talias)
+            )
         joined = tgt.join(src, F.expr(self.condition), "full_outer")
 
         is_t = F.col("__t_exists__").isNotNull()
@@ -279,6 +294,8 @@ class DeltaMergeBuilder:
                 cdc_actions = t._write_cdf_files(change_df)
         finally:
             src.unpersist()
+            if probe is not None:
+                probe.unpersist()
 
         # Catalyst's empty-relation propagation can optimize an observed
         # subtree away entirely (e.g. empty source); treat a missing

@@ -246,43 +246,51 @@ class DeltaTable:
             )
         elif candidates:
             t_scan = time.time()
+            # single read of the candidate files, cached across the
+            # touched-file discovery and the rewrite — the touched set is
+            # then a filter over the cache, not a second disk scan
             cand_df = read_files_df(self.spark, self.path, schema, candidates).withColumn(
                 "__file__", F.input_file_name()
-            )
-            touched_paths = {
-                r[0]
-                for r in cand_df.filter(F.expr(condition))
-                .select("__file__")
-                .distinct()
-                .collect()
-            }
-            scan_ms = int((time.time() - t_scan) * 1000)
-            touched = [
-                a
-                for a in candidates
-                if os.path.join(self.path, urllib.parse.unquote(a["path"])) in {
-                    _strip_scheme(p) for p in touched_paths
+            ).persist()
+            try:
+                touched_paths = {
+                    r[0]
+                    for r in cand_df.filter(F.expr(condition))
+                    .select("__file__")
+                    .distinct()
+                    .collect()
                 }
-            ]
-            if touched:
-                touched_df = read_files_df(self.spark, self.path, schema, touched)
-                keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
-                adds = write_data_files(keep_df, self.path, snap.partition_columns)
-                removes = touched
-                total_before = sum(
-                    int(json.loads(a["stats"]).get("numRecords") or 0)
-                    for a in touched
-                    if a.get("stats")
-                )
-                copied_rows = sum(
-                    int(json.loads(a["stats"]).get("numRecords") or 0) for a in adds
-                )
-                deleted_rows = total_before - copied_rows
-                if self.is_cdf_enabled(snap):
-                    deleted_df = touched_df.filter(F.expr(condition)).withColumn(
-                        "_change_type", F.lit("delete")
+                scan_ms = int((time.time() - t_scan) * 1000)
+                touched = [
+                    a
+                    for a in candidates
+                    if os.path.join(self.path, urllib.parse.unquote(a["path"])) in {
+                        _strip_scheme(p) for p in touched_paths
+                    }
+                ]
+                if touched:
+                    touched_df = cand_df.filter(
+                        F.col("__file__").isin(list(touched_paths))
+                    ).drop("__file__")
+                    keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
+                    adds = write_data_files(keep_df, self.path, snap.partition_columns)
+                    removes = touched
+                    total_before = sum(
+                        int(json.loads(a["stats"]).get("numRecords") or 0)
+                        for a in touched
+                        if a.get("stats")
                     )
-                    cdc_actions = self._write_cdf_files(deleted_df)
+                    copied_rows = sum(
+                        int(json.loads(a["stats"]).get("numRecords") or 0) for a in adds
+                    )
+                    deleted_rows = total_before - copied_rows
+                    if self.is_cdf_enabled(snap):
+                        deleted_df = touched_df.filter(F.expr(condition)).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                        cdc_actions = self._write_cdf_files(deleted_df)
+            finally:
+                cand_df.unpersist()
 
         actions: list[dict[str, Any]] = list(cdc_actions)
         actions += [{"add": a} for a in adds]
@@ -328,55 +336,62 @@ class DeltaTable:
         updated_rows = 0
 
         if candidates:
+            # one cached read of the candidate files feeds touched-file
+            # discovery, the rewrite, and the CDF pre/post images
             cand_df = read_files_df(self.spark, self.path, schema, candidates).withColumn(
                 "__file__", F.input_file_name()
-            )
-            touched_paths = {
-                _strip_scheme(r[0])
-                for r in cand_df.filter(cond_col).select("__file__").distinct().collect()
-            }
-            touched = [
-                a
-                for a in candidates
-                if os.path.join(self.path, urllib.parse.unquote(a["path"])) in touched_paths
-            ]
-            if touched:
-                touched_df = read_files_df(self.spark, self.path, schema, touched)
-                set_exprs = {
-                    k: (v if isinstance(v, Column) else F.expr(str(v))) for k, v in set.items()
+            ).persist()
+            try:
+                raw_touched_paths = {
+                    r[0] for r in cand_df.filter(cond_col).select("__file__").distinct().collect()
                 }
-                obs = Observation()
-                observed = touched_df.observe(
-                    obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("updated")
-                )
-                new_df = observed.select(
-                    *[
-                        F.when(cond_col, set_exprs[f.name]).otherwise(F.col(f.name)).alias(f.name)
-                        if f.name in set_exprs
-                        else F.col(f.name)
-                        for f in schema.fields
-                    ]
-                )
-                adds = write_data_files(new_df, self.path, snap.partition_columns)
-                removes = touched
-                updated_rows = int(obs.get["updated"] or 0)
-                if self.is_cdf_enabled(snap):
-                    pre = touched_df.filter(cond_col).withColumn(
-                        "_change_type", F.lit("update_preimage")
+                touched_paths = {_strip_scheme(p) for p in raw_touched_paths}
+                touched = [
+                    a
+                    for a in candidates
+                    if os.path.join(self.path, urllib.parse.unquote(a["path"])) in touched_paths
+                ]
+                if touched:
+                    touched_df = cand_df.filter(
+                        F.col("__file__").isin(list(raw_touched_paths))
+                    ).drop("__file__")
+                    set_exprs = {
+                        k: (v if isinstance(v, Column) else F.expr(str(v))) for k, v in set.items()
+                    }
+                    obs = Observation()
+                    observed = touched_df.observe(
+                        obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("updated")
                     )
-                    post = (
-                        touched_df.filter(cond_col)
-                        .select(
-                            *[
-                                set_exprs[f.name].alias(f.name)
-                                if f.name in set_exprs
-                                else F.col(f.name)
-                                for f in schema.fields
-                            ]
+                    new_df = observed.select(
+                        *[
+                            F.when(cond_col, set_exprs[f.name]).otherwise(F.col(f.name)).alias(f.name)
+                            if f.name in set_exprs
+                            else F.col(f.name)
+                            for f in schema.fields
+                        ]
+                    )
+                    adds = write_data_files(new_df, self.path, snap.partition_columns)
+                    removes = touched
+                    updated_rows = int(obs.get["updated"] or 0)
+                    if self.is_cdf_enabled(snap):
+                        pre = touched_df.filter(cond_col).withColumn(
+                            "_change_type", F.lit("update_preimage")
                         )
-                        .withColumn("_change_type", F.lit("update_postimage"))
-                    )
-                    cdc_actions = self._write_cdf_files(pre.unionByName(post))
+                        post = (
+                            touched_df.filter(cond_col)
+                            .select(
+                                *[
+                                    set_exprs[f.name].alias(f.name)
+                                    if f.name in set_exprs
+                                    else F.col(f.name)
+                                    for f in schema.fields
+                                ]
+                            )
+                            .withColumn("_change_type", F.lit("update_postimage"))
+                        )
+                        cdc_actions = self._write_cdf_files(pre.unionByName(post))
+            finally:
+                cand_df.unpersist()
 
         actions: list[dict[str, Any]] = list(cdc_actions)
         actions += [{"add": a} for a in adds]
