@@ -408,6 +408,24 @@ def _q_clean_corpus_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, min_quality=0.5, min_tokens=10, fuzzy=True).select("doc_id")
 
 
+def _q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.corpus import token_frequencies
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_frequencies(docs, top_k=100).select(
+        "token", F.col("n_occurrences").cast("long").alias("n_occurrences")
+    )
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.corpus import corpus_stats
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
 def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import windowed_event_counts
@@ -606,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "clean_corpus": _q_clean_corpus,
         "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
+        "token_frequencies": _q_token_frequencies,
+        "corpus_stats": _q_corpus_stats,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
@@ -861,6 +881,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, quality, fingerprint FROM scored
             WHERE quality >= 0.5 AND n_tokens >= 10
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+        """,
+        "token_frequencies": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> len(x) > 0)) AS token
+                FROM documents
+            ) GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
+        """,
+        "corpus_stats": """
+            WITH sig AS (
+                SELECT length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                       x -> len(x) > 0)) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^.!?]', '', 'g')) > 0 AS has_term,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+                FROM documents
+            ), scored AS (
+                SELECT n_chars, n_tokens, fingerprint,
+                       ((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_words > 0
+                                AND (CAST(n_chars AS DOUBLE) / n_words) BETWEEN 3 AND 12
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_chars > 0
+                                AND (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.6
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN has_term THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+                FROM sig
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   ROUND(AVG(quality), 6) AS mean_quality,
+                   CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct_fingerprints
+            FROM scored
         """,
         "windowed_event_counts": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,

@@ -14,8 +14,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from jodie_spark.functions.text import with_text_stats
+from jodie_spark.functions.text import _words, with_text_stats
 from jodie_spark.operators.text_dedup import minhash_dedup
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary: (token, n_occurrences) — explode + one hash
+    aggregation (map-side combine keeps the shuffle at |vocab|, not
+    |tokens|). ``top_k`` adds a deterministic count-desc/token-asc
+    per-partition top-k + merge."""
+    tokens = df.select(F.explode(_words(F.col(text_col))).alias("token"))
+    freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    if top_k:
+        freq = freq.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(top_k)
+    return freq
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary: doc count, token count, char count, mean
+    quality, distinct fingerprints (near-exact content variety). One
+    scan, one aggregation."""
+    scored = with_text_stats(df, text_col)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.countDistinct("fingerprint").alias("n_distinct_fingerprints"),
+    )
 
 
 def clean_corpus(
