@@ -56,7 +56,13 @@ class _Clause:
 class DeltaMergeBuilder:
     """Fluent merge builder: delta-spark Python API names plus snake_case
     aliases. Clauses apply in declaration order; the first clause whose
-    condition holds wins for a given row — Delta semantics."""
+    condition holds wins for a given row — Delta semantics.
+
+    Known divergence from delta-spark: when multiple source rows match
+    one target row, Delta raises a multiple-match error for update
+    clauses; this builder emits one output row per match instead.
+    Deduplicate the source on the merge key (as every operator in this
+    package does) when that matters."""
 
     def __init__(self, table: "DeltaTable", source: DataFrame, condition: str):
         self.table = table
@@ -128,7 +134,7 @@ class DeltaMergeBuilder:
         return " and ".join(kept) if kept else None
 
     def execute(self) -> None:
-        from jodie_spark.tables.table import read_files_df, _strip_scheme
+        from jodie_spark.tables.table import filter_by_paths, read_files_df, _strip_scheme
 
         t = self.table
         spark = t.spark
@@ -183,7 +189,7 @@ class DeltaMergeBuilder:
         # -- pass 2: rewrite touched files + insert unmatched source rows ----
         if probe is not None and touched:
             tgt = (
-                probe.filter(F.col("__path__").isin(list(raw_touched)))
+                filter_by_paths(probe, "__path__", raw_touched)
                 .drop("__path__")
                 .withColumn("__t_exists__", F.lit(True))
                 .alias(talias)

@@ -269,9 +269,9 @@ class DeltaTable:
                     }
                 ]
                 if touched:
-                    touched_df = cand_df.filter(
-                        F.col("__file__").isin(list(touched_paths))
-                    ).drop("__file__")
+                    touched_df = filter_by_paths(cand_df, "__file__", touched_paths).drop(
+                        "__file__"
+                    )
                     keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
                     adds = write_data_files(keep_df, self.path, snap.partition_columns)
                     removes = touched
@@ -352,9 +352,9 @@ class DeltaTable:
                     if os.path.join(self.path, urllib.parse.unquote(a["path"])) in touched_paths
                 ]
                 if touched:
-                    touched_df = cand_df.filter(
-                        F.col("__file__").isin(list(raw_touched_paths))
-                    ).drop("__file__")
+                    touched_df = filter_by_paths(cand_df, "__file__", raw_touched_paths).drop(
+                        "__file__"
+                    )
                     set_exprs = {
                         k: (v if isinstance(v, Column) else F.expr(str(v))) for k, v in set.items()
                     }
@@ -588,6 +588,16 @@ class OptimizeBuilder:
         return self._rewrite(flat)
 
     execute_z_order_by = executeZOrderBy
+
+
+def filter_by_paths(df: DataFrame, path_col: str, paths: set[str]) -> DataFrame:
+    """Keep rows whose ``path_col`` is in ``paths``. Small sets inline as
+    an IN list; large sets become a broadcast semi-join so the predicate
+    doesn't explode the plan at 10^5+ touched files."""
+    if len(paths) <= 1000:
+        return df.filter(F.col(path_col).isin(list(paths)))
+    names = df.sparkSession.createDataFrame([(p,) for p in paths], f"{path_col} string")
+    return df.join(F.broadcast(names), path_col, "left_semi")
 
 
 def _strip_scheme(p: str) -> str:
