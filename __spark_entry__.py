@@ -426,6 +426,39 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs)
 
 
+def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each non-checkpoint event sees the latest
+    checkpoint event of the same user at-or-before its timestamp."""
+    from jodie_spark.operators.temporal_joins import as_of_join
+    from jodie_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    left = events.filter("event_id % 10 <> 0").select("user_id", "ts", "event_id")
+    right = (
+        events.filter("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    out = as_of_join(left, right, "user_id", "ts")
+    return out.select("event_id", "right_ref_value")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.temporal_joins import range_join
+    from jodie_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 300.0, "high"),
+         (300.0, 500.0, "extreme")],
+        "lo double, hi double, label string",
+    )
+    out = range_join(events.select("event_id", "value"), ranges, "value", bucket_width=50.0)
+    return out.select("event_id", "label")
+
+
 def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import windowed_event_counts
@@ -626,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
         "token_frequencies": _q_token_frequencies,
         "corpus_stats": _q_corpus_stats,
+        "as_of_join": _q_as_of_join,
+        "range_join": _q_range_join,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
@@ -921,6 +956,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(quality), 6) AS mean_quality,
                    CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct_fingerprints
             FROM scored
+        """,
+        "as_of_join": """
+            WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts, value
+                       FROM events),
+            l AS (SELECT user_id, ts, event_id FROM e WHERE event_id % 10 <> 0),
+            r AS (SELECT user_id, ts, MAX(value) AS ref_value
+                  FROM e WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+            SELECT l.event_id, r.ref_value AS right_ref_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT e.event_id, r.label
+            FROM events e
+            JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                         (150.0, 300.0, 'high'), (300.0, 500.0, 'extreme'))
+                 AS r(lo, hi, label)
+            ON e.value >= r.lo AND e.value < r.hi
         """,
         "windowed_event_counts": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,

@@ -34,6 +34,13 @@ def get_spark(app_name: str = "jodie_spark", master: str | None = None) -> Spark
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's checksum checkpoint manager deadlocks on local-fs
+        # state commits under applyInPandasWithState; use the plain one
+        .config(
+            "spark.sql.streaming.checkpointFileManagerClass",
+            "org.apache.spark.sql.execution.streaming.checkpointing."
+            "FileSystemBasedCheckpointFileManager",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
