@@ -50,6 +50,9 @@ def main() -> None:
         "embedding_dedup",
         "windowed_event_counts",
         "sessionize",
+        "as_of_join",
+        "range_join",
+        "clean_corpus",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
