@@ -47,6 +47,54 @@ def test_windowed_counts_runs_as_stream(spark, tmpdir_path):
         q.stop()
 
 
+def test_stream_to_delta_sink(spark, tmpdir_path):
+    from jodie_spark.streaming import write_stream_to_delta
+
+    src_dir = os.path.join(tmpdir_path, "sink_src")
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    table_path = os.path.join(tmpdir_path, "delta_out")
+    q = write_stream_to_delta(
+        stream, table_path, os.path.join(tmpdir_path, "_sink_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = DeltaTable.forPath(spark, table_path)
+    assert sorted((r["k"], r["v"]) for r in t.toDF().collect()) == [(1, "a"), (2, "b")]
+    assert t.history(1).collect()[0]["operation"] == "WRITE"
+
+
+def test_many_writers_race_exactly_one_wins_per_version(spark, tmpdir_path):
+    import threading
+
+    path = os.path.join(tmpdir_path, "race")
+    write_delta(spark.createDataFrame([(0,)], "x int"), path)
+    t = DeltaTable.forPath(spark, path)
+    outcomes = []
+    lock = threading.Lock()
+
+    def writer(i):
+        try:
+            t.deltaLog.commit(0, [], f"WRITE", {"writer": str(i)}, {})
+            with lock:
+                outcomes.append(("win", i))
+        except ConcurrentModificationException:
+            with lock:
+                outcomes.append(("lose", i))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wins = [o for o in outcomes if o[0] == "win"]
+    assert len(wins) == 1  # exactly one writer claimed version 1
+    assert t.deltaLog.latest_version() == 1
+
+
 def test_concurrent_commit_conflict(spark, tmpdir_path):
     path = os.path.join(tmpdir_path, "conc")
     write_delta(spark.createDataFrame([(1,)], "x int"), path)
