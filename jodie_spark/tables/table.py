@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import urllib.parse
 from typing import Any
@@ -25,7 +24,7 @@ from pyspark.sql import types as T
 
 from jodie_spark.errors import DeltaProtocolError, JodieValidationError
 from jodie_spark.tables.log import DeltaLog, Snapshot
-from jodie_spark.tables.pruning import classify_conjunct, prune_files, split_conjuncts
+from jodie_spark.tables.pruning import prune_files
 from jodie_spark.tables.writer import write_data_files, write_metrics
 
 CDF_PROP = "delta.enableChangeDataFeed"

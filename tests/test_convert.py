@@ -6,7 +6,6 @@ import pytest
 
 from jodie_spark.errors import JodieValidationError
 from jodie_spark.sources import convert_to_delta
-from jodie_spark.tables.table import DeltaTable
 
 
 def test_convert_unpartitioned(spark, tmpdir_path):

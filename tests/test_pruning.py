@@ -2,17 +2,14 @@
 edge cases (temporal literals, string truncation, conservative
 fallbacks) plus partition-pruned mutation behavior."""
 
-import datetime
 import json
 import os
 
 from pyspark.sql import types as T
 
 from jodie_spark.tables.pruning import (
-    Conjunct,
     classify_conjunct,
     file_may_match,
-    prune_files,
     split_conjuncts,
 )
 from jodie_spark.tables.stats import _truncate_stat
