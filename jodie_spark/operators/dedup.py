@@ -33,14 +33,14 @@ def kill_duplicate_records(delta_table: DeltaTable, duplicate_columns: Sequence[
     df = delta_table.toDF()
     validate_columns_exist_in_dataframe(duplicate_columns, df)
 
+    # same result as the reference's count-window (distinct keys with >1
+    # occurrence) but as a hash aggregation: map-side combine shuffles
+    # |groups| rows instead of the window's full-table shuffle
     dups = (
-        df.withColumn(
-            "quantity", F.count("*").over(Window.partitionBy(*[F.col(c) for c in duplicate_columns]))
-        )
+        df.groupBy(*[F.col(c) for c in duplicate_columns])
+        .agg(F.count(F.lit(1)).alias("quantity"))
         .filter("quantity > 1")
         .drop("quantity")
-        .select(*duplicate_columns)
-        .distinct()
     )
     condition = " AND ".join(f"old.{c} = new.{c}" for c in duplicate_columns)
     delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute()
