@@ -192,6 +192,17 @@ def test_cdf_deleted_log_detected(spark, tmpdir_path):
     assert got is not None and got[0] > 0  # clamped to reachable versions
 
 
+def test_group_versions_inclusive_quirks():
+    from jodie_spark.operators.cdf import group_versions_inclusive
+
+    # parity: ChangeDataFeedHelper.scala:295-315 — size 0 and 1 → None
+    assert group_versions_inclusive([]) is None
+    assert group_versions_inclusive([5]) is None
+    assert group_versions_inclusive([0, 1, 2, 5, 6]) == [(0, 2), (5, 6)]
+    # quirk preserved: isolated leading version keeps the -1 end marker
+    assert group_versions_inclusive([0, 2, 3]) == [(0, -1), (2, 3)]
+
+
 def test_cdf_enable_disable_ranges(spark, tmpdir_path):
     # scenario: enable-disable-re-enable (ChangeDataFeedHelperSpec.scala:108-141)
     path, t = _cdf_table(spark, tmpdir_path, name="edr")
