@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 
@@ -70,7 +71,8 @@ def convert_to_delta(
         full = os.path.join(path, rel_path)
         adds.append(
             {
-                "path": rel_path,
+                # add.path is percent-encoded per the Delta protocol
+                "path": urllib.parse.quote(rel_path, safe="/"),
                 "partitionValues": pv,
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),

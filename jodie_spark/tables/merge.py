@@ -30,7 +30,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import urllib.parse
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
 
@@ -134,7 +133,11 @@ class DeltaMergeBuilder:
         return " and ".join(kept) if kept else None
 
     def execute(self) -> None:
-        from jodie_spark.tables.table import filter_by_paths, read_files_df, _strip_scheme
+        from jodie_spark.tables.table import (
+            filter_by_paths,
+            map_touched_paths,
+            read_files_df,
+        )
 
         t = self.table
         spark = t.spark
@@ -179,12 +182,10 @@ class DeltaMergeBuilder:
                 .distinct()
                 .collect()
             }
-            touched_paths = {_strip_scheme(p) for p in raw_touched}
-            touched = [
-                a
-                for a in candidates
-                if os.path.join(t.path, urllib.parse.unquote(a["path"])) in touched_paths
-            ]
+            # raises on any URI that fails to map back to a candidate add —
+            # a partial/empty touched set here would re-insert matched
+            # source rows as duplicates against an empty rewrite target
+            touched = map_touched_paths(t.path, candidates, raw_touched)
 
         # -- pass 2: rewrite touched files + insert unmatched source rows ----
         if probe is not None and touched:

@@ -117,16 +117,20 @@ class Conjunct:
 
 def _parse_literal(text: str) -> tuple[bool, Any]:
     text = text.strip()
-    if (text.startswith("'") and text.endswith("'")) or (
-        text.startswith('"') and text.endswith('"')
-    ):
-        return True, text[1:-1]
+    if len(text) >= 2 and text[0] in ("'", '"') and text[-1] == text[0]:
+        inner = text[1:-1]
+        # Must be a SINGLE literal token: any quote char inside means the
+        # regex over-captured (e.g. rhs = "'x' or b = 'y'") or the literal
+        # uses doubled-quote escapes ('it''s') — bail, never mis-prune.
+        if text[0] in inner:
+            return False, None
+        return True, inner
     low = text.lower()
     if low in ("true", "false"):
         return True, low == "true"
     if low == "null":
         return True, None
-    m = re.match(r"^(date|timestamp)\s*'(.*)'$", text, re.IGNORECASE)
+    m = re.match(r"^(date|timestamp)\s*'([^']*)'$", text, re.IGNORECASE)
     if m:
         return True, m.group(2)
     try:
@@ -149,6 +153,33 @@ def _referenced_names(text: str) -> list[str]:
     return [n for n in names if n.lower() not in keywords]
 
 
+def _contains_bare_or(text: str) -> bool:
+    """True when an OR keyword appears outside quoted string literals.
+
+    Any OR (top-level or parenthesized) disqualifies the conjunct from
+    the single-comparison classes — the comparison regexes would
+    otherwise over-capture ("a = 'x' or b = 'y'" → equality on a with a
+    garbage literal) and prune files that DO contain matching rows.
+    """
+    in_quote: str | None = None
+    for i, ch in enumerate(text):
+        if in_quote:
+            if ch == in_quote:
+                in_quote = None
+            continue
+        if ch in ("'", '"'):
+            in_quote = ch
+            continue
+        if ch in ("o", "O") and text[i : i + 2].lower() == "or":
+            before = text[i - 1] if i > 0 else " "
+            after = text[i + 2] if i + 2 < len(text) else " "
+            if not (before.isalnum() or before in "_.") and not (
+                after.isalnum() or after in "_."
+            ):
+                return True
+    return False
+
+
 def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
     """Classify one conjunct the way the reference does
     (DeltaHelpers.scala:149-191): references outside the table's columns
@@ -160,6 +191,11 @@ def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
     """
     refs = _referenced_names(conjunct)
     unresolved = [r for r in refs if "." in r or r not in columns]
+
+    if _contains_bare_or(conjunct):
+        if unresolved:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        return Conjunct(conjunct, "other", references=tuple(refs))
 
     m = _NULL_RE.match(conjunct)
     if m:

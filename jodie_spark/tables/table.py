@@ -260,13 +260,7 @@ class DeltaTable:
                     .collect()
                 }
                 scan_ms = int((time.time() - t_scan) * 1000)
-                touched = [
-                    a
-                    for a in candidates
-                    if os.path.join(self.path, urllib.parse.unquote(a["path"])) in {
-                        _strip_scheme(p) for p in touched_paths
-                    }
-                ]
+                touched = map_touched_paths(self.path, candidates, touched_paths)
                 if touched:
                     touched_df = filter_by_paths(cand_df, "__file__", touched_paths).drop(
                         "__file__"
@@ -344,12 +338,7 @@ class DeltaTable:
                 raw_touched_paths = {
                     r[0] for r in cand_df.filter(cond_col).select("__file__").distinct().collect()
                 }
-                touched_paths = {_strip_scheme(p) for p in raw_touched_paths}
-                touched = [
-                    a
-                    for a in candidates
-                    if os.path.join(self.path, urllib.parse.unquote(a["path"])) in touched_paths
-                ]
+                touched = map_touched_paths(self.path, candidates, raw_touched_paths)
                 if touched:
                     touched_df = filter_by_paths(cand_df, "__file__", raw_touched_paths).drop(
                         "__file__"
@@ -597,6 +586,32 @@ def filter_by_paths(df: DataFrame, path_col: str, paths: set[str]) -> DataFrame:
         return df.filter(F.col(path_col).isin(list(paths)))
     names = df.sparkSession.createDataFrame([(p,) for p in paths], f"{path_col} string")
     return df.join(F.broadcast(names), path_col, "left_semi")
+
+
+def map_touched_paths(
+    table_path: str,
+    candidates: list[dict[str, Any]],
+    raw_paths: set[str],
+) -> list[dict[str, Any]]:
+    """Map ``input_file_name()`` URIs back to log add entries.
+
+    Both sides normalize to the on-disk absolute path (URIs are
+    scheme-stripped + unquoted; add-paths are unquoted per the Delta
+    protocol's percent-encoding). A URI that maps to no candidate add is
+    a bug (encoding drift) — raise rather than rewrite against a partial
+    target, which would silently duplicate matched rows.
+    """
+    normalized = {_strip_scheme(p) for p in raw_paths}
+    by_abs = {
+        os.path.join(table_path, urllib.parse.unquote(a["path"])): a for a in candidates
+    }
+    unmapped = normalized - set(by_abs)
+    if unmapped:
+        raise DeltaProtocolError(
+            "touched-file discovery returned file URIs that do not map back "
+            f"to log add entries: {sorted(unmapped)[:3]}"
+        )
+    return [by_abs[p] for p in sorted(normalized)]
 
 
 def _strip_scheme(p: str) -> str:

@@ -50,6 +50,43 @@ def test_classify_kinds():
     assert classify_conjunct("5 < id", cols).op == ">"  # literal-first swap
 
 
+def test_or_conjunct_with_string_literals_keeps_every_file():
+    # ADVICE repro: "name = 'x' or id = 5" must NOT be classified as an
+    # equality on name with rhs "'x' or id = 5" — that pruned files whose
+    # rows match the OTHER disjunct.
+    cols = ["id", "name", "ts", "d"]
+    cj = classify_conjunct("name = 'x' or id = 5", cols)
+    assert cj.kind == "other"
+    stats = {
+        "numRecords": 1,
+        "minValues": {"id": 5, "name": "zzz"},
+        "maxValues": {"id": 5, "name": "zzz"},
+        "nullCount": {"id": 0, "name": 0},
+    }
+    # file matches id = 5 but not name = 'x' — must survive
+    assert file_may_match(_add(stats), [cj], SCHEMA, [])
+    # numeric-literal variant and parenthesized variant
+    assert classify_conjunct("id = 1 or id = 5", cols).kind == "other"
+    assert classify_conjunct("(name = 'x') or (id = 5)", cols).kind == "other"
+    # OR inside a string literal is NOT an OR operator
+    eq = classify_conjunct("name = 'cats or dogs'", cols)
+    assert eq.kind == "equality" and eq.literal == "cats or dogs"
+    # column names containing "or" as a substring are untouched
+    assert classify_conjunct("score = 5", ["score"]).kind == "equality"
+
+
+def test_doubled_quote_escape_bails_conservatively():
+    cj = classify_conjunct("name = 'it''s'", ["name"])
+    assert cj.kind == "other"  # never parsed into a garbage literal
+    stats = {
+        "numRecords": 1,
+        "minValues": {"name": "aaa"},
+        "maxValues": {"name": "bbb"},
+        "nullCount": {"name": 0},
+    }
+    assert file_may_match(_add(stats), [cj], SCHEMA, [])
+
+
 def test_timestamp_equality_padding_mismatch_does_not_prune():
     # stats store microsecond-padded isoformat; literal has no fraction
     stats = {

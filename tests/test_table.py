@@ -140,3 +140,36 @@ def test_append_schema_evolution(spark, tmpdir_path):
     t = DeltaTable.forPath(spark, path)
     got = sorted((r["k"], r["score"]) for r in t.toDF().collect())
     assert got == [(1, None), (2, 9.5)]
+
+
+def test_special_char_partition_values_round_trip(spark, tmpdir_path):
+    # ADVICE regression: Spark escapes partition dirs (space -> %20,
+    # literal % -> %25); add.path must percent-encode per the protocol so
+    # the read side's unquote recovers the on-disk name, and DML
+    # touched-file mapping must not silently miss (=> duplicate inserts).
+    path = os.path.join(tmpdir_path, "special")
+    rows = [(1, "a b"), (2, "a b"), (3, "x%y"), (4, "plain")]
+    write_delta(
+        spark.createDataFrame(rows, "k int, p string"), path, partition_by=["p"]
+    )
+    t = DeltaTable.forPath(spark, path)
+    assert sorted(tuple(r) for r in t.toDF().collect()) == sorted(rows)
+    # partitionValues parsed back to the logical (unescaped) value
+    pvs = {f["partitionValues"]["p"] for f in t.snapshot().add_files()}
+    assert pvs == {"a b", "x%y", "plain"}
+
+    t.delete("p = 'x%y'")
+    assert sorted(r["p"] for r in t.toDF().collect()) == ["a b", "a b", "plain"]
+
+    t.update("p = 'a b' and k = 1", {"k": "10"})
+    assert sorted(r["k"] for r in t.toDF().collect()) == [2, 4, 10]
+
+    src = spark.createDataFrame([(2, "a b", "hit"), (5, "n w", "new")], "k int, p string, tag string")
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.k = new.k and old.p = new.p")
+        .whenMatchedDelete()
+        .execute()
+    )
+    got = sorted(tuple(r) for r in t.toDF().collect())
+    assert got == [(4, "plain"), (10, "a b")]  # no duplicate re-inserts
