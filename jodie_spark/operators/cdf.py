@@ -7,9 +7,11 @@ log protocol:
 
 - versions with ``cdc`` actions → read their ``_change_data`` parquet
   (rows already carry ``_change_type``);
-- versions with only dataChange ``add`` actions (plain appends) →
-  synthesize ``insert`` rows from the added files — the same synthesis
-  Delta's CDCReader performs;
+- versions without ``cdc`` actions → synthesize ``insert`` rows from
+  dataChange ``add`` files and ``delete`` rows from dataChange
+  ``remove`` files (which survive until vacuum) — the same synthesis
+  Delta's CDCReader performs for plain appends, full-table deletes,
+  overwrites, and RESTORE;
 - a version inside the range where CDF is *disabled* (tracked by
   replaying ``metaData`` configuration changes) raises, matching
   Delta's DeltaAnalysisException failure mode the recovery helpers
@@ -56,12 +58,14 @@ def read_cdf(
 
     cdc_files: list[tuple[str, int, int]] = []  # (abspath, version, ts)
     insert_files: list[tuple[str, int, int]] = []
+    delete_files: list[tuple[str, int, int]] = []
     for v in range(starting_version, ending_version + 1):
         actions = log.read_actions(v)
         ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
         ts = int(ci.get("timestamp") or 0)
         has_cdc = False
         adds: list[str] = []
+        removes: list[str] = []
         for a in actions:
             if "metaData" in a and a["metaData"]:
                 enabled = _cdf_enabled(a["metaData"].get("configuration"))
@@ -75,6 +79,8 @@ def read_cdf(
                 cdc_files.append((p, v, ts))
             elif "add" in a and a["add"] and a["add"].get("dataChange", True):
                 adds.append(os.path.join(path, urllib.parse.unquote(a["add"]["path"])))
+            elif "remove" in a and a["remove"] and a["remove"].get("dataChange", True):
+                removes.append(os.path.join(path, urllib.parse.unquote(a["remove"]["path"])))
         if v > 0 and not enabled:
             raise DeltaProtocolError(
                 f"Error getting change data for range [{starting_version}, "
@@ -83,6 +89,16 @@ def read_cdf(
             )
         if not has_cdc:
             insert_files.extend((p, v, ts) for p in adds)
+            # remove-only commits (full-table delete, overwrite, RESTORE)
+            # write no cdc files; their delete rows come from the removed
+            # data files, which remain on disk until vacuum
+            for p in removes:
+                if not os.path.isfile(p):
+                    raise FileNotFoundError(
+                        f"removed data file {p} needed to synthesize delete change "
+                        f"rows for version {v} has been deleted (vacuumed?)"
+                    )
+                delete_files.append((p, v, ts))
 
     out_schema = T.StructType(
         list(schema.fields)
@@ -104,16 +120,18 @@ def read_cdf(
             .withColumn("___file", F.input_file_name())
         )
         parts.append(_join_version(spark, cdc_df, cdc_files))
-    if insert_files:
-        ins_df = (
+    for file_group, change_type in ((insert_files, "insert"), (delete_files, "delete")):
+        if not file_group:
+            continue
+        grp_df = (
             spark.read.format("parquet")
             .option("basePath", path)
             .schema(schema)
-            .load([p for p, _, _ in insert_files])
-            .withColumn("_change_type", F.lit("insert"))
+            .load([p for p, _, _ in file_group])
+            .withColumn("_change_type", F.lit(change_type))
             .withColumn("___file", F.input_file_name())
         )
-        parts.append(_join_version(spark, ins_df, insert_files))
+        parts.append(_join_version(spark, grp_df, file_group))
 
     if not parts:
         return spark.createDataFrame([], out_schema)

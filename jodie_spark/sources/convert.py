@@ -72,7 +72,7 @@ def convert_to_delta(
         adds.append(
             {
                 # add.path is percent-encoded per the Delta protocol
-                "path": urllib.parse.quote(rel_path, safe="/"),
+                "path": urllib.parse.quote(rel_path, safe="/="),
                 "partitionValues": pv,
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),

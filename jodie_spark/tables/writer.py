@@ -86,7 +86,7 @@ def write_data_files(
                     # to the table root; readers unquote it back to the
                     # on-disk name (matters for Spark's escaped partition
                     # dirs like p=a%20b, which must round-trip as %2520)
-                    "path": urllib.parse.quote(rel_path, safe="/"),
+                    "path": urllib.parse.quote(rel_path, safe="/="),
                     "partitionValues": _parse_partition_dirs(rel_dir),
                     "size": os.path.getsize(dst),
                     "modificationTime": int(os.path.getmtime(dst) * 1000),

@@ -218,3 +218,25 @@ def test_cdf_enable_disable_ranges(spark, tmpdir_path):
     assert ranges is not None
     df = helper.read_cdf_ignore_missing_ranges_for_edr()
     assert df is not None
+
+
+def test_read_cdf_synthesizes_deletes_for_remove_only_commits(spark, tmpdir_path):
+    # ADVICE regression: full-table delete (delete(None)) and overwrite
+    # write no cdc files; their deletes must be synthesized from the
+    # dataChange remove actions (reading the not-yet-vacuumed files).
+    path, t = _cdf_table(spark, tmpdir_path, name="rmonly")
+    t.delete(None)  # v1: remove-only commit
+    df = read_cdf(spark, path, 1, 1)
+    got = sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in df.collect())
+    assert got == [(1, "delete", 1), (2, "delete", 1), (3, "delete", 1)]
+
+    # overwrite: removes + adds in one commit → deletes + inserts
+    path2, t2 = _cdf_table(spark, tmpdir_path, name="ovw")
+    write_delta(
+        spark.createDataFrame([(9, "x", 1)], "id int, gender string, age int"),
+        path2,
+        mode="overwrite",
+    )
+    df2 = read_cdf(spark, path2, 1, 1)
+    got2 = sorted((r["id"], r["_change_type"]) for r in df2.collect())
+    assert got2 == [(1, "delete"), (2, "delete"), (3, "delete"), (9, "insert")]
