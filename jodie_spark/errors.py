@@ -20,6 +20,18 @@ class DeltaProtocolError(RuntimeError):
     """The on-disk transaction log violates the Delta protocol."""
 
 
+class MergeMultipleMatchesError(RuntimeError):
+    """A target row matched more than one source row under an
+    update/delete clause — nondeterministic merge result.
+
+    Parity: org.apache.spark.sql.delta.DeltaUnsupportedOperationException
+    MERGE_MATCHED_ROW_MULTIPLE_SOURCE (delta-spark raises; the reference's
+    Type2Scd.scala:63-80 SCD semantics rely on at-most-one match).
+    Pass ``allow_multiple_matches=True`` to ``execute()`` to opt into
+    one-output-row-per-match behavior.
+    """
+
+
 class ConcurrentModificationException(RuntimeError):
     """Another writer committed the same version first (optimistic
     concurrency conflict on the `<version>.json` atomic create)."""

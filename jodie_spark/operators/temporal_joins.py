@@ -83,7 +83,15 @@ def range_join(
     """Join each point row to every interval row with
     ``lo <= point < hi`` — via bucketization, never a nested-loop theta
     join. ``bucket_width`` trades replication of wide intervals against
-    per-bucket fan-in."""
+    per-bucket fan-in.
+
+    ``how`` may be ``inner`` or ``left``/``left_outer`` (points with no
+    containing interval survive with null interval columns). Right/full
+    outer are rejected: the bucket explosion duplicates unmatched
+    intervals, so those modes cannot be expressed on this plan shape.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"range_join supports how='inner' or 'left'; got {how!r}")
     ivals = intervals.withColumn(
         "__bucket__",
         F.explode(
@@ -98,7 +106,15 @@ def range_join(
     pts = points.withColumn(
         "__bucket__", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
-    joined = pts.join(ivals, "__bucket__", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    # containment lives IN the join condition (not a post-join filter) so
+    # outer rows survive with nulls; the bucket equality keeps it a hash/
+    # sort-merge equi-join, the inequalities ride along as the join's
+    # residual condition — never a nested-loop theta join
+    p = pts.alias("__rj_p__")
+    i = ivals.withColumnRenamed("__bucket__", "__ibucket__").alias("__rj_i__")
+    cond = (
+        (F.col("__rj_p__.__bucket__") == F.col("__rj_i__.__ibucket__"))
+        & (F.col(f"__rj_p__.{point_col}") >= F.col(f"__rj_i__.{lo_col}"))
+        & (F.col(f"__rj_p__.{point_col}") < F.col(f"__rj_i__.{hi_col}"))
     )
-    return joined.drop("__bucket__")
+    return p.join(i, cond, how).drop("__bucket__", "__ibucket__")

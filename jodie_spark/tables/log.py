@@ -38,6 +38,13 @@ from jodie_spark.errors import (
     VersionNotFoundError,
 )
 
+# Reader features this engine implements. Tables demanding anything else
+# (deletion vectors, column mapping, v2 checkpoints, ...) would silently
+# produce wrong rows if read naively, so snapshot() hard-fails on them.
+# timestampNtz is a plain parquet type the scan already handles.
+SUPPORTED_READER_VERSIONS = {1, 3}
+SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
 LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
 CHECKPOINT_INTERVAL_PROP = "delta.checkpointInterval"
@@ -298,7 +305,31 @@ class DeltaLog:
             raise DeltaProtocolError(
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
+        self._check_read_protocol(protocol)
         return Snapshot(target, metadata, protocol, files, tombstones)
+
+    def _check_read_protocol(self, protocol: dict[str, Any] | None) -> None:
+        """Refuse tables whose protocol demands reader features this
+        engine lacks — reading one anyway returns silently-wrong rows
+        (deletion vectors: deleted rows resurface; column mapping: wrong
+        columns). delta-core inherits this gate from Protocol.assertProtocolRead;
+        the reference (DeltaHelpers.scala et al.) gets it for free."""
+        if not protocol:
+            return
+        reader = int(protocol.get("minReaderVersion") or 1)
+        if reader not in SUPPORTED_READER_VERSIONS:
+            raise DeltaProtocolError(
+                f"{self.table_path}: table requires minReaderVersion={reader}; "
+                f"this engine supports {sorted(SUPPORTED_READER_VERSIONS)}"
+            )
+        features = set(protocol.get("readerFeatures") or [])
+        unsupported = features - SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"{self.table_path}: table requires unsupported reader "
+                f"features {sorted(unsupported)} (supported: "
+                f"{sorted(SUPPORTED_READER_FEATURES)})"
+            )
 
     def earliest_reachable_version(self) -> int:
         """Smallest version a snapshot can be built for (contiguous json

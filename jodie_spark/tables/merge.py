@@ -57,11 +57,11 @@ class DeltaMergeBuilder:
     aliases. Clauses apply in declaration order; the first clause whose
     condition holds wins for a given row — Delta semantics.
 
-    Known divergence from delta-spark: when multiple source rows match
-    one target row, Delta raises a multiple-match error for update
-    clauses; this builder emits one output row per match instead.
-    Deduplicate the source on the merge key (as every operator in this
-    package does) when that matters."""
+    Like delta-spark, ``execute()`` raises ``MergeMultipleMatchesError``
+    when one target row matches multiple source rows under a matched
+    clause (nondeterministic update/delete); pass
+    ``allow_multiple_matches=True`` to opt into one-output-row-per-match
+    behavior instead."""
 
     def __init__(self, table: "DeltaTable", source: DataFrame, condition: str):
         self.table = table
@@ -132,7 +132,7 @@ class DeltaMergeBuilder:
                 kept.append(conj.replace(prefix, ""))
         return " and ".join(kept) if kept else None
 
-    def execute(self) -> None:
+    def execute(self, allow_multiple_matches: bool = False) -> None:
         from jodie_spark.tables.table import (
             filter_by_paths,
             map_touched_paths,
@@ -174,14 +174,53 @@ class DeltaMergeBuilder:
                 .withColumn("__path__", F.input_file_name())
                 .persist()
             )
-            raw_touched = {
-                r[0]
-                for r in probe.alias(talias)
-                .join(src, F.expr(self.condition), "left_semi")
-                .select("__path__")
-                .distinct()
-                .collect()
-            }
+            # delta-spark parity: multiple source rows matching one target
+            # row make the merge nondeterministic (and pass 2 would emit
+            # one output row per match). Delta allows it only when the
+            # sole matched clause is an unconditional DELETE (result is
+            # deterministic: the row is gone either way) — same rule as
+            # MergeIntoCommand.isDeleteWithMultipleMatchesAllowed.
+            multi_ok = allow_multiple_matches or (
+                len(self._matched) == 1
+                and self._matched[0].kind == "delete"
+                and self._matched[0].condition is None
+            )
+            if self._matched and not multi_ok:
+                # same shape as MergeIntoCommand.findTouchedFiles — an
+                # inner join with a per-target-row count; both groupBys
+                # partial-aggregate map-side, so the shuffle carries
+                # (t_id, path) pairs, never data columns
+                per_path = (
+                    probe.withColumn("__t_id__", F.monotonically_increasing_id())
+                    .alias(talias)
+                    .join(src, F.expr(self.condition), "inner")
+                    .groupBy("__t_id__", "__path__")
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                    .groupBy("__path__")
+                    .agg(F.max("__n__").alias("__mx__"))
+                    .collect()
+                )
+                raw_touched = {r["__path__"] for r in per_path}
+                if any(r["__mx__"] > 1 for r in per_path):
+                    from jodie_spark.errors import MergeMultipleMatchesError
+
+                    src.unpersist()
+                    probe.unpersist()
+                    raise MergeMultipleMatchesError(
+                        "MERGE: one target row matched multiple source rows "
+                        "under an update/delete clause; the result would be "
+                        "nondeterministic. Deduplicate the source on the "
+                        "merge key, or pass allow_multiple_matches=True."
+                    )
+            else:
+                raw_touched = {
+                    r[0]
+                    for r in probe.alias(talias)
+                    .join(src, F.expr(self.condition), "left_semi")
+                    .select("__path__")
+                    .distinct()
+                    .collect()
+                }
             # raises on any URI that fails to map back to a candidate add —
             # a partial/empty touched set here would re-insert matched
             # source rows as duplicates against an empty rewrite target

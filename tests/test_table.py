@@ -37,6 +37,86 @@ def test_merge_clause_order_and_conditions(spark, tmpdir_path):
     )
 
 
+def test_protocol_reader_feature_gate(spark, tmpdir_path):
+    import json
+
+    from jodie_spark.errors import DeltaProtocolError
+
+    # hand-built log as modern delta-spark would write it: deletion
+    # vectors demand reader capabilities this engine lacks
+    def mk_log(name, protocol):
+        path = os.path.join(tmpdir_path, name)
+        log_dir = os.path.join(path, "_delta_log")
+        os.makedirs(log_dir)
+        meta = {
+            "id": "0", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": [
+                    {"name": "k", "type": "integer", "nullable": True, "metadata": {}}]}
+            ),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }
+        with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+            fh.write(json.dumps({"protocol": protocol}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+        return path
+
+    dv = mk_log("dv_table", {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    })
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        DeltaTable.forPath(spark, dv).snapshot()
+
+    cm = mk_log("cm_table", {"minReaderVersion": 2, "minWriterVersion": 5})
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion=2"):
+        DeltaTable.forPath(spark, cm).snapshot()
+
+    # v3 with only supported features is fine
+    ok = mk_log("ok_table", {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"], "writerFeatures": ["timestampNtz"],
+    })
+    assert DeltaTable.forPath(spark, ok).snapshot().version == 0
+
+
+def test_merge_multiple_match_raises(spark, tmpdir_path):
+    from jodie_spark.errors import MergeMultipleMatchesError
+
+    t = _mk(spark, tmpdir_path, [(1, "a"), (2, "b")], "k int, v string", name="mm")
+    dup_src = spark.createDataFrame([(1, "X"), (1, "Y"), (3, "Z")], "k int, v string")
+    builder = (
+        t.alias("old")
+        .merge(dup_src.alias("new"), "old.k = new.k")
+        .whenMatchedUpdate(set={"v": "new.v"})
+        .whenNotMatchedInsertAll()
+    )
+    with pytest.raises(MergeMultipleMatchesError):
+        builder.execute()
+    # table unchanged after the failed merge
+    assert sorted(tuple(r) for r in t.toDF().collect()) == [(1, "a"), (2, "b")]
+    # Delta's exception: a single unconditional DELETE clause is
+    # deterministic under multiple matches — no raise, row just goes
+    t2 = _mk(spark, tmpdir_path, [(1, "a"), (2, "b")], "k int, v string", name="mm2")
+    (
+        t2.alias("old")
+        .merge(dup_src.alias("new"), "old.k = new.k")
+        .whenMatchedDelete()
+        .execute()
+    )
+    assert sorted(tuple(r) for r in t2.toDF().collect()) == [(2, "b")]
+    # explicit opt-in restores one-output-row-per-match behavior
+    t3 = _mk(spark, tmpdir_path, [(1, "a")], "k int, v string", name="mm3")
+    (
+        t3.alias("old")
+        .merge(dup_src.alias("new").filter("k = 1"), "old.k = new.k")
+        .whenMatchedUpdate(set={"v": "new.v"})
+        .execute(allow_multiple_matches=True)
+    )
+    assert t3.toDF().count() == 2  # one output row per match, documented opt-in
+
+
 def test_merge_untouched_files_not_rewritten(spark, tmpdir_path):
     path = os.path.join(tmpdir_path, "part")
     df = spark.createDataFrame([(i, "p%d" % (i % 3)) for i in range(9)], "k int, p string")

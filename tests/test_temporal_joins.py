@@ -55,6 +55,24 @@ def test_range_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_left_outer(spark):
+    import pytest
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (4, 95.0)], "id int, value double"
+    )
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 30.0, "mid")],
+        "lo double, hi double, label string",
+    )
+    out = range_join(points, ranges, "value", bucket_width=10.0, how="left")
+    got = {r["id"]: (r["label"], r["lo"]) for r in out.collect()}
+    # unmatched point 4 survives with null interval columns
+    assert got == {1: ("low", 0.0), 2: ("mid", 10.0), 4: (None, None)}
+    with pytest.raises(ValueError, match="inner.*or.*left"):
+        range_join(points, ranges, "value", how="full")
+
+
 def test_streaming_sessionize_stateful(spark, tmpdir_path):
     from jodie_spark.streaming.stateful import streaming_sessionize
 
