@@ -324,25 +324,43 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, "embedding", "vec_id", query, 10).select("vec_id")
 
 
-def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jodie_spark.operators.similarity import ann_topk
+def _planted_embeddings(spark: SparkSession, sf_dir: str, n_clones: int = 9):
+    """embeddings ∪ exact copies of vector 0 under ids 100001..100009.
+
+    The copies are the *planted ground truth* that makes the ANN
+    queries oracle-able on uniform-random embeddings: an identical
+    vector has cosine 1.0 (≫ the 0.37 natural max at sf0.01) and an
+    identical LSH/IVF signature, so any correct probe MUST surface
+    all of them, and DuckDB's brute-force top-k agrees exactly."""
     from jodie_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    first = emb.filter("vec_id = 0").take(1)[0]["embedding"]
-    dim = len(first)
-    return ann_topk(emb, "embedding", "vec_id", first, dim, 10)
+    clones = (
+        emb.filter("vec_id = 0")
+        .crossJoin(spark.range(1, n_clones + 1).select((F.col("id") + 100000).alias("__cid__")))
+        .select(F.col("__cid__").alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(clones)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.similarity import ann_topk
+
+    aug = _planted_embeddings(spark, sf_dir)
+    first = aug.filter("vec_id = 0").take(1)[0]["embedding"]
+    return ann_topk(aug, "embedding", "vec_id", first, len(first), 10).select("vec_id")
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.ivf import ivf_topk
-    from jodie_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter("vec_id = 0").take(1)[0]["embedding"]
-    return ivf_topk(emb, "embedding", "vec_id", query, k=10, n_centroids=8, n_probe=3)
+    aug = _planted_embeddings(spark, sf_dir)
+    query = aug.filter("vec_id = 0").take(1)[0]["embedding"]
+    return ivf_topk(
+        aug, "embedding", "vec_id", query, k=10, n_centroids=8, n_probe=3
+    ).select("vec_id")
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,15 +368,37 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "text", "doc_id").select("doc_id")
+    return minhash_dedup(
+        docs, "text", "doc_id", verify_threshold=0.5, transitive=True
+    ).select("doc_id")
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jodie_spark.operators.text_dedup import simhash_dedup
+    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs, simhash_dedup
     from jodie_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_dedup(docs, "text", "doc_id").select("doc_id")
+    # Restrict to documents with no true near-duplicate partner (their
+    # drop set under SimHash is data-dependent, not SQL-expressible),
+    # then plant exact text clones: hamming(simhash) = 0, so a correct
+    # banded dedup MUST drop every clone and nothing else — which IS
+    # SQL-expressible (brute-force Jaccard finds the excluded docs).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    paired = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    base = docs.join(paired, "doc_id", "left_anti")
+    clones = base.filter("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    # max_hamming=1: the synthetic corpus is word-bag-similar enough
+    # that unrelated docs sit at hamming 2-6; the planted clones are at
+    # hamming 0, so 1 separates them deterministically.
+    return simhash_dedup(
+        base.unionByName(clones), "text", "doc_id", max_hamming=1
+    ).select("doc_id")
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,9 +415,18 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.text_dedup import embedding_dedup
     from jodie_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Plant exact vector copies (ids +100000 of vec_id < 20): cosine
+    # exactly 1.0 ≥ 0.99, identical SRP signature in every table, so a
+    # correct pipeline MUST drop all 20 clones; natural pairs top out
+    # at cosine ≈ 0.51 so nothing else may be dropped. Survivors ≡ the
+    # original table — the DuckDB oracle.
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(clones)
     dim = len(emb.take(1)[0]["embedding"])
-    return embedding_dedup(emb, "embedding", "vec_id", dim, threshold=0.99).select("vec_id")
+    return embedding_dedup(aug, "embedding", "vec_id", dim, threshold=0.99).select("vec_id")
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +454,13 @@ def _q_clean_corpus_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return clean_corpus(docs, min_quality=0.5, min_tokens=10, fuzzy=True).select("doc_id")
+    return clean_corpus(
+        docs,
+        min_quality=0.5,
+        min_tokens=10,
+        fuzzy=True,
+        fuzzy_kwargs={"verify_threshold": 0.5, "transitive": True},
+    ).select("doc_id")
 
 
 def _q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,9 +768,83 @@ def _language_id_oracle() -> str:
     """
 
 
+def _jaccard_pairs_cte(src: str = "documents") -> str:
+    """Brute-force all-pairs n-gram Jaccard over ``src``, matching the
+    Spark shingle semantics exactly (lowercase, split on non-alnum,
+    distinct 5-word shingles, short docs yield one shingle). Yields
+    CTEs ``dup_pairs(id_a, id_b)`` with true Jaccard ≥ 0.5 — feasible
+    in DuckDB at sf0.01 (500 docs → 125k pairs)."""
+    return f"""
+        __w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                               w -> len(w) > 0) AS ws
+            FROM {src}
+        ),
+        __sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
+                                                i -> array_to_string(ws[i:i+4], ' '))) AS s
+            FROM __w
+        ),
+        dup_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM __sh a JOIN __sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        )
+    """
+
+
+_COMPONENT_DROP_CTE = """
+        __edges AS (
+            SELECT id_a AS src, id_b AS dst FROM dup_pairs
+            UNION SELECT id_b, id_a FROM dup_pairs
+        ),
+        __reach(id, r) AS (
+            SELECT src, src FROM __edges
+            UNION
+            SELECT e.dst, __reach.r FROM __edges e JOIN __reach ON e.src = __reach.id
+        ),
+        dropped AS (SELECT id FROM __reach GROUP BY id HAVING min(r) <> id)
+"""
+
+
+_PLANTED_ANN_ORACLE = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT 100000 + i, (SELECT v FROM q) FROM generate_series(1, 9) AS t(i)
+    )
+    SELECT vec_id FROM aug
+    ORDER BY list_cosine_similarity(v, (SELECT v FROM q)) DESC, vec_id
+    LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "language_id": _language_id_oracle(),
+        "ngram_jaccard_pairs": f"""
+            WITH {_jaccard_pairs_cte()}
+            SELECT id_a, id_b FROM dup_pairs
+        """,
+        "minhash_dedup": f"""
+            WITH RECURSIVE {_jaccard_pairs_cte()}, {_COMPONENT_DROP_CTE}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
+        """,
+        "simhash_dedup": f"""
+            WITH {_jaccard_pairs_cte()},
+            paired AS (
+                SELECT id_a AS id FROM dup_pairs UNION SELECT id_b FROM dup_pairs
+            )
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM paired)
+        """,
+        "embedding_dedup": "SELECT vec_id FROM embeddings",
+        "ann_topk": _PLANTED_ANN_ORACLE,
+        "ivf_topk": _PLANTED_ANN_ORACLE,
         "kill_duplicate_records": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
@@ -916,6 +1045,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, quality, fingerprint FROM scored
             WHERE quality >= 0.5 AND n_tokens >= 10
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+        """,
+        "clean_corpus_fuzzy": f"""
+            WITH RECURSIVE sig AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS n_tokens,
+                       length(text) AS n_chars,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                       x -> len(x) > 0)) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^.!?]', '', 'g')) > 0 AS has_term,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, n_tokens, fingerprint,
+                       ((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_words > 0
+                                AND (CAST(n_chars AS DOUBLE) / n_words) BETWEEN 3 AND 12
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_chars > 0
+                                AND (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.6
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN has_term THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+                FROM sig
+            ), kept AS (
+                SELECT s.doc_id, d.text
+                FROM scored s JOIN documents d USING (doc_id)
+                WHERE s.quality >= 0.5 AND s.n_tokens >= 10
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY s.fingerprint ORDER BY s.doc_id) = 1
+            ), {_jaccard_pairs_cte("kept")}, {_COMPONENT_DROP_CTE}
+            SELECT doc_id FROM kept
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
         """,
         "token_frequencies": """
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM (

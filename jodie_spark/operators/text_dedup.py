@@ -214,6 +214,67 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_component_reps(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Minimum-id representative per connected component of an
+    undirected pair graph: ``(id, rep)`` for every id appearing in
+    ``pairs``.
+
+    Min-label propagation with pointer jumping (``rep ← rep[rep]``
+    each round), so convergence is O(log diameter) rounds, not
+    O(diameter). The iteration state is O(#pairs) — near-duplicate
+    graphs are a vanishing fraction of the corpus, so the loop's
+    joins are small even when the corpus is 100 TB. Each round is
+    localCheckpointed to truncate lineage; convergence is detected
+    via the monotone-decreasing sum of labels (one tiny action per
+    round)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    try:
+        lab = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("__nb__"))
+            .select(F.col("src").alias("id"), F.least("src", "__nb__").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sum = lab.agg(F.sum("rep")).collect()[0][0]
+        for _ in range(max_iter):
+            nb = (
+                edges.join(
+                    lab.select(F.col("id").alias("dst"), F.col("rep").alias("__dr__")), "dst"
+                )
+                .groupBy("src")
+                .agg(F.min("__dr__").alias("__nb__"))
+                .select(F.col("src").alias("id"), "__nb__")
+            )
+            new = lab.join(nb, "id", "left").select(
+                "id", F.least("rep", F.coalesce("__nb__", "rep")).alias("rep")
+            )
+            # pointer jumping: follow rep one extra hop
+            hop = new.select(F.col("id").alias("__rid__"), F.col("rep").alias("__rrep__"))
+            new = (
+                new.join(hop, new["rep"] == hop["__rid__"], "left")
+                .select("id", F.least("rep", F.coalesce("__rrep__", "rep")).alias("rep"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = new.agg(F.sum("rep")).collect()[0][0]
+            lab = new
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return lab
+    finally:
+        edges.unpersist()
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -221,11 +282,43 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    verify_threshold: float | None = None,
+    transitive: bool = False,
 ) -> DataFrame:
-    """Drop documents that share an LSH band bucket with a lower-id
-    document (single-pass representative election: per bucket, the min
-    id survives; chains longer than one hop need iteration and are
-    deliberately out of scope for one pass)."""
+    """Drop near-duplicate documents found via MinHash LSH.
+
+    Default mode is the single-pass bucket election: drop documents
+    that share an LSH band bucket with a lower-id document (per
+    bucket, the min id survives; chains longer than one hop keep or
+    drop by bucket luck).
+
+    ``verify_threshold`` adds an exact n-gram-Jaccard verification of
+    every candidate pair, so false bucket collisions never drop a
+    document — the drop set is defined purely by true Jaccard ≥
+    threshold, which makes the result brute-force checkable.
+
+    ``transitive=True`` elects one survivor (the min id) per
+    *connected component* of the pair graph instead of per pair, so a
+    chain A~B~C dedupes to exactly {A} regardless of bucketing luck
+    (:func:`connected_component_reps`)."""
+    if verify_threshold is not None or transitive:
+        if verify_threshold is not None:
+            pairs = ngram_jaccard_pairs(
+                df, text_col, id_col, verify_threshold, shingle_size, num_hashes, bands
+            ).select("id_a", "id_b")
+        else:
+            pairs = minhash_candidate_pairs(
+                df, text_col, id_col, num_hashes, bands, shingle_size
+            )
+        if transitive:
+            reps = connected_component_reps(pairs)
+            dropped = (
+                reps.filter(F.col("id") != F.col("rep"))
+                .select(F.col("id").alias(id_col))
+            )
+        else:
+            dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(dropped, id_col, "left_anti")
     # project to (id, band, bucket) BEFORE the explode/shuffle — the wide
     # text column must not ride through a 16×-amplified exchange
     sigs = (

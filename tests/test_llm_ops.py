@@ -205,3 +205,37 @@ def test_windowed_event_counts_and_sessionize(spark):
     s = sessionize(events, "30 minutes")
     n = s.filter("user_id = 100").select("session_seq").agg(F.max("session_seq")).collect()[0][0]
     assert n == 2  # 90-min gap splits user 100 into two sessions
+
+
+def test_connected_component_reps_chain(spark):
+    from jodie_spark.operators.text_dedup import connected_component_reps
+
+    # two components: a 4-chain 1-2-3-4 (diameter 3) and a pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    reps = {r["id"]: r["rep"] for r in connected_component_reps(pairs).collect()}
+    assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    # A~B and B~C near-dups, A and C farther apart: component election
+    # must keep exactly A regardless of which buckets collide
+    words = "the quick brown fox jumps over the lazy dog again and again in the field tonight".split()
+    a = " ".join(words)
+    b = " ".join(words + ["extra"])
+    c = " ".join(words + ["extra", "words", "appended", "here"])
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "completely different text about spark engines at scale")],
+        ["doc_id", "text"],
+    )
+    out = minhash_dedup(df, "text", "doc_id", verify_threshold=0.5, transitive=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 9]
+
+
+def test_minhash_dedup_verified_drops_false_buckets(spark):
+    # verify_threshold must protect docs whose only link is a bucket
+    # collision below the Jaccard bar: non-transitive verified mode
+    # drops exactly the true near-dups
+    out = minhash_dedup(_doc_df(spark), "text", "doc_id", verify_threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]
