@@ -59,36 +59,41 @@ _ADD_SCHEMA = T.StructType(
         T.StructField("stats", T.StringType()),
     ]
 )
+_REMOVE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("deletionTimestamp", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+        T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("size", T.LongType()),
+    ]
+)
 _ACTION_SCHEMA = T.StructType(
     [
         T.StructField("add", _ADD_SCHEMA),
-        T.StructField(
-            "remove",
-            T.StructType([T.StructField("path", T.StringType())]),
-        ),
+        T.StructField("remove", _REMOVE_SCHEMA),
     ]
 )
 
 
-def files_df(spark: SparkSession, path: str) -> DataFrame:
-    """Active add-files of the latest snapshot as a Spark DataFrame:
-    ``[path, partitionValues, size, modificationTime, stats]``.
-
-    Checkpoint parquet (if any) + JSON tail are read by Spark; the
-    newest action per file path wins (adds survive, removes drop).
-    Single-part checkpoints only (all this engine writes).
-    """
+def _latest_actions_df(
+    spark: SparkSession, path: str, max_version: int | None = None
+) -> DataFrame:
+    """Newest action per file path as ``[add, remove]`` structs —
+    checkpoint parquet (single- or multi-part) + JSON tail, all read by
+    Spark. The reconciliation (adds survive, removes become
+    tombstones) is a window over path, exactly how Delta reconstructs
+    state distributed."""
     log = DeltaLog(path)
-    latest = log.latest_version()
+    latest = log.latest_version() if max_version is None else int(max_version)
     checkpoints = [c for c in log.list_checkpoint_versions() if c <= latest]
     base = max(checkpoints) if checkpoints else None
 
     sources: list[DataFrame] = []
     if base is not None:
-        cp = spark.read.parquet(os.path.join(log.log_path, checkpoint_file_name(base)))
+        cp = spark.read.parquet(*log.checkpoint_part_files(base))
         # project subfields explicitly — checkpoint structs carry extra
-        # fields (e.g. remove.partitionValues) and struct casts require
-        # matching arity
+        # fields and struct casts require matching arity
         add_struct = F.struct(
             F.col("add.path").alias("path"),
             F.col("add.partitionValues").alias("partitionValues"),
@@ -97,7 +102,13 @@ def files_df(spark: SparkSession, path: str) -> DataFrame:
             F.col("add.dataChange").alias("dataChange"),
             F.col("add.stats").alias("stats"),
         )
-        remove_struct = F.struct(F.col("remove.path").alias("path"))
+        remove_struct = F.struct(
+            F.col("remove.path").alias("path"),
+            F.col("remove.deletionTimestamp").cast("long").alias("deletionTimestamp"),
+            F.col("remove.dataChange").alias("dataChange"),
+            F.col("remove.partitionValues").alias("partitionValues"),
+            F.col("remove.size").cast("long").alias("size"),
+        )
         sources.append(
             cp.select(
                 F.lit(base).alias("version"),
@@ -105,7 +116,10 @@ def files_df(spark: SparkSession, path: str) -> DataFrame:
                 F.when(F.col("remove").isNotNull(), remove_struct).alias("remove"),
             )
         )
-    tail = [v for v in log.list_commit_versions() if base is None or v > base]
+    tail = [
+        v for v in log.list_commit_versions()
+        if (base is None or v > base) and v <= latest
+    ]
     if tail:
         tail_paths = [os.path.join(log.log_path, commit_file_name(v)) for v in tail]
         raw = spark.read.schema(_ACTION_SCHEMA).json(tail_paths)
@@ -116,23 +130,147 @@ def files_df(spark: SparkSession, path: str) -> DataFrame:
             ).select("version", "add", "remove")
         )
     if not sources:
-        return spark.createDataFrame([], T.StructType(list(_ADD_SCHEMA.fields)))
+        return spark.createDataFrame([], _ACTION_SCHEMA)
 
     actions = sources[0]
     for s in sources[1:]:
         actions = actions.unionByName(s)
     actions = actions.filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
-    actions = actions.select(
-        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("__path__"),
-        "version",
-        "add",
+    actions = actions.withColumn(
+        "__path__", F.coalesce(F.col("add.path"), F.col("remove.path"))
     )
     w = Window.partitionBy("__path__").orderBy(F.col("version").desc())
     return (
         actions.withColumn("__rn__", F.row_number().over(w))
-        .filter((F.col("__rn__") == 1) & F.col("add").isNotNull())
+        .filter(F.col("__rn__") == 1)
+        .select("add", "remove")
+    )
+
+
+def files_df(spark: SparkSession, path: str) -> DataFrame:
+    """Active add-files of the latest snapshot as a Spark DataFrame:
+    ``[path, partitionValues, size, modificationTime, stats]``."""
+    return (
+        _latest_actions_df(spark, path)
+        .filter(F.col("add").isNotNull())
         .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
     )
+
+
+_CP_ACTIONS_PER_PART = 500_000
+
+
+def write_checkpoint_spark(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Distributed checkpoint write: state reconstruction AND parquet
+    encoding run in Spark, so driver memory is bounded at any table
+    size (the driver-side ``pa.Table.from_pylist`` alternative holds
+    every add action in memory at once — minutes and gigabytes at 10⁶
+    files). Add/remove state lands in ``ceil(n/500k)`` Spark-written
+    parts; metaData/protocol ride in one tiny driver-written part.
+    Multi-part naming follows the Delta protocol
+    (``<v>.checkpoint.<i>.<n>.parquet``)."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.log import (
+        _CHECKPOINT_SCHEMA,
+        LAST_CHECKPOINT,
+        multipart_checkpoint_file_name,
+    )
+    import json as _json
+
+    log = DeltaLog(path)
+    target = log.latest_version() if version is None else int(version)
+    info = log.table_info(target)
+
+    meta_t = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField(
+                "format",
+                T.StructType(
+                    [
+                        T.StructField("provider", T.StringType()),
+                        T.StructField("options", T.MapType(T.StringType(), T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("createdTime", T.LongType()),
+        ]
+    )
+    proto_t = T.StructType(
+        [
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+        ]
+    )
+
+    state = _latest_actions_df(spark, path, max_version=target)
+    # checkpointed adds carry dataChange=false (they describe state, not
+    # change); un-expired tombstones must survive (protocol requirement —
+    # or vacuum could never delete pre-checkpoint removes)
+    add_struct = F.struct(
+        F.col("add.path").alias("path"),
+        F.col("add.partitionValues").alias("partitionValues"),
+        F.col("add.size").alias("size"),
+        F.col("add.modificationTime").alias("modificationTime"),
+        F.lit(False).alias("dataChange"),
+        F.col("add.stats").alias("stats"),
+    )
+    out = state.select(
+        F.when(F.col("add").isNotNull(), add_struct).alias("add"),
+        F.col("remove"),
+        F.lit(None).cast(meta_t).alias("metaData"),
+        F.lit(None).cast(proto_t).alias("protocol"),
+    )
+    n_actions = out.count()
+    n_parts = max(1, -(-n_actions // _CP_ACTIONS_PER_PART))
+
+    stage = os.path.join(log.table_path, f"_checkpoint_stage_{_uuid.uuid4().hex}")
+    try:
+        out.repartition(n_parts).write.parquet(stage, mode="overwrite")
+        spark_parts = sorted(
+            os.path.join(stage, n)
+            for n in os.listdir(stage)
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+        # driver-written metadata part: two rows, constant size
+        meta_rows = [
+            {"protocol": info.protocol},
+            {"metaData": info.metadata},
+        ]
+        meta_part = os.path.join(stage, "metadata-part.parquet")
+        pq.write_table(pa.Table.from_pylist(meta_rows, schema=_CHECKPOINT_SCHEMA), meta_part)
+
+        all_parts = spark_parts + [meta_part]
+        total = len(all_parts)
+        if total == 1:
+            names = [os.path.join(log.log_path, f"{target:020d}.checkpoint.parquet")]
+        else:
+            names = [
+                os.path.join(log.log_path, multipart_checkpoint_file_name(target, i + 1, total))
+                for i in range(total)
+            ]
+        for src, dst in zip(all_parts, names):
+            os.replace(src, dst)
+        payload: dict[str, Any] = {"version": target, "size": n_actions + 2}
+        if total > 1:
+            payload["parts"] = total
+        with open(os.path.join(log.log_path, LAST_CHECKPOINT), "w", encoding="utf-8") as fh:
+            _json.dump(payload, fh)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return target
 
 
 def _stats_schema(table_schema: T.StructType) -> T.StructType:

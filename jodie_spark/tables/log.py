@@ -59,6 +59,12 @@ def checkpoint_file_name(version: int) -> str:
     return f"{version:020d}.checkpoint.parquet"
 
 
+def multipart_checkpoint_file_name(version: int, part: int, parts: int) -> str:
+    """Delta's multi-part checkpoint naming:
+    ``<v>.checkpoint.<part>.<parts>.parquet`` (1-based part index)."""
+    return f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet"
+
+
 # ---------------------------------------------------------------------------
 # checkpoint parquet schema (explicit, so map columns round-trip as maps)
 # ---------------------------------------------------------------------------
@@ -128,14 +134,26 @@ class Snapshot:
         version: int,
         metadata: dict[str, Any] | None,
         protocol: dict[str, Any] | None,
-        files: dict[str, dict[str, Any]],
+        files: dict[str, dict[str, Any]] | None,
         tombstones: dict[str, dict[str, Any]] | None = None,
     ):
         self.version = version
         self.metadata = metadata or {}
         self.protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-        self.files = files  # path -> add action payload (active files)
+        # path -> add payload (active files); None for metadata-only
+        # snapshots from DeltaLog.table_info(), whose callers plan files
+        # Spark-side and must never touch a driver-side file list
+        self.files = files
         self.tombstones = tombstones or {}  # path -> remove payload (for vacuum)
+
+    def _require_files(self) -> dict[str, dict[str, Any]]:
+        if self.files is None:
+            raise RuntimeError(
+                "this Snapshot is metadata-only (DeltaLog.table_info); "
+                "use DeltaLog.snapshot() or the Spark-side files_df path "
+                "for file listings"
+            )
+        return self.files
 
     @property
     def schema_string(self) -> str:
@@ -150,13 +168,13 @@ class Snapshot:
         return dict(self.metadata.get("configuration") or {})
 
     def add_files(self) -> list[dict[str, Any]]:
-        return list(self.files.values())
+        return list(self._require_files().values())
 
     def num_files(self) -> int:
-        return len(self.files)
+        return len(self._require_files())
 
     def size_in_bytes(self) -> int:
-        return sum(int(a.get("size") or 0) for a in self.files.values())
+        return sum(int(a.get("size") or 0) for a in self._require_files().values())
 
 
 class DeltaLog:
@@ -181,14 +199,42 @@ class DeltaLog:
         return sorted(out)
 
     def list_checkpoint_versions(self) -> list[int]:
+        """Versions with a complete checkpoint: single-part
+        ``<v>.checkpoint.parquet`` or multi-part
+        ``<v>.checkpoint.<i>.<n>.parquet`` with all n parts present."""
         if not os.path.isdir(self.log_path):
             return []
-        out = []
+        single: set[int] = set()
+        parts: dict[tuple[int, int], set[int]] = {}
         for name in os.listdir(self.log_path):
-            if name.endswith(".checkpoint.parquet"):
-                head = name.split(".", 1)[0]
-                if head.isdigit():
-                    out.append(int(head))
+            if not name.endswith(".parquet"):
+                continue
+            pieces = name[: -len(".parquet")].split(".")
+            if len(pieces) == 2 and pieces[1] == "checkpoint" and pieces[0].isdigit():
+                single.add(int(pieces[0]))
+            elif (
+                len(pieces) == 4
+                and pieces[1] == "checkpoint"
+                and all(x.isdigit() for x in (pieces[0], pieces[2], pieces[3]))
+            ):
+                key = (int(pieces[0]), int(pieces[3]))
+                parts.setdefault(key, set()).add(int(pieces[2]))
+        complete = single | {
+            v for (v, n), got in parts.items() if got == set(range(1, n + 1))
+        }
+        return sorted(complete)
+
+    def checkpoint_part_files(self, version: int) -> list[str]:
+        """Absolute paths of the checkpoint file(s) for ``version``."""
+        single = os.path.join(self.log_path, checkpoint_file_name(version))
+        if os.path.isfile(single):
+            return [single]
+        prefix = f"{version:020d}.checkpoint."
+        out = [
+            os.path.join(self.log_path, n)
+            for n in os.listdir(self.log_path)
+            if n.startswith(prefix) and n.endswith(".parquet")
+        ]
         return sorted(out)
 
     def latest_version(self) -> int:
@@ -237,15 +283,88 @@ class DeltaLog:
             return None
 
     def _read_checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
-        path = os.path.join(self.log_path, checkpoint_file_name(version))
-        table = pq.read_table(path)
         actions: list[dict[str, Any]] = []
-        for row in table.to_pylist():
-            for key in ("metaData", "protocol", "add", "remove"):
-                payload = row.get(key)
-                if payload is not None and any(v is not None for v in payload.values()):
-                    actions.append({key: _maps_to_dicts(payload)})
+        for path in self.checkpoint_part_files(version):
+            table = pq.read_table(path)
+            for row in table.to_pylist():
+                for key in ("metaData", "protocol", "add", "remove"):
+                    payload = row.get(key)
+                    if payload is not None and any(v is not None for v in payload.values()):
+                        actions.append({key: _maps_to_dicts(payload)})
         return actions
+
+    def _replay_plan(self, version: int | None) -> tuple[int, int, list[int]]:
+        """(target, base_checkpoint_version_or_-1, commit versions to
+        replay), with the contiguity check both snapshot flavors need."""
+        latest = self.latest_version()
+        if latest < 0:
+            raise DeltaProtocolError(f"{self.table_path} is not a Delta table (no log)")
+        target = latest if version is None else int(version)
+
+        commit_versions = set(self.list_commit_versions())
+        checkpoints = [c for c in self.list_checkpoint_versions() if c <= target]
+        base_version = max(checkpoints) if checkpoints else -1
+
+        # every version in (base, target] must exist as a commit json
+        needed = [v for v in range(base_version + 1, target + 1)]
+        missing = [v for v in needed if v not in commit_versions]
+        if missing or (base_version == -1 and target >= 0 and 0 not in commit_versions):
+            earliest = self.earliest_reachable_version()
+            raise VersionNotFoundError(target, earliest, latest)
+        return target, base_version, needed
+
+    def table_info(self, version: int | None = None) -> Snapshot:
+        """Metadata-only snapshot: version + newest metaData/protocol
+        WITHOUT materializing the file list.
+
+        This is what keeps DML planning off the driver at scale: a
+        million-file table's snapshot() is O(#files) driver time and
+        memory, while table_info() is O(log-tail bytes) — commit JSONs
+        are scanned newest-first with a cheap substring gate before any
+        parse, and a checkpoint contributes only its two metadata
+        columns (column-projected parquet read, adds never
+        deserialized). File planning then runs Spark-side over
+        ``files_df`` (distribution.py)."""
+        target, base_version, needed = self._replay_plan(version)
+        metadata: dict[str, Any] | None = None
+        protocol: dict[str, Any] | None = None
+        for v in reversed(needed):
+            m: dict[str, Any] | None = None
+            p: dict[str, Any] | None = None
+            with open(self.commit_file_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    # last metaData/protocol within a commit wins
+                    if '"metaData"' in line:
+                        a = json.loads(line)
+                        if a.get("metaData"):
+                            m = a["metaData"]
+                    if '"protocol"' in line:
+                        a = json.loads(line)
+                        if a.get("protocol"):
+                            p = a["protocol"]
+            if metadata is None and m is not None:
+                metadata = m
+            if protocol is None and p is not None:
+                protocol = p
+            if metadata is not None and protocol is not None:
+                break
+        if (metadata is None or protocol is None) and base_version >= 0:
+            for part in self.checkpoint_part_files(base_version):
+                cp = pq.read_table(part, columns=["metaData", "protocol"])
+                for row in cp.to_pylist():
+                    md, pr = row.get("metaData"), row.get("protocol")
+                    if metadata is None and md and any(x is not None for x in md.values()):
+                        metadata = _maps_to_dicts(md)
+                    if protocol is None and pr and any(x is not None for x in pr.values()):
+                        protocol = _maps_to_dicts(pr)
+                if metadata is not None and protocol is not None:
+                    break
+        if metadata is None:
+            raise DeltaProtocolError(
+                f"no metaData action found reconstructing {self.table_path}@{target}"
+            )
+        self._check_read_protocol(protocol)
+        return Snapshot(target, metadata, protocol, files=None)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Reconstruct state at ``version`` (default: latest).
@@ -255,25 +374,10 @@ class DeltaLog:
         version's log tail is gone (deleted commit jsons) — parity with
         Delta's time-travel failure (ChangeDataFeedHelper.scala:207-210).
         """
-        latest = self.latest_version()
-        if latest < 0:
-            raise DeltaProtocolError(f"{self.table_path} is not a Delta table (no log)")
-        target = latest if version is None else int(version)
-
-        commit_versions = set(self.list_commit_versions())
-        checkpoints = [c for c in self.list_checkpoint_versions() if c <= target]
-        base_version = -1
-        base_actions: list[dict[str, Any]] = []
-        if checkpoints:
-            base_version = max(checkpoints)
-            base_actions = self._read_checkpoint_actions(base_version)
-
-        # every version in (base, target] must exist as a commit json
-        needed = [v for v in range(base_version + 1, target + 1)]
-        missing = [v for v in needed if v not in commit_versions]
-        if missing or (base_version == -1 and target >= 0 and 0 not in commit_versions):
-            earliest = self.earliest_reachable_version()
-            raise VersionNotFoundError(target, earliest, latest)
+        target, base_version, needed = self._replay_plan(version)
+        base_actions: list[dict[str, Any]] = (
+            self._read_checkpoint_actions(base_version) if base_version >= 0 else []
+        )
 
         metadata: dict[str, Any] | None = None
         protocol: dict[str, Any] | None = None
@@ -391,7 +495,9 @@ class DeltaLog:
 
     def checkpoint_interval(self, snapshot: Snapshot | None = None) -> int:
         try:
-            snap = snapshot or self.snapshot()
+            # the interval only needs table configuration — a metadata
+            # replay, never the O(#files) state reconstruction
+            snap = snapshot or self.table_info()
             return int(snap.configuration.get(CHECKPOINT_INTERVAL_PROP, DEFAULT_CHECKPOINT_INTERVAL))
         except Exception:
             return DEFAULT_CHECKPOINT_INTERVAL
@@ -400,7 +506,7 @@ class DeltaLog:
         if version <= 0:
             return
         try:
-            interval = self.checkpoint_interval(self.snapshot(version))
+            interval = self.checkpoint_interval(self.table_info(version))
         except Exception:
             interval = DEFAULT_CHECKPOINT_INTERVAL
         if interval > 0 and version % interval == 0:
@@ -409,7 +515,25 @@ class DeltaLog:
             except Exception:
                 pass  # checkpointing is an optimization; never fail the commit
 
-    def write_checkpoint(self, version: int | None = None) -> int:
+    def write_checkpoint(self, version: int | None = None, spark: Any = None) -> int:
+        """Checkpoint the state at ``version``.
+
+        With an active SparkSession the reconstruction + parquet
+        encoding run distributed (bounded driver memory at any file
+        count; see distribution.write_checkpoint_spark). The
+        driver-side pyarrow path remains as the no-Spark fallback so
+        the log layer stays usable standalone."""
+        if spark is None:
+            try:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+            except Exception:
+                spark = None
+        if spark is not None:
+            from jodie_spark.tables.distribution import write_checkpoint_spark
+
+            return write_checkpoint_spark(spark, self.table_path, version)
         snap = self.snapshot(version)
         rows: list[dict[str, Any]] = [
             {"protocol": snap.protocol},

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from jodie_spark.errors import JodieValidationError
-from jodie_spark.tables.pruning import prune_files, split_conjuncts, _referenced_names
+from jodie_spark.tables.pruning import split_conjuncts, _referenced_names
 from jodie_spark.tables.writer import write_data_files
 
 if TYPE_CHECKING:
@@ -136,13 +136,14 @@ class DeltaMergeBuilder:
         from jodie_spark.tables.table import (
             filter_by_paths,
             map_touched_paths,
+            plan_candidate_files,
             read_files_df,
         )
 
         t = self.table
         spark = t.spark
         t0 = time.time()
-        snap = t.snapshot()
+        snap = t.deltaLog.table_info()
         schema = t.schema(snap)
         talias = t._alias or "target"
         out_cols = [f.name for f in schema.fields]
@@ -160,7 +161,9 @@ class DeltaMergeBuilder:
 
         # -- pass 1: which files contain matched rows? ----------------------
         prune_cond = self._target_only_condition(talias, out_cols)
-        candidates = prune_files(snap.add_files(), prune_cond, schema, snap.partition_columns)
+        candidates = plan_candidate_files(
+            spark, t.path, prune_cond, schema, snap.partition_columns
+        )
 
         touched: list[dict[str, Any]] = []
         probe = None

@@ -24,7 +24,6 @@ from pyspark.sql import types as T
 
 from jodie_spark.errors import DeltaProtocolError, JodieValidationError
 from jodie_spark.tables.log import DeltaLog, Snapshot
-from jodie_spark.tables.pruning import prune_files
 from jodie_spark.tables.writer import write_data_files, write_metrics
 
 CDF_PROP = "delta.enableChangeDataFeed"
@@ -59,6 +58,58 @@ def read_files_df(
         .load(paths)
     )
     return df.select(*[F.col(f.name) for f in schema.fields])
+
+
+def plan_candidate_files(
+    spark: SparkSession,
+    table_path: str,
+    condition: str | None,
+    schema: T.StructType,
+    partition_columns: list[str],
+) -> list[dict[str, Any]]:
+    """Spark-side DML file planning: stats/partition pruning runs as a
+    ``filter()`` over the ``files_df`` metadata DataFrame — the same
+    path the analytics (distribution.py) use — so the driver never
+    evaluates per-file predicates in Python. Only surviving entries
+    (the rewrite working set) are collected, and without their stats
+    strings: row counting happens on the cached data read or via a
+    Spark aggregate, never by re-parsing stats JSON driver-side."""
+    from jodie_spark.tables.distribution import (
+        _file_filter_column,
+        _stats_schema,
+        files_df,
+    )
+
+    fdf = files_df(spark, table_path)
+    if condition:
+        keep, _ = _file_filter_column(condition, schema, partition_columns)
+        fdf = fdf.withColumn(
+            "parsed_stats", F.from_json("stats", _stats_schema(schema))
+        ).filter(keep)
+    rows = fdf.select("path", "partitionValues", "size", "modificationTime").collect()
+    return [
+        {
+            "path": r["path"],
+            "partitionValues": dict(r["partitionValues"] or {}),
+            "size": r["size"],
+            "modificationTime": r["modificationTime"],
+        }
+        for r in rows
+    ]
+
+
+def planned_num_records(spark: SparkSession, table_path: str, schema: T.StructType) -> int:
+    """Total numRecords of the latest snapshot, aggregated Spark-side
+    from the files_df stats column (no driver-side stats parsing)."""
+    from jodie_spark.tables.distribution import _stats_schema, files_df
+
+    row = (
+        files_df(spark, table_path)
+        .withColumn("parsed_stats", F.from_json("stats", _stats_schema(schema)))
+        .agg(F.sum("parsed_stats.numRecords"))
+        .collect()[0]
+    )
+    return int(row[0] or 0)
 
 
 class DeltaTable:
@@ -224,10 +275,11 @@ class DeltaTable:
         """Copy-on-write DELETE with stats-based file skipping: files whose
         stats prove no match are never read or rewritten."""
         t0 = time.time()
-        snap = self.snapshot()
+        snap = self.deltaLog.table_info()
         schema = self.schema(snap)
-        all_files = snap.add_files()
-        candidates = prune_files(all_files, condition, schema, snap.partition_columns)
+        candidates = plan_candidate_files(
+            self.spark, self.path, condition, schema, snap.partition_columns
+        )
 
         removes: list[dict[str, Any]] = []
         adds: list[dict[str, Any]] = []
@@ -238,11 +290,7 @@ class DeltaTable:
 
         if condition is None:
             removes = candidates
-            deleted_rows = sum(
-                int(json.loads(a["stats"]).get("numRecords") or 0)
-                for a in candidates
-                if a.get("stats")
-            )
+            deleted_rows = planned_num_records(self.spark, self.path, schema)
         elif candidates:
             t_scan = time.time()
             # single read of the candidate files, cached across the
@@ -268,11 +316,9 @@ class DeltaTable:
                     keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
                     adds = write_data_files(keep_df, self.path, snap.partition_columns)
                     removes = touched
-                    total_before = sum(
-                        int(json.loads(a["stats"]).get("numRecords") or 0)
-                        for a in touched
-                        if a.get("stats")
-                    )
+                    # count over the cached candidate read (no stats
+                    # re-parse; candidates carry no stats strings)
+                    total_before = touched_df.count()
                     copied_rows = sum(
                         int(json.loads(a["stats"]).get("numRecords") or 0) for a in adds
                     )
@@ -318,9 +364,11 @@ class DeltaTable:
     def update(self, condition: str | None, set: dict[str, Any]) -> None:  # noqa: A002
         """Copy-on-write UPDATE with the same file-skipping as delete."""
         t0 = time.time()
-        snap = self.snapshot()
+        snap = self.deltaLog.table_info()
         schema = self.schema(snap)
-        candidates = prune_files(snap.add_files(), condition, schema, snap.partition_columns)
+        candidates = plan_candidate_files(
+            self.spark, self.path, condition, schema, snap.partition_columns
+        )
         cond_col = F.expr(condition) if condition else F.lit(True)
 
         adds: list[dict[str, Any]] = []
@@ -519,9 +567,9 @@ class OptimizeBuilder:
 
     def _rewrite(self, cluster_by: list[str] | None, target_file_size: int = 128 * 1024 * 1024):
         t = self.table
-        snap = t.snapshot()
+        snap = t.deltaLog.table_info()
         schema = t.schema(snap)
-        files = prune_files(snap.add_files(), self._where, schema, snap.partition_columns)
+        files = plan_candidate_files(t.spark, t.path, self._where, schema, snap.partition_columns)
         if cluster_by is None:
             files = [f for f in files if int(f.get("size") or 0) < target_file_size]
             if len(files) < 2:

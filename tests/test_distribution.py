@@ -138,3 +138,49 @@ def test_get_shuffle_file_metadata_returns_frames(spark, tmpdir_path):
     )
     assert overall.count() <= full.count()
     assert cols == []
+
+
+def test_spark_side_checkpoint_roundtrip_50k(spark, tmpdir_path):
+    """write_checkpoint builds the checkpoint with Spark (bounded driver
+    memory): a 50k-add log checkpoints into multi-part files that both
+    the Spark reader (files_df) and the driver reader (snapshot) fully
+    reconstruct, tombstones included."""
+    import json as _json
+    import os as _os
+
+    from jodie_spark.tables.distribution import files_df
+    from jodie_spark.tables.log import DeltaLog, commit_file_name
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = _os.path.join(tmpdir_path, "cp50k")
+    write_delta(
+        spark.range(0, 100).selectExpr("id", "cast(id as string) as v").repartition(3), p
+    )
+    DeltaTable.forPath(spark, p).delete("id < 10")  # creates tombstones
+
+    lines = [_json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                                         "operationParameters": {}, "operationMetrics": {}}})]
+    for i in range(50_000):
+        lo = 1_000_000 + i * 10
+        st = _json.dumps({"numRecords": 10, "minValues": {"id": lo, "v": "x"},
+                          "maxValues": {"id": lo + 9, "v": "x"},
+                          "nullCount": {"id": 0, "v": 0}})
+        lines.append(_json.dumps({"add": {"path": f"fake/part-{i:06d}.parquet",
+                                          "partitionValues": {}, "size": 1000,
+                                          "modificationTime": 0, "dataChange": True,
+                                          "stats": st}}))
+    log = DeltaLog(p)
+    with open(_os.path.join(log.log_path, commit_file_name(2)), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    v = log.write_checkpoint(spark=spark)
+    assert v == 2
+    assert v in log.list_checkpoint_versions()
+    assert files_df(spark, p).count() == 50_003
+    snap = log.snapshot()
+    assert snap.num_files() == 50_003
+    assert len(snap.tombstones) == 3
+    assert snap.metadata.get("schemaString")
+    # DML on top of the checkpoint replans and commits
+    DeltaTable.forPath(spark, p).update("id >= 90 and id < 200", {"v": "'z'"})
+    assert log.table_info().version == 3

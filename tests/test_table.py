@@ -253,3 +253,60 @@ def test_special_char_partition_values_round_trip(spark, tmpdir_path):
     )
     got = sorted(tuple(r) for r in t.toDF().collect())
     assert got == [(4, "plain"), (10, "a b")]  # no duplicate re-inserts
+
+
+def test_dml_plans_spark_side_on_large_synthetic_log(spark, tmpdir_path):
+    """DML file planning must ride the Spark-side files_df path: a
+    10k-add log with stats that prune to 2 real files plans and
+    executes without ever materializing the driver-side file list
+    (table_info snapshots carry files=None, so any add_files() call in
+    the DML path would raise), and without touching the 10k fabricated
+    paths (they do not exist on disk — reading any of them would
+    fail)."""
+    import json as _json
+    import os as _os
+
+    from jodie_spark.tables.log import DeltaLog, commit_file_name
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = _os.path.join(tmpdir_path, "big_log")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as string) as v")
+    write_delta(df.repartition(2), p)
+
+    # version 1: 10_000 fabricated adds whose id ranges never overlap
+    # the predicate below; files intentionally absent on disk
+    lines = []
+    for i in range(10_000):
+        lo = 1_000_000 + i * 10
+        stats = _json.dumps(
+            {"numRecords": 10, "minValues": {"id": lo, "v": "x"},
+             "maxValues": {"id": lo + 9, "v": "x"}, "nullCount": {"id": 0, "v": 0}}
+        )
+        lines.append(_json.dumps({"add": {
+            "path": f"fake/part-{i:05d}.parquet", "partitionValues": {},
+            "size": 1000, "modificationTime": 0, "dataChange": True,
+            "stats": stats}}))
+    lines.insert(0, _json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                                                "operationParameters": {}, "operationMetrics": {}}}))
+    log_dir = _os.path.join(p, "_delta_log")
+    with open(_os.path.join(log_dir, commit_file_name(1)), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id < 10")
+    t.update("id >= 10 and id < 20", {"v": "'u'"})
+    src = spark.createDataFrame([(50, "m")], ["id", "v"])
+    (t.alias("t").merge(src.alias("s"), "t.id = s.id and t.id < 100")
+       .whenMatchedUpdate(set={"v": "s.v"}).execute())
+
+    # the fabricated adds must still be active and untouched
+    snap = DeltaLog(p).snapshot()
+    fakes = [a for a in snap.add_files() if a["path"].startswith("fake/")]
+    assert len(fakes) == 10_000
+    # and the real rows went through all three mutations
+    real = [a for a in snap.add_files() if not a["path"].startswith("fake/")]
+    got = spark.read.format("parquet").load(
+        [_os.path.join(p, a["path"]) for a in real]).collect()
+    vals = {r["id"]: r["v"] for r in got}
+    assert len(vals) == 90 and 0 not in vals
+    assert vals[15] == "u" and vals[50] == "m"
