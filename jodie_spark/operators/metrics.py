@@ -54,9 +54,18 @@ class OperationMetricHelper:
         return self.spark.createDataFrame(rows, schema)
 
     def get_count_metrics(
-        self, partition_condition: str | None = None
+        self, partition_condition: str | None = None, include_non_dml: bool = False
     ) -> list[tuple[int, int, int, int, int]]:
-        """Parity: OperationMetricHelper.scala:52-63 — newest first."""
+        """Parity: OperationMetricHelper.scala:52-63 — newest first.
+
+        Only DML commits (MERGE/WRITE/DELETE/UPDATE) produce rows —
+        the reference's contract. This engine also *creates* other
+        commit types the reference never saw (RESTORE, OPTIMIZE,
+        CONVERT, VACUUM, SET TBLPROPERTIES); their row deltas are not
+        expressible in these four counters (OPTIMIZE/VACUUM move no
+        rows; RESTORE/CONVERT replace content wholesale), so they are
+        excluded by default. ``include_non_dml=True`` surfaces them as
+        explicit zero-count rows instead of silent gaps."""
         histories = [
             r.asDict()
             for r in self.table.history().collect()
@@ -94,6 +103,8 @@ class OperationMetricHelper:
                 out.append((version, m("numDeletedRows"), 0, 0, 0))
             elif op == "UPDATE":
                 out.append((version, 0, 0, m("numUpdatedRows"), 0))
+            elif include_non_dml:
+                out.append((version, 0, 0, 0, 0))
         return out
 
     def get_write_metric_by_partition(self, partition_condition: str, version: int) -> int:

@@ -131,12 +131,19 @@ def cosine_similarity_join(
     r = sig(right, "r")
     pairs = None
     for t in range(n_tables):
-        p = l.join(r, F.col(f"l_sig{t}") == F.col(f"r_sig{t}")).select(
-            "l_id", "r_id", "l_v", "r_v"
-        )
+        p = l.join(r, F.col(f"l_sig{t}") == F.col(f"r_sig{t}")).select("l_id", "r_id")
         pairs = p if pairs is None else pairs.unionByName(p)
+    # dedupe candidate pairs on the narrow (l_id, r_id) projection, then
+    # join the vectors back from the inputs for verification — a distinct
+    # over two d-float payloads shuffles ~50× more bytes than the ids
+    # (same fix as text_dedup.embedding_dedup), and the vector join needs
+    # no signature recomputation
+    va = left.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_v"))
+    vb = right.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_v"))
     return (
         pairs.distinct()
+        .join(va, "l_id")
+        .join(vb, "r_id")
         .withColumn("similarity", cosine_similarity(F.col("l_v"), F.col("r_v")))
         .filter(F.col("similarity") >= threshold)
         .select("l_id", "r_id", "similarity")

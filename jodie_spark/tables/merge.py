@@ -44,6 +44,21 @@ if TYPE_CHECKING:
     from jodie_spark.tables.table import DeltaTable
 
 
+def _strip_alias_prefix(conj: str, talias: str) -> str:
+    """Remove ``<alias>.`` from identifier tokens only — a blind
+    ``str.replace`` would also rewrite occurrences inside string
+    literals (``target.url = 'https://target.example/'``), corrupting
+    the pruning predicate. Quoted regions (with doubled-quote escapes)
+    are left untouched."""
+    import re as _re
+
+    parts = _re.split(r"('(?:[^']|'')*')", conj)
+    pat = _re.compile(rf"\b{_re.escape(talias)}\.(?=[A-Za-z_])")
+    return "".join(
+        p if p.startswith("'") else pat.sub("", p) for p in parts
+    )
+
+
 @dataclass
 class _Clause:
     kind: str  # 'update' | 'delete' | 'insert'
@@ -129,7 +144,7 @@ class DeltaMergeBuilder:
                     ok = False
                     break
             if ok:
-                kept.append(conj.replace(prefix, ""))
+                kept.append(_strip_alias_prefix(conj, talias))
         return " and ".join(kept) if kept else None
 
     def execute(self, allow_multiple_matches: bool = False) -> None:

@@ -98,7 +98,13 @@ def _truncate_stat(value: Any, is_max: bool) -> Any:
     for i in range(len(prefix) - 1, -1, -1):
         ch = prefix[i]
         if ord(ch) < 0x10FFFF:
-            return prefix[:i] + chr(ord(ch) + 1)
+            nxt = ord(ch) + 1
+            # skip the surrogate range: a lone surrogate becomes an
+            # unpaired \ud8xx escape in the stats JSON that strict
+            # parsers (other engines reading this table) reject
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
     return None  # un-widenable; drop the stat rather than over-prune
 
 

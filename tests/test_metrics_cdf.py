@@ -240,3 +240,19 @@ def test_read_cdf_synthesizes_deletes_for_remove_only_commits(spark, tmpdir_path
     df2 = read_cdf(spark, path2, 1, 1)
     got2 = sorted((r["id"], r["_change_type"]) for r in df2.collect())
     assert got2 == [(1, "delete"), (2, "delete"), (3, "delete"), (9, "insert")]
+
+
+def test_non_dml_commits_excluded_unless_opted_in(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "nondml")
+    write_delta(spark.range(5).selectExpr("id", "cast(id as string) v"), p)  # v0 WRITE
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id = 0")                        # v1 DELETE
+    t.restore(0)                              # v2 RESTORE
+    t.optimize().executeCompaction()          # v3 OPTIMIZE
+
+    default = OperationMetricHelper(spark, p).get_count_metrics()
+    assert [r[0] for r in default] == [1, 0]  # newest-first, DML only
+
+    rows = OperationMetricHelper(spark, p).get_count_metrics(include_non_dml=True)
+    assert [r[0] for r in rows] == [3, 2, 1, 0]
+    assert rows[0][1:] == (0, 0, 0, 0) and rows[1][1:] == (0, 0, 0, 0)

@@ -66,3 +66,27 @@ def test_salted_join_matches_plain_join(spark):
 
     counts = {r["k"]: r["count"] for r in salted_count(big, "k", salt=8).collect()}
     assert counts == {0: 100, 1: 100, 2: 100}
+
+
+def test_cosine_join_distinct_carries_ids_only(spark):
+    """The candidate-pair distinct must shuffle narrow (l_id, r_id)
+    pairs, never the vector payloads."""
+    import numpy as np
+
+    from jodie_spark.operators.similarity import cosine_similarity_join
+
+    rows = [(i, np.random.default_rng(i).standard_normal(4).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = cosine_similarity_join(df, df, "embedding", "vec_id", dim=4, threshold=0.9)
+    plan = _plan(q)
+    import re
+
+    dedup_aggs = [
+        m for m in re.findall(r"HashAggregate\(keys=\[[^\]]*\]", plan)
+        if "l_id" in m and "r_id" in m
+    ]
+    assert dedup_aggs, plan
+    assert all("_v" not in m for m in dedup_aggs), dedup_aggs
+    # correctness: every id pairs with itself at similarity 1
+    got = {(r["l_id"], r["r_id"]) for r in q.collect()}
+    assert {(i, i) for i in range(30)} <= got

@@ -187,3 +187,23 @@ def test_partitioned_delete_rewrites_only_matching_partition(spark, tmpdir_path)
     assert before <= after  # other partitions untouched
     assert not any("p=p0" in f for f in after)
     assert sorted(r["p"] for r in t.toDF().select("p").distinct().collect()) == ["p1", "p2"]
+
+
+def test_strip_alias_preserves_string_literals():
+    from jodie_spark.tables.merge import _strip_alias_prefix
+
+    got = _strip_alias_prefix("target.url = 'https://target.example/a'", "target")
+    assert got == "url = 'https://target.example/a'"
+    got = _strip_alias_prefix("target.a = 'it''s target.a' and target.b = 1", "target")
+    assert got == "a = 'it''s target.a' and b = 1"
+
+
+def test_truncate_stat_skips_surrogate_range():
+    import json as _json
+
+    from jodie_spark.tables.stats import _truncate_stat
+
+    widened = _truncate_stat("a" * 31 + "퟿" + "tail beyond the limit", is_max=True)
+    assert widened is not None and len(widened) == 32
+    assert widened[-1] == ""  # not a lone surrogate
+    _json.loads(_json.dumps(widened))  # round-trips as strict JSON
