@@ -12,6 +12,7 @@ from jodie_spark.errors import (
     JodieValidationError,
     VersionNotFoundError,
 )
+from jodie_spark.catalog import register_delta_table
 from jodie_spark.session import get_spark
 from jodie_spark.tables.table import DeltaTable, write_delta
 
@@ -24,5 +25,6 @@ __all__ = [
     "JodieValidationError",
     "VersionNotFoundError",
     "get_spark",
+    "register_delta_table",
     "write_delta",
 ]

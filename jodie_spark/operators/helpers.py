@@ -138,6 +138,13 @@ def copy_table(
         partition_by=partition_columns,
         options=properties,
     )
+    if target_table_name:
+        # reference parity: saveAsTable registers a metastore table
+        # (DeltaHelpers.scala:415); here the name resolves through the
+        # log-aware catalog so spark.table(name) reads the copy
+        from jodie_spark.catalog import register_delta_table
+
+        register_delta_table(delta_table.spark, target_table_name, target_path)
 
 
 def find_composite_key_candidate(

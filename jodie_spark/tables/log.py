@@ -126,6 +126,31 @@ def _maps_to_dicts(obj: Any) -> Any:
     return obj
 
 
+def _actions_conflict(
+    ours: list[dict[str, Any]], theirs: list[dict[str, Any]]
+) -> str | None:
+    """File-level compatibility of two commits (WriteSerializable
+    approximation): None when the concurrent commit can safely precede
+    ours, else a human-readable reason."""
+    our_removes = {a["remove"]["path"] for a in ours if a.get("remove")}
+    our_adds = {a["add"]["path"] for a in ours if a.get("add")}
+    for a in theirs:
+        if a.get("metaData"):
+            return "table metadata changed concurrently"
+        if a.get("protocol"):
+            return "table protocol changed concurrently"
+        rm = a.get("remove")
+        if rm:
+            if rm["path"] in our_removes:
+                return f"file {rm['path']} was removed by both transactions"
+            if rm["path"] in our_adds:
+                return f"file {rm['path']} this transaction adds was removed concurrently"
+        ad = a.get("add")
+        if ad and ad["path"] in our_removes:
+            return f"file {ad['path']} this transaction removes was rewritten concurrently"
+    return None
+
+
 class Snapshot:
     """Reconstructed table state at one version."""
 
@@ -457,12 +482,22 @@ class DeltaLog:
         operation_parameters: dict[str, Any] | None = None,
         operation_metrics: dict[str, Any] | None = None,
         engine_info: str = "jodie-spark/0.1.0",
+        max_retries: int = 10,
     ) -> int:
-        """Atomically write version ``read_version + 1``.
+        """Atomically write the next version (``read_version + 1``, or
+        later after winning a retry).
 
-        Exclusive file create = optimistic concurrency: a losing writer
-        gets ConcurrentModificationException and can retry on a fresh
-        snapshot.
+        Exclusive file create = optimistic concurrency. A loser of the
+        version race re-examines the commits that beat it and retries
+        at the next slot when they are *compatible* — the same
+        WriteSerializable-level check delta-core's ConflictChecker
+        applies: a concurrent metaData/protocol change, a concurrent
+        remove of a file this transaction also removes (or re-adds),
+        or a concurrent re-add of a file this transaction removes is a
+        real conflict and raises ConcurrentModificationException;
+        disjoint-file writers (e.g. appends, or DML on different
+        partitions) succeed without user-level retry code.
+        ``max_retries=0`` restores the raw raise-on-race primitive.
         """
         os.makedirs(self.log_path, exist_ok=True)
         version = read_version + 1
@@ -482,14 +517,36 @@ class DeltaLog:
         lines = [json.dumps({"commitInfo": commit_info}, separators=(",", ":"))]
         for action in actions:
             lines.append(json.dumps(action, separators=(",", ":")))
-        path = self.commit_file_path(version)
-        try:
-            with open(path, "x", encoding="utf-8") as fh:
-                fh.write("\n".join(lines) + "\n")
-        except FileExistsError:
-            raise ConcurrentModificationException(
-                f"version {version} of {self.table_path} was committed concurrently"
-            ) from None
+
+        checked_through = version - 1  # newest version already conflict-checked
+        attempts = 0
+        while True:
+            path = self.commit_file_path(version)
+            try:
+                with open(path, "x", encoding="utf-8") as fh:
+                    fh.write("\n".join(lines) + "\n")
+                break
+            except FileExistsError:
+                if attempts >= max_retries:
+                    raise ConcurrentModificationException(
+                        f"version {version} of {self.table_path} was committed "
+                        f"concurrently (gave up after {attempts} retries)"
+                    ) from None
+                attempts += 1
+                latest = max(self.latest_version(), version)
+                for v in range(checked_through + 1, latest + 1):
+                    try:
+                        concurrent = self.read_actions(v)
+                    except FileNotFoundError:
+                        continue  # checkpoint-only version
+                    reason = _actions_conflict(actions, concurrent)
+                    if reason:
+                        raise ConcurrentModificationException(
+                            f"commit to {self.table_path} lost the race for "
+                            f"version {version} and conflicts with version {v}: {reason}"
+                        ) from None
+                checked_through = latest
+                version = latest + 1
         self._maybe_checkpoint(version)
         return version
 

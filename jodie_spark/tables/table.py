@@ -130,6 +130,17 @@ class DeltaTable:
 
     for_path = forPath
 
+    @classmethod
+    def forName(cls, spark: SparkSession, name: str) -> "DeltaTable":
+        """Resolve a table registered via jodie_spark.catalog (e.g. by
+        ``copy_table(target_table_name=...)``) — the metastore-backed
+        ``DeltaTable.forName`` equivalent."""
+        from jodie_spark.catalog import resolve_table_path
+
+        return cls.forPath(spark, resolve_table_path(name))
+
+    for_name = forName
+
     @staticmethod
     def isDeltaTable(spark: SparkSession, path: str) -> bool:
         return DeltaLog(path).exists()

@@ -140,3 +140,30 @@ def test_copy_table_copies_data_partitions_properties(spark, tmpdir_path):
         copy_table(src)
     with pytest.raises(JodieValidationError):
         copy_table(src, target_path="x", target_table_name="y")
+
+
+def test_copy_table_registers_readable_name(spark, tmpdir_path):
+    """copy_table(target_table_name=...) must yield a name that
+    spark.table() and DeltaTable.forName() resolve (reference
+    DeltaHelpers.scala:409-424 registers a metastore table)."""
+    import shutil
+    import uuid
+
+    from jodie_spark.catalog import refresh_table, resolve_table_path, unregister_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    src = os.path.join(tmpdir_path, "cat_src")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), src)
+    name = f"copied_{uuid.uuid4().hex[:8]}"
+    copy_table(DeltaTable.forPath(spark, src), target_table_name=name)
+
+    assert sorted(tuple(r) for r in spark.table(name).collect()) == [(1, "a"), (2, "b")]
+    assert spark.sql(f"select count(*) n from {name}").collect()[0]["n"] == 2
+
+    t = DeltaTable.forName(spark, name)
+    t.delete("k = 1")
+    refresh_table(spark, name)  # views capture a snapshot; refresh after DML
+    assert [tuple(r) for r in spark.table(name).collect()] == [(2, "b")]
+    copied_path = resolve_table_path(name)
+    unregister_table(spark, name)
+    shutil.rmtree(copied_path, ignore_errors=True)

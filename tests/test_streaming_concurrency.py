@@ -78,7 +78,7 @@ def test_many_writers_race_exactly_one_wins_per_version(spark, tmpdir_path):
 
     def writer(i):
         try:
-            t.deltaLog.commit(0, [], f"WRITE", {"writer": str(i)}, {})
+            t.deltaLog.commit(0, [], "WRITE", {"writer": str(i)}, {}, max_retries=0)
             with lock:
                 outcomes.append(("win", i))
         except ConcurrentModificationException:
@@ -100,10 +100,45 @@ def test_concurrent_commit_conflict(spark, tmpdir_path):
     write_delta(spark.createDataFrame([(1,)], "x int"), path)
     t = DeltaTable.forPath(spark, path)
     snap = t.snapshot()
-    # two writers race to commit version 1; the second exclusive-create loses
-    t.deltaLog.commit(snap.version, [], "DELETE", {}, {})
+    # two writers race to remove the SAME file: the loser's retry must
+    # detect the overlap and raise rather than double-delete
+    rm = [{"remove": {"path": "part-x.parquet", "deletionTimestamp": 0,
+                      "dataChange": True, "partitionValues": {}, "size": 1}}]
+    t.deltaLog.commit(snap.version, rm, "DELETE", {}, {})
     with pytest.raises(ConcurrentModificationException):
-        t.deltaLog.commit(snap.version, [], "DELETE", {}, {})
-    # a retry on a fresh snapshot succeeds
-    t.deltaLog.commit(t.snapshot().version, [], "DELETE", {}, {})
+        t.deltaLog.commit(snap.version, rm, "DELETE", {}, {})
+    # with retries disabled, even a compatible commit loses the raw race
+    with pytest.raises(ConcurrentModificationException):
+        t.deltaLog.commit(snap.version, [], "DELETE", {}, {}, max_retries=0)
+    # a compatible commit (disjoint files) auto-retries and wins
+    v = t.deltaLog.commit(snap.version, [], "DELETE", {}, {})
+    assert v == 2
     assert t.deltaLog.latest_version() == 2
+
+
+def test_disjoint_writers_all_commit_via_auto_retry(spark, tmpdir_path):
+    import threading
+
+    path = os.path.join(tmpdir_path, "retrace")
+    write_delta(spark.createDataFrame([(0,)], "x int"), path)
+    t = DeltaTable.forPath(spark, path)
+    errors = []
+
+    def writer(i):
+        add = [{"add": {"path": f"part-w{i}.parquet", "partitionValues": {},
+                        "size": 1, "modificationTime": 0, "dataChange": True,
+                        "stats": None}}]
+        try:
+            t.deltaLog.commit(0, add, "WRITE", {"writer": str(i)}, {})
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors  # every disjoint writer eventually committed
+    assert t.deltaLog.latest_version() == 8
+    snap = t.deltaLog.snapshot()
+    assert sum(1 for a in snap.add_files() if a["path"].startswith("part-w")) == 8
