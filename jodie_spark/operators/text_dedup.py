@@ -219,21 +219,55 @@ def connected_component_reps(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Minimum-id representative per connected component of an
     undirected pair graph: ``(id, rep)`` for every id appearing in
     ``pairs``.
 
-    Min-label propagation with pointer jumping (``rep ← rep[rep]``
-    each round), so convergence is O(log diameter) rounds, not
-    O(diameter). The iteration state is O(#pairs) — near-duplicate
-    graphs are a vanishing fraction of the corpus, so the loop's
-    joins are small even when the corpus is 100 TB. Each round is
-    localCheckpointed to truncate lineage; convergence is detected
-    via the monotone-decreasing sum of labels (one tiny action per
-    round)."""
+    Adaptive: near-duplicate pair graphs are a vanishing fraction of
+    the corpus, so up to ``driver_threshold`` pairs the component
+    election is a driver-side union-find (microseconds; one collect
+    bounded by the threshold) instead of a dozen scheduled Spark jobs.
+    Beyond that it runs distributed: min-label propagation with
+    pointer jumping (``rep ← rep[rep]`` each round) — O(log diameter)
+    rounds of joins over the pair graph only, localCheckpointed to
+    truncate lineage, convergence detected via the monotone-decreasing
+    sum of labels (one tiny action per round)."""
+    spark = pairs.sparkSession
+    narrow = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # one probe collect, capped at threshold+1 rows: if the graph is
+    # small we already hold it (pair pipeline ran exactly once)
+    rows = narrow.limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union into the smaller root: roots stay component minima
+                parent[max(ra, rb)] = min(ra, rb)
+        id_type = dict(zip(pairs.columns, [f.dataType for f in pairs.schema.fields]))[id_a]
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("rep", id_type)]
+        )
+        return spark.createDataFrame(
+            [(x, find(x)) for x in parent], schema
+        )
+
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        narrow
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
@@ -356,9 +390,21 @@ def ngram_jaccard_pairs(
     """Exact-Jaccard-verified near-duplicate pairs: LSH candidates
     (bounded), then ``|A∩B| / |A∪B|`` on the true shingle sets. Returns
     (id_a, id_b, jaccard ≥ threshold)."""
-    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_size)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_size).alias("sh")
+    # lazy local checkpoint: the LSH pipeline materializes once on first
+    # action and is reused by the id-restriction and both verify joins
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_size
+    ).localCheckpoint(eager=False)
+    # shingle only the documents that appear in a candidate pair — the
+    # verify stage is O(candidates), never a second full-corpus pass
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_size).alias("sh"))
     )
     return (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -60,6 +60,26 @@ def read_files_df(
     return df.select(*[F.col(f.name) for f in schema.fields])
 
 
+# Logs below this many bytes are planned driver-side: the whole state
+# fits in a couple of MB (≈ thousands of files), where Spark-job
+# scheduling overhead (~0.3 s × several jobs per DML op) would dominate.
+# Above it, planning runs distributed over files_df — the path whose
+# cost is independent of file count on the driver.
+_DRIVER_PLAN_MAX_LOG_BYTES = 4 * 1024 * 1024
+
+
+def _log_bytes(table_path: str) -> int:
+    log = DeltaLog(table_path)
+    total = 0
+    try:
+        for name in os.listdir(log.log_path):
+            if name.endswith(".json") or name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(log.log_path, name))
+    except OSError:
+        return _DRIVER_PLAN_MAX_LOG_BYTES + 1
+    return total
+
+
 def plan_candidate_files(
     spark: SparkSession,
     table_path: str,
@@ -67,13 +87,23 @@ def plan_candidate_files(
     schema: T.StructType,
     partition_columns: list[str],
 ) -> list[dict[str, Any]]:
-    """Spark-side DML file planning: stats/partition pruning runs as a
-    ``filter()`` over the ``files_df`` metadata DataFrame — the same
-    path the analytics (distribution.py) use — so the driver never
-    evaluates per-file predicates in Python. Only surviving entries
-    (the rewrite working set) are collected, and without their stats
-    strings: row counting happens on the cached data read or via a
-    Spark aggregate, never by re-parsing stats JSON driver-side."""
+    """DML file planning, adaptive in log size.
+
+    Small logs (< 4 MiB ≈ a few thousand files) replay driver-side and
+    prune with the in-process evaluator — at that size a Spark job per
+    plan costs more than the plan. Beyond that, stats/partition pruning
+    runs as a ``filter()`` over the Spark-side ``files_df`` metadata
+    DataFrame (the same path the analytics use), so driver work is
+    bounded by the *candidate* set — the rewrite working set — never
+    the table's file count. Candidates carry no stats strings; row
+    counting happens on the cached data read or via a Spark aggregate.
+    """
+    if _log_bytes(table_path) <= _DRIVER_PLAN_MAX_LOG_BYTES:
+        from jodie_spark.tables.pruning import prune_files
+
+        snap = DeltaLog(table_path).snapshot()
+        return prune_files(snap.add_files(), condition, schema, partition_columns)
+
     from jodie_spark.tables.distribution import (
         _file_filter_column,
         _stats_schema,
@@ -99,8 +129,21 @@ def plan_candidate_files(
 
 
 def planned_num_records(spark: SparkSession, table_path: str, schema: T.StructType) -> int:
-    """Total numRecords of the latest snapshot, aggregated Spark-side
-    from the files_df stats column (no driver-side stats parsing)."""
+    """Total numRecords of the latest snapshot — driver sum for small
+    logs, Spark aggregate over the files_df stats column beyond (no
+    unbounded driver-side stats parsing)."""
+    if _log_bytes(table_path) <= _DRIVER_PLAN_MAX_LOG_BYTES:
+        snap = DeltaLog(table_path).snapshot()
+        total = 0
+        for a in snap.add_files():
+            st = a.get("stats")
+            if st:
+                try:
+                    total += int(json.loads(st).get("numRecords") or 0)
+                except (ValueError, TypeError):
+                    pass
+        return total
+
     from jodie_spark.tables.distribution import _stats_schema, files_df
 
     row = (

@@ -239,3 +239,16 @@ def test_minhash_dedup_verified_drops_false_buckets(spark):
     # drops exactly the true near-dups
     out = minhash_dedup(_doc_df(spark), "text", "doc_id", verify_threshold=0.5)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]
+
+
+def test_connected_component_reps_distributed_path(spark):
+    from jodie_spark.operators.text_dedup import connected_component_reps
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    reps = {
+        r["id"]: r["rep"]
+        for r in connected_component_reps(pairs, driver_threshold=0).collect()
+    }
+    assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -255,7 +255,7 @@ def test_special_char_partition_values_round_trip(spark, tmpdir_path):
     assert got == [(4, "plain"), (10, "a b")]  # no duplicate re-inserts
 
 
-def test_dml_plans_spark_side_on_large_synthetic_log(spark, tmpdir_path):
+def test_dml_plans_spark_side_on_large_synthetic_log(spark, tmpdir_path, monkeypatch):
     """DML file planning must ride the Spark-side files_df path: a
     10k-add log with stats that prune to 2 real files plans and
     executes without ever materializing the driver-side file list
@@ -266,8 +266,13 @@ def test_dml_plans_spark_side_on_large_synthetic_log(spark, tmpdir_path):
     import json as _json
     import os as _os
 
+    import jodie_spark.tables.table as table_mod
     from jodie_spark.tables.log import DeltaLog, commit_file_name
     from jodie_spark.tables.table import DeltaTable, write_delta
+
+    # force the distributed planner regardless of log size (the
+    # adaptive gate would route this ~3 MB log driver-side)
+    monkeypatch.setattr(table_mod, "_DRIVER_PLAN_MAX_LOG_BYTES", 0)
 
     p = _os.path.join(tmpdir_path, "big_log")
     df = spark.range(0, 100).selectExpr("id", "cast(id as string) as v")
