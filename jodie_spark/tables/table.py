@@ -576,14 +576,35 @@ class DeltaTable:
 
     def vacuum(self, retention_hours: float = 168.0) -> None:
         """Physically delete tombstoned data files and change-data files
-        older than the retention window."""
+        older than the retention window.
+
+        Writes the same VACUUM START / VACUUM END history pair
+        delta-spark records, so audits can see when files became
+        unrecoverable (the END commit carries numDeletedFiles)."""
         snap = self.snapshot()
         cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
-        for rm in snap.tombstones.values():
-            if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms:
-                p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
-                if os.path.isfile(p):
-                    os.remove(p)
+        eligible = [
+            rm for rm in snap.tombstones.values()
+            if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms
+        ]
+        start_version = self.deltaLog.commit(
+            snap.version,
+            [],
+            "VACUUM START",
+            {
+                "retentionCheckEnabled": "true",
+                "specifiedRetentionMillis": str(int(retention_hours * 3600 * 1000)),
+            },
+            {"numFilesToDelete": str(len(eligible))},
+        )
+        deleted = 0
+        deleted_bytes = 0
+        for rm in eligible:
+            p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
+            if os.path.isfile(p):
+                deleted_bytes += os.path.getsize(p)
+                os.remove(p)
+                deleted += 1
         # change-data files referenced only by commits whose timestamp is
         # older than the retention window
         cdc_dir = os.path.join(self.path, CHANGE_DATA_DIR)
@@ -597,7 +618,16 @@ class DeltaTable:
                     if "cdc" in a:
                         p = os.path.join(self.path, urllib.parse.unquote(a["cdc"]["path"]))
                         if os.path.isfile(p):
+                            deleted_bytes += os.path.getsize(p)
                             os.remove(p)
+                            deleted += 1
+        self.deltaLog.commit(
+            start_version,
+            [],
+            "VACUUM END",
+            {"status": "COMPLETED"},
+            {"numDeletedFiles": str(deleted), "numVacuumedDirectories": "1"},
+        )
 
 
 class OptimizeBuilder:

@@ -315,3 +315,13 @@ def test_dml_plans_spark_side_on_large_synthetic_log(spark, tmpdir_path, monkeyp
     vals = {r["id"]: r["v"] for r in got}
     assert len(vals) == 90 and 0 not in vals
     assert vals[15] == "u" and vals[50] == "m"
+
+
+def test_vacuum_writes_start_end_history(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(i,) for i in range(5)], "x int", name="vachist")
+    t.update("x >= 0", {"x": "x"})  # tombstones the original file(s)
+    t.vacuum(retention_hours=0.0)
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops[0] == "VACUUM END" and ops[1] == "VACUUM START"
+    end = t.history().collect()[0]["operationMetrics"]
+    assert int(end["numDeletedFiles"]) >= 1
