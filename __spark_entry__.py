@@ -313,6 +313,33 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import pii_counts, pii_scrub
+    from jodie_spark.sources import load_table
+
+    # plant deterministic PII per document, then scrub: the oracle
+    # applies the same concat + RE2-compatible regexes in DuckDB
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    counted = planted.withColumn("__c__", pii_counts(F.col("text")))
+    return counted.select(
+        "doc_id",
+        pii_scrub(F.col("text")).alias("clean_text"),
+        F.col("__c__.email").cast("long").alias("n_email"),
+        F.col("__c__.phone").cast("long").alias("n_phone"),
+        F.col("__c__.ip").cast("long").alias("n_ip"),
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.similarity import brute_force_topk
     from jodie_spark.sources import load_table
@@ -702,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "text_quality": _q_text_quality,
         "language_id": _q_language_id,
+        "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -843,6 +871,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM paired)
         """,
         "embedding_dedup": "SELECT vec_id FROM embeddings",
+        "pii_scrub": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-123-4567 at 10.0.0.'
+                            || CAST(doc_id % 255 AS VARCHAR) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+            FROM planted
+        """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "kill_duplicate_records": """

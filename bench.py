@@ -28,10 +28,21 @@ def main() -> None:
 
     spark = get_spark("jodie_bench")
 
-    # warm up JVM/codegen/parquet reader so the first timed query is not
-    # charged for session initialization
+    # warm up JVM/codegen/parquet reader and the Arrow/pandas_udf worker
+    # pool so the first timed query measures steady state, not session
+    # initialization (the Python-worker spin-up is ~1-3 s once per
+    # session; SCALE.md "Local-scale caveats")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    import pandas as _pd
+    from pyspark.sql.functions import col as _col
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    @_pandas_udf("long")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(1000).select(_warm(_col("id"))).collect()
 
     bench_queries = [
         "pricing_summary",
@@ -46,6 +57,7 @@ def main() -> None:
         "minhash_dedup",
         "simhash_dedup",
         "token_count",
+        "pii_scrub",
         "similarity_topk",
         "embedding_dedup",
         "windowed_event_counts",

@@ -102,3 +102,36 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", doc_fingerprint(c))
     )
+
+
+# PII patterns chosen to mean the same thing under Java regex (Spark)
+# and RE2 (DuckDB oracles): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ip": (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_scrub(col: Column, kinds: list[str] | None = None) -> Column:
+    """Redact PII spans (emails, US-style phone numbers, IPv4
+    addresses) with typed placeholders — pure ``regexp_replace``
+    chain, full codegen, scan-speed over any corpus size. ``kinds``
+    selects/orders the patterns (default: all, email first so its
+    digit spans never half-match as phones)."""
+    out = col
+    for kind in kinds or list(PII_PATTERNS):
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-category PII match counts, for corpus audits
+    before/after scrubbing."""
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(pattern)).alias(kind)
+            for kind, (pattern, _) in PII_PATTERNS.items()
+        ]
+    )

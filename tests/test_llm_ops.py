@@ -252,3 +252,23 @@ def test_connected_component_reps_distributed_path(spark):
         for r in connected_component_reps(pairs, driver_threshold=0).collect()
     }
     assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_pii_scrub_and_counts(spark):
+    from jodie_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.io or call 555-123-4567 from 192.168.0.1"),
+         (2, "no pii here at all")],
+        ["id", "text"],
+    )
+    out = df.select(
+        "id",
+        pii_scrub(F.col("text")).alias("clean"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["clean"] == "mail me at <EMAIL> or call <PHONE> from <IP>"
+    assert by_id[1]["c"].asDict() == {"email": 1, "phone": 1, "ip": 1}
+    assert by_id[2]["clean"] == "no pii here at all"
+    assert by_id[2]["c"].asDict() == {"email": 0, "phone": 0, "ip": 0}
