@@ -45,6 +45,17 @@ from jodie_spark.errors import (
 SUPPORTED_READER_VERSIONS = {1, 3}
 SUPPORTED_READER_FEATURES = {"timestampNtz"}
 
+# Writer features this engine honors when COMMITTING. Writing to a
+# table whose protocol demands features we don't implement (CHECK
+# constraints, generated columns, identity columns, deletion vectors,
+# row tracking...) would silently violate the table's invariants for
+# every other engine reading it. appendOnly IS implemented (enforced in
+# DML); invariants accepted because tables this engine creates never
+# carry delta.invariants.
+SUPPORTED_WRITER_VERSIONS = {1, 2, 7}
+SUPPORTED_WRITER_FEATURES = {"appendOnly", "timestampNtz"}
+APPEND_ONLY_PROP = "delta.appendOnly"
+
 LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
 CHECKPOINT_INTERVAL_PROP = "delta.checkpointInterval"
@@ -458,6 +469,53 @@ class DeltaLog:
                 f"{self.table_path}: table requires unsupported reader "
                 f"features {sorted(unsupported)} (supported: "
                 f"{sorted(SUPPORTED_READER_FEATURES)})"
+            )
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Newest version whose commit timestamp ≤ ``ts_ms`` —
+        delta-spark's ``timestampAsOf`` resolution. O(#versions) commit
+        header reads, same cost contract as history()."""
+        best = -1
+        for v in self.list_commit_versions():
+            ci = next(
+                (a["commitInfo"] for a in self.read_actions(v) if "commitInfo" in a),
+                {},
+            )
+            if int(ci.get("timestamp") or 0) <= ts_ms:
+                best = max(best, v)
+        if best < 0:
+            raise VersionNotFoundError(
+                0, self.earliest_reachable_version(), self.latest_version()
+            )
+        return best
+
+    def check_write_allowed(self, snapshot: "Snapshot", removes_data: bool) -> None:
+        """Gate commits the way delta-core's Protocol.assertProtocolWrite
+        + appendOnly check do: refuse to write through protocol features
+        this engine can't honor (silent invariant violations for every
+        other reader), and refuse dataChange removes on
+        delta.appendOnly tables."""
+        protocol = snapshot.protocol or {}
+        writer = int(protocol.get("minWriterVersion") or 1)
+        if writer not in SUPPORTED_WRITER_VERSIONS:
+            raise DeltaProtocolError(
+                f"{self.table_path}: table requires minWriterVersion={writer}; "
+                f"this engine writes {sorted(SUPPORTED_WRITER_VERSIONS)}"
+            )
+        features = set(protocol.get("writerFeatures") or [])
+        unsupported = features - SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"{self.table_path}: table requires unsupported writer "
+                f"features {sorted(unsupported)} (supported: "
+                f"{sorted(SUPPORTED_WRITER_FEATURES)})"
+            )
+        if removes_data and str(
+            snapshot.configuration.get(APPEND_ONLY_PROP, "false")
+        ).lower() == "true":
+            raise DeltaProtocolError(
+                f"{self.table_path}: table is delta.appendOnly=true; "
+                "DELETE/UPDATE/MERGE-with-delete/OPTIMIZE cannot remove data"
             )
 
     def earliest_reachable_version(self) -> int:

@@ -159,6 +159,9 @@ class DeltaMergeBuilder:
         spark = t.spark
         t0 = time.time()
         snap = t.deltaLog.table_info()
+        # a merge with only not-matched clauses is a blind append, legal
+        # on delta.appendOnly tables; matched clauses rewrite (remove) files
+        t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
         schema = t.schema(snap)
         talias = t._alias or "target"
         out_cols = [f.name for f in schema.fields]

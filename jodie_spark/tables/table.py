@@ -202,7 +202,23 @@ class DeltaTable:
         snap = snapshot or self.snapshot()
         return _schema_from_string(snap.schema_string)
 
-    def toDF(self, version: int | None = None) -> DataFrame:
+    def toDF(self, version: int | None = None, timestamp: Any = None) -> DataFrame:
+        """Read the table; ``version`` / ``timestamp`` time-travel like
+        delta-spark's versionAsOf / timestampAsOf."""
+        if timestamp is not None:
+            if version is not None:
+                raise JodieValidationError("pass version or timestamp, not both")
+            import datetime as _dt
+
+            if isinstance(timestamp, str):
+                ts = _dt.datetime.fromisoformat(timestamp)
+            elif isinstance(timestamp, _dt.datetime):
+                ts = timestamp
+            else:
+                ts = _dt.datetime.fromtimestamp(float(timestamp), tz=_dt.timezone.utc)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            version = self.deltaLog.version_at_timestamp(int(ts.timestamp() * 1000))
         snap = self.snapshot(version)
         df = read_files_df(self.spark, self.path, self.schema(snap), snap.add_files())
         if self._alias:
@@ -330,6 +346,7 @@ class DeltaTable:
         stats prove no match are never read or rewritten."""
         t0 = time.time()
         snap = self.deltaLog.table_info()
+        self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
         candidates = plan_candidate_files(
             self.spark, self.path, condition, schema, snap.partition_columns
@@ -419,6 +436,7 @@ class DeltaTable:
         """Copy-on-write UPDATE with the same file-skipping as delete."""
         t0 = time.time()
         snap = self.deltaLog.table_info()
+        self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
         candidates = plan_candidate_files(
             self.spark, self.path, condition, schema, snap.partition_columns
@@ -529,6 +547,7 @@ class DeltaTable:
         delta-spark's restoreToVersion)."""
         target = self.snapshot(int(version))
         current = self.snapshot()
+        self.deltaLog.check_write_allowed(current, removes_data=True)
         now_ms = int(time.time() * 1000)
         current_paths = set(current.files)
         target_paths = set(target.files)
@@ -652,6 +671,9 @@ class OptimizeBuilder:
     def _rewrite(self, cluster_by: list[str] | None, target_file_size: int = 128 * 1024 * 1024):
         t = self.table
         snap = t.deltaLog.table_info()
+        # OPTIMIZE removes files with dataChange=false — legal on
+        # appendOnly tables (the protocol forbids dataChange removes only)
+        t.deltaLog.check_write_allowed(snap, removes_data=False)
         schema = t.schema(snap)
         files = plan_candidate_files(t.spark, t.path, self._where, schema, snap.partition_columns)
         if cluster_by is None:
@@ -819,6 +841,7 @@ def write_delta(
 
     table = DeltaTable(spark, path)
     snap = table.snapshot()
+    table.deltaLog.check_write_allowed(snap, removes_data=(mode == "overwrite"))
     table_schema = table.schema(snap)
     eff_partition = snap.partition_columns if not partition_by else partition_by
     table_cols = [f.name for f in table_schema.fields]

@@ -325,3 +325,61 @@ def test_vacuum_writes_start_end_history(spark, tmpdir_path):
     assert ops[0] == "VACUUM END" and ops[1] == "VACUUM START"
     end = t.history().collect()[0]["operationMetrics"]
     assert int(end["numDeletedFiles"]) >= 1
+
+
+def test_append_only_table_blocks_data_removal(spark, tmpdir_path):
+    import pytest as _pytest
+
+    from jodie_spark.errors import DeltaProtocolError
+
+    t = _mk(spark, tmpdir_path, [(1,), (2,)], "x int", name="aponly")
+    t.set_properties({"delta.appendOnly": "true"})
+    with _pytest.raises(DeltaProtocolError):
+        t.delete("x = 1")
+    with _pytest.raises(DeltaProtocolError):
+        t.update("x = 1", {"x": "0"})
+    # blind appends stay legal
+    write_delta(spark.createDataFrame([(3,)], "x int"), t.path, mode="append")
+    src = spark.createDataFrame([(9,)], "x int")
+    (t.alias("t").merge(src.alias("s"), "t.x = s.x")
+       .whenNotMatchedInsertAll().execute())
+    assert t.toDF().count() == 4
+    # OPTIMIZE removes with dataChange=false — allowed
+    t.optimize().executeCompaction()
+    assert t.toDF().count() == 4
+
+
+def test_writer_protocol_gate(spark, tmpdir_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.tables.log import commit_file_name
+
+    t = _mk(spark, tmpdir_path, [(1,)], "x int", name="wgate")
+    # hand-raise the table to a writer feature this engine lacks
+    v = t.deltaLog.latest_version() + 1
+    line = _json.dumps({"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["checkConstraints"]}})
+    with open(os.path.join(t.deltaLog.log_path, commit_file_name(v)), "w") as fh:
+        fh.write(line + "\n")
+    with _pytest.raises(DeltaProtocolError):
+        t.delete("x = 1")
+    with _pytest.raises(DeltaProtocolError):
+        write_delta(spark.createDataFrame([(2,)], "x int"), t.path, mode="append")
+
+
+def test_timestamp_time_travel(spark, tmpdir_path):
+    import datetime as _dt
+    import time as _time
+
+    t = _mk(spark, tmpdir_path, [(1,)], "x int", name="ttts")
+    _time.sleep(0.05)
+    between = _dt.datetime.now(tz=_dt.timezone.utc)
+    _time.sleep(0.05)
+    t.update(None, {"x": "x + 10"})
+    assert [r["x"] for r in t.toDF(timestamp=between).collect()] == [1]
+    after = _dt.datetime.now(tz=_dt.timezone.utc)
+    assert [r["x"] for r in t.toDF(timestamp=after).collect()] == [11]
