@@ -871,6 +871,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM paired)
         """,
         "embedding_dedup": "SELECT vec_id FROM embeddings",
+        # compaction must preserve the data exactly (files change, rows don't)
+        "optimize_compaction": "SELECT * FROM nation",
+        # at sf0.01 the z-ordered rewrite lands in one 128MB-target file
+        # (inputs ~1 MB), so every skipping class resolves to 1 file
+        "optimize_zorder": """
+            SELECT metric, CAST(num_files AS BIGINT) AS num_files FROM (VALUES
+                ('OVERALL RESOLVED CONDITION => [ (o_orderkey <= 1000) ]', 1),
+                ('GREATER THAN / LESS THAN PART => [ (o_orderkey <= 1000) ]', 1),
+                ('EQUALS/EQUALS NULL SAFE PART => [ Empty ]', 1),
+                ('LEFT OVER PART => [ Empty ]', 1),
+                ('UNRESOLVED PART => [ Empty ]', 1),
+                ('TOTAL_NUM_FILES_IN_DELTA_TABLE =>', 1)
+            ) AS t(metric, num_files)
+        """,
         "pii_scrub": r"""
             WITH planted AS (
                 SELECT doc_id,
