@@ -313,6 +313,18 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import bpe_token_count, token_count
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.functions.text import pii_counts, pii_scrub
     from jodie_spark.sources import load_table
@@ -729,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "text_quality": _q_text_quality,
         "language_id": _q_language_id,
+        "bpe_token_count": _q_bpe_token_count,
         "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
@@ -884,6 +897,15 @@ def oracle_sql() -> dict[str, str]:
                 ('UNRESOLVED PART => [ Empty ]', 1),
                 ('TOTAL_NUM_FILES_IN_DELTA_TABLE =>', 1)
             ) AS t(metric, num_files)
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "pii_scrub": r"""
             WITH planted AS (

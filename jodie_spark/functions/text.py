@@ -135,3 +135,18 @@ def pii_counts(col: Column) -> Column:
             for kind, (pattern, _) in PII_PATTERNS.items()
         ]
     )
+
+
+# BPE-style pre-tokenization pattern: letter runs, digit runs, and
+# punctuation runs are separate tokens (the coarse split every BPE-family
+# tokenizer applies before merges). Deliberately built from DISJOINT
+# character classes only — no alternation-order or lookahead semantics —
+# so Java regex (Spark) and RE2 (DuckDB oracles) agree exactly.
+BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under BPE-style pre-tokenization — the usual
+    better-than-whitespace proxy for LLM token budgeting ('foo, bar!'
+    is 4 tokens, not 2). Pure ``regexp_count``, full codegen."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))

@@ -272,3 +272,14 @@ def test_pii_scrub_and_counts(spark):
     assert by_id[1]["c"].asDict() == {"email": 1, "phone": 1, "ip": 1}
     assert by_id[2]["clean"] == "no pii here at all"
     assert by_id[2]["c"].asDict() == {"email": 0, "phone": 0, "ip": 0}
+
+
+def test_bpe_token_count(spark):
+    from jodie_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "foo, bar!"), (2, "abc123 x-y"), (3, ""), (4, "   ")], ["id", "t"]
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
+    # foo , bar !  /  abc 123 x - y
+    assert got == {1: 4, 2: 5, 3: 0, 4: 0}

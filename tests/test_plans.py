@@ -90,3 +90,28 @@ def test_cosine_join_distinct_carries_ids_only(spark):
     # correctness: every id pairs with itself at similarity 1
     got = {(r["l_id"], r["r_id"]) for r in q.collect()}
     assert {(i, i) for i in range(30)} <= got
+
+
+def test_ivf_cell_partition_pruning(spark, tmpdir_path):
+    """The documented IVF scale path: persist assignments as a
+    partition column and a probe becomes a partition-pruned scan —
+    only ~n_probe/n_centroids of the data is listed, let alone read."""
+    import os
+
+    import numpy as np
+
+    from jodie_spark.operators.ivf import train_centroids, with_ivf_assignments
+
+    rows = [(i, np.random.default_rng(i).standard_normal(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = train_centroids(df, "embedding", n_centroids=4)
+    assigned = with_ivf_assignments(df, "embedding", cents, cell_col="cell")
+
+    p = os.path.join(tmpdir_path, "ivf_parted")
+    assigned.write.partitionBy("cell").parquet(p)
+    probe = spark.read.parquet(p).filter(F.col("cell").isin([0, 1]))
+    plan = _analyzed(probe)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:120]
+    # and the pruned read returns exactly the assigned subset
+    expected = assigned.filter(F.col("cell").isin([0, 1])).count()
+    assert probe.count() == expected
