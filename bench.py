@@ -18,6 +18,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _warm_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def identity(s: pd.Series) -> pd.Series:
+        return s
+
+    identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(identity, "long")
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -34,15 +48,7 @@ def main() -> None:
     # session; SCALE.md "Local-scale caveats")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
-    import pandas as _pd
-    from pyspark.sql.functions import col as _col
-    from pyspark.sql.functions import pandas_udf as _pandas_udf
-
-    @_pandas_udf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
-        return s
-
-    spark.range(1000).select(_warm(_col("id"))).collect()
+    spark.range(1000).select(_warm_udf()(F_col("id"))).collect()
 
     bench_queries = [
         "pricing_summary",
