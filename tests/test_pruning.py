@@ -207,3 +207,82 @@ def test_truncate_stat_skips_surrogate_range():
     assert widened is not None and len(widened) == 32
     assert widened[-1] == ""  # not a lone surrogate
     _json.loads(_json.dumps(widened))  # round-trips as strict JSON
+
+
+def test_driver_and_spark_planners_agree(spark, tmpdir_path):
+    """The adaptive planner's two implementations (driver-side
+    prune_files, Spark-side _file_filter_column over files_df) must
+    keep identical file sets for the same condition — a divergence
+    means one of them prunes wrongly somewhere."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import jodie_spark.tables.table as tm
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    path = os.path.join(tmpdir_path, "parity")
+    df = spark.range(0, 100).selectExpr(
+        "id",
+        "cast(id % 7 as int) as i",
+        "case when id % 10 = 0 then null else concat('s', id % 5) end as s",
+        "cast(id % 3 as string) as p",
+    )
+    write_delta(df.repartition(6), path, partition_by=["p"])
+    t = DeltaTable.forPath(spark, path)
+    schema = t.schema()
+    parts = ["p"]
+
+    def plan(cond, force_spark):
+        old = tm._DRIVER_PLAN_MAX_LOG_BYTES
+        tm._DRIVER_PLAN_MAX_LOG_BYTES = 0 if force_spark else 1 << 40
+        try:
+            return sorted(
+                a["path"]
+                for a in tm.plan_candidate_files(spark, path, cond, schema, parts)
+            )
+        finally:
+            tm._DRIVER_PLAN_MAX_LOG_BYTES = old
+
+    conditions = [
+        None,
+        "id < 10",
+        "id >= 95",
+        "i = 3",
+        "i = 99",
+        "s = 's1'",
+        "s is null",
+        "s is not null",
+        "p = '1'",
+        "p = '9'",
+        "p = '1' and id < 50",
+        "i = 2 and s = 's4'",
+        "id < 5 or id > 90",          # OR: both must keep everything
+        "s = 'it''s'",                # quoted literal with escape
+        "unknown_col = 7",            # unresolved: both keep everything
+        "cast(id as string) = '3'",   # unsupported expr: conservative
+    ]
+    for cond in conditions:
+        d = plan(cond, force_spark=False)
+        s = plan(cond, force_spark=True)
+        assert d == s, f"planner divergence for {cond!r}: driver={d} spark={s}"
+        # conservativeness: every file containing a matching row is kept
+        if cond:
+            kept = set(d)
+            matching_files = {
+                r[0].replace(f"file:{path}/", "").replace(f"{path}/", "")
+                for r in t.toDF()
+                .withColumn("__f__", F.input_file_name())
+                .filter(cond if "unknown" not in cond and "cast" not in cond else "true")
+                .select("__f__")
+                .distinct()
+                .collect()
+            }
+            import urllib.parse as _u
+
+            kept_abs = {_u.unquote(k) for k in kept}
+            for mf in matching_files:
+                mf = _u.unquote(_u.unquote(mf))
+                assert any(mf.endswith(k) or k.endswith(mf) for k in kept_abs), (
+                    f"file {mf} with matches pruned under {cond!r}"
+                )
