@@ -630,12 +630,21 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_file_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic layout (one file per partition value via
+    repartition-by-key) so the partition keys and file counts are
+    value-checkable; byte statistics stay in the operator but out of
+    the compared projection (parquet encoding sizes are not portable
+    across writers)."""
     from jodie_spark.tables.distribution import delta_file_size_distribution
 
-    t = _delta_from(_orders(spark, sf_dir), "dist", partition_by=["o_orderstatus"])
+    orders = _orders(spark, sf_dir).repartition(F.col("o_orderstatus"))
+    t = _delta_from(orders, "dist", partition_by=["o_orderstatus"])
     df = delta_file_size_distribution(spark, t.path)
     return df.select(
-        F.col("num_of_parquet_files"), F.col("mean_size_of_files"), F.col("min_file_size")
+        F.col("partitionValues")[0]["value"].alias("status"),
+        F.col("num_of_parquet_files"),
+        (F.col("min_file_size") > 0).alias("has_positive_sizes"),
+        (F.col("max_file_size") >= F.col("min_file_size")).alias("sizes_ordered"),
     )
 
 
@@ -685,7 +694,15 @@ def _q_delta_file_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _delta_from(load_table(spark, sf_dir, "nation"), "sizes")
     sizes = delta_file_sizes(t)
     v = latest_version(spark, t.path)
-    rows = [(k, int(val)) for k, val in sizes.items()] + [("latest_version", int(v))]
+    # byte metrics are computed (and pytest-checked for the reference's
+    # integer-division quirk) but kept out of the compared values —
+    # parquet encoding sizes are not portable across writers
+    rows = [
+        ("number_of_files", int(sizes["number_of_files"])),
+        ("size_in_bytes_positive", int(int(sizes["size_in_bytes"]) > 0)),
+        ("average_file_size_positive", int(int(sizes["average_file_size_in_bytes"]) > 0)),
+        ("latest_version", int(v)),
+    ]
     return spark.createDataFrame(rows, "metric string, value long")
 
 
@@ -886,6 +903,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": "SELECT vec_id FROM embeddings",
         # compaction must preserve the data exactly (files change, rows don't)
         "optimize_compaction": "SELECT * FROM nation",
+        "file_size_distribution": """
+            SELECT o_orderstatus AS status,
+                   CAST(1 AS BIGINT) AS num_of_parquet_files,
+                   TRUE AS has_positive_sizes,
+                   TRUE AS sizes_ordered
+            FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        """,
+        "delta_file_sizes": """
+            SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+                ('number_of_files', 1),
+                ('size_in_bytes_positive', 1),
+                ('average_file_size_positive', 1),
+                ('latest_version', 0)
+            ) AS t(metric, value)
+        """,
         # at sf0.01 the z-ordered rewrite lands in one 128MB-target file
         # (inputs ~1 MB), so every skipping class resolves to 1 file
         "optimize_zorder": """
