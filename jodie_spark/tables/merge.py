@@ -84,6 +84,16 @@ class DeltaMergeBuilder:
         self.condition = condition
         self._matched: list[_Clause] = []
         self._not_matched: list[_Clause] = []
+        self._schema_evolution = False
+
+    def withSchemaEvolution(self) -> "DeltaMergeBuilder":
+        """delta-spark parity: updateAll/insertAll propagate source
+        columns absent from the target into the table schema (old rows
+        read as NULL, same as Delta's mergeSchema semantics)."""
+        self._schema_evolution = True
+        return self
+
+    with_schema_evolution = withSchemaEvolution
 
     # -- clause registration -------------------------------------------------
 
@@ -163,6 +173,22 @@ class DeltaMergeBuilder:
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
         t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
         schema = t.schema(snap)
+        schema_evolved = False
+        if self._schema_evolution and any(
+            c.star for c in self._matched + self._not_matched
+        ):
+            from pyspark.sql import types as T
+
+            target_names = {f.name for f in schema.fields}
+            extra = [
+                f for f in self.source.schema.fields if f.name not in target_names
+            ]
+            if extra:
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(f.name, f.dataType, True) for f in extra]
+                )
+                schema_evolved = True
         talias = t._alias or "target"
         out_cols = [f.name for f in schema.fields]
 
@@ -378,7 +404,12 @@ class DeltaMergeBuilder:
         num_source_rows = _obs(src_obs, ["numSourceRows"])["numSourceRows"]
 
         now_ms = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = list(cdc_actions)
+        actions: list[dict[str, Any]] = []
+        if schema_evolved:
+            meta = dict(snap.metadata)
+            meta["schemaString"] = json.dumps(schema.jsonValue())
+            actions.append({"metaData": meta})
+        actions += list(cdc_actions)
         actions += [{"add": a} for a in adds]
         actions += [
             {

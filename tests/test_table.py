@@ -383,3 +383,23 @@ def test_timestamp_time_travel(spark, tmpdir_path):
     assert [r["x"] for r in t.toDF(timestamp=between).collect()] == [1]
     after = _dt.datetime.now(tz=_dt.timezone.utc)
     assert [r["x"] for r in t.toDF(timestamp=after).collect()] == [11]
+
+
+def test_merge_schema_evolution(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(1, "a"), (2, "b")], "k int, v string", name="sevo")
+    src = spark.createDataFrame([(2, "B", 20), (3, "c", 30)], "k int, v string, w int")
+    (t.alias("t").merge(src.alias("s"), "t.k = s.k")
+       .whenMatchedUpdateAll()
+       .whenNotMatchedInsertAll()
+       .withSchemaEvolution()
+       .execute())
+    rows = {r["k"]: (r["v"], r["w"]) for r in t.toDF().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 20), 3: ("c", 30)}
+    assert [f.name for f in t.schema().fields] == ["k", "v", "w"]
+    # without evolution, an unknown source column is simply not written
+    t2 = _mk(spark, tmpdir_path, [(1, "a")], "k int, v string", name="sevo2")
+    src2 = spark.createDataFrame([(4, "d", 40)], "k int, v string, w int")
+    (t2.alias("t").merge(src2.alias("s"), "t.k = s.k")
+       .whenNotMatchedInsertAll().execute())
+    assert [f.name for f in t2.schema().fields] == ["k", "v"]
+    assert sorted(tuple(r) for r in t2.toDF().collect()) == [(1, "a"), (4, "d")]
