@@ -1,8 +1,11 @@
 """Column-level functions for large-scale text/embedding pipelines."""
 
 from jodie_spark.functions.text import (
+    bpe_token_count,
     doc_fingerprint,
     language_id,
+    pii_counts,
+    pii_scrub,
     quality_score,
     token_count,
     with_text_stats,
@@ -14,8 +17,11 @@ from jodie_spark.functions.vectors import (
 )
 
 __all__ = [
+    "bpe_token_count",
     "doc_fingerprint",
     "language_id",
+    "pii_counts",
+    "pii_scrub",
     "quality_score",
     "token_count",
     "with_text_stats",

@@ -25,6 +25,7 @@ from jodie_spark.operators.similarity import (
     with_ann_signatures,
 )
 from jodie_spark.operators.text_dedup import (
+    connected_component_reps,
     embedding_dedup,
     exact_dedup,
     minhash_candidate_pairs,
@@ -36,6 +37,7 @@ from jodie_spark.operators.text_dedup import (
 
 __all__ = [
     "append_without_duplicates",
+    "connected_component_reps",
     "kill_duplicate_records",
     "remove_duplicate_records",
     "copy_table",
