@@ -313,6 +313,24 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster map: (doc_id, cluster) for every document
+    involved in a verified near-dup pair — what a pipeline inspects
+    before deciding what to drop."""
+    from jodie_spark.operators.text_dedup import (
+        connected_component_reps,
+        ngram_jaccard_pairs,
+    )
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    reps = connected_component_reps(pairs.select("id_a", "id_b"))
+    return reps.select(
+        F.col("id").alias("doc_id"), F.col("rep").alias("cluster")
+    )
+
+
 def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.functions.text import bpe_token_count, token_count
     from jodie_spark.sources import load_table
@@ -759,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "language_id": _q_language_id,
         "bpe_token_count": _q_bpe_token_count,
+        "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
@@ -929,6 +948,11 @@ def oracle_sql() -> dict[str, str]:
                 ('UNRESOLVED PART => [ Empty ]', 1),
                 ('TOTAL_NUM_FILES_IN_DELTA_TABLE =>', 1)
             ) AS t(metric, num_files)
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_jaccard_pairs_cte()}, {_COMPONENT_DROP_CTE}
+            SELECT id AS doc_id, min(r) AS cluster
+            FROM __reach GROUP BY id
         """,
         "bpe_token_count": r"""
             SELECT doc_id,
