@@ -92,22 +92,33 @@ def _latest_actions_df(
     sources: list[DataFrame] = []
     if base is not None:
         cp = spark.read.parquet(*log.checkpoint_part_files(base))
+
         # project subfields explicitly — checkpoint structs carry extra
-        # fields and struct casts require matching arity
+        # fields and struct casts require matching arity. Externally
+        # written checkpoints may omit optional subfields (remove.size,
+        # remove.partitionValues are optional in the protocol), so
+        # missing ones become typed nulls instead of AnalysisExceptions.
+        def sub(parent: str, name: str, dtype: T.DataType) -> Column:
+            parent_type = cp.schema[parent].dataType
+            present = isinstance(parent_type, T.StructType) and name in parent_type.names
+            col = F.col(f"{parent}.{name}") if present else F.lit(None)
+            return col.cast(dtype).alias(name)
+
+        str_map = T.MapType(T.StringType(), T.StringType())
         add_struct = F.struct(
-            F.col("add.path").alias("path"),
-            F.col("add.partitionValues").alias("partitionValues"),
-            F.col("add.size").cast("long").alias("size"),
-            F.col("add.modificationTime").cast("long").alias("modificationTime"),
-            F.col("add.dataChange").alias("dataChange"),
-            F.col("add.stats").alias("stats"),
+            sub("add", "path", T.StringType()),
+            sub("add", "partitionValues", str_map),
+            sub("add", "size", T.LongType()),
+            sub("add", "modificationTime", T.LongType()),
+            sub("add", "dataChange", T.BooleanType()),
+            sub("add", "stats", T.StringType()),
         )
         remove_struct = F.struct(
-            F.col("remove.path").alias("path"),
-            F.col("remove.deletionTimestamp").cast("long").alias("deletionTimestamp"),
-            F.col("remove.dataChange").alias("dataChange"),
-            F.col("remove.partitionValues").alias("partitionValues"),
-            F.col("remove.size").cast("long").alias("size"),
+            sub("remove", "path", T.StringType()),
+            sub("remove", "deletionTimestamp", T.LongType()),
+            sub("remove", "dataChange", T.BooleanType()),
+            sub("remove", "partitionValues", str_map),
+            sub("remove", "size", T.LongType()),
         )
         sources.append(
             cp.select(

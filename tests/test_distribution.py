@@ -184,3 +184,54 @@ def test_spark_side_checkpoint_roundtrip_50k(spark, tmpdir_path):
     # DML on top of the checkpoint replans and commits
     DeltaTable.forPath(spark, p).update("id >= 90 and id < 200", {"v": "'z'"})
     assert log.table_info().version == 3
+
+
+def test_files_df_tolerates_minimal_external_checkpoint(spark, tmpdir_path):
+    """Externally written checkpoints may omit optional remove subfields
+    (remove.size / remove.partitionValues are optional in the protocol);
+    the Spark log reader must project them as nulls, not fail."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.distribution import files_df
+    from jodie_spark.tables.log import DeltaLog, checkpoint_file_name
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = _os.path.join(tmpdir_path, "extcp")
+    write_delta(spark.createDataFrame([(1,), (2,)], "x int"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("x = 1")  # v1: add + remove
+    log = DeltaLog(p)
+    snap = log.snapshot()
+
+    # minimal-schema checkpoint: remove has ONLY path; add lacks stats
+    schema = pa.schema([
+        ("add", pa.struct([("path", pa.string()), ("size", pa.int64()),
+                           ("modificationTime", pa.int64()), ("dataChange", pa.bool_())])),
+        ("remove", pa.struct([("path", pa.string())])),
+        ("metaData", pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                                ("partitionColumns", pa.list_(pa.string()))])),
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+    ])
+    rows = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "schemaString": snap.schema_string,
+                          "partitionColumns": []}}]
+    for a in snap.add_files():
+        rows.append({"add": {"path": a["path"], "size": int(a["size"] or 0),
+                             "modificationTime": 0, "dataChange": False}})
+    for rm in snap.tombstones.values():
+        rows.append({"remove": {"path": rm["path"]}})
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   _os.path.join(log.log_path, checkpoint_file_name(1)))
+    with open(_os.path.join(log.log_path, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 1, "size": len(rows)}, fh)
+
+    got = files_df(spark, p).collect()
+    assert sorted(r["path"] for r in got) == sorted(a["path"] for a in snap.add_files())
+    # and DML on top still plans (stats null => conservative keep)
+    t.delete("x = 2")
+    assert t.toDF().count() == 0
