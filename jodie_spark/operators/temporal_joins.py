@@ -27,13 +27,26 @@ def as_of_join(
     ts_col: str = "ts",
     right_prefix: str = "right_",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with the same
-    ``on`` key and ``right.ts <= left.ts`` (within ``tolerance``, e.g.
-    ``'1 hour'``, when given). Right columns arrive prefixed; rows with
-    no qualifying right match carry nulls — LEFT ASOF JOIN semantics.
+    """For each left row, attach the matching right row with the same
+    ``on`` key — the latest with ``right.ts <= left.ts``
+    (``direction='backward'``, the default/ASOF JOIN semantics), the
+    earliest with ``right.ts >= left.ts`` (``'forward'``), or whichever
+    of the two is closer (``'nearest'``, ties prefer backward — pandas
+    merge_asof parity). ``tolerance`` (e.g. ``'1 hour'``) nulls matches
+    farther than the interval. Right columns arrive prefixed; left rows
+    with no qualifying match carry nulls.
+
+    All directions are one shuffle on the key (the union + window
+    forward-fill shape); 'nearest' adds a second in-partition sort,
+    never a second exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     r_value_cols = [c for c in right.columns if c not in (on, ts_col)]
+    fill_cols = [*[f"{right_prefix}{c}" for c in r_value_cols], f"{right_prefix}{ts_col}"]
+
     l_tagged = left.withColumn("__side__", F.lit(1))
     for c in r_value_cols:
         l_tagged = l_tagged.withColumn(f"{right_prefix}{c}", F.lit(None).cast(dict(right.dtypes)[c]))
@@ -51,24 +64,71 @@ def as_of_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
     u = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal ts ⇒ a right row is
-    # visible to a left row with the same timestamp
-    w = (
+    # right rows sort before left rows at equal ts in either direction
+    # ⇒ an equal-timestamp right row is always visible
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col).asc(), F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
-    for c in [*[f"{right_prefix}{c}" for c in r_value_cols], f"{right_prefix}{ts_col}"]:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side__") == 1).drop("__side__")
-    if tolerance is not None:
-        stale = F.col(f"{right_prefix}{ts_col}") < F.col(ts_col) - F.expr(
-            f"INTERVAL {tolerance}"
-        )
-        for c in [*[f"{right_prefix}{c}" for c in r_value_cols], f"{right_prefix}{ts_col}"]:
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).desc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _filled(frame: DataFrame, w, suffix: str) -> DataFrame:
+        for c in fill_cols:
+            frame = frame.withColumn(f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w))
+        return frame
+
+    def _apply_tolerance(out: DataFrame, stale) -> DataFrame:
+        for c in fill_cols:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out
+        return out
+
+    if direction == "backward":
+        filled = _filled(u, w_back, "")
+        out = filled.filter(F.col("__side__") == 1).drop("__side__")
+        if tolerance is not None:
+            out = _apply_tolerance(
+                out,
+                F.col(f"{right_prefix}{ts_col}") < F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"),
+            )
+        return out
+    if direction == "forward":
+        filled = _filled(u, w_fwd, "")
+        out = filled.filter(F.col("__side__") == 1).drop("__side__")
+        if tolerance is not None:
+            out = _apply_tolerance(
+                out,
+                F.col(f"{right_prefix}{ts_col}") > F.col(ts_col) + F.expr(f"INTERVAL {tolerance}"),
+            )
+        return out
+
+    # nearest: fill both ways, keep the closer non-null candidate
+    filled = _filled(_filled(u, w_back, "__b"), w_fwd, "__f")
+    out = filled.filter(F.col("__side__") == 1).drop("__side__")
+    rts = f"{right_prefix}{ts_col}"
+    b_ts, f_ts = F.col(f"{rts}__b"), F.col(f"{rts}__f")
+    b_ok = b_ts.isNotNull()
+    f_ok = f_ts.isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (b_ts >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}"))
+        f_ok = f_ok & (f_ts <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}"))
+    # cast("double") is epoch-seconds for timestamps and identity for
+    # numeric ts columns — one distance expression for both
+    b_dist = F.col(ts_col).cast("double") - b_ts.cast("double")
+    f_dist = f_ts.cast("double") - F.col(ts_col).cast("double")
+    use_back = b_ok & (~f_ok | (b_dist <= f_dist))  # tie → backward
+    for c in fill_cols:
+        out = out.withColumn(
+            c,
+            F.when(use_back, F.col(f"{c}__b"))
+            .when(f_ok, F.col(f"{c}__f"))
+            .otherwise(F.lit(None)),
+        )
+    return out.drop(*[f"{c}__b" for c in fill_cols], *[f"{c}__f" for c in fill_cols])
 
 
 def range_join(

@@ -283,3 +283,26 @@ def test_bpe_token_count(spark):
     got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
     # foo , bar !  /  abc 123 x - y
     assert got == {1: 4, 2: 5, 3: 0, 4: 0}
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The adaptive component election's two implementations (driver
+    union-find, distributed label propagation) must produce identical
+    representative maps on random graphs."""
+    import random
+
+    from jodie_spark.operators.text_dedup import connected_component_reps
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 40
+        pairs = sorted({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(30)
+        })
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        drv = {r["id"]: r["rep"] for r in connected_component_reps(df).collect()}
+        dist = {
+            r["id"]: r["rep"]
+            for r in connected_component_reps(df, driver_threshold=0).collect()
+        }
+        assert drv == dist, f"seed={seed}"

@@ -129,3 +129,36 @@ def test_streaming_sessionize_stateful(spark, tmpdir_path):
         for r in streaming_sessionize(batch, gap_minutes=30).collect()
     }
     assert got_b == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_as_of_join_directions(spark):
+    import datetime as dt
+
+    from jodie_spark.operators.temporal_joins import as_of_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=30))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=10), "before"),
+         (1, t0 + dt.timedelta(minutes=5), "after")],
+        "k int, ts timestamp, tag string",
+    )
+
+    def tags(direction, tolerance=None):
+        out = as_of_join(left, right, "k", direction=direction, tolerance=tolerance)
+        return [r["right_tag"] for r in out.orderBy("ts").collect()]
+
+    assert tags("backward") == ["before", "after"]
+    assert tags("forward") == ["after", None]
+    # 12:00 is 10 min from 'before', 5 min from 'after' -> nearest=after;
+    # 12:30 is 25 min past 'after' (backward only)
+    assert tags("nearest") == ["after", "after"]
+    assert tags("nearest", tolerance="6 minutes") == ["after", None]
+
+    # equal-timestamp right rows are visible in every direction
+    right_eq = spark.createDataFrame([(1, t0, "same")], "k int, ts timestamp, tag string")
+    for d in ("backward", "forward", "nearest"):
+        out = as_of_join(left.limit(1), right_eq, "k", direction=d)
+        assert [r["right_tag"] for r in out.collect()] == ["same"]
