@@ -1,0 +1,89 @@
+"""jodie_delta Python DataSource: batch read (with stats-pruning
+pushFilters), incremental stream read, append/overwrite write."""
+
+import os
+
+import pytest
+
+from jodie_spark.sources.datasource import register
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+@pytest.fixture()
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def test_batch_read_respects_log(registered, tmpdir_path):
+    spark = registered
+    p = os.path.join(tmpdir_path, "ds_t")
+    df = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 3 as string) as p", "cast(id as string) as v"
+    )
+    write_delta(df.repartition(3), p, partition_by=["p"])
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id < 10")  # removed files must not be read
+
+    got = spark.read.format("jodie_delta").load(p)
+    assert got.count() == 90
+    assert [f.name for f in got.schema.fields] == ["id", "p", "v"]
+    # filters (incl. the hive partition column) return correct rows
+    assert (
+        got.filter("id >= 50 and p = '1'").count()
+        == t.toDF().filter("id >= 50 and p = '1'").count()
+    )
+    assert sorted(r["id"] for r in got.filter("id < 12").collect()) == [10, 11]
+
+
+def test_write_append_overwrite_and_stream(registered, tmpdir_path):
+    spark = registered
+    out = os.path.join(tmpdir_path, "ds_w")
+    spark.range(5).selectExpr("id", "'x' as tag").write.format("jodie_delta").mode(
+        "append"
+    ).save(out)
+    spark.range(5, 8).selectExpr("id", "'y' as tag").write.format("jodie_delta").mode(
+        "append"
+    ).save(out)
+    t = DeltaTable.forPath(spark, out)
+    assert t.toDF().count() == 8
+    assert t.deltaLog.latest_version() == 1
+
+    spark.range(2).selectExpr("id", "'z' as tag").write.format("jodie_delta").mode(
+        "overwrite"
+    ).save(out)
+    assert DeltaTable.forPath(spark, out).toDF().count() == 2
+
+    # stream: first batch = snapshot, later batches = appended commits
+    q = (
+        spark.readStream.format("jodie_delta").load(out)
+        .writeStream.format("memory").queryName("ds_s1")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("ds_s1").count() == 2
+    write_delta(spark.range(10, 13).selectExpr("id", "'w' as tag"), out, mode="append")
+    q2 = (
+        spark.readStream.format("jodie_delta").load(out)
+        .writeStream.format("memory").queryName("ds_s2")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table("ds_s2").count() == 5
+
+
+def test_stream_rejects_data_removal(registered, tmpdir_path):
+    spark = registered
+    out = os.path.join(tmpdir_path, "ds_rm")
+    write_delta(spark.range(10).repartition(1).selectExpr("id", "'a' as tag"), out)
+    from jodie_spark.sources.datasource import JodieDeltaStreamReader
+
+    t = DeltaTable.forPath(spark, out)
+    t.delete("id < 5")
+    reader = JodieDeltaStreamReader({"path": out}, t.schema())
+    with pytest.raises(RuntimeError, match="append-only"):
+        reader.partitions({"version": 0}, {"version": t.deltaLog.latest_version()})
+    # ignoreChanges skips the removes and serves the adds
+    tolerant = JodieDeltaStreamReader({"path": out, "ignoreChanges": "true"}, t.schema())
+    parts = tolerant.partitions({"version": 0}, {"version": t.deltaLog.latest_version()})
+    assert len(parts) >= 1
