@@ -313,6 +313,27 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation through the jodie_delta DataSource (executor
+    parquet + driver commit), append half of region's keys as a second
+    commit, then read the table back through the same format — Spark's
+    own scan machinery over the native log."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    path = _tmp("dsrt")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("jodie_delta").mode("append").save(path)
+    extra = nation.filter("n_nationkey < 5").selectExpr(
+        "n_nationkey + 100 as n_nationkey", "n_name", "n_regionkey"
+    )
+    extra.write.format("jodie_delta").mode("append").save(path)
+    return spark.read.format("jodie_delta").load(path).filter("n_regionkey >= 0")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster map: (doc_id, cluster) for every document
     involved in a verified near-dup pair — what a pipeline inspects
@@ -777,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "language_id": _q_language_id,
         "bpe_token_count": _q_bpe_token_count,
+        "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "similarity_topk": _q_similarity_topk,
@@ -948,6 +970,12 @@ def oracle_sql() -> dict[str, str]:
                 ('UNRESOLVED PART => [ Empty ]', 1),
                 ('TOTAL_NUM_FILES_IN_DELTA_TABLE =>', 1)
             ) AS t(metric, num_files)
+        """,
+        "datasource_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+            WHERE n_nationkey < 5
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_jaccard_pairs_cte()}, {_COMPONENT_DROP_CTE}
