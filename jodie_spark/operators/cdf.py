@@ -43,14 +43,45 @@ def _cdf_enabled(configuration: dict[str, Any]) -> bool:
     return str((configuration or {}).get(CDF_PROP, "false")).lower() == "true"
 
 
+def _to_ts_ms(ts) -> int:
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    return int(float(ts) * 1000)
+
+
 def read_cdf(
-    spark: SparkSession, path: str, starting_version: int, ending_version: int
+    spark: SparkSession,
+    path: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+    starting_timestamp=None,
+    ending_timestamp=None,
 ) -> DataFrame:
     """Change rows between versions (inclusive) with ``_change_type``,
-    ``_commit_version``, ``_commit_timestamp``.
+    ``_commit_version``, ``_commit_timestamp``. Timestamps resolve to
+    versions the way delta-spark's startingTimestamp/endingTimestamp
+    options do (newest commit at-or-before).
     Parity: ChangeDataFeedHelper.scala:371-377."""
     table = DeltaTable.forPath(spark, path)
     log = table.deltaLog
+    if starting_version is None:
+        if starting_timestamp is None:
+            raise ValueError("read_cdf needs starting_version or starting_timestamp")
+        starting_version = log.version_at_timestamp(
+            _to_ts_ms(starting_timestamp), at_or_after=True
+        )
+    if ending_version is None:
+        ending_version = (
+            log.latest_version()
+            if ending_timestamp is None
+            else log.version_at_timestamp(_to_ts_ms(ending_timestamp))
+        )
     schema = table.schema(table.snapshot(ending_version))
 
     start_snap = table.snapshot(starting_version)  # raises VersionNotFoundError if gone

@@ -471,9 +471,11 @@ class DeltaLog:
                 f"{sorted(SUPPORTED_READER_FEATURES)})"
             )
 
-    def version_at_timestamp(self, ts_ms: int) -> int:
-        """Newest version whose commit timestamp ≤ ``ts_ms`` —
-        delta-spark's ``timestampAsOf`` resolution. O(#versions) commit
+    def version_at_timestamp(self, ts_ms: int, at_or_after: bool = False) -> int:
+        """Version a timestamp resolves to. Default: newest version with
+        commit timestamp ≤ ``ts_ms`` (delta-spark's ``timestampAsOf``).
+        ``at_or_after=True``: earliest version with timestamp ≥ ``ts_ms``
+        (how CDF's ``startingTimestamp`` resolves). O(#versions) commit
         header reads, same cost contract as history()."""
         best = -1
         for v in self.list_commit_versions():
@@ -481,7 +483,11 @@ class DeltaLog:
                 (a["commitInfo"] for a in self.read_actions(v) if "commitInfo" in a),
                 {},
             )
-            if int(ci.get("timestamp") or 0) <= ts_ms:
+            ts = int(ci.get("timestamp") or 0)
+            if at_or_after:
+                if ts >= ts_ms and (best < 0 or v < best):
+                    best = v
+            elif ts <= ts_ms:
                 best = max(best, v)
         if best < 0:
             raise VersionNotFoundError(

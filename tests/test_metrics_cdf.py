@@ -256,3 +256,30 @@ def test_non_dml_commits_excluded_unless_opted_in(spark, tmpdir_path):
     rows = OperationMetricHelper(spark, p).get_count_metrics(include_non_dml=True)
     assert [r[0] for r in rows] == [3, 2, 1, 0]
     assert rows[0][1:] == (0, 0, 0, 0) and rows[1][1:] == (0, 0, 0, 0)
+
+
+def test_read_cdf_by_timestamp(spark, tmpdir_path):
+    import datetime as dt
+    import time as _time
+
+    p = os.path.join(tmpdir_path, "cdfts")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    _time.sleep(0.05)
+    mid = dt.datetime.now(tz=dt.timezone.utc)
+    _time.sleep(0.05)
+    t.update("k = 1", {"v": "'a2'"})
+
+    # from the beginning: insert + update pre/post images
+    all_rows = read_cdf(spark, p, starting_timestamp=0).collect()
+    types = sorted(r["_change_type"] for r in all_rows)
+    assert types == ["insert", "insert", "update_postimage", "update_preimage"]
+    # from mid: only the update
+    later = read_cdf(spark, p, starting_timestamp=mid).collect()
+    assert sorted(r["_change_type"] for r in later) == [
+        "update_postimage", "update_preimage",
+    ]
