@@ -175,6 +175,17 @@ class JodieDeltaBatchReader(DataSourceReader):
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         self.schema = schema
         self.version = options.get("versionAsOf")
+        if self.version is None and options.get("timestampAsOf") is not None:
+            from jodie_spark.tables.log import DeltaLog
+
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(options["timestampAsOf"])
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            self.version = DeltaLog(self.path).version_at_timestamp(
+                int(ts.timestamp() * 1000)
+            )
         self._condition: str | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821

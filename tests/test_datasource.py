@@ -87,3 +87,29 @@ def test_stream_rejects_data_removal(registered, tmpdir_path):
     tolerant = JodieDeltaStreamReader({"path": out, "ignoreChanges": "true"}, t.schema())
     parts = tolerant.partitions({"version": 0}, {"version": t.deltaLog.latest_version()})
     assert len(parts) >= 1
+
+
+def test_version_as_of_and_filter_pruning(registered, tmpdir_path):
+    spark = registered
+    p = os.path.join(tmpdir_path, "ds_tt")
+    df = spark.range(0, 60).selectExpr("id", "cast(id % 3 as string) as p")
+    write_delta(df.repartition("p"), p, partition_by=["p"])  # one file per p
+    t = DeltaTable.forPath(spark, p)
+    t.delete("p = '2'")
+
+    assert spark.read.format("jodie_delta").load(p).count() == 40
+    old = spark.read.format("jodie_delta").option("versionAsOf", 0).load(p)
+    assert old.count() == 60
+
+    # pushFilters prunes whole files before Spark schedules tasks
+    from pyspark.sql.datasource import EqualTo
+
+    from jodie_spark.sources.datasource import JodieDeltaBatchReader
+
+    reader = JodieDeltaBatchReader({"path": p}, t.schema())
+    all_parts = reader.partitions()
+    reader2 = JodieDeltaBatchReader({"path": p}, t.schema())
+    reader2.pushFilters([EqualTo(("p",), "1")])
+    pruned = reader2.partitions()
+    assert len(pruned) < len(all_parts)
+    assert len(pruned) >= 1
