@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -296,6 +297,32 @@ class _WroteFile(WriterCommitMessage):
         self.stats = stats
 
 
+def _write_partition_file(iterator, path: str, schema: StructType) -> _WroteFile:
+    """Executor-side: one task's rows → one parquet file in the table
+    dir (uuid name, so never visible until the driver commits it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from jodie_spark.tables.stats import collect_file_stats
+
+    target = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType), True) for f in schema.fields]
+    )
+    rows = [tuple(r) for r in iterator]
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    abs_path = os.path.join(path, name)
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in target]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, target)], schema=target
+    )
+    pq.write_table(table, abs_path)
+    stats = json.dumps(collect_file_stats(abs_path), separators=(",", ":"))
+    return _WroteFile(name, os.path.getsize(abs_path), stats)
+
+
 class JodieDeltaWriter(DataSourceWriter):
     """Executors write parquet files straight into the table directory;
     the driver commits the adds atomically — the same
@@ -311,27 +338,7 @@ class JodieDeltaWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _WroteFile:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        from jodie_spark.tables.stats import collect_file_stats
-
-        target = pa.schema(
-            [pa.field(f.name, to_arrow_type(f.dataType), True) for f in self.schema.fields]
-        )
-        rows = [tuple(r) for r in iterator]
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        abs_path = os.path.join(self.path, name)
-        os.makedirs(self.path, exist_ok=True)
-        cols = list(zip(*rows)) if rows else [[] for _ in target]
-        table = pa.Table.from_arrays(
-            [pa.array(list(c), type=f.type) for c, f in zip(cols, target)], schema=target
-        )
-        pq.write_table(table, abs_path)
-        stats = json.dumps(collect_file_stats(abs_path), separators=(",", ":"))
-        return _WroteFile(name, os.path.getsize(abs_path), stats)
+        return _write_partition_file(iterator, self.path, self.schema)
 
     def commit(self, messages) -> None:
         import time
@@ -408,6 +415,110 @@ class JodieDeltaWriter(DataSourceWriter):
                     pass
 
 
+class JodieDeltaStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with Delta's exactly-once contract: every
+    micro-batch commit carries a ``txn`` action ``(appId, version=
+    batchId)``; a replayed batch (restart after commit, before
+    checkpoint ack) sees its batchId already recorded and skips the
+    commit, deleting its orphaned files. Set a stable ``appId`` option
+    per logical stream."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jodie_delta requires a path: .start('/table/path')")
+        self.schema = schema
+        self.app_id = options.get("appid", options.get("appId", "jodie_delta_stream"))
+
+    def write(self, iterator) -> _WroteFile:
+        return _write_partition_file(iterator, self.path, self.schema)
+
+    def _last_committed_batch(self) -> int:
+        from jodie_spark.tables.log import DeltaLog
+
+        log = DeltaLog(self.path)
+        if not log.exists():
+            return -1
+        best = -1
+        for v in log.list_commit_versions():
+            for a in log.read_actions(v):
+                txn = a.get("txn")
+                if txn and txn.get("appId") == self.app_id:
+                    best = max(best, int(txn.get("version", -1)))
+        return best
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if self._last_committed_batch() >= batchId:
+            # duplicate replay of an already-committed batch
+            self.abort(messages, batchId)
+            return
+        self._txn_action = {"txn": {"appId": self.app_id, "version": int(batchId)}}
+        self._commit_with_txn(messages)
+
+    def _commit_with_txn(self, messages) -> None:
+        import time
+
+        from jodie_spark.tables.log import DeltaLog
+
+        log = DeltaLog(self.path)
+        now_ms = int(time.time() * 1000)
+        adds = [
+            {
+                "add": {
+                    "path": m.rel_path,
+                    "partitionValues": {},
+                    "size": int(m.size),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": m.stats,
+                }
+            }
+            for m in messages
+            if m is not None
+        ]
+        actions = [self._txn_action] + adds
+        if log.exists():
+            snap = log.snapshot()
+            log.check_write_allowed(snap, removes_data=False)
+            log.commit(
+                snap.version,
+                actions,
+                "STREAMING UPDATE",
+                {"outputMode": "Append", "queryId": self.app_id},
+                {"numFiles": str(len(adds))},
+            )
+        else:
+            import uuid as _uuid
+
+            meta = {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(self.schema.jsonValue()),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+            log.commit(
+                -1,
+                [
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                    {"metaData": meta},
+                ]
+                + actions,
+                "STREAMING UPDATE",
+                {"outputMode": "Append", "queryId": self.app_id},
+                {"numFiles": str(len(adds))},
+            )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except OSError:
+                    pass
+
+
 # ---------------------------------------------------------------------------
 # the DataSource
 # ---------------------------------------------------------------------------
@@ -435,3 +546,6 @@ class JodieDeltaDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return JodieDeltaWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JodieDeltaStreamWriter(self.options, schema, overwrite)

@@ -113,3 +113,50 @@ def test_version_as_of_and_filter_pruning(registered, tmpdir_path):
     pruned = reader2.partitions()
     assert len(pruned) < len(all_parts)
     assert len(pruned) >= 1
+
+
+def test_stream_write_end_to_end_exactly_once(registered, tmpdir_path):
+    """Full streaming loop through the format: Delta source table →
+    readStream → writeStream → Delta sink table, with txn-recorded
+    batch ids giving exactly-once across restarts."""
+    spark = registered
+    src = os.path.join(tmpdir_path, "ds_stream_src")
+    dst = os.path.join(tmpdir_path, "ds_stream_dst")
+    ckpt = os.path.join(tmpdir_path, "ds_ckpt")
+    write_delta(spark.range(10).selectExpr("id", "'a' as tag"), src)
+
+    def run_stream():
+        q = (
+            spark.readStream.format("jodie_delta").load(src)
+            .writeStream.format("jodie_delta")
+            .option("checkpointLocation", ckpt)
+            .option("appId", "e2e_test")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    t = DeltaTable.forPath(spark, dst)
+    assert t.toDF().count() == 10
+
+    # restart with the same checkpoint: nothing new, no duplicates
+    run_stream()
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 10
+
+    # append upstream, restart: only the new rows flow
+    write_delta(spark.range(10, 15).selectExpr("id", "'b' as tag"), src, mode="append")
+    run_stream()
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 15
+    assert sorted(r["id"] for r in DeltaTable.forPath(spark, dst).toDF().collect()) == list(range(15))
+
+    # the sink history records the txn batch ids
+    from jodie_spark.tables.log import DeltaLog
+
+    txns = [
+        a["txn"]
+        for v in DeltaLog(dst).list_commit_versions()
+        for a in DeltaLog(dst).read_actions(v)
+        if a.get("txn")
+    ]
+    assert {t["appId"] for t in txns} == {"e2e_test"}
