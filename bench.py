@@ -71,6 +71,7 @@ def main() -> None:
         "as_of_join",
         "range_join",
         "clean_corpus",
+        "datasource_roundtrip",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -429,6 +429,9 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
             raise ValueError("jodie_delta requires a path: .start('/table/path')")
         self.schema = schema
         self.app_id = options.get("appid", options.get("appId", "jodie_delta_stream"))
+        # outputMode("complete") arrives as overwrite=True: each batch
+        # replaces the table contents (aggregation sinks)
+        self.overwrite = bool(overwrite)
 
     def write(self, iterator) -> _WroteFile:
         return _write_partition_file(iterator, self.path, self.schema)
@@ -477,14 +480,28 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
             if m is not None
         ]
         actions = [self._txn_action] + adds
+        mode = "Complete" if self.overwrite else "Append"
         if log.exists():
             snap = log.snapshot()
-            log.check_write_allowed(snap, removes_data=False)
+            log.check_write_allowed(snap, removes_data=self.overwrite)
+            if self.overwrite:
+                actions += [
+                    {
+                        "remove": {
+                            "path": a["path"],
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            "partitionValues": a.get("partitionValues") or {},
+                            "size": a.get("size"),
+                        }
+                    }
+                    for a in snap.add_files()
+                ]
             log.commit(
                 snap.version,
                 actions,
                 "STREAMING UPDATE",
-                {"outputMode": "Append", "queryId": self.app_id},
+                {"outputMode": mode, "queryId": self.app_id},
                 {"numFiles": str(len(adds))},
             )
         else:
@@ -506,7 +523,7 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
                 ]
                 + actions,
                 "STREAMING UPDATE",
-                {"outputMode": "Append", "queryId": self.app_id},
+                {"outputMode": mode, "queryId": self.app_id},
                 {"numFiles": str(len(adds))},
             )
 

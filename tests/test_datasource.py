@@ -160,3 +160,35 @@ def test_stream_write_end_to_end_exactly_once(registered, tmpdir_path):
         if a.get("txn")
     ]
     assert {t["appId"] for t in txns} == {"e2e_test"}
+
+
+def test_stream_complete_mode_replaces_contents(registered, tmpdir_path):
+    spark = registered
+    src = os.path.join(tmpdir_path, "cm_src")
+    dst = os.path.join(tmpdir_path, "cm_dst")
+    ckpt = os.path.join(tmpdir_path, "cm_ckpt")
+    write_delta(spark.range(6).selectExpr("id", "cast(id % 2 as string) as tag"), src)
+
+    import pyspark.sql.functions as F
+
+    def run():
+        q = (
+            spark.readStream.format("jodie_delta").load(src)
+            .groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("jodie_delta")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .option("appId", "cm_test")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r["tag"]: r["n"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    assert got == {"0": 3, "1": 3}
+    # upstream grows; complete mode replaces, never accumulates
+    write_delta(spark.range(6, 10).selectExpr("id", "'0' as tag"), src, mode="append")
+    run()
+    got = {r["tag"]: r["n"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    assert got == {"0": 7, "1": 3}
