@@ -683,7 +683,25 @@ class OptimizeBuilder:
         df = read_files_df(t.spark, t.path, schema, files)
         total_bytes = sum(int(f.get("size") or 0) for f in files)
         n_out = max(1, -(-total_bytes // target_file_size))
-        if cluster_by:
+        if cluster_by and len(cluster_by) > 1:
+            # true Z-ORDER: interleaved-bit morton key, so EVERY
+            # clustered column gets min/max locality (lexicographic
+            # range clustering only tightens the first column)
+            from jodie_spark.tables.zorder import morton_column
+
+            mc = morton_column(df, list(cluster_by))
+            if mc is not None:
+                df = (
+                    df.withColumn("__zorder__", mc)
+                    .repartitionByRange(int(n_out), F.col("__zorder__"))
+                    .sortWithinPartitions("__zorder__")
+                    .drop("__zorder__")
+                )
+            else:  # non-numeric column present: lexicographic fallback
+                df = df.repartitionByRange(
+                    int(n_out), *[F.col(c) for c in cluster_by]
+                ).sortWithinPartitions(*[F.col(c) for c in cluster_by])
+        elif cluster_by:
             df = df.repartitionByRange(int(n_out), *[F.col(c) for c in cluster_by]).sortWithinPartitions(
                 *[F.col(c) for c in cluster_by]
             )
@@ -718,16 +736,18 @@ class OptimizeBuilder:
         t.deltaLog.commit(snap.version, actions, "OPTIMIZE", params, metrics)
         return t.toDF()
 
-    def executeCompaction(self) -> DataFrame:
-        return self._rewrite(None)
+    def executeCompaction(self, target_file_size: int = 128 * 1024 * 1024) -> DataFrame:
+        return self._rewrite(None, target_file_size)
 
     execute_compaction = executeCompaction
 
-    def executeZOrderBy(self, *cols: str) -> DataFrame:
+    def executeZOrderBy(
+        self, *cols: str, target_file_size: int = 128 * 1024 * 1024
+    ) -> DataFrame:
         flat: list[str] = []
         for c in cols:
             flat.extend(c if isinstance(c, (list, tuple)) else [c])
-        return self._rewrite(flat)
+        return self._rewrite(flat, target_file_size)
 
     execute_z_order_by = executeZOrderBy
 

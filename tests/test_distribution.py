@@ -235,3 +235,32 @@ def test_files_df_tolerates_minimal_external_checkpoint(spark, tmpdir_path):
     # and DML on top still plans (stats null => conservative keep)
     t.delete("x = 2")
     assert t.toDF().count() == 0
+
+
+def test_multicol_zorder_tightens_both_columns(spark, tmpdir_path):
+    """Interleaved-bit Z-ORDER must give BOTH clustered columns skipping
+    power; lexicographic clustering only helps the first."""
+    import os as _os
+
+    from jodie_spark.tables.distribution import get_num_shuffle_files
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    df = (
+        spark.range(0, 50_000)
+        .selectExpr("id", "cast(hash(id) % 1000 as int) as x",
+                    "cast(hash(id + 7) % 1000 as int) as y")
+    )
+    p = _os.path.join(tmpdir_path, "zboth")
+    write_delta(df.repartition(16), p)
+    t = DeltaTable.forPath(spark, p)
+    # small file target => 16 z-ordered output files, so skipping is
+    # measurable on both dimensions
+    t.optimize().executeZOrderBy("x", "y", target_file_size=48 * 1024)
+
+    res_x = get_num_shuffle_files(spark, t.path, "x >= 0 and x < 100")
+    res_y = get_num_shuffle_files(spark, t.path, "y >= 0 and y < 100")
+    total = res_x["TOTAL_NUM_FILES_IN_DELTA_TABLE =>"]
+    kx = [v for k, v in res_x.items() if k.startswith("OVERALL")][0]
+    ky = [v for k, v in res_y.items() if k.startswith("OVERALL")][0]
+    assert total >= 8
+    assert kx < total and ky < total  # both dimensions skip strictly
