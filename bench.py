@@ -49,6 +49,16 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     spark.range(1000).select(_warm_udf()(F_col("id"))).collect()
+    # python-datasource worker machinery is a separate one-time cost
+    # (~15-20 s at local[32]); warm it with a 2-row roundtrip
+    import tempfile as _tf
+
+    from jodie_spark.sources.datasource import register as _reg_ds
+
+    _reg_ds(spark)
+    _warm_path = os.path.join(_tf.mkdtemp(prefix="jodie_warm_"), "t")
+    spark.range(2).write.format("jodie_delta").mode("append").save(_warm_path)
+    spark.read.format("jodie_delta").load(_warm_path).count()
 
     bench_queries = [
         "pricing_summary",
