@@ -442,13 +442,15 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
         log = DeltaLog(self.path)
         if not log.exists():
             return -1
-        best = -1
-        for v in log.list_commit_versions():
+        # newest-first with early exit: batch ids are monotone in commit
+        # order for one appId, so the first txn found IS the latest —
+        # steady-state cost is O(1) commits scanned per micro-batch
+        for v in sorted(log.list_commit_versions(), reverse=True):
             for a in log.read_actions(v):
                 txn = a.get("txn")
                 if txn and txn.get("appId") == self.app_id:
-                    best = max(best, int(txn.get("version", -1)))
-        return best
+                    return int(txn.get("version", -1))
+        return -1
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         if self._last_committed_batch() >= batchId:
