@@ -593,19 +593,30 @@ class DeltaTable:
             current.version, actions, "RESTORE", {"version": str(version)}, metrics
         )
 
-    def vacuum(self, retention_hours: float = 168.0) -> None:
+    def vacuum(
+        self, retention_hours: float = 168.0, dry_run: bool = False
+    ) -> list[str] | None:
         """Physically delete tombstoned data files and change-data files
         older than the retention window.
 
-        Writes the same VACUUM START / VACUUM END history pair
-        delta-spark records, so audits can see when files became
-        unrecoverable (the END commit carries numDeletedFiles)."""
+        ``dry_run=True`` returns the absolute paths that WOULD be
+        deleted without touching disk or the log — delta-spark's
+        ``VACUUM ... DRY RUN``. A real run writes the same VACUUM
+        START / VACUUM END history pair delta-spark records, so audits
+        can see when files became unrecoverable (the END commit carries
+        numDeletedFiles)."""
         snap = self.snapshot()
         cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
         eligible = [
             rm for rm in snap.tombstones.values()
             if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms
         ]
+        if dry_run:
+            out = [
+                os.path.join(self.path, urllib.parse.unquote(rm["path"]))
+                for rm in eligible
+            ]
+            return [p for p in out if os.path.isfile(p)]
         start_version = self.deltaLog.commit(
             snap.version,
             [],

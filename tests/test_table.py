@@ -403,3 +403,25 @@ def test_merge_schema_evolution(spark, tmpdir_path):
        .whenNotMatchedInsertAll().execute())
     assert [f.name for f in t2.schema().fields] == ["k", "v"]
     assert sorted(tuple(r) for r in t2.toDF().collect()) == [(1, "a"), (4, "d")]
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, [(i,) for i in range(5)], "x int", name="vacdry")
+    t.update("x >= 0", {"x": "x"})
+    before_versions = t.deltaLog.latest_version()
+    would = t.vacuum(retention_hours=0.0, dry_run=True)
+    assert len(would) >= 1 and all(os.path.isfile(p) for p in would)
+    assert t.deltaLog.latest_version() == before_versions  # no commits
+    # the real run then deletes exactly those files
+    t.vacuum(retention_hours=0.0)
+    assert all(not os.path.isfile(p) for p in would)
+
+
+def test_timestamp_before_first_commit_raises(spark, tmpdir_path):
+    import pytest as _pytest
+
+    from jodie_spark.errors import VersionNotFoundError
+
+    t = _mk(spark, tmpdir_path, [(1,)], "x int", name="tsraise")
+    with _pytest.raises(VersionNotFoundError):
+        t.toDF(timestamp="1990-01-01T00:00:00+00:00").collect()
