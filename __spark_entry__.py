@@ -391,6 +391,78 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word
+    trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
+    because the synthetic sf docs are short; production default n=13."""
+    from jodie_spark.operators.contamination import contamination_check
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, eval_df, n=3).select(
+        "doc_id", F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams")
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-source keep fractions via the
+    portable affine scatter (identical arithmetic in any SQL engine)."""
+    from jodie_spark.operators.sampling import stratified_sample
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        default_fraction=0.1,
+    )
+    return sampled.select("doc_id", "source")
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.chunking import chunk_documents
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=50, overlap=10)
+
+
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization, exploded to (vec_id, pos, code) so
+    every code is value-checked bit-for-bit against DuckDB."""
+    from jodie_spark.functions.vectors import int8_quantize
+    from jodie_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        int8_quantize(F.col("embedding")).alias("__qz__"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("__qz__.max_abs") * 1e6).cast("long").alias("scale_ppm"),
+        F.posexplode(F.col("__qz__.q")).alias("pos", "code"),
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "code", "scale_ppm")
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import repetition_signals
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", repetition_signals(F.col("text")).alias("__r__")
+    ).select(
+        "doc_id",
+        F.col("__r__.dup_word_frac").alias("dup_word_frac"),
+        F.col("__r__.dup_bigram_frac").alias("dup_bigram_frac"),
+        F.col("__r__.dup_trigram_frac").alias("dup_trigram_frac"),
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.similarity import brute_force_topk
     from jodie_spark.sources import load_table
@@ -801,6 +873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
+        "contamination_check": _q_contamination_check,
+        "stratified_sample": _q_stratified_sample,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "repetition_signals": _q_repetition_signals,
         "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1017,6 +1094,91 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,
+        "contamination_check": r"""
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 3
+                              THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                                    for i in generate_series(1, len(t) - 2)]
+                              ELSE [] END) g
+                FROM tok
+            ),
+            ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared_ngrams
+            FROM g JOIN ev USING (g)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 1000003) * 2654435761) % 1048576 <
+                  CAST(round(CASE source
+                        WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+                        WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                        ELSE 0.1 END * 1048576) AS BIGINT)
+        """,
+        "doc_chunks": r"""
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t
+                FROM documents WHERE len(trim(text)) > 0
+            ),
+            s AS (
+                SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) s
+                FROM tok
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 40 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(t, s, s + 49), ' ') AS chunk_text,
+                   CAST(len(list_slice(t, s, s + 49)) AS BIGINT) AS n_chunk_tokens
+            FROM s
+        """,
+        "embedding_quantize": """
+            WITH d AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                FROM embeddings
+            ),
+            m AS (
+                SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM d
+            )
+            SELECT vec_id,
+                   CAST(i - 1 AS BIGINT) AS pos,
+                   CAST(round(v[i] / mx * 127) AS BIGINT) AS code,
+                   CAST(round(mx * 1e6) AS BIGINT) AS scale_ppm
+            FROM (SELECT vec_id, v, mx, unnest(generate_series(1, len(v))) i FROM m)
+        """,
+        "repetition_signals": r"""
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= 2
+                            THEN [array_to_string(list_slice(t, i, i + 1), ' ')
+                                  for i in generate_series(1, len(t) - 1)]
+                            ELSE [] END g2,
+                       CASE WHEN len(t) >= 3
+                            THEN [array_to_string(list_slice(t, i, i + 2), ' ')
+                                  for i in generate_series(1, len(t) - 2)]
+                            ELSE [] END g3
+                FROM tok
+            )
+            SELECT doc_id,
+                   CASE WHEN len(t) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(g2) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                        ELSE 0.0 END AS dup_bigram_frac,
+                   CASE WHEN len(g3) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                        ELSE 0.0 END AS dup_trigram_frac
+            FROM g
+        """,
         "kill_duplicate_records": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority

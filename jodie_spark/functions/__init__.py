@@ -3,29 +3,39 @@
 from jodie_spark.functions.text import (
     bpe_token_count,
     doc_fingerprint,
+    dup_ngram_fraction,
     language_id,
     pii_counts,
     pii_scrub,
     quality_score,
+    repetition_signals,
     token_count,
     with_text_stats,
+    word_ngrams,
 )
 from jodie_spark.functions.vectors import (
     cosine_similarity,
+    int8_quantize,
     l2_norm,
+    l2_normalize,
     random_hyperplane_signature,
 )
 
 __all__ = [
     "bpe_token_count",
     "doc_fingerprint",
+    "dup_ngram_fraction",
     "language_id",
     "pii_counts",
     "pii_scrub",
     "quality_score",
+    "repetition_signals",
     "token_count",
     "with_text_stats",
+    "word_ngrams",
     "cosine_similarity",
+    "int8_quantize",
     "l2_norm",
+    "l2_normalize",
     "random_hyperplane_signature",
 ]

@@ -34,6 +34,57 @@ def _words(col: Column) -> Column:
     )
 
 
+def ws_tokens(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens of trimmed text (empty array for blank text).
+    The same tokenization a DuckDB oracle expresses as
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')`` — keep the two
+    in lockstep."""
+    base = F.lower(col) if lowercase else col
+    trimmed = F.btrim(base)
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams over whitespace tokens
+    (empty when the document has fewer than ``n`` tokens). Pure
+    ``transform``/``slice`` — stays in codegen, no Python in the scan."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = ws_tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word ``n``-grams that are repeats of an earlier one
+    (0.0 for documents shorter than ``n`` tokens) — the Gopher-style
+    repetition signal: boilerplate and degenerate generations score
+    high, natural prose scores near 0."""
+    g = word_ngrams(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(col: Column) -> Column:
+    """Struct of within-document repetition ratios (duplicate word /
+    bigram / trigram fractions) for quality filtering, computed in one
+    projection."""
+    return F.struct(
+        dup_ngram_fraction(col, 1).alias("dup_word_frac"),
+        dup_ngram_fraction(col, 2).alias("dup_bigram_frac"),
+        dup_ngram_fraction(col, 3).alias("dup_trigram_frac"),
+    )
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count (0 for empty/blank text)."""
     trimmed = F.btrim(col)

@@ -34,6 +34,29 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-norm copy of the vector as ``array<double>`` (all-zero
+    vectors stay all-zero). Pure ``transform``/``aggregate`` — codegen,
+    no Python."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    n = l2_norm(d)
+    return F.when(n > 0, F.transform(d, lambda x: x / n)).otherwise(d)
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct of the quantized codes
+    (``q``: array of -127..127 as long) and the float scale
+    (``max_abs``), the standard storage/bandwidth reduction for ANN
+    indexes over large embedding corpora. Exact-integer output makes it
+    verifiable bit-for-bit against any other engine."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(d, F.abs))
+    q = F.when(
+        mx > 0, F.transform(d, lambda x: F.round(x / mx * 127).cast("long"))
+    ).otherwise(F.transform(d, lambda x: F.lit(0).cast("long")))
+    return F.struct(q.alias("q"), mx.alias("max_abs"))
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic Gaussian hyperplanes for sign-random-projection LSH
     (Charikar's SimHash for cosine similarity)."""

@@ -17,6 +17,12 @@ from jodie_spark.operators.helpers import (
     validate_append,
     with_md5_columns,
 )
+from jodie_spark.operators.chunking import chunk_documents
+from jodie_spark.operators.contamination import contamination_check, decontaminate
+from jodie_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
 from jodie_spark.operators.scd import type2_generic_upsert, type2_upsert
 from jodie_spark.operators.similarity import (
     ann_topk,
@@ -37,7 +43,12 @@ from jodie_spark.operators.text_dedup import (
 
 __all__ = [
     "append_without_duplicates",
+    "chunk_documents",
     "connected_component_reps",
+    "contamination_check",
+    "decontaminate",
+    "deterministic_sample",
+    "stratified_sample",
     "kill_duplicate_records",
     "remove_duplicate_records",
     "copy_table",

@@ -306,3 +306,115 @@ def test_connected_components_driver_and_distributed_agree(spark):
             for r in connected_component_reps(df, driver_threshold=0).collect()
         }
         assert drv == dist, f"seed={seed}"
+
+
+def test_word_ngrams_and_repetition(spark):
+    from jodie_spark.functions.text import dup_ngram_fraction, word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("x x x x",), ("one",), ("",)], ["text"]
+    )
+    grams = [r[0] for r in df.select(word_ngrams(F.col("text"), 2)).collect()]
+    assert grams[0] == ["a b", "b c", "c d"]
+    assert grams[1] == ["x x", "x x", "x x"]
+    assert grams[2] == []  # shorter than n
+    assert grams[3] == []
+    dup = [r[0] for r in df.select(dup_ngram_fraction(F.col("text"), 2)).collect()]
+    assert dup[0] == 0.0
+    assert dup[1] == pytest.approx(2 / 3, abs=1e-6)  # 3 bigrams, 1 distinct
+    assert dup[2] == 0.0 and dup[3] == 0.0
+
+
+def test_contamination_check_and_decontaminate(spark):
+    from jodie_spark.operators.contamination import (
+        contamination_check,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines"),
+            (3, "another doc with quick brown fox inside it"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "quick brown fox benchmarks")], ["doc_id", "text"]
+    )
+    flagged = contamination_check(corpus, eval_df, n=3)
+    rows = {r["doc_id"]: r["n_shared_ngrams"] for r in flagged.collect()}
+    assert set(rows) == {1, 3}  # both contain "quick brown fox"
+    assert all(v >= 1 for v in rows.values())
+    survivors = {r["doc_id"] for r in decontaminate(corpus, eval_df, n=3).collect()}
+    assert survivors == {2}
+
+
+def test_stratified_sample_deterministic(spark):
+    from jodie_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        ["doc_id", "source"],
+    )
+    s1 = stratified_sample(df, "source", {"a": 1.0, "b": 0.0})
+    got = s1.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"a": 1000}
+
+    # half-rate sample is ~50% and identical across invocations
+    h1 = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    h2 = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    assert h1 == h2
+    assert 800 < len(h1) < 1200
+    # a different salt draws a different (but still deterministic) sample
+    h3 = {r["doc_id"] for r in deterministic_sample(df, 0.5, salt=7).collect()}
+    assert h3 != h1
+    # xxhash method also works and is deterministic
+    x1 = {r["doc_id"] for r in deterministic_sample(df, 0.5, method="xxhash").collect()}
+    x2 = {r["doc_id"] for r in deterministic_sample(df, 0.5, method="xxhash").collect()}
+    assert x1 == x2
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"a": -0.1})
+
+
+def test_chunk_documents(spark):
+    from jodie_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")], ["doc_id", "text"])
+    chunks = chunk_documents(df, max_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 8 → starts 1,9,17,25 → 4 chunks; last has 1 token
+    assert [c["n_chunk_tokens"] for c in sorted(by_doc[1], key=lambda c: c["chunk_id"])] == [10, 10, 9, 1]
+    # consecutive chunks overlap by 2 tokens
+    c0, c1 = by_doc[1][0]["chunk_text"].split(), by_doc[1][1]["chunk_text"].split()
+    assert c0[-2:] == c1[:2]
+    assert [c["n_chunk_tokens"] for c in by_doc[2]] == [2]
+    assert 3 not in by_doc  # blank doc yields no chunks
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=5, overlap=5)
+
+
+def test_l2_normalize_and_int8_quantize(spark):
+    from jodie_spark.functions.vectors import int8_quantize, l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.5])],
+        ["id", "v"],
+    )
+    nrm = {r["id"]: r["n"] for r in df.select("id", l2_normalize(F.col("v")).alias("n")).collect()}
+    assert nrm[1] == pytest.approx([0.6, 0.8])
+    assert nrm[2] == [0.0, 0.0]  # zero vector unchanged, no NaN
+    qz = {r["id"]: r["q"] for r in df.select("id", int8_quantize(F.col("v")).alias("q")).collect()}
+    assert list(qz[1]["q"]) == [95, 127]  # round(3/4*127)=95
+    assert qz[1]["max_abs"] == pytest.approx(4.0)
+    assert list(qz[2]["q"]) == [0, 0]
+    assert list(qz[3]["q"]) == [-127, 64]  # round(0.5*127)=63.5→64 (half-up)
