@@ -1,0 +1,76 @@
+"""Column mapping (mode ``name``) read support for the native log reader.
+
+Delta's column-mapping feature decouples a field's LOGICAL name (what
+queries use, stored in ``metaData.schemaString``) from its PHYSICAL
+name (what the parquet files store, recorded per field as
+``delta.columnMapping.physicalName`` in the schema-string metadata).
+Tables written by modern delta-spark after a RENAME COLUMN, or created
+with ``delta.columnMapping.mode = name``, cannot be read correctly by
+physical name alone — every column would come back null.
+
+Read strategy (public protocol, delta.io PROTOCOL.md "Column Mapping"):
+scan the parquet files with the PHYSICAL schema (so names resolve and
+Hive-style partition directories — also physical-named — reconstruct),
+then rename back to logical names with a positional struct cast. Mode
+``id`` (parquet field-id resolution) is refused at the protocol gate —
+supporting it needs a field-id-aware reader configuration this engine
+doesn't pin.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+MODE_KEY = "delta.columnMapping.mode"
+
+
+def column_mapping_mode(metadata: dict[str, Any]) -> str:
+    """The table's column-mapping mode: 'none' (default), 'name', 'id'."""
+    conf = metadata.get("configuration") or {}
+    return str(conf.get(MODE_KEY, "none"))
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return to_physical_schema(dt)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType), _physical_type(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
+def to_physical_schema(schema: T.StructType) -> T.StructType:
+    """Schema with every field renamed to its recorded physical name
+    (fields without an annotation keep their logical name — pre-mapping
+    columns in upgraded tables)."""
+    fields = []
+    for f in schema.fields:
+        phys = (f.metadata or {}).get(PHYSICAL_NAME_KEY, f.name)
+        fields.append(
+            T.StructField(phys, _physical_type(f.dataType), f.nullable, f.metadata)
+        )
+    return T.StructType(fields)
+
+
+def rename_to_logical(
+    df: DataFrame, logical: T.StructType, physical: T.StructType
+) -> DataFrame:
+    """Project physical-named columns back to logical names. Nested
+    struct fields rename via a positional cast (struct casts match
+    fields by position, so the physical layout maps 1:1 onto the
+    logical type)."""
+    cols = []
+    for lf, pf in zip(logical.fields, physical.fields):
+        c = F.col(f"`{pf.name}`")
+        if pf.dataType != lf.dataType:
+            c = c.cast(lf.dataType)
+        cols.append(c.alias(lf.name))
+    return df.select(*cols)

@@ -39,11 +39,16 @@ from jodie_spark.errors import (
 )
 
 # Reader features this engine implements. Tables demanding anything else
-# (deletion vectors, column mapping, v2 checkpoints, ...) would silently
-# produce wrong rows if read naively, so snapshot() hard-fails on them.
+# (deletion vectors, v2 checkpoints, ...) would silently produce wrong
+# rows if read naively, so snapshot() hard-fails on them.
 # timestampNtz is a plain parquet type the scan already handles.
-SUPPORTED_READER_VERSIONS = {1, 3}
-SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# columnMapping is supported for mode 'name' (physical-name scan +
+# logical rename, tables/column_mapping.py); mode 'id' needs parquet
+# field-id resolution and is refused by _check_read_protocol.
+# Reader version 2 == legacy columnMapping protocol (PROTOCOL.md).
+SUPPORTED_READER_VERSIONS = {1, 2, 3}
+SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
+_COLUMN_MAPPING_READ_MODES = {"none", "name"}
 
 # Writer features this engine honors when COMMITTING. Writing to a
 # table whose protocol demands features we don't implement (CHECK
@@ -399,7 +404,7 @@ class DeltaLog:
             raise DeltaProtocolError(
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
-        self._check_read_protocol(protocol)
+        self._check_read_protocol(protocol, metadata)
         return Snapshot(target, metadata, protocol, files=None)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -445,15 +450,24 @@ class DeltaLog:
             raise DeltaProtocolError(
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
-        self._check_read_protocol(protocol)
+        self._check_read_protocol(protocol, metadata)
         return Snapshot(target, metadata, protocol, files, tombstones)
 
-    def _check_read_protocol(self, protocol: dict[str, Any] | None) -> None:
+    def _check_read_protocol(
+        self,
+        protocol: dict[str, Any] | None,
+        metadata: dict[str, Any] | None = None,
+    ) -> None:
         """Refuse tables whose protocol demands reader features this
         engine lacks — reading one anyway returns silently-wrong rows
         (deletion vectors: deleted rows resurface; column mapping: wrong
         columns). delta-core inherits this gate from Protocol.assertProtocolRead;
-        the reference (DeltaHelpers.scala et al.) gets it for free."""
+        the reference (DeltaHelpers.scala et al.) gets it for free.
+
+        Column mapping is readable in mode 'name' (the scan resolves
+        physical names, then renames — tables/column_mapping.py); mode
+        'id' would need parquet field-id resolution, so it is refused
+        here rather than returning all-null columns."""
         if not protocol:
             return
         reader = int(protocol.get("minReaderVersion") or 1)
@@ -470,6 +484,16 @@ class DeltaLog:
                 f"features {sorted(unsupported)} (supported: "
                 f"{sorted(SUPPORTED_READER_FEATURES)})"
             )
+        if reader == 2 or "columnMapping" in features:
+            from jodie_spark.tables.column_mapping import column_mapping_mode
+
+            mode = column_mapping_mode(metadata or {})
+            if mode not in _COLUMN_MAPPING_READ_MODES:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: column mapping mode {mode!r} is not "
+                    f"readable by this engine (supported: "
+                    f"{sorted(_COLUMN_MAPPING_READ_MODES)})"
+                )
 
     def version_at_timestamp(self, ts_ms: int, at_or_after: bool = False) -> int:
         """Version a timestamp resolves to. Default: newest version with

@@ -220,7 +220,21 @@ class DeltaTable:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             version = self.deltaLog.version_at_timestamp(int(ts.timestamp() * 1000))
         snap = self.snapshot(version)
-        df = read_files_df(self.spark, self.path, self.schema(snap), snap.add_files())
+        logical = self.schema(snap)
+        from jodie_spark.tables.column_mapping import (
+            column_mapping_mode,
+            rename_to_logical,
+            to_physical_schema,
+        )
+
+        if column_mapping_mode(snap.metadata) == "name":
+            # scan with physical names (what the parquet files + partition
+            # dirs use), then rename back to the logical schema
+            physical = to_physical_schema(logical)
+            df = read_files_df(self.spark, self.path, physical, snap.add_files())
+            df = rename_to_logical(df, logical, physical)
+        else:
+            df = read_files_df(self.spark, self.path, logical, snap.add_files())
         if self._alias:
             df = df.alias(self._alias)
         return df

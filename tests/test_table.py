@@ -69,9 +69,22 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     with pytest.raises(DeltaProtocolError, match="deletionVectors"):
         DeltaTable.forPath(spark, dv).snapshot()
 
+    # reader v2 == legacy column mapping: readable (mode defaults to
+    # 'none'; mode 'name' is handled — see test_column_mapping_name_read)
     cm = mk_log("cm_table", {"minReaderVersion": 2, "minWriterVersion": 5})
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion=2"):
-        DeltaTable.forPath(spark, cm).snapshot()
+    assert DeltaTable.forPath(spark, cm).snapshot().version == 0
+
+    # ...but mode 'id' needs parquet field-id resolution → refuse
+    id_mode = mk_log("cm_id_table", {"minReaderVersion": 2, "minWriterVersion": 5})
+    log_file = os.path.join(id_mode, "_delta_log", "%020d.json" % 0)
+    lines = open(log_file).read().splitlines()
+    meta_action = json.loads(lines[1])
+    meta_action["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    with open(log_file, "w") as fh:
+        fh.write(lines[0] + "\n")
+        fh.write(json.dumps(meta_action) + "\n")
+    with pytest.raises(DeltaProtocolError, match="column mapping mode 'id'"):
+        DeltaTable.forPath(spark, id_mode).snapshot()
 
     # v3 with only supported features is fine
     ok = mk_log("ok_table", {
@@ -425,3 +438,125 @@ def test_timestamp_before_first_commit_raises(spark, tmpdir_path):
     t = _mk(spark, tmpdir_path, [(1,)], "x int", name="tsraise")
     with _pytest.raises(VersionNotFoundError):
         t.toDF(timestamp="1990-01-01T00:00:00+00:00").collect()
+
+
+def test_column_mapping_name_read(spark, tmpdir_path):
+    """Hand-built table exactly as delta-spark writes it with
+    delta.columnMapping.mode=name: parquet files (and partition dirs)
+    carry physical col-<uuid> names; the logical schema lives only in
+    metaData.schemaString field metadata. toDF() must return logical
+    names with correct values, including a renamed nested struct field
+    and a partition column."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tmpdir_path, "mapped")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def fmeta(cid, phys):
+        return {"delta.columnMapping.id": cid, "delta.columnMapping.physicalName": phys}
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": fmeta(1, "col-aa")},
+                {
+                    "name": "info",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "score", "type": "double", "nullable": True, "metadata": fmeta(3, "col-cc")},
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": fmeta(2, "col-bb"),
+                },
+                {"name": "part", "type": "string", "nullable": True, "metadata": fmeta(4, "col-dd")},
+            ],
+        }
+    )
+
+    # physical parquet files: one per partition value, in physical-named dirs
+    adds = []
+    for pv, ids in (("x", [1, 2]), ("y", [3])):
+        rel_dir = f"col-dd={pv}"
+        os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/part-0.parquet"
+        tbl = pa.table(
+            {
+                "col-aa": pa.array(ids, pa.int64()),
+                "col-bb": pa.array(
+                    [{"col-cc": float(i) / 2} for i in ids],
+                    pa.struct([("col-cc", pa.float64())]),
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(path, rel))
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": {"col-dd": pv},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        )
+
+    meta = {
+        "id": "m1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": ["col-dd"],
+        "configuration": {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "4",
+        },
+        "createdTime": 0,
+    }
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+
+    t = DeltaTable.forPath(spark, path)
+    df = t.toDF()
+    assert [f.name for f in df.schema.fields] == ["id", "info", "part"]
+    assert df.schema["info"].dataType.fields[0].name == "score"
+    rows = sorted((r["id"], r["info"]["score"], r["part"]) for r in df.collect())
+    assert rows == [(1, 0.5, "x"), (2, 1.0, "x"), (3, 1.5, "y")]
+
+    # the v7/v3 feature-flag variant of the same table also reads
+    with open(os.path.join(log_dir, "%020d.json" % 0)) as fh:
+        lines = fh.read().splitlines()
+    path2 = os.path.join(tmpdir_path, "mapped_v7")
+    os.makedirs(os.path.join(path2, "_delta_log"))
+    for pv in ("x", "y"):
+        import shutil
+
+        shutil.copytree(os.path.join(path, f"col-dd={pv}"), os.path.join(path2, f"col-dd={pv}"))
+    with open(os.path.join(path2, "_delta_log", "%020d.json" % 0), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        for line in lines[1:]:
+            fh.write(line + "\n")
+    rows2 = sorted(
+        (r["id"], r["info"]["score"], r["part"])
+        for r in DeltaTable.forPath(spark, path2).toDF().collect()
+    )
+    assert rows2 == rows
