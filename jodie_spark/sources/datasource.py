@@ -73,9 +73,19 @@ def register(spark) -> None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, partition_values: dict[str, str]):
+    def __init__(
+        self,
+        file_path: str,
+        partition_values: dict[str, str],
+        dv: dict | None = None,
+        table_path: str | None = None,
+    ):
         self.file_path = file_path
         self.partition_values = dict(partition_values or {})
+        # deletionVector descriptor (+ table path to resolve 'u'
+        # storage); deleted row indexes are masked executor-side
+        self.dv = dv
+        self.table_path = table_path
 
 
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
@@ -110,10 +120,35 @@ def _read_file_batches(
     target = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType), True) for f in schema.fields]
     )
+    deleted = None
+    if partition.dv:
+        import numpy as np
+
+        from jodie_spark.tables.deletion_vectors import (
+            parse_roaring_bitmap_array,
+            read_dv_bytes,
+        )
+
+        deleted = np.asarray(
+            parse_roaring_bitmap_array(
+                read_dv_bytes(partition.table_path or "", partition.dv)
+            ),
+            dtype=np.int64,
+        )
     pf = pq.ParquetFile(partition.file_path)
     file_cols = set(pf.schema_arrow.names)
     wanted = [f.name for f in schema.fields if f.name in file_cols]
+    row_offset = 0
     for batch in pf.iter_batches(columns=wanted, batch_size=65536):
+        if deleted is not None:
+            import numpy as np
+
+            n_read = batch.num_rows
+            idx = np.arange(row_offset, row_offset + n_read, dtype=np.int64)
+            row_offset += n_read
+            keep = ~np.isin(idx, deleted, assume_unique=True)
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
         n = batch.num_rows
         arrays = []
         for f, arrow_field in zip(schema.fields, target):
@@ -211,6 +246,8 @@ class JodieDeltaBatchReader(DataSourceReader):
             _FilePartition(
                 os.path.join(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
+                a.get("deletionVector"),
+                self.path,
             )
             for a in adds
         ]
@@ -274,6 +311,8 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
             _FilePartition(
                 os.path.join(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
+                a.get("deletionVector"),
+                self.path,
             )
             for a in adds
         ]

@@ -1,0 +1,271 @@
+"""Deletion-vector read support (public Delta protocol).
+
+Modern delta-spark writes DELETE/UPDATE/MERGE as *deletion vectors* by
+default: instead of rewriting a data file, the commit attaches a
+``deletionVector`` descriptor to the ``add`` action marking row indexes
+as deleted. A reader that ignores the descriptor silently resurrects
+deleted rows — which is why the protocol gate refused such tables
+before this module existed.
+
+Everything here follows the public spec (delta.io PROTOCOL.md,
+"Deletion Vectors" + "Deletion Vector Format"):
+
+- descriptor ``storageType``: ``u`` (relative file, UUID-named),
+  ``p`` (absolute-path file), ``i`` (inline in the descriptor);
+- file layout: 1-byte format version, then at ``offset``:
+  ``<int32 BE dataSize> <serialized bitmap> <int32 BE CRC-32>``;
+- the bitmap is a RoaringBitmapArray in "portable" form: magic
+  ``1681511377`` (int32 LE), number of 32-bit bitmaps (int64 LE),
+  then each 32-bit RoaringBitmap in the standard interoperable
+  portable serialization (RoaringFormatSpec: array / bitmap / run
+  containers), the array index supplying the high 32 bits;
+- string payloads (inline bitmaps, UUIDs) use RFC 1924 base85 — the
+  same alphabet as Python's ``base64.b85encode``.
+
+The serializer exists for fixtures and tests (this engine's own DML
+never writes DVs); the parser is the production read path.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+import uuid as _uuid
+import zlib
+from typing import Any
+
+MAGIC = 1681511377
+_SERIAL_COOKIE = 12347
+_SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+_FORMAT_VERSION = 1
+
+
+class DeletionVectorError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# 32-bit RoaringBitmap portable serialization (RoaringFormatSpec)
+# ---------------------------------------------------------------------------
+
+def _parse_bitmap32(buf: memoryview, pos: int) -> tuple[list[int], int]:
+    """Parse one 32-bit roaring bitmap; return (sorted values, new pos)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n_containers = (cookie >> 16) + 1
+        n_flag_bytes = (n_containers + 7) // 8
+        run_flags = bytes(buf[pos : pos + n_flag_bytes])
+        pos += n_flag_bytes
+        has_offsets = n_containers >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUNCONTAINER:
+        (n_containers,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        run_flags = b"\x00" * ((n_containers + 7) // 8)
+        has_offsets = True
+    else:
+        raise DeletionVectorError(f"bad roaring cookie {cookie}")
+
+    headers = []
+    for i in range(n_containers):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        headers.append((key, card_m1 + 1))
+    if has_offsets:
+        pos += 4 * n_containers  # offsets are redundant for sequential parse
+
+    values: list[int] = []
+    for i, (key, card) in enumerate(headers):
+        base = key << 16
+        is_run = bool(run_flags[i // 8] & (1 << (i % 8)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, len_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base + v for v in range(start, start + len_m1 + 1))
+        elif card > _ARRAY_MAX:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base + (wi << 6) + b.bit_length() - 1)
+                    w ^= b
+        else:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base + v for v in vals)
+    return values, pos
+
+
+def _serialize_bitmap32(values: list[int], use_runs: bool = False) -> bytes:
+    """Serialize sorted uint32 values (fixture/test path). Container
+    type follows the spec's implicit rule: readers infer bitmap vs
+    array from cardinality (> 4096 => bitmap), so the choice is not
+    free — a small-cardinality bitmap container would be unreadable."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    out = bytearray()
+    run_flags = bytearray((n + 7) // 8)
+    bodies: list[bytes] = []
+    for i, k in enumerate(keys):
+        vals = sorted(containers[k])
+        if use_runs:
+            run_flags[i // 8] |= 1 << (i % 8)
+            runs: list[tuple[int, int]] = []
+            for v in vals:
+                if runs and v == runs[-1][0] + runs[-1][1] + 1:
+                    runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+                else:
+                    runs.append((v, 0))
+            body = struct.pack("<H", len(runs))
+            for start, len_m1 in runs:
+                body += struct.pack("<HH", start, len_m1)
+            bodies.append(body)
+        elif len(vals) > _ARRAY_MAX:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+        else:
+            bodies.append(struct.pack(f"<{len(vals)}H", *vals))
+
+    if use_runs and n > 0:  # an empty bitmap can't carry the run cookie
+        out += struct.pack("<I", _SERIAL_COOKIE | ((n - 1) << 16))
+        out += bytes(run_flags)
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    else:
+        out += struct.pack("<I", _SERIAL_COOKIE_NO_RUNCONTAINER)
+        out += struct.pack("<i", n)
+        has_offsets = True
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    if has_offsets:
+        off = len(out) + 4 * n
+        for body in bodies:
+            out += struct.pack("<i", off)
+            off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# RoaringBitmapArray (64-bit positions)
+# ---------------------------------------------------------------------------
+
+def parse_roaring_bitmap_array(data: bytes) -> list[int]:
+    """All set positions (sorted int64) of a portable RoaringBitmapArray."""
+    buf = memoryview(data)
+    (magic,) = struct.unpack_from("<I", buf, 0)
+    if magic != MAGIC:
+        raise DeletionVectorError(f"bad RoaringBitmapArray magic {magic}")
+    (n_bitmaps,) = struct.unpack_from("<q", buf, 4)
+    pos = 12
+    out: list[int] = []
+    for high in range(n_bitmaps):
+        vals, pos = _parse_bitmap32(buf, pos)
+        out.extend((high << 32) | v for v in vals)
+    return out
+
+
+def serialize_roaring_bitmap_array(
+    positions: list[int], use_runs: bool = False
+) -> bytes:
+    by_high: dict[int, list[int]] = {}
+    for p in positions:
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = (max(by_high) + 1) if by_high else 0
+    out = bytearray(struct.pack("<Iq", MAGIC, n))
+    for high in range(n):
+        out += _serialize_bitmap32(sorted(by_high.get(high, [])), use_runs)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# descriptor resolution + DV file format
+# ---------------------------------------------------------------------------
+
+def dv_absolute_path(table_path: str, descriptor: dict[str, Any]) -> str | None:
+    """Absolute path of an on-disk DV; None for inline descriptors."""
+    st = descriptor.get("storageType", "u")
+    ref = descriptor["pathOrInlineDv"]
+    if st == "i":
+        return None
+    if st == "p":
+        return ref
+    if st != "u":
+        raise DeletionVectorError(f"unknown DV storageType {st!r}")
+    prefix, encoded_uuid = ref[:-20], ref[-20:]
+    u = _uuid.UUID(bytes=base64.b85decode(encoded_uuid))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(table_path, prefix, name) if prefix else os.path.join(
+        table_path, name
+    )
+
+
+def read_dv_bytes(table_path: str, descriptor: dict[str, Any]) -> bytes:
+    """The serialized RoaringBitmapArray for a descriptor (checksummed
+    for on-disk storage)."""
+    size = int(descriptor["sizeInBytes"])
+    path = dv_absolute_path(table_path, descriptor)
+    if path is None:
+        data = base64.b85decode(descriptor["pathOrInlineDv"])
+        if len(data) != size:
+            raise DeletionVectorError(
+                f"inline DV length {len(data)} != sizeInBytes {size}"
+            )
+        return data
+    offset = int(descriptor.get("offset") or 1)
+    with open(path, "rb") as fh:
+        version = fh.read(1)[0]
+        if version != _FORMAT_VERSION:
+            raise DeletionVectorError(f"unsupported DV file format version {version}")
+        fh.seek(offset)
+        (data_size,) = struct.unpack(">i", fh.read(4))
+        if data_size != size:
+            raise DeletionVectorError(
+                f"DV dataSize {data_size} != descriptor sizeInBytes {size}"
+            )
+        data = fh.read(data_size)
+        (crc,) = struct.unpack(">I", fh.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise DeletionVectorError(f"DV checksum mismatch for {path}")
+    return data
+
+
+def write_dv_file(path: str, positions: list[int], **ser_kw: Any) -> dict[str, Any]:
+    """Write a DV file (fixture/test path) and return the descriptor
+    fields that reference it as storageType='p'."""
+    data = serialize_roaring_bitmap_array(sorted(positions), **ser_kw)
+    with open(path, "wb") as fh:
+        fh.write(bytes([_FORMAT_VERSION]))
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": path,
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def inline_descriptor(positions: list[int], **ser_kw: Any) -> dict[str, Any]:
+    """Inline ('i') descriptor for the given positions (fixture path)."""
+    data = serialize_roaring_bitmap_array(sorted(positions), **ser_kw)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(data).decode("ascii"),
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }

@@ -39,15 +39,17 @@ from jodie_spark.errors import (
 )
 
 # Reader features this engine implements. Tables demanding anything else
-# (deletion vectors, v2 checkpoints, ...) would silently produce wrong
-# rows if read naively, so snapshot() hard-fails on them.
+# (v2 checkpoints, ...) would silently produce wrong rows if read
+# naively, so snapshot() hard-fails on them.
 # timestampNtz is a plain parquet type the scan already handles.
 # columnMapping is supported for mode 'name' (physical-name scan +
 # logical rename, tables/column_mapping.py); mode 'id' needs parquet
 # field-id resolution and is refused by _check_read_protocol.
+# deletionVectors read support: tables/deletion_vectors.py (row-index
+# anti-filter); DML on such tables still refuses at the WRITER gate.
 # Reader version 2 == legacy columnMapping protocol (PROTOCOL.md).
 SUPPORTED_READER_VERSIONS = {1, 2, 3}
-SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
+SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
 _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 
 # Writer features this engine honors when COMMITTING. Writing to a

@@ -47,17 +47,123 @@ def read_files_df(
     ``basePath`` gives Hive-style partition-column reconstruction; the
     explicit schema pins partition-value types and fills columns missing
     from older files (schema evolution) with nulls.
+
+    Files carrying a ``deletionVector`` descriptor take a second scan
+    that anti-joins deleted row indexes (``_metadata.row_index``)
+    before unioning with the plain fast path — see
+    :mod:`jodie_spark.tables.deletion_vectors`.
     """
-    if not adds:
+    plain = [a for a in adds if not _dv_cardinality(a)]
+    dv = [a for a in adds if _dv_cardinality(a)]
+    parts: list[DataFrame] = []
+    if plain:
+        paths = [
+            os.path.join(table_path, urllib.parse.unquote(a["path"])) for a in plain
+        ]
+        df = (
+            spark.read.format("parquet")
+            .option("basePath", table_path)
+            .schema(schema)
+            .load(paths)
+        )
+        parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
+    if dv:
+        parts.append(_read_dv_files_df(spark, table_path, schema, dv))
+    if not parts:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, urllib.parse.unquote(a["path"])) for a in adds]
-    df = (
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_cardinality(add: dict[str, Any]) -> int:
+    desc = add.get("deletionVector")
+    return int(desc.get("cardinality") or 0) if desc else 0
+
+
+# Below this many total deleted rows the position set broadcasts, so
+# the anti-join adds no shuffle of the data side.
+_DV_BROADCAST_MAX_POSITIONS = 2_000_000
+
+
+def _read_dv_files_df(
+    spark: SparkSession,
+    table_path: str,
+    schema: T.StructType,
+    adds: list[dict[str, Any]],
+) -> DataFrame:
+    """Scan deletion-vector-carrying files, dropping deleted rows.
+
+    Shape: one parquet scan of the DV'd files with
+    ``_metadata.file_path`` / ``row_index``, anti-joined against the
+    decoded position set. DV bytes are fetched driver-side (O(#DV
+    files) I/O, like the log itself) but DECODED executor-side in an
+    Arrow-batched UDF, so a million-row bitmap never burdens the
+    driver. Positions broadcast when small, so the common case adds no
+    shuffle; the driver's only per-row-free work is one
+    ``distinct(file_path)`` job to learn Spark's exact URI spelling
+    (joining on reconstructed URI strings is how silent mismatches
+    happen — see ADVICE.md on percent-encoding)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.tables.deletion_vectors import (
+        parse_roaring_bitmap_array,
+        read_dv_bytes,
+    )
+
+    by_real: dict[str, dict[str, Any]] = {}
+    paths = []
+    for a in adds:
+        abs_p = os.path.join(table_path, urllib.parse.unquote(a["path"]))
+        paths.append(abs_p)
+        by_real[os.path.realpath(abs_p)] = a
+    scan = (
         spark.read.format("parquet")
         .option("basePath", table_path)
         .schema(schema)
         .load(paths)
+        .select(
+            *[F.col(f.name) for f in schema.fields],
+            F.col("_metadata.file_path").alias("__fp__"),
+            F.col("_metadata.row_index").alias("__ri__"),
+        )
     )
-    return df.select(*[F.col(f.name) for f in schema.fields])
+    fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
+    rows = []
+    for fp in fp_values:
+        local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
+        add = by_real.get(os.path.realpath(local))
+        if add is None:
+            raise DeltaProtocolError(
+                f"cannot map scanned file {fp!r} back to a deletion-vector "
+                f"add entry of {table_path}; refusing to resurrect deleted rows"
+            )
+        rows.append((fp, bytearray(read_dv_bytes(table_path, add["deletionVector"]))))
+
+    def _decode_fn(dv):
+        return dv.apply(lambda b: parse_roaring_bitmap_array(bytes(b)))
+
+    # real annotation objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot infer
+    _decode_fn.__annotations__ = {"dv": pd.Series, "return": pd.Series}
+    _decode = pandas_udf(_decode_fn, T.ArrayType(T.LongType()))
+
+    pos_schema = T.StructType(
+        [T.StructField("__fp__", T.StringType()), T.StructField("__dv__", T.BinaryType())]
+    )
+    positions = (
+        spark.createDataFrame(rows, pos_schema)
+        .select("__fp__", F.explode(_decode(F.col("__dv__"))).alias("__ri__"))
+    )
+    total = sum(_dv_cardinality(a) for a in adds)
+    if total <= _DV_BROADCAST_MAX_POSITIONS:
+        positions = F.broadcast(positions)
+    return scan.join(positions, ["__fp__", "__ri__"], "left_anti").drop(
+        "__fp__", "__ri__"
+    )
 
 
 # Logs below this many bytes are planned driver-side: the whole state

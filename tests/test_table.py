@@ -61,13 +61,25 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
             fh.write(json.dumps({"metaData": meta}) + "\n")
         return path
 
+    # v2 checkpoints demand reader capabilities this engine lacks
+    v2cp = mk_log("v2cp_table", {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    })
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        DeltaTable.forPath(spark, v2cp).snapshot()
+
+    # deletionVectors are READABLE (tables/deletion_vectors.py) — the
+    # reader gate passes; writes still refuse at the writer gate
     dv = mk_log("dv_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["deletionVectors"],
         "writerFeatures": ["deletionVectors"],
     })
+    assert DeltaTable.forPath(spark, dv).snapshot().version == 0
     with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        DeltaTable.forPath(spark, dv).snapshot()
+        DeltaTable.forPath(spark, dv).delete("k = 1")
 
     # reader v2 == legacy column mapping: readable (mode defaults to
     # 'none'; mode 'name' is handled — see test_column_mapping_name_read)
@@ -560,3 +572,132 @@ def test_column_mapping_name_read(spark, tmpdir_path):
         for r in DeltaTable.forPath(spark, path2).toDF().collect()
     )
     assert rows2 == rows
+
+
+def _mk_dv_table(tmpdir_path, name="dvt"):
+    """Hand-built DV table: three files of ids 0-9 / 10-19 / 20-29;
+    file 0 has an on-disk 'u'-storage DV deleting {1,3,5}, file 1 an
+    inline DV deleting {10,19} (relative ids 0 and 9), file 2 no DV."""
+    import base64
+    import json
+    import struct
+    import uuid as uuid_mod
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.deletion_vectors import (
+        inline_descriptor,
+        serialize_roaring_bitmap_array,
+    )
+
+    path = os.path.join(tmpdir_path, name)
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+    adds = []
+    for i, dv_desc in ((0, "ondisk"), (1, "inline"), (2, None)):
+        rel = f"part-{i}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            os.path.join(path, rel),
+        )
+        add = {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if dv_desc == "ondisk":
+            u = uuid_mod.uuid4()
+            data = serialize_roaring_bitmap_array([1, 3, 5])
+            with open(os.path.join(path, f"deletion_vector_{u}.bin"), "wb") as fh:
+                fh.write(bytes([1]))
+                fh.write(struct.pack(">i", len(data)))
+                fh.write(data)
+                fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": base64.b85encode(u.bytes).decode("ascii"),
+                "offset": 1,
+                "sizeInBytes": len(data),
+                "cardinality": 3,
+            }
+        elif dv_desc == "inline":
+            add["deletionVector"] = inline_descriptor([0, 9], use_runs=True)
+        adds.append(add)
+
+    meta = {
+        "id": "dv1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+        ),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+    return path
+
+
+def test_deletion_vector_read(spark, tmpdir_path):
+    path = _mk_dv_table(tmpdir_path)
+    expected = sorted(set(range(30)) - {1, 3, 5, 10, 19})
+
+    got = sorted(r["id"] for r in DeltaTable.forPath(spark, path).toDF().collect())
+    assert got == expected
+
+    # the jodie_delta DataSource applies the same mask executor-side
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    got_ds = sorted(
+        r["id"] for r in spark.read.format("jodie_delta").load(path).collect()
+    )
+    assert got_ds == expected
+
+
+def test_deletion_vector_roundtrip_formats(spark, tmpdir_path):
+    from jodie_spark.tables.deletion_vectors import (
+        DeletionVectorError,
+        parse_roaring_bitmap_array,
+        read_dv_bytes,
+        serialize_roaring_bitmap_array,
+        write_dv_file,
+    )
+
+    # bitmap container (>4096 dense), run container, multi-high-word
+    cases = [
+        list(range(5000)),
+        list(range(100, 200)),
+        [0, (1 << 32) + 1, (2 << 32) + 2],
+    ]
+    for c in cases:
+        assert parse_roaring_bitmap_array(serialize_roaring_bitmap_array(c)) == c
+        assert parse_roaring_bitmap_array(
+            serialize_roaring_bitmap_array(c, use_runs=True)
+        ) == c
+
+    p = os.path.join(tmpdir_path, "dv.bin")
+    desc = write_dv_file(p, [7, 8, 9])
+    assert parse_roaring_bitmap_array(read_dv_bytes("/unused", desc)) == [7, 8, 9]
+
+    # corrupted checksum is refused, not silently parsed
+    with open(p, "r+b") as fh:
+        fh.seek(6)
+        b = fh.read(1)
+        fh.seek(6)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(DeletionVectorError, match="checksum"):
+        read_dv_bytes("/unused", desc)
