@@ -82,6 +82,9 @@ def main() -> None:
         "range_join",
         "clean_corpus",
         "datasource_roundtrip",
+        "doc_chunks",
+        "embedding_quantize",
+        "stratified_sample",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
