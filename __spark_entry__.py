@@ -513,6 +513,73 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.pq import pq_topk
+
+    aug = _planted_embeddings(spark, sf_dir)
+    query = aug.filter("vec_id = 0").take(1)[0]["embedding"]
+    # planted exact copies share the query's PQ codes, so they get the
+    # maximal ADC score; the exact-cosine refinement then ranks them
+    # identically to DuckDB's brute force (_PLANTED_ANN_ORACLE)
+    return pq_topk(
+        aug, "embedding", "vec_id", query, k=10, m=8, n_codes=16, refine_factor=4
+    ).select("vec_id")
+
+
+_BOILER_HEADER = "== shared navigation header =="
+_BOILER_FOOTER = "(c) shared copyright footer 2026"
+
+
+def _boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents wrapped in a shared header/footer line — planted
+    line-duplication ground truth for the C4-style line dedup (the
+    corpus texts are single-line, so without planting the operator
+    would be a near-no-op)."""
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.concat(F.lit(_BOILER_HEADER + "\n"), F.col("text"), F.lit("\n" + _BOILER_FOOTER)),
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.line_dedup import dedup_lines
+
+    aug = _boilerplate_docs(spark, sf_dir)
+    return dedup_lines(aug, "text", "doc_id", min_chars=10).select(
+        "doc_id", "text", "n_lines_kept", "n_lines_removed"
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.functions.text import token_count
+    from jodie_spark.operators.packing import sequence_stats
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sequence_stats(docs, "n_tokens", "doc_id", seq_len=512)
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import dedup_against
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # "tonight's batch": every 5th doc, plus re-crawled copies of docs
+    # the corpus has already accepted (ids 100000+ are the plants that
+    # must all be dropped)
+    seen = docs.filter("doc_id % 5 <> 0")
+    clones = seen.filter("doc_id % 5 = 1").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    new_batch = docs.filter("doc_id % 5 = 0").unionByName(clones)
+    return dedup_against(new_batch, seen, "text").select("doc_id")
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.text_dedup import minhash_dedup
     from jodie_spark.sources import load_table
@@ -881,6 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
+        "line_dedup": _q_line_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "incremental_dedup": _q_incremental_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1094,6 +1165,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,
+        "pq_topk": _PLANTED_ANN_ORACLE,
+        "line_dedup": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     '{_BOILER_HEADER}' || chr(10) || text || chr(10) || '{_BOILER_FOOTER}' AS text
+              FROM documents
+            ),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM aug),
+            lines AS (
+              SELECT doc_id, unnest(generate_series(1, len(a))) AS pos, unnest(a) AS line
+              FROM ls
+            ),
+            marked AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN length(trim(line)) >= 10
+                          THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                          ELSE 1 END AS rn
+              FROM lines
+            ),
+            kept AS (SELECT * FROM marked WHERE rn = 1),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                     COUNT(*) AS n_lines_kept
+              FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n FROM lines GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(a.text, '') AS text,
+                   COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
+                   t.n - COALESCE(a.n_lines_kept, 0) AS n_lines_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n
+              FROM documents
+            ),
+            off AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+              FROM toks
+            ),
+            spans AS (
+              SELECT doc_id, n, o,
+                     unnest(generate_series(o // 512, (o + n - 1) // 512)) AS seq_id
+              FROM off WHERE n > 0
+            )
+            SELECT seq_id, COUNT(*) AS n_docs,
+                   CAST(SUM(LEAST(o + n - seq_id * 512, 512)
+                          - GREATEST(o - seq_id * 512, 0)) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM spans GROUP BY seq_id
+        """,
+        "incremental_dedup": r"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+              FROM documents
+            ),
+            new AS (
+              SELECT doc_id, nt FROM norm WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 100000, nt FROM norm WHERE doc_id % 5 = 1
+            ),
+            seen AS (SELECT nt FROM norm WHERE doc_id % 5 <> 0)
+            SELECT doc_id FROM new WHERE nt NOT IN (SELECT nt FROM seen)
+        """,
         "contamination_check": r"""
             WITH tok AS (
                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') t

@@ -85,6 +85,10 @@ def main() -> None:
         "doc_chunks",
         "embedding_quantize",
         "stratified_sample",
+        "line_dedup",
+        "pack_sequences",
+        "incremental_dedup",
+        "pq_topk",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

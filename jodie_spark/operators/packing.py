@@ -1,0 +1,136 @@
+"""Sequence packing: lay a corpus of tokenized documents end-to-end and
+chunk the concatenated token stream into fixed-length training sequences
+(the GPT-style "concat and chunk" batch-prep step).
+
+Each document owns the half-open token span ``[offset, offset + n_tokens)``
+where ``offset`` is the sum of token counts of all documents before it in
+a deterministic global order (``order_col`` ascending). Sequence ``s``
+covers tokens ``[s * seq_len, (s+1) * seq_len)``; a document contributes
+to every sequence its span intersects.
+
+Scale design (100 TB): the naive formulation is a running sum over a
+global ``Window.orderBy(...)`` — Spark executes that as a SINGLE
+partition, a non-starter at scale. Instead the prefix sum runs in two
+phases, the classic distributed-scan shape:
+
+1. range-repartition by ``order_col`` and compute the running sum
+   *within* each partition (``Window.partitionBy(part)`` — parallel);
+2. aggregate one total per partition (#partitions rows — bounded driver
+   collect), cumulative-sum those driver-side, and broadcast-join the
+   per-partition base offsets back.
+
+The only wide exchanges are the range partitioning itself and the final
+per-sequence aggregation; both shuffle narrow (id, count) tuples, never
+document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_offsets(
+    df: DataFrame,
+    count_col: str,
+    order_col: str,
+    offset_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``count_col`` in ``order_col`` order,
+    computed with the two-phase distributed scan described in the module
+    docstring. Adds ``offset_col``; preserves all input columns."""
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    part = (
+        df.repartitionByRange(int(n), F.col(order_col))
+        .withColumn("__part__", F.spark_partition_id())
+    )
+    part = part.persist()
+    # phase 2 input: one row per partition (bounded collect, #partitions)
+    totals = (
+        part.groupBy("__part__")
+        .agg(F.sum(F.col(count_col)).alias("__tot__"))
+        .collect()
+    )
+    base = 0
+    bases: list[tuple[int, int]] = []
+    for r in sorted(totals, key=lambda r: r["__part__"]):
+        bases.append((r["__part__"], base))
+        base += int(r["__tot__"] or 0)
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases, ["__part__", "__base__"])
+    # phase 1: intra-partition running sum — parallel across partitions
+    w = (
+        Window.partitionBy("__part__")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.withColumn("__local__", F.coalesce(F.sum(count_col).over(w), F.lit(0)))
+        .join(F.broadcast(base_df), "__part__")
+        .withColumn(offset_col, (F.col("__base__") + F.col("__local__")).cast("long"))
+        .drop("__part__", "__local__", "__base__")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    order_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences.
+
+    Returns one row per (document × sequence it intersects):
+    ``order_col, n_tokens, seq_id, seq_start, seq_end`` where
+    ``seq_start``/``seq_end`` are the document's token sub-span within
+    that sequence (relative, ``0 ≤ seq_start < seq_end ≤ seq_len``).
+    Zero-token documents are dropped (they own an empty span).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive; got {seq_len}")
+    with_off = with_global_offsets(df, count_col, order_col)
+    L = F.lit(seq_len)
+    off = F.col("offset")
+    tok = F.col(count_col).cast("long")
+    first_seq = F.floor(off / L)
+    last_seq = F.floor((off + tok - F.lit(1)) / L)
+    return (
+        with_off.filter(tok > 0)
+        .select(
+            F.col(order_col),
+            tok.alias("n_tokens"),
+            off,
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            order_col,
+            "n_tokens",
+            "seq_id",
+            F.greatest(off - F.col("seq_id") * L, F.lit(0)).alias("seq_start"),
+            (F.least(off + F.col("n_tokens") - F.col("seq_id") * L, L)).alias("seq_end"),
+        )
+    )
+
+
+def sequence_stats(
+    df: DataFrame,
+    count_col: str,
+    order_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Per-sequence packing summary: how many documents contribute to
+    each fixed-length sequence and how full it is. Columns:
+    ``seq_id, n_docs, n_tokens, first_doc, last_doc``. All sequences
+    except the last are exactly ``seq_len`` tokens full."""
+    packed = pack_sequences(df, count_col, order_col, seq_len)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("seq_end") - F.col("seq_start")).alias("n_tokens"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )

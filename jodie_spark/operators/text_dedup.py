@@ -551,3 +551,39 @@ def embedding_dedup(
         return df.join(dup_ids, id_col, "left_anti")
     finally:
         keyed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+def dedup_against(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    seen_text_col: str | None = None,
+) -> DataFrame:
+    """Drop new documents whose *normalized content* already exists in a
+    previously-ingested corpus — the incremental form of
+    :func:`exact_dedup` every recurring crawl/refresh pipeline needs
+    (dedupe tonight's batch against everything already accepted, without
+    re-deduping the whole corpus).
+
+    ``seen_df`` may be the full prior corpus or, at scale, just its
+    persisted fingerprint column — pass a one-column DataFrame of
+    fingerprints named ``text_col`` with ``seen_text_col=None`` handled
+    naturally, or the raw text and let this compute them. The anti-join
+    shuffles 16-byte fingerprints only, never document text; Catalyst
+    prunes every other ``seen_df`` column from the scan.
+    """
+    from jodie_spark.functions.text import doc_fingerprint
+
+    seen_fps = (
+        seen_df.select(doc_fingerprint(F.col(seen_text_col or text_col)).alias("__fp__"))
+        .distinct()
+    )
+    return (
+        new_df.withColumn("__fp__", doc_fingerprint(F.col(text_col)))
+        .join(seen_fps, "__fp__", "left_anti")
+        .drop("__fp__")
+    )
