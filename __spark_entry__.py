@@ -580,6 +580,31 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.sampling import epoch_shuffle
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shuffled = epoch_shuffle(docs, "doc_id", epoch=3)
+    # head of the epoch-3 visit order: the scatter key is exact BIGINT
+    # arithmetic, so DuckDB reproduces the permutation bit-for-bit
+    return (
+        shuffled.select("doc_id", F.col("__shuffle_key__").alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.sampling import mixture_weights
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source", alpha=0.5, weight_col="n_chars").select(
+        "source", "n", "p", "weight", "multiplier"
+    )
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.text_dedup import minhash_dedup
     from jodie_spark.sources import load_table
@@ -952,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pack_sequences": _q_pack_sequences,
         "incremental_dedup": _q_incremental_dedup,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1219,6 +1246,23 @@ def oracle_sql() -> dict[str, str]:
                           - GREATEST(o - seq_id * 512, 0)) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM spans GROUP BY seq_id
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   ((doc_id + 3) % 1000003) * 2654435761 % 1048576 AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id
+            LIMIT 100
+        """,
+        "mixture_weights": """
+            WITH c AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n FROM documents GROUP BY source
+            ),
+            t AS (SELECT source, n, n / SUM(n) OVER () AS p FROM c),
+            s AS (SELECT source, n, p, pow(p, 0.5) AS a FROM t)
+            SELECT source, n, p, a / SUM(a) OVER () AS weight,
+                   (a / SUM(a) OVER ()) / p AS multiplier
+            FROM s
         """,
         "incremental_dedup": r"""
             WITH norm AS (

@@ -77,3 +77,70 @@ def stratified_sample(
     frac = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_fraction)))
     threshold = F.round(frac * _M).cast("long")
     return df.filter(sample_bucket(F.col(id_col), salt, method) < threshold)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    method: str = "affine",
+    key_col: str = "__shuffle_key__",
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch.
+
+    Training runs need every epoch to visit documents in a different —
+    but REPRODUCIBLE and layout-independent — order. ``orderBy(rand())``
+    is neither. This attaches the affine scatter of ``(id, epoch)`` as a
+    sort key and range-partitions + sorts by it, so the output files
+    read back in shuffled order, partitions are globally ordered (a
+    trainer can stream partition 0, 1, 2, …), and epoch N is the same
+    permutation on any cluster.
+
+    The only wide exchange is the range partitioning itself — the same
+    cost any epoch shuffle must pay at least once; there is no
+    single-partition global sort.
+    """
+    key = sample_bucket(F.col(id_col), salt=epoch, method=method)
+    return (
+        df.withColumn(key_col, key)
+        .repartitionByRange(F.col(key_col), F.col(id_col))
+        .sortWithinPartitions(key_col, id_col)
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled corpus mixture weights (the data-recipe step
+    of LLaMA/PaLM-style training mixes): with ``p_i`` the natural share
+    of source ``i`` (by document count, or by ``weight_col`` sums — e.g.
+    token counts), the sampling weight is ``q_i ∝ p_i^alpha``.
+    ``alpha=1`` keeps natural proportions; ``alpha→0`` approaches
+    uniform over sources; ``alpha≈0.5`` is the common up-weighting of
+    small high-quality sources.
+
+    Returns ``source_col, n, p, weight, multiplier`` where ``multiplier
+    = weight/p`` is the over/under-sampling factor to apply (feed it to
+    :func:`stratified_sample` fractions or a repetition policy).
+
+    The per-source aggregation is the only shuffle; the two unpartitioned
+    windows run over the already-aggregated #sources rows (tiny by
+    construction — a corpus has dozens of sources, not millions).
+    """
+    from pyspark.sql import Window
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    agg = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    counts = df.groupBy(source_col).agg(agg.cast("long").alias("n"))
+    everything = Window.partitionBy()
+    return (
+        counts.withColumn("p", F.col("n") / F.sum("n").over(everything))
+        .withColumn("__a__", F.pow(F.col("p"), F.lit(float(alpha))))
+        .withColumn("weight", F.col("__a__") / F.sum("__a__").over(everything))
+        .withColumn("multiplier", F.col("weight") / F.col("p"))
+        .drop("__a__")
+    )

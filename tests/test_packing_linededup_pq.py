@@ -248,3 +248,58 @@ def test_dedup_against_accepts_fingerprint_only_seen(spark):
         .collect()
     )
     assert got == [11]
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle + mixture weights
+# ---------------------------------------------------------------------------
+
+def test_epoch_shuffle_is_deterministic_and_epoch_dependent(spark):
+    from jodie_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    e1a = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch=1).collect()]
+    e1b = [
+        r["doc_id"]
+        for r in epoch_shuffle(df.repartition(13), "doc_id", epoch=1).collect()
+    ]
+    e2 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch=2).collect()]
+    assert e1a == e1b  # layout-independent
+    assert e1a != e2  # new epoch, new permutation
+    assert sorted(e1a) == list(range(200))  # still a permutation
+
+
+def test_epoch_shuffle_partitions_are_globally_ordered(spark):
+    from jodie_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    shuffled = epoch_shuffle(df, "doc_id", epoch=0)
+    parts = shuffled.rdd.glom().collect()
+    keys = [[(r["__shuffle_key__"], r["doc_id"]) for r in p] for p in parts if p]
+    flat = [k for p in keys for k in p]
+    assert flat == sorted(flat)  # concatenating partitions in order == global sort
+
+
+def test_mixture_weights_alpha_semantics(spark):
+    from jodie_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], ["id", "src"]
+    )
+    natural = {r["src"]: r for r in mixture_weights(df, "src", alpha=1.0).collect()}
+    assert abs(natural["big"]["weight"] - 0.9) < 1e-12
+    assert abs(natural["big"]["multiplier"] - 1.0) < 1e-12
+
+    damped = {r["src"]: r for r in mixture_weights(df, "src", alpha=0.5).collect()}
+    # temperature < 1 up-weights the small source, weights still sum to 1
+    assert damped["small"]["weight"] > natural["small"]["weight"]
+    assert abs(damped["big"]["weight"] + damped["small"]["weight"] - 1.0) < 1e-12
+    assert damped["small"]["multiplier"] > 1.0 > damped["big"]["multiplier"]
+
+
+def test_mixture_weights_rejects_bad_alpha(spark):
+    from jodie_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame([(1, "a")], ["id", "src"])
+    with pytest.raises(ValueError):
+        mixture_weights(df, "src", alpha=0.0)
