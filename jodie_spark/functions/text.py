@@ -52,14 +52,21 @@ def word_ngrams(col: Column, n: int) -> Column:
     ``transform``/``slice`` — stays in codegen, no Python in the scan."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # The token array must reach the per-ngram lambda through a lambda
+    # variable: a free column expression inside a lambda is inlined by
+    # Catalyst and re-evaluated per element — full re-tokenization per
+    # n-gram, O(len²) per document (see int8_quantize for the same fix).
     t = ws_tokens(col)
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - n + 1),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.array(F.struct(t.alias("t"))),
+        lambda s: F.when(
+            F.size(s["t"]) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s["t"]) - n + 1),
+                lambda i: F.array_join(F.slice(s["t"], i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
 
 
 def dup_ngram_fraction(col: Column, n: int = 2) -> Column:

@@ -40,7 +40,14 @@ def l2_normalize(vec: Column) -> Column:
     no Python."""
     d = F.transform(vec, lambda x: x.cast("double"))
     n = l2_norm(d)
-    return F.when(n > 0, F.transform(d, lambda x: x / n)).otherwise(d)
+    # same lambda-binding trick as int8_quantize: keep the norm out of
+    # the per-element lambda or Catalyst re-evaluates it per element
+    return F.transform(
+        F.array(F.struct(d.alias("d"), n.alias("n"))),
+        lambda s: F.when(
+            s["n"] > 0, F.transform(s["d"], lambda x: x / s["n"])
+        ).otherwise(s["d"]),
+    )[0]
 
 
 def int8_quantize(vec: Column) -> Column:
@@ -51,10 +58,23 @@ def int8_quantize(vec: Column) -> Column:
     verifiable bit-for-bit against any other engine."""
     d = F.transform(vec, lambda x: x.cast("double"))
     mx = F.array_max(F.transform(d, F.abs))
-    q = F.when(
-        mx > 0, F.transform(d, lambda x: F.round(x / mx * 127).cast("long"))
-    ).otherwise(F.transform(d, lambda x: F.lit(0).cast("long")))
-    return F.struct(q.alias("q"), mx.alias("max_abs"))
+    # Bind (d, mx) through a lambda variable before the per-element
+    # division: a free column expression referenced inside a lambda is
+    # INLINED by Catalyst and re-evaluated per element — array_max over
+    # the whole vector, once per code, a 64× blowup at dim=64. A lambda
+    # variable cannot be inlined, so mx is computed exactly once per row.
+    return F.transform(
+        F.array(F.struct(d.alias("d"), mx.alias("m"))),
+        lambda s: F.struct(
+            F.when(
+                s["m"] > 0,
+                F.transform(s["d"], lambda x: F.round(x / s["m"] * 127).cast("long")),
+            )
+            .otherwise(F.transform(s["d"], lambda x: F.lit(0).cast("long")))
+            .alias("q"),
+            s["m"].alias("max_abs"),
+        ),
+    )[0]
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

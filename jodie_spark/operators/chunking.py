@@ -38,15 +38,23 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap} for max_tokens={max_tokens}"
         )
     stride = max_tokens - overlap
+    # the token array reaches the per-chunk lambda through a lambda
+    # variable — a free column expression would be inlined by Catalyst
+    # and re-tokenize the document once per chunk (O(len²/stride))
     t = ws_tokens(F.col(text_col), lowercase=False)
-    starts = F.when(F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(stride)))
     chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.array_join(F.slice(t, s, max_tokens), " ").alias("chunk_text"),
-            F.size(F.slice(t, s, max_tokens)).cast("long").alias("n_chunk_tokens"),
+        F.array(F.struct(t.alias("t"))),
+        lambda w: F.transform(
+            F.when(
+                F.size(w["t"]) > 0,
+                F.sequence(F.lit(1), F.size(w["t"]), F.lit(stride)),
+            ),
+            lambda s: F.struct(
+                F.array_join(F.slice(w["t"], s, max_tokens), " ").alias("chunk_text"),
+                F.size(F.slice(w["t"], s, max_tokens)).cast("long").alias("n_chunk_tokens"),
+            ),
         ),
-    )
+    )[0]
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk__")
     )
