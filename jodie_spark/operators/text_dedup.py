@@ -67,12 +67,17 @@ def _word_tokens(col: Column) -> Column:
 def shingles(col: Column, n: int = 5) -> Column:
     """Distinct word ``n``-grams; documents shorter than ``n`` words
     yield one shingle (all their words)."""
-    words = _word_tokens(col)
-    k = F.size(words)
+    # the word array reaches the per-shingle lambda via a lambda
+    # variable — a free column expression would be inlined by Catalyst
+    # and re-tokenize the document once per shingle (O(len²) per doc;
+    # see functions/vectors.int8_quantize for the pattern)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+        F.array(F.struct(_word_tokens(col).alias("w"))),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(s["w"]) - n + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(s["w"], i, n)),
+        ),
+    )[0]
     return F.array_distinct(grams)
 
 
