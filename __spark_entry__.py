@@ -580,6 +580,23 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a persisted IVF+PQ index table (partitioned by cell, model
+    in the table properties), then answer the planted-copy query through
+    partition-pruned jodie_delta scans — the full index lifecycle."""
+    from jodie_spark.operators.ann_index import build_ann_index, query_ann_index
+
+    aug = _planted_embeddings(spark, sf_dir)
+    query = aug.filter("vec_id = 0").take(1)[0]["embedding"]
+    idx = _tmp("annidx")
+    build_ann_index(
+        aug, "embedding", "vec_id", idx, n_centroids=8, m=8, n_codes=16
+    )
+    return query_ann_index(
+        spark, idx, query, "vec_id", "embedding", k=10, n_probe=3
+    ).select("vec_id")
+
+
 def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.sampling import epoch_shuffle
     from jodie_spark.sources import load_table
@@ -977,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pack_sequences": _q_pack_sequences,
         "incremental_dedup": _q_incremental_dedup,
+        "ann_index_topk": _q_ann_index_topk,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1193,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
+        "ann_index_topk": _PLANTED_ANN_ORACLE,
         "line_dedup": f"""
             WITH aug AS (
               SELECT doc_id,

@@ -89,6 +89,9 @@ def main() -> None:
         "pack_sequences",
         "incremental_dedup",
         "pq_topk",
+        "ann_index_topk",
+        "epoch_shuffle",
+        "mixture_weights",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

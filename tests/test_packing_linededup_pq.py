@@ -303,3 +303,74 @@ def test_mixture_weights_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "src"])
     with pytest.raises(ValueError):
         mixture_weights(df, "src", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN index (IVF partition + PQ codes in a Delta table)
+# ---------------------------------------------------------------------------
+
+def test_ann_index_roundtrip(spark, tmpdir_path, pq_vectors):
+    import os
+
+    from jodie_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_model,
+        query_ann_index,
+    )
+
+    idx = os.path.join(tmpdir_path, "idx")
+    build_ann_index(
+        pq_vectors, "embedding", "vec_id", idx,
+        n_centroids=4, m=4, n_codes=8, sample_size=250,
+    )
+    cent, books = load_ann_model(spark, idx)
+    assert cent.shape == (4, 16) and books.shape == (4, 8, 4)
+    got = [
+        r["vec_id"]
+        for r in query_ann_index(
+            spark, idx, pq_vectors.filter("vec_id = 0").take(1)[0]["embedding"],
+            "vec_id", "embedding", k=4, n_probe=2,
+        ).collect()
+    ]
+    assert got == [0, 1000, 1001, 1002]
+
+
+def test_ann_index_query_prunes_partitions(spark, tmpdir_path, pq_vectors):
+    """A probe scan must plan only the probed cell's files."""
+    import os
+
+    from jodie_spark.operators.ann_index import build_ann_index
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.pruning import prune_files
+
+    idx = os.path.join(tmpdir_path, "idx")
+    build_ann_index(
+        pq_vectors, "embedding", "vec_id", idx,
+        n_centroids=4, m=4, n_codes=8, sample_size=250,
+    )
+    snap = DeltaLog(idx).snapshot()
+    adds = snap.add_files()
+    cells = {a["partitionValues"]["cell"] for a in adds}
+    assert len(cells) > 1  # index actually spread over multiple cells
+    probe_cell = sorted(cells)[0]
+    survivors = prune_files(
+        adds, f"cell = {probe_cell}",
+        spark.read.format("jodie_delta").load(idx).schema,
+        ["cell"],
+    )
+    assert {a["partitionValues"]["cell"] for a in survivors} == {probe_cell}
+    assert len(survivors) < len(adds)
+
+
+def test_ann_index_rejects_non_index_table(spark, tmpdir_path):
+    import os
+
+    import pytest as _pytest
+
+    from jodie_spark.operators.ann_index import load_ann_model
+    from jodie_spark.tables.table import write_delta
+
+    p = os.path.join(tmpdir_path, "plain")
+    write_delta(spark.range(3), p)
+    with _pytest.raises(ValueError, match="not an ANN index"):
+        load_ann_model(spark, p)
