@@ -107,10 +107,9 @@ def query_ann_index(
 ) -> DataFrame:
     """Top-k cosine neighbors from a persisted index.
 
-    Plan shape: for each of the ``n_probe`` cells nearest the query, a
-    ``jodie_delta`` scan with ``cell = <c>`` pushed down (equality on
-    the partition column → file pruning from the log's
-    partitionValues, no data read outside the probed cells), unioned;
+    Plan shape: one ``jodie_delta`` scan with ``cell IN (<probes>)``
+    pushed down (IN on the partition column → file pruning from the
+    log's partitionValues, no data read outside the probed cells);
     ADC-scored in codegen; exact rescore of the ADC top
     ``k × refine_factor``."""
     centroids, books = load_ann_model(spark, index_path)
@@ -124,15 +123,11 @@ def query_ann_index(
     from jodie_spark.sources.datasource import register
 
     register(spark)
-    scans = [
+    scan = (
         spark.read.format("jodie_delta")
         .load(index_path)
-        .filter(F.col("cell") == int(c))
-        for c in probe
-    ]
-    scan = scans[0]
-    for s in scans[1:]:
-        scan = scan.unionByName(s)
+        .filter(F.col("cell").isin([int(c) for c in probe]))
+    )
 
     candidates = (
         scan.select(id_col, vec_col, _adc_score("pq_codes", tables).alias("__adc__"))

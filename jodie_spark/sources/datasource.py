@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
@@ -196,6 +197,21 @@ def _filters_to_condition(filters: list[Filter], columns: set[str]) -> str | Non
             conjs.append(f"{col} is null")
         elif isinstance(f, IsNotNull):
             conjs.append(f"{col} is not null")
+        elif isinstance(f, In):
+            lits = []
+            for v in f.value:
+                if isinstance(v, str):
+                    if "'" in v:
+                        lits = None
+                        break
+                    lits.append(f"'{v}'")
+                elif isinstance(v, bool) or not isinstance(v, (int, float)):
+                    lits = None
+                    break
+                else:
+                    lits.append(repr(v))
+            if lits:
+                conjs.append(f"{col} in ({', '.join(lits)})")
     return " and ".join(conjs) if conjs else None
 
 

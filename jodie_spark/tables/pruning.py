@@ -102,6 +102,9 @@ _CMP_REV_RE = re.compile(
     r"^(.+?)\s*(<=>|<=|>=|==|!=|<>|=|<|>)\s*([A-Za-z_][\w.]*)$", re.DOTALL
 )
 _NULL_RE = re.compile(r"^([A-Za-z_][\w.]*)\s+is\s+(not\s+)?null$", re.IGNORECASE)
+_IN_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s+in\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
+)
 _SWAP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
 
 
@@ -141,6 +144,38 @@ def _parse_literal(text: str) -> tuple[bool, Any]:
         return True, float(text)
     except ValueError:
         return False, None
+
+
+def _split_in_list(body: str) -> list[str] | None:
+    """Split an IN-list body on top-level commas (quote/paren aware).
+    Returns None when the body contains nested parens or unbalanced
+    quotes — the conservative bail-out (conjunct becomes 'other')."""
+    out: list[str] = []
+    token: list[str] = []
+    in_quote: str | None = None
+    for ch in body:
+        if in_quote:
+            token.append(ch)
+            if ch == in_quote:
+                in_quote = None
+            continue
+        if ch in ("'", '"'):
+            in_quote = ch
+            token.append(ch)
+            continue
+        if ch in "()":
+            return None  # subquery / nested expression — not a literal list
+        if ch == ",":
+            out.append("".join(token).strip())
+            token = []
+            continue
+        token.append(ch)
+    if in_quote:
+        return None
+    tail = "".join(token).strip()
+    if tail:
+        out.append(tail)
+    return [t for t in out if t] or None
 
 
 def _referenced_names(text: str) -> list[str]:
@@ -204,6 +239,27 @@ def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
             return Conjunct(conjunct, "unresolved", references=tuple(refs))
         op = "is not null" if m.group(2) else "is null"
         return Conjunct(conjunct, "other", column=col, op=op, references=tuple(refs))
+
+    m = _IN_RE.match(conjunct)
+    if m:
+        col, body = m.group(1), m.group(2)
+        if col in unresolved or "." in col:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        values = _split_in_list(body)
+        if values is not None:
+            parsed_vals = []
+            for v in values:
+                ok, lit = _parse_literal(v)
+                if not ok:
+                    parsed_vals = None
+                    break
+                parsed_vals.append(lit)
+            if parsed_vals:  # non-empty, all literals
+                return Conjunct(
+                    conjunct, "in", column=col, op="in",
+                    literal=parsed_vals, references=tuple(refs),
+                )
+        return Conjunct(conjunct, "other", column=col, references=tuple(refs))
 
     parsed = None
     m = _CMP_RE.match(conjunct)
@@ -337,6 +393,41 @@ def file_may_match(
         if col is None or col not in field_types:
             continue
         dtype = field_types[col]
+
+        if cj.kind == "in":
+            vals = [v for v in (_coerce(x, dtype) for x in cj.literal) if v is not None]
+            if not vals:
+                continue  # un-coercible list — keep the file
+            if col in partition_columns:
+                # only prune when every literal coerced — a dropped
+                # literal could be the matching one
+                if len(vals) != len(cj.literal):
+                    continue
+                pv = _coerce((add.get("partitionValues") or {}).get(col), dtype)
+                if pv is None:
+                    return False  # NULL partition value never satisfies IN
+                if all(_cmp("=", pv, v) is False for v in vals):
+                    return False
+                continue
+            if stats is None:
+                continue
+            mn = _coerce((stats.get("minValues") or {}).get(col), dtype)
+            mx = _coerce((stats.get("maxValues") or {}).get(col), dtype)
+            # the file may match only if SOME listed value falls inside
+            # [min, max] (null rows never satisfy IN, so stats on the
+            # non-null values are decisive); only prune when every
+            # literal was coercible, else the check is incomplete
+            possible = any(
+                not (
+                    (mn is not None and _cmp("<", v, mn))
+                    or (mx is not None and _cmp(">", v, mx))
+                )
+                for v in vals
+            )
+            if not possible and len(vals) == len(cj.literal):
+                return False
+            continue
+
         lit = _coerce(cj.literal, dtype)
 
         if col in partition_columns:

@@ -286,3 +286,87 @@ def test_driver_and_spark_planners_agree(spark, tmpdir_path):
                 assert any(mf.endswith(k) or k.endswith(mf) for k in kept_abs), (
                     f"file {mf} with matches pruned under {cond!r}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# IN-list predicates
+# ---------------------------------------------------------------------------
+
+def _in_add(path="f", stats=None, pv=None):
+    import json as _json
+
+    return {
+        "path": path,
+        "stats": _json.dumps(stats) if stats else None,
+        "partitionValues": pv or {},
+    }
+
+
+def test_in_list_classifies():
+    from pyspark.sql import types as T
+
+    from jodie_spark.tables.pruning import classify_conjunct
+
+    c = classify_conjunct("a in (1, 2, 3)", ["a"])
+    assert c.kind == "in" and c.column == "a" and c.literal == [1, 2, 3]
+    c = classify_conjunct("a in ('x', 'y')", ["a"])
+    assert c.kind == "in" and c.literal == ["x", "y"]
+    # NOT IN is never a pruning predicate
+    assert classify_conjunct("a not in (1, 2)", ["a"]).kind == "other"
+    # subquery bails out
+    assert classify_conjunct("a in (select x from t)", ["a"]).kind == "other"
+    # unresolved column
+    assert classify_conjunct("z.a in (1)", ["a"]).kind == "unresolved"
+
+
+def test_in_list_prunes_by_stats():
+    from pyspark.sql import types as T
+
+    from jodie_spark.tables.pruning import prune_files
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    files = [
+        _in_add("lo", {"numRecords": 5, "minValues": {"a": 1}, "maxValues": {"a": 9},
+                    "nullCount": {"a": 0}}),
+        _in_add("hi", {"numRecords": 5, "minValues": {"a": 100}, "maxValues": {"a": 200},
+                    "nullCount": {"a": 0}}),
+    ]
+    out = prune_files(files, "a in (150, 300)", schema, [])
+    assert [f["path"] for f in out] == ["hi"]
+    # a value inside each range keeps both
+    assert len(prune_files(files, "a in (5, 150)", schema, [])) == 2
+
+
+def test_in_list_prunes_by_partition_value():
+    from pyspark.sql import types as T
+
+    from jodie_spark.tables.pruning import prune_files
+
+    schema = T.StructType([T.StructField("cell", T.IntegerType())])
+    files = [_in_add(f"c{i}", pv={"cell": str(i)}) for i in range(6)]
+    out = prune_files(files, "cell in (1, 4)", schema, ["cell"])
+    assert sorted(f["path"] for f in out) == ["c1", "c4"]
+
+
+def test_in_list_with_quoted_or_inside_string_is_safe():
+    from pyspark.sql import types as T
+
+    from jodie_spark.tables.pruning import prune_files
+
+    schema = T.StructType([T.StructField("s", T.StringType())])
+    files = [_in_add("x", {"numRecords": 1, "minValues": {"s": "zzz"},
+                        "maxValues": {"s": "zzz"}, "nullCount": {"s": 0}})]
+    # ' or ' inside a quoted IN member must not break the split
+    out = prune_files(files, "s in ('a or b', 'zzz')", schema, [])
+    assert len(out) == 1
+
+
+def test_datasource_translates_in_filter():
+    from pyspark.sql.datasource import In
+
+    from jodie_spark.sources.datasource import _filters_to_condition
+
+    cond = _filters_to_condition([In(("cell",), (1, 4))], {"cell"})
+    assert cond == "cell in (1, 4)"
+    # string with embedded quote bails (filter skipped, never unsafe SQL)
+    assert _filters_to_condition([In(("s",), ("a'b",))], {"s"}) is None
