@@ -580,6 +580,13 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.profile import profile_table
+    from jodie_spark.sources import load_table
+
+    return profile_table(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a persisted IVF+PQ index table (partitioned by cell, model
     in the table properties), then answer the planted-copy query through
@@ -995,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "incremental_dedup": _q_incremental_dedup,
         "ann_index_topk": _q_ann_index_topk,
+        "profile_table": _q_profile_table,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1212,6 +1220,27 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "profile_table": """
+            SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+                   MIN(text), MAX(text) FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+                   MIN(lang), MAX(lang) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+                   MIN(source), MAX(source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
+        """,
         "line_dedup": f"""
             WITH aug AS (
               SELECT doc_id,

@@ -374,3 +374,45 @@ def test_ann_index_rejects_non_index_table(spark, tmpdir_path):
     write_delta(spark.range(3), p)
     with _pytest.raises(ValueError, match="not an ANN index"):
         load_ann_model(spark, p)
+
+
+# ---------------------------------------------------------------------------
+# table profiling
+# ---------------------------------------------------------------------------
+
+def test_profile_table_basic(spark):
+    from jodie_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 2
+    assert out["s"]["n_nulls"] == 1 and out["s"]["min_value"] == "a"
+    assert out["v"]["n_nulls"] == 1 and out["v"]["max_value"] == "7.5"
+
+
+def test_profile_table_skips_nonscalar_and_validates(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from jodie_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, arr array<int>")
+    cols = [r["column"] for r in profile_table(df).collect()]
+    assert cols == ["id"]  # array column auto-skipped
+    with _pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_table_single_pass_plan(spark):
+    """All statistics must come from ONE aggregation over the input —
+    no per-column scan fan-out."""
+    from jodie_spark.operators.profile import profile_table
+
+    df = spark.range(100).selectExpr("id", "cast(id % 7 as string) s")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") + plan.count("FileScan") <= 2  # range scan appears once per codegen printout

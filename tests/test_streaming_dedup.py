@@ -1,0 +1,65 @@
+"""Streaming exact-dedup: watermarked state-bounded fingerprint dedup."""
+
+import datetime
+import os
+import time
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmpdir_path):
+    from jodie_spark.streaming.dedup import streaming_exact_dedup
+
+    src_dir = os.path.join(tmpdir_path, "src")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, "fresh document one"),
+        (2, t0 + datetime.timedelta(minutes=1), "Fresh   DOCUMENT one"),  # normalized dup
+        (3, t0 + datetime.timedelta(minutes=2), "different document"),
+        (4, t0 + datetime.timedelta(minutes=3), "fresh document one"),  # exact dup
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(rows, schema).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = streaming_exact_dedup(stream, "text", ts_col="ts", watermark="10 minutes")
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "_ckpt"))
+        .start()
+    )
+    try:
+        got = set()
+        for _ in range(60):
+            got = {r["doc_id"] for r in spark.sql("select * from dedup_test").collect()}
+            if len(got) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # one survivor per distinct normalized content, first delivery wins
+    assert len(got) == 2
+    assert 3 in got
+    assert len(got & {1, 2, 4}) == 1
+
+
+def test_streaming_dedup_batch_fallback(spark):
+    from jodie_spark.streaming.dedup import streaming_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "SAME   text"), (3, "other")], "doc_id long, text string"
+    )
+    out = streaming_exact_dedup(df, "text")
+    assert out.count() == 2
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_streaming_dedup_watermark_requires_ts(spark):
+    import pytest
+
+    from jodie_spark.streaming.dedup import streaming_exact_dedup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="ts_col"):
+        streaming_exact_dedup(df, "text", watermark="10 minutes")
