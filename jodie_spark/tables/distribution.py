@@ -322,6 +322,21 @@ def _file_filter_column(
         dtype = field_types.get(col)
         if dtype is None:
             continue
+        if cj.kind == "in":
+            vals = [F.lit(v).cast(dtype) for v in cj.literal if v is not None]
+            if not vals or len(vals) != len(cj.literal):
+                continue  # un-coercible / null members — keep every file
+            if col in partition_columns:
+                val = F.element_at(F.col("partitionValues"), col).cast(dtype)
+                keep = keep & F.coalesce(val.isin(*vals), F.lit(False))
+            else:
+                mn = F.col(f"parsed_stats.minValues.{col}")
+                mx = F.col(f"parsed_stats.maxValues.{col}")
+                any_in_range = F.lit(False)
+                for v in vals:
+                    any_in_range = any_in_range | ((mn <= v) & (mx >= v))
+                keep = keep & F.coalesce(any_in_range, F.lit(True))
+            continue
         lit = F.lit(cj.literal).cast(dtype) if cj.literal is not None else None
         if col in partition_columns:
             val = F.element_at(F.col("partitionValues"), col).cast(dtype)

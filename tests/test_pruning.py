@@ -261,6 +261,12 @@ def test_driver_and_spark_planners_agree(spark, tmpdir_path):
         "s = 'it''s'",                # quoted literal with escape
         "unknown_col = 7",            # unresolved: both keep everything
         "cast(id as string) = '3'",   # unsupported expr: conservative
+        "id in (3, 4, 97)",           # IN on a stats column
+        "p in ('0', '2')",            # IN on the partition column
+        "i in (42)",                  # IN that matches nothing
+        "s in ('s1', 's3')",          # IN on a nullable string column
+        "id not in (1, 2)",           # NOT IN: conservative, keep all
+        "p in ('1') and id < 50",     # IN combined with min/max
     ]
     for cond in conditions:
         d = plan(cond, force_spark=False)
