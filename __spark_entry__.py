@@ -580,6 +580,55 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full constraint lifecycle: create table, ADD CONSTRAINT with
+    full-scan validation, a conforming append (committed), a violating
+    append (distributed assert fails the job; NOTHING committed), DROP,
+    then a previously-violating append succeeds. The final table is
+    exactly reproducible in SQL."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = _delta_from(nation, "ckcon")
+    table = DeltaTable.forPath(spark, t.path)
+    table.add_check_constraint("small_key", "n_regionkey <= 4")
+    write_delta(
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name",
+            "n_regionkey",
+        ),
+        t.path,
+        mode="append",
+    )
+    try:
+        write_delta(
+            nation.select(
+                (F.col("n_nationkey") + 200).alias("n_nationkey"), "n_name",
+                (F.col("n_regionkey") + 10).alias("n_regionkey"),
+            ),
+            t.path,
+            mode="append",
+        )
+        raise AssertionError("violating append must fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # expected: constraint violation fails the job
+    table.drop_check_constraint("small_key")
+    write_delta(
+        nation.select(
+            (F.col("n_nationkey") + 200).alias("n_nationkey"), "n_name",
+            (F.col("n_regionkey") + 10).alias("n_regionkey"),
+        ),
+        t.path,
+        mode="append",
+    )
+    return DeltaTable.forPath(spark, t.path).toDF()
+
+
 def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.profile import profile_table
     from jodie_spark.sources import load_table
@@ -1003,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "ann_index_topk": _q_ann_index_topk,
         "profile_table": _q_profile_table,
+        "check_constraints": _q_check_constraints,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1220,6 +1270,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "check_constraints": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT n_nationkey + 200, n_name, n_regionkey + 10 FROM nation
+        """,
         "profile_table": """
             SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
                    COUNT(*) - COUNT(doc_id) AS n_nulls,

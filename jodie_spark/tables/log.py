@@ -59,8 +59,10 @@ _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 # every other engine reading it. appendOnly IS implemented (enforced in
 # DML); invariants accepted because tables this engine creates never
 # carry delta.invariants.
-SUPPORTED_WRITER_VERSIONS = {1, 2, 7}
-SUPPORTED_WRITER_FEATURES = {"appendOnly", "timestampNtz"}
+# v3 = CHECK constraints, which this engine enforces on every write
+# path (tables/table.py enforce_check_constraints)
+SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 7}
+SUPPORTED_WRITER_FEATURES = {"appendOnly", "timestampNtz", "checkConstraints"}
 APPEND_ONLY_PROP = "delta.appendOnly"
 
 LOG_DIR = "_delta_log"

@@ -361,7 +361,13 @@ class DeltaMergeBuilder:
 
         cdc_actions: list[dict[str, Any]] = []
         try:
-            adds = write_data_files(result, t.path, snap.partition_columns)
+            from jodie_spark.tables.table import enforce_check_constraints
+
+            adds = write_data_files(
+                enforce_check_constraints(result, snap.configuration),
+                t.path,
+                snap.partition_columns,
+            )
             if t.is_cdf_enabled(snap):
                 # change rows: pre-images carry the target columns,
                 # post-images the merge output columns — same shapes

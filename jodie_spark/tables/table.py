@@ -29,6 +29,32 @@ from jodie_spark.tables.writer import write_data_files, write_metrics
 CDF_PROP = "delta.enableChangeDataFeed"
 CHANGE_DATA_DIR = "_change_data"
 RESERVED_WRITER_OPTIONS = {"mergeSchema", "overwriteSchema", "maxRecordsPerFile"}
+CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def check_constraints(configuration: dict[str, str] | None) -> dict[str, str]:
+    """name → expression for every ``delta.constraints.*`` property."""
+    return {
+        k[len(CONSTRAINT_PREFIX):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
+
+
+def enforce_check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> DataFrame:
+    """Wrap the to-be-written rows so any CHECK-constraint violation
+    fails the write job, distributed and in-line (an ``assert_true``
+    inside the write scan — no extra pass over the data). SQL CHECK
+    semantics: NULL passes, only FALSE violates — same as delta-spark's
+    CheckDeltaInvariant."""
+    for name, expr in sorted(check_constraints(configuration).items()):
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        df = df.filter(
+            F.assert_true(
+                ok, F.lit(f"CHECK constraint {name} ({expr}) violated by the written data")
+            ).isNull()
+        )
+    return df
 
 
 def _schema_from_string(schema_string: str) -> T.StructType:
@@ -441,6 +467,81 @@ class DeltaTable:
             {"properties": json.dumps(properties)},
         )
 
+    # -- CHECK constraints ---------------------------------------------------
+
+    def add_check_constraint(self, name: str, expression: str) -> None:
+        """ALTER TABLE ... ADD CONSTRAINT name CHECK (expression).
+
+        Validates the expression resolves against the table schema and
+        that every EXISTING row satisfies it (one distributed scan —
+        the same full validation delta-spark performs), then persists
+        it as a ``delta.constraints.<name>`` property and raises the
+        writer protocol to 3 (the version that mandates constraint
+        enforcement). Subsequent writes/updates/merges through this
+        engine fail loudly on violating rows."""
+        snap = self.snapshot()
+        key = CONSTRAINT_PREFIX + name
+        existing = {k.lower() for k in snap.configuration}
+        if key.lower() in existing:
+            raise JodieValidationError(f"Constraint '{name}' already exists.")
+        try:
+            self.toDF().limit(0).filter(expression).collect()
+        except Exception as e:
+            raise JodieValidationError(
+                f"CHECK constraint expression '{expression}' does not resolve "
+                f"against the table schema: {e}"
+            ) from e
+        violating = (
+            self.toDF()
+            .filter(~F.coalesce(F.expr(expression).cast("boolean"), F.lit(True)))
+            .count()
+        )
+        if violating:
+            raise JodieValidationError(
+                f"{violating} existing rows violate CHECK constraint "
+                f"'{name}' ({expression}); constraint not added."
+            )
+        meta = dict(snap.metadata)
+        conf = dict(meta.get("configuration") or {})
+        conf[key] = expression
+        meta["configuration"] = conf
+        actions: list[dict[str, Any]] = []
+        proto = dict(snap.protocol or {})
+        if int(proto.get("minWriterVersion") or 2) < 3:
+            proto["minWriterVersion"] = 3
+            actions.append({"protocol": proto})
+        actions.append({"metaData": meta})
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "ADD CONSTRAINT",
+            {"name": name, "expr": expression},
+        )
+
+    def drop_check_constraint(self, name: str) -> None:
+        """ALTER TABLE ... DROP CONSTRAINT name (case-insensitive)."""
+        snap = self.snapshot()
+        meta = dict(snap.metadata)
+        conf = dict(meta.get("configuration") or {})
+        key = next(
+            (k for k in conf if k.lower() == (CONSTRAINT_PREFIX + name).lower()),
+            None,
+        )
+        if key is None:
+            raise JodieValidationError(f"Constraint '{name}' does not exist.")
+        expr = conf.pop(key)
+        meta["configuration"] = conf
+        self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}],
+            "DROP CONSTRAINT",
+            {"name": name, "expr": expr},
+        )
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → expression."""
+        return check_constraints(self.snapshot().configuration)
+
     # -- mutations -----------------------------------------------------------
 
     def _write_cdf_files(self, change_df: DataFrame) -> list[dict[str, Any]]:
@@ -598,7 +699,11 @@ class DeltaTable:
                             for f in schema.fields
                         ]
                     )
-                    adds = write_data_files(new_df, self.path, snap.partition_columns)
+                    adds = write_data_files(
+                        enforce_check_constraints(new_df, snap.configuration),
+                        self.path,
+                        snap.partition_columns,
+                    )
                     removes = touched
                     updated_rows = int(obs.get["updated"] or 0)
                     if self.is_cdf_enabled(snap):
@@ -966,7 +1071,9 @@ def write_delta(
         properties = {
             k: str(v) for k, v in options.items() if k not in RESERVED_WRITER_OPTIONS
         }
-        adds = write_data_files(df, path, partition_by)
+        adds = write_data_files(
+            enforce_check_constraints(df, properties), path, partition_by
+        )
         import uuid as _uuid
 
         meta = {
@@ -1016,7 +1123,11 @@ def write_delta(
                 for f in new_schema.fields
             ]
         )
-        adds = write_data_files(aligned, path, snap.partition_columns)
+        adds = write_data_files(
+            enforce_check_constraints(aligned, snap.configuration),
+            path,
+            snap.partition_columns,
+        )
         actions = [{"add": a} for a in adds]
         if extra:
             meta = dict(snap.metadata)
@@ -1044,7 +1155,9 @@ def write_delta(
                 f"Table schema columns: {table_cols}; data schema columns: {df_cols}. "
                 "Set option overwriteSchema=true to overwrite the schema."
             )
-        adds = write_data_files(df, path, eff_partition)
+        adds = write_data_files(
+            enforce_check_constraints(df, snap.configuration), path, eff_partition
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = []
         if schema_changed or eff_partition != snap.partition_columns:
