@@ -580,6 +580,35 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone of a supplier Delta table, then copy-on-write
+    DML on the clone: the result must equal the SQL of (supplier minus
+    the deleted predicate) while the source stays intact — both facts
+    the oracle checks (the source rows re-read and unioned as a
+    checksum that the clone's DML never leaked into the source)."""
+    from jodie_spark.operators.helpers import shallow_clone
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    t = _delta_from(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ),
+        "clonesrc",
+    )
+    clone = shallow_clone(DeltaTable.forPath(spark, t.path), _tmp("clonedst"))
+    clone.delete("s_nationkey < 5")
+    clone_df = clone.toDF().select(
+        "s_suppkey", "s_name", "s_nationkey", F.lit("clone").alias("side")
+    )
+    src_df = (
+        DeltaTable.forPath(spark, t.path)
+        .toDF()
+        .select("s_suppkey", "s_name", "s_nationkey", F.lit("source").alias("side"))
+    )
+    return clone_df.unionByName(src_df)
+
+
 def _q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full constraint lifecycle: create table, ADD CONSTRAINT with
     full-scan validation, a conforming append (committed), a violating
@@ -1053,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": _q_ann_index_topk,
         "profile_table": _q_profile_table,
         "check_constraints": _q_check_constraints,
+        "shallow_clone": _q_shallow_clone,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1270,6 +1300,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "shallow_clone": """
+            SELECT s_suppkey, s_name, s_nationkey, 'clone' AS side
+            FROM supplier WHERE s_nationkey >= 5
+            UNION ALL
+            SELECT s_suppkey, s_name, s_nationkey, 'source' AS side
+            FROM supplier
+        """,
         "check_constraints": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
             UNION ALL

@@ -193,3 +193,63 @@ def is_composite_key_candidate(delta_table: DeltaTable, cols: Sequence[str]) -> 
         .limit(1)
     )
     return len(dup.take(1)) == 0
+
+
+def shallow_clone(
+    delta_table: DeltaTable,
+    target_path: str,
+) -> DeltaTable:
+    """Zero-copy clone: a new Delta table whose add actions reference
+    the source table's data files by ABSOLUTE path — no data movement,
+    so cloning a 100 TB table is one metadata commit. Writes to the
+    clone (append/delete/update/merge/optimize) copy-on-write into the
+    clone's own directory and never touch source files; the clone's
+    vacuum only ever deletes files under the clone directory.
+
+    Parity: Delta's CREATE TABLE ... SHALLOW CLONE (the protocol's
+    absolute-path add support); the reference library only offers the
+    deep ``copyTable``.
+
+    Caveats: vacuuming the SOURCE table can invalidate the clone (same
+    as delta-spark); cloning a table with deletion vectors is refused
+    at read time.
+    """
+    import time as _time
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    from jodie_spark.tables.log import DeltaLog
+
+    src_snap = delta_table.snapshot()
+    src_root = os.path.abspath(delta_table.path)
+    target_path = os.path.abspath(target_path)
+    log = DeltaLog(target_path)
+    if log.exists():
+        raise JodieValidationError(f"path {target_path} already exists.")
+
+    adds = []
+    for a in src_snap.add_files():
+        abs_path = os.path.join(src_root, _up.unquote(a["path"]))
+        clone_add = dict(a)
+        clone_add["path"] = _up.quote(abs_path)
+        clone_add["dataChange"] = True
+        adds.append(clone_add)
+
+    meta = dict(src_snap.metadata)
+    meta["id"] = str(_uuid.uuid4())
+    meta["createdTime"] = int(_time.time() * 1000)
+    actions = [
+        {"protocol": dict(src_snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})},
+        {"metaData": meta},
+    ] + [{"add": a} for a in adds]
+    log.commit(
+        -1,
+        actions,
+        "CLONE",
+        {
+            "source": src_root,
+            "sourceVersion": str(src_snap.version),
+            "isShallow": "true",
+        },
+    )
+    return DeltaTable(delta_table.spark, target_path)

@@ -79,8 +79,25 @@ def read_files_df(
     before unioning with the plain fast path — see
     :mod:`jodie_spark.tables.deletion_vectors`.
     """
-    plain = [a for a in adds if not _dv_cardinality(a)]
-    dv = [a for a in adds if _dv_cardinality(a)]
+    def _is_external(a: dict[str, Any]) -> bool:
+        p = urllib.parse.unquote(a["path"])
+        return os.path.isabs(p) and not os.path.abspath(p).startswith(
+            os.path.abspath(table_path) + os.sep
+        )
+
+    plain, dv, external = [], [], []
+    for a in adds:
+        if _dv_cardinality(a):
+            if _is_external(a):
+                raise DeltaProtocolError(
+                    "deletion vectors on externally-referenced (cloned) files "
+                    "are not supported; deep-copy the table instead"
+                )
+            dv.append(a)
+        elif _is_external(a):
+            external.append(a)
+        else:
+            plain.append(a)
     parts: list[DataFrame] = []
     if plain:
         paths = [
@@ -93,6 +110,8 @@ def read_files_df(
             .load(paths)
         )
         parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
+    if external:
+        parts.append(_read_external_files_df(spark, schema, external))
     if dv:
         parts.append(_read_dv_files_df(spark, table_path, schema, dv))
     if not parts:
@@ -106,6 +125,59 @@ def read_files_df(
 def _dv_cardinality(add: dict[str, Any]) -> int:
     desc = add.get("deletionVector")
     return int(desc.get("cardinality") or 0) if desc else 0
+
+
+def _read_external_files_df(
+    spark: SparkSession, schema: T.StructType, adds: list[dict[str, Any]]
+) -> DataFrame:
+    """Scan add-files that live OUTSIDE the table directory (shallow
+    clones reference the source table's files by absolute path).
+
+    ``basePath``-driven Hive partition reconstruction can't apply (the
+    files aren't under this table), so partition columns come from the
+    log's own ``partitionValues``: one scan of all external files with
+    ``_metadata.file_path``, broadcast-joined to the per-file partition
+    value map. One job regardless of partition count — never a scan per
+    partition."""
+    paths = [urllib.parse.unquote(a["path"]) for a in adds]
+    by_real = {os.path.realpath(p): a for p, a in zip(paths, adds)}
+    scan = spark.read.format("parquet").load(paths).select(
+        "*", F.col("_metadata.file_path").alias("__fp__")
+    )
+    present = set(scan.columns) - {"__fp__"}
+    missing = [f for f in schema.fields if f.name not in present]
+    if not missing:
+        return scan.select(*[F.col(f.name) for f in schema.fields])
+    # map Spark's exact URI spelling back to add entries (same
+    # collect-and-match as the DV reader — O(#files), never per row;
+    # string-reconstructing the URI driver-side is how silent
+    # percent-encoding mismatches happen)
+    fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
+    rows = []
+    for fp in fp_values:
+        local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
+        add = by_real.get(os.path.realpath(local))
+        if add is None:
+            raise DeltaProtocolError(
+                f"cannot map scanned file {fp!r} back to an external add "
+                "entry; refusing to fabricate partition values"
+            )
+        pv = add.get("partitionValues") or {}
+        rows.append((fp, *[pv.get(f.name) for f in missing]))
+    pv_schema = T.StructType(
+        [T.StructField("__fp__", T.StringType())]
+        + [T.StructField(f.name, T.StringType()) for f in missing]
+    )
+    joined = scan.join(F.broadcast(spark.createDataFrame(rows, pv_schema)), "__fp__")
+    missing_names = {m.name for m in missing}
+    return joined.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in missing_names
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 # Below this many total deleted rows the position set broadcasts, so
@@ -832,9 +904,19 @@ class DeltaTable:
         numDeletedFiles)."""
         snap = self.snapshot()
         cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
+        root = os.path.abspath(self.path) + os.sep
+
+        def _inside(rm: dict[str, Any]) -> bool:
+            # delta-spark parity: VACUUM only ever deletes files under
+            # the table directory — a shallow clone's tombstones point
+            # at the SOURCE table's files by absolute path, and deleting
+            # those would corrupt the source
+            p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
+            return os.path.abspath(p).startswith(root)
+
         eligible = [
             rm for rm in snap.tombstones.values()
-            if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms
+            if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms and _inside(rm)
         ]
         if dry_run:
             out = [
