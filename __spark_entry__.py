@@ -580,6 +580,29 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to version 0 after destructive DML: the table must read
+    back byte-identical to the original data, and history must show the
+    full operation trail (checked via deterministic columns)."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    t = _delta_from(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        "restoresrc",
+    )
+    t.delete("r_regionkey >= 2")
+    t.update("r_regionkey = 0", {"r_name": "'MUTATED'"})
+    t.restore(0)
+    table = DeltaTable.forPath(spark, t.path)
+    ops = table.history().select("version", "operation")
+    data = table.toDF().select(
+        F.col("r_regionkey").cast("long").alias("version"),
+        F.col("r_name").alias("operation"),
+    )
+    return data.unionByName(ops)
+
+
 def _q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy clone of a supplier Delta table, then copy-on-write
     DML on the clone: the result must equal the SQL of (supplier minus
@@ -1083,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": _q_profile_table,
         "check_constraints": _q_check_constraints,
         "shallow_clone": _q_shallow_clone,
+        "restore_roundtrip": _q_restore_roundtrip,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1300,6 +1324,16 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "restore_roundtrip": """
+            SELECT CAST(r_regionkey AS BIGINT) AS version, r_name AS operation
+            FROM region
+            UNION ALL
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'WRITE'),
+                (1, 'DELETE'),
+                (2, 'UPDATE'),
+                (3, 'RESTORE')) AS t(version, operation)
+        """,
         "shallow_clone": """
             SELECT s_suppkey, s_name, s_nationkey, 'clone' AS side
             FROM supplier WHERE s_nationkey >= 5
