@@ -296,6 +296,25 @@ class DeltaLog:
 
     # -- reading ------------------------------------------------------------
 
+    def latest_txn_version(self, app_id: str) -> int | None:
+        """Highest ``txn.version`` committed for ``app_id`` (SetTransaction
+        actions), or None. Scans commit JSONs newest-first and stops at
+        the first hit — txn versions are monotone per appId, so the most
+        recent occurrence IS the maximum. O(#versions) driver JSON in
+        the worst case, O(1) for active writers (their txn is in the
+        tail) — the same cost profile as the streaming sink's recovery
+        lookup."""
+        for v in sorted(self.list_commit_versions(), reverse=True):
+            try:
+                actions = self.read_actions(v)
+            except FileNotFoundError:
+                break
+            for a in actions:
+                txn = a.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    return int(txn.get("version", -1))
+        return None
+
     def read_actions(self, version: int) -> list[dict[str, Any]]:
         path = self.commit_file_path(version)
         if not os.path.isfile(path):

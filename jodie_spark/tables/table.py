@@ -28,7 +28,9 @@ from jodie_spark.tables.writer import write_data_files, write_metrics
 
 CDF_PROP = "delta.enableChangeDataFeed"
 CHANGE_DATA_DIR = "_change_data"
-RESERVED_WRITER_OPTIONS = {"mergeSchema", "overwriteSchema", "maxRecordsPerFile"}
+RESERVED_WRITER_OPTIONS = {
+    "mergeSchema", "overwriteSchema", "maxRecordsPerFile", "txnAppId", "txnVersion"
+}
 CONSTRAINT_PREFIX = "delta.constraints."
 
 
@@ -1132,6 +1134,12 @@ def write_delta(
     other option is persisted as a table property on create — matching
     Delta's ``delta.*`` option pass-through relied on by copyTable
     (reference DeltaHelpers.scala:409-416).
+
+    Idempotent writes (delta-spark parity): pass ``txnAppId`` +
+    ``txnVersion`` and a retried write whose (appId, version) was
+    already committed becomes a NO-OP instead of duplicating data —
+    the exactly-once contract jobs with retrying schedulers need. The
+    commit records a ``txn`` action; versions must be monotone per app.
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -1139,6 +1147,21 @@ def write_delta(
     partition_by = list(partition_by or [])
     log = DeltaLog(path)
     exists = log.exists()
+
+    txn_app = options.get("txnAppId")
+    txn_ver = options.get("txnVersion")
+    if (txn_app is None) != (txn_ver is None):
+        raise JodieValidationError(
+            "txnAppId and txnVersion must be set together for idempotent writes"
+        )
+    txn_actions: list[dict[str, Any]] = []
+    if txn_app is not None:
+        txn_ver = int(txn_ver)
+        if exists:
+            last = log.latest_txn_version(str(txn_app))
+            if last is not None and txn_ver <= last:
+                return DeltaTable(spark, path)  # already applied — no-op
+        txn_actions = [{"txn": {"appId": str(txn_app), "version": txn_ver}}]
 
     if exists:
         if mode in ("error", "errorifexists"):
@@ -1169,7 +1192,7 @@ def write_delta(
         actions = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
             {"metaData": meta},
-        ] + [{"add": a} for a in adds]
+        ] + txn_actions + [{"add": a} for a in adds]
         log.commit(
             -1,
             actions,
@@ -1210,7 +1233,7 @@ def write_delta(
             path,
             snap.partition_columns,
         )
-        actions = [{"add": a} for a in adds]
+        actions = txn_actions + [{"add": a} for a in adds]
         if extra:
             meta = dict(snap.metadata)
             meta["schemaString"] = new_schema.json()
@@ -1241,7 +1264,7 @@ def write_delta(
             enforce_check_constraints(df, snap.configuration), path, eff_partition
         )
         now_ms = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = []
+        actions: list[dict[str, Any]] = list(txn_actions)
         if schema_changed or eff_partition != snap.partition_columns:
             meta = dict(snap.metadata)
             meta["schemaString"] = df.schema.json()

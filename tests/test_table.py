@@ -701,3 +701,34 @@ def test_deletion_vector_roundtrip_formats(spark, tmpdir_path):
         fh.write(bytes([b[0] ^ 0xFF]))
     with pytest.raises(DeletionVectorError, match="checksum"):
         read_dv_bytes("/unused", desc)
+
+
+def test_idempotent_txn_writes(spark, tmpdir_path):
+    """txnAppId/txnVersion writes: a retried (appId, version) is a no-op
+    (delta-spark idempotent-write parity)."""
+    import pytest as _pytest
+
+    from jodie_spark.errors import JodieValidationError
+
+    p = os.path.join(tmpdir_path, "txn")
+    df1 = spark.createDataFrame([(1,)], "x int")
+    write_delta(df1, p, options={"txnAppId": "job", "txnVersion": 1})
+    t = DeltaTable.forPath(spark, p)
+    assert t.toDF().count() == 1
+    # retry of version 1: silently skipped
+    write_delta(df1, p, mode="append", options={"txnAppId": "job", "txnVersion": 1})
+    assert t.toDF().count() == 1
+    # next version applies
+    write_delta(df1, p, mode="append", options={"txnAppId": "job", "txnVersion": 2})
+    assert t.toDF().count() == 2
+    # other appIds are independent
+    write_delta(df1, p, mode="append", options={"txnAppId": "other", "txnVersion": 1})
+    assert t.toDF().count() == 3
+    # stale version for 'job' still skipped after other's commit
+    write_delta(df1, p, mode="append", options={"txnAppId": "job", "txnVersion": 2})
+    assert t.toDF().count() == 3
+    # option pair must come together
+    with _pytest.raises(JodieValidationError, match="together"):
+        write_delta(df1, p, mode="append", options={"txnAppId": "job"})
+    # txn options are not persisted as table properties
+    assert "txnAppId" not in t.snapshot().configuration
