@@ -580,6 +580,14 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.perplexity import perplexity_score
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_score(docs, "text", "doc_id")
+
+
 def _q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE to version 0 after destructive DML: the table must read
     back byte-identical to the original data, and history must show the
@@ -1107,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_constraints": _q_check_constraints,
         "shallow_clone": _q_shallow_clone,
         "restore_roundtrip": _q_restore_roundtrip,
+        "perplexity": _q_perplexity,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1324,6 +1333,26 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total,
+                           CAST(COUNT(*) AS DOUBLE) AS vocab FROM counts),
+            model AS (
+              SELECT token, ln((c + 1.0) / (total + 1.0 * (vocab + 1))) AS logp
+              FROM counts, tot
+            ),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens, AVG(logp) AS avg_logprob
+              FROM toks JOIN model USING (token) GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                   p.avg_logprob, exp(-p.avg_logprob) AS perplexity
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         "restore_roundtrip": """
             SELECT CAST(r_regionkey AS BIGINT) AS version, r_name AS operation
             FROM region

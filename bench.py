@@ -92,6 +92,10 @@ def main() -> None:
         "ann_index_topk",
         "epoch_shuffle",
         "mixture_weights",
+        "perplexity",
+        "profile_table",
+        "shallow_clone",
+        "check_constraints",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -416,3 +416,56 @@ def test_profile_table_single_pass_plan(spark):
     df = spark.range(100).selectExpr("id", "cast(id % 7 as string) s")
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") + plan.count("FileScan") <= 2  # range scan appears once per codegen printout
+
+
+# ---------------------------------------------------------------------------
+# perplexity filtering
+# ---------------------------------------------------------------------------
+
+def test_unigram_model_probabilities_sum_sensibly(spark):
+    import math
+
+    from jodie_spark.operators.perplexity import unigram_model
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    rows = {r["token"]: r for r in unigram_model(df, "text").collect()}
+    # counts: a=3, b=2, c=1; total=6, vocab=3; P(t) = (c+1)/(6+4)
+    assert math.isclose(math.exp(rows["a"]["logp"]), 4 / 10)
+    assert math.isclose(math.exp(rows["b"]["logp"]), 3 / 10)
+    assert math.isclose(math.exp(rows["c"]["logp"]), 2 / 10)
+
+
+def test_perplexity_ranks_gibberish_higher(spark):
+    from jodie_spark.operators.perplexity import perplexity_score
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(20)] + [(99, "zq xv qj wk zzqv")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["perplexity"] for r in perplexity_score(df, "text", "doc_id").collect()}
+    assert out[99] > out[0]  # rare tokens → higher perplexity
+
+
+def test_perplexity_empty_doc_scores_null_and_filter_drops_it(spark):
+    from jodie_spark.operators.perplexity import perplexity_filter, perplexity_score
+
+    df = spark.createDataFrame(
+        [(1, "normal words here"), (2, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in perplexity_score(df, "text", "doc_id").collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["perplexity"] is None
+    kept = perplexity_filter(df, "text", "doc_id", max_perplexity=1e9)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_perplexity_external_model_and_unk(spark):
+    """OOV tokens under an externally-supplied model get UNK mass."""
+    from jodie_spark.operators.perplexity import perplexity_score, unigram_model
+
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    model = unigram_model(train, "text")
+    test = spark.createDataFrame([(10, "a zzz")], ["doc_id", "text"])
+    row = perplexity_score(test, "text", "doc_id", model=model).collect()[0]
+    assert row["n_tokens"] == 2
+    assert row["perplexity"] is not None and row["perplexity"] > 1
