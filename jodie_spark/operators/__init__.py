@@ -32,6 +32,7 @@ from jodie_spark.operators.similarity import (
 )
 from jodie_spark.operators.text_dedup import (
     connected_component_reps,
+    dedup_against,
     embedding_dedup,
     exact_dedup,
     minhash_candidate_pairs,
@@ -40,6 +41,27 @@ from jodie_spark.operators.text_dedup import (
     simhash,
     simhash_dedup,
 )
+from jodie_spark.operators.ann_index import (
+    build_ann_index,
+    load_ann_model,
+    query_ann_index,
+)
+from jodie_spark.operators.helpers import shallow_clone
+from jodie_spark.operators.ivf import ivf_topk, train_centroids, with_ivf_assignments
+from jodie_spark.operators.line_dedup import dedup_lines, duplicate_line_stats
+from jodie_spark.operators.packing import (
+    pack_sequences,
+    sequence_stats,
+    with_global_offsets,
+)
+from jodie_spark.operators.perplexity import (
+    perplexity_filter,
+    perplexity_score,
+    unigram_model,
+)
+from jodie_spark.operators.pq import pq_topk, train_pq, with_pq_codes
+from jodie_spark.operators.profile import profile_table
+from jodie_spark.operators.sampling import epoch_shuffle, mixture_weights
 
 __all__ = [
     "append_without_duplicates",
@@ -74,4 +96,26 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_dedup",
+    "dedup_against",
+    "build_ann_index",
+    "load_ann_model",
+    "query_ann_index",
+    "shallow_clone",
+    "ivf_topk",
+    "train_centroids",
+    "with_ivf_assignments",
+    "dedup_lines",
+    "duplicate_line_stats",
+    "pack_sequences",
+    "sequence_stats",
+    "with_global_offsets",
+    "perplexity_filter",
+    "perplexity_score",
+    "unigram_model",
+    "pq_topk",
+    "train_pq",
+    "with_pq_codes",
+    "profile_table",
+    "epoch_shuffle",
+    "mixture_weights",
 ]
