@@ -580,6 +580,30 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create a day-partitioned table whose partition column is GENERATED
+    from the event timestamp, append a batch that does NOT carry the
+    column (the writer must compute it), and read back (event_id, day).
+    DuckDB reproduces the generation expression directly."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    half = events.filter("event_id % 2 = 0")
+    rest = events.filter("event_id % 2 <> 0")
+    path = _tmp("gencol")
+    write_delta(
+        half, path, partition_by=["day"],
+        generated_columns={"day": "cast(ts as date)"},
+    )
+    write_delta(rest, path, mode="append")  # day computed by the writer
+    return (
+        DeltaTable.forPath(spark, path)
+        .toDF()
+        .select("event_id", F.col("day").cast("string").alias("day"))
+    )
+
+
 def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.perplexity import perplexity_score
     from jodie_spark.sources import load_table
@@ -1116,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shallow_clone": _q_shallow_clone,
         "restore_roundtrip": _q_restore_roundtrip,
         "perplexity": _q_perplexity,
+        "generated_columns": _q_generated_columns,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1333,6 +1358,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "generated_columns": """
+            SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+        """,
         "perplexity": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

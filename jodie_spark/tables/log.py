@@ -61,8 +61,11 @@ _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 # carry delta.invariants.
 # v3 = CHECK constraints, which this engine enforces on every write
 # path (tables/table.py enforce_check_constraints)
-SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 7}
-SUPPORTED_WRITER_FEATURES = {"appendOnly", "timestampNtz", "checkConstraints"}
+SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 7}
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "timestampNtz", "checkConstraints",
+    "generatedColumns", "changeDataFeed",
+}
 APPEND_ONLY_PROP = "delta.appendOnly"
 
 LOG_DIR = "_delta_log"

@@ -361,10 +361,15 @@ class DeltaMergeBuilder:
 
         cdc_actions: list[dict[str, Any]] = []
         try:
-            from jodie_spark.tables.table import enforce_check_constraints
+            from jodie_spark.tables.table import (
+                apply_generated_columns,
+                enforce_check_constraints,
+            )
 
             adds = write_data_files(
-                enforce_check_constraints(result, snap.configuration),
+                enforce_check_constraints(
+                    apply_generated_columns(result, schema), snap.configuration
+                ),
                 t.path,
                 snap.partition_columns,
             )

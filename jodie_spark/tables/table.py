@@ -774,7 +774,10 @@ class DeltaTable:
                         ]
                     )
                     adds = write_data_files(
-                        enforce_check_constraints(new_df, snap.configuration),
+                        enforce_check_constraints(
+                            apply_generated_columns(new_df, schema),
+                            snap.configuration,
+                        ),
                         self.path,
                         snap.partition_columns,
                     )
@@ -1120,12 +1123,52 @@ def _strip_scheme(p: str) -> str:
 # writer entry point
 # ---------------------------------------------------------------------------
 
+GENERATION_EXPR_KEY = "delta.generationExpression"
+
+
+def generated_columns_of(schema: T.StructType) -> dict[str, str]:
+    """column → generation expression, from schema field metadata (the
+    Delta protocol's storage location for generated columns)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get(GENERATION_EXPR_KEY)
+        if expr:
+            out[f.name] = str(expr)
+    return out
+
+
+def apply_generated_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Delta generated-column write semantics: a generated column ABSENT
+    from the written DataFrame is computed from its expression; one the
+    writer DID provide is validated against the expression (null-safe
+    equality) with an in-scan assert — providing a wrong value fails
+    the write instead of silently diverging from the contract."""
+    gen = generated_columns_of(schema)
+    for name, expr in gen.items():
+        target_type = schema[name].dataType
+        computed = F.expr(expr).cast(target_type)
+        if name not in df.columns:
+            df = df.withColumn(name, computed)
+        else:
+            df = df.filter(
+                F.assert_true(
+                    F.col(name).eqNullSafe(computed),
+                    F.lit(
+                        f"generated column {name} does not match its "
+                        f"generation expression ({expr})"
+                    ),
+                ).isNull()
+            )
+    return df
+
+
 def write_delta(
     df: DataFrame,
     path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
     options: dict[str, str] | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> DeltaTable:
     """``df.write.format("delta").mode(m).save(path)`` equivalent.
 
@@ -1176,6 +1219,29 @@ def write_delta(
         properties = {
             k: str(v) for k, v in options.items() if k not in RESERVED_WRITER_OPTIONS
         }
+        if generated_columns:
+            # compute absent generated columns, then embed the
+            # expressions in the schema's field metadata (the protocol's
+            # storage location) so future writes honor them
+            for name, expr in generated_columns.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(expr))
+            df = df.select(
+                *[
+                    F.col(f.name).alias(
+                        f.name,
+                        metadata={**(f.metadata or {}), GENERATION_EXPR_KEY: generated_columns[f.name]},
+                    )
+                    if f.name in generated_columns
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        writer_version = 2
+        if check_constraints(properties):
+            writer_version = 3
+        if generated_columns:
+            writer_version = 4
         adds = write_data_files(
             enforce_check_constraints(df, properties), path, partition_by
         )
@@ -1190,7 +1256,7 @@ def write_delta(
             "createdTime": int(time.time() * 1000),
         }
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_version}},
             {"metaData": meta},
         ] + txn_actions + [{"add": a} for a in adds]
         log.commit(
@@ -1203,9 +1269,15 @@ def write_delta(
         return DeltaTable(spark, path)
 
     table = DeltaTable(spark, path)
+    if generated_columns:
+        raise JodieValidationError(
+            "generated_columns can only be declared at table creation"
+        )
     snap = table.snapshot()
     table.deltaLog.check_write_allowed(snap, removes_data=(mode == "overwrite"))
     table_schema = table.schema(snap)
+    # compute/validate generated columns declared in the table schema
+    df = apply_generated_columns(df, table_schema)
     eff_partition = snap.partition_columns if not partition_by else partition_by
     table_cols = [f.name for f in table_schema.fields]
     df_cols = list(df.columns)
