@@ -580,6 +580,26 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new_batch, seen, "text").select("doc_id")
 
 
+def _q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: deletion vectors written instead of file
+    rewrites; the surviving logical rows must equal the SQL filter, and
+    a second (copy-on-write) delete stacked on top must read through
+    the DVs correctly."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    t = _delta_from(cust, "dvdel")
+    table = DeltaTable.forPath(spark, t.path)
+    table.delete("c_nationkey < 5", deletion_vectors=True)
+    table.delete("c_acctbal < 0", deletion_vectors=True)
+    return DeltaTable.forPath(spark, t.path).toDF().select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
 def _q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Create a day-partitioned table whose partition column is GENERATED
     from the event timestamp, append a batch that does NOT carry the
@@ -1141,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restore_roundtrip": _q_restore_roundtrip,
         "perplexity": _q_perplexity,
         "generated_columns": _q_generated_columns,
+        "dv_delete": _q_dv_delete,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1360,6 +1381,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_topk": _PLANTED_ANN_ORACLE,
         "generated_columns": """
             SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+        """,
+        "dv_delete": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_nationkey >= 5 AND c_acctbal >= 0
         """,
         "perplexity": r"""
             WITH toks AS (

@@ -62,9 +62,12 @@ _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 # v3 = CHECK constraints, which this engine enforces on every write
 # path (tables/table.py enforce_check_constraints)
 SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 7}
+# deletionVectors: reads honor DVs (tables/deletion_vectors.py),
+# rewrite-DML reads through the DV filter and drops the DV with the
+# rewritten file, delete(deletion_vectors=True) writes them.
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
-    "generatedColumns", "changeDataFeed",
+    "generatedColumns", "changeDataFeed", "deletionVectors",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 

@@ -636,13 +636,31 @@ class DeltaTable:
             )
         return actions
 
-    def delete(self, condition: str | None = None) -> None:
+    def delete(self, condition: str | None = None, deletion_vectors: bool = False) -> None:
         """Copy-on-write DELETE with stats-based file skipping: files whose
-        stats prove no match are never read or rewritten."""
+        stats prove no match are never read or rewritten.
+
+        ``deletion_vectors=True`` switches to merge-on-read DELETE: instead
+        of rewriting every touched file, the matched row indexes are
+        written as roaring-bitmap deletion vectors and the files are
+        re-added with a DV descriptor — a delete that touches 1% of the
+        rows in every file goes from rewriting the whole table to writing
+        tiny bitmaps (the Delta deletionVectors feature; the table's
+        protocol is upgraded on first use). Falls back to copy-on-write
+        when CDF is enabled (change rows require the data) or for
+        full-table deletes (dropping whole files is already O(metadata)).
+        """
         t0 = time.time()
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
+        if (
+            deletion_vectors
+            and condition is not None
+            and not self.is_cdf_enabled(snap)
+        ):
+            self._delete_with_dvs(snap, schema, condition, t0)
+            return
         candidates = plan_candidate_files(
             self.spark, self.path, condition, schema, snap.partition_columns
         )
@@ -725,6 +743,185 @@ class DeltaTable:
             "rewriteTimeMs": str(max(0, int((time.time() - t0) * 1000) - scan_ms)),
         }
         params = {"predicate": json.dumps([condition] if condition else [])}
+        self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
+
+    def _delete_with_dvs(
+        self, snap: Snapshot, schema: T.StructType, condition: str, t0: float
+    ) -> None:
+        """Merge-on-read DELETE: per touched file, write a roaring-bitmap
+        DV of the matched row indexes (merged with any existing DV) and
+        re-add the file with the descriptor — no data rewrite.
+
+        Plan shape: stats-pruned candidate scan with ``_metadata.row_index``
+        → filter → one ``applyInPandas`` group per touched file that
+        serializes and writes the bitmap EXECUTOR-side (the driver sees
+        one descriptor row per file, never a row index). Existing DVs
+        are unioned in, so repeated DV deletes stay idempotent per row.
+        """
+        import uuid as _uuid
+
+        from jodie_spark.tables.deletion_vectors import (
+            parse_roaring_bitmap_array,
+            read_dv_bytes,
+            write_dv_file,
+        )
+
+        candidates = plan_candidate_files(
+            self.spark, self.path, condition, schema, snap.partition_columns
+        )
+        table_path = self.path
+        dv_dir = os.path.join(table_path, "deletion_vectors")
+        os.makedirs(dv_dir, exist_ok=True)
+
+        rows: list[Any] = []
+        if candidates:
+            paths = [
+                os.path.join(table_path, urllib.parse.unquote(a["path"]))
+                for a in candidates
+            ]
+            by_real = {
+                os.path.realpath(p): a for p, a in zip(paths, candidates)
+            }
+            old_desc_by_real = {
+                rp: json.dumps(a["deletionVector"])
+                for rp, a in by_real.items()
+                if a.get("deletionVector")
+            }
+            scan = (
+                self.spark.read.format("parquet")
+                .option("basePath", table_path)
+                .schema(schema)
+                .load(paths)
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp__"),
+                    F.col("_metadata.row_index").alias("__ri__"),
+                )
+            )
+            matched = scan.filter(F.expr(condition)).select("__fp__", "__ri__")
+
+            def _make_dv(pdf):
+                import pandas as pd
+
+                fp = pdf["__fp__"].iloc[0]
+                local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
+                rp = os.path.realpath(local)
+                positions = set(int(x) for x in pdf["__ri__"])
+                old_card = 0
+                old_json = old_desc_by_real.get(rp)
+                if old_json:
+                    old_desc = json.loads(old_json)
+                    old_pos = parse_roaring_bitmap_array(
+                        read_dv_bytes(table_path, old_desc)
+                    )
+                    old_card = len(old_pos)
+                    positions |= set(old_pos)
+                dv_path = os.path.join(dv_dir, f"dv_{_uuid.uuid4().hex}.bin")
+                desc = write_dv_file(dv_path, sorted(positions))
+                return pd.DataFrame(
+                    {
+                        "fp": [fp],
+                        "desc": [json.dumps(desc)],
+                        "old_card": [old_card],
+                        "new_card": [len(positions)],
+                    }
+                )
+
+            rows = (
+                matched.groupBy("__fp__")
+                .applyInPandas(
+                    _make_dv, "fp string, desc string, old_card long, new_card long"
+                )
+                .collect()  # one row per TOUCHED FILE — bounded by #files
+            )
+
+        actions: list[dict[str, Any]] = []
+        proto = dict(snap.protocol or {})
+        features = set(proto.get("writerFeatures") or [])
+        needs_upgrade = rows and (
+            int(proto.get("minReaderVersion") or 1) < 3
+            or "deletionVectors" not in features
+        )
+        if needs_upgrade:
+            # minimal honest upgrade: list the features this engine
+            # maintains for this table (the delta-spark upgrade also
+            # carries legacy implied features; we list the supported set)
+            old_writer = int(proto.get("minWriterVersion") or 2)
+            reader_features = set(proto.get("readerFeatures") or [])
+            reader_features.add("deletionVectors")
+            features.add("deletionVectors")
+            if old_writer >= 2:
+                features.add("appendOnly")
+            if old_writer >= 3 or check_constraints(snap.configuration):
+                features.add("checkConstraints")
+            if old_writer >= 4:
+                features.update({"generatedColumns", "changeDataFeed"})
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(reader_features),
+                        "writerFeatures": sorted(features),
+                    }
+                }
+            )
+
+        deleted_rows = 0
+        now_ms = int(time.time() * 1000)
+        dv_bytes = 0
+        touched_adds: list[dict[str, Any]] = []
+        for r in rows:
+            local = urllib.parse.unquote(urllib.parse.urlparse(r["fp"]).path)
+            add = (
+                {os.path.realpath(os.path.join(table_path, urllib.parse.unquote(a["path"]))): a
+                 for a in candidates}
+            ).get(os.path.realpath(local))
+            if add is None:
+                raise DeltaProtocolError(
+                    f"cannot map {r['fp']!r} back to a candidate add entry"
+                )
+            desc = json.loads(r["desc"])
+            deleted_rows += int(r["new_card"]) - int(r["old_card"])
+            dv_bytes += int(desc.get("sizeInBytes") or 0)
+            new_add = dict(add)
+            new_add["deletionVector"] = desc
+            new_add["dataChange"] = True
+            touched_adds.append(new_add)
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues") or {},
+                        "size": add.get("size"),
+                        **(
+                            {"deletionVector": add["deletionVector"]}
+                            if add.get("deletionVector")
+                            else {}
+                        ),
+                    }
+                }
+            )
+        # adds AFTER removes: snapshot replay applies in order, so the
+        # re-added path ends live (and un-tombstoned — vacuum safe)
+        actions += [{"add": a} for a in touched_adds]
+
+        metrics = {
+            "numRemovedFiles": "0",
+            "numAddedFiles": "0",
+            "numDeletionVectorsAdded": str(len(touched_adds)),
+            "numDeletionVectorsUpdated": str(
+                sum(1 for r in rows if int(r["old_card"]) > 0)
+            ),
+            "numDeletedRows": str(deleted_rows),
+            "numCopiedRows": "0",
+            "numAddedChangeFiles": "0",
+            "numAddedBytes": str(dv_bytes),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+        }
+        params = {"predicate": json.dumps([condition])}
         self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
 
     def update(self, condition: str | None, set: dict[str, Any]) -> None:  # noqa: A002

@@ -1,0 +1,96 @@
+"""Merge-on-read DELETE via deletion vectors (write side)."""
+
+import glob
+import os
+
+import pytest
+
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+@pytest.fixture()
+def table(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.range(1000).selectExpr("id", "id % 10 as m"), p)
+    return DeltaTable.forPath(spark, p)
+
+
+def test_dv_delete_leaves_files_in_place(spark, table):
+    n_files = len(glob.glob(table.path + "/*.parquet"))
+    table.delete("m = 3", deletion_vectors=True)
+    assert table.toDF().count() == 900
+    assert len(glob.glob(table.path + "/*.parquet")) == n_files  # no rewrite
+    assert glob.glob(table.path + "/deletion_vectors/*.bin")
+    m = table.history().collect()[0]["operationMetrics"]
+    assert m["numDeletedRows"] == "100"
+    assert m["numRemovedFiles"] == "0"
+    assert int(m["numDeletionVectorsAdded"]) > 0
+
+
+def test_dv_delete_upgrades_protocol(spark, table):
+    table.delete("m = 0", deletion_vectors=True)
+    proto = table.snapshot().protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+
+
+def test_dv_delete_merges_and_is_idempotent(spark, table):
+    table.delete("m = 3", deletion_vectors=True)
+    table.delete("m = 5", deletion_vectors=True)
+    assert table.toDF().count() == 800
+    table.delete("m = 5", deletion_vectors=True)  # re-delete: no-op
+    assert table.toDF().count() == 800
+    m = table.history().collect()[0]["operationMetrics"]
+    assert m["numDeletedRows"] == "0"
+    assert int(m["numDeletionVectorsUpdated"]) > 0
+
+
+def test_rewrite_dml_on_dv_table_drops_dvs_without_resurrection(spark, table):
+    table.delete("m = 3", deletion_vectors=True)
+    # update rewrites touched files; DV-deleted rows must NOT come back
+    table.update("id = 4", {"m": "99"})
+    assert table.toDF().count() == 900
+    assert table.toDF().filter("m = 3").count() == 0
+    assert table.toDF().filter("m = 99").count() == 1
+    # compaction purges DVs entirely (delta parity)
+    table.optimize().executeCompaction()
+    assert table.toDF().count() == 900
+    latest = table.snapshot().add_files()
+    assert all(not a.get("deletionVector") for a in latest)
+
+
+def test_dv_delete_no_matches_is_metadata_only(spark, table):
+    v0 = table.deltaLog.latest_version()
+    table.delete("m = 42", deletion_vectors=True)
+    assert table.toDF().count() == 1000
+    m = table.history().collect()[0]["operationMetrics"]
+    assert m["numDeletedRows"] == "0"
+    assert table.deltaLog.latest_version() == v0 + 1
+
+
+def test_dv_delete_falls_back_with_cdf(spark, tmpdir_path):
+    """CDF needs the deleted rows' data — DV path falls back to rewrite."""
+    from jodie_spark.operators.cdf import read_cdf
+
+    p = os.path.join(tmpdir_path, "cdf")
+    write_delta(
+        spark.range(100).selectExpr("id", "id % 5 as m"),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("m = 1", deletion_vectors=True)
+    assert t.toDF().count() == 80
+    changes = read_cdf(spark, p, 1, 1).filter("_change_type = 'delete'")
+    assert changes.count() == 20
+
+
+def test_dv_delete_readable_through_datasource(spark, table):
+    from jodie_spark.sources.datasource import register
+
+    table.delete("m = 7", deletion_vectors=True)
+    register(spark)
+    df = spark.read.format("jodie_delta").load(table.path)
+    assert df.count() == 900
+    assert df.filter("m = 7").count() == 0

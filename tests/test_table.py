@@ -70,16 +70,25 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         DeltaTable.forPath(spark, v2cp).snapshot()
 
-    # deletionVectors are READABLE (tables/deletion_vectors.py) — the
-    # reader gate passes; writes still refuse at the writer gate
+    # deletionVectors are readable AND writable (read: row-index
+    # anti-filter; write: delete(deletion_vectors=True) + rewrite-DML
+    # reads through DVs) — both gates pass
     dv = mk_log("dv_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["deletionVectors"],
         "writerFeatures": ["deletionVectors"],
     })
     assert DeltaTable.forPath(spark, dv).snapshot().version == 0
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        DeltaTable.forPath(spark, dv).delete("k = 1")
+    DeltaTable.forPath(spark, dv).delete("k = 1")  # no candidates: commits cleanly
+    assert DeltaTable.forPath(spark, dv).deltaLog.latest_version() == 1
+    # an unsupported writer feature still refuses
+    rt = mk_log("rowtracking_table", {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": [],
+        "writerFeatures": ["rowTracking"],
+    })
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        DeltaTable.forPath(spark, rt).delete("k = 1")
 
     # reader v2 == legacy column mapping: readable (mode defaults to
     # 'none'; mode 'name' is handled — see test_column_mapping_name_read)
