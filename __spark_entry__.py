@@ -600,6 +600,26 @@ def _q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE stacked on a merge-on-read DELETE: DV'd rows
+    must not resurrect, updated copies must land, untouched rows stay."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    t = _delta_from(cust, "dvupd")
+    table = DeltaTable.forPath(spark, t.path)
+    table.delete("c_acctbal < 0", deletion_vectors=True)
+    table.update(
+        "c_nationkey < 5", {"c_name": "concat(c_name, '-U')"}, deletion_vectors=True
+    )
+    return DeltaTable.forPath(spark, t.path).toDF().select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
 def _q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Create a day-partitioned table whose partition column is GENERATED
     from the event timestamp, append a batch that does NOT carry the
@@ -1162,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": _q_perplexity,
         "generated_columns": _q_generated_columns,
         "dv_delete": _q_dv_delete,
+        "dv_update": _q_dv_update,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1385,6 +1406,12 @@ def oracle_sql() -> dict[str, str]:
         "dv_delete": """
             SELECT c_custkey, c_name, c_nationkey FROM customer
             WHERE c_nationkey >= 5 AND c_acctbal >= 0
+        """,
+        "dv_update": """
+            SELECT c_custkey,
+                   CASE WHEN c_nationkey < 5 THEN c_name || '-U' ELSE c_name END AS c_name,
+                   c_nationkey
+            FROM customer WHERE c_acctbal >= 0
         """,
         "perplexity": r"""
             WITH toks AS (

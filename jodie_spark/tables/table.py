@@ -745,19 +745,82 @@ class DeltaTable:
         params = {"predicate": json.dumps([condition] if condition else [])}
         self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
 
-    def _delete_with_dvs(
-        self, snap: Snapshot, schema: T.StructType, condition: str, t0: float
-    ) -> None:
-        """Merge-on-read DELETE: per touched file, write a roaring-bitmap
-        DV of the matched row indexes (merged with any existing DV) and
-        re-add the file with the descriptor — no data rewrite.
+    # -- deletion-vector (merge-on-read) DML machinery -----------------------
 
-        Plan shape: stats-pruned candidate scan with ``_metadata.row_index``
-        → filter → one ``applyInPandas`` group per touched file that
-        serializes and writes the bitmap EXECUTOR-side (the driver sees
-        one descriptor row per file, never a row index). Existing DVs
-        are unioned in, so repeated DV deletes stay idempotent per row.
-        """
+    def _dv_scan(self, candidates: list[dict[str, Any]], schema: T.StructType) -> DataFrame:
+        """Raw scan of candidate files with file-path + row-index metadata
+        columns (the DV coordinate system)."""
+        paths = [
+            os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            for a in candidates
+        ]
+        return (
+            self.spark.read.format("parquet")
+            .option("basePath", self.path)
+            .schema(schema)
+            .load(paths)
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp__"),
+                F.col("_metadata.row_index").alias("__ri__"),
+            )
+        )
+
+    def _existing_dv_positions(
+        self, scan: DataFrame, candidates: list[dict[str, Any]]
+    ) -> DataFrame | None:
+        """(__fp__, __ri__) rows for every position already deleted by a
+        candidate's existing DV, keyed by the SCAN's own file_path
+        spelling (collect-and-match, never string reconstruction) —
+        None when no candidate carries a DV. Used to keep merge-on-read
+        UPDATE from resurrecting already-deleted rows."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from jodie_spark.tables.deletion_vectors import (
+            parse_roaring_bitmap_array,
+            read_dv_bytes,
+        )
+
+        table_path = self.path
+        dv_by_real = {
+            os.path.realpath(
+                os.path.join(table_path, urllib.parse.unquote(a["path"]))
+            ): a["deletionVector"]
+            for a in candidates
+            if a.get("deletionVector")
+        }
+        if not dv_by_real:
+            return None
+        fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
+        rows = []
+        for fp in fp_values:
+            local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
+            desc = dv_by_real.get(os.path.realpath(local))
+            if desc:
+                rows.append((fp, bytearray(read_dv_bytes(table_path, desc))))
+        if not rows:
+            return None
+
+        def _decode_fn(dv):
+            return dv.apply(lambda b: parse_roaring_bitmap_array(bytes(b)))
+
+        _decode_fn.__annotations__ = {"dv": pd.Series, "return": pd.Series}
+        _decode = pandas_udf(_decode_fn, T.ArrayType(T.LongType()))
+        pos_schema = T.StructType(
+            [T.StructField("__fp__", T.StringType()), T.StructField("__dv__", T.BinaryType())]
+        )
+        return (
+            self.spark.createDataFrame(rows, pos_schema)
+            .select("__fp__", F.explode(_decode(F.col("__dv__"))).alias("__ri__"))
+        )
+
+    def _write_dvs_for(
+        self, matched: DataFrame, candidates: list[dict[str, Any]]
+    ) -> list[Any]:
+        """One ``applyInPandas`` group per touched file serializes and
+        writes the (old ∪ new) position bitmap EXECUTOR-side; the driver
+        receives one descriptor row per file, never a row index."""
         import uuid as _uuid
 
         from jodie_spark.tables.deletion_vectors import (
@@ -766,129 +829,115 @@ class DeltaTable:
             write_dv_file,
         )
 
-        candidates = plan_candidate_files(
-            self.spark, self.path, condition, schema, snap.partition_columns
-        )
         table_path = self.path
         dv_dir = os.path.join(table_path, "deletion_vectors")
         os.makedirs(dv_dir, exist_ok=True)
-
-        rows: list[Any] = []
-        if candidates:
-            paths = [
+        old_desc_by_real = {
+            os.path.realpath(
                 os.path.join(table_path, urllib.parse.unquote(a["path"]))
-                for a in candidates
-            ]
-            by_real = {
-                os.path.realpath(p): a for p, a in zip(paths, candidates)
-            }
-            old_desc_by_real = {
-                rp: json.dumps(a["deletionVector"])
-                for rp, a in by_real.items()
-                if a.get("deletionVector")
-            }
-            scan = (
-                self.spark.read.format("parquet")
-                .option("basePath", table_path)
-                .schema(schema)
-                .load(paths)
-                .select(
-                    "*",
-                    F.col("_metadata.file_path").alias("__fp__"),
-                    F.col("_metadata.row_index").alias("__ri__"),
+            ): json.dumps(a["deletionVector"])
+            for a in candidates
+            if a.get("deletionVector")
+        }
+
+        def _make_dv(pdf):
+            import pandas as pd
+
+            fp = pdf["__fp__"].iloc[0]
+            local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
+            rp = os.path.realpath(local)
+            positions = set(int(x) for x in pdf["__ri__"])
+            old_card = 0
+            old_json = old_desc_by_real.get(rp)
+            if old_json:
+                old_desc = json.loads(old_json)
+                old_pos = parse_roaring_bitmap_array(
+                    read_dv_bytes(table_path, old_desc)
                 )
-            )
-            matched = scan.filter(F.expr(condition)).select("__fp__", "__ri__")
-
-            def _make_dv(pdf):
-                import pandas as pd
-
-                fp = pdf["__fp__"].iloc[0]
-                local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
-                rp = os.path.realpath(local)
-                positions = set(int(x) for x in pdf["__ri__"])
-                old_card = 0
-                old_json = old_desc_by_real.get(rp)
-                if old_json:
-                    old_desc = json.loads(old_json)
-                    old_pos = parse_roaring_bitmap_array(
-                        read_dv_bytes(table_path, old_desc)
-                    )
-                    old_card = len(old_pos)
-                    positions |= set(old_pos)
-                dv_path = os.path.join(dv_dir, f"dv_{_uuid.uuid4().hex}.bin")
-                desc = write_dv_file(dv_path, sorted(positions))
-                return pd.DataFrame(
-                    {
-                        "fp": [fp],
-                        "desc": [json.dumps(desc)],
-                        "old_card": [old_card],
-                        "new_card": [len(positions)],
-                    }
-                )
-
-            rows = (
-                matched.groupBy("__fp__")
-                .applyInPandas(
-                    _make_dv, "fp string, desc string, old_card long, new_card long"
-                )
-                .collect()  # one row per TOUCHED FILE — bounded by #files
-            )
-
-        actions: list[dict[str, Any]] = []
-        proto = dict(snap.protocol or {})
-        features = set(proto.get("writerFeatures") or [])
-        needs_upgrade = rows and (
-            int(proto.get("minReaderVersion") or 1) < 3
-            or "deletionVectors" not in features
-        )
-        if needs_upgrade:
-            # minimal honest upgrade: list the features this engine
-            # maintains for this table (the delta-spark upgrade also
-            # carries legacy implied features; we list the supported set)
-            old_writer = int(proto.get("minWriterVersion") or 2)
-            reader_features = set(proto.get("readerFeatures") or [])
-            reader_features.add("deletionVectors")
-            features.add("deletionVectors")
-            if old_writer >= 2:
-                features.add("appendOnly")
-            if old_writer >= 3 or check_constraints(snap.configuration):
-                features.add("checkConstraints")
-            if old_writer >= 4:
-                features.update({"generatedColumns", "changeDataFeed"})
-            actions.append(
+                old_card = len(old_pos)
+                positions |= set(old_pos)
+            dv_path = os.path.join(dv_dir, f"dv_{_uuid.uuid4().hex}.bin")
+            desc = write_dv_file(dv_path, sorted(positions))
+            return pd.DataFrame(
                 {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(reader_features),
-                        "writerFeatures": sorted(features),
-                    }
+                    "fp": [fp],
+                    "desc": [json.dumps(desc)],
+                    "old_card": [old_card],
+                    "new_card": [len(positions)],
                 }
             )
 
-        deleted_rows = 0
-        now_ms = int(time.time() * 1000)
+        return (
+            matched.select("__fp__", "__ri__")
+            .groupBy("__fp__")
+            .applyInPandas(
+                _make_dv, "fp string, desc string, old_card long, new_card long"
+            )
+            .collect()  # one row per TOUCHED FILE — bounded by #files
+        )
+
+    def _dv_protocol_upgrade_actions(self, snap: Snapshot) -> list[dict[str, Any]]:
+        """Protocol action raising the table to reader 3 / writer 7 with
+        the deletionVectors feature, when not already there. The upgrade
+        lists the features this engine maintains for the table (the
+        delta-spark upgrade also carries legacy implied features)."""
+        proto = dict(snap.protocol or {})
+        features = set(proto.get("writerFeatures") or [])
+        if int(proto.get("minReaderVersion") or 1) >= 3 and "deletionVectors" in features:
+            return []
+        old_writer = int(proto.get("minWriterVersion") or 2)
+        reader_features = set(proto.get("readerFeatures") or [])
+        reader_features.add("deletionVectors")
+        features.add("deletionVectors")
+        if old_writer >= 2:
+            features.add("appendOnly")
+        if old_writer >= 3 or check_constraints(snap.configuration):
+            features.add("checkConstraints")
+        if old_writer >= 4:
+            features.update({"generatedColumns", "changeDataFeed"})
+        return [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(reader_features),
+                    "writerFeatures": sorted(features),
+                }
+            }
+        ]
+
+    def _dv_action_pairs(
+        self, candidates: list[dict[str, Any]], rows: list[Any], now_ms: int
+    ) -> tuple[list[dict[str, Any]], int, int]:
+        """remove(old)+add(same path, new DV) pairs for each touched file.
+        Returns (actions, changed_row_count, dv_bytes). Adds are emitted
+        AFTER removes: snapshot replay applies in order, so the re-added
+        path ends live and un-tombstoned (vacuum safe)."""
+        by_real = {
+            os.path.realpath(
+                os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            ): a
+            for a in candidates
+        }
+        changed = 0
         dv_bytes = 0
-        touched_adds: list[dict[str, Any]] = []
+        removes: list[dict[str, Any]] = []
+        adds: list[dict[str, Any]] = []
         for r in rows:
             local = urllib.parse.unquote(urllib.parse.urlparse(r["fp"]).path)
-            add = (
-                {os.path.realpath(os.path.join(table_path, urllib.parse.unquote(a["path"]))): a
-                 for a in candidates}
-            ).get(os.path.realpath(local))
+            add = by_real.get(os.path.realpath(local))
             if add is None:
                 raise DeltaProtocolError(
                     f"cannot map {r['fp']!r} back to a candidate add entry"
                 )
             desc = json.loads(r["desc"])
-            deleted_rows += int(r["new_card"]) - int(r["old_card"])
+            changed += int(r["new_card"]) - int(r["old_card"])
             dv_bytes += int(desc.get("sizeInBytes") or 0)
             new_add = dict(add)
             new_add["deletionVector"] = desc
             new_add["dataChange"] = True
-            touched_adds.append(new_add)
-            actions.append(
+            adds.append(new_add)
+            removes.append(
                 {
                     "remove": {
                         "path": add["path"],
@@ -904,14 +953,32 @@ class DeltaTable:
                     }
                 }
             )
-        # adds AFTER removes: snapshot replay applies in order, so the
-        # re-added path ends live (and un-tombstoned — vacuum safe)
-        actions += [{"add": a} for a in touched_adds]
+        return removes + [{"add": a} for a in adds], changed, dv_bytes
 
+    def _delete_with_dvs(
+        self, snap: Snapshot, schema: T.StructType, condition: str, t0: float
+    ) -> None:
+        """Merge-on-read DELETE: per touched file, write a roaring-bitmap
+        DV of the matched row indexes (merged with any existing DV) and
+        re-add the file with the descriptor — no data rewrite. Existing
+        DVs are unioned in, so repeated DV deletes stay idempotent."""
+        candidates = plan_candidate_files(
+            self.spark, self.path, condition, schema, snap.partition_columns
+        )
+        rows: list[Any] = []
+        if candidates:
+            scan = self._dv_scan(candidates, schema)
+            rows = self._write_dvs_for(scan.filter(F.expr(condition)), candidates)
+
+        actions = self._dv_protocol_upgrade_actions(snap) if rows else []
+        pair_actions, deleted_rows, dv_bytes = self._dv_action_pairs(
+            candidates, rows, int(time.time() * 1000)
+        )
+        actions += pair_actions
         metrics = {
             "numRemovedFiles": "0",
             "numAddedFiles": "0",
-            "numDeletionVectorsAdded": str(len(touched_adds)),
+            "numDeletionVectorsAdded": str(len(rows)),
             "numDeletionVectorsUpdated": str(
                 sum(1 for r in rows if int(r["old_card"]) > 0)
             ),
@@ -924,12 +991,107 @@ class DeltaTable:
         params = {"predicate": json.dumps([condition])}
         self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
 
-    def update(self, condition: str | None, set: dict[str, Any]) -> None:  # noqa: A002
-        """Copy-on-write UPDATE with the same file-skipping as delete."""
+    def _update_with_dvs(
+        self,
+        snap: Snapshot,
+        schema: T.StructType,
+        condition: str,
+        set_exprs: dict[str, Column],
+        t0: float,
+    ) -> None:
+        """Merge-on-read UPDATE: DV the matched rows in their files and
+        write ONLY the updated copies as new files — untouched rows are
+        never rewritten. A 1%-of-rows update writes 1% of the data plus
+        tiny bitmaps, instead of rewriting every touched file."""
+        candidates = plan_candidate_files(
+            self.spark, self.path, condition, schema, snap.partition_columns
+        )
+        rows: list[Any] = []
+        new_adds: list[dict[str, Any]] = []
+        if candidates:
+            scan = self._dv_scan(candidates, schema).persist()
+            try:
+                matched = scan.filter(F.expr(condition))
+                # rows an existing DV already deleted must neither be
+                # re-counted nor RESURRECTED as updated copies
+                existing = self._existing_dv_positions(scan, candidates)
+                if existing is not None:
+                    matched = matched.join(
+                        F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
+                    )
+                rows = self._write_dvs_for(matched, candidates)
+                if rows:
+                    updated_df = matched.select(
+                        *[
+                            set_exprs[f.name].cast(f.dataType).alias(f.name)
+                            if f.name in set_exprs
+                            else F.col(f.name)
+                            for f in schema.fields
+                        ]
+                    )
+                    new_adds = write_data_files(
+                        enforce_check_constraints(
+                            apply_generated_columns(updated_df, schema),
+                            snap.configuration,
+                        ),
+                        self.path,
+                        snap.partition_columns,
+                    )
+            finally:
+                scan.unpersist()
+
+        actions = self._dv_protocol_upgrade_actions(snap) if rows else []
+        pair_actions, updated_rows, dv_bytes = self._dv_action_pairs(
+            candidates, rows, int(time.time() * 1000)
+        )
+        actions += pair_actions
+        actions += [{"add": a} for a in new_adds]
+        metrics = {
+            "numRemovedFiles": "0",
+            "numAddedFiles": str(len(new_adds)),
+            "numDeletionVectorsAdded": str(len(rows)),
+            "numDeletionVectorsUpdated": str(
+                sum(1 for r in rows if int(r["old_card"]) > 0)
+            ),
+            "numUpdatedRows": str(updated_rows),
+            "numCopiedRows": "0",
+            "numAddedChangeFiles": "0",
+            "numAddedBytes": str(
+                dv_bytes + sum(int(a.get("size") or 0) for a in new_adds)
+            ),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+        }
+        params = {"predicate": condition}
+        self.deltaLog.commit(snap.version, actions, "UPDATE", params, metrics)
+
+    def update(
+        self,
+        condition: str | None,
+        set: dict[str, Any],  # noqa: A002
+        deletion_vectors: bool = False,
+    ) -> None:
+        """Copy-on-write UPDATE with the same file-skipping as delete.
+
+        ``deletion_vectors=True`` switches to merge-on-read: matched rows
+        are DV'd in their files and ONLY their updated copies are written
+        as new files — untouched rows are never rewritten. Falls back to
+        copy-on-write when CDF is enabled (pre/post images need the
+        rewrite scan)."""
         t0 = time.time()
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
+        if (
+            deletion_vectors
+            and condition is not None
+            and not self.is_cdf_enabled(snap)
+        ):
+            set_exprs = {
+                k: (v if isinstance(v, Column) else F.expr(str(v)))
+                for k, v in set.items()
+            }
+            self._update_with_dvs(snap, schema, condition, set_exprs, t0)
+            return
         candidates = plan_candidate_files(
             self.spark, self.path, condition, schema, snap.partition_columns
         )

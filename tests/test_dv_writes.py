@@ -94,3 +94,35 @@ def test_dv_delete_readable_through_datasource(spark, table):
     df = spark.read.format("jodie_delta").load(table.path)
     assert df.count() == 900
     assert df.filter("m = 7").count() == 0
+
+
+def test_dv_update_writes_only_matched_rows(spark, table):
+    n_files = len(glob.glob(table.path + "/*.parquet"))
+    table.update("m = 3", {"m": "33"}, deletion_vectors=True)
+    df = table.toDF()
+    assert df.count() == 1000
+    assert df.filter("m = 33").count() == 100
+    assert df.filter("m = 3").count() == 0
+    m = table.history().collect()[0]["operationMetrics"]
+    assert m["numUpdatedRows"] == "100"
+    assert m["numRemovedFiles"] == "0"  # no rewrite of untouched rows
+    assert int(m["numDeletionVectorsAdded"]) > 0
+
+
+def test_dv_update_does_not_resurrect_deleted_rows(spark, table):
+    table.delete("m = 5", deletion_vectors=True)
+    table.update("id < 100", {"m": "77"}, deletion_vectors=True)
+    assert table.toDF().count() == 900
+    # ids 0..99 minus the 10 already-deleted (m=5) rows
+    assert table.toDF().filter("m = 77").count() == 90
+    m = table.history().collect()[0]["operationMetrics"]
+    assert m["numUpdatedRows"] == "90"
+
+
+def test_dv_update_enforces_constraints(spark, table):
+    t = DeltaTable.forPath(spark, table.path)
+    t.add_check_constraint("m_small", "m < 100")
+    with pytest.raises(Exception, match="m_small"):
+        t.update("m = 3", {"m": "200"}, deletion_vectors=True)
+    assert t.toDF().filter("m = 200").count() == 0
+    assert t.toDF().count() == 1000  # nothing committed
