@@ -96,6 +96,9 @@ def main() -> None:
         "profile_table",
         "shallow_clone",
         "check_constraints",
+        "dv_delete",
+        "dv_update",
+        "generated_columns",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
