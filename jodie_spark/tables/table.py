@@ -1254,6 +1254,56 @@ class DeltaTable:
             current.version, actions, "RESTORE", {"version": str(version)}, metrics
         )
 
+    def fsck(self, dry_run: bool = True) -> list[str]:
+        """FSCK REPAIR TABLE (delta-spark parity): find add entries whose
+        data files are physically missing (deleted out-of-band, lost on a
+        source table a shallow clone references, …) and — with
+        ``dry_run=False`` — commit removes for them so the table reads
+        cleanly again instead of failing mid-scan.
+
+        Returns the relative/absolute paths of the missing files. A DV
+        descriptor whose bitmap file is missing also marks its data file
+        (reading it would silently resurrect deleted rows).
+
+        Driver-side O(#files) existence checks — the same cost class as
+        the log replay itself; at object-store scale run it rarely and
+        against a listing cache.
+        """
+        from jodie_spark.tables.deletion_vectors import dv_absolute_path
+
+        snap = self.snapshot()
+        missing: list[dict[str, Any]] = []
+        for add in snap.add_files():
+            p = os.path.join(self.path, urllib.parse.unquote(add["path"]))
+            broken = not os.path.isfile(p)
+            if not broken and add.get("deletionVector"):
+                dvp = dv_absolute_path(self.path, add["deletionVector"])
+                broken = dvp is not None and not os.path.isfile(dvp)
+            if broken:
+                missing.append(add)
+        if not dry_run and missing:
+            now_ms = int(time.time() * 1000)
+            actions = [
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": a.get("partitionValues") or {},
+                        "size": a.get("size"),
+                    }
+                }
+                for a in missing
+            ]
+            self.deltaLog.commit(
+                snap.version,
+                actions,
+                "FSCK",
+                {"dryRun": "false"},
+                {"numRemovedFiles": str(len(missing))},
+            )
+        return [a["path"] for a in missing]
+
     def vacuum(
         self, retention_hours: float = 168.0, dry_run: bool = False
     ) -> list[str] | None:

@@ -741,3 +741,38 @@ def test_idempotent_txn_writes(spark, tmpdir_path):
         write_delta(df1, p, mode="append", options={"txnAppId": "job"})
     # txn options are not persisted as table properties
     assert "txnAppId" not in t.snapshot().configuration
+
+
+def test_fsck_detects_and_repairs_missing_files(spark, tmpdir_path):
+    import glob as _glob
+
+    p = os.path.join(tmpdir_path, "fsck")
+    write_delta(spark.range(100).repartition(4), p)
+    t = DeltaTable.forPath(spark, p)
+    assert t.fsck() == []  # healthy table
+    victim = sorted(_glob.glob(p + "/*.parquet"))[0]
+    os.remove(victim)
+    missing = t.fsck()  # dry run: reports, commits nothing
+    assert len(missing) == 1
+    v = t.deltaLog.latest_version()
+    repaired = t.fsck(dry_run=False)
+    assert repaired == missing
+    assert t.deltaLog.latest_version() == v + 1
+    t2 = DeltaTable.forPath(spark, p)
+    assert t2.fsck() == []
+    n = t2.toDF().count()
+    assert 0 < n < 100  # survivors readable, victim's rows gone
+    assert t2.history().collect()[0]["operation"] == "FSCK"
+
+
+def test_fsck_flags_missing_dv_file(spark, tmpdir_path):
+    import glob as _glob
+
+    p = os.path.join(tmpdir_path, "fsckdv")
+    write_delta(spark.range(100).selectExpr("id", "id % 5 as m"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("m = 2", deletion_vectors=True)
+    for dv in _glob.glob(p + "/deletion_vectors/*.bin"):
+        os.remove(dv)
+    missing = t.fsck()
+    assert missing  # data files whose DVs are gone are unreadable-safe
