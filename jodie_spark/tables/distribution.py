@@ -91,16 +91,35 @@ def _latest_actions_df(
 
     sources: list[DataFrame] = []
     if base is not None:
-        cp = spark.read.parquet(*log.checkpoint_part_files(base))
+        cp_files = log.checkpoint_part_files(base)
+        # a V2 checkpoint's JSON manifest can't ride the parquet scan;
+        # its (rare) add/remove actions are unioned driver-side below —
+        # sidecars and parquet manifests all go through one merged scan
+        pq_files = [p for p in cp_files if p.endswith(".parquet")]
+        json_manifest_actions = [
+            a
+            for p in cp_files
+            if p.endswith(".json")
+            for a in log._read_manifest_actions(p)
+            if a.get("add") or a.get("remove")
+        ]
+        cp = (
+            spark.read.option("mergeSchema", "true").parquet(*pq_files)
+            if pq_files
+            else None
+        )
 
         # project subfields explicitly — checkpoint structs carry extra
         # fields and struct casts require matching arity. Externally
         # written checkpoints may omit optional subfields (remove.size,
-        # remove.partitionValues are optional in the protocol), so
+        # remove.partitionValues are optional in the protocol) or whole
+        # top-level columns (V2 sidecars carry only add/remove), so
         # missing ones become typed nulls instead of AnalysisExceptions.
         def sub(parent: str, name: str, dtype: T.DataType) -> Column:
-            parent_type = cp.schema[parent].dataType
-            present = isinstance(parent_type, T.StructType) and name in parent_type.names
+            present = False
+            if parent in cp.columns:
+                parent_type = cp.schema[parent].dataType
+                present = isinstance(parent_type, T.StructType) and name in parent_type.names
             col = F.col(f"{parent}.{name}") if present else F.lit(None)
             return col.cast(dtype).alias(name)
 
@@ -120,13 +139,37 @@ def _latest_actions_df(
             sub("remove", "partitionValues", str_map),
             sub("remove", "size", T.LongType()),
         )
-        sources.append(
-            cp.select(
-                F.lit(base).alias("version"),
-                F.when(F.col("add").isNotNull(), add_struct).alias("add"),
-                F.when(F.col("remove").isNotNull(), remove_struct).alias("remove"),
+        if cp is not None:
+            has_add = "add" in cp.columns
+            has_remove = "remove" in cp.columns
+            sources.append(
+                cp.select(
+                    F.lit(base).alias("version"),
+                    (
+                        F.when(F.col("add").isNotNull(), add_struct)
+                        if has_add
+                        else F.lit(None).cast(_ACTION_SCHEMA["add"].dataType)
+                    ).alias("add"),
+                    (
+                        F.when(F.col("remove").isNotNull(), remove_struct)
+                        if has_remove
+                        else F.lit(None).cast(_ACTION_SCHEMA["remove"].dataType)
+                    ).alias("remove"),
+                )
             )
-        )
+        if json_manifest_actions:
+            rows = [
+                (base, a.get("add"), a.get("remove")) for a in json_manifest_actions
+            ]
+            sources.append(
+                spark.createDataFrame(
+                    rows,
+                    T.StructType(
+                        [T.StructField("version", T.LongType())]
+                        + list(_ACTION_SCHEMA.fields)
+                    ),
+                ).select("version", "add", "remove")
+            )
     tail = [
         v for v in log.list_commit_versions()
         if (base is None or v > base) and v <= latest

@@ -49,7 +49,9 @@ from jodie_spark.errors import (
 # anti-filter); DML on such tables still refuses at the WRITER gate.
 # Reader version 2 == legacy columnMapping protocol (PROTOCOL.md).
 SUPPORTED_READER_VERSIONS = {1, 2, 3}
-SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
+SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+}
 _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 
 # Writer features this engine honors when COMMITTING. Writing to a
@@ -238,7 +240,11 @@ class DeltaLog:
     # -- listing ------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_path) and bool(self.list_commit_versions())
+        # a log whose JSON tail was fully cleaned (metadata retention)
+        # but still has a checkpoint IS a valid table
+        return os.path.isdir(self.log_path) and bool(
+            self.list_commit_versions() or self.list_checkpoint_versions()
+        )
 
     def list_commit_versions(self) -> list[int]:
         if not os.path.isdir(self.log_path):
@@ -256,37 +262,86 @@ class DeltaLog:
         if not os.path.isdir(self.log_path):
             return []
         single: set[int] = set()
+        v2: set[int] = set()
         parts: dict[tuple[int, int], set[int]] = {}
         for name in os.listdir(self.log_path):
-            if not name.endswith(".parquet"):
+            if not (name.endswith(".parquet") or name.endswith(".json")):
                 continue
-            pieces = name[: -len(".parquet")].split(".")
-            if len(pieces) == 2 and pieces[1] == "checkpoint" and pieces[0].isdigit():
+            stem = name.rsplit(".", 1)[0]
+            pieces = stem.split(".")
+            if not (len(pieces) >= 2 and pieces[1] == "checkpoint" and pieces[0].isdigit()):
+                continue
+            if len(pieces) == 2 and name.endswith(".parquet"):
                 single.add(int(pieces[0]))
             elif (
                 len(pieces) == 4
-                and pieces[1] == "checkpoint"
-                and all(x.isdigit() for x in (pieces[0], pieces[2], pieces[3]))
+                and name.endswith(".parquet")
+                and all(x.isdigit() for x in (pieces[2], pieces[3]))
             ):
                 key = (int(pieces[0]), int(pieces[3]))
                 parts.setdefault(key, set()).add(int(pieces[2]))
-        complete = single | {
+            elif len(pieces) == 3 and not pieces[2].isdigit():
+                # V2 checkpoint manifest: <v>.checkpoint.<uuid>.{parquet,json}
+                v2.add(int(pieces[0]))
+        complete = single | v2 | {
             v for (v, n), got in parts.items() if got == set(range(1, n + 1))
         }
         return sorted(complete)
 
     def checkpoint_part_files(self, version: int) -> list[str]:
-        """Absolute paths of the checkpoint file(s) for ``version``."""
+        """Absolute paths of the file(s) that together hold every action
+        of the checkpoint at ``version``: the classic single/multi-part
+        parquet files, or — for a V2 checkpoint — the uuid-named
+        manifest plus every sidecar parquet it references (sidecars live
+        under ``_delta_log/_sidecars/``)."""
         single = os.path.join(self.log_path, checkpoint_file_name(version))
         if os.path.isfile(single):
             return [single]
         prefix = f"{version:020d}.checkpoint."
-        out = [
+        classic = [
             os.path.join(self.log_path, n)
             for n in os.listdir(self.log_path)
-            if n.startswith(prefix) and n.endswith(".parquet")
+            if n.startswith(prefix)
+            and n.endswith(".parquet")
+            and n[len(prefix):-len(".parquet")].replace(".", "").isdigit()
         ]
-        return sorted(out)
+        if classic:
+            return sorted(classic)
+        manifests = sorted(
+            os.path.join(self.log_path, n)
+            for n in os.listdir(self.log_path)
+            if n.startswith(prefix) and (n.endswith(".parquet") or n.endswith(".json"))
+        )
+        if not manifests:
+            return []
+        manifest = manifests[0]
+        out = [manifest]
+        for action in self._read_manifest_actions(manifest):
+            sc = action.get("sidecar")
+            if sc and sc.get("path"):
+                out.append(os.path.join(self.log_path, "_sidecars", sc["path"]))
+        return out
+
+    def _read_manifest_actions(self, path: str) -> list[dict[str, Any]]:
+        """All actions of one checkpoint file (parquet rows or JSON
+        lines) as dicts — including V2-only ``checkpointMetadata`` /
+        ``sidecar`` actions."""
+        actions: list[dict[str, Any]] = []
+        if path.endswith(".json"):
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        actions.append(json.loads(line))
+            return actions
+        table = pq.read_table(path)
+        for row in table.to_pylist():
+            for key, payload in row.items():
+                if payload is not None and isinstance(payload, dict) and any(
+                    v is not None for v in payload.values()
+                ):
+                    actions.append({key: _maps_to_dicts(payload)})
+        return actions
 
     def latest_version(self) -> int:
         versions = self.list_commit_versions()
@@ -355,12 +410,10 @@ class DeltaLog:
     def _read_checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
         actions: list[dict[str, Any]] = []
         for path in self.checkpoint_part_files(version):
-            table = pq.read_table(path)
-            for row in table.to_pylist():
+            for a in self._read_manifest_actions(path):
                 for key in ("metaData", "protocol", "add", "remove"):
-                    payload = row.get(key)
-                    if payload is not None and any(v is not None for v in payload.values()):
-                        actions.append({key: _maps_to_dicts(payload)})
+                    if a.get(key):
+                        actions.append({key: a[key]})
         return actions
 
     def _replay_plan(self, version: int | None) -> tuple[int, int, list[int]]:
@@ -420,8 +473,17 @@ class DeltaLog:
                 break
         if (metadata is None or protocol is None) and base_version >= 0:
             for part in self.checkpoint_part_files(base_version):
-                cp = pq.read_table(part, columns=["metaData", "protocol"])
-                for row in cp.to_pylist():
+                if part.endswith(".json"):
+                    rows = self._read_manifest_actions(part)
+                elif {"metaData", "protocol"} & set(pq.read_schema(part).names):
+                    cols = [
+                        c for c in ("metaData", "protocol")
+                        if c in pq.read_schema(part).names
+                    ]
+                    rows = pq.read_table(part, columns=cols).to_pylist()
+                else:
+                    continue  # sidecar: add/remove only
+                for row in rows:
                     md, pr = row.get("metaData"), row.get("protocol")
                     if metadata is None and md and any(x is not None for x in md.values()):
                         metadata = _maps_to_dicts(md)

@@ -61,14 +61,25 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
             fh.write(json.dumps({"metaData": meta}) + "\n")
         return path
 
-    # v2 checkpoints demand reader capabilities this engine lacks
+    # v2 checkpoints are READABLE (manifest+sidecar parsing — see
+    # test_v2_checkpoint); writes still refuse at the writer gate
     v2cp = mk_log("v2cp_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["v2Checkpoint"],
         "writerFeatures": ["v2Checkpoint"],
     })
+    assert DeltaTable.forPath(spark, v2cp).snapshot().version == 0
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        DeltaTable.forPath(spark, v2cp).snapshot()
+        DeltaTable.forPath(spark, v2cp).delete("k = 1")
+
+    # a reader feature this engine genuinely lacks still refuses
+    tw = mk_log("typewidening_table", {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["typeWidening"],
+        "writerFeatures": ["typeWidening"],
+    })
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+        DeltaTable.forPath(spark, tw).snapshot()
 
     # deletionVectors are readable AND writable (read: row-index
     # anti-filter; write: delete(deletion_vectors=True) + rewrite-DML
