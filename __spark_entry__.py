@@ -644,6 +644,36 @@ def _q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE composition —
+    boilerplate line dedup → exact content dedup → length filter →
+    perplexity filter (model trained on the surviving corpus) →
+    deterministic sample → sequence packing — value-checked end-to-end
+    against a single DuckDB CTE chain. Every stage is an operator this
+    repo ships; the oracle proves the COMPOSITION, not just the parts."""
+    from jodie_spark.functions.text import token_count
+    from jodie_spark.operators.line_dedup import dedup_lines
+    from jodie_spark.operators.packing import sequence_stats
+    from jodie_spark.operators.perplexity import perplexity_score
+    from jodie_spark.operators.sampling import deterministic_sample
+    from jodie_spark.operators.text_dedup import exact_dedup
+
+    aug = _boilerplate_docs(spark, sf_dir)
+    cleaned = dedup_lines(aug, "text", "doc_id", min_chars=10).select("doc_id", "text")
+    deduped = exact_dedup(cleaned, "text", "doc_id")
+    long_enough = deduped.filter(token_count(F.col("text")) >= 40)
+    scores = perplexity_score(long_enough, "text", "doc_id")
+    keep_ids = scores.filter(
+        F.col("perplexity").isNotNull() & (F.col("perplexity") <= 1500.0)
+    ).select("doc_id")
+    kept = long_enough.join(keep_ids, "doc_id", "left_semi")
+    sampled = deterministic_sample(kept, 0.6, id_col="doc_id")
+    with_counts = sampled.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sequence_stats(with_counts, "n_tokens", "doc_id", seq_len=256)
+
+
 def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.perplexity import perplexity_score
     from jodie_spark.sources import load_table
@@ -1180,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shallow_clone": _q_shallow_clone,
         "restore_roundtrip": _q_restore_roundtrip,
         "perplexity": _q_perplexity,
+        "pipeline_e2e": _q_pipeline_e2e,
         "generated_columns": _q_generated_columns,
         "dv_delete": _q_dv_delete,
         "dv_update": _q_dv_update,
@@ -1412,6 +1443,91 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_nationkey < 5 THEN c_name || '-U' ELSE c_name END AS c_name,
                    c_nationkey
             FROM customer WHERE c_acctbal >= 0
+        """,
+        "pipeline_e2e": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     '{_BOILER_HEADER}' || chr(10) || text || chr(10) || '{_BOILER_FOOTER}' AS text
+              FROM documents
+            ),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM aug),
+            lines AS (
+              SELECT doc_id, unnest(generate_series(1, len(a))) AS pos, unnest(a) AS line
+              FROM ls
+            ),
+            marked AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN length(trim(line)) >= 10
+                          THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                          ELSE 1 END AS rn
+              FROM lines
+            ),
+            kept_lines AS (SELECT * FROM marked WHERE rn = 1),
+            cleaned AS (
+              SELECT t.doc_id, COALESCE(a.text, '') AS text
+              FROM (SELECT DISTINCT doc_id FROM lines) t
+              LEFT JOIN (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM kept_lines GROUP BY doc_id
+              ) a USING (doc_id)
+            ),
+            norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+              FROM cleaned
+            ),
+            dd AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+                FROM norm
+              ) WHERE rn = 1
+            ),
+            tc AS (
+              SELECT doc_id, text,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n
+              FROM dd
+            ),
+            longe AS (SELECT doc_id, text, n FROM tc WHERE n >= 40),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM longe WHERE length(trim(text)) > 0
+            ),
+            counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total,
+                           CAST(COUNT(*) AS DOUBLE) AS vocab FROM counts),
+            model AS (
+              SELECT token, ln((c + 1.0) / (total + 1.0 * (vocab + 1))) AS logp
+              FROM counts, tot
+            ),
+            per AS (
+              SELECT doc_id, AVG(logp) AS avg_logprob
+              FROM toks JOIN model USING (token) GROUP BY doc_id
+            ),
+            keepppl AS (SELECT doc_id FROM per WHERE exp(-avg_logprob) <= 1500.0),
+            kept AS (SELECT l.doc_id, l.n FROM longe l JOIN keepppl USING (doc_id)),
+            samp AS (
+              SELECT doc_id, n FROM kept
+              WHERE (doc_id % 1000003) * 2654435761 % 1048576 < 629146
+            ),
+            off AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+              FROM samp
+            ),
+            spans AS (
+              SELECT doc_id, n, o,
+                     unnest(generate_series(o // 256, (o + n - 1) // 256)) AS seq_id
+              FROM off WHERE n > 0
+            )
+            SELECT seq_id, COUNT(*) AS n_docs,
+                   CAST(SUM(LEAST(o + n - seq_id * 256, 256)
+                          - GREATEST(o - seq_id * 256, 0)) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM spans GROUP BY seq_id
         """,
         "perplexity": r"""
             WITH toks AS (

@@ -99,6 +99,7 @@ def main() -> None:
         "dv_delete",
         "dv_update",
         "generated_columns",
+        "pipeline_e2e",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
