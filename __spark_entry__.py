@@ -620,6 +620,34 @@ def _q_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE (update+delete+insert clauses via deletion
+    vectors): result must equal the SQL CASE over customer."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    t = _delta_from(cust, "dvmrg")
+    table = DeltaTable.forPath(spark, t.path)
+    src = cust.filter("c_custkey % 3 = 0").select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("-M")).alias("new_name"),
+        "c_acctbal",
+    )
+    (
+        table.alias("tg")
+        .merge(src.alias("s"), "tg.c_custkey = s.c_custkey")
+        .whenMatchedDelete("s.c_acctbal < 0")
+        .whenMatchedUpdate(set={"c_name": "s.new_name"})
+        .execute(deletion_vectors=True)
+    )
+    return DeltaTable.forPath(spark, t.path).toDF().select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
 def _q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Create a day-partitioned table whose partition column is GENERATED
     from the event timestamp, append a batch that does NOT carry the
@@ -1214,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generated_columns": _q_generated_columns,
         "dv_delete": _q_dv_delete,
         "dv_update": _q_dv_update,
+        "dv_merge": _q_dv_merge,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
         "minhash_dedup": _q_minhash_dedup,
@@ -1443,6 +1472,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_nationkey < 5 THEN c_name || '-U' ELSE c_name END AS c_name,
                    c_nationkey
             FROM customer WHERE c_acctbal >= 0
+        """,
+        "dv_merge": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_name || '-M' ELSE c_name END AS c_name,
+                   c_nationkey
+            FROM customer
+            WHERE NOT (c_custkey % 3 = 0 AND c_acctbal < 0)
         """,
         "pipeline_e2e": f"""
             WITH aug AS (

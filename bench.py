@@ -100,6 +100,7 @@ def main() -> None:
         "dv_update",
         "generated_columns",
         "pipeline_e2e",
+        "dv_merge",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

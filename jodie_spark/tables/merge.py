@@ -157,7 +157,214 @@ class DeltaMergeBuilder:
                 kept.append(_strip_alias_prefix(conj, talias))
         return " and ".join(kept) if kept else None
 
-    def execute(self, allow_multiple_matches: bool = False) -> None:
+    def _stage_actions(self, joined: DataFrame) -> DataFrame:
+        """Attach first-matching-clause indexes and the per-row action
+        ('update'/'delete'/'copy'/'insert'/'drop') — the clause-order
+        resolution both the copy-on-write and merge-on-read paths share."""
+        is_t = F.col("__t_exists__").isNotNull()
+        is_s = F.col("__s_exists__").isNotNull()
+
+        def _clause_cond(cl: _Clause) -> Column:
+            return F.expr(cl.condition) if cl.condition else F.lit(True)
+
+        def _idx_col(clauses: list[_Clause], base: Column) -> Column:
+            expr: Column = F.lit(-1)
+            for k in range(len(clauses) - 1, -1, -1):
+                expr = F.when(base & _clause_cond(clauses[k]), F.lit(k)).otherwise(expr)
+            return expr
+
+        m_idx = _idx_col(self._matched, is_t & is_s)
+        i_idx = _idx_col(self._not_matched, is_s & ~is_t)
+        delete_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "delete"}
+        update_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "update"}
+        action = (
+            F.when(is_t & is_s & m_idx.isin(list(delete_idx) or [-2]), F.lit("delete"))
+            .when(is_t & is_s & m_idx.isin(list(update_idx) or [-2]), F.lit("update"))
+            .when(is_t, F.lit("copy"))
+            .when(is_s & (i_idx >= 0), F.lit("insert"))
+            .otherwise(F.lit("drop"))
+        )
+        return (
+            joined.withColumn("__m_idx__", m_idx)
+            .withColumn("__i_idx__", i_idx)
+            .withColumn("__action__", action)
+        )
+
+    def _out_col_factory(self, talias: str):
+        """Column builder applying the first matching clause's
+        assignments (clause-order semantics) to one output field."""
+
+        def _assignment(cl: _Clause, name: str, dtype) -> Column:
+            if cl.star:
+                # updateAll/insertAll: take the same-named source column.
+                return self.source[name].cast(dtype)
+            if name in cl.assignments:
+                v = cl.assignments[name]
+                col = v if isinstance(v, Column) else F.expr(str(v))
+                return col.cast(dtype)
+            if cl.kind == "update":
+                return F.col(f"{talias}.{name}")
+            return F.lit(None).cast(dtype)  # insert: unassigned columns → NULL
+
+        def _out_col(fld) -> Column:
+            expr: Column = F.col(f"{talias}.{fld.name}")
+            for k, cl in enumerate(self._matched):
+                if cl.kind == "update":
+                    expr = F.when(
+                        (F.col("__action__") == "update") & (F.col("__m_idx__") == k),
+                        _assignment(cl, fld.name, fld.dataType),
+                    ).otherwise(expr)
+            for k, cl in enumerate(self._not_matched):
+                expr = F.when(
+                    (F.col("__action__") == "insert") & (F.col("__i_idx__") == k),
+                    _assignment(cl, fld.name, fld.dataType),
+                ).otherwise(expr)
+            return expr.cast(fld.dataType).alias(fld.name)
+
+        return _out_col
+
+    def _execute_mor(self, allow_multiple_matches: bool, t0: float) -> None:
+        """Merge-on-read MERGE: matched update/delete rows are marked in
+        roaring-bitmap deletion vectors on their files; only the updated
+        outputs and the not-matched inserts are written as new files.
+        Untouched rows — even inside touched files — are never rewritten.
+
+        Same clause-order semantics and multiple-match guard as the
+        copy-on-write path (shared ``_stage_actions`` resolution); the
+        target side is the raw candidate scan with ``row_index``
+        coordinates, anti-filtered by existing DVs so already-deleted
+        rows neither match nor resurrect.
+        """
+        from jodie_spark.tables.table import (
+            apply_generated_columns,
+            enforce_check_constraints,
+            plan_candidate_files,
+        )
+        from jodie_spark.tables.writer import write_metrics
+
+        t = self.table
+        spark = t.spark
+        snap = t.deltaLog.table_info()
+        schema = t.schema(snap)
+        talias = t._alias or "target"
+        out_cols = [f.name for f in schema.fields]
+
+        prune_cond = self._target_only_condition(talias, out_cols)
+        candidates = plan_candidate_files(
+            spark, t.path, prune_cond, schema, snap.partition_columns
+        )
+
+        src = self.source.withColumn("__s_exists__", F.lit(True))
+        src = src.persist()
+        staged = None
+        try:
+            if candidates:
+                raw = t._dv_scan(candidates, schema)
+                existing = t._existing_dv_positions(raw, candidates)
+                if existing is not None:
+                    raw = raw.join(
+                        F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
+                    )
+                tgt = raw.withColumn("__t_exists__", F.lit(True)).alias(talias)
+            else:
+                tgt = (
+                    spark.createDataFrame([], schema)
+                    .withColumn("__fp__", F.lit(None).cast("string"))
+                    .withColumn("__ri__", F.lit(None).cast("long"))
+                    .withColumn("__t_exists__", F.lit(True))
+                    .alias(talias)
+                )
+            joined = tgt.join(src, F.expr(self.condition), "full_outer")
+            staged = self._stage_actions(joined).persist()
+
+            # multiple-match guard on the (file, row_index) identity —
+            # same delete-only exemption as MergeIntoCommand
+            multi_ok = allow_multiple_matches or (
+                len(self._matched) == 1
+                and self._matched[0].kind == "delete"
+                and self._matched[0].condition is None
+            )
+            action_counts = {
+                r["__action__"]: r["n"]
+                for r in staged.groupBy("__action__")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if not multi_ok:
+                mx = (
+                    staged.filter(F.col("__action__").isin("update", "delete"))
+                    .groupBy("__fp__", "__ri__")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.max("n"))
+                    .collect()[0][0]
+                )
+                if mx is not None and int(mx) > 1:
+                    from jodie_spark.errors import MergeMultipleMatchesError
+
+                    raise MergeMultipleMatchesError(
+                        "MERGE: one target row matched multiple source rows "
+                        "under an update/delete clause; the result would be "
+                        "nondeterministic. Deduplicate the source on the "
+                        "merge key, or pass allow_multiple_matches=True."
+                    )
+
+            dv_marks = staged.filter(
+                F.col("__action__").isin("update", "delete") & F.col("__fp__").isNotNull()
+            ).select("__fp__", "__ri__").distinct()
+            rows = t._write_dvs_for(dv_marks, candidates) if candidates else []
+
+            _out_col = self._out_col_factory(talias)
+            emitted = staged.filter(
+                F.col("__action__").isin("update", "insert")
+            ).select(*[_out_col(f) for f in schema.fields])
+            adds = write_data_files(
+                enforce_check_constraints(
+                    apply_generated_columns(emitted, schema), snap.configuration
+                ),
+                t.path,
+                snap.partition_columns,
+            )
+
+            inserted = int(action_counts.get("insert", 0))
+            n_src = src.count()
+        finally:
+            src.unpersist()
+
+        actions = t._dv_protocol_upgrade_actions(snap) if rows else []
+        pair_actions, changed_rows, dv_bytes = t._dv_action_pairs(
+            candidates, rows, int(time.time() * 1000)
+        )
+        actions += pair_actions
+        actions += [{"add": a} for a in adds]
+        updated = int(action_counts.get("update", 0))
+        deleted = int(action_counts.get("delete", 0))
+        metrics = {
+            "numTargetRowsUpdated": str(updated),
+            "numTargetRowsDeleted": str(deleted),
+            "numTargetRowsInserted": str(inserted),
+            "numSourceRows": str(n_src),
+            "numTargetRowsCopied": "0",
+            "numTargetFilesRemoved": "0",
+            "numTargetFilesAdded": str(len(adds)),
+            "numDeletionVectorsAdded": str(len(rows)),
+            "numAddedBytes": str(
+                dv_bytes + sum(int(a.get("size") or 0) for a in adds)
+            ),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+        }
+        if staged is not None:
+            staged.unpersist()
+        t.deltaLog.commit(
+            snap.version,
+            actions,
+            "MERGE",
+            {"predicate": self.condition},
+            metrics,
+        )
+
+    def execute(
+        self, allow_multiple_matches: bool = False, deletion_vectors: bool = False
+    ) -> None:
         from jodie_spark.tables.table import (
             filter_by_paths,
             map_touched_paths,
@@ -173,6 +380,14 @@ class DeltaMergeBuilder:
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
         t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
         schema = t.schema(snap)
+        if (
+            deletion_vectors
+            and self._matched
+            and not self._schema_evolution
+            and not t.is_cdf_enabled(snap)
+        ):
+            self._execute_mor(allow_multiple_matches, t0)
+            return
         schema_evolved = False
         if self._schema_evolution and any(
             c.star for c in self._matched + self._not_matched
@@ -289,37 +504,8 @@ class DeltaMergeBuilder:
             )
         joined = tgt.join(src, F.expr(self.condition), "full_outer")
 
-        is_t = F.col("__t_exists__").isNotNull()
-        is_s = F.col("__s_exists__").isNotNull()
-
-        def _clause_cond(cl: _Clause) -> Column:
-            return F.expr(cl.condition) if cl.condition else F.lit(True)
-
-        # first-matching-clause index per row (-1 = no clause applies)
-        def _idx_col(clauses: list[_Clause], base: Column) -> Column:
-            expr: Column = F.lit(-1)
-            for k in range(len(clauses) - 1, -1, -1):
-                expr = F.when(base & _clause_cond(clauses[k]), F.lit(k)).otherwise(expr)
-            return expr
-
-        m_idx = _idx_col(self._matched, is_t & is_s)
-        i_idx = _idx_col(self._not_matched, is_s & ~is_t)
-
-        delete_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "delete"}
-        update_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "update"}
-
-        action = (
-            F.when(is_t & is_s & m_idx.isin(list(delete_idx) or [-2]), F.lit("delete"))
-            .when(is_t & is_s & m_idx.isin(list(update_idx) or [-2]), F.lit("update"))
-            .when(is_t, F.lit("copy"))
-            .when(is_s & (i_idx >= 0), F.lit("insert"))
-            .otherwise(F.lit("drop"))
-        )
-
         obs = Observation()
-        staged = joined.withColumn("__m_idx__", m_idx).withColumn(
-            "__i_idx__", i_idx
-        ).withColumn("__action__", action)
+        staged = self._stage_actions(joined)
         staged = staged.observe(
             obs,
             F.sum(F.when(F.col("__action__") == "update", 1).otherwise(0)).alias("updated"),
@@ -328,33 +514,7 @@ class DeltaMergeBuilder:
             F.sum(F.when(F.col("__action__") == "insert", 1).otherwise(0)).alias("inserted"),
         )
 
-        def _assignment(cl: _Clause, name: str, dtype) -> Column:
-            if cl.star:
-                # updateAll/insertAll: take the same-named source column.
-                return self.source[name].cast(dtype)
-            if name in cl.assignments:
-                v = cl.assignments[name]
-                col = v if isinstance(v, Column) else F.expr(str(v))
-                return col.cast(dtype)
-            if cl.kind == "update":
-                return F.col(f"{talias}.{name}")
-            return F.lit(None).cast(dtype)  # insert: unassigned columns → NULL
-
-        def _out_col(fld) -> Column:
-            expr: Column = F.col(f"{talias}.{fld.name}")
-            for k, cl in enumerate(self._matched):
-                if cl.kind == "update":
-                    expr = F.when(
-                        (F.col("__action__") == "update") & (F.col("__m_idx__") == k),
-                        _assignment(cl, fld.name, fld.dataType),
-                    ).otherwise(expr)
-            for k, cl in enumerate(self._not_matched):
-                expr = F.when(
-                    (F.col("__action__") == "insert") & (F.col("__i_idx__") == k),
-                    _assignment(cl, fld.name, fld.dataType),
-                ).otherwise(expr)
-            return expr.cast(fld.dataType).alias(fld.name)
-
+        _out_col = self._out_col_factory(talias)
         result = staged.filter(F.col("__action__").isin("update", "copy", "insert")).select(
             *[_out_col(f) for f in schema.fields]
         )

@@ -126,3 +126,59 @@ def test_dv_update_enforces_constraints(spark, table):
         t.update("m = 3", {"m": "200"}, deletion_vectors=True)
     assert t.toDF().filter("m = 200").count() == 0
     assert t.toDF().count() == 1000  # nothing committed
+
+
+def test_mor_merge_full_clause_set(spark, table):
+    src = spark.createDataFrame(
+        [(5, -1), (7, -1), (2000, 42)], ["id", "m"]
+    )
+    (
+        table.alias("tg")
+        .merge(src.alias("s"), "tg.id = s.id")
+        .whenMatchedDelete("s.m < 0 and tg.id = 7")
+        .whenMatchedUpdate(set={"m": "s.m"})
+        .whenNotMatchedInsertAll()
+        .execute(deletion_vectors=True)
+    )
+    df = table.toDF()
+    assert df.count() == 1000  # -1 delete, +1 insert
+    assert df.filter("id = 7").count() == 0
+    assert df.filter("id = 5").collect()[0]["m"] == -1
+    assert df.filter("id = 2000").collect()[0]["m"] == 42
+    m = table.history().collect()[0]["operationMetrics"]
+    assert (m["numTargetRowsUpdated"], m["numTargetRowsDeleted"], m["numTargetRowsInserted"]) == ("1", "1", "1")
+    assert m["numTargetFilesRemoved"] == "0"
+    assert int(m["numDeletionVectorsAdded"]) > 0
+
+
+def test_mor_merge_multi_match_guard(spark, table):
+    from jodie_spark.errors import MergeMultipleMatchesError
+
+    dup = spark.createDataFrame([(5, 1), (5, 2)], ["id", "m"])
+    with pytest.raises(MergeMultipleMatchesError):
+        (
+            table.alias("tg")
+            .merge(dup.alias("s"), "tg.id = s.id")
+            .whenMatchedUpdate(set={"m": "s.m"})
+            .execute(deletion_vectors=True)
+        )
+    assert table.toDF().count() == 1000  # nothing committed
+
+
+def test_mor_merge_stacks_on_mor_delete(spark, table):
+    table.delete("m = 3", deletion_vectors=True)  # 900 rows live
+    # id=3 is DV-deleted (3 % 10 == 3); id=14 is live
+    src = spark.createDataFrame([(3, 0), (14, 0)], ["id", "m"])
+    (
+        table.alias("tg")
+        .merge(src.alias("s"), "tg.id = s.id")
+        .whenMatchedUpdate(set={"m": "99"})
+        .whenNotMatchedInsertAll()
+        .execute(deletion_vectors=True)
+    )
+    df = table.toDF()
+    # id=3 was DV-deleted → NOT matched → re-inserted with m=0;
+    # id=14 matched → updated to 99
+    assert df.count() == 901
+    assert df.filter("id = 3").collect()[0]["m"] == 0
+    assert df.filter("id = 14").collect()[0]["m"] == 99
