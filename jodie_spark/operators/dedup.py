@@ -25,9 +25,16 @@ from jodie_spark.tables.table import DeltaTable, write_delta
 from jodie_spark.validators import validate_columns_exist_in_dataframe
 
 
-def kill_duplicate_records(delta_table: DeltaTable, duplicate_columns: Sequence[str]) -> None:
+def kill_duplicate_records(
+    delta_table: DeltaTable,
+    duplicate_columns: Sequence[str],
+    deletion_vectors: bool = False,
+) -> None:
     """Delete every row whose ``duplicate_columns`` value occurs more
-    than once (no survivor). Parity: DeltaHelpers.scala:243-268."""
+    than once (no survivor). Parity: DeltaHelpers.scala:243-268.
+    ``deletion_vectors=True`` deletes merge-on-read (bitmaps instead of
+    file rewrites) — at scale a small dup fraction no longer rewrites
+    every file that contains one."""
     if not duplicate_columns:
         raise ValueError("the input parameter duplicateColumns must not be empty")
     df = delta_table.toDF()
@@ -43,13 +50,16 @@ def kill_duplicate_records(delta_table: DeltaTable, duplicate_columns: Sequence[
         .drop("quantity")
     )
     condition = " AND ".join(f"old.{c} = new.{c}" for c in duplicate_columns)
-    delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute()
+    delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute(
+        deletion_vectors=deletion_vectors
+    )
 
 
 def remove_duplicate_records(
     delta_table: DeltaTable,
     duplicate_columns: Sequence[str],
     primary_key: str | None = None,
+    deletion_vectors: bool = False,
 ) -> None:
     """Remove duplicates keeping one occurrence per group.
 
@@ -85,7 +95,9 @@ def remove_duplicate_records(
     condition = " AND ".join(
         f"old.{c} = new.{c}" for c in [primary_key, *duplicate_columns]
     )
-    delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute()
+    delta_table.alias("old").merge(dups.alias("new"), condition).whenMatchedDelete().execute(
+        deletion_vectors=deletion_vectors
+    )
 
 
 def append_without_duplicates(

@@ -1332,12 +1332,36 @@ class DeltaTable:
             rm for rm in snap.tombstones.values()
             if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms and _inside(rm)
         ]
+        # superseded deletion-vector bitmaps: every MoR commit re-adds
+        # the data path with a NEW merged DV, orphaning the previous
+        # .bin — their references die with the cleared tombstone, so
+        # sweep the DV directory against the LIVE descriptor set
+        from jodie_spark.tables.deletion_vectors import dv_absolute_path
+
+        live_dvs = set()
+        for a in snap.add_files():
+            if a.get("deletionVector"):
+                p = dv_absolute_path(self.path, a["deletionVector"])
+                if p:
+                    live_dvs.add(os.path.abspath(p))
+        dv_dir = os.path.join(self.path, "deletion_vectors")
+        orphan_dvs = []
+        if os.path.isdir(dv_dir):
+            cutoff_s = cutoff_ms / 1000.0
+            for name in os.listdir(dv_dir):
+                p = os.path.join(dv_dir, name)
+                if (
+                    os.path.isfile(p)
+                    and os.path.abspath(p) not in live_dvs
+                    and os.path.getmtime(p) <= cutoff_s
+                ):
+                    orphan_dvs.append(p)
         if dry_run:
             out = [
                 os.path.join(self.path, urllib.parse.unquote(rm["path"]))
                 for rm in eligible
             ]
-            return [p for p in out if os.path.isfile(p)]
+            return [p for p in out if os.path.isfile(p)] + orphan_dvs
         start_version = self.deltaLog.commit(
             snap.version,
             [],
@@ -1352,6 +1376,11 @@ class DeltaTable:
         deleted_bytes = 0
         for rm in eligible:
             p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
+            if os.path.isfile(p):
+                deleted_bytes += os.path.getsize(p)
+                os.remove(p)
+                deleted += 1
+        for p in orphan_dvs:
             if os.path.isfile(p):
                 deleted_bytes += os.path.getsize(p)
                 os.remove(p)

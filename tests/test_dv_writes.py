@@ -182,3 +182,49 @@ def test_mor_merge_stacks_on_mor_delete(spark, table):
     assert df.count() == 901
     assert df.filter("id = 3").collect()[0]["m"] == 0
     assert df.filter("id = 14").collect()[0]["m"] == 99
+
+
+def test_vacuum_sweeps_orphaned_dv_files(spark, table):
+    table.delete("m = 3", deletion_vectors=True)
+    table.delete("m = 5", deletion_vectors=True)  # supersedes the first DVs
+    dv_dir = table.path + "/deletion_vectors"
+    n_before = len(glob.glob(dv_dir + "/*.bin"))
+    assert n_before > len(table.snapshot().add_files()) - 1  # orphans exist
+    listed = table.vacuum(retention_hours=0, dry_run=True)
+    assert any("deletion_vectors" in p for p in listed)
+    table.vacuum(retention_hours=0)
+    live = {
+        a["deletionVector"]["pathOrInlineDv"]
+        for a in table.snapshot().add_files()
+        if a.get("deletionVector")
+    }
+    remaining = set(glob.glob(dv_dir + "/*.bin"))
+    assert remaining == {p for p in live}  # only live DVs survive
+    assert table.toDF().count() == 800  # reads intact after the sweep
+
+
+def test_dedup_operators_ride_deletion_vectors(spark, tmpdir_path):
+    from jodie_spark.operators.dedup import (
+        kill_duplicate_records,
+        remove_duplicate_records,
+    )
+    from jodie_spark.tables.table import write_delta
+
+    p = os.path.join(tmpdir_path, "dvdedup")
+    rows = [(i, i % 7, "x") for i in range(50)] + [(100 + i, i, "x") for i in range(3)]
+    write_delta(spark.createDataFrame(rows, ["pk", "k", "v"]), p)
+    t = DeltaTable.forPath(spark, p)
+    n_files = len(glob.glob(p + "/*.parquet"))
+    kill_duplicate_records(t, ["k", "v"], deletion_vectors=True)
+    # every k in 0..6 occurs >= 7 times → all killed; nothing rewritten
+    assert t.toDF().count() == 0
+    assert len(glob.glob(p + "/*.parquet")) == n_files
+    m = t.history().collect()[0]["operationMetrics"]
+    assert int(m["numDeletionVectorsAdded"]) > 0
+
+    p2 = os.path.join(tmpdir_path, "dvdedup2")
+    write_delta(spark.createDataFrame(rows, ["pk", "k", "v"]), p2)
+    t2 = DeltaTable.forPath(spark, p2)
+    remove_duplicate_records(t2, ["k"], primary_key="pk", deletion_vectors=True)
+    assert t2.toDF().count() == 7  # one survivor per k
+    assert t2.toDF().groupBy("k").count().filter("count > 1").count() == 0
