@@ -1254,6 +1254,55 @@ class DeltaTable:
             current.version, actions, "RESTORE", {"version": str(version)}, metrics
         )
 
+    def reorg_purge(self) -> int:
+        """REORG TABLE ... APPLY (PURGE) (delta-spark parity): rewrite
+        ONLY the files that carry deletion vectors, materializing their
+        deletions into clean files with no DV. Returns the number of
+        files purged. Run before vacuum to make soft-deleted data
+        physically unrecoverable, or to stop paying the DV anti-join at
+        read time once deletions accumulate.
+
+        The rewrite reads through the DV filter (so exactly the live
+        rows survive) and commits dataChange=false — row content is
+        unchanged, only its physical layout."""
+        snap = self.snapshot()
+        self.deltaLog.check_write_allowed(snap, removes_data=False)
+        schema = self.schema(snap)
+        dv_adds = [a for a in snap.add_files() if a.get("deletionVector")]
+        if not dv_adds:
+            return 0
+        live = read_files_df(self.spark, self.path, schema, dv_adds)
+        adds = write_data_files(live, self.path, snap.partition_columns)
+        for a in adds:
+            a["dataChange"] = False
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [{"add": a} for a in adds]
+        actions += [
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                    "deletionVector": a["deletionVector"],
+                }
+            }
+            for a in dv_adds
+        ]
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "REORG",
+            {"applyPurge": "true"},
+            {
+                "numRemovedFiles": str(len(dv_adds)),
+                "numAddedFiles": str(len(adds)),
+                "numDeletionVectorsRemoved": str(len(dv_adds)),
+            },
+        )
+        return len(dv_adds)
+
     def fsck(self, dry_run: bool = True) -> list[str]:
         """FSCK REPAIR TABLE (delta-spark parity): find add entries whose
         data files are physically missing (deleted out-of-band, lost on a

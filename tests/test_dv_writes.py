@@ -228,3 +228,21 @@ def test_dedup_operators_ride_deletion_vectors(spark, tmpdir_path):
     remove_duplicate_records(t2, ["k"], primary_key="pk", deletion_vectors=True)
     assert t2.toDF().count() == 7  # one survivor per k
     assert t2.toDF().groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_reorg_purge_materializes_deletions(spark, table):
+    table.delete("m = 3", deletion_vectors=True)
+    table.delete("m = 5", deletion_vectors=True)
+    assert table.reorg_purge() > 0
+    snap = table.snapshot()
+    assert all(not a.get("deletionVector") for a in snap.add_files())
+    assert table.toDF().count() == 800
+    assert table.toDF().filter("m in (3, 5)").count() == 0
+    h = table.history().collect()[0]
+    assert h["operation"] == "REORG"
+    # purge + vacuum releases both old data files and DV bitmaps
+    table.vacuum(retention_hours=0)
+    assert glob.glob(table.path + "/deletion_vectors/*.bin") == []
+    assert table.toDF().count() == 800
+    # idempotent: nothing left to purge
+    assert table.reorg_purge() == 0
