@@ -646,19 +646,16 @@ class DeltaTable:
         re-added with a DV descriptor — a delete that touches 1% of the
         rows in every file goes from rewriting the whole table to writing
         tiny bitmaps (the Delta deletionVectors feature; the table's
-        protocol is upgraded on first use). Falls back to copy-on-write
-        when CDF is enabled (change rows require the data) or for
-        full-table deletes (dropping whole files is already O(metadata)).
+        protocol is upgraded on first use). Composes with CDF (delete
+        change rows are written from the matched scan) ; full-table
+        deletes keep the copy-on-write path (dropping whole files is
+        already O(metadata)).
         """
         t0 = time.time()
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
-        if (
-            deletion_vectors
-            and condition is not None
-            and not self.is_cdf_enabled(snap)
-        ):
+        if deletion_vectors and condition is not None:
             self._delete_with_dvs(snap, schema, condition, t0)
             return
         candidates = plan_candidate_files(
@@ -966,11 +963,27 @@ class DeltaTable:
             self.spark, self.path, condition, schema, snap.partition_columns
         )
         rows: list[Any] = []
+        cdc_actions: list[dict[str, Any]] = []
         if candidates:
             scan = self._dv_scan(candidates, schema)
-            rows = self._write_dvs_for(scan.filter(F.expr(condition)), candidates)
+            existing = self._existing_dv_positions(scan, candidates)
+            if existing is not None:
+                scan = scan.join(
+                    F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
+                )
+            matched = scan.filter(F.expr(condition)).persist()
+            try:
+                rows = self._write_dvs_for(matched, candidates)
+                if rows and self.is_cdf_enabled(snap):
+                    cdc_actions = self._write_cdf_files(
+                        matched.select(*[F.col(f.name) for f in schema.fields])
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+            finally:
+                matched.unpersist()
 
         actions = self._dv_protocol_upgrade_actions(snap) if rows else []
+        actions += cdc_actions
         pair_actions, deleted_rows, dv_bytes = self._dv_action_pairs(
             candidates, rows, int(time.time() * 1000)
         )
@@ -984,7 +997,7 @@ class DeltaTable:
             ),
             "numDeletedRows": str(deleted_rows),
             "numCopiedRows": "0",
-            "numAddedChangeFiles": "0",
+            "numAddedChangeFiles": str(len(cdc_actions)),
             "numAddedBytes": str(dv_bytes),
             "executionTimeMs": str(int((time.time() - t0) * 1000)),
         }
@@ -1008,6 +1021,7 @@ class DeltaTable:
         )
         rows: list[Any] = []
         new_adds: list[dict[str, Any]] = []
+        cdc_actions: list[dict[str, Any]] = []
         if candidates:
             scan = self._dv_scan(candidates, schema).persist()
             try:
@@ -1037,10 +1051,19 @@ class DeltaTable:
                         self.path,
                         snap.partition_columns,
                     )
+                    if self.is_cdf_enabled(snap):
+                        pre = matched.select(
+                            *[F.col(f.name) for f in schema.fields]
+                        ).withColumn("_change_type", F.lit("update_preimage"))
+                        post = updated_df.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                        cdc_actions = self._write_cdf_files(pre.unionByName(post))
             finally:
                 scan.unpersist()
 
         actions = self._dv_protocol_upgrade_actions(snap) if rows else []
+        actions += cdc_actions
         pair_actions, updated_rows, dv_bytes = self._dv_action_pairs(
             candidates, rows, int(time.time() * 1000)
         )
@@ -1055,7 +1078,7 @@ class DeltaTable:
             ),
             "numUpdatedRows": str(updated_rows),
             "numCopiedRows": "0",
-            "numAddedChangeFiles": "0",
+            "numAddedChangeFiles": str(len(cdc_actions)),
             "numAddedBytes": str(
                 dv_bytes + sum(int(a.get("size") or 0) for a in new_adds)
             ),
@@ -1081,11 +1104,7 @@ class DeltaTable:
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
-        if (
-            deletion_vectors
-            and condition is not None
-            and not self.is_cdf_enabled(snap)
-        ):
+        if deletion_vectors and condition is not None:
             set_exprs = {
                 k: (v if isinstance(v, Column) else F.expr(str(v)))
                 for k, v in set.items()

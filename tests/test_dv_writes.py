@@ -39,11 +39,19 @@ def test_dv_delete_merges_and_is_idempotent(spark, table):
     table.delete("m = 3", deletion_vectors=True)
     table.delete("m = 5", deletion_vectors=True)
     assert table.toDF().count() == 800
-    table.delete("m = 5", deletion_vectors=True)  # re-delete: no-op
+    table.delete("m = 5", deletion_vectors=True)  # re-delete: true no-op
     assert table.toDF().count() == 800
     m = table.history().collect()[0]["operationMetrics"]
     assert m["numDeletedRows"] == "0"
-    assert int(m["numDeletionVectorsUpdated"]) > 0
+    # already-deleted rows are anti-filtered before matching, so the
+    # re-delete rewrites no DV at all (metadata-only commit)
+    assert m["numDeletionVectorsAdded"] == "0"
+    # overlapping (not identical) predicate still merges into the DVs
+    table.delete("m in (5, 7)", deletion_vectors=True)
+    assert table.toDF().count() == 700
+    m2 = table.history().collect()[0]["operationMetrics"]
+    assert m2["numDeletedRows"] == "100"
+    assert int(m2["numDeletionVectorsUpdated"]) > 0
 
 
 def test_rewrite_dml_on_dv_table_drops_dvs_without_resurrection(spark, table):
@@ -69,8 +77,10 @@ def test_dv_delete_no_matches_is_metadata_only(spark, table):
     assert table.deltaLog.latest_version() == v0 + 1
 
 
-def test_dv_delete_falls_back_with_cdf(spark, tmpdir_path):
-    """CDF needs the deleted rows' data — DV path falls back to rewrite."""
+def test_dv_delete_composes_with_cdf(spark, tmpdir_path):
+    """MoR delete writes DVs AND delete change rows from the matched scan."""
+    import glob as _glob
+
     from jodie_spark.operators.cdf import read_cdf
 
     p = os.path.join(tmpdir_path, "cdf")
@@ -82,8 +92,14 @@ def test_dv_delete_falls_back_with_cdf(spark, tmpdir_path):
     t = DeltaTable.forPath(spark, p)
     t.delete("m = 1", deletion_vectors=True)
     assert t.toDF().count() == 80
+    assert _glob.glob(p + "/deletion_vectors/*.bin")  # genuinely MoR
     changes = read_cdf(spark, p, 1, 1).filter("_change_type = 'delete'")
     assert changes.count() == 20
+    # MoR update with CDF: pre/post images recorded
+    t.update("m = 2", {"m": "22"}, deletion_vectors=True)
+    ch = read_cdf(spark, p, 2, 2)
+    assert ch.filter("_change_type = 'update_preimage'").count() == 20
+    assert ch.filter("_change_type = 'update_postimage' and m = 22").count() == 20
 
 
 def test_dv_delete_readable_through_datasource(spark, table):
