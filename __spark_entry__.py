@@ -860,6 +860,19 @@ def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over planted exact copies: clones share the query's
+    cluster and have cosine 1.0 (natural max at sf0.01 is ~0.37, far
+    under the 0.9 threshold), so exactly the clones collapse to the
+    original vec 0 and every natural vector survives."""
+    from jodie_spark.operators.semantic_dedup import semantic_dedup
+
+    aug = _planted_embeddings(spark, sf_dir)
+    return semantic_dedup(
+        aug, "embedding", "vec_id", n_clusters=8, threshold=0.9
+    ).select("vec_id")
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.text_dedup import minhash_dedup
     from jodie_spark.sources import load_table
@@ -1245,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_merge": _q_dv_merge,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
+        "semantic_dedup": _q_semantic_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1460,6 +1474,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
+        "semantic_dedup": """
+            SELECT vec_id FROM embeddings
+        """,
         "generated_columns": """
             SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
         """,

@@ -62,6 +62,7 @@ from jodie_spark.operators.perplexity import (
 from jodie_spark.operators.pq import pq_topk, train_pq, with_pq_codes
 from jodie_spark.operators.profile import profile_table
 from jodie_spark.operators.sampling import epoch_shuffle, mixture_weights
+from jodie_spark.operators.semantic_dedup import semantic_candidate_pairs, semantic_dedup
 
 __all__ = [
     "append_without_duplicates",
@@ -118,4 +119,6 @@ __all__ = [
     "profile_table",
     "epoch_shuffle",
     "mixture_weights",
+    "semantic_candidate_pairs",
+    "semantic_dedup",
 ]

@@ -469,3 +469,33 @@ def test_perplexity_external_model_and_unk(spark):
     row = perplexity_score(test, "text", "doc_id", model=model).collect()[0]
     assert row["n_tokens"] == 2
     assert row["perplexity"] is not None and row["perplexity"] > 1
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_collapses_planted_clones(spark, pq_vectors):
+    from jodie_spark.operators.semantic_dedup import semantic_dedup
+
+    out = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            pq_vectors, "embedding", "vec_id", n_clusters=4, threshold=0.95
+        ).collect()
+    )
+    # the 3 clones of vector 0 (ids 1000-1002) collapse into vec 0;
+    # random gaussian vectors are nowhere near cosine 0.95
+    assert out == list(range(200))
+
+
+def test_semantic_candidate_pairs_stay_within_clusters(spark, pq_vectors):
+    from jodie_spark.operators.semantic_dedup import semantic_candidate_pairs
+
+    pairs = semantic_candidate_pairs(
+        pq_vectors, "embedding", "vec_id", n_clusters=4, threshold=0.95
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # bucket equi-join, never all-pairs
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1000), (0, 1001), (0, 1002), (1000, 1001), (1000, 1002), (1001, 1002)}
