@@ -101,6 +101,7 @@ def main() -> None:
         "generated_columns",
         "pipeline_e2e",
         "dv_merge",
+        "semantic_dedup",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
