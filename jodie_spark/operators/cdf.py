@@ -93,7 +93,7 @@ def read_cdf(
     for v in range(starting_version, ending_version + 1):
         actions = log.read_actions(v)
         ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
-        ts = int(ci.get("timestamp") or 0)
+        ts = int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
         has_cdc = False
         adds: list[str] = []
         removes: list[str] = []

@@ -598,7 +598,10 @@ class DeltaLog:
                 (a["commitInfo"] for a in self.read_actions(v) if "commitInfo" in a),
                 {},
             )
-            ts = int(ci.get("timestamp") or 0)
+            # inCommitTimestamp (monotonic, authoritative when the table
+            # has the ICT writer feature — delta-spark 3.3+ default)
+            # takes precedence over the wall-clock commitInfo.timestamp
+            ts = int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
             if at_or_after:
                 if ts >= ts_ms and (best < 0 or v < best):
                     best = v

@@ -500,7 +500,8 @@ class DeltaTable:
                 (
                     v,
                     _dt.datetime.fromtimestamp(
-                        (ci.get("timestamp") or 0) / 1000.0, tz=_dt.timezone.utc
+                        (ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
+                        / 1000.0, tz=_dt.timezone.utc
                     ),
                     ci.get("operation"),
                     {k: str(v2) for k, v2 in (ci.get("operationParameters") or {}).items()},
@@ -1460,7 +1461,7 @@ class DeltaTable:
             for v in self.deltaLog.list_commit_versions():
                 actions = self.deltaLog.read_actions(v)
                 ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
-                if int(ci.get("timestamp") or 0) > cutoff_ms:
+                if int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0) > cutoff_ms:
                     continue
                 for a in actions:
                     if "cdc" in a:

@@ -787,3 +787,47 @@ def test_fsck_flags_missing_dv_file(spark, tmpdir_path):
         os.remove(dv)
     missing = t.fsck()
     assert missing  # data files whose DVs are gone are unreadable-safe
+
+
+def test_in_commit_timestamps_read_support(spark, tmpdir_path):
+    """Tables with the inCommitTimestamp feature (delta-spark 3.3+
+    default) resolve time travel and history from the authoritative
+    monotonic commit clock, not the file wall clock; writes refuse
+    (this engine does not MAINTAIN the feature)."""
+    import json as _json
+
+    from jodie_spark.errors import DeltaProtocolError
+
+    p = os.path.join(tmpdir_path, "ict")
+    write_delta(spark.createDataFrame([(1,)], "x int"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.update(None, {"x": "x + 1"})
+    # retrofit ICT: mark the protocol + stamp monotonic timestamps far
+    # in the future so the distinction from file time is observable
+    log_dir = os.path.join(p, "_delta_log")
+    for v, ict in ((0, 4102444800000), (1, 4102444900000)):  # year 2100
+        f = os.path.join(log_dir, "%020d.json" % v)
+        lines = open(f).read().splitlines()
+        out = []
+        for line in lines:
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["inCommitTimestamp"] = ict
+            if v == 0 and "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 1, "minWriterVersion": 7,
+                    "writerFeatures": ["inCommitTimestamp", "appendOnly"],
+                }
+            out.append(_json.dumps(a))
+        with open(f, "w") as fh:
+            fh.write("\n".join(out) + "\n")
+    t2 = DeltaTable.forPath(spark, p)
+    # time travel by ICT: between the two stamps resolves to version 0
+    assert t2.deltaLog.version_at_timestamp(4102444850000) == 0
+    assert t2.deltaLog.version_at_timestamp(4102444900000) == 1
+    # history shows the ICT clock
+    rows = {r["version"]: r["timestamp"] for r in t2.history().collect()}
+    assert rows[0].year == 2100
+    # writes refuse: we do not maintain the feature's invariant
+    with pytest.raises(DeltaProtocolError, match="inCommitTimestamp"):
+        t2.update(None, {"x": "x + 1"})
