@@ -391,6 +391,55 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode + whitespace normalization: plant a decomposed-accent,
+    control-char, whitespace-run suffix on every document, normalize,
+    and value-check against DuckDB's nfc_normalize + the same RE2
+    regex chain."""
+    from jodie_spark.functions.normalize import normalize_text
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  Café \t du\x07monde \x0b ok "),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering over planted per-doc URLs: extract
+    host/domain/path (explicit RE2-compatible regex — oracle-exact)
+    and drop blocklisted registrable domains via a broadcast
+    anti-join."""
+    from jodie_spark.functions.urls import filter_by_domain, with_url_parts
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("not a url at all")
+        ).otherwise(
+            F.concat(
+                F.lit("https://sub"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".dom"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+    )
+    kept = filter_by_domain(planted, ["dom1.com", "dom3.com"], mode="block")
+    return with_url_parts(kept).select("doc_id", "host", "domain", "path")
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1233,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
+        "normalize_text": _q_normalize_text,
+        "url_filter": _q_url_filter,
         "contamination_check": _q_contamination_check,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
@@ -1469,6 +1520,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                        '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
             FROM planted
+        """,
+        # non-raw string: ́/\x07/\x0b embed the actual planted
+        # characters in the SQL literal; doubled backslashes reach RE2
+        "normalize_text": (
+            "SELECT doc_id,\n"
+            "       trim(regexp_replace(regexp_replace(\n"
+            "           nfc_normalize(text || '  Café \t du\x07monde \x0b ok '),\n"
+            "           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),\n"
+            "           '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text\n"
+            "FROM documents"
+        ),
+        "url_filter": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN 'not a url at all'
+                            ELSE 'https://sub' || CAST(doc_id % 3 AS VARCHAR)
+                                 || '.dom' || CAST(doc_id % 5 AS VARCHAR)
+                                 || '.com/p/' || CAST(doc_id AS VARCHAR)
+                       END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id,
+                       nullif(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), '') AS host,
+                       nullif(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path
+                FROM planted
+            ), doms AS (
+                SELECT doc_id, host, path,
+                       CASE WHEN host IS NULL THEN NULL
+                            WHEN len(string_split(host, '.')) <= 2 THEN host
+                            ELSE string_split(host, '.')[-2] || '.'
+                                 || string_split(host, '.')[-1]
+                       END AS domain
+                FROM parts
+            )
+            SELECT doc_id, host, domain, path FROM doms
+            WHERE domain IS NULL OR domain NOT IN ('dom1.com', 'dom3.com')
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,

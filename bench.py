@@ -74,6 +74,8 @@ def main() -> None:
         "simhash_dedup",
         "token_count",
         "pii_scrub",
+        "normalize_text",
+        "url_filter",
         "similarity_topk",
         "embedding_dedup",
         "windowed_event_counts",

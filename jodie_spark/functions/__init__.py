@@ -1,5 +1,11 @@
 """Column-level functions for large-scale text/embedding pipelines."""
 
+from jodie_spark.functions.normalize import (
+    clean_whitespace,
+    normalize_text,
+    strip_control_chars,
+    unicode_normalize,
+)
 from jodie_spark.functions.text import (
     bpe_token_count,
     doc_fingerprint,
@@ -13,6 +19,13 @@ from jodie_spark.functions.text import (
     with_text_stats,
     word_ngrams,
 )
+from jodie_spark.functions.urls import (
+    filter_by_domain,
+    url_domain,
+    url_host,
+    url_path,
+    with_url_parts,
+)
 from jodie_spark.functions.vectors import (
     cosine_similarity,
     int8_quantize,
@@ -23,6 +36,15 @@ from jodie_spark.functions.vectors import (
 
 __all__ = [
     "bpe_token_count",
+    "clean_whitespace",
+    "normalize_text",
+    "strip_control_chars",
+    "unicode_normalize",
+    "filter_by_domain",
+    "url_domain",
+    "url_host",
+    "url_path",
+    "with_url_parts",
     "doc_fingerprint",
     "dup_ngram_fraction",
     "language_id",
