@@ -440,6 +440,24 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_url_parts(kept).select("doc_id", "host", "domain", "path")
 
 
+def _q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style quality classifier: train NB log-odds on
+    deterministic labels (doc_id % 3 == 0 → positive), score every
+    document. The DuckDB oracle reproduces the exact arithmetic —
+    md5-prefix bucket hash, Laplace-smoothed log-odds, sigmoid —
+    value-for-value (scores rounded to 6 dp)."""
+    from jodie_spark.operators.classifier import classifier_score, train_nb_classifier
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("label")
+    )
+    weights, bias = train_nb_classifier(labeled, n_buckets=4096, alpha=1.0)
+    scored = classifier_score(labeled, weights, bias=bias, n_buckets=4096)
+    return scored.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1284,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "url_filter": _q_url_filter,
+        "classifier_quality": _q_classifier_quality,
         "contamination_check": _q_contamination_check,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
@@ -1558,6 +1577,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, host, domain, path FROM doms
             WHERE domain IS NULL OR domain NOT IN ('dom1.com', 'dom3.com')
+        """,
+        "classifier_quality": r"""
+            WITH labeled AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, label,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                FROM labeled WHERE length(trim(text)) > 0
+            ), bucketed AS (
+                SELECT doc_id, label,
+                       CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+                            % 4096 AS BIGINT) AS bucket
+                FROM toks
+            ), doc_totals AS (
+                SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+                FROM labeled
+            ), tok_totals AS (
+                SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+                       sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+                FROM bucketed
+            ), weights AS (
+                SELECT bucket,
+                       ln((sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1.0)
+                          / ((SELECT c1 FROM tok_totals) + 1.0 * 4096))
+                     - ln((sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + 1.0)
+                          / ((SELECT c0 FROM tok_totals) + 1.0 * 4096)) AS weight
+                FROM bucketed GROUP BY bucket
+            ), sums AS (
+                SELECT b.doc_id, sum(coalesce(w.weight, 0.0)) AS s
+                FROM bucketed b LEFT JOIN weights w USING (bucket)
+                GROUP BY b.doc_id
+            )
+            SELECT l.doc_id,
+                   round(1.0 / (1.0 + exp(-(ln(CAST((SELECT n1 FROM doc_totals) AS DOUBLE)
+                                              / (SELECT n0 FROM doc_totals))
+                                            + coalesce(s.s, 0.0)))), 6) AS score
+            FROM (SELECT DISTINCT doc_id FROM labeled) l
+            LEFT JOIN sums s USING (doc_id)
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,

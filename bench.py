@@ -76,6 +76,7 @@ def main() -> None:
         "pii_scrub",
         "normalize_text",
         "url_filter",
+        "classifier_quality",
         "similarity_topk",
         "embedding_dedup",
         "windowed_event_counts",
