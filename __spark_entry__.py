@@ -458,6 +458,31 @@ def _q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage duplication (Lee et al. style): plant a
+    shared 9-token boilerplate suffix on every 4th document, hash all
+    8-token windows, and score each document by its corpus-duplicated
+    window fraction. Oracle reproduces the identical md5-window
+    arithmetic in DuckDB."""
+    from jodie_spark.operators.passage_dedup import dup_passage_stats
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" shared boilerplate terms of service all rights reserved contact"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_passage_stats(planted, k=8)
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1303,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "url_filter": _q_url_filter,
         "classifier_quality": _q_classifier_quality,
+        "passage_dup_stats": _q_passage_dup_stats,
         "contamination_check": _q_contamination_check,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
@@ -1618,6 +1644,40 @@ def oracle_sql() -> dict[str, str]:
                                             + coalesce(s.s, 0.0)))), 6) AS score
             FROM (SELECT DISTINCT doc_id FROM labeled) l
             LEFT JOIN sums s USING (doc_id)
+        """,
+        "passage_dup_stats": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN text || ' shared boilerplate terms of service all rights reserved contact'
+                            ELSE text END AS text
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM planted WHERE length(trim(text)) > 0
+            ), wins AS (
+                SELECT doc_id, i,
+                       CAST(CAST(concat('0x',
+                           substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+                           AS UBIGINT) AS BIGINT) AS whash
+                FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+                WHERE len(t) >= 8
+            ), counts AS (
+                SELECT whash, count(*) AS n FROM wins GROUP BY whash
+            ), flags AS (
+                SELECT w.doc_id, CASE WHEN c.n >= 2 THEN 1 ELSE 0 END AS dup
+                FROM wins w JOIN counts c USING (whash)
+            ), per_doc AS (
+                SELECT doc_id, count(*) AS n_windows, sum(dup) AS n_dup_windows
+                FROM flags GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   CASE WHEN coalesce(p.n_windows, 0) > 0
+                        THEN round(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 6)
+                        ELSE 0.0 END AS dup_fraction
+            FROM planted d LEFT JOIN per_doc p USING (doc_id)
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,

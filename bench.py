@@ -77,6 +77,7 @@ def main() -> None:
         "normalize_text",
         "url_filter",
         "classifier_quality",
+        "passage_dup_stats",
         "similarity_topk",
         "embedding_dedup",
         "windowed_event_counts",
