@@ -483,6 +483,30 @@ def _q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_passage_stats(planted, k=8)
 
 
+def _q_column_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution lifecycle on a column-mapped table: RENAME
+    COLUMN (metadata-only, auto-enables mapping), DROP COLUMN, ADD
+    COLUMNS, then an append through the evolved logical schema. The
+    oracle states the final table declaratively."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import write_delta
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = nation.withColumn("note", F.concat(F.col("n_name"), F.lit("!")))
+    t = _delta_from(base, "ddl")
+    t.rename_column("n_name", "nation_name")
+    t.drop_column("note")  # its bytes stay in the files, invisibly
+    t.add_columns({"flag": "bigint"})
+    extra = nation.filter("n_nationkey < 5").select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("_NEW")).alias("nation_name"),
+        F.col("n_regionkey"),
+        (F.col("n_nationkey") % 2).cast("bigint").alias("flag"),
+    )
+    write_delta(extra, t.path, mode="append")
+    return t.toDF()
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1329,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "classifier_quality": _q_classifier_quality,
         "passage_dup_stats": _q_passage_dup_stats,
+        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "contamination_check": _q_contamination_check,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
@@ -1678,6 +1703,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 6)
                         ELSE 0.0 END AS dup_fraction
             FROM planted d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "column_ddl_lifecycle": r"""
+            SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+                   CAST(NULL AS BIGINT) AS flag
+            FROM nation
+            UNION ALL
+            SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey,
+                   CAST(n_nationkey % 2 AS BIGINT)
+            FROM nation WHERE n_nationkey < 5
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,

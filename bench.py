@@ -78,6 +78,7 @@ def main() -> None:
         "url_filter",
         "classifier_quality",
         "passage_dup_stats",
+        "column_ddl_lifecycle",
         "similarity_topk",
         "embedding_dedup",
         "windowed_event_counts",

@@ -60,6 +60,67 @@ def to_physical_schema(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+def rename_to_physical(
+    df: DataFrame, logical: T.StructType, physical: T.StructType
+) -> DataFrame:
+    """Inverse of :func:`rename_to_logical`: project a logical-named
+    DataFrame to the physical names the parquet files must store.
+    Nested structs rename via a positional cast."""
+    cols = []
+    for lf, pf in zip(logical.fields, physical.fields):
+        c = F.col(f"`{lf.name}`")
+        if lf.dataType != pf.dataType:
+            c = c.cast(pf.dataType)
+        cols.append(c.alias(pf.name))
+    return df.select(*cols)
+
+
+ID_KEY = "delta.columnMapping.id"
+MAX_ID_PROP = "delta.columnMapping.maxColumnId"
+
+
+def max_column_id(metadata: dict[str, Any]) -> int:
+    conf = metadata.get("configuration") or {}
+    return int(conf.get(MAX_ID_PROP, "0"))
+
+
+def _assign_field(f: T.StructField, next_id: list[int], fresh_physical: bool) -> T.StructField:
+    md = dict(f.metadata or {})
+    if ID_KEY not in md:
+        next_id[0] += 1
+        md[ID_KEY] = next_id[0]
+        if PHYSICAL_NAME_KEY not in md:
+            # upgrade keeps the current name physical (existing files
+            # resolve); columns born after the upgrade get fresh
+            # col-<uuid> names, matching delta-spark's assignment
+            import uuid
+
+            md[PHYSICAL_NAME_KEY] = f"col-{uuid.uuid4()}" if fresh_physical else f.name
+    dt = f.dataType
+    if isinstance(dt, T.StructType):
+        dt = T.StructType(
+            [_assign_field(sf, next_id, fresh_physical) for sf in dt.fields]
+        )
+    return T.StructField(f.name, dt, f.nullable, md)
+
+
+def assign_column_mapping(
+    schema: T.StructType, start_id: int = 0, fresh_physical: bool = False
+) -> tuple[T.StructType, int]:
+    """Annotate every field (incl. nested struct fields) lacking
+    mapping metadata with a column id and physical name. Returns the
+    annotated schema and the new max column id.
+
+    ``fresh_physical=False`` (table upgrade): physical name = current
+    logical name, so existing data files keep resolving.
+    ``fresh_physical=True`` (new columns / new mapped tables):
+    physical name = ``col-<uuid>``.
+    """
+    counter = [start_id]
+    out = T.StructType([_assign_field(f, counter, fresh_physical) for f in schema.fields])
+    return out, counter[0]
+
+
 def rename_to_logical(
     df: DataFrame, logical: T.StructType, physical: T.StructType
 ) -> DataFrame:

@@ -63,13 +63,19 @@ _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 # carry delta.invariants.
 # v3 = CHECK constraints, which this engine enforces on every write
 # path (tables/table.py enforce_check_constraints)
-SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 7}
+# v5 = legacy column-mapping protocol (implies v4's features +
+# columnMapping; appends/overwrites write physical-named files, and
+# rewrite-DML on mapped tables refuses in DeltaTable._refuse_column_mapped)
+SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 5, 7}
 # deletionVectors: reads honor DVs (tables/deletion_vectors.py),
 # rewrite-DML reads through the DV filter and drops the DV with the
 # rewritten file, delete(deletion_vectors=True) writes them.
+# columnMapping: append/overwrite write physical names
+# (tables/column_mapping.py rename_to_physical); rewrite-DML refuses.
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
+    "columnMapping",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 

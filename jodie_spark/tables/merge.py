@@ -379,6 +379,7 @@ class DeltaMergeBuilder:
         # a merge with only not-matched clauses is a blind append, legal
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
         t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
+        t._refuse_column_mapped(snap, "MERGE")
         schema = t.schema(snap)
         if (
             deletion_vectors

@@ -617,6 +617,233 @@ class DeltaTable:
         """Active CHECK constraints: name → expression."""
         return check_constraints(self.snapshot().configuration)
 
+    # -- schema evolution DDL (column mapping) -------------------------------
+
+    def column_mapping_mode(self) -> str:
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        return column_mapping_mode(self.snapshot().metadata)
+
+    def _mapping_protocol_upgrade_actions(self, snap: Snapshot) -> list[dict[str, Any]]:
+        """Protocol action raising the table to reader 3 / writer 7 with
+        the columnMapping feature (same shape as the deletionVectors
+        upgrade: existing features are preserved, legacy implied
+        features carried)."""
+        proto = dict(snap.protocol or {})
+        features = set(proto.get("writerFeatures") or [])
+        if int(proto.get("minReaderVersion") or 1) >= 3 and "columnMapping" in features:
+            return []
+        old_writer = int(proto.get("minWriterVersion") or 2)
+        reader_features = set(proto.get("readerFeatures") or [])
+        reader_features.add("columnMapping")
+        features.add("columnMapping")
+        if old_writer >= 2:
+            features.add("appendOnly")
+        if old_writer >= 3 or check_constraints(snap.configuration):
+            features.add("checkConstraints")
+        if old_writer >= 4:
+            features.update({"generatedColumns", "changeDataFeed"})
+        return [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(reader_features),
+                    "writerFeatures": sorted(features),
+                }
+            }
+        ]
+
+    def enable_column_mapping(self) -> None:
+        """Upgrade the table to ``delta.columnMapping.mode = name``:
+        every field (incl. nested struct fields) gets a column id and a
+        physical name equal to its current logical name, so existing
+        data files keep resolving; the protocol rises to reader 3 /
+        writer 7 with the ``columnMapping`` feature. No-op when already
+        enabled. This is the delta-spark upgrade path (PROTOCOL.md
+        "Column Mapping"); RENAME/DROP COLUMN require it."""
+        from jodie_spark.tables.column_mapping import (
+            MAX_ID_PROP,
+            MODE_KEY,
+            assign_column_mapping,
+            column_mapping_mode,
+            max_column_id,
+        )
+
+        snap = self.snapshot()
+        mode = column_mapping_mode(snap.metadata)
+        if mode == "name":
+            return
+        if mode != "none":
+            raise DeltaProtocolError(
+                f"cannot enable column mapping on a table in mode {mode!r}"
+            )
+        new_schema, max_id = assign_column_mapping(
+            self.schema(snap), start_id=max_column_id(snap.metadata), fresh_physical=False
+        )
+        meta = dict(snap.metadata)
+        conf = dict(meta.get("configuration") or {})
+        conf[MODE_KEY] = "name"
+        conf[MAX_ID_PROP] = str(max_id)
+        meta["configuration"] = conf
+        meta["schemaString"] = new_schema.json()
+        self.deltaLog.commit(
+            snap.version,
+            self._mapping_protocol_upgrade_actions(snap) + [{"metaData": meta}],
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps({MODE_KEY: "name"})},
+        )
+
+    def _refuse_schema_references(
+        self, snap: Snapshot, column: str, verb: str
+    ) -> None:
+        """Refuse a rename/drop of a column referenced by CHECK
+        constraints or generation expressions (delta-spark refuses
+        both; a silent rename would break enforcement)."""
+        import re as _re
+
+        pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(column)}(?![A-Za-z0-9_])", _re.I)
+        for cname, expr in check_constraints(snap.configuration).items():
+            if pat.search(expr):
+                raise JodieValidationError(
+                    f"cannot {verb} column {column}: referenced by CHECK "
+                    f"constraint '{cname}' ({expr})"
+                )
+        for gname, expr in generated_columns_of(self.schema(snap)).items():
+            if pat.search(expr):
+                raise JodieValidationError(
+                    f"cannot {verb} column {column}: referenced by the "
+                    f"generation expression of '{gname}' ({expr})"
+                )
+
+    def add_columns(self, columns: dict[str, Any]) -> None:
+        """ALTER TABLE ... ADD COLUMNS: metadata-only commit; existing
+        files surface the new columns as NULL. ``columns`` maps name →
+        Spark SQL type string (or DataType). On a column-mapped table
+        new fields get fresh ``col-<uuid>`` physical names."""
+        from jodie_spark.tables.column_mapping import (
+            MAX_ID_PROP,
+            assign_column_mapping,
+            column_mapping_mode,
+            max_column_id,
+        )
+
+        if not columns:
+            raise JodieValidationError("columns must not be empty")
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        existing = {f.name.lower() for f in schema.fields}
+        new_fields = []
+        for name, dt in columns.items():
+            if name.lower() in existing:
+                raise JodieValidationError(f"column {name} already exists")
+            dtype = dt if isinstance(dt, T.DataType) else T._parse_datatype_string(str(dt))
+            new_fields.append(T.StructField(name, dtype, True))
+        new_schema = T.StructType(list(schema.fields) + new_fields)
+        meta = dict(snap.metadata)
+        if column_mapping_mode(snap.metadata) == "name":
+            new_schema, max_id = assign_column_mapping(
+                new_schema, start_id=max_column_id(snap.metadata), fresh_physical=True
+            )
+            conf = dict(meta.get("configuration") or {})
+            conf[MAX_ID_PROP] = str(max_id)
+            meta["configuration"] = conf
+        meta["schemaString"] = new_schema.json()
+        self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}],
+            "ADD COLUMNS",
+            {"columns": json.dumps(sorted(columns))},
+        )
+
+    def rename_column(self, existing: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN: changes the logical name only
+        (the physical parquet name is pinned by column mapping, so no
+        data rewrites — a pure metadata commit). Auto-enables column
+        mapping mode=name on first use, exactly like delta-spark
+        requires. Top-level columns only."""
+        snap = self.snapshot()
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        if column_mapping_mode(snap.metadata) != "name":
+            self.enable_column_mapping()
+            snap = self.snapshot()
+        schema = self.schema(snap)
+        names = {f.name.lower(): f.name for f in schema.fields}
+        if existing.lower() not in names:
+            raise JodieValidationError(f"column {existing} does not exist")
+        if new.lower() in names:
+            raise JodieValidationError(f"column {new} already exists")
+        self._refuse_schema_references(snap, existing, "rename")
+        actual = names[existing.lower()]
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == actual
+                else f
+                for f in schema.fields
+            ]
+        )
+        meta = dict(snap.metadata)
+        meta["schemaString"] = new_schema.json()
+        # partitionColumns holds PHYSICAL names on mapped tables (they
+        # equal the pre-upgrade logical names), so a rename never
+        # touches it — the same reason the data files survive untouched
+        self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}],
+            "RENAME COLUMN",
+            {"oldColumnPath": actual, "newColumnPath": new},
+        )
+
+    def drop_column(self, column: str) -> None:
+        """ALTER TABLE ... DROP COLUMN: metadata-only removal (the
+        column's bytes stay in the files; readers project them away —
+        run ``reorg_purge``-style rewrites to physically shed them).
+        Auto-enables column mapping, like delta-spark requires."""
+        snap = self.snapshot()
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        if column_mapping_mode(snap.metadata) != "name":
+            self.enable_column_mapping()
+            snap = self.snapshot()
+        schema = self.schema(snap)
+        names = {f.name.lower(): f.name for f in schema.fields}
+        if column.lower() not in names:
+            raise JodieValidationError(f"column {column} does not exist")
+        actual = names[column.lower()]
+        if len(schema.fields) == 1:
+            raise JodieValidationError("cannot drop the only column of a table")
+        field = schema[actual]
+        from jodie_spark.tables.column_mapping import PHYSICAL_NAME_KEY
+
+        phys = (field.metadata or {}).get(PHYSICAL_NAME_KEY, actual)
+        if actual in snap.partition_columns or phys in snap.partition_columns:
+            raise JodieValidationError(f"cannot drop partition column {actual}")
+        self._refuse_schema_references(snap, actual, "drop")
+        new_schema = T.StructType([f for f in schema.fields if f.name != actual])
+        meta = dict(snap.metadata)
+        meta["schemaString"] = new_schema.json()
+        self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}],
+            "DROP COLUMNS",
+            {"columns": json.dumps([actual])},
+        )
+
+    def _refuse_column_mapped(self, snap: Snapshot, op: str) -> None:
+        """Rewrite-DML on mapped tables needs physical-name round-trips
+        this engine doesn't do yet; refuse loudly rather than write
+        logical-named files other readers can't resolve."""
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        if column_mapping_mode(snap.metadata) != "none":
+            raise DeltaProtocolError(
+                f"{op} on a column-mapped table is not supported by this "
+                "engine (supported there: reads, append/overwrite writes, "
+                "ADD/RENAME/DROP COLUMN, restore, vacuum)"
+            )
+
     # -- mutations -----------------------------------------------------------
 
     def _write_cdf_files(self, change_df: DataFrame) -> list[dict[str, Any]]:
@@ -656,6 +883,7 @@ class DeltaTable:
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
+        self._refuse_column_mapped(snap, "DELETE")
         if deletion_vectors and condition is not None:
             self._delete_with_dvs(snap, schema, condition, t0)
             return
@@ -1104,7 +1332,9 @@ class DeltaTable:
         t0 = time.time()
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
+        self._refuse_column_mapped(snap, "UPDATE")
         schema = self.schema(snap)
+
         if deletion_vectors and condition is not None:
             set_exprs = {
                 k: (v if isinstance(v, Column) else F.expr(str(v)))
@@ -1287,6 +1517,7 @@ class DeltaTable:
         unchanged, only its physical layout."""
         snap = self.snapshot()
         self.deltaLog.check_write_allowed(snap, removes_data=False)
+        self._refuse_column_mapped(snap, "REORG")
         schema = self.schema(snap)
         dv_adds = [a for a in snap.add_files() if a.get("deletionVector")]
         if not dv_adds:
@@ -1504,6 +1735,7 @@ class OptimizeBuilder:
         # OPTIMIZE removes files with dataChange=false — legal on
         # appendOnly tables (the protocol forbids dataChange removes only)
         t.deltaLog.check_write_allowed(snap, removes_data=False)
+        t._refuse_column_mapped(snap, "OPTIMIZE")
         schema = t.schema(snap)
         files = plan_candidate_files(t.spark, t.path, self._where, schema, snap.partition_columns)
         if cluster_by is None:
@@ -1749,21 +1981,68 @@ def write_delta(
             writer_version = 3
         if generated_columns:
             writer_version = 4
-        adds = write_data_files(
-            enforce_check_constraints(df, properties), path, partition_by
-        )
+        mapping_mode = str(properties.get("delta.columnMapping.mode", "none"))
+        if mapping_mode not in ("none", "name"):
+            raise DeltaProtocolError(
+                f"column mapping mode {mapping_mode!r} is not supported (use 'name')"
+            )
+        out_df = enforce_check_constraints(df, properties)
+        part_cols = partition_by
+        schema_for_meta = df.schema
+        if mapping_mode == "name":
+            # new mapped tables get fresh col-<uuid> physical names
+            # (delta-spark parity); files + partition dirs are physical
+            from jodie_spark.tables.column_mapping import (
+                MAX_ID_PROP,
+                assign_column_mapping,
+                rename_to_physical,
+                to_physical_schema,
+            )
+
+            schema_for_meta, max_id = assign_column_mapping(
+                df.schema, 0, fresh_physical=True
+            )
+            properties[MAX_ID_PROP] = str(max_id)
+            phys = to_physical_schema(schema_for_meta)
+            out_df = rename_to_physical(out_df, schema_for_meta, phys)
+            phys_of = {
+                lf.name: pf.name
+                for lf, pf in zip(schema_for_meta.fields, phys.fields)
+            }
+            part_cols = [phys_of[c] for c in partition_by]
+        adds = write_data_files(out_df, path, part_cols)
         import uuid as _uuid
 
         meta = {
             "id": str(_uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
-            "partitionColumns": partition_by,
+            "schemaString": schema_for_meta.json(),
+            "partitionColumns": part_cols,
             "configuration": properties,
             "createdTime": int(time.time() * 1000),
         }
+        if mapping_mode == "name":
+            wf = {"appendOnly", "columnMapping"}
+            if check_constraints(properties):
+                wf.add("checkConstraints")
+            if generated_columns:
+                wf.add("generatedColumns")
+            if str(properties.get("delta.enableChangeDataFeed", "false")).lower() == "true":
+                wf.add("changeDataFeed")
+            protocol_action = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": sorted(wf),
+                }
+            }
+        else:
+            protocol_action = {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": writer_version}
+            }
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_version}},
+            protocol_action,
             {"metaData": meta},
         ] + txn_actions + [{"add": a} for a in adds]
         log.commit(
@@ -1807,15 +2086,43 @@ def write_delta(
                 for f in new_schema.fields
             ]
         )
-        adds = write_data_files(
-            enforce_check_constraints(aligned, snap.configuration),
-            path,
-            snap.partition_columns,
-        )
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        mapped = column_mapping_mode(snap.metadata) == "name"
+        conf_update: dict[str, str] | None = None
+        if extra and mapped:
+            # mergeSchema-added columns on a mapped table need ids +
+            # fresh physical names before the metadata commit
+            from jodie_spark.tables.column_mapping import (
+                MAX_ID_PROP,
+                assign_column_mapping,
+                max_column_id,
+            )
+
+            new_schema, max_id = assign_column_mapping(
+                new_schema, start_id=max_column_id(snap.metadata), fresh_physical=True
+            )
+            conf_update = {MAX_ID_PROP: str(max_id)}
+        out_df = enforce_check_constraints(aligned, snap.configuration)
+        if mapped:
+            # constraints/generation run on logical names above; the
+            # parquet files store physical names
+            from jodie_spark.tables.column_mapping import (
+                rename_to_physical,
+                to_physical_schema,
+            )
+
+            out_df = rename_to_physical(out_df, new_schema, to_physical_schema(new_schema))
+        adds = write_data_files(out_df, path, snap.partition_columns)
         actions = txn_actions + [{"add": a} for a in adds]
         if extra:
             meta = dict(snap.metadata)
             meta["schemaString"] = new_schema.json()
+            if conf_update:
+                meta["configuration"] = {
+                    **(meta.get("configuration") or {}),
+                    **conf_update,
+                }
             actions.insert(0, {"metaData": meta})
         log.commit(
             snap.version,
@@ -1839,9 +2146,23 @@ def write_delta(
                 f"Table schema columns: {table_cols}; data schema columns: {df_cols}. "
                 "Set option overwriteSchema=true to overwrite the schema."
             )
-        adds = write_data_files(
-            enforce_check_constraints(df, snap.configuration), path, eff_partition
-        )
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        mapped = column_mapping_mode(snap.metadata) == "name"
+        if mapped and (schema_changed or eff_partition != snap.partition_columns):
+            raise JodieValidationError(
+                "schema or partitioning changes on a column-mapped table must "
+                "go through add_columns/rename_column/drop_column"
+            )
+        out_df = enforce_check_constraints(df, snap.configuration)
+        if mapped:
+            from jodie_spark.tables.column_mapping import (
+                rename_to_physical,
+                to_physical_schema,
+            )
+
+            out_df = rename_to_physical(out_df, table_schema, to_physical_schema(table_schema))
+        adds = write_data_files(out_df, path, eff_partition)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = list(txn_actions)
         if schema_changed or eff_partition != snap.partition_columns:

@@ -1,0 +1,203 @@
+"""Schema-evolution DDL: enable_column_mapping / add_columns /
+rename_column / drop_column, and physical-name writes on mapped
+tables."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jodie_spark.errors import DeltaProtocolError, JodieValidationError
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def _mk(spark, tmpdir_path, name="t", partition_by=None, options=None):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")], ["id", "val", "part"]
+    )
+    path = os.path.join(tmpdir_path, name)
+    write_delta(df, path, partition_by=partition_by, options=options)
+    return DeltaTable.forPath(spark, path)
+
+
+def test_enable_column_mapping_roundtrip(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    assert t.column_mapping_mode() == "none"
+    t.enable_column_mapping()
+    assert t.column_mapping_mode() == "name"
+    t.enable_column_mapping()  # idempotent no-op
+    snap = t.snapshot()
+    proto = snap.protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "3"
+    # existing data still reads; physical names equal pre-upgrade names
+    assert sorted(r["id"] for r in t.toDF().collect()) == [1, 2, 3]
+    # appends still work (physical == logical here)
+    write_delta(t.toDF().limit(1), t.path, mode="append")
+    assert t.toDF().count() == 4
+
+
+def test_rename_column_metadata_only(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    v_before = t.snapshot().version
+    t.rename_column("val", "label")  # auto-enables mapping
+    assert t.column_mapping_mode() == "name"
+    df = t.toDF()
+    assert "label" in df.columns and "val" not in df.columns
+    assert sorted(r["label"] for r in df.collect()) == ["a", "b", "c"]
+    # two commits (enable + rename), zero data files written
+    snap = t.snapshot()
+    assert snap.version == v_before + 2
+    assert len(snap.add_files()) == len(t.snapshot(v_before).add_files())
+    # append through the logical schema lands in the ORIGINAL physical name
+    extra = spark.createDataFrame([(9, "z", "q")], ["id", "label", "part"])
+    write_delta(extra, t.path, mode="append")
+    out = {r["id"]: r["label"] for r in t.toDF().collect()}
+    assert out[9] == "z" and out[1] == "a"
+    # history records the DDL
+    ops = [r["operation"] for r in t.history().collect()]
+    assert "RENAME COLUMN" in ops
+
+
+def test_rename_partition_column(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, partition_by=["part"])
+    t.rename_column("part", "bucket")
+    df = t.toDF()
+    assert sorted(r["bucket"] for r in df.collect()) == ["x", "x", "y"]
+    # appends keep landing in the original physical partition dirs
+    write_delta(
+        spark.createDataFrame([(4, "d", "y")], ["id", "val", "bucket"]),
+        t.path,
+        mode="append",
+    )
+    assert t.toDF().filter(F.col("bucket") == "y").count() == 2
+    # the on-disk layout still uses the physical (original) name
+    assert any(d.startswith("part=") for d in os.listdir(t.path))
+
+
+def test_drop_and_readd_column_does_not_resurrect(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    t.drop_column("val")
+    assert t.toDF().columns == ["id", "part"]
+    # re-adding the same logical name maps to a FRESH physical column:
+    # the old bytes must stay invisible (delta-spark semantics)
+    t.add_columns({"val": "string"})
+    vals = [r["val"] for r in t.toDF().collect()]
+    assert vals == [None, None, None]
+
+
+def test_add_columns_unmapped_table(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    t.add_columns({"score": "double"})
+    assert t.toDF().schema["score"].dataType.typeName() == "double"
+    assert [r["score"] for r in t.toDF().collect()] == [None, None, None]
+    with pytest.raises(JodieValidationError):
+        t.add_columns({"id": "long"})  # duplicate
+    with pytest.raises(JodieValidationError):
+        t.add_columns({})
+
+
+def test_create_mapped_table_physical_files(spark, tmpdir_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    path = os.path.join(tmpdir_path, "mapped")
+    write_delta(df, path, options={"delta.columnMapping.mode": "name"})
+    t = DeltaTable.forPath(spark, path)
+    assert t.column_mapping_mode() == "name"
+    assert sorted(tuple(r) for r in t.toDF().collect()) == [(1, "a"), (2, "b")]
+    # parquet files must carry col-<uuid> physical names, not logical ones
+    import pyarrow.parquet as pq
+
+    f = next(
+        os.path.join(path, n) for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    names = pq.read_schema(f).names
+    assert all(n.startswith("col-") for n in names), names
+    # append + overwrite still work and stay logical at the API surface
+    write_delta(df, path, mode="append")
+    assert t.toDF().count() == 4
+    write_delta(df, path, mode="overwrite")
+    assert t.toDF().count() == 2
+
+
+def test_mapped_partitioned_create(spark, tmpdir_path):
+    df = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], ["id", "val", "part"])
+    path = os.path.join(tmpdir_path, "mp")
+    write_delta(
+        df, path, partition_by=["part"], options={"delta.columnMapping.mode": "name"}
+    )
+    t = DeltaTable.forPath(spark, path)
+    assert sorted(r["part"] for r in t.toDF().collect()) == ["x", "y"]
+    # partition dirs are physical col-<uuid>=value
+    assert any(d.startswith("col-") and "=" in d for d in os.listdir(path))
+    assert t.toDF().filter(F.col("part") == "x").count() == 1
+
+
+def test_dml_refused_on_mapped_tables(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    t.enable_column_mapping()
+    with pytest.raises(DeltaProtocolError, match="DELETE"):
+        t.delete("id = 1")
+    with pytest.raises(DeltaProtocolError, match="UPDATE"):
+        t.update("id = 1", {"val": F.lit("z")})
+    src = spark.createDataFrame([(1, "z", "x")], ["id", "val", "part"])
+    with pytest.raises(DeltaProtocolError, match="MERGE"):
+        (
+            t.alias("old")
+            .merge(src.alias("new"), "old.id = new.id")
+            .whenMatchedUpdateAll()
+            .execute()
+        )
+    with pytest.raises(DeltaProtocolError, match="OPTIMIZE"):
+        t.optimize().executeCompaction()
+
+
+def test_rename_refused_when_referenced(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    t.add_check_constraint("pos_id", "id > 0")
+    with pytest.raises(JodieValidationError, match="pos_id"):
+        t.rename_column("id", "ident")
+    with pytest.raises(JodieValidationError, match="pos_id"):
+        t.drop_column("id")
+    # un-referenced columns still rename fine
+    t.rename_column("val", "v2")
+    assert "v2" in t.toDF().columns
+
+
+def test_drop_column_guards(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path, partition_by=["part"])
+    with pytest.raises(JodieValidationError, match="partition"):
+        t.drop_column("part")
+    with pytest.raises(JodieValidationError, match="does not exist"):
+        t.drop_column("nope")
+    with pytest.raises(JodieValidationError, match="does not exist"):
+        t.rename_column("nope", "x")
+    t.rename_column("val", "value")
+    with pytest.raises(JodieValidationError, match="already exists"):
+        t.rename_column("id", "value")
+
+
+def test_overwrite_schema_change_refused_on_mapped(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    t.enable_column_mapping()
+    other = spark.createDataFrame([(1, 2.0)], ["id", "score"])
+    with pytest.raises(JodieValidationError, match="column-mapped"):
+        write_delta(
+            other, t.path, mode="overwrite", options={"overwriteSchema": "true"}
+        )
+
+
+def test_merge_schema_append_on_mapped_table(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    t.enable_column_mapping()
+    extra = spark.createDataFrame([(7, "g", "x", 1.5)], ["id", "val", "part", "score"])
+    write_delta(extra, t.path, mode="append", options={"mergeSchema": "true"})
+    df = t.toDF()
+    assert "score" in df.columns
+    got = {r["id"]: r["score"] for r in df.collect()}
+    assert got[7] == 1.5 and got[1] is None
+    # the new column's physical name is a fresh col-<uuid>
+    fld = t.schema()["score"]
+    assert fld.metadata["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(t.snapshot().configuration["delta.columnMapping.maxColumnId"]) == 4
