@@ -484,10 +484,12 @@ def _q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_column_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution lifecycle on a column-mapped table: RENAME
-    COLUMN (metadata-only, auto-enables mapping), DROP COLUMN, ADD
-    COLUMNS, then an append through the evolved logical schema. The
-    oracle states the final table declaratively."""
+    """Schema-evolution + DML lifecycle on a column-mapped table:
+    RENAME COLUMN (metadata-only, auto-enables mapping), DROP COLUMN,
+    ADD COLUMNS, append through the evolved logical schema, then
+    DELETE and UPDATE evaluated on the renamed logical names (the
+    rewrites stay physical-named on disk). The oracle states the final
+    table declaratively."""
     from jodie_spark.sources import load_table
     from jodie_spark.tables.table import write_delta
 
@@ -504,6 +506,8 @@ def _q_column_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey") % 2).cast("bigint").alias("flag"),
     )
     write_delta(extra, t.path, mode="append")
+    t.delete("n_nationkey >= 103")
+    t.update("flag IS NULL", {"flag": F.col("n_regionkey").cast("bigint")})
     return t.toDF()
 
 
@@ -1706,12 +1710,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "column_ddl_lifecycle": r"""
             SELECT n_nationkey, n_name AS nation_name, n_regionkey,
-                   CAST(NULL AS BIGINT) AS flag
+                   CAST(n_regionkey AS BIGINT) AS flag
             FROM nation
             UNION ALL
             SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey,
                    CAST(n_nationkey % 2 AS BIGINT)
-            FROM nation WHERE n_nationkey < 5
+            FROM nation WHERE n_nationkey < 3
         """,
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,

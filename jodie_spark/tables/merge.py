@@ -251,7 +251,11 @@ class DeltaMergeBuilder:
 
         prune_cond = self._target_only_condition(talias, out_cols)
         candidates = plan_candidate_files(
-            spark, t.path, prune_cond, schema, snap.partition_columns
+            spark,
+            t.path,
+            t._planning_condition(snap, prune_cond),
+            schema,
+            snap.partition_columns,
         )
 
         src = self.source.withColumn("__s_exists__", F.lit(True))
@@ -379,7 +383,13 @@ class DeltaMergeBuilder:
         # a merge with only not-matched clauses is a blind append, legal
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
         t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
-        t._refuse_column_mapped(snap, "MERGE")
+        mapped = t._mapping_schemas(snap) is not None
+        if mapped and t.is_cdf_enabled(snap):
+            t._refuse_column_mapped(snap, "MERGE with change data feed")
+        if mapped and self._schema_evolution:
+            t._refuse_column_mapped(snap, "MERGE withSchemaEvolution")
+        if mapped:
+            deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         schema = t.schema(snap)
         if (
             deletion_vectors
@@ -422,7 +432,11 @@ class DeltaMergeBuilder:
         # -- pass 1: which files contain matched rows? ----------------------
         prune_cond = self._target_only_condition(talias, out_cols)
         candidates = plan_candidate_files(
-            spark, t.path, prune_cond, schema, snap.partition_columns
+            spark,
+            t.path,
+            t._planning_condition(snap, prune_cond),
+            schema,
+            snap.partition_columns,
         )
 
         touched: list[dict[str, Any]] = []
@@ -433,7 +447,7 @@ class DeltaMergeBuilder:
             # filters the cache down to the touched subset instead of
             # re-reading from storage
             probe = (
-                read_files_df(spark, t.path, schema, candidates)
+                t._read_candidates(snap, schema, candidates)
                 .withColumn("__path__", F.input_file_name())
                 .persist()
             )
@@ -527,12 +541,11 @@ class DeltaMergeBuilder:
                 enforce_check_constraints,
             )
 
-            adds = write_data_files(
+            adds = t._write_rewrite_files(
+                snap,
                 enforce_check_constraints(
                     apply_generated_columns(result, schema), snap.configuration
                 ),
-                t.path,
-                snap.partition_columns,
             )
             if t.is_cdf_enabled(snap):
                 # change rows: pre-images carry the target columns,

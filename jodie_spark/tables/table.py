@@ -831,17 +831,80 @@ class DeltaTable:
             {"columns": json.dumps([actual])},
         )
 
+    def _mapping_schemas(
+        self, snap: Snapshot
+    ) -> tuple[T.StructType, T.StructType] | None:
+        """(logical, physical) schema pair when the table uses column
+        mapping mode=name, else None."""
+        from jodie_spark.tables.column_mapping import (
+            column_mapping_mode,
+            to_physical_schema,
+        )
+
+        if column_mapping_mode(snap.metadata) != "name":
+            return None
+        logical = self.schema(snap)
+        return logical, to_physical_schema(logical)
+
+    def _read_candidates(
+        self, snap: Snapshot, schema: T.StructType, candidates: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Scan candidate adds returning LOGICAL-named rows: on mapped
+        tables the parquet files (and partition dirs) carry physical
+        names, so the scan uses the physical schema and renames back.
+        DML conditions and set-expressions then evaluate unchanged."""
+        ms = self._mapping_schemas(snap)
+        if ms is None:
+            return read_files_df(self.spark, self.path, schema, candidates)
+        from jodie_spark.tables.column_mapping import rename_to_logical
+
+        logical, physical = ms
+        df = read_files_df(self.spark, self.path, physical, candidates)
+        return rename_to_logical(df, logical, physical)
+
+    def _write_rewrite_files(
+        self, snap: Snapshot, df: DataFrame
+    ) -> list[dict[str, Any]]:
+        """Write rewrite output (logical-named, full table schema) as
+        data files — physical-named on mapped tables, so every other
+        Delta reader resolves them."""
+        ms = self._mapping_schemas(snap)
+        if ms is None:
+            return write_data_files(df, self.path, snap.partition_columns)
+        from jodie_spark.tables.column_mapping import rename_to_physical
+
+        logical, physical = ms
+        return write_data_files(
+            rename_to_physical(df, logical, physical), self.path, snap.partition_columns
+        )
+
+    def _planning_condition(self, snap: Snapshot, condition: str | None) -> str | None:
+        """File-pruning condition that is SAFE against the log's stats /
+        partitionValues keys. On mapped tables those keys are physical
+        names: when every physical name equals its logical name (the
+        upgrade case) pruning is exact; once any column was renamed, a
+        logical name in the condition could collide with a DIFFERENT
+        column's physical name and prune wrongly — so pruning is
+        disabled (None = keep every file: correct, just un-skipped)."""
+        if condition is None:
+            return None
+        ms = self._mapping_schemas(snap)
+        if ms is None:
+            return condition
+        logical, physical = ms
+        if all(lf.name == pf.name for lf, pf in zip(logical.fields, physical.fields)):
+            return condition
+        return None
+
     def _refuse_column_mapped(self, snap: Snapshot, op: str) -> None:
-        """Rewrite-DML on mapped tables needs physical-name round-trips
-        this engine doesn't do yet; refuse loudly rather than write
-        logical-named files other readers can't resolve."""
+        """Paths that still need physical-name round-trips this engine
+        doesn't do (CDF change files, DV coordinate scans) refuse
+        loudly rather than write files other readers can't resolve."""
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
         if column_mapping_mode(snap.metadata) != "none":
             raise DeltaProtocolError(
-                f"{op} on a column-mapped table is not supported by this "
-                "engine (supported there: reads, append/overwrite writes, "
-                "ADD/RENAME/DROP COLUMN, restore, vacuum)"
+                f"{op} on a column-mapped table is not supported by this engine"
             )
 
     # -- mutations -----------------------------------------------------------
@@ -883,12 +946,22 @@ class DeltaTable:
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
-        self._refuse_column_mapped(snap, "DELETE")
+        mapped = self._mapping_schemas(snap) is not None
+        if mapped and self.is_cdf_enabled(snap):
+            # CDF change files on mapped tables need physical-name cdc
+            # layouts this engine doesn't produce yet
+            self._refuse_column_mapped(snap, "DELETE with change data feed")
+        if mapped:
+            deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         if deletion_vectors and condition is not None:
             self._delete_with_dvs(snap, schema, condition, t0)
             return
         candidates = plan_candidate_files(
-            self.spark, self.path, condition, schema, snap.partition_columns
+            self.spark,
+            self.path,
+            self._planning_condition(snap, condition),
+            schema,
+            snap.partition_columns,
         )
 
         removes: list[dict[str, Any]] = []
@@ -906,7 +979,7 @@ class DeltaTable:
             # single read of the candidate files, cached across the
             # touched-file discovery and the rewrite — the touched set is
             # then a filter over the cache, not a second disk scan
-            cand_df = read_files_df(self.spark, self.path, schema, candidates).withColumn(
+            cand_df = self._read_candidates(snap, schema, candidates).withColumn(
                 "__file__", F.input_file_name()
             ).persist()
             try:
@@ -924,7 +997,7 @@ class DeltaTable:
                         "__file__"
                     )
                     keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
-                    adds = write_data_files(keep_df, self.path, snap.partition_columns)
+                    adds = self._write_rewrite_files(snap, keep_df)
                     removes = touched
                     # count over the cached candidate read (no stats
                     # re-parse; candidates carry no stats strings)
@@ -1332,8 +1405,12 @@ class DeltaTable:
         t0 = time.time()
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
-        self._refuse_column_mapped(snap, "UPDATE")
         schema = self.schema(snap)
+        mapped = self._mapping_schemas(snap) is not None
+        if mapped and self.is_cdf_enabled(snap):
+            self._refuse_column_mapped(snap, "UPDATE with change data feed")
+        if mapped:
+            deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
 
         if deletion_vectors and condition is not None:
             set_exprs = {
@@ -1343,7 +1420,11 @@ class DeltaTable:
             self._update_with_dvs(snap, schema, condition, set_exprs, t0)
             return
         candidates = plan_candidate_files(
-            self.spark, self.path, condition, schema, snap.partition_columns
+            self.spark,
+            self.path,
+            self._planning_condition(snap, condition),
+            schema,
+            snap.partition_columns,
         )
         cond_col = F.expr(condition) if condition else F.lit(True)
 
@@ -1355,7 +1436,7 @@ class DeltaTable:
         if candidates:
             # one cached read of the candidate files feeds touched-file
             # discovery, the rewrite, and the CDF pre/post images
-            cand_df = read_files_df(self.spark, self.path, schema, candidates).withColumn(
+            cand_df = self._read_candidates(snap, schema, candidates).withColumn(
                 "__file__", F.input_file_name()
             ).persist()
             try:
@@ -1382,13 +1463,12 @@ class DeltaTable:
                             for f in schema.fields
                         ]
                     )
-                    adds = write_data_files(
+                    adds = self._write_rewrite_files(
+                        snap,
                         enforce_check_constraints(
                             apply_generated_columns(new_df, schema),
                             snap.configuration,
                         ),
-                        self.path,
-                        snap.partition_columns,
                     )
                     removes = touched
                     updated_rows = int(obs.get["updated"] or 0)
@@ -1517,12 +1597,16 @@ class DeltaTable:
         unchanged, only its physical layout."""
         snap = self.snapshot()
         self.deltaLog.check_write_allowed(snap, removes_data=False)
-        self._refuse_column_mapped(snap, "REORG")
         schema = self.schema(snap)
         dv_adds = [a for a in snap.add_files() if a.get("deletionVector")]
         if not dv_adds:
             return 0
-        live = read_files_df(self.spark, self.path, schema, dv_adds)
+        # a pure layout rewrite never evaluates expressions, so mapped
+        # tables (e.g. DV'd by another engine) stay physical end-to-end
+        ms = self._mapping_schemas(snap)
+        live = read_files_df(
+            self.spark, self.path, ms[1] if ms else schema, dv_adds
+        )
         adds = write_data_files(live, self.path, snap.partition_columns)
         for a in adds:
             a["dataChange"] = False
@@ -1735,14 +1819,29 @@ class OptimizeBuilder:
         # OPTIMIZE removes files with dataChange=false — legal on
         # appendOnly tables (the protocol forbids dataChange removes only)
         t.deltaLog.check_write_allowed(snap, removes_data=False)
-        t._refuse_column_mapped(snap, "OPTIMIZE")
         schema = t.schema(snap)
-        files = plan_candidate_files(t.spark, t.path, self._where, schema, snap.partition_columns)
+        files = plan_candidate_files(
+            t.spark,
+            t.path,
+            t._planning_condition(snap, self._where),
+            schema,
+            snap.partition_columns,
+        )
         if cluster_by is None:
             files = [f for f in files if int(f.get("size") or 0) < target_file_size]
             if len(files) < 2:
                 return t.toDF()
-        df = read_files_df(t.spark, t.path, schema, files)
+        # mapped tables: the whole rewrite runs on physical names (the
+        # only logical-name inputs are cluster columns — translate them)
+        read_schema = schema
+        ms = t._mapping_schemas(snap)
+        if ms is not None:
+            logical, physical = ms
+            phys_of = {lf.name: pf.name for lf, pf in zip(logical.fields, physical.fields)}
+            read_schema = physical
+            if cluster_by:
+                cluster_by = [phys_of.get(c, c) for c in cluster_by]
+        df = read_files_df(t.spark, t.path, read_schema, files)
         total_bytes = sum(int(f.get("size") or 0) for f in files)
         n_out = max(1, -(-total_bytes // target_file_size))
         if cluster_by and len(cluster_by) > 1:

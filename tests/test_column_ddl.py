@@ -134,23 +134,68 @@ def test_mapped_partitioned_create(spark, tmpdir_path):
     assert t.toDF().filter(F.col("part") == "x").count() == 1
 
 
-def test_dml_refused_on_mapped_tables(spark, tmpdir_path):
+def test_dml_on_mapped_tables(spark, tmpdir_path):
+    """DELETE/UPDATE/MERGE/OPTIMIZE run on a mapped (upgraded) table:
+    conditions evaluate on logical names, rewritten files stay
+    physical-named."""
     t = _mk(spark, tmpdir_path)
     t.enable_column_mapping()
-    with pytest.raises(DeltaProtocolError, match="DELETE"):
+    t.delete("id = 1")
+    assert {r["id"] for r in t.toDF().collect()} == {2, 3}
+    t.update("id = 2", {"val": F.lit("bb")})
+    assert {r["id"]: r["val"] for r in t.toDF().collect()}[2] == "bb"
+    src = spark.createDataFrame([(3, "cc", "x"), (9, "i", "y")], ["id", "val", "part"])
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.id = new.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    got = {r["id"]: r["val"] for r in t.toDF().collect()}
+    assert got == {2: "bb", 3: "cc", 9: "i"}
+    t.optimize().executeCompaction()
+    assert {r["id"] for r in t.toDF().collect()} == {2, 3, 9}
+    t.optimize().executeZOrderBy("id")
+    assert t.toDF().count() == 3
+
+
+def test_dml_after_rename_writes_physical_files(spark, tmpdir_path):
+    """DML through RENAMED logical names: pruning is disabled (name
+    collisions would mis-prune) but results are exact, and the rewrite
+    files carry the pinned physical names."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmpdir_path)
+    t.rename_column("val", "label")
+    t.delete("label = 'a'")
+    assert sorted(r["label"] for r in t.toDF().collect()) == ["b", "c"]
+    t.update("label = 'b'", {"label": F.lit("B")})
+    assert sorted(r["label"] for r in t.toDF().collect()) == ["B", "c"]
+    src = spark.createDataFrame([(3, "C", "x")], ["id", "label", "part"])
+    (
+        t.alias("tgt")
+        .merge(src.alias("s"), "tgt.id = s.id")
+        .whenMatchedUpdateAll()
+        .execute()
+    )
+    assert sorted(r["label"] for r in t.toDF().collect()) == ["B", "C"]
+    # every live data file must store the PHYSICAL column name ('val')
+    for a in t.snapshot().add_files():
+        f = os.path.join(t.path, a["path"])
+        names = pq.read_schema(f).names
+        assert "val" in names and "label" not in names, names
+
+
+def test_mapped_cdf_dml_refused(spark, tmpdir_path):
+    t = _mk(
+        spark, tmpdir_path, options={"delta.enableChangeDataFeed": "true"}
+    )
+    t.enable_column_mapping()
+    with pytest.raises(DeltaProtocolError, match="change data feed"):
         t.delete("id = 1")
-    with pytest.raises(DeltaProtocolError, match="UPDATE"):
+    with pytest.raises(DeltaProtocolError, match="change data feed"):
         t.update("id = 1", {"val": F.lit("z")})
-    src = spark.createDataFrame([(1, "z", "x")], ["id", "val", "part"])
-    with pytest.raises(DeltaProtocolError, match="MERGE"):
-        (
-            t.alias("old")
-            .merge(src.alias("new"), "old.id = new.id")
-            .whenMatchedUpdateAll()
-            .execute()
-        )
-    with pytest.raises(DeltaProtocolError, match="OPTIMIZE"):
-        t.optimize().executeCompaction()
 
 
 def test_rename_refused_when_referenced(spark, tmpdir_path):
