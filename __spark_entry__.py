@@ -1322,6 +1322,30 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over `documents` for a fixed query — the
+    full-text ranking path (term-filtered postings, broadcast df/idf,
+    TakeOrderedAndProject). Oracle reproduces the exact arithmetic
+    (Lucene idf variant) in DuckDB; scores rounded to 6 decimals with
+    doc_id tie-breaks keep the top-k engine-portable."""
+    from jodie_spark.operators.fulltext import bm25_topk
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "merge scan shuffle", 10)
+
+
+def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search: documents containing every query term, with
+    the distinct-term hit count. Tokenize → filter-to-terms inside the
+    scan stage → one distinct-count aggregation (no joins)."""
+    from jodie_spark.operators.fulltext import keyword_search
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_search(docs, "merge scan", mode="all")
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -1407,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_file_sizes": _q_delta_file_sizes,
         "optimize_compaction": _q_optimize_compaction,
         "optimize_zorder": _q_optimize_zorder,
+        "bm25_search": _q_bm25_search,
+        "keyword_search": _q_keyword_search,
     }
 
 
@@ -1504,6 +1530,36 @@ _PLANTED_ANN_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_search": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                                 x -> len(x) > 0) AS w
+              FROM documents),
+            toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM words),
+            qt AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM toks
+                   WHERE term IN ('merge','scan','shuffle')
+                   GROUP BY doc_id, term, dl),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM toks
+                      WHERE term IN ('merge','scan','shuffle') GROUP BY term),
+            stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM words)
+            SELECT qt.doc_id,
+                   ROUND(SUM(ln(1 + (n - dft + 0.5)/(dft + 0.5))
+                             * tf*2.2/(tf + 1.2*(0.25 + 0.75*dl/avgdl))), 6)
+                   AS score
+            FROM qt JOIN dfreq USING (term), stats
+            GROUP BY qt.doc_id ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "keyword_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                                        x -> len(x) > 0)) AS term
+              FROM documents)
+            SELECT doc_id, COUNT(DISTINCT term) AS n_matched
+            FROM toks WHERE term IN ('merge','scan')
+            GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+        """,
         "language_id": _language_id_oracle(),
         "ngram_jaccard_pairs": f"""
             WITH {_jaccard_pairs_cte()}

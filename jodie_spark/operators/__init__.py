@@ -23,6 +23,12 @@ from jodie_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
 )
+from jodie_spark.operators.fulltext import (
+    bm25_topk,
+    build_inverted_index,
+    keyword_search,
+    term_postings,
+)
 from jodie_spark.operators.scd import type2_generic_upsert, type2_upsert
 from jodie_spark.operators.similarity import (
     ann_topk,
@@ -87,6 +93,10 @@ __all__ = [
     "type2_generic_upsert",
     "type2_upsert",
     "ann_topk",
+    "bm25_topk",
+    "build_inverted_index",
+    "keyword_search",
+    "term_postings",
     "brute_force_topk",
     "cosine_similarity_join",
     "with_ann_signatures",
