@@ -19,7 +19,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1322,6 +1322,46 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta identity columns (writer feature v6): create with
+    start=100/step=3 over supplier, append a second batch, and join
+    the generated surrogate keys back to the payload. Identity
+    guarantees uniqueness and per-write contiguous blocks here, so the
+    SORTED id sequence is layout-independent: the n-th smallest id is
+    exactly 100 + 3·(n−1) — which is how the oracle reproduces it
+    (row_number over the same deterministic payload ordering)."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    first = sup.filter("s_suppkey % 2 = 0")
+    second = sup.filter("s_suppkey % 2 = 1")
+    t = _delta_from(first, "identsrc", identity_columns={"id": {"start": 100, "step": 3}})
+    write_delta(second, t.path, mode="append")
+    t = DeltaTable.forPath(spark, t.path)
+    df = t.toDF()
+    # rank ids within each batch (even suppkeys got the first block,
+    # odd the second); pair with the batch-local payload rank so the
+    # result is fully deterministic despite layout-dependent assignment
+    w = Window.partitionBy(F.col("s_suppkey") % 2).orderBy("id")
+    v = Window.partitionBy(F.col("s_suppkey") % 2).orderBy("s_suppkey")
+    ranked = df.withColumn("id_rank", F.row_number().over(w)).withColumn(
+        "key_rank", F.row_number().over(v)
+    )
+    ids = ranked.select(
+        (F.col("s_suppkey") % 2).alias("batch"),
+        F.col("id_rank").alias("rnk"),
+        "id",
+    )
+    keys = ranked.select(
+        (F.col("s_suppkey") % 2).alias("batch"),
+        F.col("key_rank").alias("rnk"),
+        "s_suppkey",
+        "s_name",
+    )
+    return ids.join(keys, ["batch", "rnk"]).select("batch", "rnk", "id", "s_suppkey", "s_name")
+
+
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 over `documents` for a fixed query — the
     full-text ranking path (term-filtered postings, broadcast df/idf,
@@ -1433,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_zorder": _q_optimize_zorder,
         "bm25_search": _q_bm25_search,
         "keyword_search": _q_keyword_search,
+        "identity_columns": _q_identity_columns,
     }
 
 
@@ -1530,6 +1571,20 @@ _PLANTED_ANN_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "identity_columns": """
+            WITH s AS (SELECT s_suppkey, s_name, s_suppkey % 2 AS batch FROM supplier),
+            ranked AS (
+              SELECT batch,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY batch ORDER BY s_suppkey) AS INT) AS rnk,
+                     s_suppkey, s_name
+              FROM s),
+            c AS (SELECT COUNT(*) AS n0 FROM s WHERE batch = 0)
+            SELECT batch, rnk,
+                   CASE WHEN batch = 0 THEN 100 + 3*(rnk - 1)
+                        ELSE 100 + 3*n0 + 3*(rnk - 1) END AS id,
+                   s_suppkey, s_name
+            FROM ranked, c
+        """,
         "bm25_search": r"""
             WITH words AS (
               SELECT doc_id,

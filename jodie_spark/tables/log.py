@@ -66,7 +66,7 @@ _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 # v5 = legacy column-mapping protocol (implies v4's features +
 # columnMapping; appends/overwrites write physical-named files, and
 # rewrite-DML on mapped tables refuses in DeltaTable._refuse_column_mapped)
-SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 5, 7}
+SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 5, 6, 7}
 # deletionVectors: reads honor DVs (tables/deletion_vectors.py),
 # rewrite-DML reads through the DV filter and drops the DV with the
 # rewritten file, delete(deletion_vectors=True) writes them.
@@ -75,7 +75,7 @@ SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 5, 7}
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
-    "columnMapping",
+    "columnMapping", "identityColumns",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 

@@ -157,6 +157,42 @@ class DeltaMergeBuilder:
                 kept.append(_strip_alias_prefix(conj, talias))
         return " and ".join(kept) if kept else None
 
+    def _check_identity_clauses(self, schema) -> None:
+        """Delta identity-column merge semantics, gated conservatively:
+        UPDATE clauses may never assign an identity column; INSERT
+        clauses must provide GENERATED-BY-DEFAULT identity columns
+        explicitly (this engine does not yet generate identity values
+        inside a merge) and may never provide GENERATED ALWAYS ones."""
+        from jodie_spark.tables.identity import identity_columns_of
+
+        ids = identity_columns_of(schema)
+        if not ids:
+            return
+        src_cols = set(self.source.columns)
+        for c in self._matched:
+            if c.kind != "update":
+                continue
+            touched = set(ids) & (src_cols if c.star else set(c.assignments))
+            if touched:
+                raise JodieValidationError(
+                    f"MERGE cannot update identity column(s) {sorted(touched)}"
+                )
+        for c in self._not_matched:
+            provided = set(ids) & (src_cols if c.star else set(c.assignments))
+            for name in sorted(provided):
+                if not ids[name]["allow_explicit"]:
+                    raise JodieValidationError(
+                        f"MERGE cannot insert explicit values into GENERATED "
+                        f"ALWAYS identity column {name!r}"
+                    )
+            missing = set(ids) - provided
+            if missing:
+                raise JodieValidationError(
+                    f"MERGE insert clause must provide identity column(s) "
+                    f"{sorted(missing)} explicitly (in-merge generation is "
+                    "not supported; append generated rows via write_delta)"
+                )
+
     def _stage_actions(self, joined: DataFrame) -> DataFrame:
         """Attach first-matching-clause indexes and the per-row action
         ('update'/'delete'/'copy'/'insert'/'drop') — the clause-order
@@ -391,6 +427,7 @@ class DeltaMergeBuilder:
         if mapped:
             deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         schema = t.schema(snap)
+        self._check_identity_clauses(schema)
         if (
             deletion_vectors
             and self._matched

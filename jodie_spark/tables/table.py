@@ -1406,6 +1406,13 @@ class DeltaTable:
         snap = self.deltaLog.table_info()
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
+        from jodie_spark.tables.identity import identity_columns_of
+
+        bad = [k for k in set if k in identity_columns_of(schema)]
+        if bad:
+            raise JodieValidationError(
+                f"UPDATE cannot assign identity column(s) {sorted(bad)}"
+            )
         mapped = self._mapping_schemas(snap) is not None
         if mapped and self.is_cdf_enabled(snap):
             self._refuse_column_mapped(snap, "UPDATE with change data feed")
@@ -2007,8 +2014,15 @@ def write_delta(
     partition_by: list[str] | None = None,
     options: dict[str, str] | None = None,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict[str, Any]] | None = None,
 ) -> DeltaTable:
     """``df.write.format("delta").mode(m).save(path)`` equivalent.
+
+    ``identity_columns`` (create only) declares Delta identity columns
+    (writer feature v6): ``{"id": {"start": 1, "step": 1,
+    "allow_explicit": False}}``. An omitted identity column gets
+    generated values; later appends continue past the persisted high
+    watermark. See ``jodie_spark.tables.identity``.
 
     Writer options: ``mergeSchema`` (allow-add-columns append,
     reference DeltaHelpers.scala:375-378), ``overwriteSchema``; any
@@ -2075,11 +2089,54 @@ def write_delta(
                     for f in df.schema.fields
                 ]
             )
+        if identity_columns:
+            from jodie_spark.tables.identity import (
+                assign_identity_values,
+                identity_field_metadata,
+            )
+
+            for name, spec in identity_columns.items():
+                start = int(spec.get("start", 1))
+                step = int(spec.get("step", 1))
+                if step == 0:
+                    raise JodieValidationError(
+                        "identity column step must be non-zero"
+                    )
+                allow = bool(spec.get("allow_explicit", False))
+                hwm: int | None = None
+                if name in df.columns:
+                    if not allow:
+                        raise JodieValidationError(
+                            f"providing values for GENERATED ALWAYS identity "
+                            f"column {name!r} at create requires "
+                            "allow_explicit=True"
+                        )
+                    if not isinstance(
+                        df.schema[name].dataType, (T.LongType, T.IntegerType)
+                    ):
+                        raise JodieValidationError(
+                            f"identity column {name!r} must be integer-typed"
+                        )
+                else:
+                    df, hwm = assign_identity_values(df, name, start, step)
+                md = identity_field_metadata(start, step, allow, hwm)
+                df = df.select(
+                    *[
+                        F.col(f.name).alias(
+                            f.name, metadata={**(f.metadata or {}), **md}
+                        )
+                        if f.name == name
+                        else F.col(f.name)
+                        for f in df.schema.fields
+                    ]
+                )
         writer_version = 2
         if check_constraints(properties):
             writer_version = 3
         if generated_columns:
             writer_version = 4
+        if identity_columns:
+            writer_version = 6
         mapping_mode = str(properties.get("delta.columnMapping.mode", "none"))
         if mapping_mode not in ("none", "name"):
             raise DeltaProtocolError(
@@ -2126,6 +2183,8 @@ def write_delta(
                 wf.add("checkConstraints")
             if generated_columns:
                 wf.add("generatedColumns")
+            if identity_columns:
+                wf.add("identityColumns")
             if str(properties.get("delta.enableChangeDataFeed", "false")).lower() == "true":
                 wf.add("changeDataFeed")
             protocol_action = {
@@ -2158,11 +2217,23 @@ def write_delta(
         raise JodieValidationError(
             "generated_columns can only be declared at table creation"
         )
+    if identity_columns:
+        raise JodieValidationError(
+            "identity_columns can only be declared at table creation"
+        )
     snap = table.snapshot()
     table.deltaLog.check_write_allowed(snap, removes_data=(mode == "overwrite"))
     table_schema = table.schema(snap)
     # compute/validate generated columns declared in the table schema
     df = apply_generated_columns(df, table_schema)
+    # generate identity values for omitted identity columns (and gate
+    # explicit inserts); a non-None schema means the watermark advanced
+    # and the commit must carry the updated metaData
+    from jodie_spark.tables.identity import apply_identity_on_write
+
+    df, _id_schema = apply_identity_on_write(df, table_schema)
+    if _id_schema is not None:
+        table_schema = _id_schema
     eff_partition = snap.partition_columns if not partition_by else partition_by
     table_cols = [f.name for f in table_schema.fields]
     df_cols = list(df.columns)
@@ -2214,7 +2285,7 @@ def write_delta(
             out_df = rename_to_physical(out_df, new_schema, to_physical_schema(new_schema))
         adds = write_data_files(out_df, path, snap.partition_columns)
         actions = txn_actions + [{"add": a} for a in adds]
-        if extra:
+        if extra or _id_schema is not None:
             meta = dict(snap.metadata)
             meta["schemaString"] = new_schema.json()
             if conf_update:
@@ -2245,6 +2316,14 @@ def write_delta(
                 f"Table schema columns: {table_cols}; data schema columns: {df_cols}. "
                 "Set option overwriteSchema=true to overwrite the schema."
             )
+        if schema_changed:
+            from jodie_spark.tables.identity import identity_columns_of
+
+            if identity_columns_of(table_schema):
+                raise JodieValidationError(
+                    "overwriteSchema on a table with identity columns is not "
+                    "supported (the identity definition would be lost)"
+                )
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
         mapped = column_mapping_mode(snap.metadata) == "name"
@@ -2264,9 +2343,18 @@ def write_delta(
         adds = write_data_files(out_df, path, eff_partition)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = list(txn_actions)
-        if schema_changed or eff_partition != snap.partition_columns:
+        if (
+            schema_changed
+            or eff_partition != snap.partition_columns
+            or _id_schema is not None
+        ):
             meta = dict(snap.metadata)
-            meta["schemaString"] = df.schema.json()
+            # unchanged schemas keep the table's field metadata (identity
+            # watermarks, generation expressions) that the incoming
+            # DataFrame's plain schema would silently drop
+            meta["schemaString"] = (
+                df.schema.json() if schema_changed else table_schema.json()
+            )
             meta["partitionColumns"] = eff_partition
             actions.append({"metaData": meta})
         actions += [{"add": a} for a in adds]

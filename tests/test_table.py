@@ -407,7 +407,7 @@ def test_writer_protocol_gate(spark, tmpdir_path):
     v = t.deltaLog.latest_version() + 1
     line = _json.dumps({"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["identityColumns"]}})
+        "writerFeatures": ["rowTracking"]}})
     with open(os.path.join(t.deltaLog.log_path, commit_file_name(v)), "w") as fh:
         fh.write(line + "\n")
     with _pytest.raises(DeltaProtocolError):
