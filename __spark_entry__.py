@@ -1322,6 +1322,17 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (λ=0.7, add-1) over
+    `documents` — the word-order-aware CCNet variant. Oracle
+    reproduces every smoothing branch in DuckDB."""
+    from jodie_spark.operators.perplexity import bigram_perplexity_score
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity_score(docs, "text", "doc_id")
+
+
 def _q_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta identity columns (writer feature v6): create with
     start=100/step=3 over supplier, append a second batch, and join
@@ -1474,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "keyword_search": _q_keyword_search,
         "identity_columns": _q_identity_columns,
+        "bigram_perplexity": _q_bigram_perplexity,
     }
 
 
@@ -1571,6 +1583,36 @@ _PLANTED_ANN_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bigram_perplexity": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0),
+            pairs AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev,
+                     w[i] AS token
+              FROM words, LATERAL unnest(generate_series(1, len(w))) AS g(i)),
+            ucount AS (SELECT token, COUNT(*) AS c FROM pairs GROUP BY token),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total,
+                           CAST(COUNT(*) AS DOUBLE) AS vocab FROM ucount),
+            bi AS (SELECT prev, token, COUNT(*) AS c_pt FROM pairs GROUP BY prev, token),
+            ctx AS (SELECT prev, SUM(c_pt) AS c_p FROM bi GROUP BY prev),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(0.7 * (COALESCE(b.c_pt, 0) + 1.0)
+                            / (COALESCE(c.c_p, 0) + 1.0 * (vocab + 1))
+                        + 0.3 * COALESCE((u.c + 1.0) / (total + 1.0 * (vocab + 1)),
+                                         1.0 / (total + 1.0 * (vocab + 1)))) AS lp
+              FROM pairs p
+              LEFT JOIN bi b USING (prev, token)
+              LEFT JOIN ctx c USING (prev)
+              LEFT JOIN ucount u USING (token), tot),
+            per AS (SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS avg_logprob
+                    FROM scored GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                   p.avg_logprob, exp(-p.avg_logprob) AS perplexity
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         "identity_columns": """
             WITH s AS (SELECT s_suppkey, s_name, s_suppkey % 2 AS batch FROM supplier),
             ranked AS (

@@ -101,6 +101,104 @@ def perplexity_score(
     )
 
 
+def _token_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(prev, token) rows per document position — the first token's
+    context is the sentence-start marker ``<s>``. Pure Catalyst: one
+    ``transform`` over the token array (no self-join, no shuffle)."""
+    base = df.withColumn("__w__", ws_tokens(F.col(text_col))).filter(
+        F.size("__w__") > 0
+    )
+    pair_expr = F.explode(
+        F.expr(
+            "transform(__w__, (t, i) -> struct("
+            "CASE WHEN i = 0 THEN '<s>' ELSE element_at(__w__, i) END AS prev,"
+            " t AS token))"
+        )
+    ).alias("pr")
+    cols = ([F.col(id_col)] if id_col else []) + [pair_expr]
+    return base.select(*cols).select(
+        *(([id_col] if id_col else []) + ["pr.prev", "pr.token"])
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus bigram table ``(prev, token, c_pt)`` with ``<s>``-anchored
+    first tokens. One explode + one hash aggregation (shuffle bounded
+    by distinct bigrams, map-side combined)."""
+    return (
+        _token_pairs(df, text_col, None)
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c_pt"))
+    )
+
+
+def bigram_perplexity_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+    k: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram model
+    trained on the corpus itself:
+
+        P(t | p) = λ · P_bi(t | p) + (1 − λ) · P_uni(t)
+        P_bi(t|p) = (c(p,t) + k) / (c(p) + k·(V + 1))
+        P_uni(t)  = (c(t) + k) / (total + k·(V + 1))
+
+    Unseen bigrams back off smoothly (k mass), unseen contexts give the
+    uniform 1/(V+1), and out-of-vocabulary tokens take the UNK unigram
+    mass — every branch is the same ``coalesce(count, 0)`` arithmetic,
+    so the whole model is reproducible in any SQL engine.
+
+    Captures word-order signal unigram perplexity can't: a shuffled
+    document keeps its unigram score but its bigram perplexity rises.
+    Same plan shape as :func:`perplexity_score` — explode, two model
+    joins (broadcast when the bigram table fits), one aggregation."""
+    uni = unigram_model(df, text_col, k)
+    scalars = uni.select("total", "vocab").limit(1)
+    bi = bigram_counts(df, text_col)
+    ctx = bi.groupBy("prev").agg(F.sum("c_pt").alias("c_p"))
+    uni_m = uni.select("token", F.exp("logp").alias("p_uni"))
+    if broadcast_model:
+        bi, ctx, uni_m = F.broadcast(bi), F.broadcast(ctx), F.broadcast(uni_m)
+
+    pairs = _token_pairs(df, text_col, id_col)
+    kk = F.lit(float(k))
+    v1 = F.col("vocab") + 1
+    unk_uni = kk / (F.col("total") + kk * v1)
+    scored = (
+        pairs.join(bi, ["prev", "token"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni_m, "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(float(lam))
+                * (F.coalesce(F.col("c_pt"), F.lit(0)) + kk)
+                / (F.coalesce(F.col("c_p"), F.lit(0)) + kk * v1)
+                + F.lit(1.0 - float(lam)) * F.coalesce(F.col("p_uni"), unk_uni)
+            ).alias("__lp__"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("__lp__").alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     text_col: str,

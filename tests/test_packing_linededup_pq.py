@@ -471,6 +471,61 @@ def test_perplexity_external_model_and_unk(spark):
     assert row["perplexity"] is not None and row["perplexity"] > 1
 
 
+def test_bigram_counts_anchor_sentence_start(spark):
+    from jodie_spark.operators.perplexity import bigram_counts
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "b b")], ["doc_id", "text"])
+    rows = {(r["prev"], r["token"]): r["c_pt"] for r in bigram_counts(df, "text").collect()}
+    assert rows[("<s>", "a")] == 1 and rows[("<s>", "b")] == 1
+    assert rows[("a", "b")] == 2 and rows[("b", "a")] == 1 and rows[("b", "b")] == 1
+    # every token is counted exactly once as a pair target
+    assert sum(rows.values()) == 6
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Single-doc corpus 'a b': verify the interpolated formula exactly."""
+    import math
+
+    from jodie_spark.operators.perplexity import bigram_perplexity_score
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    row = bigram_perplexity_score(df, "text", "doc_id").collect()[0]
+    # vocab V=2, total=2; bigrams: (<s>,a)=1, (a,b)=1; contexts c(<s>)=1, c(a)=1
+    # P_bi = (1+1)/(1+3) = 0.5 for both; P_uni(a)=P_uni(b)=(1+1)/(2+3)=0.4
+    lp = math.log(0.7 * 0.5 + 0.3 * 0.4)
+    assert row["n_tokens"] == 2
+    assert row["avg_logprob"] == pytest.approx(lp, abs=1e-12)
+    assert row["perplexity"] == pytest.approx(math.exp(-lp), rel=1e-12)
+
+
+def test_bigram_perplexity_detects_shuffled_word_order(spark):
+    """Word-order signal: a shuffled clone of a repetitive corpus
+    sentence scores worse under the bigram model even though its
+    unigram distribution is identical."""
+    from jodie_spark.operators.perplexity import (
+        bigram_perplexity_score,
+        perplexity_score,
+    )
+
+    sent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    rows = [(i, sent) for i in range(20)] + [(99, shuffled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bi = {r["doc_id"]: r["perplexity"] for r in bigram_perplexity_score(df, "text", "doc_id").collect()}
+    uni = {r["doc_id"]: r["perplexity"] for r in perplexity_score(df, "text", "doc_id").collect()}
+    assert bi[99] > bi[0]
+    # unigram can't tell them apart (same bag of words)
+    assert uni[99] == pytest.approx(uni[0], rel=1e-9)
+
+
+def test_bigram_perplexity_empty_doc_null(spark):
+    from jodie_spark.operators.perplexity import bigram_perplexity_score
+
+    df = spark.createDataFrame([(1, "a b"), (2, "  ")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_perplexity_score(df, "text", "doc_id").collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["perplexity"] is None
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup)
 # ---------------------------------------------------------------------------
