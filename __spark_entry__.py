@@ -1322,6 +1322,37 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_cdf_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read through the `jodie_delta` Python
+    DataSource (spark.read.option("readChangeFeed","true")) — the same
+    change rows `read_cdf` produces, but planned/executed by Spark's
+    DataSource API: one InputPartition per change-bearing file, cdc
+    rows carrying their own _change_type, insert/delete rows
+    synthesized executor-side from add/remove files."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    t = _delta_from(
+        load_table(spark, sf_dir, "nation"),
+        "cdfds",
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete("n_regionkey = 0")
+    t.update("n_regionkey = 1", {"n_name": "concat(n_name, '_x')"})
+    return (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "2")
+        .load(t.path)
+        .select(
+            "n_nationkey", "n_name", "n_regionkey", "_change_type",
+            F.col("_commit_version").cast("long").alias("_commit_version"),
+        )
+    )
+
+
 def _q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity (λ=0.7, add-1) over
     `documents` — the word-order-aware CCNet variant. Oracle
@@ -1486,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "identity_columns": _q_identity_columns,
         "bigram_perplexity": _q_bigram_perplexity,
+        "cdf_datasource": _q_cdf_datasource,
     }
 
 
@@ -2289,6 +2321,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderstatus = 'F'
         """,
         "read_cdf": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+            FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', CAST(2 AS BIGINT)
+            FROM nation WHERE n_regionkey = 1
+            UNION ALL
+            SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
+            FROM nation WHERE n_regionkey = 1
+        """,
+        "cdf_datasource": """
             SELECT n_nationkey, n_name, n_regionkey,
                    'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
             FROM nation WHERE n_regionkey = 0

@@ -277,6 +277,240 @@ class JodieDeltaBatchReader(DataSourceReader):
 # ---------------------------------------------------------------------------
 
 
+class _CdfFilePartition(InputPartition):
+    """One change-bearing file of one commit: a ``cdc`` file (rows carry
+    their own ``_change_type``), or a data file synthesized as all-
+    ``insert`` / all-``delete`` rows (the same rules the batch
+    ``read_cdf`` operator applies — see operators/cdf.py:84-131)."""
+
+    def __init__(
+        self,
+        file_path: str,
+        kind: str,  # 'cdc' | 'insert' | 'delete'
+        version: int,
+        ts_ms: int,
+        partition_values: dict[str, str],
+        table_path: str,
+        dv: dict | None = None,
+    ):
+        self.file_path = file_path
+        self.kind = kind
+        self.version = version
+        self.ts_ms = ts_ms
+        self.partition_values = partition_values
+        self.table_path = table_path
+        self.dv = dv  # live deletion vector: DV'd rows are not changes
+
+
+CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def _cdf_schema(table_schema: StructType) -> StructType:
+    from pyspark.sql import types as T
+
+    return StructType(
+        [f for f in table_schema.fields]
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+            T.StructField("_commit_timestamp", T.TimestampType()),
+        ]
+    )
+
+
+def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartition]:
+    """Driver-side: classify each commit in ``(start_v, end_v]`` into
+    change-bearing file partitions, enforcing CDF coverage the same way
+    delta-spark's CDCReader does (raises when a version in range has no
+    recorded change data and CDF was off)."""
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.operators.cdf import CDF_PROP, _cdf_enabled
+    from jodie_spark.tables.log import DeltaLog
+
+    log = DeltaLog(path)
+    if start_v + 1 > end_v:
+        return []
+    enabled = _cdf_enabled(log.snapshot(max(start_v, 0)).configuration)
+    out: list[_CdfFilePartition] = []
+    for v in range(start_v + 1, end_v + 1):
+        actions = log.read_actions(v)
+        ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+        ts = int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
+        has_cdc = False
+        adds: list[dict] = []
+        removes: list[dict] = []
+        for a in actions:
+            if "metaData" in a and a["metaData"]:
+                enabled = _cdf_enabled(a["metaData"].get("configuration"))
+            elif "cdc" in a and a["cdc"]:
+                has_cdc = True
+                p = os.path.join(path, urllib.parse.unquote(a["cdc"]["path"]))
+                if not os.path.isfile(p):
+                    raise FileNotFoundError(
+                        f"change data file {p} for version {v} has been "
+                        "deleted (vacuumed?)"
+                    )
+                out.append(
+                    _CdfFilePartition(
+                        p, "cdc", v, ts, a["cdc"].get("partitionValues") or {}, path
+                    )
+                )
+            elif "add" in a and a["add"] and a["add"].get("dataChange", True):
+                adds.append(a["add"])
+            elif "remove" in a and a["remove"] and a["remove"].get("dataChange", True):
+                removes.append(a["remove"])
+        if v > 0 and not enabled:
+            raise DeltaProtocolError(
+                f"jodie_delta CDF stream: change data was not recorded for "
+                f"version {v} ({CDF_PROP} is disabled)"
+            )
+        if has_cdc:
+            continue
+        for ad in adds:
+            out.append(
+                _CdfFilePartition(
+                    os.path.join(path, urllib.parse.unquote(ad["path"])),
+                    "insert",
+                    v,
+                    ts,
+                    ad.get("partitionValues") or {},
+                    path,
+                    ad.get("deletionVector"),
+                )
+            )
+        for rm in removes:
+            p = os.path.join(path, urllib.parse.unquote(rm["path"]))
+            if not os.path.isfile(p):
+                raise FileNotFoundError(
+                    f"removed data file {p} needed to synthesize delete "
+                    f"change rows for version {v} has been deleted (vacuumed?)"
+                )
+            out.append(
+                _CdfFilePartition(
+                    p,
+                    "delete",
+                    v,
+                    ts,
+                    rm.get("partitionValues") or {},
+                    path,
+                    rm.get("deletionVector"),
+                )
+            )
+    return out
+
+
+def _read_cdf_file_batches(
+    partition: _CdfFilePartition, cdf_schema: StructType
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side: read one change-bearing file and emit Arrow
+    batches in the CDF schema (table columns + _change_type /
+    _commit_version / _commit_timestamp). For ``cdc`` files the
+    per-row ``_change_type`` comes from the file itself; synthesized
+    insert/delete files get it as a constant."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    data_fields = [f for f in cdf_schema.fields if f.name not in CDF_COLS]
+    ct_field = next(f for f in cdf_schema.fields if f.name == "_change_type")
+    read_fields = list(data_fields) + ([ct_field] if partition.kind == "cdc" else [])
+    inner = StructType(read_fields)
+    base = _FilePartition(
+        partition.file_path,
+        partition.partition_values,
+        partition.dv,
+        partition.table_path,
+    )
+    ver_t = to_arrow_type(cdf_schema["_commit_version"].dataType)
+    ts_t = to_arrow_type(cdf_schema["_commit_timestamp"].dataType)
+    ct_t = to_arrow_type(ct_field.dataType)
+    target = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType), True) for f in cdf_schema.fields]
+    )
+    for batch in _read_file_batches(base, inner):
+        n = batch.num_rows
+        cols = list(batch.columns)
+        if partition.kind == "cdc":
+            ct = cols.pop()  # _change_type read from the file
+        else:
+            ct = pa.array([partition.kind] * n, type=ct_t)
+        arrays = cols + [
+            ct,
+            pa.array([partition.version] * n, type=ver_t),
+            pa.array([partition.ts_ms * 1000] * n, type=ts_t),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class JodieDeltaCdfStreamReader(DataSourceStreamReader):
+    """Streaming change-data-feed source — the delta-spark
+    ``readStream.option("readChangeFeed","true")`` equivalent. Offsets
+    are commit versions; each micro-batch delivers the change rows of
+    the commits in ``(start, end]``. With no ``startingVersion`` the
+    stream begins after the version current at start (new changes
+    only, delta parity); pass ``startingVersion`` to replay history."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jodie_delta requires a path: .load('/table/path')")
+        self.schema = schema
+        self.starting_version = options.get("startingVersion")
+
+    def initialOffset(self) -> dict:
+        from jodie_spark.tables.log import DeltaLog
+
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version) - 1}
+        return {"version": DeltaLog(self.path).latest_version()}
+
+    def latestOffset(self) -> dict:
+        from jodie_spark.tables.log import DeltaLog
+
+        return {"version": DeltaLog(self.path).latest_version()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return _cdf_partitions(self.path, int(start["version"]), int(end["version"]))
+
+    def read(self, partition: _CdfFilePartition):
+        yield from _read_cdf_file_batches(partition, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # log-backed source: nothing to clean up
+
+
+class JodieDeltaCdfBatchReader(DataSourceReader):
+    """Batch CDF read through the datasource:
+    ``spark.read.format("jodie_delta").option("readChangeFeed","true")
+    .option("startingVersion", s).option("endingVersion", e)`` —
+    same coverage rules as the streaming reader."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        self.schema = schema
+        if options.get("startingVersion") is None:
+            raise ValueError(
+                "readChangeFeed batch reads require startingVersion"
+            )
+        self.start_v = int(options.get("startingVersion"))
+        self.end_v = (
+            int(options["endingVersion"])
+            if options.get("endingVersion") is not None
+            else None
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from jodie_spark.tables.log import DeltaLog
+
+        end_v = (
+            DeltaLog(self.path).latest_version() if self.end_v is None else self.end_v
+        )
+        return _cdf_partitions(self.path, self.start_v - 1, end_v)
+
+    def read(self, partition: _CdfFilePartition):
+        yield from _read_cdf_file_batches(partition, self.schema)
+
+
 class JodieDeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
@@ -603,6 +837,9 @@ class JodieDeltaDataSource(DataSource):
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _cdf_requested(self) -> bool:
+        return str(self.options.get("readChangeFeed", "false")).lower() == "true"
+
     def schema(self) -> StructType:
         from jodie_spark.tables.log import DeltaLog
 
@@ -610,12 +847,17 @@ class JodieDeltaDataSource(DataSource):
         if not path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         info = DeltaLog(path).table_info()
-        return StructType.fromJson(json.loads(info.schema_string))
+        base = StructType.fromJson(json.loads(info.schema_string))
+        return _cdf_schema(base) if self._cdf_requested() else base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf_requested():
+            return JodieDeltaCdfBatchReader(self.options, schema)
         return JodieDeltaBatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf_requested():
+            return JodieDeltaCdfStreamReader(self.options, schema)
         return JodieDeltaStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:

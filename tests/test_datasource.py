@@ -192,3 +192,143 @@ def test_stream_complete_mode_replaces_contents(registered, tmpdir_path):
     run()
     got = {r["tag"]: r["n"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
     assert got == {"0": 7, "1": 3}
+
+
+# ---------------------------------------------------------------------------
+# change-data-feed read path (readChangeFeed=true)
+# ---------------------------------------------------------------------------
+
+def _cdf_fixture(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "cdf_t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("k = 2")
+    t.update("k = 1", {"v": "'A'"})
+    write_delta(
+        spark.createDataFrame([(4, "d")], "k int, v string"), p, mode="append"
+    )
+    return p
+
+
+def _rows(df):
+    return sorted(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"]) for r in df.collect()
+    )
+
+
+def test_cdf_batch_read_matches_operator(registered, tmpdir_path):
+    from jodie_spark.operators.cdf import read_cdf
+
+    spark = registered
+    p = _cdf_fixture(spark, tmpdir_path)
+    via_ds = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(p)
+    )
+    assert _rows(via_ds) == _rows(read_cdf(spark, p, 0))
+    # change columns typed correctly and timestamps populated
+    ts = [r["_commit_timestamp"] for r in via_ds.collect()]
+    assert all(t is not None for t in ts)
+    # bounded range
+    bounded = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "1")
+        .load(p)
+    )
+    assert _rows(bounded) == [(2, "b", "delete", 1)]
+
+
+def test_cdf_stream_replays_then_follows(registered, tmpdir_path):
+    spark = registered
+    p = _cdf_fixture(spark, tmpdir_path)
+    dst = os.path.join(tmpdir_path, "cdf_sink")
+
+    def run():
+        q = (
+            spark.readStream.format("jodie_delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load(p)
+            .writeStream.format("jodie_delta")
+            .option(
+                "checkpointLocation", os.path.join(tmpdir_path, "cdf_ckpt")
+            )
+            .option("appId", "cdf_replay_test")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = _rows(DeltaTable.forPath(spark, dst).toDF())
+    assert (2, "b", "delete", 1) in got
+    assert (1, "a", "update_preimage", 2) in got and (1, "A", "update_postimage", 2) in got
+    assert len(got) == 7
+    # stream resumes from the checkpoint: only NEW commits arrive
+    DeltaTable.forPath(spark, p).delete("k = 4")
+    run()
+    got2 = _rows(DeltaTable.forPath(spark, dst).toDF())
+    assert len(got2) == len(got) + 1
+    assert (4, "d", "delete", 4) in got2
+
+
+def test_cdf_stream_default_starts_at_latest(registered, tmpdir_path):
+    spark = registered
+    p = _cdf_fixture(spark, tmpdir_path)
+    dst = os.path.join(tmpdir_path, "cdfl_sink")
+
+    def run():
+        q = (
+            spark.readStream.format("jodie_delta")
+            .option("readChangeFeed", "true")
+            .load(p)
+            .writeStream.format("jodie_delta")
+            .option(
+                "checkpointLocation", os.path.join(tmpdir_path, "cdfl_ckpt")
+            )
+            .option("appId", "cdf_latest_test")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+
+    run()
+    # no history replay: the sink table may not even exist yet
+    from jodie_spark.tables.log import DeltaLog
+
+    n0 = (
+        DeltaTable.forPath(spark, dst).toDF().count()
+        if DeltaLog(dst).exists()
+        else 0
+    )
+    assert n0 == 0
+    write_delta(
+        spark.createDataFrame([(9, "z")], "k int, v string"), p, mode="append"
+    )
+    run()
+    assert _rows(DeltaTable.forPath(spark, dst).toDF()) == [(9, "z", "insert", 4)]
+
+
+def test_cdf_read_refuses_uncovered_range(registered, tmpdir_path):
+    from py4j.protocol import Py4JJavaError
+
+    spark = registered
+    p = os.path.join(tmpdir_path, "nocdf")
+    write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), p)
+    DeltaTable.forPath(spark, p).delete("k = 1")
+    with pytest.raises(Exception, match="change data was not recorded|DeltaProtocolError"):
+        (
+            spark.read.format("jodie_delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load(p)
+            .collect()
+        )
