@@ -1322,6 +1322,24 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate KNN graph over embeddings ∪ planted
+    clones of vector 0. Restricted to the planted ids the result is
+    fully deterministic: each clone's 9 nearest neighbors MUST be the
+    other clones at cosine exactly 1.0 (natural max ≈0.37 at sf0.01),
+    ranked by neighbor id — which the oracle reproduces as a pure
+    cross-join + row_number. Proves candidate generation, narrow-pair
+    dedup, and per-node top-k election end-to-end."""
+    from jodie_spark.operators.similarity import knn_graph
+
+    emb = _planted_embeddings(spark, sf_dir, 9)
+    planted = [0] + [100000 + i for i in range(1, 10)]
+    g = knn_graph(emb, "embedding", "vec_id", k=9)
+    return g.filter(F.col("vec_id").isin(planted)).select(
+        "vec_id", "neighbor_id", "sim", "rank"
+    )
+
+
 def _q_cdf_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed read through the `jodie_delta` Python
     DataSource (spark.read.option("readChangeFeed","true")) — the same
@@ -1518,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identity_columns": _q_identity_columns,
         "bigram_perplexity": _q_bigram_perplexity,
         "cdf_datasource": _q_cdf_datasource,
+        "knn_graph": _q_knn_graph,
     }
 
 
@@ -2330,6 +2349,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "knn_graph": """
+            WITH ids AS (
+              SELECT unnest([0, 100001, 100002, 100003, 100004, 100005,
+                             100006, 100007, 100008, 100009]) AS id),
+            pairs AS (
+              SELECT a.id AS vec_id, b.id AS neighbor_id, 1.0 AS sim,
+                     CAST(ROW_NUMBER() OVER (
+                          PARTITION BY a.id ORDER BY b.id) AS INT) AS rank
+              FROM ids a JOIN ids b ON a.id <> b.id)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, rank
+            FROM pairs
         """,
         "cdf_datasource": """
             SELECT n_nationkey, n_name, n_regionkey,

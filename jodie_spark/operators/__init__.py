@@ -34,6 +34,7 @@ from jodie_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
     cosine_similarity_join,
+    knn_graph,
     with_ann_signatures,
 )
 from jodie_spark.operators.text_dedup import (
@@ -99,6 +100,7 @@ __all__ = [
     "term_postings",
     "brute_force_topk",
     "cosine_similarity_join",
+    "knn_graph",
     "with_ann_signatures",
     "embedding_dedup",
     "exact_dedup",

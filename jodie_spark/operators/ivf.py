@@ -117,3 +117,31 @@ def ivf_topk(
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_probe_cells(vec: Column, centroids: np.ndarray, n_probe: int) -> Column:
+    """Array of the ``n_probe`` nearest cell ids for each vector (home
+    cell first) — the multi-probe assignment a KNN-graph build uses so
+    near neighbors that straddle a cell boundary still meet in at least
+    one probed cell. Arrow-vectorized numpy, same kernel shape as
+    :func:`ivf_cell`."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent_t = centroids.T
+    p = int(min(n_probe, centroids.shape[0]))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(batch: pd.Series) -> pd.Series:
+        out = [None] * len(batch)
+        ok = [i for i, v in enumerate(batch) if v is not None and len(v) == cent_t.shape[0]]
+        if ok:
+            m = np.stack([np.asarray(batch.iloc[i], dtype=np.float64) for i in ok])
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = (m / norms) @ cent_t
+            top = np.argsort(-sims, axis=1)[:, :p].astype(np.int32)
+            for row, i in enumerate(ok):
+                out[i] = top[row].tolist()
+        return pd.Series(out)
+
+    return cells(vec)

@@ -554,3 +554,48 @@ def test_semantic_candidate_pairs_stay_within_clusters(spark, pq_vectors):
     assert "CartesianProduct" not in plan  # bucket equi-join, never all-pairs
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(0, 1000), (0, 1001), (0, 1002), (1000, 1001), (1000, 1002), (1001, 1002)}
+
+
+# ---------------------------------------------------------------------------
+# KNN graph
+# ---------------------------------------------------------------------------
+
+def test_knn_graph_planted_clones_are_mutual_top_neighbors(spark, pq_vectors):
+    from jodie_spark.operators.similarity import knn_graph
+
+    g = knn_graph(pq_vectors, "embedding", "vec_id", k=3, n_clusters=4)
+    planted = {0, 1000, 1001, 1002}
+    rows = [r for r in g.collect() if r["vec_id"] in planted]
+    assert len(rows) == 12  # 4 nodes x k=3
+    for r in rows:
+        assert r["neighbor_id"] in planted - {r["vec_id"]}
+        assert r["sim"] == 1.0
+    # ranks are 1..k per node, ordered by neighbor id on the 1.0 ties
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    for node, rs in by_node.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3]
+        assert [x[1] for x in rs] == sorted(x[1] for x in rs)
+
+
+def test_knn_graph_excludes_self_and_caps_k(spark, pq_vectors):
+    from jodie_spark.operators.similarity import knn_graph
+
+    g = knn_graph(pq_vectors, "embedding", "vec_id", k=5, n_clusters=4).collect()
+    per = {}
+    for r in g:
+        assert r["neighbor_id"] != r["vec_id"]
+        per[r["vec_id"]] = per.get(r["vec_id"], 0) + 1
+    assert max(per.values()) <= 5
+
+
+def test_knn_graph_no_cartesian_product(spark, pq_vectors):
+    from jodie_spark.operators.similarity import knn_graph
+
+    plan = (
+        knn_graph(pq_vectors, "embedding", "vec_id", k=3, n_clusters=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
