@@ -1322,6 +1322,32 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (writer feature): two ordered single-file writes
+    into a delta.enableRowTracking table, read back through the
+    datasource with withRowIds. Each write lands one file whose rows
+    are suppkey-ordered, so _row_id = batch offset + rank(s_suppkey)
+    and _row_commit_version = the batch's commit — pure row_number
+    arithmetic the oracle reproduces."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import write_delta
+
+    register(spark)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    first = sup.filter("s_suppkey % 2 = 0").coalesce(1).sortWithinPartitions("s_suppkey")
+    second = sup.filter("s_suppkey % 2 = 1").coalesce(1).sortWithinPartitions("s_suppkey")
+    path = _tmp("rowtrack")
+    write_delta(first, path, options={"delta.enableRowTracking": "true"})
+    write_delta(second, path, mode="append")
+    return (
+        spark.read.format("jodie_delta")
+        .option("withRowIds", "true")
+        .load(path)
+        .select("_row_id", "_row_commit_version", "s_suppkey", "s_name")
+    )
+
+
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate KNN graph over embeddings ∪ planted
     clones of vector 0. Restricted to the planted ids the result is
@@ -1537,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": _q_bigram_perplexity,
         "cdf_datasource": _q_cdf_datasource,
         "knn_graph": _q_knn_graph,
+        "row_tracking": _q_row_tracking,
     }
 
 
@@ -2349,6 +2376,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "row_tracking": """
+            WITH s AS (
+              SELECT s_suppkey, s_name, s_suppkey % 2 AS batch,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s_suppkey % 2 ORDER BY s_suppkey) - 1 AS rn
+              FROM supplier),
+            c AS (SELECT COUNT(*) AS n0 FROM s WHERE batch = 0)
+            SELECT CAST(CASE WHEN batch = 0 THEN rn ELSE n0 + rn END AS BIGINT)
+                     AS _row_id,
+                   CAST(batch AS BIGINT) AS _row_commit_version,
+                   s_suppkey, s_name
+            FROM s, c
         """,
         "knn_graph": """
             WITH ids AS (

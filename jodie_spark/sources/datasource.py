@@ -80,6 +80,8 @@ class _FilePartition(InputPartition):
         partition_values: dict[str, str],
         dv: dict | None = None,
         table_path: str | None = None,
+        base_row_id: int | None = None,
+        row_commit_version: int | None = None,
     ):
         self.file_path = file_path
         self.partition_values = dict(partition_values or {})
@@ -87,6 +89,9 @@ class _FilePartition(InputPartition):
         # storage); deleted row indexes are masked executor-side
         self.dv = dv
         self.table_path = table_path
+        # row tracking: _row_id = base_row_id + physical row index
+        self.base_row_id = base_row_id
+        self.row_commit_version = row_commit_version
 
 
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
@@ -139,17 +144,24 @@ def _read_file_batches(
     pf = pq.ParquetFile(partition.file_path)
     file_cols = set(pf.schema_arrow.names)
     wanted = [f.name for f in schema.fields if f.name in file_cols]
+    want_row_ids = any(f.name == "_row_id" for f in schema.fields)
     row_offset = 0
     for batch in pf.iter_batches(columns=wanted, batch_size=65536):
-        if deleted is not None:
+        idx = None
+        if deleted is not None or want_row_ids:
             import numpy as np
 
             n_read = batch.num_rows
+            # physical row positions — computed BEFORE the DV mask so
+            # surviving rows keep their original file positions (the
+            # positions both the DV and row tracking are defined over)
             idx = np.arange(row_offset, row_offset + n_read, dtype=np.int64)
             row_offset += n_read
-            keep = ~np.isin(idx, deleted, assume_unique=True)
-            if not keep.all():
-                batch = batch.filter(pa.array(keep))
+            if deleted is not None:
+                keep = ~np.isin(idx, deleted, assume_unique=True)
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    idx = idx[keep]
         n = batch.num_rows
         arrays = []
         for f, arrow_field in zip(schema.fields, target):
@@ -158,6 +170,19 @@ def _read_file_batches(
                 if col.type != arrow_field.type:
                     col = col.cast(arrow_field.type)
                 arrays.append(col)
+            elif f.name == "_row_id" and partition.base_row_id is not None:
+                arrays.append(
+                    pa.array(partition.base_row_id + idx[:n], type=arrow_field.type)
+                )
+            elif (
+                f.name == "_row_commit_version"
+                and partition.row_commit_version is not None
+            ):
+                arrays.append(
+                    pa.array(
+                        [partition.row_commit_version] * n, type=arrow_field.type
+                    )
+                )
             elif f.name in partition.partition_values:
                 v = _parse_partition_value(
                     partition.partition_values[f.name], f.dataType.typeName()
@@ -264,6 +289,8 @@ class JodieDeltaBatchReader(DataSourceReader):
                 a.get("partitionValues") or {},
                 a.get("deletionVector"),
                 self.path,
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
             )
             for a in adds
         ]
@@ -840,7 +867,12 @@ class JodieDeltaDataSource(DataSource):
     def _cdf_requested(self) -> bool:
         return str(self.options.get("readChangeFeed", "false")).lower() == "true"
 
+    def _row_ids_requested(self) -> bool:
+        return str(self.options.get("withRowIds", "false")).lower() == "true"
+
     def schema(self) -> StructType:
+        from pyspark.sql import types as T
+
         from jodie_spark.tables.log import DeltaLog
 
         path = self.options.get("path")
@@ -848,7 +880,17 @@ class JodieDeltaDataSource(DataSource):
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         info = DeltaLog(path).table_info()
         base = StructType.fromJson(json.loads(info.schema_string))
-        return _cdf_schema(base) if self._cdf_requested() else base
+        if self._cdf_requested():
+            return _cdf_schema(base)
+        if self._row_ids_requested():
+            return StructType(
+                list(base.fields)
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField("_row_commit_version", T.LongType()),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._cdf_requested():

@@ -49,6 +49,15 @@ UNRESOLVED = "UNRESOLVED PART =>"
 TOTAL_NUM_FILES = "TOTAL_NUM_FILES_IN_DELTA_TABLE =>"
 UNRESOLVED_COLS = "UNRESOLVED_COLUMNS =>"
 
+_DV_SCHEMA = T.StructType(
+    [
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ]
+)
 _ADD_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -57,6 +66,12 @@ _ADD_SCHEMA = T.StructType(
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
         T.StructField("stats", T.StringType()),
+        # optional protocol fields that MUST survive state round-trips:
+        # losing a DV resurrects deleted rows; losing baseRowId breaks
+        # row tracking
+        T.StructField("deletionVector", _DV_SCHEMA),
+        T.StructField("baseRowId", T.LongType()),
+        T.StructField("defaultRowCommitVersion", T.LongType()),
     ]
 )
 _REMOVE_SCHEMA = T.StructType(
@@ -124,6 +139,32 @@ def _latest_actions_df(
             return col.cast(dtype).alias(name)
 
         str_map = T.MapType(T.StringType(), T.StringType())
+
+        def dv_struct() -> Column:
+            # nested optional struct: project subfield-by-subfield so an
+            # external checkpoint's wider/narrower DV struct still reads
+            parent_ok = (
+                "add" in cp.columns
+                and isinstance(cp.schema["add"].dataType, T.StructType)
+                and "deletionVector" in cp.schema["add"].dataType.names
+            )
+            if not parent_ok:
+                return F.lit(None).cast(_DV_SCHEMA).alias("deletionVector")
+            dvt = cp.schema["add"].dataType["deletionVector"].dataType
+
+            def dsub(name: str, dtype: T.DataType) -> Column:
+                col = (
+                    F.col(f"add.deletionVector.{name}")
+                    if isinstance(dvt, T.StructType) and name in dvt.names
+                    else F.lit(None)
+                )
+                return col.cast(dtype).alias(name)
+
+            inner = F.struct(*[dsub(f.name, f.dataType) for f in _DV_SCHEMA.fields])
+            return F.when(
+                F.col("add.deletionVector").isNotNull(), inner
+            ).alias("deletionVector")
+
         add_struct = F.struct(
             sub("add", "path", T.StringType()),
             sub("add", "partitionValues", str_map),
@@ -131,6 +172,9 @@ def _latest_actions_df(
             sub("add", "modificationTime", T.LongType()),
             sub("add", "dataChange", T.BooleanType()),
             sub("add", "stats", T.StringType()),
+            dv_struct(),
+            sub("add", "baseRowId", T.LongType()),
+            sub("add", "defaultRowCommitVersion", T.LongType()),
         )
         remove_struct = F.struct(
             sub("remove", "path", T.StringType()),
@@ -193,7 +237,14 @@ def _latest_actions_df(
     actions = actions.withColumn(
         "__path__", F.coalesce(F.col("add.path"), F.col("remove.path"))
     )
-    w = Window.partitionBy("__path__").orderBy(F.col("version").desc())
+    # same-version tie-break: a MoR rewrite commits remove(path) AND
+    # add(path + deletionVector) in ONE version — the add is the final
+    # state (protocol reconciliation); letting the remove win drops the
+    # file from Spark-side state entirely (checkpoints lose it, DML
+    # planning skips it)
+    w = Window.partitionBy("__path__").orderBy(
+        F.col("version").desc(), F.col("add").isNotNull().cast("int").desc()
+    )
     return (
         actions.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
@@ -273,6 +324,13 @@ def write_checkpoint_spark(
     # checkpointed adds carry dataChange=false (they describe state, not
     # change); un-expired tombstones must survive (protocol requirement —
     # or vacuum could never delete pre-checkpoint removes)
+    domain_t = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("configuration", T.StringType()),
+            T.StructField("removed", T.BooleanType()),
+        ]
+    )
     add_struct = F.struct(
         F.col("add.path").alias("path"),
         F.col("add.partitionValues").alias("partitionValues"),
@@ -280,12 +338,16 @@ def write_checkpoint_spark(
         F.col("add.modificationTime").alias("modificationTime"),
         F.lit(False).alias("dataChange"),
         F.col("add.stats").alias("stats"),
+        F.col("add.deletionVector").alias("deletionVector"),
+        F.col("add.baseRowId").alias("baseRowId"),
+        F.col("add.defaultRowCommitVersion").alias("defaultRowCommitVersion"),
     )
     out = state.select(
         F.when(F.col("add").isNotNull(), add_struct).alias("add"),
         F.col("remove"),
         F.lit(None).cast(meta_t).alias("metaData"),
         F.lit(None).cast(proto_t).alias("protocol"),
+        F.lit(None).cast(domain_t).alias("domainMetadata"),
     )
     n_actions = out.count()
     n_parts = max(1, -(-n_actions // _CP_ACTIONS_PER_PART))
@@ -298,11 +360,22 @@ def write_checkpoint_spark(
             for n in os.listdir(stage)
             if n.startswith("part-") and n.endswith(".parquet")
         )
-        # driver-written metadata part: two rows, constant size
-        meta_rows = [
+        # driver-written metadata part: protocol + metaData + live
+        # domain metadata (row-tracking watermark etc.) — constant size
+        meta_rows: list[dict[str, Any]] = [
             {"protocol": info.protocol},
             {"metaData": info.metadata},
         ]
+        for dm in log.all_domain_metadata(target).values():
+            meta_rows.append(
+                {
+                    "domainMetadata": {
+                        "domain": dm.get("domain"),
+                        "configuration": dm.get("configuration"),
+                        "removed": bool(dm.get("removed", False)),
+                    }
+                }
+            )
         meta_part = os.path.join(stage, "metadata-part.parquet")
         pq.write_table(pa.Table.from_pylist(meta_rows, schema=_CHECKPOINT_SCHEMA), meta_part)
 
@@ -317,7 +390,10 @@ def write_checkpoint_spark(
             ]
         for src, dst in zip(all_parts, names):
             os.replace(src, dst)
-        payload: dict[str, Any] = {"version": target, "size": n_actions + 2}
+        payload: dict[str, Any] = {
+            "version": target,
+            "size": n_actions + len(meta_rows),
+        }
         if total > 1:
             payload["parts"] = total
         with open(os.path.join(log.log_path, LAST_CHECKPOINT), "w", encoding="utf-8") as fh:

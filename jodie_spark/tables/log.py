@@ -75,9 +75,11 @@ SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 5, 6, 7}
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
-    "columnMapping", "identityColumns",
+    "columnMapping", "identityColumns", "rowTracking", "domainMetadata",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
+ROW_TRACKING_PROP = "delta.enableRowTracking"
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
 LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
@@ -105,6 +107,15 @@ def multipart_checkpoint_file_name(version: int, part: int, parts: int) -> str:
 
 _STR_MAP = pa.map_(pa.string(), pa.string())
 
+_DV_T = pa.struct(
+    [
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ]
+)
 _ADD_T = pa.struct(
     [
         ("path", pa.string()),
@@ -113,6 +124,18 @@ _ADD_T = pa.struct(
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
+        # dropping the DV from a checkpointed add resurrects its deleted
+        # rows — these three optional fields MUST round-trip
+        ("deletionVector", _DV_T),
+        ("baseRowId", pa.int64()),
+        ("defaultRowCommitVersion", pa.int64()),
+    ]
+)
+_DOMAIN_T = pa.struct(
+    [
+        ("domain", pa.string()),
+        ("configuration", pa.string()),
+        ("removed", pa.bool_()),
     ]
 )
 _REMOVE_T = pa.struct(
@@ -145,6 +168,7 @@ _CHECKPOINT_SCHEMA = pa.schema(
         ("remove", _REMOVE_T),
         ("metaData", _METADATA_T),
         ("protocol", _PROTOCOL_T),
+        ("domainMetadata", _DOMAIN_T),
     ]
 )
 
@@ -168,9 +192,17 @@ def _actions_conflict(
     ours, else a human-readable reason."""
     our_removes = {a["remove"]["path"] for a in ours if a.get("remove")}
     our_adds = {a["add"]["path"] for a in ours if a.get("add")}
+    our_domains = {
+        a["domainMetadata"]["domain"] for a in ours if a.get("domainMetadata")
+    }
     for a in theirs:
         if a.get("metaData"):
             return "table metadata changed concurrently"
+        dm = a.get("domainMetadata")
+        if dm and dm.get("domain") in our_domains:
+            # e.g. both writers allocated row-id blocks from the same
+            # delta.rowTracking watermark — ids would collide
+            return f"domain metadata {dm['domain']!r} changed concurrently"
         if a.get("protocol"):
             return "table protocol changed concurrently"
         rm = a.get("remove")
@@ -195,6 +227,7 @@ class Snapshot:
         protocol: dict[str, Any] | None,
         files: dict[str, dict[str, Any]] | None,
         tombstones: dict[str, dict[str, Any]] | None = None,
+        domain_metadata: dict[str, dict[str, Any]] | None = None,
     ):
         self.version = version
         self.metadata = metadata or {}
@@ -204,6 +237,8 @@ class Snapshot:
         # Spark-side and must never touch a driver-side file list
         self.files = files
         self.tombstones = tombstones or {}  # path -> remove payload (for vacuum)
+        # domain -> latest non-removed domainMetadata action payload
+        self.domain_metadata = domain_metadata or {}
 
     def _require_files(self) -> dict[str, dict[str, Any]]:
         if self.files is None:
@@ -521,6 +556,7 @@ class DeltaLog:
         protocol: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
         tombstones: dict[str, dict[str, Any]] = {}
+        domains: dict[str, dict[str, Any]] = {}
 
         def apply(action: dict[str, Any]) -> None:
             nonlocal metadata, protocol
@@ -536,6 +572,13 @@ class DeltaLog:
                 rm = action["remove"]
                 files.pop(rm["path"], None)
                 tombstones[rm["path"]] = rm
+            elif "domainMetadata" in action and action["domainMetadata"]:
+                dm = action["domainMetadata"]
+                if dm.get("domain"):
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm
 
         for action in base_actions:
             apply(action)
@@ -548,7 +591,7 @@ class DeltaLog:
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
         self._check_read_protocol(protocol, metadata)
-        return Snapshot(target, metadata, protocol, files, tombstones)
+        return Snapshot(target, metadata, protocol, files, tombstones, domains)
 
     def _check_read_protocol(
         self,
@@ -662,6 +705,89 @@ class DeltaLog:
 
     # -- writing ------------------------------------------------------------
 
+    def latest_domain_metadata(
+        self, domain: str, version: int | None = None
+    ) -> dict[str, Any] | None:
+        """Newest non-removed ``domainMetadata`` payload for ``domain``
+        at ``version`` — a metadata-only scan (newest commit first with
+        a substring gate, then the checkpoint's domainMetadata column),
+        never the O(#files) state replay. Domains that change on every
+        commit (the row-tracking watermark) resolve from the newest
+        commit immediately."""
+        target, base_version, needed = self._replay_plan(version)
+        for v in reversed(needed):
+            found: dict[str, Any] | None = None
+            with open(self.commit_file_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    if '"domainMetadata"' in line and f'"{domain}"' in line:
+                        a = json.loads(line)
+                        dm = a.get("domainMetadata")
+                        if dm and dm.get("domain") == domain:
+                            found = dm  # last within a commit wins
+            if found is not None:
+                return None if found.get("removed") else found
+        if base_version >= 0:
+            for part in self.checkpoint_part_files(base_version):
+                if part.endswith(".json"):
+                    rows = self._read_manifest_actions(part)
+                    dms = [r.get("domainMetadata") for r in rows]
+                elif "domainMetadata" in pq.read_schema(part).names:
+                    dms = [
+                        r.get("domainMetadata")
+                        for r in pq.read_table(
+                            part, columns=["domainMetadata"]
+                        ).to_pylist()
+                    ]
+                else:
+                    continue
+                for dm in dms:
+                    if (
+                        dm
+                        and dm.get("domain") == domain
+                        and not dm.get("removed")
+                    ):
+                        return _maps_to_dicts(dm)
+        return None
+
+    def all_domain_metadata(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, Any]]:
+        """All live (non-removed) domainMetadata payloads at ``version``
+        — tail scanned newest-first with first-seen-wins per domain,
+        checkpoint domainMetadata column as the base. Metadata-only."""
+        target, base_version, needed = self._replay_plan(version)
+        seen: dict[str, dict[str, Any]] = {}
+        for v in reversed(needed):
+            per_commit: dict[str, dict[str, Any]] = {}
+            with open(self.commit_file_path(v), encoding="utf-8") as fh:
+                for line in fh:
+                    if '"domainMetadata"' in line:
+                        dm = json.loads(line).get("domainMetadata")
+                        if dm and dm.get("domain"):
+                            per_commit[dm["domain"]] = dm  # last in commit wins
+            for dom, dm in per_commit.items():
+                seen.setdefault(dom, dm)
+        if base_version >= 0:
+            for part in self.checkpoint_part_files(base_version):
+                if part.endswith(".json"):
+                    dms = [
+                        r.get("domainMetadata")
+                        for r in self._read_manifest_actions(part)
+                    ]
+                elif "domainMetadata" in pq.read_schema(part).names:
+                    dms = [
+                        r.get("domainMetadata")
+                        for r in pq.read_table(
+                            part, columns=["domainMetadata"]
+                        ).to_pylist()
+                    ]
+                else:
+                    continue
+                for dm in dms:
+                    if dm and dm.get("domain"):
+                        seen.setdefault(dm["domain"], _maps_to_dicts(dm))
+        return {d: dm for d, dm in seen.items() if not dm.get("removed")}
+
     def commit(
         self,
         read_version: int,
@@ -689,6 +815,66 @@ class DeltaLog:
         """
         os.makedirs(self.log_path, exist_ok=True)
         version = read_version + 1
+
+        # -- row tracking: fresh baseRowId blocks for this commit's adds --
+        # (delta protocol: writer feature rowTracking; watermark lives in
+        # the delta.rowTracking domainMetadata). Assignment is sequential
+        # from the high watermark using each add's numRecords stat; the
+        # per-file _row_id is then baseRowId + physical row index.
+        meta_in_commit = next(
+            (a["metaData"] for a in actions if a.get("metaData")), None
+        )
+        config = (meta_in_commit or {}).get("configuration")
+        if config is None and read_version >= 0:
+            try:
+                config = self.table_info(read_version).configuration
+            except Exception:
+                config = {}
+        rt_adds: list[dict[str, Any]] = []
+        if str((config or {}).get(ROW_TRACKING_PROP, "false")).lower() == "true":
+            new_adds = [
+                a["add"]
+                for a in actions
+                if a.get("add") and a["add"].get("baseRowId") is None
+            ]
+            if new_adds:
+                next_id = 0
+                if read_version >= 0:
+                    dm = self.latest_domain_metadata(
+                        ROW_TRACKING_DOMAIN, read_version
+                    )
+                    if dm:
+                        next_id = (
+                            int(
+                                json.loads(dm.get("configuration") or "{}").get(
+                                    "rowIdHighWaterMark", -1
+                                )
+                            )
+                            + 1
+                        )
+                for ad in new_adds:
+                    try:
+                        n = int(json.loads(ad.get("stats") or "{}")["numRecords"])
+                    except (KeyError, TypeError, ValueError):
+                        raise DeltaProtocolError(
+                            "row tracking requires a numRecords stat on every "
+                            f"add: {ad.get('path')}"
+                        ) from None
+                    ad["baseRowId"] = next_id
+                    next_id += n
+                    rt_adds.append(ad)
+                actions = actions + [
+                    {
+                        "domainMetadata": {
+                            "domain": ROW_TRACKING_DOMAIN,
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": next_id - 1}
+                            ),
+                            "removed": False,
+                        }
+                    }
+                ]
+
         commit_info = {
             "timestamp": int(time.time() * 1000),
             "operation": operation,
@@ -702,9 +888,15 @@ class DeltaLog:
         }
         if version > 0:
             commit_info["readVersion"] = read_version
-        lines = [json.dumps({"commitInfo": commit_info}, separators=(",", ":"))]
-        for action in actions:
-            lines.append(json.dumps(action, separators=(",", ":")))
+
+        def _build_lines(v: int) -> list[str]:
+            # defaultRowCommitVersion must match the version actually
+            # won, so row-tracked commits rebuild their lines per attempt
+            for ad in rt_adds:
+                ad["defaultRowCommitVersion"] = v
+            out = [json.dumps({"commitInfo": commit_info}, separators=(",", ":"))]
+            out.extend(json.dumps(a, separators=(",", ":")) for a in actions)
+            return out
 
         checked_through = version - 1  # newest version already conflict-checked
         attempts = 0
@@ -712,7 +904,7 @@ class DeltaLog:
             path = self.commit_file_path(version)
             try:
                 with open(path, "x", encoding="utf-8") as fh:
-                    fh.write("\n".join(lines) + "\n")
+                    fh.write("\n".join(_build_lines(version)) + "\n")
                 break
             except FileExistsError:
                 if attempts >= max_retries:
@@ -768,7 +960,9 @@ class DeltaLog:
         count; see distribution.write_checkpoint_spark). The
         driver-side pyarrow path remains as the no-Spark fallback so
         the log layer stays usable standalone."""
-        if spark is None:
+        if spark is False:  # force the driver-side pyarrow path (tests)
+            spark = None
+        elif spark is None:
             try:
                 from pyspark.sql import SparkSession
 
@@ -785,6 +979,7 @@ class DeltaLog:
             {"metaData": snap.metadata},
         ]
         for add in snap.add_files():
+            dv = add.get("deletionVector")
             rows.append(
                 {
                     "add": {
@@ -794,6 +989,31 @@ class DeltaLog:
                         "modificationTime": int(add.get("modificationTime") or 0),
                         "dataChange": False,
                         "stats": add.get("stats"),
+                        "deletionVector": (
+                            {
+                                "storageType": dv.get("storageType"),
+                                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                                "offset": dv.get("offset"),
+                                "sizeInBytes": dv.get("sizeInBytes"),
+                                "cardinality": dv.get("cardinality"),
+                            }
+                            if dv
+                            else None
+                        ),
+                        "baseRowId": add.get("baseRowId"),
+                        "defaultRowCommitVersion": add.get(
+                            "defaultRowCommitVersion"
+                        ),
+                    }
+                }
+            )
+        for dm in snap.domain_metadata.values():
+            rows.append(
+                {
+                    "domainMetadata": {
+                        "domain": dm.get("domain"),
+                        "configuration": dm.get("configuration"),
+                        "removed": bool(dm.get("removed", False)),
                     }
                 }
             )

@@ -2177,8 +2177,20 @@ def write_delta(
             "configuration": properties,
             "createdTime": int(time.time() * 1000),
         }
-        if mapping_mode == "name":
-            wf = {"appendOnly", "columnMapping"}
+        from jodie_spark.tables.log import ROW_TRACKING_PROP
+
+        row_tracking = (
+            str(properties.get(ROW_TRACKING_PROP, "false")).lower() == "true"
+        )
+        if mapping_mode == "name" or row_tracking:
+            wf = {"appendOnly"}
+            if mapping_mode == "name":
+                wf.add("columnMapping")
+            if row_tracking:
+                # fresh row-id blocks per commit; watermark rides the
+                # delta.rowTracking domainMetadata (assigned in
+                # DeltaLog.commit)
+                wf.update({"rowTracking", "domainMetadata"})
             if check_constraints(properties):
                 wf.add("checkConstraints")
             if generated_columns:
@@ -2187,14 +2199,14 @@ def write_delta(
                 wf.add("identityColumns")
             if str(properties.get("delta.enableChangeDataFeed", "false")).lower() == "true":
                 wf.add("changeDataFeed")
-            protocol_action = {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping"],
-                    "writerFeatures": sorted(wf),
-                }
+            protocol: dict[str, Any] = {
+                "minReaderVersion": 3 if mapping_mode == "name" else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wf),
             }
+            if mapping_mode == "name":
+                protocol["readerFeatures"] = ["columnMapping"]
+            protocol_action = {"protocol": protocol}
         else:
             protocol_action = {
                 "protocol": {"minReaderVersion": 1, "minWriterVersion": writer_version}

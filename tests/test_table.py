@@ -93,12 +93,12 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     DeltaTable.forPath(spark, dv).delete("k = 1")  # no candidates: commits cleanly
     assert DeltaTable.forPath(spark, dv).deltaLog.latest_version() == 1
     # an unsupported writer feature still refuses
-    rt = mk_log("rowtracking_table", {
+    rt = mk_log("icebergcompat_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": [],
-        "writerFeatures": ["rowTracking"],
+        "writerFeatures": ["icebergCompatV2"],
     })
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         DeltaTable.forPath(spark, rt).delete("k = 1")
 
     # reader v2 == legacy column mapping: readable (mode defaults to
@@ -407,7 +407,7 @@ def test_writer_protocol_gate(spark, tmpdir_path):
     v = t.deltaLog.latest_version() + 1
     line = _json.dumps({"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["rowTracking"]}})
+        "writerFeatures": ["icebergCompatV2"]}})
     with open(os.path.join(t.deltaLog.log_path, commit_file_name(v)), "w") as fh:
         fh.write(line + "\n")
     with _pytest.raises(DeltaProtocolError):
