@@ -277,6 +277,11 @@ class DeltaLog:
     def __init__(self, path: str):
         self.table_path = os.path.abspath(path)
         self.log_path = os.path.join(self.table_path, LOG_DIR)
+        # (version, configuration) of the last table_info consulted by
+        # commit()'s row-tracking gate — config changes always write a
+        # metaData action at a NEWER version, so caching by version is
+        # sound and spares DML-heavy callers a log scan per commit
+        self._commit_config_cache: tuple[int, dict[str, str]] | None = None
 
     # -- listing ------------------------------------------------------------
 
@@ -826,10 +831,15 @@ class DeltaLog:
         )
         config = (meta_in_commit or {}).get("configuration")
         if config is None and read_version >= 0:
-            try:
-                config = self.table_info(read_version).configuration
-            except Exception:
-                config = {}
+            cached = self._commit_config_cache
+            if cached is not None and cached[0] == read_version:
+                config = cached[1]
+            else:
+                try:
+                    config = self.table_info(read_version).configuration
+                except Exception:
+                    config = {}
+                self._commit_config_cache = (read_version, config)
         rt_adds: list[dict[str, Any]] = []
         if str((config or {}).get(ROW_TRACKING_PROP, "false")).lower() == "true":
             new_adds = [
@@ -927,6 +937,9 @@ class DeltaLog:
                         ) from None
                 checked_through = latest
                 version = latest + 1
+        # the table's config at `version` is now known — prime the cache
+        # so the NEXT commit (reading at `version`) skips its log scan
+        self._commit_config_cache = (version, dict(config or {}))
         self._maybe_checkpoint(version)
         return version
 
