@@ -1322,6 +1322,38 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid clustering lifecycle: create CLUSTER BY(n_regionkey),
+    append, OPTIMIZE (re-clusters on the persisted clustering columns
+    from the delta.clustering domain), ALTER CLUSTER BY. Returns the
+    intact data plus the (version, operation) history trail — both
+    value-checked; OPTIMIZE/CLUSTER BY must never change data."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = _tmp("liquid")
+    write_delta(
+        nation.filter("n_nationkey < 13").repartition(4),
+        path,
+        cluster_by=["n_regionkey"],
+    )
+    write_delta(nation.filter("n_nationkey >= 13").repartition(4), path, mode="append")
+    t = DeltaTable.forPath(spark, path)
+    t.optimize().executeCompaction()
+    t.set_cluster_by(["n_regionkey", "n_nationkey"])
+    t = DeltaTable.forPath(spark, path)
+    data = t.toDF().select(
+        F.col("n_nationkey").cast("long").alias("version"),
+        F.col("n_name").alias("operation"),
+    )
+    ops = t.history().select("version", "operation")
+    marker = spark.createDataFrame(
+        [(1000 + len(t.cluster_by()), "CLUSTER_COLS")], "version long, operation string"
+    )
+    return data.unionByName(ops).unionByName(marker)
+
+
 def _q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row tracking (writer feature): two ordered single-file writes
     into a delta.enableRowTracking table, read back through the
@@ -1564,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_datasource": _q_cdf_datasource,
         "knn_graph": _q_knn_graph,
         "row_tracking": _q_row_tracking,
+        "liquid_clustering": _q_liquid_clustering,
     }
 
 
@@ -2376,6 +2409,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "liquid_clustering": """
+            SELECT CAST(n_nationkey AS BIGINT) AS version, n_name AS operation
+            FROM nation
+            UNION ALL
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'WRITE'),
+                (1, 'WRITE'),
+                (2, 'OPTIMIZE'),
+                (3, 'CLUSTER BY'),
+                (1002, 'CLUSTER_COLS')) AS t(version, operation)
         """,
         "row_tracking": """
             WITH s AS (

@@ -76,6 +76,7 @@ SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
     "columnMapping", "identityColumns", "rowTracking", "domainMetadata",
+    "clustering",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"

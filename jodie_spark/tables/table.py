@@ -32,6 +32,7 @@ RESERVED_WRITER_OPTIONS = {
     "mergeSchema", "overwriteSchema", "maxRecordsPerFile", "txnAppId", "txnVersion"
 }
 CONSTRAINT_PREFIX = "delta.constraints."
+CLUSTERING_DOMAIN = "delta.clustering"
 
 
 def check_constraints(configuration: dict[str, str] | None) -> dict[str, str]:
@@ -1175,6 +1176,35 @@ class DeltaTable:
             .collect()  # one row per TOUCHED FILE — bounded by #files
         )
 
+    def _writer_feature_upgrade_actions(
+        self, snap: Snapshot, needed: set[str]
+    ) -> list[dict[str, Any]]:
+        """Protocol action raising the table to writer v7 with ``needed``
+        writer features, when not already there (legacy implied features
+        carried over, delta-spark upgrade semantics)."""
+        proto = dict(snap.protocol or {})
+        have = set(proto.get("writerFeatures") or [])
+        old_writer = int(proto.get("minWriterVersion") or 2)
+        if old_writer >= 7 and needed <= have:
+            return []
+        features = have | needed
+        if old_writer >= 2:
+            features.add("appendOnly")
+        if old_writer >= 3 or check_constraints(snap.configuration):
+            features.add("checkConstraints")
+        if old_writer >= 4:
+            features.update({"generatedColumns", "changeDataFeed"})
+        if old_writer >= 6:
+            features.add("identityColumns")
+        new_proto: dict[str, Any] = {
+            "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(features),
+        }
+        if proto.get("readerFeatures") is not None or new_proto["minReaderVersion"] >= 3:
+            new_proto["readerFeatures"] = sorted(set(proto.get("readerFeatures") or []))
+        return [{"protocol": new_proto}]
+
     def _dv_protocol_upgrade_actions(self, snap: Snapshot) -> list[dict[str, Any]]:
         """Protocol action raising the table to reader 3 / writer 7 with
         the deletionVectors feature, when not already there. The upgrade
@@ -1537,6 +1567,55 @@ class DeltaTable:
 
     def optimize(self) -> "OptimizeBuilder":
         return OptimizeBuilder(self)
+
+    def cluster_by(self) -> list[str]:
+        """The table's liquid-clustering columns (empty when the table
+        isn't clustered) — from the ``delta.clustering`` domain."""
+        dm = self.deltaLog.latest_domain_metadata(CLUSTERING_DOMAIN)
+        if not dm:
+            return []
+        cfg = json.loads(dm.get("configuration") or "{}")
+        return [c[0] if isinstance(c, list) else c for c in cfg.get("clusteringColumns") or []]
+
+    def set_cluster_by(self, columns: list[str]) -> None:
+        """ALTER TABLE ... CLUSTER BY: change (or, with ``[]``, drop)
+        the clustering columns. One metadata-only commit; data is
+        re-clustered lazily by the next OPTIMIZE."""
+        snap = self.deltaLog.table_info()
+        self.deltaLog.check_write_allowed(snap, removes_data=False)
+        schema_cols = [f.name for f in self.schema(snap).fields]
+        missing = [c for c in columns if c not in schema_cols]
+        if missing:
+            raise JodieValidationError(f"cluster_by columns not in table: {missing}")
+        if snap.partition_columns and columns:
+            raise JodieValidationError(
+                "cannot CLUSTER BY a Hive-partitioned table"
+            )
+        upgrade = (
+            self._writer_feature_upgrade_actions(
+                snap, {"clustering", "domainMetadata"}
+            )
+            if columns
+            else []
+        )
+        self.deltaLog.commit(
+            snap.version,
+            upgrade
+            + [
+                {
+                    "domainMetadata": {
+                        "domain": CLUSTERING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in columns]}
+                        ),
+                        "removed": not columns,
+                    }
+                }
+            ],
+            "CLUSTER BY",
+            {"clusterBy": json.dumps(columns)},
+            {},
+        )
 
     def restore(self, version: int) -> None:
         """RESTORE TABLE to an earlier version: commits the add/remove
@@ -1905,6 +1984,13 @@ class OptimizeBuilder:
         return t.toDF()
 
     def executeCompaction(self, target_file_size: int = 128 * 1024 * 1024) -> DataFrame:
+        """Bin-packing compaction — except on a liquid-clustered table,
+        where OPTIMIZE re-clusters on the table's clustering columns
+        (delta parity: OPTIMIZE of a clustered table is a clustering
+        rewrite, not a plain coalesce)."""
+        cluster_cols = self.table.cluster_by()
+        if cluster_cols:
+            return self._rewrite(cluster_cols, target_file_size)
         return self._rewrite(None, target_file_size)
 
     execute_compaction = executeCompaction
@@ -2015,6 +2101,7 @@ def write_delta(
     options: dict[str, str] | None = None,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict[str, Any]] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> DeltaTable:
     """``df.write.format("delta").mode(m).save(path)`` equivalent.
 
@@ -2023,6 +2110,13 @@ def write_delta(
     "allow_explicit": False}}``. An omitted identity column gets
     generated values; later appends continue past the persisted high
     watermark. See ``jodie_spark.tables.identity``.
+
+    ``cluster_by`` (create only) declares a liquid-clustered table
+    (writer feature ``clustering``): the clustering columns persist in
+    the ``delta.clustering`` domainMetadata, the initial write is
+    range-clustered on them, and OPTIMIZE re-clusters instead of
+    bin-packing. Mutually exclusive with ``partition_by`` (delta
+    parity).
 
     Writer options: ``mergeSchema`` (allow-add-columns append,
     reference DeltaHelpers.scala:375-378), ``overwriteSchema``; any
@@ -2182,7 +2276,18 @@ def write_delta(
         row_tracking = (
             str(properties.get(ROW_TRACKING_PROP, "false")).lower() == "true"
         )
-        if mapping_mode == "name" or row_tracking:
+        if cluster_by:
+            if partition_by:
+                raise JodieValidationError(
+                    "cluster_by and partition_by are mutually exclusive "
+                    "(liquid clustering replaces Hive partitioning)"
+                )
+            missing_cc = [c for c in cluster_by if c not in df.columns]
+            if missing_cc:
+                raise JodieValidationError(
+                    f"cluster_by columns not in data: {missing_cc}"
+                )
+        if mapping_mode == "name" or row_tracking or cluster_by:
             wf = {"appendOnly"}
             if mapping_mode == "name":
                 wf.add("columnMapping")
@@ -2191,6 +2296,8 @@ def write_delta(
                 # delta.rowTracking domainMetadata (assigned in
                 # DeltaLog.commit)
                 wf.update({"rowTracking", "domainMetadata"})
+            if cluster_by:
+                wf.update({"clustering", "domainMetadata"})
             if check_constraints(properties):
                 wf.add("checkConstraints")
             if generated_columns:
@@ -2211,10 +2318,23 @@ def write_delta(
             protocol_action = {
                 "protocol": {"minReaderVersion": 1, "minWriterVersion": writer_version}
             }
+        cluster_actions: list[dict[str, Any]] = []
+        if cluster_by:
+            cluster_actions = [
+                {
+                    "domainMetadata": {
+                        "domain": CLUSTERING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cluster_by]}
+                        ),
+                        "removed": False,
+                    }
+                }
+            ]
         actions = [
             protocol_action,
             {"metaData": meta},
-        ] + txn_actions + [{"add": a} for a in adds]
+        ] + cluster_actions + txn_actions + [{"add": a} for a in adds]
         log.commit(
             -1,
             actions,
@@ -2232,6 +2352,11 @@ def write_delta(
     if identity_columns:
         raise JodieValidationError(
             "identity_columns can only be declared at table creation"
+        )
+    if cluster_by:
+        raise JodieValidationError(
+            "cluster_by can only be declared at table creation "
+            "(use DeltaTable.set_cluster_by to change it)"
         )
     snap = table.snapshot()
     table.deltaLog.check_write_allowed(snap, removes_data=(mode == "overwrite"))
