@@ -107,6 +107,14 @@ def main() -> None:
         "pipeline_e2e",
         "dv_merge",
         "semantic_dedup",
+        "bm25_search",
+        "keyword_search",
+        "bigram_perplexity",
+        "knn_graph",
+        "identity_columns",
+        "row_tracking",
+        "cdf_datasource",
+        "liquid_clustering",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
