@@ -1322,6 +1322,38 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening lifecycle: create (int, float) from even suppkeys,
+    append (long, double) odds under mergeSchema — the table schema
+    widens, old narrow files up-cast on read. The oracle replays the
+    same arithmetic: evens round-trip through REAL (float) precision,
+    odds stay DOUBLE."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    path = _tmp("widen")
+    write_delta(
+        sup.filter("s_suppkey % 2 = 0").select(
+            F.col("s_suppkey").cast("int").alias("s_suppkey"),
+            F.col("s_acctbal").cast("float").alias("s_acctbal"),
+        ),
+        path,
+    )
+    write_delta(
+        sup.filter("s_suppkey % 2 = 1").select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        ),
+        path,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    return DeltaTable.forPath(spark, path).toDF().select(
+        "s_suppkey", F.round("s_acctbal", 4).alias("s_acctbal")
+    )
+
+
 def _q_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Liquid clustering lifecycle: create CLUSTER BY(n_regionkey),
     append, OPTIMIZE (re-clusters on the persisted clustering columns
@@ -1597,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "row_tracking": _q_row_tracking,
         "liquid_clustering": _q_liquid_clustering,
+        "type_widening": _q_type_widening,
     }
 
 
@@ -2409,6 +2442,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "type_widening": """
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                   ROUND(CAST(CAST(s_acctbal AS REAL) AS DOUBLE), 4) AS s_acctbal
+            FROM supplier WHERE s_suppkey % 2 = 0
+            UNION ALL
+            SELECT CAST(s_suppkey AS BIGINT),
+                   ROUND(CAST(s_acctbal AS DOUBLE), 4)
+            FROM supplier WHERE s_suppkey % 2 = 1
         """,
         "liquid_clustering": """
             SELECT CAST(n_nationkey AS BIGINT) AS version, n_name AS operation

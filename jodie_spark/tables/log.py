@@ -51,6 +51,9 @@ from jodie_spark.errors import (
 SUPPORTED_READER_VERSIONS = {1, 2, 3}
 SUPPORTED_READER_FEATURES = {
     "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+    # mixed-width parquet files: every read path up-casts per file
+    # (Spark 4 vectorized reader widening + the datasource's Arrow cast)
+    "typeWidening",
 }
 _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 
@@ -76,7 +79,7 @@ SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
     "columnMapping", "identityColumns", "rowTracking", "domainMetadata",
-    "clustering",
+    "clustering", "typeWidening",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"

@@ -34,6 +34,20 @@ RESERVED_WRITER_OPTIONS = {
 CONSTRAINT_PREFIX = "delta.constraints."
 CLUSTERING_DOMAIN = "delta.clustering"
 
+# delta typeWidening: safe widenings (narrow, wide) — integral chain plus
+# float->double; parquet files written at the narrow type stay readable
+# because every read path up-casts per file
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def _can_widen(narrow: T.DataType, wide: T.DataType) -> bool:
+    return (narrow.typeName(), wide.typeName()) in _WIDENINGS
+
 
 def check_constraints(configuration: dict[str, str] | None) -> dict[str, str]:
     """name → expression for every ``delta.constraints.*`` property."""
@@ -2382,6 +2396,57 @@ def write_delta(
                 f"A schema mismatch detected when writing to the Delta table: "
                 f"extra columns {extra}. Set option mergeSchema=true to allow."
             )
+        # -- type reconciliation (delta parity): narrower incoming data
+        # up-casts to the table type silently; WIDER incoming data
+        # widens the table schema under mergeSchema (typeWidening
+        # feature — old narrow files stay readable because both read
+        # paths up-cast per file); anything else fails AT WRITE TIME
+        # instead of producing files later reads choke on
+        widened: dict[str, T.DataType] = {}
+        for f in df.schema.fields:
+            if f.name not in table_cols:
+                continue
+            tt = table_schema[f.name].dataType
+            if f.dataType == tt:
+                continue
+            if _can_widen(f.dataType, tt):
+                df = df.withColumn(f.name, F.col(f.name).cast(tt))
+            elif _can_widen(tt, f.dataType) and merge_schema:
+                widened[f.name] = f.dataType
+            else:
+                hint = (
+                    ""
+                    if merge_schema
+                    else " (widening like int->long needs mergeSchema=true)"
+                )
+                raise JodieValidationError(
+                    f"column {f.name!r}: incoming type "
+                    f"{f.dataType.simpleString()} is incompatible with table "
+                    f"type {tt.simpleString()}{hint}"
+                )
+        if widened:
+            fields = []
+            for f in table_schema.fields:
+                if f.name in widened:
+                    changes = list((f.metadata or {}).get("delta.typeChanges") or [])
+                    changes.append(
+                        {
+                            "fromType": f.dataType.typeName(),
+                            "toType": widened[f.name].typeName(),
+                            "tableVersion": snap.version + 1,
+                        }
+                    )
+                    fields.append(
+                        T.StructField(
+                            f.name,
+                            widened[f.name],
+                            f.nullable,
+                            {**(f.metadata or {}), "delta.typeChanges": changes},
+                        )
+                    )
+                else:
+                    fields.append(f)
+            table_schema = T.StructType(fields)
         new_schema = table_schema
         if extra:
             new_schema = T.StructType(
@@ -2422,7 +2487,24 @@ def write_delta(
             out_df = rename_to_physical(out_df, new_schema, to_physical_schema(new_schema))
         adds = write_data_files(out_df, path, snap.partition_columns)
         actions = txn_actions + [{"add": a} for a in adds]
-        if extra or _id_schema is not None:
+        if widened:
+            # typeWidening is a reader+writer table feature: old files
+            # carry the narrow type, so readers must be upcast-capable
+            proto = dict(snap.protocol or {})
+            rfeat = set(proto.get("readerFeatures") or [])
+            upgrade = table._writer_feature_upgrade_actions(
+                snap, {"typeWidening"}
+            )
+            if upgrade:
+                up = upgrade[0]["protocol"]
+            else:
+                up = dict(proto)
+                upgrade = [{"protocol": up}]
+            up["minReaderVersion"] = 3
+            up["readerFeatures"] = sorted(rfeat | {"typeWidening"})
+            if up != snap.protocol:
+                actions = upgrade + actions
+        if extra or widened or _id_schema is not None:
             meta = dict(snap.metadata)
             meta["schemaString"] = new_schema.json()
             if conf_update:

@@ -73,12 +73,12 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
         DeltaTable.forPath(spark, v2cp).delete("k = 1")
 
     # a reader feature this engine genuinely lacks still refuses
-    tw = mk_log("typewidening_table", {
+    tw = mk_log("variant_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["typeWidening"],
-        "writerFeatures": ["typeWidening"],
+        "readerFeatures": ["variantType"],
+        "writerFeatures": ["variantType"],
     })
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         DeltaTable.forPath(spark, tw).snapshot()
 
     # deletionVectors are readable AND writable (read: row-index

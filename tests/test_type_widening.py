@@ -1,0 +1,98 @@
+"""Type widening (append with mergeSchema) + write-time type safety."""
+
+import os
+
+import pytest
+
+from jodie_spark.errors import JodieValidationError
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def test_incompatible_append_fails_at_write_time(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), p)
+    with pytest.raises(JodieValidationError, match="incompatible"):
+        write_delta(
+            spark.createDataFrame([("x", "b")], "k string, v string"),
+            p,
+            mode="append",
+        )
+    # wider numeric without mergeSchema also refuses, with the hint
+    with pytest.raises(JodieValidationError, match="mergeSchema"):
+        write_delta(
+            spark.createDataFrame([(2**40, "b")], "k long, v string"),
+            p,
+            mode="append",
+        )
+    # the failed writes left no partial state
+    assert DeltaTable.forPath(spark, p).toDF().count() == 1
+
+
+def test_narrow_source_upcasts_silently(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.createDataFrame([(2**40, 1.5)], "k long, v double"), p)
+    write_delta(
+        spark.createDataFrame([(7, 2.5)], "k int, v double"), p, mode="append"
+    )
+    t = DeltaTable.forPath(spark, p)
+    assert t.toDF().schema["k"].dataType.typeName() == "long"
+    assert sorted(r["k"] for r in t.toDF().collect()) == [7, 2**40]
+
+
+def test_widening_append_with_merge_schema(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.createDataFrame([(1, 1.5)], "k int, v float"), p)
+    write_delta(
+        spark.createDataFrame([(2**40, 2.5)], "k long, v double"),
+        p,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    schema = t.toDF().schema
+    assert schema["k"].dataType.typeName() == "long"
+    assert schema["v"].dataType.typeName() == "double"
+    # OLD narrow files and new wide files both read back correctly
+    rows = sorted((r["k"], round(r["v"], 2)) for r in t.toDF().collect())
+    assert rows == [(1, 1.5), (2**40, 2.5)]
+    # protocol carries the reader+writer feature
+    proto = t.snapshot().protocol
+    assert "typeWidening" in proto["writerFeatures"]
+    assert "typeWidening" in proto["readerFeatures"]
+    # schema metadata records the change
+    md = t.schema()["k"].metadata
+    assert md["delta.typeChanges"][0]["fromType"] == "integer"
+    assert md["delta.typeChanges"][0]["toType"] == "long"
+
+
+def test_widened_table_reads_through_datasource(spark, tmpdir_path):
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.createDataFrame([(1,)], "k int"), p)
+    write_delta(
+        spark.createDataFrame([(2**40,)], "k long"),
+        p,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    got = sorted(
+        r["k"] for r in spark.read.format("jodie_delta").load(p).collect()
+    )
+    assert got == [1, 2**40]
+
+
+def test_widening_composes_with_new_columns(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.createDataFrame([(1,)], "k int"), p)
+    write_delta(
+        spark.createDataFrame([(2**40, "x")], "k long, extra string"),
+        p,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    rows = sorted((r["k"], r["extra"]) for r in t.toDF().collect())
+    assert rows == [(1, None), (2**40, "x")]
+    assert t.toDF().schema["k"].dataType.typeName() == "long"
