@@ -1322,6 +1322,35 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2-checkpoint lifecycle (delta.checkpointPolicy=v2): write,
+    delete, checkpoint (uuid manifest + sidecars), append past it —
+    every read after the checkpoint reconstructs state from the
+    manifest+sidecar layout. Data + history value-checked."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = _tmp("v2cp")
+    write_delta(
+        nation.filter("n_nationkey < 20").repartition(3),
+        path,
+        options={"delta.checkpointPolicy": "v2"},
+    )
+    t = DeltaTable.forPath(spark, path)
+    t.delete("n_regionkey = 4")
+    DeltaLog(path).write_checkpoint()
+    write_delta(nation.filter("n_nationkey >= 20"), path, mode="append")
+    t = DeltaTable.forPath(spark, path)
+    data = t.toDF().select(
+        F.col("n_nationkey").cast("long").alias("version"),
+        F.col("n_name").alias("operation"),
+    )
+    ops = t.history().select("version", "operation")
+    return data.unionByName(ops)
+
+
 def _q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type widening lifecycle: create (int, float) from even suppkeys,
     append (long, double) odds under mergeSchema — the table schema
@@ -1630,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_tracking": _q_row_tracking,
         "liquid_clustering": _q_liquid_clustering,
         "type_widening": _q_type_widening,
+        "v2_checkpoint": _q_v2_checkpoint,
     }
 
 
@@ -2442,6 +2472,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "v2_checkpoint": """
+            SELECT CAST(n_nationkey AS BIGINT) AS version, n_name AS operation
+            FROM nation WHERE NOT (n_regionkey = 4 AND n_nationkey < 20)
+            UNION ALL
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'WRITE'),
+                (1, 'DELETE'),
+                (2, 'WRITE')) AS t(version, operation)
         """,
         "type_widening": """
             SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,

@@ -673,3 +673,123 @@ def get_shuffle_file_metadata(
         fdf,
         unresolved_cols,
     )
+
+
+def write_checkpoint_v2_spark(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """V2 checkpoint write (protocol ``v2Checkpoint`` feature): the
+    add/remove state lands in uuid-named SIDECAR parquet files under
+    ``_delta_log/_sidecars/`` (Spark-written, bounded driver memory —
+    same distributed reconstruction as the classic writer), and a
+    single uuid-named manifest ``<v>.checkpoint.<uuid>.parquet``
+    carries checkpointMetadata + sidecar references + protocol +
+    metaData + domainMetadata. The read side
+    (``DeltaLog.checkpoint_part_files`` / ``_read_manifest_actions`` /
+    ``files_df``) already resolves this layout."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import json as _json
+
+    from jodie_spark.tables.log import LAST_CHECKPOINT
+
+    log = DeltaLog(path)
+    target = log.latest_version() if version is None else int(version)
+    info = log.table_info(target)
+
+    state = _latest_actions_df(spark, path, max_version=target)
+    add_struct = F.struct(
+        F.col("add.path").alias("path"),
+        F.col("add.partitionValues").alias("partitionValues"),
+        F.col("add.size").alias("size"),
+        F.col("add.modificationTime").alias("modificationTime"),
+        F.lit(False).alias("dataChange"),
+        F.col("add.stats").alias("stats"),
+        F.col("add.deletionVector").alias("deletionVector"),
+        F.col("add.baseRowId").alias("baseRowId"),
+        F.col("add.defaultRowCommitVersion").alias("defaultRowCommitVersion"),
+    )
+    out = state.select(
+        F.when(F.col("add").isNotNull(), add_struct).alias("add"),
+        F.col("remove"),
+    )
+    n_actions = out.count()
+    n_parts = max(1, -(-n_actions // _CP_ACTIONS_PER_PART))
+
+    sidecar_dir = os.path.join(log.log_path, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    stage = os.path.join(log.table_path, f"_checkpoint_stage_{_uuid.uuid4().hex}")
+    try:
+        out.repartition(n_parts).write.parquet(stage, mode="overwrite")
+        spark_parts = sorted(
+            os.path.join(stage, n)
+            for n in os.listdir(stage)
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+        sidecars: list[dict[str, Any]] = []
+        for src in spark_parts:
+            name = f"{_uuid.uuid4().hex}.parquet"
+            dst = os.path.join(sidecar_dir, name)
+            os.replace(src, dst)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                }
+            )
+
+        sidecar_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        cpmeta_t = pa.struct([("version", pa.int64())])
+        from jodie_spark.tables.log import (
+            _DOMAIN_T,
+            _METADATA_T,
+            _PROTOCOL_T,
+        )
+
+        manifest_schema = pa.schema(
+            [
+                ("checkpointMetadata", cpmeta_t),
+                ("sidecar", sidecar_t),
+                ("protocol", _PROTOCOL_T),
+                ("metaData", _METADATA_T),
+                ("domainMetadata", _DOMAIN_T),
+            ]
+        )
+        rows: list[dict[str, Any]] = [
+            {"checkpointMetadata": {"version": target}},
+            {"protocol": info.protocol},
+            {"metaData": info.metadata},
+        ]
+        for dm in log.all_domain_metadata(target).values():
+            rows.append(
+                {
+                    "domainMetadata": {
+                        "domain": dm.get("domain"),
+                        "configuration": dm.get("configuration"),
+                        "removed": bool(dm.get("removed", False)),
+                    }
+                }
+            )
+        rows.extend({"sidecar": sc} for sc in sidecars)
+        manifest = os.path.join(
+            log.log_path, f"{target:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=manifest_schema), manifest)
+        with open(
+            os.path.join(log.log_path, LAST_CHECKPOINT), "w", encoding="utf-8"
+        ) as fh:
+            _json.dump({"version": target, "size": n_actions + len(rows)}, fh)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return target

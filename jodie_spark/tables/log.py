@@ -79,7 +79,7 @@ SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
     "columnMapping", "identityColumns", "rowTracking", "domainMetadata",
-    "clustering", "typeWidening",
+    "clustering", "typeWidening", "v2Checkpoint",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"
@@ -88,6 +88,7 @@ ROW_TRACKING_DOMAIN = "delta.rowTracking"
 LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
 CHECKPOINT_INTERVAL_PROP = "delta.checkpointInterval"
+CHECKPOINT_POLICY_PROP = "delta.checkpointPolicy"  # "classic" | "v2"
 DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
@@ -987,8 +988,27 @@ class DeltaLog:
             except Exception:
                 spark = None
         if spark is not None:
-            from jodie_spark.tables.distribution import write_checkpoint_spark
+            from jodie_spark.tables.distribution import (
+                write_checkpoint_spark,
+                write_checkpoint_v2_spark,
+            )
 
+            policy = "classic"
+            try:
+                info = self.table_info(version)
+                policy = str(
+                    info.configuration.get(CHECKPOINT_POLICY_PROP, "classic")
+                ).lower()
+                # externally-created v2Checkpoint tables may rely on the
+                # protocol feature alone — keep writing their format
+                if policy != "v2" and "v2Checkpoint" in (
+                    (info.protocol or {}).get("readerFeatures") or []
+                ):
+                    policy = "v2"
+            except Exception:
+                pass
+            if policy == "v2":
+                return write_checkpoint_v2_spark(spark, self.table_path, version)
             return write_checkpoint_spark(spark, self.table_path, version)
         snap = self.snapshot(version)
         rows: list[dict[str, Any]] = [

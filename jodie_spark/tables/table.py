@@ -2301,10 +2301,15 @@ def write_delta(
                 raise JodieValidationError(
                     f"cluster_by columns not in data: {missing_cc}"
                 )
-        if mapping_mode == "name" or row_tracking or cluster_by:
+        v2_policy = (
+            str(properties.get("delta.checkpointPolicy", "classic")).lower() == "v2"
+        )
+        if mapping_mode == "name" or row_tracking or cluster_by or v2_policy:
             wf = {"appendOnly"}
+            rf: set[str] = set()
             if mapping_mode == "name":
                 wf.add("columnMapping")
+                rf.add("columnMapping")
             if row_tracking:
                 # fresh row-id blocks per commit; watermark rides the
                 # delta.rowTracking domainMetadata (assigned in
@@ -2312,6 +2317,9 @@ def write_delta(
                 wf.update({"rowTracking", "domainMetadata"})
             if cluster_by:
                 wf.update({"clustering", "domainMetadata"})
+            if v2_policy:
+                wf.add("v2Checkpoint")
+                rf.add("v2Checkpoint")
             if check_constraints(properties):
                 wf.add("checkConstraints")
             if generated_columns:
@@ -2321,12 +2329,12 @@ def write_delta(
             if str(properties.get("delta.enableChangeDataFeed", "false")).lower() == "true":
                 wf.add("changeDataFeed")
             protocol: dict[str, Any] = {
-                "minReaderVersion": 3 if mapping_mode == "name" else 1,
+                "minReaderVersion": 3 if rf else 1,
                 "minWriterVersion": 7,
                 "writerFeatures": sorted(wf),
             }
-            if mapping_mode == "name":
-                protocol["readerFeatures"] = ["columnMapping"]
+            if rf:
+                protocol["readerFeatures"] = sorted(rf)
             protocol_action = {"protocol": protocol}
         else:
             protocol_action = {

@@ -61,16 +61,16 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
             fh.write(json.dumps({"metaData": meta}) + "\n")
         return path
 
-    # v2 checkpoints are READABLE (manifest+sidecar parsing — see
-    # test_v2_checkpoint); writes still refuse at the writer gate
+    # v2 checkpoints are readable AND writable (manifest+sidecar layout
+    # — see test_v2_checkpoint) so both gates pass
     v2cp = mk_log("v2cp_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["v2Checkpoint"],
         "writerFeatures": ["v2Checkpoint"],
     })
     assert DeltaTable.forPath(spark, v2cp).snapshot().version == 0
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        DeltaTable.forPath(spark, v2cp).delete("k = 1")
+    DeltaTable.forPath(spark, v2cp).delete("k = 1")  # no candidates: commits
+    assert DeltaTable.forPath(spark, v2cp).deltaLog.latest_version() == 1
 
     # a reader feature this engine genuinely lacks still refuses
     tw = mk_log("variant_table", {

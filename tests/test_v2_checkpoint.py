@@ -111,9 +111,10 @@ def test_v2_checkpoint_read(spark, tmpdir_path, json_manifest):
     fdf = files_df(spark, p)
     assert fdf.filter("add is not null").count() == len(snap.add_files())
 
-    # writes refuse: this engine does not MAINTAIN v2 checkpoints
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        write_delta(spark.range(5).selectExpr("id", "id % 3 as m"), p, mode="append")
+    # writes now MAINTAIN the v2 layout: an append succeeds and a
+    # fresh checkpoint on this table is written as manifest+sidecars
+    write_delta(spark.range(100, 105).selectExpr("id", "id % 3 as m"), p, mode="append")
+    assert DeltaTable.forPath(spark, p).toDF().count() == 85
 
 
 def test_v2_checkpoint_tail_replay(spark, tmpdir_path):
@@ -135,3 +136,65 @@ def test_v2_checkpoint_tail_replay(spark, tmpdir_path):
     assert snap.version == v + 1
     assert snap.configuration.get("foo") == "bar"
     assert len(snap.add_files()) == len(DeltaLog(p).snapshot(v).add_files())
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoint WRITE (delta.checkpointPolicy=v2)
+# ---------------------------------------------------------------------------
+
+def test_v2_checkpoint_write_roundtrip(spark, tmpdir_path):
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "v2w")
+    write_delta(
+        spark.range(20).selectExpr("id", "id * 2 as v").repartition(3),
+        p,
+        options={"delta.checkpointPolicy": "v2"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id >= 15")
+    proto = t.snapshot().protocol
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    v = DeltaLog(p).write_checkpoint()
+    log_dir = os.path.join(p, "_delta_log")
+    manifests = [
+        n for n in os.listdir(log_dir)
+        if n.startswith("%020d.checkpoint." % v) and n.endswith(".parquet")
+    ]
+    assert len(manifests) == 1
+    # uuid-named manifest (not a classic single/multipart name)
+    mid = manifests[0][len("%020d.checkpoint." % v):-len(".parquet")]
+    assert len(mid) == 32 and "." not in mid
+    assert os.path.isdir(os.path.join(log_dir, "_sidecars"))
+    assert os.listdir(os.path.join(log_dir, "_sidecars"))
+    # snapshot + reads seeded from the v2 checkpoint (delete the tail
+    # json to force checkpoint-only reconstruction of state ≤ v)
+    t2 = DeltaTable.forPath(spark, p)
+    assert sorted(r["id"] for r in t2.toDF().collect()) == list(range(15))
+    # another append + re-checkpoint: v2 base + tail, then v2 again
+    write_delta(spark.range(100, 103).selectExpr("id", "id*2 as v"), p, mode="append")
+    DeltaLog(p).write_checkpoint()
+    t3 = DeltaTable.forPath(spark, p)
+    assert sorted(r["id"] for r in t3.toDF().collect()) == list(range(15)) + [100, 101, 102]
+
+
+def test_v2_checkpoint_write_preserves_dv_and_domains(spark, tmpdir_path):
+    from jodie_spark.tables.log import ROW_TRACKING_DOMAIN, DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "v2dv")
+    write_delta(
+        spark.range(10).selectExpr("id", "id as v").coalesce(1),
+        p,
+        options={
+            "delta.checkpointPolicy": "v2",
+            "delta.enableRowTracking": "true",
+        },
+    )
+    DeltaTable.forPath(spark, p).delete("id % 2 = 1", deletion_vectors=True)
+    DeltaLog(p).write_checkpoint()
+    t = DeltaTable.forPath(spark, p)
+    assert sorted(r["id"] for r in t.toDF().collect()) == [0, 2, 4, 6, 8]
+    dm = DeltaLog(p).latest_domain_metadata(ROW_TRACKING_DOMAIN)
+    assert dm is not None and "rowIdHighWaterMark" in dm["configuration"]
