@@ -79,11 +79,12 @@ SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",
     "columnMapping", "identityColumns", "rowTracking", "domainMetadata",
-    "clustering", "typeWidening", "v2Checkpoint",
+    "clustering", "typeWidening", "v2Checkpoint", "inCommitTimestamp",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
+ICT_PROP = "delta.enableInCommitTimestamps"
 
 LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
@@ -904,11 +905,37 @@ class DeltaLog:
         if version > 0:
             commit_info["readVersion"] = read_version
 
+        ict_enabled = (
+            str((config or {}).get(ICT_PROP, "false")).lower() == "true"
+        )
+
+        def _prev_ict(v: int) -> int:
+            if v < 0:
+                return 0
+            try:
+                for a in self.read_actions(v):
+                    ci = a.get("commitInfo")
+                    if ci:
+                        return int(
+                            ci.get("inCommitTimestamp") or ci.get("timestamp") or 0
+                        )
+            except FileNotFoundError:
+                pass
+            return 0
+
         def _build_lines(v: int) -> list[str]:
             # defaultRowCommitVersion must match the version actually
             # won, so row-tracked commits rebuild their lines per attempt
             for ad in rt_adds:
                 ad["defaultRowCommitVersion"] = v
+            if ict_enabled:
+                # monotonic commit clock (writer feature
+                # inCommitTimestamp): strictly greater than the
+                # predecessor's — recomputed per attempt because a retry
+                # changes the predecessor
+                commit_info["inCommitTimestamp"] = max(
+                    int(time.time() * 1000), _prev_ict(v - 1) + 1
+                )
             out = [json.dumps({"commitInfo": commit_info}, separators=(",", ":"))]
             out.extend(json.dumps(a, separators=(",", ":")) for a in actions)
             return out

@@ -2304,7 +2304,10 @@ def write_delta(
         v2_policy = (
             str(properties.get("delta.checkpointPolicy", "classic")).lower() == "v2"
         )
-        if mapping_mode == "name" or row_tracking or cluster_by or v2_policy:
+        from jodie_spark.tables.log import ICT_PROP
+
+        ict = str(properties.get(ICT_PROP, "false")).lower() == "true"
+        if mapping_mode == "name" or row_tracking or cluster_by or v2_policy or ict:
             wf = {"appendOnly"}
             rf: set[str] = set()
             if mapping_mode == "name":
@@ -2320,6 +2323,8 @@ def write_delta(
             if v2_policy:
                 wf.add("v2Checkpoint")
                 rf.add("v2Checkpoint")
+            if ict:
+                wf.add("inCommitTimestamp")
             if check_constraints(properties):
                 wf.add("checkConstraints")
             if generated_columns:

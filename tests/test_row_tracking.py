@@ -157,3 +157,38 @@ def test_concurrent_row_id_allocation_conflicts(registered, tmpdir_path):
     # writer B also read at v: its domain bump conflicts with A's
     with pytest.raises(ConcurrentModificationException, match="domain metadata"):
         log.commit(v, [{"add": a} for a in adds_b], "WRITE", {}, {})
+
+
+# ---------------------------------------------------------------------------
+# in-commit timestamps (write side)
+# ---------------------------------------------------------------------------
+
+def test_in_commit_timestamps_written_and_monotonic(registered, tmpdir_path):
+    import json as _json
+
+    from jodie_spark.tables.log import DeltaLog, commit_file_name
+
+    spark = registered
+    p = os.path.join(tmpdir_path, "ict")
+    write_delta(
+        spark.range(3).selectExpr("id", "id as v"),
+        p,
+        options={"delta.enableInCommitTimestamps": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id = 0")
+    write_delta(spark.range(3, 5).selectExpr("id", "id as v"), p, mode="append")
+    log = DeltaLog(p)
+    icts = []
+    for v in range(log.latest_version() + 1):
+        with open(os.path.join(log.log_path, commit_file_name(v))) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    icts.append(a["commitInfo"].get("inCommitTimestamp"))
+    assert all(x is not None for x in icts)
+    assert icts == sorted(icts) and len(set(icts)) == len(icts)  # strictly increasing
+    proto = t.snapshot().protocol
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    # timestamp-based time travel prefers the monotonic clock
+    assert log.version_at_timestamp(icts[1]) == 1
