@@ -157,17 +157,21 @@ class DeltaMergeBuilder:
                 kept.append(_strip_alias_prefix(conj, talias))
         return " and ".join(kept) if kept else None
 
-    def _check_identity_clauses(self, schema) -> None:
-        """Delta identity-column merge semantics, gated conservatively:
-        UPDATE clauses may never assign an identity column; INSERT
-        clauses must provide GENERATED-BY-DEFAULT identity columns
-        explicitly (this engine does not yet generate identity values
-        inside a merge) and may never provide GENERATED ALWAYS ones."""
+    def _check_identity_clauses(
+        self, schema, cdf_enabled: bool = False
+    ) -> dict[str, dict]:
+        """Delta identity-column merge semantics: UPDATE clauses may
+        never assign an identity column; INSERT clauses may never
+        provide GENERATED ALWAYS values. Returns the identity specs to
+        GENERATE for — insert-output rows whose identity column lands
+        NULL get fresh values from the watermark (same arithmetic as
+        the append path). Generation composes with CDF only on the
+        rewrite path delta uses, so CDF + generation is refused."""
         from jodie_spark.tables.identity import identity_columns_of
 
         ids = identity_columns_of(schema)
         if not ids:
-            return
+            return {}
         src_cols = set(self.source.columns)
         for c in self._matched:
             if c.kind != "update":
@@ -177,6 +181,7 @@ class DeltaMergeBuilder:
                 raise JodieValidationError(
                     f"MERGE cannot update identity column(s) {sorted(touched)}"
                 )
+        to_generate: dict[str, dict] = {}
         for c in self._not_matched:
             provided = set(ids) & (src_cols if c.star else set(c.assignments))
             for name in sorted(provided):
@@ -185,13 +190,16 @@ class DeltaMergeBuilder:
                         f"MERGE cannot insert explicit values into GENERATED "
                         f"ALWAYS identity column {name!r}"
                     )
-            missing = set(ids) - provided
-            if missing:
-                raise JodieValidationError(
-                    f"MERGE insert clause must provide identity column(s) "
-                    f"{sorted(missing)} explicitly (in-merge generation is "
-                    "not supported; append generated rows via write_delta)"
-                )
+            for name in set(ids) - provided:
+                to_generate[name] = ids[name]
+        if to_generate and cdf_enabled:
+            raise JodieValidationError(
+                "in-merge identity generation on a CDF-enabled table is not "
+                "supported (change rows would not carry the generated ids); "
+                "provide the identity values explicitly or append via "
+                "write_delta"
+            )
+        return to_generate
 
     def _stage_actions(self, joined: DataFrame) -> DataFrame:
         """Attach first-matching-clause indexes and the per-row action
@@ -427,12 +435,15 @@ class DeltaMergeBuilder:
         if mapped:
             deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         schema = t.schema(snap)
-        self._check_identity_clauses(schema)
+        id_generate = self._check_identity_clauses(
+            schema, cdf_enabled=t.is_cdf_enabled(snap)
+        )
         if (
             deletion_vectors
             and self._matched
             and not self._schema_evolution
             and not t.is_cdf_enabled(snap)
+            and not id_generate  # generated inserts need the CoW path
         ):
             self._execute_mor(allow_multiple_matches, t0)
             return
@@ -571,6 +582,48 @@ class DeltaMergeBuilder:
             *[_out_col(f) for f in schema.fields]
         )
 
+        # in-merge identity generation: insert-output rows land with a
+        # NULL identity column (no clause provided it) — assign fresh
+        # values from the watermark, exactly the append-path arithmetic;
+        # carried target rows always have values (ALWAYS semantics), so
+        # the null-split touches inserts only
+        id_schema_meta = None
+        if id_generate:
+            from jodie_spark.tables.identity import (
+                assign_identity_values,
+                identity_columns_of,
+                next_identity_base,
+                with_identity_metadata,
+            )
+
+            new_specs = dict(identity_columns_of(schema))
+            changed = False
+            for name, spec in id_generate.items():
+                need = result.filter(F.col(name).isNull()).drop(name)
+                keep = result.filter(F.col(name).isNotNull())
+                need, hwm = assign_identity_values(
+                    need, name, next_identity_base(spec), int(spec["step"])
+                )
+                result = keep.unionByName(need).select(
+                    *[f.name for f in schema.fields]
+                )
+                if hwm is not None:
+                    new_specs[name] = {**spec, "high_water_mark": hwm}
+                    changed = True
+            if changed:
+                id_schema_meta = with_identity_metadata(
+                    schema,
+                    {
+                        n: {
+                            "start": s["start"],
+                            "step": s["step"],
+                            "allow_explicit": s["allow_explicit"],
+                            "high_water_mark": s.get("high_water_mark"),
+                        }
+                        for n, s in new_specs.items()
+                    },
+                )
+
         cdc_actions: list[dict[str, Any]] = []
         try:
             from jodie_spark.tables.table import (
@@ -627,9 +680,13 @@ class DeltaMergeBuilder:
 
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = []
-        if schema_evolved:
+        if schema_evolved or id_schema_meta is not None:
             meta = dict(snap.metadata)
-            meta["schemaString"] = json.dumps(schema.jsonValue())
+            meta["schemaString"] = (
+                id_schema_meta.json()
+                if id_schema_meta is not None
+                else json.dumps(schema.jsonValue())
+            )
             actions.append({"metaData": meta})
         actions += list(cdc_actions)
         actions += [{"add": a} for a in adds]

@@ -161,3 +161,57 @@ def test_step_zero_and_bad_type_rejected(spark, tmpdir_path):
             os.path.join(tmpdir_path, "s"),
             identity_columns={"id": {"allow_explicit": True}},
         )
+
+
+def test_merge_generates_identity_for_inserts(spark, tmpdir_path):
+    from jodie_spark.tables.identity import identity_columns_of
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "mgen")
+    write_delta(
+        spark.createDataFrame([("a",), ("b",)], "v string"),
+        p,
+        identity_columns={"id": {"start": 1, "step": 1}},
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame([("b", "B"), ("c", "C"), ("d", "D")], "v string, nv string")
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.v = s.v")
+        .whenMatchedUpdate(set={"v": "s.nv"})
+        .whenNotMatchedInsert(values={"v": "s.nv"})
+        .execute()
+    )
+    t = DeltaTable.forPath(spark, p)
+    rows = {r["v"]: r["id"] for r in t.toDF().collect()}
+    # a kept id 1 or 2; b updated in place (id preserved); C,D inserted with ids 3,4
+    assert set(rows) == {"a", "B", "C", "D"}
+    assert sorted(rows.values()) == [1, 2, 3, 4]
+    assert rows["B"] in (1, 2)  # update never rewrites the identity value
+    assert identity_columns_of(t.schema())["id"]["high_water_mark"] == 4
+    # the next append continues past the merge-advanced watermark
+    write_delta(spark.createDataFrame([("e",)], "v string"), p, mode="append")
+    assert sorted(
+        r["id"] for r in DeltaTable.forPath(spark, p).toDF().collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def test_merge_identity_generation_refused_with_cdf(spark, tmpdir_path):
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "mgencdf")
+    write_delta(
+        spark.createDataFrame([("a",)], "v string"),
+        p,
+        identity_columns={"id": {}},
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame([("z",)], "v string")
+    with pytest.raises(JodieValidationError, match="CDF"):
+        (
+            t.alias("t")
+            .merge(src.alias("s"), "t.v = s.v")
+            .whenNotMatchedInsert(values={"v": "s.v"})
+            .execute()
+        )
