@@ -287,7 +287,7 @@ class DeltaLog:
         # commit()'s row-tracking gate — config changes always write a
         # metaData action at a NEWER version, so caching by version is
         # sound and spares DML-heavy callers a log scan per commit
-        self._commit_config_cache: tuple[int, dict[str, str]] | None = None
+        self._commit_config_cache: tuple[int, dict[str, str], bool] | None = None
 
     # -- listing ------------------------------------------------------------
 
@@ -835,17 +835,28 @@ class DeltaLog:
         meta_in_commit = next(
             (a["metaData"] for a in actions if a.get("metaData")), None
         )
+        proto_in_commit = next(
+            (a["protocol"] for a in actions if a.get("protocol")), None
+        )
+        ict_feature = "inCommitTimestamp" in (
+            (proto_in_commit or {}).get("writerFeatures") or []
+        )
         config = (meta_in_commit or {}).get("configuration")
         if config is None and read_version >= 0:
             cached = self._commit_config_cache
             if cached is not None and cached[0] == read_version:
                 config = cached[1]
+                ict_feature = ict_feature or cached[2]
             else:
                 try:
-                    config = self.table_info(read_version).configuration
+                    info = self.table_info(read_version)
+                    config = info.configuration
+                    ict_feature = ict_feature or "inCommitTimestamp" in (
+                        (info.protocol or {}).get("writerFeatures") or []
+                    )
                 except Exception:
                     config = {}
-                self._commit_config_cache = (read_version, config)
+                self._commit_config_cache = (read_version, config, ict_feature)
         rt_adds: list[dict[str, Any]] = []
         if str((config or {}).get(ROW_TRACKING_PROP, "false")).lower() == "true":
             new_adds = [
@@ -905,8 +916,12 @@ class DeltaLog:
         if version > 0:
             commit_info["readVersion"] = read_version
 
+        # stamp when the property asks for it, or when the table already
+        # carries the feature (external tables whose history is ICT'd —
+        # an unstamped commit would break the monotonic clock they read)
         ict_enabled = (
             str((config or {}).get(ICT_PROP, "false")).lower() == "true"
+            or ict_feature
         )
 
         def _prev_ict(v: int) -> int:
@@ -971,7 +986,7 @@ class DeltaLog:
                 version = latest + 1
         # the table's config at `version` is now known — prime the cache
         # so the NEXT commit (reading at `version`) skips its log scan
-        self._commit_config_cache = (version, dict(config or {}))
+        self._commit_config_cache = (version, dict(config or {}), ict_enabled)
         self._maybe_checkpoint(version)
         return version
 

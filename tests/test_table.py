@@ -828,6 +828,15 @@ def test_in_commit_timestamps_read_support(spark, tmpdir_path):
     # history shows the ICT clock
     rows = {r["version"]: r["timestamp"] for r in t2.history().collect()}
     assert rows[0].year == 2100
-    # writes refuse: we do not maintain the feature's invariant
-    with pytest.raises(DeltaProtocolError, match="inCommitTimestamp"):
-        t2.update(None, {"x": "x + 1"})
+    # writes MAINTAIN the feature: the new commit is stamped strictly
+    # after the predecessor's 2100-era clock (not wall time)
+    t2.update(None, {"x": "x + 1"})
+    import json as _json2
+
+    newest = os.path.join(log_dir, "%020d.json" % t2.deltaLog.latest_version())
+    ict = None
+    for line in open(newest):
+        a = _json2.loads(line)
+        if "commitInfo" in a:
+            ict = a["commitInfo"].get("inCommitTimestamp")
+    assert ict == 4102444900001  # prev + 1 (wall clock is far behind 2100)
