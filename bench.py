@@ -115,6 +115,8 @@ def main() -> None:
         "row_tracking",
         "cdf_datasource",
         "liquid_clustering",
+        "type_widening",
+        "v2_checkpoint",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
