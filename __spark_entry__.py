@@ -1322,6 +1322,19 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: frequency-ranked top-50 vocab over
+    `documents`, then position-level token-id rows (UNK=0) for the
+    first 50 docs — the corpus→token-ids step of a training pipeline,
+    reproduced token-for-token in DuckDB."""
+    from jodie_spark.operators.tokenize import build_vocab, encode_documents
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_size=50)
+    return encode_documents(docs, vocab, exploded=True).filter("doc_id < 50")
+
+
 def _q_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2-checkpoint lifecycle (delta.checkpointPolicy=v2): write,
     delete, checkpoint (uuid manifest + sidecars), append past it —
@@ -1660,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liquid_clustering": _q_liquid_clustering,
         "type_widening": _q_type_widening,
         "v2_checkpoint": _q_v2_checkpoint,
+        "encode_corpus": _q_encode_corpus,
     }
 
 
@@ -2472,6 +2486,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "encode_corpus": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0),
+            toks AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+              FROM words, LATERAL unnest(generate_series(1, len(w))) AS g(i)),
+            counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+            vocab AS (
+              SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS INT)
+                       AS token_id
+              FROM counts QUALIFY token_id <= 50)
+            SELECT t.doc_id, t.pos, t.token, COALESCE(v.token_id, 0) AS token_id
+            FROM toks t LEFT JOIN vocab v USING (token)
+            WHERE t.doc_id < 50
         """,
         "v2_checkpoint": """
             SELECT CAST(n_nationkey AS BIGINT) AS version, n_name AS operation

@@ -36,3 +36,75 @@ def write_stream_to_delta(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def write_stream_merge_to_delta(
+    stream: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    keys: list[str],
+    sequence_col: str | None = None,
+    delete_col: str | None = None,
+    partition_by: list[str] | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming upsert (CDC-apply) sink: each micro-batch MERGEs into
+    the Delta table at ``path`` on ``keys`` — the foreachBatch pattern
+    delta-spark documents for applying change streams.
+
+    Within a batch, rows collapse to one per key: the one with the
+    greatest ``sequence_col`` when given (deterministic last-wins for
+    out-of-order feeds), else an arbitrary representative
+    (``dropDuplicates``). Rows whose ``delete_col`` is true delete the
+    matching key; others update-all / insert-all. The first non-empty
+    batch creates the table. Exactly-once per batch comes from the
+    atomic commit + the stream checkpoint, like the append sink."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if sequence_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+            batch = (
+                batch_df.withColumn("__rn__", F.row_number().over(w))
+                .filter("__rn__ = 1")
+                .drop("__rn__")
+            )
+        else:
+            batch = batch_df.dropDuplicates(keys)
+        data_cols = [c for c in batch.columns if c != delete_col]
+        if not DeltaLog(path).exists():
+            init = batch
+            if delete_col is not None:
+                init = init.filter(f"not coalesce({delete_col}, false)")
+            write_delta(
+                init.select(*data_cols), path, partition_by=partition_by or []
+            )
+            return
+        t = DeltaTable.forPath(batch.sparkSession, path)
+        cond = " and ".join(f"t.{k} = s.{k}" for k in keys)
+        m = t.alias("t").merge(batch.alias("s"), cond)
+        if delete_col is not None:
+            m = m.whenMatchedDelete(f"coalesce(s.{delete_col}, false)")
+            m = m.whenMatchedUpdate(
+                set={c: f"s.{c}" for c in data_cols if c not in keys}
+            )
+            m = m.whenNotMatchedInsert(
+                condition=f"not coalesce(s.{delete_col}, false)",
+                values={c: f"s.{c}" for c in data_cols},
+            )
+        else:
+            m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        m.execute()
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()

@@ -108,3 +108,65 @@ def test_bm25_plan_is_take_ordered(docs):
 
     plan = bm25_topk(docs, "dog fox", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# vocabulary encoding
+# ---------------------------------------------------------------------------
+
+def test_build_vocab_deterministic_ranking(spark):
+    from jodie_spark.operators.tokenize import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b")], ["doc_id", "text"]
+    )
+    vocab = {r["token"]: (r["token_id"], r["n_occurrences"]) for r in build_vocab(df).collect()}
+    # a:3, b:3, c:2 — count desc then token asc
+    assert vocab == {"a": (1, 3), "b": (2, 3), "c": (3, 2)}
+    small = {r["token"] for r in build_vocab(df, max_size=2).collect()}
+    assert small == {"a", "b"}
+    filtered = {r["token"] for r in build_vocab(df, min_count=3).collect()}
+    assert filtered == {"a", "b"}
+
+
+def test_encode_decode_roundtrip_with_unk(spark):
+    from jodie_spark.operators.tokenize import build_vocab, decode_token_ids, encode_documents
+
+    train = spark.createDataFrame([(0, "a b c a b a")], ["doc_id", "text"])
+    vocab = build_vocab(train)
+    test = spark.createDataFrame(
+        [(1, "a zzz b"), (2, "  ")], ["doc_id", "text"]
+    )
+    enc = {r["doc_id"]: r for r in encode_documents(test, vocab, "text", "doc_id").collect()}
+    assert enc[1]["token_ids"] == [1, 0, 2]  # a=1, UNK=0, b=2
+    assert enc[1]["n_tokens"] == 3 and enc[1]["n_unk"] == 1
+    assert enc[2]["token_ids"] == [] and enc[2]["n_tokens"] == 0
+    dec = {r["doc_id"]: r["text"] for r in decode_token_ids(
+        encode_documents(test, vocab, "text", "doc_id").filter("n_tokens > 0"), vocab
+    ).collect()}
+    assert dec[1] == "a <unk> b"
+
+
+def test_encode_exploded_form_order(spark):
+    from jodie_spark.operators.tokenize import build_vocab, encode_documents
+
+    df = spark.createDataFrame([(7, "c b a")], ["doc_id", "text"])
+    vocab = build_vocab(df)
+    rows = sorted(
+        (r["pos"], r["token"], r["token_id"])
+        for r in encode_documents(df, vocab, "text", "doc_id", exploded=True).collect()
+    )
+    assert rows == [(0, "c", 3), (1, "b", 2), (2, "a", 1)]
+
+
+def test_encode_plan_no_python_and_broadcast(spark):
+    from jodie_spark.operators.tokenize import build_vocab, encode_documents
+
+    df = spark.createDataFrame([(i, "a b c") for i in range(10)], ["doc_id", "text"])
+    vocab = build_vocab(df).localCheckpoint()
+    plan = (
+        encode_documents(df, vocab, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -63,3 +63,58 @@ def test_streaming_dedup_watermark_requires_ts(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="ts_col"):
         streaming_exact_dedup(df, "text", watermark="10 minutes")
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC-apply merge sink
+# ---------------------------------------------------------------------------
+
+def test_stream_merge_upsert_and_delete(spark, tmpdir_path):
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "cdc_src")
+    dst = os.path.join(tmpdir_path, "cdc_dst")
+    ckpt = os.path.join(tmpdir_path, "cdc_ckpt")
+
+    def run():
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            dst,
+            ckpt,
+            keys=["k"],
+            sequence_col="seq",
+            delete_col="deleted",
+        )
+        q.awaitTermination(120)
+
+    # batch 1: inserts incl. an out-of-order duplicate (seq decides)
+    write_delta(
+        spark.createDataFrame(
+            [(1, "old", 1, False), (1, "new", 2, False), (2, "b", 1, False)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+    )
+    run()
+    got = {r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    assert got == {1: "new", 2: "b"}
+    assert "deleted" not in DeltaTable.forPath(spark, dst).toDF().columns
+
+    # batch 2: update k=1, delete k=2, insert k=3, and a no-op delete k=9
+    write_delta(
+        spark.createDataFrame(
+            [(1, "NEW", 3, False), (2, None, 3, True), (3, "c", 1, False),
+             (9, None, 1, True)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+        mode="append",
+    )
+    run()
+    got = {r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    assert got == {1: "NEW", 3: "c"}
