@@ -54,6 +54,8 @@ SUPPORTED_READER_FEATURES = {
     # mixed-width parquet files: every read path up-casts per file
     # (Spark 4 vectorized reader widening + the datasource's Arrow cast)
     "typeWidening",
+    # imposes a check on VACUUM implementations, not on reads
+    "vacuumProtocolCheck",
 }
 _COLUMN_MAPPING_READ_MODES = {"none", "name"}
 
@@ -80,6 +82,15 @@ SUPPORTED_WRITER_FEATURES = {
     "generatedColumns", "changeDataFeed", "deletionVectors",
     "columnMapping", "identityColumns", "rowTracking", "domainMetadata",
     "clustering", "typeWidening", "v2Checkpoint", "inCommitTimestamp",
+    # delta-spark lists "invariants" as an implied legacy feature on
+    # every v7 upgrade; honoring it means refusing writes only when the
+    # schema actually DECLARES invariant expressions (checked in
+    # check_write_allowed) — the common no-invariants case writes fine
+    "invariants",
+    # vacuumProtocolCheck just requires VACUUM to run the protocol gate
+    # before deleting files — vacuum() builds a snapshot(), which is
+    # exactly that check
+    "vacuumProtocolCheck",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"
@@ -693,6 +704,16 @@ class DeltaLog:
                 f"{self.table_path}: table requires unsupported writer "
                 f"features {sorted(unsupported)} (supported: "
                 f"{sorted(SUPPORTED_WRITER_FEATURES)})"
+            )
+        if "invariants" in features and '"delta.invariants"' in (
+            snapshot.metadata.get("schemaString") or ""
+        ):
+            # the feature itself is a legacy implied listing; an actual
+            # declared invariant expression is an enforcement contract
+            # this engine doesn't implement
+            raise DeltaProtocolError(
+                f"{self.table_path}: table declares column invariants "
+                "(delta.invariants), which this engine does not enforce"
             )
         if removes_data and str(
             snapshot.configuration.get(APPEND_ONLY_PROP, "false")

@@ -840,3 +840,39 @@ def test_in_commit_timestamps_read_support(spark, tmpdir_path):
         if "commitInfo" in a:
             ict = a["commitInfo"].get("inCommitTimestamp")
     assert ict == 4102444900001  # prev + 1 (wall clock is far behind 2100)
+
+
+def test_legacy_implied_features_accepted_and_real_invariants_refused(spark, tmpdir_path):
+    """delta-spark v7 tables routinely list invariants +
+    vacuumProtocolCheck as implied features — writable as long as no
+    invariant EXPRESSION is declared; a declared one refuses."""
+    import json as _json
+
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.tables.log import commit_file_name
+
+    t = _mk(spark, tmpdir_path, [(1,)], "x int", name="legacyfeat")
+    v = t.deltaLog.latest_version() + 1
+    with open(os.path.join(t.deltaLog.log_path, commit_file_name(v)), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants", "vacuumProtocolCheck"],
+        }}) + "\n")
+    write_delta(spark.createDataFrame([(2,)], "x int"), t.path, mode="append")
+    assert sorted(r["x"] for r in DeltaTable.forPath(spark, t.path).toDF().collect()) == [1, 2]
+
+    # now declare an actual invariant expression in the schema metadata
+    v2 = t.deltaLog.latest_version() + 1
+    schema = {
+        "type": "struct",
+        "fields": [{
+            "name": "x", "type": "integer", "nullable": True,
+            "metadata": {"delta.invariants": '{"expression":{"expression":"x > 0"}}'},
+        }],
+    }
+    meta = dict(DeltaTable.forPath(spark, t.path).snapshot().metadata)
+    meta["schemaString"] = _json.dumps(schema)
+    with open(os.path.join(t.deltaLog.log_path, commit_file_name(v2)), "w") as fh:
+        fh.write(_json.dumps({"metaData": meta}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        write_delta(spark.createDataFrame([(3,)], "x int"), t.path, mode="append")
