@@ -30,6 +30,11 @@ from jodie_spark.operators.fulltext import (
     term_postings,
 )
 from jodie_spark.operators.scd import type2_generic_upsert, type2_upsert
+from jodie_spark.operators.tokenize import (
+    build_vocab,
+    decode_token_ids,
+    encode_documents,
+)
 from jodie_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
@@ -96,6 +101,9 @@ __all__ = [
     "ann_topk",
     "bm25_topk",
     "build_inverted_index",
+    "build_vocab",
+    "decode_token_ids",
+    "encode_documents",
     "keyword_search",
     "term_postings",
     "brute_force_topk",

@@ -91,6 +91,9 @@ SUPPORTED_WRITER_FEATURES = {
     # before deleting files — vacuum() builds a snapshot(), which is
     # exactly that check
     "vacuumProtocolCheck",
+    # constrains metadata cleanup only; cleanup_expired_logs honors the
+    # requireCheckpointProtectionBeforeVersion boundary
+    "checkpointProtection",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"
@@ -102,6 +105,36 @@ LAST_CHECKPOINT = "_last_checkpoint"
 CHECKPOINT_INTERVAL_PROP = "delta.checkpointInterval"
 CHECKPOINT_POLICY_PROP = "delta.checkpointPolicy"  # "classic" | "v2"
 DEFAULT_CHECKPOINT_INTERVAL = 10
+LOG_RETENTION_PROP = "delta.logRetentionDuration"
+EXPIRED_CLEANUP_PROP = "delta.enableExpiredLogCleanup"
+CHECKPOINT_PROTECTION_PROP = "delta.requireCheckpointProtectionBeforeVersion"
+DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000  # "interval 30 days"
+
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+    "day": 86_400_000, "week": 7 * 86_400_000,
+}
+
+
+def parse_interval_ms(s: str | None, default_ms: int) -> int:
+    """Parse Delta's ``"interval N <unit>"`` property strings (the form
+    the reference uses: ``delta.logRetentionDuration = "interval 30
+    days"``, DeltaHelperSpec.scala:486)."""
+    if not s:
+        return default_ms
+    parts = str(s).strip().lower().split()
+    if parts and parts[0] == "interval":
+        parts = parts[1:]
+    if len(parts) != 2:
+        return default_ms
+    try:
+        n = float(parts[0])
+    except ValueError:
+        return default_ms
+    unit = parts[1].rstrip("s")
+    if unit not in _INTERVAL_UNITS_MS:
+        return default_ms
+    return int(n * _INTERVAL_UNITS_MS[unit])
 
 
 def commit_file_name(version: int) -> str:
@@ -1030,8 +1063,82 @@ class DeltaLog:
         if interval > 0 and version % interval == 0:
             try:
                 self.write_checkpoint(version)
+                cfg = self.table_info(version).configuration
+                if str(cfg.get(EXPIRED_CLEANUP_PROP, "true")).lower() == "true":
+                    # delta's post-checkpoint metadata cleanup (30-day
+                    # default retention — a no-op on young tables)
+                    self.cleanup_expired_logs()
             except Exception:
                 pass  # checkpointing is an optimization; never fail the commit
+
+    def cleanup_expired_logs(self, now_ms: int | None = None) -> list[str]:
+        """Delete commit JSONs and checkpoints that are (a) older than
+        ``delta.logRetentionDuration`` (default 30 days) AND (b)
+        strictly below the newest checkpoint — delta's metadata-cleanup
+        contract: the newest checkpoint plus the JSON tail always
+        reconstructs the latest state; only *historical* versions
+        become unreachable (time travel to them raises
+        VersionNotFoundError, same as delta).
+
+        Honors ``checkpointProtection``: versions below
+        ``delta.requireCheckpointProtectionBeforeVersion`` are only
+        deleted once a checkpoint at-or-above that version exists.
+        Sidecar files are reference-counted against the surviving
+        manifests (external writers may share them across checkpoints).
+        Returns the deleted paths."""
+        info = self.table_info()
+        cfg = info.configuration
+        retention = parse_interval_ms(
+            cfg.get(LOG_RETENTION_PROP), DEFAULT_LOG_RETENTION_MS
+        )
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        cutoff = now - retention
+        cps = self.list_checkpoint_versions()
+        if not cps:
+            return []
+        newest_cp = max(cps)
+        require = int(cfg.get(CHECKPOINT_PROTECTION_PROP) or 0)
+
+        def protected(v: int) -> bool:
+            return v < require and newest_cp < require
+
+        def expired(paths: list[str]) -> bool:
+            return all(
+                os.path.getmtime(p) * 1000 <= cutoff
+                for p in paths
+                if os.path.exists(p)
+            )
+
+        deleted: list[str] = []
+        for v in self.list_commit_versions():
+            f = self.commit_file_path(v)
+            if v >= newest_cp or protected(v) or not expired([f]):
+                continue
+            os.remove(f)
+            deleted.append(f)
+
+        removable = [
+            v
+            for v in cps
+            if v < newest_cp
+            and not protected(v)
+            and expired(self.checkpoint_part_files(v))
+        ]
+        kept_sidecars = {
+            p
+            for v in cps
+            if v not in removable
+            for p in self.checkpoint_part_files(v)
+            if f"{os.sep}_sidecars{os.sep}" in p
+        }
+        for v in removable:
+            for p in self.checkpoint_part_files(v):
+                if f"{os.sep}_sidecars{os.sep}" in p:
+                    if p in kept_sidecars or not os.path.exists(p):
+                        continue
+                os.remove(p)
+                deleted.append(p)
+        return deleted
 
     def write_checkpoint(self, version: int | None = None, spark: Any = None) -> int:
         """Checkpoint the state at ``version``.
