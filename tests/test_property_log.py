@@ -1,0 +1,84 @@
+"""Property-based log-replay fuzz: a random program of appends /
+deletes / MoR-deletes / overwrites / checkpoints / restores must leave
+the table equal to a pure-Python model — exercising snapshot
+reconstruction, checkpoint round-trips, DV state, and tombstones in
+combination."""
+
+import os
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jodie_spark.tables.log import DeltaLog
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+# op alphabet: (kind, arg)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=1, max_value=8)),
+        st.tuples(st.just("delete"), st.integers(min_value=0, max_value=4)),
+        st.tuples(st.just("mor_delete"), st.integers(min_value=0, max_value=4)),
+        st.tuples(st.just("overwrite"), st.integers(min_value=1, max_value=6)),
+        st.tuples(st.just("checkpoint"), st.just(0)),
+        st.tuples(st.just("restore_prev"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=9,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_random_program_matches_model(spark, tmpdir_path, ops):
+    p = os.path.join(tmpdir_path, f"fuzz_{uuid.uuid4().hex}")
+    write_delta(spark.range(0, 4).selectExpr("id", "id % 3 as m"), p)
+    model = {i: i % 3 for i in range(4)}
+    history = [dict(model)]
+    next_id = 100
+
+    for kind, arg in ops:
+        t = DeltaTable.forPath(spark, p)
+        if kind == "append":
+            rows = [(next_id + i, (next_id + i) % 3) for i in range(arg)]
+            write_delta(
+                spark.createDataFrame(rows, "id long, m long"), p, mode="append"
+            )
+            model.update({k: v for k, v in rows})
+            next_id += arg
+        elif kind == "delete":
+            t.delete(f"m = {arg % 3}")
+            model = {k: v for k, v in model.items() if v != arg % 3}
+        elif kind == "mor_delete":
+            t.delete(f"id % 5 = {arg}", deletion_vectors=True)
+            model = {k: v for k, v in model.items() if k % 5 != arg}
+        elif kind == "overwrite":
+            rows = [(next_id + i, (next_id + i) % 3) for i in range(arg)]
+            write_delta(
+                spark.createDataFrame(rows, "id long, m long"), p, mode="overwrite"
+            )
+            model = {k: v for k, v in rows}
+            next_id += arg
+        elif kind == "checkpoint":
+            DeltaLog(p).write_checkpoint()
+            history.append(dict(model))
+            continue  # no new version
+        elif kind == "restore_prev":
+            prev = DeltaLog(p).latest_version() - 1
+            if prev >= 1 and len(history) >= 2:
+                try:
+                    t.restore(prev)
+                except Exception:
+                    history.append(dict(model))
+                    continue  # e.g. restore refused; state unchanged
+                model = dict(history[-2])
+            history.append(dict(model))
+            continue
+        history.append(dict(model))
+
+    got = {r["id"]: r["m"] for r in DeltaTable.forPath(spark, p).toDF().collect()}
+    assert got == model
