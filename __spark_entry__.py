@@ -1322,6 +1322,40 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end end-to-end: DELETE, UPDATE, and a
+    full-clause-set MERGE (subquery source) as SQL statements against
+    a nation fixture, then a SELECT through the refreshed catalog
+    view. The oracle reproduces the statement sequence in DuckDB."""
+    from jodie_spark.catalog import register_delta_table
+    from jodie_spark.sources import load_table
+    from jodie_spark.sql import sql
+
+    t = _delta_from(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        "sqldml",
+    )
+    register_delta_table(spark, "sql_nation", t.path)
+    sql(spark, "DELETE FROM sql_nation WHERE n_regionkey = 0")
+    sql(spark, "UPDATE sql_nation SET n_name = lower(n_name) WHERE n_regionkey = 1")
+    sql(
+        spark,
+        """MERGE INTO sql_nation t
+           USING (SELECT 900 AS n_nationkey, 'NEWLAND' AS n_name, 9 AS n_regionkey
+                  UNION ALL
+                  SELECT 901, 'OLDLAND', 9) s
+           ON t.n_nationkey = s.n_nationkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    return sql(
+        spark,
+        "SELECT n_nationkey, n_name, n_regionkey FROM sql_nation",
+    )
+
+
 def _q_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: frequency-ranked top-50 vocab over
     `documents`, then position-level token-id rows (UNK=0) for the
@@ -1674,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_widening": _q_type_widening,
         "v2_checkpoint": _q_v2_checkpoint,
         "encode_corpus": _q_encode_corpus,
+        "sql_dml": _q_sql_dml,
     }
 
 
@@ -2486,6 +2521,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "sql_dml": """
+            SELECT n_nationkey,
+                   CASE WHEN n_regionkey = 1 THEN lower(n_name) ELSE n_name END
+                     AS n_name,
+                   n_regionkey
+            FROM nation WHERE n_regionkey <> 0
+            UNION ALL
+            SELECT * FROM (VALUES
+                (900, 'NEWLAND', 9), (901, 'OLDLAND', 9))
+                AS t(n_nationkey, n_name, n_regionkey)
         """,
         "encode_corpus": r"""
             WITH words AS (

@@ -1,0 +1,317 @@
+"""SQL front end: the delta-spark SQL statements a reference user runs
+today, routed onto the native engine.
+
+    from jodie_spark.sql import sql
+    sql(spark, "DELETE FROM delta.`/data/events` WHERE day < '2024-01-01'")
+    sql(spark, "MERGE INTO tgt t USING src s ON t.k = s.k "
+               "WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT *")
+    sql(spark, "OPTIMIZE tgt ZORDER BY (k)")
+    sql(spark, "SELECT count(*) FROM tgt")           # Catalyst, fresh view
+
+Table references are either a registered catalog name
+(``jodie_spark.catalog``) or delta-spark's path form
+``delta.`/abs/path```. SELECT/WITH statements pass through
+``spark.sql`` after every registered view is refreshed to its current
+snapshot, so queries always read the post-DML state. The DML dialect
+is intentionally bounded — anything it can't parse raises with the
+offending fragment rather than mis-executing.
+
+Parsing is quote- and paren-aware (a ``WHERE`` inside a string literal
+or subquery never splits a clause) but deliberately not a full SQL
+grammar: expressions (conditions, assignments, values) are handed to
+Spark's own parser via the DataFrame DML implementations.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jodie_spark.errors import JodieValidationError
+
+_REF = r"(?:delta\.`(?P<path>[^`]+)`|(?P<name>[A-Za-z_][\w]*(?:\.[\w]+)*))"
+
+
+def _find_top_level(s: str, word: str, start: int = 0) -> int:
+    """Index of the first occurrence of keyword ``word`` at paren depth
+    0 and outside quotes, or -1."""
+    depth = 0
+    i = start
+    n = len(s)
+    wl = len(word)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < n:
+                if s[i] == q and not (q == "'" and i + 1 < n and s[i + 1] == "'"):
+                    break
+                if s[i] == q and q == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                i += 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + wl].upper() == word.upper():
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            after = i + wl
+            after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on a single-char separator at depth 0, quote-aware."""
+    out, buf, depth, i, n = [], [], 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(s[i])
+                if s[i] == q:
+                    break
+                i += 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _parse_assignments(s: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in _split_top_level(s, ","):
+        m = re.match(r"^\s*([\w.`]+)\s*=\s*(.+)$", part, re.S)
+        if not m:
+            raise JodieValidationError(f"cannot parse SET assignment: {part!r}")
+        out[m.group(1).strip("`")] = m.group(2).strip()
+    return out
+
+
+def _resolve(spark: SparkSession, m: re.Match):
+    from jodie_spark.catalog import resolve_table_path
+    from jodie_spark.tables.table import DeltaTable
+
+    path = m.group("path")
+    if path is None:
+        path = resolve_table_path(m.group("name"))
+    return DeltaTable.forPath(spark, path)
+
+
+def _refresh_views(spark: SparkSession) -> None:
+    from jodie_spark import catalog
+
+    for name in list(catalog._REGISTRY):
+        try:
+            catalog.refresh_table(spark, name)
+        except Exception:
+            # stale registration (table dropped from disk): leave the
+            # old view in place rather than failing unrelated statements
+            pass
+
+
+def sql(spark: SparkSession, statement: str) -> DataFrame | None:
+    """Execute one statement. Returns a DataFrame for SELECT / WITH /
+    DESCRIBE HISTORY / VACUUM DRY RUN; DML and utilities return None."""
+    s = statement.strip().rstrip(";").strip()
+    head = s.split(None, 1)[0].upper() if s else ""
+
+    if head in ("SELECT", "WITH"):
+        _refresh_views(spark)
+        return spark.sql(s)
+
+    if head == "DELETE":
+        m = re.match(rf"(?is)^DELETE\s+FROM\s+{_REF}\s*(?:WHERE\s+(?P<cond>.+))?$", s)
+        if not m:
+            raise JodieValidationError(f"cannot parse DELETE statement: {s!r}")
+        _resolve(spark, m).delete(m.group("cond"))
+        return None
+
+    if head == "UPDATE":
+        m = re.match(rf"(?is)^UPDATE\s+{_REF}\s+SET\s+(?P<rest>.+)$", s)
+        if not m:
+            raise JodieValidationError(f"cannot parse UPDATE statement: {s!r}")
+        rest = m.group("rest")
+        wi = _find_top_level(rest, "WHERE")
+        cond = rest[wi + 5 :].strip() if wi >= 0 else None
+        sets = _parse_assignments(rest[:wi] if wi >= 0 else rest)
+        _resolve(spark, m).update(cond, sets)
+        return None
+
+    if head == "MERGE":
+        return _merge(spark, s)
+
+    if head == "OPTIMIZE":
+        m = re.match(
+            rf"(?is)^OPTIMIZE\s+{_REF}\s*(?:WHERE\s+(?P<cond>.+?))?"
+            r"(?:\s*ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?$",
+            s,
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse OPTIMIZE statement: {s!r}")
+        t = _resolve(spark, m)
+        b = t.optimize()
+        if m.group("cond"):
+            b = b.where(m.group("cond").strip())
+        if m.group("cols"):
+            cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+            b.executeZOrderBy(*cols)
+        else:
+            b.executeCompaction()
+        return None
+
+    if head == "VACUUM":
+        m = re.match(
+            rf"(?is)^VACUUM\s+{_REF}\s*(?:RETAIN\s+(?P<hours>[\d.]+)\s+HOURS?)?"
+            r"\s*(?P<dry>DRY\s+RUN)?$",
+            s,
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse VACUUM statement: {s!r}")
+        t = _resolve(spark, m)
+        hours = float(m.group("hours")) if m.group("hours") else 168.0
+        result = t.vacuum(retention_hours=hours, dry_run=bool(m.group("dry")))
+        if m.group("dry"):
+            return spark.createDataFrame([(p,) for p in result or []], "path string")
+        return None
+
+    if head == "RESTORE":
+        m = re.match(
+            rf"(?is)^RESTORE\s+(?:TABLE\s+)?{_REF}\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)$",
+            s,
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse RESTORE statement: {s!r}")
+        _resolve(spark, m).restore(int(m.group("v")))
+        return None
+
+    if head == "DESCRIBE":
+        m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{_REF}$", s)
+        if not m:
+            raise JodieValidationError(f"cannot parse DESCRIBE statement: {s!r}")
+        return _resolve(spark, m).history()
+
+    raise JodieValidationError(
+        f"unsupported SQL statement (supported: SELECT/WITH, DELETE, UPDATE, "
+        f"MERGE, OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY): {s[:80]!r}"
+    )
+
+
+def _merge(spark: SparkSession, s: str) -> None:
+    m = re.match(
+        rf"(?is)^MERGE\s+INTO\s+{_REF}\s*(?:AS\s+)?(?P<talias>[A-Za-z_]\w*)?\s+USING\s+",
+        s,
+    )
+    if not m:
+        raise JodieValidationError(f"cannot parse MERGE statement: {s!r}")
+    t = _resolve(spark, m)
+    talias = m.group("talias") or "t"
+    rest = s[m.end() :]
+
+    # source: (subquery) or a view/registered name
+    if rest.lstrip().startswith("("):
+        rest = rest.lstrip()
+        depth, i = 0, 0
+        for i, c in enumerate(rest):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        _refresh_views(spark)
+        src_df = spark.sql(rest[1:i])
+        rest = rest[i + 1 :]
+    else:
+        m2 = re.match(r"(?s)^\s*([\w.`]+)", rest)
+        if not m2:
+            raise JodieValidationError("cannot parse MERGE source")
+        src_name = m2.group(1).strip("`")
+        _refresh_views(spark)
+        src_df = spark.table(src_name)
+        rest = rest[m2.end() :]
+    m3 = re.match(r"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*ON\s+", rest)
+    if not m3:
+        raise JodieValidationError("cannot parse MERGE ON clause")
+    salias = m3.group(1) or "s"
+    rest = rest[m3.end() :]
+
+    wi = _find_top_level(rest, "WHEN")
+    if wi < 0:
+        raise JodieValidationError("MERGE requires at least one WHEN clause")
+    cond = rest[:wi].strip()
+    clauses_text = rest[wi:]
+
+    builder = t.alias(talias).merge(src_df.alias(salias), cond)
+    # split into WHEN ... chunks at top level
+    chunks = []
+    pos = 0
+    while True:
+        nxt = _find_top_level(clauses_text, "WHEN", pos + 1)
+        if nxt < 0:
+            chunks.append(clauses_text[pos:])
+            break
+        chunks.append(clauses_text[pos:nxt])
+        pos = nxt
+    for chunk in chunks:
+        c = re.match(
+            r"(?is)^WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+(?P<act>.+)$",
+            chunk.strip(),
+        )
+        if not c:
+            raise JodieValidationError(f"cannot parse MERGE clause: {chunk!r}")
+        ccond = c.group("cond").strip() if c.group("cond") else None
+        act = c.group("act").strip()
+        if c.group("not"):
+            ia = re.match(r"(?is)^INSERT\s*\*\s*$", act)
+            if ia:
+                builder = builder.whenNotMatchedInsertAll(ccond)
+                continue
+            iv = re.match(
+                r"(?is)^INSERT\s*\((?P<cols>[^)]+)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
+                act,
+            )
+            if not iv:
+                raise JodieValidationError(f"cannot parse INSERT action: {act!r}")
+            cols = [x.strip().strip("`") for x in iv.group("cols").split(",")]
+            vals = _split_top_level(iv.group("vals"), ",")
+            if len(cols) != len(vals):
+                raise JodieValidationError("INSERT column/value count mismatch")
+            builder = builder.whenNotMatchedInsert(
+                condition=ccond, values=dict(zip(cols, vals))
+            )
+        elif re.match(r"(?is)^DELETE\s*$", act):
+            builder = builder.whenMatchedDelete(ccond)
+        else:
+            ua = re.match(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", act)
+            if not ua:
+                raise JodieValidationError(f"cannot parse MATCHED action: {act!r}")
+            if ua.group("sets").strip() == "*":
+                builder = builder.whenMatchedUpdateAll(ccond)
+            else:
+                builder = builder.whenMatchedUpdate(
+                    condition=ccond, set=_parse_assignments(ua.group("sets"))
+                )
+    builder.execute()
+    return None

@@ -1,0 +1,103 @@
+"""SQL front end: DML/utility statements routed to the native engine."""
+
+import os
+
+import pytest
+
+from jodie_spark.catalog import register_delta_table
+from jodie_spark.errors import JodieValidationError
+from jodie_spark.sql import sql
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+@pytest.fixture()
+def tbl(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "sql_t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+        ),
+        p,
+    )
+    return p
+
+
+def _rows(spark, p):
+    return sorted(tuple(r) for r in DeltaTable.forPath(spark, p).toDF().collect())
+
+
+def test_delete_update_by_path(spark, tbl):
+    sql(spark, f"DELETE FROM delta.`{tbl}` WHERE k = 2")
+    assert _rows(spark, tbl) == [(1, "a", 10), (3, "c", 30)]
+    sql(spark, f"UPDATE delta.`{tbl}` SET v = upper(v), n = n + 1 WHERE k = 3")
+    assert _rows(spark, tbl) == [(1, "a", 10), (3, "C", 31)]
+    # full-table update, no WHERE
+    sql(spark, f"UPDATE delta.`{tbl}` SET n = 0")
+    assert [r[2] for r in _rows(spark, tbl)] == [0, 0]
+
+
+def test_delete_where_in_string_literal_not_split(spark, tbl):
+    # the WHERE keyword inside a literal must not confuse the parser
+    sql(spark, f"UPDATE delta.`{tbl}` SET v = 'where x' WHERE k = 1")
+    assert ("where x" in {r[1] for r in _rows(spark, tbl)})
+
+
+def test_select_and_describe_history_via_catalog_name(spark, tbl):
+    register_delta_table(spark, "sqldemo", tbl)
+    assert sql(spark, "SELECT count(*) AS n FROM sqldemo").collect()[0]["n"] == 3
+    sql(spark, "DELETE FROM sqldemo WHERE k = 1")
+    # SELECT sees the post-DML state (views refreshed per statement)
+    assert sql(spark, "SELECT count(*) AS n FROM sqldemo").collect()[0]["n"] == 2
+    hist = sql(spark, "DESCRIBE HISTORY sqldemo")
+    assert [r["operation"] for r in hist.collect()][0] == "DELETE"
+
+
+def test_merge_statement_full_clause_set(spark, tbl, tmpdir_path):
+    src = os.path.join(tmpdir_path, "sql_src")
+    write_delta(
+        spark.createDataFrame(
+            [(2, "B", 99), (3, "DEL", 0), (4, "d", 40)], "k int, v string, n int"
+        ),
+        src,
+    )
+    register_delta_table(spark, "tgt_m", tbl)
+    register_delta_table(spark, "src_m", src)
+    sql(
+        spark,
+        """MERGE INTO tgt_m AS t USING src_m AS s ON t.k = s.k
+           WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+           WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""",
+    )
+    assert _rows(spark, tbl) == [(1, "a", 10), (2, "B", 99), (4, "d", 40)]
+
+
+def test_merge_with_subquery_source_and_star_clauses(spark, tbl):
+    sql(
+        spark,
+        f"""MERGE INTO delta.`{tbl}` t
+            USING (SELECT 3 AS k, 'X' AS v, 7 AS n UNION ALL SELECT 9, 'nine', 9) s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert _rows(spark, tbl) == [(1, "a", 10), (2, "b", 20), (3, "X", 7), (9, "nine", 9)]
+
+
+def test_optimize_vacuum_restore(spark, tbl):
+    sql(spark, f"DELETE FROM delta.`{tbl}` WHERE k = 1")
+    sql(spark, f"OPTIMIZE delta.`{tbl}` ZORDER BY (k)")
+    assert _rows(spark, tbl) == [(2, "b", 20), (3, "c", 30)]
+    dry = sql(spark, f"VACUUM delta.`{tbl}` RETAIN 0 HOURS DRY RUN")
+    assert dry.count() >= 1  # tombstoned files listed, not deleted
+    sql(spark, f"RESTORE delta.`{tbl}` TO VERSION AS OF 0")
+    assert _rows(spark, tbl) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_unparseable_statements_raise(spark, tbl):
+    with pytest.raises(JodieValidationError, match="unsupported SQL"):
+        sql(spark, "TRUNCATE TABLE x")
+    with pytest.raises(JodieValidationError, match="cannot parse DELETE"):
+        sql(spark, "DELETE delta.`/x`")
+    with pytest.raises(JodieValidationError, match="cannot parse SET"):
+        sql(spark, f"UPDATE delta.`{tbl}` SET just_a_name")
