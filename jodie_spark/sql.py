@@ -162,6 +162,81 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
     if head == "MERGE":
         return _merge(spark, s)
 
+    if head == "INSERT":
+        m = re.match(
+            rf"(?is)^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?{_REF}\s+(?P<q>.+)$",
+            s,
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse INSERT statement: {s!r}")
+        from jodie_spark.tables.table import write_delta
+
+        t = _resolve(spark, m)
+        _refresh_views(spark)
+        q = m.group("q").strip()
+        if q.upper().startswith("VALUES"):
+            q = f"SELECT * FROM ({q}) "
+        df = spark.sql(q)
+        # positional semantics (SQL INSERT): align by the table's column order
+        target_cols = [f.name for f in t.schema().fields]
+        if len(df.columns) != len(target_cols):
+            raise JodieValidationError(
+                f"INSERT column count {len(df.columns)} does not match "
+                f"table ({len(target_cols)})"
+            )
+        df = df.toDF(*target_cols)
+        write_delta(
+            df, t.path, mode="append" if m.group("mode").upper() == "INTO" else "overwrite"
+        )
+        return None
+
+    if head == "ALTER":
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+{_REF}\s+(?P<rest>.+)$", s
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse ALTER statement: {s!r}")
+        t = _resolve(spark, m)
+        rest = m.group("rest").strip()
+        mp = re.match(r"(?is)^SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)\s*$", rest)
+        if mp:
+            props: dict[str, str] = {}
+            for part in _split_top_level(mp.group("kv"), ","):
+                pm = re.match(r"""^\s*['"]?([^'"=\s]+)['"]?\s*=\s*['"]?([^'"]*)['"]?\s*$""", part)
+                if not pm:
+                    raise JodieValidationError(f"cannot parse property: {part!r}")
+                props[pm.group(1)] = pm.group(2)
+            t.set_properties(props)
+            return None
+        mc = re.match(
+            r"(?is)^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((?P<e>.+)\)\s*$", rest
+        )
+        if mc:
+            t.add_check_constraint(mc.group(1), mc.group("e").strip())
+            return None
+        md = re.match(r"(?is)^DROP\s+CONSTRAINT\s+(\w+)\s*$", rest)
+        if md:
+            t.drop_check_constraint(md.group(1))
+            return None
+        mk = re.match(r"(?is)^CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*$", rest)
+        if mk:
+            t.set_cluster_by([c.strip().strip("`") for c in mk.group("cols").split(",")])
+            return None
+        if re.match(r"(?is)^CLUSTER\s+BY\s+NONE\s*$", rest):
+            t.set_cluster_by([])
+            return None
+        raise JodieValidationError(f"cannot parse ALTER action: {rest!r}")
+
+    if head == "SHOW":
+        m = re.match(rf"(?is)^SHOW\s+TBLPROPERTIES\s+{_REF}$", s)
+        if not m:
+            raise JodieValidationError(f"cannot parse SHOW statement: {s!r}")
+        t = _resolve(spark, m)
+        cfg = t.snapshot().configuration
+        return spark.createDataFrame(
+            sorted(cfg.items()), "key string, value string"
+        )
+
     if head == "OPTIMIZE":
         m = re.match(
             rf"(?is)^OPTIMIZE\s+{_REF}\s*(?:WHERE\s+(?P<cond>.+?))?"
@@ -214,7 +289,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
     raise JodieValidationError(
         f"unsupported SQL statement (supported: SELECT/WITH, DELETE, UPDATE, "
-        f"MERGE, OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY): {s[:80]!r}"
+        f"MERGE, INSERT, ALTER TABLE, SHOW TBLPROPERTIES, OPTIMIZE, VACUUM, "
+        f"RESTORE, DESCRIBE HISTORY): {s[:80]!r}"
     )
 
 

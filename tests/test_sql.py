@@ -101,3 +101,31 @@ def test_unparseable_statements_raise(spark, tbl):
         sql(spark, "DELETE delta.`/x`")
     with pytest.raises(JodieValidationError, match="cannot parse SET"):
         sql(spark, f"UPDATE delta.`{tbl}` SET just_a_name")
+
+
+def test_insert_into_and_overwrite(spark, tbl):
+    sql(spark, f"INSERT INTO delta.`{tbl}` VALUES (7, 'g', 70), (8, 'h', 80)")
+    assert len(_rows(spark, tbl)) == 5
+    sql(spark, f"INSERT OVERWRITE delta.`{tbl}` SELECT 99, 'z', 0")
+    assert _rows(spark, tbl) == [(99, "z", 0)]
+    with pytest.raises(JodieValidationError, match="column count"):
+        sql(spark, f"INSERT INTO delta.`{tbl}` VALUES (1, 'x')")
+
+
+def test_alter_properties_constraints_show(spark, tbl):
+    sql(spark, f"ALTER TABLE delta.`{tbl}` SET TBLPROPERTIES ('delta.appendOnly' = 'false', 'team' = 'data')")
+    props = {r["key"]: r["value"] for r in sql(spark, f"SHOW TBLPROPERTIES delta.`{tbl}`").collect()}
+    assert props["team"] == "data"
+    sql(spark, f"ALTER TABLE delta.`{tbl}` ADD CONSTRAINT pos CHECK (n >= 0)")
+    with pytest.raises(Exception):
+        sql(spark, f"INSERT INTO delta.`{tbl}` VALUES (5, 'neg', -1)")
+    sql(spark, f"ALTER TABLE delta.`{tbl}` DROP CONSTRAINT pos")
+    sql(spark, f"INSERT INTO delta.`{tbl}` VALUES (5, 'neg', -1)")
+    assert (5, "neg", -1) in _rows(spark, tbl)
+
+
+def test_alter_cluster_by_sql(spark, tbl):
+    sql(spark, f"ALTER TABLE delta.`{tbl}` CLUSTER BY (k)")
+    assert DeltaTable.forPath(spark, tbl).cluster_by() == ["k"]
+    sql(spark, f"ALTER TABLE delta.`{tbl}` CLUSTER BY NONE")
+    assert DeltaTable.forPath(spark, tbl).cluster_by() == []
