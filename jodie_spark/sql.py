@@ -227,6 +227,69 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
             return None
         raise JodieValidationError(f"cannot parse ALTER action: {rest!r}")
 
+    if head == "CREATE":
+        # CREATE TABLE <name> USING DELTA LOCATION '<path>'  (register)
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tname>[\w.]+)\s+"
+            r"USING\s+DELTA\s+LOCATION\s+'(?P<loc>[^']+)'$",
+            s,
+        )
+        if m:
+            from jodie_spark.catalog import register_delta_table
+
+            register_delta_table(spark, m.group("tname"), m.group("loc"))
+            return None
+        # CTAS: CREATE TABLE <ref or name LOCATION 'p'> AS SELECT ...
+        m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+{_REF}"
+            r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?\s+AS\s+(?P<q>.+)$",
+            s,
+        )
+        if m:
+            from jodie_spark.catalog import register_delta_table
+            from jodie_spark.tables.table import write_delta
+
+            _refresh_views(spark)
+            df = spark.sql(m.group("q"))
+            loc = m.group("path") or m.group("loc")
+            if loc is None:
+                raise JodieValidationError(
+                    "CTAS needs a location: CREATE TABLE delta.`/path` AS "
+                    "... or CREATE TABLE name LOCATION '/path' AS ..."
+                )
+            write_delta(df, loc)
+            if m.group("name"):
+                register_delta_table(spark, m.group("name"), loc)
+            return None
+        raise JodieValidationError(f"cannot parse CREATE statement: {s!r}")
+
+    if head == "DROP":
+        m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tname>[\w.]+)$", s)
+        if not m:
+            raise JodieValidationError(f"cannot parse DROP statement: {s!r}")
+        from jodie_spark.catalog import unregister_table
+
+        unregister_table(spark, m.group("tname"))  # catalog only; data stays
+        return None
+
+    if head == "CONVERT":
+        m = re.match(
+            r"(?is)^CONVERT\s+TO\s+DELTA\s+parquet\.`(?P<loc>[^`]+)`"
+            r"(?:\s+PARTITIONED\s+BY\s*\((?P<cols>[^)]+)\))?$",
+            s,
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse CONVERT statement: {s!r}")
+        from jodie_spark.sources.convert import convert_to_delta
+
+        cols = (
+            [c.strip().split()[0].strip("`") for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        convert_to_delta(spark, m.group("loc"), partition_columns=cols)
+        return None
+
     if head == "SHOW":
         m = re.match(rf"(?is)^SHOW\s+TBLPROPERTIES\s+{_REF}$", s)
         if not m:

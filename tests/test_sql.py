@@ -129,3 +129,23 @@ def test_alter_cluster_by_sql(spark, tbl):
     assert DeltaTable.forPath(spark, tbl).cluster_by() == ["k"]
     sql(spark, f"ALTER TABLE delta.`{tbl}` CLUSTER BY NONE")
     assert DeltaTable.forPath(spark, tbl).cluster_by() == []
+
+
+def test_create_drop_convert(spark, tbl, tmpdir_path):
+    # CTAS to an explicit path + registration
+    dst = os.path.join(tmpdir_path, "ctas")
+    sql(spark, f"CREATE TABLE ctas_t LOCATION '{dst}' AS SELECT 1 AS a, 'x' AS b")
+    assert sql(spark, "SELECT * FROM ctas_t").collect()[0]["a"] == 1
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 1
+    sql(spark, "DROP TABLE ctas_t")  # unregisters; data stays
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 1
+
+    # register an existing table by location
+    sql(spark, f"CREATE TABLE reg_t USING DELTA LOCATION '{tbl}'")
+    assert sql(spark, "SELECT count(*) AS n FROM reg_t").collect()[0]["n"] == 3
+
+    # CONVERT a raw parquet directory
+    raw = os.path.join(tmpdir_path, "rawpq")
+    spark.range(5).selectExpr("id", "id * 2 as v").write.parquet(raw)
+    sql(spark, f"CONVERT TO DELTA parquet.`{raw}`")
+    assert DeltaTable.forPath(spark, raw).toDF().count() == 5
