@@ -14,6 +14,7 @@ from jodie_spark.errors import (
 )
 from jodie_spark.catalog import register_delta_table
 from jodie_spark.session import get_spark
+from jodie_spark.sql import sql
 from jodie_spark.tables.table import DeltaTable, write_delta
 
 __version__ = "0.2.0"
@@ -26,5 +27,6 @@ __all__ = [
     "VersionNotFoundError",
     "get_spark",
     "register_delta_table",
+    "sql",
     "write_delta",
 ]
