@@ -65,18 +65,17 @@ def test_random_program_matches_model(spark, tmpdir_path, ops):
             next_id += arg
         elif kind == "checkpoint":
             DeltaLog(p).write_checkpoint()
-            history.append(dict(model))
-            continue  # no new version
+            continue  # commits no version — history stays aligned
         elif kind == "restore_prev":
             prev = DeltaLog(p).latest_version() - 1
-            if prev >= 1 and len(history) >= 2:
+            if prev >= 1:
                 try:
                     t.restore(prev)
                 except Exception:
-                    history.append(dict(model))
-                    continue  # e.g. restore refused; state unchanged
-                model = dict(history[-2])
-            history.append(dict(model))
+                    continue  # restore refused; state unchanged, no commit
+                # history[v] = state after version v
+                model = dict(history[prev])
+                history.append(dict(model))
             continue
         history.append(dict(model))
 
