@@ -139,7 +139,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
     if head in ("SELECT", "WITH"):
         _refresh_views(spark)
-        return spark.sql(s)
+        return spark.sql(_rewrite_time_travel(spark, s))
 
     if head == "DELETE":
         m = re.match(rf"(?is)^DELETE\s+FROM\s+{_REF}\s*(?:WHERE\s+(?P<cond>.+))?$", s)
@@ -355,6 +355,39 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         f"MERGE, INSERT, ALTER TABLE, SHOW TBLPROPERTIES, OPTIMIZE, VACUUM, "
         f"RESTORE, DESCRIBE HISTORY): {s[:80]!r}"
     )
+
+
+_TT_RE = re.compile(
+    r"(?is)(?:delta\.`(?P<path>[^`]+)`|(?P<name>[A-Za-z_]\w*))\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')"
+)
+
+
+def _rewrite_time_travel(spark: SparkSession, s: str) -> str:
+    """delta-spark's ``t VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'``
+    inside SELECTs: each occurrence becomes a uniquely-named temp view
+    over the historical snapshot, substituted into the statement."""
+    import uuid as _uuid
+
+    from jodie_spark.catalog import _REGISTRY
+    from jodie_spark.tables.table import DeltaTable
+
+    def sub(m: re.Match) -> str:
+        path = m.group("path")
+        if path is None:
+            path = _REGISTRY.get(m.group("name"))
+            if path is None:
+                return m.group(0)  # not one of ours — leave for Catalyst
+        t = DeltaTable.forPath(spark, path)
+        if m.group("v") is not None:
+            df = t.toDF(version=int(m.group("v")))
+        else:
+            df = t.toDF(timestamp=m.group("ts"))
+        view = f"__tt_{_uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TT_RE.sub(sub, s)
 
 
 def _merge(spark: SparkSession, s: str) -> None:

@@ -1652,6 +1652,17 @@ class DeltaTable:
                 f"cannot restore to version {version}: {len(missing)} data "
                 f"files have been vacuumed (e.g. {missing[0]})"
             )
+        from jodie_spark.tables.deletion_vectors import dv_absolute_path
+
+        for p in target_paths:
+            dv = target.files[p].get("deletionVector")
+            if dv:
+                dv_path = dv_absolute_path(self.path, dv)
+                if dv_path and not os.path.isfile(dv_path):
+                    raise DeltaProtocolError(
+                        f"cannot restore to version {version}: deletion "
+                        f"vector {dv_path} has been vacuumed"
+                    )
         if target.schema_string != current.schema_string or (
             target.partition_columns != current.partition_columns
         ):
@@ -1660,6 +1671,30 @@ class DeltaTable:
             add = dict(target.files[p])
             add["dataChange"] = True
             actions.append({"add": add})
+        # paths live in BOTH snapshots can still differ in their add
+        # payload — a MoR delete/update re-adds the same path with a new
+        # deletion vector. Restoring must re-add the TARGET's entry
+        # (remove-then-add, same-version add wins the replay) or deleted
+        # rows would stay deleted after the restore.
+        for p in target_paths & current_paths:
+            if current.files[p].get("deletionVector") != target.files[p].get(
+                "deletionVector"
+            ):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            "partitionValues": current.files[p].get("partitionValues")
+                            or {},
+                            "size": current.files[p].get("size"),
+                        }
+                    }
+                )
+                add = dict(target.files[p])
+                add["dataChange"] = True
+                actions.append({"add": add})
         for p in current_paths - target_paths:
             rm = current.files[p]
             actions.append(

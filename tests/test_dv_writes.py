@@ -262,3 +262,24 @@ def test_reorg_purge_materializes_deletions(spark, table):
     assert table.toDF().count() == 800
     # idempotent: nothing left to purge
     assert table.reorg_purge() == 0
+
+
+def test_restore_undoes_mor_delete(spark, tmpdir_path):
+    """RESTORE across a deletion-vector commit must resurrect the DV'd
+    rows: same path, different add payload — the by-path diff alone
+    would miss it (regression from the log-replay fuzz)."""
+    import os as _os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = _os.path.join(tmpdir_path, "restdv")
+    write_delta(spark.range(10).selectExpr("id", "id as v").coalesce(1), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id % 2 = 1", deletion_vectors=True)
+    assert t.toDF().count() == 5
+    t.restore(0)
+    t2 = DeltaTable.forPath(spark, p)
+    assert sorted(r["id"] for r in t2.toDF().collect()) == list(range(10))
+    # and restoring FORWARD to the DV state works too (DV file intact)
+    t2.restore(1)
+    assert DeltaTable.forPath(spark, p).toDF().count() == 5

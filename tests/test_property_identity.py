@@ -13,6 +13,7 @@ from jodie_spark.tables.table import DeltaTable, _can_widen, write_delta
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(

@@ -31,6 +31,7 @@ _OPS = st.lists(
 @settings(
     max_examples=10,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_OPS)

@@ -149,3 +149,20 @@ def test_create_drop_convert(spark, tbl, tmpdir_path):
     spark.range(5).selectExpr("id", "id * 2 as v").write.parquet(raw)
     sql(spark, f"CONVERT TO DELTA parquet.`{raw}`")
     assert DeltaTable.forPath(spark, raw).toDF().count() == 5
+
+
+def test_select_time_travel(spark, tbl):
+    register_delta_table(spark, "tt_t", tbl)
+    sql(spark, "DELETE FROM tt_t WHERE k = 1")
+    assert sql(spark, "SELECT count(*) AS n FROM tt_t").collect()[0]["n"] == 2
+    assert (
+        sql(spark, "SELECT count(*) AS n FROM tt_t VERSION AS OF 0").collect()[0]["n"]
+        == 3
+    )
+    # path form + join of two versions in one statement
+    r = sql(
+        spark,
+        f"SELECT (SELECT count(*) FROM delta.`{tbl}` VERSION AS OF 0) AS n0, "
+        f"(SELECT count(*) FROM tt_t) AS n1",
+    ).collect()[0]
+    assert (r["n0"], r["n1"]) == (3, 2)
