@@ -22,6 +22,8 @@ _OPS = st.lists(
         st.tuples(st.just("overwrite"), st.integers(min_value=1, max_value=6)),
         st.tuples(st.just("checkpoint"), st.just(0)),
         st.tuples(st.just("restore_prev"), st.just(0)),
+        st.tuples(st.just("update"), st.integers(min_value=0, max_value=3)),
+        st.tuples(st.just("zorder"), st.just(0)),
     ),
     min_size=1,
     max_size=9,
@@ -64,6 +66,13 @@ def test_random_program_matches_model(spark, tmpdir_path, ops):
             )
             model = {k: v for k, v in rows}
             next_id += arg
+        elif kind == "update":
+            t.update(f"id % 4 = {arg}", {"m": "(m + 1) % 3"})
+            model = {
+                k: ((v + 1) % 3 if k % 4 == arg else v) for k, v in model.items()
+            }
+        elif kind == "zorder":
+            t.optimize().executeZOrderBy("id")  # layout-only commit
         elif kind == "checkpoint":
             DeltaLog(p).write_checkpoint()
             continue  # commits no version — history stays aligned
