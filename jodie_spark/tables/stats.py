@@ -41,17 +41,30 @@ def _json_safe(value: Any) -> Any:
     return str(value)
 
 
-def collect_file_stats(file_path: str) -> dict[str, Any]:
+def collect_file_stats(
+    file_path: str, num_indexed_cols: int | None = None
+) -> dict[str, Any]:
     """Aggregate row-group statistics of one parquet file into Delta's
     stats dict: {"numRecords", "minValues", "maxValues", "nullCount"}.
 
     Only top-level leaf columns get min/max (nested paths contain '.').
-    """
+    ``num_indexed_cols`` bounds stats to the first N schema columns —
+    ``delta.dataSkippingNumIndexedCols`` semantics: on a 2000-column
+    table, per-file stats JSON would otherwise dominate the log.
+    ``None`` or a negative value indexes every column."""
     md = pq.ParquetFile(file_path).metadata
     num_records = md.num_rows
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+    indexed: set[str] | None = None
+    if num_indexed_cols is not None and num_indexed_cols >= 0:
+        seen: list[str] = []
+        for i in range(len(md.schema)):
+            top = md.schema.column(i).path.split(".")[0]
+            if top not in seen:
+                seen.append(top)
+        indexed = set(seen[:num_indexed_cols])
 
     for rg_idx in range(md.num_row_groups):
         rg = md.row_group(rg_idx)
@@ -59,6 +72,8 @@ def collect_file_stats(file_path: str) -> dict[str, Any]:
             chunk = rg.column(col_idx)
             name = chunk.path_in_schema
             if "." in name:  # nested field — Delta only stats leaf columns; we keep top-level only
+                continue
+            if indexed is not None and name not in indexed:
                 continue
             stats = chunk.statistics
             if stats is None:

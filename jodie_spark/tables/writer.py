@@ -43,8 +43,26 @@ def write_data_files(
     table_path: str,
     partition_columns: list[str] | None = None,
 ) -> list[dict[str, Any]]:
-    """Write ``df`` as parquet under ``table_path``; return add actions."""
+    """Write ``df`` as parquet under ``table_path``; return add actions.
+
+    Honors the table's ``delta.dataSkippingNumIndexedCols`` (when the
+    target is an existing Delta table): per-file min/max/null stats are
+    collected for only the first N schema columns — the knob that keeps
+    the log's stats payload bounded on very wide tables."""
     table_path = os.path.abspath(table_path)
+    num_indexed: int | None = None
+    try:
+        from jodie_spark.tables.log import DeltaLog
+
+        _log = DeltaLog(table_path)
+        if _log.exists():
+            v = _log.table_info().configuration.get(
+                "delta.dataSkippingNumIndexedCols"
+            )
+            if v is not None:
+                num_indexed = int(v)
+    except Exception:
+        num_indexed = None
     os.makedirs(table_path, exist_ok=True)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
 
@@ -73,7 +91,9 @@ def write_data_files(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(32, max(4, len(moved)))) as pool:
-            stats_list = list(pool.map(lambda m: collect_file_stats(m[2]), moved))
+            stats_list = list(
+                pool.map(lambda m: collect_file_stats(m[2], num_indexed), moved)
+            )
 
         adds: list[dict[str, Any]] = []
         for (rel_path, rel_dir, dst), stats in zip(moved, stats_list):

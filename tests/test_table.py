@@ -876,3 +876,36 @@ def test_legacy_implied_features_accepted_and_real_invariants_refused(spark, tmp
         fh.write(_json.dumps({"metaData": meta}) + "\n")
     with pytest.raises(DeltaProtocolError, match="invariants"):
         write_delta(spark.createDataFrame([(3,)], "x int"), t.path, mode="append")
+
+
+def test_data_skipping_num_indexed_cols(spark, tmpdir_path):
+    """delta.dataSkippingNumIndexedCols bounds per-file stats to the
+    first N columns; predicates on unindexed columns stay correct
+    (no stats -> conservative keep, never wrong pruning)."""
+    import json as _json
+
+    p = os.path.join(tmpdir_path, "idxcols")
+    write_delta(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, v string, n int"),
+        p,
+        options={"delta.dataSkippingNumIndexedCols": "2"},
+    )
+    write_delta(
+        spark.createDataFrame([(3, "c", 30), (4, "d", 40)], "k int, v string, n int"),
+        p,
+        mode="append",
+    )
+    t = DeltaTable.forPath(spark, p)
+    appended = [
+        a for a in t.snapshot().add_files()
+        if _json.loads(a["stats"])["numRecords"] == 2
+        and "30" in str(_json.loads(a["stats"])["minValues"].get("n", ""))
+    ]
+    # the appended file indexes k and v but NOT n
+    stats = [_json.loads(a["stats"]) for a in t.snapshot().add_files()]
+    later = [s for s in stats if s["minValues"].get("k") == 3]
+    assert later and "n" not in later[0]["minValues"]
+    assert "k" in later[0]["minValues"] and "v" in later[0]["minValues"]
+    # DML on the unindexed column still exact
+    t.delete("n = 30")
+    assert sorted(r["k"] for r in t.toDF().collect()) == [1, 2, 4]
