@@ -345,10 +345,11 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         return None
 
     if head == "DESCRIBE":
-        m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{_REF}$", s)
+        m = re.match(rf"(?is)^DESCRIBE\s+(?P<what>HISTORY|DETAIL)\s+{_REF}$", s)
         if not m:
             raise JodieValidationError(f"cannot parse DESCRIBE statement: {s!r}")
-        return _resolve(spark, m).history()
+        t = _resolve(spark, m)
+        return t.history() if m.group("what").upper() == "HISTORY" else t.detail()
 
     raise JodieValidationError(
         f"unsupported SQL statement (supported: SELECT/WITH, DELETE, UPDATE, "

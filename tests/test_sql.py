@@ -166,3 +166,8 @@ def test_select_time_travel(spark, tbl):
         f"(SELECT count(*) FROM tt_t) AS n1",
     ).collect()[0]
     assert (r["n0"], r["n1"]) == (3, 2)
+
+
+def test_describe_detail(spark, tbl):
+    d = sql(spark, f"DESCRIBE DETAIL delta.`{tbl}`").collect()[0]
+    assert d["format"] == "delta" and d["numFiles"] >= 1
