@@ -2055,6 +2055,38 @@ class OptimizeBuilder:
     execute_z_order_by = executeZOrderBy
 
 
+AUTO_COMPACT_PROP = "delta.autoOptimize.autoCompact"
+AUTO_COMPACT_MIN_FILES_PROP = "jodie.autoCompact.minNumFiles"
+
+
+def maybe_auto_compact(table: DeltaTable, target_file_size: int = 128 * 1024 * 1024) -> bool:
+    """Post-commit auto-compaction (delta.autoOptimize.autoCompact):
+    when the table has accumulated at least ``minNumFiles`` (default
+    50, override with jodie.autoCompact.minNumFiles) files smaller
+    than the target size, run a bin-packing OPTIMIZE. The count runs
+    Spark-side over files_df — never a driver file-list replay. Errors
+    never fail the triggering write (compaction is an optimization)."""
+    try:
+        snap = table.deltaLog.table_info()
+        cfg = snap.configuration
+        if str(cfg.get(AUTO_COMPACT_PROP, "false")).lower() != "true":
+            return False
+        min_files = int(cfg.get(AUTO_COMPACT_MIN_FILES_PROP, 50))
+        from jodie_spark.tables.distribution import files_df
+
+        n_small = (
+            files_df(table.spark, table.path)
+            .filter(F.col("size") < target_file_size)
+            .count()
+        )
+        if n_small < max(min_files, 2):
+            return False
+        table.optimize().executeCompaction(target_file_size)
+        return True
+    except Exception:
+        return False
+
+
 def filter_by_paths(df: DataFrame, path_col: str, paths: set[str]) -> DataFrame:
     """Keep rows whose ``path_col`` is in ``paths``. Small sets inline as
     an IN list; large sets become a broadcast semi-join so the predicate
@@ -2568,6 +2600,7 @@ def write_delta(
             {"mode": "Append", "partitionBy": json.dumps(snap.partition_columns)},
             write_metrics(adds),
         )
+        maybe_auto_compact(table)
         return table
 
     if mode == "overwrite":

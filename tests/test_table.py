@@ -909,3 +909,33 @@ def test_data_skipping_num_indexed_cols(spark, tmpdir_path):
     # DML on the unindexed column still exact
     t.delete("n = 30")
     assert sorted(r["k"] for r in t.toDF().collect()) == [1, 2, 4]
+
+
+def test_auto_compact_triggers_on_small_file_buildup(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "autocompact")
+    write_delta(
+        spark.createDataFrame([(0,)], "k int"),
+        p,
+        options={
+            "delta.autoOptimize.autoCompact": "true",
+            "jodie.autoCompact.minNumFiles": "4",
+        },
+    )
+    t = DeltaTable.forPath(spark, p)
+    for i in range(1, 4):
+        write_delta(spark.createDataFrame([(i,)], "k int"), p, mode="append")
+    t = DeltaTable.forPath(spark, p)
+    # 4 small files crossed the threshold: the last append auto-compacted
+    assert t.history(1).collect()[0]["operation"] == "OPTIMIZE"
+    assert len(t.snapshot().add_files()) == 1
+    assert sorted(r["k"] for r in t.toDF().collect()) == [0, 1, 2, 3]
+
+
+def test_auto_compact_off_by_default(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "noautoc")
+    write_delta(spark.createDataFrame([(0,)], "k int"), p)
+    for i in range(1, 4):
+        write_delta(spark.createDataFrame([(i,)], "k int"), p, mode="append")
+    t = DeltaTable.forPath(spark, p)
+    assert t.history(1).collect()[0]["operation"] == "WRITE"
+    assert len(t.snapshot().add_files()) == 4
