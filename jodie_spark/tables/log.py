@@ -94,6 +94,9 @@ SUPPORTED_WRITER_FEATURES = {
     # constrains metadata cleanup only; cleanup_expired_logs honors the
     # requireCheckpointProtectionBeforeVersion boundary
     "checkpointProtection",
+    # CURRENT_DEFAULT fills for columns omitted from appends
+    # (tables/table.py column_defaults_of)
+    "allowColumnDefaults",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"

@@ -738,3 +738,6 @@ class DeltaMergeBuilder:
             ),
         }
         t.deltaLog.commit(snap.version, actions, "MERGE", params, metrics)
+        from jodie_spark.tables.table import maybe_auto_compact
+
+        maybe_auto_compact(t)

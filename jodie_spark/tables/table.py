@@ -2136,6 +2136,18 @@ def _strip_scheme(p: str) -> str:
 # ---------------------------------------------------------------------------
 
 GENERATION_EXPR_KEY = "delta.generationExpression"
+COLUMN_DEFAULT_KEY = "CURRENT_DEFAULT"  # delta allowColumnDefaults feature
+
+
+def column_defaults_of(schema: T.StructType) -> dict[str, str]:
+    """column → default expression from field metadata (the delta
+    ``allowColumnDefaults`` storage location)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get(COLUMN_DEFAULT_KEY)
+        if expr:
+            out[f.name] = str(expr)
+    return out
 
 
 def generated_columns_of(schema: T.StructType) -> dict[str, str]:
@@ -2183,6 +2195,7 @@ def write_delta(
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict[str, Any]] | None = None,
     cluster_by: list[str] | None = None,
+    column_defaults: dict[str, str] | None = None,
 ) -> DeltaTable:
     """``df.write.format("delta").mode(m).save(path)`` equivalent.
 
@@ -2305,6 +2318,29 @@ def write_delta(
                         for f in df.schema.fields
                     ]
                 )
+        if column_defaults:
+            # stamp CURRENT_DEFAULT into field metadata (delta
+            # allowColumnDefaults); a column absent from a later append
+            # fills with its default expression instead of null
+            missing_cd = [c for c in column_defaults if c not in df.columns]
+            if missing_cd:
+                raise JodieValidationError(
+                    f"column_defaults for columns not in data: {missing_cd}"
+                )
+            df = df.select(
+                *[
+                    F.col(f.name).alias(
+                        f.name,
+                        metadata={
+                            **(f.metadata or {}),
+                            COLUMN_DEFAULT_KEY: column_defaults[f.name],
+                        },
+                    )
+                    if f.name in column_defaults
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
         writer_version = 2
         if check_constraints(properties):
             writer_version = 3
@@ -2374,7 +2410,14 @@ def write_delta(
         from jodie_spark.tables.log import ICT_PROP
 
         ict = str(properties.get(ICT_PROP, "false")).lower() == "true"
-        if mapping_mode == "name" or row_tracking or cluster_by or v2_policy or ict:
+        if (
+            mapping_mode == "name"
+            or row_tracking
+            or cluster_by
+            or v2_policy
+            or ict
+            or column_defaults
+        ):
             wf = {"appendOnly"}
             rf: set[str] = set()
             if mapping_mode == "name":
@@ -2392,6 +2435,8 @@ def write_delta(
                 rf.add("v2Checkpoint")
             if ict:
                 wf.add("inCommitTimestamp")
+            if column_defaults:
+                wf.add("allowColumnDefaults")
             if check_constraints(properties):
                 wf.add("checkConstraints")
             if generated_columns:
@@ -2451,6 +2496,10 @@ def write_delta(
         raise JodieValidationError(
             "cluster_by can only be declared at table creation "
             "(use DeltaTable.set_cluster_by to change it)"
+        )
+    if column_defaults:
+        raise JodieValidationError(
+            "column_defaults can only be declared at table creation"
         )
     snap = table.snapshot()
     table.deltaLog.check_write_allowed(snap, removes_data=(mode == "overwrite"))
@@ -2532,9 +2581,19 @@ def write_delta(
             new_schema = T.StructType(
                 list(table_schema.fields) + [df.schema[c] for c in extra]
             )
+        defaults = column_defaults_of(table_schema)
         aligned = df.select(
             *[
-                F.col(f.name) if f.name in df_cols else F.lit(None).cast(f.dataType).alias(f.name)
+                F.col(f.name)
+                if f.name in df_cols
+                else (
+                    # absent column with a declared default: fill with
+                    # the default expression (allowColumnDefaults),
+                    # otherwise typed null
+                    F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in defaults
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
                 for f in new_schema.fields
             ]
         )

@@ -106,3 +106,44 @@ def test_partition_pruning_on_generated_column(spark, gen_table):
         adds, "day = '2024-01-01'", gen_table.schema(), ["day"]
     )
     assert len(kept) < len(adds)
+
+
+# ---------------------------------------------------------------------------
+# column defaults (allowColumnDefaults)
+# ---------------------------------------------------------------------------
+
+def test_column_defaults_fill_absent_columns(spark, tmpdir_path):
+    import os as _os
+
+    from jodie_spark.errors import JodieValidationError
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = _os.path.join(tmpdir_path, "defaults")
+    write_delta(
+        spark.createDataFrame([(1, "manual", 5)], "k int, src string, n int"),
+        p,
+        column_defaults={"src": "'crawl'", "n": "0"},
+    )
+    proto = DeltaTable.forPath(spark, p).snapshot().protocol
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+    # append omitting both defaulted columns
+    write_delta(spark.createDataFrame([(2,)], "k int"), p, mode="append")
+    # append providing one of them
+    write_delta(
+        spark.createDataFrame([(3, "feed")], "k int, src string"), p, mode="append"
+    )
+    rows = sorted(
+        tuple(r) for r in DeltaTable.forPath(spark, p).toDF().collect()
+    )
+    assert rows == [(1, "manual", 5), (2, "crawl", 0), (3, "feed", 0)]
+    with pytest.raises(JodieValidationError, match="table creation"):
+        write_delta(
+            spark.createDataFrame([(9,)], "k int"), p, mode="append",
+            column_defaults={"n": "1"},
+        )
+    with pytest.raises(JodieValidationError, match="not in data"):
+        write_delta(
+            spark.createDataFrame([(1,)], "k int"),
+            _os.path.join(tmpdir_path, "d2"),
+            column_defaults={"zz": "1"},
+        )
