@@ -228,6 +228,28 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         raise JodieValidationError(f"cannot parse ALTER action: {rest!r}")
 
     if head == "CREATE":
+        # CREATE TABLE <target> SHALLOW CLONE <source> — zero-copy clone
+        mc = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:delta\.`(?P<tpath>[^`]+)`|(?P<tname>[\w.]+)"
+            r"(?:\s+LOCATION\s+'(?P<tloc>[^']+)')?)\s+SHALLOW\s+CLONE\s+"
+            rf"{_REF}$",
+            s,
+        )
+        if mc:
+            from jodie_spark.catalog import register_delta_table
+            from jodie_spark.operators.helpers import shallow_clone
+
+            src_t = _resolve(spark, mc)
+            dst = mc.group("tpath") or mc.group("tloc")
+            if dst is None:
+                raise JodieValidationError(
+                    "SHALLOW CLONE needs a target location: CREATE TABLE "
+                    "delta.`/path` SHALLOW CLONE src, or name LOCATION '/path'"
+                )
+            shallow_clone(src_t, dst)
+            if mc.group("tname"):
+                register_delta_table(spark, mc.group("tname"), dst)
+            return None
         # CREATE TABLE <name> USING DELTA LOCATION '<path>'  (register)
         m = re.match(
             r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tname>[\w.]+)\s+"

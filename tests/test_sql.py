@@ -171,3 +171,13 @@ def test_select_time_travel(spark, tbl):
 def test_describe_detail(spark, tbl):
     d = sql(spark, f"DESCRIBE DETAIL delta.`{tbl}`").collect()[0]
     assert d["format"] == "delta" and d["numFiles"] >= 1
+
+
+def test_shallow_clone_sql(spark, tbl, tmpdir_path):
+    dst = os.path.join(tmpdir_path, "clone_sql")
+    sql(spark, f"CREATE TABLE cl_t LOCATION '{dst}' SHALLOW CLONE delta.`{tbl}`")
+    assert sql(spark, "SELECT count(*) AS n FROM cl_t").collect()[0]["n"] == 3
+    # clone DML never touches the source
+    sql(spark, f"DELETE FROM delta.`{dst}` WHERE k = 1")
+    assert DeltaTable.forPath(spark, tbl).toDF().count() == 3
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 2
