@@ -218,6 +218,24 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         if md:
             t.drop_check_constraint(md.group(1))
             return None
+        ma = re.match(r"(?is)^ADD\s+COLUMNS?\s*\(?(?P<defs>[^)]+?)\)?\s*$", rest)
+        if ma:
+            cols: dict[str, str] = {}
+            for part in _split_top_level(ma.group("defs"), ","):
+                dm2 = re.match(r"^\s*([\w`]+)\s+(.+)$", part)
+                if not dm2:
+                    raise JodieValidationError(f"cannot parse column def: {part!r}")
+                cols[dm2.group(1).strip("`")] = dm2.group(2).strip()
+            t.add_columns(cols)
+            return None
+        mr = re.match(r"(?is)^RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)\s*$", rest)
+        if mr:
+            t.rename_column(mr.group(1).strip("`"), mr.group(2).strip("`"))
+            return None
+        mdl = re.match(r"(?is)^DROP\s+COLUMN\s+([\w`]+)\s*$", rest)
+        if mdl:
+            t.drop_column(mdl.group(1).strip("`"))
+            return None
         mk = re.match(r"(?is)^CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*$", rest)
         if mk:
             t.set_cluster_by([c.strip().strip("`") for c in mk.group("cols").split(",")])

@@ -181,3 +181,13 @@ def test_shallow_clone_sql(spark, tbl, tmpdir_path):
     sql(spark, f"DELETE FROM delta.`{dst}` WHERE k = 1")
     assert DeltaTable.forPath(spark, tbl).toDF().count() == 3
     assert DeltaTable.forPath(spark, dst).toDF().count() == 2
+
+
+def test_alter_add_column_sql(spark, tbl):
+    sql(spark, f"ALTER TABLE delta.`{tbl}` ADD COLUMN extra string")
+    rows = sorted(tuple(r) for r in DeltaTable.forPath(spark, tbl).toDF().collect())
+    assert rows == [(1, "a", 10, None), (2, "b", 20, None), (3, "c", 30, None)]
+    sql(spark, f"ALTER TABLE delta.`{tbl}` ADD COLUMNS (x int, y double)")
+    assert [f.name for f in DeltaTable.forPath(spark, tbl).schema().fields] == [
+        "k", "v", "n", "extra", "x", "y",
+    ]
