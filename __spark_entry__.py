@@ -1322,6 +1322,27 @@ def _q_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, num_files long")
 
 
+def _q_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowColumnDefaults: create with CURRENT_DEFAULT metadata from
+    even suppkeys, append odds OMITTING the defaulted columns — they
+    must fill with the default expressions, not null. Oracle replays
+    the same CASE arithmetic."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    path = _tmp("coldef")
+    write_delta(
+        sup.filter("s_suppkey % 2 = 0"),
+        path,
+        column_defaults={"s_name": "'UNKNOWN'", "s_nationkey": "-1"},
+    )
+    write_delta(
+        sup.filter("s_suppkey % 2 = 1").select("s_suppkey"), path, mode="append"
+    )
+    return DeltaTable.forPath(spark, path).toDF()
+
+
 def _q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front end end-to-end: DELETE, UPDATE, and a
     full-clause-set MERGE (subquery source) as SQL statements against
@@ -1709,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_checkpoint": _q_v2_checkpoint,
         "encode_corpus": _q_encode_corpus,
         "sql_dml": _q_sql_dml,
+        "column_defaults": _q_column_defaults,
     }
 
 
@@ -2521,6 +2543,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_x', n_regionkey, 'update_postimage', CAST(2 AS BIGINT)
             FROM nation WHERE n_regionkey = 1
+        """,
+        "column_defaults": """
+            SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 2 = 0 THEN s_name
+                        ELSE 'UNKNOWN' END AS s_name,
+                   CASE WHEN s_suppkey % 2 = 0 THEN s_nationkey
+                        ELSE -1 END AS s_nationkey
+            FROM supplier
         """,
         "sql_dml": """
             SELECT n_nationkey,
