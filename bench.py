@@ -117,6 +117,9 @@ def main() -> None:
         "liquid_clustering",
         "type_widening",
         "v2_checkpoint",
+        "encode_corpus",
+        "sql_dml",
+        "column_defaults",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -191,3 +191,22 @@ def test_alter_add_column_sql(spark, tbl):
     assert [f.name for f in DeltaTable.forPath(spark, tbl).schema().fields] == [
         "k", "v", "n", "extra", "x", "y",
     ]
+
+
+def test_optimize_where_partition(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "optwhere")
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 2)) for i in range(8)], "k int, part string"
+    )
+    write_delta(df.repartition(4), p, partition_by=["part"])
+    before = DeltaTable.forPath(spark, p).snapshot().add_files()
+    before_p1 = {a["path"] for a in before if a["partitionValues"].get("part") == "p1"}
+    sql(spark, f"OPTIMIZE delta.`{p}` WHERE part = 'p0'")
+    t = DeltaTable.forPath(spark, p)
+    after = t.snapshot().add_files()
+    # p0's files compacted to one; p1's files untouched
+    p0 = [a for a in after if a["partitionValues"].get("part") == "p0"]
+    p1 = {a["path"] for a in after if a["partitionValues"].get("part") == "p1"}
+    assert len(p0) == 1
+    assert p1 == before_p1
+    assert t.toDF().count() == 8
