@@ -1638,7 +1638,15 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering matters: the correctness driver checks the first 50
+    entries (dict insertion order).  The first 50 therefore carry every
+    SURVEY §2-mapped operator, the LSH/ANN dedup family, and the temporal
+    joins; the tail (51+) holds overflow diagnostics whose signal
+    duplicates an in-window query (e.g. ann_topk/ivf_topk/pq_topk overlap
+    ann_index_topk; token_count overlaps bpe_token_count) — all remain
+    oracled via tools/check_oracles.py."""
     return {
+        # --- SURVEY §2 reference-surface operators (driver window) ---
         "kill_duplicate_records": _q_kill_duplicate_records,
         "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
         "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
@@ -1655,81 +1663,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_cdf": _q_read_cdf,
         "cdf_status": _q_cdf_status,
         "cdf_recovery": _q_cdf_recovery,
+        "delta_file_sizes": _q_delta_file_sizes,
+        "file_size_distribution": _q_file_size_distribution,
+        "num_record_distribution": _q_num_record_distribution,
+        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
+        "optimize_compaction": _q_optimize_compaction,
+        "optimize_zorder": _q_optimize_zorder,
+        # --- LSH / fuzzy dedup family (first-ever driver window slot) ---
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_dedup": _q_embedding_dedup,
+        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
+        "semantic_dedup": _q_semantic_dedup,
         "exact_dedup_documents": _q_exact_dedup_documents,
+        "dedup_clusters": _q_dedup_clusters,
+        "incremental_dedup": _q_incremental_dedup,
+        "line_dedup": _q_line_dedup,
+        "passage_dup_stats": _q_passage_dup_stats,
+        # --- temporal joins / streaming-shaped analytics ---
+        "as_of_join": _q_as_of_join,
+        "range_join": _q_range_join,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "sessionize": _q_sessionize,
+        # --- similarity search (representative of the ANN family) ---
+        "similarity_topk": _q_similarity_topk,
+        "ann_index_topk": _q_ann_index_topk,
+        "knn_graph": _q_knn_graph,
+        # --- datasource + MoR DML + SQL dialect ---
+        "datasource_roundtrip": _q_datasource_roundtrip,
+        "cdf_datasource": _q_cdf_datasource,
+        "dv_delete": _q_dv_delete,
+        "dv_update": _q_dv_update,
+        "dv_merge": _q_dv_merge,
+        "sql_dml": _q_sql_dml,
+        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
+        "multimodal_decode": _q_multimodal_decode,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "clean_corpus": _q_clean_corpus,
+        # ---------------- position 51+: overflow diagnostics ----------------
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
         "text_quality": _q_text_quality,
         "language_id": _q_language_id,
         "bpe_token_count": _q_bpe_token_count,
-        "datasource_roundtrip": _q_datasource_roundtrip,
-        "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "url_filter": _q_url_filter,
         "classifier_quality": _q_classifier_quality,
-        "passage_dup_stats": _q_passage_dup_stats,
-        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "contamination_check": _q_contamination_check,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "repetition_signals": _q_repetition_signals,
-        "similarity_topk": _q_similarity_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
-        "line_dedup": _q_line_dedup,
         "pack_sequences": _q_pack_sequences,
-        "incremental_dedup": _q_incremental_dedup,
-        "ann_index_topk": _q_ann_index_topk,
         "profile_table": _q_profile_table,
         "check_constraints": _q_check_constraints,
         "shallow_clone": _q_shallow_clone,
         "restore_roundtrip": _q_restore_roundtrip,
         "perplexity": _q_perplexity,
-        "pipeline_e2e": _q_pipeline_e2e,
+        "bigram_perplexity": _q_bigram_perplexity,
         "generated_columns": _q_generated_columns,
-        "dv_delete": _q_dv_delete,
-        "dv_update": _q_dv_update,
-        "dv_merge": _q_dv_merge,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
-        "semantic_dedup": _q_semantic_dedup,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "embedding_dedup": _q_embedding_dedup,
-        "multimodal_decode": _q_multimodal_decode,
-        "clean_corpus": _q_clean_corpus,
-        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
         "token_frequencies": _q_token_frequencies,
         "corpus_stats": _q_corpus_stats,
-        "as_of_join": _q_as_of_join,
-        "range_join": _q_range_join,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
-        "file_size_distribution": _q_file_size_distribution,
         "num_shuffle_files": _q_num_shuffle_files,
-        "num_record_distribution": _q_num_record_distribution,
-        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
-        "delta_file_sizes": _q_delta_file_sizes,
-        "optimize_compaction": _q_optimize_compaction,
-        "optimize_zorder": _q_optimize_zorder,
         "bm25_search": _q_bm25_search,
         "keyword_search": _q_keyword_search,
         "identity_columns": _q_identity_columns,
-        "bigram_perplexity": _q_bigram_perplexity,
-        "cdf_datasource": _q_cdf_datasource,
-        "knn_graph": _q_knn_graph,
         "row_tracking": _q_row_tracking,
         "liquid_clustering": _q_liquid_clustering,
         "type_widening": _q_type_widening,
         "v2_checkpoint": _q_v2_checkpoint,
         "encode_corpus": _q_encode_corpus,
-        "sql_dml": _q_sql_dml,
         "column_defaults": _q_column_defaults,
     }
 

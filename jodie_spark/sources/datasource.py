@@ -357,7 +357,9 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
     log = DeltaLog(path)
     if start_v + 1 > end_v:
         return []
-    enabled = _cdf_enabled(log.snapshot(max(start_v, 0)).configuration)
+    # table_info() is metadata-only (no driver-side file-list build) —
+    # we only need the starting configuration here, never the add list.
+    enabled = _cdf_enabled(log.table_info(max(start_v, 0)).configuration)
     out: list[_CdfFilePartition] = []
     for v in range(start_v + 1, end_v + 1):
         actions = log.read_actions(v)

@@ -35,55 +35,82 @@ from jodie_spark.errors import JodieValidationError
 _REF = r"(?:delta\.`(?P<path>[^`]+)`|(?P<name>[A-Za-z_][\w]*(?:\.[\w]+)*))"
 
 
-def _find_top_level(s: str, word: str, start: int = 0) -> int:
-    """Index of the first occurrence of keyword ``word`` at paren depth
-    0 and outside quotes, or -1."""
-    depth = 0
-    i = start
+def _skip_quoted(s: str, i: int) -> int:
+    """``s[i]`` is an opening quote (', " or `); return the index just
+    past its closing quote.  Handles Spark's default backslash escapes
+    (``'O\\'Brien'``), SQL ''-doubling (``'O''Brien'``), and backtick
+    doubling in identifiers.  Unterminated literals consume to EOS
+    (callers raise a parse error on the leftover fragment)."""
+    q = s[i]
     n = len(s)
-    wl = len(word)
+    i += 1
     while i < n:
         c = s[i]
-        if c in "'\"":
-            q = c
-            i += 1
-            while i < n:
-                if s[i] == q and not (q == "'" and i + 1 < n and s[i + 1] == "'"):
-                    break
-                if s[i] == q and q == "'" and i + 1 < n and s[i + 1] == "'":
-                    i += 1
-                i += 1
-            i += 1
+        if c == "\\" and q in "'\"" and i + 1 < n:
+            i += 2  # backslash escape: skip escaped char
+            continue
+        if c == q:
+            if i + 1 < n and s[i + 1] == q:
+                i += 2  # doubled-quote escape
+                continue
+            return i + 1
+        i += 1
+    return n
+
+
+def _is_kw_at(s: str, i: int, word: str) -> bool:
+    wl = len(word)
+    if s[i : i + wl].upper() != word.upper():
+        return False
+    before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+    after = i + wl
+    after_ok = after >= len(s) or not (s[after].isalnum() or s[after] == "_")
+    return before_ok and after_ok
+
+
+def _find_top_level(s: str, word: str, start: int = 0, skip_case: bool = False) -> int:
+    """Index of the first occurrence of keyword ``word`` at paren depth
+    0, outside quotes, or -1.  With ``skip_case`` a match inside a
+    top-level ``CASE ... END`` block is ignored (so a CASE WHEN inside a
+    MERGE action never splits the WHEN-clause chunking)."""
+    depth = 0
+    case_depth = 0
+    i = start
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            i = _skip_quoted(s, i)
             continue
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and s[i : i + wl].upper() == word.upper():
-            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
-            after = i + wl
-            after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
-            if before_ok and after_ok:
+        elif depth == 0:
+            if skip_case and _is_kw_at(s, i, "CASE"):
+                case_depth += 1
+                i += 4
+                continue
+            if skip_case and case_depth > 0 and _is_kw_at(s, i, "END"):
+                case_depth -= 1
+                i += 3
+                continue
+            if case_depth == 0 and _is_kw_at(s, i, word):
                 return i
         i += 1
     return -1
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
-    """Split on a single-char separator at depth 0, quote-aware."""
+    """Split on a single-char separator at depth 0, quote-aware (same
+    escape rules as :func:`_find_top_level`)."""
     out, buf, depth, i, n = [], [], 0, 0, len(s)
     while i < n:
         c = s[i]
-        if c in "'\"":
-            q = c
-            buf.append(c)
-            i += 1
-            while i < n:
-                buf.append(s[i])
-                if s[i] == q:
-                    break
-                i += 1
-            i += 1
+        if c in "'\"`":
+            j = _skip_quoted(s, i)
+            buf.append(s[i:j])
+            i = j
             continue
         if c == "(":
             depth += 1
@@ -406,9 +433,15 @@ _TT_RE = re.compile(
 
 def _rewrite_time_travel(spark: SparkSession, s: str) -> str:
     """delta-spark's ``t VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'``
-    inside SELECTs: each occurrence becomes a uniquely-named temp view
-    over the historical snapshot, substituted into the statement."""
-    import uuid as _uuid
+    inside SELECTs: each occurrence becomes a temp view over the
+    historical snapshot, substituted into the statement.
+
+    View names are deterministic per (path, pin) — repeated time-travel
+    queries reuse (re-create) the same view instead of leaking a fresh
+    ``__tt_*`` view per query, and the substitution runs only over
+    top-level unquoted segments so a ``VERSION AS OF`` inside a string
+    literal is never rewritten."""
+    import hashlib as _hashlib
 
     from jodie_spark.catalog import _REGISTRY
     from jodie_spark.tables.table import DeltaTable
@@ -421,14 +454,31 @@ def _rewrite_time_travel(spark: SparkSession, s: str) -> str:
                 return m.group(0)  # not one of ours — leave for Catalyst
         t = DeltaTable.forPath(spark, path)
         if m.group("v") is not None:
+            pin = f"v{int(m.group('v'))}"
             df = t.toDF(version=int(m.group("v")))
         else:
+            pin = f"ts{m.group('ts')}"
             df = t.toDF(timestamp=m.group("ts"))
-        view = f"__tt_{_uuid.uuid4().hex[:12]}"
+        view = "__tt_" + _hashlib.md5(f"{path}\x00{pin}".encode()).hexdigest()[:12]
         df.createOrReplaceTempView(view)
         return view
 
-    return _TT_RE.sub(sub, s)
+    # substitute only outside string literals (backticks stay in the
+    # searchable text — the delta.`/path` ref form itself uses them)
+    out: list[str] = []
+    i, n = 0, len(s)
+    seg_start = 0
+    while i < n:
+        if s[i] in "'\"":
+            out.append(_TT_RE.sub(sub, s[seg_start:i]))
+            j = _skip_quoted(s, i)
+            out.append(s[i:j])
+            i = j
+            seg_start = i
+        else:
+            i += 1
+    out.append(_TT_RE.sub(sub, s[seg_start:]))
+    return "".join(out)
 
 
 def _merge(spark: SparkSession, s: str) -> None:
@@ -470,18 +520,19 @@ def _merge(spark: SparkSession, s: str) -> None:
     salias = m3.group(1) or "s"
     rest = rest[m3.end() :]
 
-    wi = _find_top_level(rest, "WHEN")
+    wi = _find_top_level(rest, "WHEN", skip_case=True)
     if wi < 0:
         raise JodieValidationError("MERGE requires at least one WHEN clause")
     cond = rest[:wi].strip()
     clauses_text = rest[wi:]
 
     builder = t.alias(talias).merge(src_df.alias(salias), cond)
-    # split into WHEN ... chunks at top level
+    # split into WHEN ... chunks at top level (skip_case: a CASE WHEN
+    # inside an action expression must not start a new clause)
     chunks = []
     pos = 0
     while True:
-        nxt = _find_top_level(clauses_text, "WHEN", pos + 1)
+        nxt = _find_top_level(clauses_text, "WHEN", pos + 1, skip_case=True)
         if nxt < 0:
             chunks.append(clauses_text[pos:])
             break

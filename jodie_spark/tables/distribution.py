@@ -254,11 +254,26 @@ def _latest_actions_df(
 
 def files_df(spark: SparkSession, path: str) -> DataFrame:
     """Active add-files of the latest snapshot as a Spark DataFrame:
-    ``[path, partitionValues, size, modificationTime, stats]``."""
+    ``[path, partitionValues, size, modificationTime, stats,
+    deletionVector, baseRowId, defaultRowCommitVersion]``.
+
+    The protocol fields ride along so Spark-side DML planning never
+    drops a candidate's DV descriptor (which would resurrect deleted
+    rows in a CoW rewrite) or its row-tracking lineage; Catalyst prunes
+    them out of plans that don't touch them."""
     return (
         _latest_actions_df(spark, path)
         .filter(F.col("add").isNotNull())
-        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
+        .select(
+            "add.path",
+            "add.partitionValues",
+            "add.size",
+            "add.modificationTime",
+            "add.stats",
+            "add.deletionVector",
+            "add.baseRowId",
+            "add.defaultRowCommitVersion",
+        )
     )
 
 

@@ -58,6 +58,38 @@ def check_constraints(configuration: dict[str, str] | None) -> dict[str, str]:
     }
 
 
+def _legacy_implied_features(
+    proto: dict[str, Any] | None, configuration: dict[str, str] | None = None
+) -> tuple[set[str], set[str]]:
+    """(writer_features, reader_features) implied by a legacy protocol
+    version (Delta PROTOCOL.md feature mapping: writer 2 → appendOnly+
+    invariants, 3 → checkConstraints, 4 → changeDataFeed+generatedColumns,
+    5 → columnMapping, 6 → identityColumns; reader 2 → columnMapping).
+
+    Every upgrade to reader 3 / writer 7 must carry these into the
+    explicit feature lists — dropping e.g. columnMapping from a
+    reader-2/writer-5 table's upgraded protocol would make external
+    readers treat physical-named columns as logical ones."""
+    p = proto or {}
+    old_writer = int(p.get("minWriterVersion") or 2)
+    old_reader = int(p.get("minReaderVersion") or 1)
+    wf: set[str] = set()
+    if old_writer >= 2:
+        wf.update({"appendOnly", "invariants"})
+    if old_writer >= 3 or check_constraints(configuration):
+        wf.add("checkConstraints")
+    if old_writer >= 4:
+        wf.update({"changeDataFeed", "generatedColumns"})
+    if old_writer >= 5:
+        wf.add("columnMapping")
+    if old_writer >= 6:
+        wf.add("identityColumns")
+    rf: set[str] = set()
+    if old_reader >= 2:
+        rf.add("columnMapping")
+    return wf, rf
+
+
 def enforce_check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> DataFrame:
     """Wrap the to-be-written rows so any CHECK-constraint violation
     fails the write job, distributed and in-line (an ``assert_true``
@@ -337,13 +369,39 @@ def plan_candidate_files(
         fdf = fdf.withColumn(
             "parsed_stats", F.from_json("stats", _stats_schema(schema))
         ).filter(keep)
-    rows = fdf.select("path", "partitionValues", "size", "modificationTime").collect()
+    # deletionVector / row-tracking fields must ride along: dropping a
+    # candidate's DV here would resurrect its deleted rows in the CoW
+    # rewrite read, and dropping baseRowId breaks row-id preservation
+    rows = fdf.select(
+        "path",
+        "partitionValues",
+        "size",
+        "modificationTime",
+        "deletionVector",
+        "baseRowId",
+        "defaultRowCommitVersion",
+    ).collect()
     return [
         {
             "path": r["path"],
             "partitionValues": dict(r["partitionValues"] or {}),
             "size": r["size"],
             "modificationTime": r["modificationTime"],
+            **(
+                {"deletionVector": r["deletionVector"].asDict()}
+                if r["deletionVector"] is not None
+                else {}
+            ),
+            **(
+                {"baseRowId": r["baseRowId"]}
+                if r["baseRowId"] is not None
+                else {}
+            ),
+            **(
+                {"defaultRowCommitVersion": r["defaultRowCommitVersion"]}
+                if r["defaultRowCommitVersion"] is not None
+                else {}
+            ),
         }
         for r in rows
     ]
@@ -648,16 +706,11 @@ class DeltaTable:
         features = set(proto.get("writerFeatures") or [])
         if int(proto.get("minReaderVersion") or 1) >= 3 and "columnMapping" in features:
             return []
-        old_writer = int(proto.get("minWriterVersion") or 2)
-        reader_features = set(proto.get("readerFeatures") or [])
+        impl_w, impl_r = _legacy_implied_features(proto, snap.configuration)
+        reader_features = set(proto.get("readerFeatures") or []) | impl_r
         reader_features.add("columnMapping")
+        features |= impl_w
         features.add("columnMapping")
-        if old_writer >= 2:
-            features.add("appendOnly")
-        if old_writer >= 3 or check_constraints(snap.configuration):
-            features.add("checkConstraints")
-        if old_writer >= 4:
-            features.update({"generatedColumns", "changeDataFeed"})
         return [
             {
                 "protocol": {
@@ -1201,43 +1254,32 @@ class DeltaTable:
         old_writer = int(proto.get("minWriterVersion") or 2)
         if old_writer >= 7 and needed <= have:
             return []
-        features = have | needed
-        if old_writer >= 2:
-            features.add("appendOnly")
-        if old_writer >= 3 or check_constraints(snap.configuration):
-            features.add("checkConstraints")
-        if old_writer >= 4:
-            features.update({"generatedColumns", "changeDataFeed"})
-        if old_writer >= 6:
-            features.add("identityColumns")
+        impl_w, impl_r = _legacy_implied_features(proto, snap.configuration)
+        features = have | needed | impl_w
         new_proto: dict[str, Any] = {
             "minReaderVersion": int(proto.get("minReaderVersion") or 1),
             "minWriterVersion": 7,
             "writerFeatures": sorted(features),
         }
         if proto.get("readerFeatures") is not None or new_proto["minReaderVersion"] >= 3:
-            new_proto["readerFeatures"] = sorted(set(proto.get("readerFeatures") or []))
+            new_proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or []) | impl_r
+            )
         return [{"protocol": new_proto}]
 
     def _dv_protocol_upgrade_actions(self, snap: Snapshot) -> list[dict[str, Any]]:
         """Protocol action raising the table to reader 3 / writer 7 with
         the deletionVectors feature, when not already there. The upgrade
-        lists the features this engine maintains for the table (the
-        delta-spark upgrade also carries legacy implied features)."""
+        carries legacy implied features (delta-spark upgrade semantics)."""
         proto = dict(snap.protocol or {})
         features = set(proto.get("writerFeatures") or [])
         if int(proto.get("minReaderVersion") or 1) >= 3 and "deletionVectors" in features:
             return []
-        old_writer = int(proto.get("minWriterVersion") or 2)
-        reader_features = set(proto.get("readerFeatures") or [])
+        impl_w, impl_r = _legacy_implied_features(proto, snap.configuration)
+        reader_features = set(proto.get("readerFeatures") or []) | impl_r
         reader_features.add("deletionVectors")
+        features |= impl_w
         features.add("deletionVectors")
-        if old_writer >= 2:
-            features.add("appendOnly")
-        if old_writer >= 3 or check_constraints(snap.configuration):
-            features.add("checkConstraints")
-        if old_writer >= 4:
-            features.update({"generatedColumns", "changeDataFeed"})
         return [
             {
                 "protocol": {
@@ -2630,7 +2672,11 @@ def write_delta(
             # typeWidening is a reader+writer table feature: old files
             # carry the narrow type, so readers must be upcast-capable
             proto = dict(snap.protocol or {})
-            rfeat = set(proto.get("readerFeatures") or [])
+            # bumping minReaderVersion to 3 makes readerFeatures the
+            # sole source of reader capabilities — carry reader-v2's
+            # implied columnMapping alongside existing features
+            _, impl_r = _legacy_implied_features(proto, snap.configuration)
+            rfeat = set(proto.get("readerFeatures") or []) | impl_r
             upgrade = table._writer_feature_upgrade_actions(
                 snap, {"typeWidening"}
             )

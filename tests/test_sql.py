@@ -210,3 +210,64 @@ def test_optimize_where_partition(spark, tmpdir_path):
     assert len(p0) == 1
     assert p1 == before_p1
     assert t.toDF().count() == 8
+
+
+def test_backslash_escape_in_literal(spark, tbl):
+    # Spark's default backslash escape: 'O\'Brien' — the scanner must
+    # not mis-bracket the literal (ADVICE r3)
+    sql(spark, f"UPDATE delta.`{tbl}` SET v = 'O\\'Brien WHERE fake' WHERE k = 1")
+    assert "O'Brien WHERE fake" in {r[1] for r in _rows(spark, tbl)}
+    # ''-doubling form too
+    sql(spark, f"UPDATE delta.`{tbl}` SET v = 'd''Arc, x' WHERE k = 2")
+    assert "d'Arc, x" in {r[1] for r in _rows(spark, tbl)}
+
+
+def test_merge_with_case_when_action(spark, tbl, tmpdir_path):
+    # top-level CASE WHEN inside a MERGE action must not split the
+    # WHEN-clause chunking (ADVICE r3)
+    src = os.path.join(tmpdir_path, "sql_case_src")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "x", 100), (9, "new", 900)], "k int, v string, n int"
+        ),
+        src,
+    )
+    register_delta_table(spark, "case_src", src)
+    sql(
+        spark,
+        f"MERGE INTO delta.`{tbl}` t USING case_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.n > 50 THEN 'big' "
+        "ELSE 'small' END "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = dict((r[0], r[1]) for r in _rows(spark, tbl))
+    assert rows[1] == "big" and rows[9] == "new"
+
+
+def test_time_travel_views_do_not_leak(spark, tbl):
+    register_delta_table(spark, "tt_leak", tbl)
+    sql(spark, "DELETE FROM tt_leak WHERE k = 1")
+
+    def tt_views():
+        return {
+            v.name
+            for v in spark.catalog.listTables()
+            if v.name.startswith("__tt_")
+        }
+
+    before = tt_views()
+    for _ in range(3):
+        sql(spark, "SELECT count(*) AS n FROM tt_leak VERSION AS OF 0").collect()
+    after = tt_views()
+    # deterministic name per (path, version): at most ONE new view no
+    # matter how many queries ran
+    assert len(after - before) <= 1
+
+
+def test_time_travel_inside_string_literal_not_rewritten(spark, tbl):
+    register_delta_table(spark, "tt_str", tbl)
+    r = sql(
+        spark,
+        "SELECT 'tt_str VERSION AS OF 99' AS s, count(*) AS n FROM tt_str",
+    ).collect()[0]
+    assert r["s"] == "tt_str VERSION AS OF 99" and r["n"] == 3

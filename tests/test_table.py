@@ -939,3 +939,72 @@ def test_auto_compact_off_by_default(spark, tmpdir_path):
     t = DeltaTable.forPath(spark, p)
     assert t.history(1).collect()[0]["operation"] == "WRITE"
     assert len(t.snapshot().add_files()) == 4
+
+
+def test_protocol_upgrades_carry_legacy_implied_features(spark):
+    """ADVICE r3: an upgrade from reader 2 / writer 5 must carry the
+    legacy-implied columnMapping (writer AND reader side) + invariants,
+    or external readers treat physical-named columns as logical ones."""
+    from jodie_spark.tables.log import Snapshot
+    from jodie_spark.tables.table import DeltaTable, _legacy_implied_features
+
+    snap = Snapshot(
+        version=0,
+        metadata={"configuration": {}},
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+        files={},
+    )
+    wf, rf = _legacy_implied_features(snap.protocol, snap.configuration)
+    assert {"appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+            "generatedColumns", "columnMapping"} <= wf
+    assert rf == {"columnMapping"}
+
+    t = DeltaTable.__new__(DeltaTable)  # helpers only touch snap
+    up = t._writer_feature_upgrade_actions(snap, {"typeWidening"})[0]["protocol"]
+    assert "columnMapping" in up["writerFeatures"]
+    assert "invariants" in up["writerFeatures"]
+    # reader stays at 2 here, so readerFeatures may be absent — but if
+    # present it must include the implied columnMapping
+    if up["minReaderVersion"] >= 3:
+        assert "columnMapping" in up.get("readerFeatures", [])
+
+    dv = t._dv_protocol_upgrade_actions(snap)[0]["protocol"]
+    assert dv["minReaderVersion"] == 3
+    assert "columnMapping" in dv["readerFeatures"]
+    assert "columnMapping" in dv["writerFeatures"]
+    assert "identityColumns" not in dv["writerFeatures"]  # writer 5 < 6
+
+    cm = t._mapping_protocol_upgrade_actions(snap)[0]["protocol"]
+    assert "columnMapping" in cm["readerFeatures"]
+    assert "invariants" in cm["writerFeatures"]
+
+    # writer 6 additionally implies identityColumns
+    snap6 = Snapshot(
+        version=0, metadata={"configuration": {}},
+        protocol={"minReaderVersion": 2, "minWriterVersion": 6}, files={},
+    )
+    up6 = t._writer_feature_upgrade_actions(snap6, {"typeWidening"})[0]["protocol"]
+    assert "identityColumns" in up6["writerFeatures"]
+
+
+def test_spark_planned_dml_preserves_deletion_vectors(spark, tmpdir_path, monkeypatch):
+    """Candidates from the Spark-side (large-log) planner must carry
+    deletionVector descriptors: a CoW UPDATE on a DV'd table planned
+    Spark-side would otherwise resurrect the MoR-deleted rows."""
+    import os as _os
+
+    import jodie_spark.tables.table as table_mod
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = _os.path.join(tmpdir_path, "dv_sparkplan")
+    write_delta(spark.range(10).selectExpr("id", "id as v").coalesce(1), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id % 2 = 1", deletion_vectors=True)
+    assert sorted(r["id"] for r in t.toDF().collect()) == [0, 2, 4, 6, 8]
+
+    monkeypatch.setattr(table_mod, "_DRIVER_PLAN_MAX_LOG_BYTES", 0)
+    # CoW update reads candidates through the Spark-side plan; the DV
+    # must still mask rows 1,3,5,7,9
+    DeltaTable.forPath(spark, p).update("id >= 0", {"v": "v + 100"})
+    rows = sorted((r["id"], r["v"]) for r in DeltaTable.forPath(spark, p).toDF().collect())
+    assert rows == [(0, 100), (2, 102), (4, 104), (6, 106), (8, 108)]
