@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _tmp(name: str) -> str:
@@ -1060,13 +1061,60 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jodie_spark.operators.multimodal import decode_images, with_media_metadata
+    """REAL-mode multimodal decode: per doc, synthesize an actual
+    24-bit BMP (dims a function of doc_id) and a PCM WAV, then decode
+    both through the Arrow-batched operators. The oracle checks the
+    decoded dims, the closed-form BMP byte size (54 + padded-row×h),
+    and the WAV duration arithmetic — real header parsing, no hashes."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jodie_spark.operators.multimodal import decode_audio, decode_images
     from jodie_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
-    media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("data"))
-    decoded = decode_images(with_media_metadata(media))
-    return decoded.select("doc_id", "n_bytes", "content_md5", "width", "height", "n_pixels")
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("audio", T.BinaryType()),
+        ]
+    )
+
+    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from jodie_spark.operators.codecs import encode_bmp, encode_wav
+
+        for pdf in it:
+            imgs, wavs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                px = _np.full((h, w, 3), did % 256, dtype=_np.uint8)
+                imgs.append(encode_bmp(px))
+                n = 500 + did % 300
+                wavs.append(
+                    encode_wav(_np.zeros((n, 1), dtype=_np.int16), 8000)
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "data": imgs, "audio": wavs}
+            )
+
+    media = docs.mapInPandas(_synth, media_schema)
+    decoded = decode_images(media, binary_col="data", mode="real")
+    decoded = decode_audio(decoded, binary_col="audio", mode="real")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.length("data").cast("long").alias("n_bytes"),
+        "sample_rate",
+        F.col("n_samples"),
+        "duration_ms",
+    )
 
 
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2709,20 +2757,23 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "multimodal_decode": """
+            -- real-codec oracle: BMP size is 54 + padded_row*h with
+            -- padded_row = floor((3w+3)/4)*4; WAV duration is
+            -- n_samples*1000/8000 — both closed-form in doc_id
             WITH m AS (
                 SELECT doc_id,
-                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                       md5(text) AS content_md5
+                       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+                       CAST(3 + doc_id % 7 AS INTEGER) AS height,
+                       CAST(500 + doc_id % 300 AS BIGINT) AS n_samples
                 FROM documents WHERE doc_id < 200
             )
-            SELECT doc_id, n_bytes, content_md5,
-                   CAST(64 + CAST('0x' || substr(content_md5, 1, 2) AS INTEGER) % 192
-                        AS INTEGER) AS width,
-                   CAST(64 + CAST('0x' || substr(content_md5, 3, 2) AS INTEGER) % 192
-                        AS INTEGER) AS height,
-                   CAST((64 + CAST('0x' || substr(content_md5, 1, 2) AS INTEGER) % 192)
-                        * (64 + CAST('0x' || substr(content_md5, 3, 2) AS INTEGER) % 192)
-                        AS BIGINT) AS n_pixels
+            SELECT doc_id, width, height,
+                   CAST(width * height AS BIGINT) AS n_pixels,
+                   CAST(54 + ((3 * width + 3) // 4 * 4) * height AS BIGINT)
+                       AS n_bytes,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   n_samples,
+                   CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms
             FROM m
         """,
         "similarity_topk": """

@@ -82,6 +82,8 @@ class _FilePartition(InputPartition):
         table_path: str | None = None,
         base_row_id: int | None = None,
         row_commit_version: int | None = None,
+        mat_rid: str | None = None,
+        mat_rcv: str | None = None,
     ):
         self.file_path = file_path
         self.partition_values = dict(partition_values or {})
@@ -89,9 +91,13 @@ class _FilePartition(InputPartition):
         # storage); deleted row indexes are masked executor-side
         self.dv = dv
         self.table_path = table_path
-        # row tracking: _row_id = base_row_id + physical row index
+        # row tracking: _row_id = coalesce(materialized column,
+        # base_row_id + physical row index) — rewritten files carry
+        # preserved ids under the table's materialized column names
         self.base_row_id = base_row_id
         self.row_commit_version = row_commit_version
+        self.mat_rid = mat_rid
+        self.mat_rcv = mat_rcv
 
 
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
@@ -145,6 +151,12 @@ def _read_file_batches(
     file_cols = set(pf.schema_arrow.names)
     wanted = [f.name for f in schema.fields if f.name in file_cols]
     want_row_ids = any(f.name == "_row_id" for f in schema.fields)
+    # materialized row-lineage columns (written by rewrites) override
+    # the baseRowId arithmetic row-by-row
+    mat_rid = partition.mat_rid if partition.mat_rid in file_cols else None
+    mat_rcv = partition.mat_rcv if partition.mat_rcv in file_cols else None
+    if want_row_ids:
+        wanted += [c for c in (mat_rid, mat_rcv) if c]
     row_offset = 0
     for batch in pf.iter_batches(columns=wanted, batch_size=65536):
         idx = None
@@ -170,19 +182,40 @@ def _read_file_batches(
                 if col.type != arrow_field.type:
                     col = col.cast(arrow_field.type)
                 arrays.append(col)
-            elif f.name == "_row_id" and partition.base_row_id is not None:
-                arrays.append(
-                    pa.array(partition.base_row_id + idx[:n], type=arrow_field.type)
-                )
-            elif (
-                f.name == "_row_commit_version"
-                and partition.row_commit_version is not None
+            elif f.name == "_row_id" and (
+                partition.base_row_id is not None or mat_rid
             ):
-                arrays.append(
-                    pa.array(
-                        [partition.row_commit_version] * n, type=arrow_field.type
-                    )
+                fresh = (
+                    pa.array(partition.base_row_id + idx[:n], type=arrow_field.type)
+                    if partition.base_row_id is not None
+                    else pa.nulls(n, type=arrow_field.type)
                 )
+                if mat_rid:
+                    mcol = batch.column(batch.schema.get_field_index(mat_rid))
+                    if mcol.type != arrow_field.type:
+                        mcol = mcol.cast(arrow_field.type)
+                    import pyarrow.compute as pc
+
+                    arrays.append(pc.coalesce(mcol, fresh))
+                else:
+                    arrays.append(fresh)
+            elif f.name == "_row_commit_version" and (
+                partition.row_commit_version is not None or mat_rcv
+            ):
+                dflt = (
+                    pa.array([partition.row_commit_version] * n, type=arrow_field.type)
+                    if partition.row_commit_version is not None
+                    else pa.nulls(n, type=arrow_field.type)
+                )
+                if mat_rcv:
+                    mcol = batch.column(batch.schema.get_field_index(mat_rcv))
+                    if mcol.type != arrow_field.type:
+                        mcol = mcol.cast(arrow_field.type)
+                    import pyarrow.compute as pc
+
+                    arrays.append(pc.coalesce(mcol, dflt))
+                else:
+                    arrays.append(dflt)
             elif f.name in partition.partition_values:
                 v = _parse_partition_value(
                     partition.partition_values[f.name], f.dataType.typeName()
@@ -283,6 +316,9 @@ class JodieDeltaBatchReader(DataSourceReader):
             adds = prune_files(
                 adds, self._condition, self.schema, snap.partition_columns
             )
+        from jodie_spark.tables.row_lineage import lineage_cols
+
+        mat = lineage_cols(snap.configuration) or (None, None)
         return [
             _FilePartition(
                 os.path.join(self.path, urllib.parse.unquote(a["path"])),
@@ -291,6 +327,8 @@ class JodieDeltaBatchReader(DataSourceReader):
                 self.path,
                 a.get("baseRowId"),
                 a.get("defaultRowCommitVersion"),
+                mat[0],
+                mat[1],
             )
             for a in adds
         ]

@@ -1017,8 +1017,24 @@ class DeltaLog:
         while True:
             path = self.commit_file_path(version)
             try:
-                with open(path, "x", encoding="utf-8") as fh:
+                # write-then-hardlink: os.link is an atomic exclusive
+                # create of the FULLY-WRITTEN file. A bare open('x') +
+                # write makes the commit visible while still empty, so
+                # a concurrent loser's conflict check could read zero
+                # actions and miss a real conflict (caught by
+                # tests/test_multiprocess_commit.py).
+                import uuid as _uuid
+
+                tmp = os.path.join(
+                    self.log_path,
+                    f".{os.path.basename(path)}.tmp-{_uuid.uuid4().hex[:8]}",
+                )
+                with open(tmp, "w", encoding="utf-8") as fh:
                     fh.write("\n".join(_build_lines(version)) + "\n")
+                try:
+                    os.link(tmp, path)
+                finally:
+                    os.unlink(tmp)
                 break
             except FileExistsError:
                 if attempts >= max_retries:

@@ -302,11 +302,29 @@ class DeltaMergeBuilder:
             snap.partition_columns,
         )
 
+        lineage, lineage_actions = t._lineage_setup(snap, candidates)
         src = self.source.withColumn("__s_exists__", F.lit(True))
         src = src.persist()
         staged = None
         try:
-            if candidates:
+            if candidates and lineage is not None:
+                # lineage scan masks existing DV positions itself and
+                # resolves each row's preserved id
+                from jodie_spark.tables.row_lineage import (
+                    read_candidates_with_lineage,
+                )
+
+                raw = read_candidates_with_lineage(
+                    spark,
+                    t.path,
+                    schema,
+                    candidates,
+                    *lineage,
+                    file_col="__fp__",
+                    keep_row_index=True,
+                )
+                tgt = raw.withColumn("__t_exists__", F.lit(True)).alias(talias)
+            elif candidates:
                 raw = t._dv_scan(candidates, schema)
                 existing = t._existing_dv_positions(raw, candidates)
                 if existing is not None:
@@ -322,6 +340,14 @@ class DeltaMergeBuilder:
                     .withColumn("__t_exists__", F.lit(True))
                     .alias(talias)
                 )
+                if lineage is not None:
+                    from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+                    tgt = (
+                        tgt.withColumn(LIN_RID, F.lit(None).cast("long"))
+                        .withColumn(LIN_RCV, F.lit(None).cast("long"))
+                        .alias(talias)
+                    )
             joined = tgt.join(src, F.expr(self.condition), "full_outer")
             staged = self._stage_actions(joined).persist()
 
@@ -362,15 +388,30 @@ class DeltaMergeBuilder:
             rows = t._write_dvs_for(dv_marks, candidates) if candidates else []
 
             _out_col = self._out_col_factory(talias)
+            # row tracking: updated rows keep their id, inserts get
+            # fresh ids (NULL materialized value + fresh baseRowId);
+            # every emitted row carries this commit's version (NULL
+            # materialized → defaultRowCommitVersion fallback)
+            lineage_out = []
+            stat_exclude = None
+            if lineage is not None:
+                from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+                lineage_out = [
+                    F.col(LIN_RID).alias(lineage[0]),
+                    F.lit(None).cast("long").alias(lineage[1]),
+                ]
+                stat_exclude = set(lineage)
             emitted = staged.filter(
                 F.col("__action__").isin("update", "insert")
-            ).select(*[_out_col(f) for f in schema.fields])
+            ).select(*[_out_col(f) for f in schema.fields], *lineage_out)
             adds = write_data_files(
                 enforce_check_constraints(
                     apply_generated_columns(emitted, schema), snap.configuration
                 ),
                 t.path,
                 snap.partition_columns,
+                stat_exclude=stat_exclude,
             )
 
             inserted = int(action_counts.get("insert", 0))
@@ -379,6 +420,7 @@ class DeltaMergeBuilder:
             src.unpersist()
 
         actions = t._dv_protocol_upgrade_actions(snap) if rows else []
+        actions = lineage_actions + actions
         pair_actions, changed_rows, dv_bytes = t._dv_action_pairs(
             candidates, rows, int(time.time() * 1000)
         )
@@ -490,15 +532,29 @@ class DeltaMergeBuilder:
         touched: list[dict[str, Any]] = []
         probe = None
         raw_touched: set[str] = set()
+        lineage, lineage_actions = t._lineage_setup(snap, candidates)
         if candidates and (self._matched or self._not_matched):
             # candidate files are read ONCE and cached; the rewrite pass
             # filters the cache down to the touched subset instead of
             # re-reading from storage
-            probe = (
-                t._read_candidates(snap, schema, candidates)
-                .withColumn("__path__", F.input_file_name())
-                .persist()
-            )
+            if lineage is not None:
+                from jodie_spark.tables.row_lineage import (
+                    read_candidates_with_lineage,
+                )
+
+                probe = (
+                    read_candidates_with_lineage(
+                        spark, t.path, schema, candidates, *lineage
+                    )
+                    .withColumnRenamed("__file__", "__path__")
+                    .persist()
+                )
+            else:
+                probe = (
+                    t._read_candidates(snap, schema, candidates)
+                    .withColumn("__path__", F.input_file_name())
+                    .persist()
+                )
             # delta-spark parity: multiple source rows matching one target
             # row make the merge nondeterministic (and pass 2 would emit
             # one output row per match). Delta allows it only when the
@@ -565,6 +621,12 @@ class DeltaMergeBuilder:
                 .withColumn("__t_exists__", F.lit(True))
                 .alias(talias)
             )
+            if lineage is not None:
+                from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+                tgt = tgt.withColumn(LIN_RID, F.lit(None).cast("long")).withColumn(
+                    LIN_RCV, F.lit(None).cast("long")
+                )
         joined = tgt.join(src, F.expr(self.condition), "full_outer")
 
         obs = Observation()
@@ -578,8 +640,21 @@ class DeltaMergeBuilder:
         )
 
         _out_col = self._out_col_factory(talias)
+        # row tracking: copied+updated rows keep their id (insert rows
+        # joined from the source side carry NULL → fresh ids via the
+        # add's baseRowId); only copied rows keep their commit version
+        lineage_out = []
+        if lineage is not None:
+            from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+            lineage_out = [
+                F.col(LIN_RID).alias(LIN_RID),
+                F.when(F.col("__action__") == "copy", F.col(LIN_RCV))
+                .otherwise(F.lit(None).cast("long"))
+                .alias(LIN_RCV),
+            ]
         result = staged.filter(F.col("__action__").isin("update", "copy", "insert")).select(
-            *[_out_col(f) for f in schema.fields]
+            *[_out_col(f) for f in schema.fields], *lineage_out
         )
 
         # in-merge identity generation: insert-output rows land with a
@@ -598,15 +673,18 @@ class DeltaMergeBuilder:
 
             new_specs = dict(identity_columns_of(schema))
             changed = False
+            keep_cols = [f.name for f in schema.fields]
+            if lineage is not None:
+                from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+                keep_cols = keep_cols + [LIN_RID, LIN_RCV]
             for name, spec in id_generate.items():
                 need = result.filter(F.col(name).isNull()).drop(name)
                 keep = result.filter(F.col(name).isNotNull())
                 need, hwm = assign_identity_values(
                     need, name, next_identity_base(spec), int(spec["step"])
                 )
-                result = keep.unionByName(need).select(
-                    *[f.name for f in schema.fields]
-                )
+                result = keep.unionByName(need).select(*keep_cols)
                 if hwm is not None:
                     new_specs[name] = {**spec, "high_water_mark": hwm}
                     changed = True
@@ -636,6 +714,7 @@ class DeltaMergeBuilder:
                 enforce_check_constraints(
                     apply_generated_columns(result, schema), snap.configuration
                 ),
+                lineage=lineage,
             )
             if t.is_cdf_enabled(snap):
                 # change rows: pre-images carry the target columns,
@@ -679,7 +758,7 @@ class DeltaMergeBuilder:
         num_source_rows = _obs(src_obs, ["numSourceRows"])["numSourceRows"]
 
         now_ms = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = []
+        actions: list[dict[str, Any]] = list(lineage_actions)
         if schema_evolved or id_schema_meta is not None:
             meta = dict(snap.metadata)
             meta["schemaString"] = (

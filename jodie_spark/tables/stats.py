@@ -42,7 +42,9 @@ def _json_safe(value: Any) -> Any:
 
 
 def collect_file_stats(
-    file_path: str, num_indexed_cols: int | None = None
+    file_path: str,
+    num_indexed_cols: int | None = None,
+    exclude: set[str] | None = None,
 ) -> dict[str, Any]:
     """Aggregate row-group statistics of one parquet file into Delta's
     stats dict: {"numRecords", "minValues", "maxValues", "nullCount"}.
@@ -72,6 +74,10 @@ def collect_file_stats(
             chunk = rg.column(col_idx)
             name = chunk.path_in_schema
             if "." in name:  # nested field — Delta only stats leaf columns; we keep top-level only
+                continue
+            if exclude and name in exclude:
+                # physical-only columns (materialized row lineage) stay
+                # out of the stats JSON — they are not table columns
                 continue
             if indexed is not None and name not in indexed:
                 continue

@@ -914,6 +914,29 @@ class DeltaTable:
         logical = self.schema(snap)
         return logical, to_physical_schema(logical)
 
+    def _lineage_setup(
+        self, snap: Snapshot, candidates: list[dict[str, Any]]
+    ) -> tuple[tuple[str, str] | None, list[dict[str, Any]]]:
+        """Row-tracking rewrite support: ((rid_col, rcv_col), extra
+        commit actions) when ids must be materialized through this
+        rewrite, else (None, []). Skipped on column-mapped tables
+        (physical-name rewrites carry their own schema rules) and on
+        tables with externally-referenced files (shallow clones) —
+        those fall back to fresh ids, never to wrong ones."""
+        from jodie_spark.tables.row_lineage import (
+            ensure_lineage_metadata,
+            has_external_adds,
+        )
+
+        if self._mapping_schemas(snap) is not None:
+            return None, []
+        if has_external_adds(self.path, candidates):
+            return None, []
+        cols, meta_action = ensure_lineage_metadata(snap)
+        if cols is None:
+            return None, []
+        return cols, ([meta_action] if meta_action else [])
+
     def _read_candidates(
         self, snap: Snapshot, schema: T.StructType, candidates: list[dict[str, Any]]
     ) -> DataFrame:
@@ -931,19 +954,42 @@ class DeltaTable:
         return rename_to_logical(df, logical, physical)
 
     def _write_rewrite_files(
-        self, snap: Snapshot, df: DataFrame
+        self,
+        snap: Snapshot,
+        df: DataFrame,
+        lineage: tuple[str, str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write rewrite output (logical-named, full table schema) as
         data files — physical-named on mapped tables, so every other
-        Delta reader resolves them."""
+        Delta reader resolves them.
+
+        With ``lineage=(rid_col, rcv_col)`` the df carries
+        ``__lineage_rid__/__lineage_rcv__`` columns which are renamed to
+        the table's materialized row-tracking column names and written
+        into the files (excluded from stats — they are physical-only,
+        not table columns)."""
+        stat_exclude = None
+        if lineage is not None:
+            from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+            rid_col, rcv_col = lineage
+            df = df.withColumnRenamed(LIN_RID, rid_col).withColumnRenamed(
+                LIN_RCV, rcv_col
+            )
+            stat_exclude = {rid_col, rcv_col}
         ms = self._mapping_schemas(snap)
         if ms is None:
-            return write_data_files(df, self.path, snap.partition_columns)
+            return write_data_files(
+                df, self.path, snap.partition_columns, stat_exclude=stat_exclude
+            )
         from jodie_spark.tables.column_mapping import rename_to_physical
 
         logical, physical = ms
         return write_data_files(
-            rename_to_physical(df, logical, physical), self.path, snap.partition_columns
+            rename_to_physical(df, logical, physical),
+            self.path,
+            snap.partition_columns,
+            stat_exclude=stat_exclude,
         )
 
     def _planning_condition(self, snap: Snapshot, condition: str | None) -> str | None:
@@ -1035,6 +1081,7 @@ class DeltaTable:
         removes: list[dict[str, Any]] = []
         adds: list[dict[str, Any]] = []
         cdc_actions: list[dict[str, Any]] = []
+        lineage_actions: list[dict[str, Any]] = []
         deleted_rows = 0
         copied_rows = 0
         scan_ms = 0
@@ -1044,12 +1091,25 @@ class DeltaTable:
             deleted_rows = planned_num_records(self.spark, self.path, schema)
         elif candidates:
             t_scan = time.time()
+            lineage, lineage_actions = self._lineage_setup(snap, candidates)
             # single read of the candidate files, cached across the
             # touched-file discovery and the rewrite — the touched set is
             # then a filter over the cache, not a second disk scan
-            cand_df = self._read_candidates(snap, schema, candidates).withColumn(
-                "__file__", F.input_file_name()
-            ).persist()
+            if lineage is not None:
+                from jodie_spark.tables.row_lineage import (
+                    read_candidates_with_lineage,
+                )
+
+                cand_df = read_candidates_with_lineage(
+                    self.spark, self.path, schema, candidates, *lineage
+                ).persist()
+            else:
+                cand_df = self._read_candidates(snap, schema, candidates).withColumn(
+                    "__file__", F.input_file_name()
+                ).persist()
+            lineage_drop = (
+                ["__lineage_rid__", "__lineage_rcv__"] if lineage is not None else []
+            )
             try:
                 touched_paths = {
                     r[0]
@@ -1064,8 +1124,10 @@ class DeltaTable:
                     touched_df = filter_by_paths(cand_df, "__file__", touched_paths).drop(
                         "__file__"
                     )
+                    # surviving (copied) rows keep BOTH their row id and
+                    # commit version — spec row-tracking preservation
                     keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
-                    adds = self._write_rewrite_files(snap, keep_df)
+                    adds = self._write_rewrite_files(snap, keep_df, lineage=lineage)
                     removes = touched
                     # count over the cached candidate read (no stats
                     # re-parse; candidates carry no stats strings)
@@ -1075,14 +1137,16 @@ class DeltaTable:
                     )
                     deleted_rows = total_before - copied_rows
                     if self.is_cdf_enabled(snap):
-                        deleted_df = touched_df.filter(F.expr(condition)).withColumn(
-                            "_change_type", F.lit("delete")
+                        deleted_df = (
+                            touched_df.filter(F.expr(condition))
+                            .drop(*lineage_drop)
+                            .withColumn("_change_type", F.lit("delete"))
                         )
                         cdc_actions = self._write_cdf_files(deleted_df)
             finally:
                 cand_df.unpersist()
 
-        actions: list[dict[str, Any]] = list(cdc_actions)
+        actions: list[dict[str, Any]] = lineage_actions + list(cdc_actions)
         actions += [{"add": a} for a in adds]
         now_ms = int(time.time() * 1000)
         actions += [
@@ -1407,29 +1471,62 @@ class DeltaTable:
         candidates = plan_candidate_files(
             self.spark, self.path, condition, schema, snap.partition_columns
         )
+        lineage, lineage_actions = self._lineage_setup(snap, candidates)
         rows: list[Any] = []
         new_adds: list[dict[str, Any]] = []
         cdc_actions: list[dict[str, Any]] = []
         if candidates:
-            scan = self._dv_scan(candidates, schema).persist()
+            if lineage is not None:
+                # updated copies move to a new file — their row ids are
+                # preserved by materialization (lineage scan also masks
+                # existing DV positions)
+                from jodie_spark.tables.row_lineage import (
+                    read_candidates_with_lineage,
+                )
+
+                scan = read_candidates_with_lineage(
+                    self.spark,
+                    self.path,
+                    schema,
+                    candidates,
+                    *lineage,
+                    file_col="__fp__",
+                    keep_row_index=True,
+                ).persist()
+            else:
+                scan = self._dv_scan(candidates, schema).persist()
             try:
                 matched = scan.filter(F.expr(condition))
-                # rows an existing DV already deleted must neither be
-                # re-counted nor RESURRECTED as updated copies
-                existing = self._existing_dv_positions(scan, candidates)
-                if existing is not None:
-                    matched = matched.join(
-                        F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
-                    )
+                if lineage is None:
+                    # rows an existing DV already deleted must neither be
+                    # re-counted nor RESURRECTED as updated copies
+                    existing = self._existing_dv_positions(scan, candidates)
+                    if existing is not None:
+                        matched = matched.join(
+                            F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
+                        )
                 rows = self._write_dvs_for(matched, candidates)
                 if rows:
+                    lineage_out = []
+                    stat_exclude = None
+                    if lineage is not None:
+                        from jodie_spark.tables.row_lineage import LIN_RID
+
+                        # id preserved; commit version NULL → readers
+                        # fall back to this commit's defaultRowCommitVersion
+                        lineage_out = [
+                            F.col(LIN_RID).alias(lineage[0]),
+                            F.lit(None).cast("long").alias(lineage[1]),
+                        ]
+                        stat_exclude = set(lineage)
                     updated_df = matched.select(
                         *[
                             set_exprs[f.name].cast(f.dataType).alias(f.name)
                             if f.name in set_exprs
                             else F.col(f.name)
                             for f in schema.fields
-                        ]
+                        ],
+                        *lineage_out,
                     )
                     new_adds = write_data_files(
                         enforce_check_constraints(
@@ -1438,19 +1535,21 @@ class DeltaTable:
                         ),
                         self.path,
                         snap.partition_columns,
+                        stat_exclude=stat_exclude,
                     )
                     if self.is_cdf_enabled(snap):
                         pre = matched.select(
                             *[F.col(f.name) for f in schema.fields]
                         ).withColumn("_change_type", F.lit("update_preimage"))
-                        post = updated_df.withColumn(
-                            "_change_type", F.lit("update_postimage")
-                        )
+                        post = updated_df.select(
+                            *[F.col(f.name) for f in schema.fields]
+                        ).withColumn("_change_type", F.lit("update_postimage"))
                         cdc_actions = self._write_cdf_files(pre.unionByName(post))
             finally:
                 scan.unpersist()
 
         actions = self._dv_protocol_upgrade_actions(snap) if rows else []
+        actions = lineage_actions + actions
         actions += cdc_actions
         pair_actions, updated_rows, dv_bytes = self._dv_action_pairs(
             candidates, rows, int(time.time() * 1000)
@@ -1524,14 +1623,27 @@ class DeltaTable:
         adds: list[dict[str, Any]] = []
         removes: list[dict[str, Any]] = []
         cdc_actions: list[dict[str, Any]] = []
+        lineage_actions: list[dict[str, Any]] = []
         updated_rows = 0
 
         if candidates:
+            lineage, lineage_actions = self._lineage_setup(snap, candidates)
             # one cached read of the candidate files feeds touched-file
             # discovery, the rewrite, and the CDF pre/post images
-            cand_df = self._read_candidates(snap, schema, candidates).withColumn(
-                "__file__", F.input_file_name()
-            ).persist()
+            if lineage is not None:
+                from jodie_spark.tables.row_lineage import (
+                    LIN_RCV,
+                    LIN_RID,
+                    read_candidates_with_lineage,
+                )
+
+                cand_df = read_candidates_with_lineage(
+                    self.spark, self.path, schema, candidates, *lineage
+                ).persist()
+            else:
+                cand_df = self._read_candidates(snap, schema, candidates).withColumn(
+                    "__file__", F.input_file_name()
+                ).persist()
             try:
                 raw_touched_paths = {
                     r[0] for r in cand_df.filter(cond_col).select("__file__").distinct().collect()
@@ -1548,13 +1660,29 @@ class DeltaTable:
                     observed = touched_df.observe(
                         obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("updated")
                     )
+                    # row tracking: every rewritten row keeps its id;
+                    # MODIFIED rows get a NULL materialized commit
+                    # version (readers fall back to the add's
+                    # defaultRowCommitVersion = this commit), copied
+                    # rows keep their original version
+                    lineage_out = (
+                        [
+                            F.col(LIN_RID).alias(LIN_RID),
+                            F.when(cond_col, F.lit(None).cast("long"))
+                            .otherwise(F.col(LIN_RCV))
+                            .alias(LIN_RCV),
+                        ]
+                        if lineage is not None
+                        else []
+                    )
                     new_df = observed.select(
                         *[
                             F.when(cond_col, set_exprs[f.name]).otherwise(F.col(f.name)).alias(f.name)
                             if f.name in set_exprs
                             else F.col(f.name)
                             for f in schema.fields
-                        ]
+                        ],
+                        *lineage_out,
                     )
                     adds = self._write_rewrite_files(
                         snap,
@@ -1562,12 +1690,15 @@ class DeltaTable:
                             apply_generated_columns(new_df, schema),
                             snap.configuration,
                         ),
+                        lineage=lineage,
                     )
                     removes = touched
                     updated_rows = int(obs.get["updated"] or 0)
                     if self.is_cdf_enabled(snap):
-                        pre = touched_df.filter(cond_col).withColumn(
-                            "_change_type", F.lit("update_preimage")
+                        pre = (
+                            touched_df.filter(cond_col)
+                            .select(*[F.col(f.name) for f in schema.fields])
+                            .withColumn("_change_type", F.lit("update_preimage"))
                         )
                         post = (
                             touched_df.filter(cond_col)
@@ -1585,7 +1716,7 @@ class DeltaTable:
             finally:
                 cand_df.unpersist()
 
-        actions: list[dict[str, Any]] = list(cdc_actions)
+        actions: list[dict[str, Any]] = lineage_actions + list(cdc_actions)
         actions += [{"add": a} for a in adds]
         now_ms = int(time.time() * 1000)
         actions += [
@@ -1781,14 +1912,36 @@ class DeltaTable:
         # a pure layout rewrite never evaluates expressions, so mapped
         # tables (e.g. DV'd by another engine) stay physical end-to-end
         ms = self._mapping_schemas(snap)
-        live = read_files_df(
-            self.spark, self.path, ms[1] if ms else schema, dv_adds
+        lineage, lineage_actions = self._lineage_setup(snap, dv_adds)
+        stat_exclude = None
+        if lineage is not None:
+            # copied rows keep id AND commit version (pure layout change)
+            from jodie_spark.tables.row_lineage import (
+                LIN_RCV,
+                LIN_RID,
+                read_candidates_with_lineage,
+            )
+
+            live = (
+                read_candidates_with_lineage(
+                    self.spark, self.path, schema, dv_adds, *lineage
+                )
+                .drop("__file__")
+                .withColumnRenamed(LIN_RID, lineage[0])
+                .withColumnRenamed(LIN_RCV, lineage[1])
+            )
+            stat_exclude = set(lineage)
+        else:
+            live = read_files_df(
+                self.spark, self.path, ms[1] if ms else schema, dv_adds
+            )
+        adds = write_data_files(
+            live, self.path, snap.partition_columns, stat_exclude=stat_exclude
         )
-        adds = write_data_files(live, self.path, snap.partition_columns)
         for a in adds:
             a["dataChange"] = False
         now_ms = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = [{"add": a} for a in adds]
+        actions: list[dict[str, Any]] = lineage_actions + [{"add": a} for a in adds]
         actions += [
             {
                 "remove": {
@@ -2018,7 +2171,17 @@ class OptimizeBuilder:
             read_schema = physical
             if cluster_by:
                 cluster_by = [phys_of.get(c, c) for c in cluster_by]
-        df = read_files_df(t.spark, t.path, read_schema, files)
+        # row tracking: OPTIMIZE copies rows unmodified, so ids AND
+        # commit versions are materialized through the rewrite
+        lineage, lineage_actions = t._lineage_setup(snap, files)
+        if lineage is not None:
+            from jodie_spark.tables.row_lineage import read_candidates_with_lineage
+
+            df = read_candidates_with_lineage(
+                t.spark, t.path, read_schema, files, *lineage
+            ).drop("__file__")
+        else:
+            df = read_files_df(t.spark, t.path, read_schema, files)
         total_bytes = sum(int(f.get("size") or 0) for f in files)
         n_out = max(1, -(-total_bytes // target_file_size))
         if cluster_by and len(cluster_by) > 1:
@@ -2045,11 +2208,21 @@ class OptimizeBuilder:
             )
         else:
             df = df.coalesce(int(n_out))
-        adds = write_data_files(df, t.path, snap.partition_columns)
+        stat_exclude = None
+        if lineage is not None:
+            from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+            df = df.withColumnRenamed(LIN_RID, lineage[0]).withColumnRenamed(
+                LIN_RCV, lineage[1]
+            )
+            stat_exclude = set(lineage)
+        adds = write_data_files(
+            df, t.path, snap.partition_columns, stat_exclude=stat_exclude
+        )
         for a in adds:
             a["dataChange"] = False
         now_ms = int(time.time() * 1000)
-        actions = [{"add": a} for a in adds]
+        actions = lineage_actions + [{"add": a} for a in adds]
         actions += [
             {
                 "remove": {
@@ -2435,6 +2608,21 @@ def write_delta(
         row_tracking = (
             str(properties.get(ROW_TRACKING_PROP, "false")).lower() == "true"
         )
+        if row_tracking:
+            # assign the materialized row-lineage column names up front
+            # (file rewrites write preserved ids under these names —
+            # delta-spark does the same at enable time); `properties`
+            # IS meta["configuration"], so this lands in the commit
+            from jodie_spark.tables.row_lineage import (
+                MAT_RCV_PROP,
+                MAT_RID_PROP,
+                fresh_materialized_names,
+            )
+
+            if not properties.get(MAT_RID_PROP) or not properties.get(MAT_RCV_PROP):
+                rid_name, rcv_name = fresh_materialized_names()
+                properties.setdefault(MAT_RID_PROP, rid_name)
+                properties.setdefault(MAT_RCV_PROP, rcv_name)
         if cluster_by:
             if partition_by:
                 raise JodieValidationError(

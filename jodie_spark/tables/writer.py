@@ -42,6 +42,7 @@ def write_data_files(
     df: DataFrame,
     table_path: str,
     partition_columns: list[str] | None = None,
+    stat_exclude: set[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Write ``df`` as parquet under ``table_path``; return add actions.
 
@@ -92,7 +93,10 @@ def write_data_files(
 
         with ThreadPoolExecutor(max_workers=min(32, max(4, len(moved)))) as pool:
             stats_list = list(
-                pool.map(lambda m: collect_file_stats(m[2], num_indexed), moved)
+                pool.map(
+                    lambda m: collect_file_stats(m[2], num_indexed, stat_exclude),
+                    moved,
+                )
             )
 
         adds: list[dict[str, Any]] = []

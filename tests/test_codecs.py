@@ -1,0 +1,159 @@
+"""Baseline codecs (BMP/PPM/WAV/frame-stream) + real-mode multimodal
+operators. Round-trip property: encode → decode is the identity on
+dimensions and pixel/sample content."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jodie_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_frame_stream,
+    encode_ppm,
+    encode_wav,
+    iter_frame_stream,
+    resize_nearest,
+    sniff,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b = encode_bmp(px)
+    assert sniff(b) == "bmp"
+    # exact BMP size formula (also the multimodal_decode oracle's):
+    assert len(b) == 54 + ((3 * w + 3) // 4 * 4) * h
+    w2, h2, px2 = decode_bmp(b)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(px, px2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_ppm_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b = encode_ppm(px)
+    assert sniff(b) == "ppm"
+    w2, h2, px2 = decode_ppm(b)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(px, px2)
+
+
+def test_ppm_header_with_comments():
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    b = b"P6\n# a comment\n3 2\n# another\n255\n" + px.tobytes()
+    w, h, px2 = decode_ppm(b)
+    assert (w, h) == (3, 2) and np.array_equal(px, px2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    ch=st.integers(min_value=1, max_value=2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+    b = encode_wav(samples, rate)
+    assert sniff(b) == "wav"
+    r2, c2, n2, s2 = decode_wav(b)
+    assert (r2, c2, n2) == (rate, ch, n)
+    assert np.array_equal(samples, s2)
+
+
+def test_frame_stream_roundtrip():
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    b = encode_frame_stream(frames)
+    out = list(iter_frame_stream(b))
+    assert [i for i, *_ in out] == [0, 1, 2]
+    for (i, w, h, fb), orig in zip(out, frames):
+        assert (w, h) == (6, 4)
+        _, _, px = decode_ppm(fb)
+        assert np.array_equal(px, orig)
+
+
+def test_decode_image_routes_and_refuses():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_image(encode_bmp(px), with_pixels=False)[:2] == (2, 2)
+    assert decode_image(encode_ppm(px), with_pixels=False)[:2] == (2, 2)
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(ValueError, match="png"):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_resize_nearest():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = resize_nearest(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])
+
+
+def test_real_mode_spark_operators(spark):
+    """End-to-end real decode through the Arrow-batched operators."""
+    from jodie_spark.operators.multimodal import (
+        decode_audio,
+        decode_images,
+        extract_features,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        w, h = 3 + i, 2 + i
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, "bmp", bytearray(encode_bmp(px)), w, h))
+        rows.append((100 + i, "ppm", bytearray(encode_ppm(px)), w, h))
+    df = spark.createDataFrame(
+        rows, "id int, kind string, data binary, exp_w int, exp_h int"
+    )
+    out = decode_images(df, mode="real").collect()
+    for r in out:
+        assert (r["width"], r["height"]) == (r["exp_w"], r["exp_h"])
+        assert r["n_pixels"] == r["exp_w"] * r["exp_h"]
+
+    feats = extract_features(df, dim=8, mode="real").collect()
+    for r in feats:
+        v = np.array(r["features"])
+        assert len(v) == 8 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    wav_rows = [
+        (i, bytearray(encode_wav(np.zeros((8000 * (i + 1), 1), dtype=np.int16), 8000)))
+        for i in range(3)
+    ]
+    adf = spark.createDataFrame(wav_rows, "id int, data binary")
+    audio = {r["id"]: r for r in decode_audio(adf, mode="real").collect()}
+    for i in range(3):
+        assert audio[i]["sample_rate"] == 8000
+        assert audio[i]["duration_ms"] == (i + 1) * 1000
+
+    stream = encode_frame_stream(
+        [rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8) for _ in range(4)]
+    )
+    vdf = spark.createDataFrame([(1, bytearray(stream))], "id int, data binary")
+    frames = sample_frames(vdf, every_ms=40, mode="real").collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert all(sniff(bytes(r["frame_data"])) == "ppm" for r in frames)

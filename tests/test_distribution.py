@@ -46,7 +46,10 @@ def test_files_df_matches_snapshot(spark, tmpdir_path):
     t = DeltaTable.forPath(spark, path)
     fdf = files_df(spark, path)
     assert fdf.count() == t.snapshot().num_files()
-    assert set(fdf.columns) == {"path", "partitionValues", "size", "modificationTime", "stats"}
+    assert set(fdf.columns) == {
+        "path", "partitionValues", "size", "modificationTime", "stats",
+        "deletionVector", "baseRowId", "defaultRowCommitVersion",
+    }
 
 
 def test_files_df_reads_checkpointed_table(spark, tmpdir_path):

@@ -192,3 +192,134 @@ def test_in_commit_timestamps_written_and_monotonic(registered, tmpdir_path):
     assert "inCommitTimestamp" in proto["writerFeatures"]
     # timestamp-based time travel prefers the monotonic clock
     assert log.version_at_timestamp(icts[1]) == 1
+
+
+def _full_rid_map(spark, p):
+    df = spark.read.format("jodie_delta").option("withRowIds", "true").load(p)
+    return {r["id"]: (r["_row_id"], r["_row_commit_version"]) for r in df.collect()}
+
+
+def _rt_table(spark, tmpdir_path, name, n=10):
+    p = os.path.join(tmpdir_path, name)
+    write_delta(
+        spark.range(n).selectExpr("id", "id as v").coalesce(1),
+        p,
+        options={"delta.enableRowTracking": "true"},
+    )
+    return p
+
+
+def test_row_ids_preserved_through_cow_delete(registered, tmpdir_path):
+    """Spec preservation (ADVICE r3): copied rows in a CoW rewrite keep
+    BOTH their row id and commit version (materialized lineage cols)."""
+    spark = registered
+    p = _rt_table(spark, tmpdir_path, "rt_cow_del")
+    before = _full_rid_map(spark, p)
+    DeltaTable.forPath(spark, p).delete("id % 2 = 1")
+    after = _full_rid_map(spark, p)
+    assert set(after) == {0, 2, 4, 6, 8}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_row_ids_preserved_through_cow_update(registered, tmpdir_path):
+    spark = registered
+    p = _rt_table(spark, tmpdir_path, "rt_cow_upd")
+    before = _full_rid_map(spark, p)
+    DeltaTable.forPath(spark, p).update("id < 3", {"v": "v + 100"})
+    after = _full_rid_map(spark, p)
+    assert all(after[k][0] == before[k][0] for k in after)  # ids stable
+    assert all(after[k][1] > before[k][1] for k in [0, 1, 2])  # modified → new ver
+    assert all(after[k][1] == before[k][1] for k in range(3, 10))  # copied → kept
+
+
+def test_row_ids_preserved_through_optimize(registered, tmpdir_path):
+    spark = registered
+    p = os.path.join(tmpdir_path, "rt_opt")
+    write_delta(
+        spark.range(8).selectExpr("id", "id as v").repartition(4),
+        p,
+        options={"delta.enableRowTracking": "true"},
+    )
+    before = _full_rid_map(spark, p)
+    DeltaTable.forPath(spark, p).optimize().executeCompaction()
+    after = _full_rid_map(spark, p)
+    assert after == before
+    # fresh appends after the rewrite still allocate unique ids
+    spark.range(100, 103).selectExpr("id", "id as v").write.format(
+        "jodie_delta"
+    ).mode("append").save(p)
+    final = _full_rid_map(spark, p)
+    ids = [v[0] for v in final.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_row_ids_preserved_through_merge_cow_and_mor(registered, tmpdir_path):
+    spark = registered
+    src = spark.createDataFrame(
+        [(1, 101), (2, 102), (20, 120)], "id long, v long"
+    )
+    for name, dv in (("rt_m_cow", False), ("rt_m_mor", True)):
+        p = _rt_table(spark, tmpdir_path, name)
+        before = _full_rid_map(spark, p)
+        (
+            DeltaTable.forPath(spark, p)
+            .alias("t")
+            .merge(src.alias("s"), "t.id = s.id")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute(deletion_vectors=dv)
+        )
+        after = _full_rid_map(spark, p)
+        assert all(after[k][0] == before[k][0] for k in before), name
+        assert all(after[k][1] > before[k][1] for k in [1, 2]), name
+        assert all(
+            after[k][1] == before[k][1] for k in [0, 3, 4, 5, 6, 7, 8, 9]
+        ), name
+        ids = [v[0] for v in after.values()]
+        assert len(ids) == len(set(ids)), name
+
+
+def test_row_ids_preserved_through_mor_update_and_reorg(registered, tmpdir_path):
+    spark = registered
+    p = _rt_table(spark, tmpdir_path, "rt_mor_upd")
+    before = _full_rid_map(spark, p)
+    t = DeltaTable.forPath(spark, p)
+    t.update("id < 3", {"v": "v + 100"}, deletion_vectors=True)
+    mid = _full_rid_map(spark, p)
+    assert all(mid[k][0] == before[k][0] for k in mid)
+    # purge the DVs: pure layout rewrite keeps id AND version
+    DeltaTable.forPath(spark, p).reorg_purge()
+    after = _full_rid_map(spark, p)
+    assert after == mid
+
+
+def test_lineage_cols_never_leak_into_reads(registered, tmpdir_path):
+    """Materialized lineage columns are physical-only: plain reads,
+    CDF reads and stats JSON must not expose them."""
+    import json as _json
+
+    spark = registered
+    p = os.path.join(tmpdir_path, "rt_leak")
+    write_delta(
+        spark.range(6).selectExpr("id", "id as v").coalesce(1),
+        p,
+        options={
+            "delta.enableRowTracking": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    DeltaTable.forPath(spark, p).update("id = 1", {"v": "99"})
+    t = DeltaTable.forPath(spark, p)
+    assert [f.name for f in t.toDF().schema.fields] == ["id", "v"]
+    cdf = spark.read.format("jodie_delta").option("readChangeFeed", "true").option(
+        "startingVersion", 0
+    ).load(p)
+    assert [f.name for f in cdf.schema.fields] == [
+        "id", "v", "_change_type", "_commit_version", "_commit_timestamp"
+    ]
+    for a in t.snapshot().add_files():
+        st = _json.loads(a.get("stats") or "{}")
+        for side in ("minValues", "maxValues", "nullCount"):
+            assert not any(
+                c.startswith("_row-") for c in (st.get(side) or {})
+            ), st
