@@ -43,11 +43,27 @@ def semantic_candidate_pairs(
         F.col(vec_col).cast("array<double>").alias("v"),
         ivf_cell(F.col(vec_col), centroids).alias("cell"),
     )
-    a = keyed.select(F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = keyed.select(F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
+    # narrow-pair fan-out (same shape as embedding_dedup): the (n/k)²
+    # within-cluster join shuffles (cell, id) pairs only; the full
+    # vectors are joined back by id for the cosine verify, so each
+    # vector crosses the wire once per side, not once per candidate
+    a = keyed.select("cell", F.col("id").alias("id_a"))
+    b = keyed.select("cell", F.col("id").alias("id_b"))
+    pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # vector lookup sides skip the ivf_cell kernel entirely (plain
+    # projections — column pruning reaches the scan)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
