@@ -512,6 +512,57 @@ def _q_column_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.toDF()
 
 
+def _q_create_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE column-level DDL through the SQL front end
+    (VERDICT r3 task 7): identity + generated + default + NOT NULL
+    columns declared in SQL, filled by two appends, mutated with SQL
+    UPDATE. Identity ids are layout-dependent within a batch but each
+    batch gets one contiguous block, so the oracle reproduces them by
+    rank (same scheme as identity_columns)."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sql import sql as jsql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    path = _tmp("createddl")
+    jsql(
+        spark,
+        f"""CREATE TABLE delta.`{path}` (
+            id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+            n_nationkey BIGINT NOT NULL,
+            n_name STRING,
+            name_initial STRING GENERATED ALWAYS AS (substring(n_name, 1, 1)),
+            prio INT NOT NULL DEFAULT 7
+        ) USING DELTA TBLPROPERTIES ('delta.appendOnly' = 'false')""",
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(nation, path, mode="append")
+    second = nation.filter("n_nationkey < 5").select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("_2")).alias("n_name"),
+    )
+    write_delta(second, path, mode="append")
+    jsql(spark, f"UPDATE delta.`{path}` SET prio = 1 WHERE n_nationkey % 5 = 0")
+    df = DeltaTable.forPath(spark, path).toDF()
+    batch = (F.col("n_nationkey") >= 100).cast("int")
+    w = Window.partitionBy(batch).orderBy("id")
+    v = Window.partitionBy(batch).orderBy("n_nationkey")
+    ranked = df.withColumn("id_rank", F.row_number().over(w)).withColumn(
+        "key_rank", F.row_number().over(v)
+    )
+    ids = ranked.select(batch.alias("batch"), F.col("id_rank").alias("rnk"), "id")
+    payload = ranked.select(
+        batch.alias("batch"),
+        F.col("key_rank").alias("rnk"),
+        "n_nationkey",
+        "n_name",
+        "name_initial",
+        "prio",
+    )
+    return ids.join(payload, ["batch", "rnk"]).select(
+        "batch", "rnk", "id", "n_nationkey", "n_name", "name_initial", "prio"
+    )
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1748,8 +1799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "multimodal_decode": _q_multimodal_decode,
         "pipeline_e2e": _q_pipeline_e2e,
-        "clean_corpus": _q_clean_corpus,
+        "create_table_ddl": _q_create_table_ddl,
         # ---------------- position 51+: overflow diagnostics ----------------
+        "clean_corpus": _q_clean_corpus,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
         "text_quality": _q_text_quality,
@@ -1918,6 +1970,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
                    p.avg_logprob, exp(-p.avg_logprob) AS perplexity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "create_table_ddl": """
+            WITH base AS (
+              SELECT n_nationkey, n_name FROM nation
+              UNION ALL
+              SELECT n_nationkey + 100, n_name || '_2' FROM nation
+              WHERE n_nationkey < 5
+            ), b AS (
+              SELECT CASE WHEN n_nationkey >= 100 THEN 1 ELSE 0 END AS batch,
+                     n_nationkey, n_name
+              FROM base
+            ), ranked AS (
+              SELECT batch,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY batch
+                                             ORDER BY n_nationkey) AS INT) AS rnk,
+                     n_nationkey, n_name
+              FROM b
+            ), c AS (SELECT COUNT(*) AS n0 FROM b WHERE batch = 0)
+            SELECT batch, rnk,
+                   CAST(CASE WHEN batch = 0 THEN 10 + 5*(rnk - 1)
+                             ELSE 10 + 5*n0 + 5*(rnk - 1) END AS BIGINT) AS id,
+                   n_nationkey, n_name,
+                   substring(n_name, 1, 1) AS name_initial,
+                   CAST(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 7 END
+                        AS INTEGER) AS prio
+            FROM ranked, c
         """,
         "identity_columns": """
             WITH s AS (SELECT s_suppkey, s_name, s_suppkey % 2 AS batch FROM supplier),

@@ -653,9 +653,13 @@ class _WroteFile(WriterCommitMessage):
         self.stats = stats
 
 
-def _write_partition_file(iterator, path: str, schema: StructType) -> _WroteFile:
+def _write_partition_file(
+    iterator, path: str, schema: StructType, not_null_cols: list[str] | None = None
+) -> _WroteFile:
     """Executor-side: one task's rows → one parquet file in the table
-    dir (uuid name, so never visible until the driver commits it)."""
+    dir (uuid name, so never visible until the driver commits it).
+    NOT NULL table columns are enforced here — a violating task fails
+    the job before anything is committed."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -674,6 +678,9 @@ def _write_partition_file(iterator, path: str, schema: StructType) -> _WroteFile
     table = pa.Table.from_arrays(
         [pa.array(list(c), type=f.type) for c, f in zip(cols, target)], schema=target
     )
+    for cname in not_null_cols or []:
+        if cname in table.column_names and table.column(cname).null_count:
+            raise ValueError(f"NOT NULL constraint violated for column: {cname}")
     pq.write_table(table, abs_path)
     stats = json.dumps(collect_file_stats(abs_path), separators=(",", ":"))
     return _WroteFile(name, os.path.getsize(abs_path), stats)
@@ -692,9 +699,66 @@ class JodieDeltaWriter(DataSourceWriter):
             raise ValueError("jodie_delta requires a path: .save('/table/path')")
         self.schema = schema
         self.overwrite = overwrite
+        self.not_null_cols: list[str] = []
+        # driver-side plan-time validation against the existing table —
+        # this writer lays rows down as-given, so any shape it can't
+        # write faithfully must refuse HERE, not silently drop/null
+        # (delta parity: schema mismatches are analysis errors)
+        from jodie_spark.tables.log import DeltaLog
+
+        log = DeltaLog(self.path)
+        if not log.exists():
+            return
+        info = log.table_info()
+        if info.partition_columns:
+            raise ValueError(
+                "the jodie_delta datasource writer does not produce "
+                "Hive-partitioned layouts; append to partitioned table "
+                f"{self.path} with jodie_spark.tables.table.write_delta"
+            )
+        import json as _json
+
+        from pyspark.sql.types import StructType as _St
+
+        table_schema = _St.fromJson(_json.loads(info.schema_string))
+        table_cols = {f.name for f in table_schema.fields}
+        in_cols = {f.name for f in schema.fields}
+        extra = sorted(in_cols - table_cols)
+        if extra:
+            raise ValueError(
+                f"A schema mismatch detected when writing to the Delta "
+                f"table: data columns {extra} are not in the table schema "
+                f"{sorted(table_cols)}"
+            )
+        missing = sorted(table_cols - in_cols)
+        if missing:
+            from jodie_spark.tables.identity import identity_columns_of
+            from jodie_spark.tables.table import column_defaults_of, generated_columns_of
+
+            fillable = (
+                set(identity_columns_of(table_schema))
+                | set(generated_columns_of(table_schema))
+                | set(column_defaults_of(table_schema))
+            )
+            if set(missing) <= fillable:
+                raise ValueError(
+                    f"columns {missing} are identity/generated/default-"
+                    "filled; the jodie_delta datasource writes rows "
+                    "as-given — append with "
+                    "jodie_spark.tables.table.write_delta to fill them"
+                )
+            raise ValueError(
+                f"A schema mismatch detected when writing to the Delta "
+                f"table: missing columns {missing}"
+            )
+        self.not_null_cols = [
+            f.name for f in table_schema.fields if not f.nullable
+        ]
 
     def write(self, iterator) -> _WroteFile:
-        return _write_partition_file(iterator, self.path, self.schema)
+        return _write_partition_file(
+            iterator, self.path, self.schema, self.not_null_cols
+        )
 
     def commit(self, messages) -> None:
         import time

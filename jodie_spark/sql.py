@@ -306,6 +306,21 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
             register_delta_table(spark, m.group("tname"), m.group("loc"))
             return None
+        # column-level DDL:
+        #   CREATE TABLE [IF NOT EXISTS] <ref|name [LOCATION 'p']> (
+        #     c BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+        #     d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),
+        #     q INT NOT NULL DEFAULT 0, ...
+        #   ) USING DELTA [PARTITIONED BY (..)] [CLUSTER BY (..)]
+        #     [LOCATION 'p'] [TBLPROPERTIES (k=v, ..)]
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            rf"{_REF}(?:\s+LOCATION\s+'(?P<loc1>[^']+)')?\s*"
+            r"\((?P<cols>.+)\)\s*USING\s+DELTA(?P<tail>.*)$",
+            s,
+        )
+        if m:
+            return _create_with_columns(spark, m)
         # CTAS: CREATE TABLE <ref or name LOCATION 'p'> AS SELECT ...
         m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+{_REF}"
@@ -578,4 +593,187 @@ def _merge(spark: SparkSession, s: str) -> None:
                     condition=ccond, set=_parse_assignments(ua.group("sets"))
                 )
     builder.execute()
+    return None
+
+
+def _split_column_specs(s: str) -> list[str]:
+    """Split a column-definition list on top-level commas, tracking
+    BOTH () and <> depth (MAP<STRING, INT> has a comma inside angle
+    brackets)."""
+    out, buf, pdepth, adepth, i, n = [], [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            j = _skip_quoted(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if c == "(":
+            pdepth += 1
+        elif c == ")":
+            pdepth -= 1
+        elif c == "<":
+            adepth += 1
+        elif c == ">":
+            adepth = max(0, adepth - 1)
+        if c == "," and pdepth == 0 and adepth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+_COLSPEC_KEYWORDS = ("NOT", "GENERATED", "DEFAULT", "COMMENT")
+
+
+def _parse_column_spec(spec: str):
+    """One column definition → (name, type_str, nullable, identity_spec,
+    generated_expr, default_expr)."""
+    mm = re.match(r"^\s*(?:`(?P<q>[^`]+)`|(?P<p>\w+))\s+(?P<rest>.+)$", spec, re.S)
+    if not mm:
+        raise JodieValidationError(f"cannot parse column definition: {spec!r}")
+    name = mm.group("q") or mm.group("p")
+    rest = mm.group("rest")
+    # the type runs until the first top-level constraint keyword
+    cut = len(rest)
+    for kw in _COLSPEC_KEYWORDS:
+        i = _find_top_level(rest, kw)
+        if 0 <= i < cut:
+            cut = i
+    type_str = rest[:cut].strip()
+    tail = rest[cut:].strip()
+    if not type_str:
+        raise JodieValidationError(f"column {name!r} is missing a type: {spec!r}")
+
+    nullable = True
+    identity = None
+    generated = None
+    default = None
+    while tail:
+        m = re.match(r"(?is)^NOT\s+NULL\b\s*(?P<t>.*)$", tail)
+        if m:
+            nullable = False
+            tail = m.group("t").strip()
+            continue
+        m = re.match(
+            r"(?is)^GENERATED\s+(?P<kind>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+            r"\s*(?:\(\s*(?:START\s+WITH\s+(?P<start>-?\d+))?\s*"
+            r"(?:INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*(?P<t>.*)$",
+            tail,
+        )
+        if m:
+            identity = {
+                "start": int(m.group("start") or 1),
+                "step": int(m.group("step") or 1),
+                "allow_explicit": m.group("kind").upper() != "ALWAYS",
+            }
+            tail = m.group("t").strip()
+            continue
+        m = re.match(r"(?is)^GENERATED\s+ALWAYS\s+AS\s*\(", tail)
+        if m:
+            start = m.end() - 1
+            depth, j = 0, start
+            while j < len(tail):
+                if tail[j] in "'\"`":
+                    j = _skip_quoted(tail, j)
+                    continue
+                if tail[j] == "(":
+                    depth += 1
+                elif tail[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            generated = tail[start + 1 : j].strip()
+            tail = tail[j + 1 :].strip()
+            continue
+        m = re.match(r"(?is)^DEFAULT\s+(?P<t>.+)$", tail, re.S)
+        if m:
+            # the default expression runs to the next constraint keyword
+            body = m.group("t")
+            cut2 = len(body)
+            for kw in ("NOT", "COMMENT", "GENERATED"):
+                i = _find_top_level(body, kw)
+                if 0 <= i < cut2:
+                    cut2 = i
+            default = body[:cut2].strip()
+            tail = body[cut2:].strip()
+            continue
+        m = re.match(r"(?is)^COMMENT\s+'(?:[^']|'')*'\s*(?P<t>.*)$", tail)
+        if m:
+            tail = m.group("t").strip()  # comments accepted, not persisted
+            continue
+        raise JodieValidationError(
+            f"cannot parse column constraint for {name!r}: {tail!r}"
+        )
+    return name, type_str, nullable, identity, generated, default
+
+
+def _create_with_columns(spark: SparkSession, m: re.Match):
+    """CREATE TABLE with column-level DDL routed onto the native writer
+    features (identity / generated / default columns, NOT NULL,
+    partitioning, liquid clustering, table properties)."""
+    from pyspark.sql import types as T
+
+    from jodie_spark.catalog import register_delta_table
+    from jodie_spark.tables.table import write_delta
+
+    tail = m.group("tail") or ""
+    loc2 = re.search(r"(?is)\bLOCATION\s+'(?P<loc>[^']+)'", tail)
+    path = m.group("path") or m.group("loc1") or (loc2 and loc2.group("loc"))
+    if path is None:
+        raise JodieValidationError(
+            "CREATE TABLE needs a location: delta.`/path` or LOCATION '/path'"
+        )
+    mp = re.search(r"(?is)\bPARTITIONED\s+BY\s*\((?P<c>[^)]+)\)", tail)
+    mc = re.search(r"(?is)\bCLUSTER\s+BY\s*\((?P<c>[^)]+)\)", tail)
+    mt = re.search(r"(?is)\bTBLPROPERTIES\s*\((?P<p>.+?)\)\s*(?:LOCATION\b.*)?$", tail)
+    properties: dict[str, str] = {}
+    if mt:
+        for kv in _split_top_level(mt.group("p"), ","):
+            km = re.match(r"(?s)^\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$", kv)
+            if not km:
+                raise JodieValidationError(f"cannot parse TBLPROPERTIES entry: {kv!r}")
+            properties[km.group("k")] = km.group("v")
+
+    fields = []
+    identity_columns: dict[str, dict] = {}
+    generated_columns: dict[str, str] = {}
+    column_defaults: dict[str, str] = {}
+    for spec in _split_column_specs(m.group("cols")):
+        name, type_str, nullable, identity, generated, default = _parse_column_spec(
+            spec
+        )
+        dtype = T._parse_datatype_string(type_str)
+        fields.append(T.StructField(name, dtype, nullable))
+        if identity is not None:
+            identity_columns[name] = identity
+        if generated is not None:
+            generated_columns[name] = generated
+        if default is not None:
+            column_defaults[name] = default
+
+    schema = T.StructType(fields)
+    df = spark.createDataFrame([], schema)
+    exists_mode = "ignore" if m.group("ine") else "error"
+    write_delta(
+        df,
+        path,
+        mode=exists_mode,
+        partition_by=(
+            [c.strip().strip("`") for c in mp.group("c").split(",")] if mp else None
+        ),
+        cluster_by=(
+            [c.strip().strip("`") for c in mc.group("c").split(",")] if mc else None
+        ),
+        options=properties or None,
+        identity_columns=identity_columns or None,
+        generated_columns=generated_columns or None,
+        column_defaults=column_defaults or None,
+    )
+    if m.group("name"):
+        register_delta_table(spark, m.group("name"), path)
     return None

@@ -106,6 +106,22 @@ def enforce_check_constraints(df: DataFrame, configuration: dict[str, str] | Non
     return df
 
 
+def enforce_nullability(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Delta NOT NULL write semantics: a NULL in a non-nullable column
+    fails the write, in-scan (same assert_true shape as CHECK
+    constraints — no extra pass)."""
+    for f in schema.fields:
+        if f.nullable or f.name not in df.columns:
+            continue
+        df = df.filter(
+            F.assert_true(
+                F.col(f.name).isNotNull(),
+                F.lit(f"NOT NULL constraint violated for column: {f.name}"),
+            ).isNull()
+        )
+    return df
+
+
 def _schema_from_string(schema_string: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(schema_string))
 
@@ -2507,7 +2523,14 @@ def write_delta(
                     )
                 allow = bool(spec.get("allow_explicit", False))
                 hwm: int | None = None
-                if name in df.columns:
+                if name in df.columns and not allow and df.isEmpty():
+                    # pure DDL create (empty relation with the identity
+                    # column declared): no values were provided — assign
+                    # normally, keeping the declared column order
+                    order = list(df.columns)
+                    df, hwm = assign_identity_values(df.drop(name), name, start, step)
+                    df = df.select(*order)
+                elif name in df.columns:
                     if not allow:
                         raise JodieValidationError(
                             f"providing values for GENERATED ALWAYS identity "
@@ -2568,7 +2591,9 @@ def write_delta(
             raise DeltaProtocolError(
                 f"column mapping mode {mapping_mode!r} is not supported (use 'name')"
             )
-        out_df = enforce_check_constraints(df, properties)
+        out_df = enforce_nullability(
+            enforce_check_constraints(df, properties), df.schema
+        )
         part_cols = partition_by
         schema_for_meta = df.schema
         if mapping_mode == "name":
@@ -2844,7 +2869,9 @@ def write_delta(
                 new_schema, start_id=max_column_id(snap.metadata), fresh_physical=True
             )
             conf_update = {MAX_ID_PROP: str(max_id)}
-        out_df = enforce_check_constraints(aligned, snap.configuration)
+        out_df = enforce_nullability(
+            enforce_check_constraints(aligned, snap.configuration), new_schema
+        )
         if mapped:
             # constraints/generation run on logical names above; the
             # parquet files store physical names
@@ -2925,7 +2952,10 @@ def write_delta(
                 "schema or partitioning changes on a column-mapped table must "
                 "go through add_columns/rename_column/drop_column"
             )
-        out_df = enforce_check_constraints(df, snap.configuration)
+        out_df = enforce_nullability(
+            enforce_check_constraints(df, snap.configuration),
+            df.schema if schema_changed else table_schema,
+        )
         if mapped:
             from jodie_spark.tables.column_mapping import (
                 rename_to_physical,

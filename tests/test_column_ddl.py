@@ -246,3 +246,109 @@ def test_merge_schema_append_on_mapped_table(spark, tmpdir_path):
     fld = t.schema()["score"]
     assert fld.metadata["delta.columnMapping.physicalName"].startswith("col-")
     assert int(t.snapshot().configuration["delta.columnMapping.maxColumnId"]) == 4
+
+
+def test_create_table_column_ddl_full_lifecycle(spark, tmpdir_path):
+    """CREATE TABLE with identity / generated / default / NOT NULL
+    column specs routed onto the native writer features (VERDICT r3
+    task 7)."""
+    import os
+
+    from jodie_spark.sql import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "cddl")
+    sql(
+        spark,
+        f"""CREATE TABLE delta.`{p}` (
+            id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+            ts TIMESTAMP,
+            day STRING GENERATED ALWAYS AS (substring(CAST(ts AS STRING), 1, 10)),
+            qty INT NOT NULL DEFAULT 42,
+            tag STRING COMMENT 'a tag',
+            m MAP<STRING, INT>
+        ) USING DELTA TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""",
+    )
+    t = DeltaTable.forPath(spark, p)
+    fields = {f.name: (f.dataType.simpleString(), f.nullable) for f in t.schema().fields}
+    assert fields["qty"] == ("int", False)
+    assert fields["m"] == ("map<string,int>", True)
+    assert t.snapshot().configuration["delta.enableChangeDataFeed"] == "true"
+
+    df = spark.createDataFrame(
+        [("2024-03-05 01:02:03", "x")], "ts string, tag string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "tag")
+    write_delta(df, p, mode="append")
+    r = DeltaTable.forPath(spark, p).toDF().collect()[0]
+    assert (r["id"], r["day"], r["qty"], r["tag"]) == (10, "2024-03-05", 42, "x")
+
+    # IF NOT EXISTS on an existing table is a no-op
+    sql(spark, f"CREATE TABLE IF NOT EXISTS delta.`{p}` (x INT) USING DELTA")
+    assert len(DeltaTable.forPath(spark, p).schema().fields) == 6
+
+
+def test_create_table_ddl_not_null_enforced(spark, tmpdir_path):
+    import os
+
+    import pytest
+
+    from jodie_spark.sql import sql
+    from jodie_spark.tables.table import write_delta
+
+    p = os.path.join(tmpdir_path, "cddl_nn")
+    sql(spark, f"CREATE TABLE delta.`{p}` (id BIGINT, q INT NOT NULL) USING DELTA")
+    with pytest.raises(Exception, match="NOT NULL"):
+        write_delta(
+            spark.createDataFrame([(1, None)], "id long, q int"), p, mode="append"
+        )
+    # datasource writer enforces it too (executor-side batch check)
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    with pytest.raises(Exception, match="NOT NULL"):
+        spark.createDataFrame([(1, None)], "id long, q int").write.format(
+            "jodie_delta"
+        ).mode("append").save(p)
+
+
+def test_datasource_writer_refuses_shape_mismatches(spark, tmpdir_path):
+    """The raw datasource writer must refuse shapes it cannot write
+    faithfully: extra columns, missing columns, fillable columns,
+    partitioned layouts (it previously dropped/nulled them silently)."""
+    import os
+
+    import pytest
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.sql import sql
+    from jodie_spark.tables.table import write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "dsguard")
+    write_delta(spark.createDataFrame([(1, "x")], "id long, v string"), p)
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.createDataFrame([(2, "y", "E")], "id long, v string, w string").write.format(
+            "jodie_delta"
+        ).mode("append").save(p)
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.createDataFrame([(9,)], "id long").write.format("jodie_delta").mode(
+            "append"
+        ).save(p)
+    pp = os.path.join(tmpdir_path, "dsguard_part")
+    write_delta(
+        spark.createDataFrame([(1, "x")], "id long, grp string"), pp, partition_by=["grp"]
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        spark.createDataFrame([(3, "z")], "id long, grp string").write.format(
+            "jodie_delta"
+        ).mode("append").save(pp)
+    pf = os.path.join(tmpdir_path, "dsguard_fill")
+    sql(
+        spark,
+        f"CREATE TABLE delta.`{pf}` (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        f"v STRING) USING DELTA",
+    )
+    with pytest.raises(Exception, match="write_delta"):
+        spark.createDataFrame([("a",)], "v string").write.format("jodie_delta").mode(
+            "append"
+        ).save(pf)
