@@ -2173,10 +2173,17 @@ class OptimizeBuilder:
             schema,
             snap.partition_columns,
         )
+        def _metrics_df(metrics: dict) -> DataFrame:
+            # delta-spark parity: OPTIMIZE returns a metrics row, not
+            # the table data (also keeps the no-op path metadata-only)
+            return t.spark.createDataFrame(
+                [(t.path, metrics)], "path string, metrics map<string,string>"
+            )
+
         if cluster_by is None:
             files = [f for f in files if int(f.get("size") or 0) < target_file_size]
             if len(files) < 2:
-                return t.toDF()
+                return _metrics_df({"numRemovedFiles": "0", "numAddedFiles": "0"})
         # mapped tables: the whole rewrite runs on physical names (the
         # only logical-name inputs are cluster columns — translate them)
         read_schema = schema
@@ -2261,7 +2268,7 @@ class OptimizeBuilder:
         if cluster_by:
             params["zOrderBy"] = json.dumps(cluster_by)
         t.deltaLog.commit(snap.version, actions, "OPTIMIZE", params, metrics)
-        return t.toDF()
+        return _metrics_df(metrics)
 
     def executeCompaction(self, target_file_size: int = 128 * 1024 * 1024) -> DataFrame:
         """Bin-packing compaction — except on a liquid-clustered table,

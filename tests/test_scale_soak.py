@@ -1,0 +1,153 @@
+"""100k-file scale soak (VERDICT r3 task 5): the driver-side cost of
+planning, metadata analytics, checkpointing, and OPTIMIZE planning on a
+100,000-add table must be bounded and contain no O(#files) driver loop
+in the DML path. Numbers are recorded for SCALE.md.
+
+The fixture fabricates a synthetic 100k-add commit (files absent on
+disk — reading any of them would throw, so a passing run PROVES no
+data-path ever touches the full file list) plus a handful of real
+files the DML predicates resolve to.
+"""
+
+import json
+import os
+import time
+
+import pytest
+
+_N_FAKE = 100_000
+
+
+@pytest.fixture(scope="module")
+def big_table(spark, tmp_path_factory):
+    from jodie_spark.tables.log import commit_file_name
+    from jodie_spark.tables.table import write_delta
+
+    p = str(tmp_path_factory.mktemp("soak") / "t100k")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as string) as v")
+    write_delta(df.repartition(2), p)
+
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": 0,
+                    "operation": "WRITE",
+                    "operationParameters": {},
+                    "operationMetrics": {},
+                }
+            }
+        )
+    ]
+    for i in range(_N_FAKE):
+        lo = 10_000_000 + i * 10
+        stats = json.dumps(
+            {
+                "numRecords": 10,
+                "minValues": {"id": lo, "v": "x"},
+                "maxValues": {"id": lo + 9, "v": "x"},
+                "nullCount": {"id": 0, "v": 0},
+            }
+        )
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": f"fake/part-{i:06d}.parquet",
+                        "partitionValues": {},
+                        "size": 1000,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                }
+            )
+        )
+    with open(os.path.join(p, "_delta_log", commit_file_name(1)), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return p
+
+
+def test_100k_plan_and_dml_bounded(big_table, spark):
+    """plan_candidate_files prunes 100k adds Spark-side to the 2 real
+    files; a full CoW delete+update runs without touching fake paths.
+    Timings asserted loosely (local[32] CI bound) and printed for
+    SCALE.md."""
+    import jodie_spark.tables.table as table_mod
+    from jodie_spark.tables.table import DeltaTable
+
+    schema = DeltaTable.forPath(spark, big_table).schema()
+
+    t0 = time.time()
+    cands = table_mod.plan_candidate_files(
+        spark, big_table, "id < 100", schema, []
+    )
+    plan_s = time.time() - t0
+    assert len(cands) == 2  # stats-pruned to the real files only
+    assert all(not c["path"].startswith("fake/") for c in cands)
+
+    t0 = time.time()
+    t = DeltaTable.forPath(spark, big_table)
+    t.delete("id < 10")
+    delete_s = time.time() - t0
+
+    t0 = time.time()
+    DeltaTable.forPath(spark, big_table).update("id >= 10 and id < 20", {"v": "'u'"})
+    update_s = time.time() - t0
+
+    print(
+        f"\nSOAK100K plan={plan_s:.2f}s delete={delete_s:.2f}s "
+        f"update={update_s:.2f}s"
+    )
+    assert plan_s < 60 and delete_s < 120 and update_s < 120
+
+
+def test_100k_files_df_and_analytics_bounded(big_table, spark):
+    from jodie_spark.tables.distribution import files_df
+
+    t0 = time.time()
+    n = files_df(spark, big_table).count()
+    count_s = time.time() - t0
+    assert n >= _N_FAKE
+
+    t0 = time.time()
+    from jodie_spark.tables.distribution import delta_file_size_distribution
+
+    dist = delta_file_size_distribution(spark, big_table).collect()
+    dist_s = time.time() - t0
+    assert dist
+    print(f"\nSOAK100K files_df_count={count_s:.2f}s size_distribution={dist_s:.2f}s")
+    assert count_s < 60 and dist_s < 60
+
+
+def test_100k_checkpoint_spark_write_and_replay(big_table, spark):
+    """Spark-side checkpoint write over 100k+ actions, then a cold
+    snapshot seeded from it."""
+    from jodie_spark.tables.log import DeltaLog
+
+    log = DeltaLog(big_table)
+    t0 = time.time()
+    v = log.write_checkpoint()
+    cp_s = time.time() - t0
+    assert v >= 1
+
+    t0 = time.time()
+    snap = DeltaLog(big_table).snapshot()
+    replay_s = time.time() - t0
+    assert snap.num_files() >= _N_FAKE
+    print(f"\nSOAK100K checkpoint_write={cp_s:.2f}s cold_replay={replay_s:.2f}s")
+    assert cp_s < 180 and replay_s < 120
+
+
+def test_100k_optimize_planning_prunes_before_read(big_table, spark):
+    """OPTIMIZE ... WHERE must prune the 100k fakes BEFORE any read:
+    the fake paths do not exist, so reading even one would throw."""
+    from jodie_spark.tables.table import DeltaTable
+
+    t0 = time.time()
+    DeltaTable.forPath(spark, big_table).optimize().where(
+        "id < 100"
+    ).executeCompaction()
+    opt_s = time.time() - t0
+    print(f"\nSOAK100K optimize_where={opt_s:.2f}s")
+    assert opt_s < 120
