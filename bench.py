@@ -120,6 +120,8 @@ def main() -> None:
         "encode_corpus",
         "sql_dml",
         "column_defaults",
+        "create_table_ddl",
+        "multimodal_decode",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

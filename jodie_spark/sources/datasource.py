@@ -670,18 +670,41 @@ def _write_partition_file(
     target = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType), True) for f in schema.fields]
     )
-    rows = [tuple(r) for r in iterator]
     name = f"part-{uuid.uuid4().hex}.parquet"
     abs_path = os.path.join(path, name)
     os.makedirs(path, exist_ok=True)
-    cols = list(zip(*rows)) if rows else [[] for _ in target]
-    table = pa.Table.from_arrays(
-        [pa.array(list(c), type=f.type) for c, f in zip(cols, target)], schema=target
-    )
-    for cname in not_null_cols or []:
-        if cname in table.column_names and table.column(cname).null_count:
-            raise ValueError(f"NOT NULL constraint violated for column: {cname}")
-    pq.write_table(table, abs_path)
+    # stream in bounded chunks: peak executor memory is one chunk, not
+    # the whole task partition (matters when one task carries GBs)
+    CHUNK = 65536
+    writer = pq.ParquetWriter(abs_path, target)
+    try:
+        buf: list[tuple] = []
+
+        def _flush(rows: list[tuple]) -> None:
+            cols = list(zip(*rows)) if rows else [[] for _ in target]
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(list(c), type=f.type) for c, f in zip(cols, target)],
+                schema=target,
+            )
+            for cname in not_null_cols or []:
+                idx = batch.schema.get_field_index(cname)
+                if idx >= 0 and batch.column(idx).null_count:
+                    raise ValueError(
+                        f"NOT NULL constraint violated for column: {cname}"
+                    )
+            writer.write_batch(batch)
+
+        wrote_any = False
+        for r in iterator:
+            buf.append(tuple(r))
+            if len(buf) >= CHUNK:
+                _flush(buf)
+                wrote_any = True
+                buf = []
+        if buf or not wrote_any:
+            _flush(buf)  # empty flush keeps zero-row tasks well-formed
+    finally:
+        writer.close()
     stats = json.dumps(collect_file_stats(abs_path), separators=(",", ":"))
     return _WroteFile(name, os.path.getsize(abs_path), stats)
 
