@@ -323,3 +323,25 @@ def test_lineage_cols_never_leak_into_reads(registered, tmpdir_path):
             assert not any(
                 c.startswith("_row-") for c in (st.get(side) or {})
             ), st
+
+
+def test_row_ids_preserved_partitioned_and_zorder(registered, tmpdir_path):
+    """Lineage materialization composes with Hive partitioning and the
+    morton Z-ORDER rewrite (partition dirs + shuffles must not detach
+    a row from its id)."""
+    spark = registered
+    p = os.path.join(tmpdir_path, "rt_part")
+    write_delta(
+        spark.range(12).selectExpr("id", "id % 3 as grp", "id * 2 as v"),
+        p,
+        partition_by=["grp"],
+        options={"delta.enableRowTracking": "true"},
+    )
+    before = _full_rid_map(spark, p)
+    DeltaTable.forPath(spark, p).delete("id IN (1, 4)")
+    mid = _full_rid_map(spark, p)
+    assert set(mid) == set(range(12)) - {1, 4}
+    assert all(mid[k] == before[k] for k in mid)
+    DeltaTable.forPath(spark, p).optimize().executeZOrderBy("id", "v")
+    after = _full_rid_map(spark, p)
+    assert after == mid

