@@ -98,6 +98,8 @@ class _FilePartition(InputPartition):
         self.row_commit_version = row_commit_version
         self.mat_rid = mat_rid
         self.mat_rcv = mat_rcv
+        # column mapping: logical name -> physical parquet/partition name
+        self.name_map: dict[str, str] | None = None
 
 
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
@@ -115,6 +117,30 @@ def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
 
         return _dt.date.fromisoformat(raw)
     return raw
+
+
+
+
+def _logical_physical_map(metadata: dict) -> dict[str, str] | None:
+    """logical → physical top-level column names for a column-mapped
+    table (None when unmapped or identity-named)."""
+    from pyspark.sql.types import StructType as _St
+
+    from jodie_spark.tables.column_mapping import (
+        column_mapping_mode,
+        to_physical_schema,
+    )
+
+    if column_mapping_mode(metadata) != "name":
+        return None
+    logical = _St.fromJson(json.loads(metadata["schemaString"]))
+    physical = to_physical_schema(logical)
+    nm = {
+        lf.name: pf.name
+        for lf, pf in zip(logical.fields, physical.fields)
+        if lf.name != pf.name
+    }
+    return nm or None
 
 
 def _read_file_batches(
@@ -149,7 +175,9 @@ def _read_file_batches(
         )
     pf = pq.ParquetFile(partition.file_path)
     file_cols = set(pf.schema_arrow.names)
-    wanted = [f.name for f in schema.fields if f.name in file_cols]
+    nm = partition.name_map if getattr(partition, "name_map", None) else {}
+    phys_of = {f.name: nm.get(f.name, f.name) for f in schema.fields}
+    wanted = [phys_of[f.name] for f in schema.fields if phys_of[f.name] in file_cols]
     want_row_ids = any(f.name == "_row_id" for f in schema.fields)
     # materialized row-lineage columns (written by rewrites) override
     # the baseRowId arithmetic row-by-row
@@ -177,8 +205,9 @@ def _read_file_batches(
         n = batch.num_rows
         arrays = []
         for f, arrow_field in zip(schema.fields, target):
-            if f.name in file_cols:
-                col = batch.column(batch.schema.get_field_index(f.name))
+            phys = phys_of.get(f.name, f.name)
+            if phys in file_cols:
+                col = batch.column(batch.schema.get_field_index(phys))
                 if col.type != arrow_field.type:
                     col = col.cast(arrow_field.type)
                 arrays.append(col)
@@ -216,9 +245,9 @@ def _read_file_batches(
                     arrays.append(pc.coalesce(mcol, dflt))
                 else:
                     arrays.append(dflt)
-            elif f.name in partition.partition_values:
+            elif phys in partition.partition_values:
                 v = _parse_partition_value(
-                    partition.partition_values[f.name], f.dataType.typeName()
+                    partition.partition_values[phys], f.dataType.typeName()
                 )
                 arrays.append(pa.array([v] * n, type=arrow_field.type))
             else:
@@ -319,8 +348,10 @@ class JodieDeltaBatchReader(DataSourceReader):
         from jodie_spark.tables.row_lineage import lineage_cols
 
         mat = lineage_cols(snap.configuration) or (None, None)
-        return [
-            _FilePartition(
+        name_map = _logical_physical_map(snap.metadata)
+        parts = []
+        for a in adds:
+            fp = _FilePartition(
                 os.path.join(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
                 a.get("deletionVector"),
@@ -330,8 +361,9 @@ class JodieDeltaBatchReader(DataSourceReader):
                 mat[0],
                 mat[1],
             )
-            for a in adds
-        ]
+            fp.name_map = name_map
+            parts.append(fp)
+        return parts
 
     def read(self, partition: _FilePartition):
         yield from _read_file_batches(partition, self.schema)
@@ -624,15 +656,18 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                     ad = a.get("add")
                     if ad and ad.get("dataChange", True):
                         adds.append(ad)
-        return [
-            _FilePartition(
+        name_map = _logical_physical_map(log.table_info(end_v).metadata)
+        parts = []
+        for a in adds:
+            fp = _FilePartition(
                 os.path.join(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
                 a.get("deletionVector"),
                 self.path,
             )
-            for a in adds
-        ]
+            fp.name_map = name_map
+            parts.append(fp)
+        return parts
 
     def read(self, partition: _FilePartition):
         yield from _read_file_batches(partition, self.schema)

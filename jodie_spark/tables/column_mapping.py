@@ -61,17 +61,23 @@ def to_physical_schema(schema: T.StructType) -> T.StructType:
 
 
 def rename_to_physical(
-    df: DataFrame, logical: T.StructType, physical: T.StructType
+    df: DataFrame,
+    logical: T.StructType,
+    physical: T.StructType,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Inverse of :func:`rename_to_logical`: project a logical-named
     DataFrame to the physical names the parquet files must store.
-    Nested structs rename via a positional cast."""
+    Nested structs rename via a positional cast. ``keep`` columns
+    (physical-only payloads like materialized row lineage) pass
+    through unrenamed."""
     cols = []
     for lf, pf in zip(logical.fields, physical.fields):
         c = F.col(f"`{lf.name}`")
         if lf.dataType != pf.dataType:
             c = c.cast(pf.dataType)
         cols.append(c.alias(pf.name))
+    cols += [F.col(f"`{k}`") for k in keep if k in df.columns]
     return df.select(*cols)
 
 
@@ -122,16 +128,20 @@ def assign_column_mapping(
 
 
 def rename_to_logical(
-    df: DataFrame, logical: T.StructType, physical: T.StructType
+    df: DataFrame,
+    logical: T.StructType,
+    physical: T.StructType,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Project physical-named columns back to logical names. Nested
     struct fields rename via a positional cast (struct casts match
     fields by position, so the physical layout maps 1:1 onto the
-    logical type)."""
+    logical type). ``keep`` columns pass through unrenamed."""
     cols = []
     for lf, pf in zip(logical.fields, physical.fields):
         c = F.col(f"`{pf.name}`")
         if pf.dataType != lf.dataType:
             c = c.cast(lf.dataType)
         cols.append(c.alias(lf.name))
+    cols += [F.col(f"`{k}`") for k in keep if k in df.columns]
     return df.select(*cols)

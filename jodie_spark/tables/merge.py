@@ -538,14 +538,8 @@ class DeltaMergeBuilder:
             # filters the cache down to the touched subset instead of
             # re-reading from storage
             if lineage is not None:
-                from jodie_spark.tables.row_lineage import (
-                    read_candidates_with_lineage,
-                )
-
                 probe = (
-                    read_candidates_with_lineage(
-                        spark, t.path, schema, candidates, *lineage
-                    )
+                    t._read_candidates(snap, schema, candidates, lineage=lineage)
                     .withColumnRenamed("__file__", "__path__")
                     .persist()
                 )

@@ -935,17 +935,14 @@ class DeltaTable:
     ) -> tuple[tuple[str, str] | None, list[dict[str, Any]]]:
         """Row-tracking rewrite support: ((rid_col, rcv_col), extra
         commit actions) when ids must be materialized through this
-        rewrite, else (None, []). Skipped on column-mapped tables
-        (physical-name rewrites carry their own schema rules) and on
-        tables with externally-referenced files (shallow clones) —
-        those fall back to fresh ids, never to wrong ones."""
+        rewrite, else (None, []). Skipped on tables with externally-
+        referenced files (shallow clones) — those get fresh ids, never
+        wrong ones."""
         from jodie_spark.tables.row_lineage import (
             ensure_lineage_metadata,
             has_external_adds,
         )
 
-        if self._mapping_schemas(snap) is not None:
-            return None, []
         if has_external_adds(self.path, candidates):
             return None, []
         cols, meta_action = ensure_lineage_metadata(snap)
@@ -954,20 +951,48 @@ class DeltaTable:
         return cols, ([meta_action] if meta_action else [])
 
     def _read_candidates(
-        self, snap: Snapshot, schema: T.StructType, candidates: list[dict[str, Any]]
+        self,
+        snap: Snapshot,
+        schema: T.StructType,
+        candidates: list[dict[str, Any]],
+        lineage: tuple[str, str] | None = None,
     ) -> DataFrame:
         """Scan candidate adds returning LOGICAL-named rows: on mapped
         tables the parquet files (and partition dirs) carry physical
         names, so the scan uses the physical schema and renames back.
-        DML conditions and set-expressions then evaluate unchanged."""
+        DML conditions and set-expressions then evaluate unchanged.
+
+        With ``lineage`` the scan resolves each row's preserved
+        ``__lineage_rid__/__lineage_rcv__`` (and exposes ``__file__``),
+        masking DV'd rows — see :mod:`jodie_spark.tables.row_lineage`."""
         ms = self._mapping_schemas(snap)
+        if lineage is None:
+            if ms is None:
+                return read_files_df(self.spark, self.path, schema, candidates)
+            from jodie_spark.tables.column_mapping import rename_to_logical
+
+            logical, physical = ms
+            df = read_files_df(self.spark, self.path, physical, candidates)
+            return rename_to_logical(df, logical, physical)
+        from jodie_spark.tables.row_lineage import (
+            LIN_RCV,
+            LIN_RID,
+            read_candidates_with_lineage,
+        )
+
         if ms is None:
-            return read_files_df(self.spark, self.path, schema, candidates)
+            return read_candidates_with_lineage(
+                self.spark, self.path, schema, candidates, *lineage
+            )
         from jodie_spark.tables.column_mapping import rename_to_logical
 
         logical, physical = ms
-        df = read_files_df(self.spark, self.path, physical, candidates)
-        return rename_to_logical(df, logical, physical)
+        df = read_candidates_with_lineage(
+            self.spark, self.path, physical, candidates, *lineage
+        )
+        return rename_to_logical(
+            df, logical, physical, keep=("__file__", LIN_RID, LIN_RCV)
+        )
 
     def _write_rewrite_files(
         self,
@@ -985,6 +1010,7 @@ class DeltaTable:
         into the files (excluded from stats — they are physical-only,
         not table columns)."""
         stat_exclude = None
+        keep: tuple[str, ...] = ()
         if lineage is not None:
             from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
 
@@ -993,6 +1019,7 @@ class DeltaTable:
                 LIN_RCV, rcv_col
             )
             stat_exclude = {rid_col, rcv_col}
+            keep = (rid_col, rcv_col)
         ms = self._mapping_schemas(snap)
         if ms is None:
             return write_data_files(
@@ -1002,7 +1029,7 @@ class DeltaTable:
 
         logical, physical = ms
         return write_data_files(
-            rename_to_physical(df, logical, physical),
+            rename_to_physical(df, logical, physical, keep=keep),
             self.path,
             snap.partition_columns,
             stat_exclude=stat_exclude,
@@ -1112,12 +1139,8 @@ class DeltaTable:
             # touched-file discovery and the rewrite — the touched set is
             # then a filter over the cache, not a second disk scan
             if lineage is not None:
-                from jodie_spark.tables.row_lineage import (
-                    read_candidates_with_lineage,
-                )
-
-                cand_df = read_candidates_with_lineage(
-                    self.spark, self.path, schema, candidates, *lineage
+                cand_df = self._read_candidates(
+                    snap, schema, candidates, lineage=lineage
                 ).persist()
             else:
                 cand_df = self._read_candidates(snap, schema, candidates).withColumn(
@@ -1647,14 +1670,10 @@ class DeltaTable:
             # one cached read of the candidate files feeds touched-file
             # discovery, the rewrite, and the CDF pre/post images
             if lineage is not None:
-                from jodie_spark.tables.row_lineage import (
-                    LIN_RCV,
-                    LIN_RID,
-                    read_candidates_with_lineage,
-                )
+                from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
 
-                cand_df = read_candidates_with_lineage(
-                    self.spark, self.path, schema, candidates, *lineage
+                cand_df = self._read_candidates(
+                    snap, schema, candidates, lineage=lineage
                 ).persist()
             else:
                 cand_df = self._read_candidates(snap, schema, candidates).withColumn(
@@ -1940,7 +1959,7 @@ class DeltaTable:
 
             live = (
                 read_candidates_with_lineage(
-                    self.spark, self.path, schema, dv_adds, *lineage
+                    self.spark, self.path, ms[1] if ms else schema, dv_adds, *lineage
                 )
                 .drop("__file__")
                 .withColumnRenamed(LIN_RID, lineage[0])

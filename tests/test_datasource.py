@@ -332,3 +332,26 @@ def test_cdf_read_refuses_uncovered_range(registered, tmpdir_path):
             .load(p)
             .collect()
         )
+
+
+def test_datasource_reads_column_mapped_table(spark, tmpdir_path):
+    """The Python datasource must resolve physical parquet names on a
+    mapped table (it previously returned all-null columns silently)."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "ds_mapped")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p,
+        options={"delta.columnMapping.mode": "name"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.rename_column("v", "val")
+    df = spark.read.format("jodie_delta").load(p)
+    assert sorted((r["id"], r["val"]) for r in df.collect()) == [(1, "a"), (2, "b")]
+    # renamed-away logical name is gone, values intact (not nulls)
+    assert "v" not in df.columns

@@ -345,3 +345,31 @@ def test_row_ids_preserved_partitioned_and_zorder(registered, tmpdir_path):
     DeltaTable.forPath(spark, p).optimize().executeZOrderBy("id", "v")
     after = _full_rid_map(spark, p)
     assert after == mid
+
+
+def test_row_ids_preserved_on_column_mapped_table(registered, tmpdir_path):
+    """Column mapping + row tracking: rewrites must preserve ids
+    through the physical-name read/write (round-4 extension of the
+    ADVICE fix — mapped tables previously fell back to fresh ids)."""
+    spark = registered
+    p = os.path.join(tmpdir_path, "rt_mapped")
+    write_delta(
+        spark.range(10).selectExpr("id", "id as v").coalesce(1),
+        p,
+        options={
+            "delta.enableRowTracking": "true",
+            "delta.columnMapping.mode": "name",
+        },
+    )
+    before = _full_rid_map(spark, p)
+    assert len(before) == 10
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id % 2 = 1")
+    mid = _full_rid_map(spark, p)
+    assert set(mid) == {0, 2, 4, 6, 8}
+    assert all(mid[k] == before[k] for k in mid)
+    DeltaTable.forPath(spark, p).update("id = 0", {"v": "99"})
+    after = _full_rid_map(spark, p)
+    assert all(after[k][0] == before[k][0] for k in after)
+    assert after[0][1] > before[0][1]
+    assert all(after[k][1] == before[k][1] for k in [2, 4, 6, 8])
