@@ -397,6 +397,7 @@ class _CdfFilePartition(InputPartition):
         self.partition_values = partition_values
         self.table_path = table_path
         self.dv = dv  # live deletion vector: DV'd rows are not changes
+        self.name_map: dict[str, str] | None = None
 
 
 CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
@@ -428,8 +429,13 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
     if start_v + 1 > end_v:
         return []
     # table_info() is metadata-only (no driver-side file-list build) —
-    # we only need the starting configuration here, never the add list.
-    enabled = _cdf_enabled(log.table_info(max(start_v, 0)).configuration)
+    # we only need the starting configuration/schema here, never files.
+    start_info = log.table_info(max(start_v, 0))
+    enabled = _cdf_enabled(start_info.configuration)
+    # physical names resolve against the END schema — renames move
+    # logical names only, physical names are stable, and the reader's
+    # output schema is the latest logical one
+    name_map = _logical_physical_map(log.table_info(end_v).metadata)
     out: list[_CdfFilePartition] = []
     for v in range(start_v + 1, end_v + 1):
         actions = log.read_actions(v)
@@ -495,6 +501,8 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
                     rm.get("deletionVector"),
                 )
             )
+    for part in out:
+        part.name_map = name_map
     return out
 
 
@@ -520,6 +528,7 @@ def _read_cdf_file_batches(
         partition.dv,
         partition.table_path,
     )
+    base.name_map = getattr(partition, "name_map", None)
     ver_t = to_arrow_type(cdf_schema["_commit_version"].dataType)
     ts_t = to_arrow_type(cdf_schema["_commit_timestamp"].dataType)
     ct_t = to_arrow_type(ct_field.dataType)

@@ -355,3 +355,33 @@ def test_datasource_reads_column_mapped_table(spark, tmpdir_path):
     assert sorted((r["id"], r["val"]) for r in df.collect()) == [(1, "a"), (2, "b")]
     # renamed-away logical name is gone, values intact (not nulls)
     assert "v" not in df.columns
+
+
+def test_cdf_datasource_on_column_mapped_appends(spark, tmpdir_path):
+    """CDF over a mapped table: appends are legal on mapped tables and
+    their synthesized insert rows must resolve physical names."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "cdf_mapped")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        p,
+        options={
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    DeltaTable.forPath(spark, p).rename_column("v", "val")
+    write_delta(spark.createDataFrame([(2, "b")], "id long, val string"), p, mode="append")
+    cdf = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load(p)
+    )
+    rows = sorted((r["id"], r["val"], r["_change_type"]) for r in cdf.collect())
+    assert rows == [(1, "a", "insert"), (2, "b", "insert")]
