@@ -141,15 +141,34 @@ def read_cdf(
     )
     parts: list[DataFrame] = []
 
+    # column-mapped tables store physical names in data/cdc files —
+    # scan physical, rename back to logical (a logical-schema scan
+    # would silently return all-null columns)
+    ms = table._mapping_schemas(table.snapshot(ending_version))
+
+    def _logical(df: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+        if ms is None:
+            return df
+        from jodie_spark.tables.column_mapping import rename_to_logical
+
+        logical, physical = ms
+        return rename_to_logical(df, logical, physical, keep=extra)
+
+    read_schema = schema if ms is None else ms[1]
+
     if cdc_files:
         cdc_df = (
             spark.read.format("parquet")
             .schema(
-                T.StructType(list(schema.fields) + [T.StructField("_change_type", T.StringType())])
+                T.StructType(
+                    list(read_schema.fields)
+                    + [T.StructField("_change_type", T.StringType())]
+                )
             )
             .load([p for p, _, _ in cdc_files])
             .withColumn("___file", F.input_file_name())
         )
+        cdc_df = _logical(cdc_df, ("_change_type", "___file"))
         parts.append(_join_version(spark, cdc_df, cdc_files))
     for file_group, change_type in ((insert_files, "insert"), (delete_files, "delete")):
         if not file_group:
@@ -157,11 +176,12 @@ def read_cdf(
         grp_df = (
             spark.read.format("parquet")
             .option("basePath", path)
-            .schema(schema)
+            .schema(read_schema)
             .load([p for p, _, _ in file_group])
             .withColumn("_change_type", F.lit(change_type))
             .withColumn("___file", F.input_file_name())
         )
+        grp_df = _logical(grp_df, ("_change_type", "___file"))
         parts.append(_join_version(spark, grp_df, file_group))
 
     if not parts:

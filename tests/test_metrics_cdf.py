@@ -283,3 +283,27 @@ def test_read_cdf_by_timestamp(spark, tmpdir_path):
     assert sorted(r["_change_type"] for r in later) == [
         "update_postimage", "update_preimage",
     ]
+
+
+def test_read_cdf_on_column_mapped_table(spark, tmpdir_path):
+    """CDF synthesis over a mapped table must scan physical names and
+    rename back (it previously returned all-null data columns)."""
+    import os
+
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "cdf_mapped_op")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        p,
+        options={
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    DeltaTable.forPath(spark, p).rename_column("v", "val")
+    write_delta(spark.createDataFrame([(2, "b")], "id long, val string"), p, mode="append")
+    cdf = ChangeDataFeedHelper(spark, p, 0).read_cdf()
+    rows = sorted((r["id"], r["val"], r["_change_type"]) for r in cdf.collect())
+    assert rows == [(1, "a", "insert"), (2, "b", "insert")]
