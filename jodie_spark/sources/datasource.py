@@ -753,6 +753,70 @@ def _write_partition_file(
     return _WroteFile(name, os.path.getsize(abs_path), stats)
 
 
+
+
+def _validate_as_given_write(path: str, schema: StructType) -> list[str]:
+    """Plan-time validation shared by the batch + stream writers: both
+    lay rows down as-given, so any shape they cannot write faithfully
+    must refuse here (delta parity: schema mismatches are analysis
+    errors). Returns the table's NOT NULL columns for executor-side
+    enforcement."""
+    from jodie_spark.tables.log import DeltaLog
+
+    log = DeltaLog(path)
+    if not log.exists():
+        return []
+    info = log.table_info()
+    if info.partition_columns:
+        raise ValueError(
+            "the jodie_delta datasource writer does not produce "
+            "Hive-partitioned layouts; append to partitioned table "
+            f"{path} with jodie_spark.tables.table.write_delta"
+        )
+    from jodie_spark.tables.column_mapping import column_mapping_mode
+
+    if column_mapping_mode(info.metadata) != "none":
+        raise ValueError(
+            "the jodie_delta datasource writer does not write physical "
+            f"column names; append to column-mapped table {path} with "
+            "jodie_spark.tables.table.write_delta"
+        )
+    from pyspark.sql.types import StructType as _St
+
+    table_schema = _St.fromJson(json.loads(info.schema_string))
+    table_cols = {f.name for f in table_schema.fields}
+    in_cols = {f.name for f in schema.fields}
+    extra = sorted(in_cols - table_cols)
+    if extra:
+        raise ValueError(
+            f"A schema mismatch detected when writing to the Delta "
+            f"table: data columns {extra} are not in the table schema "
+            f"{sorted(table_cols)}"
+        )
+    missing = sorted(table_cols - in_cols)
+    if missing:
+        from jodie_spark.tables.identity import identity_columns_of
+        from jodie_spark.tables.table import column_defaults_of, generated_columns_of
+
+        fillable = (
+            set(identity_columns_of(table_schema))
+            | set(generated_columns_of(table_schema))
+            | set(column_defaults_of(table_schema))
+        )
+        if set(missing) <= fillable:
+            raise ValueError(
+                f"columns {missing} are identity/generated/default-"
+                "filled; the jodie_delta datasource writes rows "
+                "as-given — append with "
+                "jodie_spark.tables.table.write_delta to fill them"
+            )
+        raise ValueError(
+            f"A schema mismatch detected when writing to the Delta "
+            f"table: missing columns {missing}"
+        )
+    return [f.name for f in table_schema.fields if not f.nullable]
+
+
 class JodieDeltaWriter(DataSourceWriter):
     """Executors write parquet files straight into the table directory;
     the driver commits the adds atomically — the same
@@ -766,61 +830,7 @@ class JodieDeltaWriter(DataSourceWriter):
             raise ValueError("jodie_delta requires a path: .save('/table/path')")
         self.schema = schema
         self.overwrite = overwrite
-        self.not_null_cols: list[str] = []
-        # driver-side plan-time validation against the existing table —
-        # this writer lays rows down as-given, so any shape it can't
-        # write faithfully must refuse HERE, not silently drop/null
-        # (delta parity: schema mismatches are analysis errors)
-        from jodie_spark.tables.log import DeltaLog
-
-        log = DeltaLog(self.path)
-        if not log.exists():
-            return
-        info = log.table_info()
-        if info.partition_columns:
-            raise ValueError(
-                "the jodie_delta datasource writer does not produce "
-                "Hive-partitioned layouts; append to partitioned table "
-                f"{self.path} with jodie_spark.tables.table.write_delta"
-            )
-        import json as _json
-
-        from pyspark.sql.types import StructType as _St
-
-        table_schema = _St.fromJson(_json.loads(info.schema_string))
-        table_cols = {f.name for f in table_schema.fields}
-        in_cols = {f.name for f in schema.fields}
-        extra = sorted(in_cols - table_cols)
-        if extra:
-            raise ValueError(
-                f"A schema mismatch detected when writing to the Delta "
-                f"table: data columns {extra} are not in the table schema "
-                f"{sorted(table_cols)}"
-            )
-        missing = sorted(table_cols - in_cols)
-        if missing:
-            from jodie_spark.tables.identity import identity_columns_of
-            from jodie_spark.tables.table import column_defaults_of, generated_columns_of
-
-            fillable = (
-                set(identity_columns_of(table_schema))
-                | set(generated_columns_of(table_schema))
-                | set(column_defaults_of(table_schema))
-            )
-            if set(missing) <= fillable:
-                raise ValueError(
-                    f"columns {missing} are identity/generated/default-"
-                    "filled; the jodie_delta datasource writes rows "
-                    "as-given — append with "
-                    "jodie_spark.tables.table.write_delta to fill them"
-                )
-            raise ValueError(
-                f"A schema mismatch detected when writing to the Delta "
-                f"table: missing columns {missing}"
-            )
-        self.not_null_cols = [
-            f.name for f in table_schema.fields if not f.nullable
-        ]
+        self.not_null_cols = _validate_as_given_write(self.path, schema)
 
     def write(self, iterator) -> _WroteFile:
         return _write_partition_file(
@@ -919,9 +929,12 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
         # outputMode("complete") arrives as overwrite=True: each batch
         # replaces the table contents (aggregation sinks)
         self.overwrite = bool(overwrite)
+        self.not_null_cols = _validate_as_given_write(self.path, schema)
 
     def write(self, iterator) -> _WroteFile:
-        return _write_partition_file(iterator, self.path, self.schema)
+        return _write_partition_file(
+            iterator, self.path, self.schema, self.not_null_cols
+        )
 
     def _last_committed_batch(self) -> int:
         from jodie_spark.tables.log import DeltaLog
