@@ -1062,7 +1062,18 @@ class JodieDeltaDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
-        info = DeltaLog(path).table_info()
+        log = DeltaLog(path)
+        # time travel pins the SCHEMA too (delta parity): a version
+        # before a rename/drop must surface that version's columns
+        version = self.options.get("versionAsOf")
+        if version is None and self.options.get("timestampAsOf") is not None:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(self.options["timestampAsOf"])
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            version = log.version_at_timestamp(int(ts.timestamp() * 1000))
+        info = log.table_info(int(version) if version is not None else None)
         base = StructType.fromJson(json.loads(info.schema_string))
         if self._cdf_requested():
             return _cdf_schema(base)

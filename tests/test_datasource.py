@@ -385,3 +385,28 @@ def test_cdf_datasource_on_column_mapped_appends(spark, tmpdir_path):
     )
     rows = sorted((r["id"], r["val"], r["_change_type"]) for r in cdf.collect())
     assert rows == [(1, "a", "insert"), (2, "b", "insert")]
+
+
+def test_datasource_time_travel_pins_schema(spark, tmpdir_path):
+    """versionAsOf must surface that version's schema, not the latest
+    one (delta parity for reads across a rename/add-column)."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "ds_tt_schema")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        p,
+        options={"delta.columnMapping.mode": "name"},
+    )
+    DeltaTable.forPath(spark, p).rename_column("v", "val")
+    write_delta(spark.createDataFrame([(2, "b")], "id long, val string"), p, mode="append")
+
+    latest = spark.read.format("jodie_delta").load(p)
+    assert set(latest.columns) == {"id", "val"}
+    pinned = spark.read.format("jodie_delta").option("versionAsOf", 0).load(p)
+    assert set(pinned.columns) == {"id", "v"}
+    assert sorted((r["id"], r["v"]) for r in pinned.collect()) == [(1, "a")]
