@@ -563,6 +563,29 @@ def _q_create_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 table A1) as one
+    codegen projection; the oracle reproduces every signal in SQL."""
+    from jodie_spark.functions.text import gopher_quality
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality(docs, "text")
+    return g.select(
+        "doc_id",
+        F.col("gopher.n_words").alias("n_words"),
+        F.col("gopher.mean_word_len").alias("mean_word_len"),
+        F.col("gopher.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("gopher.bullet_line_frac").alias("bullet_line_frac"),
+        F.col("gopher.ellipsis_line_frac").alias("ellipsis_line_frac"),
+        F.col("gopher.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("gopher.n_stop_words").alias("n_stop_words"),
+        F.col("gopher_passes").alias("passes"),
+    )
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1844,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_checkpoint": _q_v2_checkpoint,
         "encode_corpus": _q_encode_corpus,
         "column_defaults": _q_column_defaults,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1996,6 +2020,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 7 END
                         AS INTEGER) AS prio
             FROM ranked, c
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       CASE WHEN len(trim(text)) = 0 THEN []
+                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       END AS words,
+                       str_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
+                       CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                            AS DOUBLE) AS total_len,
+                       CAST(len(regexp_split_to_array(text, '\.\.\.|…')) - 1
+                            + len(str_split(text, '#')) - 1 AS DOUBLE) AS n_symbols,
+                       CAST(greatest(len(lines), 1) AS DOUBLE) AS n_lines,
+                       CAST(len(list_filter(lines,
+                            l -> regexp_matches(trim(l), '^([•‣▪\-\*])')))
+                            AS DOUBLE) AS bullet_lines,
+                       CAST(len(list_filter(lines,
+                            l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                            AS DOUBLE) AS ellipsis_lines,
+                       CAST(len(list_filter(words,
+                            x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                            AS alpha_words,
+                       CAST(len(list_intersect(
+                            ['the','be','to','of','and','that','have','with'],
+                            words)) AS INTEGER) AS n_stop_words
+                FROM w
+            )
+            SELECT doc_id, n_words,
+                   round(total_len / nw, 6) AS mean_word_len,
+                   round(n_symbols / nw, 6) AS symbol_word_ratio,
+                   round(bullet_lines / n_lines, 6) AS bullet_line_frac,
+                   round(ellipsis_lines / n_lines, 6) AS ellipsis_line_frac,
+                   round(alpha_words / nw, 6) AS alpha_word_frac,
+                   n_stop_words,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND total_len / nw >= 3 AND total_len / nw <= 10
+                    AND n_symbols / nw < 0.1
+                    AND bullet_lines / n_lines < 0.9
+                    AND ellipsis_lines / n_lines < 0.3
+                    AND alpha_words / nw > 0.8
+                    AND n_stop_words >= 2) AS passes
+            FROM m
         """,
         "identity_columns": """
             WITH s AS (SELECT s_suppkey, s_name, s_suppkey % 2 AS batch FROM supplier),

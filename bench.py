@@ -122,6 +122,7 @@ def main() -> None:
         "column_defaults",
         "create_table_ddl",
         "multimodal_decode",
+        "gopher_quality",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -208,3 +208,76 @@ def bpe_token_count(col: Column) -> Column:
     better-than-whitespace proxy for LLM token budgeting ('foo, bar!'
     is 4 tokens, not 2). Pure ``regexp_count``, full codegen."""
     return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 — the filter set reproduced by Dolma /
+# RedPajama / FineWeb pipelines). Required stop words per the paper:
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(col: Column) -> Column:
+    """Struct of the Gopher quality-rule signals for one document —
+    pure Catalyst (codegen), no UDF. Fields:
+
+    n_words, mean_word_len, symbol_word_ratio (# / ellipsis per word),
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stop_words, and the composite boolean ``passes`` with the
+    paper's thresholds (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10,
+    symbol ratio < .1, bullets < .9, ellipsis lines < .3,
+    alpha words > .8, ≥ 2 distinct stop words)."""
+    words = ws_tokens(col)
+    n_words = F.greatest(F.size(words), F.lit(0))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / nw
+    n_symbols = (
+        F.size(F.split(col, r"\.\.\.|…", -1))
+        + F.size(F.split(col, r"#", -1))
+        - F.lit(2)
+    ).cast("double")
+    lines = F.split(col, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.btrim(l).rlike(r"^([•‣▪\-\*])"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.btrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike(r"[a-zA-Z]"))
+    ).cast("double")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(stops, words))
+    sig = F.struct(
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(n_symbols / nw, 6).alias("symbol_word_ratio"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_words / nw, 6).alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stop_words"),
+    )
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & (n_symbols / nw < 0.1)
+        & (bullet_lines / n_lines < 0.9)
+        & (ellipsis_lines / n_lines < 0.3)
+        & (alpha_words / nw > 0.8)
+        & (n_stop >= 2)
+    )
+    return F.struct(sig.alias("signals"), passes.alias("passes"))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``gopher`` (signals struct) and ``gopher_passes`` columns
+    — one projection, no shuffle; filter with
+    ``df.where('gopher_passes')`` for the paper's cut."""
+    g = gopher_quality_signals(F.col(text_col))
+    return df.withColumn("gopher", g["signals"]).withColumn(
+        "gopher_passes", g["passes"]
+    )

@@ -418,3 +418,28 @@ def test_l2_normalize_and_int8_quantize(spark):
     assert qz[1]["max_abs"] == pytest.approx(4.0)
     assert list(qz[2]["q"]) == [0, 0]
     assert list(qz[3]["q"]) == [-127, 64]  # round(0.5*127)=63.5→64 (half-up)
+
+
+def test_gopher_quality_signals(spark):
+    from jodie_spark.functions.text import gopher_quality
+
+    good = " ".join(["the quick brown fox and that dog have fun with it"] * 6)
+    rows = [
+        (1, good),                                  # passes every rule
+        (2, "short text"),                          # too few words
+        (3, "\n".join(["- bullet point here"] * 10)),  # all-bullet lines
+        (4, ("### " * 60)),                         # symbol-heavy, no stops
+    ]
+    df = gopher_quality(spark.createDataFrame(rows, "doc_id int, text string"))
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got[1]["gopher_passes"] is True
+    assert got[1]["gopher"]["n_stop_words"] >= 2
+    assert got[2]["gopher_passes"] is False
+    assert got[2]["gopher"]["n_words"] == 2
+    assert got[3]["gopher"]["bullet_line_frac"] == 1.0
+    assert got[3]["gopher_passes"] is False
+    assert got[4]["gopher"]["symbol_word_ratio"] > 0.1
+    assert got[4]["gopher_passes"] is False
+    # pure Catalyst: no python workers in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
