@@ -586,6 +586,22 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed spherical k-means (2 Lloyd's iterations,
+    k=4, seeded with vec_id 0..3). The oracle UNROLLS both iterations
+    in SQL — an iterative algorithm with a full value oracle. Per-iter
+    shuffle carries k·dim partial sums, never vectors."""
+    from jodie_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from jodie_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, "embedding", k=4, n_iter=2, id_col="vec_id")
+    out = kmeans_assign(emb, "embedding", cent)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -1868,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_corpus": _q_encode_corpus,
         "column_defaults": _q_column_defaults,
         "gopher_quality": _q_gopher_quality,
+        "kmeans_clusters": _q_kmeans_clusters,
     }
 
 
@@ -2067,6 +2084,55 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_words / nw > 0.8
                     AND n_stop_words >= 2) AS passes
             FROM m
+        """,
+        "kmeans_clusters": r"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), nrm AS (
+                SELECT vec_id, v,
+                       list_transform(v, x -> x / greatest(
+                           sqrt(list_sum(list_transform(v, y -> y*y))), 1e-12))
+                           AS nv
+                FROM e
+            ), c0 AS (
+                SELECT vec_id AS cid, nv AS cv FROM nrm WHERE vec_id < 4
+            ), a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT n.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                               ORDER BY list_cosine_similarity(n.v, c.cv) DESC,
+                                        c.cid) AS rn
+                    FROM nrm n, c0 c) WHERE rn = 1
+            ), x1 AS (
+                SELECT cid, pos, avg(val) AS mval FROM (
+                    SELECT a1.cid, unnest(nrm.nv) AS val,
+                           generate_subscripts(nrm.nv, 1) AS pos
+                    FROM a1 JOIN nrm USING (vec_id))
+                GROUP BY cid, pos
+            ), c1 AS (
+                SELECT cid, list(mval ORDER BY pos) AS cv FROM x1 GROUP BY cid
+            ), a2 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT n.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                               ORDER BY list_cosine_similarity(n.v, c.cv) DESC,
+                                        c.cid) AS rn
+                    FROM nrm n, c1 c) WHERE rn = 1
+            ), x2 AS (
+                SELECT cid, pos, avg(val) AS mval FROM (
+                    SELECT a2.cid, unnest(nrm.nv) AS val,
+                           generate_subscripts(nrm.nv, 1) AS pos
+                    FROM a2 JOIN nrm USING (vec_id))
+                GROUP BY cid, pos
+            ), c2 AS (
+                SELECT cid, list(mval ORDER BY pos) AS cv FROM x2 GROUP BY cid
+            )
+            SELECT n.vec_id, CAST(fin.cid AS INTEGER) AS cluster FROM nrm n
+            JOIN LATERAL (
+                SELECT c.cid FROM c2 c
+                ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cid
+                LIMIT 1
+            ) fin ON TRUE
         """,
         "identity_columns": """
             WITH s AS (SELECT s_suppkey, s_name, s_suppkey % 2 AS batch FROM supplier),

@@ -123,6 +123,7 @@ def main() -> None:
         "create_table_ddl",
         "multimodal_decode",
         "gopher_quality",
+        "kmeans_clusters",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -443,3 +443,40 @@ def test_gopher_quality_signals(spark):
     # pure Catalyst: no python workers in the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_distributed_kmeans_matches_local(spark):
+    """kmeans_fit's distributed Lloyd's iterations must match a local
+    numpy reference given the same init (spherical convention: cosine
+    assignment, renormalized mean update, ties to lowest id)."""
+    import numpy as np
+
+    from jodie_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((4, 8))
+    vecs = []
+    for i in range(80):
+        v = base[i % 4] + 0.1 * rng.standard_normal(8)
+        vecs.append((i, v.tolist()))
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    cent = kmeans_fit(df, "embedding", k=4, n_iter=3, id_col="vec_id")
+
+    # local reference with identical arithmetic
+    x = np.stack([np.asarray(v) for _, v in vecs])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = xn[:4].copy()
+    for _ in range(3):
+        assign = (xn @ c.T).argmax(axis=1)
+        for k in range(4):
+            m = xn[assign == k]
+            if len(m):
+                mm = m.mean(axis=0)
+                c[k] = mm / max(np.linalg.norm(mm), 1e-12)
+    assert np.allclose(cent, c, atol=1e-9)
+
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, "embedding", cent).collect()}
+    ref = (xn @ c.T).argmax(axis=1)
+    assert all(got[i] == ref[i] for i in range(80))
+    # planted structure recovered: one cluster per base direction
+    assert len({got[i] for i in range(4)}) == 4
