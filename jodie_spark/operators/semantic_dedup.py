@@ -32,12 +32,23 @@ def semantic_candidate_pairs(
     threshold: float = 0.9,
     sample_size: int = 10_000,
     seed: int = 42,
+    trainer: str = "sample",
 ) -> DataFrame:
     """(id_a, id_b, sim) for same-cluster pairs with cosine ≥ threshold
-    (id_a < id_b). The join fans out only within clusters."""
-    centroids = train_centroids(
-        df, vec_col, n_centroids=n_clusters, sample_size=sample_size, seed=seed
-    )
+    (id_a < id_b). The join fans out only within clusters.
+
+    ``trainer='full'`` swaps the bounded-sample centroid trainer for
+    the distributed full-corpus Lloyd's iterations
+    (:func:`jodie_spark.operators.kmeans.kmeans_fit`) — same output
+    shape, centroids that reflect every vector."""
+    if trainer == "full":
+        from jodie_spark.operators.kmeans import kmeans_fit
+
+        centroids = kmeans_fit(df, vec_col, k=n_clusters, n_iter=5, id_col=id_col)
+    else:
+        centroids = train_centroids(
+            df, vec_col, n_centroids=n_clusters, sample_size=sample_size, seed=seed
+        )
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -78,6 +89,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     sample_size: int = 10_000,
     seed: int = 42,
+    trainer: str = "sample",
 ) -> DataFrame:
     """Keep one survivor (lowest id, transitively) per group of
     semantically near-identical documents; rows with no near-duplicate
@@ -85,7 +97,7 @@ def semantic_dedup(
     from jodie_spark.operators.text_dedup import connected_component_reps
 
     pairs = semantic_candidate_pairs(
-        df, vec_col, id_col, n_clusters, threshold, sample_size, seed
+        df, vec_col, id_col, n_clusters, threshold, sample_size, seed, trainer
     ).select("id_a", "id_b")
     reps = connected_component_reps(pairs.select("id_a", "id_b"))
     dropped = reps.filter(F.col("id") != F.col("rep")).select(
