@@ -307,3 +307,27 @@ def test_read_cdf_on_column_mapped_table(spark, tmpdir_path):
     cdf = ChangeDataFeedHelper(spark, p, 0).read_cdf()
     rows = sorted((r["id"], r["val"], r["_change_type"]) for r in cdf.collect())
     assert rows == [(1, "a", "insert"), (2, "b", "insert")]
+
+
+def test_write_metric_partition_quote_and_case(spark, tmpdir_path):
+    """Parity: OperationMetricHelperSpec.scala:96-105, 131-140 — quoted
+    partition values match (quotes stripped), wrong-case values return
+    0 (path-substring matching is case-sensitive)."""
+    import os
+
+    from jodie_spark.operators.metrics import OperationMetricHelper
+    from jodie_spark.tables.table import write_delta
+
+    p = os.path.join(tmpdir_path, "metric_qc")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "USA"), (2, "USA"), (3, "France")], "id long, country string"
+        ),
+        p,
+        partition_by=["country"],
+    )
+    h = OperationMetricHelper(spark, p)
+    assert h.get_write_metric_by_partition("country = 'USA'", 0) == 2
+    assert h.get_write_metric_by_partition("country = USA", 0) == 2
+    assert h.get_write_metric_by_partition("country = usa", 0) == 0  # case-sensitive
+    assert h.get_write_metric_by_partition("country = 'France'", 0) == 1
