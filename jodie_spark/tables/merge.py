@@ -470,8 +470,6 @@ class DeltaMergeBuilder:
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
         t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
         mapped = t._mapping_schemas(snap) is not None
-        if mapped and t.is_cdf_enabled(snap):
-            t._refuse_column_mapped(snap, "MERGE with change data feed")
         if mapped and self._schema_evolution:
             t._refuse_column_mapped(snap, "MERGE withSchemaEvolution")
         if mapped:
@@ -732,7 +730,7 @@ class DeltaMergeBuilder:
                     *out_cols
                 ).withColumn("_change_type", F.lit("insert"))
                 change_df = deletes.unionByName(upd_pre).unionByName(upd_post).unionByName(inserts)
-                cdc_actions = t._write_cdf_files(change_df)
+                cdc_actions = t._write_cdf_files(change_df, snap)
         finally:
             src.unpersist()
             if probe is not None:

@@ -1066,9 +1066,21 @@ class DeltaTable:
 
     # -- mutations -----------------------------------------------------------
 
-    def _write_cdf_files(self, change_df: DataFrame) -> list[dict[str, Any]]:
+    def _write_cdf_files(
+        self, change_df: DataFrame, snap: Snapshot | None = None
+    ) -> list[dict[str, Any]]:
         """Write change rows (with _change_type) under _change_data/ and
-        return ``cdc`` actions."""
+        return ``cdc`` actions. On column-mapped tables the data columns
+        are stored under their physical names (same layout delta-spark
+        writes, and what the CDF readers resolve)."""
+        ms = self._mapping_schemas(snap) if snap is not None else None
+        if ms is not None:
+            from jodie_spark.tables.column_mapping import rename_to_physical
+
+            logical, physical = ms
+            change_df = rename_to_physical(
+                change_df, logical, physical, keep=("_change_type",)
+            )
         adds = write_data_files(change_df, os.path.join(self.path, CHANGE_DATA_DIR), None)
         actions = []
         for a in adds:
@@ -1104,10 +1116,6 @@ class DeltaTable:
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
         mapped = self._mapping_schemas(snap) is not None
-        if mapped and self.is_cdf_enabled(snap):
-            # CDF change files on mapped tables need physical-name cdc
-            # layouts this engine doesn't produce yet
-            self._refuse_column_mapped(snap, "DELETE with change data feed")
         if mapped:
             deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         if deletion_vectors and condition is not None:
@@ -1181,7 +1189,7 @@ class DeltaTable:
                             .drop(*lineage_drop)
                             .withColumn("_change_type", F.lit("delete"))
                         )
-                        cdc_actions = self._write_cdf_files(deleted_df)
+                        cdc_actions = self._write_cdf_files(deleted_df, snap)
             finally:
                 cand_df.unpersist()
 
@@ -1468,7 +1476,8 @@ class DeltaTable:
                 if rows and self.is_cdf_enabled(snap):
                     cdc_actions = self._write_cdf_files(
                         matched.select(*[F.col(f.name) for f in schema.fields])
-                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_change_type", F.lit("delete")),
+                        snap,
                     )
             finally:
                 matched.unpersist()
@@ -1583,7 +1592,7 @@ class DeltaTable:
                         post = updated_df.select(
                             *[F.col(f.name) for f in schema.fields]
                         ).withColumn("_change_type", F.lit("update_postimage"))
-                        cdc_actions = self._write_cdf_files(pre.unionByName(post))
+                        cdc_actions = self._write_cdf_files(pre.unionByName(post), snap)
             finally:
                 scan.unpersist()
 
@@ -1638,8 +1647,6 @@ class DeltaTable:
                 f"UPDATE cannot assign identity column(s) {sorted(bad)}"
             )
         mapped = self._mapping_schemas(snap) is not None
-        if mapped and self.is_cdf_enabled(snap):
-            self._refuse_column_mapped(snap, "UPDATE with change data feed")
         if mapped:
             deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
 
@@ -1747,7 +1754,7 @@ class DeltaTable:
                             )
                             .withColumn("_change_type", F.lit("update_postimage"))
                         )
-                        cdc_actions = self._write_cdf_files(pre.unionByName(post))
+                        cdc_actions = self._write_cdf_files(pre.unionByName(post), snap)
             finally:
                 cand_df.unpersist()
 

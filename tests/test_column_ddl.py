@@ -187,15 +187,21 @@ def test_dml_after_rename_writes_physical_files(spark, tmpdir_path):
         assert "val" in names and "label" not in names, names
 
 
-def test_mapped_cdf_dml_refused(spark, tmpdir_path):
+def test_mapped_cdf_dml_writes_physical_cdc(spark, tmpdir_path):
+    """Round 4: mapped+CDF DML is supported — cdc files carry physical
+    names and the CDF reader resolves them (previously refused)."""
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+
     t = _mk(
         spark, tmpdir_path, options={"delta.enableChangeDataFeed": "true"}
     )
     t.enable_column_mapping()
-    with pytest.raises(DeltaProtocolError, match="change data feed"):
-        t.delete("id = 1")
-    with pytest.raises(DeltaProtocolError, match="change data feed"):
-        t.update("id = 1", {"val": F.lit("z")})
+    t.delete("id = 1")
+    t.update("id = 2", {"val": F.lit("z")})
+    cdf = ChangeDataFeedHelper(spark, t.path, 2).read_cdf()
+    kinds = {(r["id"], r["_change_type"]) for r in cdf.collect()}
+    assert (1, "delete") in kinds
+    assert (2, "update_postimage") in kinds
 
 
 def test_rename_refused_when_referenced(spark, tmpdir_path):

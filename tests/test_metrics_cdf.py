@@ -331,3 +331,63 @@ def test_write_metric_partition_quote_and_case(spark, tmpdir_path):
     assert h.get_write_metric_by_partition("country = USA", 0) == 2
     assert h.get_write_metric_by_partition("country = usa", 0) == 0  # case-sensitive
     assert h.get_write_metric_by_partition("country = 'France'", 0) == 1
+
+
+def test_cdf_dml_on_column_mapped_table(spark, tmpdir_path):
+    """Mapped tables + CDF DML (previously refused): cdc files store
+    physical names; both the read_cdf operator and the datasource
+    resolve them back to logical."""
+    import os
+
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "cdf_map_dml")
+    write_delta(
+        spark.createDataFrame([(i, f"v{i}") for i in range(6)], "id long, v string"),
+        p,
+        options={
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.rename_column("v", "val")
+    DeltaTable.forPath(spark, p).delete("id >= 4")
+    DeltaTable.forPath(spark, p).update("id = 0", {"val": "'zero'"})
+    src = spark.createDataFrame([(1, "one"), (9, "nine")], "id long, val string")
+    (
+        DeltaTable.forPath(spark, p).alias("t")
+        .merge(src.alias("s"), "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    cdf = ChangeDataFeedHelper(spark, p, 0).read_cdf()
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["val"])
+        for r in cdf.collect()
+    )
+    # v0 inserts ×6, v2 deletes ×2, v3 update pre+post, v4 merge
+    assert (2, "delete", 4, "v4") in changes and (2, "delete", 5, "v5") in changes
+    assert (3, "update_preimage", 0, "v0") in changes
+    assert (3, "update_postimage", 0, "zero") in changes
+    assert (4, "update_postimage", 1, "one") in changes
+    assert (4, "insert", 9, "nine") in changes
+    # datasource CDF agrees
+    ds = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load(p)
+    )
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["val"])
+        for r in ds.collect()
+    )
+    assert got == changes
+    # final table state correct
+    rows = sorted(tuple(r) for r in DeltaTable.forPath(spark, p).toDF().collect())
+    assert rows == [(0, "zero"), (1, "one"), (2, "v2"), (3, "v3"), (9, "nine")]
