@@ -1055,7 +1055,7 @@ class DeltaTable:
 
     def _refuse_column_mapped(self, snap: Snapshot, op: str) -> None:
         """Paths that still need physical-name round-trips this engine
-        doesn't do (CDF change files, DV coordinate scans) refuse
+        doesn't do (MERGE schema evolution on mapped schemas) refuse
         loudly rather than write files other readers can't resolve."""
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
