@@ -1116,8 +1116,6 @@ class DeltaTable:
         self.deltaLog.check_write_allowed(snap, removes_data=True)
         schema = self.schema(snap)
         mapped = self._mapping_schemas(snap) is not None
-        if mapped:
-            deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         if deletion_vectors and condition is not None:
             self._delete_with_dvs(snap, schema, condition, t0)
             return
@@ -1225,17 +1223,26 @@ class DeltaTable:
 
     # -- deletion-vector (merge-on-read) DML machinery -----------------------
 
-    def _dv_scan(self, candidates: list[dict[str, Any]], schema: T.StructType) -> DataFrame:
+    def _dv_scan(
+        self,
+        candidates: list[dict[str, Any]],
+        schema: T.StructType,
+        snap: Snapshot | None = None,
+    ) -> DataFrame:
         """Raw scan of candidate files with file-path + row-index metadata
-        columns (the DV coordinate system)."""
+        columns (the DV coordinate system). With ``snap`` the scan is
+        column-mapping-aware: physical-named files read with the
+        physical schema, rows surfaced under logical names."""
+        ms = self._mapping_schemas(snap) if snap is not None else None
+        read_schema = schema if ms is None else ms[1]
         paths = [
             os.path.join(self.path, urllib.parse.unquote(a["path"]))
             for a in candidates
         ]
-        return (
+        out = (
             self.spark.read.format("parquet")
             .option("basePath", self.path)
-            .schema(schema)
+            .schema(read_schema)
             .load(paths)
             .select(
                 "*",
@@ -1243,6 +1250,11 @@ class DeltaTable:
                 F.col("_metadata.row_index").alias("__ri__"),
             )
         )
+        if ms is not None:
+            from jodie_spark.tables.column_mapping import rename_to_logical
+
+            out = rename_to_logical(out, ms[0], ms[1], keep=("__fp__", "__ri__"))
+        return out
 
     def _existing_dv_positions(
         self, scan: DataFrame, candidates: list[dict[str, Any]]
@@ -1459,12 +1471,16 @@ class DeltaTable:
         re-add the file with the descriptor — no data rewrite. Existing
         DVs are unioned in, so repeated DV deletes stay idempotent."""
         candidates = plan_candidate_files(
-            self.spark, self.path, condition, schema, snap.partition_columns
+            self.spark,
+            self.path,
+            self._planning_condition(snap, condition),
+            schema,
+            snap.partition_columns,
         )
         rows: list[Any] = []
         cdc_actions: list[dict[str, Any]] = []
         if candidates:
-            scan = self._dv_scan(candidates, schema)
+            scan = self._dv_scan(candidates, schema, snap)
             existing = self._existing_dv_positions(scan, candidates)
             if existing is not None:
                 scan = scan.join(
@@ -1517,9 +1533,14 @@ class DeltaTable:
         never rewritten. A 1%-of-rows update writes 1% of the data plus
         tiny bitmaps, instead of rewriting every touched file."""
         candidates = plan_candidate_files(
-            self.spark, self.path, condition, schema, snap.partition_columns
+            self.spark,
+            self.path,
+            self._planning_condition(snap, condition),
+            schema,
+            snap.partition_columns,
         )
         lineage, lineage_actions = self._lineage_setup(snap, candidates)
+        ms = self._mapping_schemas(snap)
         rows: list[Any] = []
         new_adds: list[dict[str, Any]] = []
         cdc_actions: list[dict[str, Any]] = []
@@ -1529,20 +1550,29 @@ class DeltaTable:
                 # preserved by materialization (lineage scan also masks
                 # existing DV positions)
                 from jodie_spark.tables.row_lineage import (
+                    LIN_RCV,
+                    LIN_RID,
                     read_candidates_with_lineage,
                 )
 
                 scan = read_candidates_with_lineage(
                     self.spark,
                     self.path,
-                    schema,
+                    schema if ms is None else ms[1],
                     candidates,
                     *lineage,
                     file_col="__fp__",
                     keep_row_index=True,
-                ).persist()
+                )
+                if ms is not None:
+                    from jodie_spark.tables.column_mapping import rename_to_logical
+
+                    scan = rename_to_logical(
+                        scan, ms[0], ms[1], keep=("__fp__", "__ri__", LIN_RID, LIN_RCV)
+                    )
+                scan = scan.persist()
             else:
-                scan = self._dv_scan(candidates, schema).persist()
+                scan = self._dv_scan(candidates, schema, snap).persist()
             try:
                 matched = scan.filter(F.expr(condition))
                 if lineage is None:
@@ -1576,11 +1606,23 @@ class DeltaTable:
                         ],
                         *lineage_out,
                     )
+                    out_df = enforce_check_constraints(
+                        apply_generated_columns(updated_df, schema),
+                        snap.configuration,
+                    )
+                    if ms is not None:
+                        from jodie_spark.tables.column_mapping import (
+                            rename_to_physical,
+                        )
+
+                        out_df = rename_to_physical(
+                            out_df,
+                            ms[0],
+                            ms[1],
+                            keep=tuple(lineage) if lineage else (),
+                        )
                     new_adds = write_data_files(
-                        enforce_check_constraints(
-                            apply_generated_columns(updated_df, schema),
-                            snap.configuration,
-                        ),
+                        out_df,
                         self.path,
                         snap.partition_columns,
                         stat_exclude=stat_exclude,
@@ -1647,9 +1689,6 @@ class DeltaTable:
                 f"UPDATE cannot assign identity column(s) {sorted(bad)}"
             )
         mapped = self._mapping_schemas(snap) is not None
-        if mapped:
-            deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
-
         if deletion_vectors and condition is not None:
             set_exprs = {
                 k: (v if isinstance(v, Column) else F.expr(str(v)))

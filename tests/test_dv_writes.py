@@ -283,3 +283,40 @@ def test_restore_undoes_mor_delete(spark, tmpdir_path):
     # and restoring FORWARD to the DV state works too (DV file intact)
     t2.restore(1)
     assert DeltaTable.forPath(spark, p).toDF().count() == 5
+
+
+def test_mor_dml_on_column_mapped_table(spark, tmpdir_path):
+    """Round 4: deletion-vector DELETE/UPDATE work on column-mapped
+    tables (previously forced copy-on-write): the coordinate scan reads
+    physical names, conditions evaluate on logical names, and updated
+    copies are written physical-named."""
+    import os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "mor_mapped")
+    write_delta(
+        spark.range(10).selectExpr("id", "id as v").coalesce(1),
+        p,
+        options={"delta.columnMapping.mode": "name"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.rename_column("v", "val")
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id % 2 = 1", deletion_vectors=True)
+    snap = DeltaTable.forPath(spark, p).snapshot()
+    assert any(a.get("deletionVector") for a in snap.add_files())  # genuinely MoR, not a CoW fallback
+    rows = sorted((r["id"], r["val"]) for r in DeltaTable.forPath(spark, p).toDF().collect())
+    assert rows == [(0, 0), (2, 2), (4, 4), (6, 6), (8, 8)]
+
+    DeltaTable.forPath(spark, p).update(
+        "id = 2", {"val": "val + 100"}, deletion_vectors=True
+    )
+    rows = sorted((r["id"], r["val"]) for r in DeltaTable.forPath(spark, p).toDF().collect())
+    assert rows == [(0, 0), (2, 102), (4, 4), (6, 6), (8, 8)]
+    # REORG purges the DVs and keeps values
+    DeltaTable.forPath(spark, p).reorg_purge()
+    t2 = DeltaTable.forPath(spark, p)
+    assert not any(a.get("deletionVector") for a in t2.snapshot().add_files())
+    rows = sorted((r["id"], r["val"]) for r in t2.toDF().collect())
+    assert rows == [(0, 0), (2, 102), (4, 4), (6, 6), (8, 8)]
