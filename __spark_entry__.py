@@ -1295,6 +1295,53 @@ def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run under the value oracle: events
+    ride a jodie_delta readStream through the watermarked tumbling
+    window into a complete-mode memory sink (availableNow trigger, so
+    the run terminates deterministically). Result must equal the batch
+    aggregation — which is exactly what the SQL oracle states."""
+    import uuid as _uuid
+
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming import windowed_event_counts
+    from jodie_spark.tables.table import write_delta
+
+    register(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # watermarks require TIMESTAMP (the parquet column is NTZ; the
+        # session runs UTC so the instant is unchanged)
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    p = _tmp("stream_wc_src")
+    write_delta(events, p)
+    stream = spark.readStream.format("jodie_delta").load(p).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = windowed_event_counts(stream, "1 hour", watermark="10 minutes")
+    name = f"swc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tmp("stream_wc_ck"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import sessionize
@@ -1885,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_defaults": _q_column_defaults,
         "gopher_quality": _q_gopher_quality,
         "kmeans_clusters": _q_kmeans_clusters,
+        "streaming_window_counts": _q_streaming_window_counts,
     }
 
 
@@ -3134,6 +3182,12 @@ def oracle_sql() -> dict[str, str]:
             ON e.value >= r.lo AND e.value < r.hi
         """,
         "windowed_event_counts": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "streaming_window_counts": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events

@@ -124,6 +124,7 @@ def main() -> None:
         "multimodal_decode",
         "gopher_quality",
         "kmeans_clusters",
+        "streaming_window_counts",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
