@@ -1342,6 +1342,49 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator (applyInPandasWithState
+    sessionization) under the value oracle: events stream from a
+    jodie_delta source, per-user session ids are assigned by the
+    GroupState kernel, and the availableNow trigger drains the snapshot
+    in one deterministic run. The oracle is the lag/cumulative-sum SQL
+    formulation of the same gap rule."""
+    import uuid as _uuid
+
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.stateful import streaming_sessionize
+    from jodie_spark.tables.table import write_delta
+
+    register(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+    ).filter("user_id < 200")
+    p = _tmp("stream_sess_src")
+    write_delta(events, p)
+    stream = spark.readStream.format("jodie_delta").load(p).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sess = streaming_sessionize(stream, gap_minutes=30)
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tmp("stream_sess_ck"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "event_id", F.col("session_seq").cast("int").alias("session_seq")
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import sessionize
@@ -1933,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "kmeans_clusters": _q_kmeans_clusters,
         "streaming_window_counts": _q_streaming_window_counts,
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
@@ -3186,6 +3230,25 @@ def oracle_sql() -> dict[str, str]:
                    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY 1, 2
+        """,
+        "streaming_sessionize": """
+            WITH lagged AS (
+                SELECT user_id, event_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events WHERE user_id < 200
+            ), flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM lagged
+            )
+            SELECT user_id, event_id,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+            FROM flagged
         """,
         "streaming_window_counts": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,

@@ -125,6 +125,7 @@ def main() -> None:
         "gopher_quality",
         "kmeans_clusters",
         "streaming_window_counts",
+        "streaming_sessionize",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
