@@ -1867,14 +1867,16 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering matters: the correctness driver checks the first 50
-    entries (dict insertion order).  The first 50 therefore carry every
-    SURVEY §2-mapped operator, the LSH/ANN dedup family, and the temporal
-    joins; the tail (51+) holds overflow diagnostics whose signal
-    duplicates an in-window query (e.g. ann_topk/ivf_topk/pq_topk overlap
-    ann_index_topk; token_count overlaps bpe_token_count) — all remain
-    oracled via tools/check_oracles.py."""
+    entries (dict insertion order).  Round-5 rotation: slots 1-22 keep the
+    SURVEY §2 reference surface official every round; slots 23-38 are the
+    16 queries that had never had a driver-green row (streaming, fulltext,
+    identity/row-tracking/clustering/widening/v2-checkpoint, kmeans,
+    gopher, encode, perplexity/mixture/epoch); slots 39-50 are one
+    representative per major family.  The tail (51+) holds queries already
+    driver-green in r3/r4 — all remain value-checked every round via
+    tools/check_oracles.py."""
     return {
-        # --- SURVEY §2 reference-surface operators (driver window) ---
+        # --- SURVEY §2 reference-surface operators (slots 1-22) ---
         "kill_duplicate_records": _q_kill_duplicate_records,
         "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
         "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
@@ -1897,39 +1899,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_files_deterministic": _q_shuffle_files_deterministic,
         "optimize_compaction": _q_optimize_compaction,
         "optimize_zorder": _q_optimize_zorder,
-        # --- LSH / fuzzy dedup family (first-ever driver window slot) ---
+        # --- round-5 rotation: first-ever driver window slot (23-38) ---
+        "bigram_perplexity": _q_bigram_perplexity,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "mixture_weights": _q_mixture_weights,
+        "bm25_search": _q_bm25_search,
+        "keyword_search": _q_keyword_search,
+        "identity_columns": _q_identity_columns,
+        "row_tracking": _q_row_tracking,
+        "liquid_clustering": _q_liquid_clustering,
+        "type_widening": _q_type_widening,
+        "v2_checkpoint": _q_v2_checkpoint,
+        "encode_corpus": _q_encode_corpus,
+        "column_defaults": _q_column_defaults,
+        "gopher_quality": _q_gopher_quality,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "streaming_window_counts": _q_streaming_window_counts,
+        "streaming_sessionize": _q_streaming_sessionize,
+        # --- representative family picks, driver-green r3/r4 (39-50) ---
         "minhash_dedup": _q_minhash_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "as_of_join": _q_as_of_join,
+        "range_join": _q_range_join,
+        "similarity_topk": _q_similarity_topk,
+        "ann_index_topk": _q_ann_index_topk,
+        "dv_merge": _q_dv_merge,
+        "sql_dml": _q_sql_dml,
+        "multimodal_decode": _q_multimodal_decode,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "datasource_roundtrip": _q_datasource_roundtrip,
+        # --- position 51+: overflow — driver-green in r3/r4 or rows-only by design ---
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
         "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
-        "semantic_dedup": _q_semantic_dedup,
         "exact_dedup_documents": _q_exact_dedup_documents,
-        "dedup_clusters": _q_dedup_clusters,
         "incremental_dedup": _q_incremental_dedup,
         "line_dedup": _q_line_dedup,
         "passage_dup_stats": _q_passage_dup_stats,
-        # --- temporal joins / streaming-shaped analytics ---
-        "as_of_join": _q_as_of_join,
-        "range_join": _q_range_join,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
-        # --- similarity search (representative of the ANN family) ---
-        "similarity_topk": _q_similarity_topk,
-        "ann_index_topk": _q_ann_index_topk,
         "knn_graph": _q_knn_graph,
-        # --- datasource + MoR DML + SQL dialect ---
-        "datasource_roundtrip": _q_datasource_roundtrip,
         "cdf_datasource": _q_cdf_datasource,
         "dv_delete": _q_dv_delete,
         "dv_update": _q_dv_update,
-        "dv_merge": _q_dv_merge,
-        "sql_dml": _q_sql_dml,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
-        "multimodal_decode": _q_multimodal_decode,
-        "pipeline_e2e": _q_pipeline_e2e,
         "create_table_ddl": _q_create_table_ddl,
-        # ---------------- position 51+: overflow diagnostics ----------------
         "clean_corpus": _q_clean_corpus,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1954,29 +1970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shallow_clone": _q_shallow_clone,
         "restore_roundtrip": _q_restore_roundtrip,
         "perplexity": _q_perplexity,
-        "bigram_perplexity": _q_bigram_perplexity,
         "generated_columns": _q_generated_columns,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "mixture_weights": _q_mixture_weights,
         "token_frequencies": _q_token_frequencies,
         "corpus_stats": _q_corpus_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
         "num_shuffle_files": _q_num_shuffle_files,
-        "bm25_search": _q_bm25_search,
-        "keyword_search": _q_keyword_search,
-        "identity_columns": _q_identity_columns,
-        "row_tracking": _q_row_tracking,
-        "liquid_clustering": _q_liquid_clustering,
-        "type_widening": _q_type_widening,
-        "v2_checkpoint": _q_v2_checkpoint,
-        "encode_corpus": _q_encode_corpus,
-        "column_defaults": _q_column_defaults,
-        "gopher_quality": _q_gopher_quality,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "streaming_window_counts": _q_streaming_window_counts,
-        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 

@@ -156,6 +156,39 @@ def main() -> None:
             total += best
             print(f"# {name}: FAILED after {dt:.2f}s: {e}", file=sys.stderr)
 
+    # Phase profile for the historically most expensive query
+    # (VERDICT r4 item 2): time centroid training, candidate-pair
+    # generation, and the full dedup (election ≈ full − pairs).
+    notes: dict = {}
+    try:
+        from jodie_spark.operators.ivf import train_centroids
+        from jodie_spark.operators.semantic_dedup import (
+            semantic_candidate_pairs,
+            semantic_dedup,
+        )
+
+        aug = entrymod._planted_embeddings(spark, sf_dir)
+        t0 = time.time()
+        train_centroids(aug, "embedding", n_centroids=8)
+        t_train = time.time() - t0
+        t0 = time.time()
+        n_pairs = semantic_candidate_pairs(
+            aug, "embedding", "vec_id", n_clusters=8, threshold=0.9
+        ).count()
+        t_pairs = time.time() - t0
+        t0 = time.time()
+        semantic_dedup(aug, "embedding", "vec_id", n_clusters=8, threshold=0.9).count()
+        t_full = time.time() - t0
+        notes["semantic_dedup_phases"] = {
+            "train_centroids_sec": round(t_train, 3),
+            "candidate_pairs_sec": round(t_pairs, 3),
+            "full_dedup_sec": round(t_full, 3),
+            "election_sec_approx": round(max(t_full - t_pairs, 0.0), 3),
+            "n_pairs": n_pairs,
+        }
+    except Exception as e:  # profiling must never fail the bench
+        notes["semantic_dedup_phases"] = {"error": str(e)}
+
     print(
         json.dumps(
             {
@@ -164,6 +197,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "notes": notes,
             }
         )
     )

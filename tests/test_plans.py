@@ -117,10 +117,12 @@ def test_ivf_cell_partition_pruning(spark, tmpdir_path):
     assert probe.count() == expected
 
 
-def test_semantic_pairs_cell_exchange_carries_ids_only(spark):
-    """VERDICT r3: the within-cluster candidate join must shuffle
-    (cell, id) pairs — the vectors join back by id afterwards, so no
-    Exchange hash-partitioned on `cell` may carry a vector column."""
+def test_semantic_pairs_single_cell_shuffle_no_joins(spark):
+    """Round-5 shape: the within-cluster quadratic step runs inside one
+    applyInPandas grouped by cell — each vector crosses the wire exactly
+    once (one hash Exchange on cell) and there is NO candidate-pair join
+    at all downstream (the r3/r4 design still materialized (n/k)²·k
+    pair rows through two join-backs)."""
     import re
 
     import numpy as np
@@ -135,11 +137,11 @@ def test_semantic_pairs_cell_exchange_carries_ids_only(spark):
         df, "embedding", "vec_id", n_clusters=4, threshold=0.5, sample_size=60
     )
     plan = _plan(q)
-    cell_exchanges = re.findall(
-        r"Exchange hashpartitioning\(cell[^\n]*", plan
-    )
-    assert cell_exchanges, plan  # the cluster join does shuffle on cell
-    bad = [e for e in cell_exchanges if "v_a" in e or "v_b" in e or " v#" in e]
-    assert not bad, bad
+    cell_exchanges = re.findall(r"Exchange hashpartitioning\(cell[^\n]*", plan)
+    assert len(cell_exchanges) == 1, plan  # vectors shuffle once, grouped by cell
+    assert "FlatMapGroupsInPandas" in plan, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, plan
     # sanity: results still produced
     assert q.count() >= 0

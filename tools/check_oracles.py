@@ -60,9 +60,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, str] = {}
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
+        results[name] = "FAIL"
         try:
             sdf = fn(spark, SF_DIR)
             scols = sorted(sdf.columns)
@@ -74,6 +76,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
+            results[name] = "ROWS-ONLY"
             continue
         try:
             res = con.execute(oracles[name])
@@ -106,7 +109,20 @@ def main() -> int:
             failures += 1
             continue
         print(f"PASS {name}: {len(srows)} rows")
+        results[name] = "PASS"
+    # Final machine-readable summary: survives Spark's \r progress-bar
+    # interleaving that can swallow individual PASS lines on a shared tty.
+    import json
+
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    summary = {
+        "checked": len(results),
+        "pass": sum(1 for v in results.values() if v == "PASS"),
+        "rows_only": sum(1 for v in results.values() if v == "ROWS-ONLY"),
+        "fail": sorted(k for k, v in results.items() if v == "FAIL"),
+        "sf_dir": SF_DIR,
+    }
+    print("ORACLE_SUMMARY " + json.dumps(summary, sort_keys=True))
     return 1 if failures else 0
 
 
