@@ -1151,17 +1151,25 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-mode multimodal decode: per doc, synthesize an actual
-    24-bit BMP (dims a function of doc_id) and a PCM WAV, then decode
-    both through the Arrow-batched operators. The oracle checks the
-    decoded dims, the closed-form BMP byte size (54 + padded-row×h),
-    and the WAV duration arithmetic — real header parsing, no hashes."""
+    """REAL-mode multimodal decode: per doc, synthesize an actual image
+    — 24-bit BMP (doc_id%3=0), 8-bit RGB PNG (=1), or grayscale PNG
+    (=2), PNG scanline filter doc_id%5 so all five unfilter paths run
+    in-query — plus a PCM WAV, then decode everything through the
+    Arrow-batched operators. The oracle checks decoded dims, the
+    gradient pixel-value sum (proves filter/row reconstruction, closed
+    form in doc_id), the BMP byte size (54 + padded-row×h; PNG's zlib
+    length is not SQL-expressible so n_bytes is NULL there), and the
+    WAV duration arithmetic — real parsing, no hashes."""
     from collections.abc import Iterator as _It
 
     import numpy as _np
     import pandas as _pd
 
-    from jodie_spark.operators.multimodal import decode_audio, decode_images
+    from jodie_spark.operators.multimodal import (
+        decode_audio,
+        decode_images,
+        image_pixel_stats,
+    )
     from jodie_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
@@ -1175,15 +1183,24 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        from jodie_spark.operators.codecs import encode_bmp, encode_wav
+        from jodie_spark.operators.codecs import encode_bmp, encode_png, encode_wav
 
         for pdf in it:
             imgs, wavs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 13, 3 + did % 7
-                px = _np.full((h, w, 3), did % 256, dtype=_np.uint8)
-                imgs.append(encode_bmp(px))
+                yy, xx = _np.mgrid[0:h, 0:w]
+                base = did + 7 * yy + 3 * xx  # gradient: filters see real deltas
+                fmt = did % 3
+                if fmt == 2:
+                    gray = (base % 256).astype(_np.uint8)
+                    imgs.append(encode_png(gray, filters=did % 5))
+                else:
+                    px = ((base[:, :, None] + _np.arange(3)) % 256).astype(_np.uint8)
+                    imgs.append(
+                        encode_bmp(px) if fmt == 0 else encode_png(px, filters=did % 5)
+                    )
                 n = 500 + did % 300
                 wavs.append(
                     encode_wav(_np.zeros((n, 1), dtype=_np.int16), 8000)
@@ -1194,13 +1211,17 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_synth, media_schema)
     decoded = decode_images(media, binary_col="data", mode="real")
+    decoded = image_pixel_stats(decoded, binary_col="data", mode="real")
     decoded = decode_audio(decoded, binary_col="audio", mode="real")
     return decoded.select(
         "doc_id",
         "width",
         "height",
         "n_pixels",
-        F.length("data").cast("long").alias("n_bytes"),
+        "px_sum",
+        F.when(F.col("doc_id") % 3 == 0, F.length("data"))
+        .cast("long")
+        .alias("n_bytes"),
         "sample_rate",
         F.col("n_samples"),
         "duration_ms",
@@ -3064,24 +3085,41 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "multimodal_decode": """
-            -- real-codec oracle: BMP size is 54 + padded_row*h with
-            -- padded_row = floor((3w+3)/4)*4; WAV duration is
-            -- n_samples*1000/8000 — both closed-form in doc_id
+            -- real-codec oracle: px_sum recomputes the synthesized
+            -- gradient (did + 7y + 3x [+ c]) % 256 over every decoded
+            -- pixel (gray replicates to 3 channels), proving PNG
+            -- filter / BMP row reconstruction; BMP size is 54 +
+            -- padded_row*h (PNG zlib length → NULL); WAV duration is
+            -- n_samples*1000/8000 — all closed-form in doc_id
             WITH m AS (
-                SELECT doc_id,
+                SELECT doc_id, doc_id % 3 AS fmt,
                        CAST(4 + doc_id % 13 AS INTEGER) AS width,
                        CAST(3 + doc_id % 7 AS INTEGER) AS height,
                        CAST(500 + doc_id % 300 AS BIGINT) AS n_samples
                 FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT m.doc_id,
+                       SUM(CASE WHEN m.fmt = 2
+                           THEN 3 * ((m.doc_id + 7*y.y + 3*x.x) % 256)
+                           ELSE (m.doc_id + 7*y.y + 3*x.x) % 256
+                              + (m.doc_id + 7*y.y + 3*x.x + 1) % 256
+                              + (m.doc_id + 7*y.y + 3*x.x + 2) % 256
+                           END) AS px_sum
+                FROM m,
+                     LATERAL (SELECT unnest(generate_series(0, m.height - 1)) AS y) y,
+                     LATERAL (SELECT unnest(generate_series(0, m.width - 1)) AS x) x
+                GROUP BY m.doc_id
             )
-            SELECT doc_id, width, height,
+            SELECT m.doc_id, width, height,
                    CAST(width * height AS BIGINT) AS n_pixels,
-                   CAST(54 + ((3 * width + 3) // 4 * 4) * height AS BIGINT)
-                       AS n_bytes,
+                   CAST(px.px_sum AS BIGINT) AS px_sum,
+                   CASE WHEN m.fmt = 0
+                        THEN CAST(54 + ((3 * width + 3) // 4 * 4) * height AS BIGINT)
+                   END AS n_bytes,
                    CAST(8000 AS INTEGER) AS sample_rate,
                    n_samples,
                    CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms
-            FROM m
+            FROM m JOIN px ON m.doc_id = px.doc_id
         """,
         "similarity_topk": """
             SELECT vec_id FROM embeddings

@@ -1,13 +1,14 @@
 """Dependency-free baseline media codecs (pure Python + numpy).
 
 These make ``mode='real'`` in :mod:`jodie_spark.operators.multimodal`
-actually exercisable in a minimal runtime: BMP (24-bit uncompressed)
-and PPM (P6) for images, RIFF/WAVE PCM for audio, and a trivial
-"concatenated PPM" stream as a parseable video stand-in. Compressed
-formats (JPEG/PNG/MP4/...) still require external libraries — the
-decode functions raise ``ValueError`` with the sniffed format name so
-callers can route those rows to a Pillow/ffmpeg-backed decoder when
-one is available.
+actually exercisable in a minimal runtime: BMP (24-bit uncompressed),
+PPM (P6), and PNG (stdlib zlib: 8-bit non-interlaced gray / RGB /
+palette / RGBA, scanline filters 0-4 — the dominant real-corpus
+format) for images, RIFF/WAVE PCM for audio, and a trivial
+"concatenated PPM" stream as a parseable video stand-in. Formats that
+genuinely need external libraries (JPEG/MP4/...) raise ``ValueError``
+with the sniffed format name so callers can route those rows to a
+Pillow/ffmpeg-backed decoder when one is available.
 
 All functions operate on ``bytes`` and are called from Arrow-batched
 ``mapInPandas`` kernels — one Python call per ROW but with all the
@@ -142,6 +143,177 @@ def decode_ppm(b: bytes, with_pixels: bool = True):
     return w, h, raw.reshape(h, w, 3).copy()
 
 
+# ---------------------------------------------------------------------------
+# PNG — stdlib-zlib baseline: 8-bit non-interlaced, color types
+# 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
+# scanline filters 0-4.  Interlaced (Adam7) and 16-bit images refuse
+# with a clear message; JPEG still needs an external library.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filters=0) -> bytes:
+    """uint8 array → PNG bytes. ``(h, w, 3)`` → RGB, ``(h, w, 4)`` →
+    RGBA, ``(h, w)`` → grayscale; 8-bit, non-interlaced. ``filters``
+    is the per-scanline filter type (int applied to every row, or a
+    list of per-row types 0-4) — the forward filter is applied so any
+    conforming decoder reconstructs the same pixels; useful for
+    exercising the unfilter paths in tests."""
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    elif px.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif px.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {px.shape[2]}")
+    h, w = px.shape[:2]
+    flat = px.reshape(h, w * channels).astype(np.int16)
+    ftypes = [filters] * h if isinstance(filters, int) else list(filters)
+    if len(ftypes) != h:
+        raise ValueError("one filter type per scanline required")
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int16)
+    for y in range(h):
+        line, f = flat[y], ftypes[y]
+        left = np.concatenate([np.zeros(channels, np.int16), line[:-channels]])
+        upleft = np.concatenate([np.zeros(channels, np.int16), prev[:-channels]])
+        if f == 0:
+            out = line
+        elif f == 1:
+            out = line - left
+        elif f == 2:
+            out = line - prev
+        elif f == 3:
+            out = line - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = line - pred
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes, with_pixels: bool = True):
+    """PNG bytes → (width, height, rgb|None) where rgb is ``(h, w, 3)``
+    uint8 — grayscale replicates to 3 channels, alpha is dropped,
+    palette images resolve through PLTE. Supports the dominant
+    real-corpus shape (8-bit non-interlaced, filters 0-4); refuses
+    16-bit and Adam7-interlaced images with the reason."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG payload (sniffed: {sniff(b)})")
+    pos, idat, palette = 8, bytearray(), None
+    w = h = depth = color_type = interlace = None
+    n = len(b)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (got {depth}-bit)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if not with_pixels:
+        return w, h, None
+    channels = _PNG_CHANNELS[color_type]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: cumulative sum over pixels, per channel byte
+            rec = np.cumsum(line.reshape(-1, channels), axis=0) & 0xFF
+            rec = rec.reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential on the left pixel
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - channels] if i >= channels else 0
+                up = prev[i]
+                if f == 3:
+                    rec[i] = (line[i] + ((a + up) >> 1)) & 0xFF
+                else:
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    arr = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = palette[arr[:, :, 0]]
+    elif color_type == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif color_type == 4:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif color_type == 6:
+        rgb = arr[:, :, :3]
+    else:
+        rgb = arr
+    return w, h, np.ascontiguousarray(rgb)
+
+
 def decode_image(b: bytes, with_pixels: bool = True):
     """Route to the matching baseline decoder; raise for formats that
     need an external library (callers surface the format name)."""
@@ -150,8 +322,10 @@ def decode_image(b: bytes, with_pixels: bool = True):
         return decode_bmp(b, with_pixels)
     if kind == "ppm":
         return decode_ppm(b, with_pixels)
+    if kind == "png":
+        return decode_png(b, with_pixels)
     raise ValueError(
-        f"no baseline decoder for {kind!r} — JPEG/PNG need an imaging "
+        f"no baseline decoder for {kind!r} — JPEG needs an imaging "
         "library (e.g. Pillow); route these rows to an external codec"
     )
 

@@ -6,12 +6,13 @@ pipelines, partition sizing — is real and tested. The codec layer has
 two tiers:
 
 - ``mode='real'`` decodes the dependency-free baseline formats in
-  :mod:`jodie_spark.operators.codecs` — BMP/PPM images, RIFF PCM WAV
-  audio, concatenated-PPM frame streams — entirely in numpy.
-  Compressed formats (JPEG/PNG/MP4) raise ``ValueError`` naming the
-  sniffed format; swapping in Pillow/ffmpeg changes only the inner
-  decode call, the distributed plan (Arrow batch iteration, schema,
-  partitioning) is unchanged.
+  :mod:`jodie_spark.operators.codecs` — BMP/PPM/PNG images (PNG via
+  stdlib zlib: 8-bit non-interlaced, all scanline filters), RIFF PCM
+  WAV audio, concatenated-PPM frame streams — entirely in numpy.
+  Formats that truly need external libraries (JPEG/MP4) raise
+  ``ValueError`` naming the sniffed format; swapping in Pillow/ffmpeg
+  changes only the inner decode call, the distributed plan (Arrow
+  batch iteration, schema, partitioning) is unchanged.
 - ``mode='fake'`` produces deterministic hash-derived outputs with the
   correct shapes — oracle-checkable without any binary fixtures.
 """
@@ -86,6 +87,36 @@ def decode_images(
             pdf["width"] = [w for w, _ in dims]
             pdf["height"] = [h for _, h in dims]
             pdf["n_pixels"] = [w * h for w, h in dims]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_pixel_stats(
+    df: DataFrame, binary_col: str = "data", mode: str = "fake"
+) -> DataFrame:
+    """Sum of decoded pixel values (after RGB normalization) — a cheap
+    whole-image checksum proving the decode reconstructed actual pixel
+    data (PNG scanline filters, palettes, BMP row order), not just the
+    header. Same Arrow-batched mapInPandas shape as decode_images."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("px_sum", T.LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums = []
+            for b in pdf[binary_col]:
+                if mode == "real":
+                    from jodie_spark.operators.codecs import decode_image
+
+                    _w, _h, px = decode_image(bytes(b), with_pixels=True)
+                    sums.append(int(px.astype(np.int64).sum()))
+                else:
+                    h = hashlib.md5(bytes(b or b"")).digest()
+                    sums.append(int.from_bytes(h[:4], "big"))
+            pdf = pdf.copy()
+            pdf["px_sum"] = sums
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
@@ -179,7 +210,7 @@ def _real_features(b: bytes, dim: int) -> list[float]:
     )
 
     kind = sniff(b)
-    if kind in ("bmp", "ppm"):
+    if kind in ("bmp", "ppm", "png"):
         _w, _h, px = decode_image(b, with_pixels=True)
         lum = px.astype(np.float64).mean(axis=2)  # (h, w) luminance
         strip = resize_nearest(lum[:, :, None], dim, 1)[0, :, 0]
