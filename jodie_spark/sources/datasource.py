@@ -131,7 +131,14 @@ def _logical_physical_map(metadata: dict) -> dict[str, str] | None:
         to_physical_schema,
     )
 
-    if column_mapping_mode(metadata) != "name":
+    mode = column_mapping_mode(metadata)
+    if mode == "id":
+        raise ValueError(
+            "the jodie_delta datasource cannot resolve parquet field ids; "
+            "read column mapping mode=id tables with "
+            "DeltaTable.forPath(...).toDF()"
+        )
+    if mode != "name":
         return None
     logical = _St.fromJson(json.loads(metadata["schemaString"]))
     physical = to_physical_schema(logical)

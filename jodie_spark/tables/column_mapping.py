@@ -11,10 +11,17 @@ physical name alone — every column would come back null.
 Read strategy (public protocol, delta.io PROTOCOL.md "Column Mapping"):
 scan the parquet files with the PHYSICAL schema (so names resolve and
 Hive-style partition directories — also physical-named — reconstruct),
-then rename back to logical names with a positional struct cast. Mode
-``id`` (parquet field-id resolution) is refused at the protocol gate —
-supporting it needs a field-id-aware reader configuration this engine
-doesn't pin.
+then rename back to logical names with a positional struct cast.
+
+Mode ``id`` resolves data columns by parquet FIELD ID instead of name
+(the contract Iceberg-converted / UniForm tables rely on — their
+parquet column names need not match ``physicalName``): the reader
+schema carries ``parquet.field.id`` metadata copied from
+``delta.columnMapping.id`` and Spark's vectorized reader matches on it
+(``spark.sql.parquet.fieldId.read.enabled``). Partition directories
+are not parquet fields, so they still resolve by physical name.
+id-mode tables are READ-ONLY in this engine — DML/CDF/rewrites refuse
+at :meth:`DeltaTable._mapping_schemas`.
 """
 
 from __future__ import annotations
@@ -35,27 +42,40 @@ def column_mapping_mode(metadata: dict[str, Any]) -> str:
     return str(conf.get(MODE_KEY, "none"))
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+PARQUET_FIELD_ID_KEY = "parquet.field.id"
+
+
+def _physical_type(dt: T.DataType, with_field_ids: bool = False) -> T.DataType:
     if isinstance(dt, T.StructType):
-        return to_physical_schema(dt)
+        return to_physical_schema(dt, with_field_ids)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(_physical_type(dt.elementType, with_field_ids), dt.containsNull)
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType), _physical_type(dt.valueType), dt.valueContainsNull
+            _physical_type(dt.keyType, with_field_ids),
+            _physical_type(dt.valueType, with_field_ids),
+            dt.valueContainsNull,
         )
     return dt
 
 
-def to_physical_schema(schema: T.StructType) -> T.StructType:
+def to_physical_schema(
+    schema: T.StructType, with_field_ids: bool = False
+) -> T.StructType:
     """Schema with every field renamed to its recorded physical name
     (fields without an annotation keep their logical name — pre-mapping
-    columns in upgraded tables)."""
+    columns in upgraded tables). ``with_field_ids=True`` (mode=id
+    reads) additionally copies ``delta.columnMapping.id`` into the
+    ``parquet.field.id`` metadata key Spark's field-id-matching parquet
+    reader consumes."""
     fields = []
     for f in schema.fields:
-        phys = (f.metadata or {}).get(PHYSICAL_NAME_KEY, f.name)
+        md = dict(f.metadata or {})
+        phys = md.get(PHYSICAL_NAME_KEY, f.name)
+        if with_field_ids and ID_KEY in md:
+            md[PARQUET_FIELD_ID_KEY] = int(md[ID_KEY])
         fields.append(
-            T.StructField(phys, _physical_type(f.dataType), f.nullable, f.metadata)
+            T.StructField(phys, _physical_type(f.dataType, with_field_ids), f.nullable, md)
         )
     return T.StructType(fields)
 

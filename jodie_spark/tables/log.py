@@ -43,8 +43,9 @@ from jodie_spark.errors import (
 # naively, so snapshot() hard-fails on them.
 # timestampNtz is a plain parquet type the scan already handles.
 # columnMapping is supported for mode 'name' (physical-name scan +
-# logical rename, tables/column_mapping.py); mode 'id' needs parquet
-# field-id resolution and is refused by _check_read_protocol.
+# logical rename, tables/column_mapping.py) and — reads only — mode
+# 'id' (parquet field-id resolution via Spark's fieldId.read matcher;
+# mutations refuse at DeltaTable._mapping_schemas).
 # deletionVectors read support: tables/deletion_vectors.py (row-index
 # anti-filter); DML on such tables still refuses at the WRITER gate.
 # Reader version 2 == legacy columnMapping protocol (PROTOCOL.md).
@@ -57,7 +58,7 @@ SUPPORTED_READER_FEATURES = {
     # imposes a check on VACUUM implementations, not on reads
     "vacuumProtocolCheck",
 }
-_COLUMN_MAPPING_READ_MODES = {"none", "name"}
+_COLUMN_MAPPING_READ_MODES = {"none", "name", "id"}
 
 # Writer features this engine honors when COMMITTING. Writing to a
 # table whose protocol demands features we don't implement (CHECK
@@ -663,9 +664,10 @@ class DeltaLog:
         the reference (DeltaHelpers.scala et al.) gets it for free.
 
         Column mapping is readable in mode 'name' (the scan resolves
-        physical names, then renames — tables/column_mapping.py); mode
-        'id' would need parquet field-id resolution, so it is refused
-        here rather than returning all-null columns."""
+        physical names, then renames — tables/column_mapping.py) and
+        mode 'id' (data columns resolve by parquet field id through
+        Spark's fieldId.read matcher; mutations refuse downstream at
+        DeltaTable._mapping_schemas)."""
         if not protocol:
             return
         reader = int(protocol.get("minReaderVersion") or 1)

@@ -522,10 +522,16 @@ class DeltaTable:
             to_physical_schema,
         )
 
-        if column_mapping_mode(snap.metadata) == "name":
+        mode = column_mapping_mode(snap.metadata)
+        if mode in ("name", "id"):
             # scan with physical names (what the parquet files + partition
-            # dirs use), then rename back to the logical schema
-            physical = to_physical_schema(logical)
+            # dirs use), then rename back to the logical schema; in id
+            # mode the data columns additionally resolve by parquet FIELD
+            # ID (covers foreign writers whose parquet column names do
+            # not match physicalName, e.g. Iceberg-converted tables)
+            physical = to_physical_schema(logical, with_field_ids=(mode == "id"))
+            if mode == "id":
+                self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             df = read_files_df(self.spark, self.path, physical, snap.add_files())
             df = rename_to_logical(df, logical, physical)
         else:
@@ -919,13 +925,23 @@ class DeltaTable:
         self, snap: Snapshot
     ) -> tuple[T.StructType, T.StructType] | None:
         """(logical, physical) schema pair when the table uses column
-        mapping mode=name, else None."""
+        mapping mode=name, else None. Mode=id tables refuse here: every
+        mutation / CDF path consults this, and writing name-resolved
+        files into a field-id-resolved table would corrupt it for the
+        readers that own it (snapshot reads via toDF stay supported)."""
         from jodie_spark.tables.column_mapping import (
             column_mapping_mode,
             to_physical_schema,
         )
 
-        if column_mapping_mode(snap.metadata) != "name":
+        mode = column_mapping_mode(snap.metadata)
+        if mode == "id":
+            raise DeltaProtocolError(
+                "column mapping mode=id tables are read-only in this engine "
+                "(snapshot reads / time travel via toDF); DML, CDF and "
+                "rewrites require mode=name"
+            )
+        if mode != "name":
             return None
         logical = self.schema(snap)
         return logical, to_physical_schema(logical)
@@ -2926,7 +2942,13 @@ def write_delta(
         )
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
-        mapped = column_mapping_mode(snap.metadata) == "name"
+        _mode = column_mapping_mode(snap.metadata)
+        if _mode == "id":
+            raise DeltaProtocolError(
+                "appending to a column mapping mode=id table is not supported "
+                "by this engine (reads only)"
+            )
+        mapped = _mode == "name"
         conf_update: dict[str, str] | None = None
         if extra and mapped:
             # mergeSchema-added columns on a mapped table need ids +
@@ -3018,7 +3040,13 @@ def write_delta(
                 )
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
-        mapped = column_mapping_mode(snap.metadata) == "name"
+        _mode = column_mapping_mode(snap.metadata)
+        if _mode == "id":
+            raise DeltaProtocolError(
+                "overwriting a column mapping mode=id table is not supported "
+                "by this engine (reads only)"
+            )
+        mapped = _mode == "name"
         if mapped and (schema_changed or eff_partition != snap.partition_columns):
             raise JodieValidationError(
                 "schema or partitioning changes on a column-mapped table must "

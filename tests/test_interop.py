@@ -240,6 +240,277 @@ def test_reads_foreign_checkpointed_table_without_early_jsons(spark, tmpdir_path
     assert ids == [0, 1, 10, 11, 20, 21, 30, 31]
 
 
+def test_reads_foreign_ict_table_history_and_time_travel(spark, tmpdir_path):
+    """Foreign-written in-commit timestamps (delta-spark 3.3+ default):
+    history() and timestampAsOf must use the monotonic ICT values from
+    commitInfo, not file modification times — the fixture's ICTs are
+    deliberately far from the files' real mtimes."""
+    from jodie_spark.tables.table import DeltaTable
+
+    t = os.path.join(tmpdir_path, "foreign_ict")
+    proto = {
+        "protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["inCommitTimestamp"],
+        }
+    }
+    meta = _meta(
+        [("id", "long")],
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    ict0, ict1 = 1600000000000, 1600000600000  # year 2020 — nowhere near mtime
+    a0 = write_parquet(t, part_name(0), {"id": [1, 2]})
+    a1 = write_parquet(t, part_name(1), {"id": [3]})
+    ci0 = commit_info("WRITE", {"mode": "ErrorIfExists", "partitionBy": "[]"})
+    ci0["commitInfo"]["inCommitTimestamp"] = ict0
+    ci1 = commit_info("WRITE", {"mode": "Append", "partitionBy": "[]"})
+    ci1["commitInfo"]["inCommitTimestamp"] = ict1
+    write_commit(t, 0, [ci0, proto, meta, {"add": a0}])
+    write_commit(t, 1, [ci1, {"add": a1}])
+
+    table = DeltaTable.forPath(spark, t)
+    hist = {r["version"]: r["timestamp"] for r in table.history().collect()}
+    assert int(hist[0].timestamp() * 1000) == ict0
+    assert int(hist[1].timestamp() * 1000) == ict1
+    # timestampAsOf between the two ICTs resolves to v0
+    import datetime as dt
+
+    mid = dt.datetime.fromtimestamp((ict0 + 300_000) / 1000, tz=dt.timezone.utc)
+    assert sorted(r["id"] for r in table.toDF(timestamp=mid).collect()) == [1, 2]
+    assert sorted(r["id"] for r in table.toDF().collect()) == [1, 2, 3]
+
+
+def test_reads_foreign_row_tracking_table_with_lineage(spark, tmpdir_path):
+    """Foreign-written row tracking: baseRowId/defaultRowCommitVersion
+    on the adds + the delta.rowTracking high-watermark domain. The
+    withRowIds read must materialize _row_id = baseRowId + position and
+    _row_commit_version from the foreign metadata."""
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable
+
+    t = os.path.join(tmpdir_path, "foreign_rt")
+    proto = {
+        "protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }
+    }
+    meta = _meta(
+        [("id", "long")], configuration={"delta.enableRowTracking": "true"}
+    )
+    a0 = write_parquet(t, part_name(0), {"id": [10, 11, 12]})
+    a0.update(baseRowId=0, defaultRowCommitVersion=0)
+    a1 = write_parquet(t, part_name(1), {"id": [13, 14]})
+    a1.update(baseRowId=3, defaultRowCommitVersion=1)
+    write_commit(
+        t,
+        0,
+        [
+            commit_info("WRITE", {"mode": "ErrorIfExists", "partitionBy": "[]"}),
+            proto,
+            meta,
+            {"add": a0},
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps({"rowIdHighWaterMark": 2}),
+                    "removed": False,
+                }
+            },
+        ],
+    )
+    write_commit(
+        t,
+        1,
+        [
+            commit_info("WRITE", {"mode": "Append", "partitionBy": "[]"}),
+            {"add": a1},
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps({"rowIdHighWaterMark": 4}),
+                    "removed": False,
+                }
+            },
+        ],
+    )
+    register(spark)
+    df = spark.read.format("jodie_delta").option("withRowIds", "true").load(t)
+    rows = sorted(
+        (r["_row_id"], r["id"], r["_row_commit_version"]) for r in df.collect()
+    )
+    assert rows == [
+        (0, 10, 0), (1, 11, 0), (2, 12, 0), (3, 13, 1), (4, 14, 1)
+    ]
+    # and our engine continues the watermark: an append allocates 5+
+    from jodie_spark.tables.table import write_delta
+
+    write_delta(spark.createDataFrame([(15,)], "id long"), t, mode="append")
+    df2 = spark.read.format("jodie_delta").option("withRowIds", "true").load(t)
+    got = {r["id"]: r["_row_id"] for r in df2.collect()}
+    assert got[15] == 5
+    assert DeltaTable.forPath(spark, t)  # still a readable table
+
+
+def test_reads_foreign_v2_checkpoint_manifest_with_sidecars(spark, tmpdir_path):
+    """From-scratch foreign v2 checkpoint: uuid-named parquet manifest
+    holding protocol/metaData/checkpointMetadata/sidecar rows, adds
+    split across TWO sidecar files under _delta_log/_sidecars/,
+    _last_checkpoint pointing at it, and the pre-checkpoint JSONs
+    deleted — state must reconstruct from the manifest + JSON tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.table import DeltaTable
+
+    t = os.path.join(tmpdir_path, "foreign_v2cp")
+    log_dir = os.path.join(t, "_delta_log")
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta_action = _meta([("id", "long")])["metaData"]
+    adds = []
+    for v in range(3):
+        a = write_parquet(t, part_name(v), {"id": [v * 10, v * 10 + 1]})
+        acts = [commit_info("WRITE", {"mode": "Append", "partitionBy": "[]"})]
+        if v == 0:
+            acts += [{"protocol": proto}, {"metaData": meta_action}]
+        acts.append({"add": a})
+        write_commit(t, v, acts)
+        adds.append(a)
+    # v2 checkpoint at version 2, adds split across two sidecars
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", str_map), ("size", pa.int64()),
+         ("modificationTime", pa.int64()), ("dataChange", pa.bool_()),
+         ("stats", pa.string())]
+    )
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir)
+    side_names = []
+    for chunk in (adds[:2], adds[2:]):
+        nm = f"{uuid.uuid4()}.parquet"
+        rows = [
+            {"add": {"path": a["path"], "partitionValues": {}, "size": a["size"],
+                     "modificationTime": 0, "dataChange": False, "stats": None}}
+            for a in chunk
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa.schema([("add", add_t)])),
+            os.path.join(sidecar_dir, nm),
+        )
+        side_names.append(nm)
+    meta_t = pa.struct(
+        [("id", pa.string()),
+         ("format", pa.struct([("provider", pa.string()), ("options", str_map)])),
+         ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
+         ("configuration", str_map), ("createdTime", pa.int64())]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+         ("readerFeatures", pa.list_(pa.string())), ("writerFeatures", pa.list_(pa.string()))]
+    )
+    manifest_rows = [
+        {"protocol": proto},
+        {"metaData": meta_action},
+        {"checkpointMetadata": {"version": 2}},
+    ] + [
+        {"sidecar": {"path": nm,
+                     "sizeInBytes": os.path.getsize(os.path.join(sidecar_dir, nm)),
+                     "modificationTime": 0}}
+        for nm in side_names
+    ]
+    schema = pa.schema(
+        [("protocol", proto_t), ("metaData", meta_t),
+         ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+         ("sidecar", pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64()),
+                                ("modificationTime", pa.int64())]))]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(manifest_rows, schema=schema),
+        os.path.join(log_dir, f"{2:020d}.checkpoint.{uuid.uuid4()}.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 2}))
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    # a post-checkpoint JSON commit must still replay on top
+    a3 = write_parquet(t, part_name(3), {"id": [30, 31]})
+    write_commit(
+        t, 3, [commit_info("WRITE", {"mode": "Append", "partitionBy": "[]"}), {"add": a3}]
+    )
+    table = DeltaTable.forPath(spark, t)
+    ids = sorted(r["id"] for r in table.toDF().collect())
+    assert ids == [0, 1, 10, 11, 20, 21, 30, 31]
+
+
+def test_reads_foreign_cdf_table(spark, tmpdir_path):
+    """Foreign-written Change Data Feed: a cdc action under
+    _change_data/ for an UPDATE plus plain adds for the initial WRITE —
+    read_cdf must synthesize v0 inserts from the add and surface the
+    foreign cdc rows verbatim (ChangeDataFeedHelper operates on
+    arbitrary existing tables)."""
+    from jodie_spark.operators.cdf import read_cdf
+
+    t = os.path.join(tmpdir_path, "foreign_cdf")
+    meta = _meta(
+        [("id", "long"), ("v", "string")],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    f1 = part_name(0)
+    a1 = write_parquet(t, f1, {"id": [1, 2], "v": ["a", "b"]})
+    write_commit(
+        t,
+        0,
+        [
+            commit_info("WRITE", {"mode": "ErrorIfExists", "partitionBy": "[]"}),
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            meta,
+            {"add": a1},
+        ],
+    )
+    # v1: UPDATE id=2 → v='B' with foreign-written cdc file
+    f2 = part_name(1)
+    a2 = write_parquet(t, f2, {"id": [1, 2], "v": ["a", "B"]})
+    cdc_rel = f"_change_data/{part_name(9)}"
+    cdc_add = write_parquet(
+        t,
+        cdc_rel,
+        {
+            "id": [2, 2],
+            "v": ["b", "B"],
+            "_change_type": ["update_preimage", "update_postimage"],
+        },
+    )
+    write_commit(
+        t,
+        1,
+        [
+            commit_info("UPDATE", {"predicate": "(id = 2)"}),
+            {"remove": {"path": f1, "deletionTimestamp": 1700000003000, "dataChange": True}},
+            {"add": a2},
+            {"cdc": {"path": cdc_rel, "partitionValues": {}, "size": cdc_add["size"],
+                     "dataChange": False}},
+        ],
+    )
+    changes = read_cdf(spark, t, starting_version=0, ending_version=1)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in changes.collect()
+    )
+    assert got == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # jodie_spark → foreign reader
 # ---------------------------------------------------------------------------

@@ -106,7 +106,9 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     cm = mk_log("cm_table", {"minReaderVersion": 2, "minWriterVersion": 5})
     assert DeltaTable.forPath(spark, cm).snapshot().version == 0
 
-    # ...but mode 'id' needs parquet field-id resolution → refuse
+    # ...mode 'id' is readable since round 5 (parquet field-id
+    # resolution — see test_column_mapping_id_read) but mutations
+    # refuse at _mapping_schemas
     id_mode = mk_log("cm_id_table", {"minReaderVersion": 2, "minWriterVersion": 5})
     log_file = os.path.join(id_mode, "_delta_log", "%020d.json" % 0)
     lines = open(log_file).read().splitlines()
@@ -115,8 +117,9 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     with open(log_file, "w") as fh:
         fh.write(lines[0] + "\n")
         fh.write(json.dumps(meta_action) + "\n")
-    with pytest.raises(DeltaProtocolError, match="column mapping mode 'id'"):
-        DeltaTable.forPath(spark, id_mode).snapshot()
+    assert DeltaTable.forPath(spark, id_mode).snapshot().version == 0
+    with pytest.raises(DeltaProtocolError, match="read-only"):
+        DeltaTable.forPath(spark, id_mode).delete("k = 1")
 
     # v3 with only supported features is fine
     ok = mk_log("ok_table", {
@@ -592,6 +595,133 @@ def test_column_mapping_name_read(spark, tmpdir_path):
         for r in DeltaTable.forPath(spark, path2).toDF().collect()
     )
     assert rows2 == rows
+
+
+def _mk_id_mapped_table(tmpdir_path, spark):
+    """Hand-built mode=id table the way a FOREIGN field-id writer (e.g.
+    an Iceberg-converted / UniForm table) produces it: the parquet
+    column NAMES deliberately do not match physicalName — only the
+    parquet field ids line up with delta.columnMapping.id, so name
+    resolution would return all-null and only id resolution succeeds.
+    Includes a nested struct field and a physical-named partition dir."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tmpdir_path, "id_mapped")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def fmeta(cid, phys):
+        return {"delta.columnMapping.id": cid, "delta.columnMapping.physicalName": phys}
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": fmeta(1, "col-aa")},
+                {
+                    "name": "info",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "score", "type": "double", "nullable": True, "metadata": fmeta(3, "col-cc")},
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": fmeta(2, "col-bb"),
+                },
+                {"name": "part", "type": "string", "nullable": True, "metadata": fmeta(4, "col-dd")},
+            ],
+        }
+    )
+
+    def fid(name, typ, i):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(i).encode()})
+
+    arrow_schema = pa.schema(
+        [
+            fid("zz_one", pa.int64(), 1),
+            fid("zz_two", pa.struct([fid("zz_three", pa.float64(), 3)]), 2),
+        ]
+    )
+    adds = []
+    for pv, ids in (("x", [1, 2]), ("y", [3])):
+        rel_dir = f"col-dd={pv}"
+        os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/part-0.parquet"
+        tbl = pa.table(
+            {
+                "zz_one": pa.array(ids, pa.int64()),
+                "zz_two": pa.array(
+                    [{"zz_three": float(i) / 2} for i in ids],
+                    arrow_schema.field(1).type,
+                ),
+            },
+            schema=arrow_schema,
+        )
+        pq.write_table(tbl, os.path.join(path, rel))
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": {"col-dd": pv},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        )
+    meta = {
+        "id": "idm1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": ["col-dd"],
+        "configuration": {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "4",
+        },
+        "createdTime": 0,
+    }
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+    return path
+
+
+def test_column_mapping_id_read(spark, tmpdir_path):
+    path = _mk_id_mapped_table(tmpdir_path, spark)
+    t = DeltaTable.forPath(spark, path)
+    df = t.toDF()
+    assert [f.name for f in df.schema.fields] == ["id", "info", "part"]
+    rows = sorted((r["id"], r["info"]["score"], r["part"]) for r in df.collect())
+    assert rows == [(1, 0.5, "x"), (2, 1.0, "x"), (3, 1.5, "y")]
+
+
+def test_column_mapping_id_writes_and_cdf_refuse(spark, tmpdir_path):
+    """Mutations on an id-mode table would write name-resolved files
+    into a field-id-resolved layout — every write surface must refuse
+    loudly, and the datasource reader (no field-id matcher) must route
+    to toDF()."""
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.sources.datasource import register
+
+    path = _mk_id_mapped_table(tmpdir_path, spark)
+    t = DeltaTable.forPath(spark, path)
+    with pytest.raises(DeltaProtocolError, match="read-only"):
+        t.delete("id = 1")
+    with pytest.raises(DeltaProtocolError, match="read-only"):
+        t.update("id > 0", {"id": "id + 1"})
+    with pytest.raises(DeltaProtocolError, match="mode=id"):
+        write_delta(
+            spark.createDataFrame([(9, (9.0,), "x")], t.toDF().schema),
+            path,
+            mode="append",
+        )
+    register(spark)
+    with pytest.raises(Exception, match="field id"):
+        spark.read.format("jodie_delta").load(path).collect()
 
 
 def _mk_dv_table(tmpdir_path, name="dvt"):
