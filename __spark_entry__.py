@@ -1406,6 +1406,121 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup under the value oracle: documents
+    plus re-deliveries (every third doc re-sent 5 minutes later under a
+    new delivery id) stream from a jodie_delta source through
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint; the
+    availableNow trigger drains deterministically. Survivors project to
+    fingerprints only (which delivery survives is arbitrary, which
+    CONTENT survives is not) — the oracle is one row per distinct
+    normalized-content md5 of the original corpus: if the stream failed
+    to drop a re-delivery its fingerprint would appear twice and the
+    row count would mismatch."""
+    import uuid as _uuid
+
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.dedup import streaming_exact_dedup
+    from jodie_spark.tables.table import write_delta
+
+    register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("ts"),
+    )
+    redelivered = docs.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("ts"),
+    )
+    src = _tmp("stream_dd_src")
+    write_delta(docs.unionByName(redelivered), src)
+    stream = spark.readStream.format("jodie_delta").load(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deduped = streaming_exact_dedup(
+        stream, "text", ts_col="ts", watermark="10 minutes", keep_fingerprint=True
+    )
+    name = f"sdd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tmp("stream_dd_ck"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(F.col("__fp__").alias("fp"))
+
+
+def _q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-apply merge sink under the value oracle: a change feed
+    (updates for custkey%10=0, deletes for custkey%7=0, inserts of new
+    keys for custkey%50=0, out-of-order sequence numbers) streams from
+    a jodie_delta source and MERGEs into a pre-created customer
+    snapshot via foreachBatch (last-wins per key by seq — a key with
+    both an update and a later delete ends deleted). The final table
+    state is closed-form in c_custkey, which is exactly what the
+    oracle states."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_custkey <= 500")
+        .select(
+            "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+        )
+    )
+    tgt = _tmp("cdc_apply_tgt")
+    write_delta(cust.withColumn("seq", F.lit(1).cast("int")), tgt)
+
+    updates = cust.filter("c_custkey % 10 = 0").select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit(2).cast("int").alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = cust.filter("c_custkey % 7 = 0").select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(3).cast("int").alias("seq"),
+        F.lit(True).alias("deleted"),
+    )
+    inserts = cust.filter("c_custkey % 50 = 0").select(
+        (F.col("c_custkey") + 100_000).alias("c_custkey"),
+        F.concat(F.lit("new account "), F.col("c_custkey")).alias("c_name"),
+        F.col("c_custkey").cast("double").alias("c_acctbal"),
+        F.lit(2).cast("int").alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    src = _tmp("cdc_apply_src")
+    write_delta(updates.unionByName(deletes).unionByName(inserts), src)
+    q = write_stream_merge_to_delta(
+        spark.readStream.format("jodie_delta").load(src),
+        tgt,
+        _tmp("cdc_apply_ck"),
+        keys=["c_custkey"],
+        sequence_col="seq",
+        delete_col="deleted",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return DeltaTable.forPath(spark, tgt).toDF().select(
+        "c_custkey", "c_name", "c_acctbal", "seq"
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import sessionize
@@ -1944,13 +2059,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_of_join": _q_as_of_join,
         "range_join": _q_range_join,
         "similarity_topk": _q_similarity_topk,
-        "ann_index_topk": _q_ann_index_topk,
         "dv_merge": _q_dv_merge,
         "sql_dml": _q_sql_dml,
         "multimodal_decode": _q_multimodal_decode,
         "pipeline_e2e": _q_pipeline_e2e,
-        "datasource_roundtrip": _q_datasource_roundtrip,
+        # --- NEW round-5 streaming oracles (49-50) ---
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
         # --- position 51+: overflow — driver-green in r3/r4 or rows-only by design ---
+        "ann_index_topk": _q_ann_index_topk,
+        "datasource_roundtrip": _q_datasource_roundtrip,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
@@ -3051,6 +3169,37 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                 ORDER BY doc_id) = 1
+        """,
+        "streaming_dedup": """
+            -- one stream survivor per distinct normalized content:
+            -- re-deliveries share the original's fingerprint, so the
+            -- survivor fingerprint set is the corpus's distinct set
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents GROUP BY 1
+        """,
+        "streaming_cdc_apply": """
+            -- final table state after applying the change feed with
+            -- last-wins-by-seq: %7 keys deleted (delete seq 3 beats
+            -- update seq 2), %10 keys updated (+100, seq 2), %50 keys
+            -- re-inserted under key+100000
+            WITH base AS (
+                SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+                FROM customer WHERE c_custkey <= 500
+            ), kept AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 10 = 0 THEN bal + 100 ELSE bal END
+                           AS c_acctbal,
+                       CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS INTEGER)
+                           AS seq
+                FROM base WHERE c_custkey % 7 <> 0
+            ), ins AS (
+                SELECT c_custkey + 100000 AS c_custkey,
+                       'new account ' || c_custkey AS c_name,
+                       CAST(c_custkey AS DOUBLE) AS c_acctbal,
+                       CAST(2 AS INTEGER) AS seq
+                FROM base WHERE c_custkey % 50 = 0
+            )
+            SELECT * FROM kept UNION ALL SELECT * FROM ins
         """,
         "token_count": """
             SELECT doc_id,

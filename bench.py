@@ -126,6 +126,8 @@ def main() -> None:
         "kmeans_clusters",
         "streaming_window_counts",
         "streaming_sessionize",
+        "streaming_dedup",
+        "streaming_cdc_apply",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

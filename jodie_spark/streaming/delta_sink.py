@@ -18,9 +18,12 @@ def write_stream_to_delta(
     checkpoint_location: str,
     partition_by: list[str] | None = None,
     query_name: str | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Start a streaming query appending each micro-batch to the Delta
-    table at ``path`` (created on first batch)."""
+    table at ``path`` (created on first batch). ``available_now=True``
+    drains everything currently available then terminates — the
+    batch-backfill / oracle-check mode."""
     from jodie_spark.tables.log import DeltaLog
     from jodie_spark.tables.table import write_delta
 
@@ -35,6 +38,8 @@ def write_stream_to_delta(
     )
     if query_name:
         writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
@@ -47,6 +52,7 @@ def write_stream_merge_to_delta(
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
     query_name: str | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Streaming upsert (CDC-apply) sink: each micro-batch MERGEs into
     the Delta table at ``path`` on ``keys`` — the foreachBatch pattern
@@ -107,4 +113,6 @@ def write_stream_merge_to_delta(
     )
     if query_name:
         writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
