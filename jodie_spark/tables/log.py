@@ -650,6 +650,7 @@ class DeltaLog:
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
         self._check_read_protocol(protocol, metadata)
+        self._verify_version_checksum(target, files)
         return Snapshot(target, metadata, protocol, files, tombstones, domains)
 
     def _check_read_protocol(
@@ -1062,8 +1063,116 @@ class DeltaLog:
         # the table's config at `version` is now known — prime the cache
         # so the NEXT commit (reading at `version`) skips its log scan
         self._commit_config_cache = (version, dict(config or {}), ict_enabled)
+        self._write_version_checksum(version, actions)
         self._maybe_checkpoint(version)
         return version
+
+    # -- version checksums (<version>.crc) ---------------------------------
+
+    def _crc_path(self, version: int) -> str:
+        return os.path.join(self.log_path, f"{version:020d}.crc")
+
+    def _write_version_checksum(self, version: int, actions: list[dict[str, Any]]) -> None:
+        """Best-effort ``<version>.crc`` in delta-spark's VersionChecksum
+        shape (tableSizeBytes / numFiles / metadata / protocol),
+        computed INCREMENTALLY from the previous version's checksum so a
+        commit stays O(actions), never O(state). Skipped — silently,
+        the checksum is advisory — when the chain is broken (no
+        predecessor .crc, foreign commits in between, or a remove
+        without a recorded size); checkpoints restart the chain from
+        the full state they already reconstruct."""
+        try:
+            adds = [a["add"] for a in actions if a.get("add")]
+            removes = [a["remove"] for a in actions if a.get("remove")]
+            meta = next((a["metaData"] for a in actions if a.get("metaData")), None)
+            proto = next((a["protocol"] for a in actions if a.get("protocol")), None)
+            if version == 0:
+                base_files = base_bytes = 0
+            else:
+                prev_path = self._crc_path(version - 1)
+                if not os.path.exists(prev_path):
+                    return
+                with open(prev_path, encoding="utf-8") as fh:
+                    prev = json.loads(fh.read())
+                base_files = int(prev["numFiles"])
+                base_bytes = int(prev["tableSizeBytes"])
+                meta = meta or prev.get("metadata")
+                proto = proto or prev.get("protocol")
+            if any(r.get("size") is None for r in removes):
+                return
+            if meta is None or proto is None:
+                return
+            # DML re-adds a path it also removes (DV stamping, OPTIMIZE)
+            # as remove+add pairs, so plain counts stay exact
+            crc = {
+                "tableSizeBytes": base_bytes
+                + sum(int(a.get("size") or 0) for a in adds)
+                - sum(int(r["size"]) for r in removes),
+                "numFiles": base_files + len(adds) - len(removes),
+                "numMetadata": 1,
+                "numProtocol": 1,
+                "metadata": meta,
+                "protocol": proto,
+            }
+            tmp = self._crc_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(json.dumps(crc, separators=(",", ":")))
+            os.replace(tmp, self._crc_path(version))
+        except Exception:
+            return
+
+    def _restart_checksum_chain(self, version: int) -> None:
+        """Write ``<version>.crc`` from fully-reconstructed state (one
+        replay — called only at checkpoint time, which is already
+        O(state)); heals chains broken by foreign commits or adopted
+        tables."""
+        if os.path.exists(self._crc_path(version)):
+            return
+        snap = self.snapshot(version)
+        files = snap.add_files()
+        crc = {
+            "tableSizeBytes": sum(int(a.get("size") or 0) for a in files),
+            "numFiles": len(files),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "metadata": snap.metadata,
+            "protocol": snap.protocol,
+        }
+        tmp = self._crc_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(crc, separators=(",", ":")))
+        os.replace(tmp, self._crc_path(version))
+
+    def _verify_version_checksum(
+        self, version: int, files: dict[str, dict[str, Any]]
+    ) -> None:
+        """Cross-check reconstructed state against ``<version>.crc``
+        when one exists (ours or a foreign writer's): a file-count or
+        byte-size mismatch means the log replay and the committer
+        disagree about the table's content — fail loudly rather than
+        serve wrong rows."""
+        p = self._crc_path(version)
+        if not os.path.exists(p):
+            return
+        try:
+            with open(p, encoding="utf-8") as fh:
+                crc = json.loads(fh.read())
+        except (OSError, ValueError):
+            return  # unreadable checksum: advisory, ignore
+        nf = crc.get("numFiles")
+        if isinstance(nf, int) and nf != len(files):
+            raise DeltaProtocolError(
+                f"{self.table_path}@{version}: version checksum mismatch — "
+                f".crc records numFiles={nf}, log replay found {len(files)}"
+            )
+        tb = crc.get("tableSizeBytes")
+        if isinstance(tb, int):
+            actual = sum(int(a.get("size") or 0) for a in files.values())
+            if tb != actual:
+                raise DeltaProtocolError(
+                    f"{self.table_path}@{version}: version checksum mismatch — "
+                    f".crc records tableSizeBytes={tb}, log replay found {actual}"
+                )
 
     def checkpoint_interval(self, snapshot: Snapshot | None = None) -> int:
         try:
@@ -1084,6 +1193,9 @@ class DeltaLog:
         if interval > 0 and version % interval == 0:
             try:
                 self.write_checkpoint(version)
+                # checkpointing already paid one O(state) replay — use
+                # the moment to heal a broken .crc chain
+                self._restart_checksum_chain(version)
                 cfg = self.table_info(version).configuration
                 if str(cfg.get(EXPIRED_CLEANUP_PROP, "true")).lower() == "true":
                     # delta's post-checkpoint metadata cleanup (30-day
@@ -1137,6 +1249,10 @@ class DeltaLog:
                 continue
             os.remove(f)
             deleted.append(f)
+            crc = self._crc_path(v)
+            if os.path.exists(crc):  # checksum travels with its commit
+                os.remove(crc)
+                deleted.append(crc)
 
         removable = [
             v

@@ -1,0 +1,134 @@
+"""Version checksums (<version>.crc, delta-spark's VersionChecksum):
+written incrementally per commit, verified on snapshot, healed at
+checkpoints, cleaned up with their commit JSONs."""
+
+import json
+import os
+import time
+
+import pytest
+
+from jodie_spark.errors import DeltaProtocolError
+from jodie_spark.tables.log import DeltaLog
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+
+def _crc(log, v):
+    p = log._crc_path(v)
+    assert os.path.exists(p), f"missing {p}"
+    with open(p) as fh:
+        return json.loads(fh.read())
+
+
+def test_crc_written_incrementally_and_accurate(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.range(10).selectExpr("id", "id * 2 as v"), p)
+    write_delta(spark.range(10, 15).selectExpr("id", "id * 2 as v"), p, mode="append")
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id < 3")
+    t.update("id = 12", {"v": "0"})
+    log = DeltaLog(p)
+    for v in range(4):
+        snap = log.snapshot(v)
+        files = snap.add_files()
+        crc = _crc(log, v)
+        assert crc["numFiles"] == len(files)
+        assert crc["tableSizeBytes"] == sum(int(a["size"]) for a in files)
+        assert crc["metadata"]["schemaString"] == snap.metadata["schemaString"]
+        assert crc["protocol"] == snap.protocol
+
+
+def test_crc_mismatch_fails_snapshot_loudly(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.range(5).selectExpr("id"), p)
+    log = DeltaLog(p)
+    crc = _crc(log, 0)
+    crc["numFiles"] += 1
+    with open(log._crc_path(0), "w") as fh:
+        fh.write(json.dumps(crc))
+    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+        DeltaTable.forPath(spark, p).snapshot()
+
+
+def test_foreign_crc_is_verified(spark, tmpdir_path):
+    """A .crc written by a foreign engine participates in verification:
+    a correct one reads clean, a size-lying one fails."""
+    from tests.interop_golden import commit_info, part_name, write_commit, write_parquet
+    from tests.test_interop import _meta
+
+    t = os.path.join(tmpdir_path, "foreign_crc")
+    a = write_parquet(t, part_name(0), {"id": [1, 2, 3]})
+    meta = _meta([("id", "long")])
+    write_commit(
+        t,
+        0,
+        [
+            commit_info("WRITE", {"mode": "ErrorIfExists", "partitionBy": "[]"}),
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            {"add": a},
+        ],
+    )
+    good = {
+        "tableSizeBytes": a["size"],
+        "numFiles": 1,
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": meta["metaData"],
+        "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+    }
+    crc_path = os.path.join(t, "_delta_log", "%020d.crc" % 0)
+    with open(crc_path, "w") as fh:
+        fh.write(json.dumps(good))
+    assert sorted(r["id"] for r in DeltaTable.forPath(spark, t).toDF().collect()) == [1, 2, 3]
+    bad = dict(good, tableSizeBytes=good["tableSizeBytes"] + 99)
+    with open(crc_path, "w") as fh:
+        fh.write(json.dumps(bad))
+    with pytest.raises(DeltaProtocolError, match="tableSizeBytes"):
+        DeltaTable.forPath(spark, t).snapshot()
+
+
+def test_crc_chain_heals_at_checkpoint(spark, tmpdir_path):
+    """Delete the .crc files (adopted/foreign table shape): subsequent
+    commits skip the checksum (chain broken, O(actions) stays cheap),
+    and the next checkpoint — already O(state) — restarts it."""
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(
+        spark.range(3).selectExpr("id"),
+        p,
+        options={"delta.checkpointInterval": "3"},
+    )
+    log = DeltaLog(p)
+    os.remove(log._crc_path(0))
+    write_delta(spark.range(3, 6).selectExpr("id"), p, mode="append")  # v1
+    assert not os.path.exists(log._crc_path(1))  # chain broken → skipped
+    write_delta(spark.range(6, 9).selectExpr("id"), p, mode="append")  # v2
+    write_delta(spark.range(9, 12).selectExpr("id"), p, mode="append")  # v3 → checkpoint
+    crc = _crc(log, 3)
+    snap = log.snapshot(3)
+    assert crc["numFiles"] == len(snap.add_files())
+    # and the chain continues incrementally after the heal
+    write_delta(spark.range(12, 13).selectExpr("id"), p, mode="append")  # v4
+    assert _crc(log, 4)["numFiles"] == len(log.snapshot(4).add_files())
+
+
+def test_cleanup_deletes_crc_with_commit(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(
+        spark.range(3).selectExpr("id"),
+        p,
+        options={"delta.logRetentionDuration": "interval 30 minutes"},
+    )
+    for i in range(3):
+        write_delta(spark.range(i, i + 1).selectExpr("id"), p, mode="append")
+    log = DeltaLog(p)
+    log.write_checkpoint()
+    old = time.time() - 3600
+    for v in range(3):
+        os.utime(log.commit_file_path(v), (old, old))
+    deleted = log.cleanup_expired_logs()
+    for v in range(3):
+        assert not os.path.exists(log._crc_path(v))
+        assert log.commit_file_path(v) in deleted
+    # newest state still reads
+    assert DeltaTable.forPath(spark, p).toDF().count() == 6

@@ -42,7 +42,10 @@ def test_cleanup_deletes_expired_below_checkpoint(spark, tmpdir_path):
     for v in range(3):
         _age(log.commit_file_path(v))
     deleted = log.cleanup_expired_logs()
-    assert len(deleted) == 3
+    # 3 commit JSONs + their version checksums (round 5: .crc travels
+    # with its commit)
+    assert len([d for d in deleted if d.endswith(".json")]) == 3
+    assert len([d for d in deleted if d.endswith(".crc")]) == 3
     assert log.list_commit_versions() == [3]
     # latest state still reads fine (checkpoint + tail)
     t = DeltaTable.forPath(spark, p)
