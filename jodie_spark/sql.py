@@ -384,7 +384,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
     if head == "OPTIMIZE":
         m = re.match(
-            rf"(?is)^OPTIMIZE\s+{_REF}\s*(?:WHERE\s+(?P<cond>.+?))?"
+            rf"(?is)^OPTIMIZE\s+{_REF}\s*(?P<full>FULL)?\s*(?:WHERE\s+(?P<cond>.+?))?"
             r"(?:\s*ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?$",
             s,
         )
@@ -395,8 +395,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         if m.group("cond"):
             b = b.where(m.group("cond").strip())
         if m.group("cols"):
+            if m.group("full"):
+                raise JodieValidationError("OPTIMIZE FULL cannot combine with ZORDER BY")
             cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
             b.executeZOrderBy(*cols)
+        elif m.group("full"):
+            # delta syntax: force a full re-cluster, ignoring zcube tags
+            b.executeFull()
         else:
             b.executeCompaction()
         return None

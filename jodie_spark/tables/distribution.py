@@ -68,10 +68,11 @@ _ADD_SCHEMA = T.StructType(
         T.StructField("stats", T.StringType()),
         # optional protocol fields that MUST survive state round-trips:
         # losing a DV resurrects deleted rows; losing baseRowId breaks
-        # row tracking
+        # row tracking; losing tags breaks incremental clustering
         T.StructField("deletionVector", _DV_SCHEMA),
         T.StructField("baseRowId", T.LongType()),
         T.StructField("defaultRowCommitVersion", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 _REMOVE_SCHEMA = T.StructType(
@@ -175,6 +176,7 @@ def _latest_actions_df(
             dv_struct(),
             sub("add", "baseRowId", T.LongType()),
             sub("add", "defaultRowCommitVersion", T.LongType()),
+            sub("add", "tags", str_map),
         )
         remove_struct = F.struct(
             sub("remove", "path", T.StringType()),
@@ -255,7 +257,7 @@ def _latest_actions_df(
 def files_df(spark: SparkSession, path: str) -> DataFrame:
     """Active add-files of the latest snapshot as a Spark DataFrame:
     ``[path, partitionValues, size, modificationTime, stats,
-    deletionVector, baseRowId, defaultRowCommitVersion]``.
+    deletionVector, baseRowId, defaultRowCommitVersion, tags]``.
 
     The protocol fields ride along so Spark-side DML planning never
     drops a candidate's DV descriptor (which would resurrect deleted
@@ -273,6 +275,7 @@ def files_df(spark: SparkSession, path: str) -> DataFrame:
             "add.deletionVector",
             "add.baseRowId",
             "add.defaultRowCommitVersion",
+            "add.tags",
         )
     )
 
@@ -356,6 +359,7 @@ def write_checkpoint_spark(
         F.col("add.deletionVector").alias("deletionVector"),
         F.col("add.baseRowId").alias("baseRowId"),
         F.col("add.defaultRowCommitVersion").alias("defaultRowCommitVersion"),
+        F.col("add.tags").alias("tags"),
     )
     out = state.select(
         F.when(F.col("add").isNotNull(), add_struct).alias("add"),
@@ -727,6 +731,7 @@ def write_checkpoint_v2_spark(
         F.col("add.deletionVector").alias("deletionVector"),
         F.col("add.baseRowId").alias("baseRowId"),
         F.col("add.defaultRowCommitVersion").alias("defaultRowCommitVersion"),
+        F.col("add.tags").alias("tags"),
     )
     out = state.select(
         F.when(F.col("add").isNotNull(), add_struct).alias("add"),

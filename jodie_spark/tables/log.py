@@ -179,10 +179,12 @@ _ADD_T = pa.struct(
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
         # dropping the DV from a checkpointed add resurrects its deleted
-        # rows — these three optional fields MUST round-trip
+        # rows — these optional fields MUST round-trip (tags carry
+        # clustering ZCUBE markers, ours and foreign writers')
         ("deletionVector", _DV_T),
         ("baseRowId", pa.int64()),
         ("defaultRowCommitVersion", pa.int64()),
+        ("tags", _STR_MAP),
     ]
 )
 _DOMAIN_T = pa.struct(
@@ -1348,6 +1350,7 @@ class DeltaLog:
                         "defaultRowCommitVersion": add.get(
                             "defaultRowCommitVersion"
                         ),
+                        "tags": add.get("tags"),
                     }
                 }
             )

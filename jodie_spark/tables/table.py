@@ -396,6 +396,7 @@ def plan_candidate_files(
         "deletionVector",
         "baseRowId",
         "defaultRowCommitVersion",
+        "tags",
     ).collect()
     return [
         {
@@ -418,6 +419,7 @@ def plan_candidate_files(
                 if r["defaultRowCommitVersion"] is not None
                 else {}
             ),
+            **({"tags": dict(r["tags"])} if r["tags"] is not None else {}),
         }
         for r in rows
     ]
@@ -2240,7 +2242,12 @@ class OptimizeBuilder:
         self._where = condition
         return self
 
-    def _rewrite(self, cluster_by: list[str] | None, target_file_size: int = 128 * 1024 * 1024):
+    def _rewrite(
+        self,
+        cluster_by: list[str] | None,
+        target_file_size: int = 128 * 1024 * 1024,
+        incremental: bool = False,
+    ):
         t = self.table
         snap = t.deltaLog.table_info()
         # OPTIMIZE removes files with dataChange=false — legal on
@@ -2261,9 +2268,24 @@ class OptimizeBuilder:
                 [(t.path, metrics)], "path string, metrics map<string,string>"
             )
 
+        # zcube signature: logical clustering columns, order-insensitive
+        cluster_sig = json.dumps(sorted(cluster_by)) if cluster_by else None
         if cluster_by is None:
             files = [f for f in files if int(f.get("size") or 0) < target_file_size]
             if len(files) < 2:
+                return _metrics_df({"numRemovedFiles": "0", "numAddedFiles": "0"})
+        elif incremental:
+            # liquid clustering is INCREMENTAL (delta's ZCUBE model):
+            # files already written by a clustering rewrite on the SAME
+            # columns are skipped, so OPTIMIZE cost tracks data written
+            # since the last OPTIMIZE — not table size. OPTIMIZE FULL /
+            # executeZOrderBy still rewrite everything.
+            files = [
+                f
+                for f in files
+                if (f.get("tags") or {}).get("ZCUBE_COLUMNS") != cluster_sig
+            ]
+            if not files:
                 return _metrics_df({"numRemovedFiles": "0", "numAddedFiles": "0"})
         # mapped tables: the whole rewrite runs on physical names (the
         # only logical-name inputs are cluster columns — translate them)
@@ -2325,6 +2347,17 @@ class OptimizeBuilder:
         )
         for a in adds:
             a["dataChange"] = False
+        if cluster_sig is not None:
+            # stamp the zcube so the next incremental OPTIMIZE skips
+            # these files (tags round-trip through both checkpoint
+            # writers and files_df)
+            import uuid as _uuid
+
+            zid = str(_uuid.uuid4())
+            for a in adds:
+                a["tags"] = dict(
+                    a.get("tags") or {}, ZCUBE_ID=zid, ZCUBE_COLUMNS=cluster_sig
+                )
         now_ms = int(time.time() * 1000)
         actions = lineage_actions + [{"add": a} for a in adds]
         actions += [
@@ -2355,13 +2388,24 @@ class OptimizeBuilder:
         """Bin-packing compaction — except on a liquid-clustered table,
         where OPTIMIZE re-clusters on the table's clustering columns
         (delta parity: OPTIMIZE of a clustered table is a clustering
-        rewrite, not a plain coalesce)."""
+        rewrite, not a plain coalesce — and an INCREMENTAL one: only
+        files not already in a zcube on the current clustering columns
+        rewrite, so cost tracks new data, not table size)."""
         cluster_cols = self.table.cluster_by()
         if cluster_cols:
-            return self._rewrite(cluster_cols, target_file_size)
+            return self._rewrite(cluster_cols, target_file_size, incremental=True)
         return self._rewrite(None, target_file_size)
 
     execute_compaction = executeCompaction
+
+    def executeFull(self, target_file_size: int = 128 * 1024 * 1024) -> DataFrame:
+        """OPTIMIZE ... FULL: re-cluster EVERY candidate file on the
+        table's clustering columns, ignoring zcube tags (delta's escape
+        hatch after heavy skew or an ALTER CLUSTER BY)."""
+        cluster_cols = self.table.cluster_by()
+        return self._rewrite(cluster_cols or None, target_file_size)
+
+    execute_full = executeFull
 
     def executeZOrderBy(
         self, *cols: str, target_file_size: int = 128 * 1024 * 1024

@@ -48,7 +48,7 @@ def test_files_df_matches_snapshot(spark, tmpdir_path):
     assert fdf.count() == t.snapshot().num_files()
     assert set(fdf.columns) == {
         "path", "partitionValues", "size", "modificationTime", "stats",
-        "deletionVector", "baseRowId", "defaultRowCommitVersion",
+        "deletionVector", "baseRowId", "defaultRowCommitVersion", "tags",
     }
 
 

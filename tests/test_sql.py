@@ -212,6 +212,29 @@ def test_optimize_where_partition(spark, tmpdir_path):
     assert t.toDF().count() == 8
 
 
+def test_optimize_full_reclusters_everything(spark, tmpdir_path):
+    """OPTIMIZE <tbl> FULL forces a full re-cluster on a clustered
+    table (plain OPTIMIZE is incremental and no-ops with no new data)."""
+    from jodie_spark.errors import JodieValidationError
+
+    p = os.path.join(tmpdir_path, "optfull")
+    write_delta(
+        spark.range(300).selectExpr("id", "id % 3 as v").repartition(3),
+        p,
+        cluster_by=["id"],
+    )
+    sql(spark, f"OPTIMIZE delta.`{p}`")  # clusters + tags
+    v_after_first = DeltaTable.forPath(spark, p).snapshot().version
+    sql(spark, f"OPTIMIZE delta.`{p}`")  # incremental no-op: no commit
+    assert DeltaTable.forPath(spark, p).snapshot().version == v_after_first
+    sql(spark, f"OPTIMIZE delta.`{p}` FULL")  # forced rewrite commits
+    t = DeltaTable.forPath(spark, p)
+    assert t.snapshot().version == v_after_first + 1
+    assert t.toDF().count() == 300
+    with pytest.raises(JodieValidationError, match="FULL"):
+        sql(spark, f"OPTIMIZE delta.`{p}` FULL ZORDER BY (id)")
+
+
 def test_backslash_escape_in_literal(spark, tbl):
     # Spark's default backslash escape: 'O\'Brien' — the scanner must
     # not mis-bracket the literal (ADVICE r3)
