@@ -274,6 +274,20 @@ def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id")
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022): every 15-token window
+    seen more than once corpus-wide keeps only its first occurrence;
+    later occurrences' tokens are removed from the text. md5 hashes so
+    the DuckDB oracle computes the identical election."""
+    from jodie_spark.operators.substring_dedup import remove_duplicate_substrings
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_substrings(
+        docs, "text", "doc_id", window=15, hash_fn="md5", out_col="clean_text"
+    ).select("doc_id", "clean_text", "n_tokens_removed")
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.functions.text import token_count
     from jodie_spark.sources import load_table
@@ -2055,7 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- representative family picks, driver-green r3/r4 (39-50) ---
         "minhash_dedup": _q_minhash_dedup,
         "semantic_dedup": _q_semantic_dedup,
-        "dedup_clusters": _q_dedup_clusters,
+        "substring_dedup": _q_substring_dedup,
         "as_of_join": _q_as_of_join,
         "range_join": _q_range_join,
         "similarity_topk": _q_similarity_topk,
@@ -2069,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: overflow — driver-green in r3/r4 or rows-only by design ---
         "ann_index_topk": _q_ann_index_topk,
         "datasource_roundtrip": _q_datasource_roundtrip,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
@@ -3169,6 +3184,46 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                 ORDER BY doc_id) = 1
+        """,
+        "substring_dedup": r"""
+            -- Lee et al. exact substring dedup: identical window
+            -- election (md5 of each 15-token window; first occurrence
+            -- by (doc_id, pos) is the keeper), identical covered-index
+            -- removal and whitespace-normalized reassembly
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ), wins AS (
+              SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+14], ' ')) AS h
+              FROM toks, LATERAL unnest(generate_series(1, len(w) - 14)) AS g(i)
+            ), ranked AS (
+              SELECT doc_id, pos,
+                     ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                     COUNT(*) OVER (PARTITION BY h) AS cnt
+              FROM wins
+            ), rem AS (
+              SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1
+            ), covered AS (
+              SELECT DISTINCT doc_id, idx
+              FROM rem, LATERAL unnest(generate_series(pos, pos + 14)) AS c(idx)
+            ), tokens AS (
+              SELECT doc_id, i AS idx, w[i] AS tok
+              FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+            ), kept AS (
+              SELECT t.doc_id,
+                     array_to_string(list(t.tok ORDER BY t.idx), ' ') AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM tokens t
+              ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+              GROUP BY t.doc_id
+            ), orig AS (SELECT doc_id, len(w) AS n_orig FROM toks)
+            SELECT d.doc_id,
+                   COALESCE(k.clean_text, '') AS clean_text,
+                   CAST(COALESCE(o.n_orig, 0) - COALESCE(k.n_kept, 0) AS BIGINT)
+                       AS n_tokens_removed
+            FROM documents d
+            LEFT JOIN kept k USING (doc_id)
+            LEFT JOIN orig o USING (doc_id)
         """,
         "streaming_dedup": """
             -- one stream survivor per distinct normalized content:

@@ -128,6 +128,7 @@ def main() -> None:
         "streaming_sessionize",
         "streaming_dedup",
         "streaming_cdc_apply",
+        "substring_dedup",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
