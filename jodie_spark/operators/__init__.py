@@ -61,6 +61,10 @@ from jodie_spark.operators.ann_index import (
 from jodie_spark.operators.helpers import shallow_clone
 from jodie_spark.operators.ivf import ivf_topk, train_centroids, with_ivf_assignments
 from jodie_spark.operators.line_dedup import dedup_lines, duplicate_line_stats
+from jodie_spark.operators.substring_dedup import (
+    duplicate_window_stats,
+    remove_duplicate_substrings,
+)
 from jodie_spark.operators.packing import (
     pack_sequences,
     sequence_stats,
@@ -127,6 +131,8 @@ __all__ = [
     "with_ivf_assignments",
     "dedup_lines",
     "duplicate_line_stats",
+    "duplicate_window_stats",
+    "remove_duplicate_substrings",
     "pack_sequences",
     "sequence_stats",
     "with_global_offsets",
