@@ -84,6 +84,57 @@ def test_stats_and_hash_fn_agree(corpus):
         duplicate_window_stats(corpus, hash_fn="sha1").collect()
 
 
+def _brute_force(rows, window):
+    """Independent python reference: same election, different shape."""
+    from collections import defaultdict
+
+    toks = {d: t.split() for d, t in rows if t.strip()}
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(len(w) - window + 1):
+            occ[" ".join(w[i : i + window])].append((d, i))
+    covered = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, i in sorted(positions)[1:]:
+                covered[d].update(range(i, i + window))
+    out = {}
+    for d, _t in rows:
+        w = toks.get(d, [])
+        kept = [t for i, t in enumerate(w) if i not in covered[d]]
+        out[d] = (" ".join(kept), len(w) - len(kept))
+    return out
+
+
+def test_matches_brute_force_on_random_corpora(spark):
+    """Randomized corpora with planted shared phrases: the distributed
+    pipeline must agree with an independent in-memory implementation."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(6)) for _ in range(3)]
+    rows = []
+    for d in range(12):
+        parts = []
+        for _ in range(rng.randint(0, 4)):
+            parts.append(
+                rng.choice(shared)
+                if rng.random() < 0.5
+                else " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+            )
+        rows.append((d, " ".join(parts)))
+    window = 5
+    expected = _brute_force(rows, window)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_duplicate_substrings(df, window=window).collect()
+    }
+    assert got == expected
+
+
 def test_plan_no_cartesian_no_python(corpus):
     q = remove_duplicate_substrings(corpus, window=15)
     plan = q._jdf.queryExecution().executedPlan().toString()
