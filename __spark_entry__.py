@@ -2022,9 +2022,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     16 queries that had never had a driver-green row (streaming, fulltext,
     identity/row-tracking/clustering/widening/v2-checkpoint, kmeans,
     gopher, encode, perplexity/mixture/epoch); slots 39-50 are one
-    representative per major family.  The tail (51+) holds queries already
-    driver-green in r3/r4 — all remain value-checked every round via
-    tools/check_oracles.py."""
+    representative per major family plus the three queries NEW this round
+    (substring_dedup, streaming_dedup, streaming_cdc_apply).  The tail
+    (51+) holds queries already driver-green in earlier rounds (r1-r4
+    combined cover every one of them) — all remain value-checked every
+    round via tools/check_oracles.py."""
     return {
         # --- SURVEY §2 reference-surface operators (slots 1-22) ---
         "kill_duplicate_records": _q_kill_duplicate_records,
