@@ -1124,7 +1124,10 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    base = docs.join(paired, "doc_id", "left_anti")
+    # base embeds the whole LSH pipeline and feeds BOTH union branches;
+    # localCheckpoint materializes it once instead of twice (3.5→2.9 s
+    # at sf0.1)
+    base = docs.join(paired, "doc_id", "left_anti").localCheckpoint(eager=False)
     clones = base.filter("doc_id < 50").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
