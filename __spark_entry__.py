@@ -1479,9 +1479,10 @@ def _q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC-apply merge sink under the value oracle: a change feed
     (updates for custkey%10=0, deletes for custkey%7=0, inserts of new
     keys for custkey%50=0, out-of-order sequence numbers) streams from
-    a jodie_delta source and MERGEs into a pre-created customer
-    snapshot via foreachBatch (last-wins per key by seq — a key with
-    both an update and a later delete ends deleted). The final table
+    a jodie_delta source across TWO checkpoint-resumed passes and
+    MERGEs into a pre-created customer snapshot via foreachBatch —
+    pass 2's deletes must sequence over pass 1's already-applied
+    updates (cross-batch, not within-batch last-wins). The final table
     state is closed-form in c_custkey, which is exactly what the
     oracle states."""
     from jodie_spark.sources import load_table
@@ -1521,18 +1522,30 @@ def _q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("int").alias("seq"),
         F.lit(False).alias("deleted"),
     )
+    # the feed arrives in TWO stream passes over one checkpoint: pass 1
+    # MERGEs the updates+inserts, pass 2 (resuming from the checkpoint)
+    # MERGEs the deletes — so the delete for a %70 key must sequence
+    # over the update its earlier batch already applied. This is the
+    # cross-batch CDC path, not within-batch last-wins.
     src = _tmp("cdc_apply_src")
-    write_delta(updates.unionByName(deletes).unionByName(inserts), src)
-    q = write_stream_merge_to_delta(
-        spark.readStream.format("jodie_delta").load(src),
-        tgt,
-        _tmp("cdc_apply_ck"),
-        keys=["c_custkey"],
-        sequence_col="seq",
-        delete_col="deleted",
-        available_now=True,
-    )
-    q.awaitTermination()
+    ck = _tmp("cdc_apply_ck")
+    write_delta(updates.unionByName(inserts), src)
+
+    def _drain():
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            tgt,
+            ck,
+            keys=["c_custkey"],
+            sequence_col="seq",
+            delete_col="deleted",
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    _drain()
+    write_delta(deletes, src, mode="append")
+    _drain()
     return DeltaTable.forPath(spark, tgt).toDF().select(
         "c_custkey", "c_name", "c_acctbal", "seq"
     )
