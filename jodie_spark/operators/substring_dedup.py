@@ -16,11 +16,15 @@ the removal threshold by definition):
 1. one projection builds each document's token array and the rolling
    window hashes via ``transform``/``slice``/``concat_ws`` — pure
    codegen, no UDF;
-2. one shuffle on the window hash ranks occurrences
-   (``row_number() over (partition by hash order by doc_id, pos)``);
-   every occurrence after the first is a removal. The shuffle carries
-   (hash, doc_id, pos) — 8-byte ``xxhash64`` by default, so bytes
-   shuffled ≈ 24·tokens regardless of text size;
+2. keeper election is a ``groupBy(hash).agg(count, min(struct(doc_id,
+   pos)))`` — map-side combine collapses even a pathologically hot
+   hash (corpus-wide boilerplate in millions of documents) to one row
+   per partition before the shuffle, and the join-back that marks
+   non-keepers is an equi-join AQE's skew handling can split (a
+   ``row_number() over (partition by hash)`` window would serialize
+   the hot hash into one task with no skew mitigation). The shuffle
+   carries (hash, doc_id, pos) — 8-byte ``xxhash64`` by default, so
+   bytes shuffled ≈ 24·tokens regardless of text size;
 3. removed windows explode to covered token indexes; survivors
    reassemble per document with a sort inside one aggregation.
 
@@ -30,7 +34,7 @@ spaces) — the same normalization the dedup compares with.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -65,16 +69,25 @@ def _removed_windows(
             )
         ).alias("__p0__", "__h__"),
     ).select("__id__", (F.col("__p0__") + 1).alias("pos"), "__h__")
-    by_hash = Window.partitionBy("__h__")
-    ranked = wins.select(
-        "__id__",
-        "pos",
-        F.row_number()
-        .over(by_hash.orderBy("__id__", "pos"))
-        .alias("__rn__"),
-        F.count(F.lit(1)).over(by_hash).alias("__cnt__"),
+    dup_keepers = (
+        wins.groupBy("__h__")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt__"),
+            # struct min = lexicographic (doc_id, pos): the corpus-wide
+            # first occurrence
+            F.min(F.struct("__id__", "pos")).alias("__keeper__"),
+        )
+        .filter("__cnt__ > 1")
+        .select("__h__", "__keeper__")
     )
-    return ranked.filter("__cnt__ > 1 AND __rn__ > 1").select("__id__", "pos")
+    return (
+        wins.join(dup_keepers, "__h__")
+        .filter(
+            (F.col("__id__") != F.col("__keeper__.__id__"))
+            | (F.col("pos") != F.col("__keeper__.pos"))
+        )
+        .select("__id__", "pos")
+    )
 
 
 def duplicate_window_stats(
