@@ -46,13 +46,24 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id document per *normalized-content* fingerprint
-    (case/whitespace-insensitive md5). One hash shuffle."""
-    w = Window.partitionBy("__fp__").orderBy(F.col(id_col))
-    return (
-        df.withColumn("__fp__", doc_fingerprint(F.col(text_col)))
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__fp__", "__rn__")
+    (case/whitespace-insensitive md5).
+
+    Election is ``groupBy(fp).agg(min(id))`` + semi-join, not a
+    ``row_number`` window: the shuffle carries (16-byte fp, id) pairs
+    — never the document text — and map-side combine collapses even a
+    crawl's million-copy hot fingerprint (empty pages, error pages) to
+    one row per partition before it moves."""
+    keepers = (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("__fp__"),
+            F.col(id_col).alias("__kid__"),
+        )
+        .groupBy("__fp__")
+        .agg(F.min("__kid__").alias("__kid__"))
+        .select("__kid__")
+    )
+    return df.join(
+        keepers, F.col(id_col) == F.col("__kid__"), "left_semi"
     )
 
 
@@ -372,11 +383,17 @@ def minhash_dedup(
         .withColumn("__bb__", F.explode(_banded(F.col("__sig__"), num_hashes, bands)))
         .select("__id__", F.col("__bb__.band").alias("__band__"), F.col("__bb__.bucket").alias("__bucket__"))
     )
-    w = Window.partitionBy("__band__", "__bucket__")
+    # per-bucket min via groupBy (map-side combine absorbs a hot LSH
+    # bucket — e.g. near-empty docs all hashing together) + an AQE-
+    # splittable equi-join back, instead of a min() window that pins
+    # the whole bucket into one task
+    bucket_min = sigs.groupBy("__band__", "__bucket__").agg(
+        F.min("__id__").alias("__bmin__")
+    )
     survivors = (
-        sigs.withColumn("__min_id__", F.min(F.col("__id__")).over(w))
+        sigs.join(bucket_min, ["__band__", "__bucket__"])
         .groupBy("__id__")
-        .agg(F.min("__min_id__").alias("__rep__"))
+        .agg(F.min("__bmin__").alias("__rep__"))
         .filter(F.col("__id__") == F.col("__rep__"))
         .select(F.col("__id__").alias(id_col))
     )
