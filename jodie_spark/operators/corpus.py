@@ -11,7 +11,7 @@ is one hash shuffle; MinHash dedup (opt-in) adds its bucket join. At
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jodie_spark.functions.text import _words, with_text_stats
@@ -70,11 +70,18 @@ def clean_corpus(
     )
     if languages:
         gated = gated.filter(F.col("lang_id").isin(list(languages)))
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
-    deduped = (
-        gated.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
+    # keeper election via groupBy + semi-join (not a row_number window):
+    # the shuffle carries (fingerprint, id) pairs — never document text
+    # — and map-side combine absorbs hot fingerprints (crawl boilerplate
+    # duplicated millions of times)
+    keepers = (
+        gated.select("fingerprint", F.col(id_col).alias("__kid__"))
+        .groupBy("fingerprint")
+        .agg(F.min("__kid__").alias("__kid__"))
+        .select("__kid__")
+    )
+    deduped = gated.join(
+        keepers, F.col(id_col) == F.col("__kid__"), "left_semi"
     )
     if fuzzy:
         deduped = minhash_dedup(deduped, text_col, id_col, **(fuzzy_kwargs or {}))

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jodie_spark.tables.table import DeltaTable, write_delta
@@ -80,16 +80,24 @@ def remove_duplicate_records(
     if not primary_key:
         raise ValueError("the input parameter primaryKey must not be empty")
 
+    # non-keepers via groupBy + join-back, not a row_number window: the
+    # aggregation's map-side combine collapses a hot duplicate group to
+    # one row per partition before the shuffle, and AQE can split the
+    # skewed join; only (pk, dup_cols) ever move. Rows whose dup-column
+    # values are NULL fall out of the equi-join — matching the final
+    # MERGE, whose `old.c = new.c` condition never matches NULLs either
+    # (so the old window-based selection also never deleted them)
+    groups = (
+        df.groupBy(*[F.col(c) for c in duplicate_columns])
+        .agg(F.min(primary_key).alias("__keeper__"), F.count(F.lit(1)).alias("__cnt__"))
+        .filter("__cnt__ > 1")
+        .drop("__cnt__")
+    )
     dups = (
-        df.withColumn(
-            "row_number",
-            F.row_number().over(
-                Window.partitionBy(*[F.col(c) for c in duplicate_columns]).orderBy(primary_key)
-            ),
-        )
-        .filter("row_number > 1")
-        .drop("row_number")
-        .select(primary_key, *duplicate_columns)
+        df.select(primary_key, *duplicate_columns)
+        .join(groups, list(duplicate_columns))
+        .filter(F.col(primary_key) != F.col("__keeper__"))
+        .drop("__keeper__")
         .distinct()
     )
     condition = " AND ".join(
