@@ -9,9 +9,11 @@ and :437-453 (appendWithoutDuplicates). Semantics quirks preserved:
   row per duplicate group; without one it keeps a single arbitrary
   occurrence via a whole-table overwrite — DeltaHelpers.scala:321-340.
 
-Scale: duplicate discovery is a window aggregation (one hash shuffle on
-the dup key); the deletion itself is a merge whose source is only the
-duplicated keys, so file rewriting touches only files containing dups.
+Scale: duplicate discovery is a hash aggregation with map-side combine
+(hot duplicate groups collapse before the shuffle; the keeper election
+is groupBy-min + an AQE-splittable join, never a row_number window);
+the deletion itself is a merge whose source is only the duplicated
+keys, so file rewriting touches only files containing dups.
 """
 
 from __future__ import annotations
