@@ -70,18 +70,19 @@ def clean_corpus(
     )
     if languages:
         gated = gated.filter(F.col("lang_id").isin(list(languages)))
-    # keeper election via groupBy + semi-join (not a row_number window):
-    # the shuffle carries (fingerprint, id) pairs — never document text
-    # — and map-side combine absorbs hot fingerprints (crawl boilerplate
-    # duplicated millions of times)
-    keepers = (
-        gated.select("fingerprint", F.col(id_col).alias("__kid__"))
-        .groupBy("fingerprint")
-        .agg(F.min("__kid__").alias("__kid__"))
-        .select("__kid__")
-    )
-    deduped = gated.join(
-        keepers, F.col(id_col) == F.col("__kid__"), "left_semi"
+    # keeper election via groupBy + min_by (not a row_number window):
+    # one scan (the text-stats projection runs once), one shuffle, and
+    # map-side combine absorbs hot fingerprints (crawl boilerplate
+    # duplicated millions of times) before they move
+    cols = gated.columns
+    deduped = (
+        gated.groupBy(F.col("fingerprint").alias("__fp__"))
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+            ).alias("__row__")
+        )
+        .select("__row__.*")
     )
     if fuzzy:
         deduped = minhash_dedup(deduped, text_col, id_col, **(fuzzy_kwargs or {}))

@@ -48,22 +48,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id document per *normalized-content* fingerprint
     (case/whitespace-insensitive md5).
 
-    Election is ``groupBy(fp).agg(min(id))`` + semi-join, not a
-    ``row_number`` window: the shuffle carries (16-byte fp, id) pairs
-    — never the document text — and map-side combine collapses even a
-    crawl's million-copy hot fingerprint (empty pages, error pages) to
-    one row per partition before it moves."""
-    keepers = (
-        df.select(
-            doc_fingerprint(F.col(text_col)).alias("__fp__"),
-            F.col(id_col).alias("__kid__"),
+    Election is ``groupBy(fp).agg(min_by(row, id))`` — one scan, one
+    shuffle, and (unlike a ``row_number`` window) map-side combine
+    collapses a crawl's million-copy hot fingerprint (empty pages,
+    error pages) to one candidate row per partition before anything
+    moves."""
+    cols = df.columns
+    return (
+        df.groupBy(doc_fingerprint(F.col(text_col)).alias("__fp__"))
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+            ).alias("__row__")
         )
-        .groupBy("__fp__")
-        .agg(F.min("__kid__").alias("__kid__"))
-        .select("__kid__")
-    )
-    return df.join(
-        keepers, F.col(id_col) == F.col("__kid__"), "left_semi"
+        .select("__row__.*")
     )
 
 
