@@ -145,3 +145,29 @@ def test_semantic_pairs_single_cell_shuffle_no_joins(spark):
         assert join not in plan, plan
     # sanity: results still produced
     assert q.count() >= 0
+
+
+def test_dedup_keeper_elections_use_aggregation_not_windows(spark):
+    """Round-5 skew audit contract: keeper elections must be hash
+    aggregations (map-side combine absorbs hot content keys), never a
+    row_number/min window partitioned by a content key — a window
+    serializes a million-copy hot fingerprint into one task."""
+    from jodie_spark.operators.corpus import clean_corpus
+    from jodie_spark.operators.substring_dedup import remove_duplicate_substrings
+    from jodie_spark.operators.text_dedup import exact_dedup, minhash_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i % 5} with words") for i in range(60)],
+        "doc_id long, text string",
+    )
+    cases = [
+        exact_dedup(df, "text", "doc_id"),
+        clean_corpus(df, min_quality=-1e9, min_tokens=0),
+        minhash_dedup(df, "text", "doc_id"),
+        remove_duplicate_substrings(df, window=5),
+    ]
+    for q in cases:
+        plan = _plan(q)
+        assert "Window" not in plan, plan
+        assert "Aggregate" in plan, plan  # Hash/Sort/ObjectHashAggregate
+        assert q.count() >= 0
