@@ -511,6 +511,54 @@ def test_reads_foreign_cdf_table(spark, tmpdir_path):
     ]
 
 
+def test_foreign_add_tags_survive_our_checkpoint(spark, tmpdir_path):
+    """add.tags is optional protocol metadata foreign writers rely on
+    (delta-spark's clustering ZCUBEs, backfill markers): our snapshot
+    must surface it and our checkpoint writers must not drop it."""
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable
+
+    t = os.path.join(tmpdir_path, "foreign_tags")
+    a0 = write_parquet(t, part_name(0), {"id": [1, 2]})
+    a0["tags"] = {"ZCUBE_ID": "foreign-zcube-1", "custom": "x"}
+    a1 = write_parquet(t, part_name(1), {"id": [3]})
+    write_commit(
+        t,
+        0,
+        [
+            commit_info("WRITE", {"mode": "ErrorIfExists", "partitionBy": "[]"}),
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta([("id", "long")]),
+            {"add": a0},
+            {"add": a1},
+        ],
+    )
+    log = DeltaLog(t)
+
+    def tags_by_path():
+        return {
+            a["path"]: (a.get("tags") or None)
+            for a in log.snapshot().add_files()
+        }
+
+    before = tags_by_path()
+    assert before[a0["path"]] == {"ZCUBE_ID": "foreign-zcube-1", "custom": "x"}
+    assert before[a1["path"]] is None
+    # roundtrip through BOTH checkpoint writers, dropping the JSON tail
+    for spark_side in (False, True):
+        log.write_checkpoint(spark=spark if spark_side else None)
+        assert tags_by_path() == before
+    # and a post-checkpoint commit by our engine keeps reading them
+    from jodie_spark.tables.table import write_delta
+
+    write_delta(spark.createDataFrame([(9,)], "id long"), t, mode="append")
+    after = {
+        a["path"]: (a.get("tags") or None)
+        for a in DeltaTable.forPath(spark, t).snapshot().add_files()
+    }
+    assert after[a0["path"]] == before[a0["path"]]
+
+
 # ---------------------------------------------------------------------------
 # jodie_spark → foreign reader
 # ---------------------------------------------------------------------------
