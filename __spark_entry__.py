@@ -1245,6 +1245,55 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels: per doc a
+    deterministic noise image (BMP for even ids, PNG otherwise), plus a
+    CROSS-FORMAT exact clone for every 10th doc (same pixels, the other
+    container). dHash is computed on decoded pixels, so clones collide
+    at hamming 0 whatever the format, and distinct noise images sit
+    ≥ ~18 bits apart — survivors are exactly the originals, which is
+    closed-form in doc_id."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jodie_spark.operators.image_dedup import image_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id")
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from jodie_spark.operators.codecs import encode_bmp, encode_png
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.random.default_rng(did).integers(
+                    0, 256, (16, 12, 3), dtype=_np.uint8
+                )
+                enc_a = encode_bmp(px) if did % 2 == 0 else encode_png(px, filters=did % 5)
+                ids.append(did)
+                blobs.append(enc_a)
+                if did % 10 == 0:  # exact clone in the OTHER container
+                    enc_b = (
+                        encode_png(px, filters=0) if did % 2 == 0 else encode_bmp(px)
+                    )
+                    ids.append(did + 100_000)
+                    blobs.append(enc_b)
+            yield _pd.DataFrame({"doc_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(_synth, out_schema)
+    return image_dedup(
+        media, binary_col="data", id_col="doc_id", max_hamming=2
+    ).select("doc_id")
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.corpus import clean_corpus
     from jodie_spark.sources import load_table
@@ -2088,7 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
-        "as_of_join": _q_as_of_join,
+        "image_dedup": _q_image_dedup,
         "range_join": _q_range_join,
         "similarity_topk": _q_similarity_topk,
         "dv_merge": _q_dv_merge,
@@ -2102,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": _q_ann_index_topk,
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
+        "as_of_join": _q_as_of_join,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_dedup": _q_embedding_dedup,
@@ -3202,6 +3252,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                 ORDER BY doc_id) = 1
+        """,
+        "image_dedup": """
+            -- cross-format exact image clones collide at dhash hamming
+            -- 0 and drop (higher id); deterministic-noise originals sit
+            -- far apart and all survive — closed-form in doc_id
+            SELECT doc_id FROM documents WHERE doc_id < 300
         """,
         "substring_dedup": r"""
             -- Lee et al. exact substring dedup: identical window

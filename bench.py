@@ -129,6 +129,7 @@ def main() -> None:
         "streaming_dedup",
         "streaming_cdc_apply",
         "substring_dedup",
+        "image_dedup",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -330,6 +330,24 @@ def decode_image(b: bytes, with_pixels: bool = True):
     )
 
 
+def dhash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash (dHash): grayscale → nearest-resize to
+    ``(hash_size, hash_size+1)`` → one bit per horizontal gradient
+    sign. 64 bits at the default size; near-identical images land
+    within a few bits of hamming distance regardless of the container
+    format they were encoded in. Returns a SIGNED 64-bit int (two's
+    complement) so the value round-trips Spark's LongType exactly."""
+    gray = pixels.astype(np.float64).mean(axis=2) if pixels.ndim == 3 else pixels.astype(np.float64)
+    small = resize_nearest(gray[:, :, None], hash_size + 1, hash_size)[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
 def resize_nearest(pixels: np.ndarray, w: int, h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy indexing."""
     src_h, src_w = pixels.shape[:2]

@@ -474,19 +474,21 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return pack(word_hashes)
 
 
-def simhash_dedup(
+def hamming_dedup(
     df: DataFrame,
-    text_col: str,
+    hash_col: str,
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup removal by SimHash: band the 64-bit hash into ``bands``
-    16-bit keys (pigeonhole: hamming ≤ bands-1 ⇒ at least one band
-    equal), bucket-join, verify ``bit_count(xor) ≤ max_hamming``, drop
-    the higher id of each verified pair."""
+    """Generic 64-bit-hash near-dup removal: band the hash into
+    ``bands`` equal bit-slices (pigeonhole: hamming ≤ bands-1 ⇒ at
+    least one band equal), bucket-join, verify ``bit_count(xor) ≤
+    max_hamming``, drop the higher id of each verified pair. Works on
+    any 64-bit similarity-preserving hash — text SimHash, image
+    dHash/pHash."""
     bits_per = 64 // bands
-    h = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     banded = h.select(
         "id", "sh",
         F.explode(
@@ -512,6 +514,21 @@ def simhash_dedup(
         .distinct()
     )
     return df.join(dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup removal by text SimHash — the banded
+    :func:`hamming_dedup` over :func:`simhash`."""
+    with_hash = df.withColumn("__sh__", simhash(F.col(text_col)))
+    return hamming_dedup(
+        with_hash, "__sh__", id_col, max_hamming=max_hamming, bands=bands
+    ).drop("__sh__")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Perceptual-hash image dedup: dHash kernel, cross-format collision,
+banded hamming removal, plan contract."""
+
+import numpy as np
+import pytest
+
+from jodie_spark.operators.codecs import (
+    decode_image,
+    dhash,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+)
+from jodie_spark.operators.image_dedup import image_dedup, with_image_dhash
+
+
+def _noise(seed, shape=(16, 12, 3)):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_dhash_is_format_independent():
+    px = _noise(1)
+    hashes = {
+        dhash(decode_image(encode_bmp(px))[2]),
+        dhash(decode_image(encode_ppm(px))[2]),
+        dhash(decode_image(encode_png(px, filters=2))[2]),
+    }
+    assert len(hashes) == 1  # same pixels ⇒ same hash, any container
+
+
+def test_dhash_tolerates_small_noise_but_separates_images():
+    px = _noise(2).astype(np.int16)
+    jitter = np.clip(px + np.random.default_rng(9).integers(-2, 3, px.shape), 0, 255)
+    h0 = dhash(px.astype(np.uint8))
+    h1 = dhash(jitter.astype(np.uint8))
+    close = bin((h0 ^ h1) & (2**64 - 1)).count("1")
+    far = bin((h0 ^ dhash(_noise(3))) & (2**64 - 1)).count("1")
+    assert close <= 6 < far
+
+
+def test_image_dedup_drops_cross_format_clones(spark):
+    rows = []
+    for i in range(20):
+        px = _noise(i)
+        rows.append((i, bytearray(encode_bmp(px) if i % 2 == 0 else encode_png(px, filters=i % 5))))
+        if i % 5 == 0:  # clone in the other container
+            rows.append((i + 1000, bytearray(encode_png(px) if i % 2 == 0 else encode_bmp(px))))
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = sorted(r["doc_id"] for r in image_dedup(df, max_hamming=2).collect())
+    assert out == list(range(20))  # clones gone, min-id originals kept
+
+
+def test_with_image_dhash_fake_mode_and_plan(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(b"blob-%d" % i)) for i in range(10)], "doc_id long, data binary"
+    )
+    hashed = with_image_dhash(df, mode="fake")
+    vals = [r["image_hash"] for r in hashed.collect()]
+    assert len(set(vals)) == 10  # deterministic, distinct
+    q = image_dedup(df, mode="fake", max_hamming=0)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
+        assert bad not in plan, plan
+    assert q.count() == 10  # no collisions at hamming 0
