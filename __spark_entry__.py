@@ -1258,7 +1258,7 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as _np
     import pandas as _pd
 
-    from jodie_spark.operators.image_dedup import image_dedup
+    from jodie_spark.operators.media_dedup import image_dedup
     from jodie_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id")
@@ -1290,6 +1290,50 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_synth, out_schema)
     return image_dedup(
+        media, binary_col="data", id_col="doc_id", max_hamming=2
+    ).select("doc_id")
+
+
+def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-envelope audio dedup over REAL decoded PCM: per doc a
+    deterministic amplitude-modulated noise track, plus an exact clone
+    for every 10th doc. Clones collide at hamming 0; distinct
+    envelopes sit far apart — survivors are exactly the originals."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jodie_spark.operators.media_dedup import audio_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id")
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from jodie_spark.operators.codecs import encode_wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = _np.random.default_rng(did)
+                n = 4000
+                env = _np.abs(rng.standard_normal(64)).repeat(n // 64 + 1)[:n]
+                sig = (rng.standard_normal(n) * env * 8000).astype(_np.int16)
+                wav = encode_wav(sig.reshape(-1, 1), 8000)
+                ids.append(did)
+                blobs.append(wav)
+                if did % 10 == 0:
+                    ids.append(did + 100_000)
+                    blobs.append(wav)
+            yield _pd.DataFrame({"doc_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(_synth, out_schema)
+    return audio_dedup(
         media, binary_col="data", id_col="doc_id", max_hamming=2
     ).select("doc_id")
 
@@ -2147,7 +2191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round-5 streaming oracles (49-50) ---
         "streaming_dedup": _q_streaming_dedup,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
-        # --- position 51+: overflow — driver-green in r3/r4 or rows-only by design ---
+        # --- position 51+: overflow — driver-green in earlier rounds,
+        # rows-only by design, or (audio_dedup) new and queued for the
+        # next rotation; all locally value-checked every round ---
+        "audio_dedup": _q_audio_dedup,
         "ann_index_topk": _q_ann_index_topk,
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
@@ -3257,6 +3304,11 @@ def oracle_sql() -> dict[str, str]:
             -- cross-format exact image clones collide at dhash hamming
             -- 0 and drop (higher id); deterministic-noise originals sit
             -- far apart and all survive — closed-form in doc_id
+            SELECT doc_id FROM documents WHERE doc_id < 300
+        """,
+        "audio_dedup": """
+            -- exact audio clones collide at envelope-hash hamming 0 and
+            -- drop; distinct amplitude envelopes survive
             SELECT doc_id FROM documents WHERE doc_id < 300
         """,
         "substring_dedup": r"""

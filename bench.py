@@ -130,6 +130,7 @@ def main() -> None:
         "streaming_cdc_apply",
         "substring_dedup",
         "image_dedup",
+        "audio_dedup",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -61,7 +61,12 @@ from jodie_spark.operators.ann_index import (
 from jodie_spark.operators.helpers import shallow_clone
 from jodie_spark.operators.ivf import ivf_topk, train_centroids, with_ivf_assignments
 from jodie_spark.operators.line_dedup import dedup_lines, duplicate_line_stats
-from jodie_spark.operators.image_dedup import image_dedup, with_image_dhash
+from jodie_spark.operators.media_dedup import (
+    audio_dedup,
+    image_dedup,
+    with_audio_hash,
+    with_image_dhash,
+)
 from jodie_spark.operators.substring_dedup import (
     duplicate_window_stats,
     remove_duplicate_substrings,
@@ -133,8 +138,10 @@ __all__ = [
     "dedup_lines",
     "duplicate_line_stats",
     "duplicate_window_stats",
+    "audio_dedup",
     "image_dedup",
     "remove_duplicate_substrings",
+    "with_audio_hash",
     "with_image_dhash",
     "pack_sequences",
     "sequence_stats",

@@ -11,7 +11,7 @@ from jodie_spark.operators.codecs import (
     encode_png,
     encode_ppm,
 )
-from jodie_spark.operators.image_dedup import image_dedup, with_image_dhash
+from jodie_spark.operators.media_dedup import image_dedup, with_image_dhash
 
 
 def _noise(seed, shape=(16, 12, 3)):
@@ -62,3 +62,41 @@ def test_with_image_dhash_fake_mode_and_plan(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
         assert bad not in plan, plan
     assert q.count() == 10  # no collisions at hamming 0
+
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+
+def _wav(seed, n=4000, rate=8000):
+    from jodie_spark.operators.codecs import encode_wav
+
+    rng = np.random.default_rng(seed)
+    env = np.abs(rng.standard_normal(64)).repeat(n // 64 + 1)[:n]
+    sig = (rng.standard_normal(n) * env * 8000).astype(np.int16).reshape(-1, 1)
+    return encode_wav(sig, rate)
+
+
+def test_audio_dedup_drops_exact_clones(spark):
+    from jodie_spark.operators.media_dedup import audio_dedup
+
+    rows = []
+    for i in range(12):
+        b = _wav(i)
+        rows.append((i, bytearray(b)))
+        if i % 4 == 0:
+            rows.append((i + 1000, bytearray(b)))  # exact clone
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = sorted(r["doc_id"] for r in audio_dedup(df, max_hamming=2).collect())
+    assert out == list(range(12))
+
+
+def test_audio_hash_distinguishes_envelopes(spark):
+    from jodie_spark.operators.media_dedup import with_audio_hash
+
+    df = spark.createDataFrame(
+        [(i, bytearray(_wav(i))) for i in range(15)], "doc_id long, data binary"
+    )
+    hashes = [r["audio_hash"] for r in with_audio_hash(df).collect()]
+    assert len(set(hashes)) == 15
