@@ -1338,6 +1338,51 @@ def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-set video dedup over REAL decoded frame streams: per doc a
+    deterministic 5-frame noise stream; every 10th doc gets a clone
+    whose frames are the SAME footage re-ordered (reversed) — frame-set
+    Jaccard 1.0, so it must drop regardless of frame order. Survivors
+    are exactly the originals."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jodie_spark.operators.media_dedup import video_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from jodie_spark.operators.codecs import encode_frame_stream
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = _np.random.default_rng(did)
+                fs = [
+                    rng.integers(0, 256, (12, 10, 3), dtype=_np.uint8)
+                    for _ in range(5)
+                ]
+                ids.append(did)
+                blobs.append(encode_frame_stream(fs))
+                if did % 10 == 0:
+                    ids.append(did + 100_000)
+                    blobs.append(encode_frame_stream(list(reversed(fs))))
+            yield _pd.DataFrame({"doc_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(_synth, out_schema)
+    return video_dedup(
+        media, binary_col="data", id_col="doc_id", threshold=0.8
+    ).select("doc_id")
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.corpus import clean_corpus
     from jodie_spark.sources import load_table
@@ -2195,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design, or (audio_dedup) new and queued for the
         # next rotation; all locally value-checked every round ---
         "audio_dedup": _q_audio_dedup,
+        "video_dedup": _q_video_dedup,
         "ann_index_topk": _q_ann_index_topk,
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
@@ -3310,6 +3356,11 @@ def oracle_sql() -> dict[str, str]:
             -- exact audio clones collide at envelope-hash hamming 0 and
             -- drop; distinct amplitude envelopes survive
             SELECT doc_id FROM documents WHERE doc_id < 300
+        """,
+        "video_dedup": """
+            -- re-ordered cuts of the same footage have frame-set
+            -- Jaccard 1.0 and drop; distinct noise streams survive
+            SELECT doc_id FROM documents WHERE doc_id < 200
         """,
         "substring_dedup": r"""
             -- Lee et al. exact substring dedup: identical window

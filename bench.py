@@ -131,6 +131,7 @@ def main() -> None:
         "substring_dedup",
         "image_dedup",
         "audio_dedup",
+        "video_dedup",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

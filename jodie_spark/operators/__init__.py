@@ -64,8 +64,10 @@ from jodie_spark.operators.line_dedup import dedup_lines, duplicate_line_stats
 from jodie_spark.operators.media_dedup import (
     audio_dedup,
     image_dedup,
+    video_dedup,
     with_audio_hash,
     with_image_dhash,
+    with_video_frame_hashes,
 )
 from jodie_spark.operators.substring_dedup import (
     duplicate_window_stats,
@@ -141,8 +143,10 @@ __all__ = [
     "audio_dedup",
     "image_dedup",
     "remove_duplicate_substrings",
+    "video_dedup",
     "with_audio_hash",
     "with_image_dhash",
+    "with_video_frame_hashes",
     "pack_sequences",
     "sequence_stats",
     "with_global_offsets",

@@ -100,3 +100,47 @@ def test_audio_hash_distinguishes_envelopes(spark):
     )
     hashes = [r["audio_hash"] for r in with_audio_hash(df).collect()]
     assert len(set(hashes)) == 15
+
+
+# ---------------------------------------------------------------------------
+# video
+# ---------------------------------------------------------------------------
+
+
+def _frames(seed, n=6, shape=(12, 10, 3)):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(n)]
+
+
+def test_video_dedup_drops_reordered_clones(spark):
+    from jodie_spark.operators.codecs import encode_frame_stream
+    from jodie_spark.operators.media_dedup import video_dedup
+
+    rows = []
+    for i in range(10):
+        fs = _frames(i)
+        rows.append((i, bytearray(encode_frame_stream(fs))))
+        if i % 3 == 0:  # same footage, frames reversed (set-identical)
+            rows.append((i + 1000, bytearray(encode_frame_stream(list(reversed(fs))))))
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = sorted(r["doc_id"] for r in video_dedup(df, threshold=0.8).collect())
+    assert out == list(range(10))
+
+
+def test_video_dedup_partial_overlap_respects_threshold(spark):
+    """A cut sharing 5 of its 6 frames with the original (frame-set
+    Jaccard 5/7 ≈ 0.71) survives at threshold 0.8 but drops at 0.5 —
+    the exact array_intersect/array_union verify decides, not bucket
+    luck (deterministic: fixed seeds ⇒ fixed hashes ⇒ fixed buckets)."""
+    from jodie_spark.operators.codecs import encode_frame_stream
+    from jodie_spark.operators.media_dedup import video_dedup
+
+    base = _frames(42, n=6)
+    partial = base[:5] + _frames(43, n=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_frame_stream(base))),
+         (2, bytearray(encode_frame_stream(partial)))],
+        "doc_id long, data binary",
+    )
+    assert sorted(r["doc_id"] for r in video_dedup(df, threshold=0.8).collect()) == [1, 2]
+    assert sorted(r["doc_id"] for r in video_dedup(df, threshold=0.5).collect()) == [1]
