@@ -1082,6 +1082,14 @@ class JodieDeltaDataSource(DataSource):
             version = log.version_at_timestamp(int(ts.timestamp() * 1000))
         info = log.table_info(int(version) if version is not None else None)
         base = StructType.fromJson(json.loads(info.schema_string))
+        from jodie_spark.tables.table import _schema_has_variant
+
+        if _schema_has_variant(base):
+            raise ValueError(
+                "the jodie_delta datasource reads data files with pyarrow, "
+                "which cannot decode the VARIANT parquet logical type; read "
+                f"variant table {path} with DeltaTable.forPath(...).toDF()"
+            )
         if self._cdf_requested():
             return _cdf_schema(base)
         if self._row_ids_requested():

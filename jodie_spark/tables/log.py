@@ -52,6 +52,10 @@ from jodie_spark.errors import (
 SUPPORTED_READER_VERSIONS = {1, 2, 3}
 SUPPORTED_READER_FEATURES = {
     "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+    # variant is a native Spark 4 type: the parquet scan decodes the
+    # (metadata, value) binary group itself; schemaString "variant"
+    # parses through StructType.fromJson
+    "variantType",
     # mixed-width parquet files: every read path up-casts per file
     # (Spark 4 vectorized reader widening + the datasource's Arrow cast)
     "typeWidening",
@@ -98,6 +102,9 @@ SUPPORTED_WRITER_FEATURES = {
     # CURRENT_DEFAULT fills for columns omitted from appends
     # (tables/table.py column_defaults_of)
     "allowColumnDefaults",
+    # writes encode variant through Spark's native parquet writer;
+    # stats collection skips the binary group (nested paths)
+    "variantType",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
 ROW_TRACKING_PROP = "delta.enableRowTracking"

@@ -54,7 +54,30 @@ def collect_file_stats(
     ``delta.dataSkippingNumIndexedCols`` semantics: on a 2000-column
     table, per-file stats JSON would otherwise dominate the log.
     ``None`` or a negative value indexes every column."""
-    md = pq.ParquetFile(file_path).metadata
+    try:
+        md = pq.ParquetFile(file_path).metadata
+    except OSError:
+        # files with parquet logical types newer than this pyarrow
+        # (e.g. Spark 4's VARIANT annotation) cannot be footer-parsed
+        # here — fall back to a Spark count for numRecords and skip
+        # min/max/nullCount (wide bounds are always safe for pruning)
+        from pyspark.sql import SparkSession
+
+        # stats collection runs in a thread pool: getActiveSession() is
+        # thread-local (None in workers), so fall back to the global
+        # instantiated session
+        spark = SparkSession.getActiveSession() or getattr(
+            SparkSession, "_instantiatedSession", None
+        )
+        if spark is None:
+            raise
+        n = spark.read.parquet(file_path).count()
+        return {
+            "numRecords": int(n),
+            "minValues": {},
+            "maxValues": {},
+            "nullCount": {},
+        }
     num_records = md.num_rows
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}

@@ -349,6 +349,27 @@ def _log_bytes(table_path: str) -> int:
     return total
 
 
+def _schema_has_variant(schema: T.DataType) -> bool:
+    """True when any (possibly nested) field is Spark 4's VariantType —
+    such tables require the variantType reader+writer feature."""
+    vt = getattr(T, "VariantType", None)
+    if vt is None:  # older Spark: the type cannot occur
+        return False
+
+    def walk(dt: T.DataType) -> bool:
+        if isinstance(dt, vt):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+
+    return walk(schema)
+
+
 def plan_candidate_files(
     spark: SparkSession,
     table_path: str,
@@ -2797,6 +2818,7 @@ def write_delta(
         from jodie_spark.tables.log import ICT_PROP
 
         ict = str(properties.get(ICT_PROP, "false")).lower() == "true"
+        has_variant = _schema_has_variant(df.schema)
         if (
             mapping_mode == "name"
             or row_tracking
@@ -2804,6 +2826,7 @@ def write_delta(
             or v2_policy
             or ict
             or column_defaults
+            or has_variant
         ):
             wf = {"appendOnly"}
             rf: set[str] = set()
@@ -2824,6 +2847,12 @@ def write_delta(
                 wf.add("inCommitTimestamp")
             if column_defaults:
                 wf.add("allowColumnDefaults")
+            if has_variant:
+                # variant is a reader+writer table feature (PROTOCOL.md
+                # "Variant Data Type"): old readers cannot decode the
+                # binary group
+                wf.add("variantType")
+                rf.add("variantType")
             if check_constraints(properties):
                 wf.add("checkConstraints")
             if generated_columns:
