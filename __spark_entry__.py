@@ -1383,6 +1383,36 @@ def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant data type under the value oracle: build a variant column
+    from per-doc JSON, write a REAL variantType Delta table (protocol
+    auto-upgrades to the feature), delete/update through it, and read
+    back with variant_get — the oracle reproduces the same arithmetic
+    on the source ids."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+    vdf = docs.selectExpr(
+        "doc_id",
+        "parse_json(concat('{\"a\": ', doc_id, ', \"b\": \"x', doc_id, '\"}')) as v",
+    )
+    p = _tmp("variant_tbl")
+    write_delta(vdf, p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("doc_id % 7 = 0")
+    t.update("doc_id % 10 = 1", {"v": "parse_json(concat('{\"a\": ', doc_id * 2, '}'))"})
+    return (
+        DeltaTable.forPath(spark, p)
+        .toDF()
+        .selectExpr(
+            "doc_id",
+            "variant_get(v, '$.a', 'long') as a",
+            "variant_get(v, '$.b', 'string') as b",
+        )
+    )
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.corpus import clean_corpus
     from jodie_spark.sources import load_table
@@ -2241,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next rotation; all locally value-checked every round ---
         "audio_dedup": _q_audio_dedup,
         "video_dedup": _q_video_dedup,
+        "variant_table": _q_variant_table,
         "ann_index_topk": _q_ann_index_topk,
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
@@ -3361,6 +3392,17 @@ def oracle_sql() -> dict[str, str]:
             -- re-ordered cuts of the same footage have frame-set
             -- Jaccard 1.0 and drop; distinct noise streams survive
             SELECT doc_id FROM documents WHERE doc_id < 200
+        """,
+        "variant_table": """
+            -- variant values after DELETE (%7) and UPDATE (%10=1,
+            -- which also drops field b): closed-form in doc_id
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id * 2
+                        ELSE doc_id END AS BIGINT) AS a,
+                   CASE WHEN doc_id % 10 = 1 THEN NULL
+                        ELSE 'x' || doc_id END AS b
+            FROM documents
+            WHERE doc_id < 200 AND doc_id % 7 <> 0
         """,
         "substring_dedup": r"""
             -- Lee et al. exact substring dedup: identical window
