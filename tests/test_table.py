@@ -73,12 +73,14 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     assert DeltaTable.forPath(spark, v2cp).deltaLog.latest_version() == 1
 
     # a reader feature this engine genuinely lacks still refuses
-    tw = mk_log("variant_table", {
+    # (variantType became readable in round 5 — see test_variant — so
+    # the stand-in here is a hypothetical future feature)
+    tw = mk_log("future_feature_table", {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["variantType"],
-        "writerFeatures": ["variantType"],
+        "readerFeatures": ["someFutureReaderFeature"],
+        "writerFeatures": ["someFutureReaderFeature"],
     })
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="someFutureReaderFeature"):
         DeltaTable.forPath(spark, tw).snapshot()
 
     # deletionVectors are readable AND writable (read: row-index
