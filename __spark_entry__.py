@@ -2205,12 +2205,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY §2 reference surface official every round; slots 23-38 are the
     16 queries that had never had a driver-green row (streaming, fulltext,
     identity/row-tracking/clustering/widening/v2-checkpoint, kmeans,
-    gopher, encode, perplexity/mixture/epoch); slots 39-50 are one
-    representative per major family plus the three queries NEW this round
-    (substring_dedup, streaming_dedup, streaming_cdc_apply).  The tail
-    (51+) holds queries already driver-green in earlier rounds (r1-r4
-    combined cover every one of them) — all remain value-checked every
-    round via tools/check_oracles.py."""
+    gopher, encode, perplexity/mixture/epoch); slots 39-50 are the seven
+    queries NEW this round (substring/image/audio/video dedup,
+    variant_table, streaming_dedup, streaming_cdc_apply) plus one headline
+    per major family.  The tail (51+) holds only queries already
+    driver-green in rounds 1-4, so after this round's run every registered
+    query has an official green row at least once — all remain
+    value-checked every round via tools/check_oracles.py."""
     return {
         # --- SURVEY §2 reference-surface operators (slots 1-22) ---
         "kill_duplicate_records": _q_kill_duplicate_records,
@@ -2252,26 +2253,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "streaming_window_counts": _q_streaming_window_counts,
         "streaming_sessionize": _q_streaming_sessionize,
-        # --- representative family picks, driver-green r3/r4 (39-50) ---
+        # --- representative family picks + queries NEW this round (39-50):
+        # every query in slots 39-50 is either new in round 5
+        # (substring/image/audio/video dedup, variant_table,
+        # streaming_dedup, streaming_cdc_apply) or a family headline
+        # (minhash/semantic dedup, dv_merge, multimodal, pipeline) ---
         "minhash_dedup": _q_minhash_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
         "image_dedup": _q_image_dedup,
-        "range_join": _q_range_join,
-        "similarity_topk": _q_similarity_topk,
+        "audio_dedup": _q_audio_dedup,
+        "video_dedup": _q_video_dedup,
+        "variant_table": _q_variant_table,
         "dv_merge": _q_dv_merge,
-        "sql_dml": _q_sql_dml,
         "multimodal_decode": _q_multimodal_decode,
         "pipeline_e2e": _q_pipeline_e2e,
         # --- NEW round-5 streaming oracles (49-50) ---
         "streaming_dedup": _q_streaming_dedup,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
-        # --- position 51+: overflow — driver-green in earlier rounds,
-        # rows-only by design, or (audio_dedup) new and queued for the
-        # next rotation; all locally value-checked every round ---
-        "audio_dedup": _q_audio_dedup,
-        "video_dedup": _q_video_dedup,
-        "variant_table": _q_variant_table,
+        # --- position 51+: overflow — every query below already has a
+        # driver-green row from rounds 1-4; all remain locally
+        # value-checked every round via tools/check_oracles.py ---
+        "range_join": _q_range_join,
+        "similarity_topk": _q_similarity_topk,
+        "sql_dml": _q_sql_dml,
         "ann_index_topk": _q_ann_index_topk,
         "datasource_roundtrip": _q_datasource_roundtrip,
         "dedup_clusters": _q_dedup_clusters,
