@@ -2,13 +2,16 @@
 
 These make ``mode='real'`` in :mod:`jodie_spark.operators.multimodal`
 actually exercisable in a minimal runtime: BMP (24-bit uncompressed),
-PPM (P6), and PNG (stdlib zlib: 8-bit non-interlaced gray / RGB /
-palette / RGBA, scanline filters 0-4 — the dominant real-corpus
-format) for images, RIFF/WAVE PCM for audio, and a trivial
-"concatenated PPM" stream as a parseable video stand-in. Formats that
-genuinely need external libraries (JPEG/MP4/...) raise ``ValueError``
-with the sniffed format name so callers can route those rows to a
-Pillow/ffmpeg-backed decoder when one is available.
+PPM (P6), PNG (stdlib zlib: 8-bit non-interlaced gray / RGB /
+palette / RGBA, scanline filters 0-4), and baseline JPEG (sequential
+DCT / huffman SOF0, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling and restart markers — together PNG+JPEG are the two
+dominant real-corpus image formats) for images, RIFF/WAVE PCM for
+audio, and a trivial "concatenated PPM" stream as a parseable video
+stand-in. Formats that genuinely need external libraries
+(progressive JPEG / MP4 / ...) raise ``ValueError`` with the sniffed
+format name so callers can route those rows to a Pillow/ffmpeg-backed
+decoder when one is available.
 
 All functions operate on ``bytes`` and are called from Arrow-batched
 ``mapInPandas`` kernels — one Python call per ROW but with all the
