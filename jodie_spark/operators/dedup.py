@@ -82,24 +82,45 @@ def remove_duplicate_records(
     if not primary_key:
         raise ValueError("the input parameter primaryKey must not be empty")
 
-    # non-keepers via groupBy + join-back, not a row_number window: the
-    # aggregation's map-side combine collapses a hot duplicate group to
-    # one row per partition before the shuffle, and AQE can split the
-    # skewed join; only (pk, dup_cols) ever move. Rows whose dup-column
-    # values are NULL fall out of the equi-join — matching the final
-    # MERGE, whose `old.c = new.c` condition never matches NULLs either
-    # (so the old window-based selection also never deleted them)
-    groups = (
-        df.groupBy(*[F.col(c) for c in duplicate_columns])
-        .agg(F.min(primary_key).alias("__keeper__"), F.count(F.lit(1)).alias("__cnt__"))
-        .filter("__cnt__ > 1")
-        .drop("__cnt__")
+    # non-keepers via a two-level aggregation + join-back, not a
+    # row_number window: map-side combine collapses a hot duplicate
+    # group before each shuffle, and AQE can split the skewed join;
+    # only (pk, dup_cols) ever move. Rows whose dup-column values are
+    # NULL fall out of the equi-join — matching the final MERGE, whose
+    # `old.c = new.c` condition never matches NULLs either (so the
+    # reference's window-based selection also never deleted them).
+    #
+    # The election reproduces the reference's row_number-then-merge
+    # semantics exactly, including its non-unique-pk quirk
+    # (DeltaHelpers.scala:302-317): with ties at the minimum pk, one
+    # tied row gets row_number 2, and the merge's (pk, dup_cols)
+    # equality then deletes EVERY row of that combination — the whole
+    # group disappears. Likewise a NULL pk sorts first (rn=1), pushing
+    # all non-NULL-pk rows into the delete set, while NULL-pk rows
+    # themselves can never match the merge condition and so survive.
+    per_key = df.groupBy(*duplicate_columns, primary_key).agg(
+        F.count(F.lit(1)).alias("__pk_cnt__")
     )
+    groups = (
+        per_key.groupBy(*[F.col(c) for c in duplicate_columns])
+        .agg(
+            F.min(primary_key).alias("__keeper__"),
+            F.min_by("__pk_cnt__", primary_key).alias("__keeper_cnt__"),
+            F.sum(F.when(F.col(primary_key).isNull(), F.col("__pk_cnt__")).otherwise(F.lit(0))).alias("__null_cnt__"),
+            F.sum("__pk_cnt__").alias("__cnt__"),
+        )
+        .filter("__cnt__ > 1")
+    )
+    pk, keeper = F.col(primary_key), F.col("__keeper__")
     dups = (
         df.select(primary_key, *duplicate_columns)
         .join(groups, list(duplicate_columns))
-        .filter(F.col(primary_key) != F.col("__keeper__"))
-        .drop("__keeper__")
+        .filter(
+            F.when(F.col("__null_cnt__") > 0, pk.isNotNull()).otherwise(
+                (pk != keeper) | (F.col("__keeper_cnt__") > 1)
+            )
+        )
+        .select(primary_key, *duplicate_columns)
         .distinct()
     )
     condition = " AND ".join(

@@ -19,7 +19,7 @@ oracle-checkable plumbing tests without decodable fixtures.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,26 +27,51 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _guarded_decode(fn: Callable, b, on_error: str):
+    """Run one real-mode decode kernel with the job-survival contract:
+    a NULL blob or an undecodable/unsupported payload yields a NULL
+    hash (``on_error='skip'``, the default — the row simply never
+    enters the banded join, because a NULL bucket key matches nothing)
+    instead of a single bad row aborting the whole dedup stage.
+    ``on_error='raise'`` keeps the loud failure for pipelines that
+    want corrupt fixtures surfaced."""
+    if b is None:
+        if on_error == "raise":
+            raise ValueError("NULL media payload (on_error='raise')")
+        return None
+    try:
+        return fn(bytes(b))
+    except Exception:
+        if on_error == "raise":
+            raise
+        return None
+
+
 def with_image_dhash(
     df: DataFrame,
     binary_col: str = "data",
     mode: str = "real",
     hash_col: str = "image_hash",
+    on_error: str = "skip",
 ) -> DataFrame:
-    """Attach the 64-bit perceptual hash of each image binary."""
+    """Attach the 64-bit perceptual hash of each image binary. NULL or
+    undecodable blobs hash to NULL under ``on_error='skip'``."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(hash_col, T.LongType())]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(raw: bytes):
+            from jodie_spark.operators.codecs import decode_image, dhash
+
+            _w, _h, px = decode_image(raw, with_pixels=True)
+            return dhash(px)
+
         for pdf in it:
             hashes = []
             for b in pdf[binary_col]:
                 if mode == "real":
-                    from jodie_spark.operators.codecs import decode_image, dhash
-
-                    _w, _h, px = decode_image(bytes(b), with_pixels=True)
-                    hashes.append(dhash(px))
+                    hashes.append(_guarded_decode(one, b, on_error))
                 else:
                     d = hashlib.md5(bytes(b or b"")).digest()
                     hashes.append(int.from_bytes(d[:8], "big", signed=True))
@@ -64,13 +89,14 @@ def image_dedup(
     max_hamming: int = 2,
     bands: int = 4,
     mode: str = "real",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Drop the higher-id image of every pair whose perceptual hashes
     are within ``max_hamming`` bits — exact and cross-format for true
     duplicates (identical pixels ⇒ hamming 0 whatever the container)."""
     from jodie_spark.operators.text_dedup import hamming_dedup
 
-    hashed = with_image_dhash(df, binary_col=binary_col, mode=mode)
+    hashed = with_image_dhash(df, binary_col=binary_col, mode=mode, on_error=on_error)
     return hamming_dedup(
         hashed, "image_hash", id_col, max_hamming=max_hamming, bands=bands
     ).drop("image_hash")
@@ -82,11 +108,13 @@ def with_audio_hash(
     mode: str = "real",
     hash_col: str = "audio_hash",
     n_windows: int = 64,
+    on_error: str = "skip",
 ) -> DataFrame:
     """64-bit audio content hash: decode the WAV, mono-mix, split into
     ``n_windows`` equal windows, one bit per window = RMS energy above
     the track median — a coarse loudness-envelope fingerprint that is
-    stable under sample-exact re-encodings and small gain-free edits."""
+    stable under sample-exact re-encodings and small gain-free edits.
+    NULL or undecodable blobs hash to NULL under ``on_error='skip'``."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(hash_col, T.LongType())]
     )
@@ -94,25 +122,28 @@ def with_audio_hash(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def one(raw: bytes):
+            from jodie_spark.operators.codecs import decode_wav
+
+            _r, _c, _n, samples = decode_wav(raw, with_samples=True)
+            mono = samples.astype(np.float64).mean(axis=1)
+            pad = (-len(mono)) % n_windows
+            if pad:
+                mono = np.concatenate([mono, np.zeros(pad)])
+            rms = np.sqrt((mono.reshape(n_windows, -1) ** 2).mean(axis=1))
+            bits = rms > np.median(rms)
+            v = 0
+            for bit in bits:
+                v = (v << 1) | int(bit)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v
+
         for pdf in it:
             hashes = []
             for b in pdf[binary_col]:
                 if mode == "real":
-                    from jodie_spark.operators.codecs import decode_wav
-
-                    _r, _c, _n, samples = decode_wav(bytes(b), with_samples=True)
-                    mono = samples.astype(np.float64).mean(axis=1)
-                    pad = (-len(mono)) % n_windows
-                    if pad:
-                        mono = np.concatenate([mono, np.zeros(pad)])
-                    rms = np.sqrt((mono.reshape(n_windows, -1) ** 2).mean(axis=1))
-                    bits = rms > np.median(rms)
-                    v = 0
-                    for bit in bits:
-                        v = (v << 1) | int(bit)
-                    if v >= 1 << 63:
-                        v -= 1 << 64
-                    hashes.append(v)
+                    hashes.append(_guarded_decode(one, b, on_error))
                 else:
                     d = hashlib.md5(bytes(b or b"")).digest()
                     hashes.append(int.from_bytes(d[:8], "big", signed=True))
@@ -128,28 +159,33 @@ def with_video_frame_hashes(
     binary_col: str = "data",
     mode: str = "real",
     hash_col: str = "frame_hashes",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Per-video ``array<long>`` of per-frame dHashes (decoded frame
     stream). A video is thus a SET of 64-bit perceptual frame hashes —
-    the right input for MinHash set similarity."""
+    the right input for MinHash set similarity. NULL or undecodable
+    blobs get a NULL hash set under ``on_error='skip'``."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(hash_col, T.ArrayType(T.LongType()))]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(raw: bytes):
+            from jodie_spark.operators.codecs import dhash, iter_frame_stream
+            from jodie_spark.operators.codecs import decode_ppm
+
+            hs = []
+            for _i, _w, _h, fb in iter_frame_stream(raw):
+                _, _, px = decode_ppm(fb)
+                hs.append(dhash(px))
+            return hs
+
         for pdf in it:
             col = []
             for b in pdf[binary_col]:
                 if mode == "real":
-                    from jodie_spark.operators.codecs import dhash, iter_frame_stream
-                    from jodie_spark.operators.codecs import decode_ppm
-
-                    hs = []
-                    for _i, _w, _h, fb in iter_frame_stream(bytes(b)):
-                        _, _, px = decode_ppm(fb)
-                        hs.append(dhash(px))
-                    col.append(hs)
+                    col.append(_guarded_decode(one, b, on_error))
                 else:
                     d = hashlib.md5(bytes(b or b"")).digest()
                     col.append(
@@ -173,6 +209,7 @@ def video_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     mode: str = "real",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Video near-dup removal: two videos are duplicates when the
     Jaccard similarity of their frame-dHash SETS is ≥ ``threshold``
@@ -187,7 +224,7 @@ def video_dedup(
         minhash_signature_from_hashes,
     )
 
-    hashed = with_video_frame_hashes(df, binary_col=binary_col, mode=mode)
+    hashed = with_video_frame_hashes(df, binary_col=binary_col, mode=mode, on_error=on_error)
     keyed = hashed.select(
         F.col(id_col).alias("id"),
         F.array_distinct("frame_hashes").alias("fh"),
@@ -228,12 +265,13 @@ def audio_dedup(
     max_hamming: int = 2,
     bands: int = 4,
     mode: str = "real",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Audio near-dup removal: the loudness-envelope hash through the
     same banded :func:`hamming_dedup` as text SimHash and image dHash."""
     from jodie_spark.operators.text_dedup import hamming_dedup
 
-    hashed = with_audio_hash(df, binary_col=binary_col, mode=mode)
+    hashed = with_audio_hash(df, binary_col=binary_col, mode=mode, on_error=on_error)
     return hamming_dedup(
         hashed, "audio_hash", id_col, max_hamming=max_hamming, bands=bands
     ).drop("audio_hash")

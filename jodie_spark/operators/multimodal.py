@@ -55,13 +55,19 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
 
 
 def decode_images(
-    df: DataFrame, binary_col: str = "data", mode: str = "fake", batch_hint: int | None = None
+    df: DataFrame,
+    binary_col: str = "data",
+    mode: str = "fake",
+    batch_hint: int | None = None,
+    on_error: str = "skip",
 ) -> DataFrame:
     """Decode an image binary column to (width, height, n_pixels).
 
     Arrow-batched ``mapInPandas``: executors stream record batches, so
     peak memory is one batch of decoded rows per core regardless of
     table size. ``mode='real'`` marks where Pillow would be invoked.
+    NULL or undecodable blobs yield NULL dims under ``on_error='skip'``
+    (the default) rather than one bad row aborting the whole stage.
     """
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -73,12 +79,17 @@ def decode_images(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jodie_spark.operators.media_dedup import _guarded_decode
+
+        def one(raw: bytes):
+            from jodie_spark.operators.codecs import decode_image
+
+            return decode_image(raw, with_pixels=False)[:2]
+
         for pdf in it:
             if mode == "real":
-                from jodie_spark.operators.codecs import decode_image
-
                 dims = [
-                    decode_image(bytes(b), with_pixels=False)[:2]
+                    _guarded_decode(one, b, on_error) or (None, None)
                     for b in pdf[binary_col]
                 ]
             else:
@@ -86,32 +97,41 @@ def decode_images(
             pdf = pdf.copy()
             pdf["width"] = [w for w, _ in dims]
             pdf["height"] = [h for _, h in dims]
-            pdf["n_pixels"] = [w * h for w, h in dims]
+            pdf["n_pixels"] = [
+                w * h if w is not None and h is not None else None for w, h in dims
+            ]
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
 
 
 def image_pixel_stats(
-    df: DataFrame, binary_col: str = "data", mode: str = "fake"
+    df: DataFrame, binary_col: str = "data", mode: str = "fake", on_error: str = "skip"
 ) -> DataFrame:
     """Sum of decoded pixel values (after RGB normalization) — a cheap
     whole-image checksum proving the decode reconstructed actual pixel
     data (PNG scanline filters, palettes, BMP row order), not just the
-    header. Same Arrow-batched mapInPandas shape as decode_images."""
+    header. Same Arrow-batched mapInPandas shape as decode_images.
+    NULL or undecodable blobs yield a NULL px_sum under
+    ``on_error='skip'`` (the default)."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("px_sum", T.LongType())]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jodie_spark.operators.media_dedup import _guarded_decode
+
+        def one(raw: bytes):
+            from jodie_spark.operators.codecs import decode_image
+
+            _w, _h, px = decode_image(raw, with_pixels=True)
+            return int(px.astype(np.int64).sum())
+
         for pdf in it:
             sums = []
             for b in pdf[binary_col]:
                 if mode == "real":
-                    from jodie_spark.operators.codecs import decode_image
-
-                    _w, _h, px = decode_image(bytes(b), with_pixels=True)
-                    sums.append(int(px.astype(np.int64).sum()))
+                    sums.append(_guarded_decode(one, b, on_error))
                 else:
                     h = hashlib.md5(bytes(b or b"")).digest()
                     sums.append(int.from_bytes(h[:4], "big"))

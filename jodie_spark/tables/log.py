@@ -118,6 +118,7 @@ CHECKPOINT_POLICY_PROP = "delta.checkpointPolicy"  # "classic" | "v2"
 DEFAULT_CHECKPOINT_INTERVAL = 10
 LOG_RETENTION_PROP = "delta.logRetentionDuration"
 EXPIRED_CLEANUP_PROP = "delta.enableExpiredLogCleanup"
+CHECKSUM_VALIDATION_PROP = "jodie.checksumValidation"  # "warn" (default) | "strict"
 CHECKPOINT_PROTECTION_PROP = "delta.requireCheckpointProtectionBeforeVersion"
 DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000  # "interval 30 days"
 
@@ -659,7 +660,7 @@ class DeltaLog:
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
         self._check_read_protocol(protocol, metadata)
-        self._verify_version_checksum(target, files)
+        self._verify_version_checksum(target, files, metadata)
         return Snapshot(target, metadata, protocol, files, tombstones, domains)
 
     def _check_read_protocol(
@@ -1153,13 +1154,22 @@ class DeltaLog:
         os.replace(tmp, self._crc_path(version))
 
     def _verify_version_checksum(
-        self, version: int, files: dict[str, dict[str, Any]]
+        self,
+        version: int,
+        files: dict[str, dict[str, Any]],
+        metadata: dict[str, Any] | None = None,
     ) -> None:
         """Cross-check reconstructed state against ``<version>.crc``
-        when one exists (ours or a foreign writer's): a file-count or
-        byte-size mismatch means the log replay and the committer
-        disagree about the table's content — fail loudly rather than
-        serve wrong rows."""
+        when one exists (ours or a foreign writer's). delta-spark treats
+        VersionChecksum as ADVISORY — incremental-CRC drift bugs have
+        shipped, and a foreign writer's stale .crc must never make a
+        table unreadable. Default behavior on mismatch: warn once and
+        quarantine-rename the bad .crc (``<v>.crc.quarantined``, which
+        no log lister matches) so the next checkpoint's heal path
+        (:meth:`_restart_checksum_chain`) rewrites it from replayed
+        state. ``jodie.checksumValidation=strict`` in the table
+        configuration restores the hard failure for deployments that
+        would rather refuse reads than risk serving drifted state."""
         p = self._crc_path(version)
         if not os.path.exists(p):
             return
@@ -1168,20 +1178,38 @@ class DeltaLog:
                 crc = json.loads(fh.read())
         except (OSError, ValueError):
             return  # unreadable checksum: advisory, ignore
+
+        mismatch: str | None = None
         nf = crc.get("numFiles")
         if isinstance(nf, int) and nf != len(files):
-            raise DeltaProtocolError(
-                f"{self.table_path}@{version}: version checksum mismatch — "
-                f".crc records numFiles={nf}, log replay found {len(files)}"
-            )
-        tb = crc.get("tableSizeBytes")
-        if isinstance(tb, int):
-            actual = sum(int(a.get("size") or 0) for a in files.values())
-            if tb != actual:
-                raise DeltaProtocolError(
-                    f"{self.table_path}@{version}: version checksum mismatch — "
-                    f".crc records tableSizeBytes={tb}, log replay found {actual}"
-                )
+            mismatch = f".crc records numFiles={nf}, log replay found {len(files)}"
+        if mismatch is None:
+            tb = crc.get("tableSizeBytes")
+            if isinstance(tb, int):
+                actual = sum(int(a.get("size") or 0) for a in files.values())
+                if tb != actual:
+                    mismatch = (
+                        f".crc records tableSizeBytes={tb}, log replay found {actual}"
+                    )
+        if mismatch is None:
+            return
+
+        msg = f"{self.table_path}@{version}: version checksum mismatch — {mismatch}"
+        config = (metadata or {}).get("configuration") or {}
+        if str(config.get(CHECKSUM_VALIDATION_PROP, "warn")).lower() == "strict":
+            raise DeltaProtocolError(msg)
+        import warnings
+
+        try:
+            os.replace(p, p + ".quarantined")
+            note = "quarantined the stale .crc; next checkpoint rewrites it"
+        except OSError:
+            note = "could not quarantine the stale .crc"
+        warnings.warn(
+            f"{msg} ({note}; set {CHECKSUM_VALIDATION_PROP}=strict to fail instead)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     def checkpoint_interval(self, snapshot: Snapshot | None = None) -> int:
         try:

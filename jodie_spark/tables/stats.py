@@ -17,6 +17,7 @@ import json
 import math
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
@@ -56,11 +57,12 @@ def collect_file_stats(
     ``None`` or a negative value indexes every column."""
     try:
         md = pq.ParquetFile(file_path).metadata
-    except OSError:
+    except (OSError, pa.lib.ArrowInvalid):
         # files with parquet logical types newer than this pyarrow
         # (e.g. Spark 4's VARIANT annotation) cannot be footer-parsed
-        # here — fall back to a Spark count for numRecords and skip
-        # min/max/nullCount (wide bounds are always safe for pruning)
+        # here — the error class varies by pyarrow version (OSError vs
+        # ArrowInvalid) — fall back to a Spark count for numRecords and
+        # skip min/max/nullCount (wide bounds are always safe for pruning)
         from pyspark.sql import SparkSession
 
         # stats collection runs in a thread pool: getActiveSession() is

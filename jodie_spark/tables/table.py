@@ -126,6 +126,45 @@ def _schema_from_string(schema_string: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(schema_string))
 
 
+# Runtime confs that shape a parquet scan's semantics: mirrored from the
+# user's session into the field-id reader session on every use, so a
+# mode=id scan behaves like any other scan of that session.
+_FID_MIRRORED_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.files.openCostInBytes",
+    "spark.sql.parquet.datetimeRebaseModeInRead",
+    "spark.sql.parquet.int96RebaseModeInRead",
+)
+
+
+def _field_id_read_session(spark: SparkSession) -> SparkSession:
+    """Child session (shared SparkContext, separate SQLConf) with
+    ``spark.sql.parquet.fieldId.read.enabled=true``.
+
+    Spark offers no per-read switch for field-id matching, and the conf
+    is consulted at physical-planning time of each ACTION — so a
+    set/restore around the (lazy) read would silently fall back to
+    name matching, and setting it on the shared session leaks a global
+    matching-behavior change into every later parquet read whose
+    requested schema carries field-id metadata. A scan built through
+    this child session keeps the conf scoped to the relation: Spark
+    builds parquet readers from the RELATION's session, so the returned
+    DataFrame keeps id-matching even when unioned/joined/collected from
+    the user's session, whose conf is never touched."""
+    child = getattr(spark, "_jodie_field_id_session", None)
+    if child is None:
+        child = spark.newSession()
+        child.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark._jodie_field_id_session = child
+    for key in _FID_MIRRORED_CONFS:
+        try:
+            child.conf.set(key, spark.conf.get(key))
+        except Exception:
+            pass  # unset / non-runtime conf: leave the child's default
+    return child
+
+
 def read_files_df(
     spark: SparkSession,
     table_path: str,
@@ -553,9 +592,12 @@ class DeltaTable:
             # ID (covers foreign writers whose parquet column names do
             # not match physicalName, e.g. Iceberg-converted tables)
             physical = to_physical_schema(logical, with_field_ids=(mode == "id"))
-            if mode == "id":
-                self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            df = read_files_df(self.spark, self.path, physical, snap.add_files())
+            # id mode needs spark.sql.parquet.fieldId.read.enabled at the
+            # scan — scoped to the relation via a child session rather
+            # than mutating the user's session conf (a global leak that
+            # would change matching for unrelated parquet reads)
+            scan_spark = _field_id_read_session(self.spark) if mode == "id" else self.spark
+            df = read_files_df(scan_spark, self.path, physical, snap.add_files())
             df = rename_to_logical(df, logical, physical)
         else:
             df = read_files_df(self.spark, self.path, logical, snap.add_files())

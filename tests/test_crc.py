@@ -38,9 +38,46 @@ def test_crc_written_incrementally_and_accurate(spark, tmpdir_path):
         assert crc["protocol"] == snap.protocol
 
 
-def test_crc_mismatch_fails_snapshot_loudly(spark, tmpdir_path):
+def test_crc_mismatch_warns_quarantines_and_heals(spark, tmpdir_path):
+    """Default posture is delta-spark's: VersionChecksum is ADVISORY.
+    A drifted .crc warns once, gets quarantine-renamed (so the table
+    stays readable and the warning doesn't repeat), and the next
+    checkpoint rewrites a correct one from replayed state."""
     p = os.path.join(tmpdir_path, "t")
-    write_delta(spark.range(5).selectExpr("id"), p)
+    write_delta(
+        spark.range(5).selectExpr("id"),
+        p,
+        options={"delta.checkpointInterval": "2"},
+    )
+    log = DeltaLog(p)
+    crc = _crc(log, 0)
+    crc["numFiles"] += 1
+    with open(log._crc_path(0), "w") as fh:
+        fh.write(json.dumps(crc))
+    with pytest.warns(RuntimeWarning, match="checksum mismatch"):
+        assert DeltaTable.forPath(spark, p).toDF().count() == 5
+    assert not os.path.exists(log._crc_path(0))
+    assert os.path.exists(log._crc_path(0) + ".quarantined")
+    # quarantined → no repeat warning, table reads clean
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert DeltaTable.forPath(spark, p).toDF().count() == 5
+    # chain heals at the next checkpoint (interval=2 → v2 checkpoints)
+    write_delta(spark.range(5, 6).selectExpr("id"), p, mode="append")  # v1
+    write_delta(spark.range(6, 7).selectExpr("id"), p, mode="append")  # v2
+    assert _crc(log, 2)["numFiles"] == len(log.snapshot(2).add_files())
+
+
+def test_crc_mismatch_strict_property_fails_loudly(spark, tmpdir_path):
+    """jodie.checksumValidation=strict restores the hard failure."""
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(
+        spark.range(5).selectExpr("id"),
+        p,
+        options={"jodie.checksumValidation": "strict"},
+    )
     log = DeltaLog(p)
     crc = _crc(log, 0)
     crc["numFiles"] += 1
@@ -48,6 +85,8 @@ def test_crc_mismatch_fails_snapshot_loudly(spark, tmpdir_path):
         fh.write(json.dumps(crc))
     with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
         DeltaTable.forPath(spark, p).snapshot()
+    # strict never quarantines: the bad .crc stays for forensics
+    assert os.path.exists(log._crc_path(0))
 
 
 def test_foreign_crc_is_verified(spark, tmpdir_path):
@@ -84,8 +123,15 @@ def test_foreign_crc_is_verified(spark, tmpdir_path):
     bad = dict(good, tableSizeBytes=good["tableSizeBytes"] + 99)
     with open(crc_path, "w") as fh:
         fh.write(json.dumps(bad))
-    with pytest.raises(DeltaProtocolError, match="tableSizeBytes"):
-        DeltaTable.forPath(spark, t).snapshot()
+    # a size-lying FOREIGN .crc must never make the table unreadable
+    # (delta-spark has shipped incremental-CRC drift bugs): advisory
+    # warn + quarantine, rows still served from the replayed log
+    with pytest.warns(RuntimeWarning, match="tableSizeBytes"):
+        assert sorted(
+            r["id"] for r in DeltaTable.forPath(spark, t).toDF().collect()
+        ) == [1, 2, 3]
+    assert not os.path.exists(crc_path)
+    assert os.path.exists(crc_path + ".quarantined")
 
 
 def test_crc_chain_heals_at_checkpoint(spark, tmpdir_path):

@@ -52,6 +52,44 @@ def test_remove_duplicates_pk_keeps_lowest_pk(spark, tmpdir_path):
     assert sorted(r["id"] for r in t.toDF().collect()) == [1, 2, 4]
 
 
+def test_remove_duplicates_pk_tied_minimum_deletes_whole_group(spark, tmpdir_path):
+    """Reference quirk on NON-UNIQUE primary keys: row_number orders by
+    pk, so one of the tied-minimum rows lands at rn=2, and the merge's
+    (pk, dup_cols) equality then deletes every row of that combination —
+    the whole duplicate group disappears (DeltaHelpers.scala:302-317).
+    Groups whose minimum is unique keep exactly the min-pk row."""
+    t = _table(
+        spark,
+        tmpdir_path,
+        # group Benito/Jackson: min pk 1 is TIED → all of ids 1,1,3 go;
+        # group Jose/Travolta: min pk 4 unique → 4 stays, 5 goes;
+        # Maria/Willis not duplicated → untouched
+        [(1, "Benito", "Jackson"), (1, "Benito", "Jackson"), (3, "Benito", "Jackson"),
+         (2, "Maria", "Willis"), (5, "Jose", "Travolta"), (4, "Jose", "Travolta")],
+        ["id", "firstname", "lastname"],
+    )
+    remove_duplicate_records(t, ["firstname", "lastname"], primary_key="id")
+    assert sorted(r["id"] for r in t.toDF().collect()) == [2, 4]
+
+
+def test_remove_duplicates_pk_null_pk_sorts_first(spark, tmpdir_path):
+    """Reference quirk on NULL primary keys: ascending row_number puts
+    NULL first (rn=1), pushing every non-NULL-pk row of the group into
+    the delete set — while the NULL-pk rows themselves survive because
+    the merge's pk-equality can never match a NULL."""
+    t = _table(
+        spark,
+        tmpdir_path,
+        [(None, "Benito", "Jackson"), (2, "Benito", "Jackson"), (3, "Benito", "Jackson"),
+         (1, "Maria", "Willis")],
+        ["id", "firstname", "lastname"],
+    )
+    remove_duplicate_records(t, ["firstname", "lastname"], primary_key="id")
+    assert sorted(
+        (r["id"] is None, r["id"]) for r in t.toDF().collect()
+    ) == [(False, 1), (True, None)]
+
+
 def test_remove_duplicates_nopk_keeps_one(spark, tmpdir_path):
     # parity: DeltaHelpers.scala:321-340 (dropDuplicates + overwrite)
     t = _table(

@@ -64,6 +64,56 @@ def test_with_image_dhash_fake_mode_and_plan(spark):
     assert q.count() == 10  # no collisions at hamming 0
 
 
+def test_image_dedup_skips_null_and_undecodable_blobs(spark):
+    """Real-mode job-survival contract: one NULL blob and one garbage
+    blob must not abort the stage — they hash to NULL, never enter the
+    banded join, and therefore survive the dedup untouched while the
+    decodable clones still collapse."""
+    px = _noise(7)
+    rows = [
+        (0, bytearray(encode_bmp(px))),
+        (1, bytearray(encode_png(px))),      # clone of 0 → drops
+        (2, None),                            # NULL payload
+        (3, bytearray(b"\x89PNG\r\n\x1a\nnot really a png")),  # undecodable
+        (4, bytearray(encode_bmp(_noise(8)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = sorted(r["doc_id"] for r in image_dedup(df, max_hamming=2).collect())
+    assert out == [0, 2, 3, 4]
+    # the hash column itself reports NULL for the bad rows
+    hashed = with_image_dhash(df)
+    nulls = sorted(r["doc_id"] for r in hashed.collect() if r["image_hash"] is None)
+    assert nulls == [2, 3]
+
+
+def test_image_dedup_on_error_raise_still_fails_loudly(spark):
+    df = spark.createDataFrame([(0, None)], "doc_id long, data binary")
+    with pytest.raises(Exception, match="NULL media payload"):
+        with_image_dhash(df, on_error="raise").collect()
+
+
+def test_audio_and_video_dedup_skip_bad_blobs(spark):
+    from jodie_spark.operators.media_dedup import audio_dedup, video_dedup
+
+    bad = [(100, None), (101, bytearray(b"RIFFgarbage"))]
+    adf = spark.createDataFrame(
+        [(0, bytearray(_wav(1))), (1, bytearray(_wav(1)))] + bad,
+        "doc_id long, data binary",
+    )
+    assert sorted(r["doc_id"] for r in audio_dedup(adf).collect()) == [0, 100, 101]
+    from jodie_spark.operators.codecs import encode_frame_stream
+
+    vdf = spark.createDataFrame(
+        [
+            (0, bytearray(encode_frame_stream(_frames(1)))),
+            (1, bytearray(encode_frame_stream(_frames(1)))),
+        ]
+        + bad,
+        "doc_id long, data binary",
+    )
+    assert sorted(r["doc_id"] for r in video_dedup(vdf).collect()) == [0, 100, 101]
+
+
 # ---------------------------------------------------------------------------
 # audio
 # ---------------------------------------------------------------------------

@@ -701,6 +701,23 @@ def test_column_mapping_id_read(spark, tmpdir_path):
     assert rows == [(1, 0.5, "x"), (2, 1.0, "x"), (3, 1.5, "y")]
 
 
+def test_column_mapping_id_read_leaves_session_conf_alone(spark, tmpdir_path):
+    """The fieldId.read conf must stay scoped to the mode=id scan: the
+    user's session conf is untouched (no global matching-behavior leak
+    into later parquet reads), yet the returned DataFrame still resolves
+    by field id when collected afterwards — and mixes with DataFrames
+    from the user's session."""
+    key = "spark.sql.parquet.fieldId.read.enabled"
+    spark.conf.set(key, "false")
+    path = _mk_id_mapped_table(tmpdir_path, spark)
+    df = DeltaTable.forPath(spark, path).toDF()
+    assert spark.conf.get(key) == "false"  # building the scan didn't leak
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    assert spark.conf.get(key) == "false"  # executing it didn't either
+    joined = df.join(spark.range(1, 3).toDF("id"), "id")
+    assert sorted(r["id"] for r in joined.collect()) == [1, 2]
+
+
 def test_column_mapping_id_writes_and_cdf_refuse(spark, tmpdir_path):
     """Mutations on an id-mode table would write name-resolved files
     into a field-id-resolved layout — every write surface must refuse
