@@ -181,8 +181,12 @@ def test_multimodal_pipeline(spark):
     assert all(len(r["features"]) == 4 for r in feats)
     frames = sample_frames(df)
     assert frames.count() >= 2
+    # real-mode decode of undecodable bytes: NULL dims by default (the
+    # job-survival contract), loud failure only under on_error='raise'
+    null_dims = decode_images(df, mode="real").collect()
+    assert all(r["width"] is None and r["n_pixels"] is None for r in null_dims)
     with pytest.raises(Exception):
-        decode_images(df, mode="real").collect()
+        decode_images(df, mode="real", on_error="raise").collect()
 
 
 def test_windowed_event_counts_and_sessionize(spark):
