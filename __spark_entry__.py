@@ -2201,19 +2201,18 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering matters: the correctness driver checks the first 50
-    entries (dict insertion order).  Round-5 rotation: slots 1-22 keep the
-    SURVEY §2 reference surface official every round; slots 23-38 are the
-    16 queries that had never had a driver-green row (streaming, fulltext,
-    identity/row-tracking/clustering/widening/v2-checkpoint, kmeans,
-    gopher, encode, perplexity/mixture/epoch); slots 39-50 are the seven
-    queries NEW this round (substring/image/audio/video dedup,
-    variant_table, streaming_dedup, streaming_cdc_apply) plus one headline
-    per major family.  The tail (51+) holds only queries already
-    driver-green in rounds 1-4, so after this round's run every registered
-    query has an official green row at least once — all remain
-    value-checked every round via tools/check_oracles.py."""
+    entries (dict insertion order).  After round 5, every registered
+    query has at least one official driver-green row, so rotation now
+    targets STALENESS: slots 1-22 keep the SURVEY §2 reference surface
+    official every round; slots 23-47 re-verify the 25 queries whose
+    newest official green row dated from round 3 or earlier; slots
+    48-50 re-verify the media dedups whose decode kernels changed this
+    round.  The tail (51+) holds only queries with a round-4/5 official
+    green row — all remain value-checked every round via
+    tools/check_oracles.py."""
     return {
-        # --- SURVEY §2 reference-surface operators (slots 1-22) ---
+        # --- SURVEY §2 reference-surface operators (slots 1-22):
+        # the reference surface stays officially driver-green every round ---
         "kill_duplicate_records": _q_kill_duplicate_records,
         "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
         "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
@@ -2236,7 +2235,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_files_deterministic": _q_shuffle_files_deterministic,
         "optimize_compaction": _q_optimize_compaction,
         "optimize_zorder": _q_optimize_zorder,
-        # --- round-5 rotation: first-ever driver window slot (23-38) ---
+        # --- round-6 staleness rotation (slots 23-47): the 25 queries
+        # whose newest OFFICIAL green row dated from round 3 or earlier
+        # (every query has been driver-green at least once after round 5;
+        # rotation now re-verifies the stalest official rows each round) ---
+        "clean_corpus": _q_clean_corpus,
+        "ann_topk": _q_ann_topk,
+        "bpe_token_count": _q_bpe_token_count,
+        "check_constraints": _q_check_constraints,
+        "classifier_quality": _q_classifier_quality,
+        "contamination_check": _q_contamination_check,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_quantize": _q_embedding_quantize,
+        "generated_columns": _q_generated_columns,
+        "ivf_topk": _q_ivf_topk,
+        "language_id": _q_language_id,
+        "normalize_text": _q_normalize_text,
+        "pack_sequences": _q_pack_sequences,
+        "perplexity": _q_perplexity,
+        "pii_scrub": _q_pii_scrub,
+        "pq_topk": _q_pq_topk,
+        "profile_table": _q_profile_table,
+        "repetition_signals": _q_repetition_signals,
+        "restore_roundtrip": _q_restore_roundtrip,
+        "shallow_clone": _q_shallow_clone,
+        "stratified_sample": _q_stratified_sample,
+        "text_quality": _q_text_quality,
+        "token_count": _q_token_count,
+        "url_filter": _q_url_filter,
+        # --- slots 48-50: media dedups whose decode kernels gained the
+        # NULL/undecodable guard this round — re-verify under the oracle ---
+        "image_dedup": _q_image_dedup,
+        "audio_dedup": _q_audio_dedup,
+        "video_dedup": _q_video_dedup,
+        # --- position 51+: overflow — each already has an official
+        # driver-green row from rounds 1-5; all remain locally
+        # value-checked every round via tools/check_oracles.py ---
         "bigram_perplexity": _q_bigram_perplexity,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
@@ -2253,27 +2288,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "streaming_window_counts": _q_streaming_window_counts,
         "streaming_sessionize": _q_streaming_sessionize,
-        # --- representative family picks + queries NEW this round (39-50):
-        # every query in slots 39-50 is either new in round 5
-        # (substring/image/audio/video dedup, variant_table,
-        # streaming_dedup, streaming_cdc_apply) or a family headline
-        # (minhash/semantic dedup, dv_merge, multimodal, pipeline) ---
         "minhash_dedup": _q_minhash_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
-        "image_dedup": _q_image_dedup,
-        "audio_dedup": _q_audio_dedup,
-        "video_dedup": _q_video_dedup,
         "variant_table": _q_variant_table,
         "dv_merge": _q_dv_merge,
         "multimodal_decode": _q_multimodal_decode,
         "pipeline_e2e": _q_pipeline_e2e,
-        # --- NEW round-5 streaming oracles (49-50) ---
         "streaming_dedup": _q_streaming_dedup,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
-        # --- position 51+: overflow — every query below already has a
-        # driver-green row from rounds 1-4; all remain locally
-        # value-checked every round via tools/check_oracles.py ---
         "range_join": _q_range_join,
         "similarity_topk": _q_similarity_topk,
         "sql_dml": _q_sql_dml,
@@ -2297,31 +2320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update": _q_dv_update,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
-        "clean_corpus": _q_clean_corpus,
-        "token_count": _q_token_count,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "text_quality": _q_text_quality,
-        "language_id": _q_language_id,
-        "bpe_token_count": _q_bpe_token_count,
-        "pii_scrub": _q_pii_scrub,
-        "normalize_text": _q_normalize_text,
-        "url_filter": _q_url_filter,
-        "classifier_quality": _q_classifier_quality,
-        "contamination_check": _q_contamination_check,
-        "stratified_sample": _q_stratified_sample,
-        "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
-        "repetition_signals": _q_repetition_signals,
-        "ann_topk": _q_ann_topk,
-        "ivf_topk": _q_ivf_topk,
-        "pq_topk": _q_pq_topk,
-        "pack_sequences": _q_pack_sequences,
-        "profile_table": _q_profile_table,
-        "check_constraints": _q_check_constraints,
-        "shallow_clone": _q_shallow_clone,
-        "restore_roundtrip": _q_restore_roundtrip,
-        "perplexity": _q_perplexity,
-        "generated_columns": _q_generated_columns,
         "token_frequencies": _q_token_frequencies,
         "corpus_stats": _q_corpus_stats,
         "pricing_summary": _q_pricing_summary,
