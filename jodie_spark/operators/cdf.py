@@ -155,10 +155,18 @@ def read_cdf(
         return rename_to_logical(df, logical, physical, keep=extra)
 
     read_schema = schema if ms is None else ms[1]
+    scan_spark = spark
+    if ms is not None:
+        from jodie_spark.tables.column_mapping import schema_requests_field_ids
+        from jodie_spark.tables.table import _field_id_read_session
+
+        if schema_requests_field_ids(read_schema):
+            # mode=id tables: data/cdc files resolve by footer field id
+            scan_spark = _field_id_read_session(spark)
 
     if cdc_files:
         cdc_df = (
-            spark.read.format("parquet")
+            scan_spark.read.format("parquet")
             .schema(
                 T.StructType(
                     list(read_schema.fields)
@@ -174,7 +182,7 @@ def read_cdf(
         if not file_group:
             continue
         grp_df = (
-            spark.read.format("parquet")
+            scan_spark.read.format("parquet")
             .option("basePath", path)
             .schema(read_schema)
             .load([p for p, _, _ in file_group])

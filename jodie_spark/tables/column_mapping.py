@@ -18,10 +18,13 @@ Mode ``id`` resolves data columns by parquet FIELD ID instead of name
 parquet column names need not match ``physicalName``): the reader
 schema carries ``parquet.field.id`` metadata copied from
 ``delta.columnMapping.id`` and Spark's vectorized reader matches on it
-(``spark.sql.parquet.fieldId.read.enabled``). Partition directories
+(``spark.sql.parquet.fieldId.read.enabled``, scoped to the scan via a
+child session — never a global conf mutation). Partition directories
 are not parquet fields, so they still resolve by physical name.
-id-mode tables are READ-ONLY in this engine — DML/CDF/rewrites refuse
-at :meth:`DeltaTable._mapping_schemas`.
+Writes into id-mode tables carry the same metadata on the physical
+projection, so Spark's parquet writer emits matching footer field ids
+(``spark.sql.parquet.fieldId.write.enabled``, default on) — giving
+both mapping modes the full DML/CDF/rewrite surface.
 """
 
 from __future__ import annotations
@@ -90,19 +93,40 @@ def rename_to_physical(
     DataFrame to the physical names the parquet files must store.
     Nested structs rename via a positional cast. ``keep`` columns
     (physical-only payloads like materialized row lineage) pass
-    through unrenamed."""
+    through unrenamed.
+
+    The physical field's metadata travels on the alias: on mode=id
+    tables it carries ``parquet.field.id``, which Spark's parquet
+    writer (``spark.sql.parquet.fieldId.write.enabled``, default on)
+    turns into footer field ids — so files THIS engine writes into an
+    id-mapped table resolve for every field-id reader. Nested field
+    ids ride the positional cast's target type."""
     cols = []
     for lf, pf in zip(logical.fields, physical.fields):
         c = F.col(f"`{lf.name}`")
         if lf.dataType != pf.dataType:
             c = c.cast(pf.dataType)
-        cols.append(c.alias(pf.name))
+        cols.append(c.alias(pf.name, metadata=dict(pf.metadata or {})))
     cols += [F.col(f"`{k}`") for k in keep if k in df.columns]
     return df.select(*cols)
 
 
 ID_KEY = "delta.columnMapping.id"
 MAX_ID_PROP = "delta.columnMapping.maxColumnId"
+
+
+def schema_requests_field_ids(schema: T.StructType) -> bool:
+    """True when a read schema carries ``parquet.field.id`` metadata —
+    i.e. it came from :func:`to_physical_schema` for a mode=id table
+    and the scan must run with Spark's field-id matcher enabled
+    (routed through the scoped child session, never a global conf)."""
+    def field_has(f: T.StructField) -> bool:
+        if PARQUET_FIELD_ID_KEY in (f.metadata or {}):
+            return True
+        dt = f.dataType
+        return isinstance(dt, T.StructType) and any(field_has(sf) for sf in dt.fields)
+
+    return any(field_has(f) for f in schema.fields)
 
 
 def max_column_id(metadata: dict[str, Any]) -> int:

@@ -43,9 +43,10 @@ from jodie_spark.errors import (
 # naively, so snapshot() hard-fails on them.
 # timestampNtz is a plain parquet type the scan already handles.
 # columnMapping is supported for mode 'name' (physical-name scan +
-# logical rename, tables/column_mapping.py) and — reads only — mode
-# 'id' (parquet field-id resolution via Spark's fieldId.read matcher;
-# mutations refuse at DeltaTable._mapping_schemas).
+# logical rename, tables/column_mapping.py) and mode 'id' (parquet
+# field-id resolution via Spark's fieldId.read matcher in a scoped
+# child session; writes emit footer field ids so both modes take the
+# full DML/CDF surface).
 # deletionVectors read support: tables/deletion_vectors.py (row-index
 # anti-filter); DML on such tables still refuses at the WRITER gate.
 # Reader version 2 == legacy columnMapping protocol (PROTOCOL.md).

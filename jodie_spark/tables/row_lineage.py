@@ -110,8 +110,17 @@ def read_candidates_with_lineage(
     is relative to ``table_path``.
     """
     from jodie_spark.errors import DeltaProtocolError
-    from jodie_spark.tables.table import _DV_BROADCAST_MAX_POSITIONS, _dv_cardinality
+    from jodie_spark.tables.column_mapping import schema_requests_field_ids
+    from jodie_spark.tables.table import (
+        _DV_BROADCAST_MAX_POSITIONS,
+        _dv_cardinality,
+        _field_id_read_session,
+    )
 
+    if schema_requests_field_ids(schema):
+        # mode=id physical schema: match parquet columns by footer field
+        # id through the scoped child session (see read_files_df)
+        spark = _field_id_read_session(spark)
     ext_schema = T.StructType(
         list(schema.fields)
         + [

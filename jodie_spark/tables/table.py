@@ -189,6 +189,13 @@ def read_files_df(
             os.path.abspath(table_path) + os.sep
         )
 
+    from jodie_spark.tables.column_mapping import schema_requests_field_ids
+
+    if schema_requests_field_ids(schema):
+        # mode=id physical schema: the scan must match parquet columns
+        # by footer field id (foreign writers' column names need not
+        # equal physicalName) — route through the scoped child session
+        spark = _field_id_read_session(spark)
     plain, dv, external = [], [], []
     for a in adds:
         if _dv_cardinality(a):
@@ -593,11 +600,11 @@ class DeltaTable:
             # not match physicalName, e.g. Iceberg-converted tables)
             physical = to_physical_schema(logical, with_field_ids=(mode == "id"))
             # id mode needs spark.sql.parquet.fieldId.read.enabled at the
-            # scan — scoped to the relation via a child session rather
-            # than mutating the user's session conf (a global leak that
-            # would change matching for unrelated parquet reads)
-            scan_spark = _field_id_read_session(self.spark) if mode == "id" else self.spark
-            df = read_files_df(scan_spark, self.path, physical, snap.add_files())
+            # scan — read_files_df routes field-id schemas through the
+            # scoped child session rather than mutating the user's
+            # session conf (a global leak that would change matching
+            # for unrelated parquet reads)
+            df = read_files_df(self.spark, self.path, physical, snap.add_files())
             df = rename_to_logical(df, logical, physical)
         else:
             df = read_files_df(self.spark, self.path, logical, snap.add_files())
@@ -990,26 +997,25 @@ class DeltaTable:
         self, snap: Snapshot
     ) -> tuple[T.StructType, T.StructType] | None:
         """(logical, physical) schema pair when the table uses column
-        mapping mode=name, else None. Mode=id tables refuse here: every
-        mutation / CDF path consults this, and writing name-resolved
-        files into a field-id-resolved table would corrupt it for the
-        readers that own it (snapshot reads via toDF stay supported)."""
+        mapping (mode=name or mode=id), else None. Every mutation / CDF
+        path consults this. In id mode the physical schema additionally
+        carries ``parquet.field.id`` metadata, which makes (a) candidate
+        scans match parquet columns by footer field id (read_files_df
+        routes such schemas through the field-id child session) and
+        (b) files this engine writes carry matching footer field ids
+        (rename_to_physical puts the metadata on the write projection;
+        Spark's parquet writer emits it by default) — so id-mapped
+        tables take the same DML/CDF surface as name-mapped ones."""
         from jodie_spark.tables.column_mapping import (
             column_mapping_mode,
             to_physical_schema,
         )
 
         mode = column_mapping_mode(snap.metadata)
-        if mode == "id":
-            raise DeltaProtocolError(
-                "column mapping mode=id tables are read-only in this engine "
-                "(snapshot reads / time travel via toDF); DML, CDF and "
-                "rewrites require mode=name"
-            )
-        if mode != "name":
+        if mode not in ("name", "id"):
             return None
         logical = self.schema(snap)
-        return logical, to_physical_schema(logical)
+        return logical, to_physical_schema(logical, with_field_ids=(mode == "id"))
 
     def _lineage_setup(
         self, snap: Snapshot, candidates: list[dict[str, Any]]
@@ -1314,14 +1320,21 @@ class DeltaTable:
         columns (the DV coordinate system). With ``snap`` the scan is
         column-mapping-aware: physical-named files read with the
         physical schema, rows surfaced under logical names."""
+        from jodie_spark.tables.column_mapping import schema_requests_field_ids
+
         ms = self._mapping_schemas(snap) if snap is not None else None
         read_schema = schema if ms is None else ms[1]
+        scan_spark = (
+            _field_id_read_session(self.spark)
+            if schema_requests_field_ids(read_schema)
+            else self.spark
+        )
         paths = [
             os.path.join(self.path, urllib.parse.unquote(a["path"]))
             for a in candidates
         ]
         out = (
-            self.spark.read.format("parquet")
+            scan_spark.read.format("parquet")
             .option("basePath", self.path)
             .schema(read_schema)
             .load(paths)
@@ -3058,12 +3071,7 @@ def write_delta(
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
         _mode = column_mapping_mode(snap.metadata)
-        if _mode == "id":
-            raise DeltaProtocolError(
-                "appending to a column mapping mode=id table is not supported "
-                "by this engine (reads only)"
-            )
-        mapped = _mode == "name"
+        mapped = _mode in ("name", "id")
         conf_update: dict[str, str] | None = None
         if extra and mapped:
             # mergeSchema-added columns on a mapped table need ids +
@@ -3083,13 +3091,18 @@ def write_delta(
         )
         if mapped:
             # constraints/generation run on logical names above; the
-            # parquet files store physical names
+            # parquet files store physical names (and, on mode=id
+            # tables, footer field ids via the projection metadata)
             from jodie_spark.tables.column_mapping import (
                 rename_to_physical,
                 to_physical_schema,
             )
 
-            out_df = rename_to_physical(out_df, new_schema, to_physical_schema(new_schema))
+            out_df = rename_to_physical(
+                out_df,
+                new_schema,
+                to_physical_schema(new_schema, with_field_ids=(_mode == "id")),
+            )
         adds = write_data_files(out_df, path, snap.partition_columns)
         actions = txn_actions + [{"add": a} for a in adds]
         if widened:
@@ -3156,12 +3169,7 @@ def write_delta(
         from jodie_spark.tables.column_mapping import column_mapping_mode
 
         _mode = column_mapping_mode(snap.metadata)
-        if _mode == "id":
-            raise DeltaProtocolError(
-                "overwriting a column mapping mode=id table is not supported "
-                "by this engine (reads only)"
-            )
-        mapped = _mode == "name"
+        mapped = _mode in ("name", "id")
         if mapped and (schema_changed or eff_partition != snap.partition_columns):
             raise JodieValidationError(
                 "schema or partitioning changes on a column-mapped table must "
@@ -3177,7 +3185,11 @@ def write_delta(
                 to_physical_schema,
             )
 
-            out_df = rename_to_physical(out_df, table_schema, to_physical_schema(table_schema))
+            out_df = rename_to_physical(
+                out_df,
+                table_schema,
+                to_physical_schema(table_schema, with_field_ids=(_mode == "id")),
+            )
         adds = write_data_files(out_df, path, eff_partition)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = list(txn_actions)

@@ -599,7 +599,7 @@ def test_column_mapping_name_read(spark, tmpdir_path):
     assert rows2 == rows
 
 
-def _mk_id_mapped_table(tmpdir_path, spark):
+def _mk_id_mapped_table(tmpdir_path, spark, extra_config=None):
     """Hand-built mode=id table the way a FOREIGN field-id writer (e.g.
     an Iceberg-converted / UniForm table) produces it: the parquet
     column NAMES deliberately do not match physicalName — only the
@@ -681,6 +681,7 @@ def _mk_id_mapped_table(tmpdir_path, spark):
         "configuration": {
             "delta.columnMapping.mode": "id",
             "delta.columnMapping.maxColumnId": "4",
+            **(extra_config or {}),
         },
         "createdTime": 0,
     }
@@ -718,26 +719,80 @@ def test_column_mapping_id_read_leaves_session_conf_alone(spark, tmpdir_path):
     assert sorted(r["id"] for r in joined.collect()) == [1, 2]
 
 
-def test_column_mapping_id_writes_and_cdf_refuse(spark, tmpdir_path):
-    """Mutations on an id-mode table would write name-resolved files
-    into a field-id-resolved layout — every write surface must refuse
-    loudly, and the datasource reader (no field-id matcher) must route
-    to toDF()."""
-    from jodie_spark.errors import DeltaProtocolError
-    from jodie_spark.sources.datasource import register
+def test_column_mapping_id_dml_and_append(spark, tmpdir_path):
+    """DML on a FOREIGN id-mapped table (parquet column names that do
+    NOT match physicalName — only field ids line up): delete, update
+    and append all work, results resolve by field id afterwards, and
+    every file this engine writes carries footer field ids matching
+    delta.columnMapping.id, so the foreign field-id readers that own
+    the table keep resolving it."""
+    import glob
+
+    import pyarrow.parquet as pq
 
     path = _mk_id_mapped_table(tmpdir_path, spark)
     t = DeltaTable.forPath(spark, path)
-    with pytest.raises(DeltaProtocolError, match="read-only"):
-        t.delete("id = 1")
-    with pytest.raises(DeltaProtocolError, match="read-only"):
-        t.update("id > 0", {"id": "id + 1"})
-    with pytest.raises(DeltaProtocolError, match="mode=id"):
-        write_delta(
-            spark.createDataFrame([(9, (9.0,), "x")], t.toDF().schema),
-            path,
-            mode="append",
-        )
+    t.delete("id = 2")
+    assert sorted(r["id"] for r in t.toDF().collect()) == [1, 3]
+    t.update("id = 3", {"id": "id + 10"})
+    assert sorted(r["id"] for r in t.toDF().collect()) == [1, 13]
+    write_delta(
+        spark.createDataFrame([(20, (10.0,), "y")], t.toDF().schema),
+        path,
+        mode="append",
+    )
+    rows = sorted((r["id"], r["info"]["score"], r["part"]) for r in t.toDF().collect())
+    assert rows == [(1, 0.5, "x"), (13, 1.5, "y"), (20, 10.0, "y")]
+    # every parquet file written by THIS engine (not the foreign
+    # fixture's part-0 files) must carry matching footer field ids
+    ours = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if "part-0.parquet" not in f and "_delta_log" not in f
+    ]
+    assert ours, "engine wrote no files?"
+    for f in ours:
+        sch = pq.ParquetFile(f).schema_arrow
+        ids = {
+            fld.name: (fld.metadata or {}).get(b"PARQUET:field_id") for fld in sch
+        }
+        assert ids.get("col-aa") == b"1", (f, ids)
+        assert ids.get("col-bb") == b"2", (f, ids)
+        nested = sch.field("col-bb").type.field(0)
+        assert (nested.metadata or {}).get(b"PARQUET:field_id") == b"3"
+
+
+def test_column_mapping_id_cdf_dml(spark, tmpdir_path):
+    """CDF on a foreign id-mapped table: cdc files store physical names
+    + field ids, and the CDF reader resolves data columns by field id —
+    including the foreign fixture files, whose parquet names don't
+    match physicalName."""
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+
+    path = _mk_id_mapped_table(
+        tmpdir_path, spark, extra_config={"delta.enableChangeDataFeed": "true"}
+    )
+    t = DeltaTable.forPath(spark, path)
+    t.delete("id = 2")      # v1
+    t.update("id = 1", {"id": "11"})  # v2
+    cdf = ChangeDataFeedHelper(spark, path, 0).read_cdf()
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["part"])
+        for r in cdf.collect()
+    )
+    assert (0, "insert", 1, "x") in changes
+    assert (0, "insert", 3, "y") in changes
+    assert (1, "delete", 2, "x") in changes
+    assert (2, "update_preimage", 1, "x") in changes
+    assert (2, "update_postimage", 11, "x") in changes
+
+
+def test_column_mapping_id_datasource_still_refuses(spark, tmpdir_path):
+    """The Python datasource reader has no field-id matcher — it must
+    keep routing id-mode tables to toDF()."""
+    from jodie_spark.sources.datasource import register
+
+    path = _mk_id_mapped_table(tmpdir_path, spark)
     register(spark)
     with pytest.raises(Exception, match="field id"):
         spark.read.format("jodie_delta").load(path).collect()
