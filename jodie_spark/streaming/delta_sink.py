@@ -64,7 +64,20 @@ def write_stream_merge_to_delta(
     (``dropDuplicates``). Rows whose ``delete_col`` is true delete the
     matching key; others update-all / insert-all. The first non-empty
     batch creates the table. Exactly-once per batch comes from the
-    atomic commit + the stream checkpoint, like the append sink."""
+    atomic commit + the stream checkpoint, like the append sink.
+
+    CROSS-batch sequencing: when the target table itself stores
+    ``sequence_col``, matched clauses additionally require
+    ``s.seq >= t.seq`` — a stale change that arrives in a LATER
+    micro-batch than a newer one (out-of-order across batches, the
+    case within-batch dedup cannot see) is a no-op instead of
+    regressing the row. Without the column in the target, within-batch
+    last-wins is all that can be promised.
+
+    The micro-batch is persisted for the duration of the sink call:
+    the merge underneath runs several jobs over the source side
+    (touched-file discovery, rewrite, metrics), and each would
+    otherwise re-scan the streaming source."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -72,41 +85,59 @@ def write_stream_merge_to_delta(
     from jodie_spark.tables.table import DeltaTable, write_delta
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if sequence_col is not None:
-            w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
-            batch = (
-                batch_df.withColumn("__rn__", F.row_number().over(w))
-                .filter("__rn__ = 1")
-                .drop("__rn__")
-            )
-        else:
-            batch = batch_df.dropDuplicates(keys)
-        data_cols = [c for c in batch.columns if c != delete_col]
-        if not DeltaLog(path).exists():
-            init = batch
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            if sequence_col is not None:
+                w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+                batch = (
+                    batch_df.withColumn("__rn__", F.row_number().over(w))
+                    .filter("__rn__ = 1")
+                    .drop("__rn__")
+                )
+            else:
+                batch = batch_df.dropDuplicates(keys)
+            data_cols = [c for c in batch.columns if c != delete_col]
+            if not DeltaLog(path).exists():
+                init = batch
+                if delete_col is not None:
+                    init = init.filter(f"not coalesce({delete_col}, false)")
+                write_delta(
+                    init.select(*data_cols), path, partition_by=partition_by or []
+                )
+                return
+            t = DeltaTable.forPath(batch.sparkSession, path)
+            # seq guard only when the target materializes the sequence
+            # column (otherwise there is nothing to compare against)
+            guard = None
+            if sequence_col is not None and sequence_col in t.toDF().columns:
+                guard = f"s.{sequence_col} >= t.{sequence_col}"
+            cond = " and ".join(f"t.{k} = s.{k}" for k in keys)
+            m = t.alias("t").merge(batch.alias("s"), cond)
             if delete_col is not None:
-                init = init.filter(f"not coalesce({delete_col}, false)")
-            write_delta(
-                init.select(*data_cols), path, partition_by=partition_by or []
-            )
-            return
-        t = DeltaTable.forPath(batch.sparkSession, path)
-        cond = " and ".join(f"t.{k} = s.{k}" for k in keys)
-        m = t.alias("t").merge(batch.alias("s"), cond)
-        if delete_col is not None:
-            m = m.whenMatchedDelete(f"coalesce(s.{delete_col}, false)")
-            m = m.whenMatchedUpdate(
-                set={c: f"s.{c}" for c in data_cols if c not in keys}
-            )
-            m = m.whenNotMatchedInsert(
-                condition=f"not coalesce(s.{delete_col}, false)",
-                values={c: f"s.{c}" for c in data_cols},
-            )
-        else:
-            m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
-        m.execute()
+                dl = f"coalesce(s.{delete_col}, false)"
+                m = m.whenMatchedDelete(f"{dl} and {guard}" if guard else dl)
+                m = m.whenMatchedUpdate(
+                    condition=guard,
+                    set={c: f"s.{c}" for c in data_cols if c not in keys},
+                )
+                m = m.whenNotMatchedInsert(
+                    condition=f"not {dl}",
+                    values={c: f"s.{c}" for c in data_cols},
+                )
+            elif guard:
+                m = (
+                    m.whenMatchedUpdate(
+                        condition=guard,
+                        set={c: f"s.{c}" for c in batch.columns if c not in keys},
+                    ).whenNotMatchedInsertAll()
+                )
+            else:
+                m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            m.execute()
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_location

@@ -118,3 +118,57 @@ def test_stream_merge_upsert_and_delete(spark, tmpdir_path):
     run()
     got = {r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
     assert got == {1: "NEW", 3: "c"}
+
+
+def test_stream_merge_cross_batch_stale_changes_are_noops(spark, tmpdir_path):
+    """Out-of-order ACROSS micro-batches: when the target materializes
+    the sequence column, a stale change (lower seq) arriving in a later
+    batch must neither regress an update nor delete a row the feed has
+    since re-upserted — within-batch dedup cannot see this case, only
+    the merge's seq guard can."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "stale_src")
+    dst = os.path.join(tmpdir_path, "stale_dst")
+    ckpt = os.path.join(tmpdir_path, "stale_ckpt")
+
+    def run():
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            dst,
+            ckpt,
+            keys=["k"],
+            sequence_col="seq",
+            delete_col="deleted",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    write_delta(
+        spark.createDataFrame(
+            [(1, "v5", 5, False), (2, "w5", 5, False)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+    )
+    run()
+    # batch 2 arrives LATE: a stale update for k=1 (seq 3 < 5) and a
+    # stale delete for k=2 (seq 4 < 5); plus a genuinely newer update
+    write_delta(
+        spark.createDataFrame(
+            [(1, "v3-stale", 3, False), (2, None, 4, True), (1, "v6", 6, False)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+        mode="append",
+    )
+    run()
+    rows = {r["k"]: (r["v"], r["seq"]) for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    # k=1 took the seq-6 update (within-batch dedup picked it over the
+    # stale seq-3); k=2 survived the stale delete
+    assert rows == {1: ("v6", 6), 2: ("w5", 5)}
