@@ -1413,6 +1413,104 @@ def _q_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping mode=id DML under the value oracle: hand-build a
+    FOREIGN id-mapped table (parquet column names deliberately differ
+    from physicalName — only footer field ids line up, the shape an
+    Iceberg-converted / UniForm writer produces), then delete, update
+    and append through this engine and read the result back by field
+    id. The oracle reproduces the same arithmetic on the customer ids."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    keys = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "customer")
+        .filter("c_custkey < 300")
+        .select("c_custkey")
+        .collect()
+    )
+    path = _tmp("cmid")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def fmeta(cid, phys):
+        return {
+            "delta.columnMapping.id": cid,
+            "delta.columnMapping.physicalName": phys,
+        }
+
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": fmeta(1, "col-k")},
+                {"name": "grp", "type": "string", "nullable": True, "metadata": fmeta(2, "col-g")},
+            ],
+        }
+    )
+    arrow_schema = _pa.schema(
+        [
+            _pa.field("zz_key", _pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            _pa.field("zz_grp", _pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    rel = "part-0.parquet"
+    _pq.write_table(
+        _pa.table(
+            {"zz_key": keys, "zz_grp": [f"g{k % 5}" for k in keys]},
+            schema=arrow_schema,
+        ),
+        os.path.join(path, rel),
+    )
+    meta = {
+        "id": "cmid-oracle",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+        "createdTime": 0,
+    }
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+        fh.write(
+            _json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+        fh.write(_json.dumps({"metaData": meta}) + "\n")
+        fh.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    t = DeltaTable.forPath(spark, path)
+    t.delete("k % 7 = 0")
+    t.update("k % 10 = 1", {"grp": "'updated'"})
+    new_rows = (
+        spark.createDataFrame([(k,) for k in keys if k % 50 == 0], "k long")
+        .selectExpr("k + 100000 as k", "'new' as grp")
+    )
+    write_delta(new_rows, path, mode="append")
+    return DeltaTable.forPath(spark, path).toDF().select("k", "grp")
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.corpus import clean_corpus
     from jodie_spark.sources import load_table
@@ -2263,7 +2361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
-        "url_filter": _q_url_filter,
+        # --- slot 47: NEW this round — column mapping mode=id DML
+        # (foreign field-id table: delete/update/append + id-resolved read) ---
+        "column_mapping_id": _q_column_mapping_id,
         # --- slots 48-50: media dedups whose decode kernels gained the
         # NULL/undecodable guard this round — re-verify under the oracle ---
         "image_dedup": _q_image_dedup,
@@ -2272,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: overflow — each already has an official
         # driver-green row from rounds 1-5; all remain locally
         # value-checked every round via tools/check_oracles.py ---
+        "url_filter": _q_url_filter,
         "bigram_perplexity": _q_bigram_perplexity,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
@@ -3395,6 +3496,20 @@ def oracle_sql() -> dict[str, str]:
             -- re-ordered cuts of the same footage have frame-set
             -- Jaccard 1.0 and drop; distinct noise streams survive
             SELECT doc_id FROM documents WHERE doc_id < 200
+        """,
+        "column_mapping_id": """
+            -- foreign field-id table after DELETE (%7), UPDATE (%10=1)
+            -- and APPEND (+100000 for %50=0): closed-form in c_custkey
+            WITH base AS (
+                SELECT c_custkey AS k,
+                       'g' || CAST(c_custkey % 5 AS VARCHAR) AS grp
+                FROM customer WHERE c_custkey < 300
+            )
+            SELECT k,
+                   CASE WHEN k % 10 = 1 THEN 'updated' ELSE grp END AS grp
+            FROM base WHERE k % 7 <> 0
+            UNION ALL
+            SELECT k + 100000 AS k, 'new' AS grp FROM base WHERE k % 50 = 0
         """,
         "variant_table": """
             -- variant values after DELETE (%7) and UPDATE (%10=1,
