@@ -132,6 +132,7 @@ def main() -> None:
         "image_dedup",
         "audio_dedup",
         "video_dedup",
+        "column_mapping_id",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
