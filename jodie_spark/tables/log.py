@@ -1291,6 +1291,10 @@ class DeltaLog:
             if os.path.exists(crc):  # checksum travels with its commit
                 os.remove(crc)
                 deleted.append(crc)
+            quarantined = crc + ".quarantined"
+            if os.path.exists(quarantined):  # and so does its quarantine
+                os.remove(quarantined)
+                deleted.append(quarantined)
 
         removable = [
             v

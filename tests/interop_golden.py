@@ -346,6 +346,54 @@ def foreign_read_state(table: str) -> dict:
     return {"files": files, "metadata": metadata, "protocol": protocol}
 
 
+def foreign_read_rows_by_field_id(table: str, columns: list[str]) -> list[tuple]:
+    """Materialize live rows the way a FOREIGN field-id reader (mode=id
+    contract) would: per logical column, look up delta.columnMapping.id
+    in the metadata schemaString, then resolve each parquet file's
+    column by matching FOOTER FIELD ID — never by name. Pure
+    pyarrow+json, no jodie_spark code; partition columns resolve from
+    the add's partitionValues keyed by physicalName."""
+    import urllib.parse
+
+    state = foreign_read_state(table)
+    schema = json.loads(state["metadata"]["schemaString"])
+    meta_of = {f["name"]: f.get("metadata") or {} for f in schema["fields"]}
+    id_of = {c: meta_of[c].get("delta.columnMapping.id") for c in columns}
+    phys_of = {
+        c: meta_of[c].get("delta.columnMapping.physicalName", c) for c in columns
+    }
+    type_of = {f["name"]: f["type"] for f in schema["fields"]}
+    partition_cols = set(state["metadata"].get("partitionColumns") or [])
+    rows: list[tuple] = []
+    for rel, add in state["files"].items():
+        fpath = os.path.join(table, urllib.parse.unquote(rel))
+        pf = pq.ParquetFile(fpath)
+        arrow = pf.schema_arrow
+        by_id = {}
+        for fld in arrow:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+        tbl = pf.read()
+        n = tbl.num_rows
+        cols = []
+        for c in columns:
+            if phys_of[c] in partition_cols:
+                pv = (add.get("partitionValues") or {}).get(phys_of[c])
+                if type_of.get(c) == "long" and pv is not None:
+                    pv = int(pv)
+                cols.append([pv] * n)
+                continue
+            fid = id_of[c]
+            assert fid is not None, f"no column id recorded for {c}"
+            assert int(fid) in by_id, (
+                f"file {rel} carries no field id {fid} for {c}: {by_id}"
+            )
+            cols.append(tbl.column(by_id[int(fid)]).to_pylist())
+        rows.extend(zip(*cols) if n else [])
+    return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+
 def foreign_read_rows(table: str, columns: list[str]) -> list[tuple]:
     """Materialize live rows with duckdb over the reconstructed file
     list (plain tables: no DV / column-mapping interpretation)."""

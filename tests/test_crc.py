@@ -169,6 +169,9 @@ def test_cleanup_deletes_crc_with_commit(spark, tmpdir_path):
         write_delta(spark.range(i, i + 1).selectExpr("id"), p, mode="append")
     log = DeltaLog(p)
     log.write_checkpoint()
+    # a quarantined checksum travels with its commit too
+    with open(log._crc_path(1) + ".quarantined", "w") as fh:
+        fh.write("{}")
     old = time.time() - 3600
     for v in range(3):
         os.utime(log.commit_file_path(v), (old, old))
@@ -176,5 +179,6 @@ def test_cleanup_deletes_crc_with_commit(spark, tmpdir_path):
     for v in range(3):
         assert not os.path.exists(log._crc_path(v))
         assert log.commit_file_path(v) in deleted
+    assert not os.path.exists(log._crc_path(1) + ".quarantined")
     # newest state still reads
     assert DeltaTable.forPath(spark, p).toDF().count() == 6

@@ -787,6 +787,31 @@ def test_column_mapping_id_cdf_dml(spark, tmpdir_path):
     assert (2, "update_postimage", 11, "x") in changes
 
 
+def test_column_mapping_id_foreign_reader_resolves_our_writes(spark, tmpdir_path):
+    """Bidirectional id-mode interop: after this engine deletes,
+    updates and appends through a foreign id-mapped table, an
+    INDEPENDENT foreign field-id reader (pure pyarrow over the public
+    protocol — tests/interop_golden.py, no jodie_spark code) resolves
+    the whole table, foreign fixture files and our files alike, by
+    footer field id and sees exactly what our own reader sees."""
+    from tests.interop_golden import foreign_read_rows_by_field_id
+
+    path = _mk_id_mapped_table(tmpdir_path, spark)
+    t = DeltaTable.forPath(spark, path)
+    t.delete("id = 2")
+    write_delta(
+        spark.createDataFrame([(20, (10.0,), "y")], t.toDF().schema),
+        path,
+        mode="append",
+    )
+    ours = sorted(
+        (r["id"], r["info"]["score"], r["part"]) for r in t.toDF().collect()
+    )
+    theirs = foreign_read_rows_by_field_id(path, ["id", "part"])
+    assert [(k, p) for k, _s, p in ours] == [(1, "x"), (3, "y"), (20, "y")]
+    assert theirs == [(1, "x"), (3, "y"), (20, "y")]
+
+
 def test_column_mapping_id_datasource_still_refuses(spark, tmpdir_path):
     """The Python datasource reader has no field-id matcher — it must
     keep routing id-mode tables to toDF()."""
