@@ -109,8 +109,9 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
     assert DeltaTable.forPath(spark, cm).snapshot().version == 0
 
     # ...mode 'id' is readable since round 5 (parquet field-id
-    # resolution — see test_column_mapping_id_read) but mutations
-    # refuse at _mapping_schemas
+    # resolution — see test_column_mapping_id_read) and, since round 6,
+    # writable too: DML commits through the field-id-aware rewrite
+    # (see test_column_mapping_id_dml_and_append)
     id_mode = mk_log("cm_id_table", {"minReaderVersion": 2, "minWriterVersion": 5})
     log_file = os.path.join(id_mode, "_delta_log", "%020d.json" % 0)
     lines = open(log_file).read().splitlines()
@@ -120,8 +121,8 @@ def test_protocol_reader_feature_gate(spark, tmpdir_path):
         fh.write(lines[0] + "\n")
         fh.write(json.dumps(meta_action) + "\n")
     assert DeltaTable.forPath(spark, id_mode).snapshot().version == 0
-    with pytest.raises(DeltaProtocolError, match="read-only"):
-        DeltaTable.forPath(spark, id_mode).delete("k = 1")
+    DeltaTable.forPath(spark, id_mode).delete("k = 1")  # no candidates: commits
+    assert DeltaTable.forPath(spark, id_mode).deltaLog.latest_version() == 1
 
     # v3 with only supported features is fine
     ok = mk_log("ok_table", {
