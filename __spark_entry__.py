@@ -1249,10 +1249,13 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup over REAL decoded pixels: per doc a
     deterministic noise image (BMP for even ids, PNG otherwise), plus a
     CROSS-FORMAT exact clone for every 10th doc (same pixels, the other
-    container). dHash is computed on decoded pixels, so clones collide
-    at hamming 0 whatever the format, and distinct noise images sit
-    ≥ ~18 bits apart — survivors are exactly the originals, which is
-    closed-form in doc_id."""
+    container) and a LOSSY JPEG q97 clone for ids ≡5 (mod 10) — the
+    baseline JPEG decoder in the dedup path. dHash is computed on
+    decoded pixels, so lossless clones collide at hamming 0 and the
+    JPEG clones land ≤3 bits away (measured worst case over the
+    fixture seeds), while distinct noise images sit ≥16 bits apart —
+    at max_hamming=3 survivors are exactly the originals, closed-form
+    in doc_id."""
     from collections.abc import Iterator as _It
 
     import numpy as _np
@@ -1268,7 +1271,7 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        from jodie_spark.operators.codecs import encode_bmp, encode_png
+        from jodie_spark.operators.codecs import encode_bmp, encode_jpeg, encode_png
 
         for pdf in it:
             ids, blobs = [], []
@@ -1286,11 +1289,14 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     ids.append(did + 100_000)
                     blobs.append(enc_b)
+                elif did % 10 == 5:  # lossy JPEG near-clone (≤3 bits)
+                    ids.append(did + 100_000)
+                    blobs.append(encode_jpeg(px, quality=97))
             yield _pd.DataFrame({"doc_id": ids, "data": blobs})
 
     media = docs.mapInPandas(_synth, out_schema)
     return image_dedup(
-        media, binary_col="data", id_col="doc_id", max_hamming=2
+        media, binary_col="data", id_col="doc_id", max_hamming=3
     ).select("doc_id")
 
 

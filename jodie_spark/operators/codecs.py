@@ -3,15 +3,17 @@
 These make ``mode='real'`` in :mod:`jodie_spark.operators.multimodal`
 actually exercisable in a minimal runtime: BMP (24-bit uncompressed),
 PPM (P6), PNG (stdlib zlib: 8-bit non-interlaced gray / RGB /
-palette / RGBA, scanline filters 0-4), and baseline JPEG (sequential
-DCT / huffman SOF0, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
-subsampling and restart markers — together PNG+JPEG are the two
-dominant real-corpus image formats) for images, RIFF/WAVE PCM for
-audio, and a trivial "concatenated PPM" stream as a parseable video
-stand-in. Formats that genuinely need external libraries
-(progressive JPEG / MP4 / ...) raise ``ValueError`` with the sniffed
-format name so callers can route those rows to a Pillow/ffmpeg-backed
-decoder when one is available.
+palette / RGBA, scanline filters 0-4), and baseline JPEG
+(:func:`decode_jpeg` — sequential huffman SOF0/SOF1, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling and restart markers;
+verified against real libjpeg-written files — together PNG+JPEG are
+the two dominant real-corpus image formats) for images, RIFF/WAVE PCM
+for audio, and a trivial "concatenated PPM" stream as a parseable
+video stand-in. :func:`encode_jpeg` (baseline 4:4:4, Annex K tables)
+exists for fixture generation. Formats that genuinely need external
+libraries (progressive JPEG / MP4 / ...) raise ``ValueError`` with
+the sniffed format name so callers can route those rows to a
+Pillow/ffmpeg-backed decoder when one is available.
 
 All functions operate on ``bytes`` and are called from Arrow-batched
 ``mapInPandas`` kernels — one Python call per ROW but with all the
@@ -317,6 +319,472 @@ def decode_png(b: bytes, with_pixels: bool = True):
     return w, h, np.ascontiguousarray(rgb)
 
 
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (SOF0/SOF1), pure numpy
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: pixels = A.T @ coefs @ A
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-unstuffing; stops at any real marker (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        byte = self.d[self.pos]
+        if byte == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | byte
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        v = (self.bits >> self.nbits) & 1
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def align(self) -> None:
+        self.bits = 0
+        self.nbits = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _build_huff(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(b: bytes, with_pixels: bool = True):
+    """Baseline/extended sequential JPEG (SOF0/SOF1) → (width, height,
+    rgb|None): huffman entropy decode, dequantize, 8x8 IDCT, chroma
+    upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers, JFIF
+    YCbCr→RGB. Progressive (SOF2) and arithmetic-coded JPEGs raise
+    with the reason so callers can route them to an external codec."""
+    if b[:3] != b"\xff\xd8\xff":
+        raise ValueError(f"not a JPEG payload (sniffed: {sniff(b)})")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    i = 2
+    n = len(b)
+    while i < n - 1:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", b, i)
+        seg = b[i + 2 : i + length]
+        i += length
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_prec, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq_prec:
+                    vals = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 * c + 3)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended sequential JPEG (SOF0/SOF1) supported "
+                f"(got SOF marker 0x{marker:02X}) — route to an external codec"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = seg[p + 17 : p + 17 + total]
+                huff[(tc, th)] = _build_huff(counts, symbols)
+                p += 17 + total
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 15})
+            data_start = i
+            break
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS segments")
+    w, h = frame["w"], frame["h"]
+    if not with_pixels:
+        return w, h, None
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    br = _BitReader(b, data_start)
+    mcu_count = 0
+    total_mcus = mcux * mcuy
+    A = _DCT_A
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.align()
+                    # expect RSTn
+                    while br.d[br.pos] == 0xFF and 0xD0 <= br.d[br.pos + 1] <= 0xD7:
+                        br.pos += 2
+                        break
+                    pred = {c["id"]: 0 for c in comps}
+                mcu_count += 1
+                for sc in scan:
+                    comp = by_id[sc["id"]]
+                    dct, act = huff[(0, sc["dc"])], huff[(1, sc["ac"])]
+                    q = qt[comp["tq"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coefs = np.zeros(64, dtype=np.float64)
+                            s = _huff_decode(br, dct)
+                            diff = _extend(br.read(s), s) if s else 0
+                            pred[sc["id"]] += diff
+                            coefs[0] = pred[sc["id"]] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, act)
+                                r, size = rs >> 4, rs & 15
+                                if size == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                coefs[_ZIGZAG[k]] = _extend(br.read(size), size) * q[k]
+                                k += 1
+                            block = A.T @ coefs.reshape(8, 8) @ A + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[sc["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    except _MarkerHit:
+        pass  # EOI / next marker mid-MCU: keep what decoded
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return w, h, np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+    return w, h, np.ascontiguousarray(rgb)
+
+
+# Annex K tables — the standard luminance/chrominance quantization and
+# huffman tables every baseline encoder ships.
+_STD_LUMA_Q = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int32,
+)
+_STD_CHROMA_Q = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int32,
+)
+_STD_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], bytes(range(12)))
+_STD_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], bytes(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes(
+        [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+         0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+         0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+         0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+         0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+         0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+         0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+         0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+         0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+         0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+         0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+         0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+         0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+         0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+    ),
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes(
+        [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+         0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+         0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+         0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+         0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+         0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+         0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+         0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+         0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+         0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+         0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+         0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+         0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+    ),
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            byte = (self.acc >> self.nacc) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)
+
+
+def _enc_huff(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF JPEG (4:4:4, standard Annex K
+    quantization scaled by ``quality`` and standard huffman tables) —
+    the roundtrip partner of :func:`decode_jpeg` for fixture
+    generation; real-corpus decoding is the decoder's job.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    h, w, _ = pixels.shape
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    # Annex K tables are natural (row-major) order; the DQT segment and
+    # the per-coefficient divisors below use ZIGZAG order, like every
+    # real encoder — reorder once here
+    ql = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255)[_ZIGZAG]
+    qc = np.clip((_STD_CHROMA_Q * scale + 50) // 100, 1, 255)[_ZIGZAG]
+
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_l, ac_l = _enc_huff(*_STD_DC_LUMA), _enc_huff(*_STD_AC_LUMA)
+    dc_c, ac_c = _enc_huff(*_STD_DC_CHROMA), _enc_huff(*_STD_AC_CHROMA)
+    A = _DCT_A
+    bwr = _BitWriter()
+    pred = [0, 0, 0]
+    planes = [
+        (y, ql, dc_l, ac_l),
+        (cb, qc, dc_c, ac_c),
+        (cr, qc, dc_c, ac_c),
+    ]
+    padded = []
+    for plane, *_rest in planes:
+        p = np.empty((bh * 8, bw * 8))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    mcu_idx = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bwr.flush()
+                bwr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_idx += 1
+            for ci, (_, q, dct, act) in enumerate(planes):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coefs = A @ block @ A.T
+                # zigzag-ordered coefficients over zigzag-ordered Q
+                zz = np.round(coefs.reshape(-1)[_ZIGZAG] / q).astype(int)
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                s = _category(diff)
+                code, ln = dct[s]
+                bwr.write(code, ln)
+                if s:
+                    bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bwr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = act[(run << 4) | s]
+                    bwr.write(code, ln)
+                    bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = act[0x00]
+                    bwr.write(code, ln)
+    bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(ql[z]) for z in range(64)))
+    out += seg(0xDB, bytes([1]) + bytes(int(qc[z]) for z in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+    out += seg(0xC0, sof)
+    for (tc, th), (counts, symbols) in (
+        ((0, 0), _STD_DC_LUMA), ((1, 0), _STD_AC_LUMA),
+        ((0, 1), _STD_DC_CHROMA), ((1, 1), _STD_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + symbols)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(b: bytes, with_pixels: bool = True):
     """Route to the matching baseline decoder; raise for formats that
     need an external library (callers surface the format name)."""
@@ -327,9 +795,12 @@ def decode_image(b: bytes, with_pixels: bool = True):
         return decode_ppm(b, with_pixels)
     if kind == "png":
         return decode_png(b, with_pixels)
+    if kind == "jpeg":
+        return decode_jpeg(b, with_pixels)
     raise ValueError(
-        f"no baseline decoder for {kind!r} — JPEG needs an imaging "
-        "library (e.g. Pillow); route these rows to an external codec"
+        f"no baseline decoder for {kind!r} — this format needs an "
+        "external library (e.g. Pillow/ffmpeg); route these rows to an "
+        "external codec"
     )
 
 

@@ -253,3 +253,121 @@ def test_real_mode_spark_operators(spark):
     frames = sample_frames(vdf, every_ms=40, mode="real").collect()
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
     assert all(sniff(bytes(r["frame_data"])) == "ppm" for r in frames)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential decoder + fixture encoder
+# ---------------------------------------------------------------------------
+
+import base64
+
+# Real libjpeg-written files (public test data): a 2x2 grayscale
+# single-component JPEG (IPython test suite) and the 16x16 4:2:0
+# YCbCr-subsampled Python logo (CPython test suite) — independent
+# evidence that the decoder speaks the real convention (marker layout,
+# canonical huffman, zigzag, dequant, IDCT, chroma upsampling), not
+# merely its own encoder's dialect.
+_GRAY_2X2 = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAA"
+    "AQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQR"
+    "BRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RF"
+    "RkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ip"
+    "qrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEB"
+    "AAA/ACv/2Q=="
+)
+_LOGO_16 = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+
+
+def test_jpeg_decodes_real_libjpeg_grayscale():
+    from jodie_spark.operators.codecs import decode_jpeg, sniff
+
+    assert sniff(_GRAY_2X2) == "jpeg"
+    w, h, px = decode_jpeg(_GRAY_2X2)
+    assert (w, h) == (2, 2) and px.shape == (2, 2, 3)
+    # grayscale source: all three channels replicate
+    assert (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 1] == px[:, :, 2]).all()
+
+
+def test_jpeg_decodes_real_libjpeg_420_color():
+    from jodie_spark.operators.codecs import decode_jpeg
+
+    w, h, px = decode_jpeg(_LOGO_16)
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
+    # the Python-logo thumbnail is a real color image: channels differ,
+    # full value range is exercised, and the decode is deterministic
+    assert not (px[:, :, 0] == px[:, :, 2]).all()
+    assert px.min() < 64 and px.max() > 192
+    w2, h2, px2 = decode_jpeg(_LOGO_16)
+    assert (px == px2).all()
+
+
+@pytest.mark.parametrize("restart", [0, 2])
+def test_jpeg_roundtrip_smooth_image(restart):
+    from jodie_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), 128 + 90 * np.sin(xx / 4.0) * np.cos(yy / 6.0)],
+        axis=2,
+    ).astype(np.uint8)
+    b = encode_jpeg(img, quality=90, restart_interval=restart)
+    W, H, px = decode_jpeg(b)
+    assert (W, H) == (w, h)
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_jpeg_non_multiple_of_8_dims_and_header_only():
+    from jodie_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(5).integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    b = encode_jpeg(img, quality=75)
+    w, h, none = decode_jpeg(b, with_pixels=False)
+    assert (w, h, none) == (19, 17, None)
+    W, H, px = decode_jpeg(b)
+    assert px.shape == (17, 19, 3)
+
+
+def test_jpeg_routes_through_decode_image_and_dhash_collides():
+    from jodie_spark.operators.codecs import (
+        decode_image,
+        dhash,
+        encode_bmp,
+        encode_jpeg,
+    )
+
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), np.full((h, w), 77)], axis=2
+    ).astype(np.uint8)
+    _, _, from_bmp = decode_image(encode_bmp(img))
+    _, _, from_jpg = decode_image(encode_jpeg(img, quality=92))
+    d = bin((dhash(from_bmp) ^ dhash(from_jpg)) & (2**64 - 1)).count("1")
+    # lossy but perceptually identical: hashes within the dedup budget
+    assert d <= 2
+
+
+def test_jpeg_progressive_refuses_with_reason():
+    from jodie_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    b = bytearray(encode_jpeg(img))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(b))
