@@ -106,8 +106,12 @@ def test_decode_image_routes_and_refuses():
     assert decode_image(encode_bmp(px), with_pixels=False)[:2] == (2, 2)
     assert decode_image(encode_ppm(px), with_pixels=False)[:2] == (2, 2)
     assert decode_image(encode_png(px), with_pixels=False)[:2] == (2, 2)
-    with pytest.raises(ValueError, match="jpeg"):
-        decode_image(b"\xff\xd8\xff\xe0rest")
+    # JPEG now routes to the baseline decoder; a truncated payload
+    # fails inside it rather than at the router
+    with pytest.raises(ValueError, match="SOF"):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x04xxrest")
+    with pytest.raises(ValueError, match="no baseline decoder"):
+        decode_image(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8)  # mp4
     with pytest.raises(ValueError, match="IHDR"):  # truncated PNG
         decode_image(b"\x89PNG\r\n\x1a\nrest")
 
