@@ -751,6 +751,21 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (coarse cells + residual PQ, FAISS IndexIVFPQ layout)
+    under the value oracle: planted exact copies share the query's cell
+    and residual codes → maximal per-cell ADC score → the exact-cosine
+    refinement ranks them as DuckDB's brute force does."""
+    from jodie_spark.operators.pq import ivfpq_topk
+
+    aug = _planted_embeddings(spark, sf_dir)
+    query = aug.filter("vec_id = 0").take(1)[0]["embedding"]
+    return ivfpq_topk(
+        aug, "embedding", "vec_id", query,
+        k=10, n_centroids=8, n_probe=4, m=8, n_codes=16, refine_factor=8,
+    ).select("vec_id")
+
+
 _BOILER_HEADER = "== shared navigation header =="
 _BOILER_FOOTER = "(c) shared copyright footer 2026"
 
@@ -2370,15 +2385,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 47: NEW this round — column mapping mode=id DML
         # (foreign field-id table: delete/update/append + id-resolved read) ---
         "column_mapping_id": _q_column_mapping_id,
-        # --- slots 48-50: media dedups whose decode kernels gained the
-        # NULL/undecodable guard this round — re-verify under the oracle ---
+        # --- slot 48: NEW this round — IVFADC (coarse cells + residual
+        # PQ codes, the canonical billion-scale ANN layout) ---
+        "ivfpq_topk": _q_ivfpq_topk,
+        # --- slots 49-50: media dedups whose decode kernels gained the
+        # NULL/undecodable guard (shared _guarded_decode) this round and,
+        # for image_dedup, planted lossy JPEG clones — re-verify under
+        # the oracle; audio_dedup shares the same guard and moves to the
+        # tail ---
         "image_dedup": _q_image_dedup,
-        "audio_dedup": _q_audio_dedup,
         "video_dedup": _q_video_dedup,
         # --- position 51+: overflow — each already has an official
         # driver-green row from rounds 1-5; all remain locally
         # value-checked every round via tools/check_oracles.py ---
         "url_filter": _q_url_filter,
+        "audio_dedup": _q_audio_dedup,
         "bigram_perplexity": _q_bigram_perplexity,
         "epoch_shuffle": _q_epoch_shuffle,
         "mixture_weights": _q_mixture_weights,
@@ -2942,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _PLANTED_ANN_ORACLE,
         "ivf_topk": _PLANTED_ANN_ORACLE,
         "pq_topk": _PLANTED_ANN_ORACLE,
+        "ivfpq_topk": _PLANTED_ANN_ORACLE,
         "ann_index_topk": _PLANTED_ANN_ORACLE,
         "semantic_dedup": """
             SELECT vec_id FROM embeddings

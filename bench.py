@@ -133,6 +133,7 @@ def main() -> None:
         "audio_dedup",
         "video_dedup",
         "column_mapping_id",
+        "ivfpq_topk",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -178,3 +178,200 @@ def pq_topk(
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — IVF cell pruning + PQ over residuals (Jégou et al. 2011 §IV)
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 10_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVFADC pair on one deterministic driver-side sample:
+    spherical k-means coarse centroids, then per-subspace k-means
+    codebooks over the RESIDUALS ``x − c(x)`` (residual energy is what
+    PQ must encode once the coarse quantizer explains the rest —
+    the layout FAISS's IndexIVFPQ uses). Returns
+    ``(centroids (n_centroids × D), codebooks (m × n_codes × D/m))``."""
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in df.select(vec_col).limit(sample_size).collect()
+    ]
+    x = np.stack(sample)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subvectors")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                mvec = members.mean(axis=0)
+                cent[c] = mvec / max(np.linalg.norm(mvec), 1e-12)
+    res = x - cent[(x @ cent.T).argmax(axis=1)]
+    sub = d // m
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        xj = res[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(xj))
+        cb = xj[rng.choice(len(xj), size=k, replace=False)]
+        for _ in range(n_iter):
+            d2 = ((xj[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                members = xj[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, :k] = cb
+        if k < n_codes:
+            books[j, k:] = cb[-1]
+    return cent, books
+
+
+def with_ivfpq_codes(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    cell_col: str = "__ivf_cell__",
+    code_col: str = "__pq__",
+) -> DataFrame:
+    """One Arrow-vectorized pass attaching (coarse cell, residual PQ
+    codes) per vector — the persisted index columns. At rest a vector
+    is an int + m small ints; queries scan only probed cells and never
+    touch the float column until the exact-rescore step."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cent = centroids
+    books = codebooks
+    mm, _, sub = books.shape
+
+    out_t = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def encode(batch: pd.Series) -> pd.DataFrame:
+        cells: list[int | None] = [None] * len(batch)
+        codes: list[list[int] | None] = [None] * len(batch)
+        ok = [
+            i
+            for i, v in enumerate(batch)
+            if v is not None and len(v) == mm * sub
+        ]
+        if ok:
+            x = np.stack([np.asarray(batch.iloc[i], dtype=np.float64) for i in ok])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cell = (x @ cent.T).argmax(axis=1).astype(np.int32)
+            res = x - cent[cell]
+            cd = np.zeros((len(ok), mm), dtype=np.int32)
+            for j in range(mm):
+                rj = res[:, j * sub : (j + 1) * sub]
+                cc = (books[j] ** 2).sum(axis=1)
+                cd[:, j] = (cc[None, :] - 2.0 * (rj @ books[j].T)).argmin(axis=1)
+            for row, i in enumerate(ok):
+                cells[i] = int(cell[row])
+                codes[i] = cd[row].tolist()
+        return pd.DataFrame({"cell": cells, "codes": codes})
+
+    s = encode(F.col(vec_col))
+    return df.withColumn(cell_col, s.getField("cell")).withColumn(
+        code_col, s.getField("codes")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    cell_col: str = "__ivf_cell__",
+    code_col: str = "__pq__",
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVFADC cosine top-k — the canonical billion-scale ANN shape:
+
+    1. probe the ``n_probe`` coarse cells nearest to the query
+       (partition pruning when ``cell_col`` is the partition column);
+    2. score survivors with per-cell ADC over RESIDUAL PQ codes:
+       ``x·q ≈ c_cell·q + Σ_j T_cell[j][code_j]`` where
+       ``T_cell[j] = codebook_j · (q − c_cell)_j`` — the tables fold
+       into the plan as literal arrays behind a CASE on the cell id,
+       so scoring is whole-stage-codegen lookups, no UDF, and no
+       float vector is read;
+    3. exactly rescore the top ``k·refine_factor`` ADC candidates
+       (recall-restoring refinement).
+
+    Pass precomputed ``centroids``+``codebooks`` and a DataFrame
+    already carrying ``cell_col``/``code_col`` to skip training and
+    assignment (the persisted-index pattern)."""
+    if centroids is None or codebooks is None:
+        centroids, codebooks = train_ivfpq(
+            df, vec_col, n_centroids=n_centroids, m=m, n_codes=n_codes
+        )
+    if cell_col not in df.columns or code_col not in df.columns:
+        df = with_ivfpq_codes(df, vec_col, centroids, codebooks, cell_col, code_col)
+
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[: int(n_probe)].tolist()
+    mm, _, sub = codebooks.shape
+
+    score = None
+    for c in probe:
+        resq = qn - centroids[c]
+        tables = np.stack(
+            [codebooks[j] @ resq[j * sub : (j + 1) * sub] for j in range(mm)]
+        )
+        base = float(centroids[c] @ qn)
+        expr = F.lit(base) + _adc_score(code_col, tables)
+        score = (
+            F.when(F.col(cell_col) == c, expr)
+            if score is None
+            else score.when(F.col(cell_col) == c, expr)
+        )
+
+    candidates = (
+        df.filter(F.col(cell_col).isin(probe))
+        .select(id_col, vec_col, score.alias("__adc__"))
+        .orderBy(F.col("__adc__").desc(), F.col(id_col))
+        .limit(max(k * refine_factor, k))
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        candidates.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q_lit).alias(
+                "similarity"
+            ),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col))
+        .limit(k)
+    )

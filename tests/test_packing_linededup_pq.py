@@ -207,6 +207,87 @@ def test_pq_query_plan_is_codegen(spark, pq_vectors):
 
 
 # ---------------------------------------------------------------------------
+# IVFADC (IVF cell pruning + residual PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_topk_finds_planted_copies(spark, pq_vectors):
+    from jodie_spark.operators.pq import ivfpq_topk
+
+    query = pq_vectors.filter("vec_id = 0").take(1)[0]["embedding"]
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            pq_vectors, "embedding", "vec_id", query,
+            k=4, n_centroids=4, n_probe=2, m=4, n_codes=8,
+        ).collect()
+    ]
+    # exact copies share cell + residual codes → maximal ADC → exact
+    # rescore ranks them as brute force would
+    assert got[:4] == [0, 1000, 1001, 1002]
+
+
+def test_ivfpq_codes_and_recall(spark, pq_vectors):
+    from jodie_spark.functions.vectors import cosine_similarity
+    from jodie_spark.operators.pq import train_ivfpq, with_ivfpq_codes, ivfpq_topk
+
+    cent, books = train_ivfpq(
+        pq_vectors, "embedding", n_centroids=4, m=4, n_codes=8, sample_size=250
+    )
+    assert cent.shape == (4, 16) and books.shape == (4, 8, 4)
+    coded = with_ivfpq_codes(pq_vectors, "embedding", cent, books, "cell", "codes")
+    row = coded.filter("vec_id = 0").take(1)[0]
+    clone = coded.filter("vec_id = 1000").take(1)[0]
+    assert 0 <= row["cell"] < 4 and len(row["codes"]) == 4
+    assert (clone["cell"], clone["codes"]) == (row["cell"], row["codes"])
+    # recall vs exact brute force with full probing: ≥ 7 of top-10
+    query = [float(x) for x in np.random.default_rng(11).normal(size=16)]
+    q_lit = F.array(*[F.lit(float(x)) for x in query])
+    exact = [
+        r["vec_id"]
+        for r in pq_vectors.select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), q_lit).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            coded, "embedding", "vec_id", query,
+            k=10, n_probe=4, centroids=cent, codebooks=books,
+            cell_col="cell", code_col="codes", refine_factor=8,
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 7
+
+
+def test_ivfpq_query_plan_is_codegen_and_prunes(spark, pq_vectors):
+    """With a persisted (cell, codes) index the query plan must be pure
+    Catalyst — per-cell ADC tables fold in behind a CASE on the cell id
+    — and filter on the probed cells before any scoring."""
+    from jodie_spark.operators.pq import ivfpq_topk, train_ivfpq, with_ivfpq_codes
+
+    cent, books = train_ivfpq(
+        pq_vectors, "embedding", n_centroids=4, m=4, n_codes=8, sample_size=250
+    )
+    coded = with_ivfpq_codes(
+        pq_vectors, "embedding", cent, books, "cell", "codes"
+    ).localCheckpoint()
+    plan_df = ivfpq_topk(
+        coded, "embedding", "vec_id", [1.0] * 16,
+        k=4, n_probe=2, centroids=cent, codebooks=books,
+        cell_col="cell", code_col="codes",
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "cell" in plan  # probe filter present
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup
 # ---------------------------------------------------------------------------
 
