@@ -1838,6 +1838,63 @@ def _q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Type-2 SCD sink under the value oracle: a change
+    feed over the customer dimension streams in TWO checkpoint-resumed
+    passes — pass 1 creates the dimension (everything current at
+    version 1), pass 2 changes the tracked attribute for custkey%10=0
+    (closing the old row at version 2 and opening a new current one)
+    and no-ops custkey%10=1 (same attribute value ⇒ history untouched).
+    SCD time columns are type-generic (int versions here), so the final
+    dimension state is closed-form in c_custkey."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_scd2_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_custkey <= 300")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("balance"),
+            F.lit(1).cast("int").alias("eff"),
+        )
+    )
+    src = _tmp("scd2_src")
+    dim = _tmp("scd2_dim")
+    ck = _tmp("scd2_ck")
+    write_delta(cust, src)
+
+    def _drain():
+        q = write_stream_scd2_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            dim,
+            ck,
+            primary_key="c_custkey",
+            attr_cols=["balance"],
+            effective_time_col="eff",
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    _drain()
+    changes = cust.filter("c_custkey % 10 <= 1").select(
+        "c_custkey",
+        # %10=0 rows actually change; %10=1 rows carry the same value
+        F.when(F.col("c_custkey") % 10 == 0, F.col("balance") + 100)
+        .otherwise(F.col("balance"))
+        .alias("balance"),
+        F.lit(2).cast("int").alias("eff"),
+    )
+    write_delta(changes, src, mode="append")
+    _drain()
+    return DeltaTable.forPath(spark, dim).toDF().select(
+        "c_custkey", "balance", "is_current", "eff", "end_time"
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import sessionize
@@ -2381,7 +2438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shallow_clone": _q_shallow_clone,
         "stratified_sample": _q_stratified_sample,
         "text_quality": _q_text_quality,
-        "token_count": _q_token_count,
+        # --- slot 46: NEW this round — streaming Type-2 SCD sink
+        # (the reference flagship operator as a foreachBatch stream) ---
+        "streaming_scd2": _q_streaming_scd2,
         # --- slot 47: NEW this round — column mapping mode=id DML
         # (foreign field-id table: delete/update/append + id-resolved read) ---
         "column_mapping_id": _q_column_mapping_id,
@@ -2399,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green row from rounds 1-5; all remain locally
         # value-checked every round via tools/check_oracles.py ---
         "url_filter": _q_url_filter,
+        "token_count": _q_token_count,
         "audio_dedup": _q_audio_dedup,
         "bigram_perplexity": _q_bigram_perplexity,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -3524,6 +3584,27 @@ def oracle_sql() -> dict[str, str]:
             -- re-ordered cuts of the same footage have frame-set
             -- Jaccard 1.0 and drop; distinct noise streams survive
             SELECT doc_id FROM documents WHERE doc_id < 200
+        """,
+        "streaming_scd2": """
+            -- final SCD2 dimension state, closed-form in c_custkey:
+            -- %10=0 keys carry a closed version-1 row and a current
+            -- version-2 row (+100 balance); every other key (incl. the
+            -- no-op %10=1 changes) keeps its original current row
+            WITH base AS (
+                SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance
+                FROM customer WHERE c_custkey <= 300
+            )
+            SELECT c_custkey, balance, FALSE AS is_current,
+                   CAST(1 AS INT) AS eff, CAST(2 AS INT) AS end_time
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, balance + 100 AS balance, TRUE AS is_current,
+                   CAST(2 AS INT) AS eff, CAST(NULL AS INT) AS end_time
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, balance, TRUE AS is_current,
+                   CAST(1 AS INT) AS eff, CAST(NULL AS INT) AS end_time
+            FROM base WHERE c_custkey % 10 <> 0
         """,
         "column_mapping_id": """
             -- foreign field-id table after DELETE (%7), UPDATE (%10=1)

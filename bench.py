@@ -134,6 +134,7 @@ def main() -> None:
         "video_dedup",
         "column_mapping_id",
         "ivfpq_topk",
+        "streaming_scd2",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

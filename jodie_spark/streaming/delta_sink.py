@@ -43,6 +43,90 @@ def write_stream_to_delta(
     return writer.start()
 
 
+def write_stream_scd2_to_delta(
+    stream: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    primary_key: str,
+    attr_cols: list[str],
+    effective_time_col: str = "effective_time",
+    is_current_col: str = "is_current",
+    end_time_col: str = "end_time",
+    query_name: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming Type-2 SCD sink: each micro-batch runs the reference's
+    staged-union + single-merge Type2 upsert (Type2Scd.scala:25-81)
+    against the Delta dimension at ``path``.
+
+    The stream carries ``(primary_key, *attr_cols, effective_time_col)``
+    rows. Within a batch, rows collapse to the LATEST change per key
+    (greatest effective time — a merge source must be key-unique), so
+    intra-batch history finer than the batch granularity folds into
+    one version per key per batch: the standard foreachBatch SCD
+    trade-off; shrink the trigger interval for finer history. The
+    first non-empty batch creates the dimension (everything current,
+    NULL end_time). Exactly-once per batch comes from the atomic
+    commit + the stream checkpoint.
+
+    Scale shape identical to the batch operator: one join bounded by
+    2×|batch| + one stats-pruned merge; the batch is persisted for the
+    call so the merge's jobs don't re-scan the streaming source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jodie_spark.operators.scd import type2_generic_upsert
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            w = Window.partitionBy(primary_key).orderBy(
+                F.col(effective_time_col).desc()
+            )
+            batch = (
+                batch_df.withColumn("__rn__", F.row_number().over(w))
+                .filter("__rn__ = 1")
+                .drop("__rn__")
+                .select(primary_key, *attr_cols, effective_time_col)
+            )
+            if not DeltaLog(path).exists():
+                init = batch.select(
+                    primary_key,
+                    *attr_cols,
+                    F.lit(True).alias(is_current_col),
+                    F.col(effective_time_col),
+                    F.lit(None)
+                    .cast(batch.schema[effective_time_col].dataType)
+                    .alias(end_time_col),
+                )
+                write_delta(init, path)
+                return
+            type2_generic_upsert(
+                DeltaTable.forPath(batch.sparkSession, path),
+                batch,
+                primary_key,
+                attr_cols,
+                is_current_col,
+                effective_time_col,
+                end_time_col,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_merge_to_delta(
     stream: DataFrame,
     path: str,

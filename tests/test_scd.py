@@ -118,3 +118,69 @@ def test_validation_errors(spark, tmpdir_path):
     )
     with pytest.raises(JodieValidationError):
         type2_upsert(bad_base, updates, "pkey", ["attr"])
+
+
+def test_streaming_scd2_sink_two_batches(spark, tmpdir_path):
+    """Streaming Type-2 SCD: batch 1 creates the dimension, batch 2
+    closes changed keys and inserts their new versions, no-op rows
+    leave history untouched, and intra-batch multiple changes fold to
+    the latest per key (merge sources must be key-unique)."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_scd2_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "scd_src")
+    dim = os.path.join(tmpdir_path, "scd_dim")
+    ckpt = os.path.join(tmpdir_path, "scd_ckpt")
+
+    def run():
+        q = write_stream_scd2_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            dim,
+            ckpt,
+            primary_key="k",
+            attr_cols=["city"],
+            effective_time_col="eff",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    write_delta(
+        spark.createDataFrame(
+            [("A", "SFO", 1), ("B", "NYC", 1)], "k string, city string, eff int"
+        ),
+        src,
+    )
+    run()
+    rows = {
+        (r["k"], r["eff"]): (r["city"], r["is_current"], r["end_time"])
+        for r in DeltaTable.forPath(spark, dim).toDF().collect()
+    }
+    assert rows == {
+        ("A", 1): ("SFO", True, None),
+        ("B", 1): ("NYC", True, None),
+    }
+    # batch 2: A moves twice (only eff=3 lands), B unchanged (no-op),
+    # C is new
+    write_delta(
+        spark.createDataFrame(
+            [("A", "LAX", 2), ("A", "SEA", 3), ("B", "NYC", 2), ("C", "CHI", 2)],
+            "k string, city string, eff int",
+        ),
+        src,
+        mode="append",
+    )
+    run()
+    rows = {
+        (r["k"], r["eff"]): (r["city"], r["is_current"], r["end_time"])
+        for r in DeltaTable.forPath(spark, dim).toDF().collect()
+    }
+    assert rows == {
+        ("A", 1): ("SFO", False, 3),
+        ("A", 3): ("SEA", True, None),
+        ("B", 1): ("NYC", True, None),
+        ("C", 2): ("CHI", True, None),
+    }
