@@ -45,6 +45,8 @@ def sniff(b: bytes) -> str:
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if len(b) > 11 and b[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -785,6 +787,192 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# GIF — 87a/89a, LZW, global/local palettes, interlace
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes, code
+    width grows to 12 bits. Returns ``n_pixels`` palette indexes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit stream state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: keep what decoded
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dictionary):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None:
+            dictionary.append(prev + entry[:1])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(b: bytes, with_pixels: bool = True):
+    """GIF87a/89a bytes → (width, height, rgb|None) for the FIRST
+    image block: LZW decode, global or local palette, Adam-less GIF
+    4-pass interlace. Extensions (graphic control, comments,
+    application) are skipped; transparency renders as its palette
+    color (hashing/dedup never needs alpha)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload (sniffed: {sniff(b)})")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if not with_pixels:
+                return iw, ih, None
+            if palette is None:
+                raise ValueError("GIF image without any color table")
+            min_code_size = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code_size, bytes(lzw), iw * ih), np.uint8
+            )
+            if len(idx) < iw * ih:  # truncated: pad with background 0
+                idx = np.concatenate([idx, np.zeros(iw * ih - len(idx), np.uint8)])
+            grid = idx[: iw * ih].reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                order = np.concatenate(
+                    [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                     np.arange(2, ih, 4), np.arange(1, ih, 2)]
+                )
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            rgb = palette[np.clip(grid, 0, len(palette) - 1)]
+            return iw, ih, np.ascontiguousarray(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB with ≤256 distinct colors → GIF89a bytes
+    (exact palette, literal-code LZW with periodic CLEARs — valid
+    output any GIF decoder accepts; lossless for paletted content).
+    The roundtrip partner of :func:`decode_gif` for fixtures."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs ≤256 distinct colors (got {len(colors)})")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table_size = 1 << bits
+    palette = np.zeros((table_size, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+
+    grid = idx.reshape(h, w)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        grid = grid[order]
+    seq = grid.reshape(-1)
+
+    min_code_size = max(2, bits)
+    clear = 1 << min_code_size
+    width = min_code_size + 1
+    acc = 0
+    nacc = 0
+    data = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    # literal codes only; re-CLEAR before the dictionary would force a
+    # wider code (every literal stays below 2^width after the clear)
+    budget = (1 << width) - clear - 3
+    count = 0
+    for v in seq:
+        if count == budget:
+            emit(clear)
+            count = 0
+        emit(int(v))
+        count += 1
+    emit(clear + 1)  # END
+    if nacc:
+        data.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code_size)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(b: bytes, with_pixels: bool = True):
     """Route to the matching baseline decoder; raise for formats that
     need an external library (callers surface the format name)."""
@@ -797,6 +985,8 @@ def decode_image(b: bytes, with_pixels: bool = True):
         return decode_png(b, with_pixels)
     if kind == "jpeg":
         return decode_jpeg(b, with_pixels)
+    if kind == "gif":
+        return decode_gif(b, with_pixels)
     raise ValueError(
         f"no baseline decoder for {kind!r} — this format needs an "
         "external library (e.g. Pillow/ffmpeg); route these rows to an "

@@ -375,3 +375,70 @@ def test_jpeg_progressive_refuses_with_reason():
     b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# GIF — LZW decoder + literal-code fixture encoder
+# ---------------------------------------------------------------------------
+
+# a real 697-byte full-LZW GIF (libxslt documentation assets) —
+# growing code widths + graphic-control extension, unlike the
+# literal-code streams encode_gif emits
+_REAL_GIF = base64.b64decode(
+    "R0lGODlhLAApANUAAMwAAMsQCQAAAP///5kAAJgMBw0AAGYAALMAADMAAFkAAL8AAM/Pz3MA"
+    "AKYAADMEAn8KBu/v70AAAM4fGN/f3yYAAL4PCIwAAD8FA2YIBQ0BARkCAaUNB+2ophAQEK+v"
+    "r7+/v1kHBCAgIPXS0YAAAE0AAEwGAzAwMHBwcPLDwiYDAp+fnxoAANU9N1BQUPzw8OiWk99q"
+    "ZdhMR7IOCI+Pj4CAgHxwcEBAQHIJBeJ5dbUdF8UPCIYgID0wMOWIhNIuKCH5BAAAAAAALAAA"
+    "AAAsACkAAAb/QIBwSCwaj8ikcslsOp/QqFQZqFqv2Kx2ay1ytbOCuGD5ar3mAASjEbjfmxAn"
+    "XUVzIZu3fv+Ym+1ZMw97bwYJCSx6GX9EWxxtbiULQg4EBAcHDQ16GGVbgFaPepNFBAYCDiV6"
+    "D1ygARZ5bxUICReWkwgEuHshn41YJnsKCKduCkaqegVnv1YFhAcADgqkRhd7G8xDWBhuFZgH"
+    "x0zFbxBZgBZuDUQCEg5LEnsY581qbkUkbgYSDQhHDQcq6KG3zUowASRKJSjkr5SQC8WWXQE0"
+    "SICBd0WmJYqWZJMAHFgAqSh0AUkuJQTcLJpYjxA1KSkFrOxSb6QeDzZ4VGsST2bI1noV36wY"
+    "MKDHgYZLFJT7WbBKiD00iFKgcKJCA4xGSCx8I5FmU3seXHz4IIIC0QERTrw5JEFCAoF7NBAU"
+    "csXCWaIMUNwd8IEGiAggKDBgUIOQibkAsHTYy7jxgBuEunqle+WH4701PIhgQFQEnwA7mFK+"
+    "4uPyXQZDB4AQ4IIzWh3aRl8ZYXpvWhQRzubw9dXKBNq1iaJwTbRDq3pXfgePYPas8eO9k8MI"
+    "fvZFDEbRschIEbzDhDSutLSAwf3uiw4xvtMJb0ZGCzqI4cv/MqW+/fv48+u/HwQAOw=="
+)
+
+
+def test_gif_roundtrip_paletted_lossless():
+    from jodie_spark.operators.codecs import decode_gif, encode_gif, sniff
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    for h, w in [(16, 12), (7, 5), (33, 21)]:
+        img = pal[rng.integers(0, 200, (h, w))]
+        for interlace in (False, True):
+            b = encode_gif(img, interlace=interlace)
+            assert sniff(b) == "gif"
+            W, H, px = decode_gif(b)
+            assert (W, H) == (w, h)
+            assert (px == img).all()  # paletted GIF is lossless
+
+
+def test_gif_two_color_and_routing():
+    from jodie_spark.operators.codecs import decode_image, dhash, encode_bmp, encode_gif
+
+    rng = np.random.default_rng(9)
+    bw = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)[
+        rng.integers(0, 2, (9, 9))
+    ]
+    W, H, px = decode_image(encode_gif(bw))
+    assert (px == bw).all()
+    # lossless cross-format: GIF clone of a BMP hashes identically
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (16, 12))]
+    assert dhash(decode_image(encode_bmp(img))[2]) == dhash(
+        decode_image(encode_gif(img))[2]
+    )
+
+
+def test_gif_decodes_real_full_lzw_stream():
+    from jodie_spark.operators.codecs import decode_gif
+
+    w, h, px = decode_gif(_REAL_GIF)
+    assert (w, h) == (44, 41) and px.shape == (41, 44, 3)
+    # a real logo: multiple colors, deterministic decode
+    ncolors = len(np.unique(px.reshape(-1, 3), axis=0))
+    assert ncolors > 16
+    assert (decode_gif(_REAL_GIF)[2] == px).all()
