@@ -1264,8 +1264,9 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup over REAL decoded pixels: per doc a
     deterministic noise image (BMP for even ids, PNG otherwise), plus a
     CROSS-FORMAT exact clone for every 10th doc (same pixels, the other
-    container) and a LOSSY JPEG q97 clone for ids ≡5 (mod 10) — the
-    baseline JPEG decoder in the dedup path. dHash is computed on
+    container), a LOSSY JPEG q97 clone for ids ≡5 (mod 10), and a
+    lossless GIF clone for ids ≡8 (mod 10) — the baseline JPEG and GIF
+    decoders in the dedup path. dHash is computed on
     decoded pixels, so lossless clones collide at hamming 0 and the
     JPEG clones land ≤3 bits away (measured worst case over the
     fixture seeds), while distinct noise images sit ≥16 bits apart —
@@ -1307,6 +1308,11 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif did % 10 == 5:  # lossy JPEG near-clone (≤3 bits)
                     ids.append(did + 100_000)
                     blobs.append(encode_jpeg(px, quality=97))
+                elif did % 10 == 8:  # lossless GIF clone (hamming 0)
+                    from jodie_spark.operators.codecs import encode_gif
+
+                    ids.append(did + 100_000)
+                    blobs.append(encode_gif(px))
             yield _pd.DataFrame({"doc_id": ids, "data": blobs})
 
     media = docs.mapInPandas(_synth, out_schema)

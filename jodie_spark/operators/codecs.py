@@ -9,11 +9,14 @@ YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling and restart markers;
 verified against real libjpeg-written files — together PNG+JPEG are
 the two dominant real-corpus image formats) for images, RIFF/WAVE PCM
 for audio, and a trivial "concatenated PPM" stream as a parseable
-video stand-in. :func:`encode_jpeg` (baseline 4:4:4, Annex K tables)
-exists for fixture generation. Formats that genuinely need external
-libraries (progressive JPEG / MP4 / ...) raise ``ValueError`` with
-the sniffed format name so callers can route those rows to a
-Pillow/ffmpeg-backed decoder when one is available.
+video stand-in. GIF (87a/89a LZW, interlace, local palettes —
+:func:`decode_gif`, verified against real full-LZW files) rounds out
+the image set. :func:`encode_jpeg` (baseline 4:4:4, Annex K tables)
+and :func:`encode_gif` (literal-code LZW) exist for fixture
+generation. Formats that genuinely need external libraries
+(progressive JPEG / MP4 / ...) raise ``ValueError`` with the sniffed
+format name so callers can route those rows to a Pillow/ffmpeg-backed
+decoder when one is available.
 
 All functions operate on ``bytes`` and are called from Arrow-batched
 ``mapInPandas`` kernels — one Python call per ROW but with all the
