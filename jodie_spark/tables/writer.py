@@ -49,21 +49,43 @@ def write_data_files(
     Honors the table's ``delta.dataSkippingNumIndexedCols`` (when the
     target is an existing Delta table): per-file min/max/null stats are
     collected for only the first N schema columns — the knob that keeps
-    the log's stats payload bounded on very wide tables."""
+    the log's stats payload bounded on very wide tables.
+
+    Honors ``delta.autoOptimize.optimizeWrite``: before writing, the
+    output is REBALANCE-hinted (per partition column when partitioned)
+    so AQE coalesces/splits shuffle output to its advisory partition
+    size — a small append from a 200-task stage lands as one
+    right-sized file instead of 200 shards, and a skewed partition
+    splits instead of producing one giant file. This is the write-side
+    half of small-file control; post-commit auto-compaction
+    (``delta.autoOptimize.autoCompact``) is the read-side half."""
     table_path = os.path.abspath(table_path)
     num_indexed: int | None = None
+    optimize_write = False
     try:
         from jodie_spark.tables.log import DeltaLog
 
         _log = DeltaLog(table_path)
         if _log.exists():
-            v = _log.table_info().configuration.get(
-                "delta.dataSkippingNumIndexedCols"
-            )
+            cfg = _log.table_info().configuration
+            v = cfg.get("delta.dataSkippingNumIndexedCols")
             if v is not None:
                 num_indexed = int(v)
+            optimize_write = (
+                str(cfg.get("delta.autoOptimize.optimizeWrite", "false")).lower()
+                == "true"
+            )
     except Exception:
         num_indexed = None
+    if optimize_write:
+        try:
+            df = (
+                df.hint("rebalance", *partition_columns)
+                if partition_columns
+                else df.hint("rebalance")
+            )
+        except Exception:
+            pass  # a hint must never fail the write
     os.makedirs(table_path, exist_ok=True)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
 

@@ -1238,3 +1238,39 @@ def test_spark_planned_dml_preserves_deletion_vectors(spark, tmpdir_path, monkey
     DeltaTable.forPath(spark, p).update("id >= 0", {"v": "v + 100"})
     rows = sorted((r["id"], r["v"]) for r in DeltaTable.forPath(spark, p).toDF().collect())
     assert rows == [(0, 100), (2, 102), (4, 104), (6, 106), (8, 108)]
+
+
+def test_optimize_write_rebalances_small_appends(spark, tmpdir_path):
+    """delta.autoOptimize.optimizeWrite: a small append arriving in many
+    shuffle partitions lands as one right-sized file (AQE rebalance),
+    instead of one shard per task; without the property the write keeps
+    its natural partitioning. Partitioned tables rebalance per
+    partition column — one file per partition value."""
+    on = os.path.join(tmpdir_path, "ow_on")
+    off = os.path.join(tmpdir_path, "ow_off")
+    df = spark.range(1000).selectExpr("id", "id % 3 as p").repartition(16)
+    write_delta(df, on, options={"delta.autoOptimize.optimizeWrite": "true"})
+    write_delta(df, off)
+    write_delta(df, on, mode="append")
+    write_delta(df, off, mode="append")
+    n_on = len(DeltaTable.forPath(spark, on).snapshot().add_files())
+    n_off = len(DeltaTable.forPath(spark, off).snapshot().add_files())
+    # first write creates the table (no config yet at write time), the
+    # append rebalances: 16-shard append collapses to 1 file
+    assert n_on < n_off
+    assert n_on <= 17  # 16 (create) + 1 (rebalanced append)
+    assert sorted(r["id"] for r in DeltaTable.forPath(spark, on).toDF().collect()) == sorted(
+        list(range(1000)) * 2
+    )
+    # partitioned: one file per partition value after the append
+    part = os.path.join(tmpdir_path, "ow_part")
+    write_delta(
+        df,
+        part,
+        partition_by=["p"],
+        options={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    before = len(DeltaTable.forPath(spark, part).snapshot().add_files())
+    write_delta(df, part, mode="append")
+    after = len(DeltaTable.forPath(spark, part).snapshot().add_files())
+    assert after - before == 3  # one rebalanced file per partition value
