@@ -1901,6 +1901,30 @@ def _q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream-shaped interval join on the unified API: purchases
+    within 30 minutes after a view by the same user (the
+    impression→conversion shape). Batch plan: one shuffle on user_id
+    with the time bounds as join filters — no cartesian; the same code
+    with ``watermark=`` runs as a state-bounded Structured Streaming
+    join."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.streaming.events import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").select("user_id", "ts", "event_id")
+    buys = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = interval_join(
+        views, buys, on="user_id", lower="0 seconds", upper="30 minutes"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("value_r"), 3).alias("attributed_value"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.sources import load_table
     from jodie_spark.streaming import sessionize
@@ -2443,7 +2467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restore_roundtrip": _q_restore_roundtrip,
         "shallow_clone": _q_shallow_clone,
         "stratified_sample": _q_stratified_sample,
-        "text_quality": _q_text_quality,
+        # --- slot 45: NEW this round — stream-stream-shaped interval
+        # join (unified API; watermark-bounded when streaming) ---
+        "interval_join": _q_interval_join,
         # --- slot 46: NEW this round — streaming Type-2 SCD sink
         # (the reference flagship operator as a foreachBatch stream) ---
         "streaming_scd2": _q_streaming_scd2,
@@ -2464,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green row from rounds 1-5; all remain locally
         # value-checked every round via tools/check_oracles.py ---
         "url_filter": _q_url_filter,
+        "text_quality": _q_text_quality,
         "token_count": _q_token_count,
         "audio_dedup": _q_audio_dedup,
         "bigram_perplexity": _q_bigram_perplexity,
@@ -3590,6 +3617,20 @@ def oracle_sql() -> dict[str, str]:
             -- re-ordered cuts of the same footage have frame-set
             -- Jaccard 1.0 and drop; distinct noise streams survive
             SELECT doc_id FROM documents WHERE doc_id < 200
+        """,
+        "interval_join": """
+            -- purchases within [0s, 30min] after a view by the same
+            -- user; per-user pair count + attributed value
+            SELECT v.user_id,
+                   COUNT(*) AS n_pairs,
+                   ROUND(SUM(b.value), 3) AS attributed_value
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+            JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') b
+              ON v.user_id = b.user_id
+             AND b.ts >= v.ts
+             AND b.ts <= v.ts + INTERVAL 30 MINUTE
+            GROUP BY v.user_id
         """,
         "streaming_scd2": """
             -- final SCD2 dimension state, closed-form in c_custkey:

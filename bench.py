@@ -135,6 +135,7 @@ def main() -> None:
         "column_mapping_id",
         "ivfpq_topk",
         "streaming_scd2",
+        "interval_join",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

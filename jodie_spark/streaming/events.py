@@ -77,3 +77,49 @@ def sessionize(
         )
         .drop("__prev_ts__")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair left/right rows
+    sharing ``on`` whose right timestamp falls within
+    ``[left_ts + lower, left_ts + upper]`` — the impression→click /
+    request→response shape.
+
+    Unified-API contract like the other operators here: on batch
+    DataFrames this is a plain range-condition equi-join (Catalyst
+    plans the equality key as the shuffle key; the time bounds become
+    post-join filters, never a cartesian). On ``readStream`` inputs,
+    pass ``watermark``: BOTH sides get it, and the time-bound condition
+    is exactly what Structured Streaming requires to bound join state —
+    each side's buffered rows age out once the other side's watermark
+    passes ``upper``.
+
+    Column names are disambiguated by suffix: every right column except
+    the join key comes back as ``<name>_r``.
+    """
+    lw = left.withWatermark(left_ts, watermark) if watermark else left
+    rw = right.withWatermark(right_ts, watermark) if watermark else right
+    renamed = rw
+    for c in rw.columns:
+        if c != on:
+            renamed = renamed.withColumnRenamed(c, f"{c}_r")
+    rts = f"{right_ts}_r" if right_ts != on else right_ts
+    l, r = lw.alias("l"), renamed.alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{rts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{rts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    out = l.join(r, cond, how)
+    # one copy of the join key
+    return out.drop(F.col(f"r.{on}"))

@@ -172,3 +172,64 @@ def test_stream_merge_cross_batch_stale_changes_are_noops(spark, tmpdir_path):
     # k=1 took the seq-6 update (within-batch dedup picked it over the
     # stale seq-3); k=2 survived the stale delete
     assert rows == {1: ("v6", 6), 2: ("w5", 5)}
+
+
+def test_interval_join_batch_plan_and_stream_parity(spark, tmpdir_path):
+    """interval_join on the unified API: the batch plan shuffles on the
+    equality key (SortMergeJoin/ShuffledHashJoin, never a cartesian),
+    and the same code over readStream inputs with a watermark produces
+    the same pairs through Spark's stream-stream join."""
+    import datetime
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.events import interval_join
+    from jodie_spark.tables.table import write_delta
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    views = [(1, ts(0), 100), (1, ts(20), 101), (2, ts(5), 102)]
+    buys = [(1, ts(4), 200, 9.0), (1, ts(21), 201, 5.0), (2, ts(40), 202, 7.0),
+            (3, ts(1), 203, 1.0)]
+    vdf = spark.createDataFrame(views, "user_id long, ts timestamp, event_id long")
+    bdf = spark.createDataFrame(
+        buys, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = interval_join(vdf, bdf, on="user_id", upper="10 minutes")
+    batch_pairs = sorted(
+        (r["event_id"], r["event_id_r"]) for r in out.collect()
+    )
+    # view 100 pairs with buy 200 (4 min); view 101 with 201 (1 min);
+    # user 2's buy is 35 min after the view; user 3 has no view
+    assert batch_pairs == [(100, 200), (101, 201)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # same operator over streams: delta sources + watermark
+    register(spark)
+    vp, bp = os.path.join(tmpdir_path, "iv_v"), os.path.join(tmpdir_path, "iv_b")
+    write_delta(vdf, vp)
+    write_delta(bdf, bp)
+    sjoin = interval_join(
+        spark.readStream.format("jodie_delta").load(vp),
+        spark.readStream.format("jodie_delta").load(bp),
+        on="user_id",
+        upper="10 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        sjoin.writeStream.format("memory")
+        .queryName("iv_join")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_pairs = sorted(
+        (r["event_id"], r["event_id_r"])
+        for r in spark.table("iv_join").collect()
+    )
+    assert stream_pairs == batch_pairs
