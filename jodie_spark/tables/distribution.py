@@ -335,6 +335,8 @@ def write_checkpoint_spark(
         [
             T.StructField("minReaderVersion", T.IntegerType()),
             T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+            T.StructField("writerFeatures", T.ArrayType(T.StringType())),
         ]
     )
 

@@ -225,7 +225,16 @@ _METADATA_T = pa.struct(
     ]
 )
 _PROTOCOL_T = pa.struct(
-    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    [
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        # feature lists MUST survive checkpointing: a snapshot seeded
+        # from a checkpoint that dropped them would show a v7 protocol
+        # with no features — foreign readers of our checkpoints could
+        # then write incompatibly, and feature gates would mis-fire
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ]
 )
 _CHECKPOINT_SCHEMA = pa.schema(
     [

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jodie_spark.errors import DeltaProtocolError, JodieValidationError
-from jodie_spark.tables.log import DeltaLog, Snapshot
+from jodie_spark.tables.log import CHECKPOINT_PROTECTION_PROP, DeltaLog, Snapshot
 from jodie_spark.tables.writer import write_data_files, write_metrics
 
 CDF_PROP = "delta.enableChangeDataFeed"
@@ -708,6 +708,111 @@ class DeltaTable:
             "SET TBLPROPERTIES",
             {"properties": json.dumps(properties)},
         )
+
+    # feature → (config keys removed/overridden on drop, reader-level?)
+    _DROPPABLE_FEATURES: dict[str, dict[str, Any]] = {
+        "deletionVectors": {
+            "del_props": ["delta.enableDeletionVectors"],
+            "reader": True,
+        },
+        "v2Checkpoint": {
+            "set_props": {"delta.checkpointPolicy": "classic"},
+            "del_props": ["delta.checkpointPolicy"],
+            "reader": True,
+        },
+        "inCommitTimestamp": {
+            "del_props": [
+                "delta.enableInCommitTimestamps",
+                "delta.inCommitTimestampEnablementVersion",
+                "delta.inCommitTimestampEnablementTimestamp",
+            ],
+            "reader": False,
+        },
+        "changeDataFeed": {
+            "set_props": {"delta.enableChangeDataFeed": "false"},
+            "reader": False,
+        },
+    }
+
+    def drop_feature(self, feature: str) -> None:
+        """ALTER TABLE ... DROP FEATURE (delta-spark parity) for the
+        features whose on-disk traces this engine can retire:
+
+        - ``deletionVectors`` — runs REORG PURGE first so no live file
+          carries a DV, then downgrades the protocol;
+        - ``v2Checkpoint`` — flips ``delta.checkpointPolicy`` back to
+          classic (the post-drop checkpoint is a classic one);
+        - ``inCommitTimestamp`` — removes the ICT clock properties;
+        - ``changeDataFeed`` — disables the feed (historic ``_change_data``
+          files stay readable for pre-drop versions).
+
+        The downgrade commit removes the feature from the protocol sets
+        and adds ``checkpointProtection`` +
+        ``delta.requireCheckpointProtectionBeforeVersion`` (delta's
+        fast-drop flow): a checkpoint is written AT the downgrade
+        version, so fresh readers seed from it and never replay the
+        feature-bearing history, while time travel below the boundary
+        still works for feature-capable readers. Features whose removal
+        requires a full physical rewrite (columnMapping, typeWidening,
+        rowTracking, …) refuse with the reason."""
+        spec = self._DROPPABLE_FEATURES.get(feature)
+        if spec is None:
+            raise DeltaProtocolError(
+                f"DROP FEATURE {feature!r} is not supported by this engine "
+                f"(droppable: {sorted(self._DROPPABLE_FEATURES)}); features "
+                "requiring a full physical rewrite must be retired by "
+                "rewriting the table"
+            )
+        snap = self.deltaLog.table_info()
+        self.deltaLog.check_write_allowed(snap, removes_data=False)
+        proto = dict(snap.protocol or {})
+        # legacy protocols (writer < 7) imply features by version number:
+        # expand them first, exactly like delta's upgrade-then-drop flow
+        impl_w, impl_r = _legacy_implied_features(proto, snap.configuration)
+        wfeat = set(proto.get("writerFeatures") or []) | impl_w
+        rfeat = set(proto.get("readerFeatures") or []) | impl_r
+        if feature not in wfeat and feature not in rfeat:
+            raise DeltaProtocolError(
+                f"feature {feature!r} is not present in the table protocol"
+            )
+        if feature == "deletionVectors":
+            self.reorg_purge()  # own commits; re-read state below
+            snap = self.deltaLog.table_info()
+            proto = dict(snap.protocol or {})
+            wfeat = set(proto.get("writerFeatures") or [])
+            rfeat = set(proto.get("readerFeatures") or [])
+
+        meta = dict(snap.metadata)
+        conf = dict(meta.get("configuration") or {})
+        for k in spec.get("del_props", []):
+            conf.pop(k, None)
+        conf.update(spec.get("set_props", {}))
+        conf[CHECKPOINT_PROTECTION_PROP] = str(snap.version + 1)
+        meta["configuration"] = conf
+
+        wfeat.discard(feature)
+        rfeat.discard(feature)
+        wfeat.add("checkpointProtection")
+        new_proto: dict[str, Any] = {
+            "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wfeat),
+        }
+        if proto.get("readerFeatures") is not None or rfeat:
+            new_proto["minReaderVersion"] = max(new_proto["minReaderVersion"], 3)
+            new_proto["readerFeatures"] = sorted(rfeat)
+        committed = self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}, {"protocol": new_proto}],
+            "DROP FEATURE",
+            {"featureName": feature},
+        )
+        # seed fresh readers from a post-drop checkpoint so they never
+        # replay the feature-bearing history
+        try:
+            self.deltaLog.write_checkpoint(committed)
+        except Exception:
+            pass  # the drop itself stands; the next interval checkpoint heals
 
     # -- CHECK constraints ---------------------------------------------------
 

@@ -1274,3 +1274,102 @@ def test_optimize_write_rebalances_small_appends(spark, tmpdir_path):
     write_delta(df, part, mode="append")
     after = len(DeltaTable.forPath(spark, part).snapshot().add_files())
     assert after - before == 3  # one rebalanced file per partition value
+
+
+def test_drop_feature_deletion_vectors(spark, tmpdir_path):
+    """ALTER TABLE DROP FEATURE deletionVectors: REORG PURGE retires
+    every on-disk DV, the protocol loses the feature from BOTH sets and
+    gains checkpointProtection, and a checkpoint at the downgrade
+    version seeds fresh readers past the feature-bearing history."""
+    from jodie_spark.errors import DeltaProtocolError
+
+    p = os.path.join(tmpdir_path, "dropdv")
+    write_delta(spark.range(100).selectExpr("id", "id * 2 as v"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id % 10 = 3", deletion_vectors=True)
+    snap = t.snapshot()
+    assert any(a.get("deletionVector") for a in snap.add_files())
+    t.drop_feature("deletionVectors")
+    t2 = DeltaTable.forPath(spark, p)
+    snap = t2.snapshot()
+    assert not any(a.get("deletionVector") for a in snap.add_files())
+    proto = snap.protocol
+    assert "deletionVectors" not in (proto.get("writerFeatures") or [])
+    assert "deletionVectors" not in (proto.get("readerFeatures") or [])
+    assert "checkpointProtection" in proto["writerFeatures"]
+    cfg = snap.configuration
+    assert cfg["delta.requireCheckpointProtectionBeforeVersion"] == str(snap.version)
+    assert sorted(r["id"] for r in t2.toDF().collect()) == [
+        i for i in range(100) if i % 10 != 3
+    ]
+    # checkpoint written at the downgrade version
+    assert t2.deltaLog.list_checkpoint_versions()[-1] == snap.version
+    # dropping an absent feature refuses
+    with pytest.raises(DeltaProtocolError, match="not present"):
+        t2.drop_feature("deletionVectors")
+    # a full-rewrite feature refuses with the reason
+    with pytest.raises(DeltaProtocolError, match="not supported"):
+        t2.drop_feature("columnMapping")
+
+
+def test_drop_feature_v2_checkpoint_and_cdf(spark, tmpdir_path):
+    from jodie_spark.operators.cdf import ChangeDataFeedHelper
+
+    p = os.path.join(tmpdir_path, "dropv2")
+    write_delta(
+        spark.range(20).selectExpr("id"),
+        p,
+        options={
+            "delta.checkpointPolicy": "v2",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id = 5")  # v1, with cdc
+    t.drop_feature("v2Checkpoint")
+    snap = DeltaTable.forPath(spark, p).snapshot()
+    assert snap.configuration.get("delta.checkpointPolicy") == "classic"
+    assert "v2Checkpoint" not in (snap.protocol.get("writerFeatures") or [])
+    t = DeltaTable.forPath(spark, p)
+    t.drop_feature("changeDataFeed")
+    snap = DeltaTable.forPath(spark, p).snapshot()
+    assert snap.configuration.get("delta.enableChangeDataFeed") == "false"
+    assert "changeDataFeed" not in (snap.protocol.get("writerFeatures") or [])
+    # the pre-drop change history is still readable
+    cdf = ChangeDataFeedHelper(spark, p, 0, 1).read_cdf()
+    assert {r["_change_type"] for r in cdf.collect()} >= {"insert", "delete"}
+    # and the table still accepts plain writes post-downgrade
+    write_delta(spark.range(20, 25).selectExpr("id"), p, mode="append")
+    assert DeltaTable.forPath(spark, p).toDF().count() == 24
+
+
+@pytest.mark.parametrize("writer", ["spark", "pyarrow", "v2"])
+def test_checkpoint_preserves_protocol_feature_lists(spark, tmpdir_path, writer):
+    """Regression (round 6): the checkpoint schema used to drop
+    readerFeatures/writerFeatures, so any snapshot seeded from one of
+    OUR checkpoints showed a v7 protocol with no features — a foreign
+    reader could then write incompatibly, and feature gates would
+    mis-fire. All three writers (Spark classic, driver-side pyarrow,
+    v2 manifest+sidecars) must round-trip the lists."""
+    from jodie_spark.tables.log import DeltaLog
+
+    p = os.path.join(tmpdir_path, f"ckpt_proto_{writer}")
+    opts = {"delta.checkpointPolicy": "v2"} if writer == "v2" else None
+    write_delta(spark.range(30).selectExpr("id"), p, options=opts)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id % 7 = 0", deletion_vectors=True)  # upgrades to r3/w7 + DV
+    before = DeltaTable.forPath(spark, p).snapshot().protocol
+    assert "deletionVectors" in before["writerFeatures"]
+    log = DeltaLog(p)
+    v = log.write_checkpoint(spark=(False if writer == "pyarrow" else None))
+    # force the checkpoint to be the snapshot's only protocol source
+    for dead in range(v):
+        f = log.commit_file_path(dead)
+        if os.path.exists(f):
+            os.remove(f)
+    cold = DeltaLog(p).snapshot()
+    assert cold.protocol.get("writerFeatures") == before.get("writerFeatures")
+    assert cold.protocol.get("readerFeatures") == before.get("readerFeatures")
+    assert sorted(r["id"] for r in DeltaTable.forPath(spark, p).toDF().collect()) == [
+        i for i in range(30) if i % 7 != 0
+    ]
