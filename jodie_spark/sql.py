@@ -270,6 +270,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         if re.match(r"(?is)^CLUSTER\s+BY\s+NONE\s*$", rest):
             t.set_cluster_by([])
             return None
+        mf = re.match(r"(?is)^DROP\s+FEATURE\s+[`']?(\w+)[`']?\s*$", rest)
+        if mf:
+            t.drop_feature(mf.group(1))
+            return None
         raise JodieValidationError(f"cannot parse ALTER action: {rest!r}")
 
     if head == "CREATE":

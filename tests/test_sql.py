@@ -335,3 +335,18 @@ def test_scanner_fuzz_invariants():
                 assert _skip_quoted(s, k) > k
 
     check()
+
+
+def test_sql_alter_drop_feature(spark, tmpdir_path):
+    import os
+
+    from jodie_spark.sql import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "sql_dropfeat")
+    write_delta(spark.range(10).selectExpr("id"), p)
+    DeltaTable.forPath(spark, p).delete("id = 1", deletion_vectors=True)
+    sql(spark, f"ALTER TABLE delta.`{p}` DROP FEATURE deletionVectors")
+    proto = DeltaTable.forPath(spark, p).snapshot().protocol
+    assert "deletionVectors" not in (proto.get("writerFeatures") or [])
+    assert "checkpointProtection" in proto["writerFeatures"]
