@@ -616,6 +616,60 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
 
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016): 6 merge
+    rules learned from the documents corpus (top-300 words for oracle
+    reproducibility). ONE corpus-scale aggregation up front; every
+    iteration after that is |vocab|-bounded — pair explode → map-side
+    combined sum → 1-row collect → Catalyst fold rewrite. The oracle
+    UNROLLS all 6 iterations in SQL with the identical greedy
+    leftmost-non-overlapping fold (list_reduce)."""
+    from jodie_spark.operators.bpe import bpe_train, bpe_word_counts
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs, "text", top_words=300)
+    merges, segmented = bpe_train(words, n_merges=6)
+    segmented.unpersist()
+    return spark.createDataFrame(
+        [(s, l, r, c) for s, l, r, c in merges],
+        "step int, lhs string, rhs string, pair_cnt bigint",
+    )
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl text extraction: wrap each document in deterministic
+    HTML chrome (head/style/script with a bare ``<`` in the script
+    body, entity-escaped body text, boilerplate footer), then recover
+    the visible text and a markup-ratio quality signal with the pure
+    Catalyst regex chain. The oracle builds the identical page in SQL
+    and mirrors the same RE2-safe patterns."""
+    from jodie_spark.functions.html import markup_ratio, strip_html
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body { color: #222; }</style>"),
+        F.lit("<script>if (1 < 2) { window.x = 'nav'; }</script></head>"),
+        F.lit("<body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"),
+        body,
+        F.lit("</p>\n<!-- tracking pixel -->"),
+        F.lit('<div class="footer">&copy; 2026 Example &amp; Co.</div>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("raw_html"))
+    return pages.select(
+        "doc_id",
+        strip_html("raw_html").alias("extracted_text"),
+        markup_ratio("raw_html").alias("markup_ratio"),
+    )
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word
     trigrams with a held-out eval split (doc_id % 97 == 0). n=3 here
@@ -2465,8 +2519,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": _q_profile_table,
         "repetition_signals": _q_repetition_signals,
         "restore_roundtrip": _q_restore_roundtrip,
-        "shallow_clone": _q_shallow_clone,
-        "stratified_sample": _q_stratified_sample,
+        # --- slots 43-44: NEW — distributed BPE tokenizer training
+        # (unrolled-iteration value oracle, like kmeans_clusters) and
+        # HTML→text extraction with a markup-ratio quality signal
+        # (shallow_clone / stratified_sample rotate to overflow; both
+        # hold official green rows and stay locally value-checked) ---
+        "bpe_train_merges": _q_bpe_train_merges,
+        "html_extract": _q_html_extract,
         # --- slot 45: NEW this round — stream-stream-shaped interval
         # join (unified API; watermark-bounded when streaming) ---
         "interval_join": _q_interval_join,
@@ -2489,6 +2548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: overflow — each already has an official
         # driver-green row from rounds 1-5; all remain locally
         # value-checked every round via tools/check_oracles.py ---
+        "shallow_clone": _q_shallow_clone,
+        "stratified_sample": _q_stratified_sample,
         "url_filter": _q_url_filter,
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
@@ -2642,8 +2703,85 @@ _PLANTED_ANN_ORACLE = """
 """
 
 
+def _bpe_oracle_sql(n_merges: int = 6, top_words: int = 300) -> str:
+    """Unrolled-iteration BPE oracle (kmeans_clusters precedent): each
+    merge step is a CTE triple — adjacent-pair counts (p), best pair
+    under the (count desc, lhs, rhs) tie-break (b), and the greedy
+    leftmost-non-overlapping rewrite (w) as a list_reduce fold
+    identical to the Catalyst `aggregate` fold in operators/bpe.py."""
+    parts = [
+        f"""
+        WITH w0 AS (
+          SELECT list_append(string_split(word, ''), '</w>') AS syms, cnt FROM (
+            SELECT word, COUNT(*) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents)
+            GROUP BY word ORDER BY cnt DESC, word LIMIT {top_words})
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", p{i} AS (
+          SELECT syms[i] AS a, syms[i+1] AS b, cnt FROM (
+            SELECT syms, cnt, unnest(generate_series(1, len(syms)-1)) AS i
+            FROM w{i - 1})
+        ), b{i} AS (
+          SELECT a, b, SUM(cnt) AS pair_cnt FROM p{i} GROUP BY a, b
+          ORDER BY pair_cnt DESC, a, b LIMIT 1
+        ), w{i} AS (
+          SELECT list_reduce(list_transform(w.syms, s -> [s]),
+                   (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                               THEN list_concat(acc[:-2], [m.a || m.b])
+                               ELSE list_concat(acc, x) END) AS syms, w.cnt
+          FROM w{i - 1} w CROSS JOIN b{i} m
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, a AS lhs, b AS rhs,"
+        f" CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f" SELECT * FROM ({selects}) ORDER BY step")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_train_merges": _bpe_oracle_sql(n_merges=6, top_words=300),
+        "html_extract": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                     '</title><style>body { color: #222; }</style>' ||
+                     '<script>if (1 < 2) { window.x = ''nav''; }</script></head>' ||
+                     '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+                     chr(10) || '<p>' || replace(text, '&', '&amp;') ||
+                     '</p>' || chr(10) || '<!-- tracking pixel -->' ||
+                     '<div class="footer">&copy; 2026 Example &amp; Co.</div>' ||
+                     '</body></html>' AS raw_html
+              FROM documents),
+            stripped AS (
+              SELECT doc_id, raw_html,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(raw_html,
+                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS extracted_text
+              FROM pages)
+            SELECT doc_id, extracted_text,
+                   ROUND((length(raw_html) - length(extracted_text))
+                         / GREATEST(length(raw_html), 1)::DOUBLE, 6)
+                       AS markup_ratio
+            FROM stripped
+        """,
         "bigram_perplexity": r"""
             WITH words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
