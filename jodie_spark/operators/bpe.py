@@ -56,9 +56,11 @@ def bpe_word_counts(
     ``top_words`` keeps a deterministic head (count desc, word asc) so
     small-scale runs are oracle-reproducible. At full scale leave
     ``top_words=None``: the table is |vocab|-bounded already."""
+    # pattern as a literal ARGUMENT, never interpolated into SQL text —
+    # a quote/backslash in a user pattern must not become plan injection
     words = df.select(
         F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
         ).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -170,5 +172,5 @@ def bpe_apply_merges(
             acc = _merge_fold(acc, left, right)
         return acc
 
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
     return df.withColumn(out_col, F.flatten(F.transform(words, encode_word)))

@@ -196,7 +196,11 @@ def write_stream_merge_to_delta(
             # column (otherwise there is nothing to compare against)
             guard = None
             if sequence_col is not None and sequence_col in t.toDF().columns:
-                guard = f"s.{sequence_col} >= t.{sequence_col}"
+                # NULL-safe: a NULL sequence on either side would make
+                # the bare >= evaluate to NULL, leaving the row
+                # permanently un-updatable and silently dropping its
+                # deletes — treat unknown ordering as "apply"
+                guard = f"coalesce(s.{sequence_col} >= t.{sequence_col}, true)"
             cond = " and ".join(f"t.{k} = s.{k}" for k in keys)
             m = t.alias("t").merge(batch.alias("s"), cond)
             if delete_col is not None:

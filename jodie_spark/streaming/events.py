@@ -105,15 +105,22 @@ def interval_join(
     passes ``upper``.
 
     Column names are disambiguated by suffix: every right column except
-    the join key comes back as ``<name>_r``.
+    the join key comes back as ``<name>_r`` (the suffix is doubled —
+    ``_r_r``, ``_r_r_r``, … — until it collides with no left column, so
+    a left side that already has ``ts_r`` can never produce duplicate
+    output names).
     """
     lw = left.withWatermark(left_ts, watermark) if watermark else left
     rw = right.withWatermark(right_ts, watermark) if watermark else right
+    suffix = "_r"
+    left_cols = set(lw.columns)
+    while any(f"{c}{suffix}" in left_cols for c in rw.columns if c != on):
+        suffix += "_r"
     renamed = rw
     for c in rw.columns:
         if c != on:
-            renamed = renamed.withColumnRenamed(c, f"{c}_r")
-    rts = f"{right_ts}_r" if right_ts != on else right_ts
+            renamed = renamed.withColumnRenamed(c, f"{c}{suffix}")
+    rts = f"{right_ts}{suffix}" if right_ts != on else right_ts
     l, r = lw.alias("l"), renamed.alias("r")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))

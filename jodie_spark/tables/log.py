@@ -356,6 +356,11 @@ class DeltaLog:
         # metaData action at a NEWER version, so caching by version is
         # sound and spares DML-heavy callers a log scan per commit
         self._commit_config_cache: tuple[int, dict[str, str], bool] | None = None
+        # versions whose .crc failed verification this process: suppresses
+        # repeat warnings and blocks the incremental checksum chain from
+        # seeding off drifted numbers. NEVER persisted — the read path
+        # must not mutate a (possibly foreign-written) table directory.
+        self._mismatched_crc_versions: set[int] = set()
 
     # -- listing ------------------------------------------------------------
 
@@ -1110,6 +1115,10 @@ class DeltaLog:
                 base_files = base_bytes = 0
             else:
                 prev_path = self._crc_path(version - 1)
+                # a predecessor known to be drifted must not seed the
+                # chain — skip; the next checkpoint restarts it
+                if version - 1 in self._mismatched_crc_versions:
+                    return
                 if not os.path.exists(prev_path):
                     return
                 with open(prev_path, encoding="utf-8") as fh:
@@ -1145,9 +1154,10 @@ class DeltaLog:
         """Write ``<version>.crc`` from fully-reconstructed state (one
         replay — called only at checkpoint time, which is already
         O(state)); heals chains broken by foreign commits or adopted
-        tables."""
-        if os.path.exists(self._crc_path(version)):
-            return
+        tables, AND rewrites a .crc that exists but disagrees with the
+        replayed state (the read path only warns on drift — repairing
+        the shared directory is a writer-side action, and the
+        checkpointing committer is a writer)."""
         snap = self.snapshot(version)
         files = snap.add_files()
         crc = {
@@ -1158,10 +1168,23 @@ class DeltaLog:
             "metadata": snap.metadata,
             "protocol": snap.protocol,
         }
+        p = self._crc_path(version)
+        if os.path.exists(p):
+            try:
+                with open(p, encoding="utf-8") as fh:
+                    have = json.loads(fh.read())
+                if (
+                    have.get("numFiles") == crc["numFiles"]
+                    and have.get("tableSizeBytes") == crc["tableSizeBytes"]
+                ):
+                    return  # existing .crc agrees with replayed state
+            except (OSError, ValueError):
+                pass  # unreadable → rewrite below
         tmp = self._crc_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(json.dumps(crc, separators=(",", ":")))
         os.replace(tmp, self._crc_path(version))
+        self._mismatched_crc_versions.discard(version)
 
     def _verify_version_checksum(
         self,
@@ -1173,15 +1196,20 @@ class DeltaLog:
         when one exists (ours or a foreign writer's). delta-spark treats
         VersionChecksum as ADVISORY — incremental-CRC drift bugs have
         shipped, and a foreign writer's stale .crc must never make a
-        table unreadable. Default behavior on mismatch: warn once and
-        quarantine-rename the bad .crc (``<v>.crc.quarantined``, which
-        no log lister matches) so the next checkpoint's heal path
-        (:meth:`_restart_checksum_chain`) rewrites it from replayed
-        state. ``jodie.checksumValidation=strict`` in the table
-        configuration restores the hard failure for deployments that
-        would rather refuse reads than risk serving drifted state."""
+        table unreadable. Default behavior on mismatch: warn once per
+        process and remember the version in-memory so the incremental
+        chain never seeds off it; the .crc file itself is LEFT ALONE —
+        a snapshot() must not mutate the shared table directory (the
+        mismatch may be a replay bug here, not a stale checksum, and a
+        rename would destroy a correct foreign writer's checksum and
+        race concurrent committers). The next checkpoint's heal path
+        (:meth:`_restart_checksum_chain`) — a writer-side moment that
+        already reconstructs full state — rewrites the drifted file.
+        ``jodie.checksumValidation=strict`` in the table configuration
+        restores the hard failure for deployments that would rather
+        refuse reads than risk serving drifted state."""
         p = self._crc_path(version)
-        if not os.path.exists(p):
+        if not os.path.exists(p) or version in self._mismatched_crc_versions:
             return
         try:
             with open(p, encoding="utf-8") as fh:
@@ -1210,13 +1238,11 @@ class DeltaLog:
             raise DeltaProtocolError(msg)
         import warnings
 
-        try:
-            os.replace(p, p + ".quarantined")
-            note = "quarantined the stale .crc; next checkpoint rewrites it"
-        except OSError:
-            note = "could not quarantine the stale .crc"
+        self._mismatched_crc_versions.add(version)
         warnings.warn(
-            f"{msg} ({note}; set {CHECKSUM_VALIDATION_PROP}=strict to fail instead)",
+            f"{msg} (advisory — serving the replayed state; the next "
+            f"checkpoint rewrites the drifted .crc; set "
+            f"{CHECKSUM_VALIDATION_PROP}=strict to fail instead)",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -69,23 +69,32 @@ def _legacy_implied_features(
     Every upgrade to reader 3 / writer 7 must carry these into the
     explicit feature lists — dropping e.g. columnMapping from a
     reader-2/writer-5 table's upgraded protocol would make external
-    readers treat physical-named columns as logical ones."""
+    readers treat physical-named columns as logical ones.
+
+    A protocol that is ALREADY at writer 7 (resp. reader 3) implies
+    nothing by version number: its feature lists are the sole, explicit
+    source of truth (PROTOCOL.md table-features rules). Expanding the
+    legacy map there would resurrect features the table never declared
+    — e.g. DROP FEATURE on a v7 table would commit a downgrade protocol
+    carrying spurious appendOnly/invariants/columnMapping entries and
+    lock out foreign readers that gate on them."""
     p = proto or {}
     old_writer = int(p.get("minWriterVersion") or 2)
     old_reader = int(p.get("minReaderVersion") or 1)
     wf: set[str] = set()
-    if old_writer >= 2:
-        wf.update({"appendOnly", "invariants"})
-    if old_writer >= 3 or check_constraints(configuration):
-        wf.add("checkConstraints")
-    if old_writer >= 4:
-        wf.update({"changeDataFeed", "generatedColumns"})
-    if old_writer >= 5:
-        wf.add("columnMapping")
-    if old_writer >= 6:
-        wf.add("identityColumns")
+    if old_writer < 7:
+        if old_writer >= 2:
+            wf.update({"appendOnly", "invariants"})
+        if old_writer >= 3 or check_constraints(configuration):
+            wf.add("checkConstraints")
+        if old_writer >= 4:
+            wf.update({"changeDataFeed", "generatedColumns"})
+        if old_writer >= 5:
+            wf.add("columnMapping")
+        if old_writer >= 6:
+            wf.add("identityColumns")
     rf: set[str] = set()
-    if old_reader >= 2:
+    if old_reader == 2:
         rf.add("columnMapping")
     return wf, rf
 

@@ -38,11 +38,15 @@ def test_crc_written_incrementally_and_accurate(spark, tmpdir_path):
         assert crc["protocol"] == snap.protocol
 
 
-def test_crc_mismatch_warns_quarantines_and_heals(spark, tmpdir_path):
+def test_crc_mismatch_warns_without_mutating_and_heals(spark, tmpdir_path):
     """Default posture is delta-spark's: VersionChecksum is ADVISORY.
-    A drifted .crc warns once, gets quarantine-renamed (so the table
-    stays readable and the warning doesn't repeat), and the next
-    checkpoint rewrites a correct one from replayed state."""
+    A drifted .crc warns (once per process per version), the table
+    stays readable, and — crucially — the READ path leaves the table
+    directory untouched: the mismatch may be a replay bug in THIS
+    engine, and a rename would destroy a correct foreign writer's
+    checksum (round-6 advice). The next checkpoint — a writer-side
+    moment — verifies the .crc against the state it reconstructs and
+    rewrites drifted files."""
     p = os.path.join(tmpdir_path, "t")
     write_delta(
         spark.range(5).selectExpr("id"),
@@ -52,22 +56,52 @@ def test_crc_mismatch_warns_quarantines_and_heals(spark, tmpdir_path):
     log = DeltaLog(p)
     crc = _crc(log, 0)
     crc["numFiles"] += 1
+    drifted = json.dumps(crc)
     with open(log._crc_path(0), "w") as fh:
-        fh.write(json.dumps(crc))
+        fh.write(drifted)
+    t = DeltaTable.forPath(spark, p)
     with pytest.warns(RuntimeWarning, match="checksum mismatch"):
-        assert DeltaTable.forPath(spark, p).toDF().count() == 5
-    assert not os.path.exists(log._crc_path(0))
-    assert os.path.exists(log._crc_path(0) + ".quarantined")
-    # quarantined → no repeat warning, table reads clean
+        assert t.toDF().count() == 5
+    # READ path mutated nothing: the .crc is byte-identical, in place
+    with open(log._crc_path(0)) as fh:
+        assert fh.read() == drifted
+    assert not os.path.exists(log._crc_path(0) + ".quarantined")
+    # same handle → no repeat warning (in-memory suppression)
     import warnings as _w
 
     with _w.catch_warnings():
         _w.simplefilter("error")
-        assert DeltaTable.forPath(spark, p).toDF().count() == 5
-    # chain heals at the next checkpoint (interval=2 → v2 checkpoints)
+        assert t.snapshot(0).version == 0
+    # checkpoint at v2 (interval=2) verifies + rewrites the drifted
+    # .crc for the checkpointed version; later chain entries are exact
     write_delta(spark.range(5, 6).selectExpr("id"), p, mode="append")  # v1
     write_delta(spark.range(6, 7).selectExpr("id"), p, mode="append")  # v2
     assert _crc(log, 2)["numFiles"] == len(log.snapshot(2).add_files())
+    write_delta(spark.range(7, 8).selectExpr("id"), p, mode="append")  # v3
+    assert _crc(log, 3)["numFiles"] == len(log.snapshot(3).add_files())
+
+
+def test_crc_checkpoint_heal_rewrites_drifted_checkpoint_version(spark, tmpdir_path):
+    """A .crc that is drifted AT the checkpoint version itself is
+    rewritten by the checkpoint's heal pass (the heal now verifies
+    existing checksums against reconstructed state instead of only
+    filling in missing ones)."""
+    p = os.path.join(tmpdir_path, "t")
+    write_delta(spark.range(4).selectExpr("id"), p)
+    write_delta(spark.range(4, 8).selectExpr("id"), p, mode="append")  # v1
+    log = DeltaLog(p)
+    crc = _crc(log, 1)
+    good_files = crc["numFiles"]
+    crc["numFiles"] += 3
+    with open(log._crc_path(1), "w") as fh:
+        fh.write(json.dumps(crc))
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # heal replays → advisory warning ok
+        log.write_checkpoint(1)
+        log._restart_checksum_chain(1)
+    assert _crc(log, 1)["numFiles"] == good_files
 
 
 def test_crc_mismatch_strict_property_fails_loudly(spark, tmpdir_path):
@@ -125,13 +159,16 @@ def test_foreign_crc_is_verified(spark, tmpdir_path):
         fh.write(json.dumps(bad))
     # a size-lying FOREIGN .crc must never make the table unreadable
     # (delta-spark has shipped incremental-CRC drift bugs): advisory
-    # warn + quarantine, rows still served from the replayed log
+    # warn, rows still served from the replayed log — and the foreign
+    # writer's file is left exactly as it was (read path never mutates
+    # the shared directory; round-6 advice)
     with pytest.warns(RuntimeWarning, match="tableSizeBytes"):
         assert sorted(
             r["id"] for r in DeltaTable.forPath(spark, t).toDF().collect()
         ) == [1, 2, 3]
-    assert not os.path.exists(crc_path)
-    assert os.path.exists(crc_path + ".quarantined")
+    with open(crc_path) as fh:
+        assert json.loads(fh.read()) == bad
+    assert not os.path.exists(crc_path + ".quarantined")
 
 
 def test_crc_chain_heals_at_checkpoint(spark, tmpdir_path):

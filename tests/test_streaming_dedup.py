@@ -233,3 +233,81 @@ def test_interval_join_batch_plan_and_stream_parity(spark, tmpdir_path):
         for r in spark.table("iv_join").collect()
     )
     assert stream_pairs == batch_pairs
+
+
+def test_stream_merge_null_sequence_is_not_dropped(spark, tmpdir_path):
+    """Round-7 advice: the cross-batch seq guard must be NULL-safe. A
+    NULL sequence value on either side used to make the matched
+    update/delete conditions evaluate to NULL — the row became
+    permanently un-updatable and its deletes were silently dropped.
+    Unknown ordering now means "apply"."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "nullseq_src")
+    dst = os.path.join(tmpdir_path, "nullseq_dst")
+    ckpt = os.path.join(tmpdir_path, "nullseq_ckpt")
+
+    def run():
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            dst,
+            ckpt,
+            keys=["k"],
+            sequence_col="seq",
+            delete_col="deleted",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: k=1 lands with a NULL sequence, k=2 with seq 5
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", None, False), (2, "b", 5, False)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+    )
+    run()
+    # batch 2: update the NULL-seq row (must apply — it used to be
+    # permanently stuck), delete k=2 via a NULL-seq delete event (must
+    # apply — it used to be silently dropped)
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a2", 7, False), (2, None, None, True)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+        mode="append",
+    )
+    run()
+    rows = {r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    assert rows == {1: "a2"}
+
+
+def test_interval_join_right_suffix_collision(spark):
+    """Round-7 advice: a left side that already carries a ``<col>_r``
+    column must not produce duplicate output names — the suffix doubles
+    until it is collision-free."""
+    import datetime
+
+    from jodie_spark.streaming.events import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 77)], "user_id long, ts timestamp, ts_r long"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=2), 9.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = interval_join(left, right, on="user_id", upper="10 minutes")
+    assert len(out.columns) == len(set(out.columns))
+    row = out.collect()[0]
+    assert row["ts_r"] == 77  # the LEFT column kept its name
+    assert row["ts_r_r"] == t0 + datetime.timedelta(minutes=2)
+    assert row["value_r_r"] == 9.5

@@ -1343,6 +1343,41 @@ def test_drop_feature_v2_checkpoint_and_cdf(spark, tmpdir_path):
     assert DeltaTable.forPath(spark, p).toDF().count() == 24
 
 
+def test_drop_feature_v7_no_spurious_legacy_features(spark, tmpdir_path):
+    """Regression (round 7): DROP FEATURE on a table that is ALREADY
+    writer 7 / reader 3 must not expand the legacy version→feature map —
+    a v7 protocol's feature lists are explicit and exhaustive
+    (PROTOCOL.md table features). The old behavior committed a
+    downgrade protocol with spurious appendOnly/invariants/
+    checkConstraints/changeDataFeed/generatedColumns/columnMapping/
+    identityColumns entries, locking out foreign readers/writers that
+    gate on features they do not support."""
+    p = os.path.join(tmpdir_path, "dropv7clean")
+    write_delta(
+        spark.range(10).selectExpr("id"),
+        p,
+        options={"delta.checkpointPolicy": "v2"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    before = dict(t.snapshot().protocol)
+    assert int(before["minWriterVersion"]) == 7  # v2Checkpoint forces v7
+    t.drop_feature("v2Checkpoint")
+    proto = DeltaTable.forPath(spark, p).snapshot().protocol
+    spurious = {
+        "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "columnMapping", "identityColumns",
+    }
+    wfeat = set(proto.get("writerFeatures") or [])
+    rfeat = set(proto.get("readerFeatures") or [])
+    # post-drop lists = pre-drop lists − v2Checkpoint + checkpointProtection
+    assert not (wfeat & spurious - set(before.get("writerFeatures") or []))
+    assert "columnMapping" not in rfeat
+    assert wfeat == (
+        set(before.get("writerFeatures") or []) - {"v2Checkpoint"}
+    ) | {"checkpointProtection"}
+    assert rfeat == set(before.get("readerFeatures") or []) - {"v2Checkpoint"}
+
+
 @pytest.mark.parametrize("writer", ["spark", "pyarrow", "v2"])
 def test_checkpoint_preserves_protocol_feature_lists(spark, tmpdir_path, writer):
     """Regression (round 6): the checkpoint schema used to drop
