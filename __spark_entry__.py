@@ -2461,15 +2461,19 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering matters: the correctness driver checks the first 50
-    entries (dict insertion order).  After round 5, every registered
-    query has at least one official driver-green row, so rotation now
-    targets STALENESS: slots 1-22 keep the SURVEY §2 reference surface
-    official every round; slots 23-47 re-verify the 25 queries whose
-    newest official green row dated from round 3 or earlier; slots
-    48-50 re-verify the media dedups whose decode kernels changed this
-    round.  The tail (51+) holds only queries with a round-4/5 official
-    green row — all remain value-checked every round via
-    tools/check_oracles.py."""
+    entries (dict insertion order).  Every registered query has at
+    least one official driver-green row; the window rotates on
+    STALENESS (oldest newest-official-green-row first, as computed by
+    ``tools/check_oracles.py --freshness``).  Round-7 window: slots
+    1-22 keep the SURVEY §2 reference surface official every round;
+    slots 23-32 are the 10 queries whose newest official row dated
+    from round 2/3; slots 33-50 are 18 of the 23 round-4-stale
+    queries.  Five round-4 rows with fresh siblings defer to round 8
+    (windowed_event_counts / sessionize — streaming twins green r5;
+    cdf_datasource — datasource_roundtrip in window; dv_delete —
+    dv_update in window, dv_merge r5; create_table_ddl —
+    column_ddl_lifecycle in window).  The tail (51+) stays
+    value-checked every round via tools/check_oracles.py."""
     return {
         # --- SURVEY §2 reference-surface operators (slots 1-22):
         # the reference surface stays officially driver-green every round ---
@@ -2495,64 +2499,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_files_deterministic": _q_shuffle_files_deterministic,
         "optimize_compaction": _q_optimize_compaction,
         "optimize_zorder": _q_optimize_zorder,
-        # --- round-6 staleness rotation (slots 23-47): the 25 queries
-        # whose newest OFFICIAL green row dated from round 3 or earlier
-        # (every query has been driver-green at least once after round 5;
-        # rotation now re-verifies the stalest official rows each round) ---
-        "clean_corpus": _q_clean_corpus,
-        "ann_topk": _q_ann_topk,
-        "bpe_token_count": _q_bpe_token_count,
-        "check_constraints": _q_check_constraints,
-        "classifier_quality": _q_classifier_quality,
-        "contamination_check": _q_contamination_check,
-        "doc_chunks": _q_doc_chunks,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_quantize": _q_embedding_quantize,
-        "generated_columns": _q_generated_columns,
-        "ivf_topk": _q_ivf_topk,
-        "language_id": _q_language_id,
-        "normalize_text": _q_normalize_text,
-        "pack_sequences": _q_pack_sequences,
-        "perplexity": _q_perplexity,
-        "pii_scrub": _q_pii_scrub,
-        "pq_topk": _q_pq_topk,
-        "profile_table": _q_profile_table,
-        "repetition_signals": _q_repetition_signals,
-        "restore_roundtrip": _q_restore_roundtrip,
-        # --- slots 43-44: NEW — distributed BPE tokenizer training
-        # (unrolled-iteration value oracle, like kmeans_clusters) and
-        # HTML→text extraction with a markup-ratio quality signal
-        # (shallow_clone / stratified_sample rotate to overflow; both
-        # hold official green rows and stay locally value-checked) ---
-        "bpe_train_merges": _q_bpe_train_merges,
-        "html_extract": _q_html_extract,
-        # --- slot 45: NEW this round — stream-stream-shaped interval
-        # join (unified API; watermark-bounded when streaming) ---
-        "interval_join": _q_interval_join,
-        # --- slot 46: NEW this round — streaming Type-2 SCD sink
-        # (the reference flagship operator as a foreachBatch stream) ---
-        "streaming_scd2": _q_streaming_scd2,
-        # --- slot 47: NEW this round — column mapping mode=id DML
-        # (foreign field-id table: delete/update/append + id-resolved read) ---
-        "column_mapping_id": _q_column_mapping_id,
-        # --- slot 48: NEW this round — IVFADC (coarse cells + residual
-        # PQ codes, the canonical billion-scale ANN layout) ---
-        "ivfpq_topk": _q_ivfpq_topk,
-        # --- slots 49-50: media dedups whose decode kernels gained the
-        # NULL/undecodable guard (shared _guarded_decode) this round and,
-        # for image_dedup, planted lossy JPEG clones — re-verify under
-        # the oracle; audio_dedup shares the same guard and moves to the
-        # tail ---
-        "image_dedup": _q_image_dedup,
-        "video_dedup": _q_video_dedup,
-        # --- position 51+: overflow — each already has an official
-        # driver-green row from rounds 1-5; all remain locally
-        # value-checked every round via tools/check_oracles.py ---
+        # --- slots 23-32: newest official green row = round 2/3 ---
+        "token_frequencies": _q_token_frequencies,
+        "corpus_stats": _q_corpus_stats,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders": _q_top_orders,
         "shallow_clone": _q_shallow_clone,
         "stratified_sample": _q_stratified_sample,
         "url_filter": _q_url_filter,
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
+        # --- slots 33-50: newest official green row = round 4 ---
+        "range_join": _q_range_join,
+        "similarity_topk": _q_similarity_topk,
+        "sql_dml": _q_sql_dml,
+        "ann_index_topk": _q_ann_index_topk,
+        "datasource_roundtrip": _q_datasource_roundtrip,
+        "dedup_clusters": _q_dedup_clusters,
+        "as_of_join": _q_as_of_join,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_dedup": _q_embedding_dedup,
+        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "incremental_dedup": _q_incremental_dedup,
+        "line_dedup": _q_line_dedup,
+        "passage_dup_stats": _q_passage_dup_stats,
+        "knn_graph": _q_knn_graph,
+        "dv_update": _q_dv_update,
+        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
+        # --- position 51+: overflow — r4 rows deferred to round 8
+        # first, then r5/r6 rows; all remain locally value-checked
+        # every round via tools/check_oracles.py ---
+        "windowed_event_counts": _q_windowed_event_counts,
+        "sessionize": _q_sessionize,
+        "cdf_datasource": _q_cdf_datasource,
+        "dv_delete": _q_dv_delete,
+        "create_table_ddl": _q_create_table_ddl,
         "audio_dedup": _q_audio_dedup,
         "bigram_perplexity": _q_bigram_perplexity,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -2579,34 +2563,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
-        "range_join": _q_range_join,
-        "similarity_topk": _q_similarity_topk,
-        "sql_dml": _q_sql_dml,
-        "ann_index_topk": _q_ann_index_topk,
-        "datasource_roundtrip": _q_datasource_roundtrip,
-        "dedup_clusters": _q_dedup_clusters,
-        "as_of_join": _q_as_of_join,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "embedding_dedup": _q_embedding_dedup,
-        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
-        "exact_dedup_documents": _q_exact_dedup_documents,
-        "incremental_dedup": _q_incremental_dedup,
-        "line_dedup": _q_line_dedup,
-        "passage_dup_stats": _q_passage_dup_stats,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "sessionize": _q_sessionize,
-        "knn_graph": _q_knn_graph,
-        "cdf_datasource": _q_cdf_datasource,
-        "dv_delete": _q_dv_delete,
-        "dv_update": _q_dv_update,
-        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
-        "create_table_ddl": _q_create_table_ddl,
-        "token_frequencies": _q_token_frequencies,
-        "corpus_stats": _q_corpus_stats,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_orders": _q_top_orders,
+        "clean_corpus": _q_clean_corpus,
+        "ann_topk": _q_ann_topk,
+        "bpe_token_count": _q_bpe_token_count,
+        "check_constraints": _q_check_constraints,
+        "classifier_quality": _q_classifier_quality,
+        "contamination_check": _q_contamination_check,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_quantize": _q_embedding_quantize,
+        "generated_columns": _q_generated_columns,
+        "ivf_topk": _q_ivf_topk,
+        "language_id": _q_language_id,
+        "normalize_text": _q_normalize_text,
+        "pack_sequences": _q_pack_sequences,
+        "perplexity": _q_perplexity,
+        "pii_scrub": _q_pii_scrub,
+        "pq_topk": _q_pq_topk,
+        "profile_table": _q_profile_table,
+        "repetition_signals": _q_repetition_signals,
+        "restore_roundtrip": _q_restore_roundtrip,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "html_extract": _q_html_extract,
+        "interval_join": _q_interval_join,
+        "streaming_scd2": _q_streaming_scd2,
+        "column_mapping_id": _q_column_mapping_id,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "image_dedup": _q_image_dedup,
+        "video_dedup": _q_video_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
     }
 
