@@ -507,13 +507,15 @@ def _rewrite_time_travel(spark: SparkSession, s: str) -> str:
 
 def _merge(spark: SparkSession, s: str) -> None:
     m = re.match(
-        rf"(?is)^MERGE\s+INTO\s+{_REF}\s*(?:AS\s+)?(?P<talias>[A-Za-z_]\w*)?\s+USING\s+",
+        rf"(?is)^MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+{_REF}"
+        rf"\s*(?:AS\s+)?(?P<talias>[A-Za-z_]\w*)?\s+USING\s+",
         s,
     )
     if not m:
         raise JodieValidationError(f"cannot parse MERGE statement: {s!r}")
     t = _resolve(spark, m)
     talias = m.group("talias") or "t"
+    evolve = bool(m.group("evolve"))
     rest = s[m.end() :]
 
     # source: (subquery) or a view/registered name
@@ -551,6 +553,8 @@ def _merge(spark: SparkSession, s: str) -> None:
     clauses_text = rest[wi:]
 
     builder = t.alias(talias).merge(src_df.alias(salias), cond)
+    if evolve:
+        builder = builder.withSchemaEvolution()
     # split into WHEN ... chunks at top level (skip_case: a CASE WHEN
     # inside an action expression must not start a new clause)
     chunks = []

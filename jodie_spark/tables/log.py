@@ -75,14 +75,16 @@ _COLUMN_MAPPING_READ_MODES = {"none", "name", "id"}
 # v3 = CHECK constraints, which this engine enforces on every write
 # path (tables/table.py enforce_check_constraints)
 # v5 = legacy column-mapping protocol (implies v4's features +
-# columnMapping; appends/overwrites write physical-named files, and
-# rewrite-DML on mapped tables refuses in DeltaTable._refuse_column_mapped)
+# columnMapping; every write path — append/overwrite/rewrite-DML/CDF,
+# including MERGE withSchemaEvolution — projects to physical names via
+# tables/column_mapping.py rename_to_physical)
 SUPPORTED_WRITER_VERSIONS = {1, 2, 3, 4, 5, 6, 7}
 # deletionVectors: reads honor DVs (tables/deletion_vectors.py),
 # rewrite-DML reads through the DV filter and drops the DV with the
 # rewritten file, delete(deletion_vectors=True) writes them.
-# columnMapping: append/overwrite write physical names
-# (tables/column_mapping.py rename_to_physical); rewrite-DML refuses.
+# columnMapping: full DML surface in both modes; mapped tables take
+# the copy-on-write rewrite path (the DV coordinate scan is
+# physical-name-only).
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "timestampNtz", "checkConstraints",
     "generatedColumns", "changeDataFeed", "deletionVectors",

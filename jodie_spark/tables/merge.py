@@ -470,8 +470,6 @@ class DeltaMergeBuilder:
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
         t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
         mapped = t._mapping_schemas(snap) is not None
-        if mapped and self._schema_evolution:
-            t._refuse_column_mapped(snap, "MERGE withSchemaEvolution")
         if mapped:
             deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
         schema = t.schema(snap)
@@ -488,6 +486,7 @@ class DeltaMergeBuilder:
             self._execute_mor(allow_multiple_matches, t0)
             return
         schema_evolved = False
+        evolved_conf: dict[str, str] | None = None
         if self._schema_evolution and any(
             c.star for c in self._matched + self._not_matched
         ):
@@ -502,20 +501,61 @@ class DeltaMergeBuilder:
                     list(schema.fields)
                     + [T.StructField(f.name, f.dataType, True) for f in extra]
                 )
+                if mapped:
+                    # evolved columns on a mapped table need fresh
+                    # mapping metadata BEFORE any file is written:
+                    # a new column id (mode=id readers resolve by
+                    # footer field id) and a fresh col-<uuid> physical
+                    # name (mode=name readers resolve by name), plus a
+                    # maxColumnId bump in the table configuration —
+                    # the same assignment delta-spark's
+                    # mergeSchema/ALTER ADD COLUMNS path performs
+                    # (reference mergeSchema semantics:
+                    # DeltaHelpers.scala:354-379 operates on arbitrary
+                    # existing tables). assign_column_mapping only
+                    # touches fields without mapping metadata, so the
+                    # pre-existing columns keep their ids/names.
+                    from jodie_spark.tables.column_mapping import (
+                        MAX_ID_PROP,
+                        assign_column_mapping,
+                        max_column_id,
+                    )
+
+                    schema, new_max = assign_column_mapping(
+                        schema,
+                        start_id=max_column_id(snap.metadata),
+                        fresh_physical=True,
+                    )
+                    evolved_conf = {MAX_ID_PROP: str(new_max)}
                 schema_evolved = True
         talias = t._alias or "target"
         out_cols = [f.name for f in schema.fields]
 
+        # mode=id target scans run through the field-id CHILD session
+        # (read_files_df), and Spark fires observation metrics on the
+        # listener bus of the session that EXECUTES the action — which
+        # is the target/staged side's. An Observation attached to the
+        # parent-session SOURCE would never complete there (its .get
+        # blocks forever), so on mode=id tables numSourceRows comes
+        # from a count over the persisted source instead — one extra
+        # job over the cache. The staged-counts observation below is
+        # safe either way: it attaches to the target-derived plan, the
+        # same session the write executes on.
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        mode_id = mapped and column_mapping_mode(snap.metadata) == "id"
         src_obs = Observation()
-        src = (
-            self.source.withColumn("__s_exists__", F.lit(True))
-            .observe(src_obs, F.count(F.lit(1)).alias("numSourceRows"))
-        )
+        src = self.source.withColumn("__s_exists__", F.lit(True))
+        if not mode_id:
+            src = src.observe(
+                src_obs, F.count(F.lit(1)).alias("numSourceRows")
+            )
         # the source plan is consumed by both passes (find-touched semi
         # join, then the rewrite join); staged sources like Type2Scd's
         # union-of-joins are expensive to recompute, so persist for the
         # duration of the merge
         src = src.persist()
+        eager_source_rows = src.count() if mode_id else None
 
         # -- pass 1: which files contain matched rows? ----------------------
         prune_cond = self._target_only_condition(talias, out_cols)
@@ -707,6 +747,7 @@ class DeltaMergeBuilder:
                     apply_generated_columns(result, schema), snap.configuration
                 ),
                 lineage=lineage,
+                logical_schema=schema if schema_evolved else None,
             )
             if t.is_cdf_enabled(snap):
                 # change rows: pre-images carry the target columns,
@@ -730,7 +771,10 @@ class DeltaMergeBuilder:
                     *out_cols
                 ).withColumn("_change_type", F.lit("insert"))
                 change_df = deletes.unionByName(upd_pre).unionByName(upd_post).unionByName(inserts)
-                cdc_actions = t._write_cdf_files(change_df, snap)
+                cdc_actions = t._write_cdf_files(
+                    change_df, snap,
+                    logical_schema=schema if schema_evolved else None,
+                )
         finally:
             src.unpersist()
             if probe is not None:
@@ -747,7 +791,11 @@ class DeltaMergeBuilder:
                 return {k: 0 for k in keys}
 
         counts = _obs(obs, ["updated", "deleted", "copied", "inserted"])
-        num_source_rows = _obs(src_obs, ["numSourceRows"])["numSourceRows"]
+        num_source_rows = (
+            eager_source_rows
+            if eager_source_rows is not None
+            else _obs(src_obs, ["numSourceRows"])["numSourceRows"]
+        )
 
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = list(lineage_actions)
@@ -758,6 +806,12 @@ class DeltaMergeBuilder:
                 if id_schema_meta is not None
                 else json.dumps(schema.jsonValue())
             )
+            if evolved_conf:
+                # mapped-table evolution: persist the maxColumnId bump
+                # alongside the new fields' mapping metadata
+                conf = dict(meta.get("configuration") or {})
+                conf.update(evolved_conf)
+                meta["configuration"] = conf
             actions.append({"metaData": meta})
         actions += list(cdc_actions)
         actions += [{"add": a} for a in adds]

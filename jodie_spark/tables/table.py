@@ -1163,10 +1163,27 @@ class DeltaTable:
         names, so the scan uses the physical schema and renames back.
         DML conditions and set-expressions then evaluate unchanged.
 
+        The mapping pair derives from the CALLER-passed ``schema`` (not
+        the snapshot's), so a schema-evolution merge can pass its
+        evolved schema — whose new fields carry freshly-assigned
+        mapping metadata but exist in no data file yet — and read the
+        new columns back as typed NULLs, exactly like the unmapped
+        path does.
+
         With ``lineage`` the scan resolves each row's preserved
         ``__lineage_rid__/__lineage_rcv__`` (and exposes ``__file__``),
         masking DV'd rows — see :mod:`jodie_spark.tables.row_lineage`."""
-        ms = self._mapping_schemas(snap)
+        from jodie_spark.tables.column_mapping import (
+            column_mapping_mode,
+            to_physical_schema,
+        )
+
+        mode = column_mapping_mode(snap.metadata)
+        ms = (
+            (schema, to_physical_schema(schema, with_field_ids=(mode == "id")))
+            if mode in ("name", "id")
+            else None
+        )
         if lineage is None:
             if ms is None:
                 return read_files_df(self.spark, self.path, schema, candidates)
@@ -1200,10 +1217,18 @@ class DeltaTable:
         snap: Snapshot,
         df: DataFrame,
         lineage: tuple[str, str] | None = None,
+        logical_schema: T.StructType | None = None,
     ) -> list[dict[str, Any]]:
         """Write rewrite output (logical-named, full table schema) as
         data files — physical-named on mapped tables, so every other
         Delta reader resolves them.
+
+        ``logical_schema`` overrides the snapshot's schema for the
+        physical-name projection — a schema-evolution merge on a mapped
+        table passes its evolved schema (new fields already carrying
+        fresh mapping metadata) so the rewrite renames ALL output
+        columns, including the ones the committed metaData is about to
+        introduce.
 
         With ``lineage=(rid_col, rcv_col)`` the df carries
         ``__lineage_rid__/__lineage_rcv__`` columns which are renamed to
@@ -1226,9 +1251,20 @@ class DeltaTable:
             return write_data_files(
                 df, self.path, snap.partition_columns, stat_exclude=stat_exclude
             )
-        from jodie_spark.tables.column_mapping import rename_to_physical
+        from jodie_spark.tables.column_mapping import (
+            column_mapping_mode,
+            rename_to_physical,
+            to_physical_schema,
+        )
 
-        logical, physical = ms
+        if logical_schema is not None:
+            mode = column_mapping_mode(snap.metadata)
+            logical = logical_schema
+            physical = to_physical_schema(
+                logical_schema, with_field_ids=(mode == "id")
+            )
+        else:
+            logical, physical = ms
         return write_data_files(
             rename_to_physical(df, logical, physical, keep=keep),
             self.path,
@@ -1254,31 +1290,36 @@ class DeltaTable:
             return condition
         return None
 
-    def _refuse_column_mapped(self, snap: Snapshot, op: str) -> None:
-        """Paths that still need physical-name round-trips this engine
-        doesn't do (MERGE schema evolution on mapped schemas) refuse
-        loudly rather than write files other readers can't resolve."""
-        from jodie_spark.tables.column_mapping import column_mapping_mode
-
-        if column_mapping_mode(snap.metadata) != "none":
-            raise DeltaProtocolError(
-                f"{op} on a column-mapped table is not supported by this engine"
-            )
-
     # -- mutations -----------------------------------------------------------
 
     def _write_cdf_files(
-        self, change_df: DataFrame, snap: Snapshot | None = None
+        self,
+        change_df: DataFrame,
+        snap: Snapshot | None = None,
+        logical_schema: T.StructType | None = None,
     ) -> list[dict[str, Any]]:
         """Write change rows (with _change_type) under _change_data/ and
         return ``cdc`` actions. On column-mapped tables the data columns
         are stored under their physical names (same layout delta-spark
-        writes, and what the CDF readers resolve)."""
+        writes, and what the CDF readers resolve). ``logical_schema``
+        overrides the snapshot schema for the projection — see
+        :meth:`_write_rewrite_files` (schema-evolution merge)."""
         ms = self._mapping_schemas(snap) if snap is not None else None
         if ms is not None:
-            from jodie_spark.tables.column_mapping import rename_to_physical
+            from jodie_spark.tables.column_mapping import (
+                column_mapping_mode,
+                rename_to_physical,
+                to_physical_schema,
+            )
 
-            logical, physical = ms
+            if logical_schema is not None:
+                logical = logical_schema
+                physical = to_physical_schema(
+                    logical_schema,
+                    with_field_ids=(column_mapping_mode(snap.metadata) == "id"),
+                )
+            else:
+                logical, physical = ms
             change_df = rename_to_physical(
                 change_df, logical, physical, keep=("_change_type",)
             )

@@ -358,3 +358,197 @@ def test_datasource_writer_refuses_shape_mismatches(spark, tmpdir_path):
         spark.createDataFrame([("a",)], "v string").write.format("jodie_delta").mode(
             "append"
         ).save(pf)
+
+
+def test_merge_schema_evolution_on_mapped_table(spark, tmpdir_path):
+    """MERGE withSchemaEvolution on a mode=name mapped table whose
+    physical names differ from the logical ones (post-rename): the new
+    columns get fresh col-<uuid> physical names + column ids, the
+    maxColumnId bumps, the rewrite writes physical-named files, and a
+    fresh reader resolves everything. Closes the last DML refusal
+    (reference mergeSchema semantics, DeltaHelpers.scala:354-379).
+    Includes the nested-struct case: one evolved column is a struct,
+    whose nested field needs its own id/physicalName."""
+    t = _mk(spark, tmpdir_path, name="ev_name")
+    t.enable_column_mapping()
+    t.rename_column("val", "label")  # physical 'val' != logical 'label'
+    before_max = int(t.snapshot().configuration["delta.columnMapping.maxColumnId"])
+    src = spark.createDataFrame(
+        [(2, "B", "y", 7, (1, "n1")), (9, "I", "z", 8, (2, "n2"))],
+        "id int, label string, part string, score int, "
+        "extra struct<a:int, b:string>",
+    )
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.id = new.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, t.path)
+    got = {r["id"]: r for r in t2.toDF().collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[2]["label"] == "B" and got[2]["score"] == 7
+    assert got[2]["extra"]["a"] == 1 and got[2]["extra"]["b"] == "n1"
+    assert got[9]["score"] == 8 and got[9]["extra"]["b"] == "n2"
+    # untouched (copied) rows surface the evolved columns as NULL
+    assert got[1]["score"] is None and got[1]["extra"] is None
+    # mapping metadata: fresh ids + col-<uuid> physical names on the
+    # new fields (incl. the struct's NESTED field), maxColumnId bumped
+    schema = t2.schema()
+    snap = t2.snapshot()
+    by_name = {f.name: f for f in schema.fields}
+    ids = []
+    for name in ("score", "extra"):
+        md = dict(by_name[name].metadata)
+        assert md["delta.columnMapping.physicalName"].startswith("col-")
+        ids.append(int(md["delta.columnMapping.id"]))
+    nested = by_name["extra"].dataType["a"]
+    nmd = dict(nested.metadata)
+    assert nmd["delta.columnMapping.physicalName"].startswith("col-")
+    ids.append(int(nmd["delta.columnMapping.id"]))
+    assert all(i > before_max for i in ids)
+    new_max = int(snap.configuration["delta.columnMapping.maxColumnId"])
+    assert new_max == max(
+        int(dict(f.metadata)["delta.columnMapping.id"])
+        for f in [*schema.fields, *by_name["extra"].dataType.fields]
+    )
+    # the rewritten data files are PHYSICAL-named: no logical leak
+    import glob
+
+    import pyarrow.parquet as pqt
+
+    newest = max(
+        glob.glob(os.path.join(t.path, "*.parquet")), key=os.path.getmtime
+    )
+    names = set(pqt.read_schema(newest).names)
+    assert "label" not in names and "score" not in names and "extra" not in names
+    phys_label = dict(by_name["label"].metadata)[
+        "delta.columnMapping.physicalName"
+    ]
+    assert phys_label in names  # == 'val', the pre-rename physical name
+
+
+def test_merge_schema_evolution_on_id_mapped_table(spark, tmpdir_path):
+    """MERGE withSchemaEvolution on a FOREIGN mode=id table (parquet
+    names don't match physicalName — only footer field ids line up):
+    the evolved column gets a fresh field id past the foreign
+    maxColumnId, files this engine writes carry matching footer ids,
+    and id-resolution reads the merged state back."""
+    import glob
+
+    import pyarrow.parquet as pqt
+    from test_table import _mk_id_mapped_table
+
+    path = _mk_id_mapped_table(tmpdir_path, spark)
+    t = DeltaTable.forPath(spark, path)
+    src = spark.createDataFrame(
+        [(1, 9.9, "x", "hot"), (7, 0.1, "y", "new")],
+        "id long, score double, part string, tier string",
+    ).select(
+        "id",
+        F.struct(F.col("score")).alias("info"),
+        "part",
+        "tier",
+    )
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.id = new.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, path)
+    got = {r["id"]: r for r in t2.toDF().collect()}
+    assert set(got) == {1, 2, 3, 7}
+    assert got[1]["tier"] == "hot" and got[1]["info"]["score"] == 9.9
+    assert got[7]["tier"] == "new"
+    assert got[2]["tier"] is None  # copied row: evolved column NULL
+    snap = t2.snapshot()
+    md = dict({f.name: f for f in t2.schema().fields}["tier"].metadata)
+    assert int(md["delta.columnMapping.id"]) > 4  # foreign maxColumnId
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) == int(
+        md["delta.columnMapping.id"]
+    )
+    # files written by this merge carry footer field ids for the new
+    # column, so the foreign field-id readers that own the table keep
+    # resolving every column including the evolved one
+    tier_id = str(md["delta.columnMapping.id"]).encode()
+    newest = max(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True),
+        key=os.path.getmtime,
+    )
+    sch = pqt.read_schema(newest)
+    field_ids = {
+        (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+    }
+    assert tier_id in field_ids
+
+
+def test_merge_schema_evolution_mapped_with_cdf(spark, tmpdir_path):
+    """Evolution merge on a mapped table with CDF enabled: the change
+    files are physical-named for ALL columns including the evolved one,
+    and readCDF surfaces the logical names."""
+    t = _mk(
+        spark,
+        tmpdir_path,
+        name="ev_cdf",
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t.enable_column_mapping()
+    t.rename_column("val", "label")
+    v_before = t.snapshot().version
+    src = spark.createDataFrame(
+        [(3, "CC", "x", 42)], "id int, label string, part string, score int"
+    )
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.id = new.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    from jodie_spark.operators.cdf import read_cdf
+
+    changes = read_cdf(spark, t.path, starting_version=v_before + 1)
+    by_type = {
+        r["_change_type"]: r for r in changes.collect() if r["id"] == 3
+    }
+    assert by_type["update_postimage"]["score"] == 42
+    assert by_type["update_postimage"]["label"] == "CC"
+    assert by_type["update_preimage"]["score"] is None
+
+
+def test_merge_on_id_mapped_table_completes_with_metrics(spark, tmpdir_path):
+    """Regression (round 7): plain MERGE on a mode=id table used to
+    hang forever in Observation.get — the source-rows observation was
+    registered on the parent session while the action executed on the
+    field-id child session, whose listener bus is separate. The merge
+    must complete and still record an accurate numSourceRows."""
+    from test_table import _mk_id_mapped_table
+
+    path = _mk_id_mapped_table(tmpdir_path, spark)
+    t = DeltaTable.forPath(spark, path)
+    src = spark.createDataFrame(
+        [(3, 3.5, "y"), (4, 4.0, "x")], "id long, score double, part string"
+    ).select("id", F.struct(F.col("score")).alias("info"), "part")
+    (
+        t.alias("old")
+        .merge(src.alias("new"), "old.id = new.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, path)
+    got = {r["id"]: r["info"]["score"] for r in t2.toDF().collect()}
+    assert got == {1: 0.5, 2: 1.0, 3: 3.5, 4: 4.0}
+    hist = {
+        r["version"]: r for r in t2.history().collect()
+    }
+    m = hist[max(hist)]["operationMetrics"]
+    assert m["numSourceRows"] == "2"
+    assert m["numTargetRowsUpdated"] == "1"
+    assert m["numTargetRowsInserted"] == "1"

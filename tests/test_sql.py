@@ -350,3 +350,29 @@ def test_sql_alter_drop_feature(spark, tmpdir_path):
     proto = DeltaTable.forPath(spark, p).snapshot().protocol
     assert "deletionVectors" not in (proto.get("writerFeatures") or [])
     assert "checkpointProtection" in proto["writerFeatures"]
+
+
+def test_sql_merge_with_schema_evolution(spark, tmpdir_path):
+    """MERGE WITH SCHEMA EVOLUTION INTO ... (delta-spark SQL syntax)
+    routes to withSchemaEvolution — including on a column-mapped
+    target (round 7: the last DML refusal closed)."""
+    import os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "sqlev")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.rename_column("v", "label")  # column-mapped from here on
+    spark.createDataFrame(
+        [(2, "B", 7), (3, "C", 9)], "k int, label string, score int"
+    ).createOrReplaceTempView("sqlev_src")
+    sql(
+        spark,
+        f"MERGE WITH SCHEMA EVOLUTION INTO delta.`{p}` t USING sqlev_src s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r["k"]: (r["label"], r["score"]) for r in t.toDF().collect()}
+    assert got == {1: ("a", None), 2: ("B", 7), 3: ("C", 9)}
