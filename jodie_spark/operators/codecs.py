@@ -976,10 +976,28 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
-def decode_image(b: bytes, with_pixels: bool = True):
+def decode_image(b: bytes, with_pixels: bool = True, overrides=None):
     """Route to the matching baseline decoder; raise for formats that
-    need an external library (callers surface the format name)."""
+    need an external library (callers surface the format name).
+
+    ``overrides`` maps a sniffed format name (:func:`sniff`) to an
+    external decoder ``bytes -> (H, W, 3) uint8 ndarray`` — e.g.
+    ``{"mp4": ..., "jpeg": pillow_decode}`` on a Pillow/ffmpeg-equipped
+    cluster. An override takes precedence over the baseline decoder for
+    its format, so callers can also swap in a faster native JPEG path.
+    Exceptions from an override propagate — the Spark kernels wrap
+    every decode in their ``on_error`` guard, so a failing override
+    row skips exactly like an undecodable baseline row."""
     kind = sniff(b)
+    if overrides and kind in overrides:
+        px = np.asarray(overrides[kind](b))
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError(
+                f"decoder override for {kind!r} must return an "
+                f"(H, W, 3) array, got shape {px.shape}"
+            )
+        h, w = int(px.shape[0]), int(px.shape[1])
+        return (w, h, px.astype(np.uint8)) if with_pixels else (w, h)
     if kind == "bmp":
         return decode_bmp(b, with_pixels)
     if kind == "ppm":
@@ -993,7 +1011,7 @@ def decode_image(b: bytes, with_pixels: bool = True):
     raise ValueError(
         f"no baseline decoder for {kind!r} — this format needs an "
         "external library (e.g. Pillow/ffmpeg); route these rows to an "
-        "external codec"
+        "external codec via decoder_overrides"
     )
 
 

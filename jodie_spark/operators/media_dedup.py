@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,9 +55,18 @@ def with_image_dhash(
     mode: str = "real",
     hash_col: str = "image_hash",
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Attach the 64-bit perceptual hash of each image binary. NULL or
-    undecodable blobs hash to NULL under ``on_error='skip'``."""
+    undecodable blobs hash to NULL under ``on_error='skip'``.
+
+    ``decoder_overrides`` routes formats the baseline codecs cannot
+    decode (progressive JPEG, HEIC, ...) — or formats where a native
+    library is simply faster — to external decoders: a dict from
+    sniffed format name to ``bytes -> (H, W, 3) uint8`` pixel array.
+    Routed rows join the banded dedup exactly like baseline-decoded
+    ones; rows whose format has no override (and no baseline decoder)
+    skip cleanly under ``on_error='skip'``."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(hash_col, T.LongType())]
     )
@@ -64,7 +75,9 @@ def with_image_dhash(
         def one(raw: bytes):
             from jodie_spark.operators.codecs import decode_image, dhash
 
-            _w, _h, px = decode_image(raw, with_pixels=True)
+            _w, _h, px = decode_image(
+                raw, with_pixels=True, overrides=decoder_overrides
+            )
             return dhash(px)
 
         for pdf in it:
@@ -90,13 +103,17 @@ def image_dedup(
     bands: int = 4,
     mode: str = "real",
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Drop the higher-id image of every pair whose perceptual hashes
     are within ``max_hamming`` bits — exact and cross-format for true
     duplicates (identical pixels ⇒ hamming 0 whatever the container)."""
     from jodie_spark.operators.text_dedup import hamming_dedup
 
-    hashed = with_image_dhash(df, binary_col=binary_col, mode=mode, on_error=on_error)
+    hashed = with_image_dhash(
+        df, binary_col=binary_col, mode=mode, on_error=on_error,
+        decoder_overrides=decoder_overrides,
+    )
     return hamming_dedup(
         hashed, "image_hash", id_col, max_hamming=max_hamming, bands=bands
     ).drop("image_hash")
@@ -109,6 +126,7 @@ def with_audio_hash(
     hash_col: str = "audio_hash",
     n_windows: int = 64,
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """64-bit audio content hash: decode the WAV, mono-mix, split into
     ``n_windows`` equal windows, one bit per window = RMS energy above
@@ -120,12 +138,20 @@ def with_audio_hash(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         def one(raw: bytes):
-            from jodie_spark.operators.codecs import decode_wav
+            from jodie_spark.operators.codecs import decode_wav, sniff
 
-            _r, _c, _n, samples = decode_wav(raw, with_samples=True)
+            kind = sniff(raw)
+            if decoder_overrides and kind in decoder_overrides:
+                # external decoder contract: bytes -> (samples (N, C)
+                # ndarray, sample_rate) — e.g. an ffmpeg-backed MP3/AAC
+                # decode on an equipped cluster
+                samples, _rate = decoder_overrides[kind](raw)
+                samples = np.asarray(samples)
+                if samples.ndim == 1:
+                    samples = samples[:, None]
+            else:
+                _r, _c, _n, samples = decode_wav(raw, with_samples=True)
             mono = samples.astype(np.float64).mean(axis=1)
             pad = (-len(mono)) % n_windows
             if pad:
@@ -160,6 +186,7 @@ def with_video_frame_hashes(
     mode: str = "real",
     hash_col: str = "frame_hashes",
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Per-video ``array<long>`` of per-frame dHashes (decoded frame
     stream). A video is thus a SET of 64-bit perceptual frame hashes —
@@ -173,8 +200,14 @@ def with_video_frame_hashes(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(raw: bytes):
             from jodie_spark.operators.codecs import dhash, iter_frame_stream
-            from jodie_spark.operators.codecs import decode_ppm
+            from jodie_spark.operators.codecs import decode_ppm, sniff
 
+            kind = sniff(raw)
+            if decoder_overrides and kind in decoder_overrides:
+                # external decoder contract: bytes -> iterable of
+                # (H, W, 3) uint8 frame arrays — e.g. ffmpeg frame
+                # sampling for MP4 on an equipped cluster
+                return [dhash(np.asarray(px)) for px in decoder_overrides[kind](raw)]
             hs = []
             for _i, _w, _h, fb in iter_frame_stream(raw):
                 _, _, px = decode_ppm(fb)
@@ -210,6 +243,7 @@ def video_dedup(
     bands: int = 16,
     mode: str = "real",
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Video near-dup removal: two videos are duplicates when the
     Jaccard similarity of their frame-dHash SETS is ≥ ``threshold``
@@ -224,7 +258,10 @@ def video_dedup(
         minhash_signature_from_hashes,
     )
 
-    hashed = with_video_frame_hashes(df, binary_col=binary_col, mode=mode, on_error=on_error)
+    hashed = with_video_frame_hashes(
+        df, binary_col=binary_col, mode=mode, on_error=on_error,
+        decoder_overrides=decoder_overrides,
+    )
     keyed = hashed.select(
         F.col(id_col).alias("id"),
         F.array_distinct("frame_hashes").alias("fh"),
@@ -266,12 +303,16 @@ def audio_dedup(
     bands: int = 4,
     mode: str = "real",
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Audio near-dup removal: the loudness-envelope hash through the
     same banded :func:`hamming_dedup` as text SimHash and image dHash."""
     from jodie_spark.operators.text_dedup import hamming_dedup
 
-    hashed = with_audio_hash(df, binary_col=binary_col, mode=mode, on_error=on_error)
+    hashed = with_audio_hash(
+        df, binary_col=binary_col, mode=mode, on_error=on_error,
+        decoder_overrides=decoder_overrides,
+    )
     return hamming_dedup(
         hashed, "audio_hash", id_col, max_hamming=max_hamming, bands=bands
     ).drop("audio_hash")

@@ -20,7 +20,7 @@ two tiers:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -60,6 +60,7 @@ def decode_images(
     mode: str = "fake",
     batch_hint: int | None = None,
     on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Decode an image binary column to (width, height, n_pixels).
 
@@ -84,7 +85,9 @@ def decode_images(
         def one(raw: bytes):
             from jodie_spark.operators.codecs import decode_image
 
-            return decode_image(raw, with_pixels=False)[:2]
+            return decode_image(
+                raw, with_pixels=False, overrides=decoder_overrides
+            )[:2]
 
         for pdf in it:
             if mode == "real":
@@ -106,7 +109,11 @@ def decode_images(
 
 
 def image_pixel_stats(
-    df: DataFrame, binary_col: str = "data", mode: str = "fake", on_error: str = "skip"
+    df: DataFrame,
+    binary_col: str = "data",
+    mode: str = "fake",
+    on_error: str = "skip",
+    decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Sum of decoded pixel values (after RGB normalization) — a cheap
     whole-image checksum proving the decode reconstructed actual pixel
@@ -124,7 +131,9 @@ def image_pixel_stats(
         def one(raw: bytes):
             from jodie_spark.operators.codecs import decode_image
 
-            _w, _h, px = decode_image(raw, with_pixels=True)
+            _w, _h, px = decode_image(
+                raw, with_pixels=True, overrides=decoder_overrides
+            )
             return int(px.astype(np.int64).sum())
 
         for pdf in it:

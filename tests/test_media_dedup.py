@@ -194,3 +194,104 @@ def test_video_dedup_partial_overlap_respects_threshold(spark):
     )
     assert sorted(r["doc_id"] for r in video_dedup(df, threshold=0.8).collect()) == [1, 2]
     assert sorted(r["doc_id"] for r in video_dedup(df, threshold=0.5).collect()) == [1]
+
+
+def _fake_mp4(px: np.ndarray) -> bytes:
+    """A blob that sniffs as 'mp4' (ftyp box) carrying raw pixels the
+    test override knows how to recover: [4-byte size][ftyp][payload].
+    (Driver-side fixture builder only — the override callables that
+    ship to executors are defined INSIDE each test so cloudpickle
+    serializes them by value; the test module is not importable on
+    Python workers.)"""
+    import struct
+
+    h, w, _ = px.shape
+    payload = struct.pack(">HH", h, w) + px.tobytes()
+    return struct.pack(">I", 8) + b"ftypisom" + payload
+
+
+def test_image_dedup_decoder_overrides_route_and_skip(spark):
+    """Round-7 advice item: decoder_overrides routes formats the
+    baseline codecs can't decode (here a stand-in 'mp4'-sniffed blob)
+    through an injected external decoder — routed rows join the banded
+    dedup exactly like baseline rows (a BMP clone of an mp4-carried
+    image collides) — while unrouted undecodable rows skip cleanly
+    under on_error='skip'."""
+    def _mp4_override(b: bytes) -> np.ndarray:
+        import struct
+
+        import numpy as _np
+
+        h, w = struct.unpack(">HH", b[12:16])
+        return _np.frombuffer(b[16:], dtype=_np.uint8).reshape(h, w, 3)
+
+    px0, px1 = _noise(0), _noise(1)
+    rows = [
+        (0, bytearray(encode_bmp(px0))),          # baseline
+        (1000, bytearray(_fake_mp4(px0))),        # routed clone of 0
+        (1, bytearray(_fake_mp4(px1))),           # routed original
+        (2, bytearray(b"\x00\x00\x00\x08ftypXXXX-corrupt")),  # override raises -> skip
+        (3, bytearray(b"not-a-known-format")),    # unrouted -> skip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = sorted(
+        r["doc_id"]
+        for r in image_dedup(
+            df, max_hamming=1, decoder_overrides={"mp4": _mp4_override}
+        ).collect()
+    )
+    # 1000 dropped (dup of 0 across the override boundary); skipped
+    # rows 2 and 3 survive untouched
+    assert out == [0, 1, 2, 3]
+    # without the override the mp4 rows are undecodable: nothing drops
+    out2 = sorted(r["doc_id"] for r in image_dedup(df, max_hamming=1).collect())
+    assert out2 == [0, 1, 2, 3, 1000]
+
+
+def test_video_audio_decoder_overrides(spark):
+    """Video override returns frame-pixel iterables; audio override
+    returns (samples, rate). Routed rows dedup against baseline rows."""
+    from jodie_spark.operators.codecs import encode_frame_stream, encode_wav
+    from jodie_spark.operators.media_dedup import audio_dedup, video_dedup
+
+    frames = [_noise(10), _noise(11), _noise(12)]
+    vid_rows = [
+        (0, bytearray(encode_frame_stream(frames))),  # baseline ppm stream
+        (900, bytearray(_fake_mp4(frames[0]))),       # routed: same frames
+        (1, bytearray(encode_frame_stream([_noise(20), _noise(21)]))),
+    ]
+
+    def video_override(b):
+        # single-frame "mp4" whose frame set ⊂ the baseline clip: make
+        # it the full set so Jaccard = 1.0 against row 0
+        return frames
+
+    vdf = spark.createDataFrame(vid_rows, "doc_id long, data binary")
+    kept = sorted(
+        r["doc_id"]
+        for r in video_dedup(
+            vdf, threshold=0.9, decoder_overrides={"mp4": video_override}
+        ).collect()
+    )
+    assert kept == [0, 1]
+
+    rng = np.random.default_rng(5)
+    samples = (rng.standard_normal((8000, 1)) * 3000).astype(np.int16)
+    def audio_override(b):
+        return samples, 8000
+
+    adf = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav(samples))),
+            (800, bytearray(_fake_mp4(_noise(2)))),  # sniffs mp4; routed to audio samples
+            (1, bytearray(encode_wav((rng.standard_normal((8000, 1)) * 3000).astype(np.int16)))),
+        ],
+        "doc_id long, data binary",
+    )
+    kept_a = sorted(
+        r["doc_id"]
+        for r in audio_dedup(
+            adf, max_hamming=0, decoder_overrides={"mp4": audio_override}
+        ).collect()
+    )
+    assert kept_a == [0, 1]
