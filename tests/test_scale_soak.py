@@ -151,3 +151,75 @@ def test_100k_optimize_planning_prunes_before_read(big_table, spark):
     opt_s = time.time() - t0
     print(f"\nSOAK100K optimize_where={opt_s:.2f}s")
     assert opt_s < 120
+
+
+def test_100k_tombstone_vacuum_dry_run_bounded(spark, tmp_path_factory):
+    """Vacuum at metadata scale (round-7 verdict item): the candidate
+    enumeration is LOG-driven — eligible files come from the replayed
+    tombstone set, never from a recursive listing of the data
+    directory — so a table carrying 100k tombstones costs one log
+    replay plus one existence check per ELIGIBLE tombstone, not an
+    os.walk over whatever junk sits in storage. Dry-run over 100k
+    fake tombstones + 2 real ones returns exactly the real files,
+    inside a hard wall-clock bound; the real vacuum then deletes them
+    and commits the START/END audit pair."""
+    import time as _time
+
+    from jodie_spark.tables.log import commit_file_name
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = str(tmp_path_factory.mktemp("soakv") / "tvac")
+    write_delta(
+        spark.range(0, 100).selectExpr("id", "cast(id as string) as v").repartition(2),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    # two REAL tombstones via the API (overwrite removes both files)
+    before_files = [a["path"] for a in t.snapshot().add_files()]
+    write_delta(spark.range(5).selectExpr("id", "'y' as v"), p, mode="overwrite")
+    # one synthetic commit carrying 100k fake old tombstones
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": 0,
+                    "operation": "DELETE",
+                    "operationParameters": {},
+                    "operationMetrics": {},
+                }
+            }
+        )
+    ]
+    for i in range(100_000):
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": f"gone/part-{i:06d}.parquet",
+                        "deletionTimestamp": 1,
+                        "dataChange": True,
+                        "partitionValues": {},
+                        "size": 1000,
+                    }
+                }
+            )
+        )
+    v = t.deltaLog.latest_version() + 1
+    with open(os.path.join(p, "_delta_log", commit_file_name(v)), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    t = DeltaTable.forPath(spark, p)
+    t0 = _time.time()
+    would = t.vacuum(retention_hours=0.0, dry_run=True)
+    dt = _time.time() - t0
+    # exactly the two real overwritten files; 100k fakes cost an
+    # isfile() each, nothing else — generous bound still catches an
+    # accidental directory walk or per-file Spark job
+    assert sorted(os.path.basename(x) for x in would) == sorted(before_files)
+    assert dt < 30, f"vacuum dry-run took {dt:.1f}s at 100k tombstones"
+    # the real vacuum deletes them + commits the audit pair
+    t.vacuum(retention_hours=0.0)
+    assert not any(os.path.isfile(os.path.join(p, f)) for f in before_files)
+    ops = [r["operation"] for r in t.history().collect()]
+    assert "VACUUM START" in ops and "VACUUM END" in ops
+    assert t.toDF().count() == 5  # live data untouched
