@@ -2528,10 +2528,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dup_stats": _q_passage_dup_stats,
         "knn_graph": _q_knn_graph,
         "dv_update": _q_dv_update,
-        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
+        # --- slot 50: NEW this round — schema-evolution MERGE on a
+        # column-mapped target (no official row exists yet, so it
+        # outranks the stale rotation; column_ddl_lifecycle defers to
+        # round 8 with its sibling create_table_ddl) ---
+        "merge_schema_evolution": _q_merge_schema_evolution,
         # --- position 51+: overflow — r4 rows deferred to round 8
         # first, then r5/r6 rows; all remain locally value-checked
         # every round via tools/check_oracles.py ---
+        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "windowed_event_counts": _q_windowed_event_counts,
         "sessionize": _q_sessionize,
         "cdf_datasource": _q_cdf_datasource,
@@ -2727,6 +2732,54 @@ def _bpe_oracle_sql(n_merges: int = 6, top_words: int = 300) -> str:
     )
     parts.append(f" SELECT * FROM ({selects}) ORDER BY step")
     return "".join(parts)
+
+
+
+def _q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE withSchemaEvolution on a COLUMN-MAPPED target — round 7's
+    closed refusal (reference mergeSchema semantics,
+    DeltaHelpers.scala:354-379, on arbitrary existing tables). Target =
+    customers with c_custkey % 3 != 0, column-mapped with c_name
+    RENAMED to cust_name (physical != logical names); source =
+    per-customer order rollups for even custkeys carrying two columns
+    the target does not have (n_orders, total_spend). Matched rows
+    update-all, unmatched source rows insert-all; untouched rows
+    surface the evolved columns as NULL straight from the scan. The
+    oracle replays the merge as a FULL OUTER JOIN election in DuckDB."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = _delta_from(
+        cust.filter("c_custkey % 3 != 0").select("c_custkey", "c_name", "c_acctbal"),
+        "mev",
+    )
+    t.rename_column("c_name", "cust_name")  # auto-enables column mapping
+    orders = load_table(spark, sf_dir, "orders")
+    src = (
+        orders.filter("o_custkey % 2 = 0")
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.max("c_name").alias("cust_name"),
+            F.max("c_acctbal").alias("c_acctbal"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.c_custkey = s.c_custkey")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return (
+        DeltaTable.forPath(spark, t.path)
+        .toDF()
+        .select("c_custkey", "cust_name", "c_acctbal", "n_orders", "total_spend")
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3774,6 +3827,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, balance, TRUE AS is_current,
                    CAST(1 AS INT) AS eff, CAST(NULL AS INT) AS end_time
             FROM base WHERE c_custkey % 10 <> 0
+        """,
+        "merge_schema_evolution": """
+            -- schema-evolution merge on a mapped target, replayed as a
+            -- full-outer election: matched rows take the source (update
+            -- all), target-only rows keep their values with NULL evolved
+            -- columns, source-only rows insert whole
+            WITH tgt AS (
+              SELECT c_custkey, c_name AS cust_name, c_acctbal
+              FROM customer WHERE c_custkey % 3 <> 0
+            ), src AS (
+              SELECT o.o_custkey AS c_custkey,
+                     max(c.c_name) AS cust_name,
+                     max(c.c_acctbal) AS c_acctbal,
+                     count(*) AS n_orders,
+                     sum(o.o_totalprice) AS total_spend
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE o.o_custkey % 2 = 0
+              GROUP BY o.o_custkey
+            )
+            SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.cust_name ELSE t.cust_name END AS cust_name,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+                   s.n_orders AS n_orders,
+                   s.total_spend AS total_spend
+            FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
         """,
         "column_mapping_id": """
             -- foreign field-id table after DELETE (%7), UPDATE (%10=1)

@@ -136,6 +136,7 @@ def main() -> None:
         "ivfpq_topk",
         "streaming_scd2",
         "interval_join",
+        "merge_schema_evolution",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
