@@ -44,6 +44,65 @@ if TYPE_CHECKING:
     from jodie_spark.tables.table import DeltaTable
 
 
+def _align_by_name(col: Column, src_type, dst_type) -> Column:
+    """Project a source column onto a (possibly wider) target type by
+    FIELD NAME, recursively: struct fields match by name (missing ones
+    become typed NULLs), leaves cast. Spark's struct-to-struct cast is
+    POSITIONAL, so a source ``struct<b, a>`` squeezed into a target
+    ``struct<a, b>`` would silently swap values — merges must never do
+    that. A NULL source struct stays NULL (F.struct of NULL fields
+    would otherwise materialize a non-null struct of NULLs)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dst_type, T.StructType) and isinstance(src_type, T.StructType):
+        by_name = {f.name: f for f in src_type.fields}
+        parts = []
+        for f in dst_type.fields:
+            sf = by_name.get(f.name)
+            if sf is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(
+                    _align_by_name(
+                        col.getField(f.name), sf.dataType, f.dataType
+                    ).alias(f.name)
+                )
+        return F.when(col.isNull(), F.lit(None).cast(dst_type)).otherwise(
+            F.struct(*parts)
+        )
+    return col.cast(dst_type)
+
+
+def _merge_struct_types(tgt_dt, src_dt):
+    """Recursive schema union for ``withSchemaEvolution``: source-only
+    struct fields append (nullable) after the target's, target fields
+    keep their type and metadata (mapping ids / physical names travel
+    untouched). Non-struct type conflicts resolve to the TARGET type —
+    widening is the typeWidening feature's job, not evolution's.
+    Returns (merged_type, changed)."""
+    from pyspark.sql import types as T
+
+    if not (isinstance(tgt_dt, T.StructType) and isinstance(src_dt, T.StructType)):
+        return tgt_dt, False
+    src_by_name = {f.name: f for f in src_dt.fields}
+    out = []
+    changed = False
+    for f in tgt_dt.fields:
+        sf = src_by_name.get(f.name)
+        if sf is not None:
+            merged, ch = _merge_struct_types(f.dataType, sf.dataType)
+            changed = changed or ch
+            out.append(T.StructField(f.name, merged, f.nullable, f.metadata))
+        else:
+            out.append(f)
+    tgt_names = {f.name for f in tgt_dt.fields}
+    for sf in src_dt.fields:
+        if sf.name not in tgt_names:
+            out.append(T.StructField(sf.name, sf.dataType, True))
+            changed = True
+    return T.StructType(out), changed
+
+
 def _strip_alias_prefix(conj: str, talias: str) -> str:
     """Remove ``<alias>.`` from identifier tokens only — a blind
     ``str.replace`` would also rewrite occurrences inside string
@@ -237,11 +296,25 @@ class DeltaMergeBuilder:
     def _out_col_factory(self, talias: str):
         """Column builder applying the first matching clause's
         assignments (clause-order semantics) to one output field."""
+        src_fields = {f.name: f for f in self.source.schema.fields}
 
         def _assignment(cl: _Clause, name: str, dtype) -> Column:
             if cl.star:
-                # updateAll/insertAll: take the same-named source column.
-                return self.source[name].cast(dtype)
+                # updateAll/insertAll expand over the SOURCE columns
+                # (delta-spark star semantics): a target column absent
+                # from the source keeps its target value on update and
+                # inserts NULL — the shape a schema-evolution merge
+                # relies on, and what Delta's UPDATE/INSERT * expansion
+                # does even without evolution.
+                sf = src_fields.get(name)
+                if sf is None:
+                    if cl.kind == "update":
+                        return F.col(f"{talias}.{name}")
+                    return F.lit(None).cast(dtype)
+                # structs align by FIELD NAME, recursively — a source
+                # struct with reordered or missing nested fields must
+                # not be squeezed through Spark's positional struct cast
+                return _align_by_name(self.source[name], sf.dataType, dtype)
             if name in cl.assignments:
                 v = cl.assignments[name]
                 col = v if isinstance(v, Column) else F.expr(str(v))
@@ -492,15 +565,14 @@ class DeltaMergeBuilder:
         ):
             from pyspark.sql import types as T
 
-            target_names = {f.name for f in schema.fields}
-            extra = [
-                f for f in self.source.schema.fields if f.name not in target_names
-            ]
-            if extra:
-                schema = T.StructType(
-                    list(schema.fields)
-                    + [T.StructField(f.name, f.dataType, True) for f in extra]
-                )
+            # recursive union (delta-spark mergeSchema semantics): new
+            # top-level source columns append, and new NESTED fields
+            # inside existing struct columns append within their struct
+            merged_schema, nested_changed = _merge_struct_types(
+                schema, self.source.schema
+            )
+            if nested_changed:
+                schema = merged_schema
                 if mapped:
                     # evolved columns on a mapped table need fresh
                     # mapping metadata BEFORE any file is written:

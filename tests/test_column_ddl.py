@@ -552,3 +552,113 @@ def test_merge_on_id_mapped_table_completes_with_metrics(spark, tmpdir_path):
     assert m["numSourceRows"] == "2"
     assert m["numTargetRowsUpdated"] == "1"
     assert m["numTargetRowsInserted"] == "1"
+
+
+def test_merge_schema_evolution_nested_struct_field(spark, tmpdir_path):
+    """Round-7 depth: withSchemaEvolution merges NESTED fields — a new
+    field inside an existing struct column appends within that struct
+    (delta-spark mergeSchema semantics), on both unmapped and mapped
+    targets; pre-evolution rows surface it as NULL."""
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    for mapped in (False, True):
+        p = os.path.join(tmpdir_path, f"nested_{mapped}")
+        write_delta(
+            spark.createDataFrame(
+                [(1, (10, "a")), (2, (20, "b"))],
+                "k int, info struct<x:int, y:string>",
+            ),
+            p,
+            options={"delta.columnMapping.mode": "name"} if mapped else None,
+        )
+        t = DeltaTable.forPath(spark, p)
+        src = spark.createDataFrame(
+            [(2, (21, "B", 2.5)), (3, (30, "C", 3.5))],
+            "k int, info struct<x:int, y:string, z:double>",
+        )
+        (
+            t.alias("t")
+            .merge(src.alias("s"), "t.k = s.k")
+            .withSchemaEvolution()
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        t2 = DeltaTable.forPath(spark, p)
+        got = {r["k"]: r["info"] for r in t2.toDF().collect()}
+        assert got[1]["x"] == 10 and got[1]["z"] is None  # copied row
+        assert got[2]["z"] == 2.5 and got[2]["y"] == "B"
+        assert got[3]["z"] == 3.5
+        info = {f.name: f for f in t2.schema().fields}["info"]
+        assert [f.name for f in info.dataType.fields] == ["x", "y", "z"]
+        if mapped:
+            zmd = dict(info.dataType["z"].metadata)
+            assert zmd["delta.columnMapping.physicalName"].startswith("col-")
+            assert int(
+                t2.snapshot().configuration["delta.columnMapping.maxColumnId"]
+            ) == int(zmd["delta.columnMapping.id"])
+
+
+def test_merge_star_source_struct_field_order_aligned_by_name(spark, tmpdir_path):
+    """Struct values in star clauses align by FIELD NAME, never by
+    position: a source struct<y, x> merged into a target struct<x, y>
+    must land x->x / y->y (a positional cast would silently swap)."""
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "reorder")
+    write_delta(
+        spark.createDataFrame(
+            [(1, (10, "a"))], "k int, info struct<x:int, y:string>"
+        ),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame(
+        [(1, ("A", 11)), (2, ("B", 22))],
+        "k int, info struct<y:string, x:int>",
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    got = {r["k"]: r["info"] for r in DeltaTable.forPath(spark, p).toDF().collect()}
+    assert got[1]["x"] == 11 and got[1]["y"] == "A"
+    assert got[2]["x"] == 22 and got[2]["y"] == "B"
+
+
+def test_merge_star_source_missing_target_column(spark, tmpdir_path):
+    """Star clauses expand over the SOURCE columns (delta-spark
+    semantics): a target column the source lacks keeps its value on
+    UPDATE * and lands NULL on INSERT * — no error, no evolution
+    needed. NULL source structs stay NULL through the name-aligned
+    projection."""
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "missingcol")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "keepme", (5, "n"))],
+            "k int, note string, info struct<x:int, y:string>",
+        ),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame(
+        [(1, None), (2, (7, "q")), (3, None)],
+        "k int, info struct<x:int, y:string>",
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    rows = {r["k"]: r for r in DeltaTable.forPath(spark, p).toDF().collect()}
+    assert rows[1]["note"] == "keepme"  # update kept the unsourced column
+    assert rows[1]["info"] is None      # NULL source struct stayed NULL
+    assert rows[2]["note"] is None and rows[2]["info"]["x"] == 7
+    assert rows[3]["info"] is None
