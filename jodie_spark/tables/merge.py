@@ -76,13 +76,20 @@ def _align_by_name(col: Column, src_type, dst_type) -> Column:
 def _merge_struct_types(tgt_dt, src_dt):
     """Recursive schema union for ``withSchemaEvolution``: source-only
     struct fields append (nullable) after the target's, target fields
-    keep their type and metadata (mapping ids / physical names travel
-    untouched). Non-struct type conflicts resolve to the TARGET type —
-    widening is the typeWidening feature's job, not evolution's.
+    keep their metadata (mapping ids / physical names travel
+    untouched). A leaf where the source type is a SAFE widening of the
+    target's (int→long, float→double, ... — the typeWidening chain)
+    adopts the source type: old narrow files stay readable because
+    every read path up-casts per file. Unsafe conflicts resolve to the
+    TARGET type (the assignment cast handles or rejects them).
     Returns (merged_type, changed)."""
     from pyspark.sql import types as T
 
+    from jodie_spark.tables.table import _can_widen
+
     if not (isinstance(tgt_dt, T.StructType) and isinstance(src_dt, T.StructType)):
+        if _can_widen(tgt_dt, src_dt):
+            return src_dt, True
         return tgt_dt, False
     src_by_name = {f.name: f for f in src_dt.fields}
     out = []
@@ -101,6 +108,52 @@ def _merge_struct_types(tgt_dt, src_dt):
             out.append(T.StructField(sf.name, sf.dataType, True))
             changed = True
     return T.StructType(out), changed
+
+
+def _annotate_type_changes(old_schema, new_schema, table_version):
+    """Post-evolution pass: every leaf whose type differs between the
+    pre- and post-evolution schema gets a ``delta.typeChanges`` entry
+    on its field metadata (the typeWidening feature's audit record,
+    same shape the append path writes). Returns (annotated_schema,
+    any_widened)."""
+    from pyspark.sql import types as T
+
+    widened = False
+
+    def walk_field(old_f, new_f):
+        nonlocal widened
+        if isinstance(old_f.dataType, T.StructType) and isinstance(
+            new_f.dataType, T.StructType
+        ):
+            old_by = {f.name: f for f in old_f.dataType.fields}
+            fields = [
+                walk_field(old_by[f.name], f) if f.name in old_by else f
+                for f in new_f.dataType.fields
+            ]
+            return T.StructField(
+                new_f.name, T.StructType(fields), new_f.nullable, new_f.metadata
+            )
+        if old_f.dataType != new_f.dataType:
+            widened = True
+            md = dict(new_f.metadata or {})
+            changes = list(md.get("delta.typeChanges") or [])
+            changes.append(
+                {
+                    "fromType": old_f.dataType.typeName(),
+                    "toType": new_f.dataType.typeName(),
+                    "tableVersion": table_version,
+                }
+            )
+            md["delta.typeChanges"] = changes
+            return T.StructField(new_f.name, new_f.dataType, new_f.nullable, md)
+        return new_f
+
+    old_by = {f.name: f for f in old_schema.fields}
+    fields = [
+        walk_field(old_by[f.name], f) if f.name in old_by else f
+        for f in new_schema.fields
+    ]
+    return T.StructType(fields), widened
 
 
 def _strip_alias_prefix(conj: str, talias: str) -> str:
@@ -560,18 +613,22 @@ class DeltaMergeBuilder:
             return
         schema_evolved = False
         evolved_conf: dict[str, str] | None = None
+        type_widened = False
         if self._schema_evolution and any(
             c.star for c in self._matched + self._not_matched
         ):
-            from pyspark.sql import types as T
-
             # recursive union (delta-spark mergeSchema semantics): new
-            # top-level source columns append, and new NESTED fields
-            # inside existing struct columns append within their struct
+            # top-level source columns append, new NESTED fields inside
+            # existing struct columns append within their struct, and
+            # safe type widenings (int→long, float→double chain) adopt
+            # the source's wider type with a delta.typeChanges record
             merged_schema, nested_changed = _merge_struct_types(
                 schema, self.source.schema
             )
             if nested_changed:
+                merged_schema, type_widened = _annotate_type_changes(
+                    schema, merged_schema, snap.version + 1
+                )
                 schema = merged_schema
                 if mapped:
                     # evolved columns on a mapped table need fresh
@@ -871,6 +928,25 @@ class DeltaMergeBuilder:
 
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = list(lineage_actions)
+        if type_widened:
+            # same upgrade the append path's mergeSchema widening does:
+            # typeWidening is a reader+writer feature (old files carry
+            # the narrow type; readers must be upcast-capable)
+            from jodie_spark.tables.table import _legacy_implied_features
+
+            proto = dict(snap.protocol or {})
+            _, impl_r = _legacy_implied_features(proto, snap.configuration)
+            rfeat = set(proto.get("readerFeatures") or []) | impl_r
+            upgrade = t._writer_feature_upgrade_actions(snap, {"typeWidening"})
+            if upgrade:
+                up = upgrade[0]["protocol"]
+            else:
+                up = dict(proto)
+                upgrade = [{"protocol": up}]
+            up["minReaderVersion"] = 3
+            up["readerFeatures"] = sorted(rfeat | {"typeWidening"})
+            if up != snap.protocol:
+                actions = upgrade + actions
         if schema_evolved or id_schema_meta is not None:
             meta = dict(snap.metadata)
             meta["schemaString"] = (

@@ -96,3 +96,50 @@ def test_widening_composes_with_new_columns(spark, tmpdir_path):
     rows = sorted((r["k"], r["extra"]) for r in t.toDF().collect())
     assert rows == [(1, None), (2**40, "x")]
     assert t.toDF().schema["k"].dataType.typeName() == "long"
+
+
+def test_widening_through_schema_evolution_merge(spark, tmpdir_path):
+    """Round 7: MERGE withSchemaEvolution adopts a SAFE wider source
+    type (int->long, float->double) instead of narrowing the source
+    through a cast — with the same typeChanges metadata + reader/writer
+    feature upgrade the append path's mergeSchema widening writes. Old
+    narrow files keep reading (per-file up-cast), unsafe conflicts
+    still resolve to the target type."""
+    import os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "wevolve")
+    write_delta(
+        spark.createDataFrame([(1, 10, 1.5), (2, 20, 2.5)], "k int, n int, x float"),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame(
+        [(2, 9_000_000_000, 2.25, "b"), (3, 30, 3.25, "c")],
+        "k int, n long, x double, tag string",
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, p)
+    sch = {f.name: f for f in t2.schema().fields}
+    assert sch["n"].dataType.typeName() == "long"
+    assert sch["x"].dataType.typeName() == "double"
+    changes = dict(sch["n"].metadata)["delta.typeChanges"]
+    assert changes[0]["fromType"] == "integer" and changes[0]["toType"] == "long"
+    proto = t2.snapshot().protocol
+    assert "typeWidening" in (proto.get("writerFeatures") or [])
+    assert "typeWidening" in (proto.get("readerFeatures") or [])
+    rows = {r["k"]: r for r in t2.toDF().collect()}
+    assert rows[2]["n"] == 9_000_000_000 and rows[2]["tag"] == "b"
+    assert rows[1]["n"] == 10 and rows[1]["tag"] is None  # copied narrow row
+    assert rows[3]["x"] == 3.25
+    # old narrow files still read + further DML works
+    t2.update("k = 1", {"n": "n + 1"})
+    assert {r["k"]: r["n"] for r in t2.toDF().collect()}[1] == 11
