@@ -137,10 +137,20 @@ def write_stream_merge_to_delta(
     partition_by: list[str] | None = None,
     query_name: str | None = None,
     available_now: bool = False,
+    schema_evolution: bool = False,
 ) -> StreamingQuery:
     """Streaming upsert (CDC-apply) sink: each micro-batch MERGEs into
     the Delta table at ``path`` on ``keys`` — the foreachBatch pattern
     delta-spark documents for applying change streams.
+
+    ``schema_evolution=True`` lets a RESTARTED stream whose source
+    grew columns evolve the target: batch columns missing from the
+    target are added (metadata-only ADD COLUMNS — fresh mapping
+    ids/physical names on mapped tables) before the merge, so the
+    explicit update/insert clauses the delete/sequence paths build can
+    reference them. Pre-evolution rows surface the new columns as
+    NULL. Off by default: an unexpected source column is usually a
+    bug upstream, and the loud merge failure is the right signal.
 
     Within a batch, rows collapse to one per key: the one with the
     greatest ``sequence_col`` when given (deterministic last-wins for
@@ -192,6 +202,16 @@ def write_stream_merge_to_delta(
                 )
                 return
             t = DeltaTable.forPath(batch.sparkSession, path)
+            if schema_evolution:
+                existing = {c.lower() for c in t.toDF().columns}
+                new_cols = {
+                    f.name: f.dataType
+                    for f in batch.schema.fields
+                    if f.name != delete_col and f.name.lower() not in existing
+                }
+                if new_cols:
+                    t.add_columns(new_cols)
+                    t = DeltaTable.forPath(batch.sparkSession, path)
             # seq guard only when the target materializes the sequence
             # column (otherwise there is nothing to compare against)
             guard = None

@@ -311,3 +311,55 @@ def test_interval_join_right_suffix_collision(spark):
     assert row["ts_r"] == 77  # the LEFT column kept its name
     assert row["ts_r_r"] == t0 + datetime.timedelta(minutes=2)
     assert row["value_r_r"] == 9.5
+
+
+def test_stream_merge_schema_evolution_across_restart(spark, tmpdir_path):
+    """A restarted CDC stream whose source grew a column evolves the
+    target under schema_evolution=True: the new column is added
+    (metadata-only) before the merge, old rows surface it as NULL, and
+    the delete/sequence clause shapes keep working."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "ev_src")
+    dst = os.path.join(tmpdir_path, "ev_dst")
+    ckpt = os.path.join(tmpdir_path, "ev_ckpt")
+
+    def run():
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta").load(src),
+            dst,
+            ckpt,
+            keys=["k"],
+            sequence_col="seq",
+            delete_col="deleted",
+            available_now=True,
+            schema_evolution=True,
+        )
+        q.awaitTermination(120)
+
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 1, False), (2, "b", 1, False)],
+            "k int, v string, seq int, deleted boolean",
+        ),
+        src,
+    )
+    run()
+    # source grows a column between runs (mergeSchema append)
+    write_delta(
+        spark.createDataFrame(
+            [(2, "b2", 2, False, "gold"), (3, "c", 2, False, "bronze")],
+            "k int, v string, seq int, deleted boolean, tier string",
+        ),
+        src,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    run()
+    rows = {r["k"]: (r["v"], r["tier"]) for r in DeltaTable.forPath(spark, dst).toDF().collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "gold"), 3: ("c", "bronze")}
