@@ -70,6 +70,27 @@ def _align_by_name(col: Column, src_type, dst_type) -> Column:
         return F.when(col.isNull(), F.lit(None).cast(dst_type)).otherwise(
             F.struct(*parts)
         )
+    if (
+        isinstance(dst_type, T.ArrayType)
+        and isinstance(src_type, T.ArrayType)
+        and src_type.elementType != dst_type.elementType
+    ):
+        return F.transform(
+            col,
+            lambda e: _align_by_name(e, src_type.elementType, dst_type.elementType),
+        )
+    if (
+        isinstance(dst_type, T.MapType)
+        and isinstance(src_type, T.MapType)
+        and src_type.valueType != dst_type.valueType
+    ):
+        return F.map_from_arrays(
+            F.map_keys(col).cast(T.ArrayType(dst_type.keyType)),
+            F.transform(
+                F.map_values(col),
+                lambda v: _align_by_name(v, src_type.valueType, dst_type.valueType),
+            ),
+        )
     return col.cast(dst_type)
 
 
@@ -87,6 +108,12 @@ def _merge_struct_types(tgt_dt, src_dt):
 
     from jodie_spark.tables.table import _can_widen
 
+    if isinstance(tgt_dt, T.ArrayType) and isinstance(src_dt, T.ArrayType):
+        merged, ch = _merge_struct_types(tgt_dt.elementType, src_dt.elementType)
+        return T.ArrayType(merged, tgt_dt.containsNull), ch
+    if isinstance(tgt_dt, T.MapType) and isinstance(src_dt, T.MapType):
+        merged, ch = _merge_struct_types(tgt_dt.valueType, src_dt.valueType)
+        return T.MapType(tgt_dt.keyType, merged, tgt_dt.valueContainsNull), ch
     if not (isinstance(tgt_dt, T.StructType) and isinstance(src_dt, T.StructType)):
         if _can_widen(tgt_dt, src_dt):
             return src_dt, True
@@ -120,18 +147,45 @@ def _annotate_type_changes(old_schema, new_schema, table_version):
 
     widened = False
 
+    def walk_type(old_dt, new_dt):
+        """Recurse containers so a struct field added INSIDE an
+        array/map element is evolution, not a bogus 'array→array'
+        widening record."""
+        if isinstance(old_dt, T.StructType) and isinstance(new_dt, T.StructType):
+            old_by = {f.name: f for f in old_dt.fields}
+            return T.StructType(
+                [
+                    walk_field(old_by[f.name], f) if f.name in old_by else f
+                    for f in new_dt.fields
+                ]
+            )
+        if isinstance(old_dt, T.ArrayType) and isinstance(new_dt, T.ArrayType):
+            return T.ArrayType(
+                walk_type(old_dt.elementType, new_dt.elementType),
+                new_dt.containsNull,
+            )
+        if isinstance(old_dt, T.MapType) and isinstance(new_dt, T.MapType):
+            return T.MapType(
+                new_dt.keyType,
+                walk_type(old_dt.valueType, new_dt.valueType),
+                new_dt.valueContainsNull,
+            )
+        if old_dt != new_dt:
+            # widened ATOMIC element inside an array/map: the protocol
+            # upgrade must still happen (readers need upcast capability)
+            # even though the audit record has no StructField to ride
+            nonlocal widened
+            widened = True
+        return new_dt
+
     def walk_field(old_f, new_f):
         nonlocal widened
-        if isinstance(old_f.dataType, T.StructType) and isinstance(
-            new_f.dataType, T.StructType
-        ):
-            old_by = {f.name: f for f in old_f.dataType.fields}
-            fields = [
-                walk_field(old_by[f.name], f) if f.name in old_by else f
-                for f in new_f.dataType.fields
-            ]
+        if isinstance(new_f.dataType, (T.StructType, T.ArrayType, T.MapType)):
             return T.StructField(
-                new_f.name, T.StructType(fields), new_f.nullable, new_f.metadata
+                new_f.name,
+                walk_type(old_f.dataType, new_f.dataType),
+                new_f.nullable,
+                new_f.metadata,
             )
         if old_f.dataType != new_f.dataType:
             widened = True

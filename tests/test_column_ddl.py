@@ -662,3 +662,79 @@ def test_merge_star_source_missing_target_column(spark, tmpdir_path):
     assert rows[1]["info"] is None      # NULL source struct stayed NULL
     assert rows[2]["note"] is None and rows[2]["info"]["x"] == 7
     assert rows[3]["info"] is None
+
+
+def test_merge_schema_evolution_array_of_struct(spark, tmpdir_path):
+    """Evolution recurses through containers: a new field inside
+    array<struct> elements appends within the element struct; existing
+    rows surface it as NULL per element. Source elements align by
+    name (reordered element fields don't swap)."""
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "arrev")
+    write_delta(
+        spark.createDataFrame(
+            [(1, [(10, "a"), (11, "b")])],
+            "k int, items array<struct<x:int, y:string>>",
+        ),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame(
+        [(1, [("A", 12, 1.5)]), (2, [("B", 20, 2.5)])],
+        "k int, items array<struct<y:string, x:int, w:double>>",
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, p)
+    elem = {f.name: f for f in t2.schema().fields}["items"].dataType.elementType
+    assert [f.name for f in elem.fields] == ["x", "y", "w"]
+    rows = {r["k"]: r["items"] for r in t2.toDF().collect()}
+    assert rows[1][0]["x"] == 12 and rows[1][0]["y"] == "A" and rows[1][0]["w"] == 1.5
+    assert rows[2][0]["x"] == 20 and rows[2][0]["w"] == 2.5
+
+
+def test_cdf_read_spans_schema_evolution(spark, tmpdir_path):
+    """read_cdf over a version range that CROSSES a schema-evolution
+    merge: pre-evolution change files lack the new column and must
+    surface it as NULL, post-evolution changes carry values."""
+    from jodie_spark.operators.cdf import read_cdf
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "cdfev")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.update("k = 1", {"v": "'a1'"})  # v1: pre-evolution changes
+    src = spark.createDataFrame(
+        [(2, "b2", 7), (3, "c", 9)], "k int, v string, score int"
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )  # v2: evolution merge
+    changes = read_cdf(spark, p, starting_version=1, ending_version=2)
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"], r["score"])
+        for r in changes.collect()
+    )
+    assert rows == [
+        (1, "update_postimage", 1, None),
+        (1, "update_preimage", 1, None),
+        (2, "update_postimage", 2, 7),
+        (2, "update_preimage", 2, None),
+        (3, "insert", 2, 9),
+    ]
