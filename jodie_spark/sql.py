@@ -274,6 +274,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         if mf:
             t.drop_feature(mf.group(1))
             return None
+        mu = re.match(
+            r"(?is)^UNSET\s+TBLPROPERTIES\s*(?P<ife>IF\s+EXISTS\s*)?\((?P<ks>.+)\)\s*$",
+            rest,
+        )
+        if mu:
+            keys = [
+                k.strip().strip("'\"") for k in _split_top_level(mu.group("ks"), ",")
+            ]
+            t.unset_properties(keys, if_exists=bool(mu.group("ife")))
+            return None
+        mt = re.match(
+            r"(?is)^ALTER\s+COLUMN\s+([\w`]+)\s+TYPE\s+(?P<ty>[\w()<>,\s]+?)\s*$",
+            rest,
+        )
+        if mt:
+            t.widen_column_type(mt.group(1).strip("`"), mt.group("ty").strip())
+            return None
         raise JodieValidationError(f"cannot parse ALTER action: {rest!r}")
 
     if head == "CREATE":
@@ -441,6 +458,17 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
             raise JodieValidationError(f"cannot parse DESCRIBE statement: {s!r}")
         t = _resolve(spark, m)
         return t.history() if m.group("what").upper() == "HISTORY" else t.detail()
+
+    if head == "REORG":
+        # REORG TABLE <ref> APPLY (PURGE) — physically rewrite files
+        # carrying deletion vectors / dropped-column bytes
+        m = re.match(
+            rf"(?is)^REORG\s+TABLE\s+{_REF}\s+APPLY\s*\(\s*PURGE\s*\)\s*$", s
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse REORG statement: {s!r}")
+        _resolve(spark, m).reorg_purge()
+        return None
 
     raise JodieValidationError(
         f"unsupported SQL statement (supported: SELECT/WITH, DELETE, UPDATE, "

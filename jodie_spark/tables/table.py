@@ -718,6 +718,104 @@ class DeltaTable:
             {"properties": json.dumps(properties)},
         )
 
+    def unset_properties(
+        self, keys: list[str], if_exists: bool = False
+    ) -> None:
+        """ALTER TABLE ... UNSET TBLPROPERTIES: remove configuration
+        keys (metadata-only commit). Protocol-backed properties stay
+        governed by DROP FEATURE — unsetting e.g. delta.enableChange
+        DataFeed here only stops future CDC files, exactly like
+        delta-spark."""
+        snap = self.snapshot()
+        conf = dict(snap.metadata.get("configuration") or {})
+        missing = [k for k in keys if k not in conf]
+        if missing and not if_exists:
+            raise JodieValidationError(
+                f"table properties not set: {missing} (use IF EXISTS)"
+            )
+        for k in keys:
+            conf.pop(k, None)
+        meta = dict(snap.metadata)
+        meta["configuration"] = conf
+        self.deltaLog.commit(
+            snap.version,
+            [{"metaData": meta}],
+            "UNSET TBLPROPERTIES",
+            {"properties": json.dumps(sorted(keys))},
+        )
+
+    def widen_column_type(self, column: str, new_type: Any) -> None:
+        """ALTER TABLE ... ALTER COLUMN <c> TYPE <wider>: metadata-only
+        type widening along the typeWidening chain (int→long,
+        float→double, ...). Existing files keep the narrow physical
+        type — every read path up-casts per file — so no data rewrites;
+        the commit records delta.typeChanges on the field and upgrades
+        the protocol with the reader+writer typeWidening feature, same
+        as the append path's mergeSchema widening. Anything off the
+        safe chain refuses."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        names = {f.name.lower(): f.name for f in schema.fields}
+        if column.lower() not in names:
+            raise JodieValidationError(f"column {column} does not exist")
+        actual = names[column.lower()]
+        dtype = (
+            new_type
+            if isinstance(new_type, T.DataType)
+            else T._parse_datatype_string(str(new_type))
+        )
+        old = schema[actual].dataType
+        if old == dtype:
+            return
+        if not _can_widen(old, dtype):
+            raise JodieValidationError(
+                f"cannot change column {actual} from {old.simpleString()} to "
+                f"{dtype.simpleString()}: only safe widenings "
+                f"(byte/short/int→long, float→double) are supported"
+            )
+        fields = []
+        for f in schema.fields:
+            if f.name == actual:
+                changes = list((f.metadata or {}).get("delta.typeChanges") or [])
+                changes.append(
+                    {
+                        "fromType": old.typeName(),
+                        "toType": dtype.typeName(),
+                        "tableVersion": snap.version + 1,
+                    }
+                )
+                fields.append(
+                    T.StructField(
+                        f.name, dtype, f.nullable,
+                        {**(f.metadata or {}), "delta.typeChanges": changes},
+                    )
+                )
+            else:
+                fields.append(f)
+        meta = dict(snap.metadata)
+        meta["schemaString"] = T.StructType(fields).json()
+        actions: list[dict[str, Any]] = []
+        proto = dict(snap.protocol or {})
+        _, impl_r = _legacy_implied_features(proto, snap.configuration)
+        rfeat = set(proto.get("readerFeatures") or []) | impl_r
+        upgrade = self._writer_feature_upgrade_actions(snap, {"typeWidening"})
+        if upgrade:
+            up = upgrade[0]["protocol"]
+        else:
+            up = dict(proto)
+            upgrade = [{"protocol": up}]
+        up["minReaderVersion"] = 3
+        up["readerFeatures"] = sorted(rfeat | {"typeWidening"})
+        if up != snap.protocol:
+            actions += upgrade
+        actions.append({"metaData": meta})
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "CHANGE COLUMN",
+            {"column": actual, "toType": dtype.typeName()},
+        )
+
     # feature → (config keys removed/overridden on drop, reader-level?)
     _DROPPABLE_FEATURES: dict[str, dict[str, Any]] = {
         "deletionVectors": {

@@ -376,3 +376,53 @@ def test_sql_merge_with_schema_evolution(spark, tmpdir_path):
     )
     got = {r["k"]: (r["label"], r["score"]) for r in t.toDF().collect()}
     assert got == {1: ("a", None), 2: ("B", 7), 3: ("C", 9)}
+
+
+def test_sql_unset_tblproperties_and_alter_column_type_and_reorg(spark, tmpdir_path):
+    """Round-7 DDL surface: UNSET TBLPROPERTIES [IF EXISTS], ALTER
+    COLUMN ... TYPE (metadata-only safe widening with typeChanges +
+    protocol upgrade), and REORG TABLE ... APPLY (PURGE)."""
+    import os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "ddl7")
+    write_delta(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "n int, x float"),
+        p,
+        options={"myapp.owner": "me", "myapp.tier": "gold"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    sql(spark, f"ALTER TABLE delta.`{p}` UNSET TBLPROPERTIES ('myapp.tier')")
+    conf = DeltaTable.forPath(spark, p).snapshot().configuration
+    assert "myapp.tier" not in conf and conf["myapp.owner"] == "me"
+    with pytest.raises(JodieValidationError, match="IF EXISTS"):
+        sql(spark, f"ALTER TABLE delta.`{p}` UNSET TBLPROPERTIES ('nope')")
+    sql(spark, f"ALTER TABLE delta.`{p}` UNSET TBLPROPERTIES IF EXISTS ('nope')")
+
+    sql(spark, f"ALTER TABLE delta.`{p}` ALTER COLUMN n TYPE BIGINT")
+    t2 = DeltaTable.forPath(spark, p)
+    sch = {f.name: f for f in t2.schema().fields}
+    assert sch["n"].dataType.typeName() == "long"
+    assert dict(sch["n"].metadata)["delta.typeChanges"][0]["toType"] == "long"
+    proto = t2.snapshot().protocol
+    assert "typeWidening" in (proto.get("writerFeatures") or [])
+    # old narrow files still read; wide appends land
+    write_delta(
+        spark.createDataFrame([(9_000_000_000, 9.5)], "n long, x float"),
+        p, mode="append",
+    )
+    assert sorted(r["n"] for r in t2.toDF().collect()) == [1, 2, 9_000_000_000]
+    with pytest.raises(JodieValidationError, match="widening"):
+        sql(spark, f"ALTER TABLE delta.`{p}` ALTER COLUMN x TYPE INT")
+
+    # REORG PURGE: put a DV on a file, then rewrite it away
+    t2.delete("n = 1", deletion_vectors=True)
+    assert any(
+        a.get("deletionVector") for a in DeltaTable.forPath(spark, p).snapshot().add_files()
+    )
+    sql(spark, f"REORG TABLE delta.`{p}` APPLY (PURGE)")
+    assert not any(
+        a.get("deletionVector") for a in DeltaTable.forPath(spark, p).snapshot().add_files()
+    )
+    assert sorted(r["n"] for r in DeltaTable.forPath(spark, p).toDF().collect()) == [2, 9_000_000_000]
