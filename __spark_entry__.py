@@ -2596,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "image_dedup": _q_image_dedup,
         "video_dedup": _q_video_dedup,
+        "quality_dedup": _q_quality_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
     }
 
@@ -2780,6 +2781,20 @@ def _q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF()
         .select("c_custkey", "cust_name", "c_acctbal", "n_orders", "total_spend")
     )
+
+
+
+def _q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (FineWeb-style canonical-copy
+    retention): per normalized-content fingerprint keep the HIGHEST
+    n_chars copy, ties to the lowest doc_id — instead of the default
+    first-crawled (min-id) election. Same one-shuffle max_by shape as
+    exact_dedup; the oracle is the identical argmax in DuckDB."""
+    from jodie_spark.operators.text_dedup import exact_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", quality_col="n_chars")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3776,6 +3791,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                 ORDER BY doc_id) = 1
+        """,
+        "quality_dedup": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                ORDER BY n_chars DESC, doc_id) = 1
         """,
         "image_dedup": """
             -- cross-format exact image clones collide at dhash hamming

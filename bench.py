@@ -137,6 +137,7 @@ def main() -> None:
         "streaming_scd2",
         "interval_join",
         "merge_schema_evolution",
+        "quality_dedup",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

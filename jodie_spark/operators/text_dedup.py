@@ -44,23 +44,35 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
 # exact / near-exact
 # ---------------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id document per *normalized-content* fingerprint
-    (case/whitespace-insensitive md5).
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep one document per *normalized-content* fingerprint
+    (case/whitespace-insensitive md5): the lowest id by default, or —
+    with ``quality_col`` — the HIGHEST-quality copy (ties break to the
+    lowest id), the FineWeb-style election that keeps the best-scored
+    canonical copy of each page instead of whichever crawled first.
 
-    Election is ``groupBy(fp).agg(min_by(row, id))`` — one scan, one
-    shuffle, and (unlike a ``row_number`` window) map-side combine
-    collapses a crawl's million-copy hot fingerprint (empty pages,
-    error pages) to one candidate row per partition before anything
-    moves."""
+    Election is ``groupBy(fp).agg(min_by/max_by(row, key))`` — one
+    scan, one shuffle, and (unlike a ``row_number`` window) map-side
+    combine collapses a crawl's million-copy hot fingerprint (empty
+    pages, error pages) to one candidate row per partition before
+    anything moves."""
     cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    if quality_col is None:
+        elected = F.min_by(row, F.col(id_col))
+    else:
+        # max over (quality, -id): highest quality, then lowest id
+        elected = F.max_by(
+            row, F.struct(F.col(quality_col), -F.col(id_col))
+        )
     return (
         df.groupBy(doc_fingerprint(F.col(text_col)).alias("__fp__"))
-        .agg(
-            F.min_by(
-                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
-            ).alias("__row__")
-        )
+        .agg(elected.alias("__row__"))
         .select("__row__.*")
     )
 
@@ -332,6 +344,7 @@ def minhash_dedup(
     shingle_size: int = 5,
     verify_threshold: float | None = None,
     transitive: bool = False,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Drop near-duplicate documents found via MinHash LSH.
 
@@ -348,7 +361,18 @@ def minhash_dedup(
     ``transitive=True`` elects one survivor (the min id) per
     *connected component* of the pair graph instead of per pair, so a
     chain A~B~C dedupes to exactly {A} regardless of bucketing luck
-    (:func:`connected_component_reps`)."""
+    (:func:`connected_component_reps`).
+
+    ``quality_col`` switches the survivor election from lowest-id to
+    HIGHEST-quality (ties → lowest id) per duplicate cluster — the
+    FineWeb-style policy that keeps the best-scored copy instead of
+    whichever crawled first. Implies the transitive component election
+    (per-pair quality drops would be inconsistent on overlapping
+    pairs). Scale shape is unchanged: the election joins only the
+    (id, rep, quality) triples of documents that appear in some pair —
+    a vanishing fraction of the corpus — never the text."""
+    if quality_col is not None:
+        transitive = True
     if verify_threshold is not None or transitive:
         if verify_threshold is not None:
             pairs = ngram_jaccard_pairs(
@@ -358,8 +382,25 @@ def minhash_dedup(
             pairs = minhash_candidate_pairs(
                 df, text_col, id_col, num_hashes, bands, shingle_size
             )
+        reps = None
         if transitive:
             reps = connected_component_reps(pairs)
+        if quality_col is not None:
+            members = reps.join(
+                df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q__")),
+                "id",
+            )
+            keepers = members.groupBy("rep").agg(
+                F.max_by(
+                    F.col("id"), F.struct(F.col("__q__"), -F.col("id"))
+                ).alias("__keep__")
+            )
+            dropped = (
+                members.join(keepers, "rep")
+                .filter(F.col("id") != F.col("__keep__"))
+                .select(F.col("id").alias(id_col))
+            )
+        elif transitive:
             dropped = (
                 reps.filter(F.col("id") != F.col("rep"))
                 .select(F.col("id").alias(id_col))

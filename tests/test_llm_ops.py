@@ -484,3 +484,46 @@ def test_distributed_kmeans_matches_local(spark):
     assert all(got[i] == ref[i] for i in range(80))
     # planted structure recovered: one cluster per base direction
     assert len({got[i] for i in range(4)}) == 4
+
+
+def test_quality_aware_dedup_election(spark):
+    """quality_col switches the survivor election to highest-quality
+    (ties -> lowest id), per exact-fingerprint group and per MinHash
+    duplicate cluster (FineWeb-style canonical-copy retention)."""
+    from jodie_spark.operators.text_dedup import exact_dedup, minhash_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again", 0.2),
+        (2, "THE QUICK  brown fox jumps over the lazy dog again", 0.9),  # exact clone, best q
+        (3, "the quick brown fox jumps over the lazy dog again ", 0.9),  # exact clone, tie q
+        (4, "an entirely different document about spark engines", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id", quality_col="q").collect())
+    assert kept == [2, 4]  # highest quality wins; tie broke to id 2 < 3
+
+    # near-dup chain A~B~C (one word changed per step): component
+    # election keeps the highest-quality member
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    chain = [
+        (10, base, 0.1),
+        (11, base.replace("echo", "ECHO2", 1), 0.8),
+        (12, base.replace("india", "INDIA2", 1), 0.4),
+        (13, "unrelated corpus text with nothing shared at all " * 5, 0.0),
+    ]
+    cdf = spark.createDataFrame(chain, "doc_id long, text string, q double")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            cdf, "text", "doc_id", verify_threshold=0.5, quality_col="q"
+        ).collect()
+    )
+    assert kept2 == [11, 13]
+    # without quality_col the same input keeps the min id
+    kept3 = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            cdf, "text", "doc_id", verify_threshold=0.5, transitive=True
+        ).collect()
+    )
+    assert kept3 == [10, 13]
