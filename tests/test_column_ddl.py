@@ -738,3 +738,56 @@ def test_cdf_read_spans_schema_evolution(spark, tmpdir_path):
         (2, "update_preimage", 2, None),
         (3, "insert", 2, 9),
     ]
+
+
+def test_evolution_merge_survives_v2_checkpoint_cold_replay(spark, tmpdir_path):
+    """Matrix corner: schema-evolution merge on a column-mapped table
+    with v2 checkpoints — after enough commits to trigger a checkpoint
+    and a COLD log replay (fresh DeltaLog), the evolved schema, the
+    maxColumnId bump, and the data all survive (round-6's checkpoint
+    bug class, re-checked against the round-7 evolution path)."""
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "evckpt")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        p,
+        options={
+            "delta.columnMapping.mode": "name",
+            "delta.checkpointPolicy": "v2",
+        },
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame([(2, "B", 7), (3, "C", 9)], "k int, v string, score int")
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    max_id = int(
+        DeltaTable.forPath(spark, p).snapshot().configuration[
+            "delta.columnMapping.maxColumnId"
+        ]
+    )
+    # force a checkpoint at the current version, then append past it
+    log = DeltaLog(p)
+    log.write_checkpoint(log.latest_version())
+    write_delta(
+        spark.createDataFrame([(4, "d", 1)], "k int, v string, score int"),
+        p,
+        mode="append",
+    )
+    # cold replay: fresh log object, replay rides the v2 checkpoint
+    t2 = DeltaTable.forPath(spark, p)
+    snap = t2.snapshot()
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) == max_id
+    sch = {f.name: f for f in t2.schema().fields}
+    assert dict(sch["score"].metadata)[
+        "delta.columnMapping.physicalName"
+    ].startswith("col-")
+    rows = {r["k"]: (r["v"], r["score"]) for r in t2.toDF().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 7), 3: ("C", 9), 4: ("d", 1)}
