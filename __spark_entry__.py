@@ -2597,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": _q_image_dedup,
         "video_dedup": _q_video_dedup,
         "quality_dedup": _q_quality_dedup,
+        "nested_evolution": _q_nested_evolution,
         "num_shuffle_files": _q_num_shuffle_files,
     }
 
@@ -2795,6 +2796,59 @@ def _q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, "text", "doc_id", quality_col="n_chars")
+
+
+
+def _q_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested schema evolution under the value oracle: the target holds
+    a struct column built from customer rows; the merge source carries
+    the same struct with an EXTRA nested field (spend) and reordered
+    existing fields — evolution appends the nested field within the
+    struct and star-assignment aligns by name (a positional cast would
+    swap values). Output flattens the struct to scalars so the DuckDB
+    comparison is exact."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    tgt_df = cust.filter("c_custkey % 4 != 0").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg")
+        ).alias("info"),
+    )
+    t = _delta_from(tgt_df, "nev")
+    orders = load_table(spark, sf_dir, "orders")
+    src = (
+        orders.filter("o_custkey % 2 = 0")
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.max("c_mktsegment").alias("seg"),
+            F.max("c_acctbal").alias("bal"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+        .select(
+            "c_custkey",
+            # deliberately REORDERED (seg before bal) + the new field
+            F.struct("seg", "bal", "spend").alias("info"),
+        )
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.c_custkey = s.c_custkey")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    out = DeltaTable.forPath(spark, t.path).toDF()
+    return out.select(
+        "c_custkey",
+        F.col("info.bal").alias("bal"),
+        F.col("info.seg").alias("seg"),
+        F.col("info.spend").alias("spend"),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3791,6 +3845,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                 ORDER BY doc_id) = 1
+        """,
+        "nested_evolution": """
+            -- nested evolution merge replayed as a full-outer election
+            -- over the FLATTENED struct members
+            WITH tgt AS (
+              SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg
+              FROM customer WHERE c_custkey % 4 <> 0
+            ), src AS (
+              SELECT o.o_custkey AS c_custkey,
+                     max(c.c_mktsegment) AS seg,
+                     max(c.c_acctbal) AS bal,
+                     sum(o.o_totalprice) AS spend
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE o.o_custkey % 2 = 0
+              GROUP BY o.o_custkey
+            )
+            SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.seg ELSE t.seg END AS seg,
+                   s.spend AS spend
+            FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
         """,
         "quality_dedup": """
             SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -138,6 +138,7 @@ def main() -> None:
         "interval_join",
         "merge_schema_evolution",
         "quality_dedup",
+        "nested_evolution",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
