@@ -791,3 +791,57 @@ def test_evolution_merge_survives_v2_checkpoint_cold_replay(spark, tmpdir_path):
     ].startswith("col-")
     rows = {r["k"]: (r["v"], r["score"]) for r in t2.toDF().collect()}
     assert rows == {1: ("a", None), 2: ("B", 7), 3: ("C", 9), 4: ("d", 1)}
+
+
+def test_evolution_merge_partitioned_mapped_and_check_constraint(spark, tmpdir_path):
+    """Matrix pins: (a) evolution merge on a PARTITIONED mapped table —
+    partition dirs stay physical-named, new column is not a partition;
+    (b) evolution merge on a table with an active CHECK constraint on a
+    pre-existing column — constraint still enforced on the rewrite, new
+    columns don't confuse it."""
+    from jodie_spark.errors import JodieValidationError
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "evpart")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "x", 5), (2, "y", 6)], "k int, part string, n int"
+        ),
+        p,
+        partition_by=["part"],
+        options={"delta.columnMapping.mode": "name"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.add_check_constraint("n_pos", "n > 0")
+    src = spark.createDataFrame(
+        [(2, "y", 60, "w"), (3, "z", 70, "v")], "k int, part string, n int, tag string"
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, p)
+    rows = {r["k"]: (r["part"], r["n"], r["tag"]) for r in t2.toDF().collect()}
+    assert rows == {1: ("x", 5, None), 2: ("y", 60, "w"), 3: ("z", 70, "v")}
+    # partition dirs are physical-named (mode=name at CREATE assigns
+    # col-<uuid> physical names, and Hive dirs follow the physical name)
+    assert any(d.startswith("col-") and "=" in d for d in os.listdir(p))
+    assert not any(d.startswith("part=") for d in os.listdir(p))
+    assert t2.toDF().filter(F.col("part") == "z").count() == 1
+    # the constraint still bites through the evolved-merge path
+    bad = spark.createDataFrame(
+        [(4, "q", -1, "bad")], "k int, part string, n int, tag string"
+    )
+    with pytest.raises(Exception, match="n_pos|n > 0"):
+        (
+            t2.alias("t")
+            .merge(bad.alias("s"), "t.k = s.k")
+            .withSchemaEvolution()
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
