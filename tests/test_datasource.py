@@ -410,3 +410,36 @@ def test_datasource_time_travel_pins_schema(spark, tmpdir_path):
     pinned = spark.read.format("jodie_delta").option("versionAsOf", 0).load(p)
     assert set(pinned.columns) == {"id", "v"}
     assert sorted((r["id"], r["v"]) for r in pinned.collect()) == [(1, "a")]
+
+
+def test_datasource_reads_evolution_merged_mapped_table(spark, tmpdir_path):
+    """The pyarrow-based datasource NULL-fills evolved columns for
+    pre-evolution files of a mapped table (fresh col-<uuid> physical
+    names absent from old parquet footers)."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "dsev")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        p,
+        options={"delta.columnMapping.mode": "name"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame([(2, "B", 7), (3, "C", 9)], "k int, v string, score int")
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    rows = sorted(
+        (r["k"], r["v"], r["score"])
+        for r in spark.read.format("jodie_delta").load(p).collect()
+    )
+    assert rows == [(1, "a", None), (2, "B", 7), (3, "C", 9)]

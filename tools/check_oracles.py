@@ -53,7 +53,7 @@ def freshness() -> int:
     stale = []
     for rnd in sorted(by_round):
         label = (
-            "never (UNREGISTERED IN ANY ARTIFACT)" if rnd < 0
+            "never official yet (registered after the newest artifact)" if rnd < 0
             else "rows-only by design" if rnd == 0
             else f"r{rnd}"
         )
