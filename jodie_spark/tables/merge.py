@@ -367,6 +367,236 @@ class DeltaMergeBuilder:
             )
         return to_generate
 
+    def _insert_only_fastpath_safe(self, talias: str) -> bool:
+        """The anti-join fast path drops the target side entirely, so
+        it is only legal when no not-matched clause references target
+        columns (rare but allowed by MERGE semantics — they evaluate
+        NULL on the slow path). Column-object assignments can't be
+        inspected, so they conservatively fall back too. Quoted strings
+        can false-positive the alias scan — that only costs the
+        optimization, never correctness."""
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(talias)}\.")
+        for cl in self._not_matched:
+            if cl.condition and pat.search(str(cl.condition)):
+                return False
+            for v in cl.assignments.values():
+                if isinstance(v, Column) or pat.search(str(v)):
+                    return False
+        return True
+
+    def _execute_insert_only(
+        self,
+        t0: float,
+        snap,
+        schema,
+        talias: str,
+        src: DataFrame,
+        src_obs: Observation,
+        eager_source_rows: int | None,
+        candidates: list[dict[str, Any]],
+        lineage,
+        lineage_actions: list[dict[str, Any]],
+        schema_evolved: bool,
+        evolved_conf: dict[str, str] | None,
+        type_widened: bool,
+        id_generate,
+    ) -> None:
+        """Insert-only merge: anti-join the source against the
+        stats-pruned candidate scan (Catalyst prunes the scan to the
+        condition's columns), resolve the first matching not-matched
+        clause per row, and append the result as NEW files — no
+        removes, no rewrite of matched files."""
+        from jodie_spark.tables.table import (
+            apply_generated_columns,
+            enforce_check_constraints,
+            read_files_df,
+        )
+
+        t = self.table
+        spark = t.spark
+        if candidates:
+            tgt = t._read_candidates(snap, schema, candidates).alias(talias)
+        else:
+            tgt = read_files_df(spark, t.path, schema, []).alias(talias)
+        anti = src.join(tgt, F.expr(self.condition), "left_anti")
+
+        def _clause_cond(cl: _Clause) -> Column:
+            return F.expr(cl.condition) if cl.condition else F.lit(True)
+
+        i_idx: Column = F.lit(-1)
+        for k in range(len(self._not_matched) - 1, -1, -1):
+            i_idx = F.when(_clause_cond(self._not_matched[k]), F.lit(k)).otherwise(i_idx)
+        staged = anti.withColumn("__i_idx__", i_idx).filter(F.col("__i_idx__") >= 0)
+
+        obs = Observation()
+        staged = staged.observe(obs, F.count(F.lit(1)).alias("inserted"))
+
+        src_fields = {f.name: f for f in self.source.schema.fields}
+
+        def _ins_col(fld) -> Column:
+            expr: Column = F.lit(None).cast(fld.dataType)
+            for k in range(len(self._not_matched) - 1, -1, -1):
+                cl = self._not_matched[k]
+                if cl.star:
+                    sf = src_fields.get(fld.name)
+                    val = (
+                        _align_by_name(self.source[fld.name], sf.dataType, fld.dataType)
+                        if sf is not None
+                        else F.lit(None).cast(fld.dataType)
+                    )
+                elif fld.name in cl.assignments:
+                    v = cl.assignments[fld.name]
+                    val = (v if isinstance(v, Column) else F.expr(str(v))).cast(
+                        fld.dataType
+                    )
+                else:
+                    val = F.lit(None).cast(fld.dataType)
+                expr = F.when(F.col("__i_idx__") == k, val).otherwise(expr)
+            return expr.cast(fld.dataType).alias(fld.name)
+
+        result = staged.select(*[_ins_col(f) for f in schema.fields])
+
+        id_schema_meta = None
+        if id_generate:
+            from jodie_spark.tables.identity import (
+                assign_identity_values,
+                identity_columns_of,
+                next_identity_base,
+                with_identity_metadata,
+            )
+
+            new_specs = dict(identity_columns_of(schema))
+            changed = False
+            keep_cols = [f.name for f in schema.fields]
+            for name, spec in id_generate.items():
+                need = result.filter(F.col(name).isNull()).drop(name)
+                keep = result.filter(F.col(name).isNotNull())
+                need, hwm = assign_identity_values(
+                    need, name, next_identity_base(spec), int(spec["step"])
+                )
+                result = keep.unionByName(need).select(*keep_cols)
+                if hwm is not None:
+                    new_specs[name] = {**spec, "high_water_mark": hwm}
+                    changed = True
+            if changed:
+                id_schema_meta = with_identity_metadata(
+                    schema,
+                    {
+                        n: {
+                            "start": s["start"],
+                            "step": s["step"],
+                            "allow_explicit": s["allow_explicit"],
+                            "high_water_mark": s.get("high_water_mark"),
+                        }
+                        for n, s in new_specs.items()
+                    },
+                )
+
+        if lineage is not None:
+            from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
+
+            result = result.withColumn(LIN_RID, F.lit(None).cast("long")).withColumn(
+                LIN_RCV, F.lit(None).cast("long")
+            )
+
+        cdc_actions: list[dict[str, Any]] = []
+        try:
+            adds = t._write_rewrite_files(
+                snap,
+                enforce_check_constraints(
+                    apply_generated_columns(result, schema), snap.configuration
+                ),
+                lineage=lineage,
+                logical_schema=schema if schema_evolved else None,
+            )
+            if t.is_cdf_enabled(snap):
+                change_df = staged.select(
+                    *[_ins_col(f) for f in schema.fields]
+                ).withColumn("_change_type", F.lit("insert"))
+                cdc_actions = t._write_cdf_files(
+                    change_df, snap,
+                    logical_schema=schema if schema_evolved else None,
+                )
+        finally:
+            src.unpersist()
+
+        def _obs(ob: Observation, keys: list[str]) -> dict[str, int]:
+            try:
+                got = ob.get
+                return {k: int(got.get(k) or 0) for k in keys}
+            except Exception:
+                return {k: 0 for k in keys}
+
+        inserted = _obs(obs, ["inserted"])["inserted"]
+        num_source_rows = (
+            eager_source_rows
+            if eager_source_rows is not None
+            else _obs(src_obs, ["numSourceRows"])["numSourceRows"]
+        )
+        actions: list[dict[str, Any]] = list(lineage_actions)
+        if type_widened:
+            from jodie_spark.tables.table import _legacy_implied_features
+
+            proto = dict(snap.protocol or {})
+            _, impl_r = _legacy_implied_features(proto, snap.configuration)
+            rfeat = set(proto.get("readerFeatures") or []) | impl_r
+            upgrade = t._writer_feature_upgrade_actions(snap, {"typeWidening"})
+            if upgrade:
+                up = upgrade[0]["protocol"]
+            else:
+                up = dict(proto)
+                upgrade = [{"protocol": up}]
+            up["minReaderVersion"] = 3
+            up["readerFeatures"] = sorted(rfeat | {"typeWidening"})
+            if up != snap.protocol:
+                actions = upgrade + actions
+        if schema_evolved or id_schema_meta is not None:
+            meta = dict(snap.metadata)
+            meta["schemaString"] = (
+                id_schema_meta.json()
+                if id_schema_meta is not None
+                else json.dumps(schema.jsonValue())
+            )
+            if evolved_conf:
+                conf = dict(meta.get("configuration") or {})
+                conf.update(evolved_conf)
+                meta["configuration"] = conf
+            actions.append({"metaData": meta})
+        actions += list(cdc_actions)
+        actions += [{"add": a} for a in adds]
+        metrics = {
+            "numSourceRows": str(num_source_rows),
+            "numTargetRowsInserted": str(inserted),
+            "numTargetRowsUpdated": "0",
+            "numTargetRowsDeleted": "0",
+            "numTargetRowsCopied": "0",
+            "numOutputRows": str(inserted),
+            "numTargetFilesAdded": str(len(adds)),
+            "numTargetFilesRemoved": "0",
+            "numTargetChangeFilesAdded": str(len(cdc_actions)),
+            "executionTimeMs": str(int((time.time() - t0) * 1000)),
+            "scanTimeMs": "0",
+            "rewriteTimeMs": str(int((time.time() - t0) * 1000)),
+        }
+        params = {
+            "predicate": self.condition,
+            "matchedPredicates": json.dumps([]),
+            "notMatchedPredicates": json.dumps(
+                [
+                    {"predicate": c.condition, "actionType": c.kind}
+                    if c.condition
+                    else {"actionType": c.kind}
+                    for c in self._not_matched
+                ]
+            ),
+        }
+        t.deltaLog.commit(snap.version, actions, "MERGE", params, metrics)
+        from jodie_spark.tables.table import maybe_auto_compact
+
+        maybe_auto_compact(t)
+
     def _stage_actions(self, joined: DataFrame) -> DataFrame:
         """Attach first-matching-clause indexes and the per-row action
         ('update'/'delete'/'copy'/'insert'/'drop') — the clause-order
@@ -754,6 +984,36 @@ class DeltaMergeBuilder:
         probe = None
         raw_touched: set[str] = set()
         lineage, lineage_actions = t._lineage_setup(snap, candidates)
+        if (
+            not self._matched
+            and self._not_matched
+            and self._insert_only_fastpath_safe(talias)
+        ):
+            # insert-only merge (delta-spark optimizeInsertOnlyMerge):
+            # with no matched clause, NO target file ever needs a
+            # rewrite — matched rows are pure copies. The full-outer
+            # join + touched-file rewrite collapses to a LEFT ANTI join
+            # (source rows with no match) followed by a plain append of
+            # new files: zero removes, write volume ∝ inserted rows
+            # instead of ∝ touched-file bytes. This is the hot shape of
+            # streaming dedup sinks and appendWithoutDuplicates.
+            self._execute_insert_only(
+                t0=t0,
+                snap=snap,
+                schema=schema,
+                talias=talias,
+                src=src,
+                src_obs=src_obs,
+                eager_source_rows=eager_source_rows,
+                candidates=candidates,
+                lineage=lineage,
+                lineage_actions=lineage_actions,
+                schema_evolved=schema_evolved,
+                evolved_conf=evolved_conf,
+                type_widened=type_widened,
+                id_generate=id_generate,
+            )
+            return
         if candidates and (self._matched or self._not_matched):
             # candidate files are read ONCE and cached; the rewrite pass
             # filters the cache down to the touched subset instead of

@@ -123,3 +123,74 @@ def test_append_without_duplicates_empty_key_raises(spark, tmpdir_path):
     t = _table(spark, tmpdir_path, [(1, "a")], ["id", "v"])
     with pytest.raises(ValueError):
         append_without_duplicates(t, t.toDF(), [])
+
+
+def test_insert_only_merge_never_rewrites_files(spark, tmpdir_path):
+    """Round-7 optimization (delta-spark optimizeInsertOnlyMerge): a
+    merge with only not-matched clauses appends new files and removes
+    NOTHING — matched target files stay byte-identical on disk, the
+    commit carries zero remove actions, and the metrics record
+    copied=0/removed=0. Clause-order + conditional not-matched clauses
+    still resolve; matched source rows do not insert."""
+    import json
+    import os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "insonly")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), p
+    )
+    t = DeltaTable.forPath(spark, p)
+    files_before = {
+        a["path"]: a["size"] for a in t.snapshot().add_files()
+    }
+    src = spark.createDataFrame(
+        [(1, "SKIP-matched"), (3, "c"), (4, "d"), (5, "drop-me")],
+        "k int, v string",
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .whenNotMatchedInsert(condition="s.k < 5", values={"k": "s.k", "v": "s.v"})
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, p)
+    got = {r["k"]: r["v"] for r in t2.toDF().collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}  # 1 not re-inserted, 5 filtered
+    # original files survive untouched; commit has adds only
+    after = {a["path"]: a["size"] for a in t2.snapshot().add_files()}
+    assert set(files_before) <= set(after)
+    v = t2.deltaLog.latest_version()
+    actions = t2.deltaLog.read_actions(v)
+    assert not any("remove" in a for a in actions)
+    assert any("add" in a for a in actions)
+    hist = {r["version"]: r for r in t2.history().collect()}
+    m = hist[v]["operationMetrics"]
+    assert m["numTargetRowsInserted"] == "2"
+    assert m["numTargetRowsCopied"] == "0"
+    assert m["numTargetFilesRemoved"] == "0"
+    assert m["numSourceRows"] == "4"
+    # all-matched batch: a no-op commit with zero adds is still clean
+    (
+        t2.alias("t")
+        .merge(
+            spark.createDataFrame([(1, "x")], "k int, v string").alias("s"),
+            "t.k = s.k",
+        )
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert DeltaTable.forPath(spark, p).toDF().count() == 4
+    # a TARGET-referencing not-matched condition falls back to the slow
+    # path and still answers correctly
+    (
+        t2.alias("tt")
+        .merge(
+            spark.createDataFrame([(9, "i")], "k int, v string").alias("s"),
+            "tt.k = s.k",
+        )
+        .whenNotMatchedInsert(condition="tt.k IS NULL", values={"k": "s.k", "v": "s.v"})
+        .execute()
+    )
+    assert {r["k"] for r in DeltaTable.forPath(spark, p).toDF().collect()} == {1, 2, 3, 4, 9}
