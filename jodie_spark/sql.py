@@ -596,13 +596,35 @@ def _merge(spark: SparkSession, s: str) -> None:
         pos = nxt
     for chunk in chunks:
         c = re.match(
-            r"(?is)^WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+(?P<act>.+)$",
+            r"(?is)^WHEN\s+(?P<not>NOT\s+)?MATCHED\s*"
+            r"(?:BY\s+(?P<by>SOURCE|TARGET)\s*)?"
+            r"(?:AND\s+(?P<cond>.+?))?\s*THEN\s+(?P<act>.+)$",
             chunk.strip(),
         )
         if not c:
             raise JodieValidationError(f"cannot parse MERGE clause: {chunk!r}")
         ccond = c.group("cond").strip() if c.group("cond") else None
         act = c.group("act").strip()
+        by = (c.group("by") or "").upper()
+        if by == "SOURCE":
+            # WHEN NOT MATCHED BY SOURCE: acts on unmatched TARGET rows
+            if not c.group("not"):
+                raise JodieValidationError(
+                    f"cannot parse MERGE clause (BY SOURCE needs NOT MATCHED): {chunk!r}"
+                )
+            if re.match(r"(?is)^DELETE\s*$", act):
+                builder = builder.whenNotMatchedBySourceDelete(ccond)
+                continue
+            ub = re.match(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", act)
+            if not ub or ub.group("sets").strip() == "*":
+                raise JodieValidationError(
+                    f"cannot parse NOT MATCHED BY SOURCE action (UPDATE SET "
+                    f"<explicit assignments> or DELETE): {act!r}"
+                )
+            builder = builder.whenNotMatchedBySourceUpdate(
+                condition=ccond, set=_parse_assignments(ub.group("sets"))
+            )
+            continue
         if c.group("not"):
             ia = re.match(r"(?is)^INSERT\s*\*\s*$", act)
             if ia:

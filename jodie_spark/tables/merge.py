@@ -250,6 +250,7 @@ class DeltaMergeBuilder:
         self.condition = condition
         self._matched: list[_Clause] = []
         self._not_matched: list[_Clause] = []
+        self._not_matched_by_source: list[_Clause] = []
         self._schema_evolution = False
 
     def withSchemaEvolution(self) -> "DeltaMergeBuilder":
@@ -291,11 +292,36 @@ class DeltaMergeBuilder:
         self._not_matched.append(_Clause("insert", condition, {}, star=True))
         return self
 
+    def whenNotMatchedBySourceUpdate(
+        self, condition: str | None = None, set: dict[str, Any] | None = None
+    ) -> "DeltaMergeBuilder":
+        """Delta 2.3+ clause: TARGET rows with NO matching source row
+        get the ``set`` assignments applied (conditions/assignments may
+        reference target columns only — there is no source row). The
+        full-sync pattern's 'mark rows missing from the feed'."""
+        if not set:
+            raise JodieValidationError(
+                "whenNotMatchedBySourceUpdate requires a non-empty set map"
+            )
+        self._not_matched_by_source.append(_Clause("update", condition, dict(set)))
+        return self
+
+    def whenNotMatchedBySourceDelete(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        """Delta 2.3+ clause: delete TARGET rows with no matching
+        source row — the full-sync pattern's 'remove rows absent from
+        the feed'."""
+        self._not_matched_by_source.append(_Clause("delete", condition))
+        return self
+
     when_matched_update = whenMatchedUpdate
     when_matched_update_all = whenMatchedUpdateAll
     when_matched_delete = whenMatchedDelete
     when_not_matched_insert = whenNotMatchedInsert
     when_not_matched_insert_all = whenNotMatchedInsertAll
+    when_not_matched_by_source_update = whenNotMatchedBySourceUpdate
+    when_not_matched_by_source_delete = whenNotMatchedBySourceDelete
 
     # -- execution -----------------------------------------------------------
 
@@ -339,7 +365,7 @@ class DeltaMergeBuilder:
         if not ids:
             return {}
         src_cols = set(self.source.columns)
-        for c in self._matched:
+        for c in self._matched + self._not_matched_by_source:
             if c.kind != "update":
                 continue
             touched = set(ids) & (src_cols if c.star else set(c.assignments))
@@ -591,6 +617,14 @@ class DeltaMergeBuilder:
                     for c in self._not_matched
                 ]
             ),
+            "notMatchedBySourcePredicates": json.dumps(
+                [
+                    {"predicate": c.condition, "actionType": c.kind}
+                    if c.condition
+                    else {"actionType": c.kind}
+                    for c in self._not_matched_by_source
+                ]
+            ),
         }
         t.deltaLog.commit(snap.version, actions, "MERGE", params, metrics)
         from jodie_spark.tables.table import maybe_auto_compact
@@ -615,11 +649,20 @@ class DeltaMergeBuilder:
 
         m_idx = _idx_col(self._matched, is_t & is_s)
         i_idx = _idx_col(self._not_matched, is_s & ~is_t)
+        b_idx = _idx_col(self._not_matched_by_source, is_t & ~is_s)
         delete_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "delete"}
         update_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "update"}
+        bs_delete = {
+            k for k, cl in enumerate(self._not_matched_by_source) if cl.kind == "delete"
+        }
+        bs_update = {
+            k for k, cl in enumerate(self._not_matched_by_source) if cl.kind == "update"
+        }
         action = (
             F.when(is_t & is_s & m_idx.isin(list(delete_idx) or [-2]), F.lit("delete"))
             .when(is_t & is_s & m_idx.isin(list(update_idx) or [-2]), F.lit("update"))
+            .when(is_t & ~is_s & b_idx.isin(list(bs_delete) or [-2]), F.lit("delete"))
+            .when(is_t & ~is_s & b_idx.isin(list(bs_update) or [-2]), F.lit("update"))
             .when(is_t, F.lit("copy"))
             .when(is_s & (i_idx >= 0), F.lit("insert"))
             .otherwise(F.lit("drop"))
@@ -627,6 +670,7 @@ class DeltaMergeBuilder:
         return (
             joined.withColumn("__m_idx__", m_idx)
             .withColumn("__i_idx__", i_idx)
+            .withColumn("__b_idx__", b_idx)
             .withColumn("__action__", action)
         )
 
@@ -666,6 +710,18 @@ class DeltaMergeBuilder:
                 if cl.kind == "update":
                     expr = F.when(
                         (F.col("__action__") == "update") & (F.col("__m_idx__") == k),
+                        _assignment(cl, fld.name, fld.dataType),
+                    ).otherwise(expr)
+            for k, cl in enumerate(self._not_matched_by_source):
+                # by-source rows have __m_idx__ == -1, so these whens
+                # never collide with the matched-update ones above;
+                # assignments reference target columns only (no source
+                # row exists) and unassigned columns keep target values
+                if cl.kind == "update":
+                    expr = F.when(
+                        (F.col("__action__") == "update")
+                        & (F.col("__m_idx__") == -1)
+                        & (F.col("__b_idx__") == k),
                         _assignment(cl, fld.name, fld.dataType),
                     ).otherwise(expr)
             for k, cl in enumerate(self._not_matched):
@@ -878,7 +934,10 @@ class DeltaMergeBuilder:
         snap = t.deltaLog.table_info()
         # a merge with only not-matched clauses is a blind append, legal
         # on delta.appendOnly tables; matched clauses rewrite (remove) files
-        t.deltaLog.check_write_allowed(snap, removes_data=bool(self._matched))
+        t.deltaLog.check_write_allowed(
+            snap,
+            removes_data=bool(self._matched or self._not_matched_by_source),
+        )
         mapped = t._mapping_schemas(snap) is not None
         if mapped:
             deletion_vectors = False  # DV coordinate scan is physical-name; CoW instead
@@ -889,6 +948,7 @@ class DeltaMergeBuilder:
         if (
             deletion_vectors
             and self._matched
+            and not self._not_matched_by_source
             and not self._schema_evolution
             and not t.is_cdf_enabled(snap)
             and not id_generate  # generated inserts need the CoW path
@@ -971,7 +1031,15 @@ class DeltaMergeBuilder:
         eager_source_rows = src.count() if mode_id else None
 
         # -- pass 1: which files contain matched rows? ----------------------
-        prune_cond = self._target_only_condition(talias, out_cols)
+        # by-source clauses act on UNMATCHED target rows, which live in
+        # files the merge-condition prune would wrongly skip — candidate
+        # planning must see every file then (clause conditions, being
+        # target-only, could prune instead; kept simple and correct)
+        prune_cond = (
+            None
+            if self._not_matched_by_source
+            else self._target_only_condition(talias, out_cols)
+        )
         candidates = plan_candidate_files(
             spark,
             t.path,
@@ -986,6 +1054,7 @@ class DeltaMergeBuilder:
         lineage, lineage_actions = t._lineage_setup(snap, candidates)
         if (
             not self._matched
+            and not self._not_matched_by_source
             and self._not_matched
             and self._insert_only_fastpath_safe(talias)
         ):
@@ -1014,7 +1083,9 @@ class DeltaMergeBuilder:
                 id_generate=id_generate,
             )
             return
-        if candidates and (self._matched or self._not_matched):
+        if candidates and (
+            self._matched or self._not_matched or self._not_matched_by_source
+        ):
             # candidate files are read ONCE and cached; the rewrite pass
             # filters the cache down to the touched subset instead of
             # re-reading from storage
@@ -1073,6 +1144,25 @@ class DeltaMergeBuilder:
                     r[0]
                     for r in probe.alias(talias)
                     .join(src, F.expr(self.condition), "left_semi")
+                    .select("__path__")
+                    .distinct()
+                    .collect()
+                }
+            if self._not_matched_by_source:
+                # files holding UNMATCHED target rows that satisfy some
+                # by-source clause condition must also rewrite — an
+                # anti join against the source, filtered by the OR of
+                # the clause conditions; shuffles (row, path) of the
+                # probe only, like the semi join above
+                bs_cond = None
+                for cl in self._not_matched_by_source:
+                    c = F.expr(cl.condition) if cl.condition else F.lit(True)
+                    bs_cond = c if bs_cond is None else (bs_cond | c)
+                raw_touched |= {
+                    r[0]
+                    for r in probe.alias(talias)
+                    .join(src, F.expr(self.condition), "left_anti")
+                    .filter(bs_cond)
                     .select("__path__")
                     .distinct()
                     .collect()
@@ -1321,6 +1411,14 @@ class DeltaMergeBuilder:
                     if c.condition
                     else {"actionType": c.kind}
                     for c in self._not_matched
+                ]
+            ),
+            "notMatchedBySourcePredicates": json.dumps(
+                [
+                    {"predicate": c.condition, "actionType": c.kind}
+                    if c.condition
+                    else {"actionType": c.kind}
+                    for c in self._not_matched_by_source
                 ]
             ),
         }

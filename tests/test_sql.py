@@ -426,3 +426,65 @@ def test_sql_unset_tblproperties_and_alter_column_type_and_reorg(spark, tmpdir_p
         a.get("deletionVector") for a in DeltaTable.forPath(spark, p).snapshot().add_files()
     )
     assert sorted(r["n"] for r in DeltaTable.forPath(spark, p).toDF().collect()) == [2, 9_000_000_000]
+
+
+def test_when_not_matched_by_source(spark, tmpdir_path):
+    """Delta 2.3+ whenNotMatchedBySource clauses (API + SQL): target
+    rows with NO matching source row update or delete — the full-sync
+    pattern. Clause order and conditions resolve per row; matched rows
+    still take matched clauses; files holding ONLY by-source-affected
+    rows rewrite even though the merge condition never matches them."""
+    import os
+
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "bysrc")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", "live"), (2, "b", "live"), (3, "c", "live"), (4, "d", "live")],
+            "k int, v string, status string",
+        ),
+        p,
+    )
+    t = DeltaTable.forPath(spark, p)
+    src = spark.createDataFrame([(1, "A"), (5, "e")], "k int, v string")
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .whenMatchedUpdate(set={"v": "s.v"})
+        .whenNotMatchedInsert(values={"k": "s.k", "v": "s.v", "status": "'live'"})
+        .whenNotMatchedBySourceDelete(condition="t.k = 4")
+        .whenNotMatchedBySourceUpdate(set={"status": "'stale'"})
+        .execute()
+    )
+    rows = {r["k"]: (r["v"], r["status"]) for r in t.toDF().collect()}
+    assert rows == {
+        1: ("A", "live"),    # matched update
+        2: ("b", "stale"),   # by-source update (second clause)
+        3: ("c", "stale"),
+        5: ("e", "live"),    # insert
+    }
+    hist = {r["version"]: r for r in t.history().collect()}
+    m = hist[max(hist)]["operationMetrics"]
+    assert m["numTargetRowsDeleted"] == "1"  # k=4
+    assert m["numTargetRowsUpdated"] == "3"  # k=1 matched + k=2,3 by-source
+    assert m["numTargetRowsInserted"] == "1"
+
+    # SQL surface: delete-absent full-sync
+    p2 = os.path.join(tmpdir_path, "bysrc_sql")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"), p2
+    )
+    spark.createDataFrame([(1, "A")], "k int, v string").createOrReplaceTempView(
+        "bysrc_feed"
+    )
+    sql(
+        spark,
+        f"MERGE INTO delta.`{p2}` t USING bysrc_feed s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.k > 2 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'",
+    )
+    got = {r["k"]: r["v"] for r in DeltaTable.forPath(spark, p2).toDF().collect()}
+    assert got == {1: "A", 2: "gone"}
