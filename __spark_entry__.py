@@ -2598,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup": _q_video_dedup,
         "quality_dedup": _q_quality_dedup,
         "nested_evolution": _q_nested_evolution,
+        "merge_full_sync": _q_merge_full_sync,
         "num_shuffle_files": _q_num_shuffle_files,
     }
 
@@ -2849,6 +2850,40 @@ def _q_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.seg").alias("seg"),
         F.col("info.spend").alias("spend"),
     )
+
+
+
+def _q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whenNotMatchedBySource under the value oracle (full-sync): the
+    target holds all customers with a status column; the feed carries
+    only even custkeys. One merge updates matched rows, inserts absent
+    feed rows (none here), DELETEs unmatched rows with custkey % 5 = 0,
+    and marks the remaining unmatched rows stale. The oracle replays
+    the clause ladder as CASE logic in DuckDB."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = _delta_from(
+        cust.select("c_custkey", "c_acctbal", F.lit("live").alias("status")),
+        "fsync",
+    )
+    feed = cust.filter("c_custkey % 2 = 0").select(
+        "c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal")
+    )
+    (
+        t.alias("t")
+        .merge(feed.alias("s"), "t.c_custkey = s.c_custkey")
+        .whenMatchedUpdate(set={"c_acctbal": "s.c_acctbal", "status": "'synced'"})
+        .whenNotMatchedInsert(
+            values={"c_custkey": "s.c_custkey", "c_acctbal": "s.c_acctbal",
+                    "status": "'synced'"}
+        )
+        .whenNotMatchedBySourceDelete(condition="t.c_custkey % 5 = 0")
+        .whenNotMatchedBySourceUpdate(set={"status": "'stale'"})
+        .execute()
+    )
+    return DeltaTable.forPath(spark, t.path).toDF()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3845,6 +3880,18 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                 ORDER BY doc_id) = 1
+        """,
+        "merge_full_sync": """
+            -- by-source full-sync clause ladder as CASE logic: matched
+            -- (even) rows sync; unmatched %5=0 rows delete; the rest
+            -- go stale
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN c_acctbal * 2
+                        ELSE c_acctbal END AS c_acctbal,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'synced'
+                        ELSE 'stale' END AS status
+            FROM customer
+            WHERE c_custkey % 2 = 0 OR c_custkey % 5 <> 0
         """,
         "nested_evolution": """
             -- nested evolution merge replayed as a full-outer election

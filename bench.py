@@ -139,6 +139,7 @@ def main() -> None:
         "merge_schema_evolution",
         "quality_dedup",
         "nested_evolution",
+        "merge_full_sync",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
