@@ -138,10 +138,19 @@ def write_stream_merge_to_delta(
     query_name: str | None = None,
     available_now: bool = False,
     schema_evolution: bool = False,
+    full_snapshot: bool = False,
 ) -> StreamingQuery:
     """Streaming upsert (CDC-apply) sink: each micro-batch MERGEs into
     the Delta table at ``path`` on ``keys`` — the foreachBatch pattern
     delta-spark documents for applying change streams.
+
+    ``full_snapshot=True`` treats every micro-batch as the COMPLETE
+    desired state (snapshot-feed ingestion): target keys absent from
+    the batch are DELETED via a whenNotMatchedBySource clause, so the
+    table converges to exactly the batch contents. Use with
+    ``available_now=True`` (one batch = one snapshot) or a source
+    that emits whole snapshots per batch; composes with the delete
+    column (explicit delete rows win) but usually replaces it.
 
     ``schema_evolution=True`` lets a RESTARTED stream whose source
     grew columns evolve the target: batch columns missing from the
@@ -234,6 +243,8 @@ def write_stream_merge_to_delta(
                     condition=f"not {dl}",
                     values={c: f"s.{c}" for c in data_cols},
                 )
+                if full_snapshot:
+                    m = m.whenNotMatchedBySourceDelete()
             elif guard:
                 m = (
                     m.whenMatchedUpdate(
@@ -241,8 +252,12 @@ def write_stream_merge_to_delta(
                         set={c: f"s.{c}" for c in batch.columns if c not in keys},
                     ).whenNotMatchedInsertAll()
                 )
+                if full_snapshot:
+                    m = m.whenNotMatchedBySourceDelete()
             else:
                 m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+                if full_snapshot:
+                    m = m.whenNotMatchedBySourceDelete()
             m.execute()
         finally:
             batch_df.unpersist()

@@ -363,3 +363,50 @@ def test_stream_merge_schema_evolution_across_restart(spark, tmpdir_path):
     run()
     rows = {r["k"]: (r["v"], r["tier"]) for r in DeltaTable.forPath(spark, dst).toDF().collect()}
     assert rows == {1: ("a", None), 2: ("b2", "gold"), 3: ("c", "bronze")}
+
+
+def test_stream_merge_full_snapshot_mode(spark, tmpdir_path):
+    """full_snapshot=True: each batch is the complete desired state —
+    target keys absent from the batch delete via the by-source clause,
+    so the table converges to exactly the snapshot contents."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "snap_src")
+    dst = os.path.join(tmpdir_path, "snap_dst")
+
+    def run(i):
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta")
+            .option("startingVersion", i)
+            .load(src),
+            dst,
+            os.path.join(tmpdir_path, f"snap_ckpt{i}"),
+            keys=["k"],
+            available_now=True,
+            full_snapshot=True,
+        )
+        q.awaitTermination(120)
+
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        src,
+    )
+    run(0)
+    assert {
+        r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()
+    } == {1: "a", 2: "b", 3: "c"}
+    # snapshot 2: key 2 gone, key 1 changed, key 4 new
+    write_delta(
+        spark.createDataFrame([(1, "a2"), (3, "c"), (4, "d")], "k int, v string"),
+        src,
+        mode="overwrite",
+    )
+    run(1)
+    assert {
+        r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()
+    } == {1: "a2", 3: "c", 4: "d"}
