@@ -459,6 +459,16 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         t = _resolve(spark, m)
         return t.history() if m.group("what").upper() == "HISTORY" else t.detail()
 
+    if head == "GENERATE":
+        m = re.match(
+            rf"(?is)^GENERATE\s+[`']?symlink_format_manifest[`']?\s+FOR\s+TABLE\s+{_REF}\s*$",
+            s,
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse GENERATE statement: {s!r}")
+        _resolve(spark, m).generate("symlink_format_manifest")
+        return None
+
     if head == "REORG":
         # REORG TABLE <ref> APPLY (PURGE) — physically rewrite files
         # carrying deletion vectors / dropped-column bytes

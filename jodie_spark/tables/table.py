@@ -2446,6 +2446,57 @@ class DeltaTable:
             )
         return [a["path"] for a in missing]
 
+    def generate(self, mode: str = "symlink_format_manifest") -> list[str]:
+        """``GENERATE symlink_format_manifest FOR TABLE ...``: write the
+        Hive-symlink manifest layout external engines (Presto / Trino /
+        Athena) read Delta tables through — one ``manifest`` text file
+        per partition directory under ``_symlink_format_manifest/``,
+        each line an absolute URI of a CURRENT data file. Stale
+        manifest partition dirs from earlier generations are removed so
+        external readers never see dropped partitions. Returns the
+        manifest paths written.
+
+        Refused on tables with deletion vectors (a symlink reader would
+        resurrect DV-deleted rows) — run ``reorg_purge()`` first, same
+        contract as delta-spark's manifest generation."""
+        if mode != "symlink_format_manifest":
+            raise JodieValidationError(
+                f"unsupported GENERATE mode {mode!r} "
+                f"(only symlink_format_manifest)"
+            )
+        snap = self.snapshot()
+        adds = snap.add_files()
+        if any(a.get("deletionVector") for a in adds):
+            raise DeltaProtocolError(
+                "GENERATE symlink_format_manifest on a table with deletion "
+                "vectors would expose deleted rows to symlink readers; run "
+                "reorg_purge() first"
+            )
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        by_dir: dict[str, list[str]] = {}
+        for a in adds:
+            rel = urllib.parse.unquote(a["path"])
+            part_dir = os.path.dirname(rel)  # '' for unpartitioned
+            uri = "file://" + os.path.abspath(os.path.join(self.path, rel))
+            by_dir.setdefault(part_dir, []).append(uri)
+        import shutil
+
+        if os.path.isdir(root):
+            shutil.rmtree(root)  # drop manifests of vanished partitions
+        written = []
+        for part_dir, uris in sorted(by_dir.items()):
+            d = os.path.join(root, part_dir) if part_dir else root
+            os.makedirs(d, exist_ok=True)
+            import uuid as _uuid
+
+            p = os.path.join(d, "manifest")
+            tmp = p + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(sorted(uris)) + "\n")
+            os.replace(tmp, p)
+            written.append(p)
+        return written
+
     def vacuum(
         self, retention_hours: float = 168.0, dry_run: bool = False
     ) -> list[str] | None:

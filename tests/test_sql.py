@@ -488,3 +488,51 @@ def test_when_not_matched_by_source(spark, tmpdir_path):
     )
     got = {r["k"]: r["v"] for r in DeltaTable.forPath(spark, p2).toDF().collect()}
     assert got == {1: "A", 2: "gone"}
+
+
+def test_generate_symlink_format_manifest(spark, tmpdir_path):
+    """GENERATE symlink_format_manifest: per-partition manifest files
+    listing exactly the CURRENT data files as absolute URIs; stale
+    partition manifests vanish on regeneration; DV tables refuse."""
+    import os
+
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "genman")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "k int, part string"
+        ),
+        p,
+        partition_by=["part"],
+    )
+    t = DeltaTable.forPath(spark, p)
+    sql(spark, f"GENERATE symlink_format_manifest FOR TABLE delta.`{p}`")
+    root = os.path.join(p, "_symlink_format_manifest")
+    parts = sorted(os.listdir(root))
+    assert parts == ["part=x", "part=y"]
+
+    def uris(part):
+        with open(os.path.join(root, part, "manifest")) as fh:
+            return [ln for ln in fh.read().splitlines() if ln]
+
+    live = {
+        os.path.abspath(os.path.join(p, a["path"]))
+        for a in t.snapshot().add_files()
+    }
+    listed = {u[len("file://"):] for part in parts for u in uris(part)}
+    assert listed == live
+    # delete partition y, regenerate: its manifest dir disappears
+    t.delete("part = 'y'")
+    t.generate()
+    assert sorted(os.listdir(root)) == ["part=x"]
+    listed2 = {u[len("file://"):] for u in uris("part=x")}
+    assert listed2 == {
+        os.path.abspath(os.path.join(p, a["path"]))
+        for a in DeltaTable.forPath(spark, p).snapshot().add_files()
+    }
+    # DV table refuses
+    t.delete("k = 1", deletion_vectors=True)
+    with pytest.raises(DeltaProtocolError, match="deletion"):
+        DeltaTable.forPath(spark, p).generate()
