@@ -2465,6 +2465,15 @@ class DeltaTable:
                 f"(only symlink_format_manifest)"
             )
         snap = self.snapshot()
+        from jodie_spark.tables.column_mapping import column_mapping_mode
+
+        if column_mapping_mode(snap.metadata) != "none":
+            raise DeltaProtocolError(
+                "GENERATE symlink_format_manifest on a column-mapped table "
+                "is not supported: symlink readers resolve parquet columns "
+                "by PHYSICAL name and would mis-read logical renames "
+                "(delta-spark refuses this too)"
+            )
         adds = snap.add_files()
         if any(a.get("deletionVector") for a in adds):
             raise DeltaProtocolError(

@@ -536,3 +536,28 @@ def test_generate_symlink_format_manifest(spark, tmpdir_path):
     t.delete("k = 1", deletion_vectors=True)
     with pytest.raises(DeltaProtocolError, match="deletion"):
         DeltaTable.forPath(spark, p).generate()
+
+
+def test_generate_manifest_unpartitioned_and_mapped_refusal(spark, tmpdir_path):
+    """Unpartitioned tables get one root manifest; column-mapped tables
+    refuse (symlink readers resolve physical parquet names and would
+    mis-read renames — delta-spark parity)."""
+    import os
+
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "genflat")
+    write_delta(spark.createDataFrame([(1,), (2,)], "k int"), p)
+    t = DeltaTable.forPath(spark, p)
+    written = t.generate()
+    assert len(written) == 1
+    with open(written[0]) as fh:
+        uris = [ln for ln in fh.read().splitlines() if ln]
+    assert {u[len("file://"):] for u in uris} == {
+        os.path.abspath(os.path.join(p, a["path"]))
+        for a in t.snapshot().add_files()
+    }
+    t.rename_column("k", "key")  # auto-enables column mapping
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        DeltaTable.forPath(spark, p).generate()
