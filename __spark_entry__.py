@@ -2258,6 +2258,9 @@ def _q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").cast("float").alias("s_acctbal"),
         ),
         path,
+        # automatic widening is opt-in (delta.enableTypeWidening),
+        # matching delta-spark: without it the append below would fail
+        options={"delta.enableTypeWidening": "true"},
     )
     write_delta(
         sup.filter("s_suppkey % 2 = 1").select(

@@ -66,9 +66,17 @@ def exact_dedup(
     if quality_col is None:
         elected = F.min_by(row, F.col(id_col))
     else:
-        # max over (quality, -id): highest quality, then lowest id
-        elected = F.max_by(
-            row, F.struct(F.col(quality_col), -F.col(id_col))
+        # min over (-quality, id): highest quality, then lowest id.
+        # Negating QUALITY (numeric by contract — it's a score) rather
+        # than the id keeps the election correct for STRING ids, which
+        # a -id would silently cast to double NULL (non-ANSI) or error
+        # on (ANSI)
+        elected = F.min_by(
+            row,
+            F.struct(
+                (-F.col(quality_col).cast("double")).alias("__negq__"),
+                F.col(id_col).alias("__id__"),
+            ),
         )
     return (
         df.groupBy(doc_fingerprint(F.col(text_col)).alias("__fp__"))
@@ -390,9 +398,15 @@ def minhash_dedup(
                 df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q__")),
                 "id",
             )
+            # min over (-quality, id) — string-id-safe tie-break, same
+            # reasoning as exact_dedup's election above
             keepers = members.groupBy("rep").agg(
-                F.max_by(
-                    F.col("id"), F.struct(F.col("__q__"), -F.col("id"))
+                F.min_by(
+                    F.col("id"),
+                    F.struct(
+                        (-F.col("__q__").cast("double")).alias("__negq__"),
+                        F.col("id").alias("__id__"),
+                    ),
                 ).alias("__keep__")
             )
             dropped = (

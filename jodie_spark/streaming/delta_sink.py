@@ -139,6 +139,7 @@ def write_stream_merge_to_delta(
     available_now: bool = False,
     schema_evolution: bool = False,
     full_snapshot: bool = False,
+    full_snapshot_allow_empty: bool = False,
 ) -> StreamingQuery:
     """Streaming upsert (CDC-apply) sink: each micro-batch MERGEs into
     the Delta table at ``path`` on ``keys`` — the foreachBatch pattern
@@ -151,6 +152,13 @@ def write_stream_merge_to_delta(
     ``available_now=True`` (one batch = one snapshot) or a source
     that emits whole snapshots per batch; composes with the delete
     column (explicit delete rows win) but usually replaces it.
+
+    EMPTY batches are skipped by default — a transient empty
+    micro-batch (source hiccup, rebalance) must not wipe the table, so
+    convergence-to-empty is NOT promised unless
+    ``full_snapshot_allow_empty=True``, which opts in to treating an
+    empty non-first batch as the genuine empty snapshot and deletes
+    every target row.
 
     ``schema_evolution=True`` lets a RESTARTED stream whose source
     grew columns evolve the target: batch columns missing from the
@@ -191,6 +199,15 @@ def write_stream_merge_to_delta(
         batch_df = batch_df.persist()
         try:
             if batch_df.isEmpty():
+                if (
+                    full_snapshot
+                    and full_snapshot_allow_empty
+                    and DeltaLog(path).exists()
+                ):
+                    # opted-in: an empty snapshot means "no rows" —
+                    # converge by deleting everything (stats-pruned
+                    # full-table delete, one commit)
+                    DeltaTable.forPath(batch_df.sparkSession, path).delete()
                 return
             if sequence_col is not None:
                 w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())

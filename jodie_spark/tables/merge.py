@@ -94,28 +94,35 @@ def _align_by_name(col: Column, src_type, dst_type) -> Column:
     return col.cast(dst_type)
 
 
-def _merge_struct_types(tgt_dt, src_dt):
+def _merge_struct_types(tgt_dt, src_dt, allow_widening: bool = True):
     """Recursive schema union for ``withSchemaEvolution``: source-only
     struct fields append (nullable) after the target's, target fields
     keep their metadata (mapping ids / physical names travel
     untouched). A leaf where the source type is a SAFE widening of the
     target's (int→long, float→double, ... — the typeWidening chain)
-    adopts the source type: old narrow files stay readable because
-    every read path up-casts per file. Unsafe conflicts resolve to the
-    TARGET type (the assignment cast handles or rejects them).
-    Returns (merged_type, changed)."""
+    adopts the source type — but ONLY when ``allow_widening`` (the
+    ``delta.enableTypeWidening`` table property; delta-spark parity:
+    schema evolution never silently widens without the opt-in, which
+    would force a minReaderVersion=3 protocol upgrade on external
+    readers). With widening off — and for unsafe conflicts always —
+    the TARGET type wins (the assignment cast narrows or rejects the
+    source). Returns (merged_type, changed)."""
     from pyspark.sql import types as T
 
     from jodie_spark.tables.table import _can_widen
 
     if isinstance(tgt_dt, T.ArrayType) and isinstance(src_dt, T.ArrayType):
-        merged, ch = _merge_struct_types(tgt_dt.elementType, src_dt.elementType)
+        merged, ch = _merge_struct_types(
+            tgt_dt.elementType, src_dt.elementType, allow_widening
+        )
         return T.ArrayType(merged, tgt_dt.containsNull), ch
     if isinstance(tgt_dt, T.MapType) and isinstance(src_dt, T.MapType):
-        merged, ch = _merge_struct_types(tgt_dt.valueType, src_dt.valueType)
+        merged, ch = _merge_struct_types(
+            tgt_dt.valueType, src_dt.valueType, allow_widening
+        )
         return T.MapType(tgt_dt.keyType, merged, tgt_dt.valueContainsNull), ch
     if not (isinstance(tgt_dt, T.StructType) and isinstance(src_dt, T.StructType)):
-        if _can_widen(tgt_dt, src_dt):
+        if allow_widening and _can_widen(tgt_dt, src_dt):
             return src_dt, True
         return tgt_dt, False
     src_by_name = {f.name: f for f in src_dt.fields}
@@ -124,7 +131,7 @@ def _merge_struct_types(tgt_dt, src_dt):
     for f in tgt_dt.fields:
         sf = src_by_name.get(f.name)
         if sf is not None:
-            merged, ch = _merge_struct_types(f.dataType, sf.dataType)
+            merged, ch = _merge_struct_types(f.dataType, sf.dataType, allow_widening)
             changed = changed or ch
             out.append(T.StructField(f.name, merged, f.nullable, f.metadata))
         else:
@@ -963,11 +970,20 @@ class DeltaMergeBuilder:
         ):
             # recursive union (delta-spark mergeSchema semantics): new
             # top-level source columns append, new NESTED fields inside
-            # existing struct columns append within their struct, and
-            # safe type widenings (int→long, float→double chain) adopt
-            # the source's wider type with a delta.typeChanges record
+            # existing struct columns append within their struct, and —
+            # only when the table opted in via delta.enableTypeWidening
+            # — safe type widenings (int→long, float→double chain)
+            # adopt the source's wider type with a delta.typeChanges
+            # record; without the opt-in the target type wins and the
+            # source casts down (delta-spark parity: evolution must not
+            # silently force a reader-protocol upgrade)
+            widening_ok = (
+                str(snap.configuration.get("delta.enableTypeWidening", "false"))
+                .lower()
+                == "true"
+            )
             merged_schema, nested_changed = _merge_struct_types(
-                schema, self.source.schema
+                schema, self.source.schema, allow_widening=widening_ok
             )
             if nested_changed:
                 merged_schema, type_widened = _annotate_type_changes(
@@ -1103,16 +1119,23 @@ class DeltaMergeBuilder:
                 )
             # delta-spark parity: multiple source rows matching one target
             # row make the merge nondeterministic (and pass 2 would emit
-            # one output row per match). Delta allows it only when the
-            # sole matched clause is an unconditional DELETE (result is
-            # deterministic: the row is gone either way) — same rule as
-            # MergeIntoCommand.isDeleteWithMultipleMatchesAllowed.
+            # one output row per match — for merges WITHOUT matched
+            # clauses the matched target row is a 'copy' row, so a
+            # multi-match would silently DUPLICATE it in the rewrite).
+            # Delta allows it only when the sole matched clause is an
+            # unconditional DELETE (result is deterministic: the row is
+            # gone either way) — same rule as
+            # MergeIntoCommand.isDeleteWithMultipleMatchesAllowed. The
+            # guard must run whenever touched files will be rewritten,
+            # i.e. whenever this probe branch is taken, not only when
+            # matched clauses exist (by-source-only and slow-path
+            # insert-only merges rewrite copies too).
             multi_ok = allow_multiple_matches or (
                 len(self._matched) == 1
                 and self._matched[0].kind == "delete"
                 and self._matched[0].condition is None
             )
-            if self._matched and not multi_ok:
+            if not multi_ok:
                 # same shape as MergeIntoCommand.findTouchedFiles — an
                 # inner join with a per-target-row count; both groupBys
                 # partial-aggregate map-side, so the shuffle carries
@@ -1135,9 +1158,10 @@ class DeltaMergeBuilder:
                     probe.unpersist()
                     raise MergeMultipleMatchesError(
                         "MERGE: one target row matched multiple source rows "
-                        "under an update/delete clause; the result would be "
-                        "nondeterministic. Deduplicate the source on the "
-                        "merge key, or pass allow_multiple_matches=True."
+                        "while its file must be rewritten; the result would "
+                        "be nondeterministic (or would duplicate the copied "
+                        "target row). Deduplicate the source on the merge "
+                        "key, or pass allow_multiple_matches=True."
                     )
             else:
                 raw_touched = {

@@ -2482,11 +2482,38 @@ class DeltaTable:
                 "reorg_purge() first"
             )
         root = os.path.join(self.path, "_symlink_format_manifest")
+        abs_root = os.path.abspath(self.path) + os.sep
+        part_cols = snap.partition_columns
         by_dir: dict[str, list[str]] = {}
         for a in adds:
             rel = urllib.parse.unquote(a["path"])
-            part_dir = os.path.dirname(rel)  # '' for unpartitioned
-            uri = "file://" + os.path.abspath(os.path.join(self.path, rel))
+            # os.path.join treats an absolute rel as the full path —
+            # exactly right for shallow-clone adds that point at the
+            # source table's files
+            abs_path = os.path.abspath(os.path.join(self.path, rel))
+            uri = "file://" + abs_path
+            if os.path.isabs(rel) or not abs_path.startswith(abs_root):
+                # external add (shallow clone): dirname(rel) is an
+                # absolute directory in the FOREIGN table — joining it
+                # under the manifest root would escape it and write a
+                # stray manifest into the source table. Rebuild the
+                # Hive-style partition dir from the add's own
+                # partitionValues instead (the layout symlink readers
+                # expect); percent-escaping may be broader than Spark's
+                # but is deterministic and collision-free.
+                pv = a.get("partitionValues") or {}
+                segs = []
+                for c in part_cols:
+                    v = pv.get(c)
+                    raw = (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if v is None
+                        else urllib.parse.quote(str(v), safe="")
+                    )
+                    segs.append(f"{c}={raw}")
+                part_dir = "/".join(segs)
+            else:
+                part_dir = os.path.dirname(rel)  # '' for unpartitioned
             by_dir.setdefault(part_dir, []).append(uri)
         import shutil
 
@@ -2495,6 +2522,11 @@ class DeltaTable:
         written = []
         for part_dir, uris in sorted(by_dir.items()):
             d = os.path.join(root, part_dir) if part_dir else root
+            if not os.path.abspath(d).startswith(os.path.abspath(root)):
+                raise DeltaProtocolError(
+                    f"manifest partition dir {part_dir!r} escapes the "
+                    f"manifest root — refusing to write outside the table"
+                )
             os.makedirs(d, exist_ok=True)
             import uuid as _uuid
 
@@ -3311,10 +3343,16 @@ def write_delta(
             )
         # -- type reconciliation (delta parity): narrower incoming data
         # up-casts to the table type silently; WIDER incoming data
-        # widens the table schema under mergeSchema (typeWidening
-        # feature — old narrow files stay readable because both read
-        # paths up-cast per file); anything else fails AT WRITE TIME
-        # instead of producing files later reads choke on
+        # widens the table schema under mergeSchema — but only when
+        # the table opted in via delta.enableTypeWidening (widening
+        # upgrades the reader protocol, which must never happen
+        # silently; delta-spark gates it the same way); anything else
+        # fails AT WRITE TIME instead of producing files later reads
+        # choke on
+        widening_ok = (
+            str(snap.configuration.get("delta.enableTypeWidening", "false")).lower()
+            == "true"
+        )
         widened: dict[str, T.DataType] = {}
         for f in df.schema.fields:
             if f.name not in table_cols:
@@ -3324,14 +3362,18 @@ def write_delta(
                 continue
             if _can_widen(f.dataType, tt):
                 df = df.withColumn(f.name, F.col(f.name).cast(tt))
-            elif _can_widen(tt, f.dataType) and merge_schema:
+            elif _can_widen(tt, f.dataType) and merge_schema and widening_ok:
                 widened[f.name] = f.dataType
             else:
-                hint = (
-                    ""
-                    if merge_schema
-                    else " (widening like int->long needs mergeSchema=true)"
-                )
+                if merge_schema and _can_widen(tt, f.dataType):
+                    hint = (
+                        " (automatic type widening needs the "
+                        "delta.enableTypeWidening=true table property)"
+                    )
+                elif not merge_schema:
+                    hint = " (widening like int->long needs mergeSchema=true)"
+                else:
+                    hint = ""
                 raise JodieValidationError(
                     f"column {f.name!r}: incoming type "
                     f"{f.dataType.simpleString()} is incompatible with table "

@@ -527,3 +527,40 @@ def test_quality_aware_dedup_election(spark):
         ).collect()
     )
     assert kept3 == [10, 13]
+
+
+def test_quality_election_string_ids(spark):
+    """Regression (round-8 advice): the quality tie-break used -id,
+    which a STRING doc id silently casts to double NULL (non-ANSI,
+    nondeterministic ties) or errors on under ANSI mode. The election
+    must order by (quality desc, id asc) for any orderable id type."""
+    from jodie_spark.operators.text_dedup import exact_dedup, minhash_dedup
+
+    rows = [
+        ("doc-b", "the quick brown fox jumps over the lazy dog again", 0.9),
+        ("doc-a", "THE QUICK  brown fox jumps over the lazy dog again", 0.9),
+        ("doc-c", "the quick brown fox jumps over the lazy dog again ", 0.2),
+        ("doc-z", "an entirely different document about spark engines", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, q double")
+    kept = sorted(
+        r["doc_id"] for r in exact_dedup(df, "text", "doc_id", quality_col="q").collect()
+    )
+    # tie at q=0.9 breaks to the LEXICALLY lowest id, deterministically
+    assert kept == ["doc-a", "doc-z"]
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    chain = [
+        ("m2", base, 0.1),
+        ("m1", base.replace("echo", "ECHO2", 1), 0.8),
+        ("m3", base.replace("india", "INDIA2", 1), 0.8),
+        ("m9", "unrelated corpus text with nothing shared at all " * 5, 0.0),
+    ]
+    cdf = spark.createDataFrame(chain, "doc_id string, text string, q double")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            cdf, "text", "doc_id", verify_threshold=0.5, quality_col="q"
+        ).collect()
+    )
+    assert kept2 == ["m1", "m9"]

@@ -490,6 +490,63 @@ def test_when_not_matched_by_source(spark, tmpdir_path):
     assert got == {1: "A", 2: "gone"}
 
 
+def test_by_source_only_merge_multi_match_raises(spark, tmpdir_path):
+    """Regression (round-8 advice, merge.py multi-match guard): a MERGE
+    with ONLY whenNotMatchedBySource clauses still rewrites touched
+    files, so matched target rows are 'copy' rows — multiple source
+    rows matching one target row must raise (delta-spark raises
+    multipleSourceRowMatchingTargetRowInMergeException whenever files
+    are rewritten), never silently duplicate the copied row."""
+    import os
+
+    import pytest
+
+    from jodie_spark.errors import MergeMultipleMatchesError
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "bysrc_multi")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), p
+    )
+    t = DeltaTable.forPath(spark, p)
+    dup_src = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(MergeMultipleMatchesError):
+        (
+            t.alias("t")
+            .merge(dup_src.alias("s"), "t.k = s.k")
+            .whenNotMatchedBySourceDelete()
+            .execute()
+        )
+    # table unchanged — the guard fired before any write
+    assert sorted((r["k"], r["v"]) for r in t.toDF().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+    # same shape with a by-source UPDATE + a not-matched INSERT:
+    # still guarded (files rewrite, k=1 would otherwise double)
+    with pytest.raises(MergeMultipleMatchesError):
+        (
+            t.alias("t")
+            .merge(dup_src.alias("s"), "t.k = s.k")
+            .whenNotMatchedInsert(values={"k": "s.k", "v": "s.v"})
+            .whenNotMatchedBySourceUpdate(set={"v": "'stale'"})
+            .execute()
+        )
+    assert t.toDF().count() == 2
+
+    # a UNIQUE source through the same clauses still works
+    src = spark.createDataFrame([(1, "x")], "k int, v string")
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .whenNotMatchedBySourceUpdate(set={"v": "'stale'"})
+        .execute()
+    )
+    got = {r["k"]: r["v"] for r in t.toDF().collect()}
+    assert got == {1: "a", 2: "stale"}
+
+
 def test_generate_symlink_format_manifest(spark, tmpdir_path):
     """GENERATE symlink_format_manifest: per-partition manifest files
     listing exactly the CURRENT data files as absolute URIs; stale
@@ -536,6 +593,58 @@ def test_generate_symlink_format_manifest(spark, tmpdir_path):
     t.delete("k = 1", deletion_vectors=True)
     with pytest.raises(DeltaProtocolError, match="deletion"):
         DeltaTable.forPath(spark, p).generate()
+
+
+def test_generate_manifest_shallow_clone_stays_in_root(spark, tmpdir_path):
+    """Regression (round-8 advice, table.py generate): a shallow
+    clone's adds are ABSOLUTE paths into the source table; deriving
+    the manifest dir from dirname(add.path) escaped the manifest root
+    and wrote a stray 'manifest' file into the source's data dir. The
+    partition dir must come from partitionValues, the manifest must
+    live under the CLONE's _symlink_format_manifest/, and the URIs
+    must still point at the source's files."""
+    import os
+
+    from jodie_spark.operators.helpers import shallow_clone
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    src_p = os.path.join(tmpdir_path, "gensrc")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "k int, part string"
+        ),
+        src_p,
+        partition_by=["part"],
+    )
+    src_t = DeltaTable.forPath(spark, src_p)
+    clone_p = os.path.join(tmpdir_path, "genclone")
+    shallow_clone(src_t, clone_p)
+
+    before = {
+        d: sorted(os.listdir(os.path.join(src_p, d)))
+        for d in os.listdir(src_p)
+        if os.path.isdir(os.path.join(src_p, d)) and d.startswith("part=")
+    }
+    written = DeltaTable.forPath(spark, clone_p).generate()
+    root = os.path.join(clone_p, "_symlink_format_manifest")
+    # every written manifest is inside the clone's manifest root
+    assert all(os.path.abspath(w).startswith(os.path.abspath(root)) for w in written)
+    assert sorted(os.listdir(root)) == ["part=x", "part=y"]
+    # the source table's data dirs gained NO stray files
+    after = {
+        d: sorted(os.listdir(os.path.join(src_p, d)))
+        for d in os.listdir(src_p)
+        if os.path.isdir(os.path.join(src_p, d)) and d.startswith("part=")
+    }
+    assert after == before
+    assert not any("manifest" in f for files in after.values() for f in files)
+    # URIs resolve to the source's live files
+    listed = set()
+    for part in ("part=x", "part=y"):
+        with open(os.path.join(root, part, "manifest")) as fh:
+            listed |= {ln[len("file://"):] for ln in fh.read().splitlines() if ln}
+    assert listed and all(os.path.isfile(p) for p in listed)
+    assert all(os.path.abspath(p).startswith(os.path.abspath(src_p)) for p in listed)
 
 
 def test_generate_manifest_unpartitioned_and_mapped_refusal(spark, tmpdir_path):

@@ -410,3 +410,48 @@ def test_stream_merge_full_snapshot_mode(spark, tmpdir_path):
     assert {
         r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()
     } == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_stream_merge_full_snapshot_empty_batch(spark, tmpdir_path):
+    """Regression (round-8 advice): by default an empty micro-batch is
+    SKIPPED even under full_snapshot (a transient empty batch must not
+    wipe the table); full_snapshot_allow_empty=True opts in to treating
+    it as the genuine empty snapshot and deletes every row."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.streaming.delta_sink import write_stream_merge_to_delta
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    src = os.path.join(tmpdir_path, "esnap_src")
+    dst = os.path.join(tmpdir_path, "esnap_dst")
+
+    def run(i, allow_empty):
+        q = write_stream_merge_to_delta(
+            spark.readStream.format("jodie_delta")
+            .option("startingVersion", i)
+            .load(src),
+            dst,
+            os.path.join(tmpdir_path, f"esnap_ckpt{i}_{allow_empty}"),
+            keys=["k"],
+            available_now=True,
+            full_snapshot=True,
+            full_snapshot_allow_empty=allow_empty,
+        )
+        q.awaitTermination(120)
+
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), src
+    )
+    run(0, False)
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 2
+    # empty snapshot arrives (overwrite with zero rows)
+    empty = spark.createDataFrame([], "k int, v string")
+    write_delta(empty, src, mode="overwrite")
+    # default: skipped — table unchanged
+    run(1, False)
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 2
+    # opt-in: converges to empty
+    run(1, True)
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 0

@@ -41,7 +41,11 @@ def test_narrow_source_upcasts_silently(spark, tmpdir_path):
 
 def test_widening_append_with_merge_schema(spark, tmpdir_path):
     p = os.path.join(tmpdir_path, "t")
-    write_delta(spark.createDataFrame([(1, 1.5)], "k int, v float"), p)
+    write_delta(
+        spark.createDataFrame([(1, 1.5)], "k int, v float"),
+        p,
+        options={"delta.enableTypeWidening": "true"},
+    )
     write_delta(
         spark.createDataFrame([(2**40, 2.5)], "k long, v double"),
         p,
@@ -70,7 +74,11 @@ def test_widened_table_reads_through_datasource(spark, tmpdir_path):
 
     register(spark)
     p = os.path.join(tmpdir_path, "t")
-    write_delta(spark.createDataFrame([(1,)], "k int"), p)
+    write_delta(
+        spark.createDataFrame([(1,)], "k int"),
+        p,
+        options={"delta.enableTypeWidening": "true"},
+    )
     write_delta(
         spark.createDataFrame([(2**40,)], "k long"),
         p,
@@ -85,7 +93,11 @@ def test_widened_table_reads_through_datasource(spark, tmpdir_path):
 
 def test_widening_composes_with_new_columns(spark, tmpdir_path):
     p = os.path.join(tmpdir_path, "t")
-    write_delta(spark.createDataFrame([(1,)], "k int"), p)
+    write_delta(
+        spark.createDataFrame([(1,)], "k int"),
+        p,
+        options={"delta.enableTypeWidening": "true"},
+    )
     write_delta(
         spark.createDataFrame([(2**40, "x")], "k long, extra string"),
         p,
@@ -113,6 +125,7 @@ def test_widening_through_schema_evolution_merge(spark, tmpdir_path):
     write_delta(
         spark.createDataFrame([(1, 10, 1.5), (2, 20, 2.5)], "k int, n int, x float"),
         p,
+        options={"delta.enableTypeWidening": "true"},
     )
     t = DeltaTable.forPath(spark, p)
     src = spark.createDataFrame(
@@ -143,3 +156,57 @@ def test_widening_through_schema_evolution_merge(spark, tmpdir_path):
     # old narrow files still read + further DML works
     t2.update("k = 1", {"n": "n + 1"})
     assert {r["k"]: r["n"] for r in t2.toDF().collect()}[1] == 11
+
+
+def test_widening_gated_on_table_property(spark, tmpdir_path):
+    """Regression (round-8 advice): without delta.enableTypeWidening,
+    automatic widening must not happen — it would silently upgrade the
+    reader protocol and lock out external readers. Append+mergeSchema
+    with a wider type fails with a property hint; MERGE
+    withSchemaEvolution keeps the target type and casts the source
+    down; no typeWidening feature ever lands on the protocol."""
+    p = os.path.join(tmpdir_path, "nogate")
+    write_delta(spark.createDataFrame([(1, 10)], "k int, n int"), p)
+    with pytest.raises(JodieValidationError, match="enableTypeWidening"):
+        write_delta(
+            spark.createDataFrame([(2, 9_000_000_000)], "k int, n long"),
+            p,
+            mode="append",
+            options={"mergeSchema": "true"},
+        )
+
+    t = DeltaTable.forPath(spark, p)
+    # long-typed source that still FITS in int: the gate keeps the
+    # target type and casts the source down (an overflowing value
+    # would correctly fail the ANSI cast instead)
+    src = spark.createDataFrame(
+        [(1, 99, "b"), (3, 30, "c")], "k int, n long, tag string"
+    )
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    t2 = DeltaTable.forPath(spark, p)
+    sch = {f.name: f for f in t2.schema().fields}
+    # new column appended, but n stays int (source cast down)
+    assert sch["n"].dataType.typeName() == "integer"
+    assert "tag" in sch
+    assert {r["k"]: r["n"] for r in t2.toDF().collect()} == {1: 99, 3: 30}
+    proto = t2.snapshot().protocol
+    assert "typeWidening" not in (proto.get("writerFeatures") or [])
+    assert "typeWidening" not in (proto.get("readerFeatures") or [])
+    # opting in later unlocks widening on the SAME table
+    t2.set_properties({"delta.enableTypeWidening": "true"})
+    write_delta(
+        spark.createDataFrame([(4, 9_000_000_001, "d")], "k int, n long, tag string"),
+        p,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    t3 = DeltaTable.forPath(spark, p)
+    assert t3.schema()["n"].dataType.typeName() == "long"
+    assert "typeWidening" in (t3.snapshot().protocol.get("readerFeatures") or [])
