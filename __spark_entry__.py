@@ -2458,6 +2458,145 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, "merge scan", mode="all")
 
 
+def _fake_mp4_encode(px) -> bytes:
+    """Deterministic synthetic 'mp4' container for the decoder-override
+    contract test: a real ftyp header (so ``codecs.sniff`` routes it as
+    'mp4' — a format the baseline codecs refuse) followed by H, W and
+    raw RGB bytes."""
+    import struct as _struct
+
+    h, w, _ = px.shape
+    return (
+        b"\x00\x00\x00\x18ftypisom"
+        + _struct.pack("<HH", h, w)
+        + px.astype("uint8").tobytes()
+    )
+
+
+def _fake_mp4_decode(b: bytes):
+    """The matching external-codec stand-in: bytes -> (H, W, 3) uint8,
+    the exact signature a real Pillow/ffmpeg-backed override has."""
+    import struct as _struct
+
+    import numpy as _np
+
+    h, w = _struct.unpack_from("<HH", b, 12)
+    return _np.frombuffer(b, dtype=_np.uint8, offset=16).reshape(h, w, 3)
+
+
+def _q_decoder_override_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decoder_overrides end-to-end (VERDICT r7 item 4): image dedup
+    over a corpus mixing baseline-decodable BMPs with a container the
+    baseline codecs REFUSE (sniffed 'mp4'). The override routes mp4
+    bytes to a deterministic external decoder, so an mp4 clone of a BMP
+    collides at dhash hamming 0 and drops; a UNIQUE mp4 decodes and
+    survives; an 'unknown' blob with no override skips cleanly
+    (on_error='skip': NULL hash never joins) and survives. Survivors
+    are closed-form in doc_id."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jodie_spark.operators.media_dedup import image_dedup
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from jodie_spark.operators.codecs import encode_bmp
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.random.default_rng(did).integers(
+                    0, 256, (16, 12, 3), dtype=_np.uint8
+                )
+                ids.append(did)
+                blobs.append(encode_bmp(px))
+                if did % 4 == 0:
+                    # mp4 EXACT clone of the BMP: only decodable via
+                    # the override; collides at hamming 0 → drops
+                    ids.append(did + 100_000)
+                    blobs.append(_fake_mp4_encode(px))
+                elif did % 4 == 1:
+                    # UNIQUE mp4: decodes via the override, survives
+                    upx = _np.random.default_rng(did + 7_777).integers(
+                        0, 256, (16, 12, 3), dtype=_np.uint8
+                    )
+                    ids.append(did + 100_000)
+                    blobs.append(_fake_mp4_encode(upx))
+                elif did % 4 == 2:
+                    # unroutable garbage: no override, no baseline
+                    # decoder → NULL hash, skips the join, survives
+                    ids.append(did + 100_000)
+                    blobs.append(b"\x00\x01" + did.to_bytes(4, "big") * 3)
+            yield _pd.DataFrame({"doc_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(_synth, out_schema)
+    return image_dedup(
+        media,
+        binary_col="data",
+        id_col="doc_id",
+        max_hamming=2,
+        decoder_overrides={"mp4": _fake_mp4_decode},
+    ).select("doc_id")
+
+
+def _q_reorg_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV → REORG PURGE → GENERATE lifecycle (VERDICT r7 item 5): a
+    partitioned table takes a merge-on-read DELETE (deletion vectors),
+    GENERATE correctly REFUSES while DVs are live, ``REORG TABLE ...
+    APPLY (PURGE)`` rewrites the DV'd files, and GENERATE then writes
+    per-partition symlink manifests. The result is read back THROUGH
+    the manifest files themselves (the Presto/Trino/Athena read path:
+    parquet paths listed per partition dir), so the value check proves
+    the manifests list exactly the live post-delete rows."""
+    import urllib.parse as _up
+
+    from jodie_spark.errors import DeltaProtocolError
+    from jodie_spark.sources import load_table
+    from jodie_spark.sql import sql as jsql
+    from jodie_spark.tables.table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("part")
+    )
+    t = _delta_from(orders, "rpm", partition_by=["part"])
+    t.delete("o_orderkey % 3 = 0", deletion_vectors=True)
+    try:
+        t.generate()
+        raise AssertionError("GENERATE must refuse while DVs are live")
+    except DeltaProtocolError:
+        pass
+    jsql(spark, f"REORG TABLE delta.`{t.path}` APPLY (PURGE)")
+    written = DeltaTable.forPath(spark, t.path).generate()
+
+    per_part: list[DataFrame] = []
+    for man in sorted(written):
+        part_dir = os.path.basename(os.path.dirname(man))
+        part_val = _up.unquote(part_dir.split("=", 1)[1])
+        with open(man, encoding="utf-8") as fh:
+            paths = [ln[len("file://"):] for ln in fh.read().splitlines() if ln]
+        per_part.append(
+            spark.read.parquet(*paths)
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            .select(F.lit(part_val).alias("part"), "n_rows", "sum_key")
+        )
+    out = per_part[0]
+    for df in per_part[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -2465,21 +2604,94 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering matters: the correctness driver checks the first 50
     entries (dict insertion order).  Every registered query has at
-    least one official driver-green row; the window rotates on
-    STALENESS (oldest newest-official-green-row first, as computed by
-    ``tools/check_oracles.py --freshness``).  Round-7 window: slots
-    1-22 keep the SURVEY §2 reference surface official every round;
-    slots 23-32 are the 10 queries whose newest official row dated
-    from round 2/3; slots 33-50 are 18 of the 23 round-4-stale
-    queries.  Five round-4 rows with fresh siblings defer to round 8
-    (windowed_event_counts / sessionize — streaming twins green r5;
-    cdf_datasource — datasource_roundtrip in window; dv_delete —
-    dv_update in window, dv_merge r5; create_table_ddl —
-    column_ddl_lifecycle in window).  The tail (51+) stays
+    least one official driver-green row (or is new this round); the
+    window rotates on STALENESS (oldest newest-official-green-row
+    first, as computed by ``tools/check_oracles.py --freshness``).
+    Round-8 cadence change (VERDICT r7 item 1): the 22 SURVEY §2 core
+    slots move to an EVERY-OTHER-ROUND cadence — they are stable,
+    pytest-pinned, and were green in r7 — freeing the whole window for
+    the 32 queries whose newest official row was >2 rounds old plus
+    the 4 registered-after-r7 rows and the 2 new round-8 queries.
+    Round 9 should window: the 16 r6-green rows at slots 51-66, the 22
+    SURVEY core, and 12 of this round's rows.  The tail (51+) stays
     value-checked every round via tools/check_oracles.py."""
     return {
-        # --- SURVEY §2 reference-surface operators (slots 1-22):
-        # the reference surface stays officially driver-green every round ---
+        # --- round-8 window (slots 1-50), ordered by STALENESS of the
+        # newest official driver-green row (VERDICT r7 item 1: the 22
+        # SURVEY-core slots move to an every-other-round cadence so the
+        # whole registry cycles officially within 2 rounds).
+        # Slots 1-4: registered after the r7 artifact (never official);
+        # 5-6: NEW this round; 7-12: newest green = r4; 13-38: r5;
+        # 39-50: first 12 of the r6 cohort. 51+: the 16 remaining r6
+        # rows (2 rounds old after r8 — due in the r9 window with the
+        # SURVEY core), then the r7-green core + rotation rows; all of
+        # 51+ stays value-checked every round via tools/check_oracles.py.
+        "quality_dedup": _q_quality_dedup,
+        "nested_evolution": _q_nested_evolution,
+        "merge_full_sync": _q_merge_full_sync,
+        "num_shuffle_files": _q_num_shuffle_files,
+        "decoder_override_dedup": _q_decoder_override_dedup,
+        "reorg_purge_manifest": _q_reorg_purge_manifest,
+        "cdf_datasource": _q_cdf_datasource,
+        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
+        "create_table_ddl": _q_create_table_ddl,
+        "dv_delete": _q_dv_delete,
+        "sessionize": _q_sessionize,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "audio_dedup": _q_audio_dedup,
+        "bigram_perplexity": _q_bigram_perplexity,
+        "bm25_search": _q_bm25_search,
+        "column_defaults": _q_column_defaults,
+        "dv_merge": _q_dv_merge,
+        "encode_corpus": _q_encode_corpus,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "gopher_quality": _q_gopher_quality,
+        "identity_columns": _q_identity_columns,
+        "keyword_search": _q_keyword_search,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "liquid_clustering": _q_liquid_clustering,
+        "minhash_dedup": _q_minhash_dedup,
+        "mixture_weights": _q_mixture_weights,
+        "multimodal_decode": _q_multimodal_decode,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "row_tracking": _q_row_tracking,
+        "semantic_dedup": _q_semantic_dedup,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_window_counts": _q_streaming_window_counts,
+        "substring_dedup": _q_substring_dedup,
+        "type_widening": _q_type_widening,
+        "v2_checkpoint": _q_v2_checkpoint,
+        "variant_table": _q_variant_table,
+        "ann_topk": _q_ann_topk,
+        "bpe_token_count": _q_bpe_token_count,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "check_constraints": _q_check_constraints,
+        "classifier_quality": _q_classifier_quality,
+        "clean_corpus": _q_clean_corpus,
+        "column_mapping_id": _q_column_mapping_id,
+        "contamination_check": _q_contamination_check,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_quantize": _q_embedding_quantize,
+        "generated_columns": _q_generated_columns,
+        "html_extract": _q_html_extract,
+        "image_dedup": _q_image_dedup,
+        "interval_join": _q_interval_join,
+        "ivf_topk": _q_ivf_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "language_id": _q_language_id,
+        "normalize_text": _q_normalize_text,
+        "pack_sequences": _q_pack_sequences,
+        "perplexity": _q_perplexity,
+        "pii_scrub": _q_pii_scrub,
+        "pq_topk": _q_pq_topk,
+        "profile_table": _q_profile_table,
+        "repetition_signals": _q_repetition_signals,
+        "restore_roundtrip": _q_restore_roundtrip,
+        "streaming_scd2": _q_streaming_scd2,
+        "video_dedup": _q_video_dedup,
         "kill_duplicate_records": _q_kill_duplicate_records,
         "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
         "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
@@ -2502,7 +2714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_files_deterministic": _q_shuffle_files_deterministic,
         "optimize_compaction": _q_optimize_compaction,
         "optimize_zorder": _q_optimize_zorder,
-        # --- slots 23-32: newest official green row = round 2/3 ---
         "token_frequencies": _q_token_frequencies,
         "corpus_stats": _q_corpus_stats,
         "pricing_summary": _q_pricing_summary,
@@ -2513,7 +2724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
-        # --- slots 33-50: newest official green row = round 4 ---
         "range_join": _q_range_join,
         "similarity_topk": _q_similarity_topk,
         "sql_dml": _q_sql_dml,
@@ -2531,78 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dup_stats": _q_passage_dup_stats,
         "knn_graph": _q_knn_graph,
         "dv_update": _q_dv_update,
-        # --- slot 50: NEW this round — schema-evolution MERGE on a
-        # column-mapped target (no official row exists yet, so it
-        # outranks the stale rotation; column_ddl_lifecycle defers to
-        # round 8 with its sibling create_table_ddl) ---
         "merge_schema_evolution": _q_merge_schema_evolution,
-        # --- position 51+: overflow — r4 rows deferred to round 8
-        # first, then r5/r6 rows; all remain locally value-checked
-        # every round via tools/check_oracles.py ---
-        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "sessionize": _q_sessionize,
-        "cdf_datasource": _q_cdf_datasource,
-        "dv_delete": _q_dv_delete,
-        "create_table_ddl": _q_create_table_ddl,
-        "audio_dedup": _q_audio_dedup,
-        "bigram_perplexity": _q_bigram_perplexity,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "mixture_weights": _q_mixture_weights,
-        "bm25_search": _q_bm25_search,
-        "keyword_search": _q_keyword_search,
-        "identity_columns": _q_identity_columns,
-        "row_tracking": _q_row_tracking,
-        "liquid_clustering": _q_liquid_clustering,
-        "type_widening": _q_type_widening,
-        "v2_checkpoint": _q_v2_checkpoint,
-        "encode_corpus": _q_encode_corpus,
-        "column_defaults": _q_column_defaults,
-        "gopher_quality": _q_gopher_quality,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "streaming_window_counts": _q_streaming_window_counts,
-        "streaming_sessionize": _q_streaming_sessionize,
-        "minhash_dedup": _q_minhash_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "substring_dedup": _q_substring_dedup,
-        "variant_table": _q_variant_table,
-        "dv_merge": _q_dv_merge,
-        "multimodal_decode": _q_multimodal_decode,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_cdc_apply": _q_streaming_cdc_apply,
-        "clean_corpus": _q_clean_corpus,
-        "ann_topk": _q_ann_topk,
-        "bpe_token_count": _q_bpe_token_count,
-        "check_constraints": _q_check_constraints,
-        "classifier_quality": _q_classifier_quality,
-        "contamination_check": _q_contamination_check,
-        "doc_chunks": _q_doc_chunks,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_quantize": _q_embedding_quantize,
-        "generated_columns": _q_generated_columns,
-        "ivf_topk": _q_ivf_topk,
-        "language_id": _q_language_id,
-        "normalize_text": _q_normalize_text,
-        "pack_sequences": _q_pack_sequences,
-        "perplexity": _q_perplexity,
-        "pii_scrub": _q_pii_scrub,
-        "pq_topk": _q_pq_topk,
-        "profile_table": _q_profile_table,
-        "repetition_signals": _q_repetition_signals,
-        "restore_roundtrip": _q_restore_roundtrip,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "html_extract": _q_html_extract,
-        "interval_join": _q_interval_join,
-        "streaming_scd2": _q_streaming_scd2,
-        "column_mapping_id": _q_column_mapping_id,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "image_dedup": _q_image_dedup,
-        "video_dedup": _q_video_dedup,
-        "quality_dedup": _q_quality_dedup,
-        "nested_evolution": _q_nested_evolution,
-        "merge_full_sync": _q_merge_full_sync,
-        "num_shuffle_files": _q_num_shuffle_files,
     }
 
 
@@ -4370,5 +4509,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "decoder_override_dedup": """
+            -- mp4 clones (doc_id %4=0) route through the override,
+            -- collide at hamming 0 and drop; unique mp4s (%4=1)
+            -- decode+survive; unroutable blobs (%4=2) skip+survive
+            SELECT doc_id FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id FROM documents
+            WHERE doc_id < 200 AND doc_id % 4 IN (1, 2)
+        """,
+        "reorg_purge_manifest": """
+            -- rows readable through the post-PURGE symlink manifests =
+            -- exactly the surviving rows of the DV delete
+            SELECT o_orderstatus AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders WHERE o_orderkey % 3 != 0
+            GROUP BY o_orderstatus
         """,
     }

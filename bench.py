@@ -140,10 +140,27 @@ def main() -> None:
         "quality_dedup",
         "nested_evolution",
         "merge_full_sync",
+        "decoder_override_dedup",
+        "reorg_purge_manifest",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0
+    # fixed CALIBRATION workload (registry-independent, data-independent):
+    # a pure-codegen aggregation over a generated range + a small shuffle.
+    # Its cost depends only on the machine, so round-over-round drift in
+    # "calibration" separates ambient machine slowdown from real query
+    # regressions (VERDICT r7 item 3).
+    cal_best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "id % 97 as k", "id as v"
+        ).groupBy("k").sum("v").count()
+        dt = time.time() - t0
+        cal_best = dt if cal_best is None else min(cal_best, dt)
+    timings["calibration"] = round(cal_best, 3)
+    print(f"# calibration: {cal_best:.3f}s", file=sys.stderr)
     # Each query runs twice and the faster run is reported: the first
     # execution pays per-query whole-stage-codegen compilation and any
     # ambient machine noise; the min is the steady-state cost a warmed
@@ -203,18 +220,42 @@ def main() -> None:
     except Exception as e:  # profiling must never fail the bench
         notes["semantic_dedup_phases"] = {"error": str(e)}
 
-    print(
-        json.dumps(
-            {
-                "metric": "jodie_spark_bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "notes": notes,
-            }
-        )
-    )
+    # Full document (3-dp timings + phase notes) goes to a sidecar file;
+    # stdout's FINAL line is a compact JSON document small enough to
+    # survive the driver's tail capture (~2000 chars) intact, so the
+    # official BENCH_r{N}.json artifact always parses (VERDICT r7 item
+    # 2: r6/r7 artifacts had parsed=null with the front truncated).
+    full_doc = {
+        "metric": "jodie_spark_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "notes": notes,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(full_doc, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:  # sidecar is best-effort; the stdout line is the contract
+        print(f"# bench_full.json not written: {e}", file=sys.stderr)
+
+    compact = {
+        "metric": "jodie_spark_bench_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1990:  # still too wide: drop to 1-dp timings
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
