@@ -2597,6 +2597,60 @@ def _q_reorg_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-style Iceberg metadata generation, value-verified by
+    reading the table back THROUGH the Iceberg metadata chain exactly
+    like an Iceberg reader: vN.metadata.json → current snapshot →
+    manifest list (avro) → manifest (avro) → per-file typed partition
+    values + parquet paths. A DELETE between two generations proves
+    each conversion describes the CURRENT snapshot. Output = per
+    partition (n_rows, sum_key) computed from manifest record counts
+    and the listed files."""
+    import json as _json
+
+    from jodie_spark.interop.avro import read_container
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("part")
+    )
+    t = _delta_from(orders, "unifi", partition_by=["part"])
+    t.generate("iceberg")  # v1: full table
+    t.delete("o_orderkey % 3 = 0")
+    meta_path = DeltaTable.forPath(spark, t.path).generate("iceberg")[0]  # v2
+
+    with open(meta_path, encoding="utf-8") as fh:
+        md = _json.load(fh)
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, manifests, _ = read_container(snap["manifest-list"][len("file://"):])
+    per_part: list[DataFrame] = []
+    for m in manifests:
+        _, entries, _ = read_container(m["manifest_path"][len("file://"):])
+        by_part: dict[str, list] = {}
+        for e in entries:
+            d = e["data_file"]
+            by_part.setdefault(d["partition"]["part"], []).append(
+                d["file_path"][len("file://"):]
+            )
+        for part_val, paths in by_part.items():
+            per_part.append(
+                spark.read.parquet(*paths)
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").alias("sum_key"),
+                )
+                .select(F.lit(part_val).alias("part"), "n_rows", "sum_key")
+            )
+    out = per_part[0]
+    for df in per_part[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -2632,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_shuffle_files": _q_num_shuffle_files,
         "decoder_override_dedup": _q_decoder_override_dedup,
         "reorg_purge_manifest": _q_reorg_purge_manifest,
+        "uniform_iceberg": _q_uniform_iceberg,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4522,6 +4577,15 @@ def oracle_sql() -> dict[str, str]:
         "reorg_purge_manifest": """
             -- rows readable through the post-PURGE symlink manifests =
             -- exactly the surviving rows of the DV delete
+            SELECT o_orderstatus AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders WHERE o_orderkey % 3 != 0
+            GROUP BY o_orderstatus
+        """,
+        "uniform_iceberg": """
+            -- rows readable through the CURRENT Iceberg snapshot's
+            -- manifest chain = the post-delete table state
             SELECT o_orderstatus AS part,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key

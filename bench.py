@@ -142,6 +142,7 @@ def main() -> None:
         "merge_full_sync",
         "decoder_override_dedup",
         "reorg_purge_manifest",
+        "uniform_iceberg",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

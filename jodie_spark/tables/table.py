@@ -2459,10 +2459,17 @@ class DeltaTable:
         Refused on tables with deletion vectors (a symlink reader would
         resurrect DV-deleted rows) — run ``reorg_purge()`` first, same
         contract as delta-spark's manifest generation."""
+        if mode == "iceberg":
+            # UniForm-style Iceberg metadata (public Delta feature
+            # delta.universalFormat.enabledFormats=iceberg): full
+            # conversion of the current snapshot under <table>/metadata/
+            from jodie_spark.interop.iceberg import convert_to_iceberg
+
+            return [convert_to_iceberg(self)]
         if mode != "symlink_format_manifest":
             raise JodieValidationError(
                 f"unsupported GENERATE mode {mode!r} "
-                f"(only symlink_format_manifest)"
+                f"(only symlink_format_manifest and iceberg)"
             )
         snap = self.snapshot()
         from jodie_spark.tables.column_mapping import column_mapping_mode
