@@ -1318,14 +1318,17 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup over REAL decoded pixels: per doc a
     deterministic noise image (BMP for even ids, PNG otherwise), plus a
     CROSS-FORMAT exact clone for every 10th doc (same pixels, the other
-    container), a LOSSY JPEG q97 clone for ids ≡5 (mod 10), and a
-    lossless GIF clone for ids ≡8 (mod 10) — the baseline JPEG and GIF
+    container), a LOSSY JPEG q97 clone for ids ≡5 (mod 10), a
+    PROGRESSIVE JPEG q97 clone for ids ≡3 (mod 10) (SOF2 successive
+    approximation through the native decoder), and a lossless GIF clone
+    for ids ≡8 (mod 10) — the JPEG and GIF
     decoders in the dedup path. dHash is computed on
     decoded pixels, so lossless clones collide at hamming 0 and the
-    JPEG clones land ≤3 bits away (measured worst case over the
-    fixture seeds), while distinct noise images sit ≥16 bits apart —
-    at max_hamming=3 survivors are exactly the originals, closed-form
-    in doc_id."""
+    JPEG clones land ≤4 bits away (measured worst case over the
+    fixture seeds; the progressive lane's worst is 4), while distinct
+    noise images sit ≥16 bits apart — at max_hamming=4 with 8-bit
+    bands (pigeonhole recall to hamming 7) survivors are exactly the
+    originals, closed-form in doc_id."""
     from collections.abc import Iterator as _It
 
     import numpy as _np
@@ -1362,6 +1365,13 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif did % 10 == 5:  # lossy JPEG near-clone (≤3 bits)
                     ids.append(did + 100_000)
                     blobs.append(encode_jpeg(px, quality=97))
+                elif did % 10 == 3:  # PROGRESSIVE JPEG near-clone (SOF2)
+                    from jodie_spark.operators.codecs import (
+                        encode_jpeg_progressive,
+                    )
+
+                    ids.append(did + 100_000)
+                    blobs.append(encode_jpeg_progressive(px, quality=97))
                 elif did % 10 == 8:  # lossless GIF clone (hamming 0)
                     from jodie_spark.operators.codecs import encode_gif
 
@@ -1371,7 +1381,7 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_synth, out_schema)
     return image_dedup(
-        media, binary_col="data", id_col="doc_id", max_hamming=3
+        media, binary_col="data", id_col="doc_id", max_hamming=4, bands=8
     ).select("doc_id")
 
 

@@ -13,10 +13,12 @@ video stand-in. GIF (87a/89a LZW, interlace, local palettes —
 :func:`decode_gif`, verified against real full-LZW files) rounds out
 the image set. :func:`encode_jpeg` (baseline 4:4:4, Annex K tables)
 and :func:`encode_gif` (literal-code LZW) exist for fixture
-generation. Formats that genuinely need external libraries
-(progressive JPEG / MP4 / ...) raise ``ValueError`` with the sniffed
-format name so callers can route those rows to a Pillow/ffmpeg-backed
-decoder when one is available.
+generation. JPEG covers baseline/extended sequential (SOF0/SOF1)
+AND progressive (SOF2 — spectral selection + successive approximation,
+T.81 Annex G). Formats that genuinely need external libraries
+(MP4 / MP3 / HEIC / ...) raise ``ValueError`` with the sniffed format
+name so callers can route those rows to a Pillow/ffmpeg-backed decoder
+when one is available (``decoder_overrides``).
 
 All functions operate on ``bytes`` and are called from Arrow-batched
 ``mapInPandas`` kernels — one Python call per ROW but with all the
@@ -433,8 +435,10 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
     """Baseline/extended sequential JPEG (SOF0/SOF1) → (width, height,
     rgb|None): huffman entropy decode, dequantize, 8x8 IDCT, chroma
     upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers, JFIF
-    YCbCr→RGB. Progressive (SOF2) and arithmetic-coded JPEGs raise
-    with the reason so callers can route them to an external codec."""
+    YCbCr→RGB. Progressive (SOF2) delegates to
+    :func:`_decode_progressive`; arithmetic-coded and lossless JPEGs
+    raise with the reason so callers can route them to an external
+    codec."""
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError(f"not a JPEG payload (sniffed: {sniff(b)})")
     qt: dict[int, np.ndarray] = {}
@@ -476,9 +480,12 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 * c + 3)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 — progressive DCT, huffman
+            return _decode_progressive(b, with_pixels)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/extended sequential JPEG (SOF0/SOF1) supported "
+                "only baseline/extended sequential (SOF0/SOF1) and "
+                "progressive (SOF2) JPEG supported "
                 f"(got SOF marker 0x{marker:02X}) — route to an external codec"
             )
         elif marker == 0xC4:  # DHT
@@ -580,6 +587,409 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
     return w, h, np.ascontiguousarray(rgb)
+
+
+def _decode_progressive(b: bytes, with_pixels: bool = True):
+    """Progressive JPEG (SOF2, huffman) → (width, height, rgb|None).
+
+    T.81 Annex G decoding: coefficients accumulate across scans —
+    spectral selection (Ss..Se bands) and successive approximation
+    (Ah/Al bit planes) in any legal progression — then one dequantize +
+    IDCT pass at EOI. Supports interleaved DC scans, non-interleaved
+    per-component scans, EOB runs, DC/AC refinement bits, and restart
+    markers (handled positionally: any RSTn resets predictors + EOB
+    run, so no DRI bookkeeping is needed). Algorithm structure follows
+    the public spec (same logic as libjpeg's jdphuff.c, re-derived)."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    geom = None
+    coef: dict[int, np.ndarray] = {}
+    i = 2
+    n = len(b)
+    while i < n - 1:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        i += 2
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+            continue  # 0x00 = stuffed-FF remnant of a finished scan
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", b, i)
+        seg = b[i + 2 : i + length]
+        i += length
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq_prec, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq_prec:
+                    vals = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                qt[tq] = vals
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 * c + 3)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+            if not with_pixels:
+                return w, h, None
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+            for c in comps:
+                # full MCU-padded block grid; zigzag-order coefficients
+                coef[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+                # non-interleaved scan dims (T.81 A.1.1: ceil of the
+                # component's own sample extents)
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                c["nbx"] = (cw + 7) // 8
+                c["nby"] = (ch + 7) // 8
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF inside progressive stream")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = seg[p + 17 : p + 17 + total]
+                huff[(tc, th)] = _build_huff(counts, symbols)
+                p += 17 + total
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("progressive SOS before SOF2")
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append({"id": cs, "dc": tables >> 4, "ac": tables & 15})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            i = _progressive_scan(
+                b, i, frame, geom, coef, huff, scomps, ss, se, ah, al
+            )
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    A = _DCT_A
+    out_planes = []
+    for c in comps:
+        zz = coef[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+        gby, gbx = zz.shape[0], zz.shape[1]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        blocks = nat.reshape(gby, gbx, 8, 8)
+        px = np.einsum("ij,yxjk,kl->yxil", A.T, blocks, A) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(gby * 8, gbx * 8)
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return w, h, np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def _progressive_scan(b, pos, frame, geom, coef, huff, scomps, ss, se, ah, al):
+    """Decode one progressive scan's entropy data starting at ``pos``;
+    returns the position of the terminating marker. Restart markers
+    reset DC predictors and the EOB run and decoding retries the
+    pending block (valid streams restart only at MCU boundaries)."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    pred = {sc["id"]: 0 for sc in scomps}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    # flat task list in scan order: (comp_id, by, bx, dc_table, ac_table)
+    tasks: list[tuple] = []
+    if len(scomps) > 1:
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan is illegal")
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                for sc in scomps:
+                    c = comps[sc["id"]]
+                    for v_ in range(c["v"]):
+                        for h_ in range(c["h"]):
+                            tasks.append(
+                                (sc["id"], my * c["v"] + v_, mx * c["h"] + h_, sc)
+                            )
+    else:
+        sc = scomps[0]
+        c = comps[sc["id"]]
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                tasks.append((sc["id"], by, bx, sc))
+
+    br = _BitReader(b, pos)
+
+    def dc_first(cvec, sc):
+        s = _huff_decode(br, huff[(0, sc["dc"])])
+        diff = _extend(br.read(s), s) if s else 0
+        pred[sc["id"]] += diff
+        cvec[0] = pred[sc["id"]] << al
+
+    def dc_refine(cvec):
+        if br.read_bit():
+            cvec[0] |= p1
+
+    def ac_first(cvec, sc):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        act = huff[(1, sc["ac"])]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 15
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("progressive AC index overflow")
+                cvec[k] = _extend(br.read(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                k += 16
+
+    def ac_refine(cvec, sc):
+        nonlocal eobrun
+        act = huff[(1, sc["ac"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, act)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s:
+                    # per T.81 G.1.2.3 s is always 1 in refinement scans
+                    val = p1 if br.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # advance over r zero-history coefficients, emitting
+                # correction bits for every nonzero-history one passed
+                while k <= se:
+                    if cvec[k]:
+                        if br.read_bit() and not (cvec[k] & p1):
+                            cvec[k] += p1 if cvec[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    cvec[k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB-covered block: only correction bits for nonzero history
+            while k <= se:
+                if cvec[k]:
+                    if br.read_bit() and not (cvec[k] & p1):
+                        cvec[k] += p1 if cvec[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    idx = 0
+    while idx < len(tasks):
+        cid, by, bx, sc = tasks[idx]
+        cvec = coef[cid][by, bx]
+        try:
+            if ss == 0 and ah == 0:
+                dc_first(cvec, sc)
+            elif ss == 0:
+                dc_refine(cvec)
+            elif ah == 0:
+                ac_first(cvec, sc)
+            else:
+                ac_refine(cvec, sc)
+            idx += 1
+        except _MarkerHit as mh:
+            m = mh.marker & 0xFF
+            if 0xD0 <= m <= 0xD7:  # RSTn: reset, retry this block
+                pred = {s_["id"]: 0 for s_ in scomps}
+                eobrun = 0
+                br = _BitReader(b, br.pos + 2)
+            else:  # next SOS/EOI/... — scan ends here
+                return br.pos
+    return br.pos
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JFIF JPEG (SOF2, 4:4:4): a DC
+    scan with one bit of successive approximation (Al=1) + its DC
+    refinement scan, then one full-band AC scan per component. Uses the
+    SAME quantization + huffman tables as :func:`encode_jpeg`, so the
+    coefficients — and therefore the decoded pixels — are bit-identical
+    to the baseline encoding of the same input: the roundtrip partner
+    that proves :func:`_decode_progressive` correct. DC scans honor
+    ``restart_interval`` (RSTn every N MCUs)."""
+    h, w, _ = pixels.shape
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255)[_ZIGZAG]
+    qc = np.clip((_STD_CHROMA_Q * scale + 50) // 100, 1, 255)[_ZIGZAG]
+
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_l, ac_l = _enc_huff(*_STD_DC_LUMA), _enc_huff(*_STD_AC_LUMA)
+    dc_c, ac_c = _enc_huff(*_STD_DC_CHROMA), _enc_huff(*_STD_AC_CHROMA)
+    A = _DCT_A
+    planes = [(y, ql), (cb, qc), (cr, qc)]
+    padded = []
+    for plane, _q in planes:
+        p = np.empty((bh * 8, bw * 8))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    # quantized zigzag coefficients for every (comp, block) up front
+    zzs = []
+    for ci, (_, q) in enumerate(planes):
+        comp = np.empty((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coefs = A @ block @ A.T
+                comp[by, bx] = np.round(coefs.reshape(-1)[_ZIGZAG] / q).astype(int)
+        zzs.append(comp)
+
+    # --- scan 1: interleaved DC first, Al=1 ---
+    bwr = _BitWriter()
+    pred = [0, 0, 0]
+    dc_tabs = [dc_l, dc_c, dc_c]
+    mcu_idx = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bwr.flush()
+                bwr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_idx += 1
+            for ci in range(3):
+                t = int(zzs[ci][by, bx, 0]) >> 1  # point transform Al=1
+                diff = t - pred[ci]
+                pred[ci] = t
+                s = _category(diff)
+                code, ln = dc_tabs[ci][s]
+                bwr.write(code, ln)
+                if s:
+                    bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bwr.flush()
+    dc_scan1 = bytes(bwr.out)
+
+    # --- scan 2: interleaved DC refine, Ah=1 Al=0 (one raw bit/block) ---
+    bwr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                bwr.write(int(zzs[ci][by, bx, 0]) & 1, 1)
+    bwr.flush()
+    dc_scan2 = bytes(bwr.out)
+
+    # --- scans 3-5: per-component AC 1..63, no successive approx ---
+    ac_scans = []
+    ac_tabs = [ac_l, ac_c, ac_c]
+    for ci in range(3):
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zzs[ci][by, bx]
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[ci][0xF0]
+                        bwr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_tabs[ci][(run << 4) | s]
+                    bwr.write(code, ln)
+                    bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[ci][0x00]  # EOB (run length 1)
+                    bwr.write(code, ln)
+        bwr.flush()
+        ac_scans.append(bytes(bwr.out))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(ql[z]) for z in range(64)))
+    out += seg(0xDB, bytes([1]) + bytes(int(qc[z]) for z in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+    out += seg(0xC2, sof)
+    for (tc, th), (counts, symbols) in (
+        ((0, 0), _STD_DC_LUMA), ((1, 0), _STD_AC_LUMA),
+        ((0, 1), _STD_DC_CHROMA), ((1, 1), _STD_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + symbols)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    # scan 1: DC first (all comps), Ss=0 Se=0 Ah=0 Al=1
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
+    out += dc_scan1
+    # scan 2: DC refine, Ah=1 Al=0 (DC table unused but declared)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]))
+    out += dc_scan2
+    # scans 3-5: AC full band per component
+    for ci, cid in enumerate((1, 2, 3)):
+        out += seg(0xDA, bytes([1, cid, 0x00 if ci == 0 else 0x01, 1, 63, 0x00]))
+        out += ac_scans[ci]
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # Annex K tables — the standard luminance/chrominance quantization and

@@ -61,7 +61,7 @@ def with_image_dhash(
     undecodable blobs hash to NULL under ``on_error='skip'``.
 
     ``decoder_overrides`` routes formats the baseline codecs cannot
-    decode (progressive JPEG, HEIC, ...) — or formats where a native
+    decode (MP4 frames, HEIC, ...) — or formats where a native
     library is simply faster — to external decoders: a dict from
     sniffed format name to ``bytes -> (H, W, 3) uint8`` pixel array.
     Routed rows join the banded dedup exactly like baseline-decoded

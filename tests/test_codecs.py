@@ -366,15 +366,179 @@ def test_jpeg_routes_through_decode_image_and_dhash_collides():
     assert d <= 2
 
 
-def test_jpeg_progressive_refuses_with_reason():
+def test_jpeg_lossless_sof_refuses_with_reason():
     from jodie_spark.operators.codecs import decode_jpeg, encode_jpeg
 
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     b = bytearray(encode_jpeg(img))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    b[i + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless, unsupported)
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(b))
+
+
+def test_jpeg_progressive_matches_baseline_bit_for_bit():
+    """encode_jpeg_progressive uses the same quantization + huffman
+    tables as encode_jpeg, so the progressive decode must be IDENTICAL
+    to the baseline decode of the same input — covers DC successive
+    approximation (Al=1 first scan + refinement scan), non-interleaved
+    per-component AC scans, EOB handling, ZRL, and restart markers
+    inside a progressive DC scan."""
+    from jodie_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        sniff,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape, q, ri in [
+        ((16, 12, 3), 85, 0),
+        ((24, 17, 3), 70, 0),   # non-multiple-of-8 edges
+        ((8, 8, 3), 97, 0),     # single MCU
+        ((33, 29, 3), 85, 2),   # restart markers every 2 MCUs
+    ]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = encode_jpeg_progressive(px, quality=q, restart_interval=ri)
+        assert sniff(prog) == "jpeg"
+        wb, hb, pb = decode_jpeg(encode_jpeg(px, quality=q))
+        wp, hp, pp = decode_jpeg(prog)
+        assert (wp, hp) == (wb, hb) == (shape[1], shape[0])
+        assert np.array_equal(pb, pp)
+    # smooth gradients (realistic spectra, long zero runs)
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(px, 80))[2],
+        decode_jpeg(encode_jpeg_progressive(px, 80))[2],
+    )
+
+
+def test_jpeg_progressive_ac_successive_approximation():
+    """AC successive approximation (the refinement path
+    encode_jpeg_progressive does not emit): a hand-assembled
+    single-component SOF2 stream with known coefficients — DC scan, AC
+    first scan at Al=1, then an AC refinement scan (Ah=1, Al=0)
+    carrying newly-significant coefficients, correction bits, and
+    per-block EOBs. Decoded pixels must equal the direct IDCT of the
+    planted coefficients."""
+    from jodie_spark.operators.codecs import (
+        _BitWriter,
+        _category,
+        _DCT_A,
+        _enc_huff,
+        _STD_AC_LUMA,
+        _STD_DC_LUMA,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    # two 8x8 blocks (8x16 grayscale), zigzag-order coefficients
+    zzA = np.zeros(64, dtype=np.int64)
+    zzA[0], zzA[1], zzA[3], zzA[7], zzA[20], zzA[33] = -13, 5, -4, 1, -1, 7
+    zzB = np.zeros(64, dtype=np.int64)
+    zzB[0], zzB[2], zzB[10], zzB[62] = 6, -3, 1, -5
+    blocks = [zzA, zzB]
+
+    dc_t = _enc_huff(*_STD_DC_LUMA)
+    ac_t = _enc_huff(*_STD_AC_LUMA)
+
+    def put_mag(bwr, v, s):
+        bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    # scan 1: DC first, Al=0
+    bwr = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _category(diff)
+        code, ln = dc_t[s]
+        bwr.write(code, ln)
+        if s:
+            put_mag(bwr, diff, s)
+    bwr.flush()
+    dc_scan = bytes(bwr.out)
+
+    # scan 2: AC first, Ss=1 Se=63 Al=1 (values sign*(|v|>>1); |v|==1 omitted)
+    bwr = _BitWriter()
+    for zz in blocks:
+        t = [(1 if v > 0 else -1) * (abs(int(v)) >> 1) for v in zz]
+        last = max((k for k in range(1, 64) if t[k]), default=0)
+        run = 0
+        for k in range(1, last + 1):
+            if t[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[0xF0]
+                bwr.write(code, ln)
+                run -= 16
+            s = _category(t[k])
+            code, ln = ac_t[(run << 4) | s]
+            bwr.write(code, ln)
+            put_mag(bwr, t[k], s)
+            run = 0
+        if last < 63:
+            code, ln = ac_t[0x00]
+            bwr.write(code, ln)
+    bwr.flush()
+    ac_first = bytes(bwr.out)
+
+    # scan 3: AC refine, Ah=1 Al=0 — newly-significant (|v|==1) emit
+    # (run<<4)|1 + sign bit; history-nonzero (|v|>1) emit buffered
+    # correction bits (|v| & 1); trailing state closes with EOB
+    bwr = _BitWriter()
+    for zz in blocks:
+        absv = [abs(int(v)) for v in zz]
+        run, corr = 0, []
+        for k in range(1, 64):
+            if absv[k] == 0:
+                run += 1
+            elif absv[k] > 1:
+                corr.append(absv[k] & 1)
+            else:  # newly significant
+                code, ln = ac_t[(run << 4) | 1]
+                bwr.write(code, ln)
+                bwr.write(1 if zz[k] > 0 else 0, 1)
+                for bit in corr:
+                    bwr.write(bit, 1)
+                run, corr = 0, []
+        if run or corr:
+            code, ln = ac_t[0x00]  # EOB (run of 1)
+            bwr.write(code, ln)
+            for bit in corr:
+                bwr.write(bit, 1)
+    bwr.flush()
+    ac_refine = bytes(bwr.out)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # all-ones quant
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + _STD_DC_LUMA[1])
+    out += seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + _STD_AC_LUMA[1])
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_scan
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + ac_first
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + ac_refine
+    out += b"\xff\xd9"
+
+    w, h, got = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 8)
+    # expected: direct IDCT of the planted coefficients (q = 1)
+    A = _DCT_A
+    exp = np.empty((8, 16))
+    for bi, zz in enumerate(blocks):
+        nat = np.zeros(64)
+        nat[_ZIGZAG] = zz
+        exp[:, bi * 8 : bi * 8 + 8] = A.T @ nat.reshape(8, 8) @ A + 128.0
+    exp8 = np.clip(exp, 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], exp8)
+    assert np.array_equal(got[:, :, 1], got[:, :, 0])  # gray replicated
 
 
 # ---------------------------------------------------------------------------
