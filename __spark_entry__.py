@@ -2661,6 +2661,53 @@ def _q_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (C4/RefinedWeb guard against one
+    site dominating the corpus): plant deterministic URLs over 5
+    registrable domains (ids ≡0 mod 7 get junk, always kept), keep the
+    20 best per domain by n_chars (ties → lowest id). The Spark side
+    runs the two-stage salted exact top-k election (no hot-domain
+    straggler); the oracle is the closed-form single window."""
+    from jodie_spark.functions.urls import cap_per_domain
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("not a url at all")
+        ).otherwise(
+            F.concat(
+                F.lit("https://sub"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".dom"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+    )
+    return cap_per_domain(
+        planted, "url", k=20, id_col="doc_id", quality_col="n_chars"
+    ).select("doc_id")
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): target = every
+    10th document, raw = the whole corpus; hashed unigram+bigram bucket
+    distributions, Laplace-smoothed log ratio summed per document. The
+    DuckDB oracle replicates the exact arithmetic (md5-prefix buckets,
+    list_transform bigrams), value-for-value at 6 dp."""
+    from jodie_spark.operators.dsir import dsir_log_weights
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter("doc_id % 10 = 0")
+    lw = dsir_log_weights(docs, target, "text", "doc_id", n_buckets=4096, alpha=1.0)
+    return lw.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -2697,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoder_override_dedup": _q_decoder_override_dedup,
         "reorg_purge_manifest": _q_reorg_purge_manifest,
         "uniform_iceberg": _q_uniform_iceberg,
+        "domain_cap": _q_domain_cap,
+        "dsir_weights": _q_dsir_weights,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -2738,9 +2787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_mapping_id": _q_column_mapping_id,
         "contamination_check": _q_contamination_check,
         "doc_chunks": _q_doc_chunks,
+        "generated_columns": _q_generated_columns,
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_quantize": _q_embedding_quantize,
-        "generated_columns": _q_generated_columns,
         "html_extract": _q_html_extract,
         "image_dedup": _q_image_dedup,
         "interval_join": _q_interval_join,
@@ -4601,5 +4650,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
             FROM orders WHERE o_orderkey % 3 != 0
             GROUP BY o_orderstatus
+        """,
+        "domain_cap": """
+            -- closed form of the planted URLs: domain = dom{id%5}.com,
+            -- junk (id%7=0) rows have no domain and always survive;
+            -- top-20 per domain by (n_chars DESC, doc_id)
+            WITH planted AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id % 7 = 0 THEN NULL
+                            ELSE 'dom' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                       END AS dom
+                FROM documents
+            )
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dom
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM planted WHERE dom IS NOT NULL
+            ) t WHERE rn <= 20
+            UNION ALL
+            SELECT doc_id FROM planted WHERE dom IS NULL
+        """,
+        "dsir_weights": """
+            -- DSIR log-weights replicated exactly: unigram+bigram
+            -- features, md5-prefix buckets mod 4096, Laplace-smoothed
+            -- log(p_target/p_raw) summed per document
+            WITH docs AS (
+                SELECT doc_id, lower(trim(text)) AS t FROM documents
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w
+                FROM docs WHERE length(t) > 0
+            ), feats AS (
+                SELECT doc_id, unnest(
+                    list_concat(
+                        w,
+                        list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i + 1])
+                    )) AS f
+                FROM toks
+            ), bucketed AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x', substr(md5(f), 1, 8)) AS UBIGINT)
+                            % 4096 AS BIGINT) AS bucket
+                FROM feats
+            ), raw_counts AS (
+                SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket
+            ), tgt_counts AS (
+                SELECT bucket, COUNT(*) AS n FROM bucketed
+                WHERE doc_id % 10 = 0 GROUP BY bucket
+            ), totals AS (
+                SELECT (SELECT SUM(n) FROM raw_counts) AS tr,
+                       (SELECT SUM(n) FROM tgt_counts) AS tt
+            ), scored AS (
+                SELECT b.doc_id,
+                       ln((COALESCE(tc.n, 0) + 1.0) / (tot.tt + 4096.0))
+                     - ln((rc.n + 1.0) / (tot.tr + 4096.0)) AS d
+                FROM bucketed b
+                JOIN raw_counts rc USING (bucket)
+                LEFT JOIN tgt_counts tc USING (bucket)
+                CROSS JOIN totals tot
+            )
+            SELECT d0.doc_id,
+                   ROUND(COALESCE(s.lw, 0.0), 6) AS log_weight
+            FROM documents d0
+            LEFT JOIN (
+                SELECT doc_id, SUM(d) AS lw FROM scored GROUP BY doc_id
+            ) s USING (doc_id)
         """,
     }

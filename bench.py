@@ -143,6 +143,8 @@ def main() -> None:
         "decoder_override_dedup",
         "reorg_purge_manifest",
         "uniform_iceberg",
+        "domain_cap",
+        "dsir_weights",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -92,3 +92,64 @@ def filter_by_domain(
         F.broadcast(dom_df), tagged["__d__"] == dom_df["__domain__"], how
     )
     return out.drop("__d__")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 100,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    salt_partitions: int = 32,
+) -> DataFrame:
+    """Frequency capping: keep at most ``k`` documents per registrable
+    domain — the C4/RefinedWeb-style guard against a single site
+    dominating the corpus. Survivors are the ``k`` best by
+    ``quality_col`` (descending, ties → lowest id) when given, else
+    the ``k`` lowest ids; rows with un-parseable URLs are always kept
+    (no domain to cap).
+
+    100 TB shape: a naive ``row_number() OVER (PARTITION BY domain)``
+    puts every row of a hot domain in ONE task — a crawl's top domain
+    can be 1% of the corpus, so that's a straggler/OOM. Instead the
+    election is a two-stage EXACT top-k over a narrow (domain, order
+    keys, id) projection: stage 1 ranks within (domain, salt) — each
+    partition holds ~1/``salt_partitions`` of the domain — and keeps
+    per-salt top-k; stage 2 ranks the ≤ salt_partitions·k survivors
+    per domain (bounded rows per partition by construction). Every
+    global top-k row is in its salt's top-k, so the composition is
+    exact. The heavy text column never enters either shuffle: keepers
+    semi-join back by id."""
+    from pyspark.sql import Window
+
+    dom = url_domain(F.col(url_col))
+    narrow = df.select(
+        F.col(id_col).alias("__id__"),
+        dom.alias("__dom__"),
+        *(
+            [F.col(quality_col).cast("double").alias("__q__")]
+            if quality_col
+            else []
+        ),
+    ).filter(F.col("__dom__").isNotNull())
+    order = (
+        [F.col("__q__").desc_nulls_last(), F.col("__id__").asc()]
+        if quality_col
+        else [F.col("__id__").asc()]
+    )
+    salt = (F.xxhash64(F.col("__id__")) % salt_partitions).cast("int")
+    w1 = Window.partitionBy("__dom__", "__salt__").orderBy(*order)
+    stage1 = (
+        narrow.withColumn("__salt__", salt)
+        .withColumn("__rn__", F.row_number().over(w1))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__", "__salt__")
+    )
+    w2 = Window.partitionBy("__dom__").orderBy(*order)
+    keepers = (
+        stage1.withColumn("__rn__", F.row_number().over(w2))
+        .filter(F.col("__rn__") <= k)
+        .select(F.col("__id__").alias(id_col))
+    )
+    uncapped = df.filter(dom.isNull())
+    return df.join(keepers, id_col, "left_semi").unionByName(uncapped)

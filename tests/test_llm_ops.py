@@ -564,3 +564,107 @@ def test_quality_election_string_ids(spark):
         ).collect()
     )
     assert kept2 == ["m1", "m9"]
+
+
+def test_cap_per_domain(spark):
+    """Frequency capping keeps at most k docs per registrable domain —
+    best-quality first (ties -> lowest id), un-parseable URLs always
+    survive; exactness holds through the two-stage salted election."""
+    from jodie_spark.functions.urls import cap_per_domain
+
+    rows = []
+    # 10 docs on hot.com with quality = doc_id % 7, 3 on cold.org, 2 junk
+    for i in range(10):
+        rows.append((i, f"https://www.hot.com/p/{i}", float(i % 7)))
+    for i in range(10, 13):
+        rows.append((i, f"https://sub{i}.cold.org/x", float(i)))
+    rows += [(20, "not a url", 9.9), (21, "also:junk", 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+
+    out = cap_per_domain(df, "url", k=3, id_col="doc_id", quality_col="q")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # hot.com: qualities [0,1,2,3,4,5,6,0,1,2] for ids 0..9 -> top3 = ids 6,5,4
+    # cold.org: all 3 fit; junk rows always kept
+    assert kept == [4, 5, 6, 10, 11, 12, 20, 21]
+
+    # without quality: lowest ids win
+    out2 = cap_per_domain(df, "url", k=2, id_col="doc_id")
+    kept2 = sorted(r["doc_id"] for r in out2.collect())
+    assert kept2 == [0, 1, 10, 11, 20, 21]
+
+    # exactness vs a single-stage window at several salt counts
+    from pyspark.sql import Window
+
+    from jodie_spark.functions.urls import url_domain
+
+    expect = sorted(
+        r["doc_id"]
+        for r in df.withColumn("__dom__", url_domain(F.col("url")))
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy("__dom__").orderBy(
+                    F.col("q").desc_nulls_last(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("__dom__").isNull() | (F.col("__rn__") <= 3))
+        .collect()
+    )
+    for s in (1, 2, 7, 64):
+        got = sorted(
+            r["doc_id"]
+            for r in cap_per_domain(
+                df, "url", k=3, id_col="doc_id", quality_col="q", salt_partitions=s
+            ).collect()
+        )
+        assert got == expect, f"salt_partitions={s}"
+
+
+def test_dsir_weights_and_resample(spark):
+    """DSIR importance log-weights rank target-like documents above
+    off-target ones, empty docs weigh 0, and Gumbel-top-k resampling
+    is deterministic in (data, salt) and shifts with the salt."""
+    from jodie_spark.operators.dsir import dsir_log_weights, dsir_resample
+
+    raw = spark.createDataFrame(
+        [
+            (1, "spark sql engine tuning and shuffle partitions"),
+            (2, "cats and dogs play in the yard all day"),
+            (3, "spark shuffle partitions and sql engine internals"),
+            (4, "dogs bark loud in the yard"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "spark sql shuffle engine"), (101, "spark engine partitions sql")],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(raw, tgt, n_buckets=512).collect()
+    }
+    assert set(w) == {1, 2, 3, 4, 5}
+    assert w[1] > w[2] and w[3] > w[4]
+    assert w[5] == 0.0
+
+    sel1 = sorted(
+        r["doc_id"] for r in dsir_resample(raw, tgt, 2, n_buckets=512).collect()
+    )
+    sel1b = sorted(
+        r["doc_id"] for r in dsir_resample(raw, tgt, 2, n_buckets=512).collect()
+    )
+    assert sel1 == sel1b  # reproducible
+    # selected rows carry log_weight and original columns
+    cols = dsir_resample(raw, tgt, 2, n_buckets=512).columns
+    assert set(cols) == {"doc_id", "text", "log_weight"}
+    # salting redraws the noise: across salts the union of selections
+    # should eventually include a spark-y doc
+    seen = set()
+    for s in range(4):
+        seen |= {
+            r["doc_id"]
+            for r in dsir_resample(raw, tgt, 2, n_buckets=512, salt=s).collect()
+        }
+    assert seen & {1, 3}
