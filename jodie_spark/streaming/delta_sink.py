@@ -23,15 +23,33 @@ def write_stream_to_delta(
     """Start a streaming query appending each micro-batch to the Delta
     table at ``path`` (created on first batch). ``available_now=True``
     drains everything currently available then terminates — the
-    batch-backfill / oracle-check mode."""
+    batch-backfill / oracle-check mode.
+
+    Exactly-once: foreachBatch can REPLAY a batch (commit lands, then
+    the driver dies before the stream checkpoint records it), and a
+    plain append would duplicate the rows. Every commit therefore
+    carries a ``txn`` action keyed by the checkpoint location with
+    ``version = batch_id`` — the idempotent-write pattern delta-spark
+    documents for foreachBatch sinks — so a replayed batch becomes a
+    no-op instead of a duplicate append."""
+    import os as _os
+
     from jodie_spark.tables.log import DeltaLog
     from jodie_spark.tables.table import write_delta
+
+    txn_app = f"jodie_stream_append:{_os.path.abspath(checkpoint_location)}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         mode = "append" if DeltaLog(path).exists() else "error"
-        write_delta(batch_df, path, mode=mode, partition_by=partition_by or [])
+        write_delta(
+            batch_df,
+            path,
+            mode=mode,
+            partition_by=partition_by or [],
+            options={"txnAppId": txn_app, "txnVersion": str(batch_id)},
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_location

@@ -201,3 +201,53 @@ def test_full_snapshot_sink_with_interleaved_batch_appends(spark, tmpdir_path):
     t = DeltaTable.forPath(spark, dst)
     versions = [r["version"] for r in t.history().collect()]
     assert sorted(versions) == list(range(len(versions)))
+
+
+def test_append_sink_replayed_batch_is_noop(spark, tmpdir_path):
+    """Exactly-once append sink: a batch REPLAYED after its commit
+    landed (driver died before the stream checkpoint advanced) must be
+    a no-op — the commit's txn action keyed by (checkpoint, batch_id)
+    dedupes it. Simulated by running the same source through a FRESH
+    checkpoint-equivalent replay of batch 0: same txn identity, same
+    version, no duplicate rows."""
+    from jodie_spark.streaming.delta_sink import write_stream_to_delta
+    from jodie_spark.tables.table import write_delta
+
+    src = os.path.join(tmpdir_path, "appsrc")
+    dst = os.path.join(tmpdir_path, "appdst")
+    ckpt = os.path.join(tmpdir_path, "appckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.parquet(src)
+
+    q = write_stream_to_delta(
+        spark.readStream.schema("k int, v string").parquet(src),
+        dst,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    t = DeltaTable.forPath(spark, dst)
+    assert t.toDF().count() == 2
+
+    # replay batch 0 exactly as foreachBatch would after a checkpoint
+    # loss: same data, same txn identity (checkpoint path + batch_id)
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        dst,
+        mode="append",
+        options={
+            "txnAppId": f"jodie_stream_append:{os.path.abspath(ckpt)}",
+            "txnVersion": "0",
+        },
+    )
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 2  # no dup
+    # a NEW batch id still appends
+    write_delta(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        dst,
+        mode="append",
+        options={
+            "txnAppId": f"jodie_stream_append:{os.path.abspath(ckpt)}",
+            "txnVersion": "1",
+        },
+    )
+    assert DeltaTable.forPath(spark, dst).toDF().count() == 3
