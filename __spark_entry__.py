@@ -2661,6 +2661,47 @@ def _q_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA iceberg.`path` end-to-end: build a partitioned
+    Delta table from orders, delete every 3rd key, generate Iceberg
+    metadata, CLONE the layout without the Delta log (an Iceberg-only
+    table), convert it back to Delta purely from the Iceberg metadata
+    chain, and aggregate the CONVERTED table. Proves schema, identity
+    partition spec, and file set all survive the round trip."""
+    import shutil
+
+    from jodie_spark.interop.iceberg import convert_iceberg_to_delta
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("part")
+    )
+    t = _delta_from(orders, "icvt", partition_by=["part"])
+    t.delete("o_orderkey % 3 = 0")
+    DeltaTable.forPath(spark, t.path).generate("iceberg")
+
+    dst = _tmp("icvt_dst")
+    shutil.copytree(t.path, dst, ignore=shutil.ignore_patterns("_delta_log"))
+    meta_dir = os.path.join(dst, "metadata")
+    for name in os.listdir(meta_dir):
+        p = os.path.join(meta_dir, name)
+        if name.endswith((".json", ".avro")):
+            with open(p, "rb") as fh:
+                data = fh.read()
+            with open(p, "wb") as fh:
+                fh.write(data.replace(t.path.encode(), dst.encode()))
+    conv = convert_iceberg_to_delta(spark, dst)
+    return (
+        conv.toDF()
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (C4/RefinedWeb guard against one
     site dominating the corpus): plant deterministic URLs over 5
@@ -2746,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_iceberg": _q_uniform_iceberg,
         "domain_cap": _q_domain_cap,
         "dsir_weights": _q_dsir_weights,
+        "iceberg_convert": _q_iceberg_convert,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4636,6 +4678,15 @@ def oracle_sql() -> dict[str, str]:
         "reorg_purge_manifest": """
             -- rows readable through the post-PURGE symlink manifests =
             -- exactly the surviving rows of the DV delete
+            SELECT o_orderstatus AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders WHERE o_orderkey % 3 != 0
+            GROUP BY o_orderstatus
+        """,
+        "iceberg_convert": """
+            -- the converted-from-Iceberg Delta table = post-delete
+            -- source state
             SELECT o_orderstatus AS part,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key

@@ -441,3 +441,220 @@ def convert_to_iceberg(table) -> str:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return meta_path
+
+
+# ---------------------------------------------------------------------------
+# the reverse direction: CONVERT TO DELTA from Iceberg metadata
+# ---------------------------------------------------------------------------
+
+_ICE_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "integer",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "uuid": "string",
+}
+
+
+def _spark_type(ice: Any):
+    from pyspark.sql import types as T
+
+    if isinstance(ice, str):
+        if ice in _ICE_TO_SPARK:
+            return T._parse_datatype_string(_ICE_TO_SPARK[ice])
+        if ice.startswith("decimal"):
+            return T._parse_datatype_string(ice)
+        raise DeltaProtocolError(f"unsupported Iceberg type {ice!r}")
+    t = ice.get("type")
+    if t == "struct":
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+                for f in ice["fields"]
+            ]
+        )
+    if t == "list":
+        from pyspark.sql import types as T
+
+        return T.ArrayType(_spark_type(ice["element"]), not ice["element-required"])
+    if t == "map":
+        from pyspark.sql import types as T
+
+        return T.MapType(
+            _spark_type(ice["key"]),
+            _spark_type(ice["value"]),
+            not ice["value-required"],
+        )
+    raise DeltaProtocolError(f"unsupported Iceberg type {ice!r}")
+
+
+def _delta_partition_string(v: Any, ice_type: str) -> str | None:
+    """Typed Iceberg manifest partition value → Delta's string form."""
+    if v is None:
+        return None
+    if ice_type == "date":
+        import datetime
+
+        return (datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))).isoformat()
+    if ice_type == "boolean":
+        return "true" if v else "false"
+    return str(v)
+
+
+def convert_iceberg_to_delta(spark, path: str):
+    """``CONVERT TO DELTA iceberg.`path``` (public delta-spark feature):
+    create a Delta log over an Iceberg table's CURRENT snapshot without
+    touching the data files. Reads ``metadata/version-hint.text`` →
+    ``vN.metadata.json`` → current snapshot → manifest list → manifests
+    (DELETED entries skipped), maps the Iceberg schema to Spark types
+    and identity partition specs to Delta partition columns
+    (non-identity transforms refuse — Delta cannot express them), and
+    commits one version-0 CONVERT with per-file stats read from the
+    parquet footers (thread-pooled, O(#files) like the parquet
+    convert). Files outside the table root keep absolute paths, same
+    as shallow-clone adds."""
+    import struct as _struct  # noqa: F401  (parity with module imports)
+
+    from jodie_spark.errors import JodieValidationError
+    from jodie_spark.interop.avro import read_container
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.stats import collect_file_stats
+    from jodie_spark.tables.table import DeltaTable
+    from jodie_spark.tables.writer import write_metrics
+
+    path = os.path.abspath(path)
+    log = DeltaLog(path)
+    if log.exists():
+        raise JodieValidationError(f"{path} is already a Delta table")
+    meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.isfile(hint):
+        with open(hint, encoding="utf-8") as fh:
+            v = int(fh.read().strip())
+        meta_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    else:  # latest vN.metadata.json by number
+        cands = sorted(
+            (
+                int(f[1:].split(".")[0]), f)
+            for f in os.listdir(meta_dir)
+            if f.endswith(".metadata.json") and f[1:].split(".")[0].isdigit()
+        )
+        if not cands:
+            raise JodieValidationError(f"no Iceberg metadata under {meta_dir}")
+        meta_path = os.path.join(meta_dir, cands[-1][1])
+    with open(meta_path, encoding="utf-8") as fh:
+        md = json.load(fh)
+    if md.get("format-version") not in (1, 2):
+        raise DeltaProtocolError(
+            f"unsupported Iceberg format-version {md.get('format-version')}"
+        )
+    schema_json = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    ) if "schemas" in md else md["schema"]
+    schema = _spark_type({"type": "struct", "fields": schema_json["fields"]})
+    spec = next(
+        (p for p in md.get("partition-specs", []) if p["spec-id"] == md.get("default-spec-id", 0)),
+        {"fields": md.get("partition-spec", [])},
+    )
+    part_cols = []
+    part_types = {}
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+    for f in spec["fields"]:
+        if f["transform"] != "identity":
+            raise DeltaProtocolError(
+                f"cannot convert Iceberg partition transform "
+                f"{f['transform']!r} to Delta (identity only)"
+            )
+        src = by_id.get(f["source-id"])
+        if src is None:
+            raise DeltaProtocolError(
+                f"partition source-id {f['source-id']} not in schema"
+            )
+        part_cols.append(src["name"])
+        part_types[f["name"]] = src["type"]
+
+    snap_id = md.get("current-snapshot-id")
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    ml_path = snap["manifest-list"]
+    if ml_path.startswith("file://"):
+        ml_path = ml_path[len("file://"):]
+    _, manifests, _ = read_container(ml_path)
+    data_files = []
+    for m in manifests:
+        mp = m["manifest_path"]
+        if mp.startswith("file://"):
+            mp = mp[len("file://"):]
+        _, entries, _ = read_container(mp)
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            d = e["data_file"]
+            if d.get("content", 0) != 0:
+                raise DeltaProtocolError(
+                    "Iceberg v2 delete files cannot convert to Delta — "
+                    "compact the table to a pure-data snapshot first"
+                )
+            if d["file_format"].upper() != "PARQUET":
+                raise DeltaProtocolError(
+                    f"cannot convert {d['file_format']} data files"
+                )
+            data_files.append(d)
+    if not data_files:
+        raise JodieValidationError("Iceberg snapshot lists no data files")
+
+    root = path + os.sep
+    from concurrent.futures import ThreadPoolExecutor
+
+    def to_add(d):
+        fp = d["file_path"]
+        if fp.startswith("file://"):
+            fp = fp[len("file://"):]
+        fp = os.path.abspath(fp)
+        rel = fp[len(root):] if fp.startswith(root) else fp
+        pv = {
+            name: _delta_partition_string(
+                (d.get("partition") or {}).get(name), part_types.get(name, "string")
+            )
+            for name in (d.get("partition") or {})
+        }
+        stats = collect_file_stats(fp, exclude=set(pv))
+        return {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": pv,
+            "size": int(d["file_size_in_bytes"]),
+            "modificationTime": int(os.path.getmtime(fp) * 1000),
+            "dataChange": True,
+            "stats": json.dumps(stats, separators=(",", ":")),
+        }
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, len(data_files)))) as pool:
+        adds = list(pool.map(to_add, data_files))
+
+    metadata = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": part_cols,
+        "configuration": {},
+        "createdTime": int(time.time() * 1000),
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": metadata},
+    ] + [{"add": a} for a in adds]
+    log.commit(
+        -1,
+        actions,
+        "CONVERT",
+        {"sourceFormat": "iceberg", "numFiles": str(len(adds))},
+        write_metrics(adds),
+    )
+    return DeltaTable(spark, path)

@@ -377,12 +377,22 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
     if head == "CONVERT":
         m = re.match(
-            r"(?is)^CONVERT\s+TO\s+DELTA\s+parquet\.`(?P<loc>[^`]+)`"
+            r"(?is)^CONVERT\s+TO\s+DELTA\s+(?P<fmt>parquet|iceberg)\.`(?P<loc>[^`]+)`"
             r"(?:\s+PARTITIONED\s+BY\s*\((?P<cols>[^)]+)\))?$",
             s,
         )
         if not m:
             raise JodieValidationError(f"cannot parse CONVERT statement: {s!r}")
+        if m.group("fmt").lower() == "iceberg":
+            if m.group("cols"):
+                raise JodieValidationError(
+                    "CONVERT TO DELTA iceberg derives partitioning from the "
+                    "Iceberg spec — PARTITIONED BY is not allowed"
+                )
+            from jodie_spark.interop.iceberg import convert_iceberg_to_delta
+
+            convert_iceberg_to_delta(spark, m.group("loc"))
+            return None
         from jodie_spark.sources.convert import convert_to_delta
 
         cols = (

@@ -196,3 +196,63 @@ def test_iceberg_regeneration_tracks_dml_and_refusals(spark, tmpdir_path):
     t3.rename_column("v", "val")  # auto-enables column mapping
     with pytest.raises(DeltaProtocolError, match="column-mapped"):
         DeltaTable.forPath(spark, p3).generate("iceberg")
+
+
+def test_convert_iceberg_to_delta_roundtrip(spark, tmpdir_path):
+    """Full circle: Delta table → Iceberg metadata → a NEW Delta log
+    created purely FROM the Iceberg metadata (CONVERT TO DELTA
+    iceberg.`path`, public delta-spark feature). The converted table
+    must read back the same rows, carry the partition columns from the
+    Iceberg spec, and keep per-file stats (pruning works)."""
+    import shutil
+
+    from jodie_spark import sql
+    from jodie_spark.errors import JodieValidationError
+
+    src = os.path.join(tmpdir_path, "csrc")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10.5, "A"), (2, 20.5, "B"), (3, 30.5, "A"), (4, 40.5, "C")],
+            "k int, v double, part string",
+        ),
+        src,
+        partition_by=["part"],
+    )
+    t = DeltaTable.forPath(spark, src)
+    t.delete("k = 2")
+    t2 = DeltaTable.forPath(spark, src)
+    t2.generate("iceberg")
+
+    # clone the layout WITHOUT the delta log: an iceberg-only table
+    dst = os.path.join(tmpdir_path, "cdst")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("_delta_log"))
+    # rewrite absolute URIs in the copied metadata to point at dst
+    meta_dir = os.path.join(dst, "metadata")
+    for name in os.listdir(meta_dir):
+        p = os.path.join(meta_dir, name)
+        if name.endswith((".json", ".avro")):
+            with open(p, "rb") as fh:
+                data = fh.read()
+            with open(p, "wb") as fh:
+                fh.write(data.replace(src.encode(), dst.encode()))
+
+    sql(spark, f"CONVERT TO DELTA iceberg.`{dst}`")
+    conv = DeltaTable.forPath(spark, dst)
+    got = sorted(
+        (r["k"], r["v"], r["part"]) for r in conv.toDF().collect()
+    )
+    assert got == [(1, 10.5, "A"), (3, 30.5, "A"), (4, 40.5, "C")]
+    snap = conv.snapshot()
+    assert snap.partition_columns == ["part"]
+    # stats landed: every add has numRecords
+    assert all(
+        json.loads(a["stats"])["numRecords"] >= 1 for a in snap.add_files()
+    )
+    # partition pruning still works on the converted table
+    assert conv.toDF().filter("part = 'A'").count() == 2
+    # converting an existing Delta table refuses
+    with pytest.raises(JodieValidationError, match="already"):
+        sql(spark, f"CONVERT TO DELTA iceberg.`{src}`")
+    # further DML on the converted table works
+    conv.update("k = 1", {"v": "v + 1"})
+    assert {r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}[1] == 11.5
