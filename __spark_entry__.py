@@ -2702,6 +2702,25 @@ def _q_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k corpus-overlap estimation: sketch the text hashes
+    of two overlapping document slices (A = ids not divisible by 3,
+    B = even ids) and estimate distinct counts, union, intersection and
+    Jaccard WITHOUT a corpus join. Deterministic md5-based hashing +
+    exact order statistics ⇒ the DuckDB oracle reproduces the ESTIMATES
+    value-for-value (the correctness check is exact even though the
+    estimator is approximate)."""
+    from jodie_spark.operators.sketches import kmv_overlap, kmv_sketch
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter("doc_id % 3 != 0")
+    b = docs.filter("doc_id % 2 = 0")
+    return kmv_overlap(
+        kmv_sketch(a, "text", k=128), kmv_sketch(b, "text", k=128), k=128
+    )
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (C4/RefinedWeb guard against one
     site dominating the corpus): plant deterministic URLs over 5
@@ -2788,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "dsir_weights": _q_dsir_weights,
         "iceberg_convert": _q_iceberg_convert,
+        "corpus_overlap": _q_corpus_overlap,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4692,6 +4712,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
             FROM orders WHERE o_orderkey % 3 != 0
             GROUP BY o_orderstatus
+        """,
+        "corpus_overlap": """
+            -- KMV bottom-128 replicated exactly: md5-prefix 60-bit
+            -- points, k-th order statistic estimator, union-membership
+            -- intersection
+            WITH hashed AS (
+                SELECT DISTINCT
+                    CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT)
+                         AS BIGINT) AS h,
+                    bool_or(doc_id % 3 != 0) OVER (PARTITION BY text) AS in_a,
+                    bool_or(doc_id % 2 = 0) OVER (PARTITION BY text) AS in_b
+                FROM documents
+            ), a AS (
+                SELECT h FROM hashed WHERE in_a ORDER BY h LIMIT 128
+            ), b AS (
+                SELECT h FROM hashed WHERE in_b ORDER BY h LIMIT 128
+            ), u AS (
+                SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+                ORDER BY h LIMIT 128
+            ), est AS (
+                SELECT
+                    (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                            ELSE 127.0 / ((MAX(h) + 1.0) / 1152921504606846976.0)
+                            END FROM a) AS n_a,
+                    (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                            ELSE 127.0 / ((MAX(h) + 1.0) / 1152921504606846976.0)
+                            END FROM b) AS n_b,
+                    (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                            ELSE 127.0 / ((MAX(h) + 1.0) / 1152921504606846976.0)
+                            END FROM u) AS n_union,
+                    (SELECT COUNT(*) FROM u
+                     WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+                    * 1.0 / (SELECT COUNT(*) FROM u) AS rho
+            )
+            SELECT ROUND(n_a, 4) AS n_a, ROUND(n_b, 4) AS n_b,
+                   ROUND(n_union, 4) AS n_union,
+                   ROUND(rho * n_union, 4) AS n_intersect,
+                   ROUND(rho, 6) AS jaccard
+            FROM est
         """,
         "uniform_iceberg": """
             -- rows readable through the CURRENT Iceberg snapshot's

@@ -668,3 +668,55 @@ def test_dsir_weights_and_resample(spark):
             for r in dsir_resample(raw, tgt, 2, n_buckets=512, salt=s).collect()
         }
     assert seen & {1, 3}
+
+
+def test_kmv_sketches(spark):
+    """Bottom-k sketches: exact below k, ~1/sqrt(k) above, salt-count
+    invariant (two-stage election is exact), and the union-membership
+    intersection estimator lands near truth."""
+    from pyspark.sql import functions as F
+
+    from jodie_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    small = spark.range(50).select(F.concat(F.lit("s"), F.col("id")).alias("v"))
+    e = kmv_sketch(small, "v", k=256).select(
+        kmv_estimate(F.col("kmv"), 256).alias("e")
+    ).collect()[0]["e"]
+    assert e == 50.0  # exact below k
+
+    big = spark.range(10_000).select(F.concat(F.lit("val"), F.col("id")).alias("v"))
+    sk = kmv_sketch(big, "v", k=256)
+    ref = sk.collect()[0]["kmv"]
+    est = sk.select(kmv_estimate(F.col("kmv"), 256).alias("e")).collect()[0]["e"]
+    assert abs(est - 10_000) / 10_000 < 0.2
+    for s in (1, 8, 64):
+        got = kmv_sketch(big, "v", k=256, salt_partitions=s).collect()[0]["kmv"]
+        assert got == ref, f"salt_partitions={s} changed the sketch"
+
+    # grouped sketches: per-group estimates
+    grouped = spark.range(3_000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("x"), F.col("id")).alias("v"),
+    )
+    ests = {
+        r["g"]: r["e"]
+        for r in kmv_sketch(grouped, "v", group_cols=["g"], k=256)
+        .select("g", kmv_estimate(F.col("kmv"), 256).alias("e"))
+        .collect()
+    }
+    assert set(ests) == {0, 1, 2}
+    assert all(abs(v - 1000) / 1000 < 0.25 for v in ests.values())
+
+    # overlap: |A|=10k, |B|=10k, |A∩B|=5k → jaccard 1/3
+    A = big
+    B = spark.range(5_000, 15_000).select(
+        F.concat(F.lit("val"), F.col("id")).alias("v")
+    )
+    ov = kmv_overlap(kmv_sketch(A, "v", k=256), kmv_sketch(B, "v", k=256), 256)
+    row = ov.collect()[0]
+    assert abs(row["jaccard"] - 1 / 3) < 0.08
+    assert abs(row["n_intersect"] - 5_000) / 5_000 < 0.25
