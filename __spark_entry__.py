@@ -1387,9 +1387,12 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loudness-envelope audio dedup over REAL decoded PCM: per doc a
-    deterministic amplitude-modulated noise track, plus an exact clone
-    for every 10th doc. Clones collide at hamming 0; distinct
-    envelopes sit far apart — survivors are exactly the originals."""
+    deterministic amplitude-modulated noise track, plus an exact WAV
+    clone for every 10th doc and a CROSS-FORMAT native-FLAC clone
+    (lossless — same PCM, different container, decoded by the native
+    FLAC codec) for ids ≡5 (mod 10). All clones collide at hamming 0;
+    distinct envelopes sit far apart — survivors are exactly the
+    originals."""
     from collections.abc import Iterator as _It
 
     import numpy as _np
@@ -1405,7 +1408,7 @@ def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        from jodie_spark.operators.codecs import encode_wav
+        from jodie_spark.operators.codecs import encode_flac, encode_wav
 
         for pdf in it:
             ids, blobs = [], []
@@ -1421,6 +1424,11 @@ def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if did % 10 == 0:
                     ids.append(did + 100_000)
                     blobs.append(wav)
+                elif did % 10 == 5:  # lossless FLAC clone of the same PCM
+                    ids.append(did + 100_000)
+                    blobs.append(
+                        encode_flac(sig, 8000, channel_mode="independent")
+                    )
             yield _pd.DataFrame({"doc_id": ids, "data": blobs})
 
     media = docs.mapInPandas(_synth, out_schema)

@@ -15,7 +15,9 @@ the image set. :func:`encode_jpeg` (baseline 4:4:4, Annex K tables)
 and :func:`encode_gif` (literal-code LZW) exist for fixture
 generation. JPEG covers baseline/extended sequential (SOF0/SOF1)
 AND progressive (SOF2 — spectral selection + successive approximation,
-T.81 Annex G). Formats that genuinely need external libraries
+T.81 Annex G). Audio covers RIFF PCM WAV and native FLAC (RFC 9639 —
+fixed + LPC predictors, rice partitions, all stereo decorrelation
+modes, CRC-verified). Formats that genuinely need external libraries
 (MP4 / MP3 / HEIC / ...) raise ``ValueError`` with the sniffed format
 name so callers can route those rows to a Pillow/ffmpeg-backed decoder
 when one is available (``decoder_overrides``).
@@ -46,6 +48,8 @@ def sniff(b: bytes) -> str:
         return "ppm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"fLaC":
+        return "flac"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if b[:3] == b"\xff\xd8\xff":
@@ -1539,3 +1543,496 @@ def iter_frame_stream(b: bytes):
         yield idx, w, h, chunk[:end]
         i += end
         idx += 1
+
+
+# ---------------------------------------------------------------------------
+# FLAC — free lossless audio codec (native decode; fixture encoder)
+# ---------------------------------------------------------------------------
+
+# CRC tables from the FLAC spec polynomials (header CRC-8 poly 0x07,
+# frame CRC-16 poly 0x8005), generated once at import
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        r = byte << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) & mask if r & top else (r << 1) & mask
+        table.append(r)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC8_TABLE[c ^ byte]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC16_TABLE[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _PlainBitWriter:
+    """MSB-first bit writer with NO byte stuffing (FLAC, unlike JPEG)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.out.append((self.acc >> self.nacc) & 0xFF)
+            self.acc &= (1 << self.nacc) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+
+
+class _PlainBitReader:
+    """MSB-first bit reader over plain bytes."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nacc = 0
+
+    def read(self, n: int) -> int:
+        while self.nacc < n:
+            if self.pos >= len(self.d):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = (self.acc << 8) | self.d[self.pos]
+            self.pos += 1
+            self.nacc += 8
+        self.nacc -= n
+        v = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nacc = 0
+        self.acc = 0
+
+    def byte_pos(self) -> int:
+        return self.pos - (self.nacc + 7) // 8
+
+
+def _read_frame_utf8(br: _PlainBitReader) -> int:
+    """The UTF-8-style variable-length frame/sample number."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    probe = b0
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    v = b0 & (0x3F >> n)
+    for _ in range(n):
+        v = (v << 6) | (br.read(8) & 0x3F)
+    return v
+
+
+def _write_frame_utf8(bw: _PlainBitWriter, v: int) -> None:
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    # count 6-bit payload groups beyond the lead byte
+    groups = []
+    while True:
+        groups.append(v & 0x3F)
+        v >>= 6
+        lead_bits = 6 - len(groups)
+        if v < (1 << lead_bits):
+            break
+    n = len(groups)
+    lead = ((0xFF << (7 - n)) & 0xFF) | v
+    bw.write(lead, 8)
+    for g in reversed(groups):
+        bw.write(0x80 | g, 8)
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _decode_residual(br: _PlainBitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    res: list[int] = []
+    n_parts = 1 << po
+    if blocksize % n_parts:
+        raise ValueError("FLAC partition order does not divide block size")
+    for p in range(n_parts):
+        count = blocksize // n_parts - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(count):
+                res.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                res.append((u >> 1) ^ -(u & 1))  # zigzag
+    return res
+
+
+def _decode_subframe(br: _PlainBitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        v = br.read_signed(bps)
+        out = [v] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED order 0-4
+        order = ftype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        out = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(pred + r)
+    elif ftype >= 32:  # LPC order 1-32
+        order = ftype - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision escape")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        out = list(warm)
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(pred + r)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_RATES = {
+    4: 8000, 5: 16000, 6: 22050, 7: 24000, 8: 32000,
+    9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def decode_flac(b: bytes, with_samples: bool = True):
+    """FLAC bytes → (sample_rate, n_channels, n_samples, samples|None),
+    ``samples`` int32 of shape (n, channels). Full subset decode:
+    CONSTANT / VERBATIM / FIXED 0-4 / LPC subframes, rice + rice2
+    residual partitions (escape codes, wasted bits), all four stereo
+    decorrelation modes, UTF-8 frame numbers, CRC-8 header and CRC-16
+    frame verification. Implemented from the public FLAC format spec
+    (RFC 9639)."""
+    if b[:4] != b"fLaC":
+        raise ValueError(f"not a FLAC payload (sniffed: {sniff(b)})")
+    i = 4
+    rate = channels = bps = total = None
+    while True:
+        hdr = b[i]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(b[i + 1 : i + 4], "big")
+        if btype == 0:  # STREAMINFO
+            si = b[i + 4 : i + 4 + blen]
+            br = _PlainBitReader(si)
+            br.read(16)  # min blocksize
+            br.read(16)  # max blocksize
+            br.read(24)  # min framesize
+            br.read(24)  # max framesize
+            rate = br.read(20)
+            channels = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+        i += 4 + blen
+        if hdr & 0x80:  # last metadata block
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if not with_samples:
+        return rate, channels, total, None
+
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    n = len(b)
+    while i < n - 1:
+        frame_start = i
+        br = _PlainBitReader(b, i)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _read_frame_utf8(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        fbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code, bps)
+        hdr_end = br.byte_pos()
+        crc8 = br.read(8)
+        if _crc8(b[frame_start:hdr_end]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            n_sub = ch_code + 1
+            subs = [
+                _decode_subframe(br, blocksize, fbps) for _ in range(n_sub)
+            ]
+        elif ch_code in (8, 9, 10):
+            n_sub = 2
+            b0 = fbps + (1 if ch_code == 9 else 0)
+            b1 = fbps + (1 if ch_code in (8, 10) else 0)
+            s0 = _decode_subframe(br, blocksize, b0)
+            s1 = _decode_subframe(br, blocksize, b1)
+            if ch_code == 8:  # left/side
+                subs = [s0, [left - side for left, side in zip(s0, s1)]]
+            elif ch_code == 9:  # side/right
+                subs = [[right + side for side, right in zip(s0, s1)], s1]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(s0, s1):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        if n_sub != channels:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        br.align()
+        crc_end = br.byte_pos()
+        crc16 = br.read(16)
+        if _crc16(b[frame_start:crc_end]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        for c in range(channels):
+            chans[c].extend(subs[c])
+        i = br.byte_pos()
+
+    samples = np.array(chans, dtype=np.int64).T
+    if total:
+        samples = samples[:total]
+    return rate, channels, samples.shape[0], samples.astype(np.int32)
+
+
+def _rice_cost(res: list[int], param: int) -> int:
+    cost = 0
+    for r in res:
+        u = (abs(r) << 1) - (1 if r < 0 else 0)
+        cost += (u >> param) + 1 + param
+    return cost
+
+
+def _write_rice(bw: _PlainBitWriter, res: list[int], param: int) -> None:
+    for r in res:
+        u = (abs(r) << 1) - (1 if r < 0 else 0)
+        bw.write_unary(u >> param)
+        if param:
+            bw.write(u & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+    channel_mode: str = "independent",
+    use_lpc: bool = False,
+) -> bytes:
+    """(n,) or (n, channels) int16 → FLAC bytes, the lossless roundtrip
+    partner of :func:`decode_flac`. Subframes pick the best FIXED order
+    0-2 by residual magnitude (``use_lpc=True`` emits the order-2
+    predictor through the LPC subframe format instead — same residuals,
+    exercises the LPC decode path); residuals rice-code with a
+    per-subframe parameter sweep and a VERBATIM fallback. Stereo
+    ``channel_mode``: 'independent', 'left-side', 'right-side' or
+    'mid-side'."""
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if channels > 2 and channel_mode != "independent":
+        raise ValueError("decorrelation modes need exactly 2 channels")
+    bps = 16
+
+    out = bytearray(b"fLaC")
+    si = _PlainBitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    si.out += bytes(16)  # md5 unset (0 = not computed)
+    out.append(0x80)  # last block, STREAMINFO
+    out += len(si.out).to_bytes(3, "big")
+    out += si.out
+
+    def subframe(bw: _PlainBitWriter, sig: list[int], sbps: int) -> None:
+        if len(set(sig)) == 1:
+            bw.write(0, 1)
+            bw.write(0, 6)  # CONSTANT
+            bw.write(0, 1)
+            bw.write(sig[0] & ((1 << sbps) - 1), sbps)
+            return
+        best_order, best_res, best_cost = None, None, None
+        for order in (0, 1, 2):
+            if len(sig) <= order:
+                continue
+            coefs = _FIXED_COEFS[order]
+            res = [
+                sig[k] - sum(c * sig[k - 1 - j] for j, c in enumerate(coefs))
+                for k in range(order, len(sig))
+            ]
+            # pick the rice parameter over the whole residual
+            costs = [(p, _rice_cost(res, p)) for p in range(15)]
+            p, cost = min(costs, key=lambda t: t[1])
+            cost += order * sbps
+            if best_cost is None or cost < best_cost:
+                best_order, best_res, best_cost, best_p = order, res, cost, p
+        verbatim_cost = len(sig) * sbps
+        if best_cost is None or verbatim_cost <= best_cost:
+            bw.write(0, 1)
+            bw.write(1, 6)  # VERBATIM
+            bw.write(0, 1)
+            for v in sig:
+                bw.write(v & ((1 << sbps) - 1), sbps)
+            return
+        order = best_order
+        if use_lpc and order == 2:
+            # order-2 predictor through the LPC format: precision 15,
+            # shift 5, coefficients [2<<5, -1<<5]
+            bw.write(0, 1)
+            bw.write(32 + order - 1, 6)
+            bw.write(0, 1)
+            for v in sig[:order]:
+                bw.write(v & ((1 << sbps) - 1), sbps)
+            bw.write(15 - 1, 4)
+            bw.write(5, 5)
+            bw.write((2 << 5) & 0x7FFF, 15)
+            bw.write((-1 << 5) & 0x7FFF, 15)
+        else:
+            bw.write(0, 1)
+            bw.write(8 + order, 6)  # FIXED
+            bw.write(0, 1)
+            for v in sig[:order]:
+                bw.write(v & ((1 << sbps) - 1), sbps)
+        bw.write(0, 2)  # rice method 0 (4-bit params)
+        bw.write(0, 4)  # partition order 0
+        bw.write(best_p, 4)
+        _write_rice(bw, best_res, best_p)
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        block = samples[start : start + block_size]
+        blocksize = block.shape[0]
+        bw = _PlainBitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking
+        bw.write(7, 4)  # blocksize follows as 16-bit
+        sr_code = {v: k for k, v in _FLAC_RATES.items()}.get(sample_rate, 0)
+        bw.write(sr_code, 4)
+        ch_map = {"independent": channels - 1, "left-side": 8,
+                  "right-side": 9, "mid-side": 10}
+        bw.write(ch_map[channel_mode], 4)
+        bw.write(4, 3)  # 16 bps
+        bw.write(0, 1)
+        _write_frame_utf8(bw, frame_no)
+        bw.write(blocksize - 1, 16)
+        bw.align()
+        hdr = bytes(bw.out)
+        bw.write(_crc8(hdr), 8)
+
+        cols = [list(map(int, block[:, c])) for c in range(channels)]
+        if channel_mode == "independent":
+            for c in range(channels):
+                subframe(bw, cols[c], bps)
+        elif channel_mode == "left-side":
+            side = [left - right for left, right in zip(cols[0], cols[1])]
+            subframe(bw, cols[0], bps)
+            subframe(bw, side, bps + 1)
+        elif channel_mode == "right-side":
+            side = [left - right for left, right in zip(cols[0], cols[1])]
+            subframe(bw, side, bps + 1)
+            subframe(bw, cols[1], bps)
+        else:  # mid-side
+            side = [left - right for left, right in zip(cols[0], cols[1])]
+            mid = [(left + right) >> 1 for left, right in zip(cols[0], cols[1])]
+            subframe(bw, mid, bps)
+            subframe(bw, side, bps + 1)
+        bw.align()
+        body = bytes(bw.out)
+        bw.write(_crc16(body), 16)
+        out += bw.out
+        frame_no += 1
+    return bytes(out)

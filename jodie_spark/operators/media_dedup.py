@@ -128,7 +128,9 @@ def with_audio_hash(
     on_error: str = "skip",
     decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
-    """64-bit audio content hash: decode the WAV, mono-mix, split into
+    """64-bit audio content hash: decode the audio (WAV or FLAC —
+    FLAC is lossless, so a FLAC re-encode of the same PCM collides at
+    hamming 0), mono-mix, split into
     ``n_windows`` equal windows, one bit per window = RMS energy above
     the track median — a coarse loudness-envelope fingerprint that is
     stable under sample-exact re-encodings and small gain-free edits.
@@ -139,7 +141,7 @@ def with_audio_hash(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(raw: bytes):
-            from jodie_spark.operators.codecs import decode_wav, sniff
+            from jodie_spark.operators.codecs import decode_flac, decode_wav, sniff
 
             kind = sniff(raw)
             if decoder_overrides and kind in decoder_overrides:
@@ -150,6 +152,8 @@ def with_audio_hash(
                 samples = np.asarray(samples)
                 if samples.ndim == 1:
                     samples = samples[:, None]
+            elif kind == "flac":
+                _r, _c, _n, samples = decode_flac(raw, with_samples=True)
             else:
                 _r, _c, _n, samples = decode_wav(raw, with_samples=True)
             mono = samples.astype(np.float64).mean(axis=1)

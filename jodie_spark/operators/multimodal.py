@@ -244,8 +244,13 @@ def _real_features(b: bytes, dim: int) -> list[float]:
         lum = px.astype(np.float64).mean(axis=2)  # (h, w) luminance
         strip = resize_nearest(lum[:, :, None], dim, 1)[0, :, 0]
         v = strip
-    elif kind == "wav":
-        _r, _c, n, samples = decode_wav(b, with_samples=True)
+    elif kind in ("wav", "flac"):
+        if kind == "flac":
+            from jodie_spark.operators.codecs import decode_flac
+
+            _r, _c, n, samples = decode_flac(b, with_samples=True)
+        else:
+            _r, _c, n, samples = decode_wav(b, with_samples=True)
         mono = samples.astype(np.float64).mean(axis=1)
         # dim equal windows, RMS each (pad the tail window)
         pad = (-len(mono)) % dim
@@ -268,8 +273,9 @@ def decode_audio(
     df: DataFrame, binary_col: str = "data", mode: str = "fake"
 ) -> DataFrame:
     """Decode an audio binary column to (sample_rate, n_channels,
-    n_samples, duration_ms). Real mode parses RIFF PCM WAV headers
-    (jodie_spark.operators.codecs); fake mode hash-derives the values
+    n_samples, duration_ms). Real mode parses RIFF PCM WAV headers or
+    FLAC STREAMINFO (jodie_spark.operators.codecs); fake mode
+    hash-derives the values
     deterministically. Same Arrow-batched mapInPandas shape as
     decode_images."""
     out_schema = T.StructType(
@@ -287,9 +293,16 @@ def decode_audio(
             rates, chans, counts = [], [], []
             for b in pdf[binary_col]:
                 if mode == "real":
-                    from jodie_spark.operators.codecs import decode_wav
+                    from jodie_spark.operators.codecs import (
+                        decode_flac,
+                        decode_wav,
+                        sniff,
+                    )
 
-                    r, c, n, _ = decode_wav(bytes(b), with_samples=False)
+                    if sniff(bytes(b)) == "flac":
+                        r, c, n, _ = decode_flac(bytes(b), with_samples=False)
+                    else:
+                        r, c, n, _ = decode_wav(bytes(b), with_samples=False)
                 else:
                     h = hashlib.md5(bytes(b or b"")).digest()
                     r, c, n = 8000 * (1 + h[0] % 6), 1 + h[1] % 2, 1000 + h[2] * 37

@@ -606,3 +606,88 @@ def test_gif_decodes_real_full_lzw_stream():
     ncolors = len(np.unique(px.reshape(-1, 3), axis=0))
     assert ncolors > 16
     assert (decode_gif(_REAL_GIF)[2] == px).all()
+
+
+# ---------------------------------------------------------------------------
+# FLAC — lossless roundtrips, all subframe types and stereo modes
+# ---------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_mono_signals():
+    from jodie_spark.operators.codecs import decode_flac, encode_flac, sniff
+
+    rng = np.random.default_rng(3)
+    t = np.arange(10_000)
+    sine = (3000 * np.sin(t / 20) + 200 * np.sin(t / 3)).astype(np.int16)
+    cases = {
+        "sine": sine,                                            # FIXED orders
+        "noise": rng.integers(-32768, 32767, 10_000, np.int16),  # VERBATIM
+        "const": np.full(5000, 7, np.int16),                     # CONSTANT
+        "short": sine[:100],                                     # partial frame
+        "multi_frame": sine,                                     # >1 frame
+    }
+    for name, sig in cases.items():
+        bs = 1024 if name == "multi_frame" else 4096
+        b = encode_flac(sig, 8000, block_size=bs)
+        assert sniff(b) == "flac"
+        r, c, n, s = decode_flac(b)
+        assert (r, c, n) == (8000, 1, len(sig))
+        assert np.array_equal(s[:, 0], sig.astype(np.int64)), name
+    # compression actually happened on the predictable signal
+    assert len(encode_flac(sine, 8000)) < 2 * len(sine) * 0.6
+
+
+def test_flac_stereo_decorrelation_modes_and_lpc():
+    from jodie_spark.operators.codecs import decode_flac, encode_flac
+
+    t = np.arange(6_000)
+    left = (3000 * np.sin(t / 17)).astype(np.int16)
+    right = (0.7 * left + 100 * np.sin(t / 5)).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+    sizes = {}
+    for mode in ("independent", "left-side", "right-side", "mid-side"):
+        b = encode_flac(stereo, 44100, channel_mode=mode)
+        r, c, n, s = decode_flac(b)
+        assert (r, c, n) == (44100, 2, 6_000)
+        assert np.array_equal(s, stereo.astype(np.int64)), mode
+        sizes[mode] = len(b)
+    # correlated channels: side coding beats independent
+    assert min(sizes["left-side"], sizes["mid-side"]) < sizes["independent"]
+    # LPC subframe path decodes identically to its FIXED twin
+    b = encode_flac(left, 8000, use_lpc=True)
+    _, _, _, s = decode_flac(b)
+    assert np.array_equal(s[:, 0], left.astype(np.int64))
+
+
+def test_flac_corruption_detected_and_metadata_only():
+    import pytest
+
+    from jodie_spark.operators.codecs import decode_flac, encode_flac
+
+    sig = (2000 * np.sin(np.arange(3000) / 9)).astype(np.int16)
+    b = bytearray(encode_flac(sig, 16000))
+    # header-only parse (with_samples=False) never touches frames
+    r, c, n, s = decode_flac(bytes(b), with_samples=False)
+    assert (r, c, n, s) == (16000, 1, 3000, None)
+    # flip a byte inside the frame payload: CRC-16 must catch it
+    b[-20] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(b))
+
+
+def test_flac_decodes_to_same_pcm_as_wav():
+    """A FLAC re-encode of the same PCM is lossless, so cross-format
+    audio dedup collides at hamming 0 (the spark-side collision is
+    covered by the audio_dedup oracle query's FLAC clone lane)."""
+    from jodie_spark.operators.codecs import (
+        decode_flac,
+        decode_wav,
+        encode_flac,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    sig = (rng.standard_normal(4000) * 6000).astype(np.int16)
+    _, _, _, a = decode_wav(encode_wav(sig.reshape(-1, 1), 8000))
+    _, _, _, b = decode_flac(encode_flac(sig, 8000))
+    assert np.array_equal(a.astype(np.int64), b.astype(np.int64))
