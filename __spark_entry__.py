@@ -2710,6 +2710,70 @@ def _q_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-probe triage over a mixed media corpus: per doc a
+    deterministic blob — MP4 (ids ≡0 mod 4, ISO-BMFF box tree parse),
+    WAV (≡1), native FLAC (≡2), BMP (≡3) — probed for container,
+    duration, geometry, codecs and sample counts WITHOUT decoding any
+    codec payload. Every field is closed-form in doc_id."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jodie_spark.operators.multimodal import probe_media
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 400").select("doc_id")
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from jodie_spark.operators.codecs import (
+            encode_bmp,
+            encode_flac,
+            encode_mp4_stub,
+            encode_wav,
+        )
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 4
+                if m == 0:
+                    blob = encode_mp4_stub(
+                        width=320 + did,
+                        height=240 + did,
+                        n_video_samples=24 + did,
+                        audio_rate=8000,
+                        n_audio_samples=100 + did,
+                        duration_ms=1000 + did,
+                    )
+                elif m == 1:
+                    n = 800 + did
+                    sig = (_np.arange(n) % 199 - 99).astype(_np.int16)
+                    blob = encode_wav(sig.reshape(-1, 1), 8000)
+                elif m == 2:
+                    n = 800 + did
+                    sig = (_np.arange(n) % 199 - 99).astype(_np.int16)
+                    blob = encode_flac(sig, 8000)
+                else:
+                    px = _np.zeros((8 + did % 16, 6 + did % 8, 3), _np.uint8)
+                    blob = encode_bmp(px)
+                ids.append(did)
+                blobs.append(blob)
+            yield _pd.DataFrame({"doc_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(_synth, out_schema)
+    return probe_media(media).select(
+        "doc_id", "container", "duration_ms", "width", "height",
+        "video_codec", "audio_codec", "n_video_samples",
+        "n_audio_samples", "audio_rate",
+    )
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k corpus-overlap estimation: sketch the text hashes
     of two overlapping document slices (A = ids not divisible by 3,
@@ -2816,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "iceberg_convert": _q_iceberg_convert,
         "corpus_overlap": _q_corpus_overlap,
+        "media_probe": _q_media_probe,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4720,6 +4785,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
             FROM orders WHERE o_orderkey % 3 != 0
             GROUP BY o_orderstatus
+        """,
+        "media_probe": """
+            -- closed form of the planted media corpus (mod-4 lanes)
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'wav'
+                        WHEN 2 THEN 'flac' ELSE 'bmp' END AS container,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 1000 + doc_id
+                        WHEN 1 THEN (800 + doc_id) * 1000 // 8000
+                        WHEN 2 THEN (800 + doc_id) * 1000 // 8000
+                        ELSE NULL END AS duration_ms,
+                   CASE doc_id % 4 WHEN 0 THEN 320 + doc_id
+                        WHEN 3 THEN 6 + doc_id % 8 ELSE NULL
+                        END AS width,
+                   CASE doc_id % 4 WHEN 0 THEN 240 + doc_id
+                        WHEN 3 THEN 8 + doc_id % 16 ELSE NULL
+                        END AS height,
+                   CASE doc_id % 4 WHEN 0 THEN 'avc1'
+                        WHEN 3 THEN 'bmp' ELSE NULL END AS video_codec,
+                   CASE doc_id % 4 WHEN 0 THEN 'mp4a' WHEN 1 THEN 'pcm'
+                        WHEN 2 THEN 'flac' ELSE NULL END AS audio_codec,
+                   CASE doc_id % 4 WHEN 0 THEN 24 + doc_id ELSE NULL
+                        END AS n_video_samples,
+                   CASE doc_id % 4 WHEN 0 THEN 100 + doc_id
+                        WHEN 1 THEN 800 + doc_id
+                        WHEN 2 THEN 800 + doc_id ELSE NULL
+                        END AS n_audio_samples,
+                   CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 8000
+                        WHEN 2 THEN 8000 ELSE NULL END AS audio_rate
+            FROM documents WHERE doc_id < 400
         """,
         "corpus_overlap": """
             -- KMV bottom-128 replicated exactly: md5-prefix 60-bit

@@ -2036,3 +2036,212 @@ def encode_flac(
         out += bw.out
         frame_no += 1
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF — container METADATA parsing (ISO 14496-12). Sample
+# payloads (H.264/AAC/...) still need external codecs via
+# decoder_overrides; this parses what a corpus pipeline filters on:
+# brand, duration, track geometry, codecs, sample counts.
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack_from(">I", b, i)[0]
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", b, i + 8)[0]
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _fullbox(b: bytes, off: int):
+    version = b[off]
+    return version, off + 4
+
+
+def probe_mp4(b: bytes) -> dict:
+    """MP4/ISO-BMFF container metadata → dict with ``brand``,
+    ``duration_ms`` and per-track entries (``handler`` vide/soun,
+    ``codec`` fourcc, ``width``/``height`` or ``channels``/
+    ``sample_rate``, ``n_samples``, ``media_bytes``). Pure box-tree
+    walking — no codec work, O(metadata bytes)."""
+    if sniff(b) != "mp4":
+        raise ValueError(f"not an MP4 payload (sniffed: {sniff(b)})")
+    out: dict = {"brand": b[8:12].decode("latin1"), "tracks": []}
+    moov = None
+    for btype, s, e in _iter_boxes(b, 0, len(b)):
+        if btype == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for btype, s, e in _iter_boxes(b, *moov):
+        if btype == b"mvhd":
+            v, p = _fullbox(b, s)
+            if v == 1:
+                ts = struct.unpack_from(">I", b, p + 16)[0]
+                dur = struct.unpack_from(">Q", b, p + 20)[0]
+            else:
+                ts = struct.unpack_from(">I", b, p + 8)[0]
+                dur = struct.unpack_from(">I", b, p + 12)[0]
+            out["duration_ms"] = int(dur * 1000 / ts) if ts else 0
+        elif btype == b"trak":
+            trk: dict = {}
+            for t2, s2, e2 in _iter_boxes(b, s, e):
+                if t2 == b"tkhd":
+                    v, p = _fullbox(b, s2)
+                    # v0: times/id/dur = 20B, v1: 32B; then 16B
+                    # layer/group/volume/reserved + 36B matrix
+                    geo = p + (20 if v == 0 else 32) + 16 + 36
+                    trk["width"] = struct.unpack_from(">I", b, geo)[0] >> 16
+                    trk["height"] = struct.unpack_from(">I", b, geo + 4)[0] >> 16
+                elif t2 == b"mdia":
+                    for t3, s3, e3 in _iter_boxes(b, s2, e2):
+                        if t3 == b"hdlr":
+                            trk["handler"] = b[s3 + 8 : s3 + 12].decode("latin1")
+                        elif t3 == b"minf":
+                            for t4, s4, e4 in _iter_boxes(b, s3, e3):
+                                if t4 != b"stbl":
+                                    continue
+                                for t5, s5, e5 in _iter_boxes(b, s4, e4):
+                                    if t5 == b"stsd":
+                                        _v, p5 = _fullbox(b, s5)
+                                        n = struct.unpack_from(">I", b, p5)[0]
+                                        if n >= 1:
+                                            entry_type = b[p5 + 8 : p5 + 12]
+                                            trk["codec"] = entry_type.decode(
+                                                "latin1"
+                                            )
+                                            ep = p5 + 4 + 8 + 8  # entry hdr
+                                            if trk.get("handler") == "vide":
+                                                trk["width"] = struct.unpack_from(
+                                                    ">H", b, ep + 16
+                                                )[0]
+                                                trk["height"] = struct.unpack_from(
+                                                    ">H", b, ep + 18
+                                                )[0]
+                                            elif trk.get("handler") == "soun":
+                                                trk["channels"] = struct.unpack_from(
+                                                    ">H", b, ep + 8
+                                                )[0]
+                                                trk["sample_rate"] = (
+                                                    struct.unpack_from(
+                                                        ">I", b, ep + 16
+                                                    )[0]
+                                                    >> 16
+                                                )
+                                    elif t5 == b"stsz":
+                                        _v, p5 = _fullbox(b, s5)
+                                        fixed = struct.unpack_from(">I", b, p5)[0]
+                                        cnt = struct.unpack_from(">I", b, p5 + 4)[0]
+                                        trk["n_samples"] = cnt
+                                        if fixed:
+                                            trk["media_bytes"] = fixed * cnt
+                                        else:
+                                            sizes = struct.unpack_from(
+                                                f">{cnt}I", b, p5 + 8
+                                            )
+                                            trk["media_bytes"] = int(sum(sizes))
+            out["tracks"].append(trk)
+    return out
+
+
+def encode_mp4_stub(
+    width: int = 0,
+    height: int = 0,
+    n_video_samples: int = 0,
+    audio_rate: int = 0,
+    n_audio_samples: int = 0,
+    duration_ms: int = 1000,
+    payload: bytes = b"",
+) -> bytes:
+    """Minimal valid ISO-BMFF fixture muxer: ftyp + moov (mvhd + one
+    trak per requested media kind with tkhd/mdia/hdlr/stbl boxes) +
+    mdat carrying ``payload``. The 'codec' entries are avc1/mp4a
+    SHELLS — headers a probe/filter pipeline reads, with no codec
+    bitstream, exactly the shape :func:`probe_mp4` targets."""
+
+    def box(btype: bytes, *payloads: bytes) -> bytes:
+        body = b"".join(payloads)
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ts = 1000
+    dur = duration_ms
+
+    def trak(handler: bytes, codec: bytes, entry: bytes, n_samples: int,
+             w: int = 0, h: int = 0) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07",  # version 0, enabled
+            bytes(8),  # times
+            struct.pack(">I", 1), bytes(4),  # track id, reserved
+            struct.pack(">I", dur), bytes(8),
+            bytes(8),  # layer/group/volume/reserved
+            # identity matrix
+            struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+            struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = box(
+            b"mdhd", b"\x00\x00\x00\x00", bytes(8),
+            struct.pack(">II", ts, dur), b"\x55\xc4\x00\x00",
+        )
+        hdlr = box(
+            b"hdlr", b"\x00\x00\x00\x00", bytes(4), handler, bytes(12), b"\x00"
+        )
+        stsd = box(
+            b"stsd", b"\x00\x00\x00\x00", struct.pack(">I", 1),
+            box(codec, bytes(6), struct.pack(">H", 1), entry),
+        )
+        stts = box(b"stts", b"\x00\x00\x00\x00",
+                   struct.pack(">III", 1, n_samples, 1))
+        stsc = box(b"stsc", b"\x00\x00\x00\x00",
+                   struct.pack(">IIII", 1, 1, max(n_samples, 1), 1))
+        stsz = box(b"stsz", b"\x00\x00\x00\x00",
+                   struct.pack(">II", 16, n_samples))
+        stco = box(b"stco", b"\x00\x00\x00\x00", struct.pack(">II", 1, 0))
+        stbl = box(b"stbl", stsd, stts, stsc, stsz, stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd, hdlr, minf)
+        return box(b"trak", tkhd, mdia)
+
+    traks = []
+    if n_video_samples:
+        # visual sample entry: 16 reserved + width/height + ...
+        entry = (
+            bytes(16)
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x480000, 0x480000)
+            + bytes(4)
+            + struct.pack(">H", 1)
+            + bytes(32)
+            + struct.pack(">Hh", 24, -1)
+        )
+        traks.append(trak(b"vide", b"avc1", entry, n_video_samples, width, height))
+    if n_audio_samples:
+        # audio sample entry: 8 reserved + channels/bits + rate<<16
+        entry = (
+            bytes(8)
+            + struct.pack(">HH", 2, 16)
+            + bytes(4)
+            + struct.pack(">I", audio_rate << 16)
+        )
+        traks.append(trak(b"soun", b"mp4a", entry, n_audio_samples))
+    mvhd = box(
+        b"mvhd", b"\x00\x00\x00\x00", bytes(8),
+        struct.pack(">II", ts, dur),
+        struct.pack(">I", 0x10000), struct.pack(">H", 0x100), bytes(10),
+        struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+        bytes(24), struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd, *traks)
+    ftyp = box(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isomiso2mp41")
+    mdat = box(b"mdat", payload)
+    return ftyp + moov + mdat

@@ -319,3 +319,89 @@ def decode_audio(
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
+
+
+def probe_media(df: DataFrame, binary_col: str = "data") -> DataFrame:
+    """Container-level probe of ANY supported media blob — the
+    filter/triage pass a multimodal pipeline runs before spending
+    decode cycles: ``container`` (sniffed), ``duration_ms``, ``width``
+    / ``height`` (images + video tracks), ``video_codec`` /
+    ``audio_codec`` fourccs, ``n_video_samples`` / ``n_audio_samples``
+    and ``audio_rate``. MP4 parses the ISO-BMFF box tree (headers
+    only, no codec work); WAV/FLAC parse format headers; images parse
+    dimension headers. Unknown containers yield a sniffed name with
+    NULL fields — they never abort the batch."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("container", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("video_codec", T.StringType()),
+            T.StructField("audio_codec", T.StringType()),
+            T.StructField("n_video_samples", T.LongType()),
+            T.StructField("n_audio_samples", T.LongType()),
+            T.StructField("audio_rate", T.IntegerType()),
+        ]
+    )
+    cols = [
+        "container", "duration_ms", "width", "height", "video_codec",
+        "audio_codec", "n_video_samples", "n_audio_samples", "audio_rate",
+    ]
+
+    def one(raw: bytes) -> dict:
+        from jodie_spark.operators.codecs import (
+            decode_flac,
+            decode_image,
+            decode_wav,
+            probe_mp4,
+            sniff,
+        )
+
+        kind = sniff(raw)
+        r: dict = {c: None for c in cols}
+        r["container"] = kind
+        try:
+            if kind == "mp4":
+                info = probe_mp4(raw)
+                r["duration_ms"] = info.get("duration_ms")
+                for t in info["tracks"]:
+                    if t.get("handler") == "vide":
+                        r["width"] = t.get("width")
+                        r["height"] = t.get("height")
+                        r["video_codec"] = t.get("codec")
+                        r["n_video_samples"] = t.get("n_samples")
+                    elif t.get("handler") == "soun":
+                        r["audio_codec"] = t.get("codec")
+                        r["n_audio_samples"] = t.get("n_samples")
+                        r["audio_rate"] = t.get("sample_rate")
+            elif kind == "wav":
+                rate, _c, n, _ = decode_wav(raw, with_samples=False)
+                r["audio_codec"] = "pcm"
+                r["audio_rate"] = rate
+                r["n_audio_samples"] = n
+                r["duration_ms"] = int(n * 1000 // rate) if rate else None
+            elif kind == "flac":
+                rate, _c, n, _ = decode_flac(raw, with_samples=False)
+                r["audio_codec"] = "flac"
+                r["audio_rate"] = rate
+                r["n_audio_samples"] = n
+                r["duration_ms"] = int(n * 1000 // rate) if rate else None
+            elif kind in ("bmp", "ppm", "png", "jpeg", "gif"):
+                w, h, _ = decode_image(raw, with_pixels=False)
+                r["width"], r["height"] = w, h
+                r["video_codec"] = kind
+        except Exception:
+            pass  # a malformed blob keeps its sniffed container, NULL fields
+        return r
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [one(bytes(b or b"")) for b in pdf[binary_col]]
+            pdf = pdf.copy()
+            for c in cols:
+                pdf[c] = [p[c] for p in probed]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)

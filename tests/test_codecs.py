@@ -691,3 +691,65 @@ def test_flac_decodes_to_same_pcm_as_wav():
     _, _, _, a = decode_wav(encode_wav(sig.reshape(-1, 1), 8000))
     _, _, _, b = decode_flac(encode_flac(sig, 8000))
     assert np.array_equal(a.astype(np.int64), b.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container probe
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_probe_roundtrip_and_errors():
+    from jodie_spark.operators.codecs import encode_mp4_stub, probe_mp4, sniff
+
+    b = encode_mp4_stub(
+        width=640, height=360, n_video_samples=120,
+        audio_rate=48000, n_audio_samples=480, duration_ms=4000,
+        payload=b"\x00" * 64,
+    )
+    assert sniff(b) == "mp4"
+    info = probe_mp4(b)
+    assert info["brand"] == "isom" and info["duration_ms"] == 4000
+    vid = next(t for t in info["tracks"] if t["handler"] == "vide")
+    aud = next(t for t in info["tracks"] if t["handler"] == "soun")
+    assert (vid["width"], vid["height"], vid["codec"]) == (640, 360, "avc1")
+    assert vid["n_samples"] == 120 and vid["media_bytes"] == 120 * 16
+    assert (aud["channels"], aud["sample_rate"], aud["codec"]) == (2, 48000, "mp4a")
+    # audio-only and video-only variants
+    a_only = probe_mp4(encode_mp4_stub(audio_rate=8000, n_audio_samples=10))
+    assert [t["handler"] for t in a_only["tracks"]] == ["soun"]
+    v_only = probe_mp4(encode_mp4_stub(width=32, height=16, n_video_samples=3))
+    assert [t["handler"] for t in v_only["tracks"]] == ["vide"]
+    # non-mp4 refuses; a box whose size overruns the payload raises
+    with pytest.raises(ValueError, match="not an MP4"):
+        probe_mp4(b"RIFFxxxxWAVE")
+    i = b.index(b"moov") - 4  # moov box size field
+    with pytest.raises(ValueError, match="malformed"):
+        probe_mp4(b[:i] + b"\x7f\xff\xff\xff" + b[i + 4:])
+
+
+def test_probe_media_mixed_corpus(spark):
+    from jodie_spark.operators.codecs import (
+        encode_bmp,
+        encode_flac,
+        encode_mp4_stub,
+        encode_wav,
+    )
+    from jodie_spark.operators.multimodal import probe_media
+
+    sig = (np.arange(900) % 151 - 75).astype(np.int16)
+    rows = [
+        (0, bytearray(encode_mp4_stub(width=100, height=50, n_video_samples=9,
+                                      duration_ms=700))),
+        (1, bytearray(encode_wav(sig.reshape(-1, 1), 8000))),
+        (2, bytearray(encode_flac(sig, 8000))),
+        (3, bytearray(encode_bmp(np.zeros((4, 7, 3), np.uint8)))),
+        (4, bytearray(b"\x01\x02garbage")),
+    ]
+    df = spark.createDataFrame(rows, "id int, data binary")
+    got = {r["id"]: r for r in probe_media(df).collect()}
+    assert got[0]["container"] == "mp4" and got[0]["video_codec"] == "avc1"
+    assert (got[0]["width"], got[0]["height"], got[0]["duration_ms"]) == (100, 50, 700)
+    assert got[1]["audio_codec"] == "pcm" and got[1]["n_audio_samples"] == 900
+    assert got[2]["audio_codec"] == "flac" and got[2]["duration_ms"] == 900 * 1000 // 8000
+    assert (got[3]["width"], got[3]["height"]) == (7, 4)
+    assert got[4]["container"] == "unknown" and got[4]["width"] is None
