@@ -384,13 +384,31 @@ def convert_to_iceberg(table) -> str:
     # a stable table-uuid across regenerations: persist in the first
     # metadata file, reuse afterwards
     table_uuid = None
-    for f in sorted(existing):
+    prior_snapshots: list[dict] = []
+    prior_snapshot_log: list[dict] = []
+    prior_metadata_log: list[dict] = []
+    if existing:
+        # latest prior metadata: carry its uuid AND accumulate its
+        # snapshot history (UniForm appends a snapshot per conversion
+        # instead of rewriting history — time travel through the
+        # Iceberg side stays possible)
+        latest = max(existing, key=lambda f: int(f[1:].split(".")[0]))
         try:
-            with open(os.path.join(meta_dir, f), encoding="utf-8") as fh:
-                table_uuid = json.load(fh).get("table-uuid")
-            break
+            with open(os.path.join(meta_dir, latest), encoding="utf-8") as fh:
+                prior = json.load(fh)
+            table_uuid = prior.get("table-uuid")
+            prior_snapshots = list(prior.get("snapshots") or [])
+            prior_snapshot_log = list(prior.get("snapshot-log") or [])
+            prior_metadata_log = list(prior.get("metadata-log") or [])
+            prior_metadata_log.append(
+                {
+                    "timestamp-ms": prior.get("last-updated-ms", now_ms),
+                    "metadata-file": "file://"
+                    + os.path.abspath(os.path.join(meta_dir, latest)),
+                }
+            )
         except (OSError, json.JSONDecodeError):
-            continue
+            pass
     table_uuid = table_uuid or str(uuid.uuid4())
     metadata = {
         "format-version": 2,
@@ -413,7 +431,8 @@ def convert_to_iceberg(table) -> str:
             "delta.universalFormat.source": "jodie_spark",
         },
         "current-snapshot-id": snapshot_id,
-        "snapshots": [
+        "snapshots": prior_snapshots
+        + [
             {
                 "snapshot-id": snapshot_id,
                 "sequence-number": sequence_number,
@@ -430,8 +449,9 @@ def convert_to_iceberg(table) -> str:
         "refs": {
             "main": {"snapshot-id": snapshot_id, "type": "branch"}
         },
-        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
-        "metadata-log": [],
+        "snapshot-log": prior_snapshot_log
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        "metadata-log": prior_metadata_log,
     }
     meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -173,7 +173,21 @@ def test_iceberg_regeneration_tracks_dml_and_refusals(spark, tmpdir_path):
     assert v2 == v1 + 1
     assert md2["table-uuid"] == md1["table-uuid"]
     assert md2["last-sequence-number"] > md1["last-sequence-number"]
-    ml = md2["snapshots"][0]["manifest-list"][len("file://"):]
+    # snapshot history ACCUMULATES (UniForm appends per conversion):
+    # v2 carries v1's snapshot plus the new one, logs track both
+    assert len(md2["snapshots"]) == len(md1["snapshots"]) + 1
+    assert md1["snapshots"][0]["snapshot-id"] in {
+        s_["snapshot-id"] for s_ in md2["snapshots"]
+    }
+    assert len(md2["snapshot-log"]) == 2
+    assert md2["metadata-log"][-1]["metadata-file"].endswith(
+        f"v{v1}.metadata.json"
+    )
+    cur = next(
+        s_ for s_ in md2["snapshots"]
+        if s_["snapshot-id"] == md2["current-snapshot-id"]
+    )
+    ml = cur["manifest-list"][len("file://"):]
     _, manifests, _ = read_container(ml)
     _, entries, _ = read_container(
         manifests[0]["manifest_path"][len("file://"):]
