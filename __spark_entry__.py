@@ -2774,6 +2774,63 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (ISO 28500 — the Common Crawl container): write
+    the documents corpus into two WARC segment files (one plain, one
+    per-record-gzip like Common Crawl ships), read them back with the
+    distributed file-parallel reader, and surface the HTTP layer. Every
+    doc yields a 200 response carrying its text; ids ≡0 (mod 5) also a
+    404 with a synthetic body — statuses, URIs and exact payload byte
+    lengths are closed-form in doc_id."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.warc import encode_warc, read_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 500")
+        .select("doc_id", "text")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="jodie_warc_")
+    for half, gz in ((0, False), (1, True)):
+        recs = []
+        for r in sorted(docs, key=lambda r: r["doc_id"]):
+            did = int(r["doc_id"])
+            if did % 2 != half:
+                continue
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"https://corpus.example/doc/{did}",
+                    "http_status": 200,
+                    "http_content_type": "text/html",
+                    "payload": (r["text"] or "").encode("utf-8"),
+                }
+            )
+            if did % 5 == 0:
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://corpus.example/doc/{did}",
+                        "http_status": 404,
+                        "http_content_type": "text/plain",
+                        "payload": f"not found:{did}".encode(),
+                    }
+                )
+        name = f"seg{half}.warc" + (".gz" if gz else "")
+        with open(os.path.join(d, name), "wb") as fh:
+            fh.write(encode_warc(recs, per_record_gzip=gz))
+    out = read_warc(spark, d)
+    return out.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        "http_content_type",
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k corpus-overlap estimation: sketch the text hashes
     of two overlapping document slices (A = ids not divisible by 3,
@@ -2881,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_convert": _q_iceberg_convert,
         "corpus_overlap": _q_corpus_overlap,
         "media_probe": _q_media_probe,
+        "warc_ingest": _q_warc_ingest,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4815,6 +4873,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 8000
                         WHEN 2 THEN 8000 ELSE NULL END AS audio_rate
             FROM documents WHERE doc_id < 400
+        """,
+        "warc_ingest": """
+            -- closed form: every doc one 200 response with its text
+            -- bytes; ids %5=0 also a 404 with 'not found:{id}'
+            SELECT doc_id, 200 AS http_status,
+                   'text/html' AS http_content_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            FROM documents WHERE doc_id < 500
+            UNION ALL
+            SELECT doc_id, 404,
+                   'text/plain',
+                   CAST(octet_length(encode('not found:' || CAST(doc_id AS VARCHAR)))
+                        AS BIGINT)
+            FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0
         """,
         "corpus_overlap": """
             -- KMV bottom-128 replicated exactly: md5-prefix 60-bit
