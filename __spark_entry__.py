@@ -2831,6 +2831,55 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) crawl-index ingestion (Common Crawl cc-index layout):
+    plant one index line per document — SURT key, timestamp, JSON
+    capture metadata — across two files, read them back with the
+    line-splittable Catalyst reader, and RE-DERIVE the SURT from the
+    parsed URL with the surt_key expression; every output column is
+    closed-form in doc_id (surt_match proves parse and derivation
+    agree)."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.warc import read_cdxj, surt_key
+
+    ids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 500")
+        .select("doc_id")
+        .collect()
+    ]
+    d = tempfile.mkdtemp(prefix="jodie_cdx_")
+    for half in (0, 1):
+        lines = []
+        for did in sorted(ids):
+            if did % 2 != half:
+                continue
+            url = f"https://sub{did % 3}.dom{did % 5}.com/p/{did}"
+            surt = f"com,dom{did % 5},sub{did % 3})/p/{did}"
+            meta = (
+                f'{{"url": "{url}", "mime": "text/html", '
+                f'"status": "{200 if did % 7 else 404}", '
+                f'"length": "{1000 + did}", "offset": "{did * 10}", '
+                f'"filename": "seg{half}.warc.gz"}}'
+            )
+            lines.append(f"{surt} {20240101000000 + did} {meta}")
+        with open(os.path.join(d, f"idx{half}.cdxj"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    out = read_cdxj(spark, d)
+    return out.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "surt_key",
+        "capture_ts",
+        "mime",
+        "status",
+        "length",
+        "offset",
+        "filename",
+        (surt_key(F.col("url")) == F.col("surt_key")).alias("surt_match"),
+    )
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k corpus-overlap estimation: sketch the text hashes
     of two overlapping document slices (A = ids not divisible by 3,
@@ -2939,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "media_probe": _q_media_probe,
         "warc_ingest": _q_warc_ingest,
+        "cdx_index": _q_cdx_index,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4887,6 +4937,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode('not found:' || CAST(doc_id AS VARCHAR)))
                         AS BIGINT)
             FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0
+        """,
+        "cdx_index": """
+            -- closed form of the planted cc-index lines
+            SELECT doc_id,
+                   'com,dom' || CAST(doc_id % 5 AS VARCHAR) || ',sub'
+                       || CAST(doc_id % 3 AS VARCHAR) || ')/p/'
+                       || CAST(doc_id AS VARCHAR) AS surt_key,
+                   CAST(20240101000000 + doc_id AS VARCHAR) AS capture_ts,
+                   'text/html' AS mime,
+                   CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+                   CAST(1000 + doc_id AS BIGINT) AS length,
+                   CAST(doc_id * 10 AS BIGINT) AS offset,
+                   'seg' || CAST(doc_id % 2 AS VARCHAR) || '.warc.gz'
+                       AS filename,
+                   TRUE AS surt_match
+            FROM documents WHERE doc_id < 500
         """,
         "corpus_overlap": """
             -- KMV bottom-128 replicated exactly: md5-prefix 60-bit

@@ -85,3 +85,40 @@ def test_read_warc_distributed(spark, tmpdir_path):
     with open(os.path.join(d, "c.warc.gz"), "wb") as fh:
         fh.write(gzip.compress(encode_warc([RECS[2]])))
     assert read_warc(spark, d).count() == 7
+
+
+def test_cdxj_reader_and_surt(spark, tmpdir_path):
+    from pyspark.sql import functions as F
+
+    from jodie_spark.sources.warc import read_cdxj, surt_key
+
+    d = os.path.join(tmpdir_path, "cdx")
+    os.makedirs(d)
+    lines = [
+        'com,example,www)/a 20240101000000 {"url": "https://www.example.com/a",'
+        ' "mime": "text/html", "status": "200", "digest": "sha1:AAA",'
+        ' "length": "123", "offset": "0", "filename": "s.warc.gz"}',
+        'org,thing)/b?q=1 20240102000000 {"url": "https://thing.org/b?q=1",'
+        ' "status": "301", "length": "9", "offset": "77", "filename": "t.warc.gz"}',
+        "this line is malformed",
+    ]
+    with open(os.path.join(d, "x.cdxj"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    rows = {r["url"]: r for r in read_cdxj(spark, d).collect()}
+    a = rows["https://www.example.com/a"]
+    assert a["surt_key"] == "com,example,www)/a"
+    assert (a["status"], a["length"], a["offset"]) == (200, 123, 0)
+    assert a["digest"] == "sha1:AAA" and a["capture_ts"] == "20240101000000"
+    b = rows["https://thing.org/b?q=1"]
+    assert b["status"] == 301 and b["mime"] is None
+    # malformed line survives as a NULL row, never fails the scan
+    assert None in rows and rows[None]["surt_key"] is None
+
+    # surt_key expression matches the planted keys and handles depth-2
+    df = spark.createDataFrame(
+        [("https://sub.news.example.com/x/y",), ("https://example.com",),
+         ("not a url",)],
+        ["url"],
+    )
+    got = [r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
+    assert got == ["com,example,news,sub)/x/y", "com,example)/", None]
