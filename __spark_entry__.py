@@ -2958,12 +2958,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first, as computed by ``tools/check_oracles.py --freshness``).
     Round-8 cadence change (VERDICT r7 item 1): the 22 SURVEY §2 core
     slots move to an EVERY-OTHER-ROUND cadence — they are stable,
-    pytest-pinned, and were green in r7 — freeing the whole window for
-    the 32 queries whose newest official row was >2 rounds old plus
-    the 4 registered-after-r7 rows and the 2 new round-8 queries.
-    Round 9 should window: the 16 r6-green rows at slots 51-66, the 22
-    SURVEY core, and 12 of this round's rows.  The tail (51+) stays
-    value-checked every round via tools/check_oracles.py."""
+    pytest-pinned, and were green in r7 — freeing the window for the
+    staleness tail.  Round-8 window: slots 1-4 the registered-after-r7
+    rows, 5-14 the TEN new round-8 queries (decoder_override_dedup,
+    reorg_purge_manifest, uniform_iceberg, domain_cap, dsir_weights,
+    iceberg_convert, corpus_overlap, media_probe, warc_ingest,
+    cdx_index), then the 6 r4-green + 26 r5-green rows, and the first
+    4 of the r6 cohort — `--freshness` reports
+    `stale_not_in_next_window: []`.  Round 9 should window: the
+    remaining r6-green rows, the 22 SURVEY core, and rotation slots.
+    The tail (51+) stays value-checked every round via
+    tools/check_oracles.py."""
     return {
         # --- round-8 window (slots 1-50), ordered by STALENESS of the
         # newest official driver-green row (VERDICT r7 item 1: the 22
