@@ -753,3 +753,34 @@ def test_probe_media_mixed_corpus(spark):
     assert got[2]["audio_codec"] == "flac" and got[2]["duration_ms"] == 900 * 1000 // 8000
     assert (got[3]["width"], got[3]["height"]) == (7, 4)
     assert got[4]["container"] == "unknown" and got[4]["width"] is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=9000),
+    ch=st.integers(min_value=1, max_value=2),
+    mode=st.sampled_from(["independent", "left-side", "right-side", "mid-side"]),
+    block=st.sampled_from([256, 1024, 4096]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_flac_property_roundtrip(n, ch, mode, block, seed):
+    """Property: any int16 signal round-trips losslessly through
+    encode_flac → decode_flac, across channel modes, block sizes and
+    partial tail frames."""
+    from jodie_spark.operators.codecs import decode_flac, encode_flac
+
+    if ch == 1:
+        mode = "independent"
+    rng = np.random.default_rng(seed)
+    # mix of smooth (predictor-friendly) and noisy (verbatim) content
+    t = np.arange(n)
+    smooth = 2000 * np.sin(t / max(1, seed % 37 + 3))
+    noisy = rng.integers(-32768, 32767, n)
+    sig = np.where(t % 2 == 0, smooth, noisy * (seed % 3 == 0)).astype(np.int16)
+    if ch == 2:
+        sig = np.stack([sig, (sig * 0.5).astype(np.int16)], axis=1)
+    b = encode_flac(sig, 8000, block_size=block, channel_mode=mode)
+    r, c, cnt, out = decode_flac(b)
+    assert (r, c, cnt) == (8000, ch, n)
+    ref = sig.reshape(n, ch) if ch == 2 else sig[:, None]
+    assert np.array_equal(out, ref.astype(np.int64))

@@ -270,3 +270,47 @@ def test_convert_iceberg_to_delta_roundtrip(spark, tmpdir_path):
     # further DML on the converted table works
     conv.update("k = 1", {"v": "v + 1"})
     assert {r["k"]: r["v"] for r in DeltaTable.forPath(spark, dst).toDF().collect()}[1] == 11.5
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries(
+            {
+                "s": st.text(max_size=40),
+                "n": st.integers(min_value=-(2**62), max_value=2**62),
+                "opt": st.one_of(st.none(), st.integers(-1000, 1000)),
+                "arr": st.lists(st.integers(-100, 100), max_size=8),
+                "m": st.dictionaries(
+                    st.text(min_size=1, max_size=6), st.booleans(), max_size=4
+                ),
+            }
+        ),
+        max_size=12,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_property_roundtrip(recs, codec):
+    """Property: any record list under this schema survives an
+    object-container round trip byte-exactly, both codecs."""
+    import tempfile
+
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "opt", "type": ["null", "int"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "boolean"}},
+        ],
+    }
+    p = os.path.join(tempfile.mkdtemp(prefix="avro_prop_"), "prop.avro")
+    write_container(p, schema, recs, codec=codec)
+    _, got, _ = read_container(p)
+    assert got == recs
