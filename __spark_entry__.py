@@ -2880,6 +2880,45 @@ def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt (RFC 9309) compliance filtering: three planted hosts
+    — one with prefix rules + a longer Allow exception + a wildcard,
+    one blocking everything, one with no robots at all — applied to
+    deterministic per-doc URLs. Longest-match / allow-on-tie semantics
+    make survivorship closed-form in doc_id."""
+    from jodie_spark.functions.robots import filter_by_robots
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 600")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/open/p"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/blocked/p"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/blocked/except"))
+            .otherwise(F.lit("/other/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "host0.example",
+                "User-agent: bigcrawler\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /blocked/\n"
+                "Allow: /blocked/except*\n",
+            ),
+            ("host1.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    kept = filter_by_robots(planted, robots, user_agent="jodiebot/1.0")
+    return kept.select("doc_id")
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k corpus-overlap estimation: sketch the text hashes
     of two overlapping document slices (A = ids not divisible by 3,
@@ -2994,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": _q_media_probe,
         "warc_ingest": _q_warc_ingest,
         "cdx_index": _q_cdx_index,
+        "robots_filter": _q_robots_filter,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -4958,6 +4998,15 @@ def oracle_sql() -> dict[str, str]:
                        AS filename,
                    TRUE AS surt_match
             FROM documents WHERE doc_id < 500
+        """,
+        "robots_filter": """
+            -- closed form: host1 blocks everything; host0 blocks the
+            -- /blocked/ lane except the longer Allow /blocked/except*;
+            -- host2 has no robots -> allowed
+            SELECT doc_id FROM documents
+            WHERE doc_id < 600
+              AND doc_id % 3 != 1
+              AND NOT (doc_id % 3 = 0 AND doc_id % 4 = 1)
         """,
         "corpus_overlap": """
             -- KMV bottom-128 replicated exactly: md5-prefix 60-bit
