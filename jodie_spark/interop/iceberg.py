@@ -541,8 +541,6 @@ def convert_iceberg_to_delta(spark, path: str):
     parquet footers (thread-pooled, O(#files) like the parquet
     convert). Files outside the table root keep absolute paths, same
     as shallow-clone adds."""
-    import struct as _struct  # noqa: F401  (parity with module imports)
-
     from jodie_spark.errors import JodieValidationError
     from jodie_spark.interop.avro import read_container
     from jodie_spark.tables.log import DeltaLog
