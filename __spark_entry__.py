@@ -2999,11 +2999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots move to an EVERY-OTHER-ROUND cadence — they are stable,
     pytest-pinned, and were green in r7 — freeing the window for the
     staleness tail.  Round-8 window: slots 1-4 the registered-after-r7
-    rows, 5-14 the TEN new round-8 queries (decoder_override_dedup,
+    rows, 5-15 the ELEVEN new round-8 queries (decoder_override_dedup,
     reorg_purge_manifest, uniform_iceberg, domain_cap, dsir_weights,
     iceberg_convert, corpus_overlap, media_probe, warc_ingest,
-    cdx_index), then the 6 r4-green + 26 r5-green rows, and the first
-    4 of the r6 cohort — `--freshness` reports
+    cdx_index, robots_filter), then the 6 r4-green + 26 r5-green rows,
+    and the first 3 of the r6 cohort — `--freshness` reports
     `stale_not_in_next_window: []`.  Round 9 should window: the
     remaining r6-green rows, the 22 SURVEY core, and rotation slots.
     The tail (51+) stays value-checked every round via
