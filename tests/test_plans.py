@@ -171,3 +171,86 @@ def test_dedup_keeper_elections_use_aggregation_not_windows(spark):
         assert "Window" not in plan, plan
         assert "Aggregate" in plan, plan  # Hash/Sort/ObjectHashAggregate
         assert q.count() >= 0
+
+
+def test_dsir_weights_broadcasts_bucket_tables(spark):
+    """DSIR's scale contract: the two n_buckets-row log-prob tables
+    BROADCAST onto the (id, bucket) pair stream, and no plan stage is
+    a cartesian/nested-loop join."""
+    from jodie_spark.operators.dsir import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"some text number {i} with shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    tgt = raw.filter("doc_id % 5 = 0")
+    q = dsir_log_weights(raw, tgt, n_buckets=512)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the scalar-floor cross joins are broadcast 1-row joins: every
+    # nested-loop stage must carry a broadcast build side
+    import re
+
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert re.search(r"Build(Left|Right)", line), line
+
+
+def test_cap_per_domain_narrow_projection_and_semijoin(spark):
+    """Frequency capping never shuffles the text column: both window
+    stages operate on the narrow (domain, quality, id) projection and
+    the keeper set comes back via a semi join."""
+    from jodie_spark.functions.urls import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.com/p/{i}", float(i), "x" * 50) for i in range(40)],
+        "doc_id long, url string, q double, text string",
+    )
+    q = cap_per_domain(df, "url", k=2, id_col="doc_id", quality_col="q")
+    plan = _plan(q)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # exactly the two election window NODES, neither over the text col
+    window_nodes = [
+        line for line in plan.splitlines() if "Window [" in line
+    ]
+    assert len(window_nodes) == 2, window_nodes
+    for line in window_nodes:
+        assert "text" not in line
+
+
+def test_robots_rules_broadcast_and_aggregated_election(spark):
+    """Robots filtering broadcasts the rules table and elects the
+    winning rule with an aggregation — never a corpus window, never a
+    cartesian stage."""
+    from jodie_spark.functions.robots import filter_by_robots
+
+    docs = spark.createDataFrame(
+        [(i, f"https://a.com/s{i % 4}/p{i}") for i in range(30)],
+        "id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /s1/\n")],
+        "host string, robots_txt string",
+    )
+    q = filter_by_robots(docs, robots)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the host+LIKE join on the broadcast rules side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmv_sketch_bounded_shuffle(spark):
+    """The KMV election shuffles at most salts*k rows per group: both
+    aggregation stages are hash aggregates over the hash projection,
+    no window, no join."""
+    from jodie_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(5000).selectExpr("concat('v', id) as v")
+    q = kmv_sketch(df, "v", k=64)
+    plan = _plan(q)
+    assert "Window" not in plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join not in plan
