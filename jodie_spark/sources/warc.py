@@ -265,3 +265,84 @@ def read_cdxj(spark: SparkSession, path_glob: str) -> DataFrame:
             F.get_json_object(j, "$.filename").alias("filename"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (sitemaps.org XML) — the third leg of the crawl trio next to
+# robots.txt and the WARC/CDX archives
+# ---------------------------------------------------------------------------
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("sitemap_file", T.StringType()),
+        T.StructField("kind", T.StringType()),  # urlset | sitemapindex
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("changefreq", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+    ]
+)
+
+_XML_UNESCAPE = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST per XML rules
+]
+
+
+def _sitemap_rows(path: str, blob: bytes) -> list[dict]:
+    import re as _re
+    import zlib as _zlib
+
+    if blob[:2] == b"\x1f\x8b":
+        blob = _zlib.decompress(blob, 47)
+    txt = blob.decode("utf-8", "replace")
+    kind = "sitemapindex" if "<sitemapindex" in txt else "urlset"
+    entry_tag = "sitemap" if kind == "sitemapindex" else "url"
+    rows = []
+    for m in _re.finditer(
+        rf"<{entry_tag}[^>]*>(.*?)</{entry_tag}>", txt, _re.S
+    ):
+        block = m.group(1)
+
+        def field(tag: str) -> str | None:
+            fm = _re.search(rf"<{tag}[^>]*>\s*(.*?)\s*</{tag}>", block, _re.S)
+            if not fm:
+                return None
+            v = fm.group(1)
+            for esc, ch in _XML_UNESCAPE:
+                v = v.replace(esc, ch)
+            return v
+
+        pr = field("priority")
+        rows.append(
+            {
+                "sitemap_file": path,
+                "kind": kind,
+                "loc": field("loc"),
+                "lastmod": field("lastmod"),
+                "changefreq": field("changefreq"),
+                "priority": float(pr) if pr else None,
+            }
+        )
+    return rows
+
+
+def read_sitemaps(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed sitemap read (plain or .gz): one row per ``<url>``
+    entry — or per child ``<sitemap>`` for index files, so callers can
+    recurse by fetching the listed children. File-level parallelism,
+    regex extraction inside Arrow batches (sitemaps are flat two-level
+    XML; no parser dependency needed)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SITEMAP_SCHEMA.fields]
+        for pdf in it:
+            rows: list[dict] = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(_sitemap_rows(str(path), bytes(blob)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, SITEMAP_SCHEMA)

@@ -122,3 +122,38 @@ def test_cdxj_reader_and_surt(spark, tmpdir_path):
     )
     got = [r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
     assert got == ["com,example,news,sub)/x/y", "com,example)/", None]
+
+
+def test_sitemap_reader(spark, tmpdir_path):
+    import gzip as _gz
+
+    from jodie_spark.sources.warc import read_sitemaps
+
+    d = os.path.join(tmpdir_path, "maps")
+    os.makedirs(d)
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a.com/p?x=1&amp;y=2</loc>"
+        "<lastmod>2024-01-02</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>\n"
+        "<url><loc>https://a.com/q</loc></url>\n"
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    with open(os.path.join(d, "m.xml"), "w") as fh:
+        fh.write(xml)
+    with open(os.path.join(d, "i.xml.gz"), "wb") as fh:
+        fh.write(_gz.compress(idx.encode()))
+    rows = sorted(
+        (r["kind"], r["loc"], r["lastmod"], r["priority"])
+        for r in read_sitemaps(spark, d).collect()
+    )
+    assert rows == [
+        ("sitemapindex", "https://a.com/s1.xml", "2024-02-01", None),
+        ("urlset", "https://a.com/p?x=1&y=2", "2024-01-02", 0.8),  # entity unescaped
+        ("urlset", "https://a.com/q", None, None),
+    ]
