@@ -2919,6 +2919,67 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _q_crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingestion stages COMPOSED end-to-end: documents →
+    WARC segments (one plain, one per-record-gzip) → read_warc →
+    HTTP-200 filter → robots.txt compliance (host1 blocks everything,
+    host0 blocks the /sec1/ lane) → per-domain frequency cap (top 40
+    by payload bytes, ties → lowest id). Every stage is deterministic,
+    so the surviving doc_ids are closed-form."""
+    from jodie_spark.functions.robots import filter_by_robots
+    from jodie_spark.functions.urls import cap_per_domain
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.warc import encode_warc, read_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 600")
+        .select("doc_id", "text")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="jodie_crawl_")
+    for half, gz in ((0, False), (1, True)):
+        recs = []
+        for r in sorted(docs, key=lambda r: r["doc_id"]):
+            did = int(r["doc_id"])
+            if did % 2 != half:
+                continue
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": (
+                        f"https://host{did % 3}.example/sec{did % 4}/p{did}"
+                    ),
+                    "http_status": 200,
+                    "payload": (r["text"] or "").encode("utf-8"),
+                }
+            )
+        with open(os.path.join(d, f"seg{half}.warc" + (".gz" if gz else "")),
+                  "wb") as fh:
+            fh.write(encode_warc(recs, per_record_gzip=gz))
+
+    pages = read_warc(spark, d).filter("http_status = 200")
+    robots = spark.createDataFrame(
+        [
+            ("host0.example", "User-agent: *\nDisallow: /sec1/\n"),
+            ("host1.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    compliant = filter_by_robots(pages, robots, url_col="target_uri")
+    keyed = compliant.select(
+        F.regexp_extract("target_uri", r"/p(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.length("payload").alias("payload_bytes"),
+    )
+    capped = cap_per_domain(
+        keyed, "target_uri", k=40, id_col="doc_id", quality_col="payload_bytes"
+    )
+    return capped.select("doc_id", "payload_bytes")
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k corpus-overlap estimation: sketch the text hashes
     of two overlapping document slices (A = ids not divisible by 3,
@@ -2999,11 +3060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots move to an EVERY-OTHER-ROUND cadence — they are stable,
     pytest-pinned, and were green in r7 — freeing the window for the
     staleness tail.  Round-8 window: slots 1-4 the registered-after-r7
-    rows, 5-15 the ELEVEN new round-8 queries (decoder_override_dedup,
+    rows, 5-16 the TWELVE new round-8 queries (decoder_override_dedup,
     reorg_purge_manifest, uniform_iceberg, domain_cap, dsir_weights,
     iceberg_convert, corpus_overlap, media_probe, warc_ingest,
-    cdx_index, robots_filter), then the 6 r4-green + 26 r5-green rows,
-    and the first 3 of the r6 cohort — `--freshness` reports
+    cdx_index, robots_filter, crawl_pipeline_e2e), then the 6 r4-green
+    + 26 r5-green rows, and the first 2 of the r6 cohort —
+    `--freshness` reports
     `stale_not_in_next_window: []`.  Round 9 should window: the
     remaining r6-green rows, the 22 SURVEY core, and rotation slots.
     The tail (51+) stays value-checked every round via
@@ -3034,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "cdx_index": _q_cdx_index,
         "robots_filter": _q_robots_filter,
+        "crawl_pipeline_e2e": _q_crawl_pipeline_e2e,
         "cdf_datasource": _q_cdf_datasource,
         "column_ddl_lifecycle": _q_column_ddl_lifecycle,
         "create_table_ddl": _q_create_table_ddl,
@@ -5007,6 +5070,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 600
               AND doc_id % 3 != 1
               AND NOT (doc_id % 3 = 0 AND doc_id % 4 = 1)
+        """,
+        "crawl_pipeline_e2e": """
+            -- composed closed form: robots drop host1 entirely and
+            -- host0's /sec1/ lane; then top-40 per host by
+            -- (payload bytes DESC, doc_id)
+            WITH allowed AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS BIGINT)
+                           AS payload_bytes,
+                       doc_id % 3 AS host
+                FROM documents
+                WHERE doc_id < 600
+                  AND doc_id % 3 != 1
+                  AND NOT (doc_id % 3 = 0 AND doc_id % 4 = 1)
+            )
+            SELECT doc_id, payload_bytes FROM (
+                SELECT doc_id, payload_bytes,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY payload_bytes DESC, doc_id) AS rn
+                FROM allowed
+            ) t WHERE rn <= 40
         """,
         "corpus_overlap": """
             -- KMV bottom-128 replicated exactly: md5-prefix 60-bit
