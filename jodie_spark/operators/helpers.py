@@ -198,6 +198,7 @@ def is_composite_key_candidate(delta_table: DeltaTable, cols: Sequence[str]) -> 
 def shallow_clone(
     delta_table: DeltaTable,
     target_path: str,
+    version: int | None = None,
 ) -> DeltaTable:
     """Zero-copy clone: a new Delta table whose add actions reference
     the source table's data files by ABSOLUTE path — no data movement,
@@ -210,6 +211,11 @@ def shallow_clone(
     absolute-path add support); the reference library only offers the
     deep ``copyTable``.
 
+    ``version`` clones a HISTORICAL snapshot (delta-spark's
+    ``SHALLOW CLONE src VERSION AS OF n``) — the clone starts from
+    exactly the files live at that source version, so a bad write can
+    be forked-around without touching the source.
+
     Caveats: vacuuming the SOURCE table can invalidate the clone (same
     as delta-spark); cloning a table with deletion vectors is refused
     at read time.
@@ -220,7 +226,7 @@ def shallow_clone(
 
     from jodie_spark.tables.log import DeltaLog
 
-    src_snap = delta_table.snapshot()
+    src_snap = delta_table.snapshot(version)
     src_root = os.path.abspath(delta_table.path)
     target_path = os.path.abspath(target_path)
     log = DeltaLog(target_path)

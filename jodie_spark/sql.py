@@ -298,7 +298,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         mc = re.match(
             r"(?is)^CREATE\s+TABLE\s+(?:delta\.`(?P<tpath>[^`]+)`|(?P<tname>[\w.]+)"
             r"(?:\s+LOCATION\s+'(?P<tloc>[^']+)')?)\s+SHALLOW\s+CLONE\s+"
-            rf"{_REF}$",
+            rf"{_REF}(?:\s+VERSION\s+AS\s+OF\s+(?P<cver>\d+))?$",
             s,
         )
         if mc:
@@ -312,7 +312,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
                     "SHALLOW CLONE needs a target location: CREATE TABLE "
                     "delta.`/path` SHALLOW CLONE src, or name LOCATION '/path'"
                 )
-            shallow_clone(src_t, dst)
+            cver = mc.group("cver")
+            shallow_clone(src_t, dst, version=int(cver) if cver else None)
             if mc.group("tname"):
                 register_delta_table(spark, mc.group("tname"), dst)
             return None

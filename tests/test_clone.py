@@ -75,3 +75,40 @@ def test_clone_update_rewrites_into_clone_dir(spark, tmpdir_path, src_table):
     assert len(_parquets(tgt)) > 0
     assert DeltaTable.forPath(spark, tgt).toDF().filter("id = 500").count() == 1
     assert src_table.toDF().filter("id = 500").count() == 0
+
+
+def test_shallow_clone_version_as_of(spark, tmpdir_path):
+    """Versioned shallow clone: the clone sees exactly the source's
+    HISTORICAL file set, while the source and a head clone keep the
+    current state; SQL surface included."""
+    import os
+
+    from jodie_spark import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    src = os.path.join(tmpdir_path, "vsrc")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), src)
+    t = DeltaTable.forPath(spark, src)
+    t.delete("k = 1")                      # v1
+    write_delta(
+        spark.createDataFrame([(3, "c")], "k int, v string"), src, mode="append"
+    )                                      # v2
+
+    c0 = shallow_clone(DeltaTable.forPath(spark, src), os.path.join(tmpdir_path, "v0"), version=0)
+    assert sorted(r["k"] for r in c0.toDF().collect()) == [1, 2]
+    c1 = shallow_clone(DeltaTable.forPath(spark, src), os.path.join(tmpdir_path, "v1"), version=1)
+    assert sorted(r["k"] for r in c1.toDF().collect()) == [2]
+    # head clone unchanged behavior
+    ch = shallow_clone(DeltaTable.forPath(spark, src), os.path.join(tmpdir_path, "vh"))
+    assert sorted(r["k"] for r in ch.toDF().collect()) == [2, 3]
+    # history records the cloned source version
+    assert c0.history(1).collect()[0]["operationParameters"]["sourceVersion"] == "0"
+    # SQL surface
+    p2 = os.path.join(tmpdir_path, "vsql")
+    sql(spark, f"CREATE TABLE delta.`{p2}` SHALLOW CLONE delta.`{src}` VERSION AS OF 1")
+    assert sorted(
+        r["k"] for r in DeltaTable.forPath(spark, p2).toDF().collect()
+    ) == [2]
+    # writes to the versioned clone never touch the source
+    c0.delete("k = 2")
+    assert sorted(r["k"] for r in DeltaTable.forPath(spark, src).toDF().collect()) == [2, 3]
