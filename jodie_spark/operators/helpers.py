@@ -199,6 +199,7 @@ def shallow_clone(
     delta_table: DeltaTable,
     target_path: str,
     version: int | None = None,
+    timestamp: str | None = None,
 ) -> DeltaTable:
     """Zero-copy clone: a new Delta table whose add actions reference
     the source table's data files by ABSOLUTE path — no data movement,
@@ -211,10 +212,10 @@ def shallow_clone(
     absolute-path add support); the reference library only offers the
     deep ``copyTable``.
 
-    ``version`` clones a HISTORICAL snapshot (delta-spark's
-    ``SHALLOW CLONE src VERSION AS OF n``) — the clone starts from
-    exactly the files live at that source version, so a bad write can
-    be forked-around without touching the source.
+    ``version`` / ``timestamp`` clone a HISTORICAL snapshot
+    (delta-spark's ``SHALLOW CLONE src VERSION|TIMESTAMP AS OF ...``) —
+    the clone starts from exactly the files live at that point, so a
+    bad write can be forked-around without touching the source.
 
     Caveats: vacuuming the SOURCE table can invalidate the clone (same
     as delta-spark); cloning a table with deletion vectors is refused
@@ -226,6 +227,17 @@ def shallow_clone(
 
     from jodie_spark.tables.log import DeltaLog
 
+    if timestamp is not None:
+        if version is not None:
+            raise JodieValidationError("pass version or timestamp, not both")
+        import datetime as _dt
+
+        ts = _dt.datetime.fromisoformat(timestamp)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        version = delta_table.deltaLog.version_at_timestamp(
+            int(ts.timestamp() * 1000)
+        )
     src_snap = delta_table.snapshot(version)
     src_root = os.path.abspath(delta_table.path)
     target_path = os.path.abspath(target_path)

@@ -298,7 +298,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         mc = re.match(
             r"(?is)^CREATE\s+TABLE\s+(?:delta\.`(?P<tpath>[^`]+)`|(?P<tname>[\w.]+)"
             r"(?:\s+LOCATION\s+'(?P<tloc>[^']+)')?)\s+SHALLOW\s+CLONE\s+"
-            rf"{_REF}(?:\s+VERSION\s+AS\s+OF\s+(?P<cver>\d+))?$",
+            rf"{_REF}(?:\s+VERSION\s+AS\s+OF\s+(?P<cver>\d+)"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<cts>[^']+)')?$",
             s,
         )
         if mc:
@@ -313,7 +314,12 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
                     "delta.`/path` SHALLOW CLONE src, or name LOCATION '/path'"
                 )
             cver = mc.group("cver")
-            shallow_clone(src_t, dst, version=int(cver) if cver else None)
+            shallow_clone(
+                src_t,
+                dst,
+                version=int(cver) if cver else None,
+                timestamp=mc.group("cts"),
+            )
             if mc.group("tname"):
                 register_delta_table(spark, mc.group("tname"), dst)
             return None

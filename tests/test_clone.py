@@ -6,7 +6,7 @@ import os
 import pytest
 
 from jodie_spark.errors import JodieValidationError
-from jodie_spark.operators.helpers import shallow_clone
+from jodie_spark.operators.helpers import shallow_clone  # noqa: F401
 from jodie_spark.tables.table import DeltaTable, write_delta
 
 
@@ -112,3 +112,17 @@ def test_shallow_clone_version_as_of(spark, tmpdir_path):
     # writes to the versioned clone never touch the source
     c0.delete("k = 2")
     assert sorted(r["k"] for r in DeltaTable.forPath(spark, src).toDF().collect()) == [2, 3]
+    # TIMESTAMP AS OF resolves through the commit clock (v0's stamp)
+    hist = {r["version"]: r["timestamp"] for r in t.history().collect()}
+    ts0 = hist[0].isoformat()
+    ct = shallow_clone(
+        DeltaTable.forPath(spark, src), os.path.join(tmpdir_path, "vts"),
+        timestamp=ts0,
+    )
+    assert sorted(r["k"] for r in ct.toDF().collect()) == [1, 2]
+    p3 = os.path.join(tmpdir_path, "vtsql")
+    sql(spark, f"CREATE TABLE delta.`{p3}` SHALLOW CLONE delta.`{src}` "
+               f"TIMESTAMP AS OF '{ts0}'")
+    assert sorted(
+        r["k"] for r in DeltaTable.forPath(spark, p3).toDF().collect()
+    ) == [1, 2]
