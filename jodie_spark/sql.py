@@ -461,12 +461,17 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
     if head == "RESTORE":
         m = re.match(
-            rf"(?is)^RESTORE\s+(?:TABLE\s+)?{_REF}\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)$",
+            rf"(?is)^RESTORE\s+(?:TABLE\s+)?{_REF}\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+'(?P<rts>[^']+)')$",
             s,
         )
         if not m:
             raise JodieValidationError(f"cannot parse RESTORE statement: {s!r}")
-        _resolve(spark, m).restore(int(m.group("v")))
+        _resolve(spark, m).restore(
+            version=int(m.group("v")) if m.group("v") else None,
+            timestamp=m.group("rts"),
+        )
         return None
 
     if head == "DESCRIBE":

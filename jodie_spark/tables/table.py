@@ -2232,11 +2232,22 @@ class DeltaTable:
             {},
         )
 
-    def restore(self, version: int) -> None:
+    def restore(self, version: int | None = None, timestamp: str | None = None) -> None:
         """RESTORE TABLE to an earlier version: commits the add/remove
         delta between the current and target snapshots (no data rewrite
         — files still on disk are re-referenced; equivalent to
-        delta-spark's restoreToVersion)."""
+        delta-spark's restoreToVersion / restoreToTimestamp)."""
+        if timestamp is not None:
+            if version is not None:
+                raise JodieValidationError("pass version or timestamp, not both")
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(timestamp)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            version = self.deltaLog.version_at_timestamp(int(ts.timestamp() * 1000))
+        if version is None:
+            raise JodieValidationError("restore needs a version or timestamp")
         target = self.snapshot(int(version))
         current = self.snapshot()
         self.deltaLog.check_write_allowed(current, removes_data=True)

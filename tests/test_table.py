@@ -1408,3 +1408,29 @@ def test_checkpoint_preserves_protocol_feature_lists(spark, tmpdir_path, writer)
     assert sorted(r["id"] for r in DeltaTable.forPath(spark, p).toDF().collect()) == [
         i for i in range(30) if i % 7 != 0
     ]
+
+
+def test_restore_timestamp_as_of(spark, tmpdir_path):
+    """RESTORE ... TIMESTAMP AS OF resolves through the commit clock
+    (python + SQL surfaces) and round-trips the v0 contents."""
+    import os
+
+    from jodie_spark import sql
+
+    p = os.path.join(tmpdir_path, "rts")
+    write_delta(spark.createDataFrame([(1,), (2,)], "k int"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("k = 1")
+    ts0 = {r["version"]: r["timestamp"] for r in t.history().collect()}[0]
+    DeltaTable.forPath(spark, p).restore(timestamp=ts0.isoformat())
+    assert sorted(r["k"] for r in DeltaTable.forPath(spark, p).toDF().collect()) == [1, 2]
+    # SQL surface: drop back to the post-delete state via its stamp
+    ts1 = {r["version"]: r["timestamp"] for r in DeltaTable.forPath(spark, p).history().collect()}[1]
+    sql(spark, f"RESTORE TABLE delta.`{p}` TO TIMESTAMP AS OF '{ts1.isoformat()}'")
+    assert sorted(r["k"] for r in DeltaTable.forPath(spark, p).toDF().collect()) == [2]
+    import pytest as _pytest
+
+    from jodie_spark.errors import JodieValidationError
+
+    with _pytest.raises(JodieValidationError, match="version or timestamp"):
+        DeltaTable.forPath(spark, p).restore()
