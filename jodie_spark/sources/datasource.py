@@ -571,12 +571,21 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         self.schema = schema
         self.starting_version = options.get("startingVersion")
+        self.starting_timestamp = options.get("startingTimestamp")
 
     def initialOffset(self) -> dict:
         from jodie_spark.tables.log import DeltaLog
 
         if self.starting_version is not None:
             return {"version": int(self.starting_version) - 1}
+        if self.starting_timestamp is not None:
+            # delta parity: earliest commit at-or-after the timestamp
+            from jodie_spark.operators.cdf import _to_ts_ms
+
+            v = DeltaLog(self.path).version_at_timestamp(
+                _to_ts_ms(self.starting_timestamp), at_or_after=True
+            )
+            return {"version": v - 1}
         return {"version": DeltaLog(self.path).latest_version()}
 
     def latestOffset(self) -> dict:
@@ -603,16 +612,31 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
         self.schema = schema
-        if options.get("startingVersion") is None:
-            raise ValueError(
-                "readChangeFeed batch reads require startingVersion"
+        from jodie_spark.tables.log import DeltaLog
+
+        if options.get("startingVersion") is not None:
+            self.start_v = int(options.get("startingVersion"))
+        elif options.get("startingTimestamp") is not None:
+            from jodie_spark.operators.cdf import _to_ts_ms
+
+            self.start_v = DeltaLog(self.path).version_at_timestamp(
+                _to_ts_ms(options["startingTimestamp"]), at_or_after=True
             )
-        self.start_v = int(options.get("startingVersion"))
-        self.end_v = (
-            int(options["endingVersion"])
-            if options.get("endingVersion") is not None
-            else None
-        )
+        else:
+            raise ValueError(
+                "readChangeFeed batch reads require startingVersion "
+                "or startingTimestamp"
+            )
+        if options.get("endingVersion") is not None:
+            self.end_v = int(options["endingVersion"])
+        elif options.get("endingTimestamp") is not None:
+            from jodie_spark.operators.cdf import _to_ts_ms
+
+            self.end_v = DeltaLog(self.path).version_at_timestamp(
+                _to_ts_ms(options["endingTimestamp"])
+            )
+        else:
+            self.end_v = None
 
     def partitions(self) -> Sequence[InputPartition]:
         from jodie_spark.tables.log import DeltaLog

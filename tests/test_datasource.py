@@ -443,3 +443,48 @@ def test_datasource_reads_evolution_merged_mapped_table(spark, tmpdir_path):
         for r in spark.read.format("jodie_delta").load(p).collect()
     )
     assert rows == [(1, "a", None), (2, "B", 7), (3, "C", 9)]
+
+
+def test_cdf_datasource_timestamp_options(spark, tmpdir_path):
+    """startingTimestamp / endingTimestamp on the CDF datasource resolve
+    through the commit clock exactly like delta-spark's options: the
+    batch read covers (at-or-after start) .. (at-or-before end)."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "cdfts")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    write_delta(spark.createDataFrame([(2, "b")], "k int, v string"), p, mode="append")
+    DeltaTable.forPath(spark, p).delete("k = 1")
+    hist = {r["version"]: r["timestamp"] for r in t.history().collect()}
+
+    got = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", hist[1].isoformat())
+        .option("endingTimestamp", hist[1].isoformat())
+        .load(p)
+        .collect()
+    )
+    assert [(r["k"], r["_change_type"], r["_commit_version"]) for r in got] == [
+        (2, "insert", 1)
+    ]
+    # full range from v0's stamp covers all three commits
+    got2 = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", hist[0].isoformat())
+        .load(p)
+        .collect()
+    )
+    assert sorted((r["_commit_version"], r["_change_type"]) for r in got2) == [
+        (0, "insert"), (1, "insert"), (2, "delete"),
+    ]
