@@ -659,8 +659,24 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignoreChanges", options.get("ignoreDeletes", "false"))
         ).lower() == "true"
+        self.starting_version = options.get("startingVersion")
+        self.starting_timestamp = options.get("startingTimestamp")
 
     def initialOffset(self) -> dict:
+        # default: full-snapshot first batch (version -1 sentinel);
+        # startingVersion/startingTimestamp replay from a specific
+        # commit instead, delta parity (timestamp = earliest commit
+        # at-or-after)
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version) - 1}
+        if self.starting_timestamp is not None:
+            from jodie_spark.operators.cdf import _to_ts_ms
+            from jodie_spark.tables.log import DeltaLog
+
+            v = DeltaLog(self.path).version_at_timestamp(
+                _to_ts_ms(self.starting_timestamp), at_or_after=True
+            )
+            return {"version": v - 1}
         return {"version": -1}
 
     def latestOffset(self) -> dict:

@@ -488,3 +488,49 @@ def test_cdf_datasource_timestamp_options(spark, tmpdir_path):
     assert sorted((r["_commit_version"], r["_change_type"]) for r in got2) == [
         (0, "insert"), (1, "insert"), (2, "delete"),
     ]
+
+
+def test_plain_stream_starting_version_and_timestamp(spark, tmpdir_path):
+    """The non-CDF stream reader honors startingVersion and
+    startingTimestamp: the replay begins at the chosen commit instead
+    of the full-snapshot first batch."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "pstream")
+    write_delta(spark.createDataFrame([(1,)], "k int"), p)
+    write_delta(spark.createDataFrame([(2,)], "k int"), p, mode="append")
+    write_delta(spark.createDataFrame([(3,)], "k int"), p, mode="append")
+    hist = {
+        r["version"]: r["timestamp"]
+        for r in DeltaTable.forPath(spark, p).history().collect()
+    }
+
+    def drain(reader):
+        out = os.path.join(tmpdir_path, f"sink{reader}")
+        q = (
+            globals()[f"_mk_{reader}"]
+            .writeStream.format("memory")
+            .queryName(f"ps_{reader}")
+            .option("checkpointLocation", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["k"] for r in spark.sql(f"select * from ps_{reader}").collect()
+        )
+
+    globals()["_mk_v1"] = (
+        spark.readStream.format("jodie_delta").option("startingVersion", 1).load(p)
+    )
+    assert drain("v1") == [2, 3]
+    globals()["_mk_ts"] = (
+        spark.readStream.format("jodie_delta")
+        .option("startingTimestamp", hist[2].isoformat())
+        .load(p)
+    )
+    assert drain("ts") == [3]

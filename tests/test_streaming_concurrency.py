@@ -162,6 +162,7 @@ def test_full_snapshot_sink_with_interleaved_batch_appends(spark, tmpdir_path):
         q = write_stream_merge_to_delta(
             spark.readStream.format("jodie_delta")
             .option("startingVersion", i)
+            .option("ignoreChanges", "true")  # snapshot overwrites remove files
             .load(src),
             dst,
             os.path.join(tmpdir_path, f"contend_ckpt{i}"),

@@ -380,9 +380,13 @@ def test_stream_merge_full_snapshot_mode(spark, tmpdir_path):
     dst = os.path.join(tmpdir_path, "snap_dst")
 
     def run(i):
+        # each run replays exactly the snapshot-overwrite commit i;
+        # ignoreChanges is required because an overwrite removes files
+        # (the adds of that commit ARE the new snapshot)
         q = write_stream_merge_to_delta(
             spark.readStream.format("jodie_delta")
             .option("startingVersion", i)
+            .option("ignoreChanges", "true")
             .load(src),
             dst,
             os.path.join(tmpdir_path, f"snap_ckpt{i}"),
@@ -431,6 +435,7 @@ def test_stream_merge_full_snapshot_empty_batch(spark, tmpdir_path):
         q = write_stream_merge_to_delta(
             spark.readStream.format("jodie_delta")
             .option("startingVersion", i)
+            .option("ignoreChanges", "true")
             .load(src),
             dst,
             os.path.join(tmpdir_path, f"esnap_ckpt{i}_{allow_empty}"),
