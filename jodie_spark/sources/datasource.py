@@ -373,6 +373,8 @@ class JodieDeltaBatchReader(DataSourceReader):
         return parts
 
     def read(self, partition: _FilePartition):
+        if partition is None:  # empty table / fully pruned scan
+            return
         yield from _read_file_batches(partition, self.schema)
 
 
@@ -597,6 +599,8 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
         return _cdf_partitions(self.path, int(start["version"]), int(end["version"]))
 
     def read(self, partition: _CdfFilePartition):
+        if partition is None:  # no change files in the batch's range
+            return
         yield from _read_cdf_file_batches(partition, self.schema)
 
     def commit(self, end: dict) -> None:
@@ -647,6 +651,8 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
         return _cdf_partitions(self.path, self.start_v - 1, end_v)
 
     def read(self, partition: _CdfFilePartition):
+        if partition is None:
+            return
         yield from _read_cdf_file_batches(partition, self.schema)
 
 
@@ -726,6 +732,8 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition):
+        if partition is None:
+            return
         yield from _read_file_batches(partition, self.schema)
 
     def commit(self, end: dict) -> None:

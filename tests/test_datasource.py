@@ -534,3 +534,41 @@ def test_plain_stream_starting_version_and_timestamp(spark, tmpdir_path):
         .load(p)
     )
     assert drain("ts") == [3]
+
+
+def test_empty_table_and_fully_pruned_scans(spark, tmpdir_path):
+    """Regression: partitions() returning an empty list makes Spark
+    call read(None) — an empty table (delete-all) or a fully
+    stats-pruned scan through the datasource crashed with
+    AttributeError instead of yielding zero rows (found by the lineage
+    property test). All four readers guard the None partition now."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "empt")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    DeltaTable.forPath(spark, p).delete()  # zero live files
+    assert spark.read.format("jodie_delta").load(p).count() == 0
+
+    p2 = os.path.join(tmpdir_path, "pruned")
+    write_delta(spark.createDataFrame([(i,) for i in range(10)], "k int"), p2)
+    assert (
+        spark.read.format("jodie_delta").load(p2).filter("k > 100").count() == 0
+    )
+    # CDF batch read over a version range with no change files
+    write_delta(spark.createDataFrame([], "k int, v string"), p, mode="append")
+    n = (
+        spark.read.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .load(p)
+        .count()
+    )
+    assert n == 0
