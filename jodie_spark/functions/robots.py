@@ -89,17 +89,23 @@ def _parse_one(txt: str, user_agent: str) -> list[tuple[bool, str, int]]:
         # other keys (crawl-delay, sitemap, ...) end nothing per RFC
     if agents or rules:
         groups.append((agents, rules))
-    # most specific matching agent wins; '*' is the fallback
-    best: list[tuple[bool, str]] | None = None
+    # most specific matching agent TOKEN wins; '*' is the fallback —
+    # then, per RFC 9309 §2.2.1, rules from ALL groups naming that
+    # winning token are MERGED into one effective group (a robots.txt
+    # with two 'User-agent: *' groups contributes both rule sets, not
+    # just whichever parsed first)
+    best_tok: str | None = None
     best_len = -1
-    for ags, rls in groups:
+    for ags, _rls in groups:
         for a in ags:
-            if a == "*" and best_len < 0 and best is None:
-                best = rls
-            elif a != "*" and a in ua and len(a) > best_len:
-                best, best_len = rls, len(a)
+            if a != "*" and a in ua and len(a) > best_len:
+                best_tok, best_len = a, len(a)
+    merged: list[tuple[bool, str]] = []
+    for ags, rls in groups:
+        if (best_tok in ags) if best_tok is not None else ("*" in ags):
+            merged.extend(rls)
     out = []
-    for allow, path in best or []:
+    for allow, path in merged:
         spec = len(path.replace("*", "").replace("$", ""))
         out.append((allow, _to_like(path), spec))
     return out

@@ -66,15 +66,20 @@ def exact_dedup(
     if quality_col is None:
         elected = F.min_by(row, F.col(id_col))
     else:
-        # min over (-quality, id): highest quality, then lowest id.
-        # Negating QUALITY (numeric by contract — it's a score) rather
-        # than the id keeps the election correct for STRING ids, which
-        # a -id would silently cast to double NULL (non-ANSI) or error
-        # on (ANSI)
+        # min over (coalesce(-quality, +inf), id): highest quality,
+        # then lowest id. Negating QUALITY (numeric by contract — it's
+        # a score) rather than the id keeps the election correct for
+        # STRING ids, which a -id would silently cast to double NULL
+        # (non-ANSI) or error on (ANSI). The coalesce to +inf pins
+        # NULL-quality copies LAST — a bare -NULL is NULL, which sorts
+        # smallest in struct comparison and would let an unscored copy
+        # beat every scored one.
         elected = F.min_by(
             row,
             F.struct(
-                (-F.col(quality_col).cast("double")).alias("__negq__"),
+                F.coalesce(
+                    -F.col(quality_col).cast("double"), F.lit(float("inf"))
+                ).alias("__negq__"),
                 F.col(id_col).alias("__id__"),
             ),
         )
@@ -398,13 +403,16 @@ def minhash_dedup(
                 df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q__")),
                 "id",
             )
-            # min over (-quality, id) — string-id-safe tie-break, same
-            # reasoning as exact_dedup's election above
+            # min over (coalesce(-quality, +inf), id) — string-id-safe
+            # and NULL-quality-safe tie-break, same reasoning as
+            # exact_dedup's election above
             keepers = members.groupBy("rep").agg(
                 F.min_by(
                     F.col("id"),
                     F.struct(
-                        (-F.col("__q__").cast("double")).alias("__negq__"),
+                        F.coalesce(
+                            -F.col("__q__").cast("double"), F.lit(float("inf"))
+                        ).alias("__negq__"),
                         F.col("id").alias("__id__"),
                     ),
                 ).alias("__keep__")

@@ -669,7 +669,11 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         self.starting_timestamp = options.get("startingTimestamp")
 
     def initialOffset(self) -> dict:
-        # default: full-snapshot first batch (version -1 sentinel);
+        # default: full-snapshot first batch (explicit "snapshot"
+        # sentinel — NOT a bare version number, because
+        # startingVersion=0 also encodes as version -1 and must replay
+        # commit 0 through the per-commit adds path, preserving the
+        # remove-detection error that ignoreChanges gates);
         # startingVersion/startingTimestamp replay from a specific
         # commit instead, delta parity (timestamp = earliest commit
         # at-or-after)
@@ -683,7 +687,7 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                 _to_ts_ms(self.starting_timestamp), at_or_after=True
             )
             return {"version": v - 1}
-        return {"version": -1}
+        return {"version": -1, "snapshot": True}
 
     def latestOffset(self) -> dict:
         from jodie_spark.tables.log import DeltaLog
@@ -697,8 +701,12 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         start_v, end_v = int(start["version"]), int(end["version"])
         if end_v < 0 or end_v <= start_v:
             return []
-        if start_v < 0:
-            # first batch: the whole snapshot at end_v
+        if start.get("snapshot"):
+            # first batch of a no-startingVersion stream: the whole
+            # snapshot at end_v. startingVersion=0 does NOT land here
+            # (its offset is {"version": -1} WITHOUT the sentinel) —
+            # it replays commit 0 onward below, so historical removes
+            # still trip the ignoreChanges gate, delta parity
             adds = log.snapshot(end_v).add_files()
         else:
             adds = []

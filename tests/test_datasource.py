@@ -536,6 +536,65 @@ def test_plain_stream_starting_version_and_timestamp(spark, tmpdir_path):
     assert drain("ts") == [3]
 
 
+def test_plain_stream_starting_version_zero_replays_history(spark, tmpdir_path):
+    """Regression (round-9 advice): startingVersion=0 encoded the same
+    {"version": -1} offset as the full-snapshot default, so the first
+    batch served the CURRENT snapshot — silently skipping the
+    remove-detection error ignoreChanges gates, and streaming post-
+    delete rows instead of the commit-0..N replay delta-spark does."""
+    import os
+
+    import pytest
+
+    from jodie_spark.sources.datasource import JodieDeltaStreamReader, register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "sv0")
+    write_delta(spark.range(10).repartition(1).selectExpr("id", "'a' as tag"), p)
+    t = DeltaTable.forPath(spark, p)
+    t.delete("id < 5")  # history now contains a remove
+    latest = t.deltaLog.latest_version()
+
+    # startingVersion=0 must replay commits and hit the remove gate
+    r0 = JodieDeltaStreamReader({"path": p, "startingVersion": "0"}, t.schema())
+    start = r0.initialOffset()
+    assert not start.get("snapshot")
+    with pytest.raises(RuntimeError, match="append-only"):
+        r0.partitions(start, {"version": latest})
+
+    # with ignoreChanges it replays commit 0's add AND the delete's
+    # rewrite file (per-commit adds), not just the current snapshot
+    r1 = JodieDeltaStreamReader(
+        {"path": p, "startingVersion": "0", "ignoreChanges": "true"}, t.schema()
+    )
+    parts = r1.partitions(r1.initialOffset(), {"version": latest})
+    assert len(parts) == 2  # v0 original file + v1 rewritten file
+
+    # the DEFAULT (no startingVersion) still serves the snapshot first
+    # batch and never trips the gate
+    rd = JodieDeltaStreamReader({"path": p}, t.schema())
+    d0 = rd.initialOffset()
+    assert d0.get("snapshot") and d0["version"] == -1
+    snap_parts = rd.partitions(d0, {"version": latest})
+    assert len(snap_parts) == 1  # current snapshot: one live file
+
+    # end-to-end: default stream on the post-delete table yields only
+    # surviving rows
+    q = (
+        spark.readStream.format("jodie_delta")
+        .load(p)
+        .writeStream.format("memory")
+        .queryName("sv0_default")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "sv0_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("select * from sv0_default").collect())
+    assert got == [5, 6, 7, 8, 9]
+
+
 def test_empty_table_and_fully_pruned_scans(spark, tmpdir_path):
     """Regression: partitions() returning an empty list makes Spark
     call read(None) — an empty table (delete-all) or a fully

@@ -566,6 +566,54 @@ def test_quality_election_string_ids(spark):
     assert kept2 == ["m1", "m9"]
 
 
+def test_quality_election_null_quality(spark):
+    """Regression (round-9 advice): min_by over struct(-q, id) flips
+    NULL ordering — -NULL is NULL, which sorts smallest in struct
+    comparison, so an UNSCORED duplicate would beat every scored one.
+    NULL-quality copies must lose to any scored copy (and tie-break
+    among themselves by lowest id)."""
+    from jodie_spark.operators.text_dedup import exact_dedup, minhash_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again", None),
+        (2, "THE QUICK  brown fox jumps over the lazy dog again", 0.3),
+        (3, "the quick brown fox jumps over the lazy dog again ", None),
+        (4, "an entirely different document about spark engines", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    kept = sorted(
+        r["doc_id"] for r in exact_dedup(df, "text", "doc_id", quality_col="q").collect()
+    )
+    # id 2 is the only SCORED copy — it must win over the NULL-q clones;
+    # id 4's singleton group keeps its NULL-q row untouched
+    assert kept == [2, 4]
+
+    # all-NULL group: election still deterministic (lowest id)
+    rows2 = [
+        (7, "some identical page body repeated verbatim here", None),
+        (5, "SOME IDENTICAL page body repeated verbatim here", None),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, q double")
+    kept2 = [r["doc_id"] for r in exact_dedup(df2, "text", "doc_id", quality_col="q").collect()]
+    assert kept2 == [5]
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    chain = [
+        (10, base, None),
+        (11, base.replace("echo", "ECHO2", 1), 0.2),
+        (12, base.replace("india", "INDIA2", 1), None),
+        (13, "unrelated corpus text with nothing shared at all " * 5, None),
+    ]
+    cdf = spark.createDataFrame(chain, "doc_id long, text string, q double")
+    kept3 = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            cdf, "text", "doc_id", verify_threshold=0.5, quality_col="q"
+        ).collect()
+    )
+    assert kept3 == [11, 13]
+
+
 def test_cap_per_domain(spark):
     """Frequency capping keeps at most k docs per registrable domain —
     best-quality first (ties -> lowest id), un-parseable URLs always

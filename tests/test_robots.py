@@ -38,6 +38,42 @@ Sitemap: https://x/sitemap.xml
     assert _parse_one("", "anybot") == []
 
 
+def test_parse_merges_groups_with_same_agent():
+    """Regression (round-9 advice): RFC 9309 §2.2.1 — rules from ALL
+    groups naming the winning user-agent token merge into one
+    effective group; a second 'User-agent: *' group's rules must not
+    be dropped."""
+    txt = """
+User-agent: *
+Disallow: /private/
+
+User-agent: gptbot
+Disallow: /
+
+User-agent: *
+Disallow: /tmp/
+Allow: /tmp/ok
+"""
+    star = _parse_one(txt, "someone-else")
+    assert (False, "/private/%", 9) in star
+    assert (False, "/tmp/%", 5) in star       # second '*' group kept
+    assert (True, "/tmp/ok%", 7) in star
+    assert len(star) == 3
+    # specific agent: merge across ITS groups, '*' groups excluded
+    txt2 = """
+User-agent: mybot
+Disallow: /a/
+
+User-agent: *
+Disallow: /star/
+
+User-agent: mybot
+Disallow: /b/
+"""
+    mine = _parse_one(txt2, "MyBot/1.0")
+    assert mine == [(False, "/a/%", 3), (False, "/b/%", 3)]
+
+
 def test_filter_by_robots_rfc_semantics(spark):
     docs = spark.createDataFrame(
         [
