@@ -601,14 +601,18 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
     (Ah/Al bit planes) in any legal progression — then one dequantize +
     IDCT pass at EOI. Supports interleaved DC scans, non-interleaved
     per-component scans, EOB runs, DC/AC refinement bits, and restart
-    markers (handled positionally: any RSTn resets predictors + EOB
-    run, so no DRI bookkeeping is needed). Algorithm structure follows
-    the public spec (same logic as libjpeg's jdphuff.c, re-derived)."""
+    markers. DRI (0xDD) is tracked and restarts are consumed
+    POSITIONALLY by MCU count: refinement scans start with raw bit
+    reads, so a reactive marker-hit handler would first swallow the
+    pre-marker padding 1-bits as correction bits and corrupt blocks it
+    cannot roll back. Algorithm structure follows the public spec
+    (same logic as libjpeg's jdphuff.c, re-derived)."""
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     geom = None
     coef: dict[int, np.ndarray] = {}
+    restart_interval = 0
     i = 2
     n = len(b)
     while i < n - 1:
@@ -639,6 +643,8 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
                     vals = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
                     p += 64
                 qt[tq] = vals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xC2:
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             comps = []
@@ -687,7 +693,8 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             i = _progressive_scan(
-                b, i, frame, geom, coef, huff, scomps, ss, se, ah, al
+                b, i, frame, geom, coef, huff, scomps, ss, se, ah, al,
+                restart_interval,
             )
     if frame is None:
         raise ValueError("progressive JPEG missing SOF2")
@@ -720,36 +727,46 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
     return w, h, np.ascontiguousarray(rgb)
 
 
-def _progressive_scan(b, pos, frame, geom, coef, huff, scomps, ss, se, ah, al):
+def _progressive_scan(
+    b, pos, frame, geom, coef, huff, scomps, ss, se, ah, al, restart_interval=0
+):
     """Decode one progressive scan's entropy data starting at ``pos``;
-    returns the position of the terminating marker. Restart markers
-    reset DC predictors and the EOB run and decoding retries the
-    pending block (valid streams restart only at MCU boundaries)."""
+    returns the position of the terminating marker. With a nonzero DRI
+    restart markers are consumed POSITIONALLY at MCU-count boundaries
+    (byte-align, skip RSTn, reset DC predictors + EOB run) BEFORE the
+    boundary block decodes — a reactive marker-hit handler cannot work
+    for refinement scans, whose leading raw bit reads would consume
+    the pre-marker padding 1-bits as correction bits and corrupt
+    blocks that are never rolled back. A reactive reset remains as the
+    fallback for non-conformant streams (stray RSTn without DRI)."""
     comps = {c["id"]: c for c in frame["comps"]}
     pred = {sc["id"]: 0 for sc in scomps}
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
 
-    # flat task list in scan order: (comp_id, by, bx, dc_table, ac_table)
+    # flat task list in scan order: (mcu_index, comp_id, by, bx, scomp);
+    # for non-interleaved scans the MCU is a single block (T.81 B.2.3),
+    # so restart intervals count blocks there
     tasks: list[tuple] = []
     if len(scomps) > 1:
         if ss != 0:
             raise ValueError("interleaved progressive AC scan is illegal")
         for my in range(geom["mcuy"]):
             for mx in range(geom["mcux"]):
+                mcu = my * geom["mcux"] + mx
                 for sc in scomps:
                     c = comps[sc["id"]]
                     for v_ in range(c["v"]):
                         for h_ in range(c["h"]):
                             tasks.append(
-                                (sc["id"], my * c["v"] + v_, mx * c["h"] + h_, sc)
+                                (mcu, sc["id"], my * c["v"] + v_, mx * c["h"] + h_, sc)
                             )
     else:
         sc = scomps[0]
         c = comps[sc["id"]]
         for by in range(c["nby"]):
             for bx in range(c["nbx"]):
-                tasks.append((sc["id"], by, bx, sc))
+                tasks.append((by * c["nbx"] + bx, sc["id"], by, bx, sc))
 
     br = _BitReader(b, pos)
 
@@ -828,8 +845,30 @@ def _progressive_scan(b, pos, frame, geom, coef, huff, scomps, ss, se, ah, al):
             eobrun -= 1
 
     idx = 0
+    rst_done = 0  # highest MCU boundary whose RSTn was already consumed
     while idx < len(tasks):
-        cid, by, bx, sc = tasks[idx]
+        mcu, cid, by, bx, sc = tasks[idx]
+        if (
+            restart_interval
+            and mcu > rst_done
+            and mcu % restart_interval == 0
+            and (idx == 0 or tasks[idx - 1][0] != mcu)
+        ):
+            rst_done = mcu
+            # the encoder byte-aligned and wrote RSTn exactly here; any
+            # buffered bits are padding within the already-consumed byte
+            # (the reader never buffers past the current byte), so the
+            # marker begins at br.pos after optional 0xFF fill bytes
+            p = br.pos
+            while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0xFF:
+                p += 1
+            if p + 1 < len(b) and b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+                br.align()
+                br.pos = p + 2
+                pred = {s_["id"]: 0 for s_ in scomps}
+                eobrun = 0
+            # else: DRI declared but no marker here — non-conformant;
+            # keep decoding, the reactive handler below catches strays
         cvec = coef[cid][by, bx]
         try:
             if ss == 0 and ah == 0:
@@ -861,8 +900,11 @@ def encode_jpeg_progressive(
     SAME quantization + huffman tables as :func:`encode_jpeg`, so the
     coefficients — and therefore the decoded pixels — are bit-identical
     to the baseline encoding of the same input: the roundtrip partner
-    that proves :func:`_decode_progressive` correct. DC scans honor
-    ``restart_interval`` (RSTn every N MCUs)."""
+    that proves :func:`_decode_progressive` correct. A nonzero
+    ``restart_interval`` emits DRI plus RSTn markers in EVERY scan's
+    entropy data (T.81 requires them in each scan once DRI is
+    nonzero; non-interleaved AC scans count one block per MCU), with
+    the marker number restarting at RST0 per scan."""
     h, w, _ = pixels.shape
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     ql = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255)[_ZIGZAG]
@@ -924,8 +966,15 @@ def encode_jpeg_progressive(
 
     # --- scan 2: interleaved DC refine, Ah=1 Al=0 (one raw bit/block) ---
     bwr = _BitWriter()
+    mcu_idx = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bwr.flush()
+                bwr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            mcu_idx += 1
             for ci in range(3):
                 bwr.write(int(zzs[ci][by, bx, 0]) & 1, 1)
     bwr.flush()
@@ -936,8 +985,16 @@ def encode_jpeg_progressive(
     ac_tabs = [ac_l, ac_c, ac_c]
     for ci in range(3):
         bwr = _BitWriter()
+        mcu_idx = 0
+        rst = 0
         for by in range(bh):
             for bx in range(bw):
+                # non-interleaved scan: one block per MCU (T.81 B.2.3)
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    bwr.flush()
+                    bwr.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                mcu_idx += 1
                 zz = zzs[ci][by, bx]
                 last_nz = 0
                 for k in range(1, 64):

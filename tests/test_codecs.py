@@ -755,6 +755,63 @@ def test_probe_media_mixed_corpus(spark):
     assert got[4]["container"] == "unknown" and got[4]["width"] is None
 
 
+def test_jpeg_progressive_restarts_in_every_scan():
+    """Regression (round-9 advice): with DRI nonzero, T.81 requires
+    RSTn markers in EVERY scan's entropy data — the encoder used to
+    emit them only in the first DC scan, and the decoder's reactive
+    RSTn handling corrupted refinement scans (pre-marker padding bits
+    consumed as correction bits, blocks never rolled back). Pins: (a)
+    each of the 5 scans carries restart markers, (b) the decode is
+    bit-identical to baseline, (c) DRI parses positionally."""
+    from jodie_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, (33, 29, 3), dtype=np.uint8)  # 5x4 = 20 MCUs
+    prog = encode_jpeg_progressive(px, quality=85, restart_interval=3)
+
+    # split the stream at SOS segments; count RSTn in each entropy span
+    sos_offsets = []
+    i = 2
+    while i < len(prog) - 1:
+        if prog[i] == 0xFF and prog[i + 1] == 0xDA:
+            sos_offsets.append(i)
+            i += 2
+        else:
+            i += 1
+    assert len(sos_offsets) == 5  # DC first, DC refine, 3 AC scans
+    spans = [
+        prog[a:b]
+        for a, b in zip(sos_offsets, sos_offsets[1:] + [len(prog)])
+    ]
+    for s_i, span in enumerate(spans):
+        n_rst = sum(
+            1
+            for j in range(len(span) - 1)
+            if span[j] == 0xFF and 0xD0 <= span[j + 1] <= 0xD7
+        )
+        # 20 MCUs (or blocks, non-interleaved) / interval 3 -> 6 markers
+        assert n_rst == 6, f"scan {s_i}: {n_rst} restart markers"
+
+    wb, hb, pb = decode_jpeg(encode_jpeg(px, quality=85))
+    wp, hp, pp = decode_jpeg(prog)
+    assert (wp, hp) == (wb, hb)
+    assert np.array_equal(pb, pp)
+
+    # larger interval + smooth content (EOB runs interact with restarts)
+    yy, xx = np.mgrid[0:48, 0:40]
+    sm = np.stack([(yy + xx) % 256, (xx * 2) % 256, (yy * 3) % 256], axis=2).astype(
+        np.uint8
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(sm, 75))[2],
+        decode_jpeg(encode_jpeg_progressive(sm, 75, restart_interval=5))[2],
+    )
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=9000),
