@@ -15,8 +15,10 @@ declaratively over the original parquet views.
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1027,6 +1029,130 @@ def _q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data.unionByName(ops)
 
 
+def _q_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-cleanup lifecycle (delta's cleanUpExpiredLogs parity,
+    reference inherits it from delta-core — build.sbt:9): commits
+    below the newest checkpoint that age past
+    delta.logRetentionDuration are deleted together with their .crc
+    checksums; the checkpoint + JSON tail still reconstructs the
+    latest state, and time travel to a cleaned version raises. The
+    final table content AND the post-cleanup log shape are both
+    closed-form, so the whole lifecycle is DuckDB-oracleable."""
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = _delta_from(
+        nation,
+        "logclean",
+        options={"delta.logRetentionDuration": "interval 30 minutes"},
+    )
+    t.delete("n_regionkey = 0")  # v1
+    write_delta(
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+        ),
+        t.path,
+        mode="append",
+    )  # v2
+    log = DeltaLog(t.path)
+    log.write_checkpoint()  # at v2
+    noop = log.cleanup_expired_logs()  # nothing aged yet -> no-op
+    old = time.time() - 3600
+    for v in (0, 1):
+        os.utime(log.commit_file_path(v), (old, old))
+    deleted = log.cleanup_expired_logs()
+    n_json = sum(1 for d in deleted if d.endswith(".json"))
+    surviving = log.list_commit_versions()
+    fresh = DeltaTable.forPath(spark, t.path)
+    try:
+        fresh.snapshot(0)
+        tt_unreachable = 0
+    except Exception:
+        tt_unreachable = 1
+    data = fresh.toDF().select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    meta = spark.createDataFrame(
+        [
+            (len(noop), "__noop_before_aging__", -1),
+            (n_json, "__deleted_commit_jsons__", -1),
+            (len(surviving), "__surviving_commits__", -1),
+            (min(surviving), "__min_surviving_version__", -1),
+            (tt_unreachable, "__time_travel_unreachable__", -1),
+        ],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    return data.unionByName(meta)
+
+
+def _q_fsck_crc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSCK REPAIR TABLE + version-checksum heal, oracled end-to-end:
+    a data file deleted out-of-band (the n_regionkey=0 partition) is
+    detected by fsck(dry_run) and repaired by committing removes, so
+    the table reads cleanly as nation-minus-region-0; then a drifted
+    <version>.crc at the checkpoint version is verified and rewritten
+    by the next checkpoint (writer-side heal — reads never mutate).
+    Both outcomes are closed-form (delta-spark FSCK parity)."""
+    import json as _json
+
+    from jodie_spark.sources import load_table
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = _delta_from(
+        nation.repartition("n_regionkey"), "fsckcrc", partition_by=["n_regionkey"]
+    )
+    victims = glob.glob(os.path.join(t.path, "n_regionkey=0", "*.parquet"))
+    for f in victims:
+        os.remove(f)
+    dry = t.fsck(dry_run=True)  # detect only: no commit
+    repaired = t.fsck(dry_run=False)  # commits removes (v1, FSCK)
+    log = DeltaLog(t.path)
+    fsck_version = log.latest_version()
+    # drift the FSCK version's checksum, then checkpoint: the writer
+    # verifies the .crc against reconstructed state and rewrites it
+    crc_path = log._crc_path(fsck_version)
+    with open(crc_path) as fh:
+        crc = _json.load(fh)
+    crc["numFiles"] += 7
+    with open(crc_path, "w") as fh:
+        fh.write(_json.dumps(crc))
+    # the checkpoint moment is the writer-side heal point: committers
+    # pair write_checkpoint with the chain heal (_maybe_checkpoint)
+    log.write_checkpoint(fsck_version)
+    log._restart_checksum_chain(fsck_version)
+    with open(crc_path) as fh:
+        healed = _json.load(fh)
+    fresh = DeltaTable.forPath(spark, t.path)
+    data = fresh.toDF().select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    meta = spark.createDataFrame(
+        [
+            (len(dry), "__fsck_detected__", -1),
+            (len(repaired), "__fsck_repaired__", -1),
+            (int(dry == repaired), "__dry_run_agrees__", -1),
+            (fsck_version, "__fsck_commit_version__", -1),
+            (healed["numFiles"], "__crc_healed_numfiles__", -1),
+        ],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    return data.unionByName(meta)
+
+
 def _q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy clone of a supplier Delta table, then copy-on-write
     DML on the clone: the result must equal the SQL of (supplier minus
@@ -1385,56 +1511,77 @@ def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Loudness-envelope audio dedup over REAL decoded PCM: per doc a
-    deterministic amplitude-modulated noise track, plus an exact WAV
-    clone for every 10th doc and a CROSS-FORMAT native-FLAC clone
-    (lossless — same PCM, different container, decoded by the native
-    FLAC codec) for ids ≡5 (mod 10). All clones collide at hamming 0;
-    distinct envelopes sit far apart — survivors are exactly the
-    originals."""
-    from collections.abc import Iterator as _It
+def _make_audio_dedup_query(flac_lane: bool):
+    """Two bench-stable variants of the audio-dedup workload (VERDICT
+    r8 item 3: never change an existing bench query's work — add a new
+    name). ``audio_dedup`` is the r7-comparable WAV-only lane;
+    ``audio_dedup_flac`` adds the CROSS-FORMAT native-FLAC clone lane
+    introduced in round 8 (same PCM, different container, decoded by
+    the native FLAC codec)."""
 
-    import numpy as _np
-    import pandas as _pd
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from collections.abc import Iterator as _It
 
-    from jodie_spark.operators.media_dedup import audio_dedup
-    from jodie_spark.sources import load_table
+        import numpy as _np
+        import pandas as _pd
 
-    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id")
+        from jodie_spark.operators.media_dedup import audio_dedup
+        from jodie_spark.sources import load_table
 
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
-    )
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id < 300")
+            .select("doc_id")
+        )
 
-    def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        from jodie_spark.operators.codecs import encode_flac, encode_wav
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("data", T.BinaryType()),
+            ]
+        )
 
-        for pdf in it:
-            ids, blobs = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rng = _np.random.default_rng(did)
-                n = 4000
-                env = _np.abs(rng.standard_normal(64)).repeat(n // 64 + 1)[:n]
-                sig = (rng.standard_normal(n) * env * 8000).astype(_np.int16)
-                wav = encode_wav(sig.reshape(-1, 1), 8000)
-                ids.append(did)
-                blobs.append(wav)
-                if did % 10 == 0:
-                    ids.append(did + 100_000)
+        def _synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+            from jodie_spark.operators.codecs import encode_flac, encode_wav
+
+            for pdf in it:
+                ids, blobs = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    rng = _np.random.default_rng(did)
+                    n = 4000
+                    env = _np.abs(rng.standard_normal(64)).repeat(n // 64 + 1)[:n]
+                    sig = (rng.standard_normal(n) * env * 8000).astype(_np.int16)
+                    wav = encode_wav(sig.reshape(-1, 1), 8000)
+                    ids.append(did)
                     blobs.append(wav)
-                elif did % 10 == 5:  # lossless FLAC clone of the same PCM
-                    ids.append(did + 100_000)
-                    blobs.append(
-                        encode_flac(sig, 8000, channel_mode="independent")
-                    )
-            yield _pd.DataFrame({"doc_id": ids, "data": blobs})
+                    if did % 10 == 0:  # exact WAV clone
+                        ids.append(did + 100_000)
+                        blobs.append(wav)
+                    elif flac_lane and did % 10 == 5:
+                        # lossless FLAC clone of the same PCM
+                        ids.append(did + 100_000)
+                        blobs.append(
+                            encode_flac(sig, 8000, channel_mode="independent")
+                        )
+                yield _pd.DataFrame({"doc_id": ids, "data": blobs})
 
-    media = docs.mapInPandas(_synth, out_schema)
-    return audio_dedup(
-        media, binary_col="data", id_col="doc_id", max_hamming=2
-    ).select("doc_id")
+        media = docs.mapInPandas(_synth, out_schema)
+        return audio_dedup(
+            media, binary_col="data", id_col="doc_id", max_hamming=2
+        ).select("doc_id")
+
+    return _q
+
+
+#: Loudness-envelope audio dedup over REAL decoded PCM: per doc a
+#: deterministic amplitude-modulated noise track plus an exact WAV
+#: clone for every 10th doc. Clones collide at hamming 0; distinct
+#: envelopes sit far apart — survivors are exactly the originals.
+_q_audio_dedup = _make_audio_dedup_query(flac_lane=False)
+#: Same workload plus the cross-format native-FLAC clone lane for ids
+#: ≡5 (mod 10) — the codec-heavy variant benchmarked separately.
+_q_audio_dedup_flac = _make_audio_dedup_query(flac_lane=True)
 
 
 def _q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3056,31 +3203,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least one official driver-green row (or is new this round); the
     window rotates on STALENESS (oldest newest-official-green-row
     first, as computed by ``tools/check_oracles.py --freshness``).
-    Round-8 cadence change (VERDICT r7 item 1): the 22 SURVEY §2 core
-    slots move to an EVERY-OTHER-ROUND cadence — they are stable,
-    pytest-pinned, and were green in r7 — freeing the window for the
-    staleness tail.  Round-8 window: slots 1-4 the registered-after-r7
-    rows, 5-16 the TWELVE new round-8 queries (decoder_override_dedup,
-    reorg_purge_manifest, uniform_iceberg, domain_cap, dsir_weights,
-    iceberg_convert, corpus_overlap, media_probe, warc_ingest,
-    cdx_index, robots_filter, crawl_pipeline_e2e), then the 6 r4-green
-    + 26 r5-green rows, and the first 2 of the r6 cohort —
-    `--freshness` reports
-    `stale_not_in_next_window: []`.  Round 9 should window: the
-    remaining r6-green rows, the 22 SURVEY core, and rotation slots.
-    The tail (51+) stays value-checked every round via
-    tools/check_oracles.py."""
+    The 22 SURVEY §2 core slots run on an EVERY-OTHER-ROUND cadence
+    (stable, pytest-pinned).  Round-9 window (VERDICT r8 item 1):
+    slots 1-2 the two NEW log-lifecycle queries (log_cleanup,
+    fsck_crc_repair), 3-28 the 26 rows whose newest official green was
+    r6 (the stale cohort the r8 artifact left behind), 29-50 the 22
+    SURVEY core slots (due since r7).  With 128 registered queries and
+    a 50-slot window the full registry cycles officially in ~3 rounds,
+    so right after each artifact lands the PREVIOUS round-minus-2
+    cohort reads as >2-rounds-stale until its window comes up — the
+    invariant that matters is `stale_not_in_next_window: []` (every
+    stale row is in the upcoming window), which the tail ordering
+    below maintains: slots 51-78 are the 28 r7-green non-core rows,
+    pre-positioned as the r10 window.  The tail (51+) stays
+    value-checked every round via tools/check_oracles.py."""
     return {
-        # --- round-8 window (slots 1-50), ordered by STALENESS of the
-        # newest official driver-green row (VERDICT r7 item 1: the 22
-        # SURVEY-core slots move to an every-other-round cadence so the
-        # whole registry cycles officially within 2 rounds).
-        # Slots 1-4: registered after the r7 artifact (never official);
-        # 5-6: NEW this round; 7-12: newest green = r4; 13-38: r5;
-        # 39-50: first 12 of the r6 cohort. 51+: the 16 remaining r6
-        # rows (2 rounds old after r8 — due in the r9 window with the
-        # SURVEY core), then the r7-green core + rotation rows; all of
+        # --- round-9 window (slots 1-50): slots 1-2 the two NEW
+        # log-lifecycle queries; 3-28 the 26 rows whose newest
+        # official green was r6 (stale after the r8 artifact); 29-50
+        # the 22 SURVEY core slots (every-other-round cadence, due
+        # since r7) incl. num_shuffle_files's deterministic twin.
+        "log_cleanup": _q_log_cleanup,
+        "fsck_crc_repair": _q_fsck_crc_repair,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "check_constraints": _q_check_constraints,
+        "classifier_quality": _q_classifier_quality,
+        "clean_corpus": _q_clean_corpus,
+        "column_mapping_id": _q_column_mapping_id,
+        "contamination_check": _q_contamination_check,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_quantize": _q_embedding_quantize,
+        "generated_columns": _q_generated_columns,
+        "html_extract": _q_html_extract,
+        "image_dedup": _q_image_dedup,
+        "interval_join": _q_interval_join,
+        "ivf_topk": _q_ivf_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "language_id": _q_language_id,
+        "normalize_text": _q_normalize_text,
+        "pack_sequences": _q_pack_sequences,
+        "perplexity": _q_perplexity,
+        "pii_scrub": _q_pii_scrub,
+        "pq_topk": _q_pq_topk,
+        "profile_table": _q_profile_table,
+        "repetition_signals": _q_repetition_signals,
+        "restore_roundtrip": _q_restore_roundtrip,
+        "streaming_scd2": _q_streaming_scd2,
+        "video_dedup": _q_video_dedup,
+        "type2_scd_upsert": _q_type2_scd_upsert,
+        "kill_duplicate_records": _q_kill_duplicate_records,
+        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
+        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
+        "copy_table": _q_copy_table,
+        "validate_append": _q_validate_append,
+        "append_without_duplicates": _q_append_without_duplicates,
+        "find_composite_key_candidate": _q_find_composite_key,
+        "with_md5_columns": _q_with_md5_columns,
+        "is_composite_key_candidate": _q_is_composite_key,
+        "delta_file_sizes": _q_delta_file_sizes,
+        "humanize_bytes": _q_humanize_bytes,
+        "file_size_distribution": _q_file_size_distribution,
+        "num_record_distribution": _q_num_record_distribution,
+        "operation_metrics": _q_operation_metrics,
+        "operation_metrics_partition": _q_operation_metrics_partition,
+        "read_cdf": _q_read_cdf,
+        "cdf_recovery": _q_cdf_recovery,
+        "cdf_status": _q_cdf_status,
+        "optimize_zorder": _q_optimize_zorder,
+        "optimize_compaction": _q_optimize_compaction,
+        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
+        # --- tail (51+), ordered for the NEXT rotation: first the 28
+        # r7-green non-core rows (they become the stale cohort once
+        # the r9 artifact lands -> they are the r10 window), then the
+        # rows-only num_shuffle_files and the r8-green cohort. All of
         # 51+ stays value-checked every round via tools/check_oracles.py.
+        "ann_index_topk": _q_ann_index_topk,
+        "as_of_join": _q_as_of_join,
+        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
+        "corpus_stats": _q_corpus_stats,
+        "datasource_roundtrip": _q_datasource_roundtrip,
+        "dedup_clusters": _q_dedup_clusters,
+        "dv_update": _q_dv_update,
+        "embedding_dedup": _q_embedding_dedup,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "incremental_dedup": _q_incremental_dedup,
+        "knn_graph": _q_knn_graph,
+        "line_dedup": _q_line_dedup,
+        "merge_schema_evolution": _q_merge_schema_evolution,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "passage_dup_stats": _q_passage_dup_stats,
+        "pricing_summary": _q_pricing_summary,
+        "range_join": _q_range_join,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "shallow_clone": _q_shallow_clone,
+        "simhash_dedup": _q_simhash_dedup,
+        "similarity_topk": _q_similarity_topk,
+        "sql_dml": _q_sql_dml,
+        "stratified_sample": _q_stratified_sample,
+        "text_quality": _q_text_quality,
+        "token_count": _q_token_count,
+        "token_frequencies": _q_token_frequencies,
+        "top_orders": _q_top_orders,
+        "url_filter": _q_url_filter,
         "quality_dedup": _q_quality_dedup,
         "nested_evolution": _q_nested_evolution,
         "merge_full_sync": _q_merge_full_sync,
@@ -3104,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "windowed_event_counts": _q_windowed_event_counts,
         "audio_dedup": _q_audio_dedup,
+        "audio_dedup_flac": _q_audio_dedup_flac,
         "bigram_perplexity": _q_bigram_perplexity,
         "bm25_search": _q_bm25_search,
         "column_defaults": _q_column_defaults,
@@ -3131,82 +3357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_table": _q_variant_table,
         "ann_topk": _q_ann_topk,
         "bpe_token_count": _q_bpe_token_count,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "check_constraints": _q_check_constraints,
-        "classifier_quality": _q_classifier_quality,
-        "clean_corpus": _q_clean_corpus,
-        "column_mapping_id": _q_column_mapping_id,
-        "contamination_check": _q_contamination_check,
-        "doc_chunks": _q_doc_chunks,
-        "generated_columns": _q_generated_columns,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_quantize": _q_embedding_quantize,
-        "html_extract": _q_html_extract,
-        "image_dedup": _q_image_dedup,
-        "interval_join": _q_interval_join,
-        "ivf_topk": _q_ivf_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "language_id": _q_language_id,
-        "normalize_text": _q_normalize_text,
-        "pack_sequences": _q_pack_sequences,
-        "perplexity": _q_perplexity,
-        "pii_scrub": _q_pii_scrub,
-        "pq_topk": _q_pq_topk,
-        "profile_table": _q_profile_table,
-        "repetition_signals": _q_repetition_signals,
-        "restore_roundtrip": _q_restore_roundtrip,
-        "streaming_scd2": _q_streaming_scd2,
-        "video_dedup": _q_video_dedup,
-        "kill_duplicate_records": _q_kill_duplicate_records,
-        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
-        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
-        "append_without_duplicates": _q_append_without_duplicates,
-        "type2_scd_upsert": _q_type2_scd_upsert,
-        "validate_append": _q_validate_append,
-        "copy_table": _q_copy_table,
-        "with_md5_columns": _q_with_md5_columns,
-        "find_composite_key_candidate": _q_find_composite_key,
-        "is_composite_key_candidate": _q_is_composite_key,
-        "humanize_bytes": _q_humanize_bytes,
-        "operation_metrics": _q_operation_metrics,
-        "operation_metrics_partition": _q_operation_metrics_partition,
-        "read_cdf": _q_read_cdf,
-        "cdf_status": _q_cdf_status,
-        "cdf_recovery": _q_cdf_recovery,
-        "delta_file_sizes": _q_delta_file_sizes,
-        "file_size_distribution": _q_file_size_distribution,
-        "num_record_distribution": _q_num_record_distribution,
-        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
-        "optimize_compaction": _q_optimize_compaction,
-        "optimize_zorder": _q_optimize_zorder,
-        "token_frequencies": _q_token_frequencies,
-        "corpus_stats": _q_corpus_stats,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_orders": _q_top_orders,
-        "shallow_clone": _q_shallow_clone,
-        "stratified_sample": _q_stratified_sample,
-        "url_filter": _q_url_filter,
-        "text_quality": _q_text_quality,
-        "token_count": _q_token_count,
-        "range_join": _q_range_join,
-        "similarity_topk": _q_similarity_topk,
-        "sql_dml": _q_sql_dml,
-        "ann_index_topk": _q_ann_index_topk,
-        "datasource_roundtrip": _q_datasource_roundtrip,
-        "dedup_clusters": _q_dedup_clusters,
-        "as_of_join": _q_as_of_join,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "embedding_dedup": _q_embedding_dedup,
-        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
-        "exact_dedup_documents": _q_exact_dedup_documents,
-        "incremental_dedup": _q_incremental_dedup,
-        "line_dedup": _q_line_dedup,
-        "passage_dup_stats": _q_passage_dup_stats,
-        "knn_graph": _q_knn_graph,
-        "dv_update": _q_dv_update,
-        "merge_schema_evolution": _q_merge_schema_evolution,
     }
 
 
@@ -4082,6 +4232,36 @@ def oracle_sql() -> dict[str, str]:
                 (2, 'UPDATE'),
                 (3, 'RESTORE')) AS t(version, operation)
         """,
+        "log_cleanup": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_regionkey <> 0
+            UNION ALL
+            SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation
+            UNION ALL
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), '__noop_before_aging__', CAST(-1 AS BIGINT)),
+                (2, '__deleted_commit_jsons__', -1),
+                (1, '__surviving_commits__', -1),
+                (2, '__min_surviving_version__', -1),
+                (1, '__time_travel_unreachable__', -1)
+            ) AS m(n_nationkey, n_name, n_regionkey)
+        """,
+        "fsck_crc_repair": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_regionkey <> 0
+            UNION ALL
+            SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), '__fsck_detected__', CAST(-1 AS BIGINT)),
+                (1, '__fsck_repaired__', -1),
+                (1, '__dry_run_agrees__', -1),
+                (1, '__fsck_commit_version__', -1),
+                (4, '__crc_healed_numfiles__', -1)
+            ) AS m(n_nationkey, n_name, n_regionkey)
+        """,
         "shallow_clone": """
             SELECT s_suppkey, s_name, s_nationkey, 'clone' AS side
             FROM supplier WHERE s_nationkey >= 5
@@ -4536,6 +4716,12 @@ def oracle_sql() -> dict[str, str]:
         "audio_dedup": """
             -- exact audio clones collide at envelope-hash hamming 0 and
             -- drop; distinct amplitude envelopes survive
+            SELECT doc_id FROM documents WHERE doc_id < 300
+        """,
+        "audio_dedup_flac": """
+            -- WAV and cross-format FLAC clones both collide (lossless:
+            -- identical PCM -> identical envelope hash); survivors are
+            -- exactly the originals
             SELECT doc_id FROM documents WHERE doc_id < 300
         """,
         "video_dedup": """

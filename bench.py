@@ -131,6 +131,7 @@ def main() -> None:
         "substring_dedup",
         "image_dedup",
         "audio_dedup",
+        "audio_dedup_flac",
         "video_dedup",
         "column_mapping_id",
         "ivfpq_topk",
@@ -145,6 +146,8 @@ def main() -> None:
         "uniform_iceberg",
         "domain_cap",
         "dsir_weights",
+        "log_cleanup",
+        "fsck_crc_repair",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
