@@ -226,6 +226,45 @@ def main() -> None:
     except Exception as e:  # profiling must never fail the bench
         notes["semantic_dedup_phases"] = {"error": str(e)}
 
+    # Streaming cost split (VERDICT r8 item 7): the streaming_* totals
+    # are dominated by Python-datasource micro-batch machinery that is
+    # a FIXED per-query cost (it amortizes across batches at scale).
+    # Measure it once with a no-op stream — 2-row jodie_delta source →
+    # memory sink, availableNow — and report each streaming query as
+    # (total, marginal-over-noop) so round-over-round comparison sees
+    # operator work, not harness startup.
+    try:
+        import tempfile as _tf2
+        import uuid as _uuid2
+
+        noop_src = os.path.join(_tf2.mkdtemp(prefix="jodie_noop_"), "t")
+        spark.range(2).write.format("jodie_delta").mode("append").save(noop_src)
+        noop_best = None
+        for i in range(2):
+            t0 = time.time()
+            q = (
+                spark.readStream.format("jodie_delta")
+                .load(noop_src)
+                .writeStream.format("memory")
+                .queryName(f"bench_noop_{_uuid2.uuid4().hex[:6]}")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(_tf2.mkdtemp(prefix="jodie_noopck_"), "c"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            dt = time.time() - t0
+            noop_best = dt if noop_best is None else min(noop_best, dt)
+        split = {"fixed_overhead_sec": round(noop_best, 3)}
+        for name, t in timings.items():
+            if name.startswith("streaming_"):
+                split[name + "_marginal_sec"] = round(max(t - noop_best, 0.0), 3)
+        notes["streaming_cost_split"] = split
+    except Exception as e:
+        notes["streaming_cost_split"] = {"error": str(e)}
+
     # Full document (3-dp timings + phase notes) goes to a sidecar file;
     # stdout's FINAL line is a compact JSON document small enough to
     # survive the driver's tail capture (~2000 chars) intact, so the

@@ -1,0 +1,616 @@
+"""Pluggable storage facade for all driver-side filesystem I/O.
+
+The reference engine runs on real Delta and inherits Hadoop FileSystem
++ LogStore semantics for S3/ABFS/GCS for free (reference build.sbt:9
+``delta-core`` dependency; SparkSessionWrapper.scala:5-11). This
+engine implements the Delta log protocol natively in Python, so its
+metadata plane (commit JSONs, checkpoints, .crc checksums, DV bitmap
+descriptors, staging publishes) must route through ONE seam to be
+object-store capable. That seam is this module.
+
+Two planes, two mechanisms:
+
+- **Data plane** (parquet scans/writes executed by Spark or pyarrow
+  on executors): already storage-agnostic via Hadoop/Arrow — the
+  facade only translates URIs (:meth:`FileSystem.spark_path`) before
+  they are embedded in Spark jobs or shipped inside partitions.
+  Executors never consult the registry: every path an executor sees
+  was resolved driver-side.
+- **Metadata plane** (everything the log layer touches): every
+  open/list/rename/delete/atomic-create goes through a
+  :class:`FileSystem` instance obtained from :func:`get_fs`.
+
+Consistency contract per operation (what the Delta protocol needs):
+
+===================  =====================================================
+operation            required semantics
+===================  =====================================================
+``create_exclusive`` put-if-absent, atomic, content fully visible or not
+                     at all — THE commit primitive (_delta_log/N.json).
+``write_atomic``     readers see old or new content, never partial
+                     (checkpoints, _last_checkpoint, .crc).
+``rename``           destination replaced atomically where the store
+                     supports it (staging publishes; on stores without
+                     rename this degrades to copy+delete, acceptable for
+                     uuid-named staging files that are invisible until
+                     the log commit references them).
+``listdir``          used only under ``_delta_log/`` (bounded by log
+                     retention) and staging dirs — never a full-table
+                     recursive LIST on the hot path.
+===================  =====================================================
+
+S3 semantics note: S3 supports atomic put-if-absent via conditional
+writes (``If-None-Match: *``, generally available since 2024), which
+maps directly onto ``create_exclusive``; ABFS and GCS have native
+preconditions. An adapter for a store WITHOUT conditional puts must
+bring external coordination (a DynamoDB-style LogStore) — a
+check-then-put ``create_exclusive`` is NOT safe for multi-writer
+commits and an adapter doing so must say it loudly. Rename on S3 is
+copy+delete (non-atomic): safe here ONLY because staging publishes
+move uuid-named files that no reader references until the subsequent
+log commit lands.
+
+Local POSIX stays the default and the zero-cost path: no behavior
+change for plain ``/path/to/table``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import shutil
+import threading
+import uuid
+from collections.abc import Callable, Iterator
+from typing import BinaryIO
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+
+def path_scheme(path: str) -> str | None:
+    """'mem://x/y' → 'mem'; '/x/y' → None; 'C:\\x' → None (drive
+    letters are single chars, schemes require 2+ via the registry)."""
+    m = _SCHEME_RE.match(path)
+    return m.group(1).lower() if m else None
+
+
+class FileSystem:
+    """Storage operations the metadata plane needs. Subclasses provide
+    a concrete store; all paths are full paths in THIS filesystem's
+    namespace (scheme included for non-local stores)."""
+
+    #: scheme this instance serves ('' for local)
+    scheme: str = ""
+
+    # -- path algebra ----------------------------------------------------
+    def join(self, *parts: str) -> str:
+        """Schemed stores always use '/' separators."""
+        cleaned = [parts[0].rstrip("/")] + [p.strip("/") for p in parts[1:] if p]
+        return "/".join(cleaned)
+
+    def abspath(self, path: str) -> str:
+        return path  # schemed paths are already absolute
+
+    def basename(self, path: str) -> str:
+        return path.rstrip("/").rsplit("/", 1)[-1]
+
+    def dirname(self, path: str) -> str:
+        return path.rstrip("/").rsplit("/", 1)[0]
+
+    # -- reads -----------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isfile(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Child NAMES (not paths) of a directory; [] if absent."""
+        raise NotImplementedError
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        """All file paths under ``path`` (recursive), full paths."""
+        for name in self.listdir(path):
+            child = self.join(path, name)
+            if self.isdir(child):
+                yield from self.walk_files(child)
+            else:
+                yield child
+
+    def open_input(self, path: str) -> BinaryIO:
+        """Binary, seekable file-like (pyarrow-compatible)."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.open_input(path) as fh:
+            return fh.read()
+
+    def read_text(self, path: str, encoding: str = "utf-8") -> str:
+        return self.read_bytes(path).decode(encoding)
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime_ms(self, path: str) -> int:
+        raise NotImplementedError
+
+    # -- writes ----------------------------------------------------------
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """Create-or-replace; readers never observe partial content."""
+        raise NotImplementedError
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.write_atomic(path, text.encode("utf-8"))
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """Atomic put-if-absent of FULLY-WRITTEN content; raises
+        ``FileExistsError`` when the path already exists. The Delta
+        commit primitive — losing a race must never tear the winner."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move src over dst (replace semantics, os.replace parity)."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        for f in list(self.walk_files(path)):
+            try:
+                self.remove(f)
+            except FileNotFoundError:
+                pass
+
+    # -- data-plane handoff ------------------------------------------------
+    def spark_path(self, path: str) -> str:
+        """URI Spark's Hadoop data plane can use for the same location
+        (``s3://`` → ``s3a://`` etc.). Raises for stores with no data
+        plane (memory)."""
+        return path
+
+    def executor_path(self, path: str) -> str:
+        """Path an EXECUTOR-side Python reader/writer resolves without
+        this driver's registry: local paths pass through, dir-prefix
+        fakes translate to their local root, object-store URIs stay
+        URIs (executors rebuild a pyarrow adapter from the scheme
+        alone). Resolved driver-side before paths ship in partitions."""
+        return path
+
+
+class LocalFileSystem(FileSystem):
+    """POSIX default — thin os/open wrappers, identical behavior to the
+    pre-facade code paths."""
+
+    scheme = ""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def abspath(self, path: str) -> str:
+        return os.path.abspath(path)
+
+    def basename(self, path: str) -> str:
+        return os.path.basename(path)
+
+    def dirname(self, path: str) -> str:
+        return os.path.dirname(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        for root, _dirs, names in os.walk(path):
+            for name in names:
+                yield os.path.join(root, name)
+
+    def open_input(self, path: str) -> BinaryIO:
+        return open(path, "rb")
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def mtime_ms(self, path: str) -> int:
+        return int(os.path.getmtime(path) * 1000)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        tmp = os.path.join(
+            os.path.dirname(path), f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        # write-then-hardlink: os.link is an atomic exclusive create of
+        # the FULLY-WRITTEN file. A bare open('x') + write would let a
+        # concurrent reader observe a torn half-written commit.
+        tmp = os.path.join(
+            os.path.dirname(path), f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class MemoryFileSystem(FileSystem):
+    """In-memory store with compare-and-set ``create_exclusive`` —
+    driver-side only (no Spark data plane), for exercising the log
+    layer's full metadata lifecycle hermetically in tests."""
+
+    scheme = "mem"
+
+    def __init__(self) -> None:
+        self._files: dict[str, tuple[bytes, int]] = {}  # path -> (data, mtime_ms)
+        self._lock = threading.Lock()
+
+    def _norm(self, path: str) -> str:
+        return path.rstrip("/")
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return p in self._files or any(
+                f.startswith(p + "/") for f in self._files
+            )
+
+    def isfile(self, path: str) -> bool:
+        with self._lock:
+            return self._norm(path) in self._files
+
+    def isdir(self, path: str) -> bool:
+        p = self._norm(path) + "/"
+        with self._lock:
+            return any(f.startswith(p) for f in self._files)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._norm(path) + "/"
+        names = set()
+        with self._lock:
+            for f in self._files:
+                if f.startswith(p):
+                    names.add(f[len(p):].split("/", 1)[0])
+        return sorted(names)
+
+    def open_input(self, path: str) -> BinaryIO:
+        with self._lock:
+            entry = self._files.get(self._norm(path))
+        if entry is None:
+            raise FileNotFoundError(path)
+        return io.BytesIO(entry[0])
+
+    def size(self, path: str) -> int:
+        with self._lock:
+            entry = self._files.get(self._norm(path))
+        if entry is None:
+            raise FileNotFoundError(path)
+        return len(entry[0])
+
+    def mtime_ms(self, path: str) -> int:
+        with self._lock:
+            entry = self._files.get(self._norm(path))
+        if entry is None:
+            raise FileNotFoundError(path)
+        return entry[1]
+
+    def set_mtime_ms(self, path: str, mtime_ms: int) -> None:
+        """Test hook (ages files for retention-based cleanup)."""
+        with self._lock:
+            data, _ = self._files[self._norm(path)]
+            self._files[self._norm(path)] = (data, mtime_ms)
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are implicit (object-store semantics)
+
+    def _now_ms(self) -> int:
+        import time
+
+        return int(time.time() * 1000)
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._files[self._norm(path)] = (bytes(data), self._now_ms())
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        p = self._norm(path)
+        with self._lock:  # compare-and-set under one lock
+            if p in self._files:
+                raise FileExistsError(path)
+            self._files[p] = (bytes(data), self._now_ms())
+
+    def rename(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        with self._lock:
+            if s not in self._files:
+                raise FileNotFoundError(src)
+            self._files[d] = self._files.pop(s)
+
+    def remove(self, path: str) -> None:
+        with self._lock:
+            if self._norm(path) not in self._files:
+                raise FileNotFoundError(path)
+            del self._files[self._norm(path)]
+
+    def spark_path(self, path: str) -> str:
+        raise NotImplementedError(
+            "mem:// has no Spark data plane — it hosts log metadata only"
+        )
+
+    def executor_path(self, path: str) -> str:
+        raise NotImplementedError(
+            "mem:// has no executor data plane — it hosts log metadata only"
+        )
+
+
+class PrefixFileSystem(FileSystem):
+    """Dir-prefix fake: serves ``<scheme>://<name>/...`` from a local
+    root while every metadata touch goes through the facade interface
+    (and is counted). Its data plane is the translated local path, so
+    Spark executors read/write the same bytes without consulting the
+    registry — the test double proving the plumbing an object-store
+    adapter would use."""
+
+    def __init__(self, scheme: str, root: str) -> None:
+        self.scheme = scheme
+        self.root = os.path.abspath(root)
+        self._local = LocalFileSystem()
+        self.op_counts: dict[str, int] = {}
+
+    def _count(self, op: str) -> None:
+        self.op_counts[op] = self.op_counts.get(op, 0) + 1
+
+    def to_local(self, path: str) -> str:
+        m = _SCHEME_RE.match(path)
+        if not m or m.group(1).lower() != self.scheme:
+            raise ValueError(f"not a {self.scheme}:// path: {path}")
+        rest = path[m.end():]
+        return os.path.join(self.root, *[p for p in rest.split("/") if p])
+
+    def from_local(self, local: str) -> str:
+        rel = os.path.relpath(os.path.abspath(local), self.root)
+        return f"{self.scheme}://" + rel.replace(os.sep, "/")
+
+    # every operation counts itself then delegates to the local root
+    def exists(self, path: str) -> bool:
+        self._count("exists")
+        return self._local.exists(self.to_local(path))
+
+    def isfile(self, path: str) -> bool:
+        self._count("isfile")
+        return self._local.isfile(self.to_local(path))
+
+    def isdir(self, path: str) -> bool:
+        self._count("isdir")
+        return self._local.isdir(self.to_local(path))
+
+    def listdir(self, path: str) -> list[str]:
+        self._count("listdir")
+        return self._local.listdir(self.to_local(path))
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        self._count("walk_files")
+        for f in self._local.walk_files(self.to_local(path)):
+            yield self.from_local(f)
+
+    def open_input(self, path: str) -> BinaryIO:
+        self._count("open_input")
+        return self._local.open_input(self.to_local(path))
+
+    def size(self, path: str) -> int:
+        self._count("size")
+        return self._local.size(self.to_local(path))
+
+    def mtime_ms(self, path: str) -> int:
+        self._count("mtime_ms")
+        return self._local.mtime_ms(self.to_local(path))
+
+    def makedirs(self, path: str) -> None:
+        self._count("makedirs")
+        self._local.makedirs(self.to_local(path))
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        self._count("write_atomic")
+        self._local.write_atomic(self.to_local(path), data)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        self._count("create_exclusive")
+        try:
+            self._local.create_exclusive(self.to_local(path), data)
+        except FileExistsError:
+            raise FileExistsError(path) from None
+
+    def rename(self, src: str, dst: str) -> None:
+        self._count("rename")
+        self._local.rename(self.to_local(src), self.to_local(dst))
+
+    def remove(self, path: str) -> None:
+        self._count("remove")
+        self._local.remove(self.to_local(path))
+
+    def rmtree(self, path: str) -> None:
+        self._count("rmtree")
+        self._local.rmtree(self.to_local(path))
+
+    def spark_path(self, path: str) -> str:
+        self._count("spark_path")
+        return self.to_local(path)
+
+    def executor_path(self, path: str) -> str:
+        self._count("executor_path")
+        return self.to_local(path)
+
+
+class ArrowFileSystem(FileSystem):
+    """Adapter over ``pyarrow.fs`` for real object stores (s3://,
+    gs://, hdfs://, abfs:// …). Listing/reads/atomic-replace map
+    cleanly; ``create_exclusive`` is the one operation pyarrow cannot
+    express atomically — S3 conditional puts (If-None-Match) are not
+    surfaced by pyarrow.fs, so this adapter does CHECK-THEN-PUT and is
+    therefore SINGLE-WRITER ONLY. Multi-writer deployments must
+    register an adapter backed by a conditional-put client or an
+    external LogStore (see module docstring). Constructed lazily so
+    environments without the relevant pyarrow filesystem never pay an
+    import."""
+
+    def __init__(self, scheme: str) -> None:
+        import pyarrow.fs as pafs
+
+        self.scheme = scheme
+        # FileSystem.from_uri picks the concrete store from the scheme
+        self._pafs = pafs
+        self._fs_cache: dict[str, object] = {}
+
+    def _resolve(self, path: str):
+        fs, inner = self._pafs.FileSystem.from_uri(path)
+        return fs, inner
+
+    def _info(self, path: str):
+        fs, inner = self._resolve(path)
+        return fs.get_file_info(inner)
+
+    def exists(self, path: str) -> bool:
+        return self._info(path).type != self._pafs.FileType.NotFound
+
+    def isfile(self, path: str) -> bool:
+        return self._info(path).type == self._pafs.FileType.File
+
+    def isdir(self, path: str) -> bool:
+        return self._info(path).type == self._pafs.FileType.Directory
+
+    def listdir(self, path: str) -> list[str]:
+        fs, inner = self._resolve(path)
+        sel = self._pafs.FileSelector(inner, recursive=False, allow_not_found=True)
+        return [i.base_name for i in fs.get_file_info(sel)]
+
+    def open_input(self, path: str) -> BinaryIO:
+        fs, inner = self._resolve(path)
+        return fs.open_input_file(inner)
+
+    def size(self, path: str) -> int:
+        return self._info(path).size
+
+    def mtime_ms(self, path: str) -> int:
+        mt = self._info(path).mtime
+        return int(mt.timestamp() * 1000) if mt is not None else 0
+
+    def makedirs(self, path: str) -> None:
+        fs, inner = self._resolve(path)
+        fs.create_dir(inner, recursive=True)
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        # object stores publish a PUT atomically on completion
+        fs, inner = self._resolve(path)
+        with fs.open_output_stream(inner) as out:
+            out.write(data)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        # NON-ATOMIC check-then-put — single-writer only (see class doc)
+        if self.exists(path):
+            raise FileExistsError(path)
+        self.write_atomic(path, data)
+
+    def rename(self, src: str, dst: str) -> None:
+        fs, inner_src = self._resolve(src)
+        _fs2, inner_dst = self._resolve(dst)
+        try:
+            fs.move(inner_src, inner_dst)
+        except NotImplementedError:  # stores without rename: copy+delete
+            with fs.open_input_file(inner_src) as r, fs.open_output_stream(
+                inner_dst
+            ) as w:
+                shutil.copyfileobj(r, w)
+            fs.delete_file(inner_src)
+
+    def remove(self, path: str) -> None:
+        fs, inner = self._resolve(path)
+        fs.delete_file(inner)
+
+    def spark_path(self, path: str) -> str:
+        # Hadoop's S3 connector uses the s3a scheme
+        if path.startswith("s3://"):
+            return "s3a://" + path[len("s3://"):]
+        return path
+
+
+_LOCAL = LocalFileSystem()
+_REGISTRY: dict[str, FileSystem | Callable[[], FileSystem]] = {}
+_REGISTRY_LOCK = threading.Lock()
+
+
+def register_filesystem(scheme: str, fs: FileSystem | Callable[[], FileSystem]) -> None:
+    """Register an instance (or lazy factory) for ``scheme://`` paths.
+    Re-registering replaces — tests install fresh fakes per run."""
+    with _REGISTRY_LOCK:
+        _REGISTRY[scheme.lower()] = fs
+
+
+def unregister_filesystem(scheme: str) -> None:
+    with _REGISTRY_LOCK:
+        _REGISTRY.pop(scheme.lower(), None)
+
+
+#: schemes ArrowFileSystem can serve without explicit registration
+_ARROW_SCHEMES = {"s3", "gs", "gcs", "hdfs", "abfs", "abfss"}
+
+
+def get_fs(path: str) -> FileSystem:
+    """Filesystem serving ``path``: local for plain/`file://` paths,
+    a registered adapter for its scheme, or a lazily-built pyarrow
+    adapter for well-known object-store schemes."""
+    scheme = path_scheme(path)
+    if scheme is None or scheme == "file":
+        return _LOCAL
+    with _REGISTRY_LOCK:
+        entry = _REGISTRY.get(scheme)
+    if entry is not None:
+        if callable(entry) and not isinstance(entry, FileSystem):
+            built = entry()
+            register_filesystem(scheme, built)
+            return built
+        return entry
+    if scheme in _ARROW_SCHEMES:
+        built = ArrowFileSystem(scheme)
+        register_filesystem(scheme, built)
+        return built
+    raise ValueError(
+        f"no filesystem registered for scheme '{scheme}://' — "
+        f"register one with jodie_spark.fs.register_filesystem"
+    )
+
+
+def strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path

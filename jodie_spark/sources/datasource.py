@@ -150,6 +150,48 @@ def _logical_physical_map(metadata: dict) -> dict[str, str] | None:
     return nm or None
 
 
+
+def _opt_path(options) -> str | None:
+    """Normalize the user's path option: file:// URIs become plain
+    local paths (Spark surfaces them either way); other schemes pass
+    through to the storage facade."""
+    from jodie_spark.fs import strip_file_scheme
+
+    p = options.get("path")
+    return strip_file_scheme(p) if p else p
+
+
+def _data_path(table_path: str, rel: str) -> str:
+    """Driver-side: join a table-relative data-file path and translate
+    it for executor-side access (jodie_spark.fs facade) — executors
+    never consult the driver's filesystem registry."""
+    from jodie_spark.fs import get_fs
+
+    fs = get_fs(table_path)
+    return fs.executor_path(fs.join(table_path, rel))
+
+
+def _data_isfile(table_path: str, rel: str) -> tuple[str, bool]:
+    """(joined executor path, driver-side existence) for a table-
+    relative data file — one facade resolution for both answers."""
+    from jodie_spark.fs import get_fs
+
+    fs = get_fs(table_path)
+    joined = fs.join(table_path, rel)
+    return fs.executor_path(joined), fs.isfile(joined)
+
+
+def _open_parquet(path: str):
+    """Executor-side parquet source: local paths pass straight to
+    pyarrow; schemed URIs (real object stores) open through the facade
+    (ArrowFileSystem is rebuilt from the scheme alone on executors)."""
+    from jodie_spark.fs import get_fs, path_scheme
+
+    if path_scheme(path) is None:
+        return path
+    return get_fs(path).open_input(path)
+
+
 def _read_file_batches(
     partition: _FilePartition, schema: StructType
 ) -> Iterator["pa.RecordBatch"]:
@@ -180,7 +222,7 @@ def _read_file_batches(
             ),
             dtype=np.int64,
         )
-    pf = pq.ParquetFile(partition.file_path)
+    pf = pq.ParquetFile(_open_parquet(partition.file_path))
     file_cols = set(pf.schema_arrow.names)
     nm = partition.name_map if getattr(partition, "name_map", None) else {}
     phys_of = {f.name: nm.get(f.name, f.name) for f in schema.fields}
@@ -316,7 +358,7 @@ def _filters_to_condition(filters: list[Filter], columns: set[str]) -> str | Non
 
 class JodieDeltaBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         if not self.path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         self.schema = schema
@@ -359,7 +401,7 @@ class JodieDeltaBatchReader(DataSourceReader):
         parts = []
         for a in adds:
             fp = _FilePartition(
-                os.path.join(self.path, urllib.parse.unquote(a["path"])),
+                _data_path(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
                 a.get("deletionVector"),
                 self.path,
@@ -458,8 +500,8 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
                 enabled = _cdf_enabled(a["metaData"].get("configuration"))
             elif "cdc" in a and a["cdc"]:
                 has_cdc = True
-                p = os.path.join(path, urllib.parse.unquote(a["cdc"]["path"]))
-                if not os.path.isfile(p):
+                p, ok = _data_isfile(path, urllib.parse.unquote(a["cdc"]["path"]))
+                if not ok:
                     raise FileNotFoundError(
                         f"change data file {p} for version {v} has been "
                         "deleted (vacuumed?)"
@@ -483,7 +525,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
         for ad in adds:
             out.append(
                 _CdfFilePartition(
-                    os.path.join(path, urllib.parse.unquote(ad["path"])),
+                    _data_path(path, urllib.parse.unquote(ad["path"])),
                     "insert",
                     v,
                     ts,
@@ -493,8 +535,8 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
                 )
             )
         for rm in removes:
-            p = os.path.join(path, urllib.parse.unquote(rm["path"]))
-            if not os.path.isfile(p):
+            p, ok = _data_isfile(path, urllib.parse.unquote(rm["path"]))
+            if not ok:
                 raise FileNotFoundError(
                     f"removed data file {p} needed to synthesize delete "
                     f"change rows for version {v} has been deleted (vacuumed?)"
@@ -568,7 +610,7 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
     only, delta parity); pass ``startingVersion`` to replay history."""
 
     def __init__(self, options, schema: StructType):
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         if not self.path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         self.schema = schema
@@ -614,7 +656,7 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
     same coverage rules as the streaming reader."""
 
     def __init__(self, options, schema: StructType):
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         self.schema = schema
         from jodie_spark.tables.log import DeltaLog
 
@@ -658,7 +700,7 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
 
 class JodieDeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         if not self.path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         self.schema = schema
@@ -730,7 +772,7 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         parts = []
         for a in adds:
             fp = _FilePartition(
-                os.path.join(self.path, urllib.parse.unquote(a["path"])),
+                _data_path(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
                 a.get("deletionVector"),
                 self.path,
@@ -777,13 +819,26 @@ def _write_partition_file(
     target = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType), True) for f in schema.fields]
     )
+    from jodie_spark.fs import get_fs, path_scheme
+
     name = f"part-{uuid.uuid4().hex}.parquet"
-    abs_path = os.path.join(path, name)
-    os.makedirs(path, exist_ok=True)
+    if path_scheme(path) is None:
+        abs_path = os.path.join(path, name)
+        os.makedirs(path, exist_ok=True)
+        sink = abs_path
+    else:
+        # real object store reached an executor: stream through the
+        # facade-resolved pyarrow output (no local staging)
+        _xfs = get_fs(path)
+        abs_path = _xfs.join(path, name)
+        _pafs, _inner = __import__("pyarrow.fs", fromlist=["fs"]).FileSystem.from_uri(
+            abs_path
+        )
+        sink = _pafs.open_output_stream(_inner)
     # stream in bounded chunks: peak executor memory is one chunk, not
     # the whole task partition (matters when one task carries GBs)
     CHUNK = 65536
-    writer = pq.ParquetWriter(abs_path, target)
+    writer = pq.ParquetWriter(sink, target)
     try:
         buf: list[tuple] = []
 
@@ -813,7 +868,12 @@ def _write_partition_file(
     finally:
         writer.close()
     stats = json.dumps(collect_file_stats(abs_path), separators=(",", ":"))
-    return _WroteFile(name, os.path.getsize(abs_path), stats)
+    size = (
+        os.path.getsize(abs_path)
+        if path_scheme(abs_path) is None
+        else get_fs(abs_path).size(abs_path)
+    )
+    return _WroteFile(name, size, stats)
 
 
 
@@ -888,16 +948,20 @@ class JodieDeltaWriter(DataSourceWriter):
     half-visible table."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         if not self.path:
             raise ValueError("jodie_delta requires a path: .save('/table/path')")
         self.schema = schema
         self.overwrite = overwrite
         self.not_null_cols = _validate_as_given_write(self.path, schema)
+        # resolved driver-side; executors write without the registry
+        from jodie_spark.fs import get_fs
+
+        self.data_path = get_fs(self.path).executor_path(self.path)
 
     def write(self, iterator) -> _WroteFile:
         return _write_partition_file(
-            iterator, self.path, self.schema, self.not_null_cols
+            iterator, self.data_path, self.schema, self.not_null_cols
         )
 
     def commit(self, messages) -> None:
@@ -970,7 +1034,10 @@ class JodieDeltaWriter(DataSourceWriter):
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self.path, m.rel_path))
+                    from jodie_spark.fs import get_fs
+
+                    _fs = get_fs(self.path)
+                    _fs.remove(_fs.join(self.path, m.rel_path))
                 except OSError:
                     pass
 
@@ -984,7 +1051,7 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
     per logical stream."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         if not self.path:
             raise ValueError("jodie_delta requires a path: .start('/table/path')")
         self.schema = schema
@@ -993,10 +1060,13 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
         # replaces the table contents (aggregation sinks)
         self.overwrite = bool(overwrite)
         self.not_null_cols = _validate_as_given_write(self.path, schema)
+        from jodie_spark.fs import get_fs
+
+        self.data_path = get_fs(self.path).executor_path(self.path)
 
     def write(self, iterator) -> _WroteFile:
         return _write_partition_file(
-            iterator, self.path, self.schema, self.not_null_cols
+            iterator, self.data_path, self.schema, self.not_null_cols
         )
 
     def _last_committed_batch(self) -> int:
@@ -1096,7 +1166,10 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self.path, m.rel_path))
+                    from jodie_spark.fs import get_fs
+
+                    _fs = get_fs(self.path)
+                    _fs.remove(_fs.join(self.path, m.rel_path))
                 except OSError:
                     pass
 
@@ -1122,7 +1195,7 @@ class JodieDeltaDataSource(DataSource):
 
         from jodie_spark.tables.log import DeltaLog
 
-        path = self.options.get("path")
+        path = _opt_path(self.options)
         if not path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         log = DeltaLog(path)

@@ -225,7 +225,9 @@ def read_dv_bytes(table_path: str, descriptor: dict[str, Any]) -> bytes:
             )
         return data
     offset = int(descriptor.get("offset") or 1)
-    with open(path, "rb") as fh:
+    from jodie_spark.fs import get_fs
+
+    with get_fs(path).open_input(path) as fh:
         version = fh.read(1)[0]
         if version != _FORMAT_VERSION:
             raise DeletionVectorError(f"unsupported DV file format version {version}")

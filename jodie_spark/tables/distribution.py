@@ -111,7 +111,9 @@ def _latest_actions_df(
         # a V2 checkpoint's JSON manifest can't ride the parquet scan;
         # its (rare) add/remove actions are unioned driver-side below —
         # sidecars and parquet manifests all go through one merged scan
-        pq_files = [p for p in cp_files if p.endswith(".parquet")]
+        pq_files = [
+            log._fs.spark_path(p) for p in cp_files if p.endswith(".parquet")
+        ]
         json_manifest_actions = [
             a
             for p in cp_files
@@ -221,7 +223,10 @@ def _latest_actions_df(
         if (base is None or v > base) and v <= latest
     ]
     if tail:
-        tail_paths = [os.path.join(log.log_path, commit_file_name(v)) for v in tail]
+        tail_paths = [
+            log._fs.spark_path(log._fs.join(log.log_path, commit_file_name(v)))
+            for v in tail
+        ]
         raw = spark.read.schema(_ACTION_SCHEMA).json(tail_paths)
         sources.append(
             raw.withColumn(
@@ -373,12 +378,13 @@ def write_checkpoint_spark(
     n_actions = out.count()
     n_parts = max(1, -(-n_actions // _CP_ACTIONS_PER_PART))
 
-    stage = os.path.join(log.table_path, f"_checkpoint_stage_{_uuid.uuid4().hex}")
+    fs = log._fs
+    stage = fs.join(log.table_path, f"_checkpoint_stage_{_uuid.uuid4().hex}")
     try:
-        out.repartition(n_parts).write.parquet(stage, mode="overwrite")
+        out.repartition(n_parts).write.parquet(fs.spark_path(stage), mode="overwrite")
         spark_parts = sorted(
-            os.path.join(stage, n)
-            for n in os.listdir(stage)
+            fs.join(stage, n)
+            for n in fs.listdir(stage)
             if n.startswith("part-") and n.endswith(".parquet")
         )
         # driver-written metadata part: protocol + metaData + live
@@ -397,30 +403,35 @@ def write_checkpoint_spark(
                     }
                 }
             )
-        meta_part = os.path.join(stage, "metadata-part.parquet")
-        pq.write_table(pa.Table.from_pylist(meta_rows, schema=_CHECKPOINT_SCHEMA), meta_part)
+        meta_part = fs.join(stage, "metadata-part.parquet")
+        import io as _io
+
+        _buf = _io.BytesIO()
+        pq.write_table(pa.Table.from_pylist(meta_rows, schema=_CHECKPOINT_SCHEMA), _buf)
+        fs.write_atomic(meta_part, _buf.getvalue())
 
         all_parts = spark_parts + [meta_part]
         total = len(all_parts)
         if total == 1:
-            names = [os.path.join(log.log_path, f"{target:020d}.checkpoint.parquet")]
+            names = [fs.join(log.log_path, f"{target:020d}.checkpoint.parquet")]
         else:
             names = [
-                os.path.join(log.log_path, multipart_checkpoint_file_name(target, i + 1, total))
+                fs.join(log.log_path, multipart_checkpoint_file_name(target, i + 1, total))
                 for i in range(total)
             ]
         for src, dst in zip(all_parts, names):
-            os.replace(src, dst)
+            fs.rename(src, dst)
         payload: dict[str, Any] = {
             "version": target,
             "size": n_actions + len(meta_rows),
         }
         if total > 1:
             payload["parts"] = total
-        with open(os.path.join(log.log_path, LAST_CHECKPOINT), "w", encoding="utf-8") as fh:
-            _json.dump(payload, fh)
+        fs.write_text_atomic(
+            fs.join(log.log_path, LAST_CHECKPOINT), _json.dumps(payload)
+        )
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.rmtree(stage)
     return target
 
 
@@ -742,26 +753,27 @@ def write_checkpoint_v2_spark(
     n_actions = out.count()
     n_parts = max(1, -(-n_actions // _CP_ACTIONS_PER_PART))
 
-    sidecar_dir = os.path.join(log.log_path, "_sidecars")
-    os.makedirs(sidecar_dir, exist_ok=True)
-    stage = os.path.join(log.table_path, f"_checkpoint_stage_{_uuid.uuid4().hex}")
+    fs = log._fs
+    sidecar_dir = fs.join(log.log_path, "_sidecars")
+    fs.makedirs(sidecar_dir)
+    stage = fs.join(log.table_path, f"_checkpoint_stage_{_uuid.uuid4().hex}")
     try:
-        out.repartition(n_parts).write.parquet(stage, mode="overwrite")
+        out.repartition(n_parts).write.parquet(fs.spark_path(stage), mode="overwrite")
         spark_parts = sorted(
-            os.path.join(stage, n)
-            for n in os.listdir(stage)
+            fs.join(stage, n)
+            for n in fs.listdir(stage)
             if n.startswith("part-") and n.endswith(".parquet")
         )
         sidecars: list[dict[str, Any]] = []
         for src in spark_parts:
             name = f"{_uuid.uuid4().hex}.parquet"
-            dst = os.path.join(sidecar_dir, name)
-            os.replace(src, dst)
+            dst = fs.join(sidecar_dir, name)
+            fs.rename(src, dst)
             sidecars.append(
                 {
                     "path": name,
-                    "sizeInBytes": os.path.getsize(dst),
-                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "sizeInBytes": fs.size(dst),
+                    "modificationTime": fs.mtime_ms(dst),
                 }
             )
 
@@ -804,14 +816,18 @@ def write_checkpoint_v2_spark(
                 }
             )
         rows.extend({"sidecar": sc} for sc in sidecars)
-        manifest = os.path.join(
+        manifest = fs.join(
             log.log_path, f"{target:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
         )
-        pq.write_table(pa.Table.from_pylist(rows, schema=manifest_schema), manifest)
-        with open(
-            os.path.join(log.log_path, LAST_CHECKPOINT), "w", encoding="utf-8"
-        ) as fh:
-            _json.dump({"version": target, "size": n_actions + len(rows)}, fh)
+        import io as _io
+
+        _buf = _io.BytesIO()
+        pq.write_table(pa.Table.from_pylist(rows, schema=manifest_schema), _buf)
+        fs.write_atomic(manifest, _buf.getvalue())
+        fs.write_text_atomic(
+            fs.join(log.log_path, LAST_CHECKPOINT),
+            _json.dumps({"version": target, "size": n_actions + len(rows)}),
+        )
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.rmtree(stage)
     return target

@@ -37,6 +37,7 @@ from jodie_spark.errors import (
     DeltaProtocolError,
     VersionNotFoundError,
 )
+from jodie_spark.fs import get_fs, strip_file_scheme
 
 # Reader features this engine implements. Tables demanding anything else
 # (v2 checkpoints, ...) would silently produce wrong rows if read
@@ -351,8 +352,13 @@ class DeltaLog:
     """Reader/writer for one table's ``_delta_log``."""
 
     def __init__(self, path: str):
-        self.table_path = os.path.abspath(path)
-        self.log_path = os.path.join(self.table_path, LOG_DIR)
+        # every filesystem touch below routes through the storage
+        # facade — local POSIX by default, object stores by scheme
+        # (jodie_spark.fs; the reference inherits the same pluggability
+        # from Hadoop FileSystem via delta-core, build.sbt:9)
+        self._fs = get_fs(path)
+        self.table_path = self._fs.abspath(strip_file_scheme(path))
+        self.log_path = self._fs.join(self.table_path, LOG_DIR)
         # (version, configuration) of the last table_info consulted by
         # commit()'s row-tracking gate — config changes always write a
         # metaData action at a NEWER version, so caching by version is
@@ -369,15 +375,13 @@ class DeltaLog:
     def exists(self) -> bool:
         # a log whose JSON tail was fully cleaned (metadata retention)
         # but still has a checkpoint IS a valid table
-        return os.path.isdir(self.log_path) and bool(
+        return self._fs.isdir(self.log_path) and bool(
             self.list_commit_versions() or self.list_checkpoint_versions()
         )
 
     def list_commit_versions(self) -> list[int]:
-        if not os.path.isdir(self.log_path):
-            return []
         out = []
-        for name in os.listdir(self.log_path):
+        for name in self._fs.listdir(self.log_path):
             if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
         return sorted(out)
@@ -386,12 +390,10 @@ class DeltaLog:
         """Versions with a complete checkpoint: single-part
         ``<v>.checkpoint.parquet`` or multi-part
         ``<v>.checkpoint.<i>.<n>.parquet`` with all n parts present."""
-        if not os.path.isdir(self.log_path):
-            return []
         single: set[int] = set()
         v2: set[int] = set()
         parts: dict[tuple[int, int], set[int]] = {}
-        for name in os.listdir(self.log_path):
+        for name in self._fs.listdir(self.log_path):
             if not (name.endswith(".parquet") or name.endswith(".json")):
                 continue
             stem = name.rsplit(".", 1)[0]
@@ -421,13 +423,14 @@ class DeltaLog:
         parquet files, or — for a V2 checkpoint — the uuid-named
         manifest plus every sidecar parquet it references (sidecars live
         under ``_delta_log/_sidecars/``)."""
-        single = os.path.join(self.log_path, checkpoint_file_name(version))
-        if os.path.isfile(single):
+        single = self._fs.join(self.log_path, checkpoint_file_name(version))
+        if self._fs.isfile(single):
             return [single]
         prefix = f"{version:020d}.checkpoint."
+        names = self._fs.listdir(self.log_path)
         classic = [
-            os.path.join(self.log_path, n)
-            for n in os.listdir(self.log_path)
+            self._fs.join(self.log_path, n)
+            for n in names
             if n.startswith(prefix)
             and n.endswith(".parquet")
             and n[len(prefix):-len(".parquet")].replace(".", "").isdigit()
@@ -435,8 +438,8 @@ class DeltaLog:
         if classic:
             return sorted(classic)
         manifests = sorted(
-            os.path.join(self.log_path, n)
-            for n in os.listdir(self.log_path)
+            self._fs.join(self.log_path, n)
+            for n in names
             if n.startswith(prefix) and (n.endswith(".parquet") or n.endswith(".json"))
         )
         if not manifests:
@@ -446,7 +449,7 @@ class DeltaLog:
         for action in self._read_manifest_actions(manifest):
             sc = action.get("sidecar")
             if sc and sc.get("path"):
-                out.append(os.path.join(self.log_path, "_sidecars", sc["path"]))
+                out.append(self._fs.join(self.log_path, "_sidecars", sc["path"]))
         return out
 
     def _read_manifest_actions(self, path: str) -> list[dict[str, Any]]:
@@ -455,13 +458,13 @@ class DeltaLog:
         ``sidecar`` actions."""
         actions: list[dict[str, Any]] = []
         if path.endswith(".json"):
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line:
-                        actions.append(json.loads(line))
+            for line in self._fs.read_text(path).splitlines():
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
             return actions
-        table = pq.read_table(path)
+        with self._fs.open_input(path) as fh:
+            table = pq.read_table(fh)
         for row in table.to_pylist():
             for key, payload in row.items():
                 if payload is not None and isinstance(payload, dict) and any(
@@ -477,10 +480,10 @@ class DeltaLog:
         return max(candidates) if candidates else -1
 
     def commit_file_path(self, version: int) -> str:
-        return os.path.join(self.log_path, commit_file_name(version))
+        return self._fs.join(self.log_path, commit_file_name(version))
 
     def has_commit_file(self, version: int) -> bool:
-        return os.path.isfile(self.commit_file_path(version))
+        return self._fs.isfile(self.commit_file_path(version))
 
     # -- reading ------------------------------------------------------------
 
@@ -505,14 +508,13 @@ class DeltaLog:
 
     def read_actions(self, version: int) -> list[dict[str, Any]]:
         path = self.commit_file_path(version)
-        if not os.path.isfile(path):
+        if not self._fs.isfile(path):
             raise FileNotFoundError(path)
         actions = []
-        with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    actions.append(json.loads(line))
+        for line in self._fs.read_text(path).splitlines():
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
         return actions
 
     def get_changes(self, starting_version: int = 0) -> Iterator[tuple[int, list[dict[str, Any]]]]:
@@ -525,12 +527,11 @@ class DeltaLog:
                 yield v, self.read_actions(v)
 
     def _read_last_checkpoint(self) -> int | None:
-        path = os.path.join(self.log_path, LAST_CHECKPOINT)
-        if not os.path.isfile(path):
+        path = self._fs.join(self.log_path, LAST_CHECKPOINT)
+        if not self._fs.isfile(path):
             return None
         try:
-            with open(path, encoding="utf-8") as fh:
-                return int(json.load(fh)["version"])
+            return int(json.loads(self._fs.read_text(path))["version"])
         except (ValueError, KeyError, json.JSONDecodeError):
             return None
 
@@ -581,8 +582,7 @@ class DeltaLog:
         for v in reversed(needed):
             m: dict[str, Any] | None = None
             p: dict[str, Any] | None = None
-            with open(self.commit_file_path(v), encoding="utf-8") as fh:
-                for line in fh:
+            for line in self._fs.read_text(self.commit_file_path(v)).splitlines():
                     # last metaData/protocol within a commit wins
                     if '"metaData"' in line:
                         a = json.loads(line)
@@ -602,14 +602,16 @@ class DeltaLog:
             for part in self.checkpoint_part_files(base_version):
                 if part.endswith(".json"):
                     rows = self._read_manifest_actions(part)
-                elif {"metaData", "protocol"} & set(pq.read_schema(part).names):
-                    cols = [
-                        c for c in ("metaData", "protocol")
-                        if c in pq.read_schema(part).names
-                    ]
-                    rows = pq.read_table(part, columns=cols).to_pylist()
                 else:
-                    continue  # sidecar: add/remove only
+                    with self._fs.open_input(part) as _fh:
+                        _pf = pq.ParquetFile(_fh)
+                        names = set(_pf.schema_arrow.names)
+                        cols = [
+                            c for c in ("metaData", "protocol") if c in names
+                        ]
+                        if not cols:
+                            continue  # sidecar: add/remove only
+                        rows = _pf.read(columns=cols).to_pylist()
                 for row in rows:
                     md, pr = row.get("metaData"), row.get("protocol")
                     if metadata is None and md and any(x is not None for x in md.values()):
@@ -815,8 +817,7 @@ class DeltaLog:
         target, base_version, needed = self._replay_plan(version)
         for v in reversed(needed):
             found: dict[str, Any] | None = None
-            with open(self.commit_file_path(v), encoding="utf-8") as fh:
-                for line in fh:
+            for line in self._fs.read_text(self.commit_file_path(v)).splitlines():
                     if '"domainMetadata"' in line and f'"{domain}"' in line:
                         a = json.loads(line)
                         dm = a.get("domainMetadata")
@@ -829,15 +830,15 @@ class DeltaLog:
                 if part.endswith(".json"):
                     rows = self._read_manifest_actions(part)
                     dms = [r.get("domainMetadata") for r in rows]
-                elif "domainMetadata" in pq.read_schema(part).names:
-                    dms = [
-                        r.get("domainMetadata")
-                        for r in pq.read_table(
-                            part, columns=["domainMetadata"]
-                        ).to_pylist()
-                    ]
                 else:
-                    continue
+                    with self._fs.open_input(part) as _fh:
+                        _pf = pq.ParquetFile(_fh)
+                        if "domainMetadata" not in _pf.schema_arrow.names:
+                            continue
+                        dms = [
+                            r.get("domainMetadata")
+                            for r in _pf.read(columns=["domainMetadata"]).to_pylist()
+                        ]
                 for dm in dms:
                     if (
                         dm
@@ -857,8 +858,7 @@ class DeltaLog:
         seen: dict[str, dict[str, Any]] = {}
         for v in reversed(needed):
             per_commit: dict[str, dict[str, Any]] = {}
-            with open(self.commit_file_path(v), encoding="utf-8") as fh:
-                for line in fh:
+            for line in self._fs.read_text(self.commit_file_path(v)).splitlines():
                     if '"domainMetadata"' in line:
                         dm = json.loads(line).get("domainMetadata")
                         if dm and dm.get("domain"):
@@ -872,15 +872,15 @@ class DeltaLog:
                         r.get("domainMetadata")
                         for r in self._read_manifest_actions(part)
                     ]
-                elif "domainMetadata" in pq.read_schema(part).names:
-                    dms = [
-                        r.get("domainMetadata")
-                        for r in pq.read_table(
-                            part, columns=["domainMetadata"]
-                        ).to_pylist()
-                    ]
                 else:
-                    continue
+                    with self._fs.open_input(part) as _fh:
+                        _pf = pq.ParquetFile(_fh)
+                        if "domainMetadata" not in _pf.schema_arrow.names:
+                            continue
+                        dms = [
+                            r.get("domainMetadata")
+                            for r in _pf.read(columns=["domainMetadata"]).to_pylist()
+                        ]
                 for dm in dms:
                     if dm and dm.get("domain"):
                         seen.setdefault(dm["domain"], _maps_to_dicts(dm))
@@ -911,7 +911,7 @@ class DeltaLog:
         partitions) succeed without user-level retry code.
         ``max_retries=0`` restores the raw raise-on-race primitive.
         """
-        os.makedirs(self.log_path, exist_ok=True)
+        self._fs.makedirs(self.log_path)
         version = read_version + 1
 
         # -- row tracking: fresh baseRowId blocks for this commit's adds --
@@ -1047,24 +1047,17 @@ class DeltaLog:
         while True:
             path = self.commit_file_path(version)
             try:
-                # write-then-hardlink: os.link is an atomic exclusive
-                # create of the FULLY-WRITTEN file. A bare open('x') +
-                # write makes the commit visible while still empty, so
-                # a concurrent loser's conflict check could read zero
-                # actions and miss a real conflict (caught by
-                # tests/test_multiprocess_commit.py).
-                import uuid as _uuid
-
-                tmp = os.path.join(
-                    self.log_path,
-                    f".{os.path.basename(path)}.tmp-{_uuid.uuid4().hex[:8]}",
+                # atomic put-if-absent of the FULLY-WRITTEN commit: the
+                # facade's create_exclusive (locally write-then-hardlink;
+                # CAS in memory; conditional put on object stores). A
+                # non-atomic create would make the commit visible while
+                # still empty, so a concurrent loser's conflict check
+                # could read zero actions and miss a real conflict
+                # (caught by tests/test_multiprocess_commit.py).
+                self._fs.create_exclusive(
+                    path,
+                    ("\n".join(_build_lines(version)) + "\n").encode("utf-8"),
                 )
-                with open(tmp, "w", encoding="utf-8") as fh:
-                    fh.write("\n".join(_build_lines(version)) + "\n")
-                try:
-                    os.link(tmp, path)
-                finally:
-                    os.unlink(tmp)
                 break
             except FileExistsError:
                 if attempts >= max_retries:
@@ -1097,7 +1090,7 @@ class DeltaLog:
     # -- version checksums (<version>.crc) ---------------------------------
 
     def _crc_path(self, version: int) -> str:
-        return os.path.join(self.log_path, f"{version:020d}.crc")
+        return self._fs.join(self.log_path, f"{version:020d}.crc")
 
     def _write_version_checksum(self, version: int, actions: list[dict[str, Any]]) -> None:
         """Best-effort ``<version>.crc`` in delta-spark's VersionChecksum
@@ -1121,10 +1114,9 @@ class DeltaLog:
                 # chain — skip; the next checkpoint restarts it
                 if version - 1 in self._mismatched_crc_versions:
                     return
-                if not os.path.exists(prev_path):
+                if not self._fs.isfile(prev_path):
                     return
-                with open(prev_path, encoding="utf-8") as fh:
-                    prev = json.loads(fh.read())
+                prev = json.loads(self._fs.read_text(prev_path))
                 base_files = int(prev["numFiles"])
                 base_bytes = int(prev["tableSizeBytes"])
                 meta = meta or prev.get("metadata")
@@ -1145,10 +1137,9 @@ class DeltaLog:
                 "metadata": meta,
                 "protocol": proto,
             }
-            tmp = self._crc_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write(json.dumps(crc, separators=(",", ":")))
-            os.replace(tmp, self._crc_path(version))
+            self._fs.write_text_atomic(
+                self._crc_path(version), json.dumps(crc, separators=(",", ":"))
+            )
         except Exception:
             return
 
@@ -1171,10 +1162,9 @@ class DeltaLog:
             "protocol": snap.protocol,
         }
         p = self._crc_path(version)
-        if os.path.exists(p):
+        if self._fs.isfile(p):
             try:
-                with open(p, encoding="utf-8") as fh:
-                    have = json.loads(fh.read())
+                have = json.loads(self._fs.read_text(p))
                 if (
                     have.get("numFiles") == crc["numFiles"]
                     and have.get("tableSizeBytes") == crc["tableSizeBytes"]
@@ -1182,10 +1172,7 @@ class DeltaLog:
                     return  # existing .crc agrees with replayed state
             except (OSError, ValueError):
                 pass  # unreadable → rewrite below
-        tmp = self._crc_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(json.dumps(crc, separators=(",", ":")))
-        os.replace(tmp, self._crc_path(version))
+        self._fs.write_text_atomic(p, json.dumps(crc, separators=(",", ":")))
         self._mismatched_crc_versions.discard(version)
 
     def _verify_version_checksum(
@@ -1211,11 +1198,10 @@ class DeltaLog:
         restores the hard failure for deployments that would rather
         refuse reads than risk serving drifted state."""
         p = self._crc_path(version)
-        if not os.path.exists(p) or version in self._mismatched_crc_versions:
+        if not self._fs.isfile(p) or version in self._mismatched_crc_versions:
             return
         try:
-            with open(p, encoding="utf-8") as fh:
-                crc = json.loads(fh.read())
+            crc = json.loads(self._fs.read_text(p))
         except (OSError, ValueError):
             return  # unreadable checksum: advisory, ignore
 
@@ -1312,9 +1298,9 @@ class DeltaLog:
 
         def expired(paths: list[str]) -> bool:
             return all(
-                os.path.getmtime(p) * 1000 <= cutoff
+                self._fs.mtime_ms(p) <= cutoff
                 for p in paths
-                if os.path.exists(p)
+                if self._fs.isfile(p)
             )
 
         deleted: list[str] = []
@@ -1322,15 +1308,15 @@ class DeltaLog:
             f = self.commit_file_path(v)
             if v >= newest_cp or protected(v) or not expired([f]):
                 continue
-            os.remove(f)
+            self._fs.remove(f)
             deleted.append(f)
             crc = self._crc_path(v)
-            if os.path.exists(crc):  # checksum travels with its commit
-                os.remove(crc)
+            if self._fs.isfile(crc):  # checksum travels with its commit
+                self._fs.remove(crc)
                 deleted.append(crc)
             quarantined = crc + ".quarantined"
-            if os.path.exists(quarantined):  # and so does its quarantine
-                os.remove(quarantined)
+            if self._fs.isfile(quarantined):  # and so does its quarantine
+                self._fs.remove(quarantined)
                 deleted.append(quarantined)
 
         removable = [
@@ -1345,14 +1331,14 @@ class DeltaLog:
             for v in cps
             if v not in removable
             for p in self.checkpoint_part_files(v)
-            if f"{os.sep}_sidecars{os.sep}" in p
+            if "/_sidecars/" in p.replace(os.sep, "/")
         }
         for v in removable:
             for p in self.checkpoint_part_files(v):
-                if f"{os.sep}_sidecars{os.sep}" in p:
-                    if p in kept_sidecars or not os.path.exists(p):
+                if "/_sidecars/" in p.replace(os.sep, "/"):
+                    if p in kept_sidecars or not self._fs.isfile(p):
                         continue
-                os.remove(p)
+                self._fs.remove(p)
                 deleted.append(p)
         return deleted
 
@@ -1457,8 +1443,14 @@ class DeltaLog:
                 }
             )
         table = pa.Table.from_pylist(rows, schema=_CHECKPOINT_SCHEMA)
-        cp_path = os.path.join(self.log_path, checkpoint_file_name(snap.version))
-        pq.write_table(table, cp_path)
-        with open(os.path.join(self.log_path, LAST_CHECKPOINT), "w", encoding="utf-8") as fh:
-            json.dump({"version": snap.version, "size": table.num_rows}, fh)
+        cp_path = self._fs.join(self.log_path, checkpoint_file_name(snap.version))
+        import io as _io
+
+        buf = _io.BytesIO()
+        pq.write_table(table, buf)
+        self._fs.write_atomic(cp_path, buf.getvalue())
+        self._fs.write_text_atomic(
+            self._fs.join(self.log_path, LAST_CHECKPOINT),
+            json.dumps({"version": snap.version, "size": table.num_rows}),
+        )
         return snap.version

@@ -54,9 +54,14 @@ def collect_file_stats(
     ``num_indexed_cols`` bounds stats to the first N schema columns —
     ``delta.dataSkippingNumIndexedCols`` semantics: on a 2000-column
     table, per-file stats JSON would otherwise dominate the log.
-    ``None`` or a negative value indexes every column."""
+    ``None`` or a negative value indexes every column. The footer read
+    routes through the storage facade, so schemed table paths
+    (object stores, test fakes) collect stats the same way."""
+    from jodie_spark.fs import get_fs
+
     try:
-        md = pq.ParquetFile(file_path).metadata
+        with get_fs(file_path).open_input(file_path) as _fh:
+            md = pq.ParquetFile(_fh).metadata
     except (OSError, pa.lib.ArrowInvalid):
         # files with parquet logical types newer than this pyarrow
         # (e.g. Spark 4's VARIANT annotation) cannot be footer-parsed

@@ -220,12 +220,19 @@ def read_files_df(
             plain.append(a)
     parts: list[DataFrame] = []
     if plain:
+        # the facade translates schemed table paths for Spark's Hadoop
+        # data plane (identity for local tables)
+        from jodie_spark.fs import get_fs
+
+        _fs = get_fs(table_path)
+        base = _fs.spark_path(table_path)
         paths = [
-            os.path.join(table_path, urllib.parse.unquote(a["path"])) for a in plain
+            _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"])))
+            for a in plain
         ]
         df = (
             spark.read.format("parquet")
-            .option("basePath", table_path)
+            .option("basePath", base)
             .schema(schema)
             .load(paths)
         )
@@ -396,9 +403,10 @@ def _log_bytes(table_path: str) -> int:
     log = DeltaLog(table_path)
     total = 0
     try:
-        for name in os.listdir(log.log_path):
+        fs = log._fs
+        for name in fs.listdir(log.log_path):
             if name.endswith(".json") or name.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(log.log_path, name))
+                total += fs.size(fs.join(log.log_path, name))
     except OSError:
         return _DRIVER_PLAN_MAX_LOG_BYTES + 1
     return total
@@ -530,8 +538,10 @@ def planned_num_records(spark: SparkSession, table_path: str, schema: T.StructTy
 
 class DeltaTable:
     def __init__(self, spark: SparkSession, path: str, alias: str | None = None):
+        from jodie_spark.fs import get_fs, strip_file_scheme
+
         self.spark = spark
-        self.path = os.path.abspath(path)
+        self.path = get_fs(path).abspath(strip_file_scheme(path))
         self.deltaLog = DeltaLog(self.path)
         self._alias = alias
 
@@ -2255,9 +2265,10 @@ class DeltaTable:
         current_paths = set(current.files)
         target_paths = set(target.files)
         actions: list[dict[str, Any]] = []
+        _fs = self.deltaLog._fs
         missing = [
             p for p in target_paths - current_paths
-            if not os.path.isfile(os.path.join(self.path, urllib.parse.unquote(p)))
+            if not _fs.isfile(_fs.join(self.path, urllib.parse.unquote(p)))
         ]
         if missing:
             raise DeltaProtocolError(
@@ -2270,7 +2281,7 @@ class DeltaTable:
             dv = target.files[p].get("deletionVector")
             if dv:
                 dv_path = dv_absolute_path(self.path, dv)
-                if dv_path and not os.path.isfile(dv_path):
+                if dv_path and not _fs.isfile(dv_path):
                     raise DeltaProtocolError(
                         f"cannot restore to version {version}: deletion "
                         f"vector {dv_path} has been vacuumed"
@@ -2425,13 +2436,14 @@ class DeltaTable:
         from jodie_spark.tables.deletion_vectors import dv_absolute_path
 
         snap = self.snapshot()
+        _fs = self.deltaLog._fs
         missing: list[dict[str, Any]] = []
         for add in snap.add_files():
-            p = os.path.join(self.path, urllib.parse.unquote(add["path"]))
-            broken = not os.path.isfile(p)
+            p = _fs.join(self.path, urllib.parse.unquote(add["path"]))
+            broken = not _fs.isfile(p)
             if not broken and add.get("deletionVector"):
                 dvp = dv_absolute_path(self.path, add["deletionVector"])
-                broken = dvp is not None and not os.path.isfile(dvp)
+                broken = dvp is not None and not _fs.isfile(dvp)
             if broken:
                 missing.append(add)
         if not dry_run and missing:
@@ -2569,16 +2581,18 @@ class DeltaTable:
         can see when files became unrecoverable (the END commit carries
         numDeletedFiles)."""
         snap = self.snapshot()
+        fs = self.deltaLog._fs  # storage facade: local or object store
         cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
-        root = os.path.abspath(self.path) + os.sep
+        root = fs.abspath(self.path).rstrip("/").rstrip(os.sep)
 
         def _inside(rm: dict[str, Any]) -> bool:
             # delta-spark parity: VACUUM only ever deletes files under
             # the table directory — a shallow clone's tombstones point
             # at the SOURCE table's files by absolute path, and deleting
             # those would corrupt the source
-            p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
-            return os.path.abspath(p).startswith(root)
+            p = fs.join(self.path, urllib.parse.unquote(rm["path"]))
+            ap = fs.abspath(p)
+            return ap.startswith(root + "/") or ap.startswith(root + os.sep)
 
         eligible = [
             rm for rm in snap.tombstones.values()
@@ -2595,25 +2609,24 @@ class DeltaTable:
             if a.get("deletionVector"):
                 p = dv_absolute_path(self.path, a["deletionVector"])
                 if p:
-                    live_dvs.add(os.path.abspath(p))
-        dv_dir = os.path.join(self.path, "deletion_vectors")
+                    live_dvs.add(fs.abspath(p))
+        dv_dir = fs.join(self.path, "deletion_vectors")
         orphan_dvs = []
-        if os.path.isdir(dv_dir):
-            cutoff_s = cutoff_ms / 1000.0
-            for name in os.listdir(dv_dir):
-                p = os.path.join(dv_dir, name)
+        if fs.isdir(dv_dir):
+            for name in fs.listdir(dv_dir):
+                p = fs.join(dv_dir, name)
                 if (
-                    os.path.isfile(p)
-                    and os.path.abspath(p) not in live_dvs
-                    and os.path.getmtime(p) <= cutoff_s
+                    fs.isfile(p)
+                    and fs.abspath(p) not in live_dvs
+                    and fs.mtime_ms(p) <= cutoff_ms
                 ):
                     orphan_dvs.append(p)
         if dry_run:
             out = [
-                os.path.join(self.path, urllib.parse.unquote(rm["path"]))
+                fs.join(self.path, urllib.parse.unquote(rm["path"]))
                 for rm in eligible
             ]
-            return [p for p in out if os.path.isfile(p)] + orphan_dvs
+            return [p for p in out if fs.isfile(p)] + orphan_dvs
         start_version = self.deltaLog.commit(
             snap.version,
             [],
@@ -2627,20 +2640,20 @@ class DeltaTable:
         deleted = 0
         deleted_bytes = 0
         for rm in eligible:
-            p = os.path.join(self.path, urllib.parse.unquote(rm["path"]))
-            if os.path.isfile(p):
-                deleted_bytes += os.path.getsize(p)
-                os.remove(p)
+            p = fs.join(self.path, urllib.parse.unquote(rm["path"]))
+            if fs.isfile(p):
+                deleted_bytes += fs.size(p)
+                fs.remove(p)
                 deleted += 1
         for p in orphan_dvs:
-            if os.path.isfile(p):
-                deleted_bytes += os.path.getsize(p)
-                os.remove(p)
+            if fs.isfile(p):
+                deleted_bytes += fs.size(p)
+                fs.remove(p)
                 deleted += 1
         # change-data files referenced only by commits whose timestamp is
         # older than the retention window
-        cdc_dir = os.path.join(self.path, CHANGE_DATA_DIR)
-        if os.path.isdir(cdc_dir):
+        cdc_dir = fs.join(self.path, CHANGE_DATA_DIR)
+        if fs.isdir(cdc_dir):
             for v in self.deltaLog.list_commit_versions():
                 actions = self.deltaLog.read_actions(v)
                 ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
@@ -2648,10 +2661,10 @@ class DeltaTable:
                     continue
                 for a in actions:
                     if "cdc" in a:
-                        p = os.path.join(self.path, urllib.parse.unquote(a["cdc"]["path"]))
-                        if os.path.isfile(p):
-                            deleted_bytes += os.path.getsize(p)
-                            os.remove(p)
+                        p = fs.join(self.path, urllib.parse.unquote(a["cdc"]["path"]))
+                        if fs.isfile(p):
+                            deleted_bytes += fs.size(p)
+                            fs.remove(p)
                             deleted += 1
         self.deltaLog.commit(
             start_version,
@@ -2912,9 +2925,16 @@ def map_touched_paths(
     a bug (encoding drift) — raise rather than rewrite against a partial
     target, which would silently duplicate matched rows.
     """
+    from jodie_spark.fs import get_fs
+
+    _fs = get_fs(table_path)
     normalized = {_strip_scheme(p) for p in raw_paths}
+    # add-paths key by the SAME spelling input_file_name() produces:
+    # the data-plane (Spark-visible) path, which for schemed tables is
+    # the facade translation, and for local tables the path itself
     by_abs = {
-        os.path.join(table_path, urllib.parse.unquote(a["path"])): a for a in candidates
+        _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"]))): a
+        for a in candidates
     }
     unmapped = normalized - set(by_abs)
     if unmapped:
@@ -3027,7 +3047,9 @@ def write_delta(
     commit records a ``txn`` action; versions must be monotone per app.
     """
     spark = df.sparkSession
-    path = os.path.abspath(path)
+    from jodie_spark.fs import get_fs, strip_file_scheme
+
+    path = get_fs(path).abspath(strip_file_scheme(path))
     options = dict(options or {})
     partition_by = list(partition_by or [])
     log = DeltaLog(path)

@@ -14,13 +14,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import urllib.parse
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame
 
+from jodie_spark.fs import get_fs, strip_file_scheme
 from jodie_spark.tables.stats import collect_file_stats
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
@@ -59,7 +59,8 @@ def write_data_files(
     splits instead of producing one giant file. This is the write-side
     half of small-file control; post-commit auto-compaction
     (``delta.autoOptimize.autoCompact``) is the read-side half."""
-    table_path = os.path.abspath(table_path)
+    fs = get_fs(table_path)
+    table_path = fs.abspath(strip_file_scheme(table_path))
     num_indexed: int | None = None
     optimize_write = False
     try:
@@ -86,27 +87,29 @@ def write_data_files(
             )
         except Exception:
             pass  # a hint must never fail the write
-    os.makedirs(table_path, exist_ok=True)
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    fs.makedirs(table_path)
+    staging = fs.join(table_path, f".staging-{uuid.uuid4().hex}")
 
     writer = df.write.mode("overwrite")
     if partition_columns:
         writer = writer.partitionBy(*partition_columns)
-    writer.parquet(staging)
+    # Spark's data plane writes the staging files (Hadoop handles the
+    # store natively); fs.spark_path translates schemed test fakes
+    writer.parquet(fs.spark_path(staging))
 
     moved: list[tuple[str, str, str]] = []  # (rel_path, rel_dir, dst)
     try:
-        for root, _dirs, names in os.walk(staging):
-            for name in names:
-                if not name.endswith(".parquet") or name.startswith(("_", ".")):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_path = name if rel_dir == "." else f"{rel_dir.replace(os.sep, '/')}/{name}"
-                dst = os.path.join(table_path, rel_path)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
-                moved.append((rel_path, rel_dir, dst))
+        for src in fs.walk_files(staging):
+            name = fs.basename(src)
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            rel_path = src[len(staging):].strip("/").strip(os.sep)
+            rel_path = rel_path.replace(os.sep, "/")
+            rel_dir = rel_path.rsplit("/", 1)[0] if "/" in rel_path else "."
+            dst = fs.join(table_path, *rel_path.split("/"))
+            fs.makedirs(fs.dirname(dst))
+            fs.rename(src, dst)
+            moved.append((rel_path, rel_dir, dst))
 
         # footer-stat reads are independent I/O — run them in a thread
         # pool so a many-file commit is bounded by storage parallelism,
@@ -124,7 +127,7 @@ def write_data_files(
         adds: list[dict[str, Any]] = []
         for (rel_path, rel_dir, dst), stats in zip(moved, stats_list):
             if stats["numRecords"] == 0:
-                os.remove(dst)  # Spark can emit empty part files; skip them
+                fs.remove(dst)  # Spark can emit empty part files; skip them
                 continue
             adds.append(
                 {
@@ -134,14 +137,14 @@ def write_data_files(
                     # dirs like p=a%20b, which must round-trip as %2520)
                     "path": urllib.parse.quote(rel_path, safe="/="),
                     "partitionValues": _parse_partition_dirs(rel_dir),
-                    "size": os.path.getsize(dst),
-                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "size": fs.size(dst),
+                    "modificationTime": fs.mtime_ms(dst),
                     "dataChange": True,
                     "stats": json.dumps(stats, separators=(",", ":")),
                 }
             )
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.rmtree(staging)
     return adds
 
 

@@ -1,0 +1,226 @@
+"""Storage facade (jodie_spark.fs): semantics of the local / memory /
+dir-prefix filesystems, and the full table lifecycle running through
+the facade on a non-local scheme — the plumbing an object-store
+adapter would use (reference inherits this from Hadoop FileSystem via
+delta-core, build.sbt:9)."""
+
+import json
+import os
+
+import pytest
+
+from jodie_spark.fs import (
+    LocalFileSystem,
+    MemoryFileSystem,
+    PrefixFileSystem,
+    get_fs,
+    path_scheme,
+    register_filesystem,
+    unregister_filesystem,
+)
+
+
+def test_scheme_parsing_and_registry(tmpdir_path):
+    assert path_scheme("s3://bucket/key") == "s3"
+    assert path_scheme("/plain/path") is None
+    assert path_scheme("C:\\windows\\ish") is None
+    assert isinstance(get_fs("/plain"), LocalFileSystem)
+    assert isinstance(get_fs("file:///plain"), LocalFileSystem)
+    with pytest.raises(ValueError, match="no filesystem registered"):
+        get_fs("nosuch://x")
+    mem = MemoryFileSystem()
+    register_filesystem("unittestmem", mem)
+    try:
+        assert get_fs("unittestmem://t") is mem
+    finally:
+        unregister_filesystem("unittestmem")
+
+
+def test_local_create_exclusive_is_atomic_putifabsent(tmpdir_path):
+    fs = LocalFileSystem()
+    p = os.path.join(tmpdir_path, "00000000000000000000.json")
+    fs.create_exclusive(p, b"winner\n")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, b"loser\n")
+    assert fs.read_bytes(p) == b"winner\n"  # loser never tore the winner
+    # no temp litter left behind
+    assert [n for n in os.listdir(tmpdir_path) if n.startswith(".")] == []
+
+
+def test_memory_fs_semantics():
+    fs = MemoryFileSystem()
+    fs.write_atomic("mem://t/_delta_log/0.json", b"a")
+    fs.write_atomic("mem://t/_delta_log/1.json", b"bb")
+    assert fs.isdir("mem://t/_delta_log")
+    assert fs.listdir("mem://t/_delta_log") == ["0.json", "1.json"]
+    assert fs.size("mem://t/_delta_log/1.json") == 2
+    fs.create_exclusive("mem://t/_delta_log/2.json", b"c")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive("mem://t/_delta_log/2.json", b"other")
+    fs.rename("mem://t/_delta_log/2.json", "mem://t/_delta_log/9.json")
+    assert fs.isfile("mem://t/_delta_log/9.json")
+    assert not fs.isfile("mem://t/_delta_log/2.json")
+    assert sorted(fs.walk_files("mem://t")) == [
+        "mem://t/_delta_log/0.json",
+        "mem://t/_delta_log/1.json",
+        "mem://t/_delta_log/9.json",
+    ]
+    with pytest.raises(NotImplementedError):
+        fs.spark_path("mem://t/x.parquet")
+
+
+def test_prefix_fs_translation_and_counting(tmpdir_path):
+    fs = PrefixFileSystem("pfx", tmpdir_path)
+    assert fs.to_local("pfx://a/b.txt") == os.path.join(tmpdir_path, "a", "b.txt")
+    assert fs.from_local(os.path.join(tmpdir_path, "a", "b.txt")) == "pfx://a/b.txt"
+    fs.makedirs("pfx://a")
+    fs.write_atomic("pfx://a/b.txt", b"hello")
+    assert fs.read_bytes("pfx://a/b.txt") == b"hello"
+    assert fs.spark_path("pfx://a/b.txt") == os.path.join(tmpdir_path, "a", "b.txt")
+    assert fs.op_counts["write_atomic"] == 1
+    assert fs.op_counts["open_input"] == 1
+
+
+def test_memory_fs_hosts_full_log_metadata_lifecycle():
+    """The log layer's whole metadata lifecycle — commit (exclusive
+    create), version checksums, checkpoint (pyarrow fallback),
+    retention cleanup, replay — runs hermetically on mem:// with zero
+    local disk, proving every touch goes through the facade."""
+    from jodie_spark.tables.log import DeltaLog
+
+    mem = MemoryFileSystem()
+    register_filesystem("memtest", mem)
+    try:
+        log = DeltaLog("memtest://tbl")
+        meta = {
+            "id": "m-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.logRetentionDuration": "interval 1 minute"},
+            "createdTime": 1,
+        }
+        v0 = log.commit(
+            -1,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": meta},
+                {"add": {"path": "a.parquet", "partitionValues": {}, "size": 10,
+                         "modificationTime": 1, "dataChange": True}},
+            ],
+            "WRITE",
+        )
+        v1 = log.commit(
+            v0,
+            [{"add": {"path": "b.parquet", "partitionValues": {}, "size": 20,
+                      "modificationTime": 2, "dataChange": True}}],
+            "WRITE",
+        )
+        assert (v0, v1) == (0, 1)
+        # losing a version race raises cleanly through the CAS primitive
+        with pytest.raises(Exception):
+            mem.create_exclusive(log.commit_file_path(1), b"race")
+        snap = log.snapshot()
+        assert sorted(a["path"] for a in snap.add_files()) == ["a.parquet", "b.parquet"]
+        # incremental .crc chain lives in memory too
+        crc = json.loads(mem.read_bytes(log._crc_path(1)))
+        assert crc["numFiles"] == 2 and crc["tableSizeBytes"] == 30
+
+        # pyarrow-fallback checkpoint writes into the memory store
+        cp_v = log.write_checkpoint(spark=False)
+        assert cp_v == 1
+        assert log.list_checkpoint_versions() == [1]
+        # replay from the checkpoint alone (delete the tail) still works
+        v2 = log.commit(
+            1,
+            [{"add": {"path": "c.parquet", "partitionValues": {}, "size": 5,
+                      "modificationTime": 3, "dataChange": True}}],
+            "WRITE",
+        )
+        assert len(log.snapshot(v2).add_files()) == 3
+
+        # retention cleanup: age v0 and it gets deleted below the checkpoint
+        mem.set_mtime_ms(log.commit_file_path(0), 1)
+        deleted = log.cleanup_expired_logs()
+        assert any(d.endswith("00000000000000000000.json") for d in deleted)
+        assert log.list_commit_versions() == [1, 2]
+        assert len(log.snapshot().add_files()) == 3  # checkpoint + tail
+    finally:
+        unregister_filesystem("memtest")
+
+
+def test_prefix_fs_full_spark_lifecycle(spark, tmpdir_path):
+    """write → read → DML (delete) → explicit checkpoint → vacuum on a
+    SCHEMED table path: the metadata plane goes through the facade
+    (counted), the data plane through driver-side translated paths —
+    end-to-end proof of the object-store plumbing."""
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    fs = PrefixFileSystem("jodietest", tmpdir_path)
+    register_filesystem("jodietest", fs)
+    try:
+        path = "jodietest://warehouse/t1"
+        write_delta(
+            spark.range(10).selectExpr("id", "id % 3 as bucket"),
+            path,
+            options={"delta.logRetentionDuration": "interval 30 minutes"},
+        )
+        t = DeltaTable.forPath(spark, path)
+        assert t.toDF().count() == 10
+
+        t.delete("bucket = 0")  # copy-on-write DML
+        got = sorted(r["id"] for r in t.toDF().collect())
+        assert got == [1, 2, 4, 5, 7, 8]
+
+        log = DeltaLog(path)
+        cp = log.write_checkpoint()  # Spark-written checkpoint
+        assert cp == log.latest_version()
+        # a fresh handle reconstructs from checkpoint + tail
+        assert DeltaTable.forPath(spark, path).toDF().count() == 6
+
+        # vacuum the pre-delete file (retention 0): physical delete
+        # through the facade
+        before = set(fs.walk_files("jodietest://warehouse/t1"))
+        t.vacuum(retention_hours=0.0)
+        after = set(fs.walk_files("jodietest://warehouse/t1"))
+        assert before - after, "vacuum removed nothing"
+        assert DeltaTable.forPath(spark, path).toDF().count() == 6
+
+        # history and time travel still work post-lifecycle
+        ops = [r["operation"] for r in t.history().collect()]
+        assert "VACUUM END" in ops and "DELETE" in ops
+        # every metadata primitive exercised THROUGH the facade
+        for op in ("create_exclusive", "listdir", "write_atomic", "rename",
+                   "remove", "open_input", "spark_path"):
+            assert fs.op_counts.get(op, 0) > 0, f"facade op {op} never used"
+    finally:
+        unregister_filesystem("jodietest")
+
+
+def test_datasource_roundtrip_on_schemed_uri(spark, tmpdir_path):
+    """The Python datasource (spark.read/write.format('jodie_delta'))
+    accepts schemed URIs. Python DataSource plan/commit code runs in
+    separate worker processes, so only schemes resolvable FROM THE
+    PATH ALONE work on this surface (file://, s3://, gs://, ... —
+    never a driver-registered test fake; the package API surface
+    covers those, see test_prefix_fs_full_spark_lifecycle)."""
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    local = os.path.join(tmpdir_path, "ds", "t")
+    path = "file://" + local
+    spark.range(6).selectExpr("id", "id * 2 as v").write.format(
+        "jodie_delta"
+    ).mode("append").save(path)
+    back = spark.read.format("jodie_delta").load(path)
+    assert sorted(r["v"] for r in back.collect()) == [0, 2, 4, 6, 8, 10]
+    # the same table resolves by its plain local path too
+    assert spark.read.format("jodie_delta").load(local).count() == 6

