@@ -100,6 +100,8 @@ class _FilePartition(InputPartition):
         self.mat_rcv = mat_rcv
         # column mapping: logical name -> physical parquet/partition name
         self.name_map: dict[str, str] | None = None
+        # mode=id: logical name -> parquet footer field id
+        self.field_ids: dict[str, int] | None = None
 
 
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
@@ -121,25 +123,29 @@ def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
 
 
 
-def _logical_physical_map(metadata: dict) -> dict[str, str] | None:
-    """logical → physical top-level column names for a column-mapped
-    table (None when unmapped or identity-named)."""
+def _logical_physical_map(
+    metadata: dict,
+) -> tuple[dict[str, str] | None, dict[str, int] | None]:
+    """(logical → physical top-level column names, logical → parquet
+    field id) for a column-mapped table; (None, None) when unmapped.
+
+    mode=name resolves by physicalName alone. mode=id additionally
+    ships the per-column ``delta.columnMapping.id`` so the executor
+    can match parquet columns by FOOTER FIELD ID (foreign writers'
+    parquet column names need not equal physicalName — e.g.
+    Iceberg-converted tables); physicalName stays the fallback for
+    files without footer ids and keys the log's partitionValues."""
     from pyspark.sql.types import StructType as _St
 
     from jodie_spark.tables.column_mapping import (
+        ID_KEY,
         column_mapping_mode,
         to_physical_schema,
     )
 
     mode = column_mapping_mode(metadata)
-    if mode == "id":
-        raise ValueError(
-            "the jodie_delta datasource cannot resolve parquet field ids; "
-            "read column mapping mode=id tables with "
-            "DeltaTable.forPath(...).toDF()"
-        )
-    if mode != "name":
-        return None
+    if mode not in ("name", "id"):
+        return None, None
     logical = _St.fromJson(json.loads(metadata["schemaString"]))
     physical = to_physical_schema(logical)
     nm = {
@@ -147,7 +153,14 @@ def _logical_physical_map(metadata: dict) -> dict[str, str] | None:
         for lf, pf in zip(logical.fields, physical.fields)
         if lf.name != pf.name
     }
-    return nm or None
+    fids = None
+    if mode == "id":
+        fids = {
+            f.name: int(f.metadata[ID_KEY])
+            for f in logical.fields
+            if f.metadata and ID_KEY in f.metadata
+        }
+    return nm or None, fids or None
 
 
 
@@ -192,6 +205,61 @@ def _open_parquet(path: str):
     return get_fs(path).open_input(path)
 
 
+def _fid_align(arr, file_type, logical_dt):
+    """Executor-side recursive alignment of one Arrow column to a
+    logical Spark type for column mapping mode=id: nested struct
+    fields resolve by PARQUET footer field id (authoritative), then by
+    physicalName, then by logical name; unmatched logical fields fill
+    with typed nulls (schema evolution). Non-nested types fall through
+    to a plain cast."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from jodie_spark.tables.column_mapping import ID_KEY, PHYSICAL_NAME_KEY
+
+    target = to_arrow_type(logical_dt)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(logical_dt, T.StructType) and pa.types.is_struct(file_type):
+        by_fid: dict[int, int] = {}
+        by_name: dict[str, int] = {}
+        for i in range(file_type.num_fields):
+            f = file_type.field(i)
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_fid[int(fid)] = i
+            by_name[f.name] = i
+        children = []
+        n = len(arr)
+        for lf in logical_dt.fields:
+            md = lf.metadata or {}
+            idx = by_fid.get(int(md[ID_KEY])) if ID_KEY in md else None
+            if idx is None:
+                idx = by_name.get(md.get(PHYSICAL_NAME_KEY, lf.name))
+            if idx is None:
+                idx = by_name.get(lf.name)
+            if idx is None:
+                children.append(pa.nulls(n, type=to_arrow_type(lf.dataType)))
+            else:
+                children.append(
+                    _fid_align(arr.field(idx), file_type.field(idx).type, lf.dataType)
+                )
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(
+            children, names=[lf.name for lf in logical_dt.fields], mask=mask
+        )
+    if isinstance(logical_dt, T.ArrayType) and (
+        pa.types.is_list(file_type) or pa.types.is_large_list(file_type)
+    ):
+        values = _fid_align(arr.values, file_type.value_type, logical_dt.elementType)
+        mask = arr.is_null() if arr.null_count else None
+        return pa.ListArray.from_arrays(arr.offsets, values, mask=mask)
+    if arr.type != target:
+        arr = arr.cast(target)
+    return arr
+
+
 def _read_file_batches(
     partition: _FilePartition, schema: StructType
 ) -> Iterator["pa.RecordBatch"]:
@@ -226,6 +294,20 @@ def _read_file_batches(
     file_cols = set(pf.schema_arrow.names)
     nm = partition.name_map if getattr(partition, "name_map", None) else {}
     phys_of = {f.name: nm.get(f.name, f.name) for f in schema.fields}
+    fid_map = getattr(partition, "field_ids", None)
+    if fid_map:
+        # column mapping mode=id: match parquet columns by FOOTER FIELD
+        # ID — authoritative over names (foreign writers' column names
+        # need not equal physicalName); physicalName stays the fallback
+        # for files whose footers carry no ids
+        by_fid: dict[int, str] = {}
+        for fld in pf.schema_arrow:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_fid[int(fid)] = fld.name
+        for lname, fid in fid_map.items():
+            if fid in by_fid:
+                phys_of[lname] = by_fid[fid]
     wanted = [phys_of[f.name] for f in schema.fields if phys_of[f.name] in file_cols]
     want_row_ids = any(f.name == "_row_id" for f in schema.fields)
     # materialized row-lineage columns (written by rewrites) override
@@ -256,8 +338,12 @@ def _read_file_batches(
         for f, arrow_field in zip(schema.fields, target):
             phys = phys_of.get(f.name, f.name)
             if phys in file_cols:
-                col = batch.column(batch.schema.get_field_index(phys))
-                if col.type != arrow_field.type:
+                fidx = batch.schema.get_field_index(phys)
+                col = batch.column(fidx)
+                if fid_map:
+                    # mode=id: nested fields also resolve by footer id
+                    col = _fid_align(col, batch.schema.field(fidx).type, f.dataType)
+                elif col.type != arrow_field.type:
                     col = col.cast(arrow_field.type)
                 arrays.append(col)
             elif f.name == "_row_id" and (
@@ -397,7 +483,7 @@ class JodieDeltaBatchReader(DataSourceReader):
         from jodie_spark.tables.row_lineage import lineage_cols
 
         mat = lineage_cols(snap.configuration) or (None, None)
-        name_map = _logical_physical_map(snap.metadata)
+        name_map, field_ids = _logical_physical_map(snap.metadata)
         parts = []
         for a in adds:
             fp = _FilePartition(
@@ -411,6 +497,7 @@ class JodieDeltaBatchReader(DataSourceReader):
                 mat[1],
             )
             fp.name_map = name_map
+            fp.field_ids = field_ids
             parts.append(fp)
         return parts
 
@@ -486,7 +573,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
     # physical names resolve against the END schema — renames move
     # logical names only, physical names are stable, and the reader's
     # output schema is the latest logical one
-    name_map = _logical_physical_map(log.table_info(end_v).metadata)
+    name_map, field_ids = _logical_physical_map(log.table_info(end_v).metadata)
     out: list[_CdfFilePartition] = []
     for v in range(start_v + 1, end_v + 1):
         actions = log.read_actions(v)
@@ -554,6 +641,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
             )
     for part in out:
         part.name_map = name_map
+        part.field_ids = field_ids
     return out
 
 
@@ -580,6 +668,7 @@ def _read_cdf_file_batches(
         partition.table_path,
     )
     base.name_map = getattr(partition, "name_map", None)
+    base.field_ids = getattr(partition, "field_ids", None)
     ver_t = to_arrow_type(cdf_schema["_commit_version"].dataType)
     ts_t = to_arrow_type(cdf_schema["_commit_timestamp"].dataType)
     ct_t = to_arrow_type(ct_field.dataType)
@@ -768,7 +857,7 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                     ad = a.get("add")
                     if ad and ad.get("dataChange", True):
                         adds.append(ad)
-        name_map = _logical_physical_map(log.table_info(end_v).metadata)
+        name_map, field_ids = _logical_physical_map(log.table_info(end_v).metadata)
         parts = []
         for a in adds:
             fp = _FilePartition(
@@ -778,6 +867,7 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                 self.path,
             )
             fp.name_map = name_map
+            fp.field_ids = field_ids
             parts.append(fp)
         return parts
 

@@ -357,6 +357,32 @@ def test_datasource_reads_column_mapped_table(spark, tmpdir_path):
     assert "v" not in df.columns
 
 
+def test_datasource_reads_field_id_mapped_table(spark, tmpdir_path):
+    """Column mapping mode=id through the Python datasource: executor
+    pyarrow readers match parquet columns by FOOTER FIELD ID (the
+    datasource previously refused mode=id outright). The fixture is a
+    FOREIGN id-mapped table (parquet column names differ from
+    physicalName — only footer field ids line up), with nested data
+    and a Hive-partition column keyed by physical name."""
+    from test_table import _mk_id_mapped_table
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable
+
+    register(spark)
+    p = _mk_id_mapped_table(tmpdir_path, spark)
+    df = spark.read.format("jodie_delta").load(p)
+    assert [f.name for f in df.schema.fields] == ["id", "info", "part"]
+    rows = sorted((r["id"], r["info"]["score"], r["part"]) for r in df.collect())
+    assert rows == [(1, 0.5, "x"), (2, 1.0, "x"), (3, 1.5, "y")]
+    # matches the package-surface (field-id child session) read
+    pkg = sorted(
+        (r["id"], r["info"]["score"], r["part"])
+        for r in DeltaTable.forPath(spark, p).toDF().collect()
+    )
+    assert pkg == rows
+
+
 def test_cdf_datasource_on_column_mapped_appends(spark, tmpdir_path):
     """CDF over a mapped table: appends are legal on mapped tables and
     their synthesized insert rows must resolve physical names."""
