@@ -459,6 +459,21 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
             return spark.createDataFrame([(p,) for p in result or []], "path string")
         return None
 
+    if head == "FSCK":
+        # FSCK REPAIR TABLE <ref> [DRY RUN] — delta-spark parity: find
+        # add entries whose data (or DV) files are physically missing;
+        # DRY RUN lists them, the real run commits removes so the
+        # table reads cleanly again
+        m = re.match(
+            rf"(?is)^FSCK\s+REPAIR\s+TABLE\s+{_REF}\s*(?P<dry>DRY\s+RUN)?$", s
+        )
+        if not m:
+            raise JodieValidationError(f"cannot parse FSCK statement: {s!r}")
+        missing = _resolve(spark, m).fsck(dry_run=bool(m.group("dry")))
+        return spark.createDataFrame(
+            [(p,) for p in missing or []], "path string"
+        )
+
     if head == "RESTORE":
         m = re.match(
             rf"(?is)^RESTORE\s+(?:TABLE\s+)?{_REF}\s+TO\s+"

@@ -670,3 +670,35 @@ def test_generate_manifest_unpartitioned_and_mapped_refusal(spark, tmpdir_path):
     t.rename_column("k", "key")  # auto-enables column mapping
     with pytest.raises(DeltaProtocolError, match="column-mapped"):
         DeltaTable.forPath(spark, p).generate()
+
+
+def test_fsck_repair_table_sql(spark, tmpdir_path):
+    """FSCK REPAIR TABLE <ref> [DRY RUN] routes onto DeltaTable.fsck:
+    DRY RUN lists missing files without committing; the repair run
+    commits removes so the table reads cleanly again."""
+    import glob
+    import os
+
+    from jodie_spark import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "fscksql")
+    write_delta(
+        spark.range(10)
+        .selectExpr("id", "id % 2 as part")
+        .repartition("part"),
+        p,
+        partition_by=["part"],
+    )
+    for f in glob.glob(os.path.join(p, "part=0", "*.parquet")):
+        os.remove(f)
+    dry = sql(spark, f"FSCK REPAIR TABLE delta.`{p}` DRY RUN")
+    assert dry.count() == 1  # detected, not yet repaired
+    assert DeltaTable.forPath(spark, p).history().filter(
+        "operation = 'FSCK'"
+    ).count() == 0
+    fixed = sql(spark, f"FSCK REPAIR TABLE delta.`{p}`")
+    assert fixed.count() == 1
+    t = DeltaTable.forPath(spark, p)
+    assert sorted(r["id"] for r in t.toDF().collect()) == [1, 3, 5, 7, 9]
+    assert t.history().filter("operation = 'FSCK'").count() == 1
