@@ -1757,6 +1757,103 @@ def _q_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable.forPath(spark, path).toDF().select("k", "grp")
 
 
+def _q_datasource_field_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping mode=id through the PYTHON DATASOURCE
+    (spark.read.format('jodie_delta')): a foreign id-mapped table
+    whose parquet column names differ from physicalName (only footer
+    field ids line up), DELETEd through the engine so the scan mixes
+    one foreign-named file with one engine-rewritten (physicalName +
+    footer-id) file — executor pyarrow readers must resolve BOTH by
+    field id. Round 9 closed this gap (the datasource previously
+    refused mode=id)."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from jodie_spark.sources import load_table
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable
+
+    keys = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "customer")
+        .filter("c_custkey < 300")
+        .select("c_custkey")
+        .collect()
+    )
+    path = _tmp("dsfid")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def fmeta(cid, phys):
+        return {
+            "delta.columnMapping.id": cid,
+            "delta.columnMapping.physicalName": phys,
+        }
+
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": fmeta(1, "col-k")},
+                {"name": "grp", "type": "string", "nullable": True, "metadata": fmeta(2, "col-g")},
+            ],
+        }
+    )
+    arrow_schema = _pa.schema(
+        [
+            _pa.field("aa_key", _pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            _pa.field("aa_grp", _pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    rel = "part-0.parquet"
+    _pq.write_table(
+        _pa.table(
+            {"aa_key": keys, "aa_grp": [f"g{k % 5}" for k in keys]},
+            schema=arrow_schema,
+        ),
+        os.path.join(path, rel),
+    )
+    meta = {
+        "id": "dsfid-oracle",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+        "createdTime": 0,
+    }
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+        fh.write(
+            _json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+        fh.write(_json.dumps({"metaData": meta}) + "\n")
+        fh.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    DeltaTable.forPath(spark, path).delete("k % 7 = 0")  # rewrites by fid
+    register(spark)
+    return (
+        spark.read.format("jodie_delta").load(path).select("k", "grp")
+    )
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.corpus import clean_corpus
     from jodie_spark.sources import load_table
@@ -3283,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
         "corpus_stats": _q_corpus_stats,
         "datasource_roundtrip": _q_datasource_roundtrip,
+        "datasource_field_id": _q_datasource_field_id,
         "dedup_clusters": _q_dedup_clusters,
         "dv_update": _q_dv_update,
         "embedding_dedup": _q_embedding_dedup,
@@ -4788,6 +4886,12 @@ def oracle_sql() -> dict[str, str]:
                    s.n_orders AS n_orders,
                    s.total_spend AS total_spend
             FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        """,
+        "datasource_field_id": """
+            SELECT CAST(c_custkey AS BIGINT) AS k,
+                   'g' || CAST(c_custkey % 5 AS VARCHAR) AS grp
+            FROM customer
+            WHERE c_custkey < 300 AND c_custkey % 7 <> 0
         """,
         "column_mapping_id": """
             -- foreign field-id table after DELETE (%7), UPDATE (%10=1)
