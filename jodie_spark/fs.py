@@ -492,10 +492,32 @@ class ArrowFileSystem(FileSystem):
         self.scheme = scheme
         # FileSystem.from_uri picks the concrete store from the scheme
         self._pafs = pafs
+        # one concrete filesystem per scheme://authority — metadata
+        # replays issue hundreds of small calls, and re-running
+        # from_uri per call would rebuild the store client (credential
+        # and region resolution included) every time
         self._fs_cache: dict[str, object] = {}
+        self._cache_lock = threading.Lock()
 
     def _resolve(self, path: str):
-        fs, inner = self._pafs.FileSystem.from_uri(path)
+        m = _SCHEME_RE.match(path)
+        rest = path[m.end():] if m else path
+        authority = rest.partition("/")[0]
+        key = f"{self.scheme}://{authority}"
+        with self._cache_lock:
+            cached = self._fs_cache.get(key)
+        if cached is None:
+            fs, inner = self._pafs.FileSystem.from_uri(path)
+            # the inner-path spelling differs per store: bucket stores
+            # (S3/GCS) keep the authority ("bucket/key"), host stores
+            # (HDFS) drop it ("/path") — detect once per authority
+            drop_authority = inner != rest and authority and rest[
+                len(authority):
+            ] == inner
+            with self._cache_lock:
+                cached = self._fs_cache.setdefault(key, (fs, drop_authority))
+        fs, drop_authority = cached
+        inner = rest[len(authority):] if drop_authority else rest
         return fs, inner
 
     def _info(self, path: str):
@@ -594,18 +616,21 @@ def get_fs(path: str) -> FileSystem:
     scheme = path_scheme(path)
     if scheme is None or scheme == "file":
         return _LOCAL
+    # build-and-swap entirely under the lock: two first-touch threads
+    # racing a lazy factory must get ONE instance — a per-thread
+    # instance would split the in-memory store the CAS commit
+    # primitive lives in
     with _REGISTRY_LOCK:
         entry = _REGISTRY.get(scheme)
-    if entry is not None:
-        if callable(entry) and not isinstance(entry, FileSystem):
-            built = entry()
-            register_filesystem(scheme, built)
+        if entry is not None:
+            if callable(entry) and not isinstance(entry, FileSystem):
+                entry = entry()
+                _REGISTRY[scheme] = entry
+            return entry
+        if scheme in _ARROW_SCHEMES:
+            built = ArrowFileSystem(scheme)
+            _REGISTRY[scheme] = built
             return built
-        return entry
-    if scheme in _ARROW_SCHEMES:
-        built = ArrowFileSystem(scheme)
-        register_filesystem(scheme, built)
-        return built
     raise ValueError(
         f"no filesystem registered for scheme '{scheme}://' — "
         f"register one with jodie_spark.fs.register_filesystem"

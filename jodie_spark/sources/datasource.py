@@ -221,7 +221,11 @@ def _fid_align(arr, file_type, logical_dt):
     target = to_arrow_type(logical_dt)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if isinstance(logical_dt, T.StructType) and pa.types.is_struct(file_type):
+    if (
+        isinstance(logical_dt, T.StructType)
+        and pa.types.is_struct(file_type)
+        and pa.types.is_struct(target)
+    ):
         by_fid: dict[int, int] = {}
         by_name: dict[str, int] = {}
         for i in range(file_type.num_fields):
@@ -246,15 +250,17 @@ def _fid_align(arr, file_type, logical_dt):
                     _fid_align(arr.field(idx), file_type.field(idx).type, lf.dataType)
                 )
         mask = arr.is_null() if arr.null_count else None
-        return pa.StructArray.from_arrays(
-            children, names=[lf.name for lf in logical_dt.fields], mask=mask
-        )
+        # build with the TARGET fields (names + nullability) directly:
+        # pyarrow refuses to cast a nullable child to non-nullable even
+        # when no nulls exist, so from_arrays(fields=...) is the only
+        # shape that satisfies a non-nullable logical nested field
+        return pa.StructArray.from_arrays(children, fields=list(target), mask=mask)
     if isinstance(logical_dt, T.ArrayType) and (
         pa.types.is_list(file_type) or pa.types.is_large_list(file_type)
     ):
         values = _fid_align(arr.values, file_type.value_type, logical_dt.elementType)
         mask = arr.is_null() if arr.null_count else None
-        return pa.ListArray.from_arrays(arr.offsets, values, mask=mask)
+        return pa.ListArray.from_arrays(arr.offsets, values, type=target, mask=mask)
     if arr.type != target:
         arr = arr.cast(target)
     return arr
@@ -957,6 +963,12 @@ def _write_partition_file(
             _flush(buf)  # empty flush keeps zero-row tasks well-formed
     finally:
         writer.close()
+        # ParquetWriter never closes a caller-supplied sink; on object
+        # stores the upload only finalizes on stream close, so the
+        # footer-stat read below would otherwise see an incomplete or
+        # absent object
+        if sink is not abs_path and hasattr(sink, "close"):
+            sink.close()
     stats = json.dumps(collect_file_stats(abs_path), separators=(",", ":"))
     size = (
         os.path.getsize(abs_path)

@@ -245,14 +245,24 @@ def read_dv_bytes(table_path: str, descriptor: dict[str, Any]) -> bytes:
 
 
 def write_dv_file(path: str, positions: list[int], **ser_kw: Any) -> dict[str, Any]:
-    """Write a DV file (fixture/test path) and return the descriptor
-    fields that reference it as storageType='p'."""
+    """Write a DV file and return the descriptor fields that reference
+    it as storageType='p'. Routes through the storage facade so a
+    schemed path (object store, executor-side) works; local paths are
+    a plain open()."""
     data = serialize_roaring_bitmap_array(sorted(positions), **ser_kw)
-    with open(path, "wb") as fh:
-        fh.write(bytes([_FORMAT_VERSION]))
-        fh.write(struct.pack(">i", len(data)))
-        fh.write(data)
-        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    payload = (
+        bytes([_FORMAT_VERSION])
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    from jodie_spark.fs import get_fs, path_scheme
+
+    if path_scheme(path) is None:
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    else:
+        get_fs(path).write_atomic(path, payload)
     return {
         "storageType": "p",
         "pathOrInlineDv": path,

@@ -339,15 +339,24 @@ def _read_dv_files_df(
         read_dv_bytes,
     )
 
+    from jodie_spark.fs import get_fs, path_scheme
+
+    _fs = get_fs(table_path)
     by_real: dict[str, dict[str, Any]] = {}
     paths = []
     for a in adds:
-        abs_p = os.path.join(table_path, urllib.parse.unquote(a["path"]))
+        # Spark's Hadoop scan needs the data-plane translation for
+        # schemed tables (identity for local ones)
+        abs_p = _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"])))
         paths.append(abs_p)
-        by_real[os.path.realpath(abs_p)] = a
+        # key by realpath whenever the TRANSLATED path is local (covers
+        # both local tables and dir-prefix schemes); raw store URIs key
+        # verbatim
+        key = os.path.realpath(abs_p) if path_scheme(abs_p) is None else abs_p
+        by_real[key] = a
     scan = (
         spark.read.format("parquet")
-        .option("basePath", table_path)
+        .option("basePath", _fs.spark_path(table_path))
         .schema(schema)
         .load(paths)
         .select(
@@ -360,7 +369,7 @@ def _read_dv_files_df(
     rows = []
     for fp in fp_values:
         local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
-        add = by_real.get(os.path.realpath(local))
+        add = by_real.get(os.path.realpath(local)) or by_real.get(fp)
         if add is None:
             raise DeltaProtocolError(
                 f"cannot map scanned file {fp!r} back to a deletion-vector "
@@ -1592,13 +1601,16 @@ class DeltaTable:
             if schema_requests_field_ids(read_schema)
             else self.spark
         )
+        from jodie_spark.fs import get_fs
+
+        _fs = get_fs(self.path)
         paths = [
-            os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            _fs.spark_path(_fs.join(self.path, urllib.parse.unquote(a["path"])))
             for a in candidates
         ]
         out = (
             scan_spark.read.format("parquet")
-            .option("basePath", self.path)
+            .option("basePath", _fs.spark_path(self.path))
             .schema(read_schema)
             .load(paths)
             .select(
@@ -1629,10 +1641,17 @@ class DeltaTable:
             read_dv_bytes,
         )
 
+        from jodie_spark.fs import get_fs, path_scheme
+
+        _fs = get_fs(self.path)
         table_path = self.path
+
+        def _norm(p: str) -> str:
+            return os.path.realpath(p) if path_scheme(p) is None else p
+
         dv_by_real = {
-            os.path.realpath(
-                os.path.join(table_path, urllib.parse.unquote(a["path"]))
+            _norm(
+                _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"])))
             ): a["deletionVector"]
             for a in candidates
             if a.get("deletionVector")
@@ -1643,7 +1662,7 @@ class DeltaTable:
         rows = []
         for fp in fp_values:
             local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
-            desc = dv_by_real.get(os.path.realpath(local))
+            desc = dv_by_real.get(os.path.realpath(local)) or dv_by_real.get(fp)
             if desc:
                 rows.append((fp, bytearray(read_dv_bytes(table_path, desc))))
         if not rows:
@@ -1676,12 +1695,23 @@ class DeltaTable:
             write_dv_file,
         )
 
-        table_path = self.path
-        dv_dir = os.path.join(table_path, "deletion_vectors")
-        os.makedirs(dv_dir, exist_ok=True)
+        from jodie_spark.fs import get_fs, path_scheme
+
+        _fs = get_fs(self.path)
+        _fs.makedirs(_fs.join(self.path, "deletion_vectors"))
+        # resolved DRIVER-side: executors write bitmaps and re-read old
+        # ones through paths they can open without the registry
+        table_path = _fs.executor_path(self.path)
+        dv_dir = _fs.executor_path(_fs.join(self.path, "deletion_vectors"))
+
+        def _norm(p: str) -> str:
+            return os.path.realpath(p) if path_scheme(p) is None else p
+
         old_desc_by_real = {
-            os.path.realpath(
-                os.path.join(table_path, urllib.parse.unquote(a["path"]))
+            _norm(
+                _fs.executor_path(
+                    _fs.join(self.path, urllib.parse.unquote(a["path"]))
+                )
             ): json.dumps(a["deletionVector"])
             for a in candidates
             if a.get("deletionVector")
@@ -1692,10 +1722,11 @@ class DeltaTable:
 
             fp = pdf["__fp__"].iloc[0]
             local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
-            rp = os.path.realpath(local)
             positions = set(int(x) for x in pdf["__ri__"])
             old_card = 0
-            old_json = old_desc_by_real.get(rp)
+            old_json = old_desc_by_real.get(os.path.realpath(local)) or (
+                old_desc_by_real.get(fp)
+            )
             if old_json:
                 old_desc = json.loads(old_json)
                 old_pos = parse_roaring_bitmap_array(
@@ -1778,19 +1809,22 @@ class DeltaTable:
         Returns (actions, changed_row_count, dv_bytes). Adds are emitted
         AFTER removes: snapshot replay applies in order, so the re-added
         path ends live and un-tombstoned (vacuum safe)."""
-        by_real = {
-            os.path.realpath(
-                os.path.join(self.path, urllib.parse.unquote(a["path"]))
-            ): a
-            for a in candidates
-        }
+        from jodie_spark.fs import get_fs, path_scheme
+
+        _fs = get_fs(self.path)
+        by_real = {}
+        for a in candidates:
+            k = _fs.spark_path(
+                _fs.join(self.path, urllib.parse.unquote(a["path"]))
+            )
+            by_real[os.path.realpath(k) if path_scheme(k) is None else k] = a
         changed = 0
         dv_bytes = 0
         removes: list[dict[str, Any]] = []
         adds: list[dict[str, Any]] = []
         for r in rows:
             local = urllib.parse.unquote(urllib.parse.urlparse(r["fp"]).path)
-            add = by_real.get(os.path.realpath(local))
+            add = by_real.get(os.path.realpath(local)) or by_real.get(r["fp"])
             if add is None:
                 raise DeltaProtocolError(
                     f"cannot map {r['fp']!r} back to a candidate add entry"
@@ -2604,12 +2638,21 @@ class DeltaTable:
         # sweep the DV directory against the LIVE descriptor set
         from jodie_spark.tables.deletion_vectors import dv_absolute_path
 
+        from jodie_spark.fs import path_scheme as _scheme_of
+
+        def _dv_plane(p: str) -> str:
+            # descriptors written through executor-translated paths are
+            # stored plane-absolute; normalize BOTH sides of the
+            # liveness comparison to that plane so a schemed table's
+            # live bitmap is never mistaken for an orphan
+            return fs.spark_path(p) if _scheme_of(p) else p
+
         live_dvs = set()
         for a in snap.add_files():
             if a.get("deletionVector"):
                 p = dv_absolute_path(self.path, a["deletionVector"])
                 if p:
-                    live_dvs.add(fs.abspath(p))
+                    live_dvs.add(_dv_plane(fs.abspath(p)))
         dv_dir = fs.join(self.path, "deletion_vectors")
         orphan_dvs = []
         if fs.isdir(dv_dir):
@@ -2617,7 +2660,7 @@ class DeltaTable:
                 p = fs.join(dv_dir, name)
                 if (
                     fs.isfile(p)
-                    and fs.abspath(p) not in live_dvs
+                    and _dv_plane(fs.abspath(p)) not in live_dvs
                     and fs.mtime_ms(p) <= cutoff_ms
                 ):
                     orphan_dvs.append(p)

@@ -383,6 +383,111 @@ def test_datasource_reads_field_id_mapped_table(spark, tmpdir_path):
     assert pkg == rows
 
 
+def test_datasource_field_id_non_nullable_nested(spark, tmpdir_path):
+    """Regression (round-9 review): _fid_align rebuilt structs with
+    all-nullable children, and pyarrow refuses to cast a nullable
+    child to a non-nullable target even with zero nulls — a mode=id
+    schema with a nested nullable:false field crashed the scan. The
+    rebuild must carry the target fields' nullability directly."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.sources.datasource import register
+
+    path = os.path.join(tmpdir_path, "fid_nn")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    sch = pa.schema(
+        [
+            pa.field(
+                "zz_s",
+                pa.struct(
+                    [
+                        pa.field(
+                            "zz_a",
+                            pa.int64(),
+                            nullable=False,
+                            metadata={b"PARQUET:field_id": b"2"},
+                        )
+                    ]
+                ),
+                metadata={b"PARQUET:field_id": b"1"},
+            )
+        ]
+    )
+    pq.write_table(
+        pa.table({"zz_s": [{"zz_a": 5}, {"zz_a": 6}]}, schema=sch),
+        os.path.join(path, "f.parquet"),
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "s",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-s",
+                    },
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "a",
+                                "type": "long",
+                                "nullable": False,
+                                "metadata": {
+                                    "delta.columnMapping.id": 2,
+                                    "delta.columnMapping.physicalName": "col-a",
+                                },
+                            }
+                        ],
+                    },
+                }
+            ],
+        }
+    )
+    meta = {
+        "id": "fidnn",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+        "createdTime": 0,
+    }
+    with open(os.path.join(path, "_delta_log", "%020d.json" % 0), "w") as fh:
+        fh.write(
+            json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "f.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, "f.parquet")),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    register(spark)
+    vals = sorted(
+        r["s"]["a"] for r in spark.read.format("jodie_delta").load(path).collect()
+    )
+    assert vals == [5, 6]
+
+
 def test_cdf_datasource_on_column_mapped_appends(spark, tmpdir_path):
     """CDF over a mapped table: appends are legal on mapped tables and
     their synthesized insert rows must resolve physical names."""

@@ -235,6 +235,41 @@ def test_prefix_fs_full_spark_lifecycle(spark, tmpdir_path):
         unregister_filesystem("jodietest")
 
 
+def test_prefix_fs_deletion_vector_lifecycle(spark, tmpdir_path):
+    """Merge-on-read DML on a SCHEMED table path (round-9 review
+    findings): the DV-carrying scan branch must data-plane-translate
+    its paths, and the executor-side bitmap writes must resolve
+    through driver-translated paths — write → DV delete → read → DV
+    update → vacuum, all on a registered scheme."""
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    fs = PrefixFileSystem("jodiedv", tmpdir_path)
+    register_filesystem("jodiedv", fs)
+    try:
+        path = "jodiedv://wh/dvt"
+        write_delta(spark.range(10).selectExpr("id", "id % 2 as b"), path)
+        t = DeltaTable.forPath(spark, path)
+        t.delete("id < 3", deletion_vectors=True)  # MoR delete: writes a bitmap
+        got = sorted(r["id"] for r in DeltaTable.forPath(spark, path).toDF().collect())
+        assert got == [3, 4, 5, 6, 7, 8, 9]
+        # a second MoR delete merges with the existing bitmap
+        t.delete("id = 5", deletion_vectors=True)
+        got = sorted(r["id"] for r in DeltaTable.forPath(spark, path).toDF().collect())
+        assert got == [3, 4, 6, 7, 8, 9]
+        # bitmaps live under the scheme (facade-visible), and vacuum
+        # sweeps superseded ones without touching the live bitmap
+        dv_files = [
+            f for f in fs.walk_files("jodiedv://wh/dvt") if "/deletion_vectors/" in f
+        ]
+        assert dv_files, "no DV bitmaps written under the schemed table"
+        t.vacuum(retention_hours=0.0)
+        assert sorted(
+            r["id"] for r in DeltaTable.forPath(spark, path).toDF().collect()
+        ) == [3, 4, 6, 7, 8, 9]
+    finally:
+        unregister_filesystem("jodiedv")
+
+
 def test_datasource_roundtrip_on_schemed_uri(spark, tmpdir_path):
     """The Python datasource (spark.read/write.format('jodie_delta'))
     accepts schemed URIs. Python DataSource plan/commit code runs in

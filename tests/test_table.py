@@ -813,15 +813,23 @@ def test_column_mapping_id_foreign_reader_resolves_our_writes(spark, tmpdir_path
     assert theirs == [(1, "x"), (3, "y"), (20, "y")]
 
 
-def test_column_mapping_id_datasource_still_refuses(spark, tmpdir_path):
-    """The Python datasource reader has no field-id matcher — it must
-    keep routing id-mode tables to toDF()."""
+def test_column_mapping_id_datasource_matches_todf(spark, tmpdir_path):
+    """Round 9 gave the Python datasource a field-id matcher (it used
+    to refuse id-mode tables): its read must agree with toDF()'s
+    field-id child-session read on the same foreign fixture."""
     from jodie_spark.sources.datasource import register
 
     path = _mk_id_mapped_table(tmpdir_path, spark)
     register(spark)
-    with pytest.raises(Exception, match="field id"):
-        spark.read.format("jodie_delta").load(path).collect()
+    via_ds = sorted(
+        (r["id"], r["info"]["score"], r["part"])
+        for r in spark.read.format("jodie_delta").load(path).collect()
+    )
+    via_todf = sorted(
+        (r["id"], r["info"]["score"], r["part"])
+        for r in DeltaTable.forPath(spark, path).toDF().collect()
+    )
+    assert via_ds == via_todf == [(1, 0.5, "x"), (2, 1.0, "x"), (3, 1.5, "y")]
 
 
 def _mk_dv_table(tmpdir_path, name="dvt"):
