@@ -509,16 +509,24 @@ class ArrowFileSystem(FileSystem):
         if cached is None:
             fs, inner = self._pafs.FileSystem.from_uri(path)
             # the inner-path spelling differs per store: bucket stores
-            # (S3/GCS) keep the authority ("bucket/key"), host stores
-            # (HDFS) drop it ("/path") — detect once per authority
-            drop_authority = inner != rest and authority and rest[
-                len(authority):
-            ] == inner
+            # keep the authority ("bucket/key"), host stores drop it
+            # ("/path"), Azure rewrites it ("cont@acct.dfs…/p" →
+            # "cont/p"). Record the prefix REWRITE once per authority
+            # (common-suffix split) instead of guessing a rule — and
+            # return from_uri's own inner for this first call verbatim.
+            i = 0
+            while i < min(len(rest), len(inner)) and rest[-1 - i] == inner[-1 - i]:
+                i += 1
+            pre_rest = rest[: len(rest) - i]
+            pre_inner = inner[: len(inner) - i]
             with self._cache_lock:
-                cached = self._fs_cache.setdefault(key, (fs, drop_authority))
-        fs, drop_authority = cached
-        inner = rest[len(authority):] if drop_authority else rest
-        return fs, inner
+                cached = self._fs_cache.setdefault(key, (fs, pre_rest, pre_inner))
+            return cached[0], inner
+        fs, pre_rest, pre_inner = cached
+        if not rest.startswith(pre_rest):  # unexpected spelling: re-derive
+            _fs2, inner = self._pafs.FileSystem.from_uri(path)
+            return fs, inner
+        return fs, pre_inner + rest[len(pre_rest):]
 
     def _info(self, path: str):
         fs, inner = self._resolve(path)
@@ -616,26 +624,59 @@ def get_fs(path: str) -> FileSystem:
     scheme = path_scheme(path)
     if scheme is None or scheme == "file":
         return _LOCAL
-    # build-and-swap entirely under the lock: two first-touch threads
-    # racing a lazy factory must get ONE instance — a per-thread
-    # instance would split the in-memory store the CAS commit
-    # primitive lives in
     with _REGISTRY_LOCK:
         entry = _REGISTRY.get(scheme)
-        if entry is not None:
-            if callable(entry) and not isinstance(entry, FileSystem):
-                entry = entry()
-                _REGISTRY[scheme] = entry
-            return entry
-        if scheme in _ARROW_SCHEMES:
-            built = ArrowFileSystem(scheme)
-            _REGISTRY[scheme] = built
-            return built
-    raise ValueError(
-        f"no filesystem registered for scheme '{scheme}://' — "
-        f"register one with jodie_spark.fs.register_filesystem"
-    )
+    if isinstance(entry, FileSystem):
+        return entry
+    if entry is None:
+        if scheme not in _ARROW_SCHEMES:
+            raise ValueError(
+                f"no filesystem registered for scheme '{scheme}://' — "
+                f"register one with jodie_spark.fs.register_filesystem"
+            )
+        entry = lambda: ArrowFileSystem(scheme)  # noqa: E731
+    # build OUTSIDE the lock (a factory may itself consult the
+    # registry, and credential resolution can be slow), then
+    # compare-and-swap: racing first-touch threads may each build an
+    # instance, but exactly one registers and ALL return that one —
+    # a per-thread instance would split the store the CAS commit
+    # primitive lives in
+    built = entry()
+    with _REGISTRY_LOCK:
+        current = _REGISTRY.get(scheme)
+        if isinstance(current, FileSystem):
+            return current
+        _REGISTRY[scheme] = built
+    return built
 
 
 def strip_file_scheme(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
+
+
+def add_path_key(table_path: str, add_rel_path_quoted: str) -> str:
+    """Canonical dict key for a log add-path, matching
+    :func:`scanned_path_key`'s spelling of the same file. One shared
+    normalization — the Delta percent-encoding and the
+    local-vs-data-plane split are exactly where hand-rolled variants
+    have diverged before (ADVICE.md; round-9 review). Spark-plane
+    (``spark_path``) because ``_metadata.file_path`` values come from
+    Spark's scan of spark-plane paths."""
+    import urllib.parse
+
+    fs = get_fs(table_path)
+    p = fs.spark_path(fs.join(table_path, urllib.parse.unquote(add_rel_path_quoted)))
+    return os.path.realpath(p) if path_scheme(p) is None else p
+
+
+def scanned_path_key(fp: str) -> str:
+    """Canonical key for a Spark ``_metadata.file_path`` /
+    ``input_file_name()`` value: local URIs realpath'd + unquoted,
+    store URIs kept scheme+authority with the path part unquoted —
+    always comparable to :func:`add_path_key` of the same file."""
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(fp)
+    if parsed.scheme in ("", "file"):
+        return os.path.realpath(urllib.parse.unquote(parsed.path or fp))
+    return f"{parsed.scheme}://{parsed.netloc}{urllib.parse.unquote(parsed.path)}"

@@ -339,21 +339,19 @@ def _read_dv_files_df(
         read_dv_bytes,
     )
 
-    from jodie_spark.fs import get_fs, path_scheme
+    from jodie_spark.fs import add_path_key, get_fs, scanned_path_key
 
     _fs = get_fs(table_path)
     by_real: dict[str, dict[str, Any]] = {}
     paths = []
     for a in adds:
         # Spark's Hadoop scan needs the data-plane translation for
-        # schemed tables (identity for local ones)
-        abs_p = _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"])))
-        paths.append(abs_p)
-        # key by realpath whenever the TRANSLATED path is local (covers
-        # both local tables and dir-prefix schemes); raw store URIs key
-        # verbatim
-        key = os.path.realpath(abs_p) if path_scheme(abs_p) is None else abs_p
-        by_real[key] = a
+        # schemed tables (identity for local ones); keys use the ONE
+        # shared canonicalization (jodie_spark.fs.add_path_key)
+        paths.append(
+            _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"])))
+        )
+        by_real[add_path_key(table_path, a["path"])] = a
     scan = (
         spark.read.format("parquet")
         .option("basePath", _fs.spark_path(table_path))
@@ -368,8 +366,7 @@ def _read_dv_files_df(
     fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
     rows = []
     for fp in fp_values:
-        local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
-        add = by_real.get(os.path.realpath(local)) or by_real.get(fp)
+        add = by_real.get(scanned_path_key(fp))
         if add is None:
             raise DeltaProtocolError(
                 f"cannot map scanned file {fp!r} back to a deletion-vector "
@@ -1641,18 +1638,11 @@ class DeltaTable:
             read_dv_bytes,
         )
 
-        from jodie_spark.fs import get_fs, path_scheme
+        from jodie_spark.fs import add_path_key, scanned_path_key
 
-        _fs = get_fs(self.path)
         table_path = self.path
-
-        def _norm(p: str) -> str:
-            return os.path.realpath(p) if path_scheme(p) is None else p
-
         dv_by_real = {
-            _norm(
-                _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"])))
-            ): a["deletionVector"]
+            add_path_key(table_path, a["path"]): a["deletionVector"]
             for a in candidates
             if a.get("deletionVector")
         }
@@ -1661,8 +1651,7 @@ class DeltaTable:
         fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
         rows = []
         for fp in fp_values:
-            local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
-            desc = dv_by_real.get(os.path.realpath(local)) or dv_by_real.get(fp)
+            desc = dv_by_real.get(scanned_path_key(fp))
             if desc:
                 rows.append((fp, bytearray(read_dv_bytes(table_path, desc))))
         if not rows:
@@ -1695,47 +1684,52 @@ class DeltaTable:
             write_dv_file,
         )
 
-        from jodie_spark.fs import get_fs, path_scheme
+        from jodie_spark.fs import add_path_key, get_fs, scanned_path_key
+        from jodie_spark.tables.deletion_vectors import dv_absolute_path
 
         _fs = get_fs(self.path)
-        _fs.makedirs(_fs.join(self.path, "deletion_vectors"))
+        scheme_dv_dir = _fs.join(self.path, "deletion_vectors")
+        _fs.makedirs(scheme_dv_dir)
         # resolved DRIVER-side: executors write bitmaps and re-read old
-        # ones through paths they can open without the registry
-        table_path = _fs.executor_path(self.path)
-        dv_dir = _fs.executor_path(_fs.join(self.path, "deletion_vectors"))
-
-        def _norm(p: str) -> str:
-            return os.path.realpath(p) if path_scheme(p) is None else p
-
-        old_desc_by_real = {
-            _norm(
-                _fs.executor_path(
-                    _fs.join(self.path, urllib.parse.unquote(a["path"]))
-                )
-            ): json.dumps(a["deletionVector"])
-            for a in candidates
-            if a.get("deletionVector")
-        }
+        # ones through paths they can open without the registry; keys
+        # use the shared add_path_key/scanned_path_key canonicalization
+        # — the scan runs on the SPARK plane, so the keys must too
+        exec_table = _fs.executor_path(self.path)
+        exec_dv_dir = _fs.executor_path(scheme_dv_dir)
+        old_desc_by_key = {}
+        for a in candidates:
+            if not a.get("deletionVector"):
+                continue
+            desc = dict(a["deletionVector"])
+            # translate an absolute descriptor path to the executor
+            # plane here, where the registry is available
+            abs_dv = dv_absolute_path(self.path, desc)
+            if abs_dv is not None:
+                desc["pathOrInlineDv"] = _fs.executor_path(abs_dv)
+                desc["storageType"] = "p"
+            old_desc_by_key[add_path_key(self.path, a["path"])] = json.dumps(desc)
 
         def _make_dv(pdf):
             import pandas as pd
 
             fp = pdf["__fp__"].iloc[0]
-            local = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
             positions = set(int(x) for x in pdf["__ri__"])
             old_card = 0
-            old_json = old_desc_by_real.get(os.path.realpath(local)) or (
-                old_desc_by_real.get(fp)
-            )
+            old_json = old_desc_by_key.get(scanned_path_key(fp))
             if old_json:
                 old_desc = json.loads(old_json)
                 old_pos = parse_roaring_bitmap_array(
-                    read_dv_bytes(table_path, old_desc)
+                    read_dv_bytes(exec_table, old_desc)
                 )
                 old_card = len(old_pos)
                 positions |= set(old_pos)
-            dv_path = os.path.join(dv_dir, f"dv_{_uuid.uuid4().hex}.bin")
-            desc = write_dv_file(dv_path, sorted(positions))
+            name = f"dv_{_uuid.uuid4().hex}.bin"
+            desc = write_dv_file(
+                os.path.join(exec_dv_dir, name), sorted(positions)
+            )
+            # the COMMITTED descriptor carries the scheme-plane path —
+            # one process's mount layout must not bake into the log
+            desc["pathOrInlineDv"] = os.path.join(scheme_dv_dir, name)
             return pd.DataFrame(
                 {
                     "fp": [fp],
@@ -1809,22 +1803,15 @@ class DeltaTable:
         Returns (actions, changed_row_count, dv_bytes). Adds are emitted
         AFTER removes: snapshot replay applies in order, so the re-added
         path ends live and un-tombstoned (vacuum safe)."""
-        from jodie_spark.fs import get_fs, path_scheme
+        from jodie_spark.fs import add_path_key, scanned_path_key
 
-        _fs = get_fs(self.path)
-        by_real = {}
-        for a in candidates:
-            k = _fs.spark_path(
-                _fs.join(self.path, urllib.parse.unquote(a["path"]))
-            )
-            by_real[os.path.realpath(k) if path_scheme(k) is None else k] = a
+        by_real = {add_path_key(self.path, a["path"]): a for a in candidates}
         changed = 0
         dv_bytes = 0
         removes: list[dict[str, Any]] = []
         adds: list[dict[str, Any]] = []
         for r in rows:
-            local = urllib.parse.unquote(urllib.parse.urlparse(r["fp"]).path)
-            add = by_real.get(os.path.realpath(local)) or by_real.get(r["fp"])
+            add = by_real.get(scanned_path_key(r["fp"]))
             if add is None:
                 raise DeltaProtocolError(
                     f"cannot map {r['fp']!r} back to a candidate add entry"
@@ -2968,17 +2955,13 @@ def map_touched_paths(
     a bug (encoding drift) — raise rather than rewrite against a partial
     target, which would silently duplicate matched rows.
     """
-    from jodie_spark.fs import get_fs
+    from jodie_spark.fs import add_path_key, scanned_path_key
 
-    _fs = get_fs(table_path)
-    normalized = {_strip_scheme(p) for p in raw_paths}
-    # add-paths key by the SAME spelling input_file_name() produces:
-    # the data-plane (Spark-visible) path, which for schemed tables is
-    # the facade translation, and for local tables the path itself
-    by_abs = {
-        _fs.spark_path(_fs.join(table_path, urllib.parse.unquote(a["path"]))): a
-        for a in candidates
-    }
+    # both sides normalize through the ONE shared canonicalization
+    # (jodie_spark.fs) — percent-encoding and data-plane spelling are
+    # exactly where per-site variants have diverged before
+    normalized = {scanned_path_key(p) for p in raw_paths}
+    by_abs = {add_path_key(table_path, a["path"]): a for a in candidates}
     unmapped = normalized - set(by_abs)
     if unmapped:
         raise DeltaProtocolError(

@@ -266,6 +266,19 @@ def test_prefix_fs_deletion_vector_lifecycle(spark, tmpdir_path):
         assert sorted(
             r["id"] for r in DeltaTable.forPath(spark, path).toDF().collect()
         ) == [3, 4, 6, 7, 8, 9]
+
+        # RELOCATION: committed DV descriptors carry scheme-plane paths
+        # (never one process's mount layout), so re-rooting the scheme
+        # keeps the table readable — delta's portability contract
+        import shutil
+
+        new_root = tmpdir_path + "_moved"
+        shutil.move(tmpdir_path, new_root)
+        register_filesystem("jodiedv", PrefixFileSystem("jodiedv", new_root))
+        assert sorted(
+            r["id"] for r in DeltaTable.forPath(spark, path).toDF().collect()
+        ) == [3, 4, 6, 7, 8, 9]
+        os.makedirs(tmpdir_path, exist_ok=True)  # fixture cleanup target
     finally:
         unregister_filesystem("jodiedv")
 
