@@ -794,14 +794,44 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
 
 
 class JodieDeltaStreamReader(DataSourceStreamReader):
+    """Plain (non-CDF) streaming source over the native Delta log.
+
+    Remove-handling options — delta-spark DeltaSource parity, each a
+    distinct semantic (they used to alias here):
+
+    - default: any dataChange remove fails the stream (append-only
+      contract).
+    - ``ignoreDeletes``: DELETE-ONLY commits (removes without
+      dataChange adds, e.g. partition deletes) are skipped; a commit
+      that removes AND adds (UPDATE/MERGE rewrite) still fails.
+    - ``ignoreChanges``: rewrite commits serve their adds — downstream
+      may see reprocessed rows, exactly delta's caveat.
+    - ``skipChangeCommits``: any commit containing dataChange removes
+      is skipped ENTIRELY (its adds are not served).
+
+    ``maxFilesPerTrigger`` rate-limits how far ``latestOffset``
+    advances per micro-batch, at COMMIT granularity (a single commit
+    larger than the budget still ships whole — this source's offsets
+    are versions, not file indexes). The initial full-snapshot batch
+    is served whole; after a checkpoint restart the first planned
+    batch is unbounded (the reader cannot see the checkpointed offset
+    until it plans once), then bounding resumes."""
+
     def __init__(self, options, schema: StructType):
         self.path = _opt_path(options)
         if not self.path:
             raise ValueError("jodie_delta requires a path: .load('/table/path')")
         self.schema = schema
-        self.ignore_changes = str(
-            options.get("ignoreChanges", options.get("ignoreDeletes", "false"))
-        ).lower() == "true"
+
+        def _flag(name: str) -> bool:
+            return str(options.get(name, "false")).lower() == "true"
+
+        self.ignore_changes = _flag("ignoreChanges")
+        self.ignore_deletes = _flag("ignoreDeletes")
+        self.skip_change_commits = _flag("skipChangeCommits")
+        mft = options.get("maxFilesPerTrigger")
+        self.max_files = max(1, int(mft)) if mft is not None else None
+        self._pos: dict | None = None  # rate-limiter cursor
         self.starting_version = options.get("startingVersion")
         self.starting_timestamp = options.get("startingTimestamp")
 
@@ -815,7 +845,8 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         # commit instead, delta parity (timestamp = earliest commit
         # at-or-after)
         if self.starting_version is not None:
-            return {"version": int(self.starting_version) - 1}
+            self._pos = {"version": int(self.starting_version) - 1}
+            return self._pos
         if self.starting_timestamp is not None:
             from jodie_spark.operators.cdf import _to_ts_ms
             from jodie_spark.tables.log import DeltaLog
@@ -823,13 +854,49 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
             v = DeltaLog(self.path).version_at_timestamp(
                 _to_ts_ms(self.starting_timestamp), at_or_after=True
             )
-            return {"version": v - 1}
-        return {"version": -1, "snapshot": True}
+            self._pos = {"version": v - 1}
+            return self._pos
+        self._pos = {"version": -1, "snapshot": True}
+        return self._pos
 
     def latestOffset(self) -> dict:
         from jodie_spark.tables.log import DeltaLog
 
-        return {"version": DeltaLog(self.path).latest_version()}
+        log = DeltaLog(self.path)
+        latest = log.latest_version()
+        if self.max_files is None:
+            return {"version": latest}
+        pos = self._pos
+        if pos is None or pos.get("snapshot"):
+            # snapshot first batch ships whole; an unknown restart
+            # cursor plans one unbounded batch, then bounding resumes
+            self._pos = {"version": latest}
+            return self._pos
+        start_v = int(pos["version"])
+        budget = self.max_files
+        end_v = start_v
+        v = start_v + 1
+        while v <= latest:
+            try:
+                actions = log.read_actions(v)
+            except FileNotFoundError:
+                end_v = v
+                v += 1
+                continue
+            n = sum(
+                1
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            )
+            if n > budget and end_v > start_v:
+                break  # budget spent and we already advanced
+            budget -= n
+            end_v = v
+            v += 1
+            if budget <= 0:
+                break
+        self._pos = {"version": end_v}
+        return self._pos
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from jodie_spark.tables.log import DeltaLog
@@ -852,17 +919,30 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                     actions = log.read_actions(v)
                 except FileNotFoundError:
                     continue
-                for a in actions:
-                    rm = a.get("remove")
-                    if rm and rm.get("dataChange", True) and not self.ignore_changes:
+                v_removes = [
+                    a["remove"]
+                    for a in actions
+                    if a.get("remove") and a["remove"].get("dataChange", True)
+                ]
+                v_adds = [
+                    a["add"]
+                    for a in actions
+                    if a.get("add") and a["add"].get("dataChange", True)
+                ]
+                if v_removes:
+                    if self.skip_change_commits:
+                        continue  # change commit skipped wholesale
+                    if not self.ignore_changes and not (
+                        self.ignore_deletes and not v_adds
+                    ):
                         raise RuntimeError(
                             f"jodie_delta stream: version {v} removed data file "
-                            f"{rm['path']}; streaming sources require append-only "
-                            "history (set ignoreChanges=true to skip)"
+                            f"{v_removes[0]['path']}; streaming sources require "
+                            "append-only history (ignoreDeletes tolerates "
+                            "delete-only commits; ignoreChanges serves rewrites; "
+                            "skipChangeCommits drops change commits entirely)"
                         )
-                    ad = a.get("add")
-                    if ad and ad.get("dataChange", True):
-                        adds.append(ad)
+                adds.extend(v_adds)
         name_map, field_ids = _logical_physical_map(log.table_info(end_v).metadata)
         parts = []
         for a in adds:

@@ -762,3 +762,98 @@ def test_empty_table_and_fully_pruned_scans(spark, tmpdir_path):
         .count()
     )
     assert n == 0
+
+
+def test_stream_remove_option_semantics(spark, tmpdir_path):
+    """ignoreDeletes / ignoreChanges / skipChangeCommits are DISTINCT
+    (delta-spark DeltaSource parity; they used to alias here):
+    ignoreDeletes tolerates delete-only commits but still fails on
+    rewrites; ignoreChanges serves rewrite adds; skipChangeCommits
+    drops change commits entirely."""
+    import os
+
+    import pytest
+
+    from jodie_spark.sources.datasource import JodieDeltaStreamReader
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "remopts")
+    write_delta(
+        spark.range(10).selectExpr("id", "id % 2 as part").repartition("part"),
+        p,
+        partition_by=["part"],
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.delete("part = 1")  # v1: delete-only commit (full-partition drop)
+    t.update("id = 0", {"id": "100"})  # v2: rewrite (remove + add)
+    latest = t.deltaLog.latest_version()
+
+    def parts(opts):
+        r = JodieDeltaStreamReader({"path": p, **opts}, t.schema())
+        return r.partitions(
+            {"version": 0}, {"version": latest}
+        )
+
+    # default: the delete-only commit already fails the stream
+    with pytest.raises(RuntimeError, match="append-only"):
+        parts({})
+    # ignoreDeletes skips v1 but the v2 REWRITE still fails
+    with pytest.raises(RuntimeError, match="append-only"):
+        parts({"ignoreDeletes": "true"})
+    # ...unless only v1 is in range
+    r = JodieDeltaStreamReader({"path": p, "ignoreDeletes": "true"}, t.schema())
+    assert r.partitions({"version": 0}, {"version": 1}) == []
+    # ignoreChanges serves the rewrite's adds (v2 emits one file)
+    assert len(parts({"ignoreChanges": "true"})) == 1
+    # skipChangeCommits drops BOTH change commits wholesale
+    assert parts({"skipChangeCommits": "true"}) == []
+
+
+def test_stream_max_files_per_trigger(spark, tmpdir_path):
+    """maxFilesPerTrigger bounds how far latestOffset advances per
+    micro-batch (commit granularity): three 1-file appends with
+    maxFilesPerTrigger=1 drain in three planned batches, and the
+    end-to-end availableNow run still serves every row exactly once."""
+    import os
+
+    from jodie_spark.sources.datasource import JodieDeltaStreamReader, register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "mft")
+    write_delta(spark.range(1).selectExpr("id"), p)  # v0
+    for i in range(1, 4):  # v1..v3, one file each
+        write_delta(
+            spark.range(i * 10, i * 10 + 1).selectExpr("id"), p, mode="append"
+        )
+    t = DeltaTable.forPath(spark, p)
+
+    r = JodieDeltaStreamReader(
+        {"path": p, "startingVersion": "1", "maxFilesPerTrigger": "1"}, t.schema()
+    )
+    start = r.initialOffset()
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    o3 = r.latestOffset()
+    o4 = r.latestOffset()  # caught up: stays put
+    assert [start["version"], o1["version"], o2["version"], o3["version"]] == [
+        0, 1, 2, 3,
+    ]
+    assert o4["version"] == 3
+    assert len(r.partitions(start, o1)) == 1
+
+    # end-to-end: rate-limited availableNow still drains everything
+    register(spark)
+    q = (
+        spark.readStream.format("jodie_delta")
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 1)
+        .load(p)
+        .writeStream.format("memory")
+        .queryName("mft_sink")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "mft_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("select * from mft_sink").collect())
+    assert got == [0, 10, 20, 30]
