@@ -16,7 +16,10 @@ stats pruner before Spark ever schedules a task (Spark re-applies every
 filter, so pruning can never change results). The stream reader follows
 Delta's source semantics: first batch = current snapshot, then one
 batch per commit range of dataChange adds; dataChange removes fail the
-stream unless ``ignoreChanges``/``ignoreDeletes`` is set.
+stream unless ``ignoreDeletes`` (delete-only commits) /
+``ignoreChanges`` (rewrites served) / ``skipChangeCommits`` (change
+commits dropped) allows them; ``maxFilesPerTrigger`` rate-limits both
+the plain and CDF stream at commit granularity.
 
 Parity: delta-spark's DeltaDataSource (batch+stream read, append/
 overwrite write) — rebuilt on the public Python DataSource API
@@ -711,26 +714,68 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.starting_version = options.get("startingVersion")
         self.starting_timestamp = options.get("startingTimestamp")
+        mft = options.get("maxFilesPerTrigger")
+        # commit-granular rate limiting, same contract as the plain
+        # stream reader (an over-budget commit still ships whole; the
+        # first post-restart batch is unbounded)
+        self.max_files = max(1, int(mft)) if mft is not None else None
+        self._pos: dict | None = None
 
     def initialOffset(self) -> dict:
         from jodie_spark.tables.log import DeltaLog
 
         if self.starting_version is not None:
-            return {"version": int(self.starting_version) - 1}
-        if self.starting_timestamp is not None:
+            self._pos = {"version": int(self.starting_version) - 1}
+        elif self.starting_timestamp is not None:
             # delta parity: earliest commit at-or-after the timestamp
             from jodie_spark.operators.cdf import _to_ts_ms
 
             v = DeltaLog(self.path).version_at_timestamp(
                 _to_ts_ms(self.starting_timestamp), at_or_after=True
             )
-            return {"version": v - 1}
-        return {"version": DeltaLog(self.path).latest_version()}
+            self._pos = {"version": v - 1}
+        else:
+            self._pos = {"version": DeltaLog(self.path).latest_version()}
+        return self._pos
 
     def latestOffset(self) -> dict:
         from jodie_spark.tables.log import DeltaLog
 
-        return {"version": DeltaLog(self.path).latest_version()}
+        log = DeltaLog(self.path)
+        latest = log.latest_version()
+        if self.max_files is None:
+            return {"version": latest}
+        pos = self._pos
+        if pos is None:
+            self._pos = {"version": latest}
+            return self._pos
+        start_v = int(pos["version"])
+        budget = self.max_files
+        end_v = start_v
+        v = start_v + 1
+        while v <= latest:
+            try:
+                actions = log.read_actions(v)
+            except FileNotFoundError:
+                end_v = v
+                v += 1
+                continue
+            # change files count like data files for the budget
+            n = sum(
+                1
+                for a in actions
+                if (a.get("add") and a["add"].get("dataChange", True))
+                or a.get("cdc")
+            )
+            if n > budget and end_v > start_v:
+                break
+            budget -= n
+            end_v = v
+            v += 1
+            if budget <= 0:
+                break
+        self._pos = {"version": end_v}
+        return self._pos
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         return _cdf_partitions(self.path, int(start["version"]), int(end["version"]))

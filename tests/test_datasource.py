@@ -857,3 +857,52 @@ def test_stream_max_files_per_trigger(spark, tmpdir_path):
     q.awaitTermination(120)
     got = sorted(r["id"] for r in spark.sql("select * from mft_sink").collect())
     assert got == [0, 10, 20, 30]
+
+
+def test_cdf_stream_max_files_per_trigger(spark, tmpdir_path):
+    """maxFilesPerTrigger on the CDF stream: three appended commits
+    with a budget of 1 plan three bounded batches, and the rate-limited
+    availableNow replay still delivers every change row exactly once."""
+    import os
+
+    from jodie_spark.sources.datasource import JodieDeltaCdfStreamReader, register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "cdfmft")
+    write_delta(
+        spark.range(1).selectExpr("id"),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    for i in range(1, 4):
+        write_delta(
+            spark.range(i * 10, i * 10 + 1).selectExpr("id"), p, mode="append"
+        )
+    t = DeltaTable.forPath(spark, p)
+    from jodie_spark.sources.datasource import _cdf_schema
+
+    r = JodieDeltaCdfStreamReader(
+        {"path": p, "startingVersion": "1", "maxFilesPerTrigger": "1"},
+        _cdf_schema(t.schema()),
+    )
+    start = r.initialOffset()
+    offs = [r.latestOffset()["version"] for _ in range(4)]
+    assert start["version"] == 0 and offs == [1, 2, 3, 3]
+
+    register(spark)
+    q = (
+        spark.readStream.format("jodie_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 1)
+        .load(p)
+        .writeStream.format("memory")
+        .queryName("cdfmft_sink")
+        .option("checkpointLocation", os.path.join(tmpdir_path, "cdfmft_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select id, _change_type from cdfmft_sink").collect()
+    assert sorted(r["id"] for r in rows) == [0, 10, 20, 30]
+    assert {r["_change_type"] for r in rows} == {"insert"}
