@@ -283,6 +283,42 @@ def test_prefix_fs_deletion_vector_lifecycle(spark, tmpdir_path):
         unregister_filesystem("jodiedv")
 
 
+def test_path_key_property_roundtrip(tmpdir_path):
+    """Property: for any partition-dir-safe value, the log's
+    percent-encoded add path and Spark's URI spelling of the same
+    on-disk file canonicalize to the SAME key — the invariant every
+    DML path-mapping site now rests on (percent-encoding is where
+    per-site variants historically diverged)."""
+    import urllib.parse
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jodie_spark.fs import add_path_key, scanned_path_key
+
+    # characters Spark's partition-dir escaping may surface on disk
+    dir_chars = st.text(
+        alphabet="abz019 %#+=.~-_", min_size=1, max_size=12
+    ).filter(lambda s: s.strip() and "/" not in s)
+
+    @settings(max_examples=200, deadline=None)
+    @given(val=dir_chars)
+    def check(val):
+        # on-disk dir name as Spark would write it, then the log's
+        # quoted spelling of that name (Delta percent-encodes)
+        on_disk = f"p={val}/part-0.parquet"
+        quoted = urllib.parse.quote(on_disk, safe="/=")
+        k_add = add_path_key(tmpdir_path, quoted)
+        # Spark reports file URIs with the on-disk name percent-encoded
+        fp = "file:" + os.path.join(
+            os.path.realpath(tmpdir_path), urllib.parse.quote(on_disk, safe="/=")
+        )
+        k_fp = scanned_path_key(fp)
+        assert k_add == k_fp, (val, k_add, k_fp)
+
+    check()
+
+
 def test_datasource_roundtrip_on_schemed_uri(spark, tmpdir_path):
     """The Python datasource (spark.read/write.format('jodie_delta'))
     accepts schemed URIs. Python DataSource plan/commit code runs in
