@@ -412,12 +412,18 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
 
     if head == "SHOW":
         m = re.match(rf"(?is)^SHOW\s+TBLPROPERTIES\s+{_REF}$", s)
+        if m:
+            t = _resolve(spark, m)
+            cfg = t.snapshot().configuration
+            return spark.createDataFrame(
+                sorted(cfg.items()), "key string, value string"
+            )
+        m = re.match(rf"(?is)^SHOW\s+CREATE\s+TABLE\s+{_REF}$", s)
         if not m:
             raise JodieValidationError(f"cannot parse SHOW statement: {s!r}")
         t = _resolve(spark, m)
-        cfg = t.snapshot().configuration
         return spark.createDataFrame(
-            sorted(cfg.items()), "key string, value string"
+            [(_show_create_table(t),)], "createtab_stmt string"
         )
 
     if head == "OPTIMIZE":
@@ -528,6 +534,62 @@ _TT_RE = re.compile(
     r"(?is)(?:delta\.`(?P<path>[^`]+)`|(?P<name>[A-Za-z_]\w*))\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')"
 )
+
+
+def _show_create_table(t) -> str:
+    """Reconstruct runnable CREATE TABLE DDL from the snapshot's
+    metadata — delta-spark's SHOW CREATE TABLE shape: columns (with
+    NOT NULL, identity/generation clauses, CURRENT_DEFAULT), USING
+    DELTA, PARTITIONED BY / CLUSTER BY, TBLPROPERTIES, LOCATION."""
+    from jodie_spark.tables.identity import identity_columns_of
+    from jodie_spark.tables.table import (
+        GENERATION_EXPR_KEY,
+        column_defaults_of,
+        generated_columns_of,
+    )
+
+    snap = t.snapshot()
+    schema = t.schema(snap)
+    identities = identity_columns_of(schema)
+    generated = generated_columns_of(schema)
+    defaults = column_defaults_of(schema)
+    col_lines = []
+    for f in schema.fields:
+        line = f"  {f.name} {f.dataType.simpleString().upper()}"
+        if f.name in identities:
+            spec = identities[f.name]
+            kind = "ALWAYS" if not spec.get("allow_explicit") else "BY DEFAULT"
+            line += (
+                f" GENERATED {kind} AS IDENTITY (START WITH "
+                f"{spec.get('start', 1)} INCREMENT BY {spec.get('step', 1)})"
+            )
+        elif f.name in generated:
+            line += f" GENERATED ALWAYS AS ({generated[f.name]})"
+        elif f.name in defaults:
+            line += f" DEFAULT {defaults[f.name]}"
+        if not f.nullable:
+            line += " NOT NULL"
+        col_lines.append(line)
+    out = [f"CREATE TABLE delta.`{t.path}` (", ",\n".join(col_lines), ")",
+           "USING DELTA"]
+    if snap.partition_columns:
+        out.append("PARTITIONED BY (" + ", ".join(snap.partition_columns) + ")")
+    try:
+        cluster_cols = t.cluster_by()
+    except Exception:
+        cluster_cols = None
+    if cluster_cols:
+        out.append("CLUSTER BY (" + ", ".join(cluster_cols) + ")")
+    cfg = {
+        k: v
+        for k, v in sorted(snap.configuration.items())
+        if k != GENERATION_EXPR_KEY
+    }
+    if cfg:
+        props = ",\n  ".join(f"'{k}' = '{v}'" for k, v in cfg.items())
+        out.append("TBLPROPERTIES (\n  " + props + ")")
+    out.append(f"LOCATION '{t.path}'")
+    return "\n".join(out)
 
 
 def _rewrite_time_travel(spark: SparkSession, s: str) -> str:

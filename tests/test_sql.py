@@ -702,3 +702,35 @@ def test_fsck_repair_table_sql(spark, tmpdir_path):
     t = DeltaTable.forPath(spark, p)
     assert sorted(r["id"] for r in t.toDF().collect()) == [1, 3, 5, 7, 9]
     assert t.history().filter("operation = 'FSCK'").count() == 1
+
+
+def test_show_create_table(spark, tmpdir_path):
+    """SHOW CREATE TABLE reconstructs runnable DDL from the snapshot's
+    metadata, and feeding it back through sql() creates an equivalent
+    table (columns, partitioning, NOT NULL, properties)."""
+    import os
+
+    from jodie_spark import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "sct")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, k string, v double"
+    )
+    write_delta(
+        df,
+        p,
+        partition_by=["k"],
+        options={"delta.appendOnly": "false", "foo.bar": "baz"},
+    )
+    stmt = sql(spark, f"SHOW CREATE TABLE delta.`{p}`").collect()[0][0]
+    assert "USING DELTA" in stmt and "PARTITIONED BY (k)" in stmt
+    assert "'foo.bar' = 'baz'" in stmt and f"LOCATION '{os.path.abspath(p)}'" in stmt
+    # the emitted DDL is runnable: round-trip into a fresh location
+    p2 = os.path.join(tmpdir_path, "sct2")
+    sql(spark, stmt.replace(f"delta.`{os.path.abspath(p)}`", f"delta.`{p2}`")
+        .replace(f"LOCATION '{os.path.abspath(p)}'", f"LOCATION '{p2}'"))
+    t2 = DeltaTable.forPath(spark, p2)
+    assert [f.name for f in t2.schema().fields] == ["id", "k", "v"]
+    assert t2.snapshot().partition_columns == ["k"]
+    assert t2.snapshot().configuration.get("foo.bar") == "baz"
