@@ -148,6 +148,7 @@ def main() -> None:
         "dsir_weights",
         "log_cleanup",
         "fsck_crc_repair",
+        "datasource_field_id",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}
