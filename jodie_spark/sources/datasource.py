@@ -718,7 +718,9 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
         # commit-granular rate limiting, same contract as the plain
         # stream reader (an over-budget commit still ships whole; the
         # first post-restart batch is unbounded)
-        self.max_files = max(1, int(mft)) if mft is not None else None
+        if mft is not None and int(mft) < 1:
+            raise ValueError(f"Invalid maxFilesPerTrigger: {mft}")
+        self.max_files = int(mft) if mft is not None else None
         self._pos: dict | None = None
 
     def initialOffset(self) -> dict:
@@ -760,13 +762,20 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
                 end_v = v
                 v += 1
                 continue
-            # change files count like data files for the budget
-            n = sum(
-                1
-                for a in actions
-                if (a.get("add") and a["add"].get("dataChange", True))
-                or a.get("cdc")
-            )
+            # count what _cdf_partitions will actually serve: cdc
+            # files when the commit wrote change data (its adds are
+            # NOT read), else dataChange adds (inserts) + dataChange
+            # removes (each read in full to synthesize delete rows)
+            n_cdc = sum(1 for a in actions if a.get("cdc"))
+            if n_cdc:
+                n = n_cdc
+            else:
+                n = sum(
+                    1
+                    for a in actions
+                    if (a.get("add") and a["add"].get("dataChange", True))
+                    or (a.get("remove") and a["remove"].get("dataChange", True))
+                )
             if n > budget and end_v > start_v:
                 break
             budget -= n
@@ -875,7 +884,9 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         self.ignore_deletes = _flag("ignoreDeletes")
         self.skip_change_commits = _flag("skipChangeCommits")
         mft = options.get("maxFilesPerTrigger")
-        self.max_files = max(1, int(mft)) if mft is not None else None
+        if mft is not None and int(mft) < 1:
+            raise ValueError(f"Invalid maxFilesPerTrigger: {mft}")
+        self.max_files = int(mft) if mft is not None else None
         self._pos: dict | None = None  # rate-limiter cursor
         self.starting_version = options.get("startingVersion")
         self.starting_timestamp = options.get("startingTimestamp")
@@ -933,6 +944,11 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                 for a in actions
                 if a.get("add") and a["add"].get("dataChange", True)
             )
+            if self.skip_change_commits and any(
+                a.get("remove") and a["remove"].get("dataChange", True)
+                for a in actions
+            ):
+                n = 0  # partitions() drops this commit wholesale
             if n > budget and end_v > start_v:
                 break  # budget spent and we already advanced
             budget -= n

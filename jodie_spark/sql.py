@@ -542,11 +542,7 @@ def _show_create_table(t) -> str:
     NOT NULL, identity/generation clauses, CURRENT_DEFAULT), USING
     DELTA, PARTITIONED BY / CLUSTER BY, TBLPROPERTIES, LOCATION."""
     from jodie_spark.tables.identity import identity_columns_of
-    from jodie_spark.tables.table import (
-        GENERATION_EXPR_KEY,
-        column_defaults_of,
-        generated_columns_of,
-    )
+    from jodie_spark.tables.table import column_defaults_of, generated_columns_of
 
     snap = t.snapshot()
     schema = t.schema(snap)
@@ -555,7 +551,10 @@ def _show_create_table(t) -> str:
     defaults = column_defaults_of(schema)
     col_lines = []
     for f in schema.fields:
-        line = f"  {f.name} {f.dataType.simpleString().upper()}"
+        # simpleString verbatim — uppercasing would rename NESTED
+        # struct/map field names; identifiers are backtick-quoted so
+        # names with spaces/dashes stay runnable
+        line = f"  `{f.name}` {f.dataType.simpleString()}"
         if f.name in identities:
             spec = identities[f.name]
             kind = "ALWAYS" if not spec.get("allow_explicit") else "BY DEFAULT"
@@ -573,20 +572,26 @@ def _show_create_table(t) -> str:
     out = [f"CREATE TABLE delta.`{t.path}` (", ",\n".join(col_lines), ")",
            "USING DELTA"]
     if snap.partition_columns:
-        out.append("PARTITIONED BY (" + ", ".join(snap.partition_columns) + ")")
+        out.append(
+            "PARTITIONED BY ("
+            + ", ".join(f"`{c}`" for c in snap.partition_columns)
+            + ")"
+        )
     try:
         cluster_cols = t.cluster_by()
     except Exception:
         cluster_cols = None
     if cluster_cols:
-        out.append("CLUSTER BY (" + ", ".join(cluster_cols) + ")")
-    cfg = {
-        k: v
-        for k, v in sorted(snap.configuration.items())
-        if k != GENERATION_EXPR_KEY
-    }
+        out.append(
+            "CLUSTER BY (" + ", ".join(f"`{c}`" for c in cluster_cols) + ")"
+        )
+    cfg = dict(sorted(snap.configuration.items()))
     if cfg:
-        props = ",\n  ".join(f"'{k}' = '{v}'" for k, v in cfg.items())
+
+        def q(s: str) -> str:
+            return str(s).replace("'", "''")  # SQL-standard escaping
+
+        props = ",\n  ".join(f"'{q(k)}' = '{q(v)}'" for k, v in cfg.items())
         out.append("TBLPROPERTIES (\n  " + props + ")")
     out.append(f"LOCATION '{t.path}'")
     return "\n".join(out)
@@ -906,10 +911,16 @@ def _create_with_columns(spark: SparkSession, m: re.Match):
     properties: dict[str, str] = {}
     if mt:
         for kv in _split_top_level(mt.group("p"), ","):
-            km = re.match(r"(?s)^\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$", kv)
+            km = re.match(
+                r"(?s)^\s*'(?P<k>(?:[^']|'')+)'\s*=\s*'(?P<v>(?:[^']|'')*)'\s*$",
+                kv,
+            )
             if not km:
                 raise JodieValidationError(f"cannot parse TBLPROPERTIES entry: {kv!r}")
-            properties[km.group("k")] = km.group("v")
+            # SQL-standard ''-doubling (SHOW CREATE TABLE emits it)
+            properties[km.group("k").replace("''", "'")] = km.group("v").replace(
+                "''", "'"
+            )
 
     fields = []
     identity_columns: dict[str, dict] = {}

@@ -906,3 +906,68 @@ def test_cdf_stream_max_files_per_trigger(spark, tmpdir_path):
     rows = spark.sql("select id, _change_type from cdfmft_sink").collect()
     assert sorted(r["id"] for r in rows) == [0, 10, 20, 30]
     assert {r["_change_type"] for r in rows} == {"insert"}
+
+
+def test_max_files_budget_matches_served_files(spark, tmpdir_path):
+    """Round-9 review regressions: the rate-limiter budget must count
+    what partitions() actually serves — skipChangeCommits'd rewrites
+    cost nothing on the plain stream, and on the CDF stream a
+    cdc-bearing commit costs its cdc files (not its unread adds) while
+    a remove-only commit costs its synthesized-delete reads."""
+    import os
+
+    import pytest
+
+    from jodie_spark.sources.datasource import (
+        JodieDeltaCdfStreamReader,
+        JodieDeltaStreamReader,
+        _cdf_schema,
+    )
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    # invalid budgets are rejected loudly (delta-spark parity)
+    pdummy = os.path.join(tmpdir_path, "dummy")
+    write_delta(spark.range(1).selectExpr("id"), pdummy)
+    tdummy = DeltaTable.forPath(spark, pdummy)
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        JodieDeltaStreamReader(
+            {"path": pdummy, "maxFilesPerTrigger": "0"}, tdummy.schema()
+        )
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        JodieDeltaCdfStreamReader(
+            {"path": pdummy, "maxFilesPerTrigger": "-5"},
+            _cdf_schema(tdummy.schema()),
+        )
+
+    # plain stream: a skipped rewrite commit must not eat the budget
+    p = os.path.join(tmpdir_path, "budget")
+    write_delta(spark.range(4).selectExpr("id").repartition(1), p)  # v0
+    t = DeltaTable.forPath(spark, p)
+    t.update("id = 0", {"id": "100"})  # v1: rewrite (skipped)
+    write_delta(spark.range(10, 11).selectExpr("id"), p, mode="append")  # v2
+    r = JodieDeltaStreamReader(
+        {"path": p, "startingVersion": "1", "skipChangeCommits": "true",
+         "maxFilesPerTrigger": "1"},
+        t.schema(),
+    )
+    r.initialOffset()
+    # one latestOffset stride covers BOTH v1 (free) and v2 (1 file)
+    assert r.latestOffset()["version"] == 2
+
+    # CDF stream: an update commit costs its cdc file count, not adds
+    pc = os.path.join(tmpdir_path, "cdfbudget")
+    write_delta(
+        spark.range(3).selectExpr("id").repartition(1),
+        pc,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    tc = DeltaTable.forPath(spark, pc)
+    tc.update("id = 1", {"id": "11"})  # v1: cdc file(s) + 1 add
+    tc.delete("id = 2")  # v2: cdc + rewrite
+    rc = JodieDeltaCdfStreamReader(
+        {"path": pc, "startingVersion": "1", "maxFilesPerTrigger": "1"},
+        _cdf_schema(tc.schema()),
+    )
+    rc.initialOffset()
+    offs = [rc.latestOffset()["version"] for _ in range(3)]
+    assert offs == [1, 2, 2]  # one cdc commit per trigger, then parked

@@ -724,7 +724,7 @@ def test_show_create_table(spark, tmpdir_path):
         options={"delta.appendOnly": "false", "foo.bar": "baz"},
     )
     stmt = sql(spark, f"SHOW CREATE TABLE delta.`{p}`").collect()[0][0]
-    assert "USING DELTA" in stmt and "PARTITIONED BY (k)" in stmt
+    assert "USING DELTA" in stmt and "PARTITIONED BY (`k`)" in stmt
     assert "'foo.bar' = 'baz'" in stmt and f"LOCATION '{os.path.abspath(p)}'" in stmt
     # the emitted DDL is runnable: round-trip into a fresh location
     p2 = os.path.join(tmpdir_path, "sct2")
@@ -734,3 +734,31 @@ def test_show_create_table(spark, tmpdir_path):
     assert [f.name for f in t2.schema().fields] == ["id", "k", "v"]
     assert t2.snapshot().partition_columns == ["k"]
     assert t2.snapshot().configuration.get("foo.bar") == "baz"
+
+
+def test_show_create_table_preserves_nested_and_quoted(spark, tmpdir_path):
+    """Round-9 review regressions: nested struct field names must not
+    be case-mangled, identifiers are backtick-quoted, and TBLPROPERTIES
+    values containing single quotes emit SQL-standard ''-doubling that
+    the CREATE parser accepts back."""
+    import os
+
+    from jodie_spark import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "sctq")
+    df = spark.createDataFrame(
+        [(1, {"myName": "x"})],
+        "id long, s struct<myName:string>",
+    )
+    write_delta(df, p, options={"team.note": "it's here"})
+    stmt = sql(spark, f"SHOW CREATE TABLE delta.`{p}`").collect()[0][0]
+    assert "struct<myName:string>" in stmt  # nested name NOT uppercased
+    assert "`id`" in stmt and "`s`" in stmt
+    assert "'team.note' = 'it''s here'" in stmt
+    # the emitted DDL round-trips, quotes unescaped on the way back in
+    p2 = os.path.join(tmpdir_path, "sctq2")
+    sql(spark, stmt.replace(os.path.abspath(p), p2))
+    t2 = DeltaTable.forPath(spark, p2)
+    assert t2.schema()["s"].dataType["myName"].name == "myName"
+    assert t2.snapshot().configuration.get("team.note") == "it's here"
