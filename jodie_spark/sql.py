@@ -342,16 +342,17 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
         #   ) USING DELTA [PARTITIONED BY (..)] [CLUSTER BY (..)]
         #     [LOCATION 'p'] [TBLPROPERTIES (k=v, ..)]
         m = re.match(
-            r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+"
+            r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             rf"{_REF}(?:\s+LOCATION\s+'(?P<loc1>[^']+)')?\s*"
             r"\((?P<cols>.+)\)\s*USING\s+DELTA(?P<tail>.*)$",
             s,
         )
         if m:
             return _create_with_columns(spark, m)
-        # CTAS: CREATE TABLE <ref or name LOCATION 'p'> AS SELECT ...
+        # CTAS: CREATE [OR REPLACE] TABLE <ref or name LOCATION 'p'> AS SELECT ...
         m = re.match(
-            rf"(?is)^CREATE\s+TABLE\s+{_REF}"
+            rf"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+{_REF}"
             r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?\s+AS\s+(?P<q>.+)$",
             s,
         )
@@ -367,7 +368,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame | None:
                     "CTAS needs a location: CREATE TABLE delta.`/path` AS "
                     "... or CREATE TABLE name LOCATION '/path' AS ..."
                 )
-            write_delta(df, loc)
+            if m.group("orr"):
+                write_delta(
+                    df, loc, mode="overwrite",
+                    options={"overwriteSchema": "true"},
+                )
+            else:
+                write_delta(df, loc)
             if m.group("name"):
                 register_delta_table(spark, m.group("name"), loc)
             return None
@@ -941,7 +948,13 @@ def _create_with_columns(spark: SparkSession, m: re.Match):
 
     schema = T.StructType(fields)
     df = spark.createDataFrame([], schema)
-    exists_mode = "ignore" if m.group("ine") else "error"
+    # CREATE OR REPLACE: overwrite data AND schema in one commit —
+    # history survives (delta parity), unlike drop-and-recreate
+    if m.groupdict().get("orr"):
+        exists_mode = "overwrite"
+        properties = {**properties, "overwriteSchema": "true"}
+    else:
+        exists_mode = "ignore" if m.group("ine") else "error"
     write_delta(
         df,
         path,

@@ -117,8 +117,14 @@ def collect_file_stats(
             if stats.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + stats.null_count
             if stats.has_min_max:
-                mn = _truncate_stat(_json_safe(stats.min), is_max=False)
-                mx = _truncate_stat(_json_safe(stats.max), is_max=True)
+                try:
+                    mn = _truncate_stat(_json_safe(stats.min), is_max=False)
+                    mx = _truncate_stat(_json_safe(stats.max), is_max=True)
+                except NotImplementedError:
+                    # pyarrow cannot decode min/max for some physical
+                    # types (e.g. certain decimals) — a column without
+                    # skipping stats is fine; a crashed WRITE is not
+                    continue
                 if mn is not None and (name not in mins or _lt(mn, mins[name])):
                     mins[name] = mn
                 if mx is not None and (name not in maxs or _lt(maxs[name], mx)):

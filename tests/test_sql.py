@@ -762,3 +762,41 @@ def test_show_create_table_preserves_nested_and_quoted(spark, tmpdir_path):
     t2 = DeltaTable.forPath(spark, p2)
     assert t2.schema()["s"].dataType["myName"].name == "myName"
     assert t2.snapshot().configuration.get("team.note") == "it's here"
+
+
+def test_create_or_replace_table(spark, tmpdir_path):
+    """CREATE OR REPLACE TABLE overwrites data AND schema in one commit
+    while preserving history — delta parity, unlike drop-and-recreate.
+    Covers both the column-DDL and CTAS forms."""
+    import os
+
+    from jodie_spark import sql
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "cor")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), p)
+    sql(
+        spark,
+        f"CREATE OR REPLACE TABLE delta.`{p}` (k BIGINT, score DOUBLE) USING DELTA",
+    )
+    t = DeltaTable.forPath(spark, p)
+    assert [f.name for f in t.schema().fields] == ["k", "score"]
+    assert t.toDF().count() == 0
+    # history preserved: the original WRITE is still version 0
+    ops = [r["operation"] for r in t.history().collect()]
+    assert len(ops) == 2 and t.toDF(version=0).count() == 1
+
+    # CTAS form replaces contents with the query result
+    sql(
+        spark,
+        f"CREATE OR REPLACE TABLE delta.`{p}` AS SELECT 5 AS k, 1.5 AS score",
+    )
+    t2 = DeltaTable.forPath(spark, p)
+    assert [(r["k"], r["score"]) for r in t2.toDF().collect()] == [(5, 1.5)]
+    # plain CREATE on an existing table still refuses
+    import pytest
+
+    from jodie_spark.errors import JodieValidationError
+
+    with pytest.raises(JodieValidationError, match="already exists"):
+        sql(spark, f"CREATE TABLE delta.`{p}` (x INT) USING DELTA")
