@@ -966,7 +966,21 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
         start_v, end_v = int(start["version"]), int(end["version"])
         if end_v < 0 or end_v <= start_v:
             return []
-        if start.get("snapshot"):
+        # Checkpoint back-compat: offsets persisted before the explicit
+        # sentinel landed encode the default-start snapshot as a BARE
+        # {"version": -1}. When no startingVersion/startingTimestamp is
+        # set, a bare -1 can only mean "snapshot first" (the old
+        # semantics), so honor it — otherwise a restart would replay
+        # commits 0..latest per-commit and raise on historical removes.
+        # With startingVersion=0 set, the options ARE present on
+        # restart too, so the bare -1 correctly replays commit 0.
+        legacy_snapshot = (
+            start_v == -1
+            and "snapshot" not in start
+            and self.starting_version is None
+            and self.starting_timestamp is None
+        )
+        if start.get("snapshot") or legacy_snapshot:
             # first batch of a no-startingVersion stream: the whole
             # snapshot at end_v. startingVersion=0 does NOT land here
             # (its offset is {"version": -1} WITHOUT the sentinel) —

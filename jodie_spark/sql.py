@@ -556,12 +556,22 @@ def _show_create_table(t) -> str:
     identities = identity_columns_of(schema)
     generated = generated_columns_of(schema)
     defaults = column_defaults_of(schema)
+
+    def bq(name: str) -> str:
+        # backtick-quoted identifier: ` escapes as `` (Spark parser
+        # rule), so a column literally named a`b emits `a``b` and the
+        # DDL stays runnable — same treatment TBLPROPERTIES values get
+        return "`" + str(name).replace("`", "``") + "`"
+
+    def sq(s: str) -> str:
+        return str(s).replace("'", "''")  # SQL-standard '' escaping
+
     col_lines = []
     for f in schema.fields:
         # simpleString verbatim — uppercasing would rename NESTED
         # struct/map field names; identifiers are backtick-quoted so
         # names with spaces/dashes stay runnable
-        line = f"  `{f.name}` {f.dataType.simpleString()}"
+        line = f"  {bq(f.name)} {f.dataType.simpleString()}"
         if f.name in identities:
             spec = identities[f.name]
             kind = "ALWAYS" if not spec.get("allow_explicit") else "BY DEFAULT"
@@ -576,12 +586,12 @@ def _show_create_table(t) -> str:
         if not f.nullable:
             line += " NOT NULL"
         col_lines.append(line)
-    out = [f"CREATE TABLE delta.`{t.path}` (", ",\n".join(col_lines), ")",
+    out = [f"CREATE TABLE delta.{bq(t.path)} (", ",\n".join(col_lines), ")",
            "USING DELTA"]
     if snap.partition_columns:
         out.append(
             "PARTITIONED BY ("
-            + ", ".join(f"`{c}`" for c in snap.partition_columns)
+            + ", ".join(bq(c) for c in snap.partition_columns)
             + ")"
         )
     try:
@@ -590,17 +600,13 @@ def _show_create_table(t) -> str:
         cluster_cols = None
     if cluster_cols:
         out.append(
-            "CLUSTER BY (" + ", ".join(f"`{c}`" for c in cluster_cols) + ")"
+            "CLUSTER BY (" + ", ".join(bq(c) for c in cluster_cols) + ")"
         )
     cfg = dict(sorted(snap.configuration.items()))
     if cfg:
-
-        def q(s: str) -> str:
-            return str(s).replace("'", "''")  # SQL-standard escaping
-
-        props = ",\n  ".join(f"'{q(k)}' = '{q(v)}'" for k, v in cfg.items())
+        props = ",\n  ".join(f"'{sq(k)}' = '{sq(v)}'" for k, v in cfg.items())
         out.append("TBLPROPERTIES (\n  " + props + ")")
-    out.append(f"LOCATION '{t.path}'")
+    out.append(f"LOCATION '{sq(t.path)}'")
     return "\n".join(out)
 
 

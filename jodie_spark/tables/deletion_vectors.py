@@ -259,6 +259,10 @@ def write_dv_file(path: str, positions: list[int], **ser_kw: Any) -> dict[str, A
     from jodie_spark.fs import get_fs, path_scheme
 
     if path_scheme(path) is None:
+        # implicit-dir parity with the object-store branch: a store
+        # whose data plane translates to a local root (the S3-semantics
+        # fake) never makedirs driver-side, so create parents here
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as fh:
             fh.write(payload)
     else:

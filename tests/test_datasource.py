@@ -971,3 +971,42 @@ def test_max_files_budget_matches_served_files(spark, tmpdir_path):
     rc.initialOffset()
     offs = [rc.latestOffset()["version"] for _ in range(3)]
     assert offs == [1, 2, 2]  # one cdc commit per trigger, then parked
+
+
+def test_stream_legacy_bare_minus_one_offset_serves_snapshot(
+    registered, tmpdir_path
+):
+    """ADVICE r9: checkpoints persisted BEFORE the explicit snapshot
+    sentinel encode the default start as a bare {"version": -1}. On
+    restart (no startingVersion option) that must keep meaning
+    "snapshot first" — replaying commits 0..latest would raise on
+    historical removes and re-read since-removed files. With
+    startingVersion=0 set, the bare -1 correctly replays commit 0."""
+    spark = registered
+    out = os.path.join(tmpdir_path, "ds_legacy_off")
+    write_delta(spark.range(10).repartition(1).selectExpr("id", "'a' as tag"), out)
+    from jodie_spark.sources.datasource import JodieDeltaStreamReader
+
+    t = DeltaTable.forPath(spark, out)
+    t.delete("id < 5")  # historical remove: per-commit replay would raise
+    latest = t.deltaLog.latest_version()
+
+    # restart with a pre-sentinel checkpointed offset, default start
+    reader = JodieDeltaStreamReader({"path": out}, t.schema())
+    parts = reader.partitions({"version": -1}, {"version": latest})
+    assert len(parts) >= 1  # snapshot served, no append-only error
+
+    # explicit startingVersion=0 restart: same bare -1 replays commits,
+    # so the historical remove still trips the append-only gate
+    replay = JodieDeltaStreamReader(
+        {"path": out, "startingVersion": "0"}, t.schema()
+    )
+    with pytest.raises(RuntimeError, match="append-only"):
+        replay.partitions({"version": -1}, {"version": latest})
+
+    # the explicit sentinel path is unchanged
+    sent = JodieDeltaStreamReader({"path": out}, t.schema())
+    parts2 = sent.partitions(
+        {"version": -1, "snapshot": True}, {"version": latest}
+    )
+    assert {p.file_path for p in parts2} == {p.file_path for p in parts}

