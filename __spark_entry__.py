@@ -2352,9 +2352,29 @@ def _q_shuffle_files_deterministic(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _q_num_shuffle_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural MULTI-FILE layout made deterministic (VERDICT r9 item
+    5) the way the reference's own test does it
+    (DeltaHelperSpec.scala:874 pins maxRecordsPerFile): rows arrive at
+    the writer sorted by (o_orderstatus, o_orderkey), so the dynamic
+    partition writer emits, per status, ceil(n/2000) files whose
+    o_orderkey ranges are consecutive sorted chunks — every per-file
+    min/max (and therefore every skipping count) is closed-form in the
+    input, unlike the old natural-task layout which was rows-only."""
     from jodie_spark.tables.distribution import get_num_shuffle_files
 
-    t = _delta_from(_orders(spark, sf_dir), "shuf", partition_by=["o_orderstatus"])
+    orders = _orders(spark, sf_dir)
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2000")
+    try:
+        t = _delta_from(
+            orders.repartition(F.col("o_orderstatus")).sortWithinPartitions(
+                "o_orderstatus", "o_orderkey"
+            ),
+            "shuf",
+            partition_by=["o_orderstatus"],
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
     result = get_num_shuffle_files(
         spark, t.path, "o_orderstatus = 'F' and o_orderkey >= 1000"
     )
@@ -3301,25 +3321,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window rotates on STALENESS (oldest newest-official-green-row
     first, as computed by ``tools/check_oracles.py --freshness``).
     The 22 SURVEY §2 core slots run on an EVERY-OTHER-ROUND cadence
-    (stable, pytest-pinned).  Round-9 window (VERDICT r8 item 1):
-    slots 1-2 the two NEW log-lifecycle queries (log_cleanup,
-    fsck_crc_repair), 3-28 the 26 rows whose newest official green was
-    r6 (the stale cohort the r8 artifact left behind), 29-50 the 22
-    SURVEY core slots (due since r7).  With 128 registered queries and
-    a 50-slot window the full registry cycles officially in ~3 rounds,
-    so right after each artifact lands the PREVIOUS round-minus-2
-    cohort reads as >2-rounds-stale until its window comes up — the
-    invariant that matters is `stale_not_in_next_window: []` (every
-    stale row is in the upcoming window), which the tail ordering
-    below maintains: slots 51-78 are the 28 r7-green non-core rows,
-    pre-positioned as the r10 window.  The tail (51+) stays
+    (stable, pytest-pinned).  Round-10 window (VERDICT r9 item 3):
+    slots 1-3 the three rows without an official driver green yet
+    (num_shuffle_files — newly ORACLED this round via a deterministic
+    maxRecordsPerFile layout, retiring the last rows-only query —
+    plus audio_dedup_flac and datasource_field_id, registered after
+    the r9 artifact), 4-31 the 28 rows whose newest official green
+    was r7 (the stale cohort the r9 artifact left behind), 32-50 the
+    19 oldest r8-green rows.  With 130 registered queries and a
+    50-slot window the full registry cycles officially in ~3 rounds,
+    so right after each artifact lands the round-minus-3 cohort reads
+    as >2-rounds-stale until its window comes up — the invariant that
+    matters is `stale_not_in_next_window: []` (every stale row is in
+    the upcoming window), which the tail ordering below maintains:
+    slots 51-80 are the 30 remaining r8-green rows, pre-positioned as
+    the r11 window alongside the core slots.  The tail (51+) stays
     value-checked every round via tools/check_oracles.py."""
     return {
-        # --- round-9 window (slots 1-50): slots 1-2 the two NEW
-        # log-lifecycle queries; 3-28 the 26 rows whose newest
-        # official green was r6 (stale after the r8 artifact); 29-50
+        # --- round-10 window (slots 1-50): slots 1-3 the three rows
+        # with no official driver row yet (num_shuffle_files newly
+        # ORACLED this round — deterministic maxRecordsPerFile layout;
+        # audio_dedup_flac + datasource_field_id registered after the
+        # r9 artifact), 4-31 the 28 rows whose newest official green
+        # was r7, 32-50 the 19 oldest r8-green rows.
+        "num_shuffle_files": _q_num_shuffle_files,
+        "audio_dedup_flac": _q_audio_dedup_flac,
+        "datasource_field_id": _q_datasource_field_id,
+        "ann_index_topk": _q_ann_index_topk,
+        "as_of_join": _q_as_of_join,
+        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
+        "corpus_stats": _q_corpus_stats,
+        "datasource_roundtrip": _q_datasource_roundtrip,
+        "dedup_clusters": _q_dedup_clusters,
+        "dv_update": _q_dv_update,
+        "embedding_dedup": _q_embedding_dedup,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "incremental_dedup": _q_incremental_dedup,
+        "knn_graph": _q_knn_graph,
+        "line_dedup": _q_line_dedup,
+        "merge_schema_evolution": _q_merge_schema_evolution,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "passage_dup_stats": _q_passage_dup_stats,
+        "pricing_summary": _q_pricing_summary,
+        "range_join": _q_range_join,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "shallow_clone": _q_shallow_clone,
+        "simhash_dedup": _q_simhash_dedup,
+        "similarity_topk": _q_similarity_topk,
+        "sql_dml": _q_sql_dml,
+        "stratified_sample": _q_stratified_sample,
+        "text_quality": _q_text_quality,
+        "token_count": _q_token_count,
+        "token_frequencies": _q_token_frequencies,
+        "top_orders": _q_top_orders,
+        "url_filter": _q_url_filter,
+        "ann_topk": _q_ann_topk,
+        "audio_dedup": _q_audio_dedup,
+        "bigram_perplexity": _q_bigram_perplexity,
+        "bm25_search": _q_bm25_search,
+        "bpe_token_count": _q_bpe_token_count,
+        "cdf_datasource": _q_cdf_datasource,
+        "cdx_index": _q_cdx_index,
+        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
+        "column_defaults": _q_column_defaults,
+        "corpus_overlap": _q_corpus_overlap,
+        "crawl_pipeline_e2e": _q_crawl_pipeline_e2e,
+        "create_table_ddl": _q_create_table_ddl,
+        "decoder_override_dedup": _q_decoder_override_dedup,
+        "domain_cap": _q_domain_cap,
+        "dsir_weights": _q_dsir_weights,
+        "dv_delete": _q_dv_delete,
+        "dv_merge": _q_dv_merge,
+        "encode_corpus": _q_encode_corpus,
+        "epoch_shuffle": _q_epoch_shuffle,
+        # --- tail (51+), pre-ordered for the NEXT rotations: first
+        # the 30 remaining r8-green rows (the r11 stale cohort), then
         # the 22 SURVEY core slots (every-other-round cadence, due
-        # since r7) incl. num_shuffle_files's deterministic twin.
+        # r11 — capacity fits 20, the last 2 roll to r12's top), then
+        # the 28 r9-green non-core rows (r12 cohort), then everything
+        # refreshed this round. All of 51+ stays value-checked every
+        # round via tools/check_oracles.py.
+        "gopher_quality": _q_gopher_quality,
+        "iceberg_convert": _q_iceberg_convert,
+        "identity_columns": _q_identity_columns,
+        "keyword_search": _q_keyword_search,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "liquid_clustering": _q_liquid_clustering,
+        "media_probe": _q_media_probe,
+        "merge_full_sync": _q_merge_full_sync,
+        "minhash_dedup": _q_minhash_dedup,
+        "mixture_weights": _q_mixture_weights,
+        "multimodal_decode": _q_multimodal_decode,
+        "nested_evolution": _q_nested_evolution,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "quality_dedup": _q_quality_dedup,
+        "reorg_purge_manifest": _q_reorg_purge_manifest,
+        "robots_filter": _q_robots_filter,
+        "row_tracking": _q_row_tracking,
+        "semantic_dedup": _q_semantic_dedup,
+        "sessionize": _q_sessionize,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_window_counts": _q_streaming_window_counts,
+        "substring_dedup": _q_substring_dedup,
+        "type_widening": _q_type_widening,
+        "uniform_iceberg": _q_uniform_iceberg,
+        "v2_checkpoint": _q_v2_checkpoint,
+        "variant_table": _q_variant_table,
+        "warc_ingest": _q_warc_ingest,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "type2_scd_upsert": _q_type2_scd_upsert,
+        "kill_duplicate_records": _q_kill_duplicate_records,
+        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
+        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
+        "copy_table": _q_copy_table,
+        "validate_append": _q_validate_append,
+        "append_without_duplicates": _q_append_without_duplicates,
+        "find_composite_key_candidate": _q_find_composite_key,
+        "with_md5_columns": _q_with_md5_columns,
+        "is_composite_key_candidate": _q_is_composite_key,
+        "delta_file_sizes": _q_delta_file_sizes,
+        "humanize_bytes": _q_humanize_bytes,
+        "file_size_distribution": _q_file_size_distribution,
+        "num_record_distribution": _q_num_record_distribution,
+        "operation_metrics": _q_operation_metrics,
+        "operation_metrics_partition": _q_operation_metrics_partition,
+        "read_cdf": _q_read_cdf,
+        "cdf_recovery": _q_cdf_recovery,
+        "cdf_status": _q_cdf_status,
+        "optimize_zorder": _q_optimize_zorder,
+        "optimize_compaction": _q_optimize_compaction,
+        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
         "log_cleanup": _q_log_cleanup,
         "fsck_crc_repair": _q_fsck_crc_repair,
         "bpe_train_merges": _q_bpe_train_merges,
@@ -3348,113 +3481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restore_roundtrip": _q_restore_roundtrip,
         "streaming_scd2": _q_streaming_scd2,
         "video_dedup": _q_video_dedup,
-        "type2_scd_upsert": _q_type2_scd_upsert,
-        "kill_duplicate_records": _q_kill_duplicate_records,
-        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
-        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
-        "copy_table": _q_copy_table,
-        "validate_append": _q_validate_append,
-        "append_without_duplicates": _q_append_without_duplicates,
-        "find_composite_key_candidate": _q_find_composite_key,
-        "with_md5_columns": _q_with_md5_columns,
-        "is_composite_key_candidate": _q_is_composite_key,
-        "delta_file_sizes": _q_delta_file_sizes,
-        "humanize_bytes": _q_humanize_bytes,
-        "file_size_distribution": _q_file_size_distribution,
-        "num_record_distribution": _q_num_record_distribution,
-        "operation_metrics": _q_operation_metrics,
-        "operation_metrics_partition": _q_operation_metrics_partition,
-        "read_cdf": _q_read_cdf,
-        "cdf_recovery": _q_cdf_recovery,
-        "cdf_status": _q_cdf_status,
-        "optimize_zorder": _q_optimize_zorder,
-        "optimize_compaction": _q_optimize_compaction,
-        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
-        # --- tail (51+), ordered for the NEXT rotation: first the 28
-        # r7-green non-core rows (they become the stale cohort once
-        # the r9 artifact lands -> they are the r10 window), then the
-        # rows-only num_shuffle_files and the r8-green cohort. All of
-        # 51+ stays value-checked every round via tools/check_oracles.py.
-        "ann_index_topk": _q_ann_index_topk,
-        "as_of_join": _q_as_of_join,
-        "clean_corpus_fuzzy": _q_clean_corpus_fuzzy,
-        "corpus_stats": _q_corpus_stats,
-        "datasource_roundtrip": _q_datasource_roundtrip,
-        "datasource_field_id": _q_datasource_field_id,
-        "dedup_clusters": _q_dedup_clusters,
-        "dv_update": _q_dv_update,
-        "embedding_dedup": _q_embedding_dedup,
-        "exact_dedup_documents": _q_exact_dedup_documents,
-        "incremental_dedup": _q_incremental_dedup,
-        "knn_graph": _q_knn_graph,
-        "line_dedup": _q_line_dedup,
-        "merge_schema_evolution": _q_merge_schema_evolution,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "passage_dup_stats": _q_passage_dup_stats,
-        "pricing_summary": _q_pricing_summary,
-        "range_join": _q_range_join,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "shallow_clone": _q_shallow_clone,
-        "simhash_dedup": _q_simhash_dedup,
-        "similarity_topk": _q_similarity_topk,
-        "sql_dml": _q_sql_dml,
-        "stratified_sample": _q_stratified_sample,
-        "text_quality": _q_text_quality,
-        "token_count": _q_token_count,
-        "token_frequencies": _q_token_frequencies,
-        "top_orders": _q_top_orders,
-        "url_filter": _q_url_filter,
-        "quality_dedup": _q_quality_dedup,
-        "nested_evolution": _q_nested_evolution,
-        "merge_full_sync": _q_merge_full_sync,
-        "num_shuffle_files": _q_num_shuffle_files,
-        "decoder_override_dedup": _q_decoder_override_dedup,
-        "reorg_purge_manifest": _q_reorg_purge_manifest,
-        "uniform_iceberg": _q_uniform_iceberg,
-        "domain_cap": _q_domain_cap,
-        "dsir_weights": _q_dsir_weights,
-        "iceberg_convert": _q_iceberg_convert,
-        "corpus_overlap": _q_corpus_overlap,
-        "media_probe": _q_media_probe,
-        "warc_ingest": _q_warc_ingest,
-        "cdx_index": _q_cdx_index,
-        "robots_filter": _q_robots_filter,
-        "crawl_pipeline_e2e": _q_crawl_pipeline_e2e,
-        "cdf_datasource": _q_cdf_datasource,
-        "column_ddl_lifecycle": _q_column_ddl_lifecycle,
-        "create_table_ddl": _q_create_table_ddl,
-        "dv_delete": _q_dv_delete,
-        "sessionize": _q_sessionize,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "audio_dedup": _q_audio_dedup,
-        "audio_dedup_flac": _q_audio_dedup_flac,
-        "bigram_perplexity": _q_bigram_perplexity,
-        "bm25_search": _q_bm25_search,
-        "column_defaults": _q_column_defaults,
-        "dv_merge": _q_dv_merge,
-        "encode_corpus": _q_encode_corpus,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "gopher_quality": _q_gopher_quality,
-        "identity_columns": _q_identity_columns,
-        "keyword_search": _q_keyword_search,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "liquid_clustering": _q_liquid_clustering,
-        "minhash_dedup": _q_minhash_dedup,
-        "mixture_weights": _q_mixture_weights,
-        "multimodal_decode": _q_multimodal_decode,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "row_tracking": _q_row_tracking,
-        "semantic_dedup": _q_semantic_dedup,
-        "streaming_cdc_apply": _q_streaming_cdc_apply,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_sessionize": _q_streaming_sessionize,
-        "streaming_window_counts": _q_streaming_window_counts,
-        "substring_dedup": _q_substring_dedup,
-        "type_widening": _q_type_widening,
-        "v2_checkpoint": _q_v2_checkpoint,
-        "variant_table": _q_variant_table,
-        "ann_topk": _q_ann_topk,
-        "bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -5070,6 +5096,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, CAST(1 AS BIGINT) AS num_of_parquet_files,
                    CAST(COUNT(*) AS DOUBLE) AS mean_num_records_in_files
             FROM orders GROUP BY o_orderstatus
+        """,
+        "num_shuffle_files": """
+            WITH numbered AS (
+                SELECT o_orderstatus AS s, o_orderkey AS k,
+                       CAST(FLOOR((ROW_NUMBER() OVER (
+                           PARTITION BY o_orderstatus ORDER BY o_orderkey
+                       ) - 1) / 2000) AS BIGINT) AS f
+                FROM orders
+            ), files AS (
+                -- one row per written parquet file: the writer receives
+                -- rows sorted by (status, orderkey) with
+                -- maxRecordsPerFile=2000, so file f of status s is the
+                -- f-th 2000-row chunk of that status's sorted keys
+                SELECT s, f, MAX(k) AS max_k FROM numbered GROUP BY s, f
+            ), m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                       CAST(COUNT(*) FILTER (WHERE s = 'F' AND max_k >= 1000)
+                            AS BIGINT) AS overall_n,
+                       CAST(COUNT(*) FILTER (WHERE max_k >= 1000)
+                            AS BIGINT) AS minmax_n,
+                       CAST(COUNT(*) FILTER (WHERE s = 'F') AS BIGINT) AS eq_n
+                FROM files
+            )
+            SELECT 'OVERALL RESOLVED CONDITION => [ (o_orderstatus = ''F'') and (o_orderkey >= 1000) ]' AS metric,
+                   overall_n AS num_files FROM m
+            UNION ALL SELECT 'GREATER THAN / LESS THAN PART => [ (o_orderkey >= 1000) ]', minmax_n FROM m
+            UNION ALL SELECT 'EQUALS/EQUALS NULL SAFE PART => [ (o_orderstatus = ''F'') ]', eq_n FROM m
+            UNION ALL SELECT 'LEFT OVER PART => [ Empty ]', total FROM m
+            UNION ALL SELECT 'UNRESOLVED PART => [ Empty ]', total FROM m
+            UNION ALL SELECT 'TOTAL_NUM_FILES_IN_DELTA_TABLE =>', total FROM m
         """,
         "shuffle_files_deterministic": """
             SELECT metric, CAST(num_files AS BIGINT) AS num_files FROM (VALUES

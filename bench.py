@@ -167,7 +167,19 @@ def main() -> None:
         dt = time.time() - t0
         cal_best = dt if cal_best is None else min(cal_best, dt)
     timings["calibration"] = round(cal_best, 3)
-    print(f"# calibration: {cal_best:.3f}s", file=sys.stderr)
+    # Reference calibration cost on a QUIET machine (builder clean runs,
+    # r8/r9: 0.30-0.35 s). norm_factor = CAL_REF / measured scales every
+    # timing to quiet-machine terms, so an artifact captured on a loaded
+    # box carries its own drift correction instead of reading as a
+    # regression (VERDICT r9: the driver's r9 capture ran at 0.60 s
+    # calibration and showed +28% that a clean re-run didn't reproduce).
+    CAL_REF = 0.301
+    norm_factor = min(CAL_REF / cal_best, 1.0) if cal_best > 0 else 1.0
+    print(
+        f"# calibration: {cal_best:.3f}s (quiet-machine ref {CAL_REF}s, "
+        f"normalization x{norm_factor:.3f})",
+        file=sys.stderr,
+    )
     # Each query runs twice and the faster run is reported: the first
     # execution pays per-query whole-stage-codegen compilation and any
     # ambient machine noise; the min is the steady-state cost a warmed
@@ -266,16 +278,78 @@ def main() -> None:
     except Exception as e:
         notes["streaming_cost_split"] = {"error": str(e)}
 
+    # Media codec throughput (VERDICT r9 item 7): the pure-Python
+    # codecs are a THROUGHPUT ceiling, not a correctness issue — put a
+    # number on it every round, next to the cost of routing around it
+    # (decoder_overrides dispatch with a no-op external decoder, the
+    # seam a libjpeg-turbo/ffmpeg deployment plugs into).
+    try:
+        import numpy as _np
+
+        from jodie_spark.operators.codecs import (
+            decode_image,
+            encode_bmp,
+            encode_jpeg,
+            encode_png,
+        )
+
+        _rng = _np.random.default_rng(42)
+        _imgs = [
+            _rng.integers(0, 256, (64, 48, 3), dtype=_np.uint8) for _ in range(64)
+        ]
+        media = {}
+        for label, blobs, overrides in (
+            ("jpeg_pure_python", [encode_jpeg(p, quality=90) for p in _imgs], None),
+            ("png_pure_python", [encode_png(p) for p in _imgs], None),
+            ("bmp_pure_python", [encode_bmp(p) for p in _imgs], None),
+            (
+                "jpeg_override_dispatch_noop",
+                [encode_jpeg(p, quality=90) for p in _imgs],
+                {"jpeg": lambda b: _imgs[0]},
+            ),
+        ):
+            t0 = time.time()
+            for b in blobs:
+                decode_image(b, overrides=overrides) if overrides else decode_image(b)
+            dt = max(time.time() - t0, 1e-9)
+            media[label] = {
+                "images_per_sec": round(len(blobs) / dt, 1),
+                "mpix_per_sec": round(len(blobs) * 64 * 48 / dt / 1e6, 3),
+            }
+        media["note"] = (
+            "per-core, 64x48 RGB; libjpeg-turbo decodes ~100-300 MPix/s/core "
+            "(public benchmarks) vs the pure-Python JPEG path — route JPEG-"
+            "heavy corpora through decoder_overrides at scale (SCALE.md)"
+        )
+        notes["media_decode_throughput"] = media
+    except Exception as e:
+        notes["media_decode_throughput"] = {"error": str(e)}
+
     # Full document (3-dp timings + phase notes) goes to a sidecar file;
     # stdout's FINAL line is a compact JSON document small enough to
     # survive the driver's tail capture (~2000 chars) intact, so the
     # official BENCH_r{N}.json artifact always parses (VERDICT r7 item
     # 2: r6/r7 artifacts had parsed=null with the front truncated).
+    notes["calibration_normalization"] = {
+        "cal_ref_sec": CAL_REF,
+        "cal_measured_sec": round(cal_best, 3),
+        "norm_factor": round(norm_factor, 4),
+        "note": (
+            "normalized = raw * norm_factor; factor capped at 1.0 so a "
+            "faster-than-reference machine never inflates its numbers"
+        ),
+    }
     full_doc = {
         "metric": "jodie_spark_bench_total",
         "value": round(total, 3),
+        "value_normalized": round(total * norm_factor, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": {
+            k: round(v * norm_factor, 3)
+            for k, v in timings.items()
+            if k != "calibration"
+        },
         "sf": sf,
         "notes": notes,
     }
@@ -293,6 +367,8 @@ def main() -> None:
     compact = {
         "metric": "jodie_spark_bench_total",
         "value": round(total, 2),
+        "value_normalized": round(total * norm_factor, 2),
+        "norm_factor": round(norm_factor, 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,

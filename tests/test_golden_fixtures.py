@@ -9,7 +9,14 @@ the provenance gap stays visible instead of silently green.
 
 In-sandbox interop evidence lives in tests/test_interop.py +
 tests/interop_golden.py (spec-transcribed fabricated logs, both
-directions); THIS lane is the delta-spark-bytes trust closure."""
+directions — since round 10 including the one-log COMBO this lane
+targets: test_reads_foreign_combo_dv_cmapid_v2cp_ict covers DV +
+column-mapping-id + v2 checkpoint + ICT in a single fabricated log);
+THIS lane is the delta-spark-bytes trust closure. Round-10 check
+confirmed real delta-spark remains unobtainable here (pip/Maven both
+network-blocked, no jars on disk), so the skips stay BY DESIGN rather
+than being faked with hand-built fixtures that would launder
+spec-transcribed bytes into delta-spark provenance."""
 
 import os
 

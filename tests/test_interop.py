@@ -633,3 +633,183 @@ def test_independent_dv_serializers_agree(spark):
         assert parse_roaring_bitmap_array(foreign) == sorted(positions)
         ours = serialize_roaring_bitmap_array(sorted(positions))
         assert parse_roaring_bitmap_array(ours) == sorted(positions)
+
+
+def test_reads_foreign_combo_dv_cmapid_v2cp_ict(spark, tmpdir_path):
+    """The one-log combination the delta-spark golden lane targets
+    (tests/test_golden_fixtures.py::test_combo_dv_cmapid_v2cp_ict),
+    spec-transcribed here since delta-spark cannot run in-sandbox:
+    column mapping mode=id (parquet names deliberately mismatched,
+    only field ids line up) + a logical RENAME + a 'u'-storage
+    deletion vector + a v2 checkpoint with sidecars (pre-checkpoint
+    JSONs deleted) + monotonic inCommitTimestamps — one foreign log,
+    every feature interacting. Then our own DML commits on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.table import DeltaTable
+
+    t = os.path.join(tmpdir_path, "foreign_combo")
+    log_dir = os.path.join(t, "_delta_log")
+    os.makedirs(log_dir)
+
+    def fid(name, typ, i):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(i).encode()})
+
+    arrow_schema = pa.schema([fid("zz_one", pa.int64(), 1), fid("zz_two", pa.int64(), 2)])
+
+    def fid_parquet(rel, ids):
+        tbl = pa.table(
+            {"zz_one": pa.array(ids, pa.int64()),
+             "zz_two": pa.array([i * 10 for i in ids], pa.int64())},
+            schema=arrow_schema,
+        )
+        pq.write_table(tbl, os.path.join(t, rel))
+        return {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    def fmeta(cid, phys):
+        return {"delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": phys}
+
+    def cm_schema(v_logical):
+        return json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": fmeta(1, "col-aa")},
+                {"name": v_logical, "type": "long", "nullable": True,
+                 "metadata": fmeta(2, "col-bb")},
+            ],
+        })
+
+    def meta_action(v_logical):
+        return {
+            "id": "combo1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": cm_schema(v_logical),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+                "delta.enableInCommitTimestamps": "true",
+            },
+            "createdTime": 1700000000000,
+        }
+
+    proto = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "deletionVectors", "v2Checkpoint"],
+        "writerFeatures": ["columnMapping", "deletionVectors", "v2Checkpoint",
+                           "inCommitTimestamp"],
+    }
+
+    def ict_ci(op, ts):
+        return {"commitInfo": {"operation": op, "operationParameters": {},
+                               "timestamp": ts, "inCommitTimestamp": ts,
+                               "engineInfo": "foreign-writer"}}
+
+    a1 = fid_parquet("part-a.parquet", [0, 1, 2, 3, 4])
+    a2 = fid_parquet("part-b.parquet", [5, 6, 7])
+    write_commit(t, 0, [ict_ci("WRITE", 1700000001000),
+                        {"protocol": proto}, {"metaData": meta_action("v")},
+                        {"add": a1}, {"add": a2}])
+    # v1: logical rename v -> val (physical col-bb unchanged)
+    write_commit(t, 1, [ict_ci("RENAME COLUMN", 1700000002000),
+                        {"metaData": meta_action("val")}])
+    # v2: DV delete of id=3 (row position 3 of part-a)
+    desc = write_dv(t, [3], prefix="ab")
+    a1_dv = dict(a1, deletionVector=desc, dataChange=False)
+    write_commit(t, 2, [ict_ci("DELETE", 1700000003000),
+                        {"remove": {"path": a1["path"],
+                                    "deletionTimestamp": 1700000003000,
+                                    "dataChange": True}},
+                        {"add": a1_dv}])
+
+    # v2 CHECKPOINT at version 2: manifest + two sidecars, then the
+    # covered JSONs deleted — state must reconstruct from the manifest
+    str_map = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct([
+        ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", str_map),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+        ("deletionVector", dv_t),
+    ])
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir)
+    side_names = []
+    for chunk in ([a1_dv], [a2]):
+        nm = f"{uuid.uuid4()}.parquet"
+        rows = [{"add": {
+            "path": a["path"], "partitionValues": {}, "size": a["size"],
+            "modificationTime": 0, "dataChange": False, "stats": None,
+            "deletionVector": a.get("deletionVector"),
+        }} for a in chunk]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa.schema([("add", add_t)])),
+            os.path.join(sidecar_dir, nm),
+        )
+        side_names.append(nm)
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()), ("options", str_map)])),
+        ("schemaString", pa.string()), ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", str_map), ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    manifest_rows = [
+        {"protocol": proto},
+        {"metaData": meta_action("val")},
+        {"checkpointMetadata": {"version": 2}},
+    ] + [{"sidecar": {"path": nm,
+                      "sizeInBytes": os.path.getsize(os.path.join(sidecar_dir, nm)),
+                      "modificationTime": 0}} for nm in side_names]
+    manifest_schema = pa.schema([
+        ("protocol", proto_t), ("metaData", meta_t),
+        ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+        ("sidecar", pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64()),
+                               ("modificationTime", pa.int64())])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(manifest_rows, schema=manifest_schema),
+        os.path.join(log_dir, f"{2:020d}.checkpoint.{uuid.uuid4()}.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 2}))
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    # v3: post-rename, post-checkpoint foreign append
+    a3 = fid_parquet("part-c.parquet", [8])
+    write_commit(t, 3, [ict_ci("WRITE", 1700000004000), {"add": a3}])
+
+    table = DeltaTable.forPath(spark, t)
+    df = table.toDF()
+    assert "val" in df.columns and "v" not in df.columns  # rename visible
+    got = {r["id"]: r["val"] for r in df.collect()}
+    assert 3 not in got           # DV-deleted through the v2cp sidecar
+    assert got[8] == 80           # post-rename append
+    assert len(got) == 8
+    # ICT history: non-decreasing oldest-first (only the JSON tail
+    # survives log cleanup, delta parity)
+    ts = [r["timestamp"] for r in table.history().collect()][::-1]
+    assert ts == sorted(ts)
+
+    # and OUR engine can commit DML on top of the foreign combo state
+    table.delete("id = 0")
+    got2 = {r["id"]: r["val"] for r in DeltaTable.forPath(spark, t).toDF().collect()}
+    assert 0 not in got2 and len(got2) == 7 and got2[8] == 80
