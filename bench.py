@@ -158,8 +158,11 @@ def main() -> None:
     # Its cost depends only on the machine, so round-over-round drift in
     # "calibration" separates ambient machine slowdown from real query
     # regressions (VERDICT r7 item 3).
+    # 5 samples: the JIT/shuffle floor settles around run 4 on an idle
+    # machine (round-10 probe: 1.53/0.54/0.47/0.39/0.36/0.36) — a
+    # 3-sample min over-reads the floor by ~15% and under-normalizes
     cal_best = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         spark.range(0, 20_000_000, 1, 32).selectExpr(
             "id % 97 as k", "id as v"
