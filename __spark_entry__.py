@@ -3314,6 +3314,26 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration
 # ---------------------------------------------------------------------------
 
+def _q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter incremental dedup (round 10): seen set =
+    every doc_id % 3 == 0 fingerprint, new batch = the whole corpus;
+    keep the probably-new rows. Bloom membership is DETERMINISTIC —
+    positions are md5 hex arithmetic identical in Spark and DuckDB
+    (operators/bloom.py module doc), so the oracle reproduces the kept
+    set exactly, false positives included. No seen row can survive
+    (Bloom never false-negatives); the probe is a zero-shuffle
+    broadcast test, the 100 TB path where dedup_against's anti-join
+    would shuffle the billion-row seen set every batch."""
+    from jodie_spark.operators.bloom import bloom_filter_new, build_bloom
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter("doc_id % 3 = 0").selectExpr("md5(text) as fp")
+    bloom = build_bloom(seen, "fp", n_bits=1 << 18, n_hashes=5)
+    new = docs.selectExpr("doc_id", "md5(text) as fp")
+    return bloom_filter_new(new, bloom, "fp").select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering matters: the correctness driver checks the first 50
     entries (dict insertion order).  Every registered query has at
@@ -3338,12 +3358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r11 window alongside the core slots.  The tail (51+) stays
     value-checked every round via tools/check_oracles.py."""
     return {
-        # --- round-10 window (slots 1-50): slots 1-3 the three rows
+        # --- round-10 window (slots 1-50): slot 1 the NEW bloom
+        # operator (registered this round), slots 2-4 the three rows
         # with no official driver row yet (num_shuffle_files newly
         # ORACLED this round — deterministic maxRecordsPerFile layout;
         # audio_dedup_flac + datasource_field_id registered after the
         # r9 artifact), 4-31 the 28 rows whose newest official green
         # was r7, 32-50 the 19 oldest r8-green rows.
+        "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
         "audio_dedup_flac": _q_audio_dedup_flac,
         "datasource_field_id": _q_datasource_field_id,
@@ -3393,8 +3415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_delete": _q_dv_delete,
         "dv_merge": _q_dv_merge,
         "encode_corpus": _q_encode_corpus,
+        # --- tail (51+), pre-ordered for the NEXT rotations:
+        # epoch_shuffle first (displaced from slot 50 by the new bloom
+        # query), then
         "epoch_shuffle": _q_epoch_shuffle,
-        # --- tail (51+), pre-ordered for the NEXT rotations: first
         # the 30 remaining r8-green rows (the r11 stale cohort), then
         # the 22 SURVEY core slots (every-other-round cadence, due
         # r11 — capacity fits 20, the last 2 roll to r12's top), then
@@ -3767,8 +3791,34 @@ def _q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable.forPath(spark, t.path).toDF()
 
 
+def _bloom_oracle_sql() -> str:
+    """Exact Bloom membership in DuckDB: the position arithmetic comes
+    from the SAME helper the Spark side pins its arithmetic to
+    (operators/bloom.py::bloom_oracle_sql_positions), so the two can
+    only drift together. A doc survives iff ANY of its 5 positions is
+    unset in the seen bitmap — false positives reproduce exactly."""
+    from jodie_spark.operators.bloom import bloom_oracle_sql_positions
+
+    pos = bloom_oracle_sql_positions("fp", n_bits=1 << 18, n_hashes=5)
+    return f"""
+        WITH seen AS (
+            SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+        ), seen_pos AS (
+            SELECT DISTINCT unnest({pos}) AS pos FROM seen
+        ), probe AS (
+            SELECT doc_id, unnest({pos}) AS pos
+            FROM (SELECT doc_id, md5(text) AS fp FROM documents)
+        )
+        SELECT p.doc_id
+        FROM probe p LEFT JOIN seen_pos s ON p.pos = s.pos
+        GROUP BY p.doc_id
+        HAVING COUNT(*) FILTER (WHERE s.pos IS NULL) > 0
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bloom_incremental_dedup": _bloom_oracle_sql(),
         "bpe_train_merges": _bpe_oracle_sql(n_merges=6, top_words=300),
         "html_extract": r"""
             WITH pages AS (

@@ -93,6 +93,7 @@ def main() -> None:
         "line_dedup",
         "pack_sequences",
         "incremental_dedup",
+        "bloom_incremental_dedup",
         "pq_topk",
         "ann_index_topk",
         "epoch_shuffle",

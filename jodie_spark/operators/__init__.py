@@ -17,6 +17,12 @@ from jodie_spark.operators.helpers import (
     validate_append,
     with_md5_columns,
 )
+from jodie_spark.operators.bloom import (
+    BloomFilter,
+    bloom_filter_new,
+    build_bloom,
+    optimal_geometry,
+)
 from jodie_spark.operators.chunking import chunk_documents
 from jodie_spark.operators.contamination import contamination_check, decontaminate
 from jodie_spark.operators.sampling import (
@@ -89,6 +95,10 @@ from jodie_spark.operators.sampling import epoch_shuffle, mixture_weights
 from jodie_spark.operators.semantic_dedup import semantic_candidate_pairs, semantic_dedup
 
 __all__ = [
+    "BloomFilter",
+    "bloom_filter_new",
+    "build_bloom",
+    "optimal_geometry",
     "append_without_duplicates",
     "chunk_documents",
     "connected_component_reps",

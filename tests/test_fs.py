@@ -99,7 +99,12 @@ def test_arrow_fs_adapter_over_file_uris(tmpdir_path):
     assert fs.read_bytes(p) == b"abc"
     assert fs.listdir(base + "/d") == ["x.bin"]
     assert fs.mtime_ms(p) > 0
-    fs.create_exclusive(base + "/d/y.bin", b"zz")
+    from jodie_spark import fs as fsmod
+
+    fsmod._UNSAFE_COMMIT_WARNED.discard("file")  # warning is once-per-scheme
+    with pytest.warns(UserWarning, match="NON-ATOMIC"):  # expected: see
+        # test_arrow_fs_create_exclusive_warns for the dedicated check
+        fs.create_exclusive(base + "/d/y.bin", b"zz")
     with pytest.raises(FileExistsError):
         fs.create_exclusive(base + "/d/y.bin", b"other")
     fs.rename(base + "/d/y.bin", base + "/d/z.bin")
