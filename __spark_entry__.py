@@ -3342,13 +3342,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first, as computed by ``tools/check_oracles.py --freshness``).
     The 22 SURVEY §2 core slots run on an EVERY-OTHER-ROUND cadence
     (stable, pytest-pinned).  Round-10 window (VERDICT r9 item 3):
-    slots 1-3 the three rows without an official driver green yet
+    slot 1 the NEW bloom_incremental_dedup (registered this round),
+    slots 2-4 the three rows without an official driver green yet
     (num_shuffle_files — newly ORACLED this round via a deterministic
     maxRecordsPerFile layout, retiring the last rows-only query —
     plus audio_dedup_flac and datasource_field_id, registered after
-    the r9 artifact), 4-31 the 28 rows whose newest official green
-    was r7 (the stale cohort the r9 artifact left behind), 32-50 the
-    19 oldest r8-green rows.  With 130 registered queries and a
+    the r9 artifact), 5-32 the 28 rows whose newest official green
+    was r7 (the stale cohort the r9 artifact left behind), 33-50 the
+    18 oldest r8-green rows (epoch_shuffle, displaced by the bloom
+    slot, leads the tail at 51).  With 131 registered queries and a
     50-slot window the full registry cycles officially in ~3 rounds,
     so right after each artifact lands the round-minus-3 cohort reads
     as >2-rounds-stale until its window comes up — the invariant that
@@ -3363,8 +3365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with no official driver row yet (num_shuffle_files newly
         # ORACLED this round — deterministic maxRecordsPerFile layout;
         # audio_dedup_flac + datasource_field_id registered after the
-        # r9 artifact), 4-31 the 28 rows whose newest official green
-        # was r7, 32-50 the 19 oldest r8-green rows.
+        # r9 artifact), 5-32 the 28 rows whose newest official green
+        # was r7, 33-50 the 18 oldest r8-green rows (epoch_shuffle,
+        # displaced by the bloom slot, leads the tail at 51).
         "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
         "audio_dedup_flac": _q_audio_dedup_flac,

@@ -630,8 +630,8 @@ class ArrowFileSystem(FileSystem):
             except Exception:
                 try:
                     fs.delete_file(tmp)
-                finally:
-                    pass
+                except Exception:
+                    pass  # report the move failure, not the cleanup's
                 raise
             return
         with fs.open_output_stream(inner) as out:

@@ -141,24 +141,27 @@ def build_bloom(
     n_bytes = n_bits // 8
 
     def _bitmaps(batches):
+        # one pass yields both the bitmap AND the item count — a
+        # separate count() would be a second full scan of the seen set
         bitmap = np.zeros(n_bytes, np.uint8)
-        saw = False
+        n = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            saw = True
+            n += len(pdf)
             pos = np.concatenate(pdf["__pos__"].to_numpy()).astype(np.int64)
             np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        if saw:
+        if n:
             import pandas as pd
 
-            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()], "n": [n]})
 
-    parts = pos_df.mapInPandas(_bitmaps, "bitmap binary").collect()
+    parts = pos_df.mapInPandas(_bitmaps, "bitmap binary, n long").collect()
     out = np.zeros(n_bytes, np.uint8)
+    n_items = 0
     for row in parts:
         out |= np.frombuffer(row["bitmap"], np.uint8)
-    n_items = df.filter(F.col(col).isNotNull()).count()
+        n_items += row["n"]
     return BloomFilter(out.tobytes(), n_bits, n_hashes, n_items)
 
 

@@ -262,7 +262,9 @@ def write_dv_file(path: str, positions: list[int], **ser_kw: Any) -> dict[str, A
         # implicit-dir parity with the object-store branch: a store
         # whose data plane translates to a local root (the S3-semantics
         # fake) never makedirs driver-side, so create parents here
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(path, "wb") as fh:
             fh.write(payload)
     else:
