@@ -3314,6 +3314,42 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration
 # ---------------------------------------------------------------------------
 
+def _q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH index probe (round 10): fuzzy incremental
+    dedup against a corpus indexed ONCE. Same oracle discipline as
+    simhash_dedup: restrict to documents with no true near-dup partner
+    (signature agreement for fuzzy pairs is data-dependent, not
+    SQL-expressible), index the even half, probe the odd half plus
+    exact text clones of indexed docs. At threshold 1.0 the matches
+    are exactly the planted clones (agreement 1.0 by construction;
+    restricted naturals sit at Jaccard < 0.5) — closed-form in doc_id."""
+    from jodie_spark.operators.minhash_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    paired = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    base = docs.join(paired, "doc_id", "left_anti").localCheckpoint(eager=False)
+    corpus = base.filter("doc_id % 2 = 0")
+    idx = _tmp("mhidx")
+    build_minhash_index(corpus, "text", "doc_id", idx)
+    clones = corpus.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    batch = base.filter("doc_id % 2 = 1").unionByName(clones)
+    return query_minhash_index(
+        spark, idx, batch, "text", "doc_id", threshold=1.0
+    ).select("new_id", "index_id", "est_jaccard")
+
+
 def _q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast Bloom-filter incremental dedup (round 10): seen set =
     every doc_id % 3 == 0 fingerprint, new batch = the whole corpus;
@@ -3419,8 +3455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_merge": _q_dv_merge,
         "encode_corpus": _q_encode_corpus,
         # --- tail (51+), pre-ordered for the NEXT rotations:
-        # epoch_shuffle first (displaced from slot 50 by the new bloom
+        # the NEW minhash_index_probe (registered this round, r11-window
+        # bound) and epoch_shuffle (displaced from slot 50 by the bloom
         # query), then
+        "minhash_index_probe": _q_minhash_index_probe,
         "epoch_shuffle": _q_epoch_shuffle,
         # the 30 remaining r8-green rows (the r11 stale cohort), then
         # the 22 SURVEY core slots (every-other-round cadence, due
@@ -3822,6 +3860,19 @@ def _bloom_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bloom_incremental_dedup": _bloom_oracle_sql(),
+        "minhash_index_probe": f"""
+            WITH {_jaccard_pairs_cte()},
+            paired AS (
+                SELECT id_a AS id FROM dup_pairs UNION SELECT id_b FROM dup_pairs
+            ), base AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id NOT IN (SELECT id FROM paired)
+            )
+            SELECT CAST(doc_id + 100000 AS BIGINT) AS new_id,
+                   doc_id AS index_id,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        """,
         "bpe_train_merges": _bpe_oracle_sql(n_merges=6, top_words=300),
         "html_extract": r"""
             WITH pages AS (

@@ -94,6 +94,7 @@ def main() -> None:
         "pack_sequences",
         "incremental_dedup",
         "bloom_incremental_dedup",
+        "minhash_index_probe",
         "pq_topk",
         "ann_index_topk",
         "epoch_shuffle",

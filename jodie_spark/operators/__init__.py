@@ -24,6 +24,12 @@ from jodie_spark.operators.bloom import (
     optimal_geometry,
 )
 from jodie_spark.operators.chunking import chunk_documents
+from jodie_spark.operators.minhash_index import (
+    append_to_minhash_index,
+    build_minhash_index,
+    minhash_index_filter_new,
+    query_minhash_index,
+)
 from jodie_spark.operators.contamination import contamination_check, decontaminate
 from jodie_spark.operators.sampling import (
     deterministic_sample,
@@ -96,6 +102,10 @@ from jodie_spark.operators.semantic_dedup import semantic_candidate_pairs, seman
 
 __all__ = [
     "BloomFilter",
+    "append_to_minhash_index",
+    "build_minhash_index",
+    "minhash_index_filter_new",
+    "query_minhash_index",
     "bloom_filter_new",
     "build_bloom",
     "optimal_geometry",

@@ -1,0 +1,236 @@
+"""Persisted MinHash-LSH index: fuzzy incremental dedup against a
+corpus that is NOT recomputed per batch.
+
+The incremental-dedup family so far is exact-identity only:
+``dedup_against`` anti-joins fingerprints, ``operators/bloom.py``
+probes a fingerprint sketch. A recurring-crawl pipeline also needs the
+NEAR-dup question — "is this new document a fuzzy duplicate of
+anything in the 100 TB historical corpus?" — without re-minhashing or
+reshuffling the corpus every batch. Same move as
+``operators/ann_index.py``: pay one pass to persist the index as Delta
+tables, then every probe touches only the new batch.
+
+Layout under ``index_path``:
+
+- ``postings/``  — (band, bucket, id), PARTITIONED BY band. LSH
+  banding: documents sharing any (band, bucket) are candidates.
+- ``signatures/`` — (id, sig array<long>), one row per indexed doc,
+  for the verify step (estimated Jaccard = fraction of agreeing
+  signature components, a standard unbiased MinHash estimate).
+
+Model parameters (num_hashes / bands / shingle_size) are persisted as
+table properties on the postings table — the index is self-describing
+and probes REFUSE on a geometry mismatch instead of silently hashing
+into a different space.
+
+Probe shape (the scale argument): the new batch is the SMALL side, so
+its banded keys broadcast; the postings and signature scans stay
+shuffle-free on the corpus side (plan-contract-tested). Signature
+agreement is computed in whole-stage codegen (zip_with + filter), no
+Python. Growing the corpus is an APPEND of postings + signatures —
+no rebuild, Delta-atomic.
+
+No reference counterpart (jodie's dedup surface is exact,
+DeltaHelpers.scala:243-330); this extends it the way a training-data
+pipeline needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jodie_spark.operators.text_dedup import (
+    _banded,
+    _word_tokens,
+    minhash_signature_from_word_hashes,
+)
+
+_PROP_NUM_HASHES = "jodie.minhash.num_hashes"
+_PROP_BANDS = "jodie.minhash.bands"
+_PROP_SHINGLE = "jodie.minhash.shingle_size"
+
+
+def _postings_path(index_path: str) -> str:
+    from jodie_spark.fs import get_fs
+
+    return get_fs(index_path).join(index_path, "postings")
+
+
+def _signatures_path(index_path: str) -> str:
+    from jodie_spark.fs import get_fs
+
+    return get_fs(index_path).join(index_path, "signatures")
+
+
+def _signed(df: DataFrame, text_col: str, id_col: str,
+            num_hashes: int, bands: int, shingle_size: int) -> DataFrame:
+    """(id, sig, banded) for each document — one Arrow-vectorized pass."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                _word_tokens(F.col(text_col)), lambda w: F.xxhash64(w)
+            ).alias("wh"),
+        )
+        .withColumn(
+            "sig",
+            minhash_signature_from_word_hashes(
+                F.col("wh"), num_hashes, shingle_size
+            ),
+        )
+        .select("id", "sig", _banded(F.col("sig"), num_hashes, bands).alias("bb"))
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    mode: str = "error",
+) -> None:
+    """One pass over the corpus → postings (partitioned by band) +
+    signatures, geometry persisted as table properties."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    from jodie_spark.tables.table import write_delta
+
+    signed = _signed(df, text_col, id_col, num_hashes, bands, shingle_size)
+    props = {
+        _PROP_NUM_HASHES: str(num_hashes),
+        _PROP_BANDS: str(bands),
+        _PROP_SHINGLE: str(shingle_size),
+    }
+    write_delta(
+        signed.select(
+            "id", F.explode("bb").alias("bb")
+        ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"),
+        _postings_path(index_path),
+        partition_by=["band"],
+        mode=mode,
+        options=props,
+    )
+    write_delta(
+        signed.select("id", "sig"),
+        _signatures_path(index_path),
+        mode=mode,
+        options=props,
+    )
+
+
+def _index_geometry(spark: SparkSession, index_path: str) -> tuple[int, int, int]:
+    from jodie_spark.tables.table import DeltaTable
+
+    cfg = DeltaTable.forPath(spark, _postings_path(index_path)).snapshot().configuration
+    try:
+        return (
+            int(cfg[_PROP_NUM_HASHES]),
+            int(cfg[_PROP_BANDS]),
+            int(cfg[_PROP_SHINGLE]),
+        )
+    except KeyError as e:
+        raise ValueError(
+            f"{index_path!r} is not a minhash index (missing {e} property) — "
+            "build one with build_minhash_index"
+        ) from None
+
+
+def append_to_minhash_index(
+    df: DataFrame, text_col: str, id_col: str, index_path: str
+) -> None:
+    """Grow the index with new documents — an APPEND using the
+    PERSISTED geometry (never the caller's idea of it), no rebuild."""
+    from jodie_spark.tables.table import write_delta
+
+    num_hashes, bands, shingle_size = _index_geometry(
+        df.sparkSession, index_path
+    )
+    signed = _signed(df, text_col, id_col, num_hashes, bands, shingle_size)
+    write_delta(
+        signed.select("id", F.explode("bb").alias("bb"))
+        .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"),
+        _postings_path(index_path),
+        partition_by=["band"],
+        mode="append",
+    )
+    write_delta(signed.select("id", "sig"), _signatures_path(index_path), mode="append")
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup matches of the new batch against the indexed corpus:
+    ``(new_id, index_id, est_jaccard)`` with ``est_jaccard >=
+    threshold`` (estimate = fraction of agreeing MinHash components).
+
+    The batch side broadcasts (it is the small side by construction);
+    the corpus postings/signatures scan without a corpus-side shuffle.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    num_hashes, bands, shingle_size = _index_geometry(spark, index_path)
+    signed = _signed(df, text_col, id_col, num_hashes, bands, shingle_size)
+    batch_keys = F.broadcast(
+        signed.select(
+            F.col("id").alias("new_id"),
+            F.col("sig").alias("new_sig"),
+            F.explode("bb").alias("bb"),
+        ).select(
+            "new_id", "new_sig",
+            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    from jodie_spark.tables.table import DeltaTable
+
+    postings = DeltaTable.forPath(spark, _postings_path(index_path)).toDF()
+    sigs = DeltaTable.forPath(spark, _signatures_path(index_path)).toDF()
+    # candidate pairs stay batch-bounded (≤ bands duplicates per true
+    # pair), so they BROADCAST into the signature verify too — the
+    # corpus side (postings scan + signatures scan) never shuffles;
+    # the only exchange in the plan is the final distinct over the
+    # tiny match set (plan-contract-tested)
+    candidates = postings.join(batch_keys, ["band", "bucket"]).select(
+        "new_id", "new_sig", F.col("id").alias("index_id")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("new_sig", "sig", lambda x, y: x == y), lambda b: b
+        )
+    )
+    return (
+        sigs.join(
+            F.broadcast(candidates), candidates["index_id"] == sigs["id"]
+        )
+        .withColumn(
+            "est_jaccard", (agree / F.lit(float(num_hashes))).cast("double")
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "index_id", "est_jaccard")
+        .distinct()
+    )
+
+
+def minhash_index_filter_new(
+    spark: SparkSession,
+    index_path: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The dedup direction: rows of ``df`` with NO near-dup in the
+    index (anti-join on the match set — the match set is tiny, the
+    batch never reshuffles the corpus)."""
+    matches = query_minhash_index(
+        spark, index_path, df, text_col, id_col, threshold
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return df.join(matches, [id_col], "left_anti")
