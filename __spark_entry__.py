@@ -3350,6 +3350,46 @@ def _q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("new_id", "index_id", "est_jaccard")
 
 
+def _q_hamming_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted hamming-band index probe (round 10): incremental
+    SimHash/media near-dup against a history indexed once. Same oracle
+    discipline as simhash_dedup: restrict to documents with no true
+    near-dup partner, index the even half's text simhashes, probe the
+    odd half plus exact text clones of indexed docs at max_hamming=1.
+    Clones sit at hamming 0, restricted naturals at >= 2 (the
+    simhash_dedup fixture measurement), so matches are exactly the
+    planted clone pairs — closed-form in doc_id."""
+    from jodie_spark.operators.hamming_index import (
+        build_hamming_index,
+        query_hamming_index,
+    )
+    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs, simhash
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    paired = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    base = (
+        docs.join(paired, "doc_id", "left_anti")
+        .withColumn("sh", simhash(F.col("text")))
+        .localCheckpoint(eager=False)
+    )
+    corpus = base.filter("doc_id % 2 = 0")
+    idx = _tmp("hamidx")
+    build_hamming_index(corpus, "sh", "doc_id", idx, bands=4)
+    clones = corpus.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "sh"
+    )
+    batch = base.filter("doc_id % 2 = 1").select("doc_id", "sh").unionByName(clones)
+    return query_hamming_index(
+        spark, idx, batch, "sh", "doc_id", max_hamming=1
+    ).select("new_id", "index_id", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast Bloom-filter incremental dedup (round 10): seen set =
     every doc_id % 3 == 0 fingerprint, new batch = the whole corpus;
@@ -3459,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bound) and epoch_shuffle (displaced from slot 50 by the bloom
         # query), then
         "minhash_index_probe": _q_minhash_index_probe,
+        "hamming_index_probe": _q_hamming_index_probe,
         "epoch_shuffle": _q_epoch_shuffle,
         # the 30 remaining r8-green rows (the r11 stale cohort), then
         # the 22 SURVEY core slots (every-other-round cadence, due
@@ -3860,6 +3901,19 @@ def _bloom_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bloom_incremental_dedup": _bloom_oracle_sql(),
+        "hamming_index_probe": f"""
+            WITH {_jaccard_pairs_cte()},
+            paired AS (
+                SELECT id_a AS id FROM dup_pairs UNION SELECT id_b FROM dup_pairs
+            ), base AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id NOT IN (SELECT id FROM paired)
+            )
+            SELECT CAST(doc_id + 100000 AS BIGINT) AS new_id,
+                   doc_id AS index_id,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        """,
         "minhash_index_probe": f"""
             WITH {_jaccard_pairs_cte()},
             paired AS (

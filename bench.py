@@ -95,6 +95,7 @@ def main() -> None:
         "incremental_dedup",
         "bloom_incremental_dedup",
         "minhash_index_probe",
+        "hamming_index_probe",
         "pq_topk",
         "ann_index_topk",
         "epoch_shuffle",

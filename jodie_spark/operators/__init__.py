@@ -24,6 +24,12 @@ from jodie_spark.operators.bloom import (
     optimal_geometry,
 )
 from jodie_spark.operators.chunking import chunk_documents
+from jodie_spark.operators.hamming_index import (
+    append_to_hamming_index,
+    build_hamming_index,
+    hamming_index_filter_new,
+    query_hamming_index,
+)
 from jodie_spark.operators.minhash_index import (
     append_to_minhash_index,
     build_minhash_index,
@@ -102,7 +108,11 @@ from jodie_spark.operators.semantic_dedup import semantic_candidate_pairs, seman
 
 __all__ = [
     "BloomFilter",
+    "append_to_hamming_index",
     "append_to_minhash_index",
+    "build_hamming_index",
+    "hamming_index_filter_new",
+    "query_hamming_index",
     "build_minhash_index",
     "minhash_index_filter_new",
     "query_minhash_index",
