@@ -72,6 +72,7 @@ from jodie_spark.operators.text_dedup import (
     simhash_dedup,
 )
 from jodie_spark.operators.ann_index import (
+    append_to_ann_index,
     build_ann_index,
     load_ann_model,
     query_ann_index,
@@ -108,6 +109,7 @@ from jodie_spark.operators.semantic_dedup import semantic_candidate_pairs, seman
 
 __all__ = [
     "BloomFilter",
+    "append_to_ann_index",
     "append_to_hamming_index",
     "append_to_minhash_index",
     "build_hamming_index",

@@ -143,3 +143,25 @@ def query_ann_index(
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def append_to_ann_index(
+    df: DataFrame, vec_col: str, id_col: str, index_path: str
+) -> None:
+    """Grow the index with new vectors — an APPEND that assigns cells
+    and PQ codes with the PERSISTED model (never retrains), so probes
+    keep partition-pruning correctly and old codes stay comparable.
+    Matches the incremental shape of ``minhash_index`` /
+    ``hamming_index``: index once, append forever; retrain only when
+    the data distribution has drifted enough that recall degrades
+    (rebuild with ``build_ann_index(mode='overwrite')``)."""
+    centroids, books = load_ann_model(df.sparkSession, index_path)
+    indexed = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+        pq_codes(F.col(vec_col), books).alias("pq_codes"),
+    )
+    from jodie_spark.tables.table import write_delta
+
+    write_delta(indexed, index_path, mode="append", partition_by=["cell"])

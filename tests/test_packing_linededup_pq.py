@@ -680,3 +680,39 @@ def test_knn_graph_no_cartesian_product(spark, pq_vectors):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_index_append_grows_without_retrain(spark, tmpdir_path, pq_vectors):
+    """append_to_ann_index assigns cells/codes with the PERSISTED
+    model: the model properties are unchanged, appended vectors land
+    in the right partitions, and a query finds an appended exact copy
+    of the query vector at similarity 1.0."""
+    import os
+
+    from jodie_spark.operators.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        load_ann_model,
+        query_ann_index,
+    )
+
+    idx = os.path.join(tmpdir_path, "idx_grow")
+    build_ann_index(
+        pq_vectors.filter("vec_id < 900"), "embedding", "vec_id", idx,
+        n_centroids=4, m=4, n_codes=8, sample_size=250,
+    )
+    cent_before, books_before = load_ann_model(spark, idx)
+    qvec = pq_vectors.filter("vec_id = 0").take(1)[0]["embedding"]
+    # an exact copy of vec 0 arrives later under a new id
+    late = pq_vectors.filter("vec_id = 0").selectExpr(
+        "vec_id + 500000 as vec_id", "embedding"
+    )
+    append_to_ann_index(late, "embedding", "vec_id", idx)
+    cent_after, books_after = load_ann_model(spark, idx)
+    assert (cent_before == cent_after).all() and (books_before == books_after).all()
+    got = query_ann_index(
+        spark, idx, qvec, "vec_id", "embedding", k=2, n_probe=2
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(ids) == {0, 500000}
+    assert all(abs(r["similarity"] - 1.0) < 1e-9 for r in got)
