@@ -1303,15 +1303,19 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs, simhash_dedup
+def _no_near_dup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with NO true near-duplicate partner (brute-force
+    n-gram Jaccard >= 0.5 excluded) — the shared fixture restriction
+    that makes signature-based dedup/probe outcomes closed-form: only
+    PLANTED exact clones can collide, everything natural is provably
+    far. The SQL twin is ``_jaccard_pairs_cte`` — the oracles for
+    simhash_dedup / minhash_index_probe / hamming_index_probe all
+    reproduce exactly this exclusion. localCheckpoint: the restriction
+    embeds a full LSH pipeline and every caller feeds it into at least
+    two branches — materialize once (3.5→2.9 s at sf0.1)."""
+    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs
     from jodie_spark.sources import load_table
 
-    # Restrict to documents with no true near-duplicate partner (their
-    # drop set under SimHash is data-dependent, not SQL-expressible),
-    # then plant exact text clones: hamming(simhash) = 0, so a correct
-    # banded dedup MUST drop every clone and nothing else — which IS
-    # SQL-expressible (brute-force Jaccard finds the excluded docs).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
     paired = (
@@ -1319,10 +1323,18 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # base embeds the whole LSH pipeline and feeds BOTH union branches;
-    # localCheckpoint materializes it once instead of twice (3.5→2.9 s
-    # at sf0.1)
-    base = docs.join(paired, "doc_id", "left_anti").localCheckpoint(eager=False)
+    return docs.join(paired, "doc_id", "left_anti").localCheckpoint(eager=False)
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jodie_spark.operators.text_dedup import simhash_dedup
+
+    # Restrict to documents with no true near-duplicate partner (their
+    # drop set under SimHash is data-dependent, not SQL-expressible),
+    # then plant exact text clones: hamming(simhash) = 0, so a correct
+    # banded dedup MUST drop every clone and nothing else — which IS
+    # SQL-expressible (brute-force Jaccard finds the excluded docs).
+    base = _no_near_dup_base(spark, sf_dir)
     clones = base.filter("doc_id < 50").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -3327,17 +3339,8 @@ def _q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_minhash_index,
         query_minhash_index,
     )
-    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs
-    from jodie_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
-    paired = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    base = docs.join(paired, "doc_id", "left_anti").localCheckpoint(eager=False)
+    base = _no_near_dup_base(spark, sf_dir)
     corpus = base.filter("doc_id % 2 = 0")
     idx = _tmp("mhidx")
     build_minhash_index(corpus, "text", "doc_id", idx)
@@ -3363,20 +3366,10 @@ def _q_hamming_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_hamming_index,
         query_hamming_index,
     )
-    from jodie_spark.operators.text_dedup import ngram_jaccard_pairs, simhash
-    from jodie_spark.sources import load_table
+    from jodie_spark.operators.text_dedup import simhash
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
-    paired = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    base = (
-        docs.join(paired, "doc_id", "left_anti")
-        .withColumn("sh", simhash(F.col("text")))
-        .localCheckpoint(eager=False)
+    base = _no_near_dup_base(spark, sf_dir).withColumn(
+        "sh", simhash(F.col("text"))
     )
     corpus = base.filter("doc_id % 2 = 0")
     idx = _tmp("hamidx")

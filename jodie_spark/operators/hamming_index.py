@@ -77,8 +77,11 @@ def build_hamming_index(
     """One pass over (id, hash) → banded postings partitioned by band.
     ``bands`` bounds recall: pairs at hamming ≤ bands-1 are ALWAYS
     candidates; beyond that recall degrades (pigeonhole)."""
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
+    if bands < 2 or 64 % bands:
+        # bands=1 would need a 64-bit all-ones mask (Long overflow) and
+        # means "exact hash match only"; negatives would silently build
+        # an EMPTY index (range(-n) is empty) — both refused loudly
+        raise ValueError(f"bands={bands} must divide 64 and be >= 2")
     from jodie_spark.tables.table import write_delta
 
     write_delta(

@@ -24,11 +24,16 @@ and probes REFUSE on a geometry mismatch instead of silently hashing
 into a different space.
 
 Probe shape (the scale argument): the new batch is the SMALL side, so
-its banded keys broadcast; the postings and signature scans stay
-shuffle-free on the corpus side (plan-contract-tested). Signature
-agreement is computed in whole-stage codegen (zip_with + filter), no
-Python. Growing the corpus is an APPEND of postings + signatures —
-no rebuild, Delta-atomic.
+its banded keys broadcast and the postings scan is shuffle-free
+(plan-contract-tested). The verify join over the candidate set is
+left to AQE: candidates are usually tiny (runtime-broadcast), but a
+hot LSH bucket can make them corpus-occupancy-bounded rather than
+batch-bounded, in which case only the candidate set + signatures
+shuffle — never an unbounded driver broadcast. Signature agreement is
+computed in whole-stage codegen (zip_with + filter), no Python.
+Growing the corpus is an APPEND of signatures then postings
+(fail-safe order: orphan signatures are inert, orphan postings would
+silently miss matches) — no rebuild.
 
 No reference counterpart (jodie's dedup surface is exact,
 DeltaHelpers.scala:243-330); this extends it the way a training-data
@@ -99,24 +104,36 @@ def build_minhash_index(
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     from jodie_spark.tables.table import write_delta
 
-    signed = _signed(df, text_col, id_col, num_hashes, bands, shingle_size)
+    # localCheckpoint: the signing pipeline (tokenize + xxhash64 +
+    # Arrow-vectorized minhash) is the dominant build cost — reuse its
+    # result for both writes instead of executing the scan twice
+    signed = _signed(
+        df, text_col, id_col, num_hashes, bands, shingle_size
+    ).localCheckpoint(eager=False)
     props = {
         _PROP_NUM_HASHES: str(num_hashes),
         _PROP_BANDS: str(bands),
         _PROP_SHINGLE: str(shingle_size),
     }
+    # SIGNATURES FIRST: the two tables commit independently, and the
+    # probe's postings⋈signatures inner join silently drops postings
+    # whose signature is missing. Writing signatures before postings
+    # makes a crash between the commits fail SAFE — orphan signatures
+    # are inert, whereas orphan postings would silently miss matches.
+    # Re-running a torn build/append is result-idempotent (the probe
+    # ends in distinct; duplicate rows only cost storage).
+    write_delta(
+        signed.select("id", "sig"),
+        _signatures_path(index_path),
+        mode=mode,
+        options=props,
+    )
     write_delta(
         signed.select(
             "id", F.explode("bb").alias("bb")
         ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"),
         _postings_path(index_path),
         partition_by=["band"],
-        mode=mode,
-        options=props,
-    )
-    write_delta(
-        signed.select("id", "sig"),
-        _signatures_path(index_path),
         mode=mode,
         options=props,
     )
@@ -149,7 +166,11 @@ def append_to_minhash_index(
     num_hashes, bands, shingle_size = _index_geometry(
         df.sparkSession, index_path
     )
-    signed = _signed(df, text_col, id_col, num_hashes, bands, shingle_size)
+    signed = _signed(
+        df, text_col, id_col, num_hashes, bands, shingle_size
+    ).localCheckpoint(eager=False)
+    # signatures first — fail-safe ordering, see build_minhash_index
+    write_delta(signed.select("id", "sig"), _signatures_path(index_path), mode="append")
     write_delta(
         signed.select("id", F.explode("bb").alias("bb"))
         .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"),
@@ -157,7 +178,6 @@ def append_to_minhash_index(
         partition_by=["band"],
         mode="append",
     )
-    write_delta(signed.select("id", "sig"), _signatures_path(index_path), mode="append")
 
 
 def query_minhash_index(
@@ -193,11 +213,16 @@ def query_minhash_index(
 
     postings = DeltaTable.forPath(spark, _postings_path(index_path)).toDF()
     sigs = DeltaTable.forPath(spark, _signatures_path(index_path)).toDF()
-    # candidate pairs stay batch-bounded (≤ bands duplicates per true
-    # pair), so they BROADCAST into the signature verify too — the
-    # corpus side (postings scan + signatures scan) never shuffles;
-    # the only exchange in the plan is the final distinct over the
-    # tiny match set (plan-contract-tested)
+    # The postings join broadcasts the BATCH side (truly batch-bounded:
+    # batch_rows × bands keys). The candidate set it produces is NOT
+    # batch-bounded — it scales with corpus bucket occupancy, and a hot
+    # LSH bucket (near-empty/boilerplate docs all hashing together) can
+    # blow it up to millions of rows — so the verify join deliberately
+    # carries NO broadcast hint: AQE broadcasts it at runtime when it
+    # is small (the common case, observed in the plan tests) and falls
+    # back to a shuffle of just the candidate set + signatures when a
+    # hot bucket makes that the only safe plan. Pre-deduping exact
+    # copies (exact_dedup / bloom) before indexing keeps buckets cool.
     candidates = postings.join(batch_keys, ["band", "bucket"]).select(
         "new_id", "new_sig", F.col("id").alias("index_id")
     )
@@ -207,9 +232,7 @@ def query_minhash_index(
         )
     )
     return (
-        sigs.join(
-            F.broadcast(candidates), candidates["index_id"] == sigs["id"]
-        )
+        sigs.join(candidates, candidates["index_id"] == sigs["id"])
         .withColumn(
             "est_jaccard", (agree / F.lit(float(num_hashes))).cast("double")
         )

@@ -550,23 +550,15 @@ def hamming_dedup(
     max_hamming``, drop the higher id of each verified pair. Works on
     any 64-bit similarity-preserving hash — text SimHash, image
     dHash/pHash."""
-    bits_per = 64 // bands
+    # the band-key construction is shared with the persisted hamming
+    # index — the pigeonhole recall contract requires both to band
+    # identically (hamming_index.py module doc)
+    from jodie_spark.operators.hamming_index import _banded_keys
+
     h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     banded = h.select(
         "id", "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sh"), b * bits_per)
-                        .bitwiseAND(F.lit((1 << bits_per) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(_banded_keys(F.col("sh"), bands)).alias("bk"),
     ).select("id", "sh", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
     dup_ids = (
