@@ -37,6 +37,21 @@ class ConcurrentModificationException(RuntimeError):
     concurrency conflict on the `<version>.json` atomic create)."""
 
 
+class ConcurrentAppendException(ConcurrentModificationException):
+    """A concurrent commit added files this transaction's scan would
+    have read, so the result it computed is stale.
+
+    Parity: org.apache.spark.sql.delta.ConcurrentAppendException —
+    delta-core's ConflictChecker raises it when a winning commit's
+    AddFiles match the losing transaction's recorded read predicates.
+    Under the default WriteSerializable isolation, winning commits that
+    are *blind appends* (commitInfo.isBlindAppend=true: adds only, no
+    table read) are exempt; under ``delta.isolationLevel=Serializable``
+    they conflict too. The reference inherits the same semantics from
+    delta-core (build.sbt:9) for its MERGE/DELETE-based helpers.
+    """
+
+
 class VersionNotFoundError(ValueError):
     """Requested version cannot be time-travelled to.
 

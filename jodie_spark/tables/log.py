@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from jodie_spark.errors import (
+    ConcurrentAppendException,
     ConcurrentModificationException,
     DeltaProtocolError,
     VersionNotFoundError,
@@ -111,6 +112,11 @@ SUPPORTED_WRITER_FEATURES = {
     "variantType",
 }
 APPEND_ONLY_PROP = "delta.appendOnly"
+# optimistic-concurrency isolation for the read-set conflict check:
+# WriteSerializable (default) exempts winning BLIND APPENDS from
+# ConcurrentAppendException; Serializable conflicts on them too
+# (delta-core IsolationLevel.scala semantics)
+ISOLATION_PROP = "delta.isolationLevel"
 ROW_TRACKING_PROP = "delta.enableRowTracking"
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
 ICT_PROP = "delta.enableInCommitTimestamps"
@@ -291,6 +297,32 @@ def _actions_conflict(
         ad = a.get("add")
         if ad and ad["path"] in our_removes:
             return f"file {ad['path']} this transaction removes was rewritten concurrently"
+    return None
+
+
+def _added_files_read_conflict(
+    read_check, theirs: list[dict[str, Any]], serializable: bool
+) -> str | None:
+    """Path of a concurrent dataChange add that the losing transaction's
+    scan would have read (→ its computed result is stale), or None.
+
+    delta-core ConflictChecker parity: under WriteSerializable (default)
+    a winning commit stamped ``isBlindAppend=true`` is exempt — it read
+    nothing, so ordering it *after* the loser is always serializable-by
+    -writes; a missing stamp (foreign writer) counts as NOT blind, same
+    as delta's ``getOrElse(false)``. Under Serializable every dataChange
+    add is checked. dataChange=false adds (compaction) carry no new
+    data and never conflict here at either level."""
+    if not serializable:
+        ci = next(
+            (a.get("commitInfo") for a in theirs if a.get("commitInfo")), None
+        )
+        if bool((ci or {}).get("isBlindAppend")):
+            return None
+    for a in theirs:
+        ad = a.get("add")
+        if ad and ad.get("dataChange", True) and read_check(ad):
+            return ad.get("path")
     return None
 
 
@@ -895,6 +927,8 @@ class DeltaLog:
         operation_metrics: dict[str, Any] | None = None,
         engine_info: str = "jodie-spark/0.1.0",
         max_retries: int = 10,
+        read_check=None,
+        blind_append: bool | None = None,
     ) -> int:
         """Atomically write the next version (``read_version + 1``, or
         later after winning a retry).
@@ -910,6 +944,23 @@ class DeltaLog:
         disjoint-file writers (e.g. appends, or DML on different
         partitions) succeed without user-level retry code.
         ``max_retries=0`` restores the raw raise-on-race primitive.
+
+        ``read_check`` records the transaction's READ SET
+        (``pruning.make_read_checker``): a callable mapping a winning
+        commit's add payload to True when this transaction's scan would
+        have read that file. When set, a lost race additionally raises
+        :class:`ConcurrentAppendException` if a concurrent commit added
+        matching data files — the stale-read half of delta-core's
+        ConflictChecker (checkForAddedFilesThatShouldHaveBeenReadBy
+        CurrentTxn). Under the default WriteSerializable isolation a
+        winning commit stamped ``isBlindAppend=true`` is exempt; set
+        table property ``delta.isolationLevel=Serializable`` to conflict
+        on those too. Adds with ``dataChange=false`` (compaction /
+        Z-order rewrites) never trigger it at either level.
+
+        ``blind_append`` overrides the ``commitInfo.isBlindAppend``
+        stamp; by default it is inferred — adds only, no removes /
+        metaData / protocol, and no declared read set.
         """
         self._fs.makedirs(self.log_path)
         version = read_version + 1
@@ -989,9 +1040,22 @@ class DeltaLog:
                     }
                 ]
 
+        if blind_append is None:
+            # delta's definition: the txn only appended data and never
+            # read the table — so its result can't be stale (commitInfo
+            # isBlindAppend, OptimisticTransaction.commitImpl)
+            blind_append = (
+                read_check is None
+                and any(a.get("add") for a in actions)
+                and not any(
+                    a.get("remove") or a.get("metaData") or a.get("protocol")
+                    for a in actions
+                )
+            )
         commit_info = {
             "timestamp": int(time.time() * 1000),
             "operation": operation,
+            "isBlindAppend": bool(blind_append),
             "operationParameters": {
                 k: (v if isinstance(v, str) else json.dumps(v))
                 for k, v in (operation_parameters or {}).items()
@@ -1042,6 +1106,10 @@ class DeltaLog:
             out.extend(json.dumps(a, separators=(",", ":")) for a in actions)
             return out
 
+        serializable = (
+            str((config or {}).get(ISOLATION_PROP, "")).strip().lower()
+            == "serializable"
+        )
         checked_through = version - 1  # newest version already conflict-checked
         attempts = 0
         while True:
@@ -1078,6 +1146,17 @@ class DeltaLog:
                             f"commit to {self.table_path} lost the race for "
                             f"version {version} and conflicts with version {v}: {reason}"
                         ) from None
+                    if read_check is not None:
+                        stale = _added_files_read_conflict(
+                            read_check, concurrent, serializable
+                        )
+                        if stale is not None:
+                            raise ConcurrentAppendException(
+                                f"commit to {self.table_path} lost the race "
+                                f"for version {version}: version {v} added "
+                                f"file {stale}, which this transaction's "
+                                f"scan would have read"
+                            ) from None
                 checked_through = latest
                 version = latest + 1
         # the table's config at `version` is now known — prime the cache

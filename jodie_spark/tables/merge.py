@@ -633,7 +633,29 @@ class DeltaMergeBuilder:
                 ]
             ),
         }
-        t.deltaLog.commit(snap.version, actions, "MERGE", params, metrics)
+        from jodie_spark.tables.pruning import make_read_checker
+
+        t.deltaLog.commit(
+            snap.version,
+            actions,
+            "MERGE",
+            params,
+            metrics,
+            # the anti-join READ the stats-pruned candidate set: the
+            # target-only conjuncts of the merge condition are exactly
+            # the predicate that selected it (same recomputation the
+            # planner used — no by-source clauses on this path)
+            read_check=make_read_checker(
+                t._planning_condition(
+                    snap,
+                    self._target_only_condition(
+                        talias, [f.name for f in schema.fields]
+                    ),
+                ),
+                schema,
+                snap.partition_columns,
+            ),
+        )
         from jodie_spark.tables.table import maybe_auto_compact
 
         maybe_auto_compact(t)
@@ -917,12 +939,21 @@ class DeltaMergeBuilder:
         }
         if staged is not None:
             staged.unpersist()
+        from jodie_spark.tables.pruning import make_read_checker
+
         t.deltaLog.commit(
             snap.version,
             actions,
             "MERGE",
             {"predicate": self.condition},
             metrics,
+            # prune_cond selected the candidate files this merge read
+            # (None = whole table, e.g. with by-source clauses)
+            read_check=make_read_checker(
+                t._planning_condition(snap, prune_cond),
+                schema,
+                snap.partition_columns,
+            ),
         )
 
     def execute(
@@ -1446,7 +1477,22 @@ class DeltaMergeBuilder:
                 ]
             ),
         }
-        t.deltaLog.commit(snap.version, actions, "MERGE", params, metrics)
+        from jodie_spark.tables.pruning import make_read_checker
+
+        t.deltaLog.commit(
+            snap.version,
+            actions,
+            "MERGE",
+            params,
+            metrics,
+            # prune_cond selected the candidate files this merge read
+            # (None = whole table, e.g. with by-source clauses)
+            read_check=make_read_checker(
+                t._planning_condition(snap, prune_cond),
+                schema,
+                snap.partition_columns,
+            ),
+        )
         from jodie_spark.tables.table import maybe_auto_compact
 
         maybe_auto_compact(t)

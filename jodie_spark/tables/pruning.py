@@ -510,3 +510,26 @@ def prune_files(
         return list(adds)
     conjuncts = [classify_conjunct(c, [f.name for f in schema.fields]) for c in split_conjuncts(condition)]
     return [a for a in adds if file_may_match(a, conjuncts, schema, partition_columns)]
+
+
+def make_read_checker(
+    condition: str | None,
+    schema: T.StructType,
+    partition_columns: list[str],
+):
+    """Record a transaction's READ SET as a predicate over add actions.
+
+    Returns ``checker(add) -> bool``: True when a scan filtered by
+    ``condition`` could have read the file (same conservative stats /
+    partition evaluation as :func:`file_may_match`, so a file is
+    excluded only when its stats *prove* no row matches). ``None``
+    condition means the transaction read the whole table — every add
+    matches. ``DeltaLog.commit`` evaluates this against the AddFiles of
+    commits that win the version race to raise
+    ``ConcurrentAppendException`` exactly when delta-core's
+    ConflictChecker would (readPredicates vs winning-commit adds)."""
+    if not condition:
+        return lambda add: True
+    columns = [f.name for f in schema.fields]
+    conjuncts = [classify_conjunct(c, columns) for c in split_conjuncts(condition)]
+    return lambda add: file_may_match(add, conjuncts, schema, partition_columns)

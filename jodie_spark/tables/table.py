@@ -1575,7 +1575,20 @@ class DeltaTable:
             "rewriteTimeMs": str(max(0, int((time.time() - t0) * 1000) - scan_ms)),
         }
         params = {"predicate": json.dumps([condition] if condition else [])}
-        self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
+        from jodie_spark.tables.pruning import make_read_checker
+
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "DELETE",
+            params,
+            metrics,
+            read_check=make_read_checker(
+                self._planning_condition(snap, condition),
+                schema,
+                snap.partition_columns,
+            ),
+        )
 
     # -- deletion-vector (merge-on-read) DML machinery -----------------------
 
@@ -1896,7 +1909,20 @@ class DeltaTable:
             "executionTimeMs": str(int((time.time() - t0) * 1000)),
         }
         params = {"predicate": json.dumps([condition])}
-        self.deltaLog.commit(snap.version, actions, "DELETE", params, metrics)
+        from jodie_spark.tables.pruning import make_read_checker
+
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "DELETE",
+            params,
+            metrics,
+            read_check=make_read_checker(
+                self._planning_condition(snap, condition),
+                schema,
+                snap.partition_columns,
+            ),
+        )
 
     def _update_with_dvs(
         self,
@@ -2040,7 +2066,20 @@ class DeltaTable:
             "executionTimeMs": str(int((time.time() - t0) * 1000)),
         }
         params = {"predicate": condition}
-        self.deltaLog.commit(snap.version, actions, "UPDATE", params, metrics)
+        from jodie_spark.tables.pruning import make_read_checker
+
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "UPDATE",
+            params,
+            metrics,
+            read_check=make_read_checker(
+                self._planning_condition(snap, condition),
+                schema,
+                snap.partition_columns,
+            ),
+        )
 
     def update(
         self,
@@ -2204,7 +2243,20 @@ class DeltaTable:
             "rewriteTimeMs": str(int((time.time() - t0) * 1000)),
         }
         params = {"predicate": condition or ""}
-        self.deltaLog.commit(snap.version, actions, "UPDATE", params, metrics)
+        from jodie_spark.tables.pruning import make_read_checker
+
+        self.deltaLog.commit(
+            snap.version,
+            actions,
+            "UPDATE",
+            params,
+            metrics,
+            read_check=make_read_checker(
+                self._planning_condition(snap, condition),
+                schema,
+                snap.partition_columns,
+            ),
+        )
 
     def merge(self, source: DataFrame, condition: str) -> "DeltaMergeBuilder":
         from jodie_spark.tables.merge import DeltaMergeBuilder

@@ -15,7 +15,10 @@ import os
 
 import pytest
 
-from jodie_spark.errors import ConcurrentModificationException
+from jodie_spark.errors import (
+    ConcurrentAppendException,
+    ConcurrentModificationException,
+)
 from jodie_spark.tables.log import DeltaLog
 from jodie_spark.tables.table import DeltaTable, write_delta
 
@@ -28,14 +31,16 @@ def partitioned_table(spark, tmpdir_path):
     return p
 
 
-def _merge_updating(spark, path, ids, new_v):
-    """MERGE that sets v=new_v for the given ids (touches only the
-    partitions those ids live in)."""
+def _merge_updating(spark, path, ids, new_v, part=None):
+    """MERGE that sets v=new_v for the given ids. ``part`` adds the
+    partition-qualifying conjunct delta's docs prescribe for concurrent
+    merges — it confines both the file scan AND the recorded read set."""
     t = DeltaTable.forPath(spark, path)
     src = spark.createDataFrame([(i, new_v) for i in ids], "id long, nv int")
+    cond = "t.id = s.id" + (f" AND t.part = {part}" if part is not None else "")
     (
         t.alias("t")
-        .merge(src.alias("s"), "t.id = s.id")
+        .merge(src.alias("s"), cond)
         .whenMatchedUpdate(set={"v": "s.nv"})
         .execute()
     )
@@ -62,15 +67,17 @@ def _stage_race(monkeypatch, spark, path, winner_fn):
 def test_merge_race_disjoint_partitions_both_commit(
     spark, partitioned_table, monkeypatch
 ):
-    """Two merges rewriting DIFFERENT partitions' files: the loser
-    re-checks the winner's actions, finds no file overlap, and commits
-    at the next version — no user-level retry, both updates land."""
+    """Two merges with PARTITION-QUALIFIED conditions on different
+    partitions: each records a read set confined to its partition, the
+    loser finds no file overlap and no stale read, and commits at the
+    next version — no user-level retry, both updates land (the delta
+    docs' prescribed pattern for concurrent merges)."""
     p = partitioned_table
     _stage_race(
         monkeypatch, spark, p,
-        lambda: _merge_updating(spark, p, ids=[1, 3], new_v=222),  # part=1
+        lambda: _merge_updating(spark, p, ids=[1, 3], new_v=222, part=1),
     )
-    _merge_updating(spark, p, ids=[0, 2], new_v=111)  # part=0, loses race
+    _merge_updating(spark, p, ids=[0, 2], new_v=111, part=0)  # loses race
 
     t = DeltaTable.forPath(spark, p)
     got = {r["id"]: r["v"] for r in t.toDF().collect()}
@@ -79,6 +86,32 @@ def test_merge_race_disjoint_partitions_both_commit(
     assert got[4] == 0 and got[5] == 0  # untouched rows intact
     ops = [r["operation"] for r in t.history().collect()]
     assert ops.count("MERGE") == 2  # both committed, two versions
+
+
+def test_merge_race_unqualified_condition_raises_concurrent_append(
+    spark, partitioned_table, monkeypatch
+):
+    """The same disjoint-key race WITHOUT partition conjuncts: the
+    loser's merge condition (t.id = s.id) confines nothing, so its
+    recorded read set is the whole table — the winner's rewritten file
+    is one the loser's scan would have read, and the result it staged
+    is stale. delta-core raises ConcurrentAppendException here (its
+    docs tell users to add the partition predicate, which is exactly
+    the test above); so do we."""
+    p = partitioned_table
+    _stage_race(
+        monkeypatch, spark, p,
+        lambda: _merge_updating(spark, p, ids=[1, 3], new_v=222),  # part=1 file
+    )
+    with pytest.raises(ConcurrentAppendException, match="would have read"):
+        _merge_updating(spark, p, ids=[0, 2], new_v=111)  # whole-table read
+
+    t = DeltaTable.forPath(spark, p)
+    got = {r["id"]: r["v"] for r in t.toDF().collect()}
+    assert got[1] == 222 and got[3] == 222  # winner survived
+    assert got[0] == 0 and got[2] == 0  # loser rolled back cleanly
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops.count("MERGE") == 1  # exactly one committed
 
 
 def test_merge_race_overlapping_file_one_aborts(
