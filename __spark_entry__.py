@@ -1890,6 +1890,21 @@ def _q_clean_corpus_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus's word tokens: Misra-Gries
+    candidate generation per partition (bounded k=⌈1/φ⌉ counters, a
+    superset guarantee) + an exact broadcast-semi-join recount — so the
+    result is value-for-value the SQL ``HAVING count(*) > φ·N`` answer
+    while the shuffle carries candidates, never the vocabulary."""
+    from jodie_spark.operators.heavy_hitters import token_heavy_hitters
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_heavy_hitters(docs, "text", phi=0.01).select(
+        "token", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 def _q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jodie_spark.operators.corpus import token_frequencies
     from jodie_spark.sources import load_table
@@ -3437,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 artifact), 5-32 the 28 rows whose newest official green
         # was r7, 33-50 the 18 oldest r8-green rows (epoch_shuffle,
         # displaced by the bloom slot, leads the tail at 51).
+        "heavy_hitters": _q_heavy_hitters,
         "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
         "audio_dedup_flac": _q_audio_dedup_flac,
@@ -3893,6 +3909,19 @@ def _bloom_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> len(x) > 0)) AS token
+                FROM documents
+            ), tot AS (SELECT count(*) AS n FROM toks)
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks, tot
+            GROUP BY token, tot.n
+            HAVING count(*) > 0.01 * n
+            ORDER BY token
+        """,
         "bloom_incremental_dedup": _bloom_oracle_sql(),
         "hamming_index_probe": f"""
             WITH {_jaccard_pairs_cte()},

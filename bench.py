@@ -152,6 +152,7 @@ def main() -> None:
         "log_cleanup",
         "fsck_crc_repair",
         "datasource_field_id",
+        "heavy_hitters",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -1,0 +1,123 @@
+"""Exact heavy hitters at corpus scale: Misra-Gries candidate
+generation + exact recount.
+
+The problem: "every value occurring in more than φ of all rows" (top
+tokens, dominant hosts, boilerplate lines) over 100 TB. A plain
+``groupBy(value).count()`` is exact but shuffles EVERY DISTINCT VALUE —
+at token granularity that is a vocabulary-sized exchange per query. The
+classic two-phase answer (Misra & Gries 1982; the summary family behind
+DataSketches' frequent-items):
+
+1. **Candidate generation** — one pass, per partition, with a
+   Misra-Gries summary of k = ⌈1/φ⌉ counters (`mapInPandas`,
+   Arrow-batched; per batch the update is a vectorized
+   ``value_counts`` merge + one weighted decrement, no per-row Python).
+   MG's guarantee is one-sided: any value with partition count
+   > n_p/k survives the partition's summary, and a value with GLOBAL
+   count > N/k must exceed n_p/k in at least one partition
+   (pigeonhole) — so the union of per-partition candidates is a
+   SUPERSET of the true heavy hitters. The exchange carries at most
+   ``partitions × k`` candidate values, never the vocabulary.
+2. **Exact recount** — broadcast the candidate set (bounded,
+   partitions × k rows) back over the corpus as a semi join, then an
+   exact map-side-combined count of ONLY the candidates, filtered to
+   ``count > φ·N``. The output is exactly the SQL answer
+   ``GROUP BY value HAVING count(*) > φ * (SELECT count(*) ...)`` —
+   the sketch only bounds which values get recounted, so the result is
+   value-for-value oracle-checkable despite the approximate first pass.
+
+Two corpus scans total; both aggregate map-side. NULL values are
+ignored (neither candidates nor the row total) — document tokens never
+null, and SQL users filter nulls anyway.
+
+The reference has no frequent-items operator; this extends its table
+utilities with the LLM-pipeline need (stopword discovery, boilerplate
+hosts, template lines) the same way the dedup suite does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(k: int):
+    """mapInPandas generator: Misra-Gries summary with k counters per
+    partition, emitting candidate values (n=0) plus one row-count row
+    (value NULL, n=partition rows). The weighted decrement subtracts
+    the (k+1)-th largest running count from everything — one decrement
+    "round" of δ hits ≥ k+1 counters, so any value loses at most
+    n_p/(k+1) of its true count, preserving the survival guarantee."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = pd.Series(dtype="int64")
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf["value"].dropna()
+            n_rows += len(vals)
+            if len(vals) == 0:
+                continue
+            counts = counts.add(vals.value_counts(), fill_value=0)
+            if len(counts) > k:
+                thresh = counts.nlargest(k + 1).iloc[-1]
+                counts = counts - thresh
+                counts = counts[counts > 0]
+        out = pd.DataFrame({"value": counts.index, "n": 0})
+        out = pd.concat(
+            [out, pd.DataFrame({"value": [None], "n": [n_rows]})],
+            ignore_index=True,
+        )
+        yield out
+
+    return gen
+
+
+def heavy_hitters(df: DataFrame, value_col: str, phi: float) -> DataFrame:
+    """Every value of ``value_col`` occurring in MORE than ``phi`` of
+    the non-null rows, with its exact count — columns ``(value, cnt)``.
+
+    Exact despite the sketch: Misra-Gries only proposes candidates
+    (a guaranteed superset for thresholds ≥ φ); the returned counts
+    come from an exact recount of those candidates. NULLs are ignored.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = max(1, math.ceil(1.0 / phi))
+    vals = df.select(F.col(value_col).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    dtype = vals.schema["value"].dataType.simpleString()
+    mg = vals.mapInPandas(_mg_candidates(k), schema=f"value {dtype}, n long")
+    # candidates are bounded (≤ partitions × k) → broadcast; the total
+    # is one row → broadcast cross join. No driver-side collect.
+    cands = mg.filter(F.col("value").isNotNull()).select("value").distinct()
+    total = mg.agg(F.sum("n").alias("__total__"))
+    exact = (
+        vals.join(F.broadcast(cands), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("__total__") * F.lit(float(phi)))
+        .select("value", "cnt")
+    )
+
+
+def token_heavy_hitters(
+    df: DataFrame, text_col: str = "text", phi: float = 0.01
+) -> DataFrame:
+    """Heavy hitters over the corpus's word tokens (same tokenization
+    as ``corpus.token_frequencies``: lower-cased, non-letter
+    boundaries): tokens carrying more than ``phi`` of all token
+    occurrences — stopword/boilerplate discovery in two scans."""
+    from jodie_spark.functions.text import _words
+
+    tokens = df.select(F.explode(_words(F.col(text_col))).alias("token"))
+    return heavy_hitters(tokens, "token", phi).withColumnRenamed(
+        "value", "token"
+    )
