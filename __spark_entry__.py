@@ -1890,6 +1890,22 @@ def _q_clean_corpus_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of document length: histogram
+    (shuffle = distinct lengths, not rows) + the packing two-phase
+    prefix sum + broadcast target ranks — value = smallest length whose
+    cumulative count reaches ceil(q*N). Closed-form, oracle-exact."""
+    from jodie_spark.operators.profile import exact_quantiles
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.length("text").alias("len")
+    )
+    return exact_quantiles(docs, "len", [0.5, 0.9, 0.95, 0.99, 1.0]).select(
+        "q", F.col("value").cast("long").alias("value")
+    )
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the corpus's word tokens: Misra-Gries
     candidate generation per partition (bounded k=⌈1/φ⌉ counters, a
@@ -3453,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # was r7, 33-50 the 18 oldest r8-green rows (epoch_shuffle,
         # displaced by the bloom slot, leads the tail at 51).
         "heavy_hitters": _q_heavy_hitters,
+        "exact_quantiles": _q_exact_quantiles,
         "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
         "audio_dedup_flac": _q_audio_dedup_flac,
@@ -3921,6 +3938,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token, tot.n
             HAVING count(*) > 0.01 * n
             ORDER BY token
+        """,
+        "exact_quantiles": """
+            WITH vals AS (SELECT length(text) AS value FROM documents),
+            hist AS (SELECT value, count(*) AS c FROM vals GROUP BY value),
+            cum AS (SELECT value, sum(c) OVER (ORDER BY value) AS cf FROM hist),
+            tot AS (SELECT count(*) AS n FROM vals),
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES (0.5), (0.9), (0.95), (0.99), (1.0)) t(q))
+            SELECT q, CAST(min(value) AS BIGINT) AS value
+            FROM cum, tot, qs
+            WHERE cf >= ceil(q * n)
+            GROUP BY q
+            ORDER BY q
         """,
         "bloom_incremental_dedup": _bloom_oracle_sql(),
         "hamming_index_probe": f"""

@@ -153,6 +153,7 @@ def main() -> None:
         "fsck_crc_repair",
         "datasource_field_id",
         "heavy_hitters",
+        "exact_quantiles",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -58,7 +58,10 @@ def with_global_offsets(
         bases.append((r["__part__"], base))
         base += int(r["__tot__"] or 0)
     spark = df.sparkSession
-    base_df = spark.createDataFrame(bases, ["__part__", "__base__"])
+    # explicit schema: an EMPTY input yields zero partition totals, and
+    # schema inference on an empty list raises — empty corpora are a
+    # routine pruning outcome, not an error
+    base_df = spark.createDataFrame(bases, "__part__ int, __base__ long")
     # phase 1: intra-partition running sum — parallel across partitions
     w = (
         Window.partitionBy("__part__")

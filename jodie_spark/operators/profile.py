@@ -74,3 +74,55 @@ def profile_table(
             "(column, n_nulls, n_distinct, min_value, max_value)"
         ),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[float]
+) -> DataFrame:
+    """EXACT discrete quantiles of ``value_col`` at scale — columns
+    ``(q, value)`` where ``value`` is the smallest v whose cumulative
+    count reaches rank ``ceil(q * N)`` (the lower discrete quantile, a
+    real element of the column; NULLs ignored).
+
+    ``approx_quantile`` trades error for a single pass; this stays
+    exact with the histogram trick: one map-side-combined
+    ``groupBy(value).count()`` (the shuffle carries DISTINCT values,
+    not rows — for the discrete columns this is for, sequence lengths /
+    token counts / scores, that is thousands of groups at any corpus
+    size), then the same two-phase distributed prefix sum
+    ``pack_sequences`` uses (``packing.with_global_offsets`` — per
+    range-partition running sums + a #partitions-bounded offset
+    collect, no single-partition window), then one broadcast of the
+    |qs|-row target ranks. Every step is closed-form arithmetic, so a
+    SQL oracle replicates it value-for-value.
+
+    The 100 TB use case: length percentiles to size packing budgets,
+    score cutoffs for quality filtering — places where "approximately
+    the 99th percentile" silently over- or under-trims the corpus.
+    """
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    from jodie_spark.operators.packing import with_global_offsets
+
+    vals = df.select(F.col(value_col).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    hist = vals.groupBy("value").agg(F.count(F.lit(1)).alias("__c__"))
+    cum = with_global_offsets(hist, "__c__", "value", offset_col="__off__")
+    cum = cum.withColumn("__cf__", F.col("__off__") + F.col("__c__"))
+    total = hist.agg(F.sum("__c__").alias("__n__"))
+    targets = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(set(qs))], "q double"
+    ).join(F.broadcast(total))
+    # rank = ceil(q*N); min value whose cumulative count reaches it
+    return (
+        cum.join(
+            F.broadcast(
+                targets.withColumn("__rank__", F.ceil(F.col("q") * F.col("__n__")))
+            ),
+            F.col("__cf__") >= F.col("__rank__"),
+        )
+        .groupBy("q")
+        .agg(F.min("value").alias("value"))
+    )

@@ -1,0 +1,64 @@
+"""Exact discrete quantiles (histogram + two-phase prefix sum): output
+must equal the closed-form definition — smallest value whose cumulative
+count reaches ceil(q*N) — on any distribution, including ties and
+skew."""
+
+import math
+import random
+
+import pytest
+
+from jodie_spark.operators.profile import exact_quantiles
+
+
+def _expected(values, qs):
+    vals = sorted(v for v in values if v is not None)
+    n = len(vals)
+    return {q: vals[math.ceil(q * n) - 1] for q in qs}
+
+
+def _check(spark, values, qs, partitions=8):
+    df = spark.createDataFrame([(v,) for v in values], "v int").repartition(
+        partitions
+    )
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", qs).collect()}
+    assert got == _expected(values, qs)
+
+
+def test_uniform(spark):
+    _check(spark, list(range(1, 101)), [0.5, 0.9, 0.99, 1.0])
+
+
+def test_heavy_ties(spark):
+    """Most mass on one value: every mid quantile must return it."""
+    vals = [7] * 900 + list(range(100))
+    _check(spark, vals, [0.2, 0.5, 0.9, 0.95, 1.0])
+
+
+def test_skewed_random(spark):
+    rng = random.Random(3)
+    vals = [int(rng.expovariate(0.01)) for _ in range(2000)]
+    _check(spark, vals, [0.01, 0.25, 0.5, 0.75, 0.99, 1.0], partitions=16)
+
+
+def test_single_row(spark):
+    _check(spark, [42], [0.5, 1.0])
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,), (None,), (2,)], "v int")
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", [0.5, 1.0]).collect()}
+    assert got == {0.5: 2, 1.0: 3}
+
+
+def test_q_validation(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="quantiles"):
+        exact_quantiles(df, "v", [0.0])
+    with pytest.raises(ValueError, match="quantiles"):
+        exact_quantiles(df, "v", [1.5])
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "v int")
+    assert exact_quantiles(df, "v", [0.5]).collect() == []
