@@ -52,6 +52,20 @@ class ConcurrentAppendException(ConcurrentModificationException):
     """
 
 
+class ConcurrentDeleteReadException(ConcurrentModificationException):
+    """A concurrent commit removed (rewrote or deleted) files this
+    transaction's scan read, so the result it computed is stale.
+
+    Parity: org.apache.spark.sql.delta.ConcurrentDeleteReadException —
+    delta-core's ConflictChecker (checkForDeletedFilesAgainstCurrent
+    TxnReadFiles). Unlike the added-files check there is no
+    blind-append exemption: a commit carrying removes is never blind,
+    and reading since-deleted data is stale at every isolation level.
+    dataChange=false removes (compaction inputs) are exempt — the same
+    rows live on in the compacted output.
+    """
+
+
 class VersionNotFoundError(ValueError):
     """Requested version cannot be time-travelled to.
 

@@ -91,7 +91,13 @@ def heavy_hitters(df: DataFrame, value_col: str, phi: float) -> DataFrame:
         F.col("value").isNotNull()
     )
     dtype = vals.schema["value"].dataType.simpleString()
-    mg = vals.mapInPandas(_mg_candidates(k), schema=f"value {dtype}, n long")
+    # the MG pass is the expensive corpus scan and is consumed TWICE
+    # below (candidates + row total, two jobs ReuseExchange cannot
+    # merge) — localCheckpoint materializes its tiny output
+    # (≤ partitions × (k+1) rows) on first use so the scan runs once
+    mg = vals.mapInPandas(
+        _mg_candidates(k), schema=f"value {dtype}, n long"
+    ).localCheckpoint(eager=False)
     # candidates are bounded (≤ partitions × k) → broadcast; the total
     # is one row → broadcast cross join. No driver-side collect.
     cands = mg.filter(F.col("value").isNotNull()).select("value").distinct()

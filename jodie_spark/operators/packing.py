@@ -45,6 +45,10 @@ def with_global_offsets(
         df.repartitionByRange(int(n), F.col(order_col))
         .withColumn("__part__", F.spark_partition_id())
     )
+    # persisted across the totals collect + the caller's read; no
+    # explicit unpersist because the returned DataFrame still depends
+    # on it — Spark's ContextCleaner unpersists the block when the
+    # plan is garbage-collected after the caller finishes
     part = part.persist()
     # phase 2 input: one row per partition (bounded collect, #partitions)
     totals = (

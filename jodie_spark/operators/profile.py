@@ -111,7 +111,10 @@ def exact_quantiles(
     hist = vals.groupBy("value").agg(F.count(F.lit(1)).alias("__c__"))
     cum = with_global_offsets(hist, "__c__", "value", offset_col="__off__")
     cum = cum.withColumn("__cf__", F.col("__off__") + F.col("__c__"))
-    total = hist.agg(F.sum("__c__").alias("__n__"))
+    # derive N from cum, not hist: with_global_offsets persisted the
+    # shuffled histogram, so this aggregates the cache instead of
+    # re-running the corpus scan + groupBy a second time
+    total = cum.agg(F.sum("__c__").alias("__n__"))
     targets = df.sparkSession.createDataFrame(
         [(float(q),) for q in sorted(set(qs))], "q double"
     ).join(F.broadcast(total))

@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 
 from jodie_spark.errors import (
     ConcurrentAppendException,
+    ConcurrentDeleteReadException,
     ConcurrentModificationException,
     DeltaProtocolError,
     VersionNotFoundError,
@@ -323,6 +324,32 @@ def _added_files_read_conflict(
         ad = a.get("add")
         if ad and ad.get("dataChange", True) and read_check(ad):
             return ad.get("path")
+    return None
+
+
+def _removed_files_read_conflict(
+    read_check, theirs: list[dict[str, Any]]
+) -> str | None:
+    """Path of a concurrent dataChange remove whose file the losing
+    transaction's scan read, or None — delta-core's
+    checkForDeletedFilesAgainstCurrentTxnReadFiles. No blind-append
+    exemption applies (a commit with removes is never blind) and no
+    isolation level waives it: a result computed from since-deleted
+    rows is stale, full stop. Compaction removes (dataChange=false)
+    are exempt — their rows live on in the compacted output."""
+    for a in theirs:
+        rm = a.get("remove")
+        if not rm or rm.get("dataChange", True) is False:
+            continue
+        # removes carry partitionValues but never stats; a foreign
+        # remove MISSING partitionValues gives the checker nothing to
+        # prune on — the evaluator would read the absent value as a
+        # NULL partition (provably non-matching), so conflict
+        # conservatively instead
+        if not rm.get("partitionValues"):
+            return rm.get("path")
+        if read_check(rm):
+            return rm.get("path")
     return None
 
 
@@ -1156,6 +1183,16 @@ class DeltaLog:
                                 f"for version {version}: version {v} added "
                                 f"file {stale}, which this transaction's "
                                 f"scan would have read"
+                            ) from None
+                        gone = _removed_files_read_conflict(
+                            read_check, concurrent
+                        )
+                        if gone is not None:
+                            raise ConcurrentDeleteReadException(
+                                f"commit to {self.table_path} lost the race "
+                                f"for version {version}: version {v} removed "
+                                f"file {gone}, which this transaction's "
+                                f"scan read"
                             ) from None
                 checked_through = latest
                 version = latest + 1

@@ -22,7 +22,10 @@ import os
 
 import pytest
 
-from jodie_spark.errors import ConcurrentAppendException
+from jodie_spark.errors import (
+    ConcurrentAppendException,
+    ConcurrentDeleteReadException,
+)
 from jodie_spark.operators.dedup import append_without_duplicates
 from jodie_spark.tables.log import DeltaLog
 from jodie_spark.tables.table import DeltaTable, write_delta
@@ -228,6 +231,43 @@ def test_optimize_adds_do_not_conflict(spark, partitioned_table, monkeypatch):
     assert got == {1, 3, 5, 7, 9, 11}
     ops = [r["operation"] for r in t.history().collect()]
     assert ops.count("DELETE") == 1 and ops.count("OPTIMIZE") == 1
+
+
+def test_reading_merge_vs_concurrent_delete_raises(
+    spark, partitioned_table, monkeypatch
+):
+    """A winner that REMOVED files the loser read is as stale-making as
+    one that added them: append_without_duplicates anti-joined the
+    whole table, so a concurrent DELETE of any partition invalidates
+    its suppression decisions → ConcurrentDeleteReadException (delta's
+    checkForDeletedFilesAgainstCurrentTxnReadFiles)."""
+    p = partitioned_table
+    _stage_race(
+        monkeypatch, p, "MERGE",
+        lambda: DeltaTable.forPath(spark, p).delete("part = 0"),
+    )
+    with pytest.raises(ConcurrentDeleteReadException, match="scan read"):
+        _nonblind_insert(spark, p, [(0, 0, 7)])  # id 0 was just deleted
+
+    t = DeltaTable.forPath(spark, p)
+    got = {r["id"] for r in t.toDF().collect()}
+    assert got == {1, 3, 5, 7, 9}  # delete landed, merge rolled back
+
+
+def test_disjoint_deletes_both_commit(spark, partitioned_table, monkeypatch):
+    """Two DELETEs on different partitions: each read set excludes the
+    other's removes, so the loser retries cleanly and both land."""
+    p = partitioned_table
+    _stage_race(
+        monkeypatch, p, "DELETE",
+        lambda: DeltaTable.forPath(spark, p).delete("part = 1"),
+    )
+    DeltaTable.forPath(spark, p).delete("part = 0")
+
+    t = DeltaTable.forPath(spark, p)
+    assert t.toDF().count() == 0
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops.count("DELETE") == 2
 
 
 def test_read_check_serialization_shape(spark, partitioned_table):
