@@ -533,3 +533,155 @@ def make_read_checker(
     columns = [f.name for f in schema.fields]
     conjuncts = [classify_conjunct(c, columns) for c in split_conjuncts(condition)]
     return lambda add: file_may_match(add, conjuncts, schema, partition_columns)
+
+
+# ---------------------------------------------------------------------------
+# generated-column partition filters (delta OptimizeGeneratedColumn parity)
+# ---------------------------------------------------------------------------
+# A table partitioned by a GENERATED column (day = CAST(ts AS DATE),
+# month = DATE_TRUNC('MONTH', ts), yr = YEAR(ts), pfx = SUBSTRING(k, 1,
+# n)) is queried with predicates on the BASE column; without rewriting,
+# partition pruning sees no conjunct on the partition column and scans
+# everything. delta-core's OptimizeGeneratedColumn derives the implied
+# partition predicate for a whitelist of MONOTONIC generation shapes;
+# this reproduces that derivation driver-side so DML planning (and the
+# read-set conflict checker that reuses the same condition) prunes
+# time-partitioned tables from timestamp predicates alone. Only
+# implications that are provably sound are emitted:
+#   col >= L  ⟹  f(col) >= f(L)      (f monotone non-decreasing)
+#   col >  L  ⟹  f(col) >= f(L)      (note: >=, not >)
+#   col <= U  ⟹  f(col) <= f(U)
+#   col <  U  ⟹  f(col) <= f(U)
+#   col =  V  ⟹  f(col) =  f(V);  col IN (..) ⟹ f(col) IN (f(..))
+# Anything unrecognized or unparseable adds nothing (never mis-prunes).
+
+_GEN_CAST_DATE_RE = re.compile(
+    r"^\s*CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)\s*$", re.IGNORECASE
+)
+_GEN_DATE_FN_RE = re.compile(
+    r"^\s*(?:DATE|TO_DATE)\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+_GEN_TRUNC_RE = re.compile(
+    r"^\s*DATE_TRUNC\s*\(\s*'(\w+)'\s*,\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+_GEN_YEAR_RE = re.compile(r"^\s*YEAR\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE)
+_GEN_PREFIX_RE = re.compile(
+    r"^\s*SUBSTR(?:ING)?\s*\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_generation(expr: str) -> tuple[str, tuple] | None:
+    """(base_column, transform) for the monotonic shapes above."""
+    m = _GEN_CAST_DATE_RE.match(expr) or _GEN_DATE_FN_RE.match(expr)
+    if m:
+        return m.group(1), ("date",)
+    m = _GEN_TRUNC_RE.match(expr)
+    if m and m.group(1).lower() in ("year", "month", "day", "hour"):
+        return m.group(2), ("trunc", m.group(1).lower())
+    m = _GEN_YEAR_RE.match(expr)
+    if m:
+        return m.group(1), ("year",)
+    m = _GEN_PREFIX_RE.match(expr)
+    if m and int(m.group(2)) >= 1:
+        return m.group(1), ("prefix", int(m.group(2)))
+    return None
+
+
+def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
+    """Apply the generation transform to a python literal. Returns
+    ``(rhs, at_boundary)`` — rhs rendered as a conjunct RHS (quoted
+    string / bare int) the classifier re-parses; ``at_boundary`` is
+    True when the literal is a FIXED POINT of the transform (exactly
+    midnight for a date cast, first-of-month for a month trunc, a
+    ≤n-char string for a prefix), which licenses the strictly tighter
+    ``part < f(L)`` implication for ``col < L``: every col before a
+    boundary L truncates strictly below f(L). None ⇒ unevaluable,
+    caller emits nothing."""
+    import datetime as _dt
+
+    kind = transform[0]
+    if kind == "prefix":
+        if not isinstance(lit, str) or "'" in lit:
+            return None
+        return "'" + lit[: transform[1]] + "'", len(lit) <= transform[1]
+    ts = _parse_temporal(lit, want_date=False)
+    if ts is None:
+        return None
+    if kind == "date":
+        d = ts.date()
+        return f"'{d.isoformat()}'", ts == _dt.datetime.combine(d, _dt.time.min)
+    if kind == "year":
+        boundary = ts == _dt.datetime(ts.year, 1, 1)
+        return str(ts.year), boundary
+    unit = transform[1]
+    t = ts.replace(minute=0, second=0, microsecond=0)
+    if unit in ("day", "month", "year"):
+        t = t.replace(hour=0)
+    if unit in ("month", "year"):
+        t = t.replace(day=1)
+    if unit == "year":
+        t = t.replace(month=1)
+    return "'" + t.strftime("%Y-%m-%d %H:%M:%S") + "'", t == ts
+
+
+def implied_partition_conjuncts(
+    condition: str,
+    schema: T.StructType,
+    partition_columns: list[str],
+    generated: dict[str, str],
+) -> list[str]:
+    """Partition conjuncts implied by base-column predicates through
+    monotonic generation expressions (empty when nothing applies)."""
+    field_types = {f.name: f.dataType for f in schema.fields}
+    # base column -> [(partition column, transform)]
+    by_base: dict[str, list[tuple[str, tuple]]] = {}
+    for part, expr in generated.items():
+        if part not in partition_columns:
+            continue
+        parsed = _parse_generation(expr)
+        if parsed is None:
+            continue
+        base, transform = parsed
+        dtype = field_types.get(base)
+        if transform[0] == "prefix":
+            ok = isinstance(dtype, T.StringType)
+        else:
+            ok = isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType))
+        if ok:
+            by_base.setdefault(base, []).append((part, transform))
+    if not by_base:
+        return []
+
+    columns = [f.name for f in schema.fields]
+    out: list[str] = []
+    for raw in split_conjuncts(condition):
+        cj = classify_conjunct(raw, columns)
+        if cj.column not in by_base:
+            continue
+        for part, transform in by_base[cj.column]:
+            if cj.kind == "in" and isinstance(cj.literal, list):
+                vals = [_transform_literal(transform, v) for v in cj.literal]
+                if vals and all(v is not None for v in vals):
+                    out.append(f"{part} in ({', '.join(v[0] for v in vals)})")
+                continue
+            if cj.literal is None:
+                continue
+            if cj.kind == "equality" and cj.op in ("=", "=="):
+                got = _transform_literal(transform, cj.literal)
+                if got is not None:
+                    out.append(f"{part} = {got[0]}")
+            elif cj.kind == "minmax":
+                got = _transform_literal(transform, cj.literal)
+                if got is not None:
+                    rhs, at_boundary = got
+                    if cj.op in (">", ">="):
+                        op = ">="
+                    elif cj.op == "<" and at_boundary:
+                        # col < boundary L ⟹ f(col) < f(L): everything
+                        # strictly before a fixed point truncates below it
+                        op = "<"
+                    else:
+                        op = "<="
+                    out.append(f"{part} {op} {rhs}")
+    return out

@@ -1397,12 +1397,28 @@ class DeltaTable:
         if condition is None:
             return None
         ms = self._mapping_schemas(snap)
-        if ms is None:
-            return condition
-        logical, physical = ms
-        if all(lf.name == pf.name for lf, pf in zip(logical.fields, physical.fields)):
-            return condition
-        return None
+        if ms is not None:
+            logical, physical = ms
+            if any(
+                lf.name != pf.name for lf, pf in zip(logical.fields, physical.fields)
+            ):
+                return None
+        # generated-partition derivation (delta OptimizeGeneratedColumn):
+        # a predicate on the BASE column of a monotonic generation
+        # expression (day = CAST(ts AS DATE), …) implies a partition
+        # conjunct — append it so stats/partition skipping AND the
+        # read-set conflict checker see it. Implied-only, never lossy.
+        schema = self.schema(snap)
+        gen = generated_columns_of(schema)
+        if gen:
+            from jodie_spark.tables.pruning import implied_partition_conjuncts
+
+            extra = implied_partition_conjuncts(
+                condition, schema, snap.partition_columns, gen
+            )
+            if extra:
+                condition = " and ".join([condition, *extra])
+        return condition
 
     # -- mutations -----------------------------------------------------------
 
