@@ -488,6 +488,39 @@ def _file_filter_column(
                     any_in_range = any_in_range | ((mn <= v) & (mx >= v))
                 keep = keep & F.coalesce(any_in_range, F.lit(True))
             continue
+        if cj.kind == "between":
+            lo, hi = cj.literal
+            lo_l, hi_l = F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)
+            if col in partition_columns:
+                val = F.element_at(F.col("partitionValues"), col).cast(dtype)
+                keep = keep & F.coalesce(
+                    (val >= lo_l) & (val <= hi_l), F.lit(False)
+                )
+            else:
+                mn = F.col(f"parsed_stats.minValues.{col}")
+                mx = F.col(f"parsed_stats.maxValues.{col}")
+                keep = keep & F.coalesce((mn <= hi_l) & (mx >= lo_l), F.lit(True))
+            continue
+        if cj.kind == "like_prefix":
+            if not isinstance(dtype, T.StringType):
+                continue
+            from jodie_spark.tables.pruning import _prefix_upper
+
+            upper = _prefix_upper(cj.literal)
+            if col in partition_columns:
+                val = F.element_at(F.col("partitionValues"), col)
+                cond = val >= F.lit(cj.literal)
+                if upper is not None:
+                    cond = cond & (val < F.lit(upper))
+                keep = keep & F.coalesce(cond, F.lit(False))
+            else:
+                mn = F.col(f"parsed_stats.minValues.{col}")
+                mx = F.col(f"parsed_stats.maxValues.{col}")
+                cond = mx >= F.lit(cj.literal)
+                if upper is not None:
+                    cond = cond & (mn < F.lit(upper))
+                keep = keep & F.coalesce(cond, F.lit(True))
+            continue
         lit = F.lit(cj.literal).cast(dtype) if cj.literal is not None else None
         if col in partition_columns:
             val = F.element_at(F.col("partitionValues"), col).cast(dtype)

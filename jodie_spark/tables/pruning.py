@@ -63,7 +63,18 @@ def split_conjuncts(condition: str) -> list[str]:
         elif ch == ")":
             depth -= 1
         if depth == 0 and s[i : i + 5].lower() == " and " :
-            out.append("".join(token).strip())
+            # the AND of a (NOT) BETWEEN belongs to the predicate, not
+            # the conjunction: every BETWEEN in the token so far claims
+            # exactly one following AND
+            tok = "".join(token)
+            stripped = re.sub(r"'[^']*'|\"[^\"]*\"", " ", tok)
+            n_between = len(re.findall(r"\bbetween\b", stripped, re.IGNORECASE))
+            n_and = len(re.findall(r"\band\b", stripped, re.IGNORECASE))
+            if n_between > n_and:
+                token.append(s[i : i + 5])
+                i += 5
+                continue
+            out.append(tok.strip())
             token = []
             i += 5
             continue
@@ -106,6 +117,26 @@ _IN_RE = re.compile(
     r"^([A-Za-z_][\w.]*)\s+in\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
 _SWAP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+_BETWEEN_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s+between\s+(.+?)\s+and\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LIKE_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s+like\s+('[^']*')\s*$", re.IGNORECASE
+)
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix
+    (last non-maximal character incremented, trailing maxima dropped);
+    None when no such bound exists."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000  # skip surrogates: unencodable, never in data
+        if cp <= 0x10FFFF:
+            return prefix[:i] + chr(cp)
+    return None
 
 
 @dataclass
@@ -258,6 +289,45 @@ def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
                 return Conjunct(
                     conjunct, "in", column=col, op="in",
                     literal=parsed_vals, references=tuple(refs),
+                )
+        return Conjunct(conjunct, "other", column=col, references=tuple(refs))
+
+    m = _BETWEEN_RE.match(conjunct)
+    if m:
+        col, lo_raw, hi_raw = m.group(1), m.group(2), m.group(3)
+        if col in unresolved or "." in col:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        ok_lo, lo = _parse_literal(lo_raw)
+        ok_hi, hi = _parse_literal(hi_raw)
+        if ok_lo and ok_hi and lo is not None and hi is not None:
+            return Conjunct(
+                conjunct, "between", column=col, op="between",
+                literal=(lo, hi), references=tuple(refs),
+            )
+        return Conjunct(conjunct, "other", column=col, references=tuple(refs))
+    if re.match(r"^[A-Za-z_][\w.]*\s+not\s+between\b", conjunct, re.IGNORECASE):
+        # NOT BETWEEN: a disjunction (< lo OR > hi) — no conjunct-level
+        # min/max proof, keep every file
+        return Conjunct(conjunct, "other", references=tuple(refs))
+
+    m = _LIKE_RE.match(conjunct)
+    if m:
+        col = m.group(1)
+        if col in unresolved or "." in col:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        ok, pat = _parse_literal(m.group(2))
+        if ok and isinstance(pat, str):
+            if not re.search(r"[%_\\]", pat):
+                # no wildcard: LIKE 'abc' ≡ equality
+                return Conjunct(
+                    conjunct, "equality", column=col, op="=",
+                    literal=pat, references=tuple(refs),
+                )
+            pm = re.match(r"^([^%_\\]+)%$", pat)
+            if pm:
+                return Conjunct(
+                    conjunct, "like_prefix", column=col, op="like",
+                    literal=pm.group(1), references=tuple(refs),
                 )
         return Conjunct(conjunct, "other", column=col, references=tuple(refs))
 
@@ -425,6 +495,52 @@ def file_may_match(
                 for v in vals
             )
             if not possible and len(vals) == len(cj.literal):
+                return False
+            continue
+
+        if cj.kind == "between":
+            lo = _coerce(cj.literal[0], dtype)
+            hi = _coerce(cj.literal[1], dtype)
+            if col in partition_columns:
+                pv = _coerce((add.get("partitionValues") or {}).get(col), dtype)
+                if pv is None:
+                    return False  # NULL is never BETWEEN
+                if (lo is not None and _cmp("<", pv, lo)) or (
+                    hi is not None and _cmp(">", pv, hi)
+                ):
+                    return False
+                continue
+            if stats is None:
+                continue
+            mn = _coerce((stats.get("minValues") or {}).get(col), dtype)
+            mx = _coerce((stats.get("maxValues") or {}).get(col), dtype)
+            if hi is not None and mn is not None and _cmp(">", mn, hi):
+                return False
+            if lo is not None and mx is not None and _cmp("<", mx, lo):
+                return False
+            continue
+
+        if cj.kind == "like_prefix":
+            if not isinstance(dtype, T.StringType):
+                continue
+            prefix: str = cj.literal
+            upper = _prefix_upper(prefix)
+            # matching strings live in [prefix, upper) — a pure range
+            # proof, same as delta's StartsWith data-skipping predicate
+            if col in partition_columns:
+                pv = (add.get("partitionValues") or {}).get(col)
+                if pv is None:
+                    return False  # NULL LIKE ... is never true
+                if pv < prefix or (upper is not None and pv >= upper):
+                    return False
+                continue
+            if stats is None:
+                continue
+            mn = (stats.get("minValues") or {}).get(col)
+            mx = (stats.get("maxValues") or {}).get(col)
+            if mx is not None and str(mx) < prefix:
+                return False
+            if upper is not None and mn is not None and str(mn) >= upper:
                 return False
             continue
 
@@ -666,6 +782,14 @@ def implied_partition_conjuncts(
                     out.append(f"{part} in ({', '.join(v[0] for v in vals)})")
                 continue
             if cj.literal is None:
+                continue
+            if cj.kind == "between":
+                got_lo = _transform_literal(transform, cj.literal[0])
+                got_hi = _transform_literal(transform, cj.literal[1])
+                if got_lo is not None:
+                    out.append(f"{part} >= {got_lo[0]}")
+                if got_hi is not None:
+                    out.append(f"{part} <= {got_hi[0]}")
                 continue
             if cj.kind == "equality" and cj.op in ("=", "=="):
                 got = _transform_literal(transform, cj.literal)

@@ -1,0 +1,157 @@
+"""BETWEEN and LIKE-'prefix%' data skipping: both were previously
+classified 'other' (keep every file); they now prune via partition
+values and min/max stats — and BETWEEN's AND no longer splits the
+conjunct apart. All proofs must stay conservative: a file is pruned
+only when stats prove no row matches."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jodie_spark.tables.pruning import (
+    _prefix_upper,
+    classify_conjunct,
+    implied_partition_conjuncts,
+    prune_files,
+    split_conjuncts,
+)
+from jodie_spark.tables.table import DeltaTable, write_delta
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("p", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("day", T.DateType()),
+    ]
+)
+COLS = [f.name for f in SCHEMA.fields]
+
+
+def test_split_keeps_between_whole():
+    assert split_conjuncts("a = 1 and k between 2 and 5 and b = 2") == [
+        "a = 1", "k between 2 and 5", "b = 2",
+    ]
+    assert split_conjuncts("k not between 2 and 5 and b = 2") == [
+        "k not between 2 and 5", "b = 2",
+    ]
+    assert split_conjuncts("k between 2 and 5") == ["k between 2 and 5"]
+    # two BETWEENs, each claiming its own AND
+    assert split_conjuncts("a between 1 and 2 and b between 3 and 4") == [
+        "a between 1 and 2", "b between 3 and 4",
+    ]
+
+
+def test_classify_between_and_like():
+    cj = classify_conjunct("id between 2 and 5", COLS)
+    assert (cj.kind, cj.column, cj.literal) == ("between", "id", (2, 5))
+    # NOT BETWEEN is a disjunction — conservative 'other'
+    assert classify_conjunct("id not between 2 and 5", COLS).kind == "other"
+    cj = classify_conjunct("k like 'ab%'", COLS)
+    assert (cj.kind, cj.column, cj.literal) == ("like_prefix", "k", "ab")
+    # wildcard-free LIKE is equality
+    cj = classify_conjunct("k like 'abc'", COLS)
+    assert (cj.kind, cj.op, cj.literal) == ("equality", "=", "abc")
+    # non-prefix patterns keep every file
+    assert classify_conjunct("k like '%ab'", COLS).kind == "other"
+    assert classify_conjunct("k like 'a_b%'", COLS).kind == "other"
+    assert classify_conjunct("k like 'a\\%b%'", COLS).kind == "other"
+
+
+def test_prefix_upper():
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("a\U0010FFFF") == "b"
+    assert _prefix_upper("\U0010FFFF") is None
+    # surrogate gap is skipped to the next encodable code point
+    assert _prefix_upper("퟿") == ""
+
+
+def _add(path, stats=None, pv=None):
+    out = {"path": path, "partitionValues": pv or {}}
+    if stats is not None:
+        import json
+
+        out["stats"] = json.dumps(stats)
+    return out
+
+
+def test_between_stats_pruning():
+    adds = [
+        _add("low", {"numRecords": 5, "minValues": {"id": 1}, "maxValues": {"id": 3}}),
+        _add("mid", {"numRecords": 5, "minValues": {"id": 4}, "maxValues": {"id": 8}}),
+        _add("high", {"numRecords": 5, "minValues": {"id": 20}, "maxValues": {"id": 30}}),
+        _add("nostats"),
+    ]
+    got = {a["path"] for a in prune_files(adds, "id between 5 and 10", SCHEMA, [])}
+    assert got == {"mid", "nostats"}
+
+
+def test_between_partition_pruning():
+    adds = [
+        _add("p0", pv={"p": "0"}),
+        _add("p5", pv={"p": "5"}),
+        _add("p9", pv={"p": "9"}),
+        _add("pnull", pv={"p": None}),
+    ]
+    got = {a["path"] for a in prune_files(adds, "p between 4 and 6", SCHEMA, ["p"])}
+    assert got == {"p5"}
+
+
+def test_like_prefix_pruning():
+    adds = [
+        _add("aa", {"numRecords": 5, "minValues": {"k": "aaa"}, "maxValues": {"k": "aaz"}}),
+        _add("ab", {"numRecords": 5, "minValues": {"k": "ab"}, "maxValues": {"k": "abz"}}),
+        _add("zz", {"numRecords": 5, "minValues": {"k": "za"}, "maxValues": {"k": "zz"}}),
+        _add("span", {"numRecords": 5, "minValues": {"k": "a"}, "maxValues": {"k": "z"}}),
+        _add("nostats"),
+    ]
+    got = {a["path"] for a in prune_files(adds, "k like 'ab%'", SCHEMA, [])}
+    assert got == {"ab", "span", "nostats"}
+    # partition-valued
+    padds = [
+        _add("x", pv={"k": "abc"}),
+        _add("y", pv={"k": "acc"}),
+        _add("n", pv={"k": None}),
+    ]
+    got = {a["path"] for a in prune_files(padds, "k like 'ab%'", SCHEMA, ["k"])}
+    assert got == {"x"}
+
+
+def test_between_feeds_generated_derivation():
+    gen = {"day": "CAST(ts AS DATE)"}
+    assert implied_partition_conjuncts(
+        "ts between '2024-01-02 05:00:00' and '2024-01-04 05:00:00'",
+        SCHEMA, ["day"], gen,
+    ) == ["day >= '2024-01-02'", "day <= '2024-01-04'"]
+
+
+@pytest.fixture()
+def string_table(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "strtab")
+    df = spark.createDataFrame(
+        [(i, f"{pre}{i:03d}") for i, pre in enumerate(["ab", "ac", "zz"] * 10)],
+        ["id", "k"],
+    )
+    write_delta(df.repartition(6, "k"), p)
+    return p
+
+
+def test_delta_file_stats_spark_side_like(spark, string_table):
+    """The Spark-side files-DF filter (big-log path) applies the same
+    LIKE/BETWEEN proofs."""
+    from jodie_spark.tables.distribution import delta_file_stats
+
+    total = delta_file_stats(spark, string_table).count()
+    liked = delta_file_stats(spark, string_table, "k like 'ab%'").count()
+    assert 0 < liked <= total
+    # correctness anchor: every file containing an 'ab' row survives
+    t = DeltaTable.forPath(spark, string_table)
+    want = t.toDF().filter("k like 'ab%'").count()
+    assert want == 10  # fixture sanity
+    # and DML through the same planner stays correct
+    t.delete("k like 'ab%' and id between 0 and 8")
+    got = sorted(r["id"] for r in t.toDF().collect())
+    assert got == sorted(i for i in range(30) if not (i % 3 == 0 and 0 <= i <= 8))
