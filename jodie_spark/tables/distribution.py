@@ -28,7 +28,11 @@ from jodie_spark.tables.log import (
     checkpoint_file_name,
     commit_file_name,
 )
-from jodie_spark.tables.pruning import classify_conjunct, split_conjuncts
+from jodie_spark.tables.pruning import (
+    _split_top_level,
+    classify_conjunct,
+    split_conjuncts,
+)
 from jodie_spark.tables.table import DeltaTable
 
 # output column names — parity: reference delta/DeltaConstants.scala:5-31
@@ -463,6 +467,19 @@ def _file_filter_column(
     keep = F.lit(True)
     unresolved: list[str] = []
     for raw in split_conjuncts(condition):
+        disjuncts = _split_top_level(raw, "or")
+        if len(disjuncts) > 1:
+            # OR tree: a file survives if SOME branch may match —
+            # recursive, same shape as pruning.compile_skipping_predicate
+            branch: Column | None = None
+            for d in disjuncts:
+                k_d, unres_d = _file_filter_column(
+                    d, table_schema, partition_columns
+                )
+                unresolved.extend(unres_d)
+                branch = k_d if branch is None else (branch | k_d)
+            keep = keep & branch
+            continue
         cj = classify_conjunct(raw, columns)
         if cj.kind == "unresolved":
             unresolved.extend([r for r in cj.references if "." in r or r not in columns])

@@ -34,17 +34,19 @@ EQUALITY_OPS = {"=", "==", "<=>"}
 # conjunct splitting / parsing
 # ---------------------------------------------------------------------------
 
-def split_conjuncts(condition: str) -> list[str]:
-    """Split on top-level AND, respecting parentheses and quotes.
-
-    Parity: splitConjunctivePredicates (reference DeltaHelpers.scala:156-162).
-    """
+def _split_top_level(condition: str, word: str) -> list[str]:
+    """Split on a top-level boolean keyword (" and " / " or "),
+    respecting parentheses and quotes; for AND, each BETWEEN in the
+    accumulated token claims exactly one following AND (it belongs to
+    the predicate, not the conjunction)."""
     out: list[str] = []
     depth = 0
     in_quote: str | None = None
     token = []
     i = 0
     s = condition
+    sep = f" {word} "
+    wl = len(sep)
     while i < len(s):
         ch = s[i]
         if in_quote:
@@ -62,21 +64,21 @@ def split_conjuncts(condition: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if depth == 0 and s[i : i + 5].lower() == " and " :
-            # the AND of a (NOT) BETWEEN belongs to the predicate, not
-            # the conjunction: every BETWEEN in the token so far claims
-            # exactly one following AND
+        if depth == 0 and s[i : i + wl].lower() == sep:
             tok = "".join(token)
-            stripped = re.sub(r"'[^']*'|\"[^\"]*\"", " ", tok)
-            n_between = len(re.findall(r"\bbetween\b", stripped, re.IGNORECASE))
-            n_and = len(re.findall(r"\band\b", stripped, re.IGNORECASE))
-            if n_between > n_and:
-                token.append(s[i : i + 5])
-                i += 5
-                continue
+            if word == "and":
+                stripped = re.sub(r"'[^']*'|\"[^\"]*\"", " ", tok)
+                n_between = len(
+                    re.findall(r"\bbetween\b", stripped, re.IGNORECASE)
+                )
+                n_and = len(re.findall(r"\band\b", stripped, re.IGNORECASE))
+                if n_between > n_and:
+                    token.append(s[i : i + wl])
+                    i += wl
+                    continue
             out.append(tok.strip())
             token = []
-            i += 5
+            i += wl
             continue
         token.append(ch)
         i += 1
@@ -84,6 +86,14 @@ def split_conjuncts(condition: str) -> list[str]:
     if tail:
         out.append(tail)
     return [_strip_outer_parens(c) for c in out if c]
+
+
+def split_conjuncts(condition: str) -> list[str]:
+    """Split on top-level AND, respecting parentheses and quotes.
+
+    Parity: splitConjunctivePredicates (reference DeltaHelpers.scala:156-162).
+    """
+    return _split_top_level(condition, "and")
 
 
 def _strip_outer_parens(s: str) -> str:
@@ -615,6 +625,74 @@ def file_may_match(
     return True
 
 
+_MAX_SKIP_TREE_DEPTH = 20
+
+
+def compile_skipping_predicate(
+    condition: str,
+    schema: T.StructType,
+    partition_columns: list[str],
+):
+    """Compile ``condition`` into ``pred(add) -> bool`` over an AND/OR
+    tree of classified leaves — the recursive shape delta's
+    DataSkippingReader evaluates, so disjunctions prune too: a file
+    survives an OR only if SOME branch may match it ((day = X OR
+    day = Y) skips every other partition; the old flat-conjunct path
+    kept all). Leaves reuse :func:`file_may_match`; anything
+    unclassifiable stays conservative. Classification happens ONCE at
+    compile time, and a pure conjunction (no OR anywhere) collapses to
+    a single leaf list so stats parse once per file, exactly the old
+    fast path."""
+    columns = [f.name for f in schema.fields]
+
+    def build(expr: str, depth: int):
+        if depth > _MAX_SKIP_TREE_DEPTH:
+            return None  # pathological nesting: always-may-match
+        nodes: list[Any] = []
+        for c in split_conjuncts(expr):
+            ds = _split_top_level(c, "or")
+            if len(ds) > 1:
+                nodes.append(("or", [build(d, depth + 1) for d in ds]))
+            else:
+                nodes.append(("leaf", classify_conjunct(c, columns)))
+        return ("and", nodes)
+
+    tree = build(condition, 0)
+
+    def flat_leaves(node):
+        """Leaf list when the tree is a pure conjunction, else None."""
+        if node is None:
+            return None
+        tag, payload = node
+        if tag == "leaf":
+            return [payload]
+        if tag == "or":
+            return None
+        out = []
+        for n in payload:
+            sub = flat_leaves(n)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+
+    flat = flat_leaves(tree)
+    if flat is not None:
+        return lambda add: file_may_match(add, flat, schema, partition_columns)
+
+    def ev(node, add) -> bool:
+        if node is None:
+            return True
+        tag, payload = node
+        if tag == "and":
+            return all(ev(n, add) for n in payload)
+        if tag == "or":
+            return any(ev(n, add) for n in payload)
+        return file_may_match(add, [payload], schema, partition_columns)
+
+    return lambda add: ev(tree, add)
+
+
 def prune_files(
     adds: list[dict[str, Any]],
     condition: str | None,
@@ -624,8 +702,8 @@ def prune_files(
     """Files that may contain rows matching ``condition`` (None ⇒ all)."""
     if not condition:
         return list(adds)
-    conjuncts = [classify_conjunct(c, [f.name for f in schema.fields]) for c in split_conjuncts(condition)]
-    return [a for a in adds if file_may_match(a, conjuncts, schema, partition_columns)]
+    pred = compile_skipping_predicate(condition, schema, partition_columns)
+    return [a for a in adds if pred(a)]
 
 
 def make_read_checker(
@@ -637,18 +715,16 @@ def make_read_checker(
 
     Returns ``checker(add) -> bool``: True when a scan filtered by
     ``condition`` could have read the file (same conservative stats /
-    partition evaluation as :func:`file_may_match`, so a file is
-    excluded only when its stats *prove* no row matches). ``None``
-    condition means the transaction read the whole table — every add
-    matches. ``DeltaLog.commit`` evaluates this against the AddFiles of
-    commits that win the version race to raise
+    partition evaluation as :func:`compile_skipping_predicate`, so a
+    file is excluded only when its stats *prove* no row matches).
+    ``None`` condition means the transaction read the whole table —
+    every add matches. ``DeltaLog.commit`` evaluates this against the
+    AddFiles of commits that win the version race to raise
     ``ConcurrentAppendException`` exactly when delta-core's
     ConflictChecker would (readPredicates vs winning-commit adds)."""
     if not condition:
         return lambda add: True
-    columns = [f.name for f in schema.fields]
-    conjuncts = [classify_conjunct(c, columns) for c in split_conjuncts(condition)]
-    return lambda add: file_may_match(add, conjuncts, schema, partition_columns)
+    return compile_skipping_predicate(condition, schema, partition_columns)
 
 
 # ---------------------------------------------------------------------------

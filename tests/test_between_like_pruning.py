@@ -155,3 +155,63 @@ def test_delta_file_stats_spark_side_like(spark, string_table):
     t.delete("k like 'ab%' and id between 0 and 8")
     got = sorted(r["id"] for r in t.toDF().collect())
     assert got == sorted(i for i in range(30) if not (i % 3 == 0 and 0 <= i <= 8))
+
+
+# ---------------------------------------------------------------------------
+# OR-tree skipping (delta DataSkippingReader parity): a file survives a
+# disjunction only if SOME branch may match it
+# ---------------------------------------------------------------------------
+
+_OR_ADDS = [
+    _add("p0", {"numRecords": 5, "minValues": {"id": 0}, "maxValues": {"id": 9}},
+         pv={"p": "0"}),
+    _add("p1", {"numRecords": 5, "minValues": {"id": 10}, "maxValues": {"id": 19}},
+         pv={"p": "1"}),
+    _add("p2", {"numRecords": 5, "minValues": {"id": 20}, "maxValues": {"id": 29}},
+         pv={"p": "2"}),
+    _add("p3", {"numRecords": 5, "minValues": {"id": 30}, "maxValues": {"id": 39}},
+         pv={"p": "3"}),
+]
+
+
+def _or_prune(cond):
+    return {a["path"] for a in prune_files(_OR_ADDS, cond, SCHEMA, ["p"])}
+
+
+def test_or_partition_pruning():
+    assert _or_prune("p = 1 or p = 3") == {"p1", "p3"}
+    assert _or_prune("(p = 1 or p = 3)") == {"p1", "p3"}
+
+
+def test_or_mixed_stats_and_partition():
+    assert _or_prune("p = 0 or id >= 35") == {"p0", "p3"}
+
+
+def test_or_nested_conjunctions():
+    got = _or_prune("(p = 0 and id >= 5) or (p = 2 and id <= 25)")
+    assert got == {"p0", "p2"}
+    # outer AND composes with the inner OR
+    got = _or_prune("id <= 25 and (p = 0 or p = 2)")
+    assert got == {"p0", "p2"}
+
+
+def test_or_conservative_branch_keeps_file():
+    # one branch unprovable → every file could match that branch
+    assert _or_prune("p = 1 or some_fn(id) = 3") == {"p0", "p1", "p2", "p3"}
+
+
+def test_or_between_branch():
+    assert _or_prune("id between 12 and 18 or p = 3") == {"p1", "p3"}
+
+
+def test_or_spark_side(spark, tmpdir_path):
+    from jodie_spark.tables.distribution import delta_file_stats
+
+    p = os.path.join(tmpdir_path, "ortab")
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)], ["id", "p"])
+    write_delta(df.repartition("p"), p, partition_by=["p"])
+    n = delta_file_stats(spark, p, "p = 1 or p = 3").count()
+    n_all = delta_file_stats(spark, p).count()
+    assert 0 < n < n_all
+    paths = [r["path"] for r in delta_file_stats(spark, p, "p = 1 or p = 3").collect()]
+    assert all("p=1" in x or "p=3" in x for x in paths)
