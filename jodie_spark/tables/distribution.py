@@ -505,6 +505,27 @@ def _file_filter_column(
                     any_in_range = any_in_range | ((mn <= v) & (mx >= v))
                 keep = keep & F.coalesce(any_in_range, F.lit(True))
             continue
+        if cj.kind in ("not_equality", "not_in"):
+            raw_lits = [cj.literal] if cj.kind == "not_equality" else list(cj.literal)
+            lits = [F.lit(v).cast(dtype) for v in raw_lits]
+            if col in partition_columns:
+                val = F.element_at(F.col("partitionValues"), col).cast(dtype)
+                # NULL partition value: != / NOT IN is NULL, never true
+                keep = keep & F.coalesce(
+                    val.isNotNull() & ~val.isin(*lits), F.lit(False)
+                )
+            else:
+                mn = F.col(f"parsed_stats.minValues.{col}")
+                mx = F.col(f"parsed_stats.maxValues.{col}")
+                nulls = F.col(f"parsed_stats.nullCount.{col}")
+                nrec = F.col("parsed_stats.numRecords")
+                all_null = nulls.isNotNull() & nrec.isNotNull() & (nulls == nrec)
+                single_excluded = (mn == mx) & mn.isin(*lits)
+                keep = keep & F.coalesce(
+                    ~(all_null | F.coalesce(single_excluded, F.lit(False))),
+                    F.lit(True),
+                )
+            continue
         if cj.kind == "between":
             lo, hi = cj.literal
             lo_l, hi_l = F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)

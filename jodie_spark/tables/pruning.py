@@ -126,6 +126,9 @@ _NULL_RE = re.compile(r"^([A-Za-z_][\w.]*)\s+is\s+(not\s+)?null$", re.IGNORECASE
 _IN_RE = re.compile(
     r"^([A-Za-z_][\w.]*)\s+in\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
+_NOT_IN_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s+not\s+in\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
+)
 _SWAP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
 _BETWEEN_RE = re.compile(
     r"^([A-Za-z_][\w.]*)\s+between\s+(.+?)\s+and\s+(.+)$",
@@ -302,6 +305,29 @@ def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
                 )
         return Conjunct(conjunct, "other", column=col, references=tuple(refs))
 
+    m = _NOT_IN_RE.match(conjunct)
+    if m:
+        col, body = m.group(1), m.group(2)
+        if col in unresolved or "." in col:
+            return Conjunct(conjunct, "unresolved", references=tuple(refs))
+        values = _split_in_list(body)
+        if values is not None:
+            parsed_vals = []
+            for v in values:
+                ok, lit = _parse_literal(v)
+                if not ok or lit is None:
+                    # a NULL member makes NOT IN match nothing at all;
+                    # leave that degenerate case to the row filter
+                    parsed_vals = None
+                    break
+                parsed_vals.append(lit)
+            if parsed_vals:
+                return Conjunct(
+                    conjunct, "not_in", column=col, op="not in",
+                    literal=parsed_vals, references=tuple(refs),
+                )
+        return Conjunct(conjunct, "other", column=col, references=tuple(refs))
+
     m = _BETWEEN_RE.match(conjunct)
     if m:
         col, lo_raw, hi_raw = m.group(1), m.group(2), m.group(3)
@@ -368,8 +394,13 @@ def classify_conjunct(conjunct: str, columns: list[str]) -> Conjunct:
         kind = "equality"
     elif op in MIN_MAX_OPS:
         kind = "minmax"
+    elif op in ("!=", "<>") and lit is not None:
+        # col != lit prunes single-value files: a file whose every row
+        # equals lit (or is NULL — != on NULL is NULL, never matched)
+        # provably has no matching row
+        kind, op = "not_equality", "!="
     else:
-        kind = "other"  # != / <>
+        kind = "other"
     return Conjunct(conjunct, kind, column=col, op=op, literal=lit, references=tuple(refs))
 
 
@@ -505,6 +536,44 @@ def file_may_match(
                 for v in vals
             )
             if not possible and len(vals) == len(cj.literal):
+                return False
+            continue
+
+        if cj.kind in ("not_equality", "not_in"):
+            lits = (
+                [_coerce(cj.literal, dtype)]
+                if cj.kind == "not_equality"
+                else [_coerce(v, dtype) for v in cj.literal]
+            )
+            if any(v is None for v in lits):
+                continue  # un-coercible — keep the file
+            if col in partition_columns:
+                pv = _coerce((add.get("partitionValues") or {}).get(col), dtype)
+                if pv is None:
+                    return False  # NULL != / NOT IN is NULL, never matched
+                if any(_cmp("=", pv, v) is True for v in lits):
+                    return False  # every row carries the excluded value
+                continue
+            if stats is None:
+                continue
+            num_records = stats.get("numRecords")
+            null_count = (stats.get("nullCount") or {}).get(col)
+            if (
+                null_count is not None
+                and num_records is not None
+                and int(null_count) == int(num_records)
+            ):
+                return False  # all NULL: the predicate is never true
+            mn = _coerce((stats.get("minValues") or {}).get(col), dtype)
+            mx = _coerce((stats.get("maxValues") or {}).get(col), dtype)
+            if (
+                mn is not None
+                and mx is not None
+                and _cmp("=", mn, mx) is True
+                and any(_cmp("=", mn, v) is True for v in lits)
+            ):
+                # every non-null row equals an excluded literal, and
+                # NULL rows never satisfy != / NOT IN either
                 return False
             continue
 

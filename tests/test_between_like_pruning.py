@@ -215,3 +215,74 @@ def test_or_spark_side(spark, tmpdir_path):
     assert 0 < n < n_all
     paths = [r["path"] for r in delta_file_stats(spark, p, "p = 1 or p = 3").collect()]
     assert all("p=1" in x or "p=3" in x for x in paths)
+
+
+# ---------------------------------------------------------------------------
+# != / NOT IN pruning: single-valued files and NULL partitions are
+# provably non-matching (NULL != x is NULL, never true)
+# ---------------------------------------------------------------------------
+
+def test_not_equality_partition_pruning():
+    adds = [
+        _add("p0", pv={"p": "0"}),
+        _add("p1", pv={"p": "1"}),
+        _add("pnull", pv={"p": None}),
+    ]
+    got = {a["path"] for a in prune_files(adds, "p != 1", SCHEMA, ["p"])}
+    assert got == {"p0"}
+    got = {a["path"] for a in prune_files(adds, "p <> 1", SCHEMA, ["p"])}
+    assert got == {"p0"}
+
+
+def test_not_in_partition_pruning():
+    adds = [
+        _add("p0", pv={"p": "0"}),
+        _add("p1", pv={"p": "1"}),
+        _add("p2", pv={"p": "2"}),
+        _add("pnull", pv={"p": None}),
+    ]
+    got = {a["path"] for a in prune_files(adds, "p not in (1, 2)", SCHEMA, ["p"])}
+    assert got == {"p0"}
+
+
+def test_not_equality_stats_pruning():
+    adds = [
+        # single-valued file on the excluded literal → prune
+        _add("only7", {"numRecords": 5, "minValues": {"id": 7}, "maxValues": {"id": 7},
+                       "nullCount": {"id": 0}}),
+        # single-valued + some NULLs: NULLs never match != either → prune
+        _add("only7n", {"numRecords": 5, "minValues": {"id": 7}, "maxValues": {"id": 7},
+                        "nullCount": {"id": 2}}),
+        # all-NULL file → prune
+        _add("allnull", {"numRecords": 4, "minValues": {}, "maxValues": {},
+                         "nullCount": {"id": 4}}),
+        # range spans other values → keep
+        _add("span", {"numRecords": 5, "minValues": {"id": 1}, "maxValues": {"id": 9},
+                      "nullCount": {"id": 0}}),
+        _add("nostats"),
+    ]
+    got = {a["path"] for a in prune_files(adds, "id != 7", SCHEMA, [])}
+    assert got == {"span", "nostats"}
+
+
+def test_not_in_with_null_member_keeps_all():
+    adds = [_add("p0", pv={"p": "0"}), _add("p1", pv={"p": "1"})]
+    got = {a["path"] for a in prune_files(adds, "p not in (1, null)", SCHEMA, ["p"])}
+    assert got == {"p0", "p1"}  # degenerate case left to the row filter
+
+
+def test_not_ops_spark_side(spark, tmpdir_path):
+    from jodie_spark.tables.distribution import delta_file_stats
+
+    p = os.path.join(tmpdir_path, "nottab")
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "p"])
+    write_delta(df.repartition("p"), p, partition_by=["p"])
+    paths = [r["path"] for r in delta_file_stats(spark, p, "p != 1").collect()]
+    assert paths and all("p=1" not in x for x in paths)
+    paths = [r["path"] for r in delta_file_stats(spark, p, "p not in (0, 2)").collect()]
+    assert paths and all("p=1" in x for x in paths)
+    # DML correctness through the same planner
+    t = DeltaTable.forPath(spark, p)
+    t.delete("p != 1 and id < 10")
+    got = sorted(r["id"] for r in t.toDF().collect())
+    assert got == sorted(i for i in range(30) if not (i % 3 != 1 and i < 10))

@@ -317,8 +317,9 @@ def test_in_list_classifies():
     assert c.kind == "in" and c.column == "a" and c.literal == [1, 2, 3]
     c = classify_conjunct("a in ('x', 'y')", ["a"])
     assert c.kind == "in" and c.literal == ["x", "y"]
-    # NOT IN is never a pruning predicate
-    assert classify_conjunct("a not in (1, 2)", ["a"]).kind == "other"
+    # NOT IN prunes single-valued/NULL files since round 10
+    c = classify_conjunct("a not in (1, 2)", ["a"])
+    assert c.kind == "not_in" and c.literal == [1, 2]
     # subquery bails out
     assert classify_conjunct("a in (select x from t)", ["a"]).kind == "other"
     # unresolved column
