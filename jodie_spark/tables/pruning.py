@@ -926,6 +926,11 @@ def implied_partition_conjuncts(
                 if vals and all(v is not None for v in vals):
                     out.append(f"{part} in ({', '.join(v[0] for v in vals)})")
                 continue
+            if cj.op in ("is null", "is not null"):
+                # every supported transform is NULL-preserving both
+                # ways: f(NULL) = NULL and f(non-null) is non-null
+                out.append(f"{part} {cj.op}")
+                continue
             if cj.literal is None:
                 continue
             if cj.kind == "between":

@@ -265,3 +265,9 @@ def test_implication_soundness_property():
                 assert cmp_fns[cj.op](truncate(part, row_ts), implied_rhs), (
                     cond, implied, row_ts
                 )
+
+
+def test_null_checks_map_through_generation():
+    gen = {"day": "CAST(ts AS DATE)"}
+    assert _implied("ts is null", gen, ["day"]) == ["day is null"]
+    assert _implied("ts is not null", gen, ["day"]) == ["day is not null"]
