@@ -29,6 +29,7 @@ from jodie_spark.tables.log import (
     commit_file_name,
 )
 from jodie_spark.tables.pruning import (
+    _prefix_upper,
     _split_top_level,
     classify_conjunct,
     split_conjuncts,
@@ -542,8 +543,6 @@ def _file_filter_column(
         if cj.kind == "like_prefix":
             if not isinstance(dtype, T.StringType):
                 continue
-            from jodie_spark.tables.pruning import _prefix_upper
-
             upper = _prefix_upper(cj.literal)
             if col in partition_columns:
                 val = F.element_at(F.col("partitionValues"), col)

@@ -89,10 +89,20 @@ def _split_top_level(condition: str, word: str) -> list[str]:
 
 
 def split_conjuncts(condition: str) -> list[str]:
-    """Split on top-level AND, respecting parentheses and quotes.
+    """Split on top-level AND, respecting parentheses, quotes, and SQL
+    PRECEDENCE: AND binds tighter than OR, so ``x and y or z`` parses
+    as ``(x and y) or z`` — a single disjunctive conjunct, NOT a
+    conjunction with ``x`` required. Splitting such an expression at
+    its ANDs would let the evaluator prune on a piece only one OR
+    branch requires (silently skipping files whose rows match via the
+    other branch). When a top-level OR is present the whole expression
+    is returned as one conjunct; the OR-aware evaluators split it
+    themselves, and the flat path conservatively keeps every file.
 
     Parity: splitConjunctivePredicates (reference DeltaHelpers.scala:156-162).
     """
+    if len(_split_top_level(condition, "or")) > 1:
+        return [_strip_outer_parens(condition)]
     return _split_top_level(condition, "and")
 
 
@@ -155,7 +165,9 @@ def _prefix_upper(prefix: str) -> str | None:
 @dataclass
 class Conjunct:
     raw: str
-    kind: str  # 'minmax' | 'equality' | 'other' | 'unresolved'
+    # 'minmax' | 'equality' | 'not_equality' | 'in' | 'not_in' |
+    # 'between' | 'like_prefix' | 'other' | 'unresolved'
+    kind: str
     column: str | None = None
     op: str | None = None
     literal: Any = None  # python-typed literal when parseable
@@ -759,7 +771,19 @@ def compile_skipping_predicate(
             return any(ev(n, add) for n in payload)
         return file_may_match(add, [payload], schema, partition_columns)
 
-    return lambda add: ev(tree, add)
+    def pred(add):
+        raw = add.get("stats")
+        if isinstance(raw, str):
+            # parse ONCE per file: the tree evaluates one leaf per
+            # file_may_match call, which would otherwise re-parse the
+            # stats JSON for every leaf
+            try:
+                add = {**add, "stats": json.loads(raw)}
+            except json.JSONDecodeError:
+                add = {**add, "stats": None}
+        return ev(tree, add)
+
+    return pred
 
 
 def prune_files(
@@ -866,6 +890,12 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
         if not isinstance(lit, str) or "'" in lit:
             return None
         return "'" + lit[: transform[1]] + "'", len(lit) <= transform[1]
+    if isinstance(lit, str) and re.search(r"(?:Z|[+-]\d{2}:?\d{2})$", lit.strip()):
+        # an explicit-offset literal is evaluated against partition
+        # values Spark computed in the SESSION timezone; normalizing it
+        # driver-side can shift it across a partition boundary — bail,
+        # derive nothing (pruning stays stats-driven, never lossy)
+        return None
     ts = _parse_temporal(lit, want_date=False)
     if ts is None:
         return None

@@ -286,3 +286,76 @@ def test_not_ops_spark_side(spark, tmpdir_path):
     t.delete("p != 1 and id < 10")
     got = sorted(r["id"] for r in t.toDF().collect())
     assert got == sorted(i for i in range(30) if not (i % 3 != 1 and i < 10))
+
+
+# ---------------------------------------------------------------------------
+# SQL precedence: AND binds tighter than OR — "x and y or z" is
+# (x AND y) OR z, one disjunctive conjunct. Review-confirmed corruption
+# repros pinned here.
+# ---------------------------------------------------------------------------
+
+def test_precedence_mixed_and_or():
+    assert split_conjuncts("a = 1 or b = 2 and c = 3") == [
+        "a = 1 or b = 2 and c = 3"
+    ]
+    # file with a=1, c=7 matches via the a=1 branch — must be KEPT
+    adds = [
+        _add("m", pv={"p": "1", "k": "7"}),
+    ]
+    sch = T.StructType(
+        [T.StructField("p", T.LongType()), T.StructField("q", T.LongType()),
+         T.StructField("k", T.LongType())]
+    )
+    got = {a["path"] for a in prune_files(adds, "p = 1 or q = 2 and k = 3", sch, ["p", "k"])}
+    assert got == {"m"}
+    # and the OR branches still prune what NEITHER branch can match
+    adds2 = [_add("x", pv={"p": "9", "k": "9"})]
+    got = {a["path"] for a in prune_files(adds2, "p = 1 or q = 2 and k = 3", sch, ["p", "k"])}
+    assert got == set()
+
+
+def test_precedence_blocks_generated_derivation():
+    """'id = 5 or flag = true and ts >= X' has NO top-level ts conjunct
+    — deriving day >= X would silently exclude pre-X rows matching via
+    id = 5 (review-confirmed repro)."""
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("flag", T.BooleanType()),
+         T.StructField("ts", T.TimestampType()), T.StructField("day", T.DateType())]
+    )
+    got = implied_partition_conjuncts(
+        "id = 5 or flag = true and ts >= '2024-06-01 00:00:00'",
+        sch, ["day"], {"day": "CAST(ts AS DATE)"},
+    )
+    assert got == []
+    # parenthesized OR inside a true conjunction: the ts conjunct IS
+    # top-level, derivation applies
+    got = implied_partition_conjuncts(
+        "(id = 5 or flag = true) and ts >= '2024-06-01 00:00:00'",
+        sch, ["day"], {"day": "CAST(ts AS DATE)"},
+    )
+    assert got == ["day >= '2024-06-01'"]
+
+
+def test_tz_offset_literal_bails_derivation():
+    gen = {"day": "CAST(ts AS DATE)"}
+    assert implied_partition_conjuncts(
+        "ts <= '2024-06-02T01:00:00+03:00'", SCHEMA, ["day"], gen
+    ) == []
+    assert implied_partition_conjuncts(
+        "ts <= '2024-06-02T01:00:00Z'", SCHEMA, ["day"], gen
+    ) == []
+
+
+def test_precedence_spark_side(spark, tmpdir_path):
+    from jodie_spark.tables.distribution import delta_file_stats
+
+    p = os.path.join(tmpdir_path, "prectab")
+    df = spark.createDataFrame([(i, i % 4, i % 2) for i in range(40)], ["id", "p", "k"])
+    write_delta(df.repartition("p"), p, partition_by=["p"])
+    # p = 1 OR (p = 2 AND k = 0): files of p=1 must survive
+    paths = [
+        r["path"]
+        for r in delta_file_stats(spark, p, "p = 1 or p = 2 and k = 0").collect()
+    ]
+    assert any("p=1" in x for x in paths)
+    assert all("p=1" in x or "p=2" in x for x in paths)
