@@ -1906,6 +1906,25 @@ def _q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact heavy hitters (per-language stopword discovery):
+    an independent Misra-Gries summary per language feeds a guaranteed
+    candidate superset; the exact broadcast recount makes the output
+    value-for-value the per-group SQL HAVING answer."""
+    from jodie_spark.functions.text import _words
+    from jodie_spark.operators.heavy_hitters import heavy_hitters
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "lang", F.explode(_words(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(tokens, "token", phi=0.02, group_col="lang").select(
+        "lang", F.col("value").alias("token"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the corpus's word tokens: Misra-Gries
     candidate generation per partition (bounded k=⌈1/φ⌉ counters, a
@@ -3469,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # was r7, 33-50 the 18 oldest r8-green rows (epoch_shuffle,
         # displaced by the bloom slot, leads the tail at 51).
         "heavy_hitters": _q_heavy_hitters,
+        "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
         "exact_quantiles": _q_exact_quantiles,
         "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
@@ -3938,6 +3958,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token, tot.n
             HAVING count(*) > 0.01 * n
             ORDER BY token
+        """,
+        "heavy_hitters_by_lang": """
+            WITH toks AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> len(x) > 0)) AS token
+                FROM documents
+            ), tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang)
+            SELECT t.lang, token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks t JOIN tot ON t.lang = tot.lang
+            GROUP BY t.lang, token, tot.n
+            HAVING count(*) > 0.02 * tot.n
+            ORDER BY t.lang, token
         """,
         "exact_quantiles": """
             WITH vals AS (SELECT length(text) AS value FROM documents),

@@ -153,6 +153,7 @@ def main() -> None:
         "fsck_crc_repair",
         "datasource_field_id",
         "heavy_hitters",
+        "heavy_hitters_by_lang",
         "exact_quantiles",
     ]
     registry = entrymod.queries()

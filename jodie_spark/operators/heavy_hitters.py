@@ -76,17 +76,67 @@ def _mg_candidates(k: int):
     return gen
 
 
-def heavy_hitters(df: DataFrame, value_col: str, phi: float) -> DataFrame:
+def _mg_grouped_candidates(k: int):
+    """Grouped mapInPandas generator: an independent k-counter
+    Misra-Gries summary PER GROUP seen in the partition (state =
+    groups-in-partition × k — linear in the group count, as is the
+    output itself). Emits (group, value, 0) candidates plus one
+    (group, NULL, n) row-count row per group."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["group", "value"])
+            if pdf.empty:
+                continue
+            for g, sub in pdf.groupby("group", sort=False)["value"]:
+                totals[g] = totals.get(g, 0) + len(sub)
+                s = counts.get(g)
+                vc = sub.value_counts()
+                s = vc if s is None else s.add(vc, fill_value=0)
+                if len(s) > k:
+                    thresh = s.nlargest(k + 1).iloc[-1]
+                    s = s - thresh
+                    s = s[s > 0]
+                counts[g] = s
+        frames = [
+            pd.DataFrame({"group": g, "value": s.index, "n": 0})
+            for g, s in counts.items()
+        ]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "group": list(totals),
+                    "value": [None] * len(totals),
+                    "n": list(totals.values()),
+                }
+            )
+        )
+        yield pd.concat(frames, ignore_index=True)
+
+    return gen
+
+
+def heavy_hitters(
+    df: DataFrame, value_col: str, phi: float, group_col: str | None = None
+) -> DataFrame:
     """Every value of ``value_col`` occurring in MORE than ``phi`` of
-    the non-null rows, with its exact count — columns ``(value, cnt)``.
+    the non-null rows, with its exact count — columns ``(value, cnt)``,
+    or ``(group, value, cnt)`` with ``group_col`` (φ is then relative
+    to EACH group's row count: per-language stopwords, per-domain
+    boilerplate lines). NULL values — and, when grouped, NULL groups —
+    are ignored.
 
     Exact despite the sketch: Misra-Gries only proposes candidates
     (a guaranteed superset for thresholds ≥ φ); the returned counts
-    come from an exact recount of those candidates. NULLs are ignored.
+    come from an exact recount of those candidates.
     """
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     k = max(1, math.ceil(1.0 / phi))
+    if group_col is not None:
+        return _grouped_heavy_hitters(df, value_col, phi, group_col, k)
     vals = df.select(F.col(value_col).alias("value")).filter(
         F.col("value").isNotNull()
     )
@@ -111,6 +161,38 @@ def heavy_hitters(df: DataFrame, value_col: str, phi: float) -> DataFrame:
         exact.join(F.broadcast(total))
         .filter(F.col("cnt") > F.col("__total__") * F.lit(float(phi)))
         .select("value", "cnt")
+    )
+
+
+def _grouped_heavy_hitters(
+    df: DataFrame, value_col: str, phi: float, group_col: str, k: int
+) -> DataFrame:
+    vals = (
+        df.select(
+            F.col(group_col).alias("group"), F.col(value_col).alias("value")
+        )
+        .filter(F.col("group").isNotNull() & F.col("value").isNotNull())
+    )
+    gtype = vals.schema["group"].dataType.simpleString()
+    vtype = vals.schema["value"].dataType.simpleString()
+    mg = vals.mapInPandas(
+        _mg_grouped_candidates(k),
+        schema=f"group {gtype}, value {vtype}, n long",
+    ).localCheckpoint(eager=False)
+    # candidates bounded by groups × k per partition; totals by groups.
+    # both broadcast — the recount is a broadcast semi join, so the
+    # vocabulary never shuffles (the output is linear in groups anyway)
+    cands = mg.filter(F.col("value").isNotNull()).select("group", "value").distinct()
+    totals = mg.groupBy("group").agg(F.sum("n").alias("__total__"))
+    exact = (
+        vals.join(F.broadcast(cands), ["group", "value"], "left_semi")
+        .groupBy("group", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(totals), "group")
+        .filter(F.col("cnt") > F.col("__total__") * F.lit(float(phi)))
+        .select(F.col("group").alias(group_col), "value", "cnt")
     )
 
 

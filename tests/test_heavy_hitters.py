@@ -96,3 +96,51 @@ def test_recount_join_is_broadcast(spark):
     plan = heavy_hitters(df, "value", 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouped_heavy_hitters(spark):
+    """Per-group φ: each group's hitters judged against ITS row count;
+    exact vs brute force on an adversarial mixed distribution."""
+    rng = random.Random(11)
+    rows = []
+    rows += [("g1", "hot")] * 60 + [("g1", f"t{rng.randrange(500)}") for _ in range(540)]
+    rows += [("g2", "warm")] * 30 + [("g2", "hot")] * 4 + [
+        ("g2", f"u{rng.randrange(500)}") for _ in range(166)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    got = {
+        (r["g"], r["value"]): r["cnt"]
+        for r in heavy_hitters(df, "v", 0.08, group_col="g").collect()
+    }
+    expect = {}
+    for g in ("g1", "g2"):
+        vals = [v for gg, v in rows if gg == g]
+        for v, c in _exact(vals, 0.08).items():
+            expect[(g, v)] = c
+    assert got == expect
+    # 'hot' is a g1 hitter but NOT a g2 hitter (4/200 = 2% < 8%)
+    assert ("g1", "hot") in got and ("g2", "hot") not in got
+
+
+def test_grouped_null_group_and_value_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), (None, "x"), ("b", "y")],
+        "g string, v string",
+    )
+    got = {
+        (r["g"], r["value"]): r["cnt"]
+        for r in heavy_hitters(df, "v", 0.5, group_col="g").collect()
+    }
+    assert got == {("a", "x"): 2, ("b", "y"): 1}
+
+
+def test_grouped_recount_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(f"g{i%3}", f"v{i%7}") for i in range(100)], "g string, v string"
+    )
+    plan = (
+        heavy_hitters(df, "v", 0.1, group_col="g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
