@@ -28,6 +28,7 @@ overwrite write) — rebuilt on the public Python DataSource API
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import urllib.parse
@@ -415,6 +416,12 @@ def _filters_to_condition(filters: list[Filter], columns: set[str]) -> str | Non
                 if "'" in v:
                     continue
                 lit = f"'{v}'"
+            elif isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    continue  # session-tz ambiguity — skip, Spark re-filters
+                lit = "'" + v.isoformat(sep=" ") + "'"
+            elif isinstance(v, _dt.date):
+                lit = f"'{v.isoformat()}'"
             elif isinstance(v, bool) or not isinstance(v, (int, float)):
                 continue
             else:
@@ -486,8 +493,36 @@ class JodieDeltaBatchReader(DataSourceReader):
         snap = log.snapshot(int(self.version) if self.version is not None else None)
         adds = snap.add_files()
         if self._condition:
+            cond = self._condition
+            # generated-partition derivation on READS too (delta
+            # OptimizeGeneratedColumn): a pushed base-column filter on
+            # a day=CAST(ts AS DATE)-partitioned table prunes to the
+            # matching partitions. Unmapped tables only — on mapped
+            # tables the log's keys are physical names and the logical
+            # condition already degrades to keep-all
+            from jodie_spark.tables.column_mapping import column_mapping_mode
+
+            if column_mapping_mode(snap.metadata) == "none":
+                from jodie_spark.tables.pruning import (
+                    implied_partition_conjuncts,
+                )
+                from jodie_spark.tables.table import generated_columns_of
+
+                try:
+                    meta_schema = StructType.fromJson(
+                        json.loads(snap.metadata.get("schemaString") or "{}")
+                    )
+                    gen = generated_columns_of(meta_schema)
+                except Exception:
+                    gen = {}
+                if gen:
+                    extra = implied_partition_conjuncts(
+                        cond, meta_schema, snap.partition_columns, gen
+                    )
+                    if extra:
+                        cond = " and ".join([cond, *extra])
             adds = prune_files(
-                adds, self._condition, self.schema, snap.partition_columns
+                adds, cond, self.schema, snap.partition_columns
             )
         from jodie_spark.tables.row_lineage import lineage_cols
 

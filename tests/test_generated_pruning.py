@@ -271,3 +271,33 @@ def test_null_checks_map_through_generation():
     gen = {"day": "CAST(ts AS DATE)"}
     assert _implied("ts is null", gen, ["day"]) == ["day is null"]
     assert _implied("ts is not null", gen, ["day"]) == ["day is not null"]
+
+
+def test_datasource_read_prunes_via_generation(spark, ts_table):
+    """The jodie_delta batch reader derives partition filters from
+    pushed base-column predicates too: a timestamp range plans only the
+    matching day partition's files."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from jodie_spark.sources.datasource import JodieDeltaBatchReader, register
+
+    register(spark)
+    got = (
+        spark.read.format("jodie_delta")
+        .load(ts_table)
+        .filter("ts >= '2024-01-02 00:00:00' AND ts < '2024-01-03 00:00:00'")
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        i for i in range(30) if i % 3 == 1
+    )
+    r = JodieDeltaBatchReader({"path": ts_table}, got.schema)
+    r.pushFilters(
+        [
+            GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 2)),
+            LessThan(("ts",), dt.datetime(2024, 1, 3)),
+        ]
+    )
+    parts = list(r.partitions())
+    assert parts and all("day=2024-01-02" in x.file_path for x in parts)
