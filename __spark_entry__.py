@@ -3469,7 +3469,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r9 artifact), 5-32 the 28 rows whose newest official green
     was r7 (the stale cohort the r9 artifact left behind), 33-50 the
     18 oldest r8-green rows (epoch_shuffle, displaced by the bloom
-    slot, leads the tail at 51).  With 131 registered queries and a
+    slot, leads the tail at 51).  The round-10 continuation session
+    added heavy_hitters / heavy_hitters_by_lang / exact_quantiles at
+    the head (new queries, no official green yet — each value-checked
+    in-session), displacing three more r8-green rows to the tail; the
+    full 136-query registry was value-verified in one in-session
+    sweep (135/135 before the by-lang registration, which was then
+    checked green individually).  With 136 registered queries and a
     50-slot window the full registry cycles officially in ~3 rounds,
     so right after each artifact lands the round-minus-3 cohort reads
     as >2-rounds-stale until its window comes up — the invariant that

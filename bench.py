@@ -176,6 +176,37 @@ def main() -> None:
         dt = time.time() - t0
         cal_best = dt if cal_best is None else min(cal_best, dt)
     timings["calibration"] = round(cal_best, 3)
+    # I/O calibration (round-10 continuation): the CPU/shuffle workload
+    # above under-reads drift on the DML/streaming queries, whose cost
+    # is dominated by table lifecycle I/O (write files, commit log,
+    # read back). A bisect on a slow afternoon showed identical code
+    # timing 1.5x apart across machine states while CPU calibration
+    # moved only 13% — this lane makes that kind of drift self-evident
+    # in the artifact. Diagnostic only: norm_factor stays CPU-based.
+    io_best = None
+    try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from jodie_spark.tables.table import DeltaTable as _DT
+        from jodie_spark.tables.table import write_delta as _wd
+
+        for _ in range(3):
+            _d = _tf.mkdtemp(prefix="bench_iocal_")
+            try:
+                t0 = time.time()
+                _pp = os.path.join(_d, "t")
+                _wd(spark.range(100_000).selectExpr("id", "id % 7 as k"), _pp)
+                _t = _DT.forPath(spark, _pp)
+                _t.delete("k = 3", deletion_vectors=True)
+                _t.toDF().count()
+                dt = time.time() - t0
+                io_best = dt if io_best is None else min(io_best, dt)
+            finally:
+                _sh.rmtree(_d, ignore_errors=True)
+        timings["calibration_io"] = round(io_best, 3)
+    except Exception:
+        pass  # diagnostic lane must never fail the bench
     # Reference calibration cost on a QUIET machine (builder clean runs,
     # r8/r9: 0.30-0.35 s). norm_factor = CAL_REF / measured scales every
     # timing to quiet-machine terms, so an artifact captured on a loaded
