@@ -388,7 +388,9 @@ def main() -> None:
         "queries_normalized": {
             k: round(v * norm_factor, 3)
             for k, v in timings.items()
-            if k != "calibration"
+            # both calibration lanes are raw diagnostics: CPU-scaling
+            # the IO lane would cancel the drift it exists to expose
+            if k not in ("calibration", "calibration_io")
         },
         "sf": sf,
         "notes": notes,

@@ -45,13 +45,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _mg_update(counts: pd.Series, vc: pd.Series, k: int) -> pd.Series:
+    """One Misra-Gries merge step shared by the flat and grouped
+    generators: add a batch's value_counts, then — past k counters —
+    subtract the (k+1)-th largest running count from everything and
+    drop non-positives. One decrement "round" of δ hits ≥ k+1
+    counters, so any value loses at most n_p/(k+1) of its true count,
+    preserving the heavy-hitter survival guarantee."""
+    counts = vc if counts is None or counts.empty else counts.add(vc, fill_value=0)
+    if len(counts) > k:
+        thresh = counts.nlargest(k + 1).iloc[-1]
+        counts = counts - thresh
+        counts = counts[counts > 0]
+    return counts
+
+
 def _mg_candidates(k: int):
     """mapInPandas generator: Misra-Gries summary with k counters per
     partition, emitting candidate values (n=0) plus one row-count row
-    (value NULL, n=partition rows). The weighted decrement subtracts
-    the (k+1)-th largest running count from everything — one decrement
-    "round" of δ hits ≥ k+1 counters, so any value loses at most
-    n_p/(k+1) of its true count, preserving the survival guarantee."""
+    (value NULL, n=partition rows)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts = pd.Series(dtype="int64")
@@ -61,11 +73,7 @@ def _mg_candidates(k: int):
             n_rows += len(vals)
             if len(vals) == 0:
                 continue
-            counts = counts.add(vals.value_counts(), fill_value=0)
-            if len(counts) > k:
-                thresh = counts.nlargest(k + 1).iloc[-1]
-                counts = counts - thresh
-                counts = counts[counts > 0]
+            counts = _mg_update(counts, vals.value_counts(), k)
         out = pd.DataFrame({"value": counts.index, "n": 0})
         out = pd.concat(
             [out, pd.DataFrame({"value": [None], "n": [n_rows]})],
@@ -92,14 +100,7 @@ def _mg_grouped_candidates(k: int):
                 continue
             for g, sub in pdf.groupby("group", sort=False)["value"]:
                 totals[g] = totals.get(g, 0) + len(sub)
-                s = counts.get(g)
-                vc = sub.value_counts()
-                s = vc if s is None else s.add(vc, fill_value=0)
-                if len(s) > k:
-                    thresh = s.nlargest(k + 1).iloc[-1]
-                    s = s - thresh
-                    s = s[s > 0]
-                counts[g] = s
+                counts[g] = _mg_update(counts.get(g), sub.value_counts(), k)
         frames = [
             pd.DataFrame({"group": g, "value": s.index, "n": 0})
             for g, s in counts.items()
@@ -179,18 +180,23 @@ def _grouped_heavy_hitters(
         _mg_grouped_candidates(k),
         schema=f"group {gtype}, value {vtype}, n long",
     ).localCheckpoint(eager=False)
-    # candidates bounded by groups × k per partition; totals by groups.
-    # both broadcast — the recount is a broadcast semi join, so the
-    # vocabulary never shuffles (the output is linear in groups anyway)
+    # candidates/totals are LINEAR IN GROUP CARDINALITY (groups × k /
+    # groups rows) — broadcast only while that fits comfortably; at
+    # web-domain cardinality fall back to shuffle joins, where the
+    # corpus exchange on (group, value) is unavoidable because the
+    # output itself is that large. The count probe is cheap: mg is
+    # localCheckpointed, so it reads the materialized summary.
     cands = mg.filter(F.col("value").isNotNull()).select("group", "value").distinct()
     totals = mg.groupBy("group").agg(F.sum("n").alias("__total__"))
+    small = cands.count() <= 2_000_000
+    bcast = F.broadcast if small else (lambda df: df)
     exact = (
-        vals.join(F.broadcast(cands), ["group", "value"], "left_semi")
+        vals.join(bcast(cands), ["group", "value"], "left_semi")
         .groupBy("group", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        exact.join(F.broadcast(totals), "group")
+        exact.join(bcast(totals), "group")
         .filter(F.col("cnt") > F.col("__total__") * F.lit(float(phi)))
         .select(F.col("group").alias(group_col), "value", "cnt")
     )

@@ -400,10 +400,25 @@ def _read_file_batches(
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
-def _filters_to_condition(filters: list[Filter], columns: set[str]) -> str | None:
+def _filters_to_condition(
+    filters: list[Filter], schema: StructType
+) -> str | None:
     """Translate the simple single-column filters into the pruning
     condition language. Unsupported shapes are simply skipped — Spark
-    re-applies every filter after the scan, so skipping is always safe."""
+    re-applies every filter after the scan, so skipping is always safe.
+
+    Timestamp gating (empirically pinned in tests): Spark 4.1 delivers
+    TimestampType filter values as TZ-AWARE datetimes (session zone)
+    and TimestampNTZ values naive. An aware value is normalized to UTC
+    and emitted with its +00:00 offset (the pruning evaluator compares
+    offset literals in UTC, matching UTC-normalized stats; sessions are
+    pinned UTC). A NAIVE value is emitted only for TimestampNTZ columns
+    — against a TimestampType column's UTC stats its wall time would be
+    off by the session offset, so it is skipped."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    columns = {f.name for f in schema.fields}
+    types = {f.name: f.dataType for f in schema.fields}
     conjs: list[str] = []
     for f in filters:
         attr = getattr(f, "attribute", None)
@@ -418,8 +433,12 @@ def _filters_to_condition(filters: list[Filter], columns: set[str]) -> str | Non
                 lit = f"'{v}'"
             elif isinstance(v, _dt.datetime):
                 if v.tzinfo is not None:
-                    continue  # session-tz ambiguity — skip, Spark re-filters
-                lit = "'" + v.isoformat(sep=" ") + "'"
+                    u = v.astimezone(_dt.timezone.utc)
+                    lit = "'" + u.isoformat(sep=" ") + "'"
+                elif isinstance(types.get(col), TimestampNTZType):
+                    lit = "'" + v.isoformat(sep=" ") + "'"
+                else:
+                    continue  # naive value on a TimestampType column
             elif isinstance(v, _dt.date):
                 lit = f"'{v.isoformat()}'"
             elif isinstance(v, bool) or not isinstance(v, (int, float)):
@@ -479,8 +498,7 @@ class JodieDeltaBatchReader(DataSourceReader):
         self._condition: str | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821
-        cols = {f.name for f in self.schema.fields}
-        self._condition = _filters_to_condition(list(filters), cols)
+        self._condition = _filters_to_condition(list(filters), self.schema)
         # report every filter unsupported: we use them only to SKIP
         # files by stats, Spark still evaluates them row-level
         return filters
@@ -492,42 +510,38 @@ class JodieDeltaBatchReader(DataSourceReader):
         log = DeltaLog(self.path)
         snap = log.snapshot(int(self.version) if self.version is not None else None)
         adds = snap.add_files()
-        if self._condition:
+        # RENAMED column-mapped tables: the log's stats/partitionValues
+        # keys are PHYSICAL names — evaluating a logical-name condition
+        # against them can COLLIDE (a logical name equal to another
+        # column's physical name reads the wrong stats) and mis-prune.
+        # Same rule as DeltaTable._planning_condition: any rename ⇒ no
+        # pruning at all (correct, just un-skipped).
+        name_map, field_ids = _logical_physical_map(snap.metadata)
+        if self._condition and name_map is None:
             cond = self._condition
             # generated-partition derivation on READS too (delta
             # OptimizeGeneratedColumn): a pushed base-column filter on
             # a day=CAST(ts AS DATE)-partitioned table prunes to the
-            # matching partitions. Unmapped tables only — on mapped
-            # tables the log's keys are physical names and the logical
-            # condition already degrades to keep-all
-            from jodie_spark.tables.column_mapping import column_mapping_mode
+            # matching partitions
+            from jodie_spark.tables.pruning import (
+                augment_with_generated_partitions,
+            )
 
-            if column_mapping_mode(snap.metadata) == "none":
-                from jodie_spark.tables.pruning import (
-                    implied_partition_conjuncts,
+            try:
+                meta_schema = StructType.fromJson(
+                    json.loads(snap.metadata.get("schemaString") or "{}")
                 )
-                from jodie_spark.tables.table import generated_columns_of
-
-                try:
-                    meta_schema = StructType.fromJson(
-                        json.loads(snap.metadata.get("schemaString") or "{}")
-                    )
-                    gen = generated_columns_of(meta_schema)
-                except Exception:
-                    gen = {}
-                if gen:
-                    extra = implied_partition_conjuncts(
-                        cond, meta_schema, snap.partition_columns, gen
-                    )
-                    if extra:
-                        cond = " and ".join([cond, *extra])
+                cond = augment_with_generated_partitions(
+                    cond, meta_schema, snap.partition_columns
+                )
+            except Exception:
+                pass  # derivation is an optimization, never a gate
             adds = prune_files(
                 adds, cond, self.schema, snap.partition_columns
             )
         from jodie_spark.tables.row_lineage import lineage_cols
 
         mat = lineage_cols(snap.configuration) or (None, None)
-        name_map, field_ids = _logical_physical_map(snap.metadata)
         parts = []
         for a in adds:
             fp = _FilePartition(

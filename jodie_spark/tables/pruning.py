@@ -892,10 +892,19 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
         return "'" + lit[: transform[1]] + "'", len(lit) <= transform[1]
     if isinstance(lit, str) and re.search(r"(?:Z|[+-]\d{2}:?\d{2})$", lit.strip()):
         # an explicit-offset literal is evaluated against partition
-        # values Spark computed in the SESSION timezone; normalizing it
-        # driver-side can shift it across a partition boundary — bail,
-        # derive nothing (pruning stays stats-driven, never lossy)
-        return None
+        # values Spark computed in the SESSION timezone; a NON-UTC
+        # offset normalized driver-side can shift across a partition
+        # boundary — bail. A ZERO offset is exactly session wall time
+        # (jodie_spark.session pins every session to UTC), so it is
+        # safe: strip it and proceed. This is also the shape Spark 4.1
+        # pushes for TimestampType filters (tz-aware UTC datetimes).
+        try:
+            parsed = _dt.datetime.fromisoformat(lit.strip().replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        if parsed.tzinfo is None or parsed.utcoffset() != _dt.timedelta(0):
+            return None
+        lit = parsed.replace(tzinfo=None).isoformat(sep=" ")
     ts = _parse_temporal(lit, want_date=False)
     if ts is None:
         return None
@@ -914,6 +923,30 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
     if unit == "year":
         t = t.replace(month=1)
     return "'" + t.strftime("%Y-%m-%d %H:%M:%S") + "'", t == ts
+
+
+def augment_with_generated_partitions(
+    condition: str,
+    schema: T.StructType,
+    partition_columns: list[str],
+) -> str:
+    """``condition`` AND-extended with its implied generated-partition
+    conjuncts (no-op when the schema carries no generation metadata or
+    nothing is derivable) — the one shared entry point for DML planning
+    (``DeltaTable._planning_condition``) and the ``jodie_delta`` batch
+    reader, so the derivation's safety rules cannot diverge. ``schema``
+    must be the metadata schema (``delta.generationExpression`` field
+    metadata intact); mapping-mode guards stay at the call sites, which
+    know their name plane."""
+    from jodie_spark.tables.table import generated_columns_of
+
+    gen = generated_columns_of(schema)
+    if not gen:
+        return condition
+    extra = implied_partition_conjuncts(
+        condition, schema, partition_columns, gen
+    )
+    return " and ".join([condition, *extra]) if extra else condition
 
 
 def implied_partition_conjuncts(

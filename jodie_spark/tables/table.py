@@ -1408,17 +1408,11 @@ class DeltaTable:
         # expression (day = CAST(ts AS DATE), …) implies a partition
         # conjunct — append it so stats/partition skipping AND the
         # read-set conflict checker see it. Implied-only, never lossy.
-        schema = self.schema(snap)
-        gen = generated_columns_of(schema)
-        if gen:
-            from jodie_spark.tables.pruning import implied_partition_conjuncts
+        from jodie_spark.tables.pruning import augment_with_generated_partitions
 
-            extra = implied_partition_conjuncts(
-                condition, schema, snap.partition_columns, gen
-            )
-            if extra:
-                condition = " and ".join([condition, *extra])
-        return condition
+        return augment_with_generated_partitions(
+            condition, self.schema(snap), snap.partition_columns
+        )
 
     # -- mutations -----------------------------------------------------------
 

@@ -292,12 +292,26 @@ def test_datasource_read_prunes_via_generation(spark, ts_table):
     assert sorted(r["id"] for r in got.collect()) == sorted(
         i for i in range(30) if i % 3 == 1
     )
+    # Spark 4.1 delivers TimestampType filter values TZ-AWARE (session
+    # zone) — the translation must engage on exactly that shape
     r = JodieDeltaBatchReader({"path": ts_table}, got.schema)
+    utc = dt.timezone.utc
     r.pushFilters(
         [
-            GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 2)),
-            LessThan(("ts",), dt.datetime(2024, 1, 3)),
+            GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 2, tzinfo=utc)),
+            LessThan(("ts",), dt.datetime(2024, 1, 3, tzinfo=utc)),
         ]
     )
+    assert r._condition and "ts >=" in r._condition
     parts = list(r.partitions())
     assert parts and all("day=2024-01-02" in x.file_path for x in parts)
+    # a NAIVE value on a TimestampType column is wall-time-ambiguous
+    # against UTC stats — it must be skipped, not mistranslated
+    r2 = JodieDeltaBatchReader({"path": ts_table}, got.schema)
+    r2.pushFilters([GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 2))])
+    assert r2._condition is None
+    # and the REAL pushdown path engages end-to-end: Spark's own filter
+    # delivery (tz-aware datetimes, separate planning worker) must plan
+    # FEWER input partitions than the unfiltered read
+    base = spark.read.format("jodie_delta").load(ts_table)
+    assert got.rdd.getNumPartitions() < base.rdd.getNumPartitions()
