@@ -1925,6 +1925,21 @@ def _q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (per-language length percentiles):
+    group-partitioned cumulative histogram + broadcast per-group target
+    ranks — closed-form, value-for-value oracle-checkable."""
+    from jodie_spark.operators.profile import exact_quantiles
+    from jodie_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.length("text").alias("len")
+    )
+    return exact_quantiles(
+        docs, "len", [0.5, 0.9, 0.99], group_col="lang"
+    ).select("lang", "q", F.col("value").cast("long").alias("value"))
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the corpus's word tokens: Misra-Gries
     candidate generation per partition (bounded k=⌈1/φ⌉ counters, a
@@ -3496,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
         "exact_quantiles": _q_exact_quantiles,
+        "quantiles_by_lang": _q_quantiles_by_lang,
         "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
         "audio_dedup_flac": _q_audio_dedup_flac,
@@ -3977,6 +3993,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.lang, token, tot.n
             HAVING count(*) > 0.02 * tot.n
             ORDER BY t.lang, token
+        """,
+        "quantiles_by_lang": """
+            WITH vals AS (SELECT lang, length(text) AS value FROM documents),
+            hist AS (SELECT lang, value, count(*) AS c FROM vals
+                     GROUP BY lang, value),
+            cum AS (SELECT lang, value,
+                           sum(c) OVER (PARTITION BY lang ORDER BY value) AS cf
+                    FROM hist),
+            tot AS (SELECT lang, count(*) AS n FROM vals GROUP BY lang),
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+            SELECT cum.lang, q, CAST(min(value) AS BIGINT) AS value
+            FROM cum JOIN tot ON cum.lang = tot.lang, qs
+            WHERE cf >= ceil(q * n)
+            GROUP BY cum.lang, q
+            ORDER BY cum.lang, q
         """,
         "exact_quantiles": """
             WITH vals AS (SELECT length(text) AS value FROM documents),

@@ -155,6 +155,7 @@ def main() -> None:
         "heavy_hitters",
         "heavy_hitters_by_lang",
         "exact_quantiles",
+        "quantiles_by_lang",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

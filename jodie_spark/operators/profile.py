@@ -77,7 +77,10 @@ def profile_table(
 
 
 def exact_quantiles(
-    df: DataFrame, value_col: str, qs: list[float]
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    group_col: str | None = None,
 ) -> DataFrame:
     """EXACT discrete quantiles of ``value_col`` at scale — columns
     ``(q, value)`` where ``value`` is the smallest v whose cumulative
@@ -99,10 +102,18 @@ def exact_quantiles(
     The 100 TB use case: length percentiles to size packing budgets,
     score cutoffs for quality filtering — places where "approximately
     the 99th percentile" silently over- or under-trims the corpus.
+
+    With ``group_col``: per-group quantiles — columns ``(group, q,
+    value)``, ranks against EACH group's row count (per-language length
+    percentiles). The cumulative sum becomes a group-partitioned window
+    over the histogram, bounded by one group's distinct values per
+    window partition; NULL groups are ignored.
     """
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    if group_col is not None:
+        return _grouped_exact_quantiles(df, value_col, qs, group_col)
     from jodie_spark.operators.packing import with_global_offsets
 
     vals = df.select(F.col(value_col).alias("value")).filter(
@@ -128,4 +139,40 @@ def exact_quantiles(
         )
         .groupBy("q")
         .agg(F.min("value").alias("value"))
+    )
+
+
+def _grouped_exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], group_col: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    vals = df.select(
+        F.col(group_col).alias("group"), F.col(value_col).alias("value")
+    ).filter(F.col("group").isNotNull() & F.col("value").isNotNull())
+    hist = vals.groupBy("group", "value").agg(F.count(F.lit(1)).alias("__c__"))
+    # group-partitioned running sum: each window partition holds ONE
+    # group's distinct values — bounded for the discrete columns this
+    # targets, and parallel across groups (no single-partition scan)
+    w = Window.partitionBy("group").orderBy("value")
+    cum = hist.withColumn("__cf__", F.sum("__c__").over(w))
+    totals = hist.groupBy("group").agg(F.sum("__c__").alias("__n__"))
+    targets = (
+        df.sparkSession.createDataFrame(
+            [(float(q),) for q in sorted(set(qs))], "q double"
+        )
+        .join(F.broadcast(totals))
+        .withColumn("__rank__", F.ceil(F.col("q") * F.col("__n__")))
+        .select("group", "q", "__rank__")
+    )
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (cum["group"] == targets["group"])
+            & (F.col("__cf__") >= F.col("__rank__")),
+        )
+        .select(cum["group"], "q", "value")
+        .groupBy("group", "q")
+        .agg(F.min("value").alias("value"))
+        .select(F.col("group").alias(group_col), "q", "value")
     )

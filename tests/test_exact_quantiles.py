@@ -62,3 +62,32 @@ def test_q_validation(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "v int")
     assert exact_quantiles(df, "v", [0.5]).collect() == []
+
+
+def test_grouped_quantiles(spark):
+    """Per-group ranks against each group's own row count — exact vs
+    brute force on uneven groups with ties."""
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7)] * 50 + [("b", 9)] * 10
+    df = spark.createDataFrame(rows, "g string, v int").repartition(8)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_quantiles(df, "v", [0.5, 0.9, 1.0], group_col="g").collect()
+    }
+    expect = {}
+    for g in ("a", "b"):
+        vals = [v for gg, v in rows if gg == g]
+        for q, v in _expected(vals, [0.5, 0.9, 1.0]).items():
+            expect[(g, q)] = v
+    assert got == expect
+    assert got[("b", 0.5)] == 7 and got[("b", 1.0)] == 9
+
+
+def test_grouped_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 5), ("a", 3)], "g string, v int"
+    )
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_quantiles(df, "v", [0.5, 1.0], group_col="g").collect()
+    }
+    assert got == {("a", 0.5): 1, ("a", 1.0): 3}
