@@ -280,3 +280,48 @@ def test_read_check_serialization_shape(spark, partitioned_table):
     v = log.latest_version()
     raw = open(os.path.join(p, "_delta_log", f"{v:020d}.json")).readline()
     assert json.loads(raw)["commitInfo"]["isBlindAppend"] is True
+
+
+def test_generated_derivation_sharpens_read_set(spark, tmpdir_path, monkeypatch):
+    """The read-set conflict checker sees the DERIVED partition
+    conjuncts: a DELETE whose only predicate is on the base timestamp
+    column records a day-confined read set, so a concurrent non-blind
+    insert into a DIFFERENT day co-commits — and one into the SAME day
+    conflicts."""
+    p = os.path.join(tmpdir_path, "gen_race")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 2:02d} 06:00:00") for i in range(8)], ["id", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    write_delta(
+        df.repartition("ts"), p,
+        partition_by=["day"], generated_columns={"day": "cast(ts as date)"},
+    )
+
+    def insert_day(day_i, ids):
+        t = DeltaTable.forPath(spark, p)
+        src = (
+            spark.createDataFrame(
+                [(i, f"2024-01-{day_i:02d} 09:00:00") for i in ids], ["id", "ts"]
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("day", F.col("ts").cast("date"))
+        )
+        append_without_duplicates(t, src, ["id"])
+
+    # other-day insert: the derived `day` bounds exclude it → co-commit
+    _stage_race(monkeypatch, p, "DELETE", lambda: insert_day(2, [100]))
+    DeltaTable.forPath(spark, p).delete(
+        "ts >= '2024-01-01 00:00:00' AND ts < '2024-01-02 00:00:00'"
+    )
+    t = DeltaTable.forPath(spark, p)
+    got = {r["id"] for r in t.toDF().collect()}
+    assert got == {i for i in range(8) if i % 2 == 1} | {100}
+
+    # same-day insert: inside the derived read set → conflict
+    _stage_race(monkeypatch, p, "DELETE", lambda: insert_day(2, [200]))
+    with pytest.raises(ConcurrentAppendException, match="would have read"):
+        DeltaTable.forPath(spark, p).delete(
+            "ts >= '2024-01-02 00:00:00' AND ts < '2024-01-03 00:00:00'"
+        )
