@@ -336,14 +336,20 @@ def test_precedence_blocks_generated_derivation():
     assert got == ["day >= '2024-06-01'"]
 
 
-def test_tz_offset_literal_bails_derivation():
+def test_tz_offset_literal_derivation():
     gen = {"day": "CAST(ts AS DATE)"}
+    # a NON-UTC offset can shift across a partition boundary — bail
     assert implied_partition_conjuncts(
         "ts <= '2024-06-02T01:00:00+03:00'", SCHEMA, ["day"], gen
     ) == []
+    # a ZERO offset is exactly session wall time (sessions pinned UTC):
+    # derive — this is the shape Spark 4.1 pushes for TimestampType
     assert implied_partition_conjuncts(
         "ts <= '2024-06-02T01:00:00Z'", SCHEMA, ["day"], gen
-    ) == []
+    ) == ["day <= '2024-06-02'"]
+    assert implied_partition_conjuncts(
+        "ts >= '2024-06-02 01:00:00+00:00'", SCHEMA, ["day"], gen
+    ) == ["day >= '2024-06-02'"]
 
 
 def test_precedence_spark_side(spark, tmpdir_path):

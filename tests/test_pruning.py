@@ -369,11 +369,34 @@ def test_in_list_with_quoted_or_inside_string_is_safe():
 
 
 def test_datasource_translates_in_filter():
-    from pyspark.sql.datasource import In
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, In
 
     from jodie_spark.sources.datasource import _filters_to_condition
 
-    cond = _filters_to_condition([In(("cell",), (1, 4))], {"cell"})
+    sch = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("nts", T.TimestampNTZType()),
+        ]
+    )
+    cond = _filters_to_condition([In(("cell",), (1, 4))], sch)
     assert cond == "cell in (1, 4)"
     # string with embedded quote bails (filter skipped, never unsafe SQL)
-    assert _filters_to_condition([In(("s",), ("a'b",))], {"s"}) is None
+    assert _filters_to_condition([In(("s",), ("a'b",))], sch) is None
+    # TimestampType: aware values (Spark's real delivery) emit a UTC
+    # offset literal; naive values are session-ambiguous and skipped
+    aware = dt.datetime(2024, 1, 2, 3, 0, tzinfo=dt.timezone.utc)
+    assert _filters_to_condition([GreaterThanOrEqual(("ts",), aware)], sch) == (
+        "ts >= '2024-01-02 03:00:00+00:00'"
+    )
+    assert _filters_to_condition(
+        [GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 2, 3, 0))], sch
+    ) is None
+    # TimestampNTZ: naive values are exact
+    assert _filters_to_condition(
+        [GreaterThanOrEqual(("nts",), dt.datetime(2024, 1, 2, 3, 0))], sch
+    ) == "nts >= '2024-01-02 03:00:00'"
