@@ -1925,6 +1925,21 @@ def _q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: highest-quality documents whose
+    exclusive running token total stays under the budget (quality desc,
+    doc_id tiebreak; the straddler is kept). Distributed two-phase
+    prefix sum; the oracle is the identical SQL window."""
+    from jodie_spark.functions.text import with_text_stats
+    from jodie_spark.operators.corpus import select_token_budget
+    from jodie_spark.sources import load_table
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    return select_token_budget(docs, budget=5000).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
 def _q_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles (per-language length percentiles):
     group-partitioned cumulative histogram + broadcast per-group target
@@ -3512,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
         "exact_quantiles": _q_exact_quantiles,
         "quantiles_by_lang": _q_quantiles_by_lang,
+        "token_budget_selection": _q_token_budget_selection,
         "bloom_incremental_dedup": _q_bloom_incremental_dedup,
         "num_shuffle_files": _q_num_shuffle_files,
         "audio_dedup_flac": _q_audio_dedup_flac,
@@ -3993,6 +4009,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.lang, token, tot.n
             HAVING count(*) > 0.02 * tot.n
             ORDER BY t.lang, token
+        """,
+        "token_budget_selection": """
+            WITH w AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                       x -> len(x) > 0)) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[^.!?]', '', 'g')) > 0 AS has_term,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, n_tokens,
+                       ((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_words > 0
+                                AND (CAST(n_chars AS DOUBLE) / n_words) BETWEEN 3 AND 12
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN n_chars > 0
+                                AND (CAST(n_alpha AS DOUBLE) / n_chars) >= 0.6
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN has_term THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+                FROM w
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                           - n_tokens AS off
+                FROM scored
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM cum WHERE off < 5000
+            ORDER BY doc_id
         """,
         "quantiles_by_lang": """
             WITH vals AS (SELECT lang, length(text) AS value FROM documents),

@@ -156,6 +156,7 @@ def main() -> None:
         "heavy_hitters_by_lang",
         "exact_quantiles",
         "quantiles_by_lang",
+        "token_budget_selection",
     ]
     registry = entrymod.queries()
     timings: dict[str, float] = {}

@@ -87,3 +87,43 @@ def clean_corpus(
     if fuzzy:
         deduped = minhash_dedup(deduped, text_col, id_col, **(fuzzy_kwargs or {}))
     return deduped
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Highest-quality documents whose cumulative token count fits a
+    training BUDGET — the FineWeb/DataComp selection shape ("take the
+    best N tokens"), made deterministic and exact.
+
+    Documents are ordered (quality desc, id asc — the id tiebreak makes
+    equal-quality runs reproducible) and kept while their EXCLUSIVE
+    running token total is below ``budget``; the straddling document is
+    included, so the selection meets the budget with at most one
+    document of overshoot. The running total is the same two-phase
+    distributed prefix sum ``pack_sequences`` uses
+    (``packing.with_global_offsets``) — per-range-partition sums plus a
+    #partitions-bounded offset collect, no single-partition window, no
+    driver-side sort. Closed-form arithmetic throughout, so a SQL
+    window oracle replicates the selection exactly.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from jodie_spark.operators.packing import with_global_offsets
+
+    ordered = df.withColumn(
+        "__ord__",
+        F.struct(
+            (-F.col(quality_col)).alias("q"), F.col(id_col).alias("i")
+        ),
+    )
+    out = with_global_offsets(
+        ordered, tokens_col, "__ord__", offset_col="__budget_off__"
+    )
+    return out.filter(F.col("__budget_off__") < F.lit(int(budget))).drop(
+        "__ord__", "__budget_off__"
+    )

@@ -768,3 +768,35 @@ def test_kmv_sketches(spark):
     row = ov.collect()[0]
     assert abs(row["jaccard"] - 1 / 3) < 0.08
     assert abs(row["n_intersect"] - 5_000) / 5_000 < 0.25
+
+
+def test_select_token_budget(spark):
+    """Exact budget selection vs brute force: quality-desc/id-asc
+    greedy with the straddler kept."""
+    import pytest as _pt
+
+    from jodie_spark.operators.corpus import select_token_budget
+
+    rows = [
+        (1, 0.9, 40), (2, 0.9, 30), (3, 0.7, 50), (4, 0.5, 100), (5, 1.0, 25),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens int")
+    got = sorted(
+        r["doc_id"] for r in select_token_budget(df, budget=100).collect()
+    )
+    # order: 5(25) -> 1(40, off 25) -> 2(30, off 65) -> 3(off 95 < 100,
+    # STRADDLER kept) -> 4(off 145, out)
+    assert got == [1, 2, 3, 5]
+    # tight budget keeps only the first document
+    assert sorted(
+        r["doc_id"] for r in select_token_budget(df, budget=1).collect()
+    ) == [5]
+    # equal-quality tiebreak is id-asc (deterministic)
+    df2 = spark.createDataFrame(
+        [(10, 0.5, 60), (11, 0.5, 60)], "doc_id long, quality double, n_tokens int"
+    )
+    assert sorted(
+        r["doc_id"] for r in select_token_budget(df2, budget=60).collect()
+    ) == [10]
+    with _pt.raises(ValueError, match="budget"):
+        select_token_budget(df, budget=0)
