@@ -115,10 +115,17 @@ def select_token_budget(
         raise ValueError(f"budget must be positive, got {budget}")
     from jodie_spark.operators.packing import with_global_offsets
 
+    # coalesce(-q, +inf): UNSCORED (NULL-quality) documents sort LAST —
+    # a bare -q would sort them first and fill the training budget with
+    # unscored docs (same convention as the dedup keeper election,
+    # text_dedup.py; matches SQL's NULLS-LAST on ORDER BY quality DESC)
     ordered = df.withColumn(
         "__ord__",
         F.struct(
-            (-F.col(quality_col)).alias("q"), F.col(id_col).alias("i")
+            F.coalesce(
+                -F.col(quality_col).cast("double"), F.lit(float("inf"))
+            ).alias("q"),
+            F.col(id_col).alias("i"),
         ),
     )
     out = with_global_offsets(

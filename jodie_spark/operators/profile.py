@@ -151,27 +151,23 @@ def _grouped_exact_quantiles(
         F.col(group_col).alias("group"), F.col(value_col).alias("value")
     ).filter(F.col("group").isNotNull() & F.col("value").isNotNull())
     hist = vals.groupBy("group", "value").agg(F.count(F.lit(1)).alias("__c__"))
-    # group-partitioned running sum: each window partition holds ONE
-    # group's distinct values — bounded for the discrete columns this
-    # targets, and parallel across groups (no single-partition scan)
+    # group-partitioned running sum AND group total in ONE pass: both
+    # windows share the partition key, so Spark computes them over a
+    # single (group)-shuffled sort — each window partition holds one
+    # group's distinct values (bounded for the discrete columns this
+    # targets, parallel across groups), and no second hist scan or
+    # self-join is needed for the totals
     w = Window.partitionBy("group").orderBy("value")
-    cum = hist.withColumn("__cf__", F.sum("__c__").over(w))
-    totals = hist.groupBy("group").agg(F.sum("__c__").alias("__n__"))
-    targets = (
-        df.sparkSession.createDataFrame(
-            [(float(q),) for q in sorted(set(qs))], "q double"
-        )
-        .join(F.broadcast(totals))
-        .withColumn("__rank__", F.ceil(F.col("q") * F.col("__n__")))
-        .select("group", "q", "__rank__")
+    w_all = Window.partitionBy("group")
+    cum = hist.withColumn("__cf__", F.sum("__c__").over(w)).withColumn(
+        "__n__", F.sum("__c__").over(w_all)
+    )
+    qs_df = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(set(qs))], "q double"
     )
     return (
-        cum.join(
-            F.broadcast(targets),
-            (cum["group"] == targets["group"])
-            & (F.col("__cf__") >= F.col("__rank__")),
-        )
-        .select(cum["group"], "q", "value")
+        cum.crossJoin(F.broadcast(qs_df))
+        .filter(F.col("__cf__") >= F.ceil(F.col("q") * F.col("__n__")))
         .groupBy("group", "q")
         .agg(F.min("value").alias("value"))
         .select(F.col("group").alias(group_col), "q", "value")

@@ -773,8 +773,6 @@ def test_kmv_sketches(spark):
 def test_select_token_budget(spark):
     """Exact budget selection vs brute force: quality-desc/id-asc
     greedy with the straddler kept."""
-    import pytest as _pt
-
     from jodie_spark.operators.corpus import select_token_budget
 
     rows = [
@@ -798,5 +796,14 @@ def test_select_token_budget(spark):
     assert sorted(
         r["doc_id"] for r in select_token_budget(df2, budget=60).collect()
     ) == [10]
-    with _pt.raises(ValueError, match="budget"):
+    with pytest.raises(ValueError, match="budget"):
         select_token_budget(df, budget=0)
+    # NULL-quality docs sort LAST: they must never consume the budget
+    # ahead of scored documents
+    df3 = spark.createDataFrame(
+        [(1, 0.9, 40), (2, None, 30), (3, 0.7, 50)],
+        "doc_id long, quality double, n_tokens int",
+    )
+    assert sorted(
+        r["doc_id"] for r in select_token_budget(df3, budget=40).collect()
+    ) == [1]
