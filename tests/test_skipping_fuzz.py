@@ -1,0 +1,135 @@
+"""Conservativeness fuzz for the WHOLE data-skipping evaluator against
+an independent engine: for randomly generated conditions and files, if
+DuckDB finds ANY matching row in a file, ``compile_skipping_predicate``
+must keep that file. This is the guard class that catches unsound
+proofs wholesale — the AND/OR precedence inversion this round, a wrong
+BETWEEN bound, a LIKE range off-by-one — because DuckDB parses SQL with
+real precedence and the generator mixes every supported shape.
+
+Deterministic seed; ~room for thousands of (condition, file) pairs in
+seconds since evaluation is driver-side python + in-process DuckDB.
+"""
+
+import json
+import random
+
+import duckdb
+from pyspark.sql import types as T
+
+from jodie_spark.tables.pruning import compile_skipping_predicate
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("p", T.LongType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("k", T.StringType()),
+    ]
+)
+PARTITION_COLS = ["p"]
+
+
+def _rand_leaf(rng: random.Random) -> str:
+    kind = rng.choice(
+        ["cmp_id", "cmp_p", "cmp_k", "between", "in", "not_in", "like",
+         "null", "neq"]
+    )
+    if kind == "cmp_id":
+        return f"id {rng.choice(['=', '<', '<=', '>', '>='])} {rng.randrange(0, 40)}"
+    if kind == "cmp_p":
+        return f"p {rng.choice(['=', '<', '<=', '>', '>='])} {rng.randrange(0, 4)}"
+    if kind == "cmp_k":
+        return f"k {rng.choice(['=', '<', '>='])} '{rng.choice(['aa', 'ab', 'b', 'zz'])}'"
+    if kind == "between":
+        lo = rng.randrange(0, 30)
+        return f"id between {lo} and {lo + rng.randrange(0, 15)}"
+    if kind == "in":
+        vals = sorted({rng.randrange(0, 6) for _ in range(rng.randrange(1, 4))})
+        return f"p in ({', '.join(map(str, vals))})"
+    if kind == "not_in":
+        vals = sorted({rng.randrange(0, 6) for _ in range(rng.randrange(1, 4))})
+        return f"p not in ({', '.join(map(str, vals))})"
+    if kind == "like":
+        return f"k like '{rng.choice(['a', 'ab', 'z'])}%'"
+    if kind == "null":
+        return f"k is {rng.choice(['null', 'not null'])}"
+    return f"id != {rng.randrange(0, 40)}"
+
+
+def _rand_condition(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rng.random() < 0.4:
+        return _rand_leaf(rng)
+    op = rng.choice([" and ", " or "])
+    n = rng.randrange(2, 4)
+    parts = []
+    for _ in range(n):
+        sub = _rand_condition(rng, depth + 1)
+        # parenthesize randomly so both grouped and bare precedence
+        # shapes are exercised
+        parts.append(f"({sub})" if rng.random() < 0.5 else sub)
+    return op.join(parts)
+
+
+def _rand_file(rng: random.Random):
+    """(rows, add_action): one partition value, random id/k rows, stats
+    computed the way the writer computes them (min/max over non-null,
+    nullCount)."""
+    pv = rng.choice([None, 0, 1, 2, 3])
+    n = rng.randrange(1, 6)
+    rows = []
+    for _ in range(n):
+        idv = None if rng.random() < 0.1 else rng.randrange(0, 40)
+        kv = None if rng.random() < 0.15 else rng.choice(
+            ["aa", "ab0", "abz", "b", "zz9", "a"]
+        )
+        rows.append((pv, idv, kv))
+    ids = [r[1] for r in rows if r[1] is not None]
+    ks = [r[2] for r in rows if r[2] is not None]
+    stats = {
+        "numRecords": n,
+        "minValues": {
+            **({"id": min(ids)} if ids else {}),
+            **({"k": min(ks)} if ks else {}),
+        },
+        "maxValues": {
+            **({"id": max(ids)} if ids else {}),
+            **({"k": max(ks)} if ks else {}),
+        },
+        "nullCount": {
+            "id": sum(1 for r in rows if r[1] is None),
+            "k": sum(1 for r in rows if r[2] is None),
+        },
+    }
+    add = {
+        "path": "f",
+        "partitionValues": {"p": None if pv is None else str(pv)},
+        "stats": json.dumps(stats),
+    }
+    return rows, add
+
+
+def test_skipping_never_prunes_a_matching_file():
+    rng = random.Random(20260816)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (p BIGINT, id BIGINT, k VARCHAR)")
+    checked = pruned = 0
+    for case in range(1500):
+        cond = _rand_condition(rng)
+        rows, add = _rand_file(rng)
+        con.execute("DELETE FROM t")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        try:
+            n_match = con.execute(
+                f"SELECT count(*) FROM t WHERE {cond}"
+            ).fetchone()[0]
+        except Exception:
+            continue  # grammar produced something DuckDB rejects: skip
+        pred = compile_skipping_predicate(cond, SCHEMA, PARTITION_COLS)
+        keep = pred(add)
+        checked += 1
+        pruned += 0 if keep else 1
+        assert keep or n_match == 0, (
+            f"case {case}: file with {n_match} matching rows PRUNED\n"
+            f"condition: {cond}\nrows: {rows}\nadd: {add}"
+        )
+    # sanity: the fuzz actually exercises pruning, not just keep-all
+    assert checked >= 1200 and pruned >= 100, (checked, pruned)
