@@ -850,6 +850,23 @@ _GEN_TRUNC_RE = re.compile(
     r"^\s*DATE_TRUNC\s*\(\s*'(\w+)'\s*,\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE
 )
 _GEN_YEAR_RE = re.compile(r"^\s*YEAR\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE)
+# non-monotonic single-field extracts: month(ts)=3 for March of EVERY
+# year — only EQUALITY/IN implications are sound (delta's
+# OptimizeGeneratedColumn has the same restriction outside its
+# year+month combo handling)
+_GEN_FIELD_RE = re.compile(
+    r"^\s*(MONTH|DAY|DAYOFMONTH|HOUR)\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+# date_format with a PREFIX-ORDERED pattern is monotonic in the string
+# order the partition values compare under
+_GEN_FORMAT_RE = re.compile(
+    r"^\s*DATE_FORMAT\s*\(\s*`?(\w+)`?\s*,\s*'(yyyy-MM-dd-HH|yyyy-MM-dd|yyyy-MM)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+_GEN_TRUNC_FN_RE = re.compile(
+    r"^\s*TRUNC\s*\(\s*`?(\w+)`?\s*,\s*'(year|yyyy|yy|month|mon|mm)'\s*\)\s*$",
+    re.IGNORECASE,
+)
 _GEN_PREFIX_RE = re.compile(
     r"^\s*SUBSTR(?:ING)?\s*\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)\s*$",
     re.IGNORECASE,
@@ -870,6 +887,18 @@ def _parse_generation(expr: str) -> tuple[str, tuple] | None:
     m = _GEN_PREFIX_RE.match(expr)
     if m and int(m.group(2)) >= 1:
         return m.group(1), ("prefix", int(m.group(2)))
+    m = _GEN_FIELD_RE.match(expr)
+    if m:
+        return m.group(2), ("field", m.group(1).lower())
+    m = _GEN_FORMAT_RE.match(expr)
+    if m:
+        return m.group(1), ("format", m.group(2))
+    m = _GEN_TRUNC_FN_RE.match(expr)
+    if m:
+        unit = "year" if m.group(2).lower() in ("year", "yyyy", "yy") else "month"
+        # Spark's trunc() returns DATE — same truncation as date_trunc
+        # but rendered as a date literal
+        return m.group(1), ("trunc_date", unit)
     return None
 
 
@@ -914,6 +943,30 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
     if kind == "year":
         boundary = ts == _dt.datetime(ts.year, 1, 1)
         return str(ts.year), boundary
+    if kind == "field":
+        fld = transform[1]
+        val = {
+            "month": ts.month,
+            "day": ts.day,
+            "dayofmonth": ts.day,
+            "hour": ts.hour,
+        }[fld]
+        # equality-only transforms never use the boundary flag
+        return str(val), False
+    if kind == "format":
+        fmt = {
+            "yyyy-MM": "%Y-%m",
+            "yyyy-MM-dd": "%Y-%m-%d",
+            "yyyy-MM-dd-HH": "%Y-%m-%d-%H",
+        }[transform[1]]
+        rendered = ts.strftime(fmt)
+        # boundary ⇔ ts sits exactly at the start of its format bucket
+        back = {
+            "yyyy-MM": _dt.datetime(ts.year, ts.month, 1),
+            "yyyy-MM-dd": _dt.datetime(ts.year, ts.month, ts.day),
+            "yyyy-MM-dd-HH": ts.replace(minute=0, second=0, microsecond=0),
+        }[transform[1]]
+        return f"'{rendered}'", ts == back
     unit = transform[1]
     t = ts.replace(minute=0, second=0, microsecond=0)
     if unit in ("day", "month", "year"):
@@ -922,6 +975,8 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
         t = t.replace(day=1)
     if unit == "year":
         t = t.replace(month=1)
+    if kind == "trunc_date":
+        return f"'{t.date().isoformat()}'", t == ts
     return "'" + t.strftime("%Y-%m-%d %H:%M:%S") + "'", t == ts
 
 
@@ -995,6 +1050,11 @@ def implied_partition_conjuncts(
                 out.append(f"{part} {cj.op}")
                 continue
             if cj.literal is None:
+                continue
+            if transform[0] == "field" and cj.kind in ("minmax", "between"):
+                # month/day/hour wrap around year/month/day boundaries:
+                # ts >= L does NOT imply month(ts) >= month(L) — only
+                # equality-shaped implications are sound
                 continue
             if cj.kind == "between":
                 got_lo = _transform_literal(transform, cj.literal[0])

@@ -315,3 +315,80 @@ def test_datasource_read_prunes_via_generation(spark, ts_table):
     # FEWER input partitions than the unfiltered read
     base = spark.read.format("jodie_delta").load(ts_table)
     assert got.rdd.getNumPartitions() < base.rdd.getNumPartitions()
+
+
+def test_extended_generation_shapes():
+    sch = SCHEMA
+    # date_format: monotonic string ordering → full range ops
+    assert _implied(
+        "ts >= '2024-03-15 07:30:00'", {"day": "date_format(ts, 'yyyy-MM')"}, ["day"]
+    ) == ["day >= '2024-03'"]
+    # boundary tightening applies to formats too
+    assert _implied(
+        "ts < '2024-03-01 00:00:00'", {"day": "date_format(ts, 'yyyy-MM')"}, ["day"]
+    ) == ["day < '2024-03'"]
+    # trunc() returns DATE
+    assert _implied(
+        "ts >= '2024-03-15 07:30:00'", {"day": "trunc(ts, 'month')"}, ["day"]
+    ) == ["day >= '2024-03-01'"]
+    # month()/hour(): equality and IN only — ranges wrap and derive nothing
+    assert _implied(
+        "ts = '2024-03-15 07:30:00'", {"yr": "month(ts)"}, ["yr"]
+    ) == ["yr = 3"]
+    assert _implied(
+        "ts >= '2024-03-15 07:30:00'", {"yr": "month(ts)"}, ["yr"]
+    ) == []
+    assert _implied(
+        "ts between '2024-03-01 00:00:00' and '2024-04-01 00:00:00'",
+        {"yr": "hour(ts)"}, ["yr"],
+    ) == []
+
+
+def test_extended_shapes_soundness_property():
+    """Same randomized soundness sweep as the core property, over the
+    newly supported transforms."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(77)
+    gens = {
+        "k": ("date_format(ts, 'yyyy-MM-dd')", lambda t: t.strftime("%Y-%m-%d")),
+        "day": ("trunc(ts, 'month')", lambda t: t.date().replace(day=1)),
+        "yr": ("month(ts)", lambda t: t.month),
+    }
+    cmp_fns = {
+        "=": lambda a, b: a == b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+    }
+    from jodie_spark.tables.pruning import classify_conjunct
+
+    def rand_ts():
+        return dt.datetime(2023, 1, 1) + dt.timedelta(
+            days=rng.randrange(0, 800), hours=rng.randrange(0, 24),
+            minutes=rng.choice([0, 0, 17, 59]),
+        )
+
+    for _ in range(400):
+        part = rng.choice(list(gens))
+        expr, f = gens[part]
+        lit = rand_ts()
+        op = rng.choice(list(cmp_fns))
+        cond = f"ts {op} '{lit.strftime('%Y-%m-%d %H:%M:%S')}'"
+        implied = implied_partition_conjuncts(cond, SCHEMA, [part], {part: expr})
+        if not implied:
+            continue
+        cj = classify_conjunct(implied[0], [part])
+        assert cj.column == part and cj.op in cmp_fns, implied
+        if part == "yr":
+            rhs = int(cj.literal)
+        elif part == "day":
+            rhs = dt.date.fromisoformat(cj.literal)
+        else:
+            rhs = cj.literal
+        for _ in range(150):
+            row = rand_ts()
+            if cmp_fns[op](row, lit):
+                assert cmp_fns[cj.op](f(row), rhs), (cond, implied, row)
