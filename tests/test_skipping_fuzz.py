@@ -133,3 +133,91 @@ def test_skipping_never_prunes_a_matching_file():
         )
     # sanity: the fuzz actually exercises pruning, not just keep-all
     assert checked >= 1200 and pruned >= 100, (checked, pruned)
+
+
+def test_generated_derivation_never_prunes_a_matching_file():
+    """Full-stack derivation fuzz: augment a random ts-condition with
+    its derived generated-partition conjuncts, then check the COMPILED
+    predicate against DuckDB's row-level ground truth on files whose
+    day partition value was computed exactly as the generation
+    expression computes it. Any unsound implication — a wrong bound, a
+    missed wrap-around, a boundary off-by-one — prunes a matching file
+    and fails here."""
+    import datetime as dt
+
+    from jodie_spark.tables.pruning import augment_with_generated_partitions
+
+    gen_meta = {"delta.generationExpression": "CAST(ts AS DATE)"}
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("day", T.DateType(), metadata=gen_meta),
+        ]
+    )
+    rng = random.Random(816)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (id BIGINT, ts TIMESTAMP, day DATE)")
+
+    def rand_ts():
+        return dt.datetime(2024, 1, 1) + dt.timedelta(
+            days=rng.randrange(0, 8),
+            hours=rng.randrange(0, 24),
+            minutes=rng.choice([0, 0, 30]),
+        )
+
+    def rand_cond():
+        parts = []
+        for _ in range(rng.randrange(1, 3)):
+            lit = rand_ts()
+            # boundary literals (midnight) exercised often — they carry
+            # the tight `<` implication
+            if rng.random() < 0.4:
+                lit = lit.replace(hour=0, minute=0)
+            s = lit.strftime("%Y-%m-%d %H:%M:%S")
+            if rng.random() < 0.25:
+                hi = (lit + dt.timedelta(hours=rng.randrange(1, 72))).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                parts.append(f"ts between '{s}' and '{hi}'")
+            else:
+                parts.append(
+                    f"ts {rng.choice(['=', '<', '<=', '>', '>='])} '{s}'"
+                )
+        return " and ".join(parts)
+
+    checked = pruned = 0
+    for case in range(600):
+        cond = rand_cond()
+        # one file = one day partition, rows within that day
+        day = dt.date(2024, 1, 1 + rng.randrange(0, 8))
+        rows = []
+        for i in range(rng.randrange(1, 5)):
+            t = dt.datetime.combine(day, dt.time(rng.randrange(0, 24), rng.choice([0, 30])))
+            rows.append((i, t, day))
+        tss = [r[1] for r in rows]
+        add = {
+            "path": "f",
+            "partitionValues": {"day": day.isoformat()},
+            "stats": json.dumps(
+                {
+                    "numRecords": len(rows),
+                    "minValues": {"ts": min(tss).isoformat()},
+                    "maxValues": {"ts": max(tss).isoformat()},
+                    "nullCount": {"ts": 0},
+                }
+            ),
+        }
+        con.execute("DELETE FROM g")
+        con.executemany("INSERT INTO g VALUES (?, ?, ?)", rows)
+        n_match = con.execute(f"SELECT count(*) FROM g WHERE {cond}").fetchone()[0]
+        aug = augment_with_generated_partitions(cond, schema, ["day"])
+        pred = compile_skipping_predicate(aug, schema, ["day"])
+        keep = pred(add)
+        checked += 1
+        pruned += 0 if keep else 1
+        assert keep or n_match == 0, (
+            f"case {case}: {n_match} matching rows PRUNED\n"
+            f"condition: {cond}\naugmented: {aug}\nrows: {rows}"
+        )
+    assert checked == 600 and pruned >= 100, (checked, pruned)
