@@ -858,10 +858,13 @@ _GEN_FIELD_RE = re.compile(
     r"^\s*(MONTH|DAY|DAYOFMONTH|HOUR)\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE
 )
 # date_format with a PREFIX-ORDERED pattern is monotonic in the string
-# order the partition values compare under
+# order the partition values compare under. The PATTERN alternation is
+# deliberately CASE-SENSITIVE ((?i:) scopes only the function name):
+# Java patterns are case-semantic — 'mm' is minutes, 'DD' day-of-year,
+# 'hh' a 12-hour clock — so 'YYYY-MM' or 'yyyy-mm-dd' must NOT match
+# (they would derive unsound conjuncts or crash the transform)
 _GEN_FORMAT_RE = re.compile(
-    r"^\s*DATE_FORMAT\s*\(\s*`?(\w+)`?\s*,\s*'(yyyy-MM-dd-HH|yyyy-MM-dd|yyyy-MM)'\s*\)\s*$",
-    re.IGNORECASE,
+    r"^\s*(?i:DATE_FORMAT)\s*\(\s*`?(\w+)`?\s*,\s*'(yyyy-MM-dd-HH|yyyy-MM-dd|yyyy-MM)'\s*\)\s*$"
 )
 _GEN_TRUNC_FN_RE = re.compile(
     r"^\s*TRUNC\s*\(\s*`?(\w+)`?\s*,\s*'(year|yyyy|yy|month|mon|mm)'\s*\)\s*$",
@@ -937,6 +940,12 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
     ts = _parse_temporal(lit, want_date=False)
     if ts is None:
         return None
+    if not (1000 <= ts.year <= 9999):
+        # strftime('%Y') drops zero padding below year 1000 (and Java
+        # renders 5 digits above 9999), breaking the lexicographic
+        # agreement with Spark's 4-digit partition values — derive
+        # nothing rather than mis-compare
+        return None
     if kind == "date":
         d = ts.date()
         return f"'{d.isoformat()}'", ts == _dt.datetime.combine(d, _dt.time.min)
@@ -954,20 +963,21 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
         # equality-only transforms never use the boundary flag
         return str(val), False
     if kind == "format":
+        # the pattern names a truncation granularity; reuse the shared
+        # truncation chain below for the boundary flag so the two can
+        # never diverge
+        unit = {
+            "yyyy-MM": "month",
+            "yyyy-MM-dd": "day",
+            "yyyy-MM-dd-HH": "hour",
+        }[transform[1]]
         fmt = {
             "yyyy-MM": "%Y-%m",
             "yyyy-MM-dd": "%Y-%m-%d",
             "yyyy-MM-dd-HH": "%Y-%m-%d-%H",
         }[transform[1]]
-        rendered = ts.strftime(fmt)
-        # boundary ⇔ ts sits exactly at the start of its format bucket
-        back = {
-            "yyyy-MM": _dt.datetime(ts.year, ts.month, 1),
-            "yyyy-MM-dd": _dt.datetime(ts.year, ts.month, ts.day),
-            "yyyy-MM-dd-HH": ts.replace(minute=0, second=0, microsecond=0),
-        }[transform[1]]
-        return f"'{rendered}'", ts == back
-    unit = transform[1]
+    else:
+        unit = transform[1]
     t = ts.replace(minute=0, second=0, microsecond=0)
     if unit in ("day", "month", "year"):
         t = t.replace(hour=0)
@@ -975,6 +985,8 @@ def _transform_literal(transform: tuple, lit: Any) -> tuple[str, bool] | None:
         t = t.replace(day=1)
     if unit == "year":
         t = t.replace(month=1)
+    if kind == "format":
+        return f"'{ts.strftime(fmt)}'", t == ts
     if kind == "trunc_date":
         return f"'{t.date().isoformat()}'", t == ts
     return "'" + t.strftime("%Y-%m-%d %H:%M:%S") + "'", t == ts

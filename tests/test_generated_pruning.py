@@ -318,7 +318,6 @@ def test_datasource_read_prunes_via_generation(spark, ts_table):
 
 
 def test_extended_generation_shapes():
-    sch = SCHEMA
     # date_format: monotonic string ordering → full range ops
     assert _implied(
         "ts >= '2024-03-15 07:30:00'", {"day": "date_format(ts, 'yyyy-MM')"}, ["day"]
@@ -341,6 +340,21 @@ def test_extended_generation_shapes():
     assert _implied(
         "ts between '2024-03-01 00:00:00' and '2024-04-01 00:00:00'",
         {"yr": "hour(ts)"}, ["yr"],
+    ) == []
+    # CASE-VARIANT format patterns are different Java semantics
+    # ('mm' = minutes, 'DD' = day-of-year): must not match, never crash
+    assert _implied(
+        "ts >= '2024-03-15 07:30:00'", {"day": "date_format(ts, 'YYYY-MM')"}, ["day"]
+    ) == []
+    assert _implied(
+        "ts >= '2024-03-15 07:30:00'", {"day": "date_format(ts, 'yyyy-mm-dd')"}, ["day"]
+    ) == []
+    # years outside 1000-9999 break %Y zero padding — derive nothing
+    assert _implied(
+        "ts >= '0999-03-15 00:00:00'", {"day": "date_format(ts, 'yyyy-MM')"}, ["day"]
+    ) == []
+    assert _implied(
+        "ts >= '0999-03-15 00:00:00'", {"day": "CAST(ts AS DATE)"}, ["day"]
     ) == []
 
 
