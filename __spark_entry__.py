@@ -3489,40 +3489,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least one official driver-green row (or is new this round); the
     window rotates on STALENESS (oldest newest-official-green-row
     first, as computed by ``tools/check_oracles.py --freshness``).
-    The 22 SURVEY §2 core slots run on an EVERY-OTHER-ROUND cadence
-    (stable, pytest-pinned).  Round-10 window (VERDICT r9 item 3):
-    slot 1 the NEW bloom_incremental_dedup (registered this round),
-    slots 2-4 the three rows without an official driver green yet
-    (num_shuffle_files — newly ORACLED this round via a deterministic
-    maxRecordsPerFile layout, retiring the last rows-only query —
-    plus audio_dedup_flac and datasource_field_id, registered after
-    the r9 artifact), 5-32 the 28 rows whose newest official green
-    was r7 (the stale cohort the r9 artifact left behind), 33-50 the
-    18 oldest r8-green rows (epoch_shuffle, displaced by the bloom
-    slot, leads the tail at 51).  The round-10 continuation session
-    added heavy_hitters / heavy_hitters_by_lang / exact_quantiles at
-    the head (new queries, no official green yet — each value-checked
-    in-session), displacing three more r8-green rows to the tail; the
-    full 136-query registry was value-verified in one in-session
-    sweep (135/135 before the by-lang registration, which was then
-    checked green individually).  With 136 registered queries and a
-    50-slot window the full registry cycles officially in ~3 rounds,
-    so right after each artifact lands the round-minus-3 cohort reads
-    as >2-rounds-stale until its window comes up — the invariant that
-    matters is `stale_not_in_next_window: []` (every stale row is in
-    the upcoming window), which the tail ordering below maintains:
-    slots 51-80 are the 30 remaining r8-green rows, pre-positioned as
-    the r11 window alongside the core slots.  The tail (51+) stays
+    The 22 SURVEY §2 core slots aim for an every-other-round cadence
+    but yield to the staleness invariant when capacity binds (it does
+    in r11: 36 stale + 2 never-official leave only 12 slots).
+    Round-11 window (VERDICT r10 item 1): slots 1-2 the two rows with
+    no official driver row yet (minhash_index_probe and
+    hamming_index_probe, registered after the r10 artifact's window
+    froze), slots 3-38 the 36 rows whose newest official green is r8
+    (the stale cohort `tools/check_oracles.py --freshness` flags),
+    slots 39-50 twelve SURVEY §2 core rows from the r9-green cohort
+    (the remaining r9 rows — including the other core rows — roll to
+    r12, where the whole 38-row r9 remainder becomes the stale cohort
+    and fits the 50-slot window with 12 slots to spare).  With 138
+    registered queries and a 50-slot window the registry cycles
+    officially in ~3 rounds; the invariant that matters is
+    `stale_not_in_next_window: []` (every stale row sits in the
+    upcoming window), which the ordering below maintains for BOTH the
+    r11 check (against CORRECTNESS_r10.json) and, via the tail
+    pre-ordering, the r12 check.  Registration is frozen this round
+    (VERDICT r10 item 2) so the steady-state math (50 refreshed/round
+    vs 138/3 ≈ 46 aging/round) stays solvent.  The tail (51+) stays
     value-checked every round via tools/check_oracles.py."""
     return {
-        # --- round-10 window (slots 1-50): slot 1 the NEW bloom
-        # operator (registered this round), slots 2-4 the three rows
-        # with no official driver row yet (num_shuffle_files newly
-        # ORACLED this round — deterministic maxRecordsPerFile layout;
-        # audio_dedup_flac + datasource_field_id registered after the
-        # r9 artifact), 5-32 the 28 rows whose newest official green
-        # was r7, 33-50 the 18 oldest r8-green rows (epoch_shuffle,
-        # displaced by the bloom slot, leads the tail at 51).
+        # --- round-11 window (slots 1-50): slots 1-2 the two rows
+        # with no official green yet, 3-38 the 36 r8-green stale rows,
+        # 39-50 twelve §2 core rows (the ten remaining core rows roll
+        # to r12 with the rest of the r9 cohort — capacity math in
+        # COVERAGE.md).
+        "minhash_index_probe": _q_minhash_index_probe,
+        "hamming_index_probe": _q_hamming_index_probe,
+        "domain_cap": _q_domain_cap,
+        "dsir_weights": _q_dsir_weights,
+        "dv_delete": _q_dv_delete,
+        "dv_merge": _q_dv_merge,
+        "encode_corpus": _q_encode_corpus,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "gopher_quality": _q_gopher_quality,
+        "iceberg_convert": _q_iceberg_convert,
+        "identity_columns": _q_identity_columns,
+        "keyword_search": _q_keyword_search,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "liquid_clustering": _q_liquid_clustering,
+        "media_probe": _q_media_probe,
+        "merge_full_sync": _q_merge_full_sync,
+        "minhash_dedup": _q_minhash_dedup,
+        "mixture_weights": _q_mixture_weights,
+        "multimodal_decode": _q_multimodal_decode,
+        "nested_evolution": _q_nested_evolution,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "quality_dedup": _q_quality_dedup,
+        "reorg_purge_manifest": _q_reorg_purge_manifest,
+        "robots_filter": _q_robots_filter,
+        "row_tracking": _q_row_tracking,
+        "semantic_dedup": _q_semantic_dedup,
+        "sessionize": _q_sessionize,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_window_counts": _q_streaming_window_counts,
+        "substring_dedup": _q_substring_dedup,
+        "type_widening": _q_type_widening,
+        "uniform_iceberg": _q_uniform_iceberg,
+        "v2_checkpoint": _q_v2_checkpoint,
+        "variant_table": _q_variant_table,
+        "warc_ingest": _q_warc_ingest,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "type2_scd_upsert": _q_type2_scd_upsert,
+        "kill_duplicate_records": _q_kill_duplicate_records,
+        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
+        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
+        "copy_table": _q_copy_table,
+        "validate_append": _q_validate_append,
+        "append_without_duplicates": _q_append_without_duplicates,
+        "find_composite_key_candidate": _q_find_composite_key,
+        "with_md5_columns": _q_with_md5_columns,
+        "is_composite_key_candidate": _q_is_composite_key,
+        "delta_file_sizes": _q_delta_file_sizes,
+        "read_cdf": _q_read_cdf,
+        # --- tail (51+), pre-ordered for the NEXT rotations: first
+        # the 38 remaining r9-green rows (the r12 stale cohort —
+        # including the ten §2 core rows that slipped this round),
+        # then the 50 r10-green rows (r13 cohort).  All of 51+ stays
+        # value-checked every round via tools/check_oracles.py.
+        "humanize_bytes": _q_humanize_bytes,
+        "file_size_distribution": _q_file_size_distribution,
+        "num_record_distribution": _q_num_record_distribution,
+        "operation_metrics": _q_operation_metrics,
+        "operation_metrics_partition": _q_operation_metrics_partition,
+        "cdf_recovery": _q_cdf_recovery,
+        "cdf_status": _q_cdf_status,
+        "optimize_zorder": _q_optimize_zorder,
+        "optimize_compaction": _q_optimize_compaction,
+        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
+        "log_cleanup": _q_log_cleanup,
+        "fsck_crc_repair": _q_fsck_crc_repair,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "check_constraints": _q_check_constraints,
+        "classifier_quality": _q_classifier_quality,
+        "clean_corpus": _q_clean_corpus,
+        "column_mapping_id": _q_column_mapping_id,
+        "contamination_check": _q_contamination_check,
+        "doc_chunks": _q_doc_chunks,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_quantize": _q_embedding_quantize,
+        "generated_columns": _q_generated_columns,
+        "html_extract": _q_html_extract,
+        "image_dedup": _q_image_dedup,
+        "interval_join": _q_interval_join,
+        "ivf_topk": _q_ivf_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "language_id": _q_language_id,
+        "normalize_text": _q_normalize_text,
+        "pack_sequences": _q_pack_sequences,
+        "perplexity": _q_perplexity,
+        "pii_scrub": _q_pii_scrub,
+        "pq_topk": _q_pq_topk,
+        "profile_table": _q_profile_table,
+        "repetition_signals": _q_repetition_signals,
+        "restore_roundtrip": _q_restore_roundtrip,
+        "streaming_scd2": _q_streaming_scd2,
+        "video_dedup": _q_video_dedup,
+        # r10-green cohort (r13 window), freshest last.
         "heavy_hitters": _q_heavy_hitters,
         "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
         "exact_quantiles": _q_exact_quantiles,
@@ -3573,104 +3660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pipeline_e2e": _q_crawl_pipeline_e2e,
         "create_table_ddl": _q_create_table_ddl,
         "decoder_override_dedup": _q_decoder_override_dedup,
-        "domain_cap": _q_domain_cap,
-        "dsir_weights": _q_dsir_weights,
-        "dv_delete": _q_dv_delete,
-        "dv_merge": _q_dv_merge,
-        "encode_corpus": _q_encode_corpus,
-        # --- tail (51+), pre-ordered for the NEXT rotations:
-        # the NEW minhash_index_probe (registered this round, r11-window
-        # bound) and epoch_shuffle (displaced from slot 50 by the bloom
-        # query), then
-        "minhash_index_probe": _q_minhash_index_probe,
-        "hamming_index_probe": _q_hamming_index_probe,
-        "epoch_shuffle": _q_epoch_shuffle,
-        # the 30 remaining r8-green rows (the r11 stale cohort), then
-        # the 22 SURVEY core slots (every-other-round cadence, due
-        # r11 — capacity fits 20, the last 2 roll to r12's top), then
-        # the 28 r9-green non-core rows (r12 cohort), then everything
-        # refreshed this round. All of 51+ stays value-checked every
-        # round via tools/check_oracles.py.
-        "gopher_quality": _q_gopher_quality,
-        "iceberg_convert": _q_iceberg_convert,
-        "identity_columns": _q_identity_columns,
-        "keyword_search": _q_keyword_search,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "liquid_clustering": _q_liquid_clustering,
-        "media_probe": _q_media_probe,
-        "merge_full_sync": _q_merge_full_sync,
-        "minhash_dedup": _q_minhash_dedup,
-        "mixture_weights": _q_mixture_weights,
-        "multimodal_decode": _q_multimodal_decode,
-        "nested_evolution": _q_nested_evolution,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "quality_dedup": _q_quality_dedup,
-        "reorg_purge_manifest": _q_reorg_purge_manifest,
-        "robots_filter": _q_robots_filter,
-        "row_tracking": _q_row_tracking,
-        "semantic_dedup": _q_semantic_dedup,
-        "sessionize": _q_sessionize,
-        "streaming_cdc_apply": _q_streaming_cdc_apply,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_sessionize": _q_streaming_sessionize,
-        "streaming_window_counts": _q_streaming_window_counts,
-        "substring_dedup": _q_substring_dedup,
-        "type_widening": _q_type_widening,
-        "uniform_iceberg": _q_uniform_iceberg,
-        "v2_checkpoint": _q_v2_checkpoint,
-        "variant_table": _q_variant_table,
-        "warc_ingest": _q_warc_ingest,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "type2_scd_upsert": _q_type2_scd_upsert,
-        "kill_duplicate_records": _q_kill_duplicate_records,
-        "remove_duplicate_records_pk": _q_remove_duplicate_records_pk,
-        "remove_duplicate_records_nopk": _q_remove_duplicate_records_nopk,
-        "copy_table": _q_copy_table,
-        "validate_append": _q_validate_append,
-        "append_without_duplicates": _q_append_without_duplicates,
-        "find_composite_key_candidate": _q_find_composite_key,
-        "with_md5_columns": _q_with_md5_columns,
-        "is_composite_key_candidate": _q_is_composite_key,
-        "delta_file_sizes": _q_delta_file_sizes,
-        "humanize_bytes": _q_humanize_bytes,
-        "file_size_distribution": _q_file_size_distribution,
-        "num_record_distribution": _q_num_record_distribution,
-        "operation_metrics": _q_operation_metrics,
-        "operation_metrics_partition": _q_operation_metrics_partition,
-        "read_cdf": _q_read_cdf,
-        "cdf_recovery": _q_cdf_recovery,
-        "cdf_status": _q_cdf_status,
-        "optimize_zorder": _q_optimize_zorder,
-        "optimize_compaction": _q_optimize_compaction,
-        "shuffle_files_deterministic": _q_shuffle_files_deterministic,
-        "log_cleanup": _q_log_cleanup,
-        "fsck_crc_repair": _q_fsck_crc_repair,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "check_constraints": _q_check_constraints,
-        "classifier_quality": _q_classifier_quality,
-        "clean_corpus": _q_clean_corpus,
-        "column_mapping_id": _q_column_mapping_id,
-        "contamination_check": _q_contamination_check,
-        "doc_chunks": _q_doc_chunks,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_quantize": _q_embedding_quantize,
-        "generated_columns": _q_generated_columns,
-        "html_extract": _q_html_extract,
-        "image_dedup": _q_image_dedup,
-        "interval_join": _q_interval_join,
-        "ivf_topk": _q_ivf_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "language_id": _q_language_id,
-        "normalize_text": _q_normalize_text,
-        "pack_sequences": _q_pack_sequences,
-        "perplexity": _q_perplexity,
-        "pii_scrub": _q_pii_scrub,
-        "pq_topk": _q_pq_topk,
-        "profile_table": _q_profile_table,
-        "repetition_signals": _q_repetition_signals,
-        "restore_roundtrip": _q_restore_roundtrip,
-        "streaming_scd2": _q_streaming_scd2,
-        "video_dedup": _q_video_dedup,
     }
 
 
