@@ -4043,7 +4043,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM (VALUES (0.5), (0.9), (0.99)) t(q))
             SELECT cum.lang, q, CAST(min(value) AS BIGINT) AS value
             FROM cum JOIN tot ON cum.lang = tot.lang, qs
-            WHERE cf >= ceil(q * n)
+            WHERE cf >= ceil(CAST(q AS DECIMAL(12,10)) * n)
             GROUP BY cum.lang, q
             ORDER BY cum.lang, q
         """,
@@ -4056,7 +4056,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM (VALUES (0.5), (0.9), (0.95), (0.99), (1.0)) t(q))
             SELECT q, CAST(min(value) AS BIGINT) AS value
             FROM cum, tot, qs
-            WHERE cf >= ceil(q * n)
+            WHERE cf >= ceil(CAST(q AS DECIMAL(12,10)) * n)
             GROUP BY q
             ORDER BY q
         """,

@@ -129,11 +129,20 @@ def exact_quantiles(
     targets = df.sparkSession.createDataFrame(
         [(float(q),) for q in sorted(set(qs))], "q double"
     ).join(F.broadcast(total))
-    # rank = ceil(q*N); min value whose cumulative count reaches it
+    # rank = ceil(q*N); min value whose cumulative count reaches it.
+    # The product is computed in DECIMAL, not double: double math can
+    # round q*N up past the true integer rank (0.07*100 -> 7.000...01,
+    # ceil = 8), and at N ~ 1e12 the absolute double error exceeds any
+    # fixed round() guard. decimal(12,10) represents every q a user
+    # writes with <= 10 decimal digits exactly, and decimal x bigint
+    # multiplication is exact, so ceil is the true mathematical rank.
     return (
         cum.join(
             F.broadcast(
-                targets.withColumn("__rank__", F.ceil(F.col("q") * F.col("__n__")))
+                targets.withColumn(
+                    "__rank__",
+                    F.ceil(F.col("q").cast("decimal(12,10)") * F.col("__n__")),
+                )
             ),
             F.col("__cf__") >= F.col("__rank__"),
         )
@@ -167,7 +176,11 @@ def _grouped_exact_quantiles(
     )
     return (
         cum.crossJoin(F.broadcast(qs_df))
-        .filter(F.col("__cf__") >= F.ceil(F.col("q") * F.col("__n__")))
+        # decimal product, same exact-rank rationale as the flat path
+        .filter(
+            F.col("__cf__")
+            >= F.ceil(F.col("q").cast("decimal(12,10)") * F.col("__n__"))
+        )
         .groupBy("group", "q")
         .agg(F.min("value").alias("value"))
         .select(F.col("group").alias(group_col), "q", "value")

@@ -5,6 +5,7 @@ skew."""
 
 import math
 import random
+from fractions import Fraction
 
 import pytest
 
@@ -12,9 +13,11 @@ from jodie_spark.operators.profile import exact_quantiles
 
 
 def _expected(values, qs):
+    # true mathematical rank: ceil computed over an exact rational
+    # q*N, NOT double math (which rounds 0.07*100 up to rank 8)
     vals = sorted(v for v in values if v is not None)
     n = len(vals)
-    return {q: vals[math.ceil(q * n) - 1] for q in qs}
+    return {q: vals[math.ceil(Fraction(str(q)) * n) - 1] for q in qs}
 
 
 def _check(spark, values, qs, partitions=8):
@@ -43,6 +46,25 @@ def test_skewed_random(spark):
 
 def test_single_row(spark):
     _check(spark, [42], [0.5, 1.0])
+
+
+def test_rank_not_inflated_by_double_rounding(spark):
+    """q*N that is an exact integer mathematically but rounds UP in
+    double arithmetic (0.07*100 = 7.000000000000001) must still hit
+    the true rank, not the next-higher value: at N=100 over 1..100,
+    q=0.07 is the 7th value = 7, not 8 (ADVICE r10, medium)."""
+    _check(spark, list(range(1, 101)), [0.07, 0.14, 0.28, 0.29, 0.57])
+    # same property at N=10000 where q*N integer products also misround
+    vals = list(range(1, 10001))
+    _check(spark, vals, [0.55, 0.07], partitions=16)
+    # and through the grouped path
+    rows = [("a", v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "v", [0.07, 0.14], group_col="g").collect()
+    }
+    assert got == {0.07: 7, 0.14: 14}
 
 
 def test_nulls_ignored(spark):
