@@ -29,6 +29,7 @@ from jodie_spark.tables.log import (
     commit_file_name,
 )
 from jodie_spark.tables.pruning import (
+    _coerce,
     _prefix_upper,
     _split_top_level,
     classify_conjunct,
@@ -456,13 +457,36 @@ def _stats_schema(table_schema: T.StructType) -> T.StructType:
     )
 
 
+def _typed_lit(value: Any, dtype: T.DataType) -> Column | None:
+    """Driver-side coerced literal, or None when the value cannot be
+    represented in the column type. Mirrors pruning._coerce so this
+    Spark-side files filter and the driver-side file_may_match treat
+    un-coercible literals identically (keep the conjunct out, keep the
+    files — ADVICE r10): a bare F.lit(v).cast(dtype) turns unparseable
+    input into a NULL literal, which the partition branches'
+    coalesce(..., False) would escalate into prune-every-file (and
+    under ANSI mode the row filter would error instead of match
+    nothing)."""
+    if value is None:
+        return None
+    if _coerce(value, dtype) is None:
+        return None
+    return F.lit(value).cast(dtype)
+
+
 def _file_filter_column(
     condition: str, table_schema: T.StructType, partition_columns: list[str]
 ) -> tuple[Column, list[str]]:
     """Build a Column over the parsed files DF that keeps files which
     *may* contain matching rows (partition pruning + min/max skipping),
     plus the list of unresolved references. Conservative: unsupported
-    conjuncts keep every file — Delta's skipping contract."""
+    conjuncts keep every file — Delta's skipping contract.
+
+    Partition branches fall back to ``raw IS NOT NULL`` when the typed
+    comparison is NULL: a genuinely NULL partition value can never
+    satisfy a non-null comparison (prune), but a present-yet-uncastable
+    serialization (foreign writer) must keep the file, matching
+    ``pruning.file_may_match``."""
     columns = [f.name for f in table_schema.fields]
     field_types = {f.name: f.dataType for f in table_schema.fields}
     keep = F.lit(True)
@@ -492,12 +516,13 @@ def _file_filter_column(
         if dtype is None:
             continue
         if cj.kind == "in":
-            vals = [F.lit(v).cast(dtype) for v in cj.literal if v is not None]
-            if not vals or len(vals) != len(cj.literal):
+            vals = [_typed_lit(v, dtype) for v in cj.literal]
+            if not vals or any(v is None for v in vals):
                 continue  # un-coercible / null members — keep every file
             if col in partition_columns:
-                val = F.element_at(F.col("partitionValues"), col).cast(dtype)
-                keep = keep & F.coalesce(val.isin(*vals), F.lit(False))
+                raw_val = F.element_at(F.col("partitionValues"), col)
+                val = raw_val.cast(dtype)
+                keep = keep & F.coalesce(val.isin(*vals), raw_val.isNotNull())
             else:
                 mn = F.col(f"parsed_stats.minValues.{col}")
                 mx = F.col(f"parsed_stats.maxValues.{col}")
@@ -508,12 +533,16 @@ def _file_filter_column(
             continue
         if cj.kind in ("not_equality", "not_in"):
             raw_lits = [cj.literal] if cj.kind == "not_equality" else list(cj.literal)
-            lits = [F.lit(v).cast(dtype) for v in raw_lits]
+            lits = [_typed_lit(v, dtype) for v in raw_lits]
+            if not lits or any(v is None for v in lits):
+                continue  # un-coercible / null members — keep every file
             if col in partition_columns:
-                val = F.element_at(F.col("partitionValues"), col).cast(dtype)
-                # NULL partition value: != / NOT IN is NULL, never true
+                raw_val = F.element_at(F.col("partitionValues"), col)
+                val = raw_val.cast(dtype)
+                # NULL partition value: != / NOT IN is NULL, never true;
+                # present-but-uncastable value: keep the file
                 keep = keep & F.coalesce(
-                    val.isNotNull() & ~val.isin(*lits), F.lit(False)
+                    val.isNotNull() & ~val.isin(*lits), raw_val.isNotNull()
                 )
             else:
                 mn = F.col(f"parsed_stats.minValues.{col}")
@@ -529,11 +558,14 @@ def _file_filter_column(
             continue
         if cj.kind == "between":
             lo, hi = cj.literal
-            lo_l, hi_l = F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)
+            lo_l, hi_l = _typed_lit(lo, dtype), _typed_lit(hi, dtype)
+            if lo_l is None or hi_l is None:
+                continue  # NULL / un-coercible bound — keep every file
             if col in partition_columns:
-                val = F.element_at(F.col("partitionValues"), col).cast(dtype)
+                raw_val = F.element_at(F.col("partitionValues"), col)
+                val = raw_val.cast(dtype)
                 keep = keep & F.coalesce(
-                    (val >= lo_l) & (val <= hi_l), F.lit(False)
+                    (val >= lo_l) & (val <= hi_l), raw_val.isNotNull()
                 )
             else:
                 mn = F.col(f"parsed_stats.minValues.{col}")
@@ -558,20 +590,28 @@ def _file_filter_column(
                     cond = cond & (mn < F.lit(upper))
                 keep = keep & F.coalesce(cond, F.lit(True))
             continue
-        lit = F.lit(cj.literal).cast(dtype) if cj.literal is not None else None
+        lit = None
+        if cj.literal is not None:
+            lit = _typed_lit(cj.literal, dtype)
+            if lit is None:
+                continue  # un-coercible literal — keep every file
         if col in partition_columns:
-            val = F.element_at(F.col("partitionValues"), col).cast(dtype)
+            raw_val = F.element_at(F.col("partitionValues"), col)
+            val = raw_val.cast(dtype)
             if op == "is null":
-                cond = val.isNull()
-            elif op == "is not null":
-                cond = val.isNotNull()
-            elif lit is not None and op in ("=", "==", "<=>"):
+                # value present (even un-castable) != NULL: decide on raw
+                keep = keep & raw_val.isNull()
+                continue
+            if op == "is not null":
+                keep = keep & raw_val.isNotNull()
+                continue
+            if lit is not None and op in ("=", "==", "<=>"):
                 cond = val == lit
             elif lit is not None and op in (">", ">=", "<", "<="):
                 cond = {">": val > lit, ">=": val >= lit, "<": val < lit, "<=": val <= lit}[op]
             else:
                 continue
-            keep = keep & F.coalesce(cond, F.lit(False))
+            keep = keep & F.coalesce(cond, raw_val.isNotNull())
             continue
         mn = F.col(f"parsed_stats.minValues.{col}")
         mx = F.col(f"parsed_stats.maxValues.{col}")

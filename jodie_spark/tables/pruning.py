@@ -526,9 +526,13 @@ def file_may_match(
                 # literal could be the matching one
                 if len(vals) != len(cj.literal):
                     continue
-                pv = _coerce((add.get("partitionValues") or {}).get(col), dtype)
-                if pv is None:
+                raw_pv = (add.get("partitionValues") or {}).get(col)
+                if raw_pv is None:
                     return False  # NULL partition value never satisfies IN
+                pv = _coerce(raw_pv, dtype)
+                if pv is None:
+                    continue  # present but un-coercible (foreign
+                    # serialization) — keep the file, don't treat as NULL
                 if all(_cmp("=", pv, v) is False for v in vals):
                     return False
                 continue
@@ -560,9 +564,12 @@ def file_may_match(
             if any(v is None for v in lits):
                 continue  # un-coercible — keep the file
             if col in partition_columns:
-                pv = _coerce((add.get("partitionValues") or {}).get(col), dtype)
-                if pv is None:
+                raw_pv = (add.get("partitionValues") or {}).get(col)
+                if raw_pv is None:
                     return False  # NULL != / NOT IN is NULL, never matched
+                pv = _coerce(raw_pv, dtype)
+                if pv is None:
+                    continue  # un-coercible, not NULL — keep the file
                 if any(_cmp("=", pv, v) is True for v in lits):
                     return False  # every row carries the excluded value
                 continue
@@ -593,9 +600,12 @@ def file_may_match(
             lo = _coerce(cj.literal[0], dtype)
             hi = _coerce(cj.literal[1], dtype)
             if col in partition_columns:
-                pv = _coerce((add.get("partitionValues") or {}).get(col), dtype)
-                if pv is None:
+                raw_pv = (add.get("partitionValues") or {}).get(col)
+                if raw_pv is None:
                     return False  # NULL is never BETWEEN
+                pv = _coerce(raw_pv, dtype)
+                if pv is None:
+                    continue  # un-coercible, not NULL — keep the file
                 if (lo is not None and _cmp("<", pv, lo)) or (
                     hi is not None and _cmp(">", pv, hi)
                 ):
@@ -641,11 +651,11 @@ def file_may_match(
             pv = (add.get("partitionValues") or {}).get(col)
             val = _coerce(pv, dtype)
             if op == "is null":
-                if val is not None:
-                    return False
+                if pv is not None:
+                    return False  # value present (even if un-coercible)
                 continue
             if op == "is not null":
-                if val is None:
+                if pv is None:
                     return False
                 continue
             if op == "<=>" and cj.literal is None:
@@ -653,8 +663,10 @@ def file_may_match(
                     return False
                 continue
             if val is None or lit is None:
-                # null partition value can't satisfy a non-null comparison
-                if val is None and lit is not None and op in EQUALITY_OPS | MIN_MAX_OPS:
+                # null partition value can't satisfy a non-null
+                # comparison — but only when the raw value is truly
+                # NULL, not merely un-coercible (foreign serialization)
+                if pv is None and lit is not None and op in EQUALITY_OPS | MIN_MAX_OPS:
                     return False
                 continue
             verdict = _cmp(op, val, lit)

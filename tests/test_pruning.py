@@ -174,6 +174,57 @@ def test_partition_value_pruning():
     assert not file_may_match(add, [drop], SCHEMA, ["name"])
 
 
+def test_uncoercible_partition_value_keeps_file():
+    """A partition value that is PRESENT but serialized in a form
+    _coerce cannot parse (foreign writer) must keep the file — only a
+    genuinely NULL partition value proves non-match (ADVICE r10)."""
+    weird = _add({}, {"d": "02/01/2020 oddball"})
+    null_pv = _add({}, {"d": None})
+    non_null_conds = [
+        "d = '2020-01-02'",
+        "d != '2020-01-02'",
+        "d not in ('2020-01-02')",
+        "d in ('2020-01-02')",
+        "d between '2020-01-01' and '2020-01-03'",
+        "d > '2020-01-01'",
+    ]
+    for cond in non_null_conds:
+        cj = classify_conjunct(cond, ["d"])
+        assert cj.kind != "unresolved", cond
+        assert file_may_match(weird, [cj], SCHEMA, ["d"]), cond
+        assert not file_may_match(null_pv, [cj], SCHEMA, ["d"]), cond
+    # null tests decide on raw presence, not coercibility
+    is_null = classify_conjunct("d is null", ["d"])
+    not_null = classify_conjunct("d is not null", ["d"])
+    assert not file_may_match(weird, [is_null], SCHEMA, ["d"])
+    assert file_may_match(weird, [not_null], SCHEMA, ["d"])
+    assert file_may_match(null_pv, [is_null], SCHEMA, ["d"])
+    assert not file_may_match(null_pv, [not_null], SCHEMA, ["d"])
+
+
+def test_uncoercible_literal_keeps_every_file():
+    """An un-coercible LITERAL makes the conjunct unusable for
+    skipping — both a stats file and a partition file must survive
+    (previously the Spark-side planner cast it to NULL and pruned
+    everything; driver-side parity pinned in
+    test_driver_and_spark_planners_agree)."""
+    stats_file = _add(
+        {"numRecords": 5, "minValues": {"id": 1}, "maxValues": {"id": 9},
+         "nullCount": {"id": 0}}
+    )
+    part_file = _add({}, {"id": "3"})
+    for cond in [
+        "id = 'zzz'",
+        "id != 'zzz'",
+        "id not in ('zzz', '1')",
+        "id between 'a' and 'b'",
+        "id > 'zzz'",
+    ]:
+        cj = classify_conjunct(cond, ["id"])
+        assert file_may_match(stats_file, [cj], SCHEMA, []), cond
+        assert file_may_match(part_file, [cj], SCHEMA, ["id"]), cond
+
+
 def test_partitioned_delete_rewrites_only_matching_partition(spark, tmpdir_path):
     path = os.path.join(tmpdir_path, "pdel")
     df = spark.createDataFrame(
@@ -267,6 +318,15 @@ def test_driver_and_spark_planners_agree(spark, tmpdir_path):
         "s in ('s1', 's3')",          # IN on a nullable string column
         "id not in (1, 2)",           # NOT IN: conservative, keep all
         "p in ('1') and id < 50",     # IN combined with min/max
+        "p != '1'",                   # partition not-equality
+        "p not in ('0', '2')",        # partition NOT IN
+        "p between '0' and '1'",      # partition BETWEEN
+        "i between 2 and 4",          # stats BETWEEN
+        "i = 'zzz'",                  # un-coercible literal: keep all
+        "i != 'zzz'",                 # (ANSI would error the cast, so
+        "i between 'zz' and 'zzz'",   #  both planners must skip the
+        "i not in ('zzz')",           #  conjunct entirely — ADVICE r10)
+        "i in ('zzz', 3)",
     ]
     for cond in conditions:
         d = plan(cond, force_spark=False)
@@ -275,11 +335,15 @@ def test_driver_and_spark_planners_agree(spark, tmpdir_path):
         # conservativeness: every file containing a matching row is kept
         if cond:
             kept = set(d)
+            runnable = (
+                "unknown" not in cond and "cast" not in cond
+                and "zzz" not in cond  # ANSI errors on int-vs-string
+            )
             matching_files = {
                 r[0].replace(f"file:{path}/", "").replace(f"{path}/", "")
                 for r in t.toDF()
                 .withColumn("__f__", F.input_file_name())
-                .filter(cond if "unknown" not in cond and "cast" not in cond else "true")
+                .filter(cond if runnable else "true")
                 .select("__f__")
                 .distinct()
                 .collect()
