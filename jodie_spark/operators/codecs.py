@@ -1631,11 +1631,60 @@ def _crc8(data: bytes) -> int:
     return c
 
 
-def _crc16(data: bytes) -> int:
+def _crc16_loop(data: bytes) -> int:
     c = 0
     for byte in data:
         c = _CRC16_TABLE[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
     return c
+
+
+def _crc16_np_tables():
+    """Vectorized CRC-16/IBM support tables. CRC is linear over GF(2):
+    crc(M) = XOR_i  b_i(x) * x^(8*d_i + 16) mod G,  d_i = bytes after i.
+    x is invertible mod G (G(0)=1), so x^e mod G is periodic in e; we
+    find the period numerically and tabulate one full cycle, plus a
+    256-entry reducer for (v << 16) mod G. With those, the whole CRC is
+    8 shift-xor numpy passes + one xor-reduce — no per-byte Python."""
+    period = 0
+    r = 1
+    pows = [1]
+    for k in range(1, 1 << 17):
+        r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1)
+        if r == 1:
+            period = k
+            break
+        pows.append(r)
+    if not period:  # unreachable for this G; keeps the fallback honest
+        return None, None, 0
+    red = []
+    for v in range(256):
+        c = v << 16
+        for bit in range(23, 15, -1):
+            if c & (1 << bit):
+                c ^= 0x18005 << (bit - 16)
+        red.append(c)
+    return (
+        np.array(pows, dtype=np.uint32),
+        np.array(red, dtype=np.uint32),
+        period,
+    )
+
+
+_CRC16_POW, _CRC16_RED, _CRC16_PERIOD = _crc16_np_tables()
+
+
+def _crc16(data: bytes) -> int:
+    if len(data) < 256 or _CRC16_PERIOD == 0:
+        return _crc16_loop(data)
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    n = a.shape[0]
+    e = (8 * (n - 1 - np.arange(n, dtype=np.int64)) + 16) % _CRC16_PERIOD
+    r = _CRC16_POW[e]
+    acc = np.zeros(n, dtype=np.uint32)
+    for k in range(8):
+        acc ^= (r << np.uint32(k)) * ((a >> np.uint32(k)) & np.uint32(1))
+    out = _CRC16_RED[acc >> np.uint32(16)] ^ (acc & np.uint32(0xFFFF))
+    return int(np.bitwise_xor.reduce(out))
 
 
 class _PlainBitWriter:
@@ -1665,6 +1714,24 @@ class _PlainBitWriter:
     def align(self) -> None:
         if self.nacc:
             self.write(0, 8 - self.nacc)
+
+    def write_bits(self, arr: np.ndarray) -> None:
+        """Append a 0/1 uint8 bit array (MSB-first) — the bulk lane:
+        full bytes go through np.packbits instead of per-bit write()."""
+        if self.nacc:
+            lead = np.fromiter(
+                ((self.acc >> (self.nacc - 1 - k)) & 1 for k in range(self.nacc)),
+                dtype=np.uint8,
+                count=self.nacc,
+            )
+            arr = np.concatenate([lead, arr])
+            self.acc = 0
+            self.nacc = 0
+        nfull = arr.shape[0] & ~7
+        if nfull:
+            self.out += np.packbits(arr[:nfull]).tobytes()
+        for bit in arr[nfull:]:
+            self.write(int(bit), 1)
 
 
 class _PlainBitReader:
@@ -1750,33 +1817,136 @@ _FIXED_COEFS = {
 }
 
 
-def _decode_residual(br: _PlainBitReader, blocksize: int, order: int) -> list[int]:
+def _seek_bits(br: _PlainBitReader, bitpos: int) -> None:
+    """Position ``br`` exactly at absolute bit offset ``bitpos``."""
+    br.pos = bitpos >> 3
+    br.acc = 0
+    br.nacc = 0
+    if bitpos & 7:
+        br.read(bitpos & 7)
+
+
+def _bit_pos(br: _PlainBitReader) -> int:
+    return br.pos * 8 - br.nacc
+
+
+def _field_signs(vals: np.ndarray, nbits: int) -> np.ndarray:
+    """Two's-complement sign extension of an unsigned nbits field."""
+    return np.where(vals >= (1 << (nbits - 1)), vals - (1 << nbits), vals)
+
+
+def _read_fields(bits: np.ndarray, pos: int, count: int, nbits: int) -> np.ndarray:
+    """``count`` consecutive ``nbits``-wide big-endian fields → int64."""
+    if nbits == 0:
+        return np.zeros(count, dtype=np.int64)
+    if pos + count * nbits > bits.shape[0]:
+        raise ValueError("FLAC bitstream truncated")
+    seg = bits[pos : pos + count * nbits].reshape(count, nbits).astype(np.int64)
+    weights = np.left_shift(np.int64(1), np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    return seg @ weights
+
+
+def _decode_residual(
+    br: _PlainBitReader, blocksize: int, order: int,
+    bits: np.ndarray, ones_l: list[int],
+) -> np.ndarray:
+    """Rice/rice2 residual partitions, numpy-vectorized (VERDICT r10
+    item 3 — the per-sample bit loop was the hottest pure-codec path).
+
+    The only sequential part of a rice partition is locating each
+    code's unary terminator (the next 1-bit), because the ``param``
+    LSB bits that follow it contain arbitrary 1s. With the positions
+    of ALL 1-bits precomputed (``ones_l``), that becomes a tiny
+    integer scan — every 1-bit is visited at most once — and
+    everything else (quotients, LSB fields, zigzag, sign-extension)
+    is closed-form array arithmetic over the terminator positions.
+    """
     method = br.read(2)
     if method > 1:
         raise ValueError(f"reserved FLAC residual method {method}")
     pbits = 4 if method == 0 else 5
     escape = (1 << pbits) - 1
     po = br.read(4)
-    res: list[int] = []
     n_parts = 1 << po
     if blocksize % n_parts:
         raise ValueError("FLAC partition order does not divide block size")
-    for p in range(n_parts):
-        count = blocksize // n_parts - (order if p == 0 else 0)
-        param = br.read(pbits)
-        if param == escape:
-            raw = br.read(5)
-            for _ in range(count):
-                res.append(br.read_signed(raw) if raw else 0)
-        else:
-            for _ in range(count):
-                q = br.read_unary()
-                u = (q << param) | (br.read(param) if param else 0)
-                res.append((u >> 1) ^ -(u & 1))  # zigzag
-    return res
+    out = np.empty(blocksize - order, dtype=np.int64)
+    w = 0
+    pos = _bit_pos(br)
+    import bisect
+
+    try:
+        for p in range(n_parts):
+            count = blocksize // n_parts - (order if p == 0 else 0)
+            if count < 0:
+                raise ValueError("FLAC predictor order exceeds partition size")
+            param = int(_read_fields(bits, pos, 1, pbits)[0])
+            pos += pbits
+            if param == escape:
+                raw = int(_read_fields(bits, pos, 1, 5)[0])
+                pos += 5
+                vals = _read_fields(bits, pos, count, raw)
+                out[w : w + count] = _field_signs(vals, raw) if raw else 0
+                pos += count * raw
+            elif count:
+                t = np.empty(count, dtype=np.int64)
+                oi = bisect.bisect_left(ones_l, pos)
+                pp = pos
+                step = 1 + param
+                for i in range(count):
+                    tv = ones_l[oi]  # IndexError ⇒ truncated
+                    while tv < pp:
+                        oi += 1
+                        tv = ones_l[oi]
+                    t[i] = tv
+                    pp = tv + step
+                    oi += 1
+                starts = np.empty(count, dtype=np.int64)
+                starts[0] = pos
+                starts[1:] = t[:-1] + step
+                q = t - starts
+                if param:
+                    fidx = t[:, None] + 1 + np.arange(param, dtype=np.int64)
+                    if int(t[-1]) + param >= bits.shape[0]:
+                        raise ValueError("FLAC bitstream truncated")
+                    weights = np.left_shift(
+                        np.int64(1), np.arange(param - 1, -1, -1, dtype=np.int64)
+                    )
+                    u = (q << np.int64(param)) | (bits[fidx].astype(np.int64) @ weights)
+                else:
+                    u = q
+                out[w : w + count] = (u >> np.int64(1)) ^ -(u & np.int64(1))  # zigzag
+                pos = int(pp)
+            w += count
+    except IndexError:
+        raise ValueError("FLAC bitstream truncated") from None
+    _seek_bits(br, pos)
+    return out
 
 
-def _decode_subframe(br: _PlainBitReader, blocksize: int, bps: int) -> list[int]:
+def _undifference(res: np.ndarray, warm: list[int], order: int) -> np.ndarray:
+    """Invert the order-``order`` FIXED predictor: the residual is the
+    order-th finite difference of the samples, so reconstruction is
+    ``order`` cumulative sums, each seeded with the corresponding
+    warm-up difference — exact in int64 (|Δ^4| ≤ 2^35, blocksize ≤
+    2^16 ⇒ partial sums < 2^51)."""
+    if order == 0:
+        return res
+    w = np.asarray(warm, dtype=np.int64)
+    deltas = [w]
+    for _ in range(1, order):
+        deltas.append(np.diff(deltas[-1]))
+    arr = res
+    for k in range(order - 1, -1, -1):
+        seed = int(deltas[k][0])
+        arr = np.concatenate(([seed], seed + np.cumsum(arr)))
+    return arr
+
+
+def _decode_subframe(
+    br: _PlainBitReader, blocksize: int, bps: int,
+    bits: np.ndarray, ones_l: list[int],
+) -> np.ndarray:
     if br.read(1):
         raise ValueError("FLAC subframe padding bit set")
     ftype = br.read(6)
@@ -1785,19 +1955,16 @@ def _decode_subframe(br: _PlainBitReader, blocksize: int, bps: int) -> list[int]
         wasted = 1 + br.read_unary()
         bps -= wasted
     if ftype == 0:  # CONSTANT
-        v = br.read_signed(bps)
-        out = [v] * blocksize
+        out = np.full(blocksize, br.read_signed(bps), dtype=np.int64)
     elif ftype == 1:  # VERBATIM
-        out = [br.read_signed(bps) for _ in range(blocksize)]
+        pos = _bit_pos(br)
+        out = _field_signs(_read_fields(bits, pos, blocksize, bps), bps)
+        _seek_bits(br, pos + blocksize * bps)
     elif 8 <= ftype <= 12:  # FIXED order 0-4
         order = ftype - 8
         warm = [br.read_signed(bps) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order)
-        out = list(warm)
-        coefs = _FIXED_COEFS[order]
-        for r in res:
-            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append(pred + r)
+        res = _decode_residual(br, blocksize, order, bits, ones_l)
+        out = _undifference(res, warm, order)
     elif ftype >= 32:  # LPC order 1-32
         order = ftype - 31
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -1808,15 +1975,34 @@ def _decode_subframe(br: _PlainBitReader, blocksize: int, bps: int) -> list[int]
         if shift < 0:
             raise ValueError("negative FLAC LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order)
-        out = list(warm)
-        for r in res:
-            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
-            out.append(pred + r)
+        res = _decode_residual(br, blocksize, order, bits, ones_l)
+        # the quantized-LPC recurrence floor-shifts at every step, so it
+        # cannot be expressed as a prefix scan; run it as a plain-int
+        # loop with the common small orders unrolled on local variables
+        o = [int(x) for x in warm]
+        rl = res.tolist()
+        if order == 1:
+            c0 = coefs[0]
+            prev = o[-1]
+            for r in rl:
+                prev = ((c0 * prev) >> shift) + r
+                o.append(prev)
+        elif order == 2:
+            c0, c1 = coefs
+            p1, p2 = o[-1], o[-2]
+            for r in rl:
+                p1, p2 = ((c0 * p1 + c1 * p2) >> shift) + r, p1
+                o.append(p1)
+        else:
+            rc = list(enumerate(coefs))
+            for r in rl:
+                pred = sum(c * o[-1 - j] for j, c in rc) >> shift
+                o.append(pred + r)
+        out = np.asarray(o, dtype=np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {ftype}")
     if wasted:
-        out = [v << wasted for v in out]
+        out = out << np.int64(wasted)
     return out
 
 
@@ -1861,7 +2047,14 @@ def decode_flac(b: bytes, with_samples: bool = True):
     if not with_samples:
         return rate, channels, total, None
 
-    chans: list[list[int]] = [[] for _ in range(channels)]
+    # one bit-expansion + 1-bit index for the whole payload: the
+    # vectorized residual decoder consumes these instead of a
+    # bit-at-a-time reader (memory 8×/~64× the blob — fine for the
+    # per-row media blobs this Arrow-batched decode path sees)
+    bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+    ones_l: list[int] = np.flatnonzero(bits).tolist()
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     n = len(b)
     while i < n - 1:
         frame_start = i
@@ -1902,25 +2095,23 @@ def decode_flac(b: bytes, with_samples: bool = True):
         if ch_code <= 7:
             n_sub = ch_code + 1
             subs = [
-                _decode_subframe(br, blocksize, fbps) for _ in range(n_sub)
+                _decode_subframe(br, blocksize, fbps, bits, ones_l)
+                for _ in range(n_sub)
             ]
         elif ch_code in (8, 9, 10):
             n_sub = 2
             b0 = fbps + (1 if ch_code == 9 else 0)
             b1 = fbps + (1 if ch_code in (8, 10) else 0)
-            s0 = _decode_subframe(br, blocksize, b0)
-            s1 = _decode_subframe(br, blocksize, b1)
+            s0 = _decode_subframe(br, blocksize, b0, bits, ones_l)
+            s1 = _decode_subframe(br, blocksize, b1, bits, ones_l)
+            one = np.int64(1)
             if ch_code == 8:  # left/side
-                subs = [s0, [left - side for left, side in zip(s0, s1)]]
+                subs = [s0, s0 - s1]
             elif ch_code == 9:  # side/right
-                subs = [[right + side for side, right in zip(s0, s1)], s1]
+                subs = [s1 + s0, s1]
             else:  # mid/side
-                left, right = [], []
-                for m, s in zip(s0, s1):
-                    m = (m << 1) | (s & 1)
-                    left.append((m + s) >> 1)
-                    right.append((m - s) >> 1)
-                subs = [left, right]
+                m = (s0 << one) | (s1 & one)
+                subs = [(m + s1) >> one, (m - s1) >> one]
         else:
             raise ValueError(f"reserved FLAC channel assignment {ch_code}")
         if n_sub != channels:
@@ -1931,29 +2122,56 @@ def decode_flac(b: bytes, with_samples: bool = True):
         if _crc16(b[frame_start:crc_end]) != crc16:
             raise ValueError("FLAC frame CRC-16 mismatch")
         for c in range(channels):
-            chans[c].extend(subs[c])
+            chans[c].append(subs[c])
         i = br.byte_pos()
 
-    samples = np.array(chans, dtype=np.int64).T
+    samples = np.stack(
+        [
+            np.concatenate(ch) if ch else np.empty(0, dtype=np.int64)
+            for ch in chans
+        ]
+    ).T
     if total:
         samples = samples[:total]
     return rate, channels, samples.shape[0], samples.astype(np.int32)
 
 
-def _rice_cost(res: list[int], param: int) -> int:
-    cost = 0
-    for r in res:
-        u = (abs(r) << 1) - (1 if r < 0 else 0)
-        cost += (u >> param) + 1 + param
-    return cost
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    """Signed residual → unsigned rice symbol: (|r|<<1) - (r<0)."""
+    return (res << np.int64(1)) ^ (res >> np.int64(63))
 
 
-def _write_rice(bw: _PlainBitWriter, res: list[int], param: int) -> None:
-    for r in res:
-        u = (abs(r) << 1) - (1 if r < 0 else 0)
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
+    """(param, total bits) minimizing the rice cost — the full 0..14
+    sweep the scalar encoder did per-element, as one matmul-shaped
+    shift-sum (VERDICT r10 item 3: _rice_cost was 55% of encode)."""
+    params = np.arange(15, dtype=np.int64)
+    costs = (u[None, :] >> params[:, None]).sum(axis=1) + u.shape[0] * (1 + params)
+    p = int(np.argmin(costs))  # first minimum — same tie-break as min()
+    return p, int(costs[p])
+
+
+def _fields_bits(vals: np.ndarray, nbits: int) -> np.ndarray:
+    """Fixed-width big-endian fields → flat 0/1 bit array."""
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts) & np.int64(1)).astype(np.uint8).ravel()
+
+
+def _rice_bits(u: np.ndarray, param: int) -> np.ndarray:
+    """Rice-code ``u`` into a 0/1 bit array: per symbol q zeros, a 1,
+    then the param LSBs — positions are closed-form from a cumsum of
+    code lengths, so no per-sample bit loop."""
+    q = u >> np.int64(param)
+    lengths = q + 1 + param
+    ends = np.cumsum(lengths)
+    arr = np.zeros(int(ends[-1]) if u.shape[0] else 0, dtype=np.uint8)
+    offs = ends - lengths
+    arr[offs + q] = 1
+    if param:
+        idx = (offs + q + 1)[:, None] + np.arange(param, dtype=np.int64)
+        shifts = np.arange(param - 1, -1, -1, dtype=np.int64)
+        arr[idx] = ((u[:, None] >> shifts) & np.int64(1)).astype(np.uint8)
+    return arr
 
 
 def encode_flac(
@@ -1994,35 +2212,30 @@ def encode_flac(
     out += len(si.out).to_bytes(3, "big")
     out += si.out
 
-    def subframe(bw: _PlainBitWriter, sig: list[int], sbps: int) -> None:
-        if len(set(sig)) == 1:
+    def subframe(bw: _PlainBitWriter, sig: np.ndarray, sbps: int) -> None:
+        mask = (1 << sbps) - 1
+        if int(sig.min()) == int(sig.max()):
             bw.write(0, 1)
             bw.write(0, 6)  # CONSTANT
             bw.write(0, 1)
-            bw.write(sig[0] & ((1 << sbps) - 1), sbps)
+            bw.write(int(sig[0]) & mask, sbps)
             return
-        best_order, best_res, best_cost = None, None, None
+        best_order, best_u, best_cost = None, None, None
         for order in (0, 1, 2):
-            if len(sig) <= order:
+            if sig.shape[0] <= order:
                 continue
-            coefs = _FIXED_COEFS[order]
-            res = [
-                sig[k] - sum(c * sig[k - 1 - j] for j, c in enumerate(coefs))
-                for k in range(order, len(sig))
-            ]
-            # pick the rice parameter over the whole residual
-            costs = [(p, _rice_cost(res, p)) for p in range(15)]
-            p, cost = min(costs, key=lambda t: t[1])
+            # FIXED-predictor residual IS the order-th finite difference
+            u = _zigzag(np.diff(sig, order) if order else sig)
+            p, cost = _best_rice_param(u)
             cost += order * sbps
             if best_cost is None or cost < best_cost:
-                best_order, best_res, best_cost, best_p = order, res, cost, p
-        verbatim_cost = len(sig) * sbps
+                best_order, best_u, best_cost, best_p = order, u, cost, p
+        verbatim_cost = sig.shape[0] * sbps
         if best_cost is None or verbatim_cost <= best_cost:
             bw.write(0, 1)
             bw.write(1, 6)  # VERBATIM
             bw.write(0, 1)
-            for v in sig:
-                bw.write(v & ((1 << sbps) - 1), sbps)
+            bw.write_bits(_fields_bits(sig & np.int64(mask), sbps))
             return
         order = best_order
         if use_lpc and order == 2:
@@ -2032,7 +2245,7 @@ def encode_flac(
             bw.write(32 + order - 1, 6)
             bw.write(0, 1)
             for v in sig[:order]:
-                bw.write(v & ((1 << sbps) - 1), sbps)
+                bw.write(int(v) & mask, sbps)
             bw.write(15 - 1, 4)
             bw.write(5, 5)
             bw.write((2 << 5) & 0x7FFF, 15)
@@ -2042,11 +2255,11 @@ def encode_flac(
             bw.write(8 + order, 6)  # FIXED
             bw.write(0, 1)
             for v in sig[:order]:
-                bw.write(v & ((1 << sbps) - 1), sbps)
+                bw.write(int(v) & mask, sbps)
         bw.write(0, 2)  # rice method 0 (4-bit params)
         bw.write(0, 4)  # partition order 0
         bw.write(best_p, 4)
-        _write_rice(bw, best_res, best_p)
+        bw.write_bits(_rice_bits(best_u, best_p))
 
     frame_no = 0
     for start in range(0, n, block_size):
@@ -2070,23 +2283,19 @@ def encode_flac(
         hdr = bytes(bw.out)
         bw.write(_crc8(hdr), 8)
 
-        cols = [list(map(int, block[:, c])) for c in range(channels)]
+        cols = [block[:, c] for c in range(channels)]
         if channel_mode == "independent":
             for c in range(channels):
                 subframe(bw, cols[c], bps)
         elif channel_mode == "left-side":
-            side = [left - right for left, right in zip(cols[0], cols[1])]
             subframe(bw, cols[0], bps)
-            subframe(bw, side, bps + 1)
+            subframe(bw, cols[0] - cols[1], bps + 1)
         elif channel_mode == "right-side":
-            side = [left - right for left, right in zip(cols[0], cols[1])]
-            subframe(bw, side, bps + 1)
+            subframe(bw, cols[0] - cols[1], bps + 1)
             subframe(bw, cols[1], bps)
         else:  # mid-side
-            side = [left - right for left, right in zip(cols[0], cols[1])]
-            mid = [(left + right) >> 1 for left, right in zip(cols[0], cols[1])]
-            subframe(bw, mid, bps)
-            subframe(bw, side, bps + 1)
+            subframe(bw, (cols[0] + cols[1]) >> np.int64(1), bps)
+            subframe(bw, cols[0] - cols[1], bps + 1)
         bw.align()
         body = bytes(bw.out)
         bw.write(_crc16(body), 16)
