@@ -57,6 +57,48 @@ _HEX_SPAN = 13
 DEFAULT_N_BITS = 1 << 23  # 1 MiB bitmap
 DEFAULT_N_HASHES = 7
 
+#: Above this bitmap size the "broadcast once per executor" premise
+#: stops being comfortable (Spark's broadcast plumbing tops out well
+#: before the torrent blocks do — multi-GiB broadcasts evict executor
+#: storage memory and serialize per-executor fetches). The guard only
+#: WARNS: the build still runs, but users sizing for 100 TB should
+#: switch structures instead (see :func:`check_broadcast_budget`).
+BROADCAST_BUDGET_BYTES = 1 << 30  # 1 GiB
+
+
+def check_broadcast_budget(
+    n_bits: int, budget_bytes: int | None = BROADCAST_BUDGET_BYTES
+) -> None:
+    """Warn when the bitmap outgrows broadcast practicality.
+
+    The arithmetic (SCALE.md "Bloom broadcast ceiling"): at fpp p the
+    bitmap is ``m = -n·ln p / ln²2`` bits, so a byte budget B caps the
+    seen-set size at ``n_max = -8·B·ln²2 / ln p`` — for B = 1 GiB and
+    p = 1e-3 that is ≈ 6.0e8 items; at n = 1e10 / p = 1e-3 the bitmap
+    is ≈ 18 GB, far past executor broadcast comfort. Beyond the budget
+    the right tools are the persisted probe indexes
+    (``minhash_index_filter_new`` / ``hamming_index_filter_new`` —
+    partition-pruned postings probes, no broadcast of the seen set) or
+    exact ``dedup_against`` (anti-join, shuffles but never lies).
+    """
+    if budget_bytes is None:
+        return
+    n_bytes = n_bits // 8
+    if n_bytes > budget_bytes:
+        import warnings
+
+        warnings.warn(
+            f"Bloom bitmap is {n_bytes / 2**30:.1f} GiB "
+            f"(> broadcast budget {budget_bytes / 2**30:.1f} GiB): "
+            "broadcasting it per executor will strain Spark's broadcast "
+            "layer. For seen sets this large use the persisted probe "
+            "indexes (minhash_index_filter_new / hamming_index_filter_new) "
+            "or exact dedup_against instead; raise budget_bytes only if "
+            "the cluster's executors genuinely have the headroom.",
+            ResourceWarning,
+            stacklevel=3,
+        )
+
 
 class BloomFilter:
     """Immutable fingerprint-set sketch: ``bits`` (bytes, little-endian
@@ -118,6 +160,7 @@ def build_bloom(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
     combine_partitions: int | None = None,
+    broadcast_budget_bytes: int | None = BROADCAST_BUDGET_BYTES,
 ) -> BloomFilter:
     """One-scan distributed Bloom build over ``df[col]``.
 
@@ -132,6 +175,7 @@ def build_bloom(
         raise ValueError(f"n_bits must be a multiple of 8, got {n_bits}")
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    check_broadcast_budget(n_bits, broadcast_budget_bytes)
     pos_df = df.select(
         bloom_positions(F.col(col), n_bits, n_hashes).alias("__pos__")
     ).filter(F.col("__pos__").isNotNull())
@@ -174,6 +218,7 @@ def optimal_geometry(n_items: int, fpp: float = 1e-3) -> tuple[int, int]:
     m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
     m = (m + 7) // 8 * 8
     k = max(1, int(round(m / n_items * math.log(2))))
+    check_broadcast_budget(m)  # warn at sizing time, not just at build
     return m, k
 
 

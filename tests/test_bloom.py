@@ -115,3 +115,25 @@ def test_optimal_geometry():
     assert 9 <= k <= 11  # ~10 hashes
     m2, k2 = optimal_geometry(0, fpp=0.5)
     assert m2 >= 8 and k2 >= 1
+
+
+def test_broadcast_budget_guard(spark):
+    """Sizing past broadcast practicality warns and points at the
+    persisted indexes (VERDICT r10 item 7); in-budget sizing and an
+    explicit budget_bytes=None opt-out stay silent."""
+    import warnings
+
+    from jodie_spark.operators.bloom import build_bloom, check_broadcast_budget
+
+    with pytest.warns(ResourceWarning, match="minhash_index_filter_new"):
+        optimal_geometry(10_000_000_000, fpp=1e-3)  # ≈ 18 GB bitmap
+    with pytest.warns(ResourceWarning):
+        check_broadcast_budget(1 << 23, budget_bytes=1 << 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        optimal_geometry(1_000_000, fpp=1e-3)  # ~1.7 MB: silent
+        check_broadcast_budget(1 << 40, budget_bytes=None)  # opted out
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    with pytest.warns(ResourceWarning):
+        bloom = build_bloom(df, "v", n_bits=1 << 13, broadcast_budget_bytes=16)
+    assert "a" in bloom and "b" in bloom
