@@ -670,7 +670,19 @@ class DeltaLog:
                         ]
                         if not cols:
                             continue  # sidecar: add/remove only
-                        rows = _pf.read(columns=cols).to_pylist()
+                        tbl = _pf.read(columns=cols)
+                        # drop the (at 1M files: ~all) rows whose
+                        # projected structs are null BEFORE to_pylist —
+                        # materializing a million null dicts made this
+                        # "O(log-tail)" path scale with the checkpoint
+                        # (caught by test_1m_snapshot_load_slope)
+                        import pyarrow.compute as _pc
+
+                        mask = None
+                        for c in cols:
+                            m = _pc.is_valid(tbl[c])
+                            mask = m if mask is None else _pc.or_(mask, m)
+                        rows = tbl.filter(mask).to_pylist()
                 for row in rows:
                     md, pr = row.get("metaData"), row.get("protocol")
                     if metadata is None and md and any(x is not None for x in md.values()):

@@ -223,3 +223,120 @@ def test_100k_tombstone_vacuum_dry_run_bounded(spark, tmp_path_factory):
     ops = [r["operation"] for r in t.history().collect()]
     assert "VACUUM START" in ops and "VACUUM END" in ops
     assert t.toDF().count() == 5  # live data untouched
+
+
+# ---------------------------------------------------------------------------
+# 1M-add snapshot-load slope (VERDICT r10 item 6): the 100 TB story
+# rests on log replay staying ~O(#files) with small constants — measure
+# checkpoint read + tail replay at 10× the 100k soak and assert the
+# slope is ~linear (a super-linear dict/parse path would blow past it).
+# ---------------------------------------------------------------------------
+
+
+def _fabricate_checkpoint_table(spark, root: str, n_adds: int) -> str:
+    """A table whose base checkpoint carries ``n_adds`` synthetic add
+    actions, built COLUMNAR with pyarrow against the engine's own
+    checkpoint schema (cheap at 1M — no per-row JSON log writing), plus
+    a one-add JSON tail commit on top. Fake paths are never read, so a
+    passing replay proves the snapshot path is metadata-only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.log import (
+        DeltaLog,
+        checkpoint_file_name,
+        commit_file_name,
+    )
+    from jodie_spark.tables.table import write_delta
+
+    p = os.path.join(root, f"t{n_adds}")
+    write_delta(
+        spark.range(0, 100).selectExpr("id", "cast(id as string) as v").repartition(2),
+        p,
+    )
+    log = DeltaLog(p)
+    # force the single-part pyarrow path: we need one template file
+    # with the engine's checkpoint schema to clone columnar
+    log.write_checkpoint(spark=False)
+    cp0 = os.path.join(p, "_delta_log", checkpoint_file_name(0))
+    base = pq.read_table(cp0)
+    schema = base.schema
+
+    add_type = schema.field("add").type
+    paths = [f"fake/part-{i:07d}.parquet" for i in range(n_adds)]
+    los = np.arange(n_adds, dtype=np.int64) * 10 + 10_000_000
+    stats = [
+        '{"numRecords":10,"minValues":{"id":%d,"v":"x"},'
+        '"maxValues":{"id":%d,"v":"x"},"nullCount":{"id":0,"v":0}}' % (lo, lo + 9)
+        for lo in los
+    ]
+    child_arrays = []
+    for f in add_type:
+        if f.name == "path":
+            child_arrays.append(pa.array(paths, f.type))
+        elif f.name == "size":
+            child_arrays.append(pa.array(np.full(n_adds, 1000), f.type))
+        elif f.name == "modificationTime":
+            child_arrays.append(pa.array(np.zeros(n_adds, np.int64), f.type))
+        elif f.name == "dataChange":
+            child_arrays.append(pa.array(np.ones(n_adds, bool), f.type))
+        elif f.name == "stats":
+            child_arrays.append(pa.array(stats, f.type))
+        elif f.name == "partitionValues":
+            child_arrays.append(pa.array([{}] * n_adds, f.type))
+        else:
+            child_arrays.append(pa.nulls(n_adds, f.type))
+    add_arr = pa.StructArray.from_arrays(child_arrays, fields=list(add_type))
+    cols = [
+        add_arr if fld.name == "add" else pa.nulls(n_adds, fld.type)
+        for fld in schema
+    ]
+    big = pa.concat_tables([base, pa.Table.from_arrays(cols, schema=schema)])
+    pq.write_table(big, os.path.join(p, "_delta_log", checkpoint_file_name(1)))
+    with open(os.path.join(p, "_delta_log", "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": big.num_rows}))
+    tail = [
+        json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                                   "operationParameters": {}, "operationMetrics": {}}}),
+        json.dumps({"add": {"path": "fake/tail.parquet", "partitionValues": {},
+                            "size": 1000, "modificationTime": 0, "dataChange": True}}),
+    ]
+    with open(os.path.join(p, "_delta_log", commit_file_name(2)), "w") as fh:
+        fh.write("\n".join(tail) + "\n")
+    return p
+
+
+def test_1m_snapshot_load_slope(spark, tmp_path_factory):
+    """Cold snapshot (checkpoint read + tail replay) at 100k vs 1M
+    adds: the 10× slope must stay ~linear, and table_info (the DML
+    planning path) must stay O(log-tail) — effectively flat."""
+    from jodie_spark.tables.distribution import files_df
+    from jodie_spark.tables.log import DeltaLog
+
+    root = str(tmp_path_factory.mktemp("soak1m"))
+    results = {}
+    for n in (100_000, 1_000_000):
+        p = _fabricate_checkpoint_table(spark, root, n)
+        t0 = time.time()
+        snap = DeltaLog(p).snapshot()
+        replay_s = time.time() - t0
+        assert snap.num_files() == n + 3  # 2 real + synthetic + tail
+        t0 = time.time()
+        info = DeltaLog(p).table_info()
+        info_s = time.time() - t0
+        assert info.metadata and info.files is None
+        t0 = time.time()
+        assert files_df(spark, p).count() == n + 3
+        filesdf_s = time.time() - t0
+        results[n] = (replay_s, info_s, filesdf_s)
+        print(
+            f"\nSOAK1M n={n} cold_snapshot={replay_s:.2f}s "
+            f"table_info={info_s * 1000:.0f}ms files_df={filesdf_s:.2f}s"
+        )
+    slope = results[1_000_000][0] / max(results[100_000][0], 1e-9)
+    print(f"SOAK1M snapshot slope at 10x files: {slope:.1f}x")
+    # ~linear with 50% constant-factor slack; catches quadratic paths
+    assert slope < 15, f"snapshot load super-linear: 10x files cost {slope:.1f}x"
+    # table_info must not scale with the checkpoint: flat bound, not slope
+    assert results[1_000_000][1] < 2.0, "table_info reads the full checkpoint?"
