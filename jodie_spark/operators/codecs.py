@@ -435,6 +435,54 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _build_huff_lut(counts: list[int], symbols: bytes) -> tuple[bytes, bytes]:
+    """16-bit peek lookup for a canonical JPEG Huffman table:
+    (symbol[65536], codelength[65536]) as bytes objects (C-speed int
+    indexing). Entry i covers every bitstream whose next 16 bits are i;
+    length 0 marks an invalid prefix. One lookup replaces up to 16
+    read_bit() + dict.get() rounds per symbol (the baseline decoder's
+    hottest path)."""
+    sym = bytearray(65536)
+    ln = bytearray(65536)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = symbols[k : k + 1] * span
+            ln[base : base + span] = bytes([length]) * span
+            code += 1
+            k += 1
+        code <<= 1
+    return bytes(sym), bytes(ln)
+
+
+def _split_entropy_segments(b: bytes, start: int) -> list[bytes]:
+    """Entropy-coded bytes from ``start`` split at RSTn markers, 0xFF00
+    byte-stuffing removed — done ONCE per scan with C-level find/replace
+    so the hot decode loop never tests for markers."""
+    segs: list[bytes] = []
+    i = start
+    seg_start = start
+    n = len(b)
+    while True:
+        j = b.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(b[seg_start:n])
+            break
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        segs.append(b[seg_start:j])
+        if 0xD0 <= nxt <= 0xD7:  # restart marker: next segment follows
+            seg_start = i = j + 2
+            continue
+        break  # real marker (EOI / next scan): end of entropy data
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
 def decode_jpeg(b: bytes, with_pixels: bool = True):
     """Baseline/extended sequential JPEG (SOF0/SOF1) → (width, height,
     rgb|None): huffman entropy decode, dequantize, 8x8 IDCT, chroma
@@ -446,7 +494,7 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError(f"not a JPEG payload (sniffed: {sniff(b)})")
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[list[int], bytes]] = {}
     frame = None
     restart_interval = 0
     scan = None
@@ -492,14 +540,14 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
                 "progressive (SOF2) JPEG supported "
                 f"(got SOF marker 0x{marker:02X}) — route to an external codec"
             )
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — keep the raw (counts, symbols)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
                 counts = list(seg[p + 1 : p + 17])
                 total = sum(counts)
-                symbols = seg[p + 17 : p + 17 + total]
-                huff[(tc, th)] = _build_huff(counts, symbols)
+                symbols = bytes(seg[p + 17 : p + 17 + total])
+                huff[(tc, th)] = (counts, symbols)
                 p += 17 + total
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -523,62 +571,135 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
-    pred = {c["id"]: 0 for c in comps}
-    br = _BitReader(b, data_start)
-    mcu_count = 0
     total_mcus = mcux * mcuy
     A = _DCT_A
+
+    # --- entropy decode, LUT + local-int bit buffer (the per-bit
+    # dict-walk reader was >60% of decode wall time). Segments are
+    # pre-unstuffed and pre-split at restart markers, the 16-bit peek
+    # LUT resolves a Huffman symbol in one bytes-index, and the IDCT /
+    # dequant / de-zigzag run BATCHED over all blocks per component
+    # after the scan instead of per 8x8 block.
+    luts = {key: _build_huff_lut(counts, syms) for key, (counts, syms) in huff.items()}
+    segs = _split_entropy_segments(b, data_start)
+    per_comp: dict[int, list[list[int]]] = {c["id"]: [] for c in comps}
+    scan_plan = []
+    for sc in scan:
+        comp = by_id[sc["id"]]
+        dc_sym, dc_ln = luts[(0, sc["dc"])]
+        ac_sym, ac_ln = luts[(1, sc["ac"])]
+        scan_plan.append(
+            (sc["id"], comp["v"] * comp["h"], dc_sym, dc_ln, ac_sym, ac_ln)
+        )
+    pred = {c["id"]: 0 for c in comps}
+    # two 0xFF pad bytes per segment: the 16-bit peek may reach past the
+    # final (shorter) code into the byte-padding region; a complete
+    # prefix code resolves identically whatever the trailing bits are,
+    # and genuinely truncated streams still hit IndexError right after
+    seg_idx = 0
+    data = segs[0] + b"\xff\xff"
+    pos = 0
+    acc = 0
+    nacc = 0
+    mcu_count = 0
+    truncated = False
     try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    br.align()
-                    # expect RSTn
-                    while br.d[br.pos] == 0xFF and 0xD0 <= br.d[br.pos + 1] <= 0xD7:
-                        br.pos += 2
-                        break
-                    pred = {c["id"]: 0 for c in comps}
-                mcu_count += 1
-                for sc in scan:
-                    comp = by_id[sc["id"]]
-                    dct, act = huff[(0, sc["dc"])], huff[(1, sc["ac"])]
-                    q = qt[comp["tq"]]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            coefs = np.zeros(64, dtype=np.float64)
-                            s = _huff_decode(br, dct)
-                            diff = _extend(br.read(s), s) if s else 0
-                            pred[sc["id"]] += diff
-                            coefs[0] = pred[sc["id"]] * q[0]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(br, act)
-                                r, size = rs >> 4, rs & 15
-                                if size == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("JPEG AC index overflow")
-                                coefs[_ZIGZAG[k]] = _extend(br.read(size), size) * q[k]
-                                k += 1
-                            block = A.T @ coefs.reshape(8, 8) @ A + 128.0
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[sc["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-    except _MarkerHit:
-        pass  # EOI / next marker mid-MCU: keep what decoded
+        for _mcu in range(total_mcus):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if seg_idx + 1 < len(segs):
+                    seg_idx += 1
+                    data = segs[seg_idx] + b"\xff\xff"
+                    pos = acc = nacc = 0
+                else:  # no marker was written: just byte-align
+                    drop = nacc & 7
+                    nacc -= drop
+                    acc &= (1 << nacc) - 1
+                pred = dict.fromkeys(pred, 0)
+            mcu_count += 1
+            for cid, nblk, dc_sym, dc_ln, ac_sym, ac_ln in scan_plan:
+                pred_c = pred[cid]
+                blocks_c = per_comp[cid]
+                for _blk in range(nblk):
+                    zz = [0] * 64
+                    while nacc < 16:
+                        acc = (acc << 8) | data[pos]  # IndexError ⇒ truncated
+                        pos += 1
+                        nacc += 8
+                    v16 = (acc >> (nacc - 16)) & 0xFFFF
+                    length = dc_ln[v16]
+                    if length == 0:
+                        raise ValueError("invalid JPEG huffman code")
+                    s = dc_sym[v16]
+                    nacc -= length
+                    if s:
+                        while nacc < s:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nacc += 8
+                        nacc -= s
+                        r = (acc >> nacc) & ((1 << s) - 1)
+                        pred_c += r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+                    zz[0] = pred_c
+                    k = 1
+                    while k < 64:
+                        while nacc < 16:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nacc += 8
+                        v16 = (acc >> (nacc - 16)) & 0xFFFF
+                        length = ac_ln[v16]
+                        if length == 0:
+                            raise ValueError("invalid JPEG huffman code")
+                        rs = ac_sym[v16]
+                        nacc -= length
+                        size = rs & 15
+                        if size == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        while nacc < size:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nacc += 8
+                        nacc -= size
+                        r = (acc >> nacc) & ((1 << size) - 1)
+                        zz[k] = r if r >= (1 << (size - 1)) else r - (1 << size) + 1
+                        k += 1
+                    acc &= (1 << nacc) - 1
+                    blocks_c.extend(zz)  # flat: np.array on a flat list
+                    # is ~5x cheaper than on a list of 64-lists
+                pred[cid] = pred_c
+    except IndexError:
+        truncated = True  # EOI / next marker mid-MCU: keep what decoded
     out_planes = []
+    zig = np.asarray(_ZIGZAG)
     for c in comps:
-        p = planes[c["id"]]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        cv, ch = c["v"], c["h"]
+        nbl = total_mcus * cv * ch
+        got = per_comp[c["id"]]
+        zzm = (
+            np.array(got, dtype=np.float64).reshape(-1, 64)
+            if got
+            else np.zeros((0, 64))
+        )
+        q64 = qt[c["tq"]].astype(np.float64)
+        nat = np.zeros((nbl, 64), dtype=np.float64)
+        nat[: zzm.shape[0], zig] = zzm * q64  # dequant + de-zigzag, batched
+        blocks = nat.reshape(-1, 8, 8)
+        out = A.T @ blocks @ A + 128.0
+        if truncated and zzm.shape[0] < nbl:
+            out[zzm.shape[0] :] = 0.0  # parity with the per-block writer
+        p = (
+            out.reshape(mcuy, mcux, cv, ch, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * ch * 8)
+        )
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
         y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
