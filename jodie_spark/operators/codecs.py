@@ -405,8 +405,10 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
-def _build_huff(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+def _build_huff(counts: list[int], symbols: bytes):
+    """Canonical JPEG Huffman table: ({(length, code): symbol},
+    16-bit-peek symbol LUT, length LUT) — the dict drives the
+    marker-safe slow path, the LUTs the one-lookup fast path."""
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -416,14 +418,35 @@ def _build_huff(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]
             code += 1
             k += 1
         code <<= 1
-    return table
+    sym_b, ln_b = _build_huff_lut(counts, bytes(symbols))
+    return table, sym_b, ln_b
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_decode(br: _BitReader, table) -> int:
+    """One peek-LUT lookup when 16 buffered bits are available; the
+    original bit-walk only within 16 bits of a marker. Swallowing
+    _MarkerHit during the greedy fill is safe: _fill raises BEFORE
+    advancing past the marker, so reader state is untouched and the
+    slow path re-raises exactly where the bit-walk always did."""
+    dict_table, sym_b, ln_b = table
+    if br.nbits < 16:
+        try:
+            while br.nbits < 16:
+                br._fill()
+        except _MarkerHit:
+            pass
+    if br.nbits >= 16:
+        v = (br.bits >> (br.nbits - 16)) & 0xFFFF
+        length = ln_b[v]
+        if length == 0:
+            raise ValueError("invalid JPEG huffman code")
+        br.nbits -= length
+        br.bits &= (1 << br.nbits) - 1
+        return sym_b[v]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        sym = dict_table.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG huffman code")
