@@ -1295,6 +1295,27 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _pack_bits_stuffed(vals: list[int], lens: list[int]) -> bytes:
+    """Assemble variable-width big-endian fields into JPEG entropy
+    bytes in one numpy pass: 1-pad to a byte boundary (T.81 F.1.2.3),
+    packbits, then 0xFF-stuff with a C-level replace. Field values
+    must already be non-negative (the encoder biases negatives)."""
+    v = np.array(vals, dtype=np.int64)
+    ln = np.array(lens, dtype=np.int64)
+    total = int(ln.sum())
+    pad = (-total) % 8
+    if pad:
+        v = np.append(v, (1 << pad) - 1)
+        ln = np.append(ln, pad)
+        total += pad
+    if not total:
+        return b""
+    ends = np.cumsum(ln)
+    shifts = np.repeat(ends, ln) - 1 - np.arange(total, dtype=np.int64)
+    bits = ((np.repeat(v, ln) >> shifts) & 1).astype(np.uint8)
+    return np.packbits(bits).tobytes().replace(b"\xff", b"\xff\x00")
+
+
 def encode_jpeg(
     pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
 ) -> bytes:
@@ -1320,47 +1341,59 @@ def encode_jpeg(
     dc_l, ac_l = _enc_huff(*_STD_DC_LUMA), _enc_huff(*_STD_AC_LUMA)
     dc_c, ac_c = _enc_huff(*_STD_DC_CHROMA), _enc_huff(*_STD_AC_CHROMA)
     A = _DCT_A
-    bwr = _BitWriter()
     pred = [0, 0, 0]
     planes = [
         (y, ql, dc_l, ac_l),
         (cb, qc, dc_c, ac_c),
         (cr, qc, dc_c, ac_c),
     ]
-    padded = []
-    for plane, *_rest in planes:
+    # FDCT + quantize BATCHED per plane; per-block zigzag rows as plain
+    # lists and a vectorized bit-packer replace the per-coefficient
+    # _BitWriter calls (same treatment as the round-11 decoder rewrite)
+    zz_lists = []
+    last_lists = []
+    for ci, (plane, q, _dct, _act) in enumerate(planes):
         p = np.empty((bh * 8, bw * 8))
         p[:h, :w] = plane
         p[h:, :w] = plane[-1:, :]
         p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coefs = A @ (blocks - 128.0) @ A.T
+        # zigzag-ordered coefficients over zigzag-ordered Q
+        zzm = np.round(coefs.reshape(-1, 64)[:, _ZIGZAG] / q).astype(np.int64)
+        nz = zzm != 0
+        nz[:, 0] = False
+        last = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        zz_lists.append(zzm.tolist())
+        last_lists.append(last.tolist())
+    vals: list[int] = []
+    lens: list[int] = []
+    segments: list[bytes] = []
     mcu_idx = 0
     rst = 0
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bwr.flush()
-                bwr.out += bytes([0xFF, 0xD0 + rst])
+                segments.append(_pack_bits_stuffed(vals, lens))
+                segments.append(bytes([0xFF, 0xD0 + rst]))
+                vals, lens = [], []
                 rst = (rst + 1) % 8
                 pred = [0, 0, 0]
             mcu_idx += 1
-            for ci, (_, q, dct, act) in enumerate(planes):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coefs = A @ block @ A.T
-                # zigzag-ordered coefficients over zigzag-ordered Q
-                zz = np.round(coefs.reshape(-1)[_ZIGZAG] / q).astype(int)
+            bi = by * bw + bx
+            for ci, (_, _q, dct, act) in enumerate(planes):
+                zz = zz_lists[ci][bi]
                 diff = zz[0] - pred[ci]
                 pred[ci] = zz[0]
-                s = _category(diff)
+                s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
                 code, ln = dct[s]
-                bwr.write(code, ln)
+                vals.append(code)
+                lens.append(ln)
                 if s:
-                    bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    vals.append(diff if diff >= 0 else diff + (1 << s) - 1)
+                    lens.append(s)
                 run = 0
-                last_nz = 0
-                for k in range(1, 64):
-                    if zz[k]:
-                        last_nz = k
+                last_nz = last_lists[ci][bi]
                 for k in range(1, last_nz + 1):
                     v = zz[k]
                     if v == 0:
@@ -1368,17 +1401,22 @@ def encode_jpeg(
                         continue
                     while run > 15:
                         code, ln = act[0xF0]
-                        bwr.write(code, ln)
+                        vals.append(code)
+                        lens.append(ln)
                         run -= 16
-                    s = _category(v)
+                    s = v.bit_length() if v >= 0 else (-v).bit_length()
                     code, ln = act[(run << 4) | s]
-                    bwr.write(code, ln)
-                    bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    vals.append(code)
+                    lens.append(ln)
+                    vals.append(v if v >= 0 else v + (1 << s) - 1)
+                    lens.append(s)
                     run = 0
                 if last_nz < 63:
                     code, ln = act[0x00]
-                    bwr.write(code, ln)
-    bwr.flush()
+                    vals.append(code)
+                    lens.append(ln)
+    segments.append(_pack_bits_stuffed(vals, lens))
+    entropy = b"".join(segments)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -1400,7 +1438,7 @@ def encode_jpeg(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xDA, sos)
-    out += bwr.out
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
