@@ -1071,99 +1071,112 @@ def encode_jpeg_progressive(
         p[h:, :w] = plane[-1:, :]
         p[:, w:] = p[:, w - 1 : w]
         padded.append(p)
-    # quantized zigzag coefficients for every (comp, block) up front
-    zzs = []
+    # quantized zigzag coefficients for every (comp, block) up front —
+    # FDCT/quantize/last-nonzero batched, entropy symbols appended to
+    # flat (value, nbits) lists and packed in one numpy pass per scan
+    # segment (same treatment as the round-11 baseline encoder)
+    zz_rows = []
+    last_rows = []
     for ci, (_, q) in enumerate(planes):
-        comp = np.empty((bh, bw, 64), dtype=np.int64)
-        for by in range(bh):
-            for bx in range(bw):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coefs = A @ block @ A.T
-                comp[by, bx] = np.round(coefs.reshape(-1)[_ZIGZAG] / q).astype(int)
-        zzs.append(comp)
+        p = padded[ci]
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coefs = A @ (blocks - 128.0) @ A.T
+        zzm = np.round(coefs.reshape(-1, 64)[:, _ZIGZAG] / q).astype(np.int64)
+        nz = zzm != 0
+        nz[:, 0] = False
+        last = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        zz_rows.append(zzm.tolist())
+        last_rows.append(last.tolist())
 
     # --- scan 1: interleaved DC first, Al=1 ---
-    bwr = _BitWriter()
+    vals: list[int] = []
+    lens: list[int] = []
+    segments: list[bytes] = []
     pred = [0, 0, 0]
     dc_tabs = [dc_l, dc_c, dc_c]
     mcu_idx = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bwr.flush()
-                bwr.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0, 0, 0]
-            mcu_idx += 1
-            for ci in range(3):
-                t = int(zzs[ci][by, bx, 0]) >> 1  # point transform Al=1
-                diff = t - pred[ci]
-                pred[ci] = t
-                s = _category(diff)
-                code, ln = dc_tabs[ci][s]
-                bwr.write(code, ln)
-                if s:
-                    bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    bwr.flush()
-    dc_scan1 = bytes(bwr.out)
+    for bi in range(bh * bw):
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            segments.append(_pack_bits_stuffed(vals, lens))
+            segments.append(bytes([0xFF, 0xD0 + rst]))
+            vals, lens = [], []
+            rst = (rst + 1) % 8
+            pred = [0, 0, 0]
+        mcu_idx += 1
+        for ci in range(3):
+            t = zz_rows[ci][bi][0] >> 1  # point transform Al=1
+            diff = t - pred[ci]
+            pred[ci] = t
+            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            code, ln = dc_tabs[ci][s]
+            vals.append(code)
+            lens.append(ln)
+            if s:
+                vals.append(diff if diff >= 0 else diff + (1 << s) - 1)
+                lens.append(s)
+    segments.append(_pack_bits_stuffed(vals, lens))
+    dc_scan1 = b"".join(segments)
 
     # --- scan 2: interleaved DC refine, Ah=1 Al=0 (one raw bit/block) ---
-    bwr = _BitWriter()
+    vals, lens, segments = [], [], []
     mcu_idx = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bwr.flush()
-                bwr.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-            mcu_idx += 1
-            for ci in range(3):
-                bwr.write(int(zzs[ci][by, bx, 0]) & 1, 1)
-    bwr.flush()
-    dc_scan2 = bytes(bwr.out)
+    for bi in range(bh * bw):
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            segments.append(_pack_bits_stuffed(vals, lens))
+            segments.append(bytes([0xFF, 0xD0 + rst]))
+            vals, lens = [], []
+            rst = (rst + 1) % 8
+        mcu_idx += 1
+        for ci in range(3):
+            vals.append(zz_rows[ci][bi][0] & 1)
+            lens.append(1)
+    segments.append(_pack_bits_stuffed(vals, lens))
+    dc_scan2 = b"".join(segments)
 
     # --- scans 3-5: per-component AC 1..63, no successive approx ---
     ac_scans = []
     ac_tabs = [ac_l, ac_c, ac_c]
     for ci in range(3):
-        bwr = _BitWriter()
+        act = ac_tabs[ci]
+        vals, lens, segments = [], [], []
         mcu_idx = 0
         rst = 0
-        for by in range(bh):
-            for bx in range(bw):
-                # non-interleaved scan: one block per MCU (T.81 B.2.3)
-                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                    bwr.flush()
-                    bwr.out += bytes([0xFF, 0xD0 + rst])
-                    rst = (rst + 1) % 8
-                mcu_idx += 1
-                zz = zzs[ci][by, bx]
-                last_nz = 0
-                for k in range(1, 64):
-                    if zz[k]:
-                        last_nz = k
+        for bi in range(bh * bw):
+            # non-interleaved scan: one block per MCU (T.81 B.2.3)
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                segments.append(_pack_bits_stuffed(vals, lens))
+                segments.append(bytes([0xFF, 0xD0 + rst]))
+                vals, lens = [], []
+                rst = (rst + 1) % 8
+            mcu_idx += 1
+            zz = zz_rows[ci][bi]
+            last_nz = last_rows[ci][bi]
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]
+                    vals.append(code)
+                    lens.append(ln)
+                    run -= 16
+                s = v.bit_length() if v >= 0 else (-v).bit_length()
+                code, ln = act[(run << 4) | s]
+                vals.append(code)
+                lens.append(ln)
+                vals.append(v if v >= 0 else v + (1 << s) - 1)
+                lens.append(s)
                 run = 0
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[ci][0xF0]
-                        bwr.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_tabs[ci][(run << 4) | s]
-                    bwr.write(code, ln)
-                    bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_tabs[ci][0x00]  # EOB (run length 1)
-                    bwr.write(code, ln)
-        bwr.flush()
-        ac_scans.append(bytes(bwr.out))
+            if last_nz < 63:
+                code, ln = act[0x00]  # EOB (run length 1)
+                vals.append(code)
+                lens.append(ln)
+        segments.append(_pack_bits_stuffed(vals, lens))
+        ac_scans.append(b"".join(segments))
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
