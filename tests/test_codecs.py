@@ -841,3 +841,157 @@ def test_flac_property_roundtrip(n, ch, mode, block, seed):
     assert (r, c, cnt) == (8000, ch, n)
     ref = sig.reshape(n, ch) if ch == 2 else sig[:, None]
     assert np.array_equal(out, ref.astype(np.int64))
+
+
+def test_flac_foreign_stream_features_decode():
+    """Decoder paths OUR encoder never emits — a foreign (spec-shaped,
+    hand-assembled per RFC 9639) stream exercising rice2 (method 1,
+    5-bit params), partition order 2, an ESCAPE partition (verbatim
+    raw residuals), wasted bits, FIXED order 4, and LPC order 4 — all
+    rewritten in the round-11 vectorization, previously reachable only
+    by foreign files. Expected output is the signal the residuals were
+    derived from, so decode must invert every stage exactly."""
+    from jodie_spark.operators.codecs import (
+        _crc8,
+        _crc16,
+        _PlainBitWriter,
+        _write_frame_utf8,
+        decode_flac,
+    )
+
+    B = 64  # blocksize
+    rng = np.random.default_rng(7)
+
+    def streaminfo(total, rate=8000, channels=1, bps=16):
+        si = _PlainBitWriter()
+        si.write(B, 16)
+        si.write(B, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(rate, 20)
+        si.write(channels - 1, 3)
+        si.write(bps - 1, 5)
+        si.write(total, 36)
+        si.out += bytes(16)
+        out = bytearray(b"fLaC")
+        out.append(0x80)
+        out += len(si.out).to_bytes(3, "big")
+        out += si.out
+        return out
+
+    def frame_header(bw, frame_no):
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(7, 4)       # 16-bit blocksize follows
+        bw.write(4, 4)       # 8000 Hz
+        bw.write(0, 4)       # 1 channel
+        bw.write(4, 3)       # 16 bps
+        bw.write(0, 1)
+        _write_frame_utf8(bw, frame_no)
+        bw.write(B - 1, 16)
+        bw.align()
+        hdr = bytes(bw.out)
+        bw.write(_crc8(hdr), 8)
+
+    def write_rice_partitioned(bw, res, order, method, po, escape_part, raw_bits):
+        """residuals → method/po header + per-partition rice or escape."""
+        pbits = 4 if method == 0 else 5
+        escape = (1 << pbits) - 1
+        bw.write(method, 2)
+        bw.write(po, 4)
+        n_parts = 1 << po
+        idx = 0
+        for p in range(n_parts):
+            count = B // n_parts - (order if p == 0 else 0)
+            part = res[idx : idx + count]
+            idx += count
+            if p == escape_part:
+                bw.write(escape, pbits)
+                bw.write(raw_bits, 5)
+                for r in part:
+                    bw.write(int(r) & ((1 << raw_bits) - 1), raw_bits)
+            else:
+                param = 3
+                bw.write(param, pbits)
+                for r in part:
+                    u = (abs(int(r)) << 1) - (1 if r < 0 else 0)
+                    bw.write_unary(u >> param)
+                    bw.write(u & ((1 << param) - 1), param)
+
+    def finish_frame(b, bw):
+        bw.align()
+        body = bytes(bw.out)
+        bw.write(_crc16(body), 16)
+        b += bw.out
+
+    # --- stream 1: FIXED order 4, rice2, po=2, partition 2 escaped ---
+    t = np.arange(B)
+    sig = (40 * np.sin(t / 5) + t).astype(np.int64)  # small Δ⁴
+    res = np.diff(sig, 4)
+    assert np.abs(res).max() < 200
+    b = streaminfo(B)
+    bw = _PlainBitWriter()
+    frame_header(bw, 0)
+    bw.write(0, 1)
+    bw.write(8 + 4, 6)  # FIXED order 4
+    bw.write(0, 1)      # no wasted bits
+    for v in sig[:4]:
+        bw.write(int(v) & 0xFFFF, 16)
+    write_rice_partitioned(bw, res, 4, method=1, po=2, escape_part=2, raw_bits=9)
+    finish_frame(b, bw)
+    r, c, n, s = decode_flac(bytes(b))
+    assert (r, c, n) == (8000, 1, B)
+    assert np.array_equal(s[:, 0], sig), "FIXED-4 + rice2 + po2 + escape"
+
+    # --- stream 2: wasted bits (signal = multiples of 8, coded >>3) ---
+    base = (20 * np.sin(t / 7)).astype(np.int64)
+    sig2 = base << 3
+    res2 = np.diff(base, 1)  # order-1 FIXED over the shifted-down signal
+    b = streaminfo(B)
+    bw = _PlainBitWriter()
+    frame_header(bw, 0)
+    bw.write(0, 1)
+    bw.write(8 + 1, 6)  # FIXED order 1
+    bw.write(1, 1)      # wasted-bits flag
+    bw.write_unary(2)   # 2 zeros + 1 → wasted = 3
+    wbps = 16 - 3
+    bw.write(int(base[0]) & ((1 << wbps) - 1), wbps)
+    write_rice_partitioned(bw, res2, 1, method=0, po=0, escape_part=-1, raw_bits=0)
+    finish_frame(b, bw)
+    _, _, _, s = decode_flac(bytes(b))
+    assert np.array_equal(s[:, 0], sig2), "wasted bits"
+
+    # --- stream 3: LPC order 4 with a real shift ---
+    coefs = [3, -2, 1, -1]
+    shift = 2
+    sig3 = list((30 * np.sin(t[:4] / 3)).astype(np.int64))
+    rng_r = rng.integers(-20, 20, B - 4)
+    for k in range(4, B):
+        pred = sum(c * sig3[k - 1 - j] for j, c in enumerate(coefs)) >> shift
+        sig3.append(pred + int(rng_r[k - 4]))
+    sig3 = np.array(sig3, dtype=np.int64)
+    res3 = np.array(
+        [
+            int(sig3[k])
+            - (sum(c * int(sig3[k - 1 - j]) for j, c in enumerate(coefs)) >> shift)
+            for k in range(4, B)
+        ],
+        dtype=np.int64,
+    )
+    b = streaminfo(B)
+    bw = _PlainBitWriter()
+    frame_header(bw, 0)
+    bw.write(0, 1)
+    bw.write(32 + 4 - 1, 6)  # LPC order 4
+    bw.write(0, 1)
+    for v in sig3[:4]:
+        bw.write(int(v) & 0xFFFF, 16)
+    bw.write(15 - 1, 4)  # precision 15
+    bw.write(shift, 5)
+    for cf in coefs:
+        bw.write(cf & 0x7FFF, 15)
+    write_rice_partitioned(bw, res3, 4, method=1, po=1, escape_part=-1, raw_bits=0)
+    finish_frame(b, bw)
+    _, _, _, s = decode_flac(bytes(b))
+    assert np.array_equal(s[:, 0], sig3), "LPC order 4 + po1 rice2"
