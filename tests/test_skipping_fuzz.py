@@ -99,9 +99,17 @@ def _rand_file(rng: random.Random):
             "k": sum(1 for r in rows if r[2] is None),
         },
     }
+    # foreign-writer serialization mutation (ADVICE r10): a PRESENT
+    # partition value in a form _coerce cannot parse must behave as
+    # "unknown", never as NULL — pruning on it is unsound whenever the
+    # file has matching rows. " 3" still parses (int() strips space);
+    # the others are genuinely un-coercible and force the keep path.
+    ser = None if pv is None else str(pv)
+    if pv is not None and rng.random() < 0.2:
+        ser = rng.choice([f"{pv}.0", f"{pv}x", f" {pv}", "oddball"])
     add = {
         "path": "f",
-        "partitionValues": {"p": None if pv is None else str(pv)},
+        "partitionValues": {"p": ser},
         "stats": json.dumps(stats),
     }
     return rows, add
