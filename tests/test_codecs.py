@@ -995,3 +995,196 @@ def test_flac_foreign_stream_features_decode():
     finish_frame(b, bw)
     _, _, _, s = decode_flac(bytes(b))
     assert np.array_equal(s[:, 0], sig3), "LPC order 4 + po1 rice2"
+
+
+def test_jpeg_foreign_progressive_ac_successive_approximation():
+    """AC successive approximation (Ah/Al on AC scans) — what REAL
+    progressive JPEGs (libjpeg default scan script) use, and the one
+    progressive decoder path (`ac_refine`) our own encoder never emits.
+    Fabricate a spec-shaped foreign stream (T.81 G.1.2.3 encoding,
+    transcribed from the public algorithm): DC scan, AC-first at Al=1,
+    AC-refinement at Ah=1/Al=0 — plus a BASELINE twin carrying the
+    same quantized coefficients. Both must decode to identical pixels."""
+    import struct
+
+    from jodie_spark.operators.codecs import (
+        _enc_huff,
+        _BitWriter,
+        _STD_AC_LUMA,
+        _STD_DC_LUMA,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    # hand-picked per-block zigzag coefficients: newly-nonzero (|v|=1),
+    # history+correction (|v|>=2, both LSBs), long zero runs (ZRL in
+    # both scan types), a correction bit covered by the refinement EOB,
+    # an all-zero-AC block, and a dense alternating block
+    blocks = [
+        [5] + [0] * 63,
+        [3, 3, -1, 0, 0, 2] + [0] * 24 + [1] + [0] * 32 + [-2],
+        [-2] + [(-1) ** k for k in range(1, 17)] + [0] * 47,
+        [0, 7, 0, -4, 0, 0, 0, -7] + [0] * 20 + [4] + [0] * 35,
+    ]
+    assert all(len(b) == 64 for b in blocks)
+    bh = bw = 2  # 16x16, single component
+
+    dc_tab = _enc_huff(*_STD_DC_LUMA)
+    ac_tab = _enc_huff(*_STD_AC_LUMA)
+
+    def cat(v):
+        return abs(v).bit_length()
+
+    def emit_signed(bwr, v, s):
+        bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def dc_scan():
+        bwr = _BitWriter()
+        pred = 0
+        for zz in blocks:
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = cat(diff)
+            code, ln = dc_tab[s]
+            bwr.write(code, ln)
+            if s:
+                emit_signed(bwr, diff, s)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def ac_first_al1():
+        bwr = _BitWriter()
+        for zz in blocks:
+            t = [(abs(v) >> 1) * (1 if v > 0 else -1) for v in zz]
+            last = 0
+            for k in range(1, 64):
+                if t[k]:
+                    last = k
+            run = 0
+            for k in range(1, last + 1):
+                if t[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                s = cat(t[k])
+                code, ln = ac_tab[(run << 4) | s]
+                bwr.write(code, ln)
+                emit_signed(bwr, t[k], s)
+                run = 0
+            if last < 63:
+                code, ln = ac_tab[0x00]
+                bwr.write(code, ln)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def ac_refine_ah1():
+        bwr = _BitWriter()
+        for zz in blocks:
+            absv = [abs(v) for v in zz]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            br_bits: list[int] = []
+            for k in range(1, 64):
+                temp = absv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    code, ln = ac_tab[0xF0]
+                    bwr.write(code, ln)
+                    r -= 16
+                    for bit in br_bits:
+                        bwr.write(bit, 1)
+                    br_bits = []
+                if temp > 1:  # nonzero history: buffer the correction bit
+                    br_bits.append(temp & 1)
+                    continue
+                code, ln = ac_tab[(r << 4) | 1]  # newly nonzero, s=1
+                bwr.write(code, ln)
+                bwr.write(1 if zz[k] > 0 else 0, 1)
+                for bit in br_bits:
+                    bwr.write(bit, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:  # per-block EOB run of 1 + pending bits
+                code, ln = ac_tab[0x00]
+                bwr.write(code, ln)
+                for bit in br_bits:
+                    bwr.write(bit, 1)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def baseline_scan():
+        bwr = _BitWriter()
+        pred = 0
+        for zz in blocks:
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = cat(diff)
+            code, ln = dc_tab[s]
+            bwr.write(code, ln)
+            if s:
+                emit_signed(bwr, diff, s)
+            last = 0
+            for k in range(1, 64):
+                if zz[k]:
+                    last = k
+            run = 0
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                s = cat(zz[k])
+                code, ln = ac_tab[(run << 4) | s]
+                bwr.write(code, ln)
+                emit_signed(bwr, zz[k], s)
+                run = 0
+            if last < 63:
+                code, ln = ac_tab[0x00]
+                bwr.write(code, ln)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    common = bytearray()
+    common += seg(0xDB, bytes([0]) + bytes([1] * 64))  # flat Q=1
+    for (tc, th), (counts, symbols) in (
+        ((0, 0), _STD_DC_LUMA), ((1, 0), _STD_AC_LUMA),
+    ):
+        common += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + symbols)
+    sof_body = struct.pack(">BHHB", 8, 16, 16, 1) + struct.pack(">BBB", 1, 0x11, 0)
+
+    prog = bytearray(b"\xff\xd8") + common + seg(0xC2, sof_body)
+    prog += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_scan()
+    prog += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + ac_first_al1()
+    prog += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + ac_refine_ah1()
+    prog += b"\xff\xd9"
+
+    base = bytearray(b"\xff\xd8") + common + seg(0xC0, sof_body)
+    base += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + baseline_scan()
+    base += b"\xff\xd9"
+
+    wb, hb, pb = decode_jpeg(bytes(base))
+    wp, hp, pp = decode_jpeg(bytes(prog))
+    assert (wb, hb) == (wp, hp) == (16, 16)
+    assert np.array_equal(pb, pp), "AC successive approximation diverged"
+    # the refinement actually mattered: a two-scan-only decode (drop the
+    # refinement scan) must NOT equal the full decode
+    prog_norefine = bytearray(b"\xff\xd8") + common + seg(0xC2, sof_body)
+    prog_norefine += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_scan()
+    prog_norefine += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + ac_first_al1()
+    prog_norefine += b"\xff\xd9"
+    _, _, partial = decode_jpeg(bytes(prog_norefine))
+    assert not np.array_equal(partial, pb)
