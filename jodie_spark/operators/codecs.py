@@ -239,12 +239,88 @@ def encode_png(pixels: np.ndarray, filters=0) -> bytes:
     )
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(
+    raw: bytes, off: int, stride: int, height: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Undo scanline filters 0-4 over ``height`` lines of ``stride``
+    bytes starting at ``off`` (each line led by its filter byte); the
+    "left" byte sits ``bpp`` (bytes per pixel, >=1) back. Returns
+    ((height, stride) uint8, offset after the last line)."""
+    if len(raw) < off + height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        off += stride + 1
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: cumulative sum over pixels, per byte lane
+            rec = np.cumsum(line.reshape(-1, bpp), axis=0) & 0xFF
+            rec = rec.reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential on the left byte
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                if f == 3:
+                    rec[i] = (line[i] + ((a + up) >> 1)) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out, off
+
+
+def _png_expand(
+    mat: np.ndarray, w: int, depth: int, channels: int, scale_gray: bool
+) -> np.ndarray:
+    """Defiltered scanline bytes → (h, w, channels) uint8 samples.
+    16-bit takes the big-endian high byte (the standard 16→8 reduce);
+    sub-byte depths (1/2/4, gray or palette index) unpack MSB-first
+    with the spec's exact 255/(2^d-1) gray scaling."""
+    h = mat.shape[0]
+    if depth == 8:
+        return mat[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return mat[:, : w * channels * 2].reshape(h, w * channels, 2)[
+            :, :, 0
+        ].reshape(h, w, channels)
+    # sub-byte depths: channels == 1 (gray or palette index)
+    bits = np.unpackbits(mat, axis=1)
+    weights = np.left_shift(1, np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(h, -1, depth) * weights).sum(axis=2).astype(np.uint8)
+    vals = vals[:, :w]
+    if scale_gray:
+        vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return vals.reshape(h, w, 1)
+
+
 def decode_png(b: bytes, with_pixels: bool = True):
     """PNG bytes → (width, height, rgb|None) where rgb is ``(h, w, 3)``
     uint8 — grayscale replicates to 3 channels, alpha is dropped,
-    palette images resolve through PLTE. Supports the dominant
-    real-corpus shape (8-bit non-interlaced, filters 0-4); refuses
-    16-bit and Adam7-interlaced images with the reason."""
+    palette images resolve through PLTE. Covers the real-corpus
+    envelope: bit depths 1/2/4/8/16, color types 0/2/3/4/6, scanline
+    filters 0-4, and Adam7 interlace (each pass an independently
+    filtered sub-image scattered by the pass geometry). 16-bit samples
+    reduce to their high byte; sub-byte grayscale scales by
+    255/(2^d−1) per the spec."""
     import zlib
 
     if b[:8] != _PNG_SIG:
@@ -271,50 +347,39 @@ def decode_png(b: bytes, with_pixels: bool = True):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (got {depth}-bit)")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"bit depth {depth} is only valid for gray/palette PNG")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if not with_pixels:
         return w, h, None
     channels = _PNG_CHANNELS[color_type]
-    stride = w * channels
+    bpp = max(1, channels * depth // 8)
+    scale_gray = color_type == 0 and depth < 8
+
+    def stride(px: int) -> int:
+        return (px * channels * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        off = y * (stride + 1)
-        f = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
-        if f == 0:
-            rec = line
-        elif f == 1:  # Sub: cumulative sum over pixels, per channel byte
-            rec = np.cumsum(line.reshape(-1, channels), axis=0) & 0xFF
-            rec = rec.reshape(-1)
-        elif f == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif f in (3, 4):  # Average / Paeth: sequential on the left pixel
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = rec[i - channels] if i >= channels else 0
-                up = prev[i]
-                if f == 3:
-                    rec[i] = (line[i] + ((a + up) >> 1)) & 0xFF
-                else:
-                    c = prev[i - channels] if i >= channels else 0
-                    p = a + up - c
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                    rec[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG scanline filter {f}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    arr = out.reshape(h, w, channels)
+    if interlace == 0:
+        mat, _ = _png_defilter(raw, 0, stride(w), h, bpp)
+        arr = _png_expand(mat, w, depth, channels, scale_gray)
+    else:  # Adam7 (validated above)
+        arr = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty for these dimensions
+            mat, off = _png_defilter(raw, off, stride(pw), ph, bpp)
+            arr[y0::dy, x0::dx] = _png_expand(mat, pw, depth, channels, scale_gray)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")

@@ -175,15 +175,25 @@ def test_png_palette_decode():
     assert np.array_equal(rec, pal[idx])
 
 
-def test_png_refuses_16bit_and_interlaced_with_reason():
-    b16 = _PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-    with pytest.raises(ValueError, match="8-bit"):
-        decode_png(b16)
-    badam7 = _PNG_SIG + _png_chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+def test_png_refuses_invalid_shapes_with_reason():
+    """16-bit and Adam7 are SUPPORTED since round 11
+    (test_png_foreign_features_decode); only spec-invalid combinations
+    refuse now, still with an explanatory reason."""
+    bad_depth = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 2, 0, 0, 0)
     )
-    with pytest.raises(ValueError, match="[Ii]nterlaced"):
-        decode_png(badam7)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad_depth)
+    bad_combo = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="gray/palette"):
+        decode_png(bad_combo)
+    bad_interlace = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad_interlace)
 
 
 def test_png_real_mode_pixel_stats(spark):
@@ -1188,3 +1198,123 @@ def test_jpeg_foreign_progressive_ac_successive_approximation():
     prog_norefine += b"\xff\xd9"
     _, _, partial = decode_jpeg(bytes(prog_norefine))
     assert not np.array_equal(partial, pb)
+
+
+def test_png_foreign_features_decode():
+    """Foreign-PNG envelope the in-repo encoder never writes: Adam7
+    interlace (independently filtered passes, incl. empty passes on
+    tiny images), 16-bit samples (high-byte reduce, filters over
+    multi-byte pixels), and sub-byte gray/palette depths (MSB-first
+    unpack, exact 255/(2^d-1) gray scaling). All fabricated
+    spec-shaped (RFC 2083) with real chunk CRCs."""
+    import struct
+    import zlib
+
+    from jodie_spark.operators.codecs import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def png(w, h, depth, color, raw, palette=None, interlace=0):
+        out = bytearray(b"\x89PNG\r\n\x1a\n")
+        out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+        if palette is not None:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        out += chunk(b"IDAT", zlib.compress(raw))
+        out += chunk(b"IEND", b"")
+        return bytes(out)
+
+    def pack_subbyte(row_vals, depth):
+        bits = ((row_vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(
+            np.uint8
+        )
+        return np.packbits(bits.ravel()).tobytes()
+
+    def adam7_raw(img, depth, channels, row_encoder):
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row_encoder(row)
+        return bytes(raw)
+
+    rng = np.random.default_rng(9)
+
+    # 1) Adam7 8-bit RGB, 9x9 (ragged pass sizes)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    raw = adam7_raw(img, 8, 3, lambda row: row.tobytes())
+    w, h, px = decode_png(png(9, 9, 8, 2, raw, interlace=1))
+    assert (w, h) == (9, 9) and np.array_equal(px, img)
+
+    # 2) Adam7 on a 2x2 image: five of seven passes are EMPTY
+    img = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    raw = adam7_raw(img, 8, 3, lambda row: row.tobytes())
+    _, _, px = decode_png(png(2, 2, 8, 2, raw, interlace=1))
+    assert np.array_equal(px, img)
+
+    # 3) 16-bit grayscale with an Up-filtered second row
+    g16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 5000 + 123).astype(">u2")
+    rows = [b"\x00" + g16[0].tobytes()]
+    rows.append(
+        b"\x02"
+        + (
+            (np.frombuffer(g16[1].tobytes(), np.uint8).astype(np.int32)
+             - np.frombuffer(g16[0].tobytes(), np.uint8)) & 0xFF
+        ).astype(np.uint8).tobytes()
+    )
+    rows.append(b"\x00" + g16[2].tobytes())
+    _, _, px = decode_png(png(4, 3, 16, 0, b"".join(rows)))
+    expect = (g16.view(np.uint8).reshape(3, 4, 2)[:, :, 0])  # big-endian high byte
+    assert np.array_equal(px[:, :, 0], expect) and np.array_equal(px[:, :, 0], px[:, :, 2])
+
+    # 4) 16-bit RGB with a Sub-filtered row (bpp = 6 byte lanes)
+    c16 = rng.integers(0, 65536, (2, 3, 3), dtype=np.uint16).astype(">u2")
+    row0 = c16[0].tobytes()
+    row1 = c16[1].tobytes()
+    b1 = np.frombuffer(row1, np.uint8).astype(np.int32)
+    sub = b1.copy()
+    sub[6:] = (b1[6:] - b1[:-6]) & 0xFF  # Sub against decoded == original bytes
+    # note: Sub subtracts the RECONSTRUCTED left bytes, which equal the
+    # original bytes, so the encoder-side diff above is exact
+    raw = b"\x00" + row0 + b"\x01" + sub.astype(np.uint8).tobytes()
+    _, _, px = decode_png(png(3, 2, 16, 2, raw))
+    expect = c16.view(np.uint8).reshape(2, 3, 3, 2)[:, :, :, 0]
+    assert np.array_equal(px, expect)
+
+    # 5) sub-byte grayscale: 1-bit and 4-bit with exact scaling
+    g1 = np.array([[1, 0, 1, 0, 1, 1, 0, 0, 1, 1], [0] * 10], dtype=np.uint8)
+    raw = b"".join(b"\x00" + pack_subbyte(r, 1) for r in g1)
+    _, _, px = decode_png(png(10, 2, 1, 0, raw))
+    assert np.array_equal(px[:, :, 0], g1 * 255)
+    g4 = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + pack_subbyte(r, 4) for r in g4)
+    _, _, px = decode_png(png(5, 3, 4, 0, raw))
+    assert np.array_equal(px[:, :, 0], g4 * 17)
+
+    # 6) 2-bit palette, non-interlaced + 4-bit palette under Adam7
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (4, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + pack_subbyte(r, 2) for r in idx)
+    _, _, px = decode_png(png(7, 4, 2, 3, raw, palette=pal))
+    assert np.array_equal(px, pal[idx])
+    idx = rng.integers(0, 16, (9, 5), dtype=np.uint8)
+    raw = adam7_raw(idx, 4, 1, lambda row: pack_subbyte(row, 4))
+    _, _, px = decode_png(png(5, 9, 4, 3, raw, palette=pal, interlace=1))
+    assert np.array_equal(px, pal[idx])
+
+    # invalid combinations still refuse with a reason
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="gray/palette"):
+        decode_png(png(2, 2, 4, 2, b"\x00" + bytes(3)))
+    with _pt.raises(ValueError, match="16-bit palette"):
+        decode_png(png(2, 2, 16, 3, b"\x00" + bytes(4), palette=pal))
