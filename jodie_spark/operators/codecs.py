@@ -1800,12 +1800,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 def decode_wav(b: bytes, with_samples: bool = True):
     """WAV bytes → (sample_rate, n_channels, n_samples, samples|None).
-    PCM (format 1) 8/16-bit only."""
+    Integer PCM (format 1) at 8/16/24/32 bits, IEEE float32 (format 3),
+    and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — the shapes
+    real audio corpora actually carry. Samples normalize to the int16
+    range (8-bit rescales up; 24/32-bit and float reduce down), so
+    downstream fingerprints are bit-depth independent."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError(f"not a WAV payload (sniffed: {sniff(b)})")
     i = 12
     n = len(b)
-    rate = ch = bits = None
+    rate = ch = bits = audio_fmt = None
     data_off = data_len = None
     while i + 8 <= n:
         cid = b[i : i + 4]
@@ -1813,28 +1817,52 @@ def decode_wav(b: bytes, with_samples: bool = True):
         if cid == b"fmt ":
             audio_fmt, ch, rate = struct.unpack_from("<HHI", b, i + 8)
             bits = struct.unpack_from("<H", b, i + 22)[0]
-            if audio_fmt != 1:
-                raise ValueError(f"only PCM WAV supported (format {audio_fmt})")
+            if audio_fmt == 0xFFFE and clen >= 40:
+                # EXTENSIBLE: the real format code is the first two
+                # bytes of the SubFormat GUID (after cbSize, valid
+                # bits, and the channel mask)
+                audio_fmt = struct.unpack_from("<H", b, i + 32)[0]
+            if audio_fmt not in (1, 3):
+                raise ValueError(
+                    f"only PCM/float WAV supported (format {audio_fmt})"
+                )
         elif cid == b"data":
             data_off, data_len = i + 8, clen
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data_off is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits not in (8, 16):
-        raise ValueError(f"only 8/16-bit PCM supported (got {bits})")
+    if audio_fmt == 3 and bits != 32:
+        raise ValueError(f"float WAV must be 32-bit (got {bits})")
+    if audio_fmt == 1 and bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM bit depth {bits}")
     bytes_per = (bits // 8) * ch
     n_samples = data_len // bytes_per
     if not with_samples:
         return rate, ch, n_samples, None
-    if bits == 16:
-        raw = np.frombuffer(b, dtype="<i2", count=n_samples * ch, offset=data_off)
-    else:
+    count = n_samples * ch
+    if audio_fmt == 3:  # IEEE float32 in [-1, 1]
+        f = np.frombuffer(b, dtype="<f4", count=count, offset=data_off)
+        raw = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif bits == 16:
+        raw = np.frombuffer(b, dtype="<i2", count=count, offset=data_off)
+    elif bits == 8:  # unsigned, rescaled up to the 16-bit range
         raw = (
-            np.frombuffer(b, dtype=np.uint8, count=n_samples * ch, offset=data_off).astype(
+            np.frombuffer(b, dtype=np.uint8, count=count, offset=data_off).astype(
                 np.int16
             )
             - 128
         ) * 256
+    elif bits == 24:  # little-endian signed 3-byte, high 16 bits kept
+        tri = np.frombuffer(
+            b, dtype=np.uint8, count=count * 3, offset=data_off
+        ).reshape(-1, 3).astype(np.int32)
+        v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        raw = (v >> 8).astype(np.int16)
+    else:  # 32-bit signed PCM, high 16 bits kept
+        raw = (
+            np.frombuffer(b, dtype="<i4", count=count, offset=data_off) >> 16
+        ).astype(np.int16)
     return rate, ch, n_samples, raw.reshape(n_samples, ch)
 
 

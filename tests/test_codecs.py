@@ -1318,3 +1318,72 @@ def test_png_foreign_features_decode():
         decode_png(png(2, 2, 4, 2, b"\x00" + bytes(3)))
     with _pt.raises(ValueError, match="16-bit palette"):
         decode_png(png(2, 2, 16, 3, b"\x00" + bytes(4), palette=pal))
+
+
+def test_wav_foreign_formats_decode():
+    """Foreign WAV shapes our encoder never writes: 24-bit PCM (3-byte
+    little-endian with sign extension), 32-bit PCM, IEEE float32
+    (format 3), and WAVE_FORMAT_EXTENSIBLE wrapping PCM — all reduce to
+    the int16 range so cross-depth fingerprints collide."""
+    import struct
+
+    from jodie_spark.operators.codecs import decode_wav
+
+    def wav(fmt_code, ch, rate, bits, payload, extensible=False):
+        if extensible:
+            sub = struct.pack("<H", fmt_code) + bytes(14)  # SubFormat GUID
+            fmt = struct.pack(
+                "<HHIIHHH", 0xFFFE, ch, rate, rate * ch * bits // 8,
+                ch * bits // 8, bits, 22,
+            ) + struct.pack("<HI", bits, 0) + sub
+        else:
+            fmt = struct.pack(
+                "<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8,
+                ch * bits // 8, bits,
+            )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vals = np.array([0, 1, -1, 12345, -12345, 32767, -32768], dtype=np.int16)
+
+    # 24-bit PCM: samples are int16 << 8 in the 24-bit domain
+    tri = bytearray()
+    for v in vals.astype(np.int32) << 8:
+        tri += int(v & 0xFFFFFF).to_bytes(3, "little")
+    r, c, n, s = decode_wav(wav(1, 1, 16000, 24, bytes(tri)))
+    assert (r, c, n) == (16000, 1, len(vals))
+    assert np.array_equal(s[:, 0], vals)
+
+    # 32-bit PCM: int16 << 16
+    p32 = (vals.astype(np.int64) << 16).astype("<i4").tobytes()
+    _, _, _, s = decode_wav(wav(1, 1, 8000, 32, p32))
+    assert np.array_equal(s[:, 0], vals)
+
+    # float32 in [-1, 1]: v/32767 rounds back exactly
+    f32 = (vals.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+    _, _, _, s = decode_wav(wav(3, 1, 44100, 32, f32))
+    assert np.abs(s[:, 0].astype(int) - vals.astype(int)).max() <= 1
+    # clipping: out-of-range floats saturate instead of wrapping
+    loud = np.array([2.0, -2.0], dtype="<f4").tobytes()
+    _, _, _, s = decode_wav(wav(3, 1, 8000, 32, loud))
+    assert list(s[:, 0]) == [32767, -32768]
+
+    # EXTENSIBLE wrapping 16-bit PCM, stereo
+    st = np.stack([vals, (vals // 2).astype(np.int16)], axis=1)
+    _, c, n, s = decode_wav(
+        wav(1, 2, 22050, 16, st.astype("<i2").tobytes(), extensible=True)
+    )
+    assert (c, n) == (2, len(vals)) and np.array_equal(s, st)
+
+    # EXTENSIBLE wrapping float32
+    _, _, _, s = decode_wav(
+        wav(3, 1, 8000, 32, f32, extensible=True)
+    )
+    assert np.abs(s[:, 0].astype(int) - vals.astype(int)).max() <= 1
+
+    # unsupported codec ids still refuse with the id in the message
+    with pytest.raises(ValueError, match="format 85"):
+        decode_wav(wav(85, 1, 8000, 16, b"\x00\x00"))
