@@ -2,8 +2,8 @@
 
 These make ``mode='real'`` in :mod:`jodie_spark.operators.multimodal`
 actually exercisable in a minimal runtime: BMP (24-bit uncompressed),
-PPM (P6), PNG (stdlib zlib: 8-bit non-interlaced gray / RGB /
-palette / RGBA, scanline filters 0-4), and baseline JPEG
+PPM (P6), PNG (stdlib zlib: depths 1/2/4/8/16, gray / RGB / palette /
+RGBA, scanline filters 0-4, Adam7 interlace), and baseline JPEG
 (:func:`decode_jpeg` — sequential huffman SOF0/SOF1, grayscale or
 YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling and restart markers;
 verified against real libjpeg-written files — together PNG+JPEG are
@@ -15,7 +15,8 @@ the image set. :func:`encode_jpeg` (baseline 4:4:4, Annex K tables)
 and :func:`encode_gif` (literal-code LZW) exist for fixture
 generation. JPEG covers baseline/extended sequential (SOF0/SOF1)
 AND progressive (SOF2 — spectral selection + successive approximation,
-T.81 Annex G). Audio covers RIFF PCM WAV and native FLAC (RFC 9639 —
+T.81 Annex G). Audio covers RIFF WAV (integer PCM 8/16/24/32,
+IEEE float32, WAVE_FORMAT_EXTENSIBLE) and native FLAC (RFC 9639 —
 fixed + LPC predictors, rice partitions, all stereo decorrelation
 modes, CRC-verified). Formats that genuinely need external libraries
 (MP4 / MP3 / HEIC / ...) raise ``ValueError`` with the sniffed format
@@ -160,10 +161,11 @@ def decode_ppm(b: bytes, with_pixels: bool = True):
 
 
 # ---------------------------------------------------------------------------
-# PNG — stdlib-zlib baseline: 8-bit non-interlaced, color types
+# PNG — stdlib-zlib baseline: bit depths 1/2/4/8/16, color types
 # 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
-# scanline filters 0-4.  Interlaced (Adam7) and 16-bit images refuse
-# with a clear message; JPEG still needs an external library.
+# scanline filters 0-4, Adam7 interlace (round 11). 16-bit reduces to
+# the high byte; sub-byte gray scales by 255/(2^d-1). Only spec-invalid
+# combinations refuse, with the reason.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
