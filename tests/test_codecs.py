@@ -1387,3 +1387,105 @@ def test_wav_foreign_formats_decode():
     # unsupported codec ids still refuse with the id in the message
     with pytest.raises(ValueError, match="format 85"):
         decode_wav(wav(85, 1, 8000, 16, b"\x00\x00"))
+
+
+def test_flac_foreign_bit_depths_decode():
+    """8- and 24-bit FLAC frames (our encoder is 16-bit only): the
+    frame-header bps code, warm-up width, VERBATIM field width, and
+    the left/side decorrelation's bps+1 side channel must all follow
+    the declared depth. Streams fabricated per RFC 9639 like
+    test_flac_foreign_stream_features_decode."""
+    from jodie_spark.operators.codecs import (
+        _crc8,
+        _crc16,
+        _PlainBitWriter,
+        _write_frame_utf8,
+        decode_flac,
+    )
+
+    B = 32
+
+    def streaminfo(total, channels, bps):
+        si = _PlainBitWriter()
+        si.write(B, 16)
+        si.write(B, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(channels - 1, 3)
+        si.write(bps - 1, 5)
+        si.write(total, 36)
+        si.out += bytes(16)
+        out = bytearray(b"fLaC")
+        out.append(0x80)
+        out += len(si.out).to_bytes(3, "big")
+        out += si.out
+        return out
+
+    def frame_header(bw, ch_code, ss_code):
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(7, 4)
+        bw.write(4, 4)  # 8000 Hz
+        bw.write(ch_code, 4)
+        bw.write(ss_code, 3)
+        bw.write(0, 1)
+        _write_frame_utf8(bw, 0)
+        bw.write(B - 1, 16)
+        bw.align()
+        hdr = bytes(bw.out)
+        bw.write(_crc8(hdr), 8)
+
+    def verbatim_subframe(bw, sig, bps):
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(0, 1)
+        mask = (1 << bps) - 1
+        for v in sig:
+            bw.write(int(v) & mask, bps)
+
+    def finish(b, bw):
+        bw.align()
+        body = bytes(bw.out)
+        bw.write(_crc16(body), 16)
+        b += bw.out
+
+    rng = np.random.default_rng(13)
+
+    # 24-bit mono VERBATIM (full 24-bit range)
+    sig = rng.integers(-(1 << 23), (1 << 23) - 1, B, dtype=np.int64)
+    b = streaminfo(B, 1, 24)
+    bw = _PlainBitWriter()
+    frame_header(bw, 0, 6)  # ss_code 6 = 24 bps
+    verbatim_subframe(bw, sig, 24)
+    finish(b, bw)
+    r, c, n, s = decode_flac(bytes(b))
+    assert (r, c, n) == (8000, 1, B)
+    assert np.array_equal(s[:, 0], sig), "24-bit verbatim"
+
+    # 8-bit mono VERBATIM
+    sig8 = rng.integers(-128, 127, B, dtype=np.int64)
+    b = streaminfo(B, 1, 8)
+    bw = _PlainBitWriter()
+    frame_header(bw, 0, 1)  # ss_code 1 = 8 bps
+    verbatim_subframe(bw, sig8, 8)
+    finish(b, bw)
+    _, _, _, s = decode_flac(bytes(b))
+    assert np.array_equal(s[:, 0], sig8), "8-bit verbatim"
+
+    # 24-bit LEFT/SIDE stereo: the side channel is coded at bps+1 = 25
+    left = rng.integers(-(1 << 22), (1 << 22), B, dtype=np.int64)
+    right = left - rng.integers(-(1 << 22), (1 << 22), B, dtype=np.int64)
+    side = left - right  # fits 25 bits
+    b = streaminfo(B, 2, 24)
+    bw = _PlainBitWriter()
+    frame_header(bw, 8, 6)  # ch_code 8 = left/side
+    verbatim_subframe(bw, left, 24)
+    verbatim_subframe(bw, side, 25)
+    finish(b, bw)
+    _, c, _, s = decode_flac(bytes(b))
+    assert c == 2
+    assert np.array_equal(s[:, 0], left) and np.array_equal(s[:, 1], right), (
+        "24-bit left/side"
+    )
