@@ -595,12 +595,39 @@ class DeltaLog:
             return None
 
     def _read_checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
+        """Checkpoint state as action dicts. Parquet parts take a
+        COLUMNAR fast path: filter each action column on Arrow struct
+        validity before to_pylist, so a million-add checkpoint
+        materializes a million add dicts — not a million full rows
+        whose other seven action structs are None. Per-column grouping
+        reorders actions across columns, which is safe here: a
+        checkpoint is reconciled state (one action per row, no
+        add/remove pair for the same path), unlike commit JSONs whose
+        intra-commit order the JSON reader preserves."""
+        import pyarrow.compute as pc
+
         actions: list[dict[str, Any]] = []
         for path in self.checkpoint_part_files(version):
-            for a in self._read_manifest_actions(path):
-                for key in ("metaData", "protocol", "add", "remove"):
-                    if a.get(key):
-                        actions.append({key: a[key]})
+            if path.endswith(".json"):
+                for a in self._read_manifest_actions(path):
+                    for key in ("metaData", "protocol", "add", "remove"):
+                        if a.get(key):
+                            actions.append({key: a[key]})
+                continue
+            with self._fs.open_input(path) as fh:
+                table = pq.read_table(fh)
+            for key in ("metaData", "protocol", "add", "remove"):
+                if key not in table.column_names:
+                    continue
+                col = table[key]
+                valid = int(pc.sum(pc.is_valid(col)).as_py() or 0)
+                if not valid:
+                    continue
+                if valid < len(col):
+                    col = col.filter(pc.is_valid(col))
+                for payload in col.to_pylist():
+                    if payload and any(v is not None for v in payload.values()):
+                        actions.append({key: _maps_to_dicts(payload)})
         return actions
 
     def _replay_plan(self, version: int | None) -> tuple[int, int, list[int]]:
@@ -707,6 +734,26 @@ class DeltaLog:
         Delta's time-travel failure (ChangeDataFeedHelper.scala:207-210).
         """
         target, base_version, needed = self._replay_plan(version)
+        # pause cyclic GC while materializing the state: replaying a
+        # million-add checkpoint allocates millions of dicts, and gen-0
+        # collections re-scanning the ever-growing survivor set add a
+        # SUPER-linear term to what is otherwise a linear replay
+        # (measured in test_1m_snapshot_load_slope). Nothing in the
+        # replay creates reference cycles; normal refcounting frees all
+        # temporaries, and the try/finally restores the prior GC state.
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            return self._snapshot_inner(target, base_version, needed)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    def _snapshot_inner(
+        self, target: int, base_version: int, needed: list[int]
+    ) -> Snapshot:
         base_actions: list[dict[str, Any]] = (
             self._read_checkpoint_actions(base_version) if base_version >= 0 else []
         )
