@@ -3483,33 +3483,69 @@ def _q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filter_new(new, bloom, "fp").select("doc_id")
 
 
+def _rotation_order(registry: dict) -> list[str]:
+    """Window rotation, AUTOMATED (VERDICT r10 item 2: "stays empty
+    for two consecutive rounds without hand-tuning"): order the
+    registry by staleness computed from the official driver artifacts
+    themselves — queries with no official hash-green row yet first,
+    then oldest newest-green round first, registry order as the
+    deterministic tiebreak.  Because the driver checks the FIRST 50
+    entries and re-imports this module each round, the window
+    self-rotates as each ``CORRECTNESS_r{N}.json`` lands; the
+    ``stale_not_in_next_window`` invariant (test_registry.py,
+    ``tools/check_oracles.py --freshness``) holds by construction as
+    long as ≤50 rows go stale per round — i.e. until a round's
+    artifact FAILS rows (keeping their old green) or the registry
+    outgrows 3×50, at which point the invariant test goes red and a
+    human decides.  Fully deterministic given the artifact files, so
+    the ordering is reproducible within a round."""
+    import glob as _glob
+    import json
+    import re as _re
+
+    newest: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                doc = json.load(fh)
+        except Exception:
+            continue  # malformed artifact: skip, same as the tool
+        if not isinstance(doc, dict):
+            continue
+        for q, v in doc.items():
+            if isinstance(v, dict) and v.get("hash_match"):
+                newest[q] = max(newest.get(q, 0), rnd)
+    base_index = {q: i for i, q in enumerate(registry)}
+
+    def key(q: str):
+        n = newest.get(q)
+        if n is None:  # never officially green: head of the window
+            return (0, 0, base_index[q])
+        return (1, n, base_index[q])  # oldest official green first
+
+    return sorted(registry, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordering matters: the correctness driver checks the first 50
-    entries (dict insertion order).  Every registered query has at
-    least one official driver-green row (or is new this round); the
-    window rotates on STALENESS (oldest newest-official-green-row
-    first, as computed by ``tools/check_oracles.py --freshness``).
-    The 22 SURVEY §2 core slots aim for an every-other-round cadence
-    but yield to the staleness invariant when capacity binds (it does
-    in r11: 36 stale + 2 never-official leave only 12 slots).
-    Round-11 window (VERDICT r10 item 1): slots 1-2 the two rows with
-    no official driver row yet (minhash_index_probe and
-    hamming_index_probe, registered after the r10 artifact's window
-    froze), slots 3-38 the 36 rows whose newest official green is r8
-    (the stale cohort `tools/check_oracles.py --freshness` flags),
-    slots 39-50 twelve SURVEY §2 core rows from the r9-green cohort
-    (the remaining r9 rows — including the other core rows — roll to
-    r12, where the whole 38-row r9 remainder becomes the stale cohort
-    and fits the 50-slot window with 12 slots to spare).  With 138
-    registered queries and a 50-slot window the registry cycles
-    officially in ~3 rounds; the invariant that matters is
-    `stale_not_in_next_window: []` (every stale row sits in the
-    upcoming window), which the ordering below maintains for BOTH the
-    r11 check (against CORRECTNESS_r10.json) and, via the tail
-    pre-ordering, the r12 check.  Registration is frozen this round
-    (VERDICT r10 item 2) so the steady-state math (50 refreshed/round
-    vs 138/3 ≈ 46 aging/round) stays solvent.  The tail (51+) stays
+    """The correctness driver checks the first 50 entries (dict
+    insertion order); ordering is computed by :func:`_rotation_order`
+    from the official CORRECTNESS_r*.json artifacts, so the 50-slot
+    window always holds the stalest rows without per-round hand
+    reordering.  The registry literal below keeps a stable base order
+    (the deterministic tiebreak) and is FROZEN at 138 queries
+    (VERDICT r10 item 2: 50 refreshed/round vs 138/3 ≈ 46 aging/round
+    keeps the rotation solvent).  Every entry beyond the window stays
     value-checked every round via tools/check_oracles.py."""
+    reg = _registry()
+    return {k: reg[k] for k in _rotation_order(reg)}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-11 window (slots 1-50): slots 1-2 the two rows
         # with no official green yet, 3-38 the 36 r8-green stale rows,
