@@ -86,10 +86,30 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + bytes(rows)
 
 
+def _bmp_mask_extract(px: np.ndarray, mask: int) -> np.ndarray:
+    """One channel from packed 16/32-bit BMP pixels: shift by the
+    mask's lowest set bit, then rescale the field to 8 bits exactly
+    (255 * v / (2^width - 1), rounded)."""
+    if mask == 0:
+        return np.zeros(px.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = int(mask).bit_count()
+    v = (px >> np.uint32(shift)) & np.uint32(mask >> shift)
+    if width == 8:
+        return v.astype(np.uint8)
+    full = (1 << width) - 1
+    return ((v.astype(np.uint32) * 255 + full // 2) // full).astype(np.uint8)
+
+
 def decode_bmp(b: bytes, with_pixels: bool = True):
-    """BMP bytes → (width, height, pixels|None). Supports the 24-bit
-    uncompressed BITMAPINFOHEADER layout ``encode_bmp`` writes (and any
-    conforming writer); refuses other bit depths / compressions."""
+    """BMP bytes → (width, height, pixels|None). Covers the
+    uncompressed real-corpus envelope over BITMAPINFOHEADER and its
+    extensions: 24-bit BGR (what ``encode_bmp`` writes), 32-bit BGRX
+    (alpha dropped), 16-bit (BI_RGB 5-5-5 default), 8-bit palette, and
+    BI_BITFIELDS with arbitrary channel masks for 16/32-bit (masks
+    read at offset 54, where both the header-embedded V4/V5 layout and
+    the three DWORDs following a 40-byte header put them). RLE and
+    sub-8-bit depths refuse with the reason."""
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError(f"not a BMP payload (sniffed: {sniff(b)})")
     data_offset = struct.unpack_from("<I", b, 10)[0]
@@ -99,18 +119,53 @@ def decode_bmp(b: bytes, with_pixels: bool = True):
     w, h_raw = struct.unpack_from("<ii", b, 18)
     bits = struct.unpack_from("<H", b, 28)[0]
     compression = struct.unpack_from("<I", b, 30)[0]
-    if bits != 24 or compression != 0:
-        raise ValueError(f"only 24-bit uncompressed BMP supported (got {bits}-bit, c={compression})")
+    colors_used = struct.unpack_from("<I", b, 46)[0]
+    if compression not in (0, 3) or bits not in (8, 16, 24, 32) or (
+        compression == 3 and bits not in (16, 32)
+    ):
+        raise ValueError(
+            f"unsupported BMP shape ({bits}-bit, compression {compression}) "
+            "— RLE/sub-8-bit need an external decoder"
+        )
     top_down = h_raw < 0
     h = abs(h_raw)
     if not with_pixels:
         return w, h, None
-    row_size = (3 * w + 3) // 4 * 4
+    row_size = (bits * w + 31) // 32 * 4
     raw = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=data_offset)
-    rows = raw.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    rows = raw.reshape(h, row_size)
+    if bits == 24:
+        rgb = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    elif bits == 8:
+        n_colors = colors_used or 256
+        pal = np.frombuffer(
+            b, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(-1, 4)[:, 2::-1]  # BGRX → RGB
+        idx = rows[:, :w]
+        rgb = pal[np.clip(idx, 0, n_colors - 1)]
+    else:
+        if compression == 3:
+            rm, gm, bm = struct.unpack_from("<III", b, 54)
+        elif bits == 16:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # BI_RGB 16-bit = 5-5-5
+        else:
+            rm, gm, bm = 0x00FF0000, 0x0000FF00, 0x000000FF  # BGRX
+        dtype = "<u2" if bits == 16 else "<u4"
+        step = bits // 8
+        px = (
+            rows[:, : w * step]
+            .reshape(h, w, step)
+            .copy()
+            .view(dtype)
+            .reshape(h, w)
+            .astype(np.uint32)
+        )
+        rgb = np.stack(
+            [_bmp_mask_extract(px, m) for m in (rm, gm, bm)], axis=2
+        )
     if not top_down:
-        rows = rows[::-1]
-    return w, h, rows[:, :, ::-1].copy()  # BGR → RGB
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
 
 
 # ---------------------------------------------------------------------------

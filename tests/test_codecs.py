@@ -1489,3 +1489,74 @@ def test_flac_foreign_bit_depths_decode():
     assert np.array_equal(s[:, 0], left) and np.array_equal(s[:, 1], right), (
         "24-bit left/side"
     )
+
+
+def test_bmp_foreign_shapes_decode():
+    """Foreign BMP shapes: 32-bit BGRX, 16-bit 5-5-5 (BI_RGB default),
+    16-bit 5-6-5 via BI_BITFIELDS, 8-bit palette, and top-down rows —
+    none of which encode_bmp writes. Field rescaling must be exact at
+    the endpoints (mask full/empty -> 255/0)."""
+    import struct
+
+    from jodie_spark.operators.codecs import decode_bmp
+
+    def bmp(w, h, bits, payload, compression=0, masks=None, palette=None,
+            top_down=False):
+        hdr_size = 40
+        extra = b""
+        if masks is not None:
+            extra = struct.pack("<III", *masks)
+        if palette is not None:
+            extra += palette
+        off = 14 + hdr_size + len(extra)
+        head = struct.pack("<2sIHHI", b"BM", off + len(payload), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", hdr_size, w, (-h if top_down else h), 1, bits,
+            compression, len(payload), 2835, 2835,
+            (len(palette) // 4 if palette else 0), 0,
+        )
+        return head + info + extra + payload
+
+    # 32-bit BGRX bottom-up
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 4
+    rows = bytearray()
+    for y in (1, 0):  # bottom-up
+        for x in range(3):
+            r, g, bl = img[y, x]
+            rows += bytes([bl, g, r, 0xAA])
+    w, h, px = decode_bmp(bmp(3, 2, 32, bytes(rows)))
+    assert (w, h) == (3, 2) and np.array_equal(px, img)
+
+    # 16-bit 5-5-5 BI_RGB: endpoint values must rescale exactly
+    vals = [(31, 0, 31), (0, 31, 0), (15, 15, 15)]  # 5-bit fields
+    row = b"".join(
+        struct.pack("<H", (r << 10) | (g << 5) | bl) for r, g, bl in vals
+    ) + b"\x00\x00"  # pad to 8 bytes
+    _, _, px = decode_bmp(bmp(3, 1, 16, row))
+    exp = np.array(
+        [[(255, 0, 255), (0, 255, 0), (123, 123, 123)]], dtype=np.uint8
+    )
+    assert np.array_equal(px, exp)
+
+    # 16-bit 5-6-5 via BI_BITFIELDS
+    row = struct.pack("<HH", (31 << 11) | (63 << 5) | 31, 0)
+    _, _, px = decode_bmp(
+        bmp(2, 1, 16, row, compression=3, masks=(0xF800, 0x07E0, 0x001F))
+    )
+    assert tuple(px[0, 0]) == (255, 255, 255) and tuple(px[0, 1]) == (0, 0, 0)
+
+    # 8-bit palette, top-down
+    pal = bytes([10, 20, 30, 0, 200, 150, 100, 0])  # two BGRX entries
+    idx = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # 2x2, rows padded to 4
+    _, _, px = decode_bmp(bmp(2, 2, 8, idx, palette=pal, top_down=True))
+    exp = np.array(
+        [[(30, 20, 10), (100, 150, 200)], [(100, 150, 200), (30, 20, 10)]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(px, exp)
+
+    # RLE still refuses with the reason
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="external decoder"):
+        decode_bmp(bmp(2, 2, 8, bytes(8), compression=1))
