@@ -209,16 +209,26 @@ def build_bloom(
     return BloomFilter(out.tobytes(), n_bits, n_hashes, n_items)
 
 
-def optimal_geometry(n_items: int, fpp: float = 1e-3) -> tuple[int, int]:
+def optimal_geometry(
+    n_items: int,
+    fpp: float = 1e-3,
+    broadcast_budget_bytes: int | None = BROADCAST_BUDGET_BYTES,
+) -> tuple[int, int]:
     """(n_bits, n_hashes) sized for ``n_items`` at ``fpp`` — the
     textbook m = -n ln p / ln^2 2, k = m/n ln 2, n_bits rounded up to
-    a byte multiple."""
+    a byte multiple.
+
+    ``broadcast_budget_bytes`` takes the same override ``build_bloom``
+    does (None disables the warning) so a caller who deliberately
+    raised the budget is not re-warned at sizing time with the default
+    they already opted out of (ADVICE r11)."""
     if n_items < 1:
         n_items = 1
     m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
     m = (m + 7) // 8 * 8
     k = max(1, int(round(m / n_items * math.log(2))))
-    check_broadcast_budget(m)  # warn at sizing time, not just at build
+    # warn at sizing time, not just at build
+    check_broadcast_budget(m, broadcast_budget_bytes)
     return m, k
 
 

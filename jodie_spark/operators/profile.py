@@ -112,6 +112,19 @@ def exact_quantiles(
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    # Precision contract (ADVICE r11): ranks are computed as
+    # ceil(decimal(12,10)(q) * N), exact for any q with <= 10 decimal
+    # digits. A computed fraction needing more digits (1/3, 1/7) would
+    # be cast-rounded SILENTLY, shifting the rank by up to 5e-11*N
+    # (~50 ranks at N=1e12) — reject it so callers quantize explicitly
+    # and know which quantile they are actually asking for.
+    for q in qs:
+        if abs(q - round(q, 10)) > 0.0:
+            raise ValueError(
+                f"quantile {q!r} has more than 10 decimal digits; ranks "
+                "are exact only for 10-digit fractions — pass "
+                f"round(q, 10) (= {round(q, 10)!r}) explicitly"
+            )
     if group_col is not None:
         return _grouped_exact_quantiles(df, value_col, qs, group_col)
     from jodie_spark.operators.packing import with_global_offsets

@@ -521,7 +521,7 @@ def _file_filter_column(
                 continue  # un-coercible / null members — keep every file
             if col in partition_columns:
                 raw_val = F.element_at(F.col("partitionValues"), col)
-                val = raw_val.cast(dtype)
+                val = raw_val.try_cast(dtype)
                 keep = keep & F.coalesce(val.isin(*vals), raw_val.isNotNull())
             else:
                 mn = F.col(f"parsed_stats.minValues.{col}")
@@ -538,11 +538,18 @@ def _file_filter_column(
                 continue  # un-coercible / null members — keep every file
             if col in partition_columns:
                 raw_val = F.element_at(F.col("partitionValues"), col)
-                val = raw_val.cast(dtype)
-                # NULL partition value: != / NOT IN is NULL, never true;
-                # present-but-uncastable value: keep the file
-                keep = keep & F.coalesce(
-                    val.isNotNull() & ~val.isin(*lits), raw_val.isNotNull()
+                val = raw_val.try_cast(dtype)
+                # NULL partition value: != / NOT IN is NULL, never true
+                # (prune); present-but-uncastable value: typed compare
+                # is impossible, keep the file (matches
+                # pruning.file_may_match). Explicit WHEN ladder — a
+                # coalesce over `val.isNotNull() & ...` evaluates to
+                # FALSE (not NULL) on the uncastable case and would
+                # prune a file that may hold matching rows (ADVICE r11).
+                keep = keep & (
+                    F.when(raw_val.isNull(), F.lit(False))
+                    .when(val.isNull(), F.lit(True))
+                    .otherwise(F.coalesce(~val.isin(*lits), F.lit(True)))
                 )
             else:
                 mn = F.col(f"parsed_stats.minValues.{col}")
@@ -563,7 +570,7 @@ def _file_filter_column(
                 continue  # NULL / un-coercible bound — keep every file
             if col in partition_columns:
                 raw_val = F.element_at(F.col("partitionValues"), col)
-                val = raw_val.cast(dtype)
+                val = raw_val.try_cast(dtype)
                 keep = keep & F.coalesce(
                     (val >= lo_l) & (val <= hi_l), raw_val.isNotNull()
                 )
@@ -597,7 +604,11 @@ def _file_filter_column(
                 continue  # un-coercible literal — keep every file
         if col in partition_columns:
             raw_val = F.element_at(F.col("partitionValues"), col)
-            val = raw_val.cast(dtype)
+            # try_cast: NULL-on-failure must hold even under ANSI mode
+            # (Spark 4.x default), where a plain cast of a foreign
+            # writer's malformed partition value would throw
+            # CAST_INVALID_INPUT instead of falling back (ADVICE r11)
+            val = raw_val.try_cast(dtype)
             if op == "is null":
                 # value present (even un-castable) != NULL: decide on raw
                 keep = keep & raw_val.isNull()

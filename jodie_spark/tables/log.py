@@ -23,8 +23,10 @@ optimistic-concurrency primitive Delta uses on HDFS/local filesystems.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
 import time
 import uuid
 from typing import Any, Iterator
@@ -67,6 +69,33 @@ SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
 }
 _COLUMN_MAPPING_READ_MODES = {"none", "name", "id"}
+
+# gc.disable() is process-global: pause it via a lock-guarded depth
+# counter so concurrent snapshot() replays compose (the outermost exit
+# restores the state captured by the outermost entry) and unrelated
+# threads only ever see GC off for the union of the replay windows.
+_GC_PAUSE_LOCK = threading.Lock()
+_GC_PAUSE_DEPTH = 0
+_GC_PAUSE_WAS_ENABLED = False
+
+
+@contextlib.contextmanager
+def _gc_paused() -> Iterator[None]:
+    import gc
+
+    global _GC_PAUSE_DEPTH, _GC_PAUSE_WAS_ENABLED
+    with _GC_PAUSE_LOCK:
+        if _GC_PAUSE_DEPTH == 0:
+            _GC_PAUSE_WAS_ENABLED = gc.isenabled()
+            gc.disable()
+        _GC_PAUSE_DEPTH += 1
+    try:
+        yield
+    finally:
+        with _GC_PAUSE_LOCK:
+            _GC_PAUSE_DEPTH -= 1
+            if _GC_PAUSE_DEPTH == 0 and _GC_PAUSE_WAS_ENABLED:
+                gc.enable()
 
 # Writer features this engine honors when COMMITTING. Writing to a
 # table whose protocol demands features we don't implement (CHECK
@@ -740,16 +769,12 @@ class DeltaLog:
         # SUPER-linear term to what is otherwise a linear replay
         # (measured in test_1m_snapshot_load_slope). Nothing in the
         # replay creates reference cycles; normal refcounting frees all
-        # temporaries, and the try/finally restores the prior GC state.
-        import gc
-
-        gc_was_enabled = gc.isenabled()
-        gc.disable()
-        try:
+        # temporaries. The pause is depth-counted under a module lock
+        # (ADVICE r11): gc.disable() is process-global, so two threads
+        # replaying concurrently must not re-enable GC out from under
+        # each other — only the OUTERMOST exit restores the prior state.
+        with _gc_paused():
             return self._snapshot_inner(target, base_version, needed)
-        finally:
-            if gc_was_enabled:
-                gc.enable()
 
     def _snapshot_inner(
         self, target: int, base_version: int, needed: list[int]

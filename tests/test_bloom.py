@@ -133,6 +133,12 @@ def test_broadcast_budget_guard(spark):
         warnings.simplefilter("error")
         optimal_geometry(1_000_000, fpp=1e-3)  # ~1.7 MB: silent
         check_broadcast_budget(1 << 40, budget_bytes=None)  # opted out
+        # ADVICE r11: a deliberately raised/disabled budget must also
+        # silence the sizing-time warning, not re-warn with the default
+        optimal_geometry(10_000_000_000, fpp=1e-3, broadcast_budget_bytes=None)
+        optimal_geometry(
+            10_000_000_000, fpp=1e-3, broadcast_budget_bytes=1 << 40
+        )
     df = spark.createDataFrame([("a",), ("b",)], "v string")
     with pytest.warns(ResourceWarning):
         bloom = build_bloom(df, "v", n_bits=1 << 13, broadcast_budget_bytes=16)

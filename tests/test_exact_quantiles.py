@@ -79,6 +79,16 @@ def test_q_validation(spark):
         exact_quantiles(df, "v", [0.0])
     with pytest.raises(ValueError, match="quantiles"):
         exact_quantiles(df, "v", [1.5])
+    # ADVICE r11: a computed fraction past decimal(12,10) precision
+    # would silently shift the rank (up to ~50 ranks at N=1e12) — the
+    # API boundary rejects it and tells the caller how to quantize
+    with pytest.raises(ValueError, match="10 decimal digits"):
+        exact_quantiles(df, "v", [1 / 3])
+    with pytest.raises(ValueError, match="10 decimal digits"):
+        exact_quantiles(df, "v", [1 / 3], group_col="v")
+    # an explicitly quantized fraction is accepted
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", [round(1 / 3, 10)]).collect()}
+    assert got == {round(1 / 3, 10): 1}
 
 
 def test_empty_input(spark):

@@ -91,3 +91,47 @@ def test_random_program_matches_model(spark, tmpdir_path, ops):
 
     got = {r["id"]: r["m"] for r in DeltaTable.forPath(spark, p).toDF().collect()}
     assert got == model
+
+
+def test_gc_pause_is_reentrant_and_thread_safe():
+    """ADVICE r11: gc.disable() during snapshot replay is process-global
+    — two interleaving replays must not re-enable GC mid-flight, and the
+    outermost exit must restore the state the outermost entry saw."""
+    import gc
+    import threading
+
+    from jodie_spark.tables.log import _gc_paused
+
+    assert gc.isenabled()
+    with _gc_paused():
+        assert not gc.isenabled()
+        with _gc_paused():  # reentrant nesting
+            assert not gc.isenabled()
+        assert not gc.isenabled()  # inner exit must NOT re-enable
+    assert gc.isenabled()
+
+    # interleaved threads: GC stays off for the union of both windows
+    enter_a, exit_a, entered_b = (
+        threading.Event(), threading.Event(), threading.Event()
+    )
+    states = {}
+
+    def a():
+        with _gc_paused():
+            enter_a.set()
+            entered_b.wait(10)
+            states["during_overlap"] = gc.isenabled()
+            exit_a.set()
+
+    def b():
+        enter_a.wait(10)
+        with _gc_paused():
+            entered_b.set()
+            exit_a.wait(10)
+            # a() exited while b() still replays: GC must stay off
+            states["after_a_exit"] = gc.isenabled()
+
+    ta, tb = threading.Thread(target=a), threading.Thread(target=b)
+    ta.start(); tb.start(); ta.join(10); tb.join(10)
+    assert states == {"during_overlap": False, "after_a_exit": False}
+    assert gc.isenabled()

@@ -260,6 +260,62 @@ def test_truncate_stat_skips_surrogate_range():
     _json.loads(_json.dumps(widened))  # round-trips as strict JSON
 
 
+def test_uncastable_partition_value_agreement(spark):
+    """A present-but-uncastable partition VALUE (foreign writer wrote
+    'abc' into an int partition column) must be KEPT by both planners —
+    the typed comparison is impossible, so pruning would silently drop
+    rows. Regression for ADVICE r11: the Spark-side not_equality branch
+    evaluated `val.isNotNull() & ~val.isin(...)` to FALSE (never NULL)
+    on the uncastable cast, short-circuiting past the keep-fallback; and
+    plain `.cast` would throw CAST_INVALID_INPUT under ANSI mode instead
+    of yielding NULL (hence try_cast)."""
+    from pyspark.sql import functions as F
+
+    from jodie_spark.tables.distribution import (
+        _file_filter_column,
+        _stats_schema,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("p", T.IntegerType()),
+    ])
+    parts = ["p"]
+    adds = [
+        _add({"numRecords": 2, "minValues": {"id": 1}, "maxValues": {"id": 9},
+              "nullCount": {"id": 0}}, {"p": "abc"}),   # uncastable
+        _add({"numRecords": 2, "minValues": {"id": 1}, "maxValues": {"id": 9},
+              "nullCount": {"id": 0}}, {"p": "3"}),     # castable
+        {"path": "f.parquet", "partitionValues": {"p": None}, "stats": None},
+    ]
+    fdf = spark.createDataFrame(
+        [(a["path"], a["partitionValues"], a["stats"]) for a in adds],
+        "path string, partitionValues map<string,string>, stats string",
+    ).withColumn("parsed_stats", F.from_json("stats", _stats_schema(schema)))
+
+    was_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for cond, expect in [
+            ("p != 3", [True, False, False]),
+            ("p not in (3, 4)", [True, False, False]),
+            ("p = 3", [True, True, False]),
+            ("p between 2 and 5", [True, True, False]),
+            ("p in (3, 4)", [True, True, False]),
+            ("p > 2", [True, True, False]),
+            ("p is not null", [True, True, False]),
+            ("p is null", [False, False, True]),
+        ]:
+            keep, _ = _file_filter_column(cond, schema, parts)
+            got = [r["k"] for r in fdf.select(keep.alias("k")).collect()]
+            assert got == expect, f"spark planner {cond!r}: {got} != {expect}"
+            cjs = [classify_conjunct(c, ["id", "p"]) for c in split_conjuncts(cond)]
+            drv = [file_may_match(a, cjs, schema, parts) for a in adds]
+            assert drv == expect, f"driver planner {cond!r}: {drv} != {expect}"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", str(was_ansi).lower())
+
+
 def test_driver_and_spark_planners_agree(spark, tmpdir_path):
     """The adaptive planner's two implementations (driver-side
     prune_files, Spark-side _file_filter_column over files_df) must
