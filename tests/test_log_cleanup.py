@@ -115,3 +115,37 @@ def test_checkpoint_protection_blocks_early_cleanup(spark, tmpdir_path):
     deleted = log.cleanup_expired_logs()
     assert len(deleted) >= 5
     assert DeltaTable.forPath(spark, p).toDF().count() == 7
+
+
+def test_domain_metadata_survives_two_checkpoints(spark, tmpdir_path):
+    """Snapshot replay must read domainMetadata out of checkpoints.
+    Before r12 it skipped the column, so a domain persisted only in a
+    checkpoint vanished from snapshot().domain_metadata — and because
+    the driver-side write_checkpoint serializes exactly that dict, a
+    SECOND checkpoint dropped the domain permanently (e.g. a
+    row-tracking watermark, after log cleanup)."""
+    p = os.path.join(tmpdir_path, "dm")
+    write_delta(spark.createDataFrame([(1, "a")], ["k", "v"]), p)
+    log = DeltaLog(p)
+    dm = {"domain": "app.watermark", "configuration": '{"hi":1}', "removed": False}
+    log.commit(log.latest_version(), [{"domainMetadata": dm}], "SET DOMAIN", {})
+    removed = {"domain": "app.gone", "configuration": "{}", "removed": False}
+    log.commit(log.latest_version(), [{"domainMetadata": removed}], "SET DOMAIN", {})
+    log.commit(
+        log.latest_version(),
+        [{"domainMetadata": {**removed, "removed": True}}],
+        "DROP DOMAIN",
+        {},
+    )
+    log.write_checkpoint()
+    write_delta(spark.createDataFrame([(2, "b")], ["k", "v"]), p, mode="append")
+    snap = log.snapshot()
+    assert "app.watermark" in snap.domain_metadata  # read from checkpoint
+    assert "app.gone" not in snap.domain_metadata  # removal honored
+    assert snap.domain_metadata["app.watermark"]["configuration"] == '{"hi":1}'
+    # second checkpoint must still carry the domain
+    cp2 = log.write_checkpoint()
+    write_delta(spark.createDataFrame([(3, "c")], ["k", "v"]), p, mode="append")
+    snap2 = log.snapshot()
+    assert snap2.domain_metadata.get("app.watermark", {}).get("configuration") == '{"hi":1}'
+    assert log.all_domain_metadata().keys() == {"app.watermark"}

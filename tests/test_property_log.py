@@ -135,3 +135,110 @@ def test_gc_pause_is_reentrant_and_thread_safe():
     ta.start(); tb.start(); ta.join(10); tb.join(10)
     assert states == {"during_overlap": False, "after_a_exit": False}
     assert gc.isenabled()
+
+
+def test_file_state_columnar_overlay_semantics():
+    """_FileState: columnar base + dict overlay must agree with the
+    plain-dict model on counts, byte totals, and the materialized view
+    — including overrides (tail re-add of a checkpointed path) and
+    removals."""
+    import pyarrow as pa
+
+    from jodie_spark.tables.log import _FileState
+
+    t = pa.struct(
+        [("path", pa.string()), ("size", pa.int64()),
+         ("partitionValues", pa.map_(pa.string(), pa.string()))]
+    )
+    base = pa.chunked_array([
+        pa.array(
+            [{"path": f"f{i}", "size": 10 * (i + 1), "partitionValues": [("p", str(i))]}
+             for i in range(5)],
+            t,
+        )
+    ])
+    # tail: f1 removed; f3 re-added with a new size; f9 brand new
+    overlay = {
+        "f3": {"path": "f3", "size": 999, "partitionValues": {"p": "3"}},
+        "f9": {"path": "f9", "size": 7, "partitionValues": {}},
+    }
+    st = _FileState(base, overlay, {"f1", "f3", "f9"})
+    assert st.num_files() == 5  # {f0, f2, f4} kept + f3 re-added + f9
+    assert len(st) == 5
+    # 10+30+50 (f0,f2,f4) + 999 + 7
+    assert st.size_in_bytes() == 90 + 999 + 7
+    assert st._dict is None  # counts did not materialize
+    d = st.as_dict()
+    assert set(d) == {"f0", "f2", "f4", "f3", "f9"} | set()
+    assert d["f3"]["size"] == 999  # overlay wins
+    assert d["f0"]["partitionValues"] == {"p": "0"}  # maps → dicts
+    # post-materialization the same answers hold
+    assert st.num_files() == 5 and st.size_in_bytes() == 90 + 999 + 7
+    assert st.as_dict() is d  # cached identity
+
+    # dict-seeded state (commit paths, tests) behaves identically
+    st2 = _FileState.from_dict(d)
+    assert st2.num_files() == 5 and st2.size_in_bytes() == st.size_in_bytes()
+
+    # null sizes count as 0 (protocol: size is optional on remove)
+    nbase = pa.chunked_array([
+        pa.array([{"path": "g0", "size": None, "partitionValues": []}], t)
+    ])
+    st3 = _FileState(nbase, {}, set())
+    assert st3.num_files() == 1 and st3.size_in_bytes() == 0
+
+
+def test_struct_rows_matches_generic_conversion():
+    """Child-wise materialization (_struct_rows) must agree value-for-
+    value with arrow's generic to_pylist + _maps_to_dicts on add-struct
+    shapes: null/None children, empty and null maps, nested DV structs,
+    filtered and sliced arrays. (Deliberate divergence: an EMPTY map
+    comes back {} — the generic path left [] because _maps_to_dicts
+    cannot see an empty list is a map; {} matches JSON-tail payloads.)"""
+    import pyarrow as pa
+
+    from jodie_spark.tables.log import _maps_to_dicts, _struct_rows
+
+    def norm(p):
+        if isinstance(p, dict):
+            return {k: ({} if v == [] else norm(v)) for k, v in p.items()}
+        return p
+
+    dv_t = pa.struct([
+        ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+        ("deletionVector", dv_t),
+        ("tags", pa.map_(pa.string(), pa.string())),
+    ])
+    rows = [
+        {"path": "a", "partitionValues": [("p", "1"), ("q", None)], "size": 5,
+         "dataChange": True, "stats": None,
+         "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                            "offset": 1, "sizeInBytes": 2, "cardinality": 3},
+         "tags": []},
+        {"path": "b", "partitionValues": [], "size": None, "dataChange": False,
+         "stats": "{}", "deletionVector": None, "tags": None},
+        {"path": "c", "partitionValues": None, "size": 0, "dataChange": None,
+         "stats": "s", "deletionVector": None, "tags": [("k", "v")]},
+    ]
+    arr = pa.chunked_array([pa.array(rows[:2], t), pa.array(rows[2:], t)])
+    assert list(_struct_rows(arr)) == [norm(_maps_to_dicts(p)) for p in arr.to_pylist()]
+
+    big = pa.array(
+        [{"path": f"f{i}", "partitionValues": [("p", str(i))], "size": i,
+          "dataChange": True, "stats": None, "deletionVector": None, "tags": None}
+         for i in range(100)], t)
+    mask = pa.array([i % 3 == 0 for i in range(100)])
+    for view in (big.filter(mask), big.slice(37, 20)):
+        ca = pa.chunked_array([view])
+        assert list(_struct_rows(ca)) == [
+            norm(_maps_to_dicts(p)) for p in ca.to_pylist()
+        ]
