@@ -408,20 +408,30 @@ def main() -> None:
     except OSError as e:  # sidecar is best-effort; the stdout line is the contract
         print(f"# bench_full.json not written: {e}", file=sys.stderr)
 
+    # The driver records only the LAST 2000 chars of stdout; a line
+    # carrying all ~130 per-query timings overflows that capture and
+    # every round's BENCH artifact lands with parsed=null (VERDICT r11
+    # item 3). The contract split: the final stdout line stays SHORT
+    # (always parses), and the full per-query map lives in
+    # bench_full.json next to this script.
     compact = {
         "metric": "jodie_spark_bench_total",
         "value": round(total, 2),
         "value_normalized": round(total * norm_factor, 2),
         "norm_factor": round(norm_factor, 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {
+            k: round(timings[k], 2)
+            for k in ("calibration", "calibration_io")
+            if k in timings
+        },
+        "n_queries": sum(
+            1 for k in timings if k not in ("calibration", "calibration_io")
+        ),
+        "queries_full": "bench_full.json",
         "sf": sf,
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1990:  # still too wide: drop to 1-dp timings
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
