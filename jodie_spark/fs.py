@@ -736,6 +736,164 @@ class S3ConditionalPutFileSystem(ArrowFileSystem):
             raise
 
 
+def _http_conditional_put(
+    url: str, data: bytes, headers: dict[str, str]
+) -> tuple[int, bytes]:
+    """One PUT via the stdlib HTTP stack; returns (status, body).
+    Never raises on HTTP error statuses — callers map them. Kept SDK-
+    free so the GCS/ABFS adapters work wherever Python does; inject
+    ``http_put`` on the adapters to route through an SDK instead."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=data, headers=headers, method="PUT")
+    try:
+        with urllib.request.urlopen(req) as resp:  # noqa: S310 — adapter URL
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+class GcsConditionalPutFileSystem(ArrowFileSystem):
+    """ArrowFileSystem whose commit primitive is a TRUE atomic
+    put-if-absent via GCS preconditions: an XML-API object PUT carrying
+    ``x-goog-if-generation-match: 0`` succeeds only when the object
+    does not exist (generation 0), the server-side equivalent of S3's
+    ``If-None-Match: *``. A lost race answers **412 Precondition
+    Failed**, surfaced as :class:`FileExistsError` so the committer
+    re-reads the log and retries at N+1. Every other operation (list,
+    read, checkpoint PUTs) stays on the pyarrow gs:// data path.
+
+    Opt-in, mirroring :class:`S3ConditionalPutFileSystem`::
+
+        from jodie_spark import fs
+        fs.register_filesystem("gs", lambda: fs.GcsConditionalPutFileSystem(
+            auth_headers=lambda: {"Authorization": f"Bearer {token()}"}))
+
+    ``auth_headers`` is a callable returning the per-request auth
+    headers (OAuth bearer token — callers own refresh); ``endpoint``
+    and ``http_put`` exist for tests and private emulators. No
+    google-cloud SDK is required: the conditional PUT is one stdlib
+    HTTP request, and this engine never silently downgrades to
+    check-then-put."""
+
+    atomic_put_if_absent = True
+
+    def __init__(
+        self,
+        scheme: str = "gs",
+        *,
+        endpoint: str = "https://storage.googleapis.com",
+        auth_headers: Callable[[], dict[str, str]] | None = None,
+        http_put: Callable[[str, bytes, dict[str, str]], tuple[int, bytes]] | None = None,
+    ) -> None:
+        super().__init__(scheme)
+        self._endpoint = endpoint.rstrip("/")
+        self._auth_headers = auth_headers
+        self._http_put = http_put or _http_conditional_put
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        import urllib.parse
+
+        m = _SCHEME_RE.match(path)
+        rest = path[m.end():] if m else path
+        bucket, _, key = rest.partition("/")
+        url = f"{self._endpoint}/{bucket}/{urllib.parse.quote(key)}"
+        headers = {
+            "x-goog-if-generation-match": "0",
+            "Content-Type": "application/octet-stream",
+        }
+        if self._auth_headers is not None:
+            headers.update(self._auth_headers())
+        status, body = self._http_put(url, bytes(data), headers)
+        if status == 412 or status == 409:
+            # 412 = object already exists (precondition failed); 409 =
+            # concurrent mutation on the same object — both mean this
+            # writer lost the commit race
+            raise FileExistsError(path)
+        if status >= 300:
+            raise OSError(
+                f"GCS conditional put of {path} failed: HTTP {status} "
+                f"{body[:200]!r}"
+            )
+
+
+class AbfsConditionalPutFileSystem(ArrowFileSystem):
+    """ArrowFileSystem whose commit primitive is a TRUE atomic
+    put-if-absent via Azure Blob preconditions: a Put Blob request
+    carrying ``If-None-Match: *`` succeeds only when the blob does not
+    exist. A lost race answers **409 BlobAlreadyExists** (or 412
+    ConditionNotMet from the DFS endpoint), surfaced as
+    :class:`FileExistsError`. Data plane stays pyarrow's abfs://.
+
+    Opt-in::
+
+        from jodie_spark import fs
+        fs.register_filesystem("abfss", lambda: fs.AbfsConditionalPutFileSystem(
+            "abfss", auth_headers=lambda: {"Authorization": f"Bearer {token()}"}))
+
+    Parses the ABFS URI convention
+    ``abfs[s]://{container}@{account}.dfs.core.windows.net/{key}`` and
+    PUTs to the account's **blob** endpoint (the Blob and DFS surfaces
+    share the flat namespace; conditional Put Blob is the documented
+    precondition primitive). ``endpoint`` overrides the derived
+    ``https://{account}.blob.core.windows.net`` for tests/emulators;
+    ``auth_headers`` supplies bearer/SAS auth per request."""
+
+    atomic_put_if_absent = True
+
+    def __init__(
+        self,
+        scheme: str = "abfss",
+        *,
+        endpoint: str | None = None,
+        auth_headers: Callable[[], dict[str, str]] | None = None,
+        http_put: Callable[[str, bytes, dict[str, str]], tuple[int, bytes]] | None = None,
+    ) -> None:
+        super().__init__(scheme)
+        self._endpoint = endpoint.rstrip("/") if endpoint else None
+        self._auth_headers = auth_headers
+        self._http_put = http_put or _http_conditional_put
+
+    @staticmethod
+    def _container_account_key(path: str) -> tuple[str, str, str]:
+        m = _SCHEME_RE.match(path)
+        rest = path[m.end():] if m else path
+        authority, _, key = rest.partition("/")
+        container, _, host = authority.partition("@")
+        account = host.partition(".")[0]
+        if not container or not account:
+            raise ValueError(
+                f"not an abfs URI (want abfs[s]://container@account.dfs."
+                f"core.windows.net/key): {path}"
+            )
+        return container, account, key
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        import urllib.parse
+
+        container, account, key = self._container_account_key(path)
+        base = self._endpoint or f"https://{account}.blob.core.windows.net"
+        url = f"{base}/{container}/{urllib.parse.quote(key)}"
+        headers = {
+            "If-None-Match": "*",
+            "x-ms-blob-type": "BlockBlob",
+            "x-ms-version": "2021-08-06",
+            "Content-Type": "application/octet-stream",
+        }
+        if self._auth_headers is not None:
+            headers.update(self._auth_headers())
+        status, body = self._http_put(url, bytes(data), headers)
+        if status == 409 or status == 412:
+            # 409 BlobAlreadyExists / 412 ConditionNotMet — lost the race
+            raise FileExistsError(path)
+        if status >= 300:
+            raise OSError(
+                f"ABFS conditional put of {path} failed: HTTP {status} "
+                f"{body[:200]!r}"
+            )
+
+
 class S3SemanticsFileSystem(PrefixFileSystem):
     """Object-store-semantics test double over a local root: implicit
     directories (``makedirs`` is a no-op; writes create parents), NO

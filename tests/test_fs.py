@@ -681,3 +681,197 @@ def test_s3_fake_full_spark_lifecycle(spark, tmpdir_path):
         assert fs.op_counts.get("write_atomic", 0) > 0
     finally:
         unregister_filesystem("lifes3")
+
+
+def test_gcs_conditional_put_through_real_wire():
+    """GcsConditionalPutFileSystem drives a REAL stdlib HTTP request:
+    pins x-goog-if-generation-match: 0 on the wire, maps a 412
+    Precondition Failed to FileExistsError (lost the commit race),
+    propagates other errors, and never overwrites the race winner."""
+    import http.server
+    import threading
+
+    from jodie_spark.fs import GcsConditionalPutFileSystem
+
+    store: dict[str, bytes] = {}
+    seen: list[dict] = []
+
+    class GcsStub(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, status, body=b""):
+            self.send_response(status)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            seen.append({k.lower(): v for k, v in self.headers.items()})
+            if self.path.endswith("denied.json"):
+                return self._reply(403, b"<Error><Code>AccessDenied</Code></Error>")
+            if (
+                self.headers.get("x-goog-if-generation-match") == "0"
+                and self.path in store
+            ):
+                return self._reply(412, b"<Error><Code>conditionNotMet</Code></Error>")
+            store[self.path] = body
+            self._reply(200)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), GcsStub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fs = GcsConditionalPutFileSystem(
+            endpoint=f"http://127.0.0.1:{srv.server_port}",
+            auth_headers=lambda: {"Authorization": "Bearer test-token"},
+        )
+        assert fs.atomic_put_if_absent
+        commit = "gs://bkt/_delta_log/00000000000000000000.json"
+        fs.create_exclusive(commit, b"v0")
+        assert store["/bkt/_delta_log/00000000000000000000.json"] == b"v0"
+        assert seen[0].get("x-goog-if-generation-match") == "0"
+        assert seen[0].get("authorization") == "Bearer test-token"
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive(commit, b"dupe")
+        with pytest.raises(OSError, match="403"):
+            fs.create_exclusive("gs://bkt/_delta_log/denied.json", b"x")
+        assert store["/bkt/_delta_log/00000000000000000000.json"] == b"v0"
+    finally:
+        srv.shutdown()
+
+
+def test_abfs_conditional_put_through_real_wire():
+    """AbfsConditionalPutFileSystem: pins If-None-Match: * and
+    x-ms-blob-type on the wire, maps 409 BlobAlreadyExists and 412
+    ConditionNotMet to FileExistsError, parses the
+    container@account.dfs URI convention, and derives the blob
+    endpoint from the account when none is injected."""
+    import http.server
+    import threading
+
+    from jodie_spark.fs import AbfsConditionalPutFileSystem
+
+    store: dict[str, bytes] = {}
+    seen: list[dict] = []
+
+    class AbfsStub(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, status, body=b""):
+            self.send_response(status)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            seen.append({k.lower(): v for k, v in self.headers.items()})
+            if self.path.endswith("conflict.json"):
+                return self._reply(412, b"ConditionNotMet")
+            if self.headers.get("If-None-Match") == "*" and self.path in store:
+                return self._reply(409, b"BlobAlreadyExists")
+            store[self.path] = body
+            self._reply(201)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), AbfsStub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fs = AbfsConditionalPutFileSystem(
+            endpoint=f"http://127.0.0.1:{srv.server_port}"
+        )
+        commit = (
+            "abfss://cont@acct.dfs.core.windows.net/"
+            "tbl/_delta_log/00000000000000000000.json"
+        )
+        fs.create_exclusive(commit, b"v0")
+        assert store["/cont/tbl/_delta_log/00000000000000000000.json"] == b"v0"
+        assert seen[0].get("if-none-match") == "*"
+        assert seen[0].get("x-ms-blob-type") == "BlockBlob"
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive(commit, b"dupe")  # 409 BlobAlreadyExists
+        with pytest.raises(FileExistsError):
+            fs.create_exclusive(
+                "abfss://cont@acct.dfs.core.windows.net/conflict.json", b"x"
+            )
+        assert store["/cont/tbl/_delta_log/00000000000000000000.json"] == b"v0"
+        # endpoint derivation (no injection): account -> blob host
+        fs2 = AbfsConditionalPutFileSystem()
+        c, a, k = fs2._container_account_key(commit)
+        assert (c, a) == ("cont", "acct") and k.endswith("0.json")
+        with pytest.raises(ValueError, match="abfs"):
+            fs2._container_account_key("abfss://no-at-sign/key")
+    finally:
+        srv.shutdown()
+
+
+def test_conditional_put_contended_commit_race():
+    """Contended commit through each conditional-put adapter: 8 writers
+    race create_exclusive on ONE log version against a store that only
+    honors the precondition — exactly one wins, seven get
+    FileExistsError (and retry at N+1, per the commit protocol)."""
+    import http.server
+    import threading
+
+    from jodie_spark.fs import (
+        AbfsConditionalPutFileSystem,
+        GcsConditionalPutFileSystem,
+    )
+
+    lock = threading.Lock()
+    store: dict[str, bytes] = {}
+
+    class Stub(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:  # the store-side atomicity the precondition grants
+                exists = self.path in store
+                if not exists:
+                    store[self.path] = body
+            if exists:
+                self.send_response(412)
+            else:
+                self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ep = f"http://127.0.0.1:{srv.server_port}"
+        for fs, uri in [
+            (GcsConditionalPutFileSystem(endpoint=ep), "gs://b/_delta_log/5.json"),
+            (
+                AbfsConditionalPutFileSystem(endpoint=ep),
+                "abfss://c@a.dfs.core.windows.net/_delta_log/5.json",
+            ),
+        ]:
+            store.clear()
+            results: list[str] = []
+
+            def commit(i, fs=fs, uri=uri):
+                try:
+                    fs.create_exclusive(uri, b"w%d" % i)
+                    results.append("won")
+                except FileExistsError:
+                    results.append("lost")
+
+            threads = [threading.Thread(target=commit, args=(i,)) for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(30)
+            assert sorted(results) == ["lost"] * 7 + ["won"], results
+            assert len(store) == 1  # the winner's bytes, intact
+    finally:
+        srv.shutdown()
