@@ -79,14 +79,32 @@ def test_reads_foreign_plain_table_with_history(spark, tmpdir_path):
         ],
     )
 
+    # v3: delta-spark-style UPDATE — remove f3, re-add with the change
+    # (completes the golden `basic` shape: DELETE and UPDATE both in
+    # history, r12)
+    f4 = part_name(0)
+    a4 = write_parquet(t, f4, {"id": [2, 3], "v": ["B!", "c"]})
+    write_commit(
+        t,
+        3,
+        [
+            commit_info("UPDATE", {"predicate": "(id = 2)"}),
+            {"remove": {"path": f3, "deletionTimestamp": 1700000002000, "dataChange": True}},
+            {"add": a4},
+        ],
+    )
+
     table = DeltaTable.forPath(spark, t)
     rows = sorted((r["id"], r["v"]) for r in table.toDF().collect())
-    assert rows == [(2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    assert rows == [(2, "B!"), (3, "c"), (4, "d"), (5, "e")]
     # time travel to every version
     assert sorted(r["id"] for r in table.toDF(version=0).collect()) == [1, 2, 3]
     assert sorted(r["id"] for r in table.toDF(version=1).collect()) == [1, 2, 3, 4, 5]
+    assert sorted((r["id"], r["v"]) for r in table.toDF(version=2).collect()) == [
+        (2, "b"), (3, "c"), (4, "d"), (5, "e")
+    ]
     hist = [r["operation"] for r in table.history().collect()]
-    assert hist == ["DELETE", "WRITE", "WRITE"]
+    assert hist == ["UPDATE", "DELETE", "WRITE", "WRITE"]
 
 
 def test_reads_foreign_partitioned_table_with_pruning(spark, tmpdir_path):
