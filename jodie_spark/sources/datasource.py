@@ -108,6 +108,52 @@ class _FilePartition(InputPartition):
         self.field_ids: dict[str, int] | None = None
 
 
+class _FileBatchPartition(InputPartition):
+    """Several files served by ONE Spark task.
+
+    Above ``_BATCH_FILES_THRESHOLD`` active files the one-task-per-file
+    plan stops scaling: a million-file table would schedule a million
+    tasks (scheduler overhead dwarfs the reads) and pickle a
+    million-element partition list through the planning worker. Files
+    are greedily packed by their log-recorded ``size`` up to
+    ``_BATCH_TARGET_BYTES`` (Spark's own maxPartitionBytes default)
+    and ``_BATCH_MAX_FILES`` per task — the same sizing rule Spark's
+    native file scans use, minus intra-file splits (a parquet file
+    never splits across tasks here). Below the threshold the
+    per-file plan is unchanged, preserving small-table parallelism."""
+
+    def __init__(self, files: list[_FilePartition]):
+        self.files = files
+
+
+_BATCH_FILES_THRESHOLD = 1000
+_BATCH_TARGET_BYTES = 128 * 1024 * 1024
+_BATCH_MAX_FILES = 1000
+
+
+def _pack_file_partitions(
+    parts: list[_FilePartition], sizes: list[int], threshold: int | None = None
+) -> list[InputPartition]:
+    """Greedy size-bounded packing, log order preserved (consecutive
+    files usually share partition directories → locality)."""
+    if len(parts) <= (threshold if threshold is not None else _BATCH_FILES_THRESHOLD):
+        return list(parts)
+    out: list[InputPartition] = []
+    cur: list[_FilePartition] = []
+    cur_bytes = 0
+    for fp, size in zip(parts, sizes):
+        if cur and (
+            cur_bytes + size > _BATCH_TARGET_BYTES or len(cur) >= _BATCH_MAX_FILES
+        ):
+            out.append(_FileBatchPartition(cur))
+            cur, cur_bytes = [], 0
+        cur.append(fp)
+        cur_bytes += size
+    if cur:
+        out.append(_FileBatchPartition(cur))
+    return out
+
+
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
@@ -495,6 +541,10 @@ class JodieDeltaBatchReader(DataSourceReader):
             self.version = DeltaLog(self.path).version_at_timestamp(
                 int(ts.timestamp() * 1000)
             )
+        # file-packing threshold override (tests / tuning); the default
+        # keeps per-file tasks below 1000 active files
+        bt = options.get("filesPerTaskThreshold")
+        self._batch_threshold = int(bt) if bt is not None else None
         self._condition: str | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821
@@ -543,6 +593,7 @@ class JodieDeltaBatchReader(DataSourceReader):
 
         mat = lineage_cols(snap.configuration) or (None, None)
         parts = []
+        sizes = []
         for a in adds:
             fp = _FilePartition(
                 _data_path(self.path, urllib.parse.unquote(a["path"])),
@@ -557,10 +608,17 @@ class JodieDeltaBatchReader(DataSourceReader):
             fp.name_map = name_map
             fp.field_ids = field_ids
             parts.append(fp)
-        return parts
+            sizes.append(int(a.get("size") or 0))
+        # beyond the threshold, pack many small files into one task —
+        # a million-file table must not schedule a million Spark tasks
+        return _pack_file_partitions(parts, sizes, self._batch_threshold)
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: "_FilePartition | _FileBatchPartition"):
         if partition is None:  # empty table / fully pruned scan
+            return
+        if isinstance(partition, _FileBatchPartition):
+            for fp in partition.files:
+                yield from _read_file_batches(fp, self.schema)
             return
         yield from _read_file_batches(partition, self.schema)
 

@@ -1010,3 +1010,52 @@ def test_stream_legacy_bare_minus_one_offset_serves_snapshot(
         {"version": -1, "snapshot": True}, {"version": latest}
     )
     assert {p.file_path for p in parts2} == {p.file_path for p in parts}
+
+
+def test_batch_reader_packs_many_small_files(spark, tmpdir_path):
+    """Above the packing threshold the batch reader serves MANY files
+    per Spark task (a million-file table must not schedule a million
+    tasks); below it the per-file plan — and its parallelism — is
+    unchanged. Packing respects the byte/file caps and loses no rows."""
+    from jodie_spark.sources.datasource import (
+        _BATCH_MAX_FILES,
+        _BATCH_TARGET_BYTES,
+        _FileBatchPartition,
+        _FilePartition,
+        _pack_file_partitions,
+    )
+
+    fps = [_FilePartition(f"f{i}", {}) for i in range(5000)]
+    # tiny files: packs to ceil(5000/_BATCH_MAX_FILES) batches
+    packed = _pack_file_partitions(fps, [10] * 5000)
+    assert all(isinstance(p, _FileBatchPartition) for p in packed)
+    assert len(packed) == 5
+    assert sum(len(p.files) for p in packed) == 5000
+    assert [f.file_path for f in packed[0].files][:2] == ["f0", "f1"]  # order kept
+    # big files: byte cap splits before the file cap
+    big = _pack_file_partitions(fps, [_BATCH_TARGET_BYTES // 2 + 1] * 5000)
+    assert all(len(p.files) == 1 for p in big[:10])
+    # below the threshold: untouched per-file plan
+    small = _pack_file_partitions(fps[:100], [10] * 100)
+    assert small == fps[:100]
+
+    # end-to-end: the filesPerTaskThreshold OPTION reaches the planning
+    # worker (a module monkeypatch would not — partitions() runs in a
+    # separate python process), so this genuinely reads through packed
+    # _FileBatchPartition tasks and still returns exact rows
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "packed")
+    write_delta(spark.range(200).selectExpr("id", "id % 7 as k").repartition(8), p)
+    df = (
+        spark.read.format("jodie_delta")
+        .option("filesPerTaskThreshold", "4")  # force packing on 8 files
+        .load(p)
+    )
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 1  # 8 tiny files -> one packed task
+    assert sorted(r["id"] for r in df.filter("k = 3").collect()) == list(range(3, 200, 7))
