@@ -736,19 +736,26 @@ class S3ConditionalPutFileSystem(ArrowFileSystem):
             raise
 
 
+_CONDITIONAL_PUT_TIMEOUT_S = 60.0
+
+
 def _http_conditional_put(
     url: str, data: bytes, headers: dict[str, str]
 ) -> tuple[int, bytes]:
     """One PUT via the stdlib HTTP stack; returns (status, body).
     Never raises on HTTP error statuses — callers map them. Kept SDK-
     free so the GCS/ABFS adapters work wherever Python does; inject
-    ``http_put`` on the adapters to route through an SDK instead."""
+    ``http_put`` on the adapters to route through an SDK instead.
+    Bounded by a socket timeout: a hung store endpoint must surface as
+    an error the committer can retry, not block the commit forever."""
     import urllib.error
     import urllib.request
 
     req = urllib.request.Request(url, data=data, headers=headers, method="PUT")
     try:
-        with urllib.request.urlopen(req) as resp:  # noqa: S310 — adapter URL
+        with urllib.request.urlopen(  # noqa: S310 — adapter URL
+            req, timeout=_CONDITIONAL_PUT_TIMEOUT_S
+        ) as resp:
             return resp.status, resp.read()
     except urllib.error.HTTPError as e:
         return e.code, e.read()
