@@ -1127,6 +1127,7 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                 adds.extend(v_adds)
         name_map, field_ids = _logical_physical_map(log.table_info(end_v).metadata)
         parts = []
+        sizes = []
         for a in adds:
             fp = _FilePartition(
                 _data_path(self.path, urllib.parse.unquote(a["path"])),
@@ -1137,10 +1138,20 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
             fp.name_map = name_map
             fp.field_ids = field_ids
             parts.append(fp)
-        return parts
+            sizes.append(int(a.get("size") or 0))
+        # the snapshot FIRST batch of a stream over a huge table hits
+        # the same wall as the batch reader: pack files above the
+        # threshold so a million-file initial batch is not a
+        # million-task micro-batch (incremental batches are per-commit
+        # adds, far below the threshold, and stay per-file)
+        return _pack_file_partitions(parts, sizes)
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: "_FilePartition | _FileBatchPartition"):
         if partition is None:
+            return
+        if isinstance(partition, _FileBatchPartition):
+            for fp in partition.files:
+                yield from _read_file_batches(fp, self.schema)
             return
         yield from _read_file_batches(partition, self.schema)
 

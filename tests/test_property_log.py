@@ -242,3 +242,70 @@ def test_struct_rows_matches_generic_conversion():
         assert list(_struct_rows(ca)) == [
             norm(_maps_to_dicts(p)) for p in ca.to_pylist()
         ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["add", "remove"]),
+            st.integers(min_value=0, max_value=30),   # path id
+            st.integers(min_value=0, max_value=1000), # size
+        ),
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=20),  # how many initial actions checkpoint
+)
+@settings(max_examples=120, deadline=None)
+def test_file_state_matches_dict_model(ops, cp_n):
+    """_FileState under random checkpoint-base + tail-overlay action
+    sequences must agree with the plain dict model on the dict view,
+    count, and byte total — the exact replay semantics _snapshot_inner
+    implements (adds override, removes tombstone, later wins)."""
+    import pyarrow as pa
+
+    from jodie_spark.tables.log import _FileState
+
+    # dict model over the WHOLE sequence
+    model: dict[str, dict] = {}
+    for kind, pid, size in ops:
+        p = f"f{pid}"
+        if kind == "add":
+            model[p] = {"path": p, "size": size, "partitionValues": {}}
+        else:
+            model.pop(p, None)
+
+    # split: first cp_n actions reconcile into a columnar checkpoint
+    # base, the rest replay as the JSON tail overlay
+    cp_model: dict[str, dict] = {}
+    for kind, pid, size in ops[:cp_n]:
+        p = f"f{pid}"
+        if kind == "add":
+            cp_model[p] = {"path": p, "size": size, "partitionValues": []}
+        else:
+            cp_model.pop(p, None)
+    t = pa.struct([
+        ("path", pa.string()), ("size", pa.int64()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+    ])
+    base = (
+        pa.chunked_array([pa.array(list(cp_model.values()), t)])
+        if cp_model
+        else None
+    )
+    overlay: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for kind, pid, size in ops[cp_n:]:
+        p = f"f{pid}"
+        if kind == "add":
+            overlay[p] = {"path": p, "size": size, "partitionValues": {}}
+            dropped.add(p)
+        else:
+            overlay.pop(p, None)
+            dropped.add(p)
+    stt = _FileState(base, overlay, dropped)
+    assert stt.num_files() == len(model)
+    assert stt.size_in_bytes() == sum(v["size"] for v in model.values())
+    assert stt.as_dict() == model
+    # post-materialization answers identical
+    assert stt.num_files() == len(model)
+    assert stt.size_in_bytes() == sum(v["size"] for v in model.values())
