@@ -643,21 +643,31 @@ class DeltaLog:
             self.list_commit_versions() or self.list_checkpoint_versions()
         )
 
-    def list_commit_versions(self) -> list[int]:
+    def _log_dir_names(self) -> list[str]:
+        """One LIST of ``_delta_log`` — the primitive the version/
+        checkpoint enumerations share. On an object store every LIST is
+        a paginated network round trip, so callers that need several
+        views of the directory (latest version + commit set + checkpoint
+        set, i.e. every replay plan) fetch ONE point-in-time listing and
+        derive all three — both cheaper and more consistent than four
+        sequential LISTs racing a concurrent writer."""
+        return self._fs.listdir(self.log_path)
+
+    def list_commit_versions(self, names: list[str] | None = None) -> list[int]:
         out = []
-        for name in self._fs.listdir(self.log_path):
+        for name in names if names is not None else self._log_dir_names():
             if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
         return sorted(out)
 
-    def list_checkpoint_versions(self) -> list[int]:
+    def list_checkpoint_versions(self, names: list[str] | None = None) -> list[int]:
         """Versions with a complete checkpoint: single-part
         ``<v>.checkpoint.parquet`` or multi-part
         ``<v>.checkpoint.<i>.<n>.parquet`` with all n parts present."""
         single: set[int] = set()
         v2: set[int] = set()
         parts: dict[tuple[int, int], set[int]] = {}
-        for name in self._fs.listdir(self.log_path):
+        for name in names if names is not None else self._log_dir_names():
             if not (name.endswith(".parquet") or name.endswith(".json")):
                 continue
             stem = name.rsplit(".", 1)[0]
@@ -737,9 +747,11 @@ class DeltaLog:
                     actions.append({key: _maps_to_dicts(payload)})
         return actions
 
-    def latest_version(self) -> int:
-        versions = self.list_commit_versions()
-        checkpoints = self.list_checkpoint_versions()
+    def latest_version(self, names: list[str] | None = None) -> int:
+        if names is None:
+            names = self._log_dir_names()
+        versions = self.list_commit_versions(names)
+        checkpoints = self.list_checkpoint_versions(names)
         candidates = versions + checkpoints
         return max(candidates) if candidates else -1
 
@@ -878,14 +890,19 @@ class DeltaLog:
 
     def _replay_plan(self, version: int | None) -> tuple[int, int, list[int]]:
         """(target, base_checkpoint_version_or_-1, commit versions to
-        replay), with the contiguity check both snapshot flavors need."""
-        latest = self.latest_version()
+        replay), with the contiguity check both snapshot flavors need.
+        ONE directory LIST serves the latest-version, commit-set, and
+        checkpoint-set views (was four sequential LISTs — pure network
+        amplification on object stores, where a DML operation issues
+        several replay plans)."""
+        names = self._log_dir_names()
+        latest = self.latest_version(names)
         if latest < 0:
             raise DeltaProtocolError(f"{self.table_path} is not a Delta table (no log)")
         target = latest if version is None else int(version)
 
-        commit_versions = set(self.list_commit_versions())
-        checkpoints = [c for c in self.list_checkpoint_versions() if c <= target]
+        commit_versions = set(self.list_commit_versions(names))
+        checkpoints = [c for c in self.list_checkpoint_versions(names) if c <= target]
         base_version = max(checkpoints) if checkpoints else -1
 
         # every version in (base, target] must exist as a commit json
