@@ -658,7 +658,7 @@ class DeltaMergeBuilder:
         )
         from jodie_spark.tables.table import maybe_auto_compact
 
-        maybe_auto_compact(t)
+        maybe_auto_compact(t, config=snap.configuration)
 
     def _stage_actions(self, joined: DataFrame) -> DataFrame:
         """Attach first-matching-clause indexes and the per-row action
@@ -907,6 +907,7 @@ class DeltaMergeBuilder:
                 t.path,
                 snap.partition_columns,
                 stat_exclude=stat_exclude,
+                table_config=snap.configuration,
             )
 
             inserted = int(action_counts.get("insert", 0))
@@ -1495,4 +1496,4 @@ class DeltaMergeBuilder:
         )
         from jodie_spark.tables.table import maybe_auto_compact
 
-        maybe_auto_compact(t)
+        maybe_auto_compact(t, config=snap.configuration)

@@ -1363,7 +1363,11 @@ class DeltaTable:
         ms = self._mapping_schemas(snap)
         if ms is None:
             return write_data_files(
-                df, self.path, snap.partition_columns, stat_exclude=stat_exclude
+                df,
+                self.path,
+                snap.partition_columns,
+                stat_exclude=stat_exclude,
+                table_config=snap.configuration,
             )
         from jodie_spark.tables.column_mapping import (
             column_mapping_mode,
@@ -1384,6 +1388,7 @@ class DeltaTable:
             self.path,
             snap.partition_columns,
             stat_exclude=stat_exclude,
+            table_config=snap.configuration,
         )
 
     def _planning_condition(self, snap: Snapshot, condition: str | None) -> str | None:
@@ -1447,7 +1452,12 @@ class DeltaTable:
             change_df = rename_to_physical(
                 change_df, logical, physical, keep=("_change_type",)
             )
-        adds = write_data_files(change_df, os.path.join(self.path, CHANGE_DATA_DIR), None)
+        adds = write_data_files(
+            change_df,
+            os.path.join(self.path, CHANGE_DATA_DIR),
+            None,
+            table_config=snap.configuration,
+        )
         actions = []
         for a in adds:
             actions.append(
@@ -2040,6 +2050,7 @@ class DeltaTable:
                         self.path,
                         snap.partition_columns,
                         stat_exclude=stat_exclude,
+                        table_config=snap.configuration,
                     )
                     if self.is_cdf_enabled(snap):
                         pre = matched.select(
@@ -2469,7 +2480,8 @@ class DeltaTable:
                 self.spark, self.path, ms[1] if ms else schema, dv_adds
             )
         adds = write_data_files(
-            live, self.path, snap.partition_columns, stat_exclude=stat_exclude
+            live, self.path, snap.partition_columns, stat_exclude=stat_exclude,
+            table_config=snap.configuration,
         )
         for a in adds:
             a["dataChange"] = False
@@ -2887,7 +2899,8 @@ class OptimizeBuilder:
             )
             stat_exclude = set(lineage)
         adds = write_data_files(
-            df, t.path, snap.partition_columns, stat_exclude=stat_exclude
+            df, t.path, snap.partition_columns, stat_exclude=stat_exclude,
+            table_config=snap.configuration,
         )
         for a in adds:
             a["dataChange"] = False
@@ -2966,16 +2979,22 @@ AUTO_COMPACT_PROP = "delta.autoOptimize.autoCompact"
 AUTO_COMPACT_MIN_FILES_PROP = "jodie.autoCompact.minNumFiles"
 
 
-def maybe_auto_compact(table: DeltaTable, target_file_size: int = 128 * 1024 * 1024) -> bool:
+def maybe_auto_compact(
+    table: DeltaTable,
+    target_file_size: int = 128 * 1024 * 1024,
+    config: dict[str, str] | None = None,
+) -> bool:
     """Post-commit auto-compaction (delta.autoOptimize.autoCompact):
     when the table has accumulated at least ``minNumFiles`` (default
     50, override with jodie.autoCompact.minNumFiles) files smaller
     than the target size, run a bin-packing OPTIMIZE. The count runs
     Spark-side over files_df — never a driver file-list replay. Errors
-    never fail the triggering write (compaction is an optimization)."""
+    never fail the triggering write (compaction is an optimization).
+    ``config``: the triggering operation's snapshot configuration —
+    passing it skips a redundant log replay (the knob check reads at
+    the transaction's own snapshot, delta-spark's behavior)."""
     try:
-        snap = table.deltaLog.table_info()
-        cfg = snap.configuration
+        cfg = config if config is not None else table.deltaLog.table_info().configuration
         if str(cfg.get(AUTO_COMPACT_PROP, "false")).lower() != "true":
             return False
         min_files = int(cfg.get(AUTO_COMPACT_MIN_FILES_PROP, 50))
@@ -3625,7 +3644,7 @@ def write_delta(
             {"mode": "Append", "partitionBy": json.dumps(snap.partition_columns)},
             write_metrics(adds),
         )
-        maybe_auto_compact(table)
+        maybe_auto_compact(table, config=snap.configuration)
         return table
 
     if mode == "overwrite":

@@ -43,6 +43,7 @@ def write_data_files(
     table_path: str,
     partition_columns: list[str] | None = None,
     stat_exclude: set[str] | None = None,
+    table_config: dict[str, str] | None = None,
 ) -> list[dict[str, Any]]:
     """Write ``df`` as parquet under ``table_path``; return add actions.
 
@@ -64,18 +65,25 @@ def write_data_files(
     num_indexed: int | None = None
     optimize_write = False
     try:
-        from jodie_spark.tables.log import DeltaLog
+        # callers mid-operation pass the transaction snapshot's
+        # configuration (table_config) — skipping a redundant log
+        # replay + directory LIST per write, and reading the knobs at
+        # the operation's own snapshot rather than racing a concurrent
+        # metadata change
+        if table_config is None:
+            from jodie_spark.tables.log import DeltaLog
 
-        _log = DeltaLog(table_path)
-        if _log.exists():
-            cfg = _log.table_info().configuration
-            v = cfg.get("delta.dataSkippingNumIndexedCols")
-            if v is not None:
-                num_indexed = int(v)
-            optimize_write = (
-                str(cfg.get("delta.autoOptimize.optimizeWrite", "false")).lower()
-                == "true"
-            )
+            _log = DeltaLog(table_path)
+            if _log.exists():
+                table_config = _log.table_info().configuration
+        cfg = table_config or {}
+        v = cfg.get("delta.dataSkippingNumIndexedCols")
+        if v is not None:
+            num_indexed = int(v)
+        optimize_write = (
+            str(cfg.get("delta.autoOptimize.optimizeWrite", "false")).lower()
+            == "true"
+        )
     except Exception:
         num_indexed = None
     if optimize_write:
