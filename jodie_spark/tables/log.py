@@ -1536,7 +1536,7 @@ class DeltaLog:
         # so the NEXT commit (reading at `version`) skips its log scan
         self._commit_config_cache = (version, dict(config or {}), ict_enabled)
         self._write_version_checksum(version, actions)
-        self._maybe_checkpoint(version)
+        self._maybe_checkpoint(version, config)
         return version
 
     # -- version checksums (<version>.crc) ---------------------------------
@@ -1699,11 +1699,21 @@ class DeltaLog:
         except Exception:
             return DEFAULT_CHECKPOINT_INTERVAL
 
-    def _maybe_checkpoint(self, version: int) -> None:
+    def _maybe_checkpoint(
+        self, version: int, config: dict[str, str] | None = None
+    ) -> None:
+        """``config``: the committed version's table configuration when
+        the caller (commit) already resolved it — the interval check on
+        every NON-checkpoint commit then costs zero metadata replays."""
         if version <= 0:
             return
         try:
-            interval = self.checkpoint_interval(self.table_info(version))
+            if config is not None:
+                interval = int(
+                    config.get(CHECKPOINT_INTERVAL_PROP, DEFAULT_CHECKPOINT_INTERVAL)
+                )
+            else:
+                interval = self.checkpoint_interval(self.table_info(version))
         except Exception:
             interval = DEFAULT_CHECKPOINT_INTERVAL
         if interval > 0 and version % interval == 0:
@@ -1712,7 +1722,11 @@ class DeltaLog:
                 # checkpointing already paid one O(state) replay — use
                 # the moment to heal a broken .crc chain
                 self._restart_checksum_chain(version)
-                cfg = self.table_info(version).configuration
+                cfg = (
+                    config
+                    if config is not None
+                    else self.table_info(version).configuration
+                )
                 if str(cfg.get(EXPIRED_CLEANUP_PROP, "true")).lower() == "true":
                     # delta's post-checkpoint metadata cleanup (30-day
                     # default retention — a no-op on young tables)
