@@ -119,6 +119,20 @@ class FileSystem:
         """Child NAMES (not paths) of a directory; [] if absent."""
         raise NotImplementedError
 
+    def listdir_sizes(self, path: str) -> list[tuple[str, int]]:
+        """(name, size_bytes) per FILE child (directories excluded when
+        the backend distinguishes them; size -1 when unknown). Object
+        stores return sizes in the LIST response itself, so one call
+        replaces a LIST + one HEAD per entry — the default falls back
+        to exactly that slow shape for adapters that don't override."""
+        out = []
+        for name in self.listdir(path):
+            try:
+                out.append((name, self.size(self.join(path, name))))
+            except OSError:
+                continue  # raced deletion / directory entry
+        return out
+
     def walk_files(self, path: str) -> Iterator[str]:
         """All file paths under ``path`` (recursive), full paths."""
         for name in self.listdir(path):
@@ -224,6 +238,22 @@ class LocalFileSystem(FileSystem):
             return os.listdir(path)
         except FileNotFoundError:
             return []
+
+    def listdir_sizes(self, path: str) -> list[tuple[str, int]]:
+        # one scandir: the dirent batch carries stat results, so sizing
+        # a directory costs one syscall sweep, not a stat per name
+        out = []
+        try:
+            with os.scandir(path) as it:
+                for e in it:
+                    try:
+                        if e.is_file(follow_symlinks=True):
+                            out.append((e.name, e.stat(follow_symlinks=True).st_size))
+                    except OSError:
+                        continue
+        except FileNotFoundError:
+            return []
+        return out
 
     def walk_files(self, path: str) -> Iterator[str]:
         for root, _dirs, names in os.walk(path):
@@ -428,6 +458,11 @@ class PrefixFileSystem(FileSystem):
         self._count("listdir")
         return self._local.listdir(self.to_local(path))
 
+    def listdir_sizes(self, path: str) -> list[tuple[str, int]]:
+        # object-store LIST semantics: sizes ride the single LIST
+        self._count("listdir")
+        return self._local.listdir_sizes(self.to_local(path))
+
     def walk_files(self, path: str) -> Iterator[str]:
         self._count("walk_files")
         for f in self._local.walk_files(self.to_local(path)):
@@ -596,6 +631,17 @@ class ArrowFileSystem(FileSystem):
         fs, inner = self._resolve(path)
         sel = self._pafs.FileSelector(inner, recursive=False, allow_not_found=True)
         return [i.base_name for i in fs.get_file_info(sel)]
+
+    def listdir_sizes(self, path: str) -> list[tuple[str, int]]:
+        # object-store LIST responses carry sizes — one round trip, no
+        # HEAD-per-entry (the facade default's fallback shape)
+        fs, inner = self._resolve(path)
+        sel = self._pafs.FileSelector(inner, recursive=False, allow_not_found=True)
+        return [
+            (i.base_name, i.size if i.size is not None else -1)
+            for i in fs.get_file_info(sel)
+            if i.type == self._pafs.FileType.File
+        ]
 
     def open_input(self, path: str) -> BinaryIO:
         fs, inner = self._resolve(path)

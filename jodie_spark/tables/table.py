@@ -409,10 +409,12 @@ def _log_bytes(table_path: str) -> int:
     log = DeltaLog(table_path)
     total = 0
     try:
-        fs = log._fs
-        for name in fs.listdir(log.log_path):
+        # sized listing: ONE round trip (object-store LISTs carry
+        # sizes) — was a LIST plus a HEAD per log file, hundreds of
+        # metadata requests per DML plan on a mature table
+        for name, size in log._fs.listdir_sizes(log.log_path):
             if name.endswith(".json") or name.endswith(".parquet"):
-                total += fs.size(fs.join(log.log_path, name))
+                total += max(size, 0)
     except OSError:
         return _DRIVER_PLAN_MAX_LOG_BYTES + 1
     return total

@@ -875,3 +875,34 @@ def test_conditional_put_contended_commit_race():
             assert len(store) == 1  # the winner's bytes, intact
     finally:
         srv.shutdown()
+
+
+def test_listdir_sizes_across_backends(tmpdir_path):
+    """listdir_sizes: one round trip returning (name, bytes) per file —
+    local scandir, the object-store double, and the facade default must
+    agree with listdir+size and exclude directories."""
+    import os
+
+    from jodie_spark.fs import LocalFileSystem, MemoryFileSystem, S3SemanticsFileSystem
+
+    root = os.path.join(tmpdir_path, "lsz")
+    os.makedirs(os.path.join(root, "subdir"))
+    with open(os.path.join(root, "a.json"), "wb") as f:
+        f.write(b"x" * 7)
+    with open(os.path.join(root, "b.parquet"), "wb") as f:
+        f.write(b"y" * 1234)
+
+    lfs = LocalFileSystem()
+    got = dict(lfs.listdir_sizes(root))
+    assert got == {"a.json": 7, "b.parquet": 1234}  # subdir excluded
+
+    s3 = S3SemanticsFileSystem("fake3", root=os.path.join(tmpdir_path, "s3root"))
+    s3.write_atomic("fake3://t/_delta_log/0.json", b"z" * 11)
+    s3.counts.clear() if hasattr(s3, "counts") else None
+    got = dict(s3.listdir_sizes("fake3://t/_delta_log"))
+    assert got == {"0.json": 11}
+
+    mem = MemoryFileSystem()
+    mem.write_atomic("mem://d/x.bin", b"q" * 3)
+    got = dict(mem.listdir_sizes("mem://d"))
+    assert got == {"x.bin": 3}
