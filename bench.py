@@ -381,8 +381,13 @@ def main() -> None:
             "faster-than-reference machine never inflates its numbers"
         ),
     }
+    # run id ties the stdout line to the sidecar it describes — a
+    # consumer following queries_full can detect a stale file from an
+    # earlier run (e.g. when the sidecar write below fails)
+    run_id = f"{int(time.time() * 1000):x}"
     full_doc = {
         "metric": "jodie_spark_bench_total",
+        "run_id": run_id,
         "value": round(total, 3),
         "value_normalized": round(total * norm_factor, 3),
         "unit": "sec",
@@ -397,6 +402,7 @@ def main() -> None:
         "sf": sf,
         "notes": notes,
     }
+    sidecar_ok = True
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
@@ -406,6 +412,7 @@ def main() -> None:
             json.dump(full_doc, fh, indent=1)
             fh.write("\n")
     except OSError as e:  # sidecar is best-effort; the stdout line is the contract
+        sidecar_ok = False
         print(f"# bench_full.json not written: {e}", file=sys.stderr)
 
     # The driver records only the LAST 2000 chars of stdout; a line
@@ -428,7 +435,10 @@ def main() -> None:
         "n_queries": sum(
             1 for k in timings if k not in ("calibration", "calibration_io")
         ),
-        "queries_full": "bench_full.json",
+        # null when the sidecar write failed — never point a consumer at
+        # a stale file from an earlier run; run_id matches the sidecar's
+        "queries_full": "bench_full.json" if sidecar_ok else None,
+        "run_id": run_id,
         "sf": sf,
     }
     print(json.dumps(compact, separators=(",", ":")))

@@ -120,10 +120,17 @@ def exact_quantiles(
     # and know which quantile they are actually asking for.
     for q in qs:
         if abs(q - round(q, 10)) > 0.0:
+            suggested = round(q, 10)
+            hint = (
+                f"pass round(q, 10) (= {suggested!r}) explicitly"
+                if suggested > 0.0
+                # round(q,10)==0 would then fail the (0,1] check — give
+                # the smallest representable quantile as the way out
+                else "the smallest representable quantile is 1e-10"
+            )
             raise ValueError(
                 f"quantile {q!r} has more than 10 decimal digits; ranks "
-                "are exact only for 10-digit fractions — pass "
-                f"round(q, 10) (= {round(q, 10)!r}) explicitly"
+                f"are exact only for 10-digit fractions — {hint}"
             )
     if group_col is not None:
         return _grouped_exact_quantiles(df, value_col, qs, group_col)

@@ -33,7 +33,7 @@ import json
 import os
 import urllib.parse
 import uuid
-from typing import TYPE_CHECKING, Any, Iterator, Sequence
+from typing import TYPE_CHECKING, Any, Callable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -152,6 +152,34 @@ def _pack_file_partitions(
     if cur:
         out.append(_FileBatchPartition(cur))
     return out
+
+
+def _pack_add_partitions(
+    adds: "Sequence[dict]",
+    make_fp: "Callable[[dict], _FilePartition]",
+    threshold: int | None = None,
+) -> list[InputPartition]:
+    """Shared build-then-pack for the batch and stream readers: one
+    _FilePartition per add, greedily packed by the adds' log-recorded
+    sizes (see _pack_file_partitions)."""
+    parts: list[_FilePartition] = []
+    sizes: list[int] = []
+    for a in adds:
+        parts.append(make_fp(a))
+        sizes.append(int(a.get("size") or 0))
+    return _pack_file_partitions(parts, sizes, threshold)
+
+
+def _read_packed(partition, schema: StructType):
+    """Shared read-side unwrap: a packed batch yields each member file's
+    record batches in order; a bare _FilePartition reads directly."""
+    if partition is None:  # empty table / fully pruned scan
+        return
+    if isinstance(partition, _FileBatchPartition):
+        for fp in partition.files:
+            yield from _read_file_batches(fp, schema)
+        return
+    yield from _read_file_batches(partition, schema)
 
 
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
@@ -592,9 +620,8 @@ class JodieDeltaBatchReader(DataSourceReader):
         from jodie_spark.tables.row_lineage import lineage_cols
 
         mat = lineage_cols(snap.configuration) or (None, None)
-        parts = []
-        sizes = []
-        for a in adds:
+
+        def make_fp(a: dict) -> _FilePartition:
             fp = _FilePartition(
                 _data_path(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
@@ -607,20 +634,14 @@ class JodieDeltaBatchReader(DataSourceReader):
             )
             fp.name_map = name_map
             fp.field_ids = field_ids
-            parts.append(fp)
-            sizes.append(int(a.get("size") or 0))
+            return fp
+
         # beyond the threshold, pack many small files into one task —
         # a million-file table must not schedule a million Spark tasks
-        return _pack_file_partitions(parts, sizes, self._batch_threshold)
+        return _pack_add_partitions(adds, make_fp, self._batch_threshold)
 
     def read(self, partition: "_FilePartition | _FileBatchPartition"):
-        if partition is None:  # empty table / fully pruned scan
-            return
-        if isinstance(partition, _FileBatchPartition):
-            for fp in partition.files:
-                yield from _read_file_batches(fp, self.schema)
-            return
-        yield from _read_file_batches(partition, self.schema)
+        yield from _read_packed(partition, self.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1126,9 +1147,8 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
                         )
                 adds.extend(v_adds)
         name_map, field_ids = _logical_physical_map(log.table_info(end_v).metadata)
-        parts = []
-        sizes = []
-        for a in adds:
+
+        def make_fp(a: dict) -> _FilePartition:
             fp = _FilePartition(
                 _data_path(self.path, urllib.parse.unquote(a["path"])),
                 a.get("partitionValues") or {},
@@ -1137,23 +1157,17 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
             )
             fp.name_map = name_map
             fp.field_ids = field_ids
-            parts.append(fp)
-            sizes.append(int(a.get("size") or 0))
+            return fp
+
         # the snapshot FIRST batch of a stream over a huge table hits
         # the same wall as the batch reader: pack files above the
         # threshold so a million-file initial batch is not a
         # million-task micro-batch (incremental batches are per-commit
         # adds, far below the threshold, and stay per-file)
-        return _pack_file_partitions(parts, sizes)
+        return _pack_add_partitions(adds, make_fp)
 
     def read(self, partition: "_FilePartition | _FileBatchPartition"):
-        if partition is None:
-            return
-        if isinstance(partition, _FileBatchPartition):
-            for fp in partition.files:
-                yield from _read_file_batches(fp, self.schema)
-            return
-        yield from _read_file_batches(partition, self.schema)
+        yield from _read_packed(partition, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # log-backed source: nothing to clean up

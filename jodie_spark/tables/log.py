@@ -450,7 +450,7 @@ class _FileState:
     carries no duplicate paths.
     """
 
-    __slots__ = ("_base", "_overlay", "_dropped", "_dict")
+    __slots__ = ("_base", "_overlay", "_dropped", "_dict", "_mask")
 
     def __init__(
         self,
@@ -462,6 +462,10 @@ class _FileState:
         self._overlay = overlay
         self._dropped = dropped
         self._dict: dict[str, dict[str, Any]] | None = None
+        # keep-mask cache: the state is immutable after construction,
+        # and one snapshot+checkpoint cycle asks for counts/sizes/dict
+        # 4-5 times — each a fresh million-row is_in scan without this
+        self._mask: "pa.ChunkedArray | None" = None
 
     @classmethod
     def from_dict(cls, d: dict[str, dict[str, Any]]) -> "_FileState":
@@ -469,15 +473,18 @@ class _FileState:
         return st
 
     def _base_keep_mask(self) -> "pa.ChunkedArray | None":
-        """True for base rows not removed/overridden by the overlay."""
+        """True for base rows not removed/overridden by the overlay.
+        Computed once and cached (the state is immutable)."""
         import pyarrow.compute as pc
 
         if self._base is None or not self._dropped:
             return None
-        paths = pc.struct_field(self._base, "path")
-        return pc.invert(
-            pc.is_in(paths, value_set=pa.array(sorted(self._dropped), pa.string()))
-        )
+        if self._mask is None:
+            paths = pc.struct_field(self._base, "path")
+            self._mask = pc.invert(
+                pc.is_in(paths, value_set=pa.array(sorted(self._dropped), pa.string()))
+            )
+        return self._mask
 
     def as_dict(self) -> dict[str, dict[str, Any]]:
         """The classic ``path -> payload`` dict — built once, cached.
@@ -502,6 +509,7 @@ class _FileState:
             d.update(self._overlay)
             self._dict = d
             self._base = None  # release the arrow copy; the dict rules now
+            self._mask = None
         return self._dict
 
     def __len__(self) -> int:
@@ -871,6 +879,23 @@ class DeltaLog:
                 col = col.filter(mask)
                 chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
 
+        def _widen(chunk: pa.Array, target: pa.DataType) -> pa.Array:
+            # pyarrow cannot CAST a struct to a superset struct (cast
+            # requires matching field sets), so widen by hand: take each
+            # target field's child when the chunk has it (casting
+            # scalar-type drift), else a null child. Rows are all valid
+            # here (the path-validity filter ran before this).
+            children = []
+            have = {f.name: i for i, f in enumerate(chunk.type)}
+            for f in target:
+                i = have.get(f.name)
+                if i is None:
+                    children.append(pa.nulls(len(chunk), f.type))
+                else:
+                    child = chunk.field(i)
+                    children.append(child if child.type == f.type else child.cast(f.type))
+            return pa.StructArray.from_arrays(children, fields=list(target))
+
         def _concat(chunks: list[pa.Array]) -> pa.ChunkedArray | None:
             if not chunks:
                 return None
@@ -878,12 +903,14 @@ class DeltaLog:
             if len(types) > 1:
                 # a foreign writer's multi-part checkpoint may vary the
                 # struct width (absent optional fields) across parts —
-                # promote to the unified superset before chunking
+                # promote every chunk to the unified superset
                 unified = pa.unify_schemas(
                     [pa.schema([("x", t)]) for t in types],
                     promote_options="permissive",
                 ).field("x").type
-                chunks = [c.cast(unified) for c in chunks]
+                chunks = [
+                    c if c.type == unified else _widen(c, unified) for c in chunks
+                ]
             return pa.chunked_array(chunks)
 
         return small, _concat(add_chunks), _concat(remove_chunks)

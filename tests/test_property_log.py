@@ -309,3 +309,78 @@ def test_file_state_matches_dict_model(ops, cp_n):
     # post-materialization answers identical
     assert stt.num_files() == len(model)
     assert stt.size_in_bytes() == sum(v["size"] for v in model.values())
+
+
+def test_multipart_checkpoint_with_varying_struct_width(spark, tmpdir_path):
+    """A foreign writer's multi-part checkpoint whose parts carry
+    DIFFERENT add-struct widths (an optional field present in one part
+    only) must still replay: pyarrow cannot CAST a struct to a superset
+    struct, so the reader widens chunks by hand (review r12 — the
+    unify_schemas+cast path crashed with ArrowTypeError on exactly the
+    case its comment claimed to handle)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.log import (
+        DeltaLog,
+        multipart_checkpoint_file_name,
+    )
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    p = os.path.join(tmpdir_path, "vary")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), p)
+    log = DeltaLog(p)
+    snap = log.snapshot()
+    adds = snap.add_files()
+    assert len(adds) >= 1
+
+    # part 1: narrow add struct (no stats field); part 2: wider (stats)
+    def part(add, with_stats, with_meta):
+        fields = [("path", pa.string()), ("size", pa.int64()),
+                  ("modificationTime", pa.int64()), ("dataChange", pa.bool_()),
+                  ("partitionValues", pa.map_(pa.string(), pa.string()))]
+        if with_stats:
+            fields.append(("stats", pa.string()))
+        t = pa.struct(fields)
+        row = {"path": add["path"], "size": int(add.get("size") or 0),
+               "modificationTime": int(add.get("modificationTime") or 0),
+               "dataChange": False, "partitionValues": []}
+        if with_stats:
+            row["stats"] = add.get("stats")
+        cols = {"add": pa.array([row], t)}
+        if with_meta:
+            cols["metaData"] = pa.array([snap.metadata], pa.struct([
+                ("id", pa.string()), ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("format", pa.struct([("provider", pa.string())])),
+            ]))
+            cols["protocol"] = pa.array([{"minReaderVersion": 1,
+                                          "minWriterVersion": 2}],
+                                        pa.struct([("minReaderVersion", pa.int32()),
+                                                   ("minWriterVersion", pa.int32())]))
+        return pa.table(cols)
+
+    # split real adds across the two parts (duplicate-free)
+    a1 = adds[0]
+    a2 = adds[1] if len(adds) > 1 else None
+    ld = os.path.join(p, "_delta_log")
+    v = log.latest_version()
+    pq.write_table(part(a1, with_stats=False, with_meta=True),
+                   os.path.join(ld, multipart_checkpoint_file_name(v, 1, 2)))
+    pq.write_table(part(a2 or a1, with_stats=True, with_meta=False),
+                   os.path.join(ld, multipart_checkpoint_file_name(v, 2, 2)))
+    with open(os.path.join(ld, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": v, "size": 2}))
+
+    snap2 = DeltaLog(p).snapshot()
+    expect = 2 if a2 is not None else 1
+    assert snap2.num_files() == expect
+    d = snap2.files
+    assert a1["path"] in d
+    # the widened narrow-part row surfaces the absent field as None
+    assert d[a1["path"]].get("stats") is None
+    if a2 is not None:
+        assert d[a2["path"]].get("stats") == a2.get("stats")
