@@ -182,6 +182,17 @@ def _read_packed(partition, schema: StructType):
     yield from _read_file_batches(partition, schema)
 
 
+def _read_cdf_packed(partition, schema: StructType):
+    """CDF flavor of _read_packed (the member read fn differs)."""
+    if partition is None:  # no change files in the batch's range
+        return
+    if isinstance(partition, _FileBatchPartition):
+        for fp in partition.files:
+            yield from _read_cdf_file_batches(fp, schema)
+        return
+    yield from _read_cdf_file_batches(partition, schema)
+
+
 def _parse_partition_value(raw: str | None, spark_type_name: str) -> Any:
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
@@ -712,6 +723,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
     # output schema is the latest logical one
     name_map, field_ids = _logical_physical_map(log.table_info(end_v).metadata)
     out: list[_CdfFilePartition] = []
+    sizes: list[int] = []
     for v in range(start_v + 1, end_v + 1):
         actions = log.read_actions(v)
         ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
@@ -735,6 +747,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
                         p, "cdc", v, ts, a["cdc"].get("partitionValues") or {}, path
                     )
                 )
+                sizes.append(int(a["cdc"].get("size") or 0))
             elif "add" in a and a["add"] and a["add"].get("dataChange", True):
                 adds.append(a["add"])
             elif "remove" in a and a["remove"] and a["remove"].get("dataChange", True):
@@ -758,6 +771,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
                     ad.get("deletionVector"),
                 )
             )
+            sizes.append(int(ad.get("size") or 0))
         for rm in removes:
             p, ok = _data_isfile(path, urllib.parse.unquote(rm["path"]))
             if not ok:
@@ -776,10 +790,14 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
                     rm.get("deletionVector"),
                 )
             )
+            sizes.append(int(rm.get("size") or 0))
     for part in out:
         part.name_map = name_map
         part.field_ids = field_ids
-    return out
+    # a long replay (startingVersion=0 over a mature history) would
+    # otherwise plan one task per change file — pack like the plain
+    # readers (order preserved: _commit_version rides each row anyway)
+    return _pack_file_partitions(out, sizes)
 
 
 def _read_cdf_file_batches(
@@ -917,10 +935,8 @@ class JodieDeltaCdfStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         return _cdf_partitions(self.path, int(start["version"]), int(end["version"]))
 
-    def read(self, partition: _CdfFilePartition):
-        if partition is None:  # no change files in the batch's range
-            return
-        yield from _read_cdf_file_batches(partition, self.schema)
+    def read(self, partition: "_CdfFilePartition | _FileBatchPartition"):
+        yield from _read_cdf_packed(partition, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # log-backed source: nothing to clean up
@@ -969,10 +985,8 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
         )
         return _cdf_partitions(self.path, self.start_v - 1, end_v)
 
-    def read(self, partition: _CdfFilePartition):
-        if partition is None:
-            return
-        yield from _read_cdf_file_batches(partition, self.schema)
+    def read(self, partition: "_CdfFilePartition | _FileBatchPartition"):
+        yield from _read_cdf_packed(partition, self.schema)
 
 
 class JodieDeltaStreamReader(DataSourceStreamReader):
