@@ -702,7 +702,9 @@ def _cdf_schema(table_schema: StructType) -> StructType:
     )
 
 
-def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartition]:
+def _cdf_partitions(
+    path: str, start_v: int, end_v: int, threshold: int | None = None
+) -> "list[InputPartition]":
     """Driver-side: classify each commit in ``(start_v, end_v]`` into
     change-bearing file partitions, enforcing CDF coverage the same way
     delta-spark's CDCReader does (raises when a version in range has no
@@ -797,7 +799,7 @@ def _cdf_partitions(path: str, start_v: int, end_v: int) -> list[_CdfFilePartiti
     # a long replay (startingVersion=0 over a mature history) would
     # otherwise plan one task per change file — pack like the plain
     # readers (order preserved: _commit_version rides each row anyway)
-    return _pack_file_partitions(out, sizes)
+    return _pack_file_partitions(out, sizes, threshold)
 
 
 def _read_cdf_file_batches(
@@ -966,6 +968,8 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
                 "readChangeFeed batch reads require startingVersion "
                 "or startingTimestamp"
             )
+        bt = options.get("filesPerTaskThreshold")
+        self._batch_threshold = int(bt) if bt is not None else None
         if options.get("endingVersion") is not None:
             self.end_v = int(options["endingVersion"])
         elif options.get("endingTimestamp") is not None:
@@ -983,7 +987,9 @@ class JodieDeltaCdfBatchReader(DataSourceReader):
         end_v = (
             DeltaLog(self.path).latest_version() if self.end_v is None else self.end_v
         )
-        return _cdf_partitions(self.path, self.start_v - 1, end_v)
+        return _cdf_partitions(
+            self.path, self.start_v - 1, end_v, threshold=self._batch_threshold
+        )
 
     def read(self, partition: "_CdfFilePartition | _FileBatchPartition"):
         yield from _read_cdf_packed(partition, self.schema)

@@ -1059,3 +1059,42 @@ def test_batch_reader_packs_many_small_files(spark, tmpdir_path):
     assert df.count() == 200
     assert df.rdd.getNumPartitions() == 1  # 8 tiny files -> one packed task
     assert sorted(r["id"] for r in df.filter("k = 3").collect()) == list(range(3, 200, 7))
+
+
+def test_cdf_batch_read_packs_change_files(spark, tmpdir_path):
+    """A CDF replay over many change files packs into few tasks when
+    forced below the threshold, with values identical to the per-file
+    plan (the packed path must not reorder or drop change rows)."""
+    import os
+
+    from jodie_spark.sources.datasource import register
+    from jodie_spark.tables.table import DeltaTable, write_delta
+
+    register(spark)
+    p = os.path.join(tmpdir_path, "cdfpack")
+    write_delta(
+        spark.createDataFrame([(i, i) for i in range(20)], ["k", "v"]).repartition(6),
+        p,
+        options={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.forPath(spark, p)
+    t.update("k < 5", {"v": "v + 100"})
+    t.delete("k >= 18")
+
+    def read(threshold=None):
+        r = (
+            spark.read.format("jodie_delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+        )
+        if threshold is not None:
+            r = r.option("filesPerTaskThreshold", str(threshold))
+        df = r.load(p)
+        return df, sorted(
+            (x["_change_type"], x["k"], x["_commit_version"]) for x in df.collect()
+        )
+
+    df_plain, plain = read()
+    df_packed, packed = read(threshold=1)
+    assert packed == plain and len(plain) == 32
+    assert df_packed.rdd.getNumPartitions() < df_plain.rdd.getNumPartitions()
