@@ -520,3 +520,95 @@ def test_datasource_translates_in_filter():
     assert _filters_to_condition(
         [GreaterThanOrEqual(("nts",), dt.datetime(2024, 1, 2, 3, 0))], sch
     ) == "nts >= '2024-01-02 03:00:00'"
+
+
+def test_planner_agreement_randomized(spark):
+    """Seeded randomized sweep: the Spark-side files filter
+    (_file_filter_column) and the driver-side evaluator (file_may_match)
+    must KEEP IDENTICAL file sets for random stats/partition-value adds
+    — including NULL and uncastable partition values — across every
+    conjunct kind (=, <, >=, !=, IN, NOT IN, BETWEEN, LIKE-prefix,
+    IS [NOT] NULL, AND pairs). Deterministic (seed pinned); one files-DF
+    evaluation per condition, not per add."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jodie_spark.tables.distribution import _file_filter_column, _stats_schema
+
+    rng = random.Random(0xC0FFEE)
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("p", T.IntegerType()),
+    ])
+    parts = ["p"]
+
+    def rand_add(n):
+        ints = [rng.randint(-20, 20) for _ in range(rng.randint(1, 4))]
+        strs = [rng.choice(["a", "ab", "b", "bc", "c"]) for _ in range(len(ints))]
+        nulls_i = rng.randint(0, 1)
+        stats = {
+            "numRecords": len(ints) + nulls_i,
+            "minValues": {"i": min(ints), "s": min(strs)},
+            "maxValues": {"i": max(ints), "s": max(strs)},
+            "nullCount": {"i": nulls_i, "s": 0},
+        }
+        pv = rng.choice([str(rng.randint(0, 3)), None, "abc"])  # castable/NULL/uncastable
+        return {
+            "path": f"f{n}",
+            "partitionValues": {"p": pv},
+            "stats": _json.dumps(stats) if rng.random() > 0.1 else None,
+        }
+
+    adds = [rand_add(n) for n in range(60)]
+    fdf = spark.createDataFrame(
+        [(a["path"], a["partitionValues"], a["stats"]) for a in adds],
+        "path string, partitionValues map<string,string>, stats string",
+    ).withColumn("parsed_stats", F.from_json("stats", _stats_schema(schema))).cache()
+
+    def rand_cond():
+        col = rng.choice(["i", "s", "p"])
+        lit = (
+            rng.randint(-25, 25)
+            if col in ("i", "p")
+            else "'" + rng.choice(["a", "ab", "b", "zz"]) + "'"
+        )
+        kind = rng.choice(["cmp", "neq", "in", "notin", "between", "null", "notnull", "like"])
+        if kind == "cmp":
+            return f"{col} {rng.choice(['=', '<', '<=', '>', '>='])} {lit}"
+        if kind == "neq":
+            return f"{col} != {lit}"
+        if kind == "in" or kind == "notin":
+            vals = ", ".join(
+                str(rng.randint(-25, 25)) if col in ("i", "p") else f"'{rng.choice(['a','b','c'])}'"
+                for _ in range(rng.randint(1, 3))
+            )
+            return f"{col} {'not in' if kind == 'notin' else 'in'} ({vals})"
+        if kind == "between":
+            if col in ("i", "p"):
+                lo = rng.randint(-25, 10); hi = lo + rng.randint(0, 15)
+                return f"{col} between {lo} and {hi}"
+            return f"{col} between 'a' and 'b'"
+        if kind == "null":
+            return f"{col} is null"
+        if kind == "notnull":
+            return f"{col} is not null"
+        return f"{col} like '{rng.choice(['a', 'b'])}%'" if col == "s" else f"{col} = {lit}"
+
+    conditions = [rand_cond() for _ in range(40)]
+    conditions += [f"({rand_cond()}) and ({rand_cond()})" for _ in range(10)]
+    columns = [f.name for f in schema.fields]
+    for cond in conditions:
+        keep_col, _ = _file_filter_column(cond, schema, parts)
+        spark_kept = {
+            r["path"] for r in fdf.select("path", keep_col.alias("k")).collect() if r["k"]
+        }
+        cjs = [classify_conjunct(c, columns) for c in split_conjuncts(cond)]
+        drv_kept = {a["path"] for a in adds if file_may_match(a, cjs, schema, parts)}
+        assert spark_kept == drv_kept, (
+            f"planner divergence for {cond!r}: spark-only="
+            f"{sorted(spark_kept - drv_kept)} driver-only={sorted(drv_kept - spark_kept)}"
+        )
+    fdf.unpersist()
