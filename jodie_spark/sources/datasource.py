@@ -594,11 +594,9 @@ class JodieDeltaBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         from jodie_spark.tables.log import DeltaLog
-        from jodie_spark.tables.pruning import prune_files
 
         log = DeltaLog(self.path)
         snap = log.snapshot(int(self.version) if self.version is not None else None)
-        adds = snap.add_files()
         # RENAMED column-mapped tables: the log's stats/partitionValues
         # keys are PHYSICAL names — evaluating a logical-name condition
         # against them can COLLIDE (a logical name equal to another
@@ -625,9 +623,14 @@ class JodieDeltaBatchReader(DataSourceReader):
                 )
             except Exception:
                 pass  # derivation is an optimization, never a gate
-            adds = prune_files(
-                adds, cond, self.schema, snap.partition_columns
+            # columnar pre-mask + exact-evaluator survivors: a filtered
+            # 1M-add scan plans without ever materializing 1M payload
+            # dicts (pruning_arrow; result identical to prune_files)
+            adds = snap._require_files().pruned_adds(
+                cond, self.schema, snap.partition_columns
             )
+        else:
+            adds = snap.add_files()
         from jodie_spark.tables.row_lineage import lineage_cols
 
         mat = lineage_cols(snap.configuration) or (None, None)

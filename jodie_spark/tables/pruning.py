@@ -721,6 +721,25 @@ def file_may_match(
 _MAX_SKIP_TREE_DEPTH = 20
 
 
+def build_skip_tree(condition: str, columns: list[str], depth: int = 0):
+    """The classified AND/OR leaf tree both evaluators share — the flat
+    per-add Python predicate below and the vectorized arrow mask
+    (pruning_arrow.arrow_keep_mask). ONE builder, so the two can never
+    disagree on classification or precedence. Nodes are ``("and"|"or",
+    children)`` or ``("leaf", Conjunct)``; None means always-may-match
+    (pathological nesting)."""
+    if depth > _MAX_SKIP_TREE_DEPTH:
+        return None
+    nodes: list[Any] = []
+    for c in split_conjuncts(condition):
+        ds = _split_top_level(c, "or")
+        if len(ds) > 1:
+            nodes.append(("or", [build_skip_tree(d, columns, depth + 1) for d in ds]))
+        else:
+            nodes.append(("leaf", classify_conjunct(c, columns)))
+    return ("and", nodes)
+
+
 def compile_skipping_predicate(
     condition: str,
     schema: T.StructType,
@@ -737,20 +756,7 @@ def compile_skipping_predicate(
     a single leaf list so stats parse once per file, exactly the old
     fast path."""
     columns = [f.name for f in schema.fields]
-
-    def build(expr: str, depth: int):
-        if depth > _MAX_SKIP_TREE_DEPTH:
-            return None  # pathological nesting: always-may-match
-        nodes: list[Any] = []
-        for c in split_conjuncts(expr):
-            ds = _split_top_level(c, "or")
-            if len(ds) > 1:
-                nodes.append(("or", [build(d, depth + 1) for d in ds]))
-            else:
-                nodes.append(("leaf", classify_conjunct(c, columns)))
-        return ("and", nodes)
-
-    tree = build(condition, 0)
+    tree = build_skip_tree(condition, columns)
 
     def flat_leaves(node):
         """Leaf list when the tree is a pure conjunction, else None."""

@@ -460,10 +460,12 @@ def plan_candidate_files(
     counting happens on the cached data read or via a Spark aggregate.
     """
     if _log_bytes(table_path) <= _DRIVER_PLAN_MAX_LOG_BYTES:
-        from jodie_spark.tables.pruning import prune_files
-
         snap = DeltaLog(table_path).snapshot()
-        return prune_files(snap.add_files(), condition, schema, partition_columns)
+        # columnar pre-mask + exact survivors (same result as
+        # prune_files over add_files(), without the full dict view)
+        return snap._require_files().pruned_adds(
+            condition, schema, partition_columns
+        )
 
     from jodie_spark.tables.distribution import (
         _file_filter_column,
