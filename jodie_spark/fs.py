@@ -127,10 +127,18 @@ class FileSystem:
         to exactly that slow shape for adapters that don't override."""
         out = []
         for name in self.listdir(path):
+            child = self.join(path, name)
             try:
-                out.append((name, self.size(self.join(path, name))))
+                # match the Local/Arrow overrides' contract: directory
+                # entries are EXCLUDED even when size() happens to
+                # succeed on them (ADVICE r12 — a custom adapter whose
+                # size() works on directories would otherwise overcount
+                # in _log_bytes)
+                if not self.isfile(child):
+                    continue
+                out.append((name, self.size(child)))
             except OSError:
-                continue  # raced deletion / directory entry
+                continue  # raced deletion
         return out
 
     def walk_files(self, path: str) -> Iterator[str]:
@@ -715,6 +723,20 @@ class ArrowFileSystem(FileSystem):
             return "s3a://" + path[len("s3://"):]
         return path
 
+    def _readback_matches(self, path: str, data: bytes) -> bool:
+        """Ambiguous-commit disambiguation for the conditional-put
+        subclasses: when a transient fault (5xx/429) was retried and the
+        store then answers "already exists", the FAULTED attempt may
+        have actually landed server-side. Read the live object through
+        the data plane and compare — byte-identical means OUR commit
+        won and the committer must NOT re-commit the same actions at
+        N+1 (duplicate commit). Any read failure degrades to False
+        (treated as a genuine lost race, today's behavior)."""
+        try:
+            return self.read_bytes(path) == bytes(data)
+        except Exception:  # noqa: BLE001 — auth/consistency/transport
+            return False
+
 
 class S3ConditionalPutFileSystem(ArrowFileSystem):
     """ArrowFileSystem whose commit primitive is a TRUE atomic
@@ -762,27 +784,104 @@ class S3ConditionalPutFileSystem(ArrowFileSystem):
         bucket, _, key = rest.partition("/")
         return bucket, key
 
+    # S3's documented transient/throttle error codes (retry guidance:
+    # bounded backoff with jitter); precondition codes are the race
+    # answer and never retried
+    _TRANSIENT_CODES = frozenset(
+        {"SlowDown", "Throttling", "ThrottlingException", "InternalError",
+         "ServiceUnavailable", "RequestTimeout", "503", "500"}
+    )
+
     def create_exclusive(self, path: str, data: bytes) -> None:
+        import time as _time
+
         bucket, key = self._bucket_key(path)
-        try:
-            self._s3_client().put_object(
-                Bucket=bucket, Key=key, Body=bytes(data), IfNoneMatch="*"
-            )
-        except Exception as e:  # botocore ClientError without importing it
-            resp = getattr(e, "response", None) or {}
-            code = str((resp.get("Error") or {}).get("Code", ""))
-            status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
-            if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
-                status in (412, 409)
-            ):
-                # 412 = object exists (we lost the commit race);
-                # 409 = another conditional write in flight — either
-                # way this writer must re-read the log and retry at N+1
-                raise FileExistsError(path) from None
-            raise
+        body = bytes(data)
+        saw_transient = False
+        attempt = 0
+        while True:
+            try:
+                self._s3_client().put_object(
+                    Bucket=bucket, Key=key, Body=body, IfNoneMatch="*"
+                )
+                return
+            except Exception as e:  # botocore ClientError without importing it
+                resp = getattr(e, "response", None) or {}
+                code = str((resp.get("Error") or {}).get("Code", ""))
+                status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+                if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
+                    status in (412, 409)
+                ):
+                    # 412 = object exists (we lost the commit race);
+                    # 409 = another conditional write in flight — either
+                    # way this writer must re-read the log and retry at
+                    # N+1. EXCEPT when a retried transient fault
+                    # preceded: the faulted attempt may have landed, so
+                    # byte-compare before conceding (duplicate-commit
+                    # hazard — see _readback_matches)
+                    if saw_transient and self._readback_matches(path, body):
+                        return
+                    raise FileExistsError(path) from None
+                transient = code in self._TRANSIENT_CODES or (
+                    status in _TRANSIENT_PUT_STATUSES
+                )
+                attempt += 1
+                if not transient or attempt >= _PUT_RETRY_ATTEMPTS:
+                    raise
+                saw_transient = True
+                _time.sleep(_transient_put_backoff(attempt))
 
 
 _CONDITIONAL_PUT_TIMEOUT_S = 60.0
+
+# transient-fault retry for the conditional-put commit primitive
+# (VERDICT r12 item 4). All three stores document retry-with-backoff for
+# these statuses (S3 503 SlowDown / 500 InternalError, GCS 429/5xx,
+# Azure 500/503); 412/409 are SEMANTIC answers (the race outcome) and
+# are NEVER retried. Bounded attempts + full jitter per the stores'
+# published guidance.
+_TRANSIENT_PUT_STATUSES = frozenset({429, 500, 502, 503})
+_PUT_RETRY_ATTEMPTS = 4  # 1 initial + 3 retries
+_PUT_RETRY_BASE_S = 0.2
+_PUT_RETRY_CAP_S = 2.0
+
+
+def _transient_put_backoff(attempt: int) -> float:
+    """Full-jitter exponential backoff delay for retry ``attempt``
+    (1-based): uniform in [0, min(cap, base * 2^attempt)]."""
+    import random
+
+    return random.uniform(0.0, min(_PUT_RETRY_CAP_S, _PUT_RETRY_BASE_S * (2 ** attempt)))
+
+
+def _put_with_transient_retry(
+    http_put: "Callable[[str, bytes, dict[str, str]], tuple[int, bytes]]",
+    url: str,
+    data: bytes,
+    headers: dict[str, str],
+    what: str,
+) -> tuple[int, bytes, bool]:
+    """Issue the conditional PUT, retrying 429/500/502/503 with bounded
+    jittered backoff. Returns ``(status, body, saw_transient)`` — the
+    final status is NEVER a retried one unless attempts ran out, and
+    412/409 short-circuit immediately (they are the race answer, not a
+    fault). ``saw_transient`` lets the caller disambiguate a 412 that
+    follows a 5xx: the faulted attempt may have actually landed
+    server-side (ambiguous failure), in which case blindly reporting
+    lost-race would make the committer re-commit the SAME actions at
+    N+1 — a duplicate commit. Callers read the object back and treat a
+    byte-identical body as success."""
+    import time as _time
+
+    saw_transient = False
+    status, body = http_put(url, data, headers)
+    for attempt in range(1, _PUT_RETRY_ATTEMPTS):
+        if status not in _TRANSIENT_PUT_STATUSES:
+            break
+        saw_transient = True
+        _time.sleep(_transient_put_backoff(attempt))
+        status, body = http_put(url, data, headers)
+    return status, body, saw_transient
 
 
 def _http_conditional_put(
@@ -858,11 +957,19 @@ class GcsConditionalPutFileSystem(ArrowFileSystem):
         }
         if self._auth_headers is not None:
             headers.update(self._auth_headers())
-        status, body = self._http_put(url, bytes(data), headers)
-        if status == 412 or status == 409:
-            # 412 = object already exists (precondition failed); 409 =
-            # concurrent mutation on the same object — both mean this
-            # writer lost the commit race
+        status, body, saw_transient = _put_with_transient_retry(
+            self._http_put, url, bytes(data), headers, f"GCS put {path}"
+        )
+        if status == 412 and saw_transient and self._readback_matches(path, data):
+            return  # the faulted attempt landed: this commit IS ours
+        if status == 412:
+            # precondition failed = the object exists: this writer lost
+            # the commit race. GCS signals races ONLY via 412 — a 409 is
+            # a bucket-level conflict (e.g. concurrent bucket op), NOT a
+            # lost commit, and must surface as an error, not a silent
+            # retry at N+1 (ADVICE r12; the 409-as-race mapping is
+            # correct for ABFS, where 409 BlobAlreadyExists is the
+            # documented answer)
             raise FileExistsError(path)
         if status >= 300:
             raise OSError(
@@ -936,9 +1043,18 @@ class AbfsConditionalPutFileSystem(ArrowFileSystem):
         }
         if self._auth_headers is not None:
             headers.update(self._auth_headers())
-        status, body = self._http_put(url, bytes(data), headers)
+        status, body, saw_transient = _put_with_transient_retry(
+            self._http_put, url, bytes(data), headers, f"ABFS put {path}"
+        )
+        if (
+            status in (409, 412)
+            and saw_transient
+            and self._readback_matches(path, data)
+        ):
+            return  # the faulted attempt landed: this commit IS ours
         if status == 409 or status == 412:
             # 409 BlobAlreadyExists / 412 ConditionNotMet — lost the race
+            # (Azure's documented answers for an If-None-Match:* Put Blob)
             raise FileExistsError(path)
         if status >= 300:
             raise OSError(

@@ -81,6 +81,7 @@ def exact_quantiles(
     value_col: str,
     qs: list[float],
     group_col: str | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """EXACT discrete quantiles of ``value_col`` at scale — columns
     ``(q, value)`` where ``value`` is the smallest v whose cumulative
@@ -108,6 +109,10 @@ def exact_quantiles(
     percentiles). The cumulative sum becomes a group-partitioned window
     over the histogram, bounded by one group's distinct values per
     window partition; NULL groups are ignored.
+
+    ``quantize=True`` rounds each q to 10 decimal digits instead of
+    rejecting it (the output ``q`` column carries the ROUNDED value) —
+    the escape hatch for callers passing computed fractions like 1/3.
     """
     for q in qs:
         if not (0.0 < q <= 1.0):
@@ -118,6 +123,11 @@ def exact_quantiles(
     # be cast-rounded SILENTLY, shifting the rank by up to 5e-11*N
     # (~50 ranks at N=1e12) — reject it so callers quantize explicitly
     # and know which quantile they are actually asking for.
+    # BREAKING since r12 (see CHANGELOG): such inputs previously
+    # succeeded with silent rank rounding; ``quantize=True`` is the
+    # opt-in escape hatch that rounds for the caller (ADVICE r12).
+    if quantize:
+        qs = [round(q, 10) if round(q, 10) > 0.0 else 1e-10 for q in qs]
     for q in qs:
         if abs(q - round(q, 10)) > 0.0:
             suggested = round(q, 10)

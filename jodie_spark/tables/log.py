@@ -389,6 +389,11 @@ def _map_child_to_dicts(col: "pa.Array") -> list[dict[str, Any] | None]:
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     keys = col.keys.to_pylist()
     items = col.items.to_pylist()
+    if _type_contains_map(col.type.item_type):
+        # map-of-map (no Delta action schema has one, but foreign
+        # extensions could): nested map VALUES arrive as list-of-tuples
+        # from to_pylist — normalize them the generic way (ADVICE r12)
+        items = [_maps_to_dicts(v) for v in items]
     valid = col.is_valid().to_numpy(zero_copy_only=False)
     for i in range(len(col)):
         if valid[i]:
@@ -399,9 +404,14 @@ def _map_child_to_dicts(col: "pa.Array") -> list[dict[str, Any] | None]:
 
 def _type_contains_map(t: "pa.DataType") -> bool:
     if pa.types.is_map(t):
+        # a map VALUE can itself contain maps (map<str, map<...>>):
+        # recursing matters only for _struct_rows' fallback normalizer,
+        # where a nested map must also take the dict path (ADVICE r12)
         return True
-    if pa.types.is_struct(t) or pa.types.is_list(t) or pa.types.is_large_list(t):
-        return any(_type_contains_map(f.type) for f in t) if pa.types.is_struct(t) else _type_contains_map(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_type_contains_map(f.type) for f in t)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _type_contains_map(t.value_type)
     return False
 
 
@@ -550,6 +560,61 @@ class _FileState:
         out.extend(a for a in self._overlay.values() if pred(a))
         return out
 
+    def iter_rows(
+        self,
+        columns: tuple[str, ...] | None = None,
+        require: str | None = None,
+    ) -> Iterator[dict[str, Any]]:
+        """Stream payload dicts WITHOUT building or caching the full
+        dict view — the columnar serving lane for consumers that need a
+        few fields of every row (vacuum's tombstone sweep, fsck's
+        existence scan) or every field of a few rows (DV'd adds).
+
+        ``columns`` restricts materialization to those fields (absent
+        fields simply don't appear — consumers use ``.get``); ``require``
+        keeps only rows where that field is non-null, evaluated as ONE
+        Arrow validity kernel over the base instead of a million dict
+        probes. Order matches :meth:`as_dict`: base rows, then overlay.
+        """
+        if self._dict is not None:
+            for p in self._dict.values():
+                if require is not None and p.get(require) is None:
+                    continue
+                yield p if columns is None else {
+                    c: p.get(c) for c in columns if c in p
+                }
+            return
+        import pyarrow.compute as pc
+
+        base = self._base
+        if base is not None:
+            mask = self._base_keep_mask()
+            if mask is not None:
+                base = base.filter(mask)
+            if isinstance(base, pa.ChunkedArray):
+                base = base.combine_chunks()
+            names = {f.name for f in base.type}
+            if require is not None and require not in names:
+                base = None  # the field never occurs in the base
+            elif require is not None:
+                base = base.filter(
+                    pc.is_valid(pc.struct_field(base, require))
+                )
+            if base is not None and columns is not None:
+                fields = [f for f in base.type if f.name in columns]
+                children = [
+                    pc.struct_field(base, f.name) for f in fields
+                ]
+                base = pa.StructArray.from_arrays(children, fields=fields)
+            if base is not None:
+                yield from _struct_rows(base)
+        for p in self._overlay.values():
+            if require is not None and p.get(require) is None:
+                continue
+            yield p if columns is None else {
+                c: p.get(c) for c in columns if c in p
+            }
+
     def __len__(self) -> int:
         return self.num_files()
 
@@ -648,6 +713,25 @@ class Snapshot:
 
     def add_files(self) -> list[dict[str, Any]]:
         return list(self._require_files().as_dict().values())
+
+    def iter_adds(
+        self,
+        columns: tuple[str, ...] | None = None,
+        require: str | None = None,
+    ) -> Iterator[dict[str, Any]]:
+        """Projected/streamed add payloads (see _FileState.iter_rows) —
+        the columnar lane for full-table sweeps that need a handful of
+        fields (fsck) or a handful of rows (DV'd adds), leaving the lazy
+        dict view unmaterialized."""
+        return self._require_files().iter_rows(columns, require)
+
+    def iter_tombstones(
+        self,
+        columns: tuple[str, ...] | None = None,
+        require: str | None = None,
+    ) -> Iterator[dict[str, Any]]:
+        """Projected/streamed remove payloads (vacuum's sweep lane)."""
+        return self._tombstones.iter_rows(columns, require)
 
     def num_files(self) -> int:
         # columnar count — never materializes the payload dicts
@@ -923,15 +1007,35 @@ class DeltaLog:
             # target field's child when the chunk has it (casting
             # scalar-type drift), else a null child. Rows are all valid
             # here (the path-validity filter ran before this).
+            # RECURSIVE for struct children (ADVICE r12): a nested
+            # struct with width drift across multi-part chunks must
+            # widen field-by-field too — cast() on differing struct
+            # widths raises ArrowTypeError, which used to crash snapshot
+            # load for such foreign checkpoints. A widened nested child
+            # keeps the source's validity bitmap (a null nested struct
+            # row stays null, not a struct of nulls).
             children = []
             have = {f.name: i for i, f in enumerate(chunk.type)}
             for f in target:
                 i = have.get(f.name)
                 if i is None:
                     children.append(pa.nulls(len(chunk), f.type))
+                    continue
+                child = chunk.field(i)
+                if child.type == f.type:
+                    children.append(child)
+                elif pa.types.is_struct(f.type) and pa.types.is_struct(child.type):
+                    widened = _widen(child, f.type)
+                    if child.null_count:
+                        mask = child.is_valid()
+                        widened = pa.StructArray.from_arrays(
+                            [widened.field(j) for j in range(widened.type.num_fields)],
+                            fields=list(f.type),
+                            mask=pc.invert(mask),
+                        )
+                    children.append(widened)
                 else:
-                    child = chunk.field(i)
-                    children.append(child if child.type == f.type else child.cast(f.type))
+                    children.append(child.cast(f.type))
             return pa.StructArray.from_arrays(children, fields=list(target))
 
         def _concat(chunks: list[pa.Array]) -> pa.ChunkedArray | None:

@@ -2454,7 +2454,9 @@ class DeltaTable:
         snap = self.snapshot()
         self.deltaLog.check_write_allowed(snap, removes_data=False)
         schema = self.schema(snap)
-        dv_adds = [a for a in snap.add_files() if a.get("deletionVector")]
+        # columnar DV lookup: validity-mask the base, materialize ONLY
+        # the DV'd adds (full payloads — they get rewritten)
+        dv_adds = list(snap.iter_adds(require="deletionVector"))
         if not dv_adds:
             return 0
         # a pure layout rewrite never evaluates expressions, so mapped
@@ -2537,7 +2539,12 @@ class DeltaTable:
         snap = self.snapshot()
         _fs = self.deltaLog._fs
         missing: list[dict[str, Any]] = []
-        for add in snap.add_files():
+        # projected columnar stream: the existence sweep needs 4 fields
+        # of every add, never the stats/tags payloads — at 1M adds this
+        # skips the full dict-view materialization entirely
+        for add in snap.iter_adds(
+            ("path", "deletionVector", "partitionValues", "size")
+        ):
             p = _fs.join(self.path, urllib.parse.unquote(add["path"]))
             broken = not _fs.isfile(p)
             if not broken and add.get("deletionVector"):
@@ -2693,8 +2700,10 @@ class DeltaTable:
             ap = fs.abspath(p)
             return ap.startswith(root + "/") or ap.startswith(root + os.sep)
 
+        # projected columnar stream (path + deletionTimestamp only): a
+        # 1M-tombstone dry run never materializes the remove dict view
         eligible = [
-            rm for rm in snap.tombstones.values()
+            rm for rm in snap.iter_tombstones(("path", "deletionTimestamp"))
             if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms and _inside(rm)
         ]
         # superseded deletion-vector bitmaps: every MoR commit re-adds
@@ -2713,11 +2722,12 @@ class DeltaTable:
             return fs.spark_path(p) if _scheme_of(p) else p
 
         live_dvs = set()
-        for a in snap.add_files():
-            if a.get("deletionVector"):
-                p = dv_absolute_path(self.path, a["deletionVector"])
-                if p:
-                    live_dvs.add(_dv_plane(fs.abspath(p)))
+        # require="deletionVector": ONE Arrow validity kernel selects the
+        # (typically few) DV'd adds; only those rows become Python dicts
+        for a in snap.iter_adds(("deletionVector",), require="deletionVector"):
+            p = dv_absolute_path(self.path, a["deletionVector"])
+            if p:
+                live_dvs.add(_dv_plane(fs.abspath(p)))
         dv_dir = fs.join(self.path, "deletion_vectors")
         orphan_dvs = []
         if fs.isdir(dv_dir):
@@ -3724,7 +3734,9 @@ def write_delta(
                     "size": r.get("size"),
                 }
             }
-            for r in snap.add_files()
+            # projected: the overwrite's remove sweep needs 3 fields per
+            # current file, not the stats payloads
+            for r in snap.iter_adds(("path", "partitionValues", "size"))
         ]
         log.commit(
             snap.version,

@@ -89,6 +89,13 @@ def test_q_validation(spark):
     # an explicitly quantized fraction is accepted
     got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", [round(1 / 3, 10)]).collect()}
     assert got == {round(1 / 3, 10): 1}
+    # quantize=True is the documented escape hatch (ADVICE r12): the
+    # fraction rounds for the caller and the q column carries the
+    # ROUNDED value; a quantize that would hit 0 clamps to 1e-10
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", [1 / 3], quantize=True).collect()}
+    assert got == {round(1 / 3, 10): 1}
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", [1e-14], quantize=True).collect()}
+    assert got == {1e-10: 1}
 
 
 def test_empty_input(spark):

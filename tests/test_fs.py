@@ -906,3 +906,149 @@ def test_listdir_sizes_across_backends(tmpdir_path):
     mem.write_atomic("mem://d/x.bin", b"q" * 3)
     got = dict(mem.listdir_sizes("mem://d"))
     assert got == {"x.bin": 3}
+
+
+def test_conditional_put_transient_retry_gcs(monkeypatch):
+    """VERDICT r12 item 4: 429/5xx on the conditional PUT retries with
+    bounded backoff; 412/409 NEVER retry (they are the race answer).
+    GCS semantics (ADVICE r12): only 412 is a lost race — a 409 is a
+    bucket-level conflict and surfaces as OSError, never as a silent
+    N+1 retry."""
+    from jodie_spark import fs as fs_mod
+    from jodie_spark.fs import GcsConditionalPutFileSystem
+
+    monkeypatch.setattr(fs_mod, "_transient_put_backoff", lambda a: 0.0)
+
+    def make(responses):
+        calls = []
+
+        def http_put(url, data, headers):
+            calls.append((url, bytes(data)))
+            return responses[min(len(calls) - 1, len(responses) - 1)]
+
+        return calls, GcsConditionalPutFileSystem(http_put=http_put)
+
+    # 503-then-success converges, two attempts
+    calls, g = make([(503, b"unavail"), (200, b"")])
+    g.create_exclusive("gs://b/_delta_log/0.json", b"v0")
+    assert len(calls) == 2
+
+    # 503-then-412, read-back DIFFERS -> genuine lost race
+    calls, g = make([(503, b""), (412, b"conditionNotMet")])
+    g._readback_matches = lambda path, data: False
+    with pytest.raises(FileExistsError):
+        g.create_exclusive("gs://b/_delta_log/1.json", b"v1")
+    assert len(calls) == 2
+
+    # 503-then-412, read-back MATCHES -> the faulted attempt landed;
+    # reporting lost-race would duplicate the commit at N+1
+    calls, g = make([(500, b""), (412, b"conditionNotMet")])
+    g._readback_matches = lambda path, data: data == b"v2"
+    g.create_exclusive("gs://b/_delta_log/2.json", b"v2")
+    assert len(calls) == 2
+
+    # clean 412 short-circuits: exactly ONE wire call, no read-back
+    calls, g = make([(412, b"conditionNotMet")])
+    g._readback_matches = lambda path, data: (_ for _ in ()).throw(AssertionError)
+    with pytest.raises(FileExistsError):
+        g.create_exclusive("gs://b/_delta_log/3.json", b"v3")
+    assert len(calls) == 1
+
+    # GCS 409 = bucket conflict, NOT a race: OSError, no retry
+    calls, g = make([(409, b"conflict")])
+    with pytest.raises(OSError, match="409"):
+        g.create_exclusive("gs://b/_delta_log/4.json", b"v4")
+    assert len(calls) == 1
+
+    # exhausted transient budget propagates the final status
+    calls, g = make([(503, b""), (503, b""), (503, b""), (503, b"")])
+    with pytest.raises(OSError, match="503"):
+        g.create_exclusive("gs://b/_delta_log/5.json", b"v5")
+    assert len(calls) == 4  # 1 initial + 3 retries, bounded
+
+
+def test_conditional_put_transient_retry_abfs(monkeypatch):
+    """ABFS keeps 409 BlobAlreadyExists AND 412 as race answers (both
+    documented for If-None-Match Put Blob); 503 retries; a 409 that
+    follows a retried fault read-back-compares before conceding."""
+    from jodie_spark import fs as fs_mod
+    from jodie_spark.fs import AbfsConditionalPutFileSystem
+
+    monkeypatch.setattr(fs_mod, "_transient_put_backoff", lambda a: 0.0)
+    commit = "abfss://c@a.dfs.core.windows.net/t/_delta_log/0.json"
+
+    def make(responses):
+        calls = []
+
+        def http_put(url, data, headers):
+            calls.append(url)
+            return responses[min(len(calls) - 1, len(responses) - 1)]
+
+        return calls, AbfsConditionalPutFileSystem(http_put=http_put)
+
+    calls, a = make([(503, b""), (201, b"")])
+    a.create_exclusive(commit, b"v0")
+    assert len(calls) == 2
+
+    calls, a = make([(503, b""), (409, b"BlobAlreadyExists")])
+    a._readback_matches = lambda path, data: True
+    a.create_exclusive(commit, b"v0")  # ambiguous win, not a duplicate
+    assert len(calls) == 2
+
+    calls, a = make([(409, b"BlobAlreadyExists")])
+    with pytest.raises(FileExistsError):
+        a.create_exclusive(commit, b"dupe")
+    assert len(calls) == 1
+
+
+def test_conditional_put_transient_retry_s3(monkeypatch):
+    """S3: SlowDown/5xx retries through the injected-client shape;
+    PreconditionFailed never retries; SlowDown-then-412 with a matching
+    read-back is OUR commit (the faulted PUT landed)."""
+    from jodie_spark import fs as fs_mod
+    from jodie_spark.fs import S3ConditionalPutFileSystem
+
+    monkeypatch.setattr(fs_mod, "_transient_put_backoff", lambda a: 0.0)
+
+    class FakeClientError(Exception):
+        def __init__(self, code, status):
+            self.response = {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            }
+
+    def make(script):
+        calls = []
+
+        class C:
+            def put_object(self, Bucket, Key, Body, IfNoneMatch):
+                calls.append(Key)
+                step = script[min(len(calls) - 1, len(script) - 1)]
+                if step is not None:
+                    raise FakeClientError(*step)
+
+        return calls, S3ConditionalPutFileSystem("s3", client=C())
+
+    calls, s = make([("SlowDown", 503), None])
+    s.create_exclusive("s3://b/_delta_log/0.json", b"v0")
+    assert len(calls) == 2
+
+    calls, s = make([("InternalError", 500), ("PreconditionFailed", 412)])
+    s._readback_matches = lambda path, data: True
+    s.create_exclusive("s3://b/_delta_log/1.json", b"v1")
+    assert len(calls) == 2
+
+    calls, s = make([("PreconditionFailed", 412)])
+    with pytest.raises(FileExistsError):
+        s.create_exclusive("s3://b/_delta_log/2.json", b"v2")
+    assert len(calls) == 1
+
+    calls, s = make([("AccessDenied", 403)])
+    with pytest.raises(FakeClientError):
+        s.create_exclusive("s3://b/_delta_log/3.json", b"v3")
+    assert len(calls) == 1
+
+    calls, s = make([("SlowDown", 503)] * 9)
+    with pytest.raises(FakeClientError):
+        s.create_exclusive("s3://b/_delta_log/4.json", b"v4")
+    assert len(calls) == 4  # bounded: 1 initial + 3 retries

@@ -384,3 +384,79 @@ def test_multipart_checkpoint_with_varying_struct_width(spark, tmpdir_path):
     assert d[a1["path"]].get("stats") is None
     if a2 is not None:
         assert d[a2["path"]].get("stats") == a2.get("stats")
+
+
+def test_multipart_checkpoint_with_nested_struct_width_drift(spark, tmpdir_path):
+    """ADVICE r12: width drift inside a NESTED struct child
+    (deletionVector present in both parts but with different field
+    sets) must widen recursively — the old cast(f.type) fallback raised
+    ArrowTypeError for exactly this shape. Null nested rows must stay
+    null, not become structs of nulls."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jodie_spark.tables.log import DeltaLog, multipart_checkpoint_file_name
+    from jodie_spark.tables.table import write_delta
+
+    p = os.path.join(tmpdir_path, "nestvary")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), p)
+    log = DeltaLog(p)
+    snap = log.snapshot()
+    adds = snap.add_files()
+
+    def part(add, dv_fields, dv_row, with_meta):
+        dv_t = pa.struct(dv_fields)
+        t = pa.struct([
+            ("path", pa.string()), ("size", pa.int64()),
+            ("modificationTime", pa.int64()), ("dataChange", pa.bool_()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("deletionVector", dv_t),
+        ])
+        row = {"path": add["path"], "size": int(add.get("size") or 0),
+               "modificationTime": 0, "dataChange": False,
+               "partitionValues": [], "deletionVector": dv_row}
+        cols = {"add": pa.array([row], t)}
+        if with_meta:
+            cols["metaData"] = pa.array([snap.metadata], pa.struct([
+                ("id", pa.string()), ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("format", pa.struct([("provider", pa.string())])),
+            ]))
+            cols["protocol"] = pa.array(
+                [{"minReaderVersion": 1, "minWriterVersion": 2}],
+                pa.struct([("minReaderVersion", pa.int32()),
+                           ("minWriterVersion", pa.int32())]),
+            )
+        return pa.table(cols)
+
+    narrow = [("storageType", pa.string()), ("pathOrInlineDv", pa.string())]
+    wide = narrow + [("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+                     ("cardinality", pa.int64())]
+    a1, a2 = adds[0], (adds[1] if len(adds) > 1 else adds[0])
+    ld = os.path.join(p, "_delta_log")
+    v = log.latest_version()
+    # narrow part: dv row is NULL (must stay null after widening)
+    pq.write_table(part(a1, narrow, None, with_meta=True),
+                   os.path.join(ld, multipart_checkpoint_file_name(v, 1, 2)))
+    pq.write_table(
+        part(a2, wide,
+             {"storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+              "sizeInBytes": 2, "cardinality": 3},
+             with_meta=False),
+        os.path.join(ld, multipart_checkpoint_file_name(v, 2, 2)),
+    )
+    with open(os.path.join(ld, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": v, "size": 2}))
+
+    snap2 = DeltaLog(p).snapshot()
+    d = snap2.files
+    assert d[a1["path"]].get("deletionVector") is None
+    if a2["path"] != a1["path"]:
+        dv = d[a2["path"]]["deletionVector"]
+        assert dv["cardinality"] == 3 and dv["storageType"] == "u"
+        # widened narrow fields absent from the wide row? wide carries
+        # all; the NARROW part's struct gained null offset/size fields
+        assert set(dv) >= {"offset", "sizeInBytes", "cardinality"}
