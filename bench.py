@@ -169,14 +169,14 @@ def main() -> None:
     # 5 samples: the JIT/shuffle floor settles around run 4 on an idle
     # machine (round-10 probe: 1.53/0.54/0.47/0.39/0.36/0.36) — a
     # 3-sample min over-reads the floor by ~15% and under-normalizes
-    cal_best = None
-    for _ in range(5):
+    def _cal_cpu_once() -> float:
         t0 = time.time()
         spark.range(0, 20_000_000, 1, 32).selectExpr(
             "id % 97 as k", "id as v"
         ).groupBy("k").sum("v").count()
-        dt = time.time() - t0
-        cal_best = dt if cal_best is None else min(cal_best, dt)
+        return time.time() - t0
+
+    cal_best = min(_cal_cpu_once() for _ in range(5))
     timings["calibration"] = round(cal_best, 3)
     # I/O calibration (round-10 continuation): the CPU/shuffle workload
     # above under-reads drift on the DML/streaming queries, whose cost
@@ -185,27 +185,28 @@ def main() -> None:
     # timing 1.5x apart across machine states while CPU calibration
     # moved only 13% — this lane makes that kind of drift self-evident
     # in the artifact. Diagnostic only: norm_factor stays CPU-based.
-    io_best = None
-    try:
+    def _cal_io_once() -> float:
         import shutil as _sh
         import tempfile as _tf
 
         from jodie_spark.tables.table import DeltaTable as _DT
         from jodie_spark.tables.table import write_delta as _wd
 
-        for _ in range(3):
-            _d = _tf.mkdtemp(prefix="bench_iocal_")
-            try:
-                t0 = time.time()
-                _pp = os.path.join(_d, "t")
-                _wd(spark.range(100_000).selectExpr("id", "id % 7 as k"), _pp)
-                _t = _DT.forPath(spark, _pp)
-                _t.delete("k = 3", deletion_vectors=True)
-                _t.toDF().count()
-                dt = time.time() - t0
-                io_best = dt if io_best is None else min(io_best, dt)
-            finally:
-                _sh.rmtree(_d, ignore_errors=True)
+        _d = _tf.mkdtemp(prefix="bench_iocal_")
+        try:
+            t0 = time.time()
+            _pp = os.path.join(_d, "t")
+            _wd(spark.range(100_000).selectExpr("id", "id % 7 as k"), _pp)
+            _t = _DT.forPath(spark, _pp)
+            _t.delete("k = 3", deletion_vectors=True)
+            _t.toDF().count()
+            return time.time() - t0
+        finally:
+            _sh.rmtree(_d, ignore_errors=True)
+
+    io_best = None
+    try:
+        io_best = min(_cal_io_once() for _ in range(3))
         timings["calibration_io"] = round(io_best, 3)
     except Exception:
         pass  # diagnostic lane must never fail the bench
@@ -227,7 +228,38 @@ def main() -> None:
     # ambient machine noise; the min is the steady-state cost a warmed
     # cluster would see (fixture Delta-table builds are still inside
     # the timed region on both runs).
-    for name in bench_queries:
+    # positional calibration (VERDICT r12 item 3): the artifact's tail
+    # queries read up to ~2.3x their isolated cost when the machine's
+    # I/O plane drifts mid-run — interleave CPU+IO calibration samples
+    # at quartile positions so per-position drift is INDEXABLE in the
+    # artifact instead of reading as a code regression. Diagnostic only:
+    # excluded from total and from queries_normalized.
+    positional_cal: list[dict] = []
+
+    def _sample_position(idx: int, after: str) -> None:
+        row: dict = {"index": idx, "after_query": after}
+        try:
+            row["cal_cpu_sec"] = round(min(_cal_cpu_once() for _ in range(2)), 3)
+        except Exception as e:
+            row["cal_cpu_sec"] = f"error: {e}"
+        try:
+            row["cal_io_sec"] = round(_cal_io_once(), 3)
+        except Exception as e:
+            row["cal_io_sec"] = f"error: {e}"
+        positional_cal.append(row)
+        print(
+            f"# positional calibration after {after} (#{idx}): "
+            f"cpu={row['cal_cpu_sec']} io={row['cal_io_sec']}",
+            file=sys.stderr,
+        )
+
+    quartiles = {
+        len(bench_queries) // 4,
+        len(bench_queries) // 2,
+        (3 * len(bench_queries)) // 4,
+        len(bench_queries) - 1,
+    }
+    for qi, name in enumerate(bench_queries):
         fn = registry[name]
         best = None
         n = 0
@@ -247,6 +279,8 @@ def main() -> None:
             timings[name] = round(best, 3)
             total += best
             print(f"# {name}: FAILED after {dt:.2f}s: {e}", file=sys.stderr)
+        if qi in quartiles:
+            _sample_position(qi, name)
 
     # Phase profile for the historically most expensive query
     # (VERDICT r4 item 2): time centroid training, candidate-pair
@@ -372,6 +406,19 @@ def main() -> None:
     # survive the driver's tail capture (~2000 chars) intact, so the
     # official BENCH_r{N}.json artifact always parses (VERDICT r7 item
     # 2: r6/r7 artifacts had parsed=null with the front truncated).
+    notes["positional_calibration"] = {
+        "samples": positional_cal,
+        "baseline": {
+            "cal_cpu_sec": round(cal_best, 3),
+            "cal_io_sec": round(io_best, 3) if io_best is not None else None,
+        },
+        "note": (
+            "CPU+IO calibration interleaved at quartile positions of the "
+            "query loop; compare each sample to the pre-run baseline to "
+            "attribute tail-query movement to machine-state drift (this "
+            "machine's documented failure mode) vs code"
+        ),
+    }
     notes["calibration_normalization"] = {
         "cal_ref_sec": CAL_REF,
         "cal_measured_sec": round(cal_best, 3),

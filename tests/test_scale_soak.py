@@ -424,6 +424,94 @@ def test_1m_vacuum_and_fsck_never_materialize_dict_view(
     assert vac_s < 30 and fsck_s < 30, (vac_s, fsck_s)
 
 
+def test_1m_selective_merge_lifecycle(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r12 item 5: one full MERGE lifecycle against the 1M-add
+    table — planning must stay off the driver's dict view end-to-end
+    (table_info is metadata-only; candidate discovery runs Spark-side
+    over files_df because the log exceeds the driver-plan byte gate;
+    the rewrite touches only the candidate files). as_dict is POISONED
+    for the duration, so any O(#files) dict materialization fails the
+    test outright; per-phase wall times print for SCALE.md."""
+    from jodie_spark.tables import log as log_mod
+    from jodie_spark.tables.log import DeltaLog, commit_file_name
+    from jodie_spark.tables.table import (
+        DeltaTable,
+        _log_bytes,
+        _DRIVER_PLAN_MAX_LOG_BYTES,
+        plan_candidate_files,
+    )
+
+    root = str(tmp_path_factory.mktemp("soak1mmerge"))
+    p = _fabricate_checkpoint_table(spark, root, 1_000_000)
+    # drop the stats-less tail add: with no stats it would survive every
+    # prune and the probe read would hit its nonexistent file
+    log = DeltaLog(p)
+    v = log.latest_version() + 1
+    with open(os.path.join(p, "_delta_log", commit_file_name(v)), "w") as fh:
+        fh.write(
+            json.dumps({"commitInfo": {"timestamp": 0, "operation": "DELETE",
+                                       "operationParameters": {},
+                                       "operationMetrics": {}}})
+            + "\n"
+            + json.dumps({"remove": {"path": "fake/tail.parquet",
+                                     "deletionTimestamp": 0,
+                                     "dataChange": True,
+                                     "partitionValues": {}, "size": 1000}})
+            + "\n"
+        )
+    # the byte gate must route planning Spark-side at this scale
+    assert _log_bytes(p) > _DRIVER_PLAN_MAX_LOG_BYTES
+
+    t = DeltaTable.forPath(spark, p)
+    schema = t.schema(t.deltaLog.table_info())
+
+    def _poisoned(self):
+        raise AssertionError("as_dict() called — dict view materialized")
+
+    monkeypatch.setattr(log_mod._FileState, "as_dict", _poisoned)
+
+    t0 = time.time()
+    info = t.deltaLog.table_info()
+    info_s = time.time() - t0
+    t0 = time.time()
+    cands = plan_candidate_files(spark, p, "id < 100", schema, [])
+    plan_s = time.time() - t0
+    # only the two real base files may contain id < 100
+    assert len(cands) == 2, [c["path"] for c in cands]
+
+    src = spark.range(0, 5).selectExpr("id", "'upd' as v")
+    t0 = time.time()
+    (
+        t.alias("target")
+        .merge(src.alias("src"), "target.id = src.id and target.id < 100")
+        .whenMatchedUpdate(set={"v": "src.v"})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    merge_s = time.time() - t0
+    monkeypatch.undo()
+
+    from jodie_spark.sources.datasource import register
+
+    register(spark)
+    got = dict(
+        (r.id, r.v)
+        for r in spark.read.format("jodie_delta").load(p)
+        .filter("id < 10").collect()
+    )
+    assert all(got[i] == "upd" for i in range(5))
+    assert all(got[i] != "upd" for i in range(5, 10))
+    snap = DeltaLog(p).snapshot()
+    # the rewrite touched ONLY the candidate files: 1M fakes intact
+    assert snap.num_files() >= 1_000_000
+    print(
+        f"\nSOAK1M merge lifecycle: table_info={info_s * 1000:.0f}ms "
+        f"plan_candidates={plan_s:.2f}s merge={merge_s:.2f}s "
+        f"(dict view never materialized)"
+    )
+    assert info_s < 2.0 and plan_s < 30 and merge_s < 60
+
+
 def test_1m_filtered_scan_planning_columnar(spark, tmp_path_factory):
     """Datasource scan planning with a pushed filter at 1M adds must run
     COLUMNAR (pruning_arrow over the checkpoint base), never the per-add
