@@ -630,14 +630,35 @@ class JodieDeltaBatchReader(DataSourceReader):
                 cond, self.schema, snap.partition_columns
             )
         else:
-            adds = snap.add_files()
+            adds = None  # unfiltered: the columnar zero-dict build below
         from jodie_spark.tables.row_lineage import lineage_cols
 
         mat = lineage_cols(snap.configuration) or (None, None)
+        # hot loop at 1M adds: resolve the filesystem ONCE (was a
+        # registry lookup per file — 2.6 s of the 13 s plan), and for
+        # the local facade the join+translate collapses to one string
+        # concat (executor_path is identity there; relative adds never
+        # escape the table root). Absolute/schemed adds (shallow clones)
+        # and every non-local facade keep the full per-path translation.
+        from jodie_spark.fs import LocalFileSystem, get_fs, path_scheme
+
+        _fs = get_fs(self.path)
+        _unquote = urllib.parse.unquote
+        if isinstance(_fs, LocalFileSystem) and path_scheme(self.path) is None:
+            _base = self.path.rstrip("/") + "/"
+
+            def _fp_path(rel: str) -> str:
+                if rel.startswith("/") or "://" in rel:
+                    return _fs.executor_path(_fs.join(self.path, rel))
+                return _base + rel
+        else:
+
+            def _fp_path(rel: str) -> str:
+                return _fs.executor_path(_fs.join(self.path, rel))
 
         def make_fp(a: dict) -> _FilePartition:
             fp = _FilePartition(
-                _data_path(self.path, urllib.parse.unquote(a["path"])),
+                _fp_path(_unquote(a["path"])),
                 a.get("partitionValues") or {},
                 a.get("deletionVector"),
                 self.path,
@@ -650,9 +671,47 @@ class JodieDeltaBatchReader(DataSourceReader):
             fp.field_ids = field_ids
             return fp
 
-        # beyond the threshold, pack many small files into one task —
-        # a million-file table must not schedule a million Spark tasks
-        return _pack_add_partitions(adds, make_fp, self._batch_threshold)
+        if adds is not None:
+            # beyond the threshold, pack many small files into one task —
+            # a million-file table must not schedule a million Spark tasks
+            return _pack_add_partitions(adds, make_fp, self._batch_threshold)
+
+        # unfiltered scan: ZERO-DICT partition build — each needed child
+        # column converts once (to_pylist / flat map decode) and the
+        # loop constructs _FilePartitions straight from the parallel
+        # lists. At 1M adds this is ~2x the dict-per-add path (the
+        # payload dicts and their .get probes were half the plan cost),
+        # and the snapshot's lazy dict view stays unmaterialized.
+        n, (paths, pvs, sizes, dvs, brids, drcvs) = snap._require_files().column_lists(
+            (
+                "path",
+                "partitionValues",
+                "size",
+                "deletionVector",
+                "baseRowId",
+                "defaultRowCommitVersion",
+            )
+        )
+        parts: list[_FilePartition] = []
+        for i in range(n):
+            fp = _FilePartition(
+                _fp_path(_unquote(paths[i])),
+                pvs[i] or {},
+                dvs[i],
+                self.path,
+                brids[i],
+                drcvs[i],
+                mat[0],
+                mat[1],
+            )
+            fp.name_map = name_map
+            fp.field_ids = field_ids
+            parts.append(fp)
+        return _pack_file_partitions(
+            parts,
+            [int(s or 0) for s in sizes],
+            self._batch_threshold,
+        )
 
     def read(self, partition: "_FilePartition | _FileBatchPartition"):
         yield from _read_packed(partition, self.schema)
@@ -1137,7 +1196,13 @@ class JodieDeltaStreamReader(DataSourceStreamReader):
             # (its offset is {"version": -1} WITHOUT the sentinel) —
             # it replays commit 0 onward below, so historical removes
             # still trip the ignoreChanges gate, delta parity
-            adds = log.snapshot(end_v).add_files()
+            # projected/streamed like the batch reader: the initial
+            # 1M-file micro-batch must not materialize 1M payload dicts
+            adds = list(
+                log.snapshot(end_v).iter_adds(
+                    ("path", "partitionValues", "size", "deletionVector")
+                )
+            )
         else:
             adds = []
             for v in range(start_v + 1, end_v + 1):
@@ -1412,7 +1477,7 @@ class JodieDeltaWriter(DataSourceWriter):
                             "size": a.get("size"),
                         }
                     }
-                    for a in snap.add_files()
+                    for a in snap.iter_adds(("path", "partitionValues", "size"))
                 ]
             log.commit(
                 snap.version,
@@ -1542,7 +1607,7 @@ class JodieDeltaStreamWriter(DataSourceStreamWriter):
                             "size": a.get("size"),
                         }
                     }
-                    for a in snap.add_files()
+                    for a in snap.iter_adds(("path", "partitionValues", "size"))
                 ]
             log.commit(
                 snap.version,

@@ -615,6 +615,54 @@ class _FileState:
                 c: p.get(c) for c in columns if c in p
             }
 
+    def column_lists(
+        self, columns: tuple[str, ...]
+    ) -> tuple[int, list[list[Any]]]:
+        """``(n_rows, [per-column python lists])`` over base-then-overlay
+        rows — the zero-dict serving shape for hot planning loops that
+        build one object per row anyway (the datasource's partition
+        construction): each child column converts with ONE ``to_pylist``
+        (or the flat map decode), no per-row payload dicts at all.
+        Missing columns yield all-None lists."""
+        cols: list[list[Any]] = [[] for _ in columns]
+        n = 0
+        if self._dict is None and self._base is not None:
+            base = self._base
+            mask = self._base_keep_mask()
+            if mask is not None:
+                base = base.filter(mask)
+            if isinstance(base, pa.ChunkedArray):
+                base = base.combine_chunks()
+            n = len(base)
+            have = {f.name: i for i, f in enumerate(base.type)}
+            for out, name in zip(cols, columns):
+                i = have.get(name)
+                if i is None:
+                    out.extend([None] * n)
+                    continue
+                child = base.field(i)
+                if child.null_count == n:
+                    # all-null child (e.g. deletionVector on a DV-less
+                    # table): skip the 1M-element to_pylist walk
+                    out.extend([None] * n)
+                elif pa.types.is_map(child.type):
+                    if len(child.keys) == 0:
+                        # every map empty: validity alone decides {} vs None
+                        valid = child.is_valid().to_numpy(zero_copy_only=False)
+                        out.extend({} if v else None for v in valid)
+                    else:
+                        out.extend(_map_child_to_dicts(child))
+                else:
+                    out.extend(child.to_pylist())
+            rows = self._overlay.values()
+        else:
+            rows = self.as_dict().values()
+        for p in rows:
+            n += 1
+            for out, name in zip(cols, columns):
+                out.append(p.get(name))
+        return n, cols
+
     def __len__(self) -> int:
         return self.num_files()
 
