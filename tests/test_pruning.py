@@ -600,6 +600,35 @@ def test_planner_agreement_randomized(spark):
     conditions = [rand_cond() for _ in range(40)]
     conditions += [f"({rand_cond()}) and ({rand_cond()})" for _ in range(10)]
     columns = [f.name for f in schema.fields]
+    # third planner (r13): the arrow-columnar tier — the same adds as a
+    # checkpoint-style struct base through _FileState.pruned_adds
+    # (pruning_arrow mask + exact-evaluator survivors)
+    import pyarrow as pa
+
+    from jodie_spark.tables.log import _FileState
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("stats", pa.string()),
+        ]
+    )
+    base = pa.chunked_array(
+        [
+            pa.array(
+                [
+                    {
+                        "path": a["path"],
+                        "partitionValues": list(a["partitionValues"].items()),
+                        "stats": a["stats"],
+                    }
+                    for a in adds
+                ],
+                add_t,
+            )
+        ]
+    )
     for cond in conditions:
         keep_col, _ = _file_filter_column(cond, schema, parts)
         spark_kept = {
@@ -610,5 +639,11 @@ def test_planner_agreement_randomized(spark):
         assert spark_kept == drv_kept, (
             f"planner divergence for {cond!r}: spark-only="
             f"{sorted(spark_kept - drv_kept)} driver-only={sorted(drv_kept - spark_kept)}"
+        )
+        st = _FileState(base, {}, set())
+        arrow_kept = {a["path"] for a in st.pruned_adds(cond, schema, parts)}
+        assert arrow_kept == drv_kept, (
+            f"arrow-tier divergence for {cond!r}: arrow-only="
+            f"{sorted(arrow_kept - drv_kept)} driver-only={sorted(drv_kept - arrow_kept)}"
         )
     fdf.unpersist()

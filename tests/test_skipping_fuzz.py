@@ -116,10 +116,25 @@ def _rand_file(rng: random.Random):
 
 
 def test_skipping_never_prunes_a_matching_file():
+    """Both evaluators — the per-add Python predicate AND the
+    arrow-columnar mask (r13) — checked against DuckDB's row-level
+    ground truth on every generated (condition, file) pair: if DuckDB
+    finds a matching row, neither may prune the file."""
+    import pyarrow as pa
+
+    from jodie_spark.tables.pruning_arrow import arrow_keep_mask
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("stats", pa.string()),
+        ]
+    )
     rng = random.Random(20260816)
     con = duckdb.connect()
     con.execute("CREATE TABLE t (p BIGINT, id BIGINT, k VARCHAR)")
-    checked = pruned = 0
+    checked = pruned = arrow_masked = arrow_pruned = 0
     for case in range(1500):
         cond = _rand_condition(rng)
         rows, add = _rand_file(rng)
@@ -139,8 +154,36 @@ def test_skipping_never_prunes_a_matching_file():
             f"case {case}: file with {n_match} matching rows PRUNED\n"
             f"condition: {cond}\nrows: {rows}\nadd: {add}"
         )
-    # sanity: the fuzz actually exercises pruning, not just keep-all
+        base = pa.array(
+            [
+                {
+                    "path": add["path"],
+                    "partitionValues": list(add["partitionValues"].items()),
+                    "stats": add["stats"],
+                }
+            ],
+            add_t,
+        )
+        mask = arrow_keep_mask(base, cond, SCHEMA, PARTITION_COLS)
+        if mask is not None:
+            arrow_masked += 1
+            akeep = bool(mask[0].as_py())
+            arrow_pruned += 0 if akeep else 1
+            # conservativeness vs DuckDB ground truth AND vs Python
+            # (the mask may keep extra, never drop more)
+            assert akeep or n_match == 0, (
+                f"case {case}: arrow mask pruned a file with {n_match} "
+                f"matching rows\ncondition: {cond}\nadd: {add}"
+            )
+            assert akeep or not keep, (
+                f"case {case}: arrow mask dropped a file Python keeps\n"
+                f"condition: {cond}\nadd: {add}"
+            )
+    # sanity: both lanes actually exercise pruning, not just keep-all
     assert checked >= 1200 and pruned >= 100, (checked, pruned)
+    assert arrow_masked >= checked * 0.5 and arrow_pruned >= 50, (
+        arrow_masked, arrow_pruned,
+    )
 
 
 def test_generated_derivation_never_prunes_a_matching_file():
