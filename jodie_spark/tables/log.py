@@ -655,8 +655,10 @@ class _FileState:
                 else:
                     out.extend(child.to_pylist())
             rows = self._overlay.values()
+        elif self._dict is not None:
+            rows = self._dict.values()
         else:
-            rows = self.as_dict().values()
+            rows = self._overlay.values()  # no base: overlay is the state
         for p in rows:
             n += 1
             for out, name in zip(cols, columns):

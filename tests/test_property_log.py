@@ -305,10 +305,33 @@ def test_file_state_matches_dict_model(ops, cp_n):
     stt = _FileState(base, overlay, dropped)
     assert stt.num_files() == len(model)
     assert stt.size_in_bytes() == sum(v["size"] for v in model.values())
+    # the projected/streamed serving lanes (r13) must agree with the
+    # model BEFORE any dict materialization
+    rows = list(stt.iter_rows(("path", "size")))
+    assert {r["path"]: r["size"] for r in rows} == {
+        p: v["size"] for p, v in model.items()
+    }
+    n, (paths, sizes) = stt.column_lists(("path", "size"))
+    assert n == len(model) and dict(zip(paths, sizes)) == {
+        p: v["size"] for p, v in model.items()
+    }
+    # missing column -> all None; require= filters on non-null
+    _, (_, missing) = stt.column_lists(("path", "deletionVector"))
+    assert all(v is None for v in missing)
+    assert list(stt.iter_rows(require="deletionVector")) == []
+    assert stt._dict is None, "serving lanes materialized the dict view"
     assert stt.as_dict() == model
-    # post-materialization answers identical
+    # post-materialization answers identical (including the lanes)
     assert stt.num_files() == len(model)
     assert stt.size_in_bytes() == sum(v["size"] for v in model.values())
+    rows2 = list(stt.iter_rows(("path", "size")))
+    assert {r["path"]: r["size"] for r in rows2} == {
+        p: v["size"] for p, v in model.items()
+    }
+    n2, (paths2, sizes2) = stt.column_lists(("path", "size"))
+    assert n2 == len(model) and dict(zip(paths2, sizes2)) == {
+        p: v["size"] for p, v in model.items()
+    }
 
 
 def test_multipart_checkpoint_with_varying_struct_width(spark, tmpdir_path):
