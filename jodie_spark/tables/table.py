@@ -411,19 +411,30 @@ _DRIVER_PLAN_MAX_LOG_BYTES = 4 * 1024 * 1024
 _DRIVER_COLUMNAR_PLAN_MAX_LOG_BYTES = 256 * 1024 * 1024
 
 
-def _log_bytes(table_path: str) -> int:
+def _log_bytes_split(table_path: str) -> tuple[int, int]:
+    """(json_bytes, parquet_bytes) of the ``_delta_log`` directory from
+    ONE sized listing — the two planner gates need them separately: the
+    JSON tail replays driver-side row-by-row, while checkpoint parquet
+    loads columnar."""
     log = DeltaLog(table_path)
-    total = 0
+    json_b = parquet_b = 0
     try:
         # sized listing: ONE round trip (object-store LISTs carry
         # sizes) — was a LIST plus a HEAD per log file, hundreds of
         # metadata requests per DML plan on a mature table
         for name, size in log._fs.listdir_sizes(log.log_path):
-            if name.endswith(".json") or name.endswith(".parquet"):
-                total += max(size, 0)
+            if name.endswith(".json"):
+                json_b += max(size, 0)
+            elif name.endswith(".parquet"):
+                parquet_b += max(size, 0)
     except OSError:
-        return _DRIVER_PLAN_MAX_LOG_BYTES + 1
-    return total
+        return _DRIVER_PLAN_MAX_LOG_BYTES + 1, 0
+    return json_b, parquet_b
+
+
+def _log_bytes(table_path: str) -> int:
+    json_b, parquet_b = _log_bytes_split(table_path)
+    return json_b + parquet_b
 
 
 def _schema_has_variant(schema: T.DataType) -> bool:
@@ -472,9 +483,15 @@ def plan_candidate_files(
     file count. Candidates carry no stats strings; row counting
     happens on the cached data read or via a Spark aggregate.
     """
-    log_bytes = _log_bytes(table_path)
+    json_bytes, parquet_bytes = _log_bytes_split(table_path)
+    log_bytes = json_bytes + parquet_bytes
     if log_bytes <= _DRIVER_PLAN_MAX_LOG_BYTES or (
-        condition and log_bytes <= _DRIVER_COLUMNAR_PLAN_MAX_LOG_BYTES
+        # columnar tier: checkpoint parquet loads as Arrow, but the
+        # JSON tail still replays row-by-row — a foreign table with a
+        # huge un-checkpointed tail belongs on the Spark path
+        condition
+        and json_bytes <= _DRIVER_PLAN_MAX_LOG_BYTES
+        and log_bytes <= _DRIVER_COLUMNAR_PLAN_MAX_LOG_BYTES
     ):
         snap = DeltaLog(table_path).snapshot()
         # columnar pre-mask + exact survivors (same result as
