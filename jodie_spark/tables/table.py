@@ -666,10 +666,24 @@ class DeltaTable:
             # scoped child session rather than mutating the user's
             # session conf (a global leak that would change matching
             # for unrelated parquet reads)
-            df = read_files_df(self.spark, self.path, physical, snap.add_files())
+            # projected stream: the scan needs 3 fields per add, never
+            # the stats strings (full-table toDF at 1M files skips the
+            # dict-view materialization; each toDF replays a fresh
+            # snapshot anyway, so nothing re-usable is lost)
+            df = read_files_df(
+                self.spark,
+                self.path,
+                physical,
+                list(snap.iter_adds(("path", "partitionValues", "deletionVector"))),
+            )
             df = rename_to_logical(df, logical, physical)
         else:
-            df = read_files_df(self.spark, self.path, logical, snap.add_files())
+            df = read_files_df(
+                self.spark,
+                self.path,
+                logical,
+                list(snap.iter_adds(("path", "partitionValues", "deletionVector"))),
+            )
         if self._alias:
             df = df.alias(self._alias)
         return df
@@ -2643,8 +2657,9 @@ class DeltaTable:
                 "by PHYSICAL name and would mis-read logical renames "
                 "(delta-spark refuses this too)"
             )
-        adds = snap.add_files()
-        if any(a.get("deletionVector") for a in adds):
+        # projected stream (manifest needs path + partitionValues; the
+        # DV refusal checks validity columnar via require=)
+        if next(iter(snap.iter_adds(("path",), require="deletionVector")), None):
             raise DeltaProtocolError(
                 "GENERATE symlink_format_manifest on a table with deletion "
                 "vectors would expose deleted rows to symlink readers; run "
@@ -2654,7 +2669,7 @@ class DeltaTable:
         abs_root = os.path.abspath(self.path) + os.sep
         part_cols = snap.partition_columns
         by_dir: dict[str, list[str]] = {}
-        for a in adds:
+        for a in snap.iter_adds(("path", "partitionValues")):
             rel = urllib.parse.unquote(a["path"])
             # os.path.join treats an absolute rel as the full path —
             # exactly right for shallow-clone adds that point at the

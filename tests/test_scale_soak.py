@@ -417,6 +417,9 @@ def test_1m_vacuum_and_fsck_never_materialize_dict_view(
     fsck_s = time.time() - t0
     # all fabricated adds are missing; the 2 real base files are not
     assert len(missing) == 1_000_000 + 1  # synthetic + tail
+    # (toDF's projected iteration is exercised by the real-table suites;
+    # Spark's load() validates paths eagerly, so the fake-file fixture
+    # cannot drive it here)
     print(
         f"\nSOAK1M vacuum_dry_run={vac_s:.2f}s fsck_dry_run={fsck_s:.2f}s "
         f"(dict view never materialized)"
