@@ -602,10 +602,17 @@ class _FileState:
                 )
             if base is not None and columns is not None:
                 fields = [f for f in base.type if f.name in columns]
-                children = [
-                    pc.struct_field(base, f.name) for f in fields
-                ]
-                base = pa.StructArray.from_arrays(children, fields=fields)
+                if not fields:
+                    # degenerate projection (no requested column exists
+                    # in the base): n empty payloads, not zero rows
+                    for _ in range(len(base)):
+                        yield {}
+                    base = None
+                else:
+                    children = [
+                        pc.struct_field(base, f.name) for f in fields
+                    ]
+                    base = pa.StructArray.from_arrays(children, fields=fields)
             if base is not None:
                 yield from _struct_rows(base)
         for p in self._overlay.values():
