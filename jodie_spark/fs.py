@@ -124,7 +124,9 @@ class FileSystem:
         the backend distinguishes them; size -1 when unknown). Object
         stores return sizes in the LIST response itself, so one call
         replaces a LIST + one HEAD per entry — the default falls back
-        to exactly that slow shape for adapters that don't override."""
+        to TWO metadata RPCs per entry (isfile + size, the price of the
+        directory-exclusion contract); adapters on real stores should
+        override with their sized LIST."""
         out = []
         for name in self.listdir(path):
             child = self.join(path, name)
@@ -822,7 +824,12 @@ class S3ConditionalPutFileSystem(ArrowFileSystem):
                     if saw_transient and self._readback_matches(path, body):
                         return
                     raise FileExistsError(path) from None
-                transient = code in self._TRANSIENT_CODES or (
+                # no response at all (socket timeout/reset) is the
+                # AMBIGUOUS fault: the PUT may have landed and the
+                # answer was lost — retry, and let the 412-readback
+                # disambiguation decide if the object then "exists"
+                no_response = not resp
+                transient = no_response or code in self._TRANSIENT_CODES or (
                     status in _TRANSIENT_PUT_STATUSES
                 )
                 attempt += 1
@@ -859,29 +866,44 @@ def _put_with_transient_retry(
     url: str,
     data: bytes,
     headers: dict[str, str],
-    what: str,
 ) -> tuple[int, bytes, bool]:
-    """Issue the conditional PUT, retrying 429/500/502/503 with bounded
-    jittered backoff. Returns ``(status, body, saw_transient)`` — the
-    final status is NEVER a retried one unless attempts ran out, and
-    412/409 short-circuit immediately (they are the race answer, not a
-    fault). ``saw_transient`` lets the caller disambiguate a 412 that
-    follows a 5xx: the faulted attempt may have actually landed
-    server-side (ambiguous failure), in which case blindly reporting
-    lost-race would make the committer re-commit the SAME actions at
-    N+1 — a duplicate commit. Callers read the object back and treat a
+    """Issue the conditional PUT, retrying 429/500/502/503 — and
+    connection-level faults (timeout/reset, surfaced as OSError with no
+    HTTP status at all) — with bounded jittered backoff. Returns
+    ``(status, body, saw_transient)``: the final status is NEVER a
+    retried one unless attempts ran out, and 412/409 short-circuit
+    immediately (they are the race answer, not a fault).
+    ``saw_transient`` lets the caller disambiguate a 412/409 that
+    follows a fault: the faulted attempt may have actually landed
+    server-side (ambiguous failure — ESPECIALLY a lost response on a
+    PUT that committed), in which case blindly reporting lost-race
+    would make the committer re-commit the SAME actions at N+1 — a
+    duplicate commit. Callers read the object back and treat a
     byte-identical body as success."""
     import time as _time
 
     saw_transient = False
-    status, body = http_put(url, data, headers)
-    for attempt in range(1, _PUT_RETRY_ATTEMPTS):
+    attempt = 0
+    while True:
+        try:
+            status, body = http_put(url, data, headers)
+        except OSError:
+            # connection-level fault: the request may or may not have
+            # reached the store (the classic ambiguous PUT) — same
+            # retry-then-disambiguate treatment as an HTTP 5xx
+            attempt += 1
+            if attempt >= _PUT_RETRY_ATTEMPTS:
+                raise
+            saw_transient = True
+            _time.sleep(_transient_put_backoff(attempt))
+            continue
         if status not in _TRANSIENT_PUT_STATUSES:
-            break
+            return status, body, saw_transient
+        attempt += 1
+        if attempt >= _PUT_RETRY_ATTEMPTS:
+            return status, body, saw_transient
         saw_transient = True
         _time.sleep(_transient_put_backoff(attempt))
-        status, body = http_put(url, data, headers)
-    return status, body, saw_transient
 
 
 def _http_conditional_put(
@@ -958,7 +980,7 @@ class GcsConditionalPutFileSystem(ArrowFileSystem):
         if self._auth_headers is not None:
             headers.update(self._auth_headers())
         status, body, saw_transient = _put_with_transient_retry(
-            self._http_put, url, bytes(data), headers, f"GCS put {path}"
+            self._http_put, url, bytes(data), headers
         )
         if status == 412 and saw_transient and self._readback_matches(path, data):
             return  # the faulted attempt landed: this commit IS ours
@@ -1044,7 +1066,7 @@ class AbfsConditionalPutFileSystem(ArrowFileSystem):
         if self._auth_headers is not None:
             headers.update(self._auth_headers())
         status, body, saw_transient = _put_with_transient_retry(
-            self._http_put, url, bytes(data), headers, f"ABFS put {path}"
+            self._http_put, url, bytes(data), headers
         )
         if (
             status in (409, 412)

@@ -113,6 +113,10 @@ def exact_quantiles(
     ``quantize=True`` rounds each q to 10 decimal digits instead of
     rejecting it (the output ``q`` column carries the ROUNDED value) —
     the escape hatch for callers passing computed fractions like 1/3.
+    A q that rounds to 0 (q < 5e-11) CLAMPS to 1e-10, the smallest
+    representable quantile — an orders-of-magnitude substitution, not a
+    rounding; pass an explicit q if rank-1 semantics matter at that
+    extreme.
     """
     for q in qs:
         if not (0.0 < q <= 1.0):

@@ -527,7 +527,8 @@ class _FileState:
         condition: str | None,
         schema,
         partition_columns: list[str],
-    ) -> list[dict[str, Any]]:
+        max_survivors: int | None = None,
+    ) -> list[dict[str, Any]] | None:
         """Add payloads that may match ``condition`` WITHOUT forcing the
         full dict view: the checkpoint base is masked columnar first
         (pruning_arrow — Arrow C++ kernels, conservative superset), and
@@ -536,7 +537,15 @@ class _FileState:
         ``prune_files(as_dict().values())`` — same files, same order
         (base rows first, overlay after, as in :meth:`as_dict`) — but a
         filtered scan of a 1M-add table touches ~#survivors dicts
-        instead of 1M (VERDICT r12 item 1)."""
+        instead of 1M (VERDICT r12 item 1).
+
+        ``max_survivors``: selectivity gate for callers with a better
+        fallback plan (the three-tier DML planner): when the ARROW mask
+        keeps more than this many base rows — including the mask-is-None
+        case where nothing was vectorizable — return None WITHOUT
+        materializing any dicts, so an unselective condition on a huge
+        checkpoint never builds millions of stats-bearing payloads
+        driver-side."""
         from jodie_spark.tables.pruning import compile_skipping_predicate
 
         if not condition:
@@ -554,6 +563,16 @@ class _FileState:
             from jodie_spark.tables.pruning_arrow import arrow_keep_mask
 
             amask = arrow_keep_mask(base, condition, schema, partition_columns)
+            if max_survivors is not None:
+                import pyarrow.compute as pc
+
+                kept = (
+                    len(base)
+                    if amask is None
+                    else int(pc.sum(amask).as_py() or 0)
+                )
+                if kept > max_survivors:
+                    return None
             if amask is not None:
                 base = base.filter(amask)
             out.extend(p for p in _struct_rows(base) if pred(p))
@@ -659,6 +678,11 @@ class _FileState:
                         out.extend({} if v else None for v in valid)
                     else:
                         out.extend(_map_child_to_dicts(child))
+                elif _type_contains_map(child.type):
+                    # nested struct carrying a map (foreign extension):
+                    # normalize the list-of-tuples to dicts, matching
+                    # the _struct_rows/as_dict serving shape
+                    out.extend(_maps_to_dicts(v) for v in child.to_pylist())
                 else:
                     out.extend(child.to_pylist())
             rows = self._overlay.values()

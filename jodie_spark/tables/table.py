@@ -409,6 +409,11 @@ _DRIVER_PLAN_MAX_LOG_BYTES = 4 * 1024 * 1024
 # files_df plan takes over: the arrow base would hold multiple GB on the
 # driver, and a cluster prunes a 10M-file state in parallel.
 _DRIVER_COLUMNAR_PLAN_MAX_LOG_BYTES = 256 * 1024 * 1024
+# ... and only when the arrow pre-mask keeps at most this many files:
+# an unselective plan materializes full stats-bearing payload dicts per
+# survivor, so past this bound the Spark-side plan (stats-free Rows,
+# cluster-side pruning) is the cheaper collect even counting its job
+_DRIVER_COLUMNAR_PLAN_MAX_SURVIVORS = 100_000
 
 
 def _log_bytes_split(table_path: str) -> tuple[int, int]:
@@ -485,7 +490,14 @@ def plan_candidate_files(
     """
     json_bytes, parquet_bytes = _log_bytes_split(table_path)
     log_bytes = json_bytes + parquet_bytes
-    if log_bytes <= _DRIVER_PLAN_MAX_LOG_BYTES or (
+    if log_bytes <= _DRIVER_PLAN_MAX_LOG_BYTES:
+        snap = DeltaLog(table_path).snapshot()
+        # columnar pre-mask + exact survivors (same result as
+        # prune_files over add_files(), without the full dict view)
+        return snap._require_files().pruned_adds(
+            condition, schema, partition_columns
+        )
+    if (
         # columnar tier: checkpoint parquet loads as Arrow, but the
         # JSON tail still replays row-by-row — a foreign table with a
         # huge un-checkpointed tail belongs on the Spark path
@@ -494,11 +506,19 @@ def plan_candidate_files(
         and log_bytes <= _DRIVER_COLUMNAR_PLAN_MAX_LOG_BYTES
     ):
         snap = DeltaLog(table_path).snapshot()
-        # columnar pre-mask + exact survivors (same result as
-        # prune_files over add_files(), without the full dict view)
-        return snap._require_files().pruned_adds(
-            condition, schema, partition_columns
+        # selectivity-gated: when the arrow mask can't prove pruning
+        # bites (unselective condition, no stats on the column, nothing
+        # vectorizable), None comes back WITHOUT materializing dicts
+        # and the Spark-side plan below takes over — stats-free
+        # candidate Rows, cluster-side pruning (review r13)
+        candidates = snap._require_files().pruned_adds(
+            condition,
+            schema,
+            partition_columns,
+            max_survivors=_DRIVER_COLUMNAR_PLAN_MAX_SURVIVORS,
         )
+        if candidates is not None:
+            return candidates
 
     from jodie_spark.tables.distribution import (
         _file_filter_column,

@@ -1052,3 +1052,85 @@ def test_conditional_put_transient_retry_s3(monkeypatch):
     with pytest.raises(FakeClientError):
         s.create_exclusive("s3://b/_delta_log/4.json", b"v4")
     assert len(calls) == 4  # bounded: 1 initial + 3 retries
+
+
+def test_conditional_put_connection_fault_is_ambiguous_transient(monkeypatch):
+    """Review r13: a connection-level fault (timeout/reset — no HTTP
+    status at all) is the CLASSIC ambiguous PUT: it retries like a 5xx,
+    marks the attempt transient, and a subsequent lost-race answer goes
+    through the read-back disambiguation instead of forcing a duplicate
+    commit at N+1. Exhausted connection faults re-raise."""
+    from jodie_spark import fs as fs_mod
+    from jodie_spark.fs import (
+        AbfsConditionalPutFileSystem,
+        GcsConditionalPutFileSystem,
+        S3ConditionalPutFileSystem,
+    )
+
+    monkeypatch.setattr(fs_mod, "_transient_put_backoff", lambda a: 0.0)
+
+    # GCS: ConnectionError-then-success
+    calls = []
+
+    def flaky_put(url, data, headers):
+        calls.append(url)
+        if len(calls) == 1:
+            raise ConnectionResetError("peer reset")
+        return 200, b""
+
+    g = GcsConditionalPutFileSystem(http_put=flaky_put)
+    g.create_exclusive("gs://b/_delta_log/0.json", b"v0")
+    assert len(calls) == 2
+
+    # ABFS: timeout-then-409, read-back MATCHES -> our commit landed
+    calls = []
+
+    def lost_response_put(url, data, headers):
+        calls.append(url)
+        if len(calls) == 1:
+            raise TimeoutError("read timed out")  # PUT may have landed
+        return 409, b"BlobAlreadyExists"
+
+    a = AbfsConditionalPutFileSystem(http_put=lost_response_put)
+    a._readback_matches = lambda path, data: data == b"v1"
+    a.create_exclusive("abfss://c@a.dfs.core.windows.net/_delta_log/1.json", b"v1")
+    assert len(calls) == 2
+
+    # GCS: connection faults exhaust the bounded budget and re-raise
+    calls = []
+
+    def dead_put(url, data, headers):
+        calls.append(url)
+        raise ConnectionRefusedError("down")
+
+    g2 = GcsConditionalPutFileSystem(http_put=dead_put)
+    with pytest.raises(ConnectionRefusedError):
+        g2.create_exclusive("gs://b/_delta_log/2.json", b"v2")
+    assert len(calls) == 4  # 1 initial + 3 retries
+
+    # S3: botocore-style exception with NO .response (socket layer) is
+    # the ambiguous transient; next attempt's 412 + matching read-back
+    # is OUR commit
+    class NoResponseError(Exception):
+        pass
+
+    class PreconditionError(Exception):
+        def __init__(self):
+            self.response = {
+                "Error": {"Code": "PreconditionFailed"},
+                "ResponseMetadata": {"HTTPStatusCode": 412},
+            }
+
+    calls = []
+
+    class C:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch):
+            calls.append(Key)
+            if len(calls) == 1:
+                raise NoResponseError("connection aborted")
+            raise PreconditionError()
+
+    s = S3ConditionalPutFileSystem("s3", client=C())
+    s._readback_matches = lambda path, data: True
+    s.create_exclusive("s3://b/_delta_log/3.json", b"v3")
+    assert len(calls) == 2

@@ -341,3 +341,35 @@ def test_temporal_columns_vectorize(cond, keep):
     # and the python evaluator agrees exactly
     pred = compile_skipping_predicate(cond, SCHEMA, PARTITION_COLS)
     assert [pred(a) for a in adds] == keep
+
+
+def test_pruned_adds_selectivity_gate():
+    """max_survivors (review r13): when the arrow mask keeps more rows
+    than the bound — or nothing was vectorizable at all — pruned_adds
+    answers None WITHOUT materializing payload dicts, so the planner
+    can fall back to the Spark-side tier for unselective conditions."""
+    rng = random.Random(99)
+    adds = [_rand_add(rng, i) for i in range(30)]
+    base = _as_arrow(adds)
+
+    st = _FileState(base, {}, set())
+    # unselective: keeps ~everything -> gated out
+    assert st.pruned_adds("id >= 0", SCHEMA, PARTITION_COLS, max_survivors=5) is None
+    assert st._dict is None
+    # nothing vectorizable (unsupported leaf) -> mask None -> gated out
+    assert (
+        st.pruned_adds("k rlike 'a.*'", SCHEMA, PARTITION_COLS, max_survivors=5)
+        is None
+    )
+    assert st._dict is None
+    # selective: survivors under the bound -> normal exact result
+    got = st.pruned_adds("id > 1000000", SCHEMA, PARTITION_COLS, max_survivors=5)
+    want = prune_files(adds, "id > 1000000", SCHEMA, PARTITION_COLS)
+    assert got is not None and [a["path"] for a in got] == [
+        a["path"] for a in want
+    ]
+    # no bound -> never None, whatever the selectivity
+    got2 = st.pruned_adds("id >= 0", SCHEMA, PARTITION_COLS)
+    assert got2 is not None and len(got2) == len(
+        prune_files(adds, "id >= 0", SCHEMA, PARTITION_COLS)
+    )

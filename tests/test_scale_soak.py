@@ -481,6 +481,14 @@ def test_1m_selective_merge_lifecycle(spark, tmp_path_factory, monkeypatch):
     plan_s = time.time() - t0
     # only the two real base files may contain id < 100
     assert len(cands) == 2, [c["path"] for c in cands]
+    # UNSELECTIVE condition (keeps ~everything): the selectivity gate
+    # must fall through to the Spark-side tier — still no dict view,
+    # candidates come back as stats-free rows (review r13)
+    t0 = time.time()
+    all_cands = plan_candidate_files(spark, p, "id >= 0", schema, [])
+    unsel_s = time.time() - t0
+    assert len(all_cands) == 1_000_002  # 1M fakes + 2 real (tail removed)
+    assert all("stats" not in c for c in all_cands[:100])
 
     src = spark.range(0, 5).selectExpr("id", "'upd' as v")
     t0 = time.time()
@@ -509,8 +517,8 @@ def test_1m_selective_merge_lifecycle(spark, tmp_path_factory, monkeypatch):
     assert snap.num_files() >= 1_000_000
     print(
         f"\nSOAK1M merge lifecycle: table_info={info_s * 1000:.0f}ms "
-        f"plan_candidates={plan_s:.2f}s merge={merge_s:.2f}s "
-        f"(dict view never materialized)"
+        f"plan_candidates={plan_s:.2f}s unselective_plan={unsel_s:.2f}s "
+        f"merge={merge_s:.2f}s (dict view never materialized)"
     )
     assert info_s < 2.0 and plan_s < 30 and merge_s < 60
 
