@@ -603,6 +603,88 @@ def _build_huff_lut(counts: list[int], symbols: bytes) -> tuple[bytes, bytes]:
     return bytes(sym), bytes(ln)
 
 
+#: fused decode tables keyed by the DHT payload itself — real corpora
+#: overwhelmingly ship the Annex K tables, so across a batch of images
+#: the (one-time, numpy-vectorized) build cost amortizes to ~zero.
+_FUSED_LUT_CACHE: dict = {}
+
+
+def _build_fused_luts(counts: list[int], symbols: bytes, is_ac: bool):
+    """Fused one-lookup decode tables for a canonical Huffman table.
+
+    Returns ``(tot, run, val, ptot, prun2, pval2, sym, ln)``:
+
+    - ``tot[v16]``: ``code_len + magnitude_size`` when the 16-bit peek
+      window fully resolves ONE coefficient — i.e. the extend bits sit
+      inside the window too, so ``val[v16]`` is the final extended
+      value and ``run[v16]`` the zero-run. 0 ⇒ slow path (EOB, ZRL,
+      invalid prefix, or code+size spilling past 16 bits).
+    - ``ptot[v16]``: total bits when TWO consecutive coefficients
+      resolve inside the same window (``prun2``/``pval2`` describe the
+      second one). Valid because a complete prefix code + its extend
+      bits within the top ``t1`` bits make the remaining ``16-t1`` bits
+      position-independent: the zero-filled low bits of the shifted
+      index cannot influence a second symbol whose own ``tot ≤ 16-t1``.
+      Measured pair-hit rates: ~92% on 64x48 noise thumbnails (q90),
+      ~65% on photographic content (q85) — which is why the hot loop
+      retires ~1.45 coefficients per iteration.
+    - ``sym``/``ln``: the classic one-symbol LUTs for the slow path.
+
+    DC tables reuse the shape with ``run == 0`` and no pair tier; a DC
+    size-0 code (diff = 0) is itself fully resolved by the code alone.
+    """
+    key = (bytes(counts), bytes(symbols), is_ac)
+    hit = _FUSED_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym_b, ln_b = _build_huff_lut(counts, bytes(symbols))
+    tot = np.zeros(65536, dtype=np.uint8)
+    run = np.zeros(65536, dtype=np.uint8)
+    val = np.zeros(65536, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            s = symbols[k]
+            size = (s & 15) if is_ac else s
+            r = (s >> 4) if is_ac else 0
+            if size and length + size <= 16:
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                shift = 16 - length - size
+                idx = np.arange(base, base + span, dtype=np.int64)
+                raw = (idx >> shift) & ((1 << size) - 1)
+                v = np.where(raw >= (1 << (size - 1)), raw, raw - ((1 << size) - 1))
+                tot[base : base + span] = length + size
+                run[base : base + span] = r
+                val[base : base + span] = v
+            elif not is_ac and size == 0:
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                tot[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    if is_ac:
+        t1 = tot.astype(np.int64)
+        v16 = np.arange(65536, dtype=np.int64)
+        v2 = (v16 << t1) & 0xFFFF
+        t2 = tot[v2]
+        ok = (tot > 0) & (t2 > 0) & (t1 + t2 <= 16)
+        ptot = np.where(ok, tot + t2, 0).astype(np.uint8).tobytes()
+        prun2 = np.where(ok, run[v2], 0).astype(np.uint8).tobytes()
+        pval2 = np.where(ok, val[v2], 0).tolist()
+    else:
+        ptot = prun2 = b"\x00" * 65536
+        pval2 = [0] * 65536
+    out = (tot.tobytes(), run.tobytes(), val.tolist(), ptot, prun2, pval2,
+           sym_b, ln_b)
+    if len(_FUSED_LUT_CACHE) > 64:
+        _FUSED_LUT_CACHE.clear()
+    _FUSED_LUT_CACHE[key] = out
+    return out
+
+
 def _split_entropy_segments(b: bytes, start: int) -> list[bytes]:
     """Entropy-coded bytes from ``start`` split at RSTn markers, 0xFF00
     byte-stuffing removed — done ONCE per scan with C-level find/replace
@@ -719,30 +801,46 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
     total_mcus = mcux * mcuy
     A = _DCT_A
 
-    # --- entropy decode, LUT + local-int bit buffer (the per-bit
-    # dict-walk reader was >60% of decode wall time). Segments are
-    # pre-unstuffed and pre-split at restart markers, the 16-bit peek
-    # LUT resolves a Huffman symbol in one bytes-index, and the IDCT /
-    # dequant / de-zigzag run BATCHED over all blocks per component
-    # after the scan instead of per 8x8 block.
-    luts = {key: _build_huff_lut(counts, syms) for key, (counts, syms) in huff.items()}
+    # --- entropy decode, fused value-LUTs + local-int bit buffer (the
+    # per-bit dict-walk reader was >60% of decode wall time; the
+    # two-LUT symbol decode + per-field extend arithmetic another big
+    # slice). Segments are pre-unstuffed and pre-split at restart
+    # markers; ONE 16-bit-peek lookup resolves code + extend bits to
+    # the final coefficient value, and a pair tier retires TWO
+    # coefficients per lookup when both fit the window (~1.45
+    # coeffs/iteration measured, see _build_fused_luts). Refills pull
+    # 8 bytes per struct.unpack_from with the accumulator masked at
+    # refill time so Python ints stay ≤ ~80 bits. The IDCT / dequant /
+    # de-zigzag run BATCHED over all blocks per component after the
+    # scan instead of per 8x8 block.
+    fused = {
+        key: _build_fused_luts(counts, syms, key[0] == 1)
+        for key, (counts, syms) in huff.items()
+    }
     segs = _split_entropy_segments(b, data_start)
     per_comp: dict[int, list[list[int]]] = {c["id"]: [] for c in comps}
     scan_plan = []
     for sc in scan:
         comp = by_id[sc["id"]]
-        dc_sym, dc_ln = luts[(0, sc["dc"])]
-        ac_sym, ac_ln = luts[(1, sc["ac"])]
+        dtb, _dr, dvl, _dp1, _dp2, _dp3, dsy, dln = fused[(0, sc["dc"])]
+        atb, arb, avl, apt, apr, apv, asy, aln = fused[(1, sc["ac"])]
         scan_plan.append(
-            (sc["id"], comp["v"] * comp["h"], dc_sym, dc_ln, ac_sym, ac_ln)
+            (sc["id"], comp["v"] * comp["h"],
+             dtb, dvl, dsy, dln,
+             atb, arb, avl, apt, apr, apv, asy, aln)
         )
     pred = {c["id"]: 0 for c in comps}
+    uq8 = struct.Struct(">Q").unpack_from
     # two 0xFF pad bytes per segment: the 16-bit peek may reach past the
     # final (shorter) code into the byte-padding region; a complete
     # prefix code resolves identically whatever the trailing bits are,
-    # and genuinely truncated streams still hit IndexError right after
+    # and genuinely truncated streams still hit IndexError right after.
+    # The 8-byte fast refill stops 8 bytes from the end (fast_stop) and
+    # hands the tail to the byte-at-a-time path, so IndexError fires at
+    # exactly the same consumed-bit position as the classic reader.
     seg_idx = 0
     data = segs[0] + b"\xff\xff"
+    fast_stop = len(data) - 8
     pos = 0
     acc = 0
     nacc = 0
@@ -754,6 +852,7 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
                 if seg_idx + 1 < len(segs):
                     seg_idx += 1
                     data = segs[seg_idx] + b"\xff\xff"
+                    fast_stop = len(data) - 8
                     pos = acc = nacc = 0
                 else:  # no marker was written: just byte-align
                     drop = nacc & 7
@@ -761,37 +860,83 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
                     acc &= (1 << nacc) - 1
                 pred = dict.fromkeys(pred, 0)
             mcu_count += 1
-            for cid, nblk, dc_sym, dc_ln, ac_sym, ac_ln in scan_plan:
+            for (cid, nblk,
+                 dc_tot, dc_val, dc_sym, dc_ln,
+                 ac_tot, ac_run, ac_val,
+                 ac_ptot, ac_prun2, ac_pval2,
+                 ac_sym, ac_ln) in scan_plan:
                 pred_c = pred[cid]
                 blocks_c = per_comp[cid]
                 for _blk in range(nblk):
                     zz = [0] * 64
-                    while nacc < 16:
-                        acc = (acc << 8) | data[pos]  # IndexError ⇒ truncated
-                        pos += 1
-                        nacc += 8
+                    # ---- DC ----
+                    if nacc < 16:
+                        if pos <= fast_stop:
+                            acc = (((acc & ((1 << nacc) - 1)) << 64)
+                                   | uq8(data, pos)[0])
+                            pos += 8
+                            nacc += 64
+                        else:
+                            while nacc < 16:
+                                acc = (acc << 8) | data[pos]  # IndexError ⇒ truncated
+                                pos += 1
+                                nacc += 8
                     v16 = (acc >> (nacc - 16)) & 0xFFFF
-                    length = dc_ln[v16]
-                    if length == 0:
-                        raise ValueError("invalid JPEG huffman code")
-                    s = dc_sym[v16]
-                    nacc -= length
-                    if s:
-                        while nacc < s:
-                            acc = (acc << 8) | data[pos]
-                            pos += 1
-                            nacc += 8
-                        nacc -= s
-                        r = (acc >> nacc) & ((1 << s) - 1)
-                        pred_c += r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+                    t = dc_tot[v16]
+                    if t:
+                        nacc -= t
+                        pred_c += dc_val[v16]
+                    else:
+                        length = dc_ln[v16]
+                        if length == 0:
+                            raise ValueError("invalid JPEG huffman code")
+                        s = dc_sym[v16]
+                        nacc -= length
+                        if s:
+                            while nacc < s:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nacc += 8
+                            nacc -= s
+                            r = (acc >> nacc) & ((1 << s) - 1)
+                            pred_c += r if r >= (1 << (s - 1)) else r - (1 << s) + 1
                     zz[0] = pred_c
+                    # ---- AC ----
                     k = 1
                     while k < 64:
-                        while nacc < 16:
-                            acc = (acc << 8) | data[pos]
-                            pos += 1
-                            nacc += 8
+                        if nacc < 16:
+                            if pos <= fast_stop:
+                                acc = (((acc & ((1 << nacc) - 1)) << 64)
+                                       | uq8(data, pos)[0])
+                                pos += 8
+                                nacc += 64
+                            else:
+                                while nacc < 16:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                    nacc += 8
                         v16 = (acc >> (nacc - 16)) & 0xFFFF
+                        t = ac_tot[v16]
+                        if t:
+                            k += ac_run[v16]
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = ac_val[v16]
+                            t2 = ac_ptot[v16]
+                            if t2:
+                                k2 = k + 1 + ac_prun2[v16]
+                                if k2 < 64:
+                                    zz[k2] = ac_pval2[v16]
+                                    k = k2 + 1
+                                    nacc -= t2
+                                    continue
+                                # second coefficient would overflow: consume
+                                # only the first; the next iteration re-reads
+                                # it and raises exactly where the classic
+                                # decoder did
+                            k += 1
+                            nacc -= t
+                            continue
                         length = ac_ln[v16]
                         if length == 0:
                             raise ValueError("invalid JPEG huffman code")
@@ -826,8 +971,12 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
         cv, ch = c["v"], c["h"]
         nbl = total_mcus * cv * ch
         got = per_comp[c["id"]]
+        # int64 here, not float64: CPython's int→int64 fast path makes
+        # np.array() on the (mostly-small-int) flat coefficient list
+        # ~8x cheaper; the dequant multiply below promotes to float64
+        # exactly (|coef| ≤ 32767, q ≤ 65535 — well inside 2^53)
         zzm = (
-            np.array(got, dtype=np.float64).reshape(-1, 64)
+            np.array(got, dtype=np.int64).reshape(-1, 64)
             if got
             else np.zeros((0, 64))
         )

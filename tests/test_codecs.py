@@ -345,6 +345,157 @@ def test_jpeg_roundtrip_smooth_image(restart):
     assert err.max() <= 12 and err.mean() < 3.0
 
 
+def test_jpeg_fused_lut_tables_match_canonical_decode():
+    """Property check of the fused value-LUT tiers against a canonical
+    bit-walk over the same table: for random 16-bit windows, the single
+    tier must report (code_len+size, run, extended value) exactly when
+    the window fully resolves one coefficient, and the pair tier must
+    equal two consecutive canonical decodes whenever it claims a pair.
+    Uses the standard Annex K luminance AC table (the one real corpora
+    ship) plus a skewed custom table with long codes to exercise the
+    slow-path boundary (code+size > 16 ⇒ tot == 0)."""
+    from jodie_spark.operators.codecs import _build_fused_luts, _extend
+
+    def canonical(counts, symbols):
+        # (length, code) -> symbol, rebuilt independently of the LUTs
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    def walk_one(table, window, bits_left):
+        """Decode one AC coefficient from the MSB side of `window`
+        (bits_left wide). Returns (consumed, run, value) or None when
+        it does not fully resolve (EOB/ZRL/invalid/spill)."""
+        code = 0
+        for length in range(1, 17):
+            if length > bits_left:
+                return None
+            code = (code << 1) | ((window >> (bits_left - length)) & 1)
+            sym = table.get((length, code))
+            if sym is None:
+                continue
+            size = sym & 15
+            if size == 0 or length + size > bits_left:
+                return None
+            raw = (window >> (bits_left - length - size)) & ((1 << size) - 1)
+            return (length + size, sym >> 4, _extend(raw, size))
+        return None
+
+    # Annex K luminance AC (pulled from an encoded fixture's DHT) and a
+    # pathological table: one 2-bit code with size 15 (spills) + fillers
+    from jodie_spark.operators.codecs import encode_jpeg
+    import struct as _struct
+
+    blob = encode_jpeg(np.zeros((8, 8, 3), np.uint8), quality=90)
+    i, tables = 2, []
+    while i < len(blob) - 1:
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        m = blob[i + 1]
+        i += 2
+        if m in (0xD8, 0x01):
+            continue
+        if m in (0xD9, 0xDA):
+            break
+        (ln,) = _struct.unpack_from(">H", blob, i)
+        seg = blob[i + 2 : i + ln]
+        i += ln
+        if m == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc = seg[p] >> 4
+                counts = list(seg[p + 1 : p + 17])
+                tot = sum(counts)
+                if tc == 1:
+                    tables.append((counts, bytes(seg[p + 17 : p + 17 + tot])))
+                p += 17 + tot
+    assert tables, "encoded fixture carries AC DHT segments"
+    skew_counts = [0, 1, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    skew_syms = bytes([0x2F, 0x01, 0x11, 0x21])  # run2/size15 spills at len 2
+    tables.append((skew_counts, skew_syms))
+
+    rng = np.random.default_rng(123)
+    for counts, syms in tables:
+        tot_b, run_b, val_l, ptot_b, prun2_b, pval2_l, _s, _l = _build_fused_luts(
+            counts, syms, True
+        )
+        table = canonical(counts, syms)
+        for v16 in rng.integers(0, 65536, 4000):
+            v16 = int(v16)
+            one = walk_one(table, v16, 16)
+            if one is None:
+                assert tot_b[v16] == 0, (counts, v16)
+                continue
+            consumed, r1, x1 = one
+            assert tot_b[v16] == consumed
+            assert run_b[v16] == r1
+            assert val_l[v16] == x1
+            two = walk_one(table, v16, 16 - consumed)
+            if two is None:
+                assert ptot_b[v16] == 0
+            else:
+                c2, r2, x2 = two
+                assert ptot_b[v16] == consumed + c2
+                assert prun2_b[v16] == r2
+                assert pval2_l[v16] == x2
+
+
+def test_jpeg_truncated_stream_returns_partial_not_raise():
+    """Parity contract for the 8-byte fast refill: a stream cut mid-MCU
+    must still return the decoded prefix (truncated=keep semantics),
+    with IndexError firing at the same consumed-bit position as the
+    classic byte-at-a-time reader."""
+    from jodie_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(11).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    full = encode_jpeg(img, quality=80)
+    W, H, whole = decode_jpeg(full)
+    for cut in (len(full) // 2, len(full) - 20):
+        w, h, px = decode_jpeg(full[:cut])
+        assert (w, h) == (W, H)
+        assert px.shape == whole.shape
+        # blocks decoded before the cut are bit-identical to the full
+        # decode (the DC predictor chain is a prefix); the zero-filled
+        # tail differs from it
+        assert np.array_equal(px[:8], whole[:8])
+        assert not np.array_equal(px, whole)
+    # a cut inside the final code makes the 0xFF padding reach the
+    # decoder as an all-ones window: the classic reader raised
+    # ValueError here and the fast-refill path must too (verified
+    # against the pre-fused decoder byte-for-byte on this payload)
+    with pytest.raises(ValueError, match="invalid JPEG huffman code"):
+        decode_jpeg(full[: len(full) - 3])
+    # an undamaged stream decodes identically through the fast refill
+    assert np.array_equal(decode_jpeg(full)[2], whole)
+
+
+def test_jpeg_fused_lut_cache_reuse():
+    """Images sharing DHT payloads (the usual Annex K case) must reuse
+    the fused tables rather than rebuilding 65536-entry LUTs per image."""
+    from jodie_spark.operators import codecs
+
+    codecs._FUSED_LUT_CACHE.clear()
+    rng = np.random.default_rng(3)
+    blobs = [
+        codecs.encode_jpeg(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), quality=90
+        )
+        for _ in range(3)
+    ]
+    for b in blobs:
+        codecs.decode_jpeg(b)
+    # one DC + one AC table for luma, same pair for chroma => ≤4 entries
+    assert 0 < len(codecs._FUSED_LUT_CACHE) <= 4
+
+
 def test_jpeg_non_multiple_of_8_dims_and_header_only():
     from jodie_spark.operators.codecs import decode_jpeg, encode_jpeg
 
