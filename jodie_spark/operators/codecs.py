@@ -527,10 +527,19 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
+_BUILD_HUFF_CACHE: dict = {}
+
+
 def _build_huff(counts: list[int], symbols: bytes):
     """Canonical JPEG Huffman table: ({(length, code): symbol},
     16-bit-peek symbol LUT, length LUT) — the dict drives the
-    marker-safe slow path, the LUTs the one-lookup fast path."""
+    marker-safe slow path, the LUTs the one-lookup fast path. Cached
+    by the DHT payload (the 65536-entry LUT build is per-table work
+    that repeats identically across a corpus of Annex-K images)."""
+    key = (bytes(counts), bytes(symbols))
+    hit = _BUILD_HUFF_CACHE.get(key)
+    if hit is not None:
+        return hit
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -541,7 +550,11 @@ def _build_huff(counts: list[int], symbols: bytes):
             k += 1
         code <<= 1
     sym_b, ln_b = _build_huff_lut(counts, bytes(symbols))
-    return table, sym_b, ln_b
+    out = (table, sym_b, ln_b)
+    if len(_BUILD_HUFF_CACHE) > 64:
+        _BUILD_HUFF_CACHE.clear()
+    _BUILD_HUFF_CACHE[key] = out
+    return out
 
 
 def _huff_decode(br: _BitReader, table) -> int:
@@ -1024,9 +1037,15 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
     (same logic as libjpeg's jdphuff.c, re-derived)."""
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff_raw: dict[tuple[int, int], tuple[list[int], bytes]] = {}
     frame = None
     geom = None
-    coef: dict[int, np.ndarray] = {}
+    # per-component coefficient accumulator: ONE flat Python list per
+    # component (64 slots per block, grid-row-major). Scans touch
+    # single coefficients at a time, and CPython list stores/loads are
+    # ~4x cheaper than numpy scalar access — the whole grid converts to
+    # numpy once, at EOI.
+    coef: dict[int, list] = {}
     restart_interval = 0
     i = 2
     n = len(b)
@@ -1076,9 +1095,9 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
             geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
             for c in comps:
                 # full MCU-padded block grid; zigzag-order coefficients
-                coef[c["id"]] = np.zeros(
-                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
-                )
+                c["gby"] = mcuy * c["v"]
+                c["gbx"] = mcux * c["h"]
+                coef[c["id"]] = [0] * (c["gby"] * c["gbx"] * 64)
                 # non-interleaved scan dims (T.81 A.1.1: ceil of the
                 # component's own sample extents)
                 cw = (w * c["h"] + hmax - 1) // hmax
@@ -1095,6 +1114,7 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
                 total = sum(counts)
                 symbols = seg[p + 17 : p + 17 + total]
                 huff[(tc, th)] = _build_huff(counts, symbols)
+                huff_raw[(tc, th)] = (counts, bytes(symbols))
                 p += 17 + total
         elif marker == 0xDA:
             if frame is None:
@@ -1108,7 +1128,7 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             i = _progressive_scan(
-                b, i, frame, geom, coef, huff, scomps, ss, se, ah, al,
+                b, i, frame, geom, coef, huff, huff_raw, scomps, ss, se, ah, al,
                 restart_interval,
             )
     if frame is None:
@@ -1119,12 +1139,18 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
     A = _DCT_A
     out_planes = []
     for c in comps:
-        zz = coef[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
-        gby, gbx = zz.shape[0], zz.shape[1]
+        gby, gbx = c["gby"], c["gbx"]
+        zz = np.array(coef[c["id"]], dtype=np.int64).reshape(
+            gby, gbx, 64
+        ) * qt[c["tq"]][None, None, :].astype(np.float64)
         nat = np.zeros_like(zz)
         nat[:, :, _ZIGZAG] = zz
         blocks = nat.reshape(gby, gbx, 8, 8)
-        px = np.einsum("ij,yxjk,kl->yxil", A.T, blocks, A) + 128.0
+        # batched matmul over (N, 8, 8) like the baseline path — BLAS
+        # dispatch beats the general einsum contraction ~3x here
+        px = (A.T @ blocks.reshape(-1, 8, 8) @ A + 128.0).reshape(
+            blocks.shape
+        )
         p = px.transpose(0, 2, 1, 3).reshape(gby * 8, gbx * 8)
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
@@ -1143,7 +1169,8 @@ def _decode_progressive(b: bytes, with_pixels: bool = True):
 
 
 def _progressive_scan(
-    b, pos, frame, geom, coef, huff, scomps, ss, se, ah, al, restart_interval=0
+    b, pos, frame, geom, coef, huff, huff_raw, scomps, ss, se, ah, al,
+    restart_interval=0,
 ):
     """Decode one progressive scan's entropy data starting at ``pos``;
     returns the position of the terminating marker. With a nonzero DRI
@@ -1153,15 +1180,26 @@ def _progressive_scan(
     for refinement scans, whose leading raw bit reads would consume
     the pre-marker padding 1-bits as correction bits and corrupt
     blocks that are never rolled back. A reactive reset remains as the
-    fallback for non-conformant streams (stray RSTn without DRI)."""
+    fallback for non-conformant streams (stray RSTn without DRI).
+
+    AC-first scans run the same fused value-LUT loop as the baseline
+    decoder (one 16-bit-window lookup per coefficient, a pair tier for
+    two) inlined over the reader's state; everything the fast loop
+    cannot retire — EOB runs, ZRL, codes spilling past the window,
+    marker proximity, the band tail — delegates to the classic
+    ``ac_first_slow`` continuation, which owns all the subtle T.81
+    Annex G semantics exactly as before."""
     comps = {c["id"]: c for c in frame["comps"]}
     pred = {sc["id"]: 0 for sc in scomps}
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
 
-    # flat task list in scan order: (mcu_index, comp_id, by, bx, scomp);
-    # for non-interleaved scans the MCU is a single block (T.81 B.2.3),
-    # so restart intervals count blocks there
+    # flat task list in scan order: (mcu_index, comp_id, base, scomp)
+    # where base indexes the component's flat coefficient list at the
+    # block's 64-slot row (grid stride = the MCU-padded gbx, also for
+    # non-interleaved scans whose own extent nbx may be smaller); for
+    # non-interleaved scans the MCU is a single block (T.81 B.2.3), so
+    # restart intervals count blocks there
     tasks: list[tuple] = []
     if len(scomps) > 1:
         if ss != 0:
@@ -1171,37 +1209,46 @@ def _progressive_scan(
                 mcu = my * geom["mcux"] + mx
                 for sc in scomps:
                     c = comps[sc["id"]]
+                    gbx = c["gbx"]
                     for v_ in range(c["v"]):
                         for h_ in range(c["h"]):
-                            tasks.append(
-                                (mcu, sc["id"], my * c["v"] + v_, mx * c["h"] + h_, sc)
-                            )
+                            base = ((my * c["v"] + v_) * gbx + mx * c["h"] + h_) * 64
+                            tasks.append((mcu, sc["id"], base, sc))
     else:
         sc = scomps[0]
         c = comps[sc["id"]]
+        gbx = c["gbx"]
         for by in range(c["nby"]):
             for bx in range(c["nbx"]):
-                tasks.append((by * c["nbx"] + bx, sc["id"], by, bx, sc))
+                tasks.append((by * c["nbx"] + bx, sc["id"], (by * gbx + bx) * 64, sc))
 
     br = _BitReader(b, pos)
+    is_ac_first = ss != 0 and ah == 0
+    fused_ac = (
+        {
+            sc["ac"]: _build_fused_luts(*huff_raw[(1, sc["ac"])], True)
+            for sc in scomps
+        }
+        if is_ac_first
+        else {}
+    )
 
-    def dc_first(cvec, sc):
+    def dc_first(lst, base, sc):
         s = _huff_decode(br, huff[(0, sc["dc"])])
         diff = _extend(br.read(s), s) if s else 0
         pred[sc["id"]] += diff
-        cvec[0] = pred[sc["id"]] << al
+        lst[base] = pred[sc["id"]] << al
 
-    def dc_refine(cvec):
+    def dc_refine(lst, base):
         if br.read_bit():
-            cvec[0] |= p1
+            lst[base] |= p1
 
-    def ac_first(cvec, sc):
+    def ac_first_slow(lst, base, sc, k):
+        """Classic per-symbol decode from band index ``k`` — the single
+        owner of EOB-run/ZRL semantics (and of marker handling, via the
+        reader's own fill)."""
         nonlocal eobrun
-        if eobrun > 0:
-            eobrun -= 1
-            return
         act = huff[(1, sc["ac"])]
-        k = ss
         while k <= se:
             rs = _huff_decode(br, act)
             r, s = rs >> 4, rs & 15
@@ -1209,7 +1256,7 @@ def _progressive_scan(
                 k += r
                 if k > se:
                     raise ValueError("progressive AC index overflow")
-                cvec[k] = _extend(br.read(s), s) << al
+                lst[base + k] = _extend(br.read(s), s) << al
                 k += 1
             else:
                 if r != 15:
@@ -1219,7 +1266,64 @@ def _progressive_scan(
                     break
                 k += 16
 
-    def ac_refine(cvec, sc):
+    def ac_first(lst, base, sc):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        tot_b, run_b, val_l, ptot_b, prun2_b, pval2_l, _s, _l = fused_ac[sc["ac"]]
+        d = br.d
+        pos_ = br.pos
+        bits = br.bits
+        nbits = br.nbits
+        k = ss
+        while k <= se:
+            if nbits < 16:
+                hit_marker = False
+                while nbits < 16:
+                    byte = d[pos_]  # IndexError ⇒ truncated, as _fill
+                    if byte == 0xFF:
+                        nxt = d[pos_ + 1]
+                        if nxt != 0x00:
+                            hit_marker = True
+                            break
+                        pos_ += 2
+                    else:
+                        pos_ += 1
+                    bits = (bits << 8) | byte
+                    nbits += 8
+                if hit_marker:
+                    # marker not consumed: hand the band tail to the
+                    # classic path, whose fill raises _MarkerHit at the
+                    # exact same reader position
+                    br.pos = pos_
+                    br.bits = bits & ((1 << nbits) - 1)
+                    br.nbits = nbits
+                    return ac_first_slow(lst, base, sc, k)
+            v16 = (bits >> (nbits - 16)) & 0xFFFF
+            t = tot_b[v16]
+            if t:
+                k += run_b[v16]
+                if k > se:
+                    raise ValueError("progressive AC index overflow")
+                lst[base + k] = val_l[v16] << al
+                t2 = ptot_b[v16]
+                if t2:
+                    k2 = k + 1 + prun2_b[v16]
+                    if k2 <= se:
+                        lst[base + k2] = pval2_l[v16] << al
+                        k = k2 + 1
+                        nbits -= t2
+                        continue
+                k += 1
+                nbits -= t
+                continue
+            # EOB run / ZRL / spill / invalid: classic path owns it
+            br.pos, br.bits, br.nbits = pos_, bits & ((1 << nbits) - 1), nbits
+            return ac_first_slow(lst, base, sc, k)
+        br.pos, br.bits, br.nbits = pos_, bits & ((1 << nbits) - 1), nbits
+
+    def ac_refine(lst, base, sc):
         nonlocal eobrun
         act = huff[(1, sc["ac"])]
         k = ss
@@ -1239,30 +1343,32 @@ def _progressive_scan(
                 # advance over r zero-history coefficients, emitting
                 # correction bits for every nonzero-history one passed
                 while k <= se:
-                    if cvec[k]:
-                        if br.read_bit() and not (cvec[k] & p1):
-                            cvec[k] += p1 if cvec[k] >= 0 else m1
+                    cur = lst[base + k]
+                    if cur:
+                        if br.read_bit() and not (cur & p1):
+                            lst[base + k] = cur + (p1 if cur >= 0 else m1)
                     else:
                         if r == 0:
                             break
                         r -= 1
                     k += 1
                 if val and k <= se:
-                    cvec[k] = val
+                    lst[base + k] = val
                 k += 1
         if eobrun > 0:
             # EOB-covered block: only correction bits for nonzero history
             while k <= se:
-                if cvec[k]:
-                    if br.read_bit() and not (cvec[k] & p1):
-                        cvec[k] += p1 if cvec[k] >= 0 else m1
+                cur = lst[base + k]
+                if cur:
+                    if br.read_bit() and not (cur & p1):
+                        lst[base + k] = cur + (p1 if cur >= 0 else m1)
                 k += 1
             eobrun -= 1
 
     idx = 0
     rst_done = 0  # highest MCU boundary whose RSTn was already consumed
     while idx < len(tasks):
-        mcu, cid, by, bx, sc = tasks[idx]
+        mcu, cid, base, sc = tasks[idx]
         if (
             restart_interval
             and mcu > rst_done
@@ -1284,16 +1390,16 @@ def _progressive_scan(
                 eobrun = 0
             # else: DRI declared but no marker here — non-conformant;
             # keep decoding, the reactive handler below catches strays
-        cvec = coef[cid][by, bx]
+        lst = coef[cid]
         try:
             if ss == 0 and ah == 0:
-                dc_first(cvec, sc)
+                dc_first(lst, base, sc)
             elif ss == 0:
-                dc_refine(cvec)
+                dc_refine(lst, base)
             elif ah == 0:
-                ac_first(cvec, sc)
+                ac_first(lst, base, sc)
             else:
-                ac_refine(cvec, sc)
+                ac_refine(lst, base, sc)
             idx += 1
         except _MarkerHit as mh:
             m = mh.marker & 0xFF
