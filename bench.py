@@ -369,13 +369,41 @@ def main() -> None:
             encode_png,
         )
 
+        from jodie_spark.operators.codecs import encode_jpeg_progressive
+
         _rng = _np.random.default_rng(42)
         _imgs = [
             _rng.integers(0, 256, (64, 48, 3), dtype=_np.uint8) for _ in range(64)
         ]
+        # photo-like thumbnails (smooth gradients + texture): the fused
+        # pair-LUT decode behaves differently on natural content than
+        # on noise (higher pair-hit rate, fewer coefficients/block) —
+        # report both content classes
+        _yy, _xx = _np.mgrid[0:64, 0:48]
+        _photos = [
+            _np.stack(
+                [
+                    128 + 80 * _np.sin(_xx / 7.0 + s) + 20 * _np.cos(_yy / 5.0),
+                    100 + 60 * _np.cos(_xx / 9.0) + 30 * _np.sin(_yy / 6.0 + s),
+                    140 + 70 * _np.sin((_xx + _yy) / 8.0 + s),
+                ],
+                axis=2,
+            ).clip(0, 255).astype(_np.uint8)
+            for s in range(64)
+        ]
         media = {}
         for label, blobs, overrides in (
             ("jpeg_pure_python", [encode_jpeg(p, quality=90) for p in _imgs], None),
+            (
+                "jpeg_photo_content",
+                [encode_jpeg(p, quality=90) for p in _photos],
+                None,
+            ),
+            (
+                "jpeg_progressive",
+                [encode_jpeg_progressive(p, quality=90) for p in _imgs],
+                None,
+            ),
             ("png_pure_python", [encode_png(p) for p in _imgs], None),
             ("bmp_pure_python", [encode_bmp(p) for p in _imgs], None),
             (
