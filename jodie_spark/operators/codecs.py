@@ -31,6 +31,7 @@ array math in numpy; there is no Spark dependency in this module.
 from __future__ import annotations
 
 import struct
+from array import array
 
 import numpy as np
 
@@ -620,9 +621,24 @@ def _build_huff_lut(counts: list[int], symbols: bytes) -> tuple[bytes, bytes]:
 #: overwhelmingly ship the Annex K tables, so across a batch of images
 #: the (one-time, numpy-vectorized) build cost amortizes to ~zero.
 _FUSED_LUT_CACHE: dict = {}
+#: DHT payloads seen at least once: a table that repeats is corpus-shared
+#: (Annex K), so its pair tier amortizes — build it on the second use.
+#: Optimized-Huffman corpora (fresh DHT per image) never repeat a key
+#: and stay on the cheaper single tier for small images.
+_FUSED_SEEN: set = set()
+#: identity sentinels marking "pair tier not built" (a REAL pair table
+#: can be all-zero for pathological codes, so compare by identity)
+_ZERO_PAIR_TOT = b"\x00" * 65536
+_ZERO_PAIR_RUN = b"\x00" * 65536
+_ZERO_PAIR_VAL = array("i", bytes(4 * 65536))
+#: all 16-bit windows, reused by every table build
+_IDX16_I32 = np.arange(65536, dtype=np.int32)
+_IDX16_I64 = np.arange(65536, dtype=np.int64)
 
 
-def _build_fused_luts(counts: list[int], symbols: bytes, is_ac: bool):
+def _build_fused_luts(
+    counts: list[int], symbols: bytes, is_ac: bool, pairs: bool = True
+):
     """Fused one-lookup decode tables for a canonical Huffman table.
 
     Returns ``(tot, run, val, ptot, prun2, pval2, sym, ln)``:
@@ -645,54 +661,96 @@ def _build_fused_luts(counts: list[int], symbols: bytes, is_ac: bool):
 
     DC tables reuse the shape with ``run == 0`` and no pair tier; a DC
     size-0 code (diff = 0) is itself fully resolved by the code alone.
+
+    ``pairs=False`` skips the pair tier (its gathers are the expensive
+    part of the build) and stores identity sentinels instead — callers
+    pass it for small images, where the pair tier's in-image saving
+    does not cover its build cost when the DHT is fresh. A key that
+    repeats (``_FUSED_SEEN``) upgrades to the full tables on its next
+    request, reusing the cached single tier, so corpus-shared tables
+    always end up paired while per-image optimized-Huffman tables stay
+    on the cheap path.
     """
     key = (bytes(counts), bytes(symbols), is_ac)
+    want_pairs = is_ac and (pairs or key in _FUSED_SEEN)
     hit = _FUSED_LUT_CACHE.get(key)
-    if hit is not None:
+    if hit is not None and not (want_pairs and hit[3] is _ZERO_PAIR_TOT):
         return hit
-    sym_b, ln_b = _build_huff_lut(counts, bytes(symbols))
-    tot = np.zeros(65536, dtype=np.uint8)
-    run = np.zeros(65536, dtype=np.uint8)
-    val = np.zeros(65536, dtype=np.int32)
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(counts[length - 1]):
-            s = symbols[k]
-            size = (s & 15) if is_ac else s
-            r = (s >> 4) if is_ac else 0
-            if size and length + size <= 16:
-                base = code << (16 - length)
-                span = 1 << (16 - length)
-                shift = 16 - length - size
-                idx = np.arange(base, base + span, dtype=np.int64)
-                raw = (idx >> shift) & ((1 << size) - 1)
-                v = np.where(raw >= (1 << (size - 1)), raw, raw - ((1 << size) - 1))
-                tot[base : base + span] = length + size
-                run[base : base + span] = r
-                val[base : base + span] = v
-            elif not is_ac and size == 0:
-                base = code << (16 - length)
-                span = 1 << (16 - length)
-                tot[base : base + span] = length
-            code += 1
-            k += 1
-        code <<= 1
-    if is_ac:
+    if len(_FUSED_SEEN) > 256:
+        _FUSED_SEEN.clear()
+    _FUSED_SEEN.add(key)
+    if hit is not None:
+        # pair-tier upgrade: single tier + classic LUTs come from the
+        # cached entry; only the gathers below run
+        tot = np.frombuffer(hit[0], np.uint8)
+        run = np.frombuffer(hit[1], np.uint8)
+        val = np.frombuffer(hit[2], np.int32)
+        val_a = hit[2]
+        sym_b, ln_b = hit[6], hit[7]
         t1 = tot.astype(np.int64)
-        v16 = np.arange(65536, dtype=np.int64)
-        v2 = (v16 << t1) & 0xFFFF
+        v2 = (_IDX16_I64 << t1) & 0xFFFF
         t2 = tot[v2]
-        ok = (tot > 0) & (t2 > 0) & (t1 + t2 <= 16)
-        ptot = np.where(ok, tot + t2, 0).astype(np.uint8).tobytes()
-        prun2 = np.where(ok, run[v2], 0).astype(np.uint8).tobytes()
-        pval2 = np.where(ok, val[v2], 0).tolist()
+        okp = (tot > 0) & (t2 > 0) & (t1 + t2 <= 16)
+        ptot = ((t1 + t2) * okp).astype(np.uint8).tobytes()
+        prun2 = (run[v2] * okp).astype(np.uint8).tobytes()
+        pval2 = array("i")
+        pval2.frombytes((val[v2] * okp).astype(np.int32).tobytes())
+        out = (hit[0], hit[1], val_a, ptot, prun2, pval2, sym_b, ln_b)
+        _FUSED_LUT_CACHE[key] = out
+        return out
+    sym_b, ln_b = _build_huff_lut(counts, bytes(symbols))
+    # the single tier derives WHOLE-ARRAY from the classic sym/ln LUTs
+    # (already span-filled at C speed): every entry's code length and
+    # symbol are known, so the extend-bit field location and value are
+    # ~10 numpy ops over all 65536 entries — no per-symbol Python loop
+    # (which cost more than the decode it saved on optimized-Huffman
+    # corpora that ship a fresh DHT per image)
+    # boolean-multiply selection instead of np.where, and shifts instead
+    # of table gathers: where/fancy-index cost ~190 us each at 65536 —
+    # this chain is ~15 cheap elementwise ops (~0.3 ms/table)
+    ln8 = np.frombuffer(ln_b, np.uint8)
+    sym8 = np.frombuffer(sym_b, np.uint8)
+    ln = ln8.astype(np.int32)
+    if is_ac:
+        size = (sym8 & 15).astype(np.int32)
     else:
-        ptot = prun2 = b"\x00" * 65536
-        pval2 = [0] * 65536
-    out = (tot.tobytes(), run.tobytes(), val.tolist(), ptot, prun2, pval2,
+        size = sym8.astype(np.int32)
+    ok = (ln8 > 0) & (size > 0) & (ln + size <= 16)
+    shift = (16 - ln - size) * ok
+    mask = np.left_shift(np.int32(1), size) - 1
+    raw = (_IDX16_I32 >> shift) & mask
+    half = np.left_shift(np.int32(1), np.maximum(size - 1, 0))
+    ext = raw - mask * (raw < half)
+    tot64 = (ln + size) * ok
+    if not is_ac:
+        # DC size-0 code: diff = 0, fully resolved by the code alone
+        tot64 += ln * ((ln8 > 0) & (size == 0))
+    tot = tot64.astype(np.uint8)
+    run = ((sym8 >> 4) * ok).astype(np.uint8) if is_ac else np.zeros(
+        65536, dtype=np.uint8
+    )
+    val = (ext * ok).astype(np.int32)
+    # value tiers live in array('i'), not lists: indexing returns a
+    # Python int at list speed, frombytes is a memcpy (~100x cheaper
+    # than tolist — per-image table builds matter for optimized-Huffman
+    # corpora where every image ships its own DHT), and each table is
+    # 256 KB instead of megabytes of int objects
+    if want_pairs:
+        t1 = tot.astype(np.int64)
+        v2 = (_IDX16_I64 << t1) & 0xFFFF
+        t2 = tot[v2]
+        okp = (tot > 0) & (t2 > 0) & (t1 + t2 <= 16)
+        ptot = ((t1 + t2) * okp).astype(np.uint8).tobytes()
+        prun2 = (run[v2] * okp).astype(np.uint8).tobytes()
+        pval2 = array("i")
+        pval2.frombytes((val[v2] * okp).astype(np.int32).tobytes())
+    else:
+        ptot, prun2, pval2 = _ZERO_PAIR_TOT, _ZERO_PAIR_RUN, _ZERO_PAIR_VAL
+    val_a = array("i")
+    val_a.frombytes(val.tobytes())
+    out = (tot.tobytes(), run.tobytes(), val_a, ptot, prun2, pval2,
            sym_b, ln_b)
-    if len(_FUSED_LUT_CACHE) > 64:
+    if len(_FUSED_LUT_CACHE) > 16:
         _FUSED_LUT_CACHE.clear()
     _FUSED_LUT_CACHE[key] = out
     return out
@@ -826,8 +884,12 @@ def decode_jpeg(b: bytes, with_pixels: bool = True):
     # refill time so Python ints stay ≤ ~80 bits. The IDCT / dequant /
     # de-zigzag run BATCHED over all blocks per component after the
     # scan instead of per 8x8 block.
+    # pair tier only when the image is big enough for its build cost to
+    # pay off in-image (fresh-DHT case); shared tables upgrade via
+    # _FUSED_SEEN on their second image regardless of size
+    big = total_mcus * sum(c["v"] * c["h"] for c in comps) >= 512
     fused = {
-        key: _build_fused_luts(counts, syms, key[0] == 1)
+        key: _build_fused_luts(counts, syms, key[0] == 1, pairs=big)
         for key, (counts, syms) in huff.items()
     }
     segs = _split_entropy_segments(b, data_start)
@@ -1226,7 +1288,9 @@ def _progressive_scan(
     is_ac_first = ss != 0 and ah == 0
     fused_ac = (
         {
-            sc["ac"]: _build_fused_luts(*huff_raw[(1, sc["ac"])], True)
+            sc["ac"]: _build_fused_luts(
+                *huff_raw[(1, sc["ac"])], True, pairs=len(tasks) >= 512
+            )
             for sc in scomps
         }
         if is_ac_first

@@ -477,6 +477,39 @@ def test_jpeg_truncated_stream_returns_partial_not_raise():
     assert np.array_equal(decode_jpeg(full)[2], whole)
 
 
+def test_jpeg_pair_tier_policy_small_images_upgrade_on_reuse():
+    """A small image with a fresh DHT builds single-tier-only tables
+    (pair gathers are the expensive part of the build and don't pay off
+    in-image below ~512 blocks); the SAME tables requested again — the
+    corpus-shared case — upgrade to the full pair tier. Pixels are
+    identical either way."""
+    from jodie_spark.operators import codecs
+
+    codecs._FUSED_LUT_CACHE.clear()
+    codecs._BUILD_HUFF_CACHE.clear()
+    codecs._FUSED_SEEN.clear()
+    img = np.random.default_rng(17).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = codecs.encode_jpeg(img, quality=85)  # 4 MCUs << 512 blocks
+    _, _, cold_px = codecs.decode_jpeg(blob)
+    ac_entries = [v for k, v in codecs._FUSED_LUT_CACHE.items() if k[2]]
+    assert ac_entries and all(
+        e[3] is codecs._ZERO_PAIR_TOT for e in ac_entries
+    ), "first small-image decode must skip the pair tier"
+    _, _, warm_px = codecs.decode_jpeg(blob)
+    ac_entries = [v for k, v in codecs._FUSED_LUT_CACHE.items() if k[2]]
+    assert all(
+        e[3] is not codecs._ZERO_PAIR_TOT for e in ac_entries
+    ), "second use of the same DHT must upgrade to the pair tier"
+    assert np.array_equal(cold_px, warm_px)
+    # big images build pairs immediately, fresh DHT or not
+    codecs._FUSED_LUT_CACHE.clear()
+    codecs._FUSED_SEEN.clear()
+    big = np.random.default_rng(18).integers(0, 256, (96, 144, 3), dtype=np.uint8)
+    codecs.decode_jpeg(codecs.encode_jpeg(big, quality=85))  # 216 MCUs * 3 > 512
+    ac_entries = [v for k, v in codecs._FUSED_LUT_CACHE.items() if k[2]]
+    assert ac_entries and all(e[3] is not codecs._ZERO_PAIR_TOT for e in ac_entries)
+
+
 def test_jpeg_fused_lut_cache_reuse():
     """Images sharing DHT payloads (the usual Annex K case) must reuse
     the fused tables rather than rebuilding 65536-entry LUTs per image."""
