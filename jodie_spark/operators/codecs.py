@@ -1902,47 +1902,74 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
+#: single-byte bytes objects, shared by every LZW dictionary
+_B1 = [bytes([i]) for i in range(256)]
+#: initial LZW dictionaries per min_code_size — entries are immutable
+#: bytes, so a shallow copy per CLEAR replaces the per-reset listcomp
+_GIF_DICT_BASE: dict[int, list[bytes]] = {}
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes, code
     width grows to 12 bits. Returns ``n_pixels`` palette indexes."""
     clear = 1 << min_code_size
     end = clear + 1
+    base = _GIF_DICT_BASE.get(min_code_size)
+    if base is None:
+        base = _B1[:clear] + [b"", b""]
+        _GIF_DICT_BASE[min_code_size] = base
     out = bytearray()
-    # bit stream state
+    outlen = 0
+    # bit stream state; the fast refill pulls 4 bytes per
+    # int.from_bytes while at least 4 remain — the byte tail keeps the
+    # truncated-stream return at the exact same consumed position
     acc = 0
     nbits = 0
     pos = 0
+    ndata = len(data)
+    fast_stop = ndata - 4
+    ifb = int.from_bytes
     width = min_code_size + 1
-    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    dictionary = base.copy()
+    dlen = len(dictionary)
     prev: bytes | None = None
 
-    while len(out) < n_pixels:
-        while nbits < width:
-            if pos >= len(data):
-                return bytes(out)  # truncated stream: keep what decoded
-            acc |= data[pos] << nbits
-            nbits += 8
-            pos += 1
+    while outlen < n_pixels:
+        if nbits < width:
+            if pos <= fast_stop:
+                acc |= ifb(data[pos : pos + 4], "little") << nbits
+                nbits += 32
+                pos += 4
+            else:
+                while nbits < width:
+                    if pos >= ndata:
+                        return bytes(out)  # truncated: keep what decoded
+                    acc |= data[pos] << nbits
+                    nbits += 8
+                    pos += 1
         code = acc & ((1 << width) - 1)
         acc >>= width
         nbits -= width
         if code == clear:
-            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            dictionary = base.copy()
+            dlen = len(dictionary)
             width = min_code_size + 1
             prev = None
             continue
         if code == end:
             break
-        if code < len(dictionary):
+        if code < dlen:
             entry = dictionary[code]
-        elif code == len(dictionary) and prev is not None:
+        elif code == dlen and prev is not None:
             entry = prev + prev[:1]
         else:
             raise ValueError("corrupt GIF LZW stream")
         out += entry
+        outlen += len(entry)
         if prev is not None:
             dictionary.append(prev + entry[:1])
-            if len(dictionary) == (1 << width) and width < 12:
+            dlen += 1
+            if dlen == (1 << width) and width < 12:
                 width += 1
         prev = entry
     return bytes(out)

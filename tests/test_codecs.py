@@ -477,6 +477,49 @@ def test_jpeg_truncated_stream_returns_partial_not_raise():
     assert np.array_equal(decode_jpeg(full)[2], whole)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    quality=st.integers(15, 97),
+    restart=st.sampled_from([0, 0, 0, 2, 5]),
+    progressive=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_roundtrip_fuzz(h, w, quality, restart, progressive, seed):
+    """Property fuzz over the whole encode→decode pipeline: arbitrary
+    dims (incl. non-multiple-of-8), qualities, restart intervals, and
+    both scan scripts. The decoded image must be dimension-exact and
+    within quantization error of the source; baseline and progressive
+    encodings of the same pixels (same tables) must decode IDENTICALLY
+    — the cross-check that exercises every fused-LUT tier and the
+    classic slow paths against each other on random content."""
+    from jodie_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = (
+        rng.integers(0, 256, (h, w, 3)).astype(np.float64) * 0.5
+        + rng.integers(0, 128)
+    ).clip(0, 255).astype(np.uint8)
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    blob = enc(img, quality=quality, restart_interval=restart)
+    W, H, px = decode_jpeg(blob)
+    assert (W, H) == (w, h)
+    assert px.shape == (h, w, 3)
+    if quality >= 85:
+        err = np.abs(px.astype(int) - img.astype(int))
+        assert err.mean() < 24, err.mean()
+    # baseline and progressive carry identical coefficients
+    twin = (encode_jpeg if progressive else encode_jpeg_progressive)(
+        img, quality=quality, restart_interval=restart
+    )
+    assert np.array_equal(decode_jpeg(twin)[2], px)
+
+
 def test_jpeg_pair_tier_policy_small_images_upgrade_on_reuse():
     """A small image with a fresh DHT builds single-tier-only tables
     (pair gathers are the expensive part of the build and don't pay off
