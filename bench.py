@@ -369,9 +369,12 @@ def main() -> None:
             encode_png,
         )
 
-        from jodie_spark.operators.codecs import encode_jpeg_progressive
+        from jodie_spark.operators.codecs import encode_gif, encode_jpeg_progressive
 
         _rng = _np.random.default_rng(42)
+        # GIF is palette-indexed (<=256 colors): random indexes into a
+        # fixed 64-color palette
+        _gif_pal = _rng.integers(0, 256, (64, 3), dtype=_np.uint8)
         _imgs = [
             _rng.integers(0, 256, (64, 48, 3), dtype=_np.uint8) for _ in range(64)
         ]
@@ -406,6 +409,18 @@ def main() -> None:
             ),
             ("png_pure_python", [encode_png(p) for p in _imgs], None),
             ("bmp_pure_python", [encode_bmp(p) for p in _imgs], None),
+            (
+                "gif_pure_python",
+                [
+                    encode_gif(
+                        _np.ascontiguousarray(
+                            _gif_pal[_rng.integers(0, 64, (64, 48))]
+                        )
+                    )
+                    for _ in range(64)
+                ],
+                None,
+            ),
             (
                 "jpeg_override_dispatch_noop",
                 [encode_jpeg(p, quality=90) for p in _imgs],
