@@ -2539,7 +2539,7 @@ def _read_fields(bits: np.ndarray, pos: int, count: int, nbits: int) -> np.ndarr
 
 def _decode_residual(
     br: _PlainBitReader, blocksize: int, order: int,
-    bits: np.ndarray, ones_l: list[int],
+    bits: np.ndarray, ones: np.ndarray,
 ) -> np.ndarray:
     """Rice/rice2 residual partitions, numpy-vectorized (VERDICT r10
     item 3 — the per-sample bit loop was the hottest pure-codec path).
@@ -2547,10 +2547,17 @@ def _decode_residual(
     The only sequential part of a rice partition is locating each
     code's unary terminator (the next 1-bit), because the ``param``
     LSB bits that follow it contain arbitrary 1s. With the positions
-    of ALL 1-bits precomputed (``ones_l``), that becomes a tiny
-    integer scan — every 1-bit is visited at most once — and
-    everything else (quotients, LSB fields, zigzag, sign-extension)
-    is closed-form array arithmetic over the terminator positions.
+    of ALL 1-bits precomputed (``ones``), the terminator sequence is
+    the orbit of ``f(j) = first 1-bit index ≥ ones[j] + param + 1``
+    starting from the first 1-bit in the partition — materialized by
+    pointer doubling (f, f², f⁴, …), so the whole partition is
+    O(log count) vectorized rounds instead of a per-sample loop.
+    The slice bound is structural for ANY bitstring: each code
+    consumes exactly one terminator 1-bit and at most ``param``
+    1-bits in its LSB field, so ``count`` codes span at most
+    ``count*(1+param)`` entries of ``ones``. Everything else
+    (quotients, LSB fields, zigzag, sign-extension) is closed-form
+    array arithmetic over the terminator positions.
     """
     method = br.read(2)
     if method > 1:
@@ -2564,53 +2571,68 @@ def _decode_residual(
     out = np.empty(blocksize - order, dtype=np.int64)
     w = 0
     pos = _bit_pos(br)
-    import bisect
-
-    try:
-        for p in range(n_parts):
-            count = blocksize // n_parts - (order if p == 0 else 0)
-            if count < 0:
-                raise ValueError("FLAC predictor order exceeds partition size")
-            param = int(_read_fields(bits, pos, 1, pbits)[0])
-            pos += pbits
-            if param == escape:
-                raw = int(_read_fields(bits, pos, 1, 5)[0])
-                pos += 5
-                vals = _read_fields(bits, pos, count, raw)
-                out[w : w + count] = _field_signs(vals, raw) if raw else 0
-                pos += count * raw
-            elif count:
-                t = np.empty(count, dtype=np.int64)
-                oi = bisect.bisect_left(ones_l, pos)
-                pp = pos
-                step = 1 + param
-                for i in range(count):
-                    tv = ones_l[oi]  # IndexError ⇒ truncated
-                    while tv < pp:
-                        oi += 1
-                        tv = ones_l[oi]
-                    t[i] = tv
-                    pp = tv + step
-                    oi += 1
-                starts = np.empty(count, dtype=np.int64)
-                starts[0] = pos
-                starts[1:] = t[:-1] + step
-                q = t - starts
-                if param:
-                    fidx = t[:, None] + 1 + np.arange(param, dtype=np.int64)
-                    if int(t[-1]) + param >= bits.shape[0]:
-                        raise ValueError("FLAC bitstream truncated")
-                    weights = np.left_shift(
-                        np.int64(1), np.arange(param - 1, -1, -1, dtype=np.int64)
-                    )
-                    u = (q << np.int64(param)) | (bits[fidx].astype(np.int64) @ weights)
-                else:
-                    u = q
-                out[w : w + count] = (u >> np.int64(1)) ^ -(u & np.int64(1))  # zigzag
-                pos = int(pp)
-            w += count
-    except IndexError:
-        raise ValueError("FLAC bitstream truncated") from None
+    for p in range(n_parts):
+        count = blocksize // n_parts - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC predictor order exceeds partition size")
+        param = int(_read_fields(bits, pos, 1, pbits)[0])
+        pos += pbits
+        if param == escape:
+            raw = int(_read_fields(bits, pos, 1, 5)[0])
+            pos += 5
+            vals = _read_fields(bits, pos, count, raw)
+            out[w : w + count] = _field_signs(vals, raw) if raw else 0
+            pos += count * raw
+        elif count:
+            step = 1 + param
+            oi0 = int(np.searchsorted(ones, pos, side="left"))
+            sl = ones[oi0 : oi0 + count * step + 1]
+            slen = sl.shape[0]
+            if slen == 0:
+                raise ValueError("FLAC bitstream truncated")
+            # f[j] = first 1-bit index >= sl[j] + step, as a rank query
+            # against a cumulative ones count over the window — O(n)
+            # with tiny constants where searchsorted(sl, sl+step) paid
+            # O(n log n) per partition
+            lo = int(sl[0])
+            hi = int(sl[-1]) + step
+            co = np.cumsum(bits[lo:hi], dtype=np.int64)
+            tgt = sl + (step - 1 - lo)  # index of bit (sl[j]+step)-1
+            np.clip(tgt, 0, co.shape[0] - 1, out=tgt)
+            # the window may hold ones past the slice end — anything at
+            # or beyond slen means "terminator outside the structural
+            # bound", i.e. the sentinel
+            f = np.minimum(co[tgt], slen)
+            f = np.append(f, slen)  # sentinel: exhausted maps to itself
+            orbit = np.empty(count, dtype=np.int64)
+            orbit[0] = 0
+            done = 1
+            while done < count:
+                take = min(done, count - done)
+                orbit[done : done + take] = f[orbit[:take]]
+                done += take
+                if done < count:
+                    f = f[f]  # f^L -> f^2L
+            if int(orbit[-1]) >= slen:  # strictly increasing ⇒ max is last
+                raise ValueError("FLAC bitstream truncated")
+            t = sl[orbit]
+            starts = np.empty(count, dtype=np.int64)
+            starts[0] = pos
+            starts[1:] = t[:-1] + step
+            q = t - starts
+            if param:
+                fidx = t[:, None] + 1 + np.arange(param, dtype=np.int64)
+                if int(t[-1]) + param >= bits.shape[0]:
+                    raise ValueError("FLAC bitstream truncated")
+                weights = np.left_shift(
+                    np.int64(1), np.arange(param - 1, -1, -1, dtype=np.int64)
+                )
+                u = (q << np.int64(param)) | (bits[fidx].astype(np.int64) @ weights)
+            else:
+                u = q
+            out[w : w + count] = (u >> np.int64(1)) ^ -(u & np.int64(1))  # zigzag
+            pos = int(t[-1]) + step
+        w += count
     _seek_bits(br, pos)
     return out
 
@@ -2636,7 +2658,7 @@ def _undifference(res: np.ndarray, warm: list[int], order: int) -> np.ndarray:
 
 def _decode_subframe(
     br: _PlainBitReader, blocksize: int, bps: int,
-    bits: np.ndarray, ones_l: list[int],
+    bits: np.ndarray, ones: np.ndarray,
 ) -> np.ndarray:
     if br.read(1):
         raise ValueError("FLAC subframe padding bit set")
@@ -2654,7 +2676,7 @@ def _decode_subframe(
     elif 8 <= ftype <= 12:  # FIXED order 0-4
         order = ftype - 8
         warm = [br.read_signed(bps) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order, bits, ones_l)
+        res = _decode_residual(br, blocksize, order, bits, ones)
         out = _undifference(res, warm, order)
     elif ftype >= 32:  # LPC order 1-32
         order = ftype - 31
@@ -2666,7 +2688,7 @@ def _decode_subframe(
         if shift < 0:
             raise ValueError("negative FLAC LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order, bits, ones_l)
+        res = _decode_residual(br, blocksize, order, bits, ones)
         # the quantized-LPC recurrence floor-shifts at every step, so it
         # cannot be expressed as a prefix scan; run it as a plain-int
         # loop with the common small orders unrolled on local variables
@@ -2743,7 +2765,7 @@ def decode_flac(b: bytes, with_samples: bool = True):
     # bit-at-a-time reader (memory 8×/~64× the blob — fine for the
     # per-row media blobs this Arrow-batched decode path sees)
     bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
-    ones_l: list[int] = np.flatnonzero(bits).tolist()
+    ones = np.flatnonzero(bits).astype(np.int64)
 
     chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     n = len(b)
@@ -2786,15 +2808,15 @@ def decode_flac(b: bytes, with_samples: bool = True):
         if ch_code <= 7:
             n_sub = ch_code + 1
             subs = [
-                _decode_subframe(br, blocksize, fbps, bits, ones_l)
+                _decode_subframe(br, blocksize, fbps, bits, ones)
                 for _ in range(n_sub)
             ]
         elif ch_code in (8, 9, 10):
             n_sub = 2
             b0 = fbps + (1 if ch_code == 9 else 0)
             b1 = fbps + (1 if ch_code in (8, 10) else 0)
-            s0 = _decode_subframe(br, blocksize, b0, bits, ones_l)
-            s1 = _decode_subframe(br, blocksize, b1, bits, ones_l)
+            s0 = _decode_subframe(br, blocksize, b0, bits, ones)
+            s1 = _decode_subframe(br, blocksize, b1, bits, ones)
             one = np.int64(1)
             if ch_code == 8:  # left/side
                 subs = [s0, s0 - s1]
