@@ -3448,8 +3448,14 @@ def _q_hamming_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from jodie_spark.operators.text_dedup import simhash
 
-    base = _no_near_dup_base(spark, sf_dir).withColumn(
-        "sh", simhash(F.col("text"))
+    # materialize (doc_id, text, sh) once: corpus build, clone planting
+    # and the probe batch all branch from it — without the checkpoint
+    # each branch re-evaluates the SimHash pandas_udf over its slice
+    # (r13 plan capture: 8 ArrowEvalPython subtrees in the probe plan)
+    base = (
+        _no_near_dup_base(spark, sf_dir)
+        .withColumn("sh", simhash(F.col("text")))
+        .localCheckpoint(eager=False)
     )
     corpus = base.filter("doc_id % 2 = 0")
     idx = _tmp("hamidx")

@@ -242,6 +242,15 @@ def minhash_candidate_pairs(
         )
         .withColumn("bb", F.explode(_banded(F.col("sig"), num_hashes, bands)))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        # materialize the banded keys ONCE: the self-join below otherwise
+        # evaluates the whole signing pipeline (tokenize + xxhash64 +
+        # Arrow-vectorized minhash over every document) on BOTH sides —
+        # the r13 plan capture shows two ArrowEvalPython subtrees and no
+        # exchange reuse (broadcast join at local scale). The proxy is
+        # (id, band, bucket) — bands × 24ish bytes per doc, the §8
+        # "decide with small rows" shape — so storing it costs far less
+        # than a second full-corpus signature pass at any scale.
+        .localCheckpoint(eager=False)
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -550,25 +559,42 @@ def hamming_dedup(
     max_hamming``, drop the higher id of each verified pair. Works on
     any 64-bit similarity-preserving hash — text SimHash, image
     dHash/pHash."""
+    dup_ids = _hamming_dup_ids(
+        df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh")),
+        max_hamming,
+        bands,
+    )
+    return df.join(dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+def _hamming_dup_ids(
+    h: DataFrame, max_hamming: int, bands: int
+) -> DataFrame:
+    """Higher ids of verified near-dup pairs from an ``(id, sh)`` hash
+    frame. The frame is materialized once (lazy localCheckpoint): the
+    banded self-join otherwise evaluates the hash-producing pipeline —
+    a pandas_udf SimHash or a full media decode — on BOTH join sides
+    (r13 plan capture: duplicated ArrowEvalPython/MapInPandas subtrees,
+    no exchange reuse under the local broadcast plan). The proxy is two
+    longs per row, the §8 "decide with small rows" shape."""
     # the band-key construction is shared with the persisted hamming
     # index — the pigeonhole recall contract requires both to band
     # identically (hamming_index.py module doc)
     from jodie_spark.operators.hamming_index import _banded_keys
 
-    h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
+    h = h.localCheckpoint(eager=False)
     banded = h.select(
         "id", "sh",
         F.explode(_banded_keys(F.col("sh"), bands)).alias("bk"),
     ).select("id", "sh", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    dup_ids = (
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= max_hamming)
         .select(F.col("b.id").alias("id"))
         .distinct()
     )
-    return df.join(dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti")
 
 
 def simhash_dedup(
@@ -579,11 +605,22 @@ def simhash_dedup(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup removal by text SimHash — the banded
-    :func:`hamming_dedup` over :func:`simhash`."""
-    with_hash = df.withColumn("__sh__", simhash(F.col(text_col)))
-    return hamming_dedup(
-        with_hash, "__sh__", id_col, max_hamming=max_hamming, bands=bands
-    ).drop("__sh__")
+    :func:`hamming_dedup` over :func:`simhash`.
+
+    The SimHash pandas_udf is evaluated exactly ONCE, on the
+    ``(id, sh)`` proxy inside :func:`_hamming_dup_ids`; the final
+    anti-join keeps the caller's frame untouched (the old
+    withColumn → drop shape re-evaluated the UDF on the output side
+    and on both banded join sides — 32 ArrowEvalPython nodes in the
+    r13 simhash_dedup plan capture, now 2)."""
+    dup_ids = _hamming_dup_ids(
+        df.select(
+            F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+        ),
+        max_hamming,
+        bands,
+    )
+    return df.join(dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
