@@ -65,27 +65,57 @@ def kmeans_fit(
     cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     dim = cent.shape[1]
 
+    # Each Lloyd iteration is ONE Arrow-vectorized pass: a mapInPandas
+    # task normalizes its batch, assigns cells with a single matmul
+    # argmax (identical arithmetic to ivf_cell: max(norm, 1e-12)
+    # normalization, numpy argmax ties to the lowest id) and accumulates
+    # per-cell sums/counts across its batches, emitting exactly k rows
+    # per task — the driver combines #tasks × k rows, no shuffle at
+    # all. The previous shape (interpreted higher-order-function
+    # normalize + posexplode to n·dim rows + groupBy) spent ~0.6 s per
+    # iteration in lambda HOFs that never reach codegen and another
+    # ~0.4-1 s exploding and shuffling what one matmul computes
+    # (guide §4.2; r13 measurement in OPTIMIZATION_r13.md). Null
+    # vectors and vectors of the wrong dimension contribute nothing to
+    # the update, matching the old posexplode(null) behavior.
+    import pandas as pd
+
+    k = len(cent)
+    proj = df.select(F.col(vec_col).cast("array<double>").alias("__v__"))
+    out_schema = "cell int, n long, sums array<double>"
     for _ in range(n_iter):
-        assigned = df.select(
-            ivf_cell(F.col(vec_col), cent).alias("__cell__"),
-            _normalized(vec_col).alias("__nv__"),
-        )
-        # ONE aggregation: partial (cell, pos) sums combine map-side, so
-        # the shuffle is k*dim rows per task regardless of corpus size
-        rows = (
-            assigned.select(
-                "__cell__", F.posexplode("__nv__").alias("__pos__", "__val__")
+        cent_t = cent.T.copy()  # (dim × k), captured per iteration
+
+        def partials(batches, _ct=cent_t):
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for b in batches:
+                vals = [
+                    v for v in b["__v__"] if v is not None and len(v) == dim
+                ]
+                if not vals:
+                    continue
+                m = np.asarray(vals, dtype=np.float64)
+                nv = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                cells = (nv @ _ct).argmax(axis=1)
+                np.add.at(sums, cells, nv)
+                counts += np.bincount(cells, minlength=k)
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(k, dtype=np.int32),
+                    "n": counts,
+                    "sums": [s.tolist() for s in sums],
+                }
             )
-            .groupBy("__cell__", "__pos__")
-            .agg(F.sum("__val__").alias("__sum__"), F.count(F.lit(1)).alias("__n__"))
-            .collect()
-        )
-        sums = np.zeros((len(cent), dim))
-        counts = np.zeros(len(cent))
-        for r in rows:
-            sums[r["__cell__"], r["__pos__"]] = r["__sum__"]
-            counts[r["__cell__"]] = r["__n__"]
-        for c in range(len(cent)):
+
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in proj.mapInPandas(partials, out_schema).collect():
+            sums[r["cell"]] += np.asarray(r["sums"])
+            counts[r["cell"]] += r["n"]
+        for c in range(k):
             if counts[c] > 0:
                 m = sums[c] / counts[c]
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
