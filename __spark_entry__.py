@@ -773,7 +773,11 @@ def _planted_embeddings(spark: SparkSession, sf_dir: str, n_clones: int = 9):
         .crossJoin(spark.range(1, n_clones + 1).select((F.col("id") + 100000).alias("__cid__")))
         .select(F.col("__cid__").alias("vec_id"), "embedding")
     )
-    return emb.unionByName(clones)
+    # materialize once (lazy): every consumer evaluates this union
+    # several times inside one query — sample-trainer collects, take(1)
+    # for the probe vector, the assignment pass, the index write — and
+    # each evaluation re-ran the scan + clone-planting cross join
+    return emb.unionByName(clones).localCheckpoint(eager=False)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

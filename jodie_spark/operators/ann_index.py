@@ -53,11 +53,19 @@ def build_ann_index(
     """Train IVF + PQ on a bounded sample, assign every vector its cell
     and codes in one Arrow-vectorized pass, and write the index table
     partitioned by cell with the model in the table properties."""
+    # ONE sample collect feeds both trainers (they previously ran two
+    # identical limit-collect jobs over the corpus — and limit without
+    # order does not even guarantee the two jobs saw the same rows)
+    from jodie_spark.operators.ivf import sample_vectors
+
+    sample = sample_vectors(df, vec_col, sample_size)
     centroids = train_centroids(
-        df, vec_col, n_centroids=n_centroids, sample_size=sample_size, seed=seed
+        df, vec_col, n_centroids=n_centroids, sample_size=sample_size, seed=seed,
+        sample=sample,
     )
     books = train_pq(
-        df, vec_col, m=m, n_codes=n_codes, sample_size=sample_size, seed=seed
+        df, vec_col, m=m, n_codes=n_codes, sample_size=sample_size, seed=seed,
+        sample=sample,
     )
     indexed = df.select(
         F.col(id_col),

@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 from jodie_spark.functions.vectors import cosine_similarity
 
 
+def sample_vectors(df: DataFrame, vec_col: str, sample_size: int) -> np.ndarray:
+    """One driver-side training sample — collect it once and hand it to
+    every trainer that needs it (train_centroids + train_pq in
+    build_ann_index previously each ran their own identical
+    limit-collect job over the corpus)."""
+    return np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(sample_size).collect()
+        ]
+    )
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str,
@@ -31,14 +44,12 @@ def train_centroids(
     sample_size: int = 10_000,
     n_iter: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Spherical k-means on a deterministic sample. Returns
-    ``(n_centroids × dim)`` L2-normalized centroids."""
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in df.select(vec_col).limit(sample_size).collect()
-    ]
-    x = np.stack(sample)
+    """Spherical k-means on a deterministic sample (pass ``sample`` to
+    reuse an already-collected one). Returns ``(n_centroids × dim)``
+    L2-normalized centroids."""
+    x = sample if sample is not None else sample_vectors(df, vec_col, sample_size)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -42,15 +42,18 @@ def train_pq(
     sample_size: int = 10_000,
     n_iter: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
-    """K-means codebooks per subspace on a deterministic sample.
+    """K-means codebooks per subspace on a deterministic sample (pass
+    ``sample`` to reuse an already-collected one).
     Returns ``(m, n_codes, D/m)``; vectors are L2-normalized first so
     summed subspace inner products approximate the full cosine."""
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in df.select(vec_col).limit(sample_size).collect()
-    ]
-    x = np.stack(sample)
+    if sample is None:
+        from jodie_spark.operators.ivf import sample_vectors
+
+        x = sample_vectors(df, vec_col, sample_size)
+    else:
+        x = np.asarray(sample, dtype=np.float64)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m} subvectors")
