@@ -108,15 +108,25 @@ def image_dedup(
     """Drop the higher-id image of every pair whose perceptual hashes
     are within ``max_hamming`` bits — exact and cross-format for true
     duplicates (identical pixels ⇒ hamming 0 whatever the container)."""
-    from jodie_spark.operators.text_dedup import hamming_dedup
+    from jodie_spark.operators.text_dedup import _hamming_dup_ids
 
+    # decode each image exactly ONCE: the (id, hash) proxy feeds the
+    # banded pair-finding (materialized inside _hamming_dup_ids) and the
+    # survivor election; the caller's frame joins back by id, so the
+    # expensive mapInPandas decode never re-evaluates on a join side or
+    # the output side (it used to run 3x — guide §8 "decide with small
+    # rows"). on_error='skip' semantics unchanged: undecodable rows are
+    # absent from the proxy and therefore from the survivors.
     hashed = with_image_dhash(
         df, binary_col=binary_col, mode=mode, on_error=on_error,
         decoder_overrides=decoder_overrides,
     )
-    return hamming_dedup(
-        hashed, "image_hash", id_col, max_hamming=max_hamming, bands=bands
-    ).drop("image_hash")
+    proxy = hashed.select(
+        F.col(id_col).alias("id"), F.col("image_hash").alias("sh")
+    ).localCheckpoint(eager=False)
+    dup_ids = _hamming_dup_ids(proxy, max_hamming, bands, materialized=True)
+    keep = proxy.select("id").join(dup_ids, "id", "left_anti")
+    return df.join(keep.withColumnRenamed("id", id_col), id_col, "left_semi")
 
 
 def with_audio_hash(
@@ -266,10 +276,13 @@ def video_dedup(
         df, binary_col=binary_col, mode=mode, on_error=on_error,
         decoder_overrides=decoder_overrides,
     )
+    # decode each video exactly ONCE: keyed feeds the LSH self-join
+    # (both sides), fa and fb — without the checkpoint the frame-decode
+    # mapInPandas re-evaluated on every reference (4x per action)
     keyed = hashed.select(
         F.col(id_col).alias("id"),
         F.array_distinct("frame_hashes").alias("fh"),
-    )
+    ).localCheckpoint(eager=False)
     sigs = (
         keyed.withColumn(
             "sig", minhash_signature_from_hashes(F.col("fh"), num_hashes)
@@ -310,13 +323,17 @@ def audio_dedup(
     decoder_overrides: dict[str, Callable] | None = None,
 ) -> DataFrame:
     """Audio near-dup removal: the loudness-envelope hash through the
-    same banded :func:`hamming_dedup` as text SimHash and image dHash."""
-    from jodie_spark.operators.text_dedup import hamming_dedup
+    same banded :func:`hamming_dedup` as text SimHash and image dHash.
+    Decode-once proxy shape — see :func:`image_dedup`."""
+    from jodie_spark.operators.text_dedup import _hamming_dup_ids
 
     hashed = with_audio_hash(
         df, binary_col=binary_col, mode=mode, on_error=on_error,
         decoder_overrides=decoder_overrides,
     )
-    return hamming_dedup(
-        hashed, "audio_hash", id_col, max_hamming=max_hamming, bands=bands
-    ).drop("audio_hash")
+    proxy = hashed.select(
+        F.col(id_col).alias("id"), F.col("audio_hash").alias("sh")
+    ).localCheckpoint(eager=False)
+    dup_ids = _hamming_dup_ids(proxy, max_hamming, bands, materialized=True)
+    keep = proxy.select("id").join(dup_ids, "id", "left_anti")
+    return df.join(keep.withColumnRenamed("id", id_col), id_col, "left_semi")

@@ -568,7 +568,7 @@ def hamming_dedup(
 
 
 def _hamming_dup_ids(
-    h: DataFrame, max_hamming: int, bands: int
+    h: DataFrame, max_hamming: int, bands: int, materialized: bool = False
 ) -> DataFrame:
     """Higher ids of verified near-dup pairs from an ``(id, sh)`` hash
     frame. The frame is materialized once (lazy localCheckpoint): the
@@ -582,7 +582,8 @@ def _hamming_dup_ids(
     # identically (hamming_index.py module doc)
     from jodie_spark.operators.hamming_index import _banded_keys
 
-    h = h.localCheckpoint(eager=False)
+    if not materialized:  # callers pass True when h is already checkpointed
+        h = h.localCheckpoint(eager=False)
     banded = h.select(
         "id", "sh",
         F.explode(_banded_keys(F.col("sh"), bands)).alias("bk"),
