@@ -975,6 +975,9 @@ def _create_with_columns(spark: SparkSession, m: re.Match):
         identity_columns=identity_columns or None,
         generated_columns=generated_columns or None,
         column_defaults=column_defaults or None,
+        # the relation is a literal empty LocalRelation — let the writer
+        # commit metadata-only instead of running three no-op Spark jobs
+        known_empty=True,
     )
     if m.group("name"):
         register_delta_table(spark, m.group("name"), path)

@@ -3207,8 +3207,17 @@ def write_delta(
     identity_columns: dict[str, dict[str, Any]] | None = None,
     cluster_by: list[str] | None = None,
     column_defaults: dict[str, str] | None = None,
+    known_empty: bool = False,
 ) -> DeltaTable:
     """``df.write.format("delta").mode(m).save(path)`` equivalent.
+
+    ``known_empty=True`` asserts ``df`` has no rows (the SQL front end
+    passes it for pure-DDL CREATE, whose relation is a literal empty
+    LocalRelation): the writer then skips the three Spark jobs the
+    empty relation would otherwise run — ``isEmpty``, the identity
+    empty-assign count, and the staging parquet write that produces no
+    files — and commits metadata only, byte-identical to the log the
+    empty write produced.
 
     ``identity_columns`` (create only) declares Delta identity columns
     (writer feature v6): ``{"id": {"start": 1, "step": 1,
@@ -3305,12 +3314,21 @@ def write_delta(
                     )
                 allow = bool(spec.get("allow_explicit", False))
                 hwm: int | None = None
-                if name in df.columns and not allow and df.isEmpty():
+                if name in df.columns and not allow and (known_empty or df.isEmpty()):
                     # pure DDL create (empty relation with the identity
                     # column declared): no values were provided — assign
                     # normally, keeping the declared column order
                     order = list(df.columns)
-                    df, hwm = assign_identity_values(df.drop(name), name, start, step)
+                    if known_empty:
+                        # assign_identity_values' empty-input result
+                        # (NULL column, no watermark) without its count job
+                        df = df.drop(name).withColumn(
+                            name, F.lit(None).cast("long")
+                        )
+                    else:
+                        df, hwm = assign_identity_values(
+                            df.drop(name), name, start, step
+                        )
                     df = df.select(*order)
                 elif name in df.columns:
                     if not allow:
@@ -3399,7 +3417,7 @@ def write_delta(
                 for lf, pf in zip(schema_for_meta.fields, phys.fields)
             }
             part_cols = [phys_of[c] for c in partition_by]
-        adds = write_data_files(out_df, path, part_cols)
+        adds = [] if known_empty else write_data_files(out_df, path, part_cols)
         import uuid as _uuid
 
         meta = {
