@@ -132,7 +132,19 @@ def query_hamming_index(
     the indexed history at ``bit_count(xor) <= max_hamming``. Full
     recall is guaranteed for ``max_hamming <= bands - 1``; a larger
     radius is allowed but partial-recall (pigeonhole), so it warns."""
-    bands = _index_bands(spark, index_path)
+    from jodie_spark.tables.table import DeltaTable
+
+    # one log replay: the snapshot serves both the band-count property
+    # and the postings read
+    pt = DeltaTable.forPath(spark, _postings_path(index_path))
+    psnap = pt.snapshot()
+    cfg = psnap.configuration
+    if _PROP_BANDS not in cfg:
+        raise ValueError(
+            f"{index_path!r} is not a hamming index (missing {_PROP_BANDS}) — "
+            "build one with build_hamming_index"
+        )
+    bands = int(cfg[_PROP_BANDS])
     if max_hamming > bands - 1:
         import warnings
 
@@ -143,9 +155,7 @@ def query_hamming_index(
             UserWarning,
             stacklevel=2,
         )
-    from jodie_spark.tables.table import DeltaTable
-
-    postings = DeltaTable.forPath(spark, _postings_path(index_path)).toDF()
+    postings = pt.toDF(_snapshot=psnap)
     batch = F.broadcast(
         df.select(
             F.col(id_col).alias("new_id"),

@@ -197,7 +197,22 @@ def query_minhash_index(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    num_hashes, bands, shingle_size = _index_geometry(spark, index_path)
+    from jodie_spark.tables.table import DeltaTable
+
+    # one log replay per index table: the postings snapshot serves both
+    # the geometry properties and the data read
+    pt = DeltaTable.forPath(spark, _postings_path(index_path))
+    psnap = pt.snapshot()
+    cfg = psnap.configuration
+    try:
+        num_hashes = int(cfg[_PROP_NUM_HASHES])
+        bands = int(cfg[_PROP_BANDS])
+        shingle_size = int(cfg[_PROP_SHINGLE])
+    except KeyError as e:
+        raise ValueError(
+            f"{index_path!r} is not a minhash index (missing {e} property) — "
+            "build one with build_minhash_index"
+        ) from None
     signed = _signed(df, text_col, id_col, num_hashes, bands, shingle_size)
     batch_keys = F.broadcast(
         signed.select(
@@ -209,9 +224,7 @@ def query_minhash_index(
             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
         )
     )
-    from jodie_spark.tables.table import DeltaTable
-
-    postings = DeltaTable.forPath(spark, _postings_path(index_path)).toDF()
+    postings = pt.toDF(_snapshot=psnap)
     sigs = DeltaTable.forPath(spark, _signatures_path(index_path)).toDF()
     # The postings join broadcasts the BATCH side (truly batch-bounded:
     # batch_rows × bands keys). The candidate set it produces is NOT

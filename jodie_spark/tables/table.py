@@ -648,9 +648,20 @@ class DeltaTable:
         snap = snapshot or self.snapshot()
         return _schema_from_string(snap.schema_string)
 
-    def toDF(self, version: int | None = None, timestamp: Any = None) -> DataFrame:
+    def toDF(
+        self,
+        version: int | None = None,
+        timestamp: Any = None,
+        _snapshot: Snapshot | None = None,
+    ) -> DataFrame:
         """Read the table; ``version`` / ``timestamp`` time-travel like
-        delta-spark's versionAsOf / timestampAsOf."""
+        delta-spark's versionAsOf / timestampAsOf.
+
+        ``_snapshot`` (internal) serves the read from an
+        already-replayed snapshot — callers that just loaded one (e.g.
+        an index probe reading geometry properties then data from the
+        same table) skip a redundant full log replay. The caller owns
+        staleness: never pass a snapshot across a mutation."""
         if timestamp is not None:
             if version is not None:
                 raise JodieValidationError("pass version or timestamp, not both")
@@ -665,7 +676,11 @@ class DeltaTable:
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             version = self.deltaLog.version_at_timestamp(int(ts.timestamp() * 1000))
-        snap = self.snapshot(version)
+        snap = (
+            _snapshot
+            if _snapshot is not None and version is None
+            else self.snapshot(version)
+        )
         logical = self.schema(snap)
         from jodie_spark.tables.column_mapping import (
             column_mapping_mode,
