@@ -320,16 +320,23 @@ def _read_dv_files_df(
 ) -> DataFrame:
     """Scan deletion-vector-carrying files, dropping deleted rows.
 
-    Shape: one parquet scan of the DV'd files with
-    ``_metadata.file_path`` / ``row_index``, anti-joined against the
-    decoded position set. DV bytes are fetched driver-side (O(#DV
-    files) I/O, like the log itself) but DECODED executor-side in an
-    Arrow-batched UDF, so a million-row bitmap never burdens the
-    driver. Positions broadcast when small, so the common case adds no
-    shuffle; the driver's only per-row-free work is one
-    ``distinct(file_path)`` job to learn Spark's exact URI spelling
-    (joining on reconstructed URI strings is how silent mismatches
-    happen — see ADVICE.md on percent-encoding)."""
+    Shape, small DV sets (≤ ``_DV_BROADCAST_MAX_POSITIONS`` deleted
+    rows): ONE parquet scan with ``_metadata.file_path`` /
+    ``row_index`` filtered by an Arrow-batched predicate over the
+    BROADCAST raw roaring bitmaps — no extra Spark job, no join. The
+    bitmaps are keyed by the shared path canonicalization
+    (``add_path_key`` / ``scanned_path_key``), so Spark's URI spelling
+    of ``file_path`` is normalized executor-side instead of learned
+    through the old ``distinct(file_path).collect()`` pre-job (which
+    re-scanned every DV'd file once per read). A scanned file whose key
+    maps to no add still REFUSES (task error) rather than resurrecting
+    deleted rows.
+
+    Large DV sets keep the prior shape: positions decoded
+    executor-side from a tiny (path, bytes) frame, exploded, and
+    anti-joined — a million-row bitmap never burdens the driver or the
+    broadcast plane. DV bytes are fetched driver-side either way
+    (O(#DV files) I/O, like the log itself)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -363,6 +370,57 @@ def _read_dv_files_df(
             F.col("_metadata.row_index").alias("__ri__"),
         )
     )
+    total = sum(_dv_cardinality(a) for a in adds)
+    if total <= _DV_BROADCAST_MAX_POSITIONS:
+        dv_bytes: dict[str, bytes | None] = {
+            key: (
+                bytes(read_dv_bytes(table_path, a["deletionVector"]))
+                if a.get("deletionVector")
+                else None
+            )
+            for key, a in by_real.items()
+        }
+        bc = spark.sparkContext.broadcast(dv_bytes)
+        tpath = table_path
+
+        def _keep_fn(fp, ri):
+            import numpy as np
+
+            out = np.ones(len(fp), dtype=bool)
+            decoded: dict[str, Any] = {}
+            for val in fp.unique():
+                key = scanned_path_key(val)
+                if key not in bc.value:
+                    raise DeltaProtocolError(
+                        f"cannot map scanned file {val!r} back to a "
+                        f"deletion-vector add entry of {tpath}; refusing "
+                        "to resurrect deleted rows"
+                    )
+                raw = bc.value[key]
+                if raw is None:
+                    continue  # add carries no DV: keep every row
+                pos = decoded.get(key)
+                if pos is None:
+                    pos = np.asarray(
+                        parse_roaring_bitmap_array(raw), dtype=np.int64
+                    )
+                    decoded[key] = pos
+                m = (fp == val).values
+                out[m] = ~np.isin(ri[m].values, pos)
+            return pd.Series(out)
+
+        # real annotation objects: `from __future__ import annotations`
+        # stringifies inline hints, which pandas_udf cannot infer
+        _keep_fn.__annotations__ = {
+            "fp": pd.Series,
+            "ri": pd.Series,
+            "return": pd.Series,
+        }
+        _keep = pandas_udf(_keep_fn, T.BooleanType())
+        return scan.filter(_keep(F.col("__fp__"), F.col("__ri__"))).drop(
+            "__fp__", "__ri__"
+        )
+
     fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
     rows = []
     for fp in fp_values:
@@ -389,9 +447,6 @@ def _read_dv_files_df(
         spark.createDataFrame(rows, pos_schema)
         .select("__fp__", F.explode(_decode(F.col("__dv__"))).alias("__ri__"))
     )
-    total = sum(_dv_cardinality(a) for a in adds)
-    if total <= _DV_BROADCAST_MAX_POSITIONS:
-        positions = F.broadcast(positions)
     return scan.join(positions, ["__fp__", "__ri__"], "left_anti").drop(
         "__fp__", "__ri__"
     )
