@@ -821,11 +821,7 @@ class DeltaMergeBuilder:
                 tgt = raw.withColumn("__t_exists__", F.lit(True)).alias(talias)
             elif candidates:
                 raw = t._dv_scan(candidates, schema)
-                existing = t._existing_dv_positions(raw, candidates)
-                if existing is not None:
-                    raw = raw.join(
-                        F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
-                    )
+                raw = t._drop_existing_dv_positions(raw, candidates)
                 tgt = raw.withColumn("__t_exists__", F.lit(True)).alias(talias)
             else:
                 tgt = (

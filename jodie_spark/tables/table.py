@@ -1796,14 +1796,19 @@ class DeltaTable:
             out = rename_to_logical(out, ms[0], ms[1], keep=("__fp__", "__ri__"))
         return out
 
-    def _existing_dv_positions(
-        self, scan: DataFrame, candidates: list[dict[str, Any]]
-    ) -> DataFrame | None:
-        """(__fp__, __ri__) rows for every position already deleted by a
-        candidate's existing DV, keyed by the SCAN's own file_path
-        spelling (collect-and-match, never string reconstruction) —
-        None when no candidate carries a DV. Used to keep merge-on-read
-        UPDATE from resurrecting already-deleted rows."""
+    def _drop_existing_dv_positions(
+        self, df: DataFrame, candidates: list[dict[str, Any]]
+    ) -> DataFrame:
+        """``df`` minus rows an existing candidate DV already deleted —
+        the broadcast-bitmap Arrow predicate shape of
+        the former anti-join helper (same keying, same outcome) with NO
+        extra Spark job: the old helper learned the scan's file-path
+        spelling through a distinct().collect() pre-scan of every
+        candidate file before anti-joining exploded positions; here the
+        raw bitmaps broadcast and the spelling normalizes executor-side
+        (``scanned_path_key``). A file with no DV entry keeps all rows,
+        exactly like the old no-positions case. Returns ``df``
+        unchanged when no candidate carries a DV."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
@@ -1815,34 +1820,44 @@ class DeltaTable:
         from jodie_spark.fs import add_path_key, scanned_path_key
 
         table_path = self.path
-        dv_by_real = {
-            add_path_key(table_path, a["path"]): a["deletionVector"]
+        dv_bytes = {
+            add_path_key(table_path, a["path"]): bytes(
+                read_dv_bytes(table_path, a["deletionVector"])
+            )
             for a in candidates
             if a.get("deletionVector")
         }
-        if not dv_by_real:
-            return None
-        fp_values = [r[0] for r in scan.select("__fp__").distinct().collect()]
-        rows = []
-        for fp in fp_values:
-            desc = dv_by_real.get(scanned_path_key(fp))
-            if desc:
-                rows.append((fp, bytearray(read_dv_bytes(table_path, desc))))
-        if not rows:
-            return None
+        if not dv_bytes:
+            return df
+        bc = self.spark.sparkContext.broadcast(dv_bytes)
 
-        def _decode_fn(dv):
-            return dv.apply(lambda b: parse_roaring_bitmap_array(bytes(b)))
+        def _keep_fn(fp, ri):
+            import numpy as np
 
-        _decode_fn.__annotations__ = {"dv": pd.Series, "return": pd.Series}
-        _decode = pandas_udf(_decode_fn, T.ArrayType(T.LongType()))
-        pos_schema = T.StructType(
-            [T.StructField("__fp__", T.StringType()), T.StructField("__dv__", T.BinaryType())]
-        )
-        return (
-            self.spark.createDataFrame(rows, pos_schema)
-            .select("__fp__", F.explode(_decode(F.col("__dv__"))).alias("__ri__"))
-        )
+            out = np.ones(len(fp), dtype=bool)
+            decoded: dict[str, Any] = {}
+            for val in fp.unique():
+                key = scanned_path_key(val)
+                raw = bc.value.get(key)
+                if raw is None:
+                    continue  # candidate without a DV: keep every row
+                pos = decoded.get(key)
+                if pos is None:
+                    pos = np.asarray(
+                        parse_roaring_bitmap_array(raw), dtype=np.int64
+                    )
+                    decoded[key] = pos
+                m = (fp == val).values
+                out[m] = ~np.isin(ri[m].values, pos)
+            return pd.Series(out)
+
+        _keep_fn.__annotations__ = {
+            "fp": pd.Series,
+            "ri": pd.Series,
+            "return": pd.Series,
+        }
+        _keep = pandas_udf(_keep_fn, T.BooleanType())
+        return df.filter(_keep(F.col("__fp__"), F.col("__ri__")))
 
     def _write_dvs_for(
         self, matched: DataFrame, candidates: list[dict[str, Any]]
@@ -2033,11 +2048,7 @@ class DeltaTable:
         cdc_actions: list[dict[str, Any]] = []
         if candidates:
             scan = self._dv_scan(candidates, schema, snap)
-            existing = self._existing_dv_positions(scan, candidates)
-            if existing is not None:
-                scan = scan.join(
-                    F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
-                )
+            scan = self._drop_existing_dv_positions(scan, candidates)
             matched = scan.filter(F.expr(condition)).persist()
             try:
                 rows = self._write_dvs_for(matched, candidates)
@@ -2143,11 +2154,9 @@ class DeltaTable:
                 if lineage is None:
                     # rows an existing DV already deleted must neither be
                     # re-counted nor RESURRECTED as updated copies
-                    existing = self._existing_dv_positions(scan, candidates)
-                    if existing is not None:
-                        matched = matched.join(
-                            F.broadcast(existing), ["__fp__", "__ri__"], "left_anti"
-                        )
+                    matched = self._drop_existing_dv_positions(
+                        matched, candidates
+                    )
                 rows = self._write_dvs_for(matched, candidates)
                 if rows:
                     lineage_out = []
