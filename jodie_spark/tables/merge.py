@@ -957,7 +957,6 @@ class DeltaMergeBuilder:
         self, allow_multiple_matches: bool = False, deletion_vectors: bool = False
     ) -> None:
         from jodie_spark.tables.table import (
-            filter_by_paths,
             map_touched_paths,
             plan_candidate_files,
             read_files_df,
@@ -1130,20 +1129,23 @@ class DeltaMergeBuilder:
         if candidates and (
             self._matched or self._not_matched or self._not_matched_by_source
         ):
-            # candidate files are read ONCE and cached; the rewrite pass
-            # filters the cache down to the touched subset instead of
-            # re-reading from storage
+            # the find-touched probe is NOT cached: uncached, Spark's
+            # column pruning reaches the parquet scan, so pass 1 reads
+            # only the merge-key columns of the candidate files, and
+            # pass 2 re-plans a full-column scan over the TOUCHED files
+            # only (MergeIntoCommand's shape). Caching here materialized
+            # every column of every candidate row — at scale that is
+            # executor memory pressure and a wider read; locally the
+            # cache write alone cost more than the re-scan it saved
             if lineage is not None:
                 probe = (
                     t._read_candidates(snap, schema, candidates, lineage=lineage)
                     .withColumnRenamed("__file__", "__path__")
-                    .persist()
                 )
             else:
                 probe = (
                     t._read_candidates(snap, schema, candidates)
                     .withColumn("__path__", F.input_file_name())
-                    .persist()
                 )
             # delta-spark parity: multiple source rows matching one target
             # row make the merge nondeterministic (and pass 2 would emit
@@ -1183,7 +1185,6 @@ class DeltaMergeBuilder:
                     from jodie_spark.errors import MergeMultipleMatchesError
 
                     src.unpersist()
-                    probe.unpersist()
                     raise MergeMultipleMatchesError(
                         "MERGE: one target row matched multiple source rows "
                         "while its file must be rewritten; the result would "
@@ -1226,12 +1227,13 @@ class DeltaMergeBuilder:
 
         # -- pass 2: rewrite touched files + insert unmatched source rows ----
         if probe is not None and touched:
-            tgt = (
-                filter_by_paths(probe, "__path__", raw_touched)
-                .drop("__path__")
-                .withColumn("__t_exists__", F.lit(True))
-                .alias(talias)
-            )
+            # fresh scan over ONLY the touched adds — full columns, but
+            # a file-list-level prune instead of an input_file_name
+            # filter over every candidate
+            tgt = t._read_candidates(snap, schema, touched, lineage=lineage)
+            if lineage is not None:
+                tgt = tgt.drop("__file__")
+            tgt = tgt.withColumn("__t_exists__", F.lit(True)).alias(talias)
         else:
             tgt = (
                 read_files_df(spark, t.path, schema, [])
@@ -1255,6 +1257,14 @@ class DeltaMergeBuilder:
             F.sum(F.when(F.col("__action__") == "copy", 1).otherwise(0)).alias("copied"),
             F.sum(F.when(F.col("__action__") == "insert", 1).otherwise(0)).alias("inserted"),
         )
+        staged_cached = False
+        if t.is_cdf_enabled(snap):
+            # CDF re-consumes `staged` four more times (delete/pre/post/
+            # insert change legs); without a cache each leg would re-run
+            # the full-outer join. Non-CDF merges evaluate it once — no
+            # cache, no memory pressure
+            staged = staged.persist()
+            staged_cached = True
 
         _out_col = self._out_col_factory(talias)
         # row tracking: copied+updated rows keep their id (insert rows
@@ -1362,8 +1372,8 @@ class DeltaMergeBuilder:
                 )
         finally:
             src.unpersist()
-            if probe is not None:
-                probe.unpersist()
+            if staged_cached:
+                staged.unpersist()
 
         # Catalyst's empty-relation propagation can optimize an observed
         # subtree away entirely (e.g. empty source); treat a missing
