@@ -1658,55 +1658,75 @@ class DeltaTable:
         elif candidates:
             t_scan = time.time()
             lineage, lineage_actions = self._lineage_setup(snap, candidates)
-            # single read of the candidate files, cached across the
-            # touched-file discovery and the rewrite — the touched set is
-            # then a filter over the cache, not a second disk scan
+            # pass 1 probe is NOT cached: uncached, Spark's column
+            # pruning reaches the parquet scan (condition columns +
+            # file path only); pass 2 re-plans a full-column scan over
+            # ONLY the touched adds — same two-scan shape as MERGE.
+            # Caching materialized every column of every candidate row
             if lineage is not None:
                 cand_df = self._read_candidates(
                     snap, schema, candidates, lineage=lineage
-                ).persist()
+                )
             else:
                 cand_df = self._read_candidates(snap, schema, candidates).withColumn(
                     "__file__", F.input_file_name()
-                ).persist()
+                )
             lineage_drop = (
                 ["__lineage_rid__", "__lineage_rcv__"] if lineage is not None else []
             )
-            try:
-                touched_paths = {
-                    r[0]
-                    for r in cand_df.filter(F.expr(condition))
-                    .select("__file__")
-                    .distinct()
-                    .collect()
-                }
-                scan_ms = int((time.time() - t_scan) * 1000)
-                touched = map_touched_paths(self.path, candidates, touched_paths)
-                if touched:
-                    touched_df = filter_by_paths(cand_df, "__file__", touched_paths).drop(
-                        "__file__"
+            touched_paths = {
+                r[0]
+                for r in cand_df.filter(F.expr(condition))
+                .select("__file__")
+                .distinct()
+                .collect()
+            }
+            scan_ms = int((time.time() - t_scan) * 1000)
+            touched = map_touched_paths(self.path, candidates, touched_paths)
+            if touched:
+                touched_df = self._read_candidates(
+                    snap, schema, touched, lineage=lineage
+                )
+                if lineage is not None:
+                    touched_df = touched_df.drop("__file__")
+                cdf_on = self.is_cdf_enabled(snap)
+                if cdf_on:
+                    # CDF consumes the touched scan a second time (the
+                    # delete change leg); cache it for that one re-read
+                    touched_df = touched_df.persist()
+                try:
+                    obs = Observation()
+                    observed = touched_df.observe(
+                        obs, F.count(F.lit(1)).alias("total")
                     )
                     # surviving (copied) rows keep BOTH their row id and
                     # commit version — spec row-tracking preservation
-                    keep_df = touched_df.filter(~F.expr(condition) | F.expr(condition).isNull())
+                    keep_df = observed.filter(
+                        ~F.expr(condition) | F.expr(condition).isNull()
+                    )
                     adds = self._write_rewrite_files(snap, keep_df, lineage=lineage)
                     removes = touched
-                    # count over the cached candidate read (no stats
-                    # re-parse; candidates carry no stats strings)
-                    total_before = touched_df.count()
+                    # pre-rewrite row count rides the write job's
+                    # observation — no separate count job (candidates
+                    # carry no stats strings)
+                    try:
+                        total_before = int(obs.get.get("total") or 0)
+                    except Exception:
+                        total_before = touched_df.count()
                     copied_rows = sum(
                         int(json.loads(a["stats"]).get("numRecords") or 0) for a in adds
                     )
                     deleted_rows = total_before - copied_rows
-                    if self.is_cdf_enabled(snap):
+                    if cdf_on:
                         deleted_df = (
                             touched_df.filter(F.expr(condition))
                             .drop(*lineage_drop)
                             .withColumn("_change_type", F.lit("delete"))
                         )
                         cdc_actions = self._write_cdf_files(deleted_df, snap)
-            finally:
-                cand_df.unpersist()
+                finally:
+                    if cdf_on:
+                        touched_df.unpersist()
 
         actions: list[dict[str, Any]] = lineage_actions + list(cdc_actions)
         actions += [{"add": a} for a in adds]
@@ -2301,27 +2321,38 @@ class DeltaTable:
 
         if candidates:
             lineage, lineage_actions = self._lineage_setup(snap, candidates)
-            # one cached read of the candidate files feeds touched-file
-            # discovery, the rewrite, and the CDF pre/post images
+            # pass 1 probe is NOT cached (column pruning reaches the
+            # parquet scan: condition columns + file path only); pass 2
+            # re-plans a full-column scan over ONLY the touched adds —
+            # same two-scan shape as MERGE and DELETE
             if lineage is not None:
                 from jodie_spark.tables.row_lineage import LIN_RCV, LIN_RID
 
                 cand_df = self._read_candidates(
                     snap, schema, candidates, lineage=lineage
-                ).persist()
+                )
             else:
                 cand_df = self._read_candidates(snap, schema, candidates).withColumn(
                     "__file__", F.input_file_name()
-                ).persist()
+                )
+            touched_df = None
+            cdf_on = False
             try:
                 raw_touched_paths = {
                     r[0] for r in cand_df.filter(cond_col).select("__file__").distinct().collect()
                 }
                 touched = map_touched_paths(self.path, candidates, raw_touched_paths)
                 if touched:
-                    touched_df = filter_by_paths(cand_df, "__file__", raw_touched_paths).drop(
-                        "__file__"
+                    touched_df = self._read_candidates(
+                        snap, schema, touched, lineage=lineage
                     )
+                    if lineage is not None:
+                        touched_df = touched_df.drop("__file__")
+                    cdf_on = self.is_cdf_enabled(snap)
+                    if cdf_on:
+                        # CDF re-consumes the touched scan twice (pre
+                        # and post images); cache it for those re-reads
+                        touched_df = touched_df.persist()
                     set_exprs = {
                         k: (v if isinstance(v, Column) else F.expr(str(v))) for k, v in set.items()
                     }
@@ -2383,7 +2414,8 @@ class DeltaTable:
                         )
                         cdc_actions = self._write_cdf_files(pre.unionByName(post), snap)
             finally:
-                cand_df.unpersist()
+                if cdf_on and touched_df is not None:
+                    touched_df.unpersist()
 
         actions: list[dict[str, Any]] = lineage_actions + list(cdc_actions)
         actions += [{"add": a} for a in adds]
