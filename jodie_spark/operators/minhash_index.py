@@ -84,7 +84,7 @@ def _signed(df: DataFrame, text_col: str, id_col: str,
                 F.col("wh"), num_hashes, shingle_size
             ),
         )
-        .select("id", "sig", _banded(F.col("sig"), num_hashes, bands).alias("bb"))
+        .select("id", "sig", _banded("sig", num_hashes, bands).alias("bb"))
     )
 
 
