@@ -287,7 +287,7 @@ def video_dedup(
         keyed.withColumn(
             "sig", minhash_signature_from_hashes(F.col("fh"), num_hashes)
         )
-        .withColumn("bb", F.explode(_banded(F.col("sig"), num_hashes, bands)))
+        .withColumn("bb", F.explode(_banded("sig", num_hashes, bands)))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     a, b = sigs.alias("a"), sigs.alias("b")
