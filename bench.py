@@ -462,13 +462,36 @@ def main() -> None:
             "machine's documented failure mode) vs code"
         ),
     }
+    # r13 measurement fix: both 2026-08-17 final captures showed the
+    # SINGLE pre-run calibration sample catching a transient spike
+    # (0.716 s / 1.114 s) while every in-run positional sample sat at
+    # 0.30-0.46 s — a one-sample norm factor then OVER-normalizes the
+    # whole artifact (59.3 s "normalized" from a 141.1 s raw run).
+    # Use the median of {pre-run, positional} CPU samples instead: one
+    # bursty sample, early or late, can no longer own the factor. The
+    # pre-run single-sample factor stays in the notes for comparison.
+    _cpu_samples = [cal_best] + [
+        row["cal_cpu_sec"]
+        for row in positional_cal
+        if isinstance(row.get("cal_cpu_sec"), (int, float))
+    ]
+    _cpu_samples.sort()
+    cal_median = _cpu_samples[len(_cpu_samples) // 2] if _cpu_samples else cal_best
+    norm_factor_prerun = norm_factor
+    norm_factor = min(CAL_REF / cal_median, 1.0) if cal_median > 0 else 1.0
     notes["calibration_normalization"] = {
         "cal_ref_sec": CAL_REF,
-        "cal_measured_sec": round(cal_best, 3),
+        "cal_measured_sec": round(cal_median, 3),
+        "cal_prerun_sec": round(cal_best, 3),
         "norm_factor": round(norm_factor, 4),
+        "norm_factor_prerun_only": round(norm_factor_prerun, 4),
         "note": (
-            "normalized = raw * norm_factor; factor capped at 1.0 so a "
-            "faster-than-reference machine never inflates its numbers"
+            "normalized = raw * norm_factor; factor = CAL_REF / median of "
+            "all CPU calibration samples (pre-run + positional), capped at "
+            "1.0 so a faster-than-reference machine never inflates its "
+            "numbers; median replaces the single pre-run sample (r13: two "
+            "captures showed the pre-run sample catching transient spikes "
+            "the in-run samples disprove)"
         ),
     }
     # run id ties the stdout line to the sidecar it describes — a
