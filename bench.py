@@ -515,18 +515,25 @@ def main() -> None:
         "sf": sf,
         "notes": notes,
     }
+    # r14 (VERDICT r13 item 1): each run also writes an immutable
+    # per-run sidecar bench_full.<run_id>.json — reruns (e.g. the
+    # driver's low-core scaling pass) previously clobbered the single
+    # bench_full.json, destroying the per-query map of the run the
+    # driver actually graded. queries_full names the exact per-run
+    # file; bench_full.json stays as the latest-run convenience copy
+    # (additions-only: stdout contract and existing fields unchanged).
     sidecar_ok = True
+    run_sidecar = f"bench_full.{run_id}.json"
+    _here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
-            "w",
-            encoding="utf-8",
-        ) as fh:
-            json.dump(full_doc, fh, indent=1)
-            fh.write("\n")
+        payload = json.dumps(full_doc, indent=1) + "\n"
+        with open(os.path.join(_here, run_sidecar), "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        with open(os.path.join(_here, "bench_full.json"), "w", encoding="utf-8") as fh:
+            fh.write(payload)
     except OSError as e:  # sidecar is best-effort; the stdout line is the contract
         sidecar_ok = False
-        print(f"# bench_full.json not written: {e}", file=sys.stderr)
+        print(f"# bench_full sidecars not written: {e}", file=sys.stderr)
 
     # The driver records only the LAST 2000 chars of stdout; a line
     # carrying all ~130 per-query timings overflows that capture and
@@ -549,8 +556,10 @@ def main() -> None:
             1 for k in timings if k not in ("calibration", "calibration_io")
         ),
         # null when the sidecar write failed — never point a consumer at
-        # a stale file from an earlier run; run_id matches the sidecar's
-        "queries_full": "bench_full.json" if sidecar_ok else None,
+        # a stale file from an earlier run; run_id matches the sidecar's.
+        # Points at the per-run immutable file so a later rerun cannot
+        # clobber the map this line describes (VERDICT r13 item 1).
+        "queries_full": run_sidecar if sidecar_ok else None,
         "run_id": run_id,
         "sf": sf,
     }

@@ -28,18 +28,6 @@ from jodie_spark.functions.vectors import cosine_similarity, random_hyperplane_s
 
 
 
-def spread(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Optionally repartition a narrow projection before the
-    compute-bound signature stages. Worth it when input splits ≪ cores
-    AND the per-partition work is large (many MB of text) — at small
-    scale the extra shuffle + per-task Python-worker startup dominates,
-    so this is opt-in rather than automatic."""
-    target = target or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 # ---------------------------------------------------------------------------
 # exact / near-exact
 # ---------------------------------------------------------------------------
@@ -214,8 +202,11 @@ def _banded(sig_col: str, num_hashes: int, bands: int) -> Column:
     cProfile: 0.78 s across minhash_index_probe's three calls), all of
     it parse-once server-side now."""
     rows = num_hashes // bands
+    # backticked identifier: a literal backtick inside the name must be
+    # doubled or it terminates the quote and breaks the expression
+    quoted = "`" + sig_col.replace("`", "``") + "`"
     parts = ", ".join(
-        f"struct({b} as band, xxhash64(slice(`{sig_col}`, {b * rows + 1}, {rows})) as bucket)"
+        f"struct({b} as band, xxhash64(slice({quoted}, {b * rows + 1}, {rows})) as bucket)"
         for b in range(bands)
     )
     return F.expr(f"array({parts})")

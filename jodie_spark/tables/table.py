@@ -731,6 +731,22 @@ class DeltaTable:
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             version = self.deltaLog.version_at_timestamp(int(ts.timestamp() * 1000))
+        if (
+            _snapshot is not None
+            and version is None
+            and os.environ.get("JODIE_STRICT_SNAPSHOT")
+        ):
+            # staleness guard (debug/strict only — costs one log LIST per
+            # read, exactly what the snapshot-reuse path exists to avoid):
+            # a caller-owned snapshot must never be served across a
+            # mutation of the same table
+            latest = self.deltaLog.latest_version()
+            if _snapshot.version != latest:
+                raise JodieValidationError(
+                    f"stale _snapshot: version {_snapshot.version} but the "
+                    f"log is at {latest} — never reuse a snapshot across a "
+                    "mutation"
+                )
         snap = (
             _snapshot
             if _snapshot is not None and version is None

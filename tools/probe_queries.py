@@ -34,7 +34,7 @@ def main() -> None:
     spark.read.format("jodie_delta").load(w).count()
     registry = entrymod.queries()
     out = {}
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("JODIE_PLANS_TAG", "r14"))
     os.makedirs(plans_dir, exist_ok=True)
     for name in names:
         fn = registry[name]
