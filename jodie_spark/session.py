@@ -26,6 +26,14 @@ def get_spark(app_name: str = "jodie_spark", master: str | None = None) -> Spark
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Cached plans freeze their exchanges at the static shuffle
+        # partition count (32-partition shuffles for a 50-row merge
+        # source), and every downstream join aligns to the frozen
+        # layout. Letting AQE re-plan cached output partitioning keeps
+        # persist()-heavy paths (merge staging, foreachBatch sinks)
+        # size-adaptive at EVERY scale — partition count follows
+        # advisoryPartitionSizeInBytes, not the core count.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("JODIE_SPARK_DRIVER_MEM", "8g"))
