@@ -62,7 +62,7 @@ import re
 import shutil
 import threading
 import uuid
-from collections.abc import Callable, Iterator
+from collections.abc import Callable, Iterable, Iterator
 from typing import BinaryIO
 
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
@@ -151,6 +151,29 @@ class FileSystem:
                 yield from self.walk_files(child)
             else:
                 yield child
+
+    def existing_files(self, paths: Iterable[str]) -> set[str]:
+        """Subset of ``paths`` that currently exist, checked via
+        per-directory LIST pages instead of one existence RPC per path.
+        Candidates are grouped by parent directory; a directory with
+        enough candidates is listed ONCE and the names intersected —
+        on an object store one LIST page answers up to ~1000 HEADs.
+        Directories with few candidates keep the single-probe path
+        (listing a huge directory for one candidate would invert the
+        win). Name-match granularity: a child of any kind counts as
+        existing (object stores don't distinguish; the local adapter
+        overrides with an exact file check)."""
+        by_dir: dict[str, list[str]] = {}
+        for p in paths:
+            by_dir.setdefault(self.dirname(p), []).append(p)
+        out: set[str] = set()
+        for d, cands in by_dir.items():
+            if len(cands) < 8:
+                out.update(p for p in cands if self.isfile(p))
+            else:
+                names = set(self.listdir(d))
+                out.update(p for p in cands if self.basename(p) in names)
+        return out
 
     def open_input(self, path: str) -> BinaryIO:
         """Binary, seekable file-like (pyarrow-compatible)."""
@@ -269,6 +292,31 @@ class LocalFileSystem(FileSystem):
         for root, _dirs, names in os.walk(path):
             for name in names:
                 yield os.path.join(root, name)
+
+    def existing_files(self, paths: Iterable[str]) -> set[str]:
+        # one scandir sweep per shared directory (the dirent batch says
+        # file-vs-dir for free), exact is_file semantics preserved
+        by_dir: dict[str, list[str]] = {}
+        for p in paths:
+            by_dir.setdefault(os.path.dirname(p), []).append(p)
+        out: set[str] = set()
+        for d, cands in by_dir.items():
+            if len(cands) < 8:
+                out.update(p for p in cands if os.path.isfile(p))
+                continue
+            names: set[str] = set()
+            try:
+                with os.scandir(d) as it:
+                    for e in it:
+                        try:
+                            if e.is_file(follow_symlinks=True):
+                                names.add(e.name)
+                        except OSError:
+                            continue
+            except FileNotFoundError:
+                continue
+            out.update(p for p in cands if os.path.basename(p) in names)
+        return out
 
     def open_input(self, path: str) -> BinaryIO:
         return open(path, "rb")

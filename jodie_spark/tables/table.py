@@ -2558,10 +2558,13 @@ class DeltaTable:
         target_paths = set(target.files)
         actions: list[dict[str, Any]] = []
         _fs = self.deltaLog._fs
-        missing = [
-            p for p in target_paths - current_paths
-            if not _fs.isfile(_fs.join(self.path, urllib.parse.unquote(p)))
-        ]
+        # batched per-directory existence (same LIST-page shape as fsck)
+        back_abs = {
+            p: _fs.join(self.path, urllib.parse.unquote(p))
+            for p in target_paths - current_paths
+        }
+        present = _fs.existing_files(back_abs.values())
+        missing = [p for p, ap in back_abs.items() if ap not in present]
         if missing:
             raise DeltaProtocolError(
                 f"cannot restore to version {version}: {len(missing)} data "
@@ -2569,15 +2572,20 @@ class DeltaTable:
             )
         from jodie_spark.tables.deletion_vectors import dv_absolute_path
 
+        dv_abs = []
         for p in target_paths:
             dv = target.files[p].get("deletionVector")
             if dv:
                 dv_path = dv_absolute_path(self.path, dv)
-                if dv_path and not _fs.isfile(dv_path):
-                    raise DeltaProtocolError(
-                        f"cannot restore to version {version}: deletion "
-                        f"vector {dv_path} has been vacuumed"
-                    )
+                if dv_path:
+                    dv_abs.append(dv_path)
+        dv_present = _fs.existing_files(dv_abs)
+        for dv_path in dv_abs:
+            if dv_path not in dv_present:
+                raise DeltaProtocolError(
+                    f"cannot restore to version {version}: deletion "
+                    f"vector {dv_path} has been vacuumed"
+                )
         if target.schema_string != current.schema_string or (
             target.partition_columns != current.partition_columns
         ):
@@ -2732,20 +2740,46 @@ class DeltaTable:
 
         snap = self.snapshot()
         _fs = self.deltaLog._fs
-        missing: list[dict[str, Any]] = []
-        # projected columnar stream: the existence sweep needs 4 fields
+        # projected columnar stream: the existence sweep needs 2 fields
         # of every add, never the stats/tags payloads — at 1M adds this
-        # skips the full dict-view materialization entirely
-        for add in snap.iter_adds(
-            ("path", "deletionVector", "partitionValues", "size")
-        ):
-            p = _fs.join(self.path, urllib.parse.unquote(add["path"]))
-            broken = not _fs.isfile(p)
-            if not broken and add.get("deletionVector"):
+        # skips the full dict-view materialization entirely. Existence
+        # itself is batched per directory (one LIST page serves hundreds
+        # of candidates, the object-store price of ~one HEAD) instead of
+        # one RPC per add; in-table relative paths take a string-concat
+        # fast path (a generic fs.join costs ~3 µs × 1M adds).
+        unquote = urllib.parse.unquote
+        base_join = self.path.rstrip("/") + "/"
+        rels: list[str] = []
+        abss: list[str] = []
+        dv_of: dict[str, str] = {}
+        for add in snap.iter_adds(("path", "deletionVector")):
+            rel = add["path"]
+            rels.append(rel)
+            u = unquote(rel)
+            if "://" not in u and not u.startswith(("/", os.sep)):
+                abss.append(base_join + u)
+            else:
+                abss.append(_fs.join(self.path, u))
+            if add.get("deletionVector"):
                 dvp = dv_absolute_path(self.path, add["deletionVector"])
-                broken = dvp is not None and not _fs.isfile(dvp)
-            if broken:
-                missing.append(add)
+                if dvp is not None:
+                    dv_of[rel] = dvp
+        import itertools as _it
+
+        present = _fs.existing_files(_it.chain(abss, dv_of.values()))
+        missing_rel: set[str] = set()
+        for rel, ap in zip(rels, abss):
+            if ap not in present:
+                missing_rel.add(rel)
+            else:
+                dvp = dv_of.get(rel)
+                if dvp is not None and dvp not in present:
+                    missing_rel.add(rel)
+        missing: list[dict[str, Any]] = []
+        if missing_rel:  # healthy tables never pay a second pass
+            for add in snap.iter_adds(("path", "partitionValues", "size")):
+                if add["path"] in missing_rel:
+                    missing.append(add)
         if not dry_run and missing:
             now_ms = int(time.time() * 1000)
             actions = [
@@ -2886,21 +2920,31 @@ class DeltaTable:
         cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
         root = fs.abspath(self.path).rstrip("/").rstrip(os.sep)
 
-        def _inside(rm: dict[str, Any]) -> bool:
-            # delta-spark parity: VACUUM only ever deletes files under
-            # the table directory — a shallow clone's tombstones point
-            # at the SOURCE table's files by absolute path, and deleting
-            # those would corrupt the source
-            p = fs.join(self.path, urllib.parse.unquote(rm["path"]))
-            ap = fs.abspath(p)
-            return ap.startswith(root + "/") or ap.startswith(root + os.sep)
-
         # projected columnar stream (path + deletionTimestamp only): a
-        # 1M-tombstone dry run never materializes the remove dict view
-        eligible = [
-            rm for rm in snap.iter_tombstones(("path", "deletionTimestamp"))
-            if int(rm.get("deletionTimestamp") or 0) <= cutoff_ms and _inside(rm)
-        ]
+        # 1M-tombstone dry run never materializes the remove dict view.
+        # delta-spark parity: VACUUM only ever deletes files under the
+        # table directory — a shallow clone's tombstones point at the
+        # SOURCE table's files by absolute path, and deleting those
+        # would corrupt the source. A relative path without ".." cannot
+        # escape the root, so the common case skips the join+abspath
+        # pair (~5 µs × 1M tombstones) entirely.
+        base_join = self.path.rstrip("/") + "/"
+        eligible: list[str] = []  # resolved candidate paths
+        for rm in snap.iter_tombstones(("path", "deletionTimestamp")):
+            if int(rm.get("deletionTimestamp") or 0) > cutoff_ms:
+                continue
+            rel = urllib.parse.unquote(rm["path"])
+            if (
+                "://" not in rel
+                and ".." not in rel
+                and not rel.startswith(("/", os.sep))
+            ):
+                eligible.append(base_join + rel)
+                continue
+            p = fs.join(self.path, rel)
+            ap = fs.abspath(p)
+            if ap.startswith(root + "/") or ap.startswith(root + os.sep):
+                eligible.append(p)
         # superseded deletion-vector bitmaps: every MoR commit re-adds
         # the data path with a NEW merged DV, orphaning the previous
         # .bin — their references die with the cleared tombstone, so
@@ -2935,11 +2979,10 @@ class DeltaTable:
                 ):
                     orphan_dvs.append(p)
         if dry_run:
-            out = [
-                fs.join(self.path, urllib.parse.unquote(rm["path"]))
-                for rm in eligible
-            ]
-            return [p for p in out if fs.isfile(p)] + orphan_dvs
+            # batched per-directory existence (one LIST page vs one HEAD
+            # per tombstone — a 1M-tombstone dry run on an object store)
+            present = fs.existing_files(eligible)
+            return [p for p in eligible if p in present] + orphan_dvs
         start_version = self.deltaLog.commit(
             snap.version,
             [],
@@ -2952,8 +2995,7 @@ class DeltaTable:
         )
         deleted = 0
         deleted_bytes = 0
-        for rm in eligible:
-            p = fs.join(self.path, urllib.parse.unquote(rm["path"]))
+        for p in eligible:
             if fs.isfile(p):
                 deleted_bytes += fs.size(p)
                 fs.remove(p)
