@@ -74,9 +74,12 @@ def build_hamming_index(
     bands: int = 4,
     mode: str = "error",
 ) -> None:
-    """One pass over (id, hash) → banded postings partitioned by band.
-    ``bands`` bounds recall: pairs at hamming ≤ bands-1 are ALWAYS
-    candidates; beyond that recall degrades (pigeonhole)."""
+    """One pass over (id, hash) → banded postings. ``bands`` bounds
+    recall: pairs at hamming ≤ bands-1 are ALWAYS candidates; beyond
+    that recall degrades (pigeonhole). Not partitioned by band: probes
+    join on (band, key) across ALL bands (no pruning to buy) and a
+    band-partitioned append writes ×bands small files per batch
+    (guide §6.2)."""
     if bands < 2 or 64 % bands:
         # bands=1 would need a 64-bit all-ones mask (Long overflow) and
         # means "exact hash match only"; negatives would silently build
@@ -87,7 +90,6 @@ def build_hamming_index(
     write_delta(
         _postings_df(df, hash_col, id_col, bands),
         _postings_path(index_path),
-        partition_by=["band"],
         mode=mode,
         options={_PROP_BANDS: str(bands)},
     )
@@ -115,7 +117,6 @@ def append_to_hamming_index(
     write_delta(
         _postings_df(df, hash_col, id_col, bands),
         _postings_path(index_path),
-        partition_by=["band"],
         mode="append",
     )
 

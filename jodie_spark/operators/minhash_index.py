@@ -128,12 +128,17 @@ def build_minhash_index(
         mode=mode,
         options=props,
     )
+    # postings are NOT partitioned by band: every probe joins on
+    # (band, bucket) with the batch broadcast, touching ALL bands — the
+    # partitioning bought zero pruning while multiplying files per
+    # append ×bands (guide §6.2 small-files; a band's postings land
+    # sorted together within each file, so min/max skipping still works
+    # for band-restricted maintenance scans)
     write_delta(
         signed.select(
             "id", F.explode("bb").alias("bb")
         ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"),
         _postings_path(index_path),
-        partition_by=["band"],
         mode=mode,
         options=props,
     )
@@ -175,7 +180,6 @@ def append_to_minhash_index(
         signed.select("id", F.explode("bb").alias("bb"))
         .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id"),
         _postings_path(index_path),
-        partition_by=["band"],
         mode="append",
     )
 
