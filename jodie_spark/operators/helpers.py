@@ -86,7 +86,7 @@ def validate_append(
     column not already on the table must be declared optional; then
     append with mergeSchema. Parity: DeltaHelpers.scala:354-379."""
     append_columns = list(append_df.columns)
-    table_columns = list(delta_table.toDF().columns)
+    table_columns = [f.name for f in delta_table.schema().fields]
 
     missing = [c for c in required_cols if c not in append_columns]
     if missing:

@@ -51,7 +51,10 @@ def type2_generic_upsert(
     end_time_col_name: str,
 ) -> None:
     """Caller-named SCD columns. Parity: Type2Scd.scala:25-81."""
-    base_col_names = list(base_table.toDF().columns)
+    # column names from the snapshot schema — constructing the read
+    # DataFrame just to list columns costs py4j round-trips per call
+    # (this runs once per micro-batch in the streaming SCD2 sink)
+    base_col_names = [f.name for f in base_table.schema().fields]
     required_base = [primary_key, *attr_col_names, is_current_col_name,
                      effective_time_col_name, end_time_col_name]
     if sorted(base_col_names) != sorted(required_base):

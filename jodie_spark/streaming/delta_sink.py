@@ -246,8 +246,12 @@ def write_stream_merge_to_delta(
                 )
                 return
             t = DeltaTable.forPath(batch.sparkSession, path)
+            # target column names come from the snapshot schema, not
+            # toDF().columns — building the read DataFrame just to list
+            # columns cost a few hundred ms of py4j per micro-batch
+            tgt_cols = [f.name for f in t.schema().fields]
             if schema_evolution:
-                existing = {c.lower() for c in t.toDF().columns}
+                existing = {c.lower() for c in tgt_cols}
                 new_cols = {
                     f.name: f.dataType
                     for f in batch.schema.fields
@@ -256,10 +260,11 @@ def write_stream_merge_to_delta(
                 if new_cols:
                     t.add_columns(new_cols)
                     t = DeltaTable.forPath(batch.sparkSession, path)
+                    tgt_cols = [f.name for f in t.schema().fields]
             # seq guard only when the target materializes the sequence
             # column (otherwise there is nothing to compare against)
             guard = None
-            if sequence_col is not None and sequence_col in t.toDF().columns:
+            if sequence_col is not None and sequence_col in tgt_cols:
                 # NULL-safe: a NULL sequence on either side would make
                 # the bare >= evaluate to NULL, leaving the row
                 # permanently un-updatable and silently dropping its

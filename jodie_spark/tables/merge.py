@@ -663,22 +663,33 @@ class DeltaMergeBuilder:
     def _stage_actions(self, joined: DataFrame) -> DataFrame:
         """Attach first-matching-clause indexes and the per-row action
         ('update'/'delete'/'copy'/'insert'/'drop') — the clause-order
-        resolution both the copy-on-write and merge-on-read paths share."""
-        is_t = F.col("__t_exists__").isNotNull()
-        is_s = F.col("__s_exists__").isNotNull()
+        resolution both the copy-on-write and merge-on-read paths share.
 
-        def _clause_cond(cl: _Clause) -> Column:
-            return F.expr(cl.condition) if cl.condition else F.lit(True)
+        Built as single SQL CASE expressions instead of nested F.when
+        chains: clause conditions are already SQL strings, and the
+        Column-chain construction cost one py4j round-trip per node —
+        hundreds of driver-blocking socket hops per merge, paid per
+        micro-batch on the streaming sinks."""
+        is_t = "__t_exists__ IS NOT NULL"
+        is_s = "__s_exists__ IS NOT NULL"
 
-        def _idx_col(clauses: list[_Clause], base: Column) -> Column:
-            expr: Column = F.lit(-1)
-            for k in range(len(clauses) - 1, -1, -1):
-                expr = F.when(base & _clause_cond(clauses[k]), F.lit(k)).otherwise(expr)
-            return expr
+        def _idx_sql(clauses: list[_Clause], base: str) -> str:
+            # first matching clause wins: CASE evaluates in clause order
+            whens = "".join(
+                f" WHEN ({base}) AND ({cl.condition or 'TRUE'}) THEN {k}"
+                for k, cl in enumerate(clauses)
+            )
+            return f"CASE{whens} ELSE -1 END" if whens else "-1"
 
-        m_idx = _idx_col(self._matched, is_t & is_s)
-        i_idx = _idx_col(self._not_matched, is_s & ~is_t)
-        b_idx = _idx_col(self._not_matched_by_source, is_t & ~is_s)
+        m_sql = _idx_sql(self._matched, f"({is_t}) AND ({is_s})")
+        i_sql = _idx_sql(self._not_matched, f"({is_s}) AND NOT ({is_t})")
+        b_sql = _idx_sql(self._not_matched_by_source, f"({is_t}) AND NOT ({is_s})")
+
+        def _in(col: str, idxs: set[int]) -> str:
+            if not idxs:
+                return "FALSE"
+            return f"{col} IN ({', '.join(str(k) for k in sorted(idxs))})"
+
         delete_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "delete"}
         update_idx = {k for k, cl in enumerate(self._matched) if cl.kind == "update"}
         bs_delete = {
@@ -687,26 +698,58 @@ class DeltaMergeBuilder:
         bs_update = {
             k for k, cl in enumerate(self._not_matched_by_source) if cl.kind == "update"
         }
-        action = (
-            F.when(is_t & is_s & m_idx.isin(list(delete_idx) or [-2]), F.lit("delete"))
-            .when(is_t & is_s & m_idx.isin(list(update_idx) or [-2]), F.lit("update"))
-            .when(is_t & ~is_s & b_idx.isin(list(bs_delete) or [-2]), F.lit("delete"))
-            .when(is_t & ~is_s & b_idx.isin(list(bs_update) or [-2]), F.lit("update"))
-            .when(is_t, F.lit("copy"))
-            .when(is_s & (i_idx >= 0), F.lit("insert"))
-            .otherwise(F.lit("drop"))
+        action_sql = (
+            "CASE"
+            f" WHEN ({is_t}) AND ({is_s}) AND {_in('__m_idx__', delete_idx)}"
+            " THEN 'delete'"
+            f" WHEN ({is_t}) AND ({is_s}) AND {_in('__m_idx__', update_idx)}"
+            " THEN 'update'"
+            f" WHEN ({is_t}) AND NOT ({is_s}) AND {_in('__b_idx__', bs_delete)}"
+            " THEN 'delete'"
+            f" WHEN ({is_t}) AND NOT ({is_s}) AND {_in('__b_idx__', bs_update)}"
+            " THEN 'update'"
+            f" WHEN {is_t} THEN 'copy'"
+            f" WHEN ({is_s}) AND (__i_idx__ >= 0) THEN 'insert'"
+            " ELSE 'drop' END"
         )
-        return (
-            joined.withColumn("__m_idx__", m_idx)
-            .withColumn("__i_idx__", i_idx)
-            .withColumn("__b_idx__", b_idx)
-            .withColumn("__action__", action)
-        )
+        return joined.withColumns(
+            {
+                "__m_idx__": F.expr(m_sql),
+                "__i_idx__": F.expr(i_sql),
+                "__b_idx__": F.expr(b_sql),
+            }
+        ).withColumn("__action__", F.expr(action_sql))
 
     def _out_col_factory(self, talias: str):
         """Column builder applying the first matching clause's
-        assignments (clause-order semantics) to one output field."""
+        assignments (clause-order semantics) to one output field.
+
+        Per-clause branch conditions are built ONCE here and shared by
+        every output field: each Column node costs a py4j round trip,
+        and rebuilding `action == 'update' AND __m_idx__ == k` per field
+        multiplied that driver latency by the column count — paid per
+        micro-batch on the streaming merge sinks."""
         src_fields = {f.name: f for f in self.source.schema.fields}
+        # per-clause branch conditions for the Column fallback path,
+        # built lazily (the SQL fast path never needs them) and cached
+        # so every fallback field shares the same Column objects
+        _cond_cache: dict[tuple[str, int], Column] = {}
+
+        def _cond(kind: str, k: int) -> Column:
+            key = (kind, k)
+            c = _cond_cache.get(key)
+            if c is None:
+                if kind == "m":
+                    c = F.expr(f"__action__ = 'update' AND __m_idx__ = {k}")
+                elif kind == "bs":
+                    c = F.expr(
+                        "__action__ = 'update' AND __m_idx__ = -1"
+                        f" AND __b_idx__ = {k}"
+                    )
+                else:
+                    c = F.expr(f"__action__ = 'insert' AND __i_idx__ = {k}")
+                _cond_cache[key] = c
+            return c
 
         def _assignment(cl: _Clause, name: str, dtype) -> Column:
             if cl.star:
@@ -733,13 +776,79 @@ class DeltaMergeBuilder:
                 return F.col(f"{talias}.{name}")
             return F.lit(None).cast(dtype)  # insert: unassigned columns → NULL
 
+        def _sql_assignment(cl: _Clause, name: str, ddl: str) -> str | None:
+            """SQL-text equivalent of ``_assignment`` when the clause is
+            expressible as text; None forces the Column fallback (star
+            clauses need by-name struct alignment against the source
+            DataFrame, and Column-object assignments cannot stringify)."""
+            if cl.star:
+                return None
+            q = f"`{name.replace('`', '``')}`"
+            if name in cl.assignments:
+                v = cl.assignments[name]
+                if isinstance(v, Column):
+                    return None
+                return f"CAST(({v}) AS {ddl})"
+            if cl.kind == "update":
+                return f"{talias}.{q}"
+            return f"CAST(NULL AS {ddl})"  # insert: unassigned columns → NULL
+
         def _out_col(fld) -> Column:
+            # fast path: one CASE expression as SQL text — the nested
+            # F.when chain cost ~10 py4j round trips per clause per
+            # field; the text form is 3 per field. Same clause-order
+            # semantics: the branch conditions are mutually exclusive
+            # (__m_idx__/__i_idx__/__b_idx__ pin the clause), so WHEN
+            # order is free.
+            ddl = fld.dataType.simpleString()
+            branches: list[str] | None = []
+            for k, cl in enumerate(self._matched):
+                if cl.kind == "update":
+                    a = _sql_assignment(cl, fld.name, ddl)
+                    if a is None:
+                        branches = None
+                        break
+                    branches.append(
+                        f"WHEN __action__ = 'update' AND __m_idx__ = {k} THEN {a}"
+                    )
+            if branches is not None:
+                for k, cl in enumerate(self._not_matched_by_source):
+                    # by-source rows have __m_idx__ == -1, so these
+                    # branches never collide with the matched-update
+                    # ones; assignments reference target columns only
+                    if cl.kind == "update":
+                        a = _sql_assignment(cl, fld.name, ddl)
+                        if a is None:
+                            branches = None
+                            break
+                        branches.append(
+                            "WHEN __action__ = 'update' AND __m_idx__ = -1"
+                            f" AND __b_idx__ = {k} THEN {a}"
+                        )
+            if branches is not None:
+                for k, cl in enumerate(self._not_matched):
+                    a = _sql_assignment(cl, fld.name, ddl)
+                    if a is None:
+                        branches = None
+                        break
+                    branches.append(
+                        f"WHEN __action__ = 'insert' AND __i_idx__ = {k} THEN {a}"
+                    )
+            if branches is not None:
+                q = f"`{fld.name.replace('`', '``')}`"
+                base = f"{talias}.{q}"
+                sql = (
+                    f"CASE {' '.join(branches)} ELSE {base} END"
+                    if branches
+                    else base
+                )
+                return F.expr(sql).cast(fld.dataType).alias(fld.name)
+
             expr: Column = F.col(f"{talias}.{fld.name}")
             for k, cl in enumerate(self._matched):
                 if cl.kind == "update":
                     expr = F.when(
-                        (F.col("__action__") == "update") & (F.col("__m_idx__") == k),
-                        _assignment(cl, fld.name, fld.dataType),
+                        _cond('m', k), _assignment(cl, fld.name, fld.dataType)
                     ).otherwise(expr)
             for k, cl in enumerate(self._not_matched_by_source):
                 # by-source rows have __m_idx__ == -1, so these whens
@@ -748,15 +857,11 @@ class DeltaMergeBuilder:
                 # row exists) and unassigned columns keep target values
                 if cl.kind == "update":
                     expr = F.when(
-                        (F.col("__action__") == "update")
-                        & (F.col("__m_idx__") == -1)
-                        & (F.col("__b_idx__") == k),
-                        _assignment(cl, fld.name, fld.dataType),
+                        _cond('bs', k), _assignment(cl, fld.name, fld.dataType)
                     ).otherwise(expr)
             for k, cl in enumerate(self._not_matched):
                 expr = F.when(
-                    (F.col("__action__") == "insert") & (F.col("__i_idx__") == k),
-                    _assignment(cl, fld.name, fld.dataType),
+                    _cond('i', k), _assignment(cl, fld.name, fld.dataType)
                 ).otherwise(expr)
             return expr.cast(fld.dataType).alias(fld.name)
 
@@ -1252,10 +1357,17 @@ class DeltaMergeBuilder:
         staged = self._stage_actions(joined)
         staged = staged.observe(
             obs,
-            F.sum(F.when(F.col("__action__") == "update", 1).otherwise(0)).alias("updated"),
-            F.sum(F.when(F.col("__action__") == "delete", 1).otherwise(0)).alias("deleted"),
-            F.sum(F.when(F.col("__action__") == "copy", 1).otherwise(0)).alias("copied"),
-            F.sum(F.when(F.col("__action__") == "insert", 1).otherwise(0)).alias("inserted"),
+            *[
+                F.expr(
+                    f"sum(CASE WHEN __action__ = '{a}' THEN 1 ELSE 0 END)"
+                ).alias(label)
+                for a, label in (
+                    ("update", "updated"),
+                    ("delete", "deleted"),
+                    ("copy", "copied"),
+                    ("insert", "inserted"),
+                )
+            ],
         )
         staged_cached = False
         if t.is_cdf_enabled(snap):

@@ -174,6 +174,15 @@ def _field_id_read_session(spark: SparkSession) -> SparkSession:
     return child
 
 
+
+def _schema_order_select(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project to the schema's columns in schema order via ONE
+    selectExpr — per-field F.col() Columns cost 3x the py4j round
+    trips, paid on every candidate/rewrite scan."""
+    return df.selectExpr(
+        *[f"`{f.name.replace('`', '``')}`" for f in schema.fields]
+    )
+
 def read_files_df(
     spark: SparkSession,
     table_path: str,
@@ -236,7 +245,7 @@ def read_files_df(
             .schema(schema)
             .load(paths)
         )
-        parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
+        parts.append(_schema_order_select(df, schema))
     if external:
         parts.append(_read_external_files_df(spark, schema, external))
     if dv:
@@ -274,7 +283,7 @@ def _read_external_files_df(
     present = set(scan.columns) - {"__fp__"}
     missing = [f for f in schema.fields if f.name not in present]
     if not missing:
-        return scan.select(*[F.col(f.name) for f in schema.fields])
+        return _schema_order_select(scan, schema)
     # map Spark's exact URI spelling back to add entries (same
     # collect-and-match as the DV reader — O(#files), never per row;
     # string-reconstructing the URI driver-side is how silent
