@@ -44,6 +44,13 @@ if TYPE_CHECKING:
     from jodie_spark.tables.table import DeltaTable
 
 
+def _qcol(talias: str, name: str) -> Column:
+    """Alias-qualified column reference with the name backtick-quoted —
+    F.col() PARSES its argument, so a raw backtick in a field name is a
+    syntax error without escaping."""
+    return F.col(f"{talias}.`{name.replace('`', '``')}`")
+
+
 def _align_by_name(col: Column, src_type, dst_type) -> Column:
     """Project a source column onto a (possibly wider) target type by
     FIELD NAME, recursively: struct fields match by name (missing ones
@@ -762,7 +769,7 @@ class DeltaMergeBuilder:
                 sf = src_fields.get(name)
                 if sf is None:
                     if cl.kind == "update":
-                        return F.col(f"{talias}.{name}")
+                        return _qcol(talias, name)
                     return F.lit(None).cast(dtype)
                 # structs align by FIELD NAME, recursively — a source
                 # struct with reordered or missing nested fields must
@@ -773,7 +780,7 @@ class DeltaMergeBuilder:
                 col = v if isinstance(v, Column) else F.expr(str(v))
                 return col.cast(dtype)
             if cl.kind == "update":
-                return F.col(f"{talias}.{name}")
+                return _qcol(talias, name)
             return F.lit(None).cast(dtype)  # insert: unassigned columns → NULL
 
         def _sql_assignment(cl: _Clause, name: str, ddl: str) -> str | None:
@@ -844,7 +851,7 @@ class DeltaMergeBuilder:
                 )
                 return F.expr(sql).cast(fld.dataType).alias(fld.name)
 
-            expr: Column = F.col(f"{talias}.{fld.name}")
+            expr: Column = _qcol(talias, fld.name)
             for k, cl in enumerate(self._matched):
                 if cl.kind == "update":
                     expr = F.when(

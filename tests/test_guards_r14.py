@@ -35,3 +35,53 @@ def test_banded_escapes_backticked_column_names(spark):
     rows = df.select(_banded("si`g", num_hashes=4, bands=2).alias("b")).collect()
     assert len(rows) == 4
     assert all(len(r.b) == 2 for r in rows)
+
+
+def test_merge_sql_fastpath_handles_backticked_names_and_column_assignments(
+    spark, tmpdir_path
+):
+    """The _out_col SQL-text fast path must backtick-quote column
+    names that are not plain identifiers (here: a name with a space)
+    and fall back to the Column path for Column-object assignments —
+    both paths must land in one consistent merge result. (Backticks
+    INSIDE names are rejected upstream by write_delta's nullability
+    scan — an engine-wide pre-existing limit, not a merge path.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tmpdir_path, "mt")
+    write_delta(
+        spark.range(6).selectExpr("id as k", "id * 10 as `va l`", "'x' as s"),
+        path,
+    )
+    t = DeltaTable.forPath(spark, path)
+    src = spark.range(4, 9).selectExpr("id as k", "id * 100 as nv")
+    (
+        t.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        # string assignment (SQL fast path) on the backticked column,
+        # Column assignment (fallback path) on the plain column
+        .whenMatchedUpdate(
+            None, {"va l": "s.nv", "s": F.concat(F.lit("u"), F.col("s.k"))}
+        )
+        .whenNotMatchedInsert(
+            values={"k": "s.k", "va l": "s.nv - 1", "s": "'new'"}
+        )
+        .execute()
+    )
+    got = {
+        r["k"]: (r["va l"], r["s"])
+        for r in t.toDF().collect()
+    }
+    assert got == {
+        0: (0, "x"),
+        1: (10, "x"),
+        2: (20, "x"),
+        3: (30, "x"),
+        4: (400, "u4"),
+        5: (500, "u5"),
+        6: (599, "new"),
+        7: (699, "new"),
+        8: (799, "new"),
+    }
